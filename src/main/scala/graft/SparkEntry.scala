@@ -1,13 +1,472 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.{Aggregates, Relational}
+import graft.llm.{Dedup, Similarity}
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] exercises one operator family from the
+  * SURVEY.md §2 inventory (or the llm/ training-data extension) against
+  * the driver's test tables; [[oracleSql]] holds the DuckDB-equivalent
+  * SQL. Column names/aliases match pairwise (the driver sorts columns by
+  * name before hashing). Float aggregates are rounded on BOTH sides so
+  * summation-order differences between engines cannot flip the hash.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    pricingSummary(t(spark, "/root/testdata/sf0.001", "lineitem"))
+
+  /** TPC-H Q1-shaped pricing summary (SURVEY §2.4 A1 grouped multi-agg;
+    * cf. reference `Deliverable_4/load_to_gold_layer.py:55-64`). */
+  private def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.1/2.2 scans, projections, filters ----
+    "q_scan_filter" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-07-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))),
+
+    "q_sentinel_repair" -> ((s, d) =>
+      Relational.repairSentinel("value", col("value") < 1.0,
+        get_json_object(col("props"), "$.k").cast("double"))(t(s, d, "events"))
+        .select(col("event_id"), col("value").as("value_repaired"))),
+
+    "q_null_profile" -> ((s, d) =>
+      Relational.nullProfile(t(s, d, "orders"))),
+
+    // ---- §2.4 aggregations ----
+    "q_pricing_summary" -> ((s, d) => pricingSummary(t(s, d, "lineitem"))),
+
+    "q_stats_profile" -> ((s, d) =>
+      Aggregates.statsProfile(Seq("l_returnflag"),
+        Seq("l_quantity", "l_extendedprice"), 2)(t(s, d, "lineitem"))),
+
+    "q_month_agg" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))),
+
+    "q_time_bucket" -> ((s, d) =>
+      Aggregates.timeBucketAgg("ts", "10 minutes", Seq("event_type"),
+        Seq(round(avg(col("value")), 4).as("avg_value"),
+          count(lit(1)).as("n_events")))(t(s, d, "events"))
+        .withColumn("window_start",
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))),
+
+    "q_corr_pearson" -> ((s, d) =>
+      Aggregates.pearson(Seq("l_returnflag"), "l_quantity",
+        "l_extendedprice", 6)(t(s, d, "lineitem"))),
+
+    "q_spearman" -> ((s, d) =>
+      Aggregates.spearmanMinRank("l_quantity", "l_extendedprice", 6)(
+        t(s, d, "lineitem"))),
+
+    "q_rmse" -> ((s, d) =>
+      Aggregates.rmse(Seq("event_type"), "value", "pred", 4)(
+        t(s, d, "events").withColumn("pred",
+          get_json_object(col("props"), "$.k").cast("double")))),
+
+    // ---- §2.4 A7 deduplication ----
+    "q_dedup_exact" -> ((s, d) =>
+      Relational.dedupExact(Seq("user_id", "event_type"))(t(s, d, "events"))),
+
+    "q_dedup_keyed" -> ((s, d) =>
+      Relational.dedupKeyed(Seq("user_id"), Seq(col("ts"), col("event_id")))(
+        t(s, d, "events"))
+        .select(col("user_id"), col("event_id").as("first_event_id"),
+          col("value"))),
+
+    // ---- §2.3 joins ----
+    "q_join_region_revenue" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))),
+
+    "q_grid_fill" -> ((s, d) => {
+      val events = t(s, d, "events")
+      val days = events.select(to_date(col("ts")).as("day")).distinct()
+      val types = events.select(col("event_type")).distinct()
+      val agg = events.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      Relational.gridFill(days, types, agg, Seq("day", "event_type"),
+        Map("n_events" -> lit(0L)))
+    }),
+
+    "q_full_outer_coalesce" -> ((s, d) => {
+      val events = t(s, d, "events")
+      def side(tp: String, out: String) = events
+        .filter(col("event_type") === tp)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(avg(col("value")), 4).as(out))
+      Relational.fullOuterCoalesce(
+        side("click", "click_avg"), side("view", "view_avg"), Seq("day"),
+        Map("either_avg" -> ("click_avg", "view_avg")))
+    }),
+
+    // ---- §2.6 top-k / §2.7 union ----
+    "q_topk_customers" -> ((s, d) =>
+      Relational.topK(10, Seq(col("revenue").desc), Seq(col("o_custkey")))(
+        t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(round(sum(col("o_totalprice")), 2).as("revenue")))),
+
+    "q_union" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      Relational.unionAll(Seq(
+        o.filter(col("o_orderstatus") === "O"),
+        o.filter(col("o_orderstatus") === "F")))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+    }),
+
+    // ---- §2.5 window functions ----
+    "q_window_lead" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      t(s, d, "events").select(col("user_id"), col("event_id"), col("value"),
+        lead(col("value"), 1).over(w).as("next_value"))
+    }),
+
+    "q_interpolate" -> ((s, d) =>
+      // W2: nulls injected on 'error' events, linearly interpolated per
+      // user over event_id order. Rows-only check (window-composite op;
+      // see InterpolateSpec for the unit oracle).
+      Relational.interpolateLinear(Seq("user_id"), "event_id", "value")(
+        t(s, d, "events").withColumn("value",
+          when(col("event_type") === "error", lit(null)).otherwise(col("value"))))
+        .select(col("user_id"), col("event_id"),
+          round(col("value"), 4).as("value_interp"))),
+
+    // ---- §2.8 explode / text ----
+    "q_word_count" -> ((s, d) =>
+      Relational.topK(20, Seq(col("n").desc), Seq(col("word")))(
+        t(s, d, "documents")
+          .select(explode(Text.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("n")))),
+
+    // ---- llm/: dedup family ----
+    "q_doc_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.fingerprint(col("text")).as("fingerprint"))),
+
+    "q_dedup_docs" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
+
+    "q_minhash_clusters" -> ((s, d) =>
+      Dedup.minhashClusters(t(s, d, "documents"), "doc_id", "text")),
+
+    "q_simhash" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))),
+
+    "q_ngram_jaccard_top" -> ((s, d) =>
+      Relational.topK(10, Seq(col("jaccard").desc),
+        Seq(col("id_a"), col("id_b")))(
+        Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3))),
+
+    // ---- llm/: text analysis ----
+    "q_token_stats" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_raw"))),
+
+    "q_quality_score" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        round(Text.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(Text.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(Text.meanTokenLen(col("text")), 6).as("mean_token_len"),
+        Text.qualityScore(col("text")).as("quality"))),
+
+    "q_lang_id" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.languageId(col("text")).as("lang_pred"))),
+
+    // ---- llm/: similarity search ----
+    "q_ann_cosine" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceKnn(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", 5)
+    }),
+
+    "q_knn_label_agreement" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.knnLabelAgreement(emb.filter(col("vec_id") < 50), emb,
+        "vec_id", "embedding", "label", 5)
+    }),
+
+    "q_lsh_knn" -> ((s, d) => {
+      // Rows-only: LSH recall path (bucket join, not full scan).
+      val emb = t(s, d, "embeddings")
+      Similarity.lshKnn(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", 5, nBits = 4)
+    })
+  )
+
+  /** DuckDB-runnable oracle per query (driver compares on sf0.01).
+    * Regex note: Spark regexp_replace is global by default; DuckDB needs
+    * the explicit 'g' flag — every oracle below passes it. */
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-07-01' AND l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 45""",
+
+    "q_sentinel_repair" ->
+      """SELECT event_id,
+                CASE WHEN value < 1.0 THEN CAST(json_extract_string(props, '$.k') AS DOUBLE) ELSE value END AS value_repaired
+         FROM events""",
+
+    "q_null_profile" ->
+      """SELECT count(*) - count(o_orderkey) AS o_orderkey,
+                count(*) - count(o_custkey) AS o_custkey,
+                count(*) - count(o_orderstatus) AS o_orderstatus,
+                count(*) - count(o_totalprice) AS o_totalprice,
+                count(*) - count(o_orderdate) AS o_orderdate,
+                count(*) - count(o_orderpriority) AS o_orderpriority
+         FROM orders""",
+
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base_price,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+                round(avg(l_quantity), 4) AS avg_qty,
+                round(avg(l_extendedprice), 4) AS avg_price,
+                count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+
+    "q_stats_profile" ->
+      """SELECT l_returnflag,
+                round(min(l_quantity), 2) AS min_l_quantity,
+                round(max(l_quantity), 2) AS max_l_quantity,
+                round(avg(l_quantity), 2) AS avg_l_quantity,
+                round(stddev_samp(l_quantity), 2) AS std_l_quantity,
+                round(min(l_extendedprice), 2) AS min_l_extendedprice,
+                round(max(l_extendedprice), 2) AS max_l_extendedprice,
+                round(avg(l_extendedprice), 2) AS avg_l_extendedprice,
+                round(stddev_samp(l_extendedprice), 2) AS std_l_extendedprice
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_month_agg" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                count(*) AS n_orders,
+                round(sum(o_totalprice), 2) AS revenue
+         FROM orders GROUP BY 1""",
+
+    "q_time_bucket" ->
+      """SELECT event_type,
+                round(avg(value), 4) AS avg_value,
+                count(*) AS n_events,
+                strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start
+         FROM events GROUP BY 1, 4""",
+
+    "q_corr_pearson" ->
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_spearman" ->
+      """SELECT round(corr(rx, ry), 6) AS spearman FROM (
+           SELECT CAST(rank() OVER (ORDER BY l_quantity) AS DOUBLE) AS rx,
+                  CAST(rank() OVER (ORDER BY l_extendedprice) AS DOUBLE) AS ry
+           FROM lineitem)""",
+
+    "q_rmse" ->
+      """SELECT event_type,
+                round(sqrt(avg(pow(value - CAST(json_extract_string(props, '$.k') AS DOUBLE), 2))), 4) AS rmse
+         FROM events GROUP BY event_type""",
+
+    "q_dedup_exact" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q_dedup_keyed" ->
+      """SELECT user_id, event_id AS first_event_id, value FROM (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events) WHERE rn = 1""",
+
+    "q_join_region_revenue" ->
+      """SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+
+    "q_grid_fill" ->
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+            types AS (SELECT DISTINCT event_type FROM events),
+            agg AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events
+                    FROM events GROUP BY 1, 2)
+         SELECT d.day, t.event_type, coalesce(a.n_events, 0) AS n_events
+         FROM days d CROSS JOIN types t
+         LEFT JOIN agg a ON a.day = d.day AND a.event_type = t.event_type""",
+
+    "q_full_outer_coalesce" ->
+      """WITH c AS (SELECT CAST(ts AS DATE) AS day, round(avg(value), 4) AS click_avg
+                    FROM events WHERE event_type = 'click' GROUP BY 1),
+            v AS (SELECT CAST(ts AS DATE) AS day, round(avg(value), 4) AS view_avg
+                  FROM events WHERE event_type = 'view' GROUP BY 1)
+         SELECT coalesce(c.day, v.day) AS day, c.click_avg, v.view_avg,
+                coalesce(c.click_avg, v.view_avg) AS either_avg
+         FROM c FULL OUTER JOIN v ON c.day = v.day""",
+
+    "q_topk_customers" ->
+      """SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+         FROM orders GROUP BY o_custkey
+         ORDER BY revenue DESC, o_custkey LIMIT 10""",
+
+    "q_union" ->
+      """SELECT o_orderstatus, count(*) AS n FROM (
+           SELECT * FROM orders WHERE o_orderstatus = 'O'
+           UNION ALL
+           SELECT * FROM orders WHERE o_orderstatus = 'F')
+         GROUP BY o_orderstatus""",
+
+    "q_window_lead" ->
+      """SELECT user_id, event_id, value,
+                lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+         FROM events""",
+
+    "q_word_count" ->
+      """SELECT word, count(*) AS n FROM (
+           SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS word
+           FROM documents)
+         GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+         FROM documents""",
+
+    "q_dedup_docs" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+                min(doc_id) AS canonical_id, count(*) AS dup_count
+         FROM documents GROUP BY 1""",
+
+    "q_ngram_jaccard_top" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+           FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+         counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+         FROM inter
+         JOIN counts ca ON ca.doc_id = id_a
+         JOIN counts cb ON cb.doc_id = id_b
+         ORDER BY jaccard DESC, id_a, id_b LIMIT 10""",
+
+    "q_token_stats" ->
+      """SELECT doc_id,
+                CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+                     ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_tokens,
+                length(text) AS n_chars_raw
+         FROM documents""",
+
+    "q_quality_score" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks,
+                  regexp_replace(text, '\s+', '', 'g') AS body,
+                  trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter(toks, w -> w IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','that','this'))) AS DOUBLE) / len(toks) END AS stopword_ratio,
+                  CASE WHEN length(body) = 0 THEN 0.0
+                       ELSE CAST(length(regexp_replace(body, '[\p{L}\p{N}]', '', 'g')) AS DOUBLE) / length(body) END AS punct_ratio,
+                  CASE WHEN length(norm) = 0 THEN 0.0
+                       ELSE CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(toks) END AS mean_token_len,
+                  CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END AS n_tokens
+           FROM base)
+         SELECT doc_id,
+                round(stopword_ratio, 6) AS stopword_ratio,
+                round(punct_ratio, 6) AS punct_ratio,
+                round(mean_token_len, 6) AS mean_token_len,
+                round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                      + 0.5 * least(stopword_ratio * 4.0, 1.0)
+                      - 0.25 * least(punct_ratio * 2.0, 1.0), 6) AS quality
+         FROM m""",
+
+    "q_lang_id" ->
+      """WITH s AS (
+           SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sc AS (
+           SELECT doc_id,
+                  len(list_filter(toks, w -> w IN ('the','and','of','is','a'))) AS s_en,
+                  len(list_filter(toks, w -> w IN ('el','la','de','que','y'))) AS s_es,
+                  len(list_filter(toks, w -> w IN ('le','la','et','les','des'))) AS s_fr,
+                  len(list_filter(toks, w -> w IN ('der','die','und','das','ist'))) AS s_de
+           FROM s)
+         SELECT doc_id,
+                CASE WHEN s_en = greatest(s_en, s_es, s_fr, s_de) AND s_en > 0 THEN 'en'
+                     WHEN s_es = greatest(s_en, s_es, s_fr, s_de) AND s_es > 0 THEN 'es'
+                     WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) AND s_fr > 0 THEN 'fr'
+                     WHEN s_de = greatest(s_en, s_es, s_fr, s_de) AND s_de > 0 THEN 'de'
+                     ELSE 'und' END AS lang_pred
+         FROM sc""",
+
+    "q_ann_cosine" ->
+      """SELECT query_id, neighbor_id, rank FROM (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+           FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           WHERE q.vec_id < 10)
+         WHERE rank <= 5""",
+
+    "q_knn_label_agreement" ->
+      """WITH knn AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+             FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+             WHERE q.vec_id < 50)
+           WHERE rank <= 5)
+         SELECT query_id,
+                CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+         FROM knn
+         JOIN embeddings ql ON ql.vec_id = knn.query_id
+         JOIN embeddings nl ON nl.vec_id = knn.neighbor_id
+         GROUP BY query_id"""
+  )
 }

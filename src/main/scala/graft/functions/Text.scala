@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data-pipeline surface
+  * (SURVEY.md §7.1 `llm/`): tokenization, fingerprinting, quality scoring,
+  * language ID. Everything is built from codegen'd Catalyst built-ins —
+  * no UDFs — so these stay inside whole-stage codegen at 100 TB.
+  */
+object Text {
+
+  /** Whitespace-collapse normalization: trim + any run of whitespace → one
+    * space. Shared by fingerprinting and tokenization so both agree.
+    */
+  def normWs(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(text: Column): Column =
+    split(normWs(text), " ")
+
+  /** Token count (0 for empty/blank text). */
+  def tokenCount(text: Column): Column =
+    when(length(normWs(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+
+  /** A BPE-ish sub-word segmentation: split on whitespace AND on
+    * letter/digit/punctuation boundaries (approximates byte-pair merge
+    * boundaries well enough for cost estimation). */
+  def subwordTokens(text: Column): Column =
+    filter(
+      split(regexp_replace(lower(text),
+        "(\\d+|[^\\s\\p{L}\\p{N}])", " $1 "), "\\s+"),
+      t => length(t) > 0)
+
+  /** Document fingerprint: md5 of the lower-cased, whitespace-normalized
+    * text. The canonical exact-dedup key for the `documents` table. */
+  def fingerprint(text: Column): Column =
+    md5(lower(normWs(text)))
+
+  /** Word n-gram shingles of the normalized, lower-cased text (n-gram
+    * Jaccard / MinHash input). Uses a length-(n) sliding window over the
+    * token array via transform+slice — pure codegen, no explode needed
+    * until the caller decides to. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(lower(normWs(text)), " ")
+    array_distinct(
+      filter(
+        transform(toks, (_, i) => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+        s => size(split(s, " ")) === n))
+  }
+
+  // --- quality scoring (length / punctuation / stopword ratios) ---
+
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "that", "this")
+
+  /** Fraction of tokens that are stopwords (0 when no tokens). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Fraction of non-space characters that are not letters or digits. */
+  def punctRatio(text: Column): Column = {
+    val body = regexp_replace(text, "\\s+", "")
+    when(length(body) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(body, "[\\p{L}\\p{N}]", "")).cast("double") /
+        length(body).cast("double"))
+  }
+
+  /** Mean token length in characters (0 when no tokens). */
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(
+      length(regexp_replace(normWs(text), " ", "")).cast("double") /
+        n.cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: rewards mid-range length, some
+    * stopwords, little punctuation. Deterministic, oracle-expressible. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val stopScore = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    val punctPenalty = least(punctRatio(text) * lit(2.0), lit(1.0))
+    round(lit(0.5) * lenScore + lit(0.5) * stopScore
+      - lit(0.25) * punctPenalty, 6)
+  }
+
+  // --- language ID (marker-word heuristic) ---
+
+  /** Marker stopwords per language for the n-gram-free heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  private def markerHits(text: Column, markers: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+  }
+
+  /** Predicted language: argmax of marker-word hit counts, first-listed
+    * language wins ties, "und" (undetermined) when all scores are zero.
+    * Deterministic and expressible as a CASE chain for the oracle. */
+  def languageId(text: Column): Column = {
+    val scores = langMarkers.map { case (lang, ms) => lang -> markerHits(text, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), els) =>
+      when(s === best && s > 0, lit(lang)).otherwise(els)
+    }
+  }
+}

@@ -1,0 +1,129 @@
+package graft.llm
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication (SURVEY.md §7.1 `llm/` extension;
+  * north-star training-data-pipeline surface). Four families:
+  *
+  *  - exact: md5 fingerprint hash-groupBy (one shuffle on the 16-byte key)
+  *  - MinHash + LSH banding: shingle → k minhashes → b bands → bucket join
+  *  - SimHash: 64-bit per-bit-majority signature, hamming buckets
+  *  - n-gram Jaccard: exact pairwise similarity over shared-shingle pairs
+  *
+  * Scale design: every method is shuffle-bounded by (doc_id, small key) —
+  * never by text payload; candidate generation always goes through a
+  * bucket equi-join (no cross join); exact Jaccard runs only on LSH/shared
+  * -shingle candidates.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical normalized texts, keep min doc id as
+    * canonical, report group size. 100 TB note: the shuffle carries only
+    * (fingerprint, doc_id) pairs after map-side partial aggregation. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), Text.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("dup_count"))
+
+  /** k deterministic 64-bit hash slots for a shingle array: slot i is
+    * min over shingles of xxhash64(shingle, "#i"). Pure codegen. */
+  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
+    val sh = Text.shingles(text, shingleN)
+    array((0 until k).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }: _*)
+  }
+
+  /** MinHash-LSH candidate pairs: signature → b bands of r hashes → hash
+    * each band → explode → self-join on (band, bandHash) → distinct id
+    * pairs (a<b). Exactly the banding construction of Broder/MMDS ch.3.
+    * One shuffle on band hash; bucket sizes bounded by banding, not data
+    * size. */
+  def lshCandidates(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleN, k).as("sig"))
+    val banded = sig.select(col("id"), posexplode(
+      array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+      }: _*)).as(Seq("band", "band_hash")))
+    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** MinHash near-dup clusters: candidates filtered by estimated Jaccard
+    * (fraction of equal minhash slots), then connected into clusters by
+    * min-id propagation (single-pass star contraction: each doc joins to
+    * the min id among its neighbors; adequate for near-dup groups, which
+    * are cliques in practice). Returns (id, cluster_id). */
+  def minhashClusters(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.7): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleN, k).as("sig"))
+    val cands = lshCandidates(df, idCol, textCol, shingleN, bands, rowsPerBand)
+    val est = cands
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _),
+          b => b)).cast("double") / lit(k.toDouble))
+      .filter(col("est_jaccard") >= minEstJaccard)
+    val edges = est.select(col("id_a"), col("id_b"))
+      .union(est.select(col("id_b"), col("id_a")))
+    val neighborMin = edges.groupBy(col("id_a").as("id"))
+      .agg(min(col("id_b")).as("min_neighbor"))
+    df.select(col(idCol).as("id"))
+      .join(neighborMin, Seq("id"), "left")
+      .select(col("id"),
+        least(col("id"), coalesce(col("min_neighbor"), col("id")))
+          .as("cluster_id"))
+  }
+
+  /** 64-bit SimHash of the token stream: bit j of the signature is the
+    * majority vote of bit j across xxhash64(token) of all tokens.
+    * Implemented as 64 aggregate lambdas over the token array — heavy
+    * expression but single-pass, no shuffle, no UDF. */
+  def simhash(text: Column): Column = {
+    val hashes = transform(Text.tokens(lower(text)), t => xxhash64(t))
+    val n = size(hashes)
+    (0 until 64).map { j =>
+      val ones = aggregate(hashes, lit(0),
+        (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L)).cast("int"))
+      when(ones * 2 >= n, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle:
+    * explode distinct shingles → self-join on shingle → count
+    * intersections → join per-doc shingle counts → |A∩B| / (|A|+|B|-|A∩B|).
+    * The shared-shingle join IS the candidate filter (no cross join).
+    * For 100 TB use [[lshCandidates]] first and run this only on survivors.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(Text.shingles(col(textCol), shingleN)).as("shingle"))
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.select(col("shingle"), col("id").as("id_a"))
+      .join(sh.select(col("shingle"), col("id").as("id_b")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col("id").as("id_a"), col("n_shingles").as("n_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n_shingles").as("n_b")), "id_b")
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators from SURVEY.md §2.4 (A1–A11) and §2.5. All are
+  * plain hash aggregates — Catalyst plans partial (map-side) + final
+  * stages automatically, so shuffle volume is group keys × partial states,
+  * not raw rows. No driver-side collect anywhere (the reference's
+  * `load_to_gold_layer.py:76-96` collect-and-insert loop is deliberately
+  * NOT reproduced).
+  */
+object Aggregates {
+
+  /** A3 — descriptive-stats block: per-group min/max/avg/stddev of a set
+    * of metrics, rounded. Reference: `EDA_silver.ipynb:566-586` (cell 18).
+    * One aggregate pass for all metrics (the reference loops per metric).
+    */
+  def statsProfile(groupBy: Seq[String], metrics: Seq[String], scale: Int = 2)(
+      df: DataFrame): DataFrame = {
+    val aggs = metrics.flatMap { m =>
+      Seq(
+        round(min(col(m)), scale).as(s"min_$m"),
+        round(max(col(m)), scale).as(s"max_$m"),
+        round(avg(col(m)), scale).as(s"avg_$m"),
+        round(stddev_samp(col(m)), scale).as(s"std_$m"))
+    }
+    df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A8/A9 — event-time tumbling-window aggregate (batch form; the
+    * streaming form in [[graft.streaming.StreamOps]] is the same plan plus
+    * a watermark). Reference: `NEW_train_offset_3_10min.py:124-136`
+    * (10-min windows), `stream_eda.ipynb:300` (5-s pandas resample).
+    * Emits `window_start` (timestamp) as the bucket key.
+    */
+  def timeBucketAgg(ts: String, duration: String, keys: Seq[String],
+      aggs: Seq[Column])(df: DataFrame): DataFrame =
+    df.groupBy(window(col(ts), duration) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .drop("window")
+
+  /** A5 — Pearson correlation aggregate (optionally grouped).
+    * Reference: `joined_streams.py:103-110` (`corr(bp_price, eth_ask)` over
+    * per-minute means).
+    */
+  def pearson(groupBy: Seq[String], x: String, y: String, scale: Int = 6)(
+      df: DataFrame): DataFrame = {
+    val c = round(corr(col(x), col(y)), scale).as("corr")
+    if (groupBy.isEmpty) df.agg(c)
+    else df.groupBy(groupBy.map(col): _*).agg(c)
+  }
+
+  /** A6 — Spearman rank correlation, min-rank variant: rank each variable
+    * globally, then Pearson over the ranks. Reference (pandas):
+    * `Deliverable_4/app_2 NEW with joined.py:315,372`
+    * (`corr(method='spearman')`). pandas uses average ranks for ties; we
+    * use `rank()` (min rank) so the result is exactly reproducible in any
+    * ANSI engine — divergence documented here.
+    *
+    * Scale note: global rank = global sort. For 100 TB inputs prefer the
+    * grouped form (rank within partitions) or pre-aggregate; this operator
+    * is meant for the reference's dashboard-sized metric frames.
+    */
+  def spearmanMinRank(x: String, y: String, scale: Int = 6)(df: DataFrame): DataFrame = {
+    val rx = rank().over(Window.orderBy(col(x))).cast("double")
+    val ry = rank().over(Window.orderBy(col(y))).cast("double")
+    df.select(rx.as("rx"), ry.as("ry"))
+      .agg(round(corr(col("rx"), col("ry")), scale).as("spearman"))
+  }
+
+  /** A11 — RMSE between a prediction and a label column, grouped.
+    * Reference: `app_2 NEW with joined.py:235-236`
+    * (`sqrt(mean((pred-label)**2))`).
+    */
+  def rmse(groupBy: Seq[String], pred: String, label: String, scale: Int = 4)(
+      df: DataFrame): DataFrame = {
+    val e = round(sqrt(avg(pow(col(pred) - col(label), lit(2)))), scale).as("rmse")
+    if (groupBy.isEmpty) df.agg(e)
+    else df.groupBy(groupBy.map(col): _*).agg(e)
+  }
+}

@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Projection / filter / dedup / set operators from SURVEY.md §2.2, §2.4
+  * (A7), §2.6, §2.7. Each is a small `DataFrame => DataFrame` combinator so
+  * Catalyst sees one declarative plan end-to-end (pushdown + pruning stay
+  * free; nothing here materializes or collects).
+  */
+object Relational {
+
+  /** A7 — exact deduplication on a projected key set.
+    * Reference: `Deliverable_3/load_to_silver_layer.py:45,121`
+    * (`dropDuplicates`). We expose the deterministic `distinct` form for
+    * oracle-comparable results; `dropDuplicates` keeps an arbitrary winner.
+    * Scale note: distinct on (k1..kn) is a hash aggregate with map-side
+    * partial dedup — shuffle volume is already-deduped keys, not raw rows.
+    */
+  def dedupExact(cols: Seq[String])(df: DataFrame): DataFrame =
+    df.select(cols.map(col): _*).distinct()
+
+  /** A7 (keyed, deterministic winner) — keep exactly one row per key,
+    * choosing the minimum by `order` (vs the reference's nondeterministic
+    * first-wins `dropDuplicates`). row_number + filter = single shuffle on
+    * the key; at 100 TB prefer this over `groupBy(keys).agg(min_by(...))`
+    * when you need the *whole* winning row.
+    */
+  def dedupKeyed(keys: Seq[String], order: Seq[Column])(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** P7 — sentinel repair: conditional projection replacing a sentinel
+    * value with a fallback expression.
+    * Reference: `Deliverable_3/NEW_train_offset_3_10min_ETH.py:113-115`
+    * (`when(price == -1, (bid+ask)/2).otherwise(price)`).
+    */
+  def repairSentinel(target: String, isSentinel: Column, fallback: Column)(
+      df: DataFrame): DataFrame =
+    df.withColumn(target, when(isSentinel, fallback).otherwise(col(target)))
+
+  /** P8 — null-count profile: one row, one column per input column holding
+    * `count(*) - count(col)`.
+    * Reference: `Deliverable_3/NOTEBOOKS/EDA_silver.ipynb` cell 8
+    * (per-column `count(col(c)) - df.count()`); the reference runs one job
+    * per column — we compute all columns in a single aggregate pass.
+    */
+  def nullProfile(df: DataFrame): DataFrame = {
+    val aggs = df.columns.map(c => (count(lit(1)) - count(col(c))).as(c))
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** U1 — n-way union by name (the reference unions by position:
+    * `load_to_silver_layer.py:120`; by-name is the safe generalization).
+    */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_ unionByName _)
+
+  /** O1/O2 — deterministic top-k: order by `measures` then `tieBreak`
+    * (a unique key) so the k-set is stable. Reference:
+    * `EDA_silver.ipynb` cell 9 (`orderBy(count desc).head(10)`).
+    * Scale note: Spark plans orderBy+limit as TakeOrderedAndProject —
+    * per-partition top-k then a k-row merge on the driver, no full sort.
+    */
+  def topK(k: Int, measures: Seq[Column], tieBreak: Seq[Column])(
+      df: DataFrame): DataFrame =
+    df.orderBy(measures ++ tieBreak: _*).limit(k)
+
+  /** J5 + J3 — dimension-grid gap fill: cross product of the distinct
+    * values of two dimension frames, left-joined with the fact aggregate,
+    * missing measures coalesced to a default.
+    * Reference: `Deliverable_3/NOTEBOOKS/stream_eda.ipynb:758-769`
+    * (`MultiIndex.from_product` + left `merge`).
+    * Scale note: the grid is dims-only (tiny) — build it with a broadcast
+    * cross join, then ONE shuffle joins facts; never cross-join facts.
+    */
+  def gridFill(
+      dimA: DataFrame, dimB: DataFrame, agg: DataFrame,
+      keys: Seq[String], fills: Map[String, Column])(implicit d: DummyImplicit): DataFrame = {
+    val grid = broadcast(dimA).crossJoin(broadcast(dimB))
+    val joined = grid.join(agg, keys, "left")
+    fills.foldLeft(joined) { case (acc, (c, dflt)) =>
+      acc.withColumn(c, coalesce(col(c), dflt))
+    }
+  }
+
+  /** J4 — full-outer join + coalesce of the overlapping measure.
+    * Reference: `stream_eda.ipynb:1617-1624` (outer merge) + `:1881`
+    * (bfill-as-coalesce).
+    */
+  def fullOuterCoalesce(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      coalesced: Map[String, (String, String)])(implicit d: DummyImplicit): DataFrame = {
+    val joined = left.join(right, keys, "full_outer")
+    coalesced.foldLeft(joined) { case (acc, (out, (a, b))) =>
+      acc.withColumn(out, coalesce(col(a), col(b)))
+    }
+  }
+
+  /** W2 — per-key linear interpolation of nulls over an ordered numeric
+    * axis. Reference: `stream_eda.ipynb:769,1394`
+    * (`groupby('symbol').apply(interpolate)` in pandas).
+    *
+    * Composite of four window scans (prev/next value and axis position),
+    * then a linear blend — stays entirely in whole-stage codegen, one
+    * shuffle on the partition key. Rows outside any bracket (leading /
+    * trailing nulls) keep null, matching pandas `interpolate()` default
+    * (which forward-fills trailing but not leading; we keep BOTH null and
+    * document the divergence — trailing extrapolation is rarely wanted).
+    */
+  def interpolateLinear(partitionBy: Seq[String], orderBy: String, value: String)(
+      df: DataFrame): DataFrame = {
+    val pk = partitionBy.map(col)
+    val asc = Window.partitionBy(pk: _*).orderBy(col(orderBy))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val desc = Window.partitionBy(pk: _*).orderBy(col(orderBy).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val v = col(value)
+    val x = col(orderBy).cast("double")
+    val prevV = last(when(v.isNotNull, v), ignoreNulls = true).over(asc)
+    val prevX = last(when(v.isNotNull, x), ignoreNulls = true).over(asc)
+    val nextV = last(when(v.isNotNull, v), ignoreNulls = true).over(desc)
+    val nextX = last(when(v.isNotNull, x), ignoreNulls = true).over(desc)
+    df.withColumn("__pv", prevV).withColumn("__px", prevX)
+      .withColumn("__nv", nextV).withColumn("__nx", nextX)
+      .withColumn(value,
+        when(v.isNotNull, v)
+          .when(col("__pv").isNotNull && col("__nv").isNotNull,
+            when(col("__nx") === col("__px"), col("__pv")).otherwise(
+              col("__pv") + (col("__nv") - col("__pv")) *
+                (x - col("__px")) / (col("__nx") - col("__px"))))
+          .otherwise(lit(null)))
+      .drop("__pv", "__px", "__nv", "__nx")
+  }
+}
