@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The three streaming query shapes of SURVEY.md §3.1/§3.3, written as
+  * plan combinators that work unchanged on batch and streaming frames —
+  * the batch run IS the oracle for the streaming run (tested in
+  * StreamingSpec).
+  *
+  * Scale design: every shape is keyed by (window, symbol) — state and
+  * shuffle are bounded by watermark horizon × symbol cardinality, never
+  * by input volume. Stream-stream join state is cleaned by the watermark
+  * on BOTH sides (T1).
+  */
+object StreamOps {
+
+  /** A9/T1/T2 — event-time tumbling-window feature averages: the
+    * training-set builder. Watermark 20 min, window 10 min.
+    * Reference: `NEW_train_offset_3_10min.py:124-136`.
+    * Emits window_start/window_end + avg_<feature> columns + label
+    * (window-avg price). */
+  def windowedFeatureAvg(
+      features: Seq[String] = Ticks.featureColumns,
+      windowDur: String = "10 minutes",
+      watermark: String = "20 minutes",
+      streaming: Boolean = true)(df: DataFrame): DataFrame = {
+    val base = if (streaming) df.withWatermark("event_time", watermark) else df
+    val aggs = features.map(f => avg(col(f)).as(s"avg_$f")) :+
+      avg(col("label")).as("label")
+    base
+      .groupBy(window(col("event_time"), windowDur), col("symbol"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("symbol")) ++
+        features.map(f => col(s"avg_$f")) :+ col("label"): _*)
+  }
+
+  /** J1 — stream-stream inner equi-join on tumbling 1-minute window
+    * buckets, both sides watermarked 10 min (within-minute cross
+    * product). Reference: `joined_streams.py:58-92`.
+    *
+    * We join on the native `window()` struct equality — Spark recognizes
+    * it for state cleanup (the reference joined on manually-derived
+    * bucket columns, which works but obscures the window semantics). */
+  def bucketJoin(
+      left: DataFrame, leftVal: String,
+      right: DataFrame, rightVal: String,
+      bucket: String = "1 minute",
+      watermark: String = "10 minutes",
+      streaming: Boolean = true): DataFrame = {
+    // Each side projects ONLY (bucket, value): carrying the raw
+    // event_time through alongside the windowed bucket would leave two
+    // watermarked event-time columns in one stream — rejected by Spark.
+    def side(df: DataFrame, v: String, tag: String) = {
+      val wm = if (streaming) df.withWatermark("event_time", watermark) else df
+      wm.select(window(col("event_time"), bucket).as("time_bucket"),
+        col(v).as(s"${tag}_$v"))
+    }
+    val l = side(left, leftVal, "l")
+    val r = side(right, rightVal, "r")
+    l.join(r, "time_bucket")
+  }
+
+  /** §3.3 per-batch correlation: minute-mean both sides, then Pearson
+    * corr of the means plus global min/max/avg scalars — computed in ONE
+    * aggregate pass over the joined frame (the reference runs four
+    * separate jobs + collect()s per 5-min batch:
+    * `joined_streams.py:103-123`). Returns a 1-row frame. */
+  def bucketCorrSummary(joined: DataFrame, lv: String, rv: String): DataFrame = {
+    val minuteMeans = joined
+      .groupBy("time_bucket")
+      .agg(avg(col(s"l_$lv")).as("avg_l"), avg(col(s"r_$rv")).as("avg_r"))
+    minuteMeans.agg(
+      corr(col("avg_l"), col("avg_r")).as("correlation"),
+      min(col("time_bucket.start")).as("first_bucket"),
+      max(col("time_bucket.end")).as("last_bucket"),
+      avg(col("avg_l")).as("mean_l"),
+      avg(col("avg_r")).as("mean_r"),
+      count(lit(1)).as("n_buckets"))
+  }
+
+  /** T7 — retro label back-fill: given served prediction rows and the
+    * just-closed window aggregate, overwrite `label` for rows whose
+    * event_time falls inside the window with the window-average price.
+    * Reference: `NEW_train_offset_3_10min.py:285-332` (which re-reads the
+    * WHOLE serving table per window; here the caller passes a key-range
+    * slice — at scale the store is partitioned by (symbol, date) so this
+    * is a partition-pruned read, not a full scan). */
+  def backfillLabels(served: DataFrame, windowAvg: DataFrame): DataFrame = {
+    val w = broadcast(windowAvg.select(
+      col("symbol").as("w_symbol"), col("window_start"), col("window_end"),
+      col("label").as("window_label")))
+    served.join(w,
+        col("symbol") === col("w_symbol") &&
+          col("event_time") >= col("window_start") &&
+          col("event_time") < col("window_end"),
+        "left")
+      .withColumn("label", coalesce(col("window_label"), col("label")))
+      .drop("w_symbol", "window_start", "window_end", "window_label")
+  }
+}

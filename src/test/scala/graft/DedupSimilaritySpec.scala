@@ -1,0 +1,87 @@
+package graft
+
+import graft.llm.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"), // near dup of 0
+    (3L, "completely different content about spark query engines and shuffles here"),
+    (4L, "completely different content about spark query engines and shuffles here")) // exact dup of 3
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under the min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("canonical_id")
+      .select("canonical_id", "dup_count").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 2L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("lshCandidates surfaces exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.lshCandidates(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((3L, 4L)))
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(0L, 3L) })
+  }
+
+  test("minhashClusters groups dup families under the min id") {
+    val out = Dedup.minhashClusters(docs, "doc_id", "text")
+      .orderBy("id").as[(Long, Long)].collect()
+    val byId = out.toMap
+    assert(byId(0L) == 0L && byId(1L) == 0L && byId(4L) == 3L)
+    assert(byId(3L) == 3L)
+    assert(byId(2L) == 0L) // near-dup joins cluster 0
+  }
+
+  test("ngramJaccardPairs: exact dup has jaccard 1.0, near dup is high") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out((0L, 1L)) == 1.0)
+    assert(out((3L, 4L)) == 1.0)
+    assert(out((0L, 2L)) > 0.5 && out((0L, 2L)) < 1.0)
+    assert(!out.contains((0L, 3L)))
+  }
+
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+    (1L, Seq(0.9f, 0.1f, 0.0f), 0),
+    (2L, Seq(0.8f, 0.2f, 0.0f), 0),
+    (3L, Seq(0.0f, 1.0f, 0.0f), 1),
+    (4L, Seq(0.0f, 0.9f, 0.1f), 1),
+    (5L, Seq(0.0f, 0.0f, 1.0f), 2))
+    .toDF("vec_id", "embedding", "label")
+
+  test("bruteForceKnn returns nearest neighbors in similarity order") {
+    val out = Similarity.bruteForceKnn(
+      vecs.filter(col("vec_id") === 0L), vecs, "vec_id", "embedding", 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("lshKnn finds the same top neighbor as brute force for tight clusters") {
+    val brute = Similarity.bruteForceKnn(
+      vecs.filter(col("vec_id") === 0L), vecs, "vec_id", "embedding", 1)
+      .select("neighbor_id").as[Long].collect().head
+    val lsh = Similarity.lshKnn(
+      vecs.filter(col("vec_id") === 0L), vecs, "vec_id", "embedding", 1,
+      nBits = 2, dim = 3)
+      .select("neighbor_id").as[Long].collect()
+    // LSH may prune, but anything it returns must be bucket-consistent;
+    // with 2 bits the tight cluster stays together.
+    assert(lsh.isEmpty || lsh.head == brute)
+  }
+
+  test("knnLabelAgreement scores cluster members by shared labels") {
+    val out = Similarity.knnLabelAgreement(
+      vecs.filter(col("vec_id") === 0L), vecs,
+      "vec_id", "embedding", "label", 2)
+      .as[(Long, Long)].collect().head
+    assert(out == ((0L, 2L)))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.{Aggregates, Relational}
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupKeyed keeps the minimum row per key by the given order") {
+    val df = Seq((1, 10, "b"), (1, 5, "a"), (2, 7, "c")).toDF("k", "v", "tag")
+    val out = Relational.dedupKeyed(Seq("k"), Seq(col("v")))(df)
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1, 5, "a"), (2, 7, "c")))
+  }
+
+  test("dedupExact is a distinct over the projection") {
+    val df = Seq((1, "a"), (1, "a"), (1, "b")).toDF("k", "t")
+    assert(Relational.dedupExact(Seq("k", "t"))(df).count() == 2)
+  }
+
+  test("nullProfile counts nulls per column in one row") {
+    val df = Seq((Some(1), Option.empty[String]), (None, Some("x")),
+      (Some(3), Some("y"))).toDF("a", "b")
+    val r = Relational.nullProfile(df).collect().head
+    assert(r.getLong(0) == 1 && r.getLong(1) == 1)
+  }
+
+  test("repairSentinel replaces only sentinel rows") {
+    val df = Seq((-1.0, 2.0, 4.0), (10.0, 2.0, 4.0)).toDF("price", "bid", "ask")
+    val out = Relational.repairSentinel("price", col("price") === -1.0,
+      (col("bid") + col("ask")) / 2)(df)
+      .select("price").as[Double].collect().sorted
+    assert(out.toSeq == Seq(3.0, 10.0))
+  }
+
+  test("interpolateLinear fills interior gaps linearly, leaves edges null") {
+    val df = Seq(
+      ("s", 0L, Some(10.0)), ("s", 1L, None), ("s", 2L, None),
+      ("s", 3L, Some(40.0)), ("s", 4L, None),
+      ("t", 0L, None), ("t", 1L, Some(5.0)))
+      .toDF("sym", "x", "v")
+    val out = Relational.interpolateLinear(Seq("sym"), "x", "v")(df)
+      .orderBy("sym", "x").select("v").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(Some(10.0), Some(20.0), Some(30.0), Some(40.0),
+      None, None, Some(5.0)))
+  }
+
+  test("gridFill produces the full dim cross product with defaults") {
+    val dimA = Seq("d1", "d2").toDF("day")
+    val dimB = Seq("x", "y").toDF("kind")
+    val agg = Seq(("d1", "x", 5L)).toDF("day", "kind", "n")
+    val out = Relational.gridFill(dimA, dimB, agg, Seq("day", "kind"),
+      Map("n" -> lit(0L)))
+    assert(out.count() == 4)
+    assert(out.agg(sum("n")).as[Long].collect().head == 5L)
+  }
+
+  test("fullOuterCoalesce keeps unmatched keys from both sides") {
+    val a = Seq(("d1", 1.0), ("d2", 2.0)).toDF("day", "x")
+    val b = Seq(("d2", 20.0), ("d3", 30.0)).toDF("day", "y")
+    val out = Relational.fullOuterCoalesce(a, b, Seq("day"),
+      Map("m" -> ("x", "y"))).orderBy("day")
+      .select("m").as[Double].collect()
+    assert(out.toSeq == Seq(1.0, 2.0, 30.0))
+  }
+
+  test("topK is deterministic under ties via tie-break columns") {
+    val df = Seq(("a", 5L), ("b", 5L), ("c", 5L)).toDF("k", "n")
+    val out = Relational.topK(2, Seq(col("n").desc), Seq(col("k")))(df)
+      .select("k").as[String].collect()
+    assert(out.toSeq == Seq("a", "b"))
+  }
+
+  test("statsProfile emits min/max/avg/std per metric") {
+    val df = Seq(("g", 1.0), ("g", 3.0)).toDF("k", "m")
+    val r = Aggregates.statsProfile(Seq("k"), Seq("m"), 2)(df).collect().head
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 3.0 &&
+      r.getDouble(3) == 2.0 && r.getDouble(4) == 1.41)
+  }
+
+  test("spearmanMinRank is 1.0 for a monotone relation") {
+    val df = (1 to 20).map(i => (i.toDouble, (i * i).toDouble)).toDF("x", "y")
+    val r = Aggregates.spearmanMinRank("x", "y")(df).as[Double].collect().head
+    assert(r == 1.0)
+  }
+
+  test("rmse matches a hand computation") {
+    val df = Seq((1.0, 2.0), (3.0, 5.0)).toDF("p", "l")
+    val r = Aggregates.rmse(Nil, "p", "l", 4)(df).as[Double].collect().head
+    // sqrt((1 + 4)/2) = 1.5811
+    assert(r == 1.5811)
+  }
+}

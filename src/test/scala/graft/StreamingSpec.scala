@@ -1,0 +1,150 @@
+package graft
+
+import graft.streaming.{ParquetKeyedStore, StreamOps, Ticks}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tick(sym: String, tsMs: Long, price: Double,
+      vol: Double = 100.0): Ticks.MarketTickTuple =
+    (sym, tsMs, "YLIFE_FEED", "MARKET_DATA", -1.0, -1.0, price, vol,
+      -1.0, -1.0, 0.4, 0.1, 50.0)
+
+  private val base = 1736081400000L // aligned ms epoch
+
+  private def ticksDf(rows: Seq[Ticks.MarketTickTuple]) =
+    rows.toDF("symbol", "timestamp", "source", "data_type", "bid", "ask",
+      "price", "volume", "spread_raw", "spread_table", "volatility",
+      "market_sentiment", "trading_activity")
+
+  test("parseTicks decodes kafka-shaped json values") {
+    val json = """{"symbol":"XOM","timestamp":1736081410598,"source":"YLIFE_FEED","data_type":"MARKET_DATA","bid":-1.0,"ask":-1.0,"price":64.3,"volume":5021535.0,"spread_raw":-1.0,"spread_table":-1.0,"volatility":0.402,"market_sentiment":-0.313,"trading_activity":60.21}"""
+    val raw = Seq(json).toDF("value")
+    val out = Ticks.parseTicks(raw).collect().head
+    assert(out.getAs[String]("symbol") == "XOM")
+    assert(out.getAs[Double]("price") == 64.3)
+    assert(out.getAs[Long]("timestamp") == 1736081410598L)
+  }
+
+  test("repairEthSentinels recovers price from bid/ask midpoint") {
+    val df = ticksDf(Seq(tick("ETHEREUM", base, -1.0)))
+      .withColumn("bid", lit(100.0)).withColumn("ask", lit(104.0))
+    val out = Ticks.repairEthSentinels(df).select("price").as[Double]
+      .collect().head
+    assert(out == 102.0)
+  }
+
+  test("windowedFeatureAvg batch == streaming (MemoryStream parity)") {
+    val rows = (0 until 60).map { i =>
+      tick("XOM", base + i * 30000L, 100.0 + i, vol = 1000.0 + i)
+    }
+    val batchIn = Ticks.modelInput("XOM")(ticksDf(rows))
+    val expected = StreamOps.windowedFeatureAvg(streaming = false)(batchIn)
+      .orderBy("window_start")
+      .collect().map(_.toSeq).toSeq
+
+    // avg() partial-state merge order differs between the batch and
+    // micro-batch runs — compare doubles with tolerance, not bit-equal.
+    def approxEq(a: Seq[Seq[Any]], b: Seq[Seq[Any]]): Boolean =
+      a.size == b.size && a.zip(b).forall { case (ra, rb) =>
+        ra.zip(rb).forall {
+          case (x: Double, y: Double) => math.abs(x - y) < 1e-9
+          case (x, y) => x == y
+        }
+      }
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ticks.MarketTickTuple]
+    mem.addData(rows)
+    val streamIn = Ticks.modelInput("XOM")(
+      mem.toDF().toDF("symbol", "timestamp", "source", "data_type", "bid",
+        "ask", "price", "volume", "spread_raw", "spread_table", "volatility",
+        "market_sentiment", "trading_activity"))
+    val q = StreamOps.windowedFeatureAvg()(streamIn)
+      .writeStream.format("memory").queryName("wfa_parity")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("wfa_parity").orderBy("window_start")
+        .collect().map(_.toSeq).toSeq
+      assert(approxEq(got, expected), s"$got vs $expected")
+    } finally q.stop()
+  }
+
+  test("bucketJoin batch == streaming inner join on 1-minute buckets") {
+    val left = (0 until 20).map(i => tick("BP", base + i * 15000L, 30.0 + i))
+    val right = (0 until 10).map(i => tick("ETHEREUM", base + i * 30000L, 3000.0 + i))
+    def prep(rows: Seq[Ticks.MarketTickTuple]) =
+      Ticks.withEventTime(ticksDf(rows))
+
+    val expected = StreamOps.bucketJoin(
+      prep(left), "price", prep(right), "price", streaming = false).count()
+
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[Ticks.MarketTickTuple]
+    val memR = MemoryStream[Ticks.MarketTickTuple]
+    memL.addData(left); memR.addData(right)
+    def prepStream(m: MemoryStream[Ticks.MarketTickTuple]) =
+      Ticks.withEventTime(m.toDF().toDF("symbol", "timestamp", "source",
+        "data_type", "bid", "ask", "price", "volume", "spread_raw",
+        "spread_table", "volatility", "market_sentiment", "trading_activity"))
+    val joined = StreamOps.bucketJoin(
+      prepStream(memL), "price", prepStream(memR), "price")
+    val q = joined.writeStream.format("memory").queryName("bj_parity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("bj_parity").count() == expected)
+    } finally q.stop()
+  }
+
+  test("bucketCorrSummary computes corr of minute means in one pass") {
+    // two perfectly correlated series across 5 buckets
+    val left = (0 until 5).flatMap(b => Seq(
+      tick("BP", base + b * 60000L, 10.0 + b),
+      tick("BP", base + b * 60000L + 1000L, 12.0 + b)))
+    val right = (0 until 5).map(b => tick("ETHEREUM", base + b * 60000L, 100.0 + 2 * b))
+    val joined = StreamOps.bucketJoin(
+      Ticks.withEventTime(ticksDf(left)), "price",
+      Ticks.withEventTime(ticksDf(right)), "price", streaming = false)
+    val r = StreamOps.bucketCorrSummary(joined, "price", "price").collect().head
+    assert(math.abs(r.getAs[Double]("correlation") - 1.0) < 1e-12)
+    assert(r.getAs[Long]("n_buckets") == 5L)
+  }
+
+  test("backfillLabels overwrites labels inside the window only") {
+    val served = Seq(
+      ("XOM", new java.sql.Timestamp(base + 60000L), 1.0),
+      ("XOM", new java.sql.Timestamp(base + 999 * 60000L), 2.0))
+      .toDF("symbol", "event_time", "label")
+    val windowAvg = Seq(
+      ("XOM", new java.sql.Timestamp(base), new java.sql.Timestamp(base + 600000L), 42.0))
+      .toDF("symbol", "window_start", "window_end", "label")
+    val out = StreamOps.backfillLabels(served, windowAvg)
+      .orderBy("event_time").select("label").as[Double].collect()
+    assert(out.toSeq == Seq(42.0, 2.0))
+  }
+
+  test("ParquetKeyedStore.upsert is last-writer-wins per key") {
+    val dir = tmpDir("store") + "/t"
+    val store = new ParquetKeyedStore(dir, Seq("symbol", "timestamp"), "version")
+    store.upsert(Seq(("XOM", 1L, 10.0, 1L), ("BP", 1L, 20.0, 1L))
+      .toDF("symbol", "timestamp", "price", "version"))
+    store.upsert(Seq(("XOM", 1L, 99.0, 2L), ("COP", 2L, 30.0, 2L))
+      .toDF("symbol", "timestamp", "price", "version"))
+    val out = store.read(spark).orderBy("symbol")
+      .select("symbol", "price").as[(String, Double)].collect()
+    assert(out.toSeq == Seq(("BP", 20.0), ("COP", 30.0), ("XOM", 99.0)))
+  }
+
+  test("csv fixture replays through the declared schema") {
+    val fixture = "/root/reference/Deliverable_3/kafka_messages.csv"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(fixture)))
+    val df = Ticks.readCsvFixture(spark, fixture)
+    assert(df.count() == 4440)
+    val repaired = Ticks.repairEthSentinels(df)
+    assert(repaired.filter(col("price") === -1.0).count() == 0)
+  }
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions.{Text, Vectors}
+import graft.llm.Dedup
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    Seq("x").toDF("dummy").select(c).collect().head.get(0).asInstanceOf[T]
+
+  test("tokenCount handles empty, blank and multi-space text") {
+    val df = Seq("", "   ", "a  b\tc", "one").toDF("t")
+    val out = df.select(Text.tokenCount(col("t"))).as[Int].collect()
+    assert(out.toSeq == Seq(0, 0, 3, 1))
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq(("A  b c", "a b C")).toDF("x", "y")
+    val r = df.select(
+      (Text.fingerprint(col("x")) === Text.fingerprint(col("y"))).as("eq"))
+      .as[Boolean].collect().head
+    assert(r)
+  }
+
+  test("shingles builds distinct word n-grams") {
+    val df = Seq("a b c d a b c d").toDF("t")
+    val out = df.select(Text.shingles(col("t"), 3)).as[Seq[String]]
+      .collect().head
+    assert(out.toSet == Set("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("stopword/punct ratios and quality are bounded and sane") {
+    val df = Seq("the cat sat on the mat!!!").toDF("t")
+    val r = df.select(
+      Text.stopwordRatio(col("t")).as("s"),
+      Text.punctRatio(col("t")).as("p"),
+      Text.qualityScore(col("t")).as("q")).collect().head
+    assert(r.getDouble(0) > 0.3 && r.getDouble(0) <= 0.5)
+    assert(r.getDouble(1) > 0.0 && r.getDouble(1) < 0.2)
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.0)
+  }
+
+  test("languageId picks the language with most marker hits, und when none") {
+    val df = Seq("the cat is on a mat", "el perro de la casa que ladra y",
+      "xyz qrs").toDF("t")
+    val out = df.select(Text.languageId(col("t"))).as[String].collect()
+    assert(out.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("subwordTokens splits punctuation and digit runs") {
+    val df = Seq("hello, world42!").toDF("t")
+    val out = df.select(Text.subwordTokens(col("t"))).as[Seq[String]]
+      .collect().head
+    assert(out == Seq("hello", ",", "world", "42", "!"))
+  }
+
+  test("simhash: identical texts collide, different texts differ") {
+    val df = Seq(("same text here", "same text here", "entirely other words"))
+      .toDF("a", "b", "c")
+    val r = df.select(Dedup.simhash(col("a")).as("ha"),
+      Dedup.simhash(col("b")).as("hb"), Dedup.simhash(col("c")).as("hc"))
+      .collect().head
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) != r.getLong(2))
+  }
+
+  test("cosine similarity of known vectors") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(2.0f, 0.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Vectors.cosine(col("a"), col("b")).as("ab"),
+      Vectors.cosine(col("a"), col("c")).as("ac")).collect().head
+    assert(math.abs(r.getDouble(0)) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("hyperplaneBucket: identical vectors share a bucket") {
+    val planes = graft.llm.Similarity.planes(8, 3)
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f),
+      Seq(-1.0f, -2.0f, -3.0f))).toDF("a", "b", "c")
+    val r = df.select(
+      Vectors.hyperplaneBucket(col("a"), planes).as("ba"),
+      Vectors.hyperplaneBucket(col("b"), planes).as("bb"),
+      Vectors.hyperplaneBucket(col("c"), planes).as("bc")).collect().head
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) != r.getLong(2))
+  }
+}
