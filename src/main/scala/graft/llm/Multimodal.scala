@@ -1,0 +1,96 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing for a training-data pipeline: media
+  * (image/audio/video) ride as opaque `binary` columns with typed
+  * metadata; decode / feature-extraction runs partition-batched.
+  *
+  * The decode kernels themselves are STUBS (no media libraries in this
+  * container — deterministic fakes clearly marked below); everything
+  * Spark-side is real and tested: schema, partitioning, batch shape,
+  * null/corrupt handling.
+  *
+  * Scale design: media bytes never enter a shuffle — decode happens in a
+  * narrow `mapPartitions` projection before any wide op; downstream
+  * stages carry only the small extracted features. Partition sizing is
+  * the caller's lever (`repartition(n)` upstream; at 100 TB size input
+  * splits so a partition's batch of decoded frames fits executor
+  * memory).
+  */
+object Multimodal {
+
+  /** Typed metadata accompanying every media payload. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media_type", StringType), // image | audio | video
+    StructField("payload", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media_type", StringType),
+    StructField("n_bytes", LongType),
+    StructField("decode_ok", BooleanType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** STUB decode kernel — deterministic fake standing in for a real
+    * image/audio decoder (no media libs in this container). Real
+    * implementation would decode `payload` and pool pixel/spectral
+    * features; the fake hashes byte windows so output is stable,
+    * shaped correctly (`dim` floats), and corrupt-input behavior
+    * (null/empty → decode_ok=false) is exercised for real. */
+  private[llm] def decodeStub(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+    if (payload == null || payload.isEmpty) None
+    else Some(Array.tabulate(dim) { i =>
+      var h = 1125899906842597L
+      var j = i % math.max(1, payload.length)
+      val step = math.max(1, payload.length / 16)
+      while (j < payload.length) {
+        h = 31 * h + payload(j)
+        j += step
+      }
+      ((h % 1000L).toFloat) / 1000.0f
+    })
+
+  /** Partition-batched decode+featurize: binary in, small feature row
+    * out. One pass, no shuffle, media bytes dropped immediately after
+    * decode. */
+  def extractFeatures(media: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(featureSchema)
+    media
+      .select("media_id", "media_type", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val tpe = r.getString(1)
+          val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          val nBytes = if (payload == null) 0L else payload.length.toLong
+          decodeStub(payload, dim) match {
+            case Some(f) => Row(id, tpe, nBytes, true, f.toSeq)
+            case None => Row(id, tpe, nBytes, false, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Video frame-sampling plumbing: emit one row per sampled frame
+    * index (every `everyMs` within duration) — the decode of each frame
+    * is the same stub. Shows the explode-then-decode shape without
+    * shuffling payloads: the payload column is carried into the explode
+    * but dropped in the same projection. */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
+    media
+      .filter(col("media_type") === "video" && col("duration_ms").isNotNull)
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)))
+          .as("frame_ms"))
+      .select(col("media_id"), col("frame_ms"),
+        length(col("payload")).cast("long").as("n_bytes"))
+}

@@ -1,0 +1,115 @@
+package graft
+
+import graft.etl.Medallion
+import graft.llm.Multimodal
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class EtlMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("newsToSilver dedups titles and formats the microsecond datetime") {
+    val bronze = Seq(
+      ("T1", "body", "2024-01-05", Seq("energy"), false, "wnp.pl"),
+      ("T1", "body dup", "2024-01-06", Seq("energy"), false, "wnp.pl"),
+      ("T2", "other", "2024-01-07", Seq("gas"), true, "beurs.nl"))
+      .toDF("title", "text", "date", "keywords", "is_premium", "source_site")
+    val out = Medallion.newsToSilver(bronze)
+    assert(out.count() == 2)
+    val dt = out.filter(col("title") === "T2").select("datetime")
+      .as[String].collect().head
+    assert(dt == "2024-01-07T00:00:00.000000")
+  }
+
+  test("quotesToSilver explodes per-symbol update arrays, unions, dedups") {
+    val upd = StructType(Seq(
+      StructField("price", DoubleType), StructField("volume", DoubleType),
+      StructField("volatility", DoubleType),
+      StructField("bid_ask_spread", DoubleType),
+      StructField("market_sentiment", DoubleType),
+      StructField("trading_activity", DoubleType),
+      StructField("timestamp", LongType), StructField("source", StringType)))
+    val schema = StructType(Seq(
+      StructField("timestamp", LongType),
+      StructField("updates_XOM", ArrayType(upd)),
+      StructField("updates_BP", ArrayType(upd))))
+    def u(p: Double, ts: Long) = Row(p, 1e6, 0.4, 0.1, 0.0, 50.0, ts, "YLIFE")
+    val bronze = spark.createDataFrame(
+      java.util.List.of(
+        Row(1000L, java.util.List.of(u(100.0, 1L), u(101.0, 2L)),
+          java.util.List.of(u(30.0, 1L))),
+        Row(2000L, java.util.List.of(u(100.0, 1L)), // dup of (1000? no: record_ts differs
+          java.util.List.of(u(31.0, 2L)))),
+      schema)
+    val out = Medallion.quotesToSilver(bronze, Seq("XOM", "BP"))
+    assert(out.count() == 5)
+    assert(out.filter(col("company") === "XOM").count() == 3)
+    assert(out.columns.toSet.contains("update_timestamp"))
+  }
+
+  test("gold daily aggregates + keyword counts") {
+    val silverNews = Seq(
+      ("T1", "2024-01-05T00:00:00.000000", Seq("energy", "gas"), "wnp.pl"),
+      ("T2", "2024-01-05T00:00:00.000000", Seq("energy"), "wnp.pl"),
+      ("T3", "2024-01-06T00:00:00.000000", Seq("oil"), "beurs.nl"))
+      .toDF("title", "datetime", "keywords", "source_site")
+    val counts = Medallion.newsDailyCounts(silverNews)
+    assert(counts.filter(col("article_count") === 2).count() == 1)
+    val kw = Medallion.keywordDailyCounts(silverNews)
+    assert(kw.filter(col("keyword") === "energy")
+      .select("keyword_count").as[Long].collect().head == 2L)
+
+    val silverQuotes = Seq(
+      (1704412800000L, 100.0, 1e6, 0.4, 0.0, "XOM"),
+      (1704412860000L, 102.0, 2e6, 0.5, 0.1, "XOM"))
+      .toDF("update_timestamp", "price", "volume", "volatility",
+        "market_sentiment", "company")
+      .withColumn("bid_ask_spread", lit(0.1))
+      .withColumn("trading_activity", lit(50.0))
+    val gold = Medallion.quotesDailyGold(silverQuotes).collect().head
+    assert(gold.getAs[Double]("avg_price") == 101.0)
+    assert(gold.getAs[Double]("max_price") == 102.0)
+  }
+
+  test("partitioned write produces prunable layout") {
+    val dir = tmpDir("gold") + "/t"
+    val df = Seq(("2024-01-05", "XOM", 1.0), ("2024-01-06", "BP", 2.0))
+      .toDF("aggregation_date", "company", "v")
+    Medallion.writePartitioned(df, dir, Seq("aggregation_date"))
+    assert(new java.io.File(dir).list()
+      .exists(_.startsWith("aggregation_date=")))
+    val back = spark.read.parquet(dir)
+      .filter(col("aggregation_date") === "2024-01-05")
+    assert(back.count() == 1)
+  }
+
+  test("multimodal extractFeatures: stable features, corrupt rows flagged") {
+    val media = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, "image", "somebytes".getBytes, 10, 10, null),
+        Row(2L, "image", Array.empty[Byte], 0, 0, null),
+        Row(3L, "audio", "other payload".getBytes, null, null, 1000L)),
+      Multimodal.mediaSchema)
+    val out = Multimodal.extractFeatures(media, dim = 8)
+    val rows = out.orderBy("media_id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Boolean]("decode_ok"))
+    assert(!rows(1).getAs[Boolean]("decode_ok") && rows(1).isNullAt(4))
+    assert(rows(2).getSeq[Float](4).size == 8)
+    // determinism: same payload → same feature
+    val again = Multimodal.extractFeatures(media, dim = 8)
+      .orderBy("media_id").collect()
+    assert(rows(0).getSeq[Float](4) == again(0).getSeq[Float](4))
+  }
+
+  test("sampleFrames explodes frame indices without payload bytes downstream") {
+    val media = spark.createDataFrame(
+      java.util.List.of(Row(7L, "video", "vid".getBytes, null, null, 2500L)),
+      Multimodal.mediaSchema)
+    val out = Multimodal.sampleFrames(media, 1000L)
+    assert(out.select("frame_ms").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1000L, 2000L))
+    assert(!out.columns.contains("payload"))
+  }
+}
