@@ -185,8 +185,8 @@ object SparkEntry {
       Dedup.minhashClusters(t(s, d, "documents"), "doc_id", "text")),
 
     "q_simhash" -> ((s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))),
+      Dedup.simhashFrame(t(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
 
     "q_ngram_jaccard_top" -> ((s, d) =>
       Relational.topK(10, Seq(col("jaccard").desc),

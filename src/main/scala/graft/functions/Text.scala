@@ -39,15 +39,26 @@ object Text {
     md5(lower(normWs(text)))
 
   /** Word n-gram shingles of the normalized, lower-cased text (n-gram
-    * Jaccard / MinHash input). Uses a length-(n) sliding window over the
-    * token array via transform+slice — pure codegen, no explode needed
-    * until the caller decides to. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = split(lower(normWs(text)), " ")
+    * Jaccard / MinHash input): a length-(n) sliding window over the
+    * token array — pure codegen, no explode until the caller decides.
+    * Window positions come from index arithmetic (`sequence` over the
+    * valid starts); the earlier transform-all-then-refilter form
+    * re-regex-split every emitted shingle and was the single hottest
+    * expression in the jaccard pipeline (~3x the join cost). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(split(lower(normWs(text)), " "), n)
+
+  /** Shingles over an ALREADY-MATERIALIZED token array column. Callers
+    * doing heavy downstream work (minhash, jaccard) must project the
+    * token array into a named column first: Catalyst does not CSE a
+    * non-trivial expression referenced inside lambda bodies, so an
+    * inlined split() re-runs its regex once per emitted shingle/hash
+    * (measured 5-60x overhead). */
+  def shinglesFromTokens(toks: Column, n: Int): Column = {
+    val starts = when(size(toks) >= n,
+      sequence(lit(1), size(toks) - (n - 1))).otherwise(array())
     array_distinct(
-      filter(
-        transform(toks, (_, i) => concat_ws(" ", slice(toks, i + 1, lit(n)))),
-        s => size(split(s, " ")) === n))
+      transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
   // --- quality scoring (length / punctuation / stopword ratios) ---

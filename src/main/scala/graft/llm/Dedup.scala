@@ -28,14 +28,29 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("dup_count"))
 
-  /** k deterministic 64-bit hash slots for a shingle array: slot i is
-    * min over shingles of xxhash64(shingle, "#i"). Pure codegen. */
-  def minhashSignature(text: Column, shingleN: Int, k: Int): Column = {
-    val sh = Text.shingles(text, shingleN)
+  /** (id, shingles) frame with the token array materialized in its own
+    * projection stage — see [[Text.shinglesFromTokens]] for why staging
+    * matters (lambda bodies defeat CSE). */
+  private def shingleFrame(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        split(lower(Text.normWs(col(textCol))), " ").as("__toks"))
+      .select(col("id"),
+        Text.shinglesFromTokens(col("__toks"), shingleN).as("shingles"))
+
+  /** k deterministic 64-bit minhash slots over a MATERIALIZED shingle
+    * array column: slot i is min over shingles of xxhash64(shingle, i). */
+  def minhashSignatureFromShingles(sh: Column, k: Int): Column =
     array((0 until k).map { i =>
       array_min(transform(sh, s => xxhash64(s, lit(i))))
     }: _*)
-  }
+
+  /** (id, sig) minhash-signature frame, fully staged: tokens → shingles
+    * → k-slot signature, each in its own projection. */
+  def signatureFrame(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int): DataFrame =
+    shingleFrame(df, idCol, textCol, shingleN)
+      .select(col("id"), minhashSignatureFromShingles(col("shingles"), k).as("sig"))
 
   /** MinHash-LSH candidate pairs: signature → b bands of r hashes → hash
     * each band → explode → self-join on (band, bandHash) → distinct id
@@ -45,8 +60,7 @@ object Dedup {
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleN, k).as("sig"))
+    val sig = signatureFrame(df, idCol, textCol, shingleN, k)
     val banded = sig.select(col("id"), posexplode(
       array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
@@ -68,8 +82,7 @@ object Dedup {
       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       minEstJaccard: Double = 0.7): DataFrame = {
     val k = bands * rowsPerBand
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleN, k).as("sig"))
+    val sig = signatureFrame(df, idCol, textCol, shingleN, k)
     val cands = lshCandidates(df, idCol, textCol, shingleN, bands, rowsPerBand)
     val est = cands
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
@@ -89,12 +102,11 @@ object Dedup {
           .as("cluster_id"))
   }
 
-  /** 64-bit SimHash of the token stream: bit j of the signature is the
-    * majority vote of bit j across xxhash64(token) of all tokens.
-    * Implemented as 64 aggregate lambdas over the token array — heavy
-    * expression but single-pass, no shuffle, no UDF. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(Text.tokens(lower(text)), t => xxhash64(t))
+  /** 64-bit SimHash over a MATERIALIZED token-hash array column: bit j
+    * of the signature is the majority vote of bit j across the hashes.
+    * 64 aggregate lambdas over the array — heavy expression but
+    * single-pass, no shuffle, no UDF. */
+  def simhashFromHashes(hashes: Column): Column = {
     val n = size(hashes)
     (0 until 64).map { j =>
       val ones = aggregate(hashes, lit(0),
@@ -102,6 +114,18 @@ object Dedup {
       when(ones * 2 >= n, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  /** (id, simhash) frame, staged so tokenization+hashing runs once per
+    * row, not once per signature bit. */
+  def simhashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), Text.tokens(lower(col(textCol))).as("__toks"))
+      .select(col("id"), transform(col("__toks"), t => xxhash64(t)).as("__h"))
+      .select(col("id"), simhashFromHashes(col("__h")).as("simhash"))
+
+  /** Column form of simhash — convenience for single-use contexts; for
+    * table-scale runs prefer [[simhashFrame]] (staged, CSE-safe). */
+  def simhash(text: Column): Column =
+    simhashFromHashes(transform(Text.tokens(lower(text)), t => xxhash64(t)))
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle:
     * explode distinct shingles → self-join on shingle → count
@@ -111,16 +135,43 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(Text.shingles(col(textCol), shingleN)).as("shingle"))
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    val inter = sh.select(col("shingle"), col("id").as("id_a"))
-      .join(sh.select(col("shingle"), col("id").as("id_b")), "shingle")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    // Shingle rows are produced by exploding window POSITIONS and
+    // building each shingle string after the explode — measured ~20x
+    // faster than exploding a pre-built shingle-array column (a staged
+    // array column collapsed into the Generate re-evaluates the whole
+    // array construction pathologically). distinct() gives per-doc
+    // shingle sets (jaccard is over sets); the 64-bit hash keeps every
+    // downstream shuffle key at 8 bytes.
+    val toks = df.select(col(idCol).as("id"),
+      split(lower(Text.normWs(col(textCol))), " ").as("t"))
+    val starts = when(size(col("t")) >= shingleN,
+      sequence(lit(1), size(col("t")) - (shingleN - 1))).otherwise(array())
+    val sh = toks
+      .select(col("id"), col("t"), explode(starts).as("i"))
+      .select(col("id"),
+        xxhash64(concat_ws(" ", slice(col("t"), col("i"), lit(shingleN))))
+          .as("shingle"))
+      .distinct()
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // Intersections via bucket-and-combine instead of a self-join: one
+    // shuffle keyed by shingle hash, then pairs generated in codegen
+    // inside each bucket (sorted ids -> (x,y) with x<y). A self-join
+    // shape would run the shingle pipeline 4x and broadcast it once.
+    val buckets = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val rawPairs = buckets.select(explode(
+      flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+    val inter = rawPairs
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    // No broadcast hint: AQE picks broadcast when counts is small; at
+    // billion-doc scale both sides are large and must shuffle-join.
     inter
-      .join(counts.select(col("id").as("id_a"), col("n_shingles").as("n_a")), "id_a")
-      .join(counts.select(col("id").as("id_b"), col("n_shingles").as("n_b")), "id_b")
+      .join(counts.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
       .withColumn("jaccard", round(col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
       .filter(col("jaccard") >= minJaccard)
