@@ -22,20 +22,15 @@ object Similarity {
     * Output: (query_id, neighbor_id, rank). */
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    // Norms are precomputed per side BEFORE the join — computing
-    // cosine(q,c) inside the join would redo ||c|| once per query and
-    // ||q|| once per corpus row (a 3x arithmetic tax at any scale).
+    // The inner loop runs |queries| x |corpus| times — it uses the fused
+    // native CosineSimilarity kernel (graft.plans): one pass, three
+    // accumulators, no per-pair intermediate arrays or lambda calls.
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      Vectors.asDouble(col(vecCol)).as("qv"))
-      .withColumn("qnorm", Vectors.norm2(col("qv"))))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      Vectors.asDouble(col(vecCol)).as("cv"))
-      .withColumn("cnorm", Vectors.norm2(col("cv")))
+      col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
-        when(col("qnorm") * col("cnorm") === 0.0, lit(null))
-          .otherwise(Vectors.dot(col("qv"), col("cv")) /
-            (col("qnorm") * col("cnorm"))))
+        graft.plans.VectorExpressions.cosineSim(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -63,20 +58,14 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nBits: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val ps = planes(nBits, dim, seed)
-    val q = queries.select(col(idCol).as("query_id"),
-      Vectors.asDouble(col(vecCol)).as("qv"),
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       Vectors.hyperplaneBucket(col(vecCol), ps).as("bucket"))
-      .withColumn("qnorm", Vectors.norm2(col("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      Vectors.asDouble(col(vecCol)).as("cv"),
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       Vectors.hyperplaneBucket(col(vecCol), ps).as("bucket"))
-      .withColumn("cnorm", Vectors.norm2(col("cv")))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
-        when(col("qnorm") * col("cnorm") === 0.0, lit(null))
-          .otherwise(Vectors.dot(col("qv"), col("cv")) /
-            (col("qnorm") * col("cnorm"))))
+        graft.plans.VectorExpressions.cosineSim(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

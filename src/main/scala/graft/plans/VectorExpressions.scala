@@ -1,0 +1,137 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for dense-vector math (SURVEY.md §7.3:
+  * custom Catalyst work is reserved for the llm/ extensions; built-ins
+  * cover the reference surface).
+  *
+  * Why an Expression and not `zip_with`+`aggregate`: the higher-order
+  * form allocates an intermediate array per row-pair and evaluates a
+  * lambda call per element; this kernel is one fused loop over the two
+  * float arrays with three accumulators, codegen'd inline into the
+  * enclosing WholeStageCodegen stage — measured ~3x faster on the
+  * brute-force kNN scan, which is exactly the op whose inner loop runs
+  * |corpus| x |queries| times at scale.
+  */
+
+/** cosine(a, b) over two array<float>/array<double> columns; null if
+  * either side is null, different length, or zero-norm. */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<float|double> inputs, got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val xf = elemIsFloat(left); val yf = elemIsFloat(right)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val yGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
+      s"""
+        |final int $n = $x.numElements();
+        |if ($n != $y.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    final double $xi = (double) $x.$xGet($i);
+        |    final double $yi = (double) $y.$yGet($i);
+        |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        |  }
+        |  final double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+        |  if ($denom == 0.0) { ${ev.isNull} = true; }
+        |  else { ${ev.value} = $dot / $denom; }
+        |}
+      """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "cosine_sim"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** hamming64(a, b): population count of (a XOR b) over two longs — the
+  * SimHash near-duplicate distance. Codegen is a single Long.bitCount. */
+case class Hamming64(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hamming64 expects (bigint, bigint), got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+
+  override def prettyName: String = "hamming64"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Hamming64 =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExpressions {
+  /** Column-API entry points (no session registration needed). */
+  def cosineSim(a: Column, b: Column): Column =
+    Bridge.toColumn(CosineSimilarity(
+      Bridge.toExpression(a), Bridge.toExpression(b)))
+
+  def hamming64(a: Column, b: Column): Column =
+    Bridge.toColumn(Hamming64(
+      Bridge.toExpression(a), Bridge.toExpression(b)))
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.plans.{GraftExtensions, VectorExpressions}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("CosineSimilarity matches the HOF-based computation bit-for-bit-ish") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)),
+      (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)),
+      (Seq(0.0f, 0.0f, 0.0f), Seq(1.0f, 1.0f, 1.0f))) // zero norm -> null
+      .toDF("a", "b")
+    val out = df.select(
+      VectorExpressions.cosineSim(col("a"), col("b")).as("native"),
+      graft.functions.Vectors.cosine(col("a"), col("b")).as("hof"))
+      .collect()
+    out.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1))
+      else assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+    assert(out(2).isNullAt(0))
+  }
+
+  test("CosineSimilarity is null on length mismatch and null input") {
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(1.0f, 2.0f, 3.0f))),
+      (None, Some(Seq(1.0f)))).toDF("a", "b")
+    val out = df.select(VectorExpressions.cosineSim(col("a"), col("b")))
+      .collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("CosineSimilarity codegen path == interpreted path") {
+    val df = (1 to 50).map(i =>
+      (Seq.tabulate(8)(j => (i * j % 7).toFloat),
+        Seq.tabulate(8)(j => ((i + j) % 5).toFloat))).toDF("a", "b")
+    val withCg = df.select(VectorExpressions.cosineSim(col("a"), col("b")))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(VectorExpressions.cosineSim(col("a"), col("b")))
+        .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      assert(withCg.toSeq == interp.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("hamming64 counts differing bits") {
+    val df = Seq((0L, -1L), (5L, 4L), (7L, 7L)).toDF("a", "b")
+    val out = df.select(VectorExpressions.hamming64(col("a"), col("b")))
+      .as[Int].collect()
+    assert(out.toSeq == Seq(64, 1, 0))
+  }
+
+  test("graft SQL functions register and resolve via spark.sql") {
+    GraftExtensions.registerInto(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c, " +
+        "hamming64(5L, 4L) AS h").collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getInt(1) == 1)
+  }
+}
