@@ -90,6 +90,18 @@ object SparkEntry {
         t(s, d, "events").withColumn("pred",
           get_json_object(col("props"), "$.k").cast("double")))),
 
+    "q_count_distinct" -> ((s, d) =>
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))),
+
+    "q_approx_distinct" -> ((s, d) =>
+      // HLL++ sketch path for billion-key cardinalities (no oracle:
+      // sketch estimates differ across engines by construction; the
+      // exact twin q_count_distinct is the checked variant).
+      t(s, d, "events").groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))),
+
     // ---- §2.4 A7 deduplication ----
     "q_dedup_exact" -> ((s, d) =>
       Relational.dedupExact(Seq("user_id", "event_type"))(t(s, d, "events"))),
@@ -164,7 +176,7 @@ object SparkEntry {
         t(s, d, "events").withColumn("value",
           when(col("event_type") === "error", lit(null)).otherwise(col("value"))))
         .select(col("user_id"), col("event_id"),
-          round(col("value"), 4).as("value_interp"))),
+          round(col("value"), 6).as("value_interp"))),
 
     // ---- §2.8 explode / text ----
     "q_word_count" -> ((s, d) =>
@@ -305,6 +317,10 @@ object SparkEntry {
                 round(sqrt(avg(pow(value - CAST(json_extract_string(props, '$.k') AS DOUBLE), 2))), 4) AS rmse
          FROM events GROUP BY event_type""",
 
+    "q_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY event_type""",
+
     "q_dedup_exact" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
@@ -313,6 +329,33 @@ object SparkEntry {
            SELECT user_id, event_id, value,
                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
            FROM events) WHERE rn = 1""",
+
+    "q_interpolate" ->
+      """WITH marked AS (
+           SELECT user_id, event_id,
+                  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+                  CAST(event_id AS DOUBLE) AS x
+           FROM events),
+         scanned AS (
+           SELECT user_id, event_id, v, x,
+                  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                  last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+                  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                  first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+           FROM marked)
+         SELECT user_id, event_id,
+                round(CASE WHEN v IS NOT NULL THEN v
+                           WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                             CASE WHEN nx = px THEN pv
+                                  ELSE pv + (nv - pv) * (x - px) / (nx - px) END
+                           ELSE NULL END, 6) AS value_interp
+         FROM scanned""",
 
     "q_join_region_revenue" ->
       """SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders

@@ -48,6 +48,18 @@ object Regression {
         .setMaxIter(100).setMaxDepth(5).setSeed(42L)
         .setLabelCol("label").setFeaturesCol("features"))))
 
+  /** F1 — the reference's only Python UDF (`features_to_json`, Vector →
+    * JSON string, `NEW_train_offset_3_10min.py:244-248`) replaced by
+    * pure built-ins: vector_to_array + map_from_arrays + to_json. No
+    * UDF, no worker boundary, stays in codegen. */
+  def featuresToJson(featuresCol: org.apache.spark.sql.Column,
+      names: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    to_json(map_from_arrays(
+      array(names.map(lit(_)): _*),
+      org.apache.spark.ml.functions.vector_to_array(featuresCol)))
+  }
+
   /** M4 — rmse/mae/r2 evaluation. Reference
     * `stream_and_historical_model.py:187-217`. */
   def evaluate(predictions: DataFrame): Map[String, Double] = {

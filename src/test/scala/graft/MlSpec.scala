@@ -25,6 +25,14 @@ class MlSpec extends SparkSpec {
     assert(model.transform(df).columns.contains("prediction"))
   }
 
+  test("featuresToJson encodes assembled vectors without a UDF") {
+    val assembled = Regression.assembler(Seq("a", "b")).transform(df.limit(1))
+    val json = assembled.select(
+      Regression.featuresToJson(org.apache.spark.sql.functions.col("features"),
+        Seq("a", "b"))).as[String].collect().head
+    assert(json == """{"a":1.0,"b":1.0}""")
+  }
+
   test("ModelStore follows the latest-pointer protocol") {
     val root = tmpDir("models")
     val store = new ModelStore(root)
