@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions: the scale posture claimed in README is
+  * checked here, not just eyeballed — filters reach the parquet scan,
+  * schemas are pruned, dims broadcast, top-k avoids a global sort.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and column pruning reach the parquet scan") {
+    val df = SparkEntry.queries("q_scan_filter")(spark, sf)
+    val plan = planOf(df)
+    // the toString truncates PushedFilters, so assert on the prefix and
+    // on the scan's (untruncated) output column list for pruning
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"expected filters pushed to scan:\n$plan")
+    assert(plan.contains("FileScan parquet [l_orderkey"), plan)
+    assert(!plan.contains("l_tax#"), "unused columns must be pruned")
+  }
+
+  test("dimension joins broadcast, fact side does not") {
+    val df = SparkEntry.queries("q_join_region_revenue")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val df = SparkEntry.queries("q_topk_customers")(spark, sf)
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("grouped aggregates are partial+final (map-side combine)") {
+    val df = SparkEntry.queries("q_pricing_summary")(spark, sf)
+    val plan = planOf(df)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("partial_sum") || plan.contains("partial"), plan)
+  }
+
+  test("whole-stage codegen covers the hot projection pipeline") {
+    val df = SparkEntry.queries("q_quality_score")(spark, sf)
+    // "*(n)" prefixes mark WholeStageCodegen stages in executedPlan text
+    val plan = planOf(df)
+    assert(plan.contains("*(1)"), plan)
+  }
+
+  test("windowed agg with watermark keeps streaming-compatible shape") {
+    val events = Tables.load(spark, sf, "events")
+    // same plan combinator used by the streaming path, batch-planned:
+    val df = graft.operators.Aggregates.timeBucketAgg(
+      "ts", "10 minutes", Seq("event_type"),
+      Seq(count(lit(1)).as("n")))(events)
+    val plan = planOf(df)
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
