@@ -113,6 +113,19 @@ object SparkEntry {
           col("value"))),
 
     // ---- §2.3 joins ----
+    "q_asof_join" -> ((s, d) => {
+      // engine extension: as-of join via the union-timeline construction
+      // (one shuffle), oracle'd against DuckDB's native ASOF JOIN
+      val right = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_order_key"))
+      val left = t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.Joins.asOfJoin(left, right, Seq("user_id"),
+        "ts", "o_orderdate")
+        .select("event_id", "user_id", "last_order_key")
+    }),
+
     "q_join_region_revenue" -> ((s, d) =>
       t(s, d, "orders")
         .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
@@ -356,6 +369,15 @@ object SparkEntry {
                                   ELSE pv + (nv - pv) * (x - px) / (nx - px) END
                            ELSE NULL END, 6) AS value_interp
          FROM scanned""",
+
+    "q_asof_join" ->
+      """WITH r AS (
+           SELECT o_custkey AS user_id, o_orderdate,
+                  max(o_orderkey) AS last_order_key
+           FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, r.last_order_key
+         FROM events e ASOF JOIN r
+           ON e.user_id = r.user_id AND e.ts >= r.o_orderdate""",
 
     "q_join_region_revenue" ->
       """SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
