@@ -23,8 +23,12 @@ object Tables {
     // share a microsecond, and all derived keys are >= second grain.
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      // convert only when ts actually came back as a nanos long — a
+      // re-materialized events table already carries a real timestamp
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }
