@@ -102,6 +102,18 @@ object SparkEntry {
       t(s, d, "events").groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))),
 
+    "q_top_event_per_type" -> ((s, d) => {
+      // A10 idxmax: the event holding the max value per type,
+      // deterministic under value ties via event_id ordering
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_type", "event_id", "user_id", "value")
+    }),
+
     // ---- §2.4 A7 deduplication ----
     "q_dedup_exact" -> ((s, d) =>
       Relational.dedupExact(Seq("user_id", "event_type"))(t(s, d, "events"))),
@@ -333,6 +345,13 @@ object SparkEntry {
     "q_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
          FROM events GROUP BY event_type""",
+
+    "q_top_event_per_type" ->
+      """SELECT event_type, event_id, user_id, value FROM (
+           SELECT event_type, event_id, user_id, value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value DESC, event_id) AS rn
+           FROM events) WHERE rn = 1""",
 
     "q_dedup_exact" ->
       "SELECT DISTINCT user_id, event_type FROM events",

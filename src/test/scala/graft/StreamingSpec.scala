@@ -139,6 +139,38 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(("BP", 20.0), ("COP", 30.0), ("XOM", 99.0)))
   }
 
+  test("watermark drops late data in append mode (T1/T7 semantics)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ticks.MarketTickTuple]
+    val streamIn = Ticks.modelInput("XOM")(
+      mem.toDF().toDF("symbol", "timestamp", "source", "data_type", "bid",
+        "ask", "price", "volume", "spread_raw", "spread_table", "volatility",
+        "market_sentiment", "trading_activity"))
+    val q = StreamOps.windowedFeatureAvg()(streamIn)
+      .writeStream.format("memory").queryName("wm_drop")
+      .outputMode("append").start()
+    try {
+      // window [base, base+10min) gets two on-time ticks
+      mem.addData(Seq(tick("XOM", base + 60000L, 100.0),
+        tick("XOM", base + 120000L, 200.0)))
+      q.processAllAvailable()
+      // advance watermark far past that window (event 2h later)
+      mem.addData(Seq(tick("XOM", base + 7200000L, 1.0)))
+      q.processAllAvailable()
+      val emitted = spark.table("wm_drop")
+        .filter(col("window_start") === new java.sql.Timestamp(base))
+        .select("label").as[Double].collect()
+      assert(emitted.toSeq == Seq(150.0)) // closed with the on-time avg
+      // a LATE tick for the closed window must be dropped, not re-emitted
+      mem.addData(Seq(tick("XOM", base + 180000L, 999.0)))
+      q.processAllAvailable()
+      val after = spark.table("wm_drop")
+        .filter(col("window_start") === new java.sql.Timestamp(base))
+        .select("label").as[Double].collect()
+      assert(after.toSeq == Seq(150.0), "late row leaked into closed window")
+    } finally q.stop()
+  }
+
   test("csv fixture replays through the declared schema") {
     val fixture = "/root/reference/Deliverable_3/kafka_messages.csv"
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(fixture)))
