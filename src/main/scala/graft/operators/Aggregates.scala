@@ -71,6 +71,18 @@ object Aggregates {
       .agg(round(corr(col("rx"), col("ry")), scale).as("spearman"))
   }
 
+  /** A6, scale path — Spearman via `ml.stat.Correlation` (average ranks
+    * for ties, distributed ranking under the hood: no single-partition
+    * window). Use this form beyond dashboard-sized frames; the min-rank
+    * variant above exists for exact ANSI-oracle reproducibility. */
+  def spearmanDistributed(x: String, y: String)(df: DataFrame): Double = {
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array(x, y)).setOutputCol("__v")
+      .transform(df.select(col(x).cast("double"), col(y).cast("double")))
+    org.apache.spark.ml.stat.Correlation.corr(assembled, "__v", "spearman")
+      .head.getAs[org.apache.spark.ml.linalg.Matrix](0)(0, 1)
+  }
+
   /** A11 — RMSE between a prediction and a label column, grouped.
     * Reference: `app_2 NEW with joined.py:235-236`
     * (`sqrt(mean((pred-label)**2))`).

@@ -86,6 +86,15 @@ class RelationalSpec extends SparkSpec {
     assert(r == 1.0)
   }
 
+  test("spearmanDistributed agrees with min-rank variant on tie-free data") {
+    val df = Seq((1.0, 10.0), (2.0, 30.0), (3.0, 20.0), (4.0, 40.0),
+      (5.0, 35.0)).toDF("x", "y")
+    val minRank = Aggregates.spearmanMinRank("x", "y")(df)
+      .as[Double].collect().head
+    val dist = Aggregates.spearmanDistributed("x", "y")(df)
+    assert(math.abs(minRank - dist) < 1e-9)
+  }
+
   test("rmse matches a hand computation") {
     val df = Seq((1.0, 2.0), (3.0, 5.0)).toDF("p", "l")
     val r = Aggregates.rmse(Nil, "p", "l", 4)(df).as[Double].collect().head
