@@ -1,7 +1,7 @@
 package graft.etl
 
 import graft.operators.Relational
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Bronze→silver→gold batch ETL (SURVEY.md §3.2), re-expressed
@@ -25,6 +25,40 @@ import org.apache.spark.sql.functions._
   *  - the vectorized parquet reader stays ON; schemas are declared.
   */
 object Medallion {
+
+  /** Bronze normalization of scraped article dates, per source site —
+    * the engine-side equivalent of the reference's Python string surgery
+    * (`Deliverable_2/Batch Data Codes/scraper.py:355-395`): newline
+    * collapse, 'Dodano:' prefix strip, per-site formats, and the
+    * beurs.nl Dutch-month mapping — all as codegen'd column functions
+    * (regexp_replace chain + multi-pattern to_timestamp coalesce), no
+    * UDF. Output: TimestampType (minute precision, like the reference).
+    */
+  def normalizeArticleDate(date: Column, sourceSite: Column): Column = {
+    val dutchMonths = Seq(
+      "januari" -> "01", "februari" -> "02", "maart" -> "03",
+      "april" -> "04", "mei" -> "05", "juni" -> "06", "juli" -> "07",
+      "augustus" -> "08", "september" -> "09", "oktober" -> "10",
+      "november" -> "11", "december" -> "12")
+    val cleaned = trim(regexp_replace(
+      regexp_replace(date, "\\s+", " "), "^.*Dodano:\\s*", ""))
+    // beurs.nl: drop leading day name, map Dutch month word -> number
+    val dutchNumeric = dutchMonths.foldLeft(
+      regexp_replace(cleaned, "^\\p{L}+\\s+", "")) {
+      case (acc, (m, n)) => regexp_replace(acc, m, n)
+    }
+    // try_to_timestamp: ANSI mode (Spark 4 default) makes to_timestamp
+    // THROW on unparseable text, which would poison the coalesce chain
+    def tryTs(c: Column, fmt: String) = try_to_timestamp(c, lit(fmt))
+    when(sourceSite === "wnp.pl", tryTs(cleaned, "dd-MM-yyyy HH:mm"))
+      .when(sourceSite === "wysokienapiecie.pl",
+        date_trunc("minute", tryTs(cleaned, "yyyy-MM-dd HH:mm:ss")))
+      .when(sourceSite === "beurs.nl", tryTs(dutchNumeric, "d MM yyyy HH:mm"))
+      .otherwise(coalesce(
+        tryTs(cleaned, "yyyy-MM-dd HH:mm:ss"),
+        tryTs(cleaned, "dd-MM-yyyy HH:mm"),
+        tryTs(cleaned, "yyyy-MM-dd")))
+  }
 
   /** News bronze→silver: dedup titles, typed timestamp, silver-format
     * datetime string (kept as string for reference fidelity —

@@ -22,6 +22,22 @@ class EtlMultimodalSpec extends SparkSpec {
     assert(dt == "2024-01-07T00:00:00.000000")
   }
 
+  test("normalizeArticleDate handles all three source-site formats") {
+    val df = Seq(
+      ("06-03-2024 05:57", "wnp.pl"),
+      ("Dodano: 06-03-2024\n05:57", "wnp.pl"),
+      ("2023-05-08 06:47:31", "wysokienapiecie.pl"),
+      ("maandag 8 mei 2023 06:47", "beurs.nl"),
+      ("2024-02-01", "other.site"))
+      .toDF("date", "source_site")
+    val out = df.select(Medallion.normalizeArticleDate(
+      col("date"), col("source_site")).cast("string").as("dt"))
+      .as[String].collect()
+    assert(out.toSeq == Seq(
+      "2024-03-06 05:57:00", "2024-03-06 05:57:00",
+      "2023-05-08 06:47:00", "2023-05-08 06:47:00", "2024-02-01 00:00:00"))
+  }
+
   test("quotesToSilver explodes per-symbol update arrays, unions, dedups") {
     val upd = StructType(Seq(
       StructField("price", DoubleType), StructField("volume", DoubleType),
