@@ -77,6 +77,23 @@ object SparkEntry {
         .withColumn("window_start",
           date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))),
 
+    "q_sliding_window" -> ((s, d) =>
+      // T2 extension: 10-min windows sliding every 5 min (overlap 2)
+      graft.streaming.StreamOps.slidingWindowAgg("ts", "10 minutes",
+        "5 minutes", Seq("event_type"),
+        Seq(count(lit(1)).as("n_events"),
+          round(avg(col("value")), 4).as("avg_value")))(t(s, d, "events"))
+        .withColumn("window_start",
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))),
+
+    "q_session_window" -> ((s, d) =>
+      // T2 extension: 30-min-gap activity sessions per user
+      graft.streaming.StreamOps.sessionAgg("ts", "30 minutes",
+        Seq("user_id"), Seq(count(lit(1)).as("n_events")))(t(s, d, "events"))
+        .select(col("user_id"), col("n_events"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("session_start"))),
+
     "q_corr_pearson" -> ((s, d) =>
       Aggregates.pearson(Seq("l_returnflag"), "l_quantity",
         "l_extendedprice", 6)(t(s, d, "lineitem"))),
@@ -221,6 +238,24 @@ object SparkEntry {
     "q_minhash_clusters" -> ((s, d) =>
       Dedup.minhashClusters(t(s, d, "documents"), "doc_id", "text")),
 
+    "q_dedup_corpus" -> ((s, d) =>
+      // rows-only: the minhash near-dup stage removes the corpus's
+      // planted near-duplicates (verified exact-jaccard 0.96-0.99),
+      // which no ANSI oracle can express
+      Dedup.dedupCorpus(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"))),
+
+    "q_near_dup_pairs" -> ((s, d) =>
+      // exact near-dup detection at jaccard>=0.8 — finds the corpus's
+      // planted near-duplicates, oracle-checked
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.8)),
+
+    "q_embedding_near_dups" -> ((s, d) =>
+      // rows-only: LSH bucket pairs at cosine>=0.35 (bucketing not
+      // expressible in the oracle engine)
+      Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
+        minCosine = 0.35, nBits = 4)),
+
     "q_simhash" -> ((s, d) =>
       Dedup.simhashFrame(t(s, d, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
@@ -326,6 +361,51 @@ object SparkEntry {
                 count(*) AS n_events,
                 strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start
          FROM events GROUP BY 1, 4""",
+
+    "q_sliding_window" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+                count(*) AS n_events, round(avg(value), 4) AS avg_value
+         FROM (
+           SELECT unnest([time_bucket(INTERVAL '10 minutes', ts),
+                          time_bucket(INTERVAL '10 minutes', ts - INTERVAL 5 MINUTE) + INTERVAL 5 MINUTE]) AS ws,
+                  event_type, value
+           FROM events)
+         GROUP BY 1, 2""",
+
+    "q_session_window" ->
+      """WITH marked AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         sessions AS (
+           SELECT user_id, ts,
+                  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM marked)
+         SELECT user_id, count(*) AS n_events,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+         FROM sessions GROUP BY user_id, session_id""",
+
+    "q_near_dup_pairs" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+           FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+         counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id_a, id_b,
+                round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+         FROM inter
+         JOIN counts ca ON ca.doc_id = id_a
+         JOIN counts cb ON cb.doc_id = id_b
+         WHERE round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.8""",
 
     "q_corr_pearson" ->
       """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr

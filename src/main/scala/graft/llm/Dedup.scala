@@ -102,6 +102,44 @@ object Dedup {
           .as("cluster_id"))
   }
 
+  /** End-to-end corpus dedup: exact (fingerprint) + near-dup (MinHash
+    * clusters) composed; keeps one canonical doc per cluster (min id).
+    * Returns the kept subset of the input frame. The standard
+    * training-corpus cleaning step: at 100 TB both stages are
+    * bucket-join shaped (no cross joins), and the final filter is a
+    * broadcast-able semi-join on kept ids. */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.7): DataFrame = {
+    val exactKeep = exact(df, idCol, textCol).select(col("canonical_id").as("id"))
+    val exactKept = df.join(exactKeep.withColumnRenamed("id", idCol), idCol)
+    val clusters = minhashClusters(exactKept, idCol, textCol,
+      shingleN, bands, rowsPerBand, minEstJaccard)
+    val keep = clusters.filter(col("id") === col("cluster_id")).select("id")
+    exactKept.join(keep.withColumnRenamed("id", idCol), idCol)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket join,
+    * exact cosine on candidates, threshold filter. The vector-space
+    * sibling of [[lshCandidates]] (cf. SURVEY north star:
+    * "embedding-cosine near-dup"). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.95, nBits: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val ps = graft.llm.Similarity.planes(nBits, dim, seed)
+    val side = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      graft.functions.Vectors.hyperplaneBucket(col(vecCol), ps).as("bucket"))
+    side.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+      .join(side.select(col("bucket"), col("id").as("id_b"), col("v").as("vb")),
+        "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        graft.plans.VectorExpressions.cosineSim(col("va"), col("vb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .distinct()
+  }
+
   /** 64-bit SimHash over a MATERIALIZED token-hash array column: bit j
     * of the signature is the majority vote of bit j across the hashes.
     * 64 aggregate lambdas over the array — heavy expression but

@@ -36,6 +36,34 @@ object StreamOps {
         features.map(f => col(s"avg_$f")) :+ col("label"): _*)
   }
 
+  /** T2 extension — sliding-window aggregate (window + slide): each
+    * event lands in window/slide overlapping buckets. Same
+    * partial+final agg shape as tumbling; state multiplies by the
+    * overlap factor, still watermark-bounded. */
+  def slidingWindowAgg(ts: String, windowDur: String, slide: String,
+      keys: Seq[String], aggs: Seq[org.apache.spark.sql.Column],
+      watermark: Option[String] = None)(df: DataFrame): DataFrame = {
+    val base = watermark.fold(df)(wm => df.withWatermark(ts, wm))
+    base.groupBy(window(col(ts), windowDur, slide) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .drop("window")
+  }
+
+  /** T2 extension — session windows: gap-based grouping per key
+    * (activity sessions; no fixed grid). Streaming requires a
+    * watermark; batch mode plans the same session aggregation. */
+  def sessionAgg(ts: String, gap: String, keys: Seq[String],
+      aggs: Seq[org.apache.spark.sql.Column],
+      watermark: Option[String] = None)(df: DataFrame): DataFrame = {
+    val base = watermark.fold(df)(wm => df.withWatermark(ts, wm))
+    base.groupBy(session_window(col(ts), gap) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("session_window.start"))
+      .withColumn("session_end", col("session_window.end"))
+      .drop("session_window")
+  }
+
   /** J1 — stream-stream inner equi-join on tumbling 1-minute window
     * buckets, both sides watermarked 10 min (within-minute cross
     * product). Reference: `joined_streams.py:58-92`.
