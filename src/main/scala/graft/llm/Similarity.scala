@@ -31,12 +31,21 @@ object Similarity {
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
         graft.plans.VectorExpressions.cosineSim(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    topKPerQuery(scored, k)
   }
+
+  /** Per-query top-k via the bounded-heap aggregator (F2): map-side
+    * partial heaps mean the shuffle carries k rows per (partition,
+    * query) instead of every scored pair — the window/row_number form
+    * shuffles and sorts the full candidate set. Tie-break identical to
+    * `orderBy(sim desc, neighbor_id)` (spec-verified). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(k, col("sim"), col("neighbor_id"))
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col._2").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"))
 
   /** Deterministic pseudo-random hyperplanes (no RNG at plan time — a
     * fixed LCG keeps results reproducible across runs/resumes). */
@@ -66,11 +75,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
         graft.plans.VectorExpressions.cosineSim(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** kNN label agreement: for each query, how many of its top-k exact
