@@ -260,6 +260,12 @@ object SparkEntry {
       Dedup.simhashFrame(t(s, d, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    "q_simhash_near_dups" -> ((s, d) =>
+      // rows-only: pigeonhole-banded hamming<=6 pairs over simhash
+      // (xxhash64-based signature not expressible in the oracle engine)
+      Dedup.simhashNearDups(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 6)),
+
     "q_ngram_jaccard_top" -> ((s, d) =>
       Relational.topK(10, Seq(col("jaccard").desc),
         Seq(col("id_a"), col("id_b")))(

@@ -140,30 +140,57 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash over a MATERIALIZED token-hash array column: bit j
-    * of the signature is the majority vote of bit j across the hashes.
-    * 64 aggregate lambdas over the array — heavy expression but
-    * single-pass, no shuffle, no UDF. */
-  def simhashFromHashes(hashes: Column): Column = {
-    val n = size(hashes)
-    (0 until 64).map { j =>
-      val ones = aggregate(hashes, lit(0),
-        (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L)).cast("int"))
-      when(ones * 2 >= n, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  /** 64-bit SimHash over a token-hash array column: bit j of the
+    * signature is the majority vote of bit j across the hashes.
+    * Delegates to the native `simhash64` kernel — the HOF formulation
+    * (64 aggregate lambdas) is never codegen'd by Spark and measured
+    * ~150x slower. */
+  def simhashFromHashes(hashes: Column): Column =
+    graft.plans.VectorExpressions.simhash64(hashes)
 
   /** (id, simhash) frame, staged so tokenization+hashing runs once per
-    * row, not once per signature bit. */
+    * row. */
   def simhashFrame(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), Text.tokens(lower(col(textCol))).as("__toks"))
       .select(col("id"), transform(col("__toks"), t => xxhash64(t)).as("__h"))
       .select(col("id"), simhashFromHashes(col("__h")).as("simhash"))
 
-  /** Column form of simhash — convenience for single-use contexts; for
-    * table-scale runs prefer [[simhashFrame]] (staged, CSE-safe). */
+  /** Column form of simhash — convenience for single-use contexts. */
   def simhash(text: Column): Column =
     simhashFromHashes(transform(Text.tokens(lower(text)), t => xxhash64(t)))
+
+  /** SimHash near-duplicate pairs with hamming distance <= maxHamming,
+    * by pigeonhole banding: split the 64-bit signature into
+    * (maxHamming+1) blocks — any pair within distance d must agree on
+    * at least one block — join per block (equi-join on the 16-ish-bit
+    * block value), then verify with the native hamming64 kernel. No
+    * cross join; candidate volume is bounded by block-collision rate.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val blocks = maxHamming + 1
+    val width = 64 / blocks
+    val sig = simhashFrame(df, idCol, textCol)
+    val banded = sig.select(col("id"), col("simhash"), posexplode(
+      array((0 until blocks).map { b =>
+        // block b: bits [b*width, (b+1)*width) (last block takes the rest)
+        val lo = b * width
+        val w = if (b == blocks - 1) 64 - lo else width
+        val mask = if (w == 64) -1L else (1L << w) - 1L
+        shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("block", "block_val")))
+    val l = banded.select(col("block"), col("block_val"),
+      col("id").as("id_a"), col("simhash").as("sig_a"))
+    val r = banded.select(col("block"), col("block_val"),
+      col("id").as("id_b"), col("simhash").as("sig_b"))
+    l.join(r, Seq("block", "block_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.plans.VectorExpressions.hamming64(col("sig_a"), col("sig_b"))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >=1 shingle:
     * explode distinct shingles → self-join on shingle → count

@@ -2,7 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 
 /** SparkSessionExtensions entry point: registers the graft-native
   * expressions under SQL names so `spark.sql("SELECT cosine_sim(a,b)")`
@@ -11,8 +13,25 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => HammingZeroAsEquality)
+  }
+}
+
+/** Optimizer rule: `hamming64(a, b) = 0` is exactly `a = b` — rewriting
+  * it lets Catalyst plan joins on simhash equality as hash/sort-merge
+  * EQUI-joins instead of nested-loop joins with an opaque predicate.
+  * (popcount(a XOR b) = 0 <=> a XOR b = 0 <=> a = b; null semantics
+  * match: either side null makes both forms null.) */
+object HammingZeroAsEquality extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case EqualTo(Hamming64(a, b), Literal(0, dt))
+          if dt == org.apache.spark.sql.types.IntegerType => EqualTo(a, b)
+      case EqualTo(Literal(0, dt), Hamming64(a, b))
+          if dt == org.apache.spark.sql.types.IntegerType => EqualTo(a, b)
+    }
 }
 
 object GraftExtensions {
@@ -29,12 +48,24 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "hamming64(longA, longB)")
         Hamming64(args(0), args(1))
+      }),
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64(array<bigint>)")
+        SimHash64(args(0))
       }))
 
-  /** Runtime registration into a live session (tests, shells). */
-  def registerInto(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Runtime registration into a live session (tests, shells):
+    * SQL functions via the registry, the optimizer rule via
+    * `experimental.extraOptimizations`. */
+  def registerInto(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (id, info, builder) =>
       org.apache.spark.sql.graft.Bridge.registerFunction(
         spark, id.funcName, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(HammingZeroAsEquality))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ HammingZeroAsEquality
+  }
 }

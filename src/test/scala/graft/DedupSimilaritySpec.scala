@@ -48,6 +48,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!out.contains((0L, 3L)))
   }
 
+  test("simhashNearDups finds near-identical docs via pigeonhole bands") {
+    val out = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((0L, 1L))) // identical -> hamming 0
+    assert(out.contains((3L, 4L)))
+    assert(!out.exists { case (a, b) => Set(a, b) == Set(0L, 3L) })
+  }
+
   private val vecs = Seq(
     (0L, Seq(1.0f, 0.0f, 0.0f), 0),
     (1L, Seq(0.9f, 0.1f, 0.0f), 0),

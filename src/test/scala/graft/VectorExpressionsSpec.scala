@@ -58,6 +58,19 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out.toSeq == Seq(64, 1, 0))
   }
 
+  test("HammingZeroAsEquality turns simhash-equality joins into equi-joins") {
+    GraftExtensions.registerInto(spark)
+    val a = Seq((1L, 10L), (2L, 20L)).toDF("ida", "siga")
+    val b = Seq((3L, 10L), (4L, 99L)).toDF("idb", "sigb")
+    val joined = a.join(b,
+      VectorExpressions.hamming64(col("siga"), col("sigb")) === 0)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(joined.select("ida", "idb").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 3L)))
+  }
+
   test("graft SQL functions register and resolve via spark.sql") {
     GraftExtensions.registerInto(spark)
     val r = spark.sql(
