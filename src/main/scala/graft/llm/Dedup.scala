@@ -38,12 +38,12 @@ object Dedup {
       .select(col("id"),
         Text.shinglesFromTokens(col("__toks"), shingleN).as("shingles"))
 
-  /** k deterministic 64-bit minhash slots over a MATERIALIZED shingle
-    * array column: slot i is min over shingles of xxhash64(shingle, i). */
+  /** k deterministic 64-bit minhash slots over a shingle array column:
+    * slot i is min over shingles of xxhash64(shingle, i). Delegates to
+    * the native `minhash_sig` kernel — the k-array_min-transform form
+    * runs k interpreted HOF passes per row (HOFs are never codegen'd). */
   def minhashSignatureFromShingles(sh: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }: _*)
+    graft.plans.MinHashSig.minhashSig(sh, k)
 
   /** (id, sig) minhash-signature frame, fully staged: tokens → shingles
     * → k-slot signature, each in its own projection. */

@@ -51,6 +51,26 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("MinHashSig is bit-compatible with the array_min/transform/xxhash64 form") {
+    val df = Seq(Seq("alpha beta", "gamma", "x"), Seq("one two three"))
+      .toDF("sh")
+    val k = 8
+    val viaHof = df.select(array((0 until k).map(i =>
+      array_min(transform(col("sh"), s => xxhash64(s, lit(i))))): _*).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val viaKernel = df.select(
+      graft.plans.MinHashSig.minhashSig(col("sh"), k).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(viaHof.toSeq == viaKernel.toSeq)
+  }
+
+  test("MinHashSig is null on empty arrays, errors nowhere") {
+    val df = Seq(Seq.empty[String]).toDF("sh")
+    val out = df.select(graft.plans.MinHashSig.minhashSig(col("sh"), 4))
+      .collect()
+    assert(out.head.isNullAt(0))
+  }
+
   test("hamming64 counts differing bits") {
     val df = Seq((0L, -1L), (5L, 4L), (7L, 7L)).toDF("a", "b")
     val out = df.select(VectorExpressions.hamming64(col("a"), col("b")))
