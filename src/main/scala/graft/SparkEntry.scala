@@ -107,6 +107,13 @@ object SparkEntry {
         t(s, d, "events").withColumn("pred",
           get_json_object(col("props"), "$.k").cast("double")))),
 
+    "q_percentiles" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))),
+
     "q_count_distinct" -> ((s, d) =>
       t(s, d, "events").groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"),
@@ -427,6 +434,14 @@ object SparkEntry {
       """SELECT event_type,
                 round(sqrt(avg(pow(value - CAST(json_extract_string(props, '$.k') AS DOUBLE), 2))), 4) AS rmse
          FROM events GROUP BY event_type""",
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+                round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+         FROM lineitem GROUP BY l_returnflag""",
 
     "q_count_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events

