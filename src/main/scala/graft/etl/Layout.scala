@@ -1,0 +1,54 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout levers for 100 TB joins (builder prompt: "broadcast
+  * for small dims, repartition/bucketing for co-located joins, salting
+  * for skew").
+  */
+object Layout {
+
+  /** Write a table bucketed+sorted by the join key: two tables bucketed
+    * the same way join with NO exchange and NO sort at query time (the
+    * shuffle is paid once at write). The layout lever for repeated
+    * fact-fact joins (e.g. lineitem⋈orders at every sf).
+    * Requires a session with a warehouse (any catalogImplementation —
+    * bucket metadata lives in the session catalog). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      key: String, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(buckets, key)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** Salted equi-join for skewed keys: the skewed (big) side gets a
+    * deterministic salt in [0, salts); the small side is replicated
+    * `salts` times; the join key becomes (key, salt), splitting each hot
+    * key's rows across `salts` reducers. Use when one side has hot keys
+    * and broadcast is too big; AQE's skew handling covers the
+    * sort-merge case, this covers aggregation-feeding joins
+    * deterministically.
+    *
+    * Salt is pmod(hash(saltSource), salts) — deterministic, no rand():
+    * reruns and resumed stages produce identical assignments. The
+    * saltSource column must vary WITHIN a key (any per-row attribute —
+    * a row id, a timestamp); a key-constant source degenerates to no
+    * spreading.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salts: Int, saltSource: Column): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(saltSource), lit(salts)))
+    val replicatedSmall = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit(_)): _*)))
+    saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Pre-shuffle co-partitioning without a catalog: repartition both
+    * sides identically by the key so the join reuses the exchange (one
+    * shuffle each instead of planner-chosen re-shuffles downstream when
+    * several joins/aggs share the key). */
+  def copartition(dfs: Seq[DataFrame], key: String, partitions: Int): Seq[DataFrame] =
+    dfs.map(_.repartition(partitions, col(key)))
+}
