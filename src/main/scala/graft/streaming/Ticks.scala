@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -86,6 +86,15 @@ object Ticks {
         .select(col("symbol") +: casted :+
           col("price").cast("double").as("label") :+
           col("timestamp").cast("long").as("timestamp"): _*))
+  }
+
+  /** Typed core (SURVEY §1.3): Dataset[MarketTick] view of a tick frame
+    * — compile-time field safety for per-record logic; convert at job
+    * edges, stay DataFrame inside relational pipelines. */
+  def asTicks(df: DataFrame): Dataset[MarketTick] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.as[MarketTick]
   }
 
   /** S12 — replay source: the captured-stream CSV fixture read with the

@@ -178,5 +178,9 @@ class StreamingSpec extends SparkSpec {
     assert(df.count() == 4440)
     val repaired = Ticks.repairEthSentinels(df)
     assert(repaired.filter(col("price") === -1.0).count() == 0)
+    // typed core round trip
+    val typed = Ticks.asTicks(df)
+    val symbols = typed.map(_.symbol).distinct().collect().toSet
+    assert(symbols.contains("ETHEREUM") && symbols.size >= 4)
   }
 }
