@@ -308,6 +308,15 @@ object SparkEntry {
         "vec_id", "embedding", "label", 5)
     }),
 
+    "q_ivf_knn" -> ((s, d) => {
+      // rows-only: IVF-Flat ANN (k-means quantizer + probed lists);
+      // row count is k x |queries| regardless of clustering outcome
+      val emb = t(s, d, "embeddings")
+      val index = Similarity.buildIvf(emb, "vec_id", "embedding", nlist = 16)
+      Similarity.ivfKnn(emb.filter(col("vec_id") < 10), index,
+        "vec_id", "embedding", 5, nProbe = 4)
+    }),
+
     "q_lsh_knn" -> ((s, d) => {
       // Rows-only: LSH recall path (bucket join, not full scan).
       val emb = t(s, d, "embeddings")

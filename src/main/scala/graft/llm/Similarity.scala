@@ -78,6 +78,61 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** IVF (inverted-file) ANN index: k-means coarse quantizer assigns
+    * each corpus vector to its nearest of `nlist` centroids; queries
+    * probe the `nProbe` nearest lists and exact-score only those
+    * members. The industry-standard ANN layout (FAISS IVF-Flat shape) —
+    * vs LSH it adapts to the data distribution; the corpus scan per
+    * query drops to ~nProbe/nlist of the data, and the partition key
+    * (list id) is a plain equi-join key at cluster scale. */
+  final case class IvfIndex(
+      centroids: Array[(Int, Array[Double])],
+      indexed: DataFrame /* corpus + list_id */)
+
+  def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val feats = corpus.select(col(idCol), col(vecCol),
+      array_to_vector(graft.functions.Vectors.asDouble(col(vecCol)))
+        .as("__features"))
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("__features")
+      .setPredictionCol("list_id")
+    val model = km.fit(feats)
+    val indexed = model.transform(feats).drop("__features")
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+    IvfIndex(cents, indexed)
+  }
+
+  /** ANN search over an IVF index: per query, rank centroids by cosine
+    * on the driver-held centroid table (tiny: nlist x dim), explode the
+    * nProbe probed list ids, equi-join the inverted lists, exact-score,
+    * top-k via the bounded-heap aggregator. */
+  def ivfKnn(queries: DataFrame, index: IvfIndex,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(index.centroids.toSeq
+      .map { case (i, c) => (i, c.toSeq) }.toDF("list_id", "centroid"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probed = q.crossJoin(centDf)
+      .withColumn("csim", graft.plans.VectorExpressions.cosineSim(
+        graft.functions.Vectors.asDouble(col("qv")), col("centroid")))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(nProbe, col("csim"),
+        col("list_id").cast("long")).as("lists"))
+      .select(col("query_id"), explode(col("lists._2")).as("list_id"))
+      .join(broadcast(q), "query_id")
+    val c = index.indexed.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), col("list_id").cast("long").as("list_id"))
+    val scored = probed.join(c, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        graft.plans.VectorExpressions.cosineSim(col("qv"), col("cv")))
+    topKPerQuery(scored, k)
+  }
+
   /** kNN label agreement: for each query, how many of its top-k exact
     * neighbors (searched over the full corpus) share its label
     * (embedding-space cluster sanity metric). Output: (query_id, n_agree). */

@@ -85,6 +85,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.isEmpty || lsh.head == brute)
   }
 
+  test("ivfKnn with full probing matches brute force; partial probing is a subset") {
+    val rnd = new scala.util.Random(11)
+    // 3 well-separated clusters in 8 dims
+    def cluster(center: Int, n: Int, off: Long) = (0 until n).map { i =>
+      (off + i, Seq.tabulate(8)(j =>
+        (if (j == center) 10.0 else 0.0).toFloat + rnd.nextFloat() * 0.1f))
+    }
+    val corpus = (cluster(0, 30, 0L) ++ cluster(3, 30, 100L) ++
+      cluster(6, 30, 200L)).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id").isin(0L, 100L, 200L))
+    val index = Similarity.buildIvf(corpus, "vec_id", "embedding", nlist = 3)
+    val brute = Similarity.bruteForceKnn(queries, corpus, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fullProbe = Similarity.ivfKnn(queries, index, "vec_id", "embedding",
+      5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fullProbe == brute)
+    val oneProbe = Similarity.ivfKnn(queries, index, "vec_id", "embedding",
+      5, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // tight clusters: probing only the home list still finds the same top-5
+    assert(oneProbe == brute)
+  }
+
   test("knnLabelAgreement scores cluster members by shared labels") {
     val out = Similarity.knnLabelAgreement(
       vecs.filter(col("vec_id") === 0L), vecs,
