@@ -98,6 +98,11 @@ object SparkEntry {
       Aggregates.pearson(Seq("l_returnflag"), "l_quantity",
         "l_extendedprice", 6)(t(s, d, "lineitem"))),
 
+    "q_corr_matrix" -> ((s, d) =>
+      Aggregates.corrMatrix(
+        Seq("l_quantity", "l_extendedprice", "l_discount"))(
+        t(s, d, "lineitem"))),
+
     "q_spearman" -> ((s, d) =>
       Aggregates.spearmanMinRank("l_quantity", "l_extendedprice", 6)(
         t(s, d, "lineitem"))),
@@ -432,6 +437,19 @@ object SparkEntry {
     "q_corr_pearson" ->
       """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr
          FROM lineitem GROUP BY l_returnflag""",
+
+    "q_corr_matrix" ->
+      """WITH pairs AS (
+           SELECT 'l_quantity' AS metric_a, 'l_quantity' AS metric_b, corr(l_quantity, l_quantity) AS c FROM lineitem
+           UNION ALL SELECT 'l_quantity', 'l_extendedprice', corr(l_quantity, l_extendedprice) FROM lineitem
+           UNION ALL SELECT 'l_quantity', 'l_discount', corr(l_quantity, l_discount) FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', 'l_quantity', corr(l_extendedprice, l_quantity) FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', 'l_extendedprice', corr(l_extendedprice, l_extendedprice) FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', 'l_discount', corr(l_extendedprice, l_discount) FROM lineitem
+           UNION ALL SELECT 'l_discount', 'l_quantity', corr(l_discount, l_quantity) FROM lineitem
+           UNION ALL SELECT 'l_discount', 'l_extendedprice', corr(l_discount, l_extendedprice) FROM lineitem
+           UNION ALL SELECT 'l_discount', 'l_discount', corr(l_discount, l_discount) FROM lineitem)
+         SELECT metric_a, metric_b, round(c, 6) AS corr FROM pairs""",
 
     "q_spearman" ->
       """SELECT round(corr(rx, ry), 6) AS spearman FROM (

@@ -83,6 +83,30 @@ object Aggregates {
       .head.getAs[org.apache.spark.ml.linalg.Matrix](0)(0, 1)
   }
 
+  /** A6 — full correlation matrix over a metric column set, one pass
+    * (the dashboard computes pandas `corr()` matrices per symbol:
+    * `app_2 NEW with joined.py:314-315,371-372`). method: "pearson" or
+    * "spearman" (distributed ranking via ml.stat). Returns tidy rows
+    * (metric_a, metric_b, corr) for all ordered pairs. */
+  def corrMatrix(metrics: Seq[String], method: String = "pearson",
+      scale: Int = 6)(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(metrics.toArray).setOutputCol("__v")
+      .setHandleInvalid("skip")
+      .transform(df.select(metrics.map(m => col(m).cast("double")): _*))
+    val m = org.apache.spark.ml.stat.Correlation.corr(assembled, "__v", method)
+      .head.getAs[org.apache.spark.ml.linalg.Matrix](0)
+    val rows = for {
+      i <- metrics.indices
+      j <- metrics.indices
+    } yield (metrics(i), metrics(j),
+      BigDecimal(m(i, j)).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    rows.toDF("metric_a", "metric_b", "corr")
+  }
+
   /** A11 — RMSE between a prediction and a label column, grouped.
     * Reference: `app_2 NEW with joined.py:235-236`
     * (`sqrt(mean((pred-label)**2))`).

@@ -33,6 +33,15 @@ class JoinsSpec extends SparkSpec {
     assert(out.getAs[String]("rv2") == "x")
   }
 
+  test("asOfJoin: empty right side and all-late right side yield no rows") {
+    val left = Seq(("a", ts(5), 1L)).toDF("k", "t", "lid")
+    val emptyRight = Seq.empty[(String, java.sql.Timestamp, String)]
+      .toDF("k", "rt", "tag")
+    assert(Joins.asOfJoin(left, emptyRight, Seq("k"), "t", "rt").count() == 0)
+    val lateRight = Seq(("a", ts(99), "r")).toDF("k", "rt", "tag")
+    assert(Joins.asOfJoin(left, lateRight, Seq("k"), "t", "rt").count() == 0)
+  }
+
   test("rangeJoin pairs points with containing intervals") {
     val pts = Seq(("a", 5), ("a", 15), ("b", 5)).toDF("k", "p")
     val ivs = Seq(("a", 0, 10, "lo"), ("a", 10, 20, "hi"))

@@ -86,6 +86,22 @@ class RelationalSpec extends SparkSpec {
     assert(r == 1.0)
   }
 
+  test("corrMatrix emits symmetric tidy pairs with unit diagonal") {
+    val df = (1 to 50).map(i =>
+      (i.toDouble, i * 2.0, 50.0 - i)).toDF("x", "y", "z")
+    val m = Aggregates.corrMatrix(Seq("x", "y", "z"))(df)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+      .toMap
+    assert(m(("x", "x")) == 1.0 && m(("y", "y")) == 1.0)
+    assert(m(("x", "y")) == 1.0)   // perfectly correlated
+    assert(m(("x", "z")) == -1.0)  // perfectly anti-correlated
+    assert(m(("x", "y")) == m(("y", "x")))
+    val sp = Aggregates.corrMatrix(Seq("x", "y"), "spearman")(df)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2)))
+      .toMap
+    assert(sp(("x", "y")) == 1.0)
+  }
+
   test("spearmanDistributed agrees with min-rank variant on tie-free data") {
     val df = Seq((1.0, 10.0), (2.0, 30.0), (3.0, 20.0), (4.0, 40.0),
       (5.0, 35.0)).toDF("x", "y")

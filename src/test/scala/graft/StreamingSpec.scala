@@ -171,6 +171,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ParquetKeyedStore survives a leftover .tmp from a crashed write") {
+    val dir = tmpDir("crash") + "/t"
+    val store = new ParquetKeyedStore(dir, Seq("k"), "v")
+    store.upsert(Seq(("a", 1L)).toDF("k", "v"))
+    // simulate a crash that left a stale tmp dir behind
+    val tmp = new java.io.File(dir + ".tmp")
+    tmp.mkdirs()
+    new java.io.File(tmp, "garbage").createNewFile()
+    store.upsert(Seq(("a", 2L), ("b", 1L)).toDF("k", "v"))
+    val out = store.read(spark).orderBy("k")
+      .select("k", "v").as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("a", 2L), ("b", 1L)))
+  }
+
   test("csv fixture replays through the declared schema") {
     val fixture = "/root/reference/Deliverable_3/kafka_messages.csv"
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(fixture)))
