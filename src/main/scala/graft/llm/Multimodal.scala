@@ -80,6 +80,24 @@ object Multimodal {
       }(enc)
   }
 
+  /** Image-resize plumbing: recompute typed dimension metadata for a
+    * target box (aspect-preserving fit) and pass the payload through the
+    * STUB transcode. The geometry math is real and tested; only the
+    * pixel operation is faked (no imaging libs in this container). */
+  def resizeImages(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val scale = least(
+      lit(maxW.toDouble) / col("width"), lit(maxH.toDouble) / col("height"),
+      lit(1.0))
+    media.filter(col("media_type") === "image" &&
+        col("width").isNotNull && col("height").isNotNull &&
+        col("width") > 0 && col("height") > 0)
+      .withColumn("out_width", floor(col("width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+      // STUB transcode: a real impl decodes+rescales payload bytes here
+      .withColumn("out_payload", col("payload"))
+      .select("media_id", "out_width", "out_height", "out_payload")
+  }
+
   /** Video frame-sampling plumbing: emit one row per sampled frame
     * index (every `everyMs` within duration) — the decode of each frame
     * is the same stub. Shows the explode-then-decode shape without

@@ -119,6 +119,20 @@ class EtlMultimodalSpec extends SparkSpec {
     assert(rows(0).getSeq[Float](4) == again(0).getSeq[Float](4))
   }
 
+  test("resizeImages computes aspect-preserving fit, never upscales") {
+    val media = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, "image", "img".getBytes, 4000, 2000, null),
+        Row(2L, "image", "img".getBytes, 100, 50, null),
+        Row(3L, "audio", "aud".getBytes, null, null, 1000L)),
+      Multimodal.mediaSchema)
+    val out = Multimodal.resizeImages(media, 1024, 1024)
+      .orderBy("media_id").collect()
+    assert(out.length == 2) // audio filtered out
+    assert(out(0).getInt(1) == 1024 && out(0).getInt(2) == 512)
+    assert(out(1).getInt(1) == 100 && out(1).getInt(2) == 50) // no upscale
+  }
+
   test("sampleFrames explodes frame indices without payload bytes downstream") {
     val media = spark.createDataFrame(
       java.util.List.of(Row(7L, "video", "vid".getBytes, null, null, 2500L)),

@@ -171,6 +171,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionAgg emits closed sessions in streaming append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ticks.MarketTickTuple]
+    val in = Ticks.withEventTime(mem.toDF().toDF("symbol", "timestamp",
+      "source", "data_type", "bid", "ask", "price", "volume", "spread_raw",
+      "spread_table", "volatility", "market_sentiment", "trading_activity"))
+    val sessions = StreamOps.sessionAgg("event_time", "5 minutes",
+      Seq("symbol"), Seq(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")),
+      watermark = Some("1 minute"))(in)
+    val q = sessions.writeStream.format("memory").queryName("sess_t")
+      .outputMode("append").start()
+    try {
+      // session 1: two ticks 1 min apart; then a tick far later closes it
+      mem.addData(tick("XOM", base, 10.0), tick("XOM", base + 60000L, 11.0))
+      q.processAllAvailable()
+      mem.addData(tick("XOM", base + 3600000L, 12.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_t")
+      assert(out.count() == 1) // first session closed, second still open
+      val r = out.collect().head
+      assert(r.getAs[Long]("n") == 2L)
+    } finally q.stop()
+  }
+
   test("ParquetKeyedStore survives a leftover .tmp from a crashed write") {
     val dir = tmpDir("crash") + "/t"
     val store = new ParquetKeyedStore(dir, Seq("k"), "v")
