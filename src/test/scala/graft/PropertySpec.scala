@@ -67,6 +67,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("windowed agg: batch plan == streaming plan on random tick feeds") {
+    import graft.streaming.{StreamOps, Ticks}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1736081400000L
+    val tickGen = for {
+      off <- Gen.chooseNum(0L, 3600000L)
+      price <- Gen.chooseNum(10.0, 500.0)
+      vol <- Gen.chooseNum(100.0, 1e6)
+    } yield ("XOM", base + off, "YLIFE_FEED", "MARKET_DATA", -1.0, -1.0,
+      price, vol, -1.0, -1.0, 0.4, 0.1, 50.0): Ticks.MarketTickTuple
+    samples(Gen.listOfN(40, tickGen), n = 3).zipWithIndex.foreach {
+      case (rows, i) =>
+        val cols = Seq("symbol", "timestamp", "source", "data_type", "bid",
+          "ask", "price", "volume", "spread_raw", "spread_table",
+          "volatility", "market_sentiment", "trading_activity")
+        val batch = StreamOps.windowedFeatureAvg(streaming = false)(
+          Ticks.modelInput("XOM")(rows.toDF(cols: _*)))
+          .orderBy("window_start").collect().map(_.toSeq)
+        val mem = MemoryStream[Ticks.MarketTickTuple]
+        mem.addData(rows)
+        val q = StreamOps.windowedFeatureAvg()(
+          Ticks.modelInput("XOM")(mem.toDF().toDF(cols: _*)))
+          .writeStream.format("memory").queryName(s"prop_wfa_$i")
+          .outputMode("complete").start()
+        try {
+          q.processAllAvailable()
+          val stream = spark.table(s"prop_wfa_$i")
+            .orderBy("window_start").collect().map(_.toSeq)
+          assert(batch.length == stream.length)
+          batch.zip(stream).foreach { case (br, sr) =>
+            br.zip(sr).foreach {
+              case (x: Double, y: Double) => assert(math.abs(x - y) < 1e-9)
+              case (x, y) => assert(x == y)
+            }
+          }
+        } finally q.stop()
+    }
+  }
+
   test("ngramJaccardPairs is ordered (id_a < id_b) and bounded in [0,1]") {
     samples(Gen.listOfN(4, docGen)).foreach { docs =>
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
