@@ -310,6 +310,12 @@ object SparkEntry {
       Dedup.simhashFrame(t(s, d, "documents"), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")),
 
+    "q_winnowed_overlap" -> ((s, d) =>
+      // rows-only: MOSS winnowing partial-overlap pairs (xxhash64-based
+      // fingerprints not expressible in the oracle engine)
+      Dedup.winnowedOverlapPairs(t(s, d, "documents"), "doc_id", "text",
+        k = 12, w = 6, minShared = 3)),
+
     "q_simhash_near_dups" -> ((s, d) =>
       // rows-only: pigeonhole-banded hamming<=6 pairs over simhash
       // (xxhash64-based signature not expressible in the oracle engine)

@@ -61,6 +61,40 @@ object Text {
       transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): hash every character k-gram of the normalized text,
+    * then keep the minimum hash of each w-wide window of consecutive
+    * k-gram hashes. Guarantees any shared substring of length >= w+k-1
+    * contributes at least one common fingerprint — the partial-overlap
+    * detector that whole-document md5 cannot be. Returns a distinct
+    * array of fingerprint hashes.
+    *
+    * Staged-column note applies (lambda CSE): pass a MATERIALIZED
+    * normalized-text column for table-scale use. */
+  /** k-gram hash array of an ALREADY-MATERIALIZED normalized-text
+    * column (stage 1 of winnowing). */
+  def kgramHashes(norm: Column, k: Int): Column = {
+    val nGrams = greatest(length(norm) - (k - 1), lit(0))
+    transform(
+      when(nGrams > 0, sequence(lit(1), nGrams)).otherwise(array()),
+      i => xxhash64(norm.substr(i, lit(k))))
+  }
+
+  /** Window-minimum selection over an ALREADY-MATERIALIZED k-gram hash
+    * array column (stage 2 of winnowing). */
+  def winnowMins(grams: Column, w: Int): Column = {
+    val nWins = greatest(size(grams) - (w - 1), lit(0))
+    array_distinct(transform(
+      when(nWins > 0, sequence(lit(1), nWins)).otherwise(array()),
+      i => array_min(slice(grams, i, lit(w)))))
+  }
+
+  /** Column convenience form for small/single-use contexts; for table
+    * scale, stage [[kgramHashes]] and [[winnowMins]] over materialized
+    * columns (lambda CSE — see shinglesFromTokens). */
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
+    winnowMins(kgramHashes(lower(normWs(text)), k), w)
+
   // --- quality scoring (length / punctuation / stopword ratios) ---
 
   val stopwords: Seq[String] = Seq(

@@ -159,6 +159,25 @@ object Dedup {
   def simhash(text: Column): Column =
     simhashFromHashes(transform(Text.tokens(lower(text)), t => xxhash64(t)))
 
+  /** Winnowing-overlap pairs (MOSS): docs sharing >= minShared winnowed
+    * fingerprints. Detects PARTIAL overlap (any shared substring of
+    * length >= w+k-1 yields a common fingerprint) — the copied-passage
+    * detector that whole-doc fingerprints miss. Staged projections per
+    * the lambda-CSE rule; candidate generation is the usual
+    * shared-fingerprint equi-join. */
+  def winnowedOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 2): DataFrame = {
+    val fps = df
+      .select(col(idCol).as("id"), lower(Text.normWs(col(textCol))).as("__norm"))
+      .select(col("id"), Text.kgramHashes(col("__norm"), k).as("__grams"))
+      .select(col("id"), explode(Text.winnowMins(col("__grams"), w)).as("fp"))
+    val inter = fps.select(col("fp"), col("id").as("id_a"))
+      .join(fps.select(col("fp"), col("id").as("id_b")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    inter.filter(col("n_shared") >= minShared)
+  }
+
   /** SimHash near-duplicate pairs with hamming distance <= maxHamming,
     * by pigeonhole banding: split the 64-bit signature into
     * (maxHamming+1) blocks — any pair within distance d must agree on

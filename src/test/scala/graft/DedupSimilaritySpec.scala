@@ -48,6 +48,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!out.contains((0L, 3L)))
   }
 
+  test("winnowedOverlapPairs detects a copied passage inside different docs") {
+    val passage = "the five boxing wizards jump quickly over the lazy dog tonight"
+    val d = Seq(
+      (0L, s"totally unrelated preamble here $passage and some trailing words"),
+      (1L, s"$passage but wrapped in an entirely different document body text"),
+      (2L, "no shared content at all in this one just plain filler words"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowedOverlapPairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"copied passage not detected: $pairs")
+    assert(!pairs.exists { case (a, b) => b == 2L || a == 2L })
+  }
+
   test("simhashNearDups finds near-identical docs via pigeonhole bands") {
     val out = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
