@@ -314,7 +314,7 @@ object SparkEntry {
       // rows-only: MOSS winnowing partial-overlap pairs (xxhash64-based
       // fingerprints not expressible in the oracle engine)
       Dedup.winnowedOverlapPairs(t(s, d, "documents"), "doc_id", "text",
-        k = 12, w = 6, minShared = 3)),
+        k = 24, w = 12, minShared = 3)),
 
     "q_simhash_near_dups" -> ((s, d) =>
       // rows-only: pigeonhole-banded hamming<=6 pairs over simhash

@@ -169,8 +169,8 @@ object Dedup {
       k: Int = 8, w: Int = 4, minShared: Int = 2): DataFrame = {
     val fps = df
       .select(col(idCol).as("id"), lower(Text.normWs(col(textCol))).as("__norm"))
-      .select(col("id"), Text.kgramHashes(col("__norm"), k).as("__grams"))
-      .select(col("id"), explode(Text.winnowMins(col("__grams"), w)).as("fp"))
+      .select(col("id"),
+        explode(graft.plans.Winnow.winnowFp(col("__norm"), k, w)).as("fp"))
     val inter = fps.select(col("fp"), col("id").as("id_a"))
       .join(fps.select(col("fp"), col("id").as("id_b")), "fp")
       .filter(col("id_a") < col("id_b"))
