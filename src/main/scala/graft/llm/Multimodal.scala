@@ -105,7 +105,9 @@ object Multimodal {
     * but dropped in the same projection. */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
     media
-      .filter(col("media_type") === "video" && col("duration_ms").isNotNull)
+      // duration_ms > 0 also guards the sequence() bounds: duration 0
+      // would make (start 0, stop -1, step +everyMs) illegal at runtime
+      .filter(col("media_type") === "video" && col("duration_ms") > 0)
       .select(col("media_id"), col("payload"),
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs)))
           .as("frame_ms"))

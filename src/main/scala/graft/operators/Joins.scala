@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Join operators beyond plain equi-joins (SURVEY.md §2.3 notes the
   * reference surface is J1–J5; as-of and range joins are engine
@@ -31,40 +32,39 @@ object Joins {
     val rightVals = right.columns.filterNot(c =>
       keys.contains(c) || c == rightTime)
     val timeType = right.schema(rightTime).dataType
+    // The whole right row travels as ONE struct (match time + value
+    // columns) so every attached column comes from the same matched
+    // right row — per-column last(_, ignoreNulls) would skip over a
+    // null value column and mix columns of different right rows.
+    val rowType = StructType(
+      StructField("__rt", timeType) +:
+      rightVals.map(c => StructField(c, right.schema(c).dataType)))
     val lTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-      .withColumn("__rt", lit(null).cast(timeType))
-    val lAligned = rightVals.foldLeft(lTagged)((df, c) =>
-      df.withColumn(s"__r_$c", lit(null).cast(
-        right.schema(c).dataType)))
+      .withColumn("__rrow", lit(null).cast(rowType))
     val rTagged = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
-      .withColumn("__rt", col(rightTime))
-    val rAligned = rightVals.foldLeft(rTagged)((df, c) =>
-      df.withColumn(s"__r_$c", col(c)))
+      .withColumn("__rrow", struct(
+        (col(rightTime).as("__rt") +: rightVals.map(col)): _*))
     val lCols = left.columns.map(col) ++
-      Seq(col("__t"), col("__side"), col("__rt")) ++
-      rightVals.map(c => col(s"__r_$c"))
+      Seq(col("__t"), col("__side"), col("__rrow"))
     val rCols = left.columns.map(c =>
       if (keys.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) ++
-      Seq(col("__t"), col("__side"), col("__rt")) ++
-      rightVals.map(c => col(s"__r_$c"))
-    val unioned = lAligned.select(lCols: _*)
-      .unionByName(rAligned.select(rCols: _*))
+      Seq(col("__t"), col("__side"), col("__rrow"))
+    val unioned = lTagged.select(lCols: _*)
+      .unionByName(rTagged.select(rCols: _*))
     // right rows (side 0) sort before left rows (side 1) at equal
     // timestamps => <= semantics
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = (rightVals.map(c =>
-      last(col(s"__r_$c"), ignoreNulls = true).over(w).as(c)) :+
-      last(col("__rt"), ignoreNulls = true).over(w).as(s"__matched_$rightTime"))
-    val out = unioned.select(
-      (unioned.columns.filterNot(_.startsWith("__r_")).map(col) ++ carried): _*)
-    out.filter(col("__side") === 1 && col(s"__matched_$rightTime").isNotNull)
-      .drop("__t", "__side", "__rt", s"__matched_$rightTime")
+    unioned
+      .withColumn("__m", last(col("__rrow"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__m").isNotNull)
+      .select(left.columns.map(col) ++
+        rightVals.map(c => col("__m").getField(c).as(c)): _*)
   }
 
   /** Range join: pair rows where `leftPoint` falls inside the right

@@ -22,7 +22,9 @@ import org.apache.spark.sql.types._
   */
 
 /** cosine(a, b) over two array<float>/array<double> columns; null if
-  * either side is null, different length, or zero-norm. */
+  * either side is null, different length, zero-norm, or contains a null
+  * element (null propagates, like Spark built-ins; the element null
+  * check is only emitted when the input type says containsNull). */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
 
@@ -44,15 +46,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def elemsNullable: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+    right.dataType.asInstanceOf[ArrayType].containsNull
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = x.numElements()
     if (n != y.numElements()) return null
     val xf = elemIsFloat(left); val yf = elemIsFloat(right)
+    val checkNulls = elemsNullable
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; nx += xi * xi; ny += yi * yi
@@ -74,19 +82,26 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       val denom = ctx.freshName("denom")
+      val hasNullElem = ctx.freshName("hasNullElem")
+      val nullCheck =
+        if (elemsNullable)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { $hasNullElem = true; break; }"
+        else ""
       s"""
         |final int $n = $x.numElements();
         |if ($n != $y.numElements()) {
         |  ${ev.isNull} = true;
         |} else {
         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+        |  boolean $hasNullElem = false;
         |  for (int $i = 0; $i < $n; $i++) {
+        |    $nullCheck
         |    final double $xi = (double) $x.$xGet($i);
         |    final double $yi = (double) $y.$yGet($i);
         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
         |  }
         |  final double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
-        |  if ($denom == 0.0) { ${ev.isNull} = true; }
+        |  if ($hasNullElem || $denom == 0.0) { ${ev.isNull} = true; }
         |  else { ${ev.value} = $dot / $denom; }
         |}
       """.stripMargin

@@ -23,9 +23,13 @@ trait KeyedStore {
   *
   * Merge = union(current, batch) then keep the max-`versionCol` row per
   * key (last-writer-wins, like a Cassandra PK write). The swap is
-  * write-new-then-rename for crash safety; concurrent writers need an
-  * external lock (documented at-least-once, matching the reference's
-  * checkpointed foreachBatch which can replay a batch on restart).
+  * write-new-then-rename for crash safety. `upsert` is synchronized on
+  * the store instance: all foreachBatch writers run in the one driver
+  * JVM, so the instance lock serializes concurrent queries sharing a
+  * store (e.g. StreamJobs' predictor + labelUpdater). Cross-JVM writers
+  * would still need an external lock. Semantics are at-least-once,
+  * matching the reference's checkpointed foreachBatch which can replay
+  * a batch on restart.
   *
   * 100 TB note: this full-rewrite merge is correct but O(store) per
   * batch — it is the local-mode stand-in. The scale path is a
@@ -41,7 +45,7 @@ final class ParquetKeyedStore(
   override def read(spark: SparkSession): DataFrame =
     spark.read.parquet(path)
 
-  override def upsert(batch: DataFrame): Unit = {
+  override def upsert(batch: DataFrame): Unit = synchronized {
     val spark = batch.sparkSession
     val merged =
       if (!exists) batch

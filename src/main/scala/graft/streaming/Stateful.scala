@@ -23,9 +23,15 @@ object Stateful {
 
   /** EWMA with smoothing `alpha`, emitted per input record. Works on a
     * streaming OR batch Dataset[PricePoint] grouped by symbol (batch
-    * runs the same function via mapGroups semantics in tests). */
+    * runs the same function via mapGroups semantics in tests).
+    *
+    * With `ProcessingTimeTimeout` the key's state is dropped after
+    * `timeoutMs` of inactivity; with `EventTimeTimeout` after the
+    * watermark passes last-seen + `timeoutMs` (requires an upstream
+    * `withWatermark`). */
   def ewmaPerSymbol(points: Dataset[PricePoint], alpha: Double,
-      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      timeoutMs: Long = 600000L)
       : Dataset[EwmaOut] = {
     import points.sparkSession.implicits._
     points
@@ -48,6 +54,10 @@ object Stateful {
               EwmaOut(symbol, p.timestamp, p.price, st.ewma, st.n)
             }
             state.update(st)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration(timeoutMs)
+            else if (timeout == GroupStateTimeout.EventTimeTimeout)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeoutMs)
             out.iterator
           }
       }

@@ -142,4 +142,15 @@ class EtlMultimodalSpec extends SparkSpec {
       Seq(0L, 1000L, 2000L))
     assert(!out.columns.contains("payload"))
   }
+
+  test("sampleFrames skips zero/null-duration videos instead of failing") {
+    val media = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, "video", "v1".getBytes, null, null, 0L),
+        Row(2L, "video", "v2".getBytes, null, null, null),
+        Row(3L, "video", "v3".getBytes, null, null, 1500L)),
+      Multimodal.mediaSchema)
+    val out = Multimodal.sampleFrames(media, 1000L).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(3L))
+  }
 }

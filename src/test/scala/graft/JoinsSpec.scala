@@ -33,6 +33,19 @@ class JoinsSpec extends SparkSpec {
     assert(out.getAs[String]("rv2") == "x")
   }
 
+  test("asOfJoin attaches the whole matched right row, nulls included") {
+    // the most recent right row has a NULL value column — the output
+    // must take that null, not reach back to an older row's value
+    val left = Seq(("a", ts(30), 1L)).toDF("k", "t", "lid")
+    val right = Seq(
+      ("a", ts(10), Some(100L), "old"),
+      ("a", ts(20), None: Option[Long], "new"))
+      .toDF("k", "rt", "rv1", "rv2")
+    val out = Joins.asOfJoin(left, right, Seq("k"), "t", "rt").collect().head
+    assert(out.isNullAt(out.fieldIndex("rv1")))
+    assert(out.getAs[String]("rv2") == "new")
+  }
+
   test("asOfJoin: empty right side and all-late right side yield no rows") {
     val left = Seq(("a", ts(5), 1L)).toDF("k", "t", "lid")
     val emptyRight = Seq.empty[(String, java.sql.Timestamp, String)]

@@ -27,4 +27,41 @@ class StatefulSpec extends SparkSpec {
       assert(out.filter(_.symbol == "XOM").map(_.n).toSeq == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("ewmaPerSymbol drops state after a processing-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[PricePoint]
+    // NOTE: with ProcessingTimeTimeout the engine keeps running no-data
+    // batches (shouldRunAnotherBatch is always true once wall-clock
+    // advances), so processAllAvailable() never sees "no new data" and
+    // would block forever — synchronize by polling the sink instead.
+    val q = Stateful.ewmaPerSymbol(mem.toDS(), alpha = 0.5,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      timeoutMs = 200L)
+      .writeStream.format("memory").queryName("ewma_to")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      .start()
+    def xomRows(): Seq[EwmaOut] = spark.table("ewma_to").as[EwmaOut]
+      .collect().filter(_.symbol == "XOM").sortBy(_.timestamp).toSeq
+    def awaitSink(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 30000L
+      while (xomRows().size < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(50L)
+      assert(xomRows().size == n, s"sink never reached $n XOM rows")
+    }
+    try {
+      mem.addData(PricePoint("XOM", 1L, 100.0))
+      awaitSink(1)
+      // the continuous no-data batches fire XOM's 200ms inactivity
+      // timeout on their own; wait well past it before the next tick
+      Thread.sleep(1500L)
+      mem.addData(PricePoint("XOM", 2L, 200.0))
+      awaitSink(2)
+      val xom = xomRows()
+      // fresh state after the timeout: ewma restarts at the raw price
+      assert(xom.map(_.ewma) == Seq(100.0, 200.0))
+      assert(xom.map(_.n) == Seq(1L, 1L))
+    } finally q.stop()
+  }
 }

@@ -139,6 +139,27 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(("BP", 20.0), ("COP", 30.0), ("XOM", 99.0)))
   }
 
+  test("ParquetKeyedStore.upsert is safe under concurrent writers") {
+    // StreamJobs wires two foreachBatch writers (predictor +
+    // labelUpdater) to one store in the same driver JVM — the
+    // instance-level lock must serialize them with no lost updates
+    val dir = tmpDir("store-conc") + "/t"
+    val store = new ParquetKeyedStore(dir, Seq("k"), "v")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        try {
+          (0 until 5).foreach { i =>
+            store.upsert(Seq((s"k-$t-$i", 1L)).toDF("k", "v"))
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, errors)
+    assert(store.read(spark).count() == 10L)
+  }
+
   test("watermark drops late data in append mode (T1/T7 semantics)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ticks.MarketTickTuple]

@@ -33,6 +33,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(0)))
   }
 
+  test("CosineSimilarity propagates null elements as a null result") {
+    val df = Seq(
+      (Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))),
+      (Seq(Some(1.0f), Some(2.0f)), Seq(Some(3.0f), Some(4.0f))))
+      .toDF("a", "b")
+    val cg = df.select(VectorExpressions.cosineSim(col("a"), col("b")))
+      .collect()
+    assert(cg(0).isNullAt(0))
+    assert(!cg(1).isNullAt(0))
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(VectorExpressions.cosineSim(col("a"), col("b")))
+        .collect()
+      assert(interp(0).isNullAt(0))
+      assert(!interp(1).isNullAt(0))
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+  }
+
   test("CosineSimilarity codegen path == interpreted path") {
     val df = (1 to 50).map(i =>
       (Seq.tabulate(8)(j => (i * j % 7).toFloat),
