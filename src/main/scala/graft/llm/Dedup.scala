@@ -58,19 +58,35 @@ object Dedup {
     * One shuffle on band hash; bucket sizes bounded by banding, not data
     * size. */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
-    val k = bands * rowsPerBand
-    val sig = signatureFrame(df, idCol, textCol, shingleN, k)
+      shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
+    lshCandidatesFromSig(
+      signatureFrame(df, idCol, textCol, shingleN, bands * rowsPerBand),
+      bands, rowsPerBand)
+
+  /** Banding over an existing (id, sig) frame — lets callers that also
+    * need the signatures elsewhere (e.g. [[minhashClusters]]) build
+    * them once. */
+  def lshCandidatesFromSig(sig: DataFrame,
+      bands: Int, rowsPerBand: Int): DataFrame = {
     val banded = sig.select(col("id"), posexplode(
       array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
           slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
       }: _*)).as(Seq("band", "band_hash")))
-    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"))
-    l.join(r, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // Bucket-and-combine instead of a self-join: group by (band,
+    // band_hash), collect the member ids, emit pairs from two
+    // codegen'd Generates. One shuffle, and the minhash pipeline is
+    // evaluated ONCE — a self-join evaluates it per side (AQE does not
+    // reuse the alias-twin exchanges), a broadcast per side too.
+    val buckets = banded.groupBy("band", "band_hash")
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    buckets
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
+          .as("id_b"))
+      .distinct()
   }
 
   /** MinHash near-dup clusters: candidates filtered by estimated Jaccard
@@ -82,8 +98,15 @@ object Dedup {
       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       minEstJaccard: Double = 0.7): DataFrame = {
     val k = bands * rowsPerBand
+    // The signature frame feeds three plan branches (banding + the two
+    // id-keyed verify joins, which hash by different keys so no
+    // exchange is reusable). Persist it: (id, k longs) per doc —
+    // orders of magnitude smaller than the text it derives from, the
+    // same trade Spark ML's MinHashLSH makes when it caches transformed
+    // input. Spills to disk if it outgrows executor memory.
     val sig = signatureFrame(df, idCol, textCol, shingleN, k)
-    val cands = lshCandidates(df, idCol, textCol, shingleN, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = lshCandidatesFromSig(sig, bands, rowsPerBand)
     val est = cands
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
@@ -111,12 +134,22 @@ object Dedup {
   def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       minEstJaccard: Double = 0.7): DataFrame = {
-    val exactKeep = exact(df, idCol, textCol).select(col("canonical_id").as("id"))
-    val exactKept = df.join(exactKeep.withColumnRenamed("id", idCol), idCol)
+    // The exact-keep id set is tiny (one id per distinct text) and
+    // feeds several branches below — persist it so the md5 fingerprint
+    // aggregation over the full text runs exactly once. All filtering
+    // joins are left_semi: they never widen rows with join-side
+    // columns, and a semi join on a small id set broadcasts.
+    val exactKeep = exact(df, idCol, textCol)
+      .select(col("canonical_id").as(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactKept = df.join(exactKeep, Seq(idCol), "left_semi")
     val clusters = minhashClusters(exactKept, idCol, textCol,
       shingleN, bands, rowsPerBand, minEstJaccard)
-    val keep = clusters.filter(col("id") === col("cluster_id")).select("id")
-    exactKept.join(keep.withColumnRenamed("id", idCol), idCol)
+    val keep = clusters.filter(col("id") === col("cluster_id"))
+      .select(col("id").as(idCol))
+    // keep ⊆ exactKeep ids, so filtering the ORIGINAL frame by `keep`
+    // equals filtering exactKept — and skips re-deriving exactKept
+    df.join(keep, Seq(idCol), "left_semi")
   }
 
   /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket join,
@@ -129,6 +162,10 @@ object Dedup {
     val ps = graft.llm.Similarity.planes(nBits, dim, seed)
     val side = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       graft.functions.Vectors.hyperplaneBucket(col(vecCol), ps).as("bucket"))
+    // NO shuffle_hash here (unlike simhashNearDups): nBits is small so
+    // the join key has only 2^nBits distinct values — a shuffle join
+    // collapses parallelism onto few partitions; broadcasting the
+    // bucketed side keeps the probe fully parallel
     side.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
       .join(side.select(col("bucket"), col("id").as("id_b"), col("v").as("vb")),
         "bucket")
@@ -198,15 +235,23 @@ object Dedup {
         val mask = if (w == 64) -1L else (1L << w) - 1L
         shiftrightunsigned(col("simhash"), lo).bitwiseAND(lit(mask))
       }: _*)).as(Seq("block", "block_val")))
-    val l = banded.select(col("block"), col("block_val"),
-      col("id").as("id_a"), col("simhash").as("sig_a"))
-    val r = banded.select(col("block"), col("block_val"),
-      col("id").as("id_b"), col("simhash").as("sig_b"))
-    l.join(r, Seq("block", "block_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        graft.plans.VectorExpressions.hamming64(col("sig_a"), col("sig_b"))
-          .as("hamming"))
+    // Bucket-and-combine instead of a self-join (see
+    // [[lshCandidatesFromSig]]): one shuffle on (block, block_val),
+    // the simhash kernel pipeline evaluated once, pairs from two
+    // codegen'd Generates inside each bucket. sort_array on the
+    // (id, simhash) structs orders by id, giving id_a < id_b.
+    val buckets = banded.groupBy("block", "block_val")
+      .agg(sort_array(collect_set(struct(col("id"), col("simhash"))))
+        .as("xs"))
+      .filter(size(col("xs")) > 1)
+    buckets
+      .select(posexplode(col("xs")).as(Seq("i", "a")), col("xs"))
+      .select(col("a"),
+        explode(slice(col("xs"), col("i") + lit(2), size(col("xs"))))
+          .as("b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.plans.VectorExpressions.hamming64(col("a.simhash"),
+          col("b.simhash")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -87,24 +87,44 @@ object Aggregates {
     * (the dashboard computes pandas `corr()` matrices per symbol:
     * `app_2 NEW with joined.py:314-315,371-372`). method: "pearson" or
     * "spearman" (distributed ranking via ml.stat). Returns tidy rows
-    * (metric_a, metric_b, corr) for all ordered pairs. */
+    * (metric_a, metric_b, corr) for all ordered pairs.
+    *
+    * Pearson runs all n^2 `corr` aggregates in ONE codegen'd agg pass
+    * (single scan + one partial-agg shuffle of moment tuples) — the
+    * RDD-based ml.stat route costs a vector copy per row and isn't
+    * whole-stage-codegen'd. Pairwise null semantics (each cell ignores
+    * rows null in its own pair), matching SQL `corr`. */
   def corrMatrix(metrics: Seq[String], method: String = "pearson",
       scale: Int = 6)(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
-      .setInputCols(metrics.toArray).setOutputCol("__v")
-      .setHandleInvalid("skip")
-      .transform(df.select(metrics.map(m => col(m).cast("double")): _*))
-    val m = org.apache.spark.ml.stat.Correlation.corr(assembled, "__v", method)
-      .head.getAs[org.apache.spark.ml.linalg.Matrix](0)
-    val rows = for {
-      i <- metrics.indices
-      j <- metrics.indices
-    } yield (metrics(i), metrics(j),
-      BigDecimal(m(i, j)).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble)
-    rows.toDF("metric_a", "metric_b", "corr")
+    val pairs = for { a <- metrics; b <- metrics } yield (a, b)
+    if (method == "pearson") {
+      val aggs = pairs.map { case (a, b) =>
+        corr(col(a).cast("double"), col(b).cast("double")).as(s"${a}__$b") }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val rows = pairs.zipWithIndex.map { case ((a, b), i) =>
+        (a, b,
+          if (row.isNullAt(i)) None
+          else Some(BigDecimal(row.getDouble(i))
+            .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      rows.toDF("metric_a", "metric_b", "corr")
+    } else {
+      val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+        .setInputCols(metrics.toArray).setOutputCol("__v")
+        .setHandleInvalid("skip")
+        .transform(df.select(metrics.map(m => col(m).cast("double")): _*))
+      val m = org.apache.spark.ml.stat.Correlation.corr(assembled, "__v", method)
+        .head.getAs[org.apache.spark.ml.linalg.Matrix](0)
+      val rows = for {
+        i <- metrics.indices
+        j <- metrics.indices
+      } yield (metrics(i), metrics(j),
+        BigDecimal(m(i, j)).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      rows.toDF("metric_a", "metric_b", "corr")
+    }
   }
 
   /** A11 — RMSE between a prediction and a label column, grouped.
