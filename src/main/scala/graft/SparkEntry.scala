@@ -178,6 +178,22 @@ object SparkEntry {
         .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
           count(lit(1)).as("n_orders"))),
 
+    "q_bloom_prune_revenue" -> ((s, d) => {
+      // revenue for one brand's parts, with the fact side bloom-pruned
+      // on the join key BEFORE the join (etl/Layout.bloomPrune). The
+      // bloom filter is a superset filter, so results equal the plain
+      // join — which is exactly what the oracle runs.
+      val p = t(s, d, "part").filter(col("p_brand") === "Brand#13")
+      val li = graft.etl.Layout.bloomPrune(
+        t(s, d, "lineitem"), col("l_partkey"), p, col("p_partkey"),
+        expectedItems = 10000L)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     "q_local_supplier_revenue" -> ((s, d) => {
       // TPC-H Q5 shape: revenue by nation where customer and supplier
       // share the nation, one region, one order-date year
@@ -580,6 +596,14 @@ object SparkEntry {
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name""",
+
+    "q_bloom_prune_revenue" ->
+      """SELECT p_type, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+                count(*) AS n_items
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand = 'Brand#13'
+         GROUP BY p_type""",
 
     "q_local_supplier_revenue" ->
       """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

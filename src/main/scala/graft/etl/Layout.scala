@@ -51,4 +51,46 @@ object Layout {
     * several joins/aggs share the key). */
   def copartition(dfs: Seq[DataFrame], key: String, partitions: Int): Seq[DataFrame] =
     dfs.map(_.repartition(partitions, col(key)))
+
+  /** Bloom-filter pre-join pruning: build a bloom filter over the
+    * `small` side's join key (one aggregate producing a single binary
+    * blob), broadcast it, and drop `large` rows whose key cannot be in
+    * `small` BEFORE the join's exchange. At 100 TB this cuts the
+    * shuffled fact-side volume to ~the matching fraction (plus the
+    * false-positive rate, default ~1% at 8 bits/item).
+    *
+    * Spark's own InjectRuntimeFilter does this automatically only
+    * inside a single query when the join is shuffle-shaped; the
+    * explicit form also covers multi-job pipelines (build once, prune
+    * a later job's scan) and aggregation-feeding filters the optimizer
+    * won't introduce. No false negatives: might_contain is a superset
+    * filter, so join results are unchanged.
+    *
+    * expectedItems sizes the filter (numBits = 8 x expectedItems,
+    * capped at 64 MiB); oversizing is cheap, undersizing raises the
+    * false-positive rate but stays correct. */
+  def bloomPrune(large: DataFrame, largeKey: Column,
+      small: DataFrame, smallKey: Column,
+      expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val numBits = math.min(8L * expectedItems, 8L * 64 * 1024 * 1024)
+    val bloomAgg = Bridge.toColumn(
+      new BloomFilterAggregate(
+        Bridge.toExpression(xxhash64(smallKey)),
+        Literal(expectedItems),
+        Literal(numBits))
+        .toAggregateExpression())
+    // EAGER: the bloom build runs now (one small-side aggregate job) —
+    // might_contain requires a constant filter blob, and the
+    // build->probe barrier is inherent to bloom pruning anyway. The
+    // blob rides into executors with the task binary (capped 64 MiB).
+    val bytes = small.agg(bloomAgg.as("__bf")).head().getAs[Array[Byte]](0)
+    if (bytes == null) large.filter(lit(false)) // empty build side
+    else large.filter(Bridge.toColumn(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      Bridge.toExpression(xxhash64(largeKey)))))
+  }
 }

@@ -261,9 +261,18 @@ object Dedup {
     * intersections → join per-doc shingle counts → |A∩B| / (|A|+|B|-|A∩B|).
     * The shared-shingle join IS the candidate filter (no cross join).
     * For 100 TB use [[lshCandidates]] first and run this only on survivors.
-    */
+    *
+    * `maxDocFreq` is the 100 TB skew valve: a shingle shared by m docs
+    * emits m(m-1)/2 pairs, so one stop-phrase shingle with df=10^6
+    * alone would emit 5x10^11 pairs. Dropping buckets with df >
+    * maxDocFreq bounds any single bucket's fan-out; intersection
+    * counts then miss those near-universal shingles, making the
+    * reported jaccard a tight LOWER bound (high-df shingles carry ~no
+    * similarity signal — the winnowing/MinHash literature drops them
+    * routinely). The default keeps exact semantics. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+      shingleN: Int = 3, minJaccard: Double = 0.0,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
     // Shingle rows are produced by exploding window POSITIONS and
     // building each shingle string after the explode — measured ~20x
     // faster than exploding a pre-built shingle-array column (a staged
@@ -291,7 +300,7 @@ object Dedup {
     val counts = sh.groupBy("id").agg(count_distinct(col("shingle")).as("n_sh"))
     val buckets = sh.groupBy("shingle")
       .agg(sort_array(collect_set(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxDocFreq)
     val pairs = buckets
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
       .select(col("id_a"),

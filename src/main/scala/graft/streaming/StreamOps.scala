@@ -127,4 +127,19 @@ object StreamOps {
       .withColumn("label", coalesce(col("window_label"), col("label")))
       .drop("w_symbol", "window_start", "window_end", "window_label")
   }
+
+  /** Streaming exact dedup for ingest pipelines: drop records whose
+    * dedup key was already seen, with state bounded by the watermark
+    * (a key's fingerprint is remembered only while a duplicate could
+    * still arrive inside the allowed lateness). The streaming face of
+    * `llm/Dedup.exact` — run it on the ingest stream so downstream
+    * batch dedup starts from a mostly-clean corpus.
+    *
+    * State scale: one entry per distinct key inside the watermark
+    * horizon, shuffled by key — horizon x arrival rate entries per
+    * executor, independent of total stream history. */
+  def streamingDedup(df: DataFrame, eventTime: String, lateness: String,
+      keys: Seq[String]): DataFrame =
+    df.withWatermark(eventTime, lateness)
+      .dropDuplicatesWithinWatermark(keys)
 }

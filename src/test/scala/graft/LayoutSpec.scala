@@ -50,4 +50,19 @@ class LayoutSpec extends SparkSpec {
     assert(a.rdd.getNumPartitions == 8 && b.rdd.getNumPartitions == 8)
     assert(a.join(b, "k").count() == 100)
   }
+
+  test("bloomPrune keeps every matching row and prunes most others") {
+    val large = (1L to 100000L).map(i => (i, i % 97)).toDF("k", "v")
+    val small = (1L to 100L).map(i => (i * 1000L, s"s$i")).toDF("k", "name")
+    val pruned = Layout.bloomPrune(large, col("k"), small, col("k"),
+      expectedItems = 1000L)
+    // no false negatives: the pruned join equals the plain join
+    val plain = large.join(small, "k").orderBy("k").collect()
+    val viaBloom = pruned.join(small, "k").orderBy("k").collect()
+    assert(viaBloom.toSeq == plain.toSeq)
+    // and the filter actually prunes (100 true keys + ~1% FP of 100k)
+    val kept = pruned.count()
+    assert(kept >= 100 && kept < 10000L,
+      s"bloom kept $kept of 100000 rows — not pruning")
+  }
 }

@@ -60,4 +60,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("banding near-dup ops are bucket-combine, not self-joins") {
+    // the signature pipeline must be evaluated once: a self-join shape
+    // pays it per side (AQE does not reuse alias-twin exchanges)
+    val docs = Tables.load(spark, sf, "documents")
+    val sim = planOf(graft.llm.Dedup.simhashNearDups(docs, "doc_id", "text", 6))
+    assert(!sim.contains("Join"), s"simhashNearDups must not join:\n$sim")
+    assert("simhash64".r.findAllIn(sim).size <= 1,
+      s"simhash kernel should appear once:\n$sim")
+    val lsh = planOf(graft.llm.Dedup.lshCandidates(docs, "doc_id", "text"))
+    assert(!lsh.contains("Join"), s"lshCandidates must not join:\n$lsh")
+  }
+
+  test("single-pass corr matrix: one aggregate, no RDD detour") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val df = li.agg(corr(col("l_quantity"), col("l_extendedprice")))
+    assert(planOf(df).contains("HashAggregate"))
+    // corrMatrix itself returns a local frame; assert it computes
+    // correct values against the two-column direct corr
+    val m = graft.operators.Aggregates.corrMatrix(
+      Seq("l_quantity", "l_extendedprice"))(li).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val direct = li.agg(corr(col("l_quantity"), col("l_extendedprice")))
+      .head.getDouble(0)
+    assert(m(("l_quantity", "l_quantity")) == 1.0)
+    assert(math.abs(m(("l_quantity", "l_extendedprice")) - direct) < 1e-6)
+  }
 }

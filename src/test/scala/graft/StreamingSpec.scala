@@ -160,6 +160,28 @@ class StreamingSpec extends SparkSpec {
     assert(store.read(spark).count() == 10L)
   }
 
+  test("streamingDedup drops duplicate keys across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val in = mem.toDF().toDF("doc_key", "ts_ms")
+      .withColumn("event_time", (col("ts_ms") / 1000).cast("timestamp"))
+    val q = StreamOps.streamingDedup(in, "event_time", "10 minutes",
+      Seq("doc_key"))
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(("a", base), ("a", base + 1000), ("b", base))
+      q.processAllAvailable()
+      // a duplicate arriving in a LATER micro-batch, inside the
+      // watermark horizon, is still dropped (state remembers the key)
+      mem.addData(("a", base + 2000), ("c", base + 2000))
+      q.processAllAvailable()
+      val keys = spark.table("sdedup").select("doc_key").as[String]
+        .collect().sorted.toSeq
+      assert(keys == Seq("a", "b", "c"))
+    } finally q.stop()
+  }
+
   test("watermark drops late data in append mode (T1/T7 semantics)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ticks.MarketTickTuple]
