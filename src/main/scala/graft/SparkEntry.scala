@@ -360,6 +360,29 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), Text.languageId(col("text")).as("lang_pred"))),
 
+    "q_token_repetition" -> ((s, d) =>
+      // Gopher/RefinedWeb-style intra-doc repetition quality signal
+      t(s, d, "documents").select(col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(Text.tokens(col("text")))).as("n_distinct"),
+        Text.repetitionRatio(col("text")).as("rep_ratio"))),
+
+    "q_decontaminate" -> ((s, d) => {
+      // train/test n-gram decontamination: docs < 50 are the "held-out
+      // set", the rest the training corpus
+      val docs = t(s, d, "documents")
+      Dedup.contamination(docs.filter(col("doc_id") < 50),
+        docs.filter(col("doc_id") >= 50), "doc_id", "text", 3)
+    }),
+
+    "q_hash_split" -> ((s, d) =>
+      // deterministic md5 train/val/test split — stable across engines,
+      // runs and partitionings (the oracle reproduces it exactly)
+      Relational.withHashSplit(t(s, d, "documents"), col("doc_id"), 10)
+        .groupBy("split_bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(Text.tokenCount(col("text"))), 4).as("mean_tokens"))),
+
     // ---- llm/: similarity search ----
     "q_ann_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
@@ -706,6 +729,32 @@ object SparkEntry {
                      ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_tokens,
                 length(text) AS n_chars_raw
          FROM documents""",
+
+    "q_token_repetition" ->
+      """SELECT doc_id,
+                len(string_split(text, ' ')) AS n_tokens,
+                len(list_distinct(string_split(text, ' '))) AS n_distinct,
+                round(1.0 - len(list_distinct(string_split(text, ' ')))::DOUBLE
+                      / len(string_split(text, ' ')), 6) AS rep_ratio
+         FROM documents""",
+
+    "q_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+                FROM tok CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+         ref AS (SELECT DISTINCT s FROM sh WHERE doc_id >= 50),
+         tst AS (SELECT DISTINCT doc_id, s FROM sh WHERE doc_id < 50)
+         SELECT doc_id, count(*) AS n_shingles,
+                count(*) FILTER (WHERE s IN (SELECT s FROM ref)) AS n_contaminated,
+                round(count(*) FILTER (WHERE s IN (SELECT s FROM ref))::DOUBLE
+                      / count(*), 6) AS contamination
+         FROM tst GROUP BY doc_id""",
+
+    "q_hash_split" ->
+      """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10 AS split_bucket,
+                count(*) AS n_docs,
+                round(avg(len(string_split(text, ' '))), 4) AS mean_tokens
+         FROM documents GROUP BY 1""",
 
     "q_quality_score" ->
       """WITH base AS (

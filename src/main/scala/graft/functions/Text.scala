@@ -24,6 +24,17 @@ object Text {
   def tokenCount(text: Column): Column =
     when(length(normWs(text)) === 0, lit(0)).otherwise(size(tokens(text)))
 
+  /** Intra-document token repetition ratio in [0,1]:
+    * 1 - distinct_tokens/total_tokens (0 = all tokens distinct). The
+    * Gopher/RefinedWeb-style repetition quality signal — highly
+    * repetitive documents are boilerplate/spam candidates for a
+    * training-data filter. 0.0 for empty text. */
+  def repetitionRatio(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0)).otherwise(
+      round(lit(1.0) -
+        size(array_distinct(tokens(text))).cast("double") /
+        size(tokens(text)), 6))
+
   /** A BPE-ish sub-word segmentation: split on whitespace AND on
     * letter/digit/punctuation boundaries (approximates byte-pair merge
     * boundaries well enough for cost estimation). */

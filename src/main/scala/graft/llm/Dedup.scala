@@ -270,25 +270,31 @@ object Dedup {
     * reported jaccard a tight LOWER bound (high-df shingles carry ~no
     * similarity signal — the winnowing/MinHash literature drops them
     * routinely). The default keeps exact semantics. */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, minJaccard: Double = 0.0,
-      maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    // Shingle rows are produced by exploding window POSITIONS and
-    // building each shingle string after the explode — measured ~20x
-    // faster than exploding a pre-built shingle-array column (a staged
-    // array column collapsed into the Generate re-evaluates the whole
-    // array construction pathologically). distinct() gives per-doc
-    // shingle sets (jaccard is over sets); the 64-bit hash keeps every
-    // downstream shuffle key at 8 bytes.
+  /** (id, shingle-hash) rows, with duplicates (a doc repeating a
+    * shingle yields repeated rows — dedupe downstream where the shuffle
+    * already happens). Shingle rows are produced by exploding window
+    * POSITIONS and building each shingle string after the explode —
+    * measured ~20x faster than exploding a pre-built shingle-array
+    * column (a staged array column collapsed into the Generate
+    * re-evaluates the whole array construction pathologically). The
+    * 64-bit hash keeps every downstream shuffle key at 8 bytes. */
+  private def shingleHashRows(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       split(lower(Text.normWs(col(textCol))), " ").as("t"))
     val starts = when(size(col("t")) >= shingleN,
       sequence(lit(1), size(col("t")) - (shingleN - 1))).otherwise(array())
-    val sh = toks
+    toks
       .select(col("id"), col("t"), explode(starts).as("i"))
       .select(col("id"),
         xxhash64(concat_ws(" ", slice(col("t"), col("i"), lit(shingleN))))
           .as("shingle"))
+  }
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minJaccard: Double = 0.0,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val sh = shingleHashRows(df, idCol, textCol, shingleN)
     // No pre-distinct: collect_set / count_distinct dedupe within the
     // same shuffle that builds the buckets, saving a full (id, shingle)
     // exchange. Intersections via bucket-and-combine instead of a
@@ -317,5 +323,30 @@ object Dedup {
         (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Cross-corpus contamination (train/test decontamination): for each
+    * doc in `test`, the fraction of its distinct word n-gram shingles
+    * that also occur anywhere in `corpus` — the overlap check run
+    * before evaluating on held-out data (cf. GPT-3/PaLM appendix-style
+    * n-gram decontamination). Output: (idCol, n_shingles,
+    * n_contaminated, contamination in [0,1]).
+    *
+    * Scale shape: one shuffle keyed by the 8-byte shingle hash; the
+    * corpus side is pre-aggregated to distinct shingles (map-side
+    * combine) so the join carries one row per distinct corpus shingle,
+    * not per occurrence. */
+  def contamination(test: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, shingleN: Int = 3): DataFrame = {
+    val t = shingleHashRows(test, idCol, textCol, shingleN).distinct()
+    val c = shingleHashRows(corpus, idCol, textCol, shingleN)
+      .select(col("shingle")).distinct()
+      .withColumn("__hit", lit(1))
+    t.join(c, Seq("shingle"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_contaminated"),
+        round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
+          count(lit(1)), 6).as("contamination"))
   }
 }

@@ -136,4 +136,17 @@ object Relational {
           .otherwise(lit(null)))
       .drop("__pv", "__px", "__nv", "__nx")
   }
+
+  /** Deterministic hash split: assign each row a stable bucket in
+    * [0, buckets) from the md5 of its key — the reproducible
+    * train/val/test split for dataset pipelines. Unlike rand(seed)
+    * (whose assignment depends on partitioning and row order), the
+    * bucket is a pure function of the key: any engine, any run, any
+    * partitioning reproduces it, and late-arriving rows land in the
+    * same split as their key. */
+  def withHashSplit(df: DataFrame, key: Column, buckets: Int,
+      splitCol: String = "split_bucket"): DataFrame =
+    df.withColumn(splitCol,
+      conv(substring(md5(key.cast("string")), 1, 6), 16, 10)
+        .cast("long") % buckets)
 }

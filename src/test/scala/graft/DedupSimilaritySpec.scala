@@ -129,4 +129,22 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().head
     assert(out == ((0L, 2L)))
   }
+
+  test("contamination: full overlap = 1.0, disjoint = 0.0, partial in between") {
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val test = Seq(
+      (0L, "alpha beta gamma delta"),          // all 2 of its 3-grams in corpus
+      (1L, "nothing shared with that corpus here"), // none
+      (2L, "alpha beta gamma unrelated tail part")) // 1 of 4
+      .toDF("doc_id", "text")
+    val out = Dedup.contamination(test, corpus, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_contaminated", "contamination")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 2L, 1.0),
+      (1L, 4L, 0L, 0.0),
+      (2L, 4L, 1L, 0.25)))
+  }
 }

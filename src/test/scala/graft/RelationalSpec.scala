@@ -117,4 +117,18 @@ class RelationalSpec extends SparkSpec {
     // sqrt((1 + 4)/2) = 1.5811
     assert(r == 1.5811)
   }
+
+  test("withHashSplit is deterministic, in-range, and partition-independent") {
+    val df = (1L to 2000L).toDF("id")
+    val a = Relational.withHashSplit(df, col("id"), 10)
+      .select("id", "split_bucket").as[(Long, Long)].collect().toMap
+    assert(a.values.forall(b => b >= 0 && b < 10))
+    // same keys, different physical layout -> identical assignment
+    val b = Relational.withHashSplit(df.repartition(7), col("id"), 10)
+      .select("id", "split_bucket").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    // roughly uniform: each bucket within 3x of the expected 200
+    val sizes = a.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size == 10 && sizes.values.forall(s => s > 66 && s < 600))
+  }
 }

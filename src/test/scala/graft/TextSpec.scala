@@ -87,4 +87,10 @@ class TextSpec extends SparkSpec {
     assert(r.getLong(0) == r.getLong(1))
     assert(r.getLong(0) != r.getLong(2))
   }
+
+  test("repetitionRatio: 0 for all-distinct, rises with repetition, 0 for empty") {
+    val df = Seq("a b c d", "a a a b", "a a a a", "", "  ").toDF("t")
+    val out = df.select(Text.repetitionRatio(col("t"))).as[Double].collect()
+    assert(out.toSeq == Seq(0.0, 0.5, 0.75, 0.0, 0.0))
+  }
 }
