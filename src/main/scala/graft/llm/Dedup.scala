@@ -294,7 +294,13 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.0,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    // Persisted: the shingle rows feed two aggregation branches (per-doc
+    // counts, per-shingle buckets) that hash by different keys, so
+    // nothing is exchange-reusable — without the persist the whole
+    // tokenize+hash pipeline runs twice. (id, hash) rows are ~an order
+    // smaller than the text; spills to disk if bigger than memory.
     val sh = shingleHashRows(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // No pre-distinct: collect_set / count_distinct dedupe within the
     // same shuffle that builds the buckets, saving a full (id, shingle)
     // exchange. Intersections via bucket-and-combine instead of a
