@@ -28,6 +28,40 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaPerSymbol drops state after an event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val mem = MemoryStream[PricePoint]
+    val base = 1736081400000L
+    val withWm = mem.toDS()
+      .withColumn("event_time", (col("timestamp") / 1000).cast("timestamp"))
+      .withWatermark("event_time", "10 seconds")
+      .as[PricePoint]
+    val q = Stateful.ewmaPerSymbol(withWm, alpha = 0.5,
+      timeout = org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout,
+      timeoutMs = 1000L)
+      .writeStream.format("memory").queryName("ewma_et")
+      .outputMode("append").start()
+    try {
+      mem.addData(PricePoint("XOM", base, 100.0))
+      q.processAllAvailable()
+      // advance the watermark past XOM's timeout with another key...
+      mem.addData(PricePoint("BP", base + 30000L, 30.0))
+      q.processAllAvailable()
+      // ...then fire the timeout in a batch where XOM has no data (a
+      // key WITH data in a batch is handled as live, not timed out)
+      mem.addData(PricePoint("BP", base + 31000L, 31.0))
+      q.processAllAvailable()
+      mem.addData(PricePoint("XOM", base + 40000L, 200.0))
+      q.processAllAvailable()
+      val xom = spark.table("ewma_et").as[EwmaOut]
+        .collect().filter(_.symbol == "XOM").sortBy(_.timestamp)
+      // fresh state after the event-time timeout: ewma restarts
+      assert(xom.map(_.ewma).toSeq == Seq(100.0, 200.0))
+      assert(xom.map(_.n).toSeq == Seq(1L, 1L))
+    } finally q.stop()
+  }
+
   test("ewmaPerSymbol drops state after a processing-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[PricePoint]
