@@ -32,9 +32,9 @@ trait KeyedStore {
   * a batch on restart.
   *
   * 100 TB note: this full-rewrite merge is correct but O(store) per
-  * batch — it is the local-mode stand-in. The scale path is a
-  * partitioned store (symbol, date) where upsert rewrites only touched
-  * partitions (`replaceWhere`-style), which `partitionKeys` enables.
+  * batch — it is the local-mode stand-in. The scale path is
+  * [[PartitionedParquetKeyedStore]], which rewrites only the
+  * partitions a batch touches (`replaceWhere`-style).
   */
 final class ParquetKeyedStore(
     path: String, keys: Seq[String], versionCol: String)
@@ -53,23 +53,78 @@ final class ParquetKeyedStore(
         Seq(col(versionCol).desc))(read(spark).unionByName(batch))
     val tmp = path + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    val target = Paths.get(path)
-    if (exists) {
-      val old = Paths.get(path + ".old")
+    AtomicSwap.swapIn(tmp, path)
+  }
+}
+
+private[streaming] object AtomicSwap {
+  /** write-new-then-rename directory swap (crash-safe: readers see the
+    * old or the new directory, never a partial one). */
+  def swapIn(tmp: String, target: String): Unit = {
+    val t = Paths.get(target)
+    if (Files.exists(t)) {
+      // dot-prefixed so a crash-leftover is invisible to Spark's file
+      // index (a bare "<dir>.old" would parse as a partition value)
+      val old = t.resolveSibling("." + t.getFileName + ".old")
       deleteRecursive(old)
-      Files.move(target, old, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(t, old, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(tmp), t, StandardCopyOption.ATOMIC_MOVE)
       deleteRecursive(old)
     } else {
-      Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
+      if (t.getParent != null) Files.createDirectories(t.getParent)
+      Files.move(Paths.get(tmp), t, StandardCopyOption.ATOMIC_MOVE)
     }
   }
 
-  private def deleteRecursive(p: java.nio.file.Path): Unit =
+  def deleteRecursive(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
     }
+}
+
+/** The 100 TB-shaped keyed store: data laid out as
+  * `path/<partitionCol>=<value>/` and upsert rewrites ONLY the
+  * partitions present in the batch (`replaceWhere` semantics) — merge
+  * cost is O(touched partitions), not O(store). With the reference's
+  * (symbol, date)-keyed serving tables, a micro-batch touches a handful
+  * of partitions regardless of store size.
+  *
+  * The partition column must be one of the logical keys (rows never
+  * move between partitions on upsert — same invariant as a Cassandra
+  * partition key). The distinct-partition collect per batch is bounded
+  * by the batch's key cardinality, which foreachBatch batches keep
+  * small by construction. Same instance-lock + at-least-once semantics
+  * as [[ParquetKeyedStore]]. */
+final class PartitionedParquetKeyedStore(
+    path: String, partitionCol: String, keys: Seq[String],
+    versionCol: String) extends KeyedStore {
+
+  require(keys.contains(partitionCol),
+    s"partition column $partitionCol must be part of the keys")
+  private val subKeys = keys.filterNot(_ == partitionCol)
+
+  override def read(spark: SparkSession): DataFrame =
+    spark.read.parquet(path) // partition column recovered from dir names
+
+  override def upsert(batch: DataFrame): Unit = synchronized {
+    val spark = batch.sparkSession
+    val touched = batch.select(col(partitionCol).cast("string"))
+      .distinct().collect().map(_.getString(0))
+    touched.foreach { p =>
+      val dir = s"$path/$partitionCol=$p"
+      val part = batch.filter(col(partitionCol).cast("string") === p)
+        .drop(partitionCol)
+      val merged =
+        if (!Files.exists(Paths.get(dir))) part
+        else Relational.dedupKeyed(subKeys,
+          Seq(col(versionCol).desc))(
+          spark.read.parquet(dir).unionByName(part))
+      val tmp = s"$path/.tmp-$partitionCol=$p"
+      merged.write.mode("overwrite").parquet(tmp)
+      AtomicSwap.swapIn(tmp, dir)
+    }
+  }
 }
 
 object Sinks {

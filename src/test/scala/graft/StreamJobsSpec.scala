@@ -27,8 +27,11 @@ class StreamJobsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val dir = tmpDir("jobs")
     val models = new ModelStore(s"$dir/models")
-    val serving = new ParquetKeyedStore(s"$dir/serving",
-      Seq("symbol", "timestamp"), "version")
+    // the 100 TB-shaped serving store (partition-pruned upsert) driven
+    // through the full live topology; the flat ParquetKeyedStore keeps
+    // its own unit tests in StreamingSpec
+    val serving = new graft.streaming.PartitionedParquetKeyedStore(
+      s"$dir/serving", "symbol", Seq("symbol", "timestamp"), "version")
     val features = Ticks.featureColumns
 
     // 1. trainer over windowed features

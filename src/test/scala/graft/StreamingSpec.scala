@@ -139,6 +139,32 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(("BP", 20.0), ("COP", 30.0), ("XOM", 99.0)))
   }
 
+  test("PartitionedParquetKeyedStore rewrites only touched partitions") {
+    import graft.streaming.PartitionedParquetKeyedStore
+    val dir = tmpDir("pstore") + "/t"
+    val store = new PartitionedParquetKeyedStore(
+      dir, "symbol", Seq("symbol", "ts"), "v")
+    store.upsert(Seq(("XOM", 1L, 1L, 10.0), ("BP", 1L, 1L, 20.0))
+      .toDF("symbol", "ts", "v", "price"))
+    def bpFiles() = {
+      val d = new java.io.File(s"$dir/symbol=BP")
+      d.listFiles().map(f => (f.getName, f.lastModified)).sortBy(_._1).toSeq
+    }
+    val bpBefore = bpFiles()
+    // second batch touches only XOM: upserts a new version of ts=1 and
+    // a new ts=2 row
+    store.upsert(Seq(("XOM", 1L, 2L, 11.0), ("XOM", 2L, 1L, 12.0))
+      .toDF("symbol", "ts", "v", "price"))
+    assert(bpFiles() == bpBefore, "untouched partition must not be rewritten")
+    val out = store.read(spark)
+      .select("symbol", "ts", "v", "price")
+      .as[(String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      ("BP", 1L, 1L, 20.0),
+      ("XOM", 1L, 2L, 11.0),   // last-writer-wins by version
+      ("XOM", 2L, 1L, 12.0)))
+  }
+
   test("ParquetKeyedStore.upsert is safe under concurrent writers") {
     // StreamJobs wires two foreachBatch writers (predictor +
     // labelUpdater) to one store in the same driver JVM — the
