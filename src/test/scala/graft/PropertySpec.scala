@@ -119,4 +119,31 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("contamination of a corpus against itself is 1.0 everywhere") {
+    samples(Gen.listOfN(5, docGen), n = 5).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Dedup.contamination(df, df, "doc_id", "text", 2).collect()
+      assert(out.length == docs.size)
+      out.foreach(r => assert(r.getDouble(3) == 1.0, r))
+    }
+  }
+
+  test("withHashSplit buckets are a pure function of the key value") {
+    samples(Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L)), n = 5)
+      .foreach { ks =>
+        val a = Relational.withHashSplit(ks.toDF("k"), org.apache.spark.sql
+            .functions.col("k"), 7)
+          .select("k", "split_bucket").as[(Long, Long)].collect().toMap
+        // duplicate keys collapse to one assignment; every bucket in range
+        assert(a.keySet == ks.toSet)
+        assert(a.values.forall(b => b >= 0 && b < 7))
+        // a shifted frame containing the same keys agrees on every key
+        val b = Relational.withHashSplit(ks.reverse.toDF("k"),
+            org.apache.spark.sql.functions.col("k"), 7)
+          .select("k", "split_bucket").as[(Long, Long)].collect().toMap
+        assert(a == b)
+      }
+  }
 }
