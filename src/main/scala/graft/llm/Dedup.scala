@@ -331,6 +331,62 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Prefix-filtered exact similarity join (the PPJoin/AllPairs prefix
+    * principle: two sets with Jaccard >= t must share an element within
+    * each one's first |d| - ceil(t*|d|) + 1 shingles under a global
+    * canonical order). Shingles are ordered rarest-first (ascending
+    * document frequency), so the prefixes that generate candidates are
+    * the most selective shingles — candidate volume drops by ~the
+    * square of the prefix fraction vs the all-shared-shingles join in
+    * [[ngramJaccardPairs]]. Candidates are then verified EXACTLY with
+    * an array intersection over the full shingle sets, so the output
+    * equals `ngramJaccardPairs(minJaccard = t)` row-for-row.
+    *
+    * The 100 TB shape for near-dup detection at high thresholds: at
+    * t=0.8 only ~20% of each doc's shingles generate candidates, and
+    * the frequency ordering puts stop-shingles last so hot buckets
+    * never form. All shuffles stay keyed by 8-byte hashes or doc ids. */
+  def similarityJoin(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, minJaccard: Double = 0.8): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      "prefix filtering needs a positive threshold; use ngramJaccardPairs for full output")
+    import org.apache.spark.sql.expressions.Window
+    // distinct (id, shingle) rows feed three branches (frequency agg,
+    // ranking, verify sets) — persist, same trade as ngramJaccardPairs
+    val sh = shingleHashRows(df, idCol, textCol, shingleN).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val ranked = sh.join(freq, "shingle")
+      .withColumn("r", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("shingle"))))
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("id")))
+    // prefix length = n - ceil(t*n) + 1, with an epsilon inside the
+    // ceil so FP noise near integer t*n errs toward a LONGER prefix
+    // (never a false negative; floor((1-t)*n) naively computes
+    // floor(0.1999...96*n) for t=0.8 and silently drops one slot)
+    val prefix = ranked.filter(col("r") <=
+      col("n_sh") - ceil(lit(minJaccard) * col("n_sh") - lit(1e-9)) + 1)
+    val buckets = prefix.groupBy("shingle")
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val cands = buckets
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
+          .as("id_b"))
+      .distinct()
+    val sets = sh.groupBy("id")
+      .agg(sort_array(collect_set(col("shingle"))).as("set"))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("set").as("sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("sb")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (size(col("sa")) + size(col("sb")) - col("n_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** Cross-corpus contamination (train/test decontamination): for each
     * doc in `test`, the fraction of its distinct word n-gram shingles
     * that also occur anywhere in `corpus` — the overlap check run

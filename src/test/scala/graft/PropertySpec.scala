@@ -120,6 +120,20 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("similarityJoin (prefix filter) == ngramJaccardPairs, row for row") {
+    samples(Gen.listOfN(12, docGen), n = 5).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      for (t <- Seq(0.5, 0.8)) {
+        val all = Dedup.ngramJaccardPairs(df, "doc_id", "text", 2, t)
+          .orderBy("id_a", "id_b").collect().toSeq
+        val pref = Dedup.similarityJoin(df, "doc_id", "text", 2, t)
+          .orderBy("id_a", "id_b").collect().toSeq
+        assert(all == pref, s"threshold $t: $all vs $pref")
+      }
+    }
+  }
+
   test("contamination of a corpus against itself is 1.0 everywhere") {
     samples(Gen.listOfN(5, docGen), n = 5).foreach { docs =>
       val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
