@@ -360,6 +360,11 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), Text.languageId(col("text")).as("lang_pred"))),
 
+    "q_unigram_logprob" -> ((s, d) =>
+      // unigram-LM quality scoring fitted on the corpus itself
+      graft.llm.LanguageModel.unigramScore(t(s, d, "documents"),
+        "doc_id", "text")),
+
     "q_token_repetition" -> ((s, d) =>
       // Gopher/RefinedWeb-style intra-doc repetition quality signal
       t(s, d, "documents").select(col("doc_id"),
@@ -729,6 +734,15 @@ object SparkEntry {
                      ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_tokens,
                 length(text) AS n_chars_raw
          FROM documents""",
+
+    "q_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         freq AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+         tot AS (SELECT sum(cnt) AS tot FROM freq)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(avg(ln(cnt::DOUBLE / tot)), 6) AS avg_logp
+         FROM toks JOIN freq USING (w) CROSS JOIN tot
+         GROUP BY doc_id""",
 
     "q_token_repetition" ->
       """SELECT doc_id,

@@ -93,4 +93,21 @@ class TextSpec extends SparkSpec {
     val out = df.select(Text.repetitionRatio(col("t"))).as[Double].collect()
     assert(out.toSeq == Seq(0.0, 0.5, 0.75, 0.0, 0.0))
   }
+
+  test("unigramScore: common-vocabulary docs outscore rare-vocabulary docs") {
+    // "the cat" tokens dominate the corpus; doc 2's tokens are singletons
+    val df = Seq(
+      (0L, "the cat the cat the cat"),
+      (1L, "the cat the cat"),
+      (2L, "zyx qwv")).toDF("doc_id", "text")
+    val out = graft.llm.LanguageModel.unigramScore(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "avg_logp")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._2).toSeq == Seq(6L, 4L, 2L))
+    // p(the) = p(cat) = 5/12; p(zyx) = p(qwv) = 1/12
+    assert(math.abs(out(0)._3 - math.log(5.0 / 12)) < 1e-5)
+    assert(math.abs(out(2)._3 - math.log(1.0 / 12)) < 1e-5)
+    assert(out(0)._3 > out(2)._3)
+  }
 }
