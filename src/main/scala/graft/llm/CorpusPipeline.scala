@@ -1,0 +1,62 @@
+package graft.llm
+
+import graft.functions.Text
+import graft.operators.Relational
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus preparation — the composition a 100 TB
+  * data pipeline actually runs, built from the library's verified
+  * pieces:
+  *
+  *   1. dedup: exact fingerprints + MinHash near-dup clusters
+  *      ([[Dedup.dedupCorpus]])
+  *   2. quality filtering: heuristic score, intra-doc repetition,
+  *      unigram-LM log-probability ([[Text]], [[LanguageModel]])
+  *   3. decontamination: drop training docs overlapping a held-out
+  *      eval set ([[Dedup.contamination]])
+  *   4. deterministic split assignment ([[Relational.withHashSplit]])
+  *
+  * Every stage is shuffle-bounded by (doc id | 8-byte hash) keys; no
+  * stage widens rows with payload-carrying joins (filters are
+  * left_semi / left_anti on id sets).
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      shingleN: Int = 3,
+      minQuality: Double = 0.0,
+      maxRepetition: Double = 1.0,
+      minAvgLogProb: Double = Double.NegativeInfinity,
+      maxContamination: Double = 0.5,
+      splitBuckets: Int = 10)
+
+  /** Returns the cleaned corpus: input columns + quality/split columns
+    * (`quality`, `rep_ratio`, `avg_logp`, `split_bucket`), with
+    * duplicate, low-quality and eval-contaminated docs removed. */
+  def prepare(docs: DataFrame, idCol: String, textCol: String,
+      evalSet: Option[DataFrame] = None,
+      cfg: Config = Config()): DataFrame = {
+    val deduped = Dedup.dedupCorpus(docs, idCol, textCol, cfg.shingleN)
+    val scored = deduped
+      .withColumn("quality", Text.qualityScore(col(textCol)))
+      .withColumn("rep_ratio", Text.repetitionRatio(col(textCol)))
+    val lm = LanguageModel.unigramScore(deduped, idCol, textCol)
+      .select(col(idCol), col("avg_logp"))
+    val filtered = scored
+      .join(lm, Seq(idCol), "left")
+      .filter(col("quality") >= cfg.minQuality &&
+        col("rep_ratio") <= cfg.maxRepetition &&
+        coalesce(col("avg_logp"), lit(0.0)) >= cfg.minAvgLogProb)
+    val decontaminated = evalSet match {
+      case Some(ev) =>
+        val contaminatedIds = Dedup.contamination(
+            filtered, ev, idCol, textCol, cfg.shingleN)
+          .filter(col("contamination") >= cfg.maxContamination)
+          .select(idCol)
+        filtered.join(contaminatedIds, Seq(idCol), "left_anti")
+      case None => filtered
+    }
+    Relational.withHashSplit(decontaminated, col(idCol), cfg.splitBuckets)
+  }
+}

@@ -130,6 +130,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == ((0L, 2L)))
   }
 
+  test("CorpusPipeline.prepare dedups, decontaminates and splits deterministically") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup -> dropped
+      (3L, "completely different content about spark query engines and shuffles here"),
+      (4L, "held out benchmark sentence that must never appear in training data"),
+      (5L, "a fresh unrelated document with its own vocabulary and nothing shared"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "held out benchmark sentence that must never appear in training data"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.CorpusPipeline.prepare(corpus, "doc_id", "text",
+      evalSet = Some(eval),
+      cfg = graft.llm.CorpusPipeline.Config(maxContamination = 0.5))
+    val kept = out.select("doc_id").as[Long].collect().sorted.toSeq
+    // 1 dropped as exact dup of 0; 4 dropped as eval-contaminated
+    assert(kept == Seq(0L, 3L, 5L))
+    val buckets = out.select("split_bucket").as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b < 10))
+    // re-running assigns identical splits (pure function of doc_id)
+    val again = graft.llm.CorpusPipeline.prepare(corpus, "doc_id", "text",
+      evalSet = Some(eval))
+      .select("doc_id", "split_bucket").as[(Long, Long)].collect().toMap
+    val first = out.select("doc_id", "split_bucket").as[(Long, Long)]
+      .collect().toMap
+    assert(first == again)
+  }
+
   test("contamination: full overlap = 1.0, disjoint = 0.0, partial in between") {
     val corpus = Seq(
       (100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
