@@ -380,6 +380,14 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 50), "doc_id", "text", 3)
     }),
 
+    "q_deterministic_sample" -> ((s, d) =>
+      // key-stable ~30% sample of users — every engine/run keeps the
+      // same rows (oracle reproduces the exact selection)
+      Relational.deterministicSample(t(s, d, "events"), col("user_id"), 0.3)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"))),
+
     "q_hash_split" -> ((s, d) =>
       // deterministic md5 train/val/test split — stable across engines,
       // runs and partitionings (the oracle reproduces it exactly)
@@ -763,6 +771,13 @@ object SparkEntry {
                 round(count(*) FILTER (WHERE s IN (SELECT s FROM ref))::DOUBLE
                       / count(*), 6) AS contamination
          FROM tst GROUP BY doc_id""",
+
+    "q_deterministic_sample" ->
+      """SELECT event_type, count(*) AS n_events,
+                count(DISTINCT user_id) AS n_users
+         FROM events
+         WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000 < 300
+         GROUP BY event_type""",
 
     "q_hash_split" ->
       """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10 AS split_bucket,

@@ -149,4 +149,20 @@ object Relational {
     df.withColumn(splitCol,
       conv(substring(md5(key.cast("string")), 1, 6), 16, 10)
         .cast("long") % buckets)
+
+  /** Deterministic sampling: keep ~`fraction` of rows, selected by the
+    * md5 hash of `key` (key-stable: all rows of a key are kept or
+    * dropped together, the same rows every run on every engine —
+    * unlike `df.sample`, whose output depends on partitioning). The
+    * right shape for reproducible dataset downsampling and for
+    * consistent user/session-level sampling across tables that share
+    * the key. */
+  def deterministicSample(df: DataFrame, key: Column,
+      fraction: Double, buckets: Int = 1000): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0)
+    val keep = math.round(fraction * buckets)
+    withHashSplit(df, key, buckets, "__bucket")
+      .filter(col("__bucket") < keep)
+      .drop("__bucket")
+  }
 }

@@ -118,6 +118,19 @@ class RelationalSpec extends SparkSpec {
     assert(r == 1.5811)
   }
 
+  test("deterministicSample is key-stable and layout-independent") {
+    val df = (1L to 500L).flatMap(u => Seq((u, "a"), (u, "b"))).toDF("u", "tag")
+    val s1 = Relational.deterministicSample(df, col("u"), 0.3)
+    val keptUsers = s1.select("u").distinct().as[Long].collect().toSet
+    // key-stable: both rows of every kept user survive together
+    assert(s1.count() == keptUsers.size * 2L)
+    // same selection under a different physical layout
+    val s2 = Relational.deterministicSample(df.repartition(13), col("u"), 0.3)
+    assert(s2.select("u").distinct().as[Long].collect().toSet == keptUsers)
+    // ~30% of 500 users, generous band
+    assert(keptUsers.size > 100 && keptUsers.size < 200, keptUsers.size)
+  }
+
   test("withHashSplit is deterministic, in-range, and partition-independent") {
     val df = (1L to 2000L).toDF("id")
     val a = Relational.withHashSplit(df, col("id"), 10)
