@@ -80,7 +80,7 @@ object Aggregates {
       .setInputCols(Array(x, y)).setOutputCol("__v")
       .transform(df.select(col(x).cast("double"), col(y).cast("double")))
     org.apache.spark.ml.stat.Correlation.corr(assembled, "__v", "spearman")
-      .head.getAs[org.apache.spark.ml.linalg.Matrix](0)(0, 1)
+      .head().getAs[org.apache.spark.ml.linalg.Matrix](0)(0, 1)
   }
 
   /** A6 — full correlation matrix over a metric column set, one pass
@@ -116,7 +116,7 @@ object Aggregates {
         .setHandleInvalid("skip")
         .transform(df.select(metrics.map(m => col(m).cast("double")): _*))
       val m = org.apache.spark.ml.stat.Correlation.corr(assembled, "__v", method)
-        .head.getAs[org.apache.spark.ml.linalg.Matrix](0)
+        .head().getAs[org.apache.spark.ml.linalg.Matrix](0)
       val rows = for {
         i <- metrics.indices
         j <- metrics.indices

@@ -47,10 +47,10 @@ object Joins {
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .withColumn("__rrow", struct(
-        (col(rightTime).as("__rt") +: rightVals.map(col)): _*))
-    val lCols = left.columns.map(col) ++
+        (col(rightTime).as("__rt") +: rightVals.toIndexedSeq.map(col)): _*))
+    val lCols = left.columns.toIndexedSeq.map(col) ++
       Seq(col("__t"), col("__side"), col("__rrow"))
-    val rCols = left.columns.map(c =>
+    val rCols = left.columns.toIndexedSeq.map(c =>
       if (keys.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) ++
       Seq(col("__t"), col("__side"), col("__rrow"))
     val unioned = lTagged.select(lCols: _*)
@@ -63,7 +63,7 @@ object Joins {
     unioned
       .withColumn("__m", last(col("__rrow"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1 && col("__m").isNotNull)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         rightVals.map(c => col("__m").getField(c).as(c)): _*)
   }
 

@@ -50,7 +50,7 @@ object Relational {
     * per column — we compute all columns in a single aggregate pass.
     */
   def nullProfile(df: DataFrame): DataFrame = {
-    val aggs = df.columns.map(c => (count(lit(1)) - count(col(c))).as(c))
+    val aggs = df.columns.toIndexedSeq.map(c => (count(lit(1)) - count(col(c))).as(c))
     df.agg(aggs.head, aggs.tail: _*)
   }
 
