@@ -1,8 +1,7 @@
 package graft.tools
 
 import graft.Tables
-import graft.functions.Text
-import graft.llm.Dedup
+import graft.llm.{Dedup, LanguageModel}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -18,40 +17,33 @@ object Scratch {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    val out = "/tmp/scale10x"
-    def docs = Tables.load(spark, out, "documents")
-
-    // candidate-pair volume by doc-freq cap, from the bucket histogram
-    val shingleN = 3
-    val toks = docs.select(col("doc_id").as("id"),
-      split(lower(Text.normWs(col("text"))), " ").as("t"))
-    val starts = when(size(col("t")) >= shingleN,
-      sequence(lit(1), size(col("t")) - (shingleN - 1))).otherwise(array())
-    val sh = toks
-      .select(col("id"), col("t"), explode(starts).as("i"))
-      .select(col("id"),
-        xxhash64(concat_ws(" ", slice(col("t"), col("i"), lit(shingleN))))
-          .as("shingle"))
-    val dfreq = sh.groupBy("shingle").agg(count_distinct(col("id")).as("m"))
-      .filter(col("m") > 1)
-    dfreq.agg(
-      sum(col("m") * (col("m") - 1) / 2).as("pairs_uncapped"),
-      sum(when(col("m") <= 150, col("m") * (col("m") - 1) / 2)
-        .otherwise(0)).as("pairs_df150"),
-      max(col("m")).as("max_df"),
-      count(lit(1)).as("n_buckets")).show(false)
-
     def time(label: String)(f: => DataFrame): Unit = {
       val t0 = System.nanoTime()
       val n = f.count()
-      println(f"$label%-34s ${(System.nanoTime() - t0) / 1e9}%8.3f s   rows=$n")
+      println(f"$label%-38s ${(System.nanoTime() - t0) / 1e9}%8.3f s   rows=$n")
     }
+
+    val out = "/tmp/scale10x"
+    def docs10 = Tables.load(spark, out, "documents")
+    def docs1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+
     for (pass <- 1 to 2) {
-      println(s"--- pass $pass (10x docs)")
-      time("ngram 0.8 maxDocFreq=150")(
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8,
-          maxDocFreq = 150))
+      println(s"--- pass $pass")
+      time("sf0.1  allpairs 0.8")(
+        Dedup.ngramJaccardPairs(docs1, "doc_id", "text", 3, 0.8))
+      time("sf0.1  prefix   0.8")(
+        Dedup.similarityJoin(docs1, "doc_id", "text", 3, 0.8))
+      time("10x    prefix   0.8")(
+        Dedup.similarityJoin(docs10, "doc_id", "text", 3, 0.8))
+      time("10x    contamination(<50 vs rest)")(
+        Dedup.contamination(docs10.filter(col("doc_id") < 50),
+          docs10.filter(col("doc_id") >= 50), "doc_id", "text", 3))
+      time("10x    unigram logprob")(
+        LanguageModel.unigramScore(docs10, "doc_id", "text"))
     }
+    println("one-off: 10x allpairs 0.8 for the ratio")
+    time("10x    allpairs 0.8")(
+      Dedup.ngramJaccardPairs(docs10, "doc_id", "text", 3, 0.8))
     spark.stop()
   }
 }
