@@ -387,6 +387,49 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Map-only contamination SCREEN: like [[contamination]] but the eval
+    * set's distinct shingle hashes are folded into a bloom filter
+    * (driver-materialized, rides to executors as a literal), so the
+    * corpus side is a pure projection — NO shuffle of the 100 TB side
+    * at all, versus the exact join's shingle-keyed exchange. The
+    * reported fraction is an UPPER bound (bloom false positives, ~1%
+    * at the default 8 bits/item): screen cheaply, then run the exact
+    * [[contamination]] join only on the flagged docs.
+    *
+    * Output: (idCol, n_shingles, est_contamination). */
+  def contaminationScreen(df: DataFrame, evalSet: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      expectedShingles: Long = 10000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val numBits = math.min(8L * expectedShingles, 8L * 64 * 1024 * 1024)
+    val evalSh = shingleHashRows(evalSet, idCol, textCol, shingleN)
+    val bloomAgg = Bridge.toColumn(
+      new BloomFilterAggregate(
+        Bridge.toExpression(col("shingle")),
+        Literal(expectedShingles), Literal(numBits)).toAggregateExpression())
+    val bytes = evalSh.agg(bloomAgg.as("__bf")).head().getAs[Array[Byte]](0)
+    def hit(x: Column): Column =
+      if (bytes == null) lit(false)
+      else Bridge.toColumn(BloomFilterMightContain(
+        Literal(bytes, BinaryType), Bridge.toExpression(x)))
+    df.select(col(idCol),
+        Text.shinglesFromTokens(
+          split(lower(Text.normWs(col(textCol))), " "), shingleN)
+          .as("__sh"))
+      .select(col(idCol),
+        transform(col("__sh"), s => xxhash64(s)).as("__h"))
+      .select(col(idCol),
+        size(col("__h")).as("n_shingles"),
+        size(filter(col("__h"), h => hit(h))).as("__hits"))
+      .filter(col("n_shingles") > 0)
+      .select(col(idCol), col("n_shingles"),
+        round(col("__hits").cast("double") / col("n_shingles"), 6)
+          .as("est_contamination"))
+  }
+
   /** Cross-corpus contamination (train/test decontamination): for each
     * doc in `test`, the fraction of its distinct word n-gram shingles
     * that also occur anywhere in `corpus` — the overlap check run

@@ -158,6 +158,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("contaminationScreen: map-only, never below the exact fraction") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "nothing shared with that corpus here"),
+      (2L, "alpha beta gamma unrelated tail part")).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val screen = Dedup.contaminationScreen(corpus, eval, "doc_id", "text", 3)
+    // NO exchange on the corpus side: the screen is a pure projection
+    val plan = screen.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"screen must be map-only:\n$plan")
+    val est = screen.orderBy("doc_id")
+      .select("doc_id", "n_shingles", "est_contamination")
+      .as[(Long, Long, Double)].collect().toSeq
+    val exact = Dedup.contamination(corpus, eval, "doc_id", "text", 3)
+      .orderBy("doc_id").select("doc_id", "contamination")
+      .as[(Long, Double)].collect().toMap
+    est.foreach { case (id, n, e) =>
+      assert(n > 0)
+      assert(e >= exact(id), s"doc $id: screen $e below exact ${exact(id)}")
+    }
+    // at this vocabulary size the bloom has no false positives
+    assert(est.map(r => (r._1, r._3)).toMap == exact)
+  }
+
   test("contamination: full overlap = 1.0, disjoint = 0.0, partial in between") {
     val corpus = Seq(
       (100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
