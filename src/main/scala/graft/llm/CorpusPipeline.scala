@@ -50,11 +50,20 @@ object CorpusPipeline {
         coalesce(col("avg_logp"), lit(0.0)) >= cfg.minAvgLogProb)
     val decontaminated = evalSet match {
       case Some(ev) =>
-        val contaminatedIds = Dedup.contamination(
+        // screen-then-exact: the map-only bloom screen never
+        // under-reports (upper bound), so running the exact
+        // shingle-join only on flagged docs loses nothing — and the
+        // full corpus is never shuffled for decontamination
+        val flagged = Dedup.contaminationScreen(
             filtered, ev, idCol, textCol, cfg.shingleN)
+          .filter(col("est_contamination") >= cfg.maxContamination)
+          .select(idCol)
+        val confirmed = Dedup.contamination(
+            filtered.join(flagged, Seq(idCol), "left_semi"),
+            ev, idCol, textCol, cfg.shingleN)
           .filter(col("contamination") >= cfg.maxContamination)
           .select(idCol)
-        filtered.join(contaminatedIds, Seq(idCol), "left_anti")
+        filtered.join(confirmed, Seq(idCol), "left_anti")
       case None => filtered
     }
     Relational.withHashSplit(decontaminated, col(idCol), cfg.splitBuckets)
