@@ -223,10 +223,15 @@ object Dedup {
     * cross join; candidate volume is bounded by block-collision rate.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    simhashNearDupsFromSig(simhashFrame(df, idCol, textCol), maxHamming)
+
+  /** Banding over an existing (id, simhash) frame — any 64-bit
+    * signature source works (text simhash, [[graft.llm.Multimodal]]
+    * payload simhash, ...). */
+  def simhashNearDupsFromSig(sig: DataFrame, maxHamming: Int): DataFrame = {
     val blocks = maxHamming + 1
     val width = 64 / blocks
-    val sig = simhashFrame(df, idCol, textCol)
     val banded = sig.select(col("id"), col("simhash"), posexplode(
       array((0 until blocks).map { b =>
         // block b: bits [b*width, (b+1)*width) (last block takes the rest)

@@ -113,4 +113,35 @@ object Multimodal {
           .as("frame_ms"))
       .select(col("media_id"), col("frame_ms"),
         length(col("payload")).cast("long").as("n_bytes"))
+
+  /** 64-bit SimHash of a binary payload from its chunked xxhash64s —
+    * near-duplicate detection for media blobs WITHOUT decoding them:
+    * re-encodes/minor edits that leave most `chunkBytes`-sized chunks
+    * identical produce signatures within a small hamming distance.
+    * Map-only (length + substring + hash per chunk, one 8-byte
+    * signature out; payload bytes never enter a shuffle). Null
+    * signature for empty payloads. */
+  def payloadSimhash(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload", chunkBytes: Int = 64): DataFrame = {
+    val starts = when(length(col(payloadCol)) > 0,
+      sequence(lit(1), length(col(payloadCol)), lit(chunkBytes)))
+      .otherwise(array())
+    media.select(col(idCol).as("id"),
+        transform(starts,
+          i => xxhash64(col(payloadCol).substr(i, lit(chunkBytes))))
+          .as("__chunks"))
+      .select(col("id"),
+        graft.plans.VectorExpressions.simhash64(col("__chunks"))
+          .as("simhash"))
+  }
+
+  /** Near-duplicate media pairs (hamming <= maxHamming over the chunk
+    * simhash), via the same pigeonhole banding as text simhash dedup. */
+  def payloadNearDups(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload", chunkBytes: Int = 64,
+      maxHamming: Int = 6): DataFrame =
+    graft.llm.Dedup.simhashNearDupsFromSig(
+      payloadSimhash(media, idCol, payloadCol, chunkBytes)
+        .filter(col("simhash").isNotNull),
+      maxHamming)
 }

@@ -143,6 +143,30 @@ class EtlMultimodalSpec extends SparkSpec {
     assert(!out.columns.contains("payload"))
   }
 
+  test("payloadNearDups finds re-encoded blobs without decoding") {
+    val rng = new scala.util.Random(42)
+    val blob = Array.fill[Byte](4096)(rng.nextInt().toByte)
+    val nearDup = blob.clone(); nearDup(100) = (nearDup(100) ^ 0x7f).toByte
+    val unrelated = Array.fill[Byte](4096)(rng.nextInt().toByte)
+    val media = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, "image", blob, null, null, null),
+        Row(2L, "image", nearDup, null, null, null),      // 1 chunk differs
+        Row(3L, "image", unrelated, null, null, null),
+        Row(4L, "image", Array.empty[Byte], null, null, null)),
+      Multimodal.mediaSchema)
+    val sigs = Multimodal.payloadSimhash(media).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(sigs(4L).isEmpty, "empty payload -> null signature")
+    assert(sigs(1L) != sigs(3L))
+    val pairs = Multimodal.payloadNearDups(media, maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated blob must not pair: $pairs")
+  }
+
   test("sampleFrames skips zero/null-duration videos instead of failing") {
     val media = spark.createDataFrame(
       java.util.List.of(
