@@ -380,6 +380,12 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 50), "doc_id", "text", 3)
     }),
 
+    "q_rolling_zscore" -> ((s, d) =>
+      // trailing-100-row anomaly signal per event type
+      Aggregates.rollingZscore(Seq("event_type"),
+        Seq(col("ts"), col("event_id")), "value", 100)(t(s, d, "events"))
+        .select(col("event_id"), col("zscore"))),
+
     "q_deterministic_sample" -> ((s, d) =>
       // key-stable ~30% sample of users — every engine/run keeps the
       // same rows (oracle reproduces the exact selection)
@@ -771,6 +777,13 @@ object SparkEntry {
                 round(count(*) FILTER (WHERE s IN (SELECT s FROM ref))::DOUBLE
                       / count(*), 6) AS contamination
          FROM tst GROUP BY doc_id""",
+
+    "q_rolling_zscore" ->
+      """SELECT event_id,
+                round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 4) AS zscore
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)""",
 
     "q_deterministic_sample" ->
       """SELECT event_type, count(*) AS n_events,

@@ -127,6 +127,24 @@ object Aggregates {
     }
   }
 
+  /** Rolling z-score over a trailing row window — the dashboard-style
+    * anomaly signal (how many trailing-window standard deviations the
+    * current value sits from the trailing mean). Null until the window
+    * has >= 2 rows (sample stddev undefined), matching SQL engines.
+    * One shuffle on the partition key; the frame is rows-based so the
+    * plan is a single streaming window scan. Include a unique
+    * tie-breaker in `orderBy` for deterministic frames. */
+  def rollingZscore(partitionBy: Seq[String], orderBy: Seq[Column],
+      value: String, window: Int = 100, scale: Int = 4)(
+      df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(partitionBy.map(col): _*)
+      .orderBy(orderBy: _*)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val v = col(value).cast("double")
+    df.withColumn("zscore",
+      round((v - avg(v).over(w)) / stddev_samp(v).over(w), scale))
+  }
+
   /** A11 — RMSE between a prediction and a label column, grouped.
     * Reference: `app_2 NEW with joined.py:235-236`
     * (`sqrt(mean((pred-label)**2))`).

@@ -118,6 +118,20 @@ class RelationalSpec extends SparkSpec {
     assert(r == 1.5811)
   }
 
+  test("rollingZscore matches hand-computed trailing-window values") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("a", 4L, 10.0)).toDF("k", "t", "v")
+    val out = Aggregates.rollingZscore(Seq("k"), Seq(col("t")), "v", 3)(df)
+      .orderBy("t").select("zscore").collect()
+    assert(out(0).isNullAt(0)) // single row: sample stddev undefined
+    assert(math.abs(out(1).getDouble(0) - 0.7071) < 1e-9) // (2-1.5)/0.70710678
+    assert(math.abs(out(2).getDouble(0) - 1.0) < 1e-9)    // (3-2)/1
+    // (10-5)/sqrt(19) over window {2,3,10}
+    assert(math.abs(out(3).getDouble(0) -
+      BigDecimal(5.0 / math.sqrt(19.0)).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("deterministicSample is key-stable and layout-independent") {
     val df = (1L to 500L).flatMap(u => Seq((u, "a"), (u, "b"))).toDF("u", "tag")
     val s1 = Relational.deterministicSample(df, col("u"), 0.3)
