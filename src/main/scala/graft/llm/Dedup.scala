@@ -53,10 +53,10 @@ object Dedup {
       .select(col("id"), minhashSignatureFromShingles(col("shingles"), k).as("sig"))
 
   /** MinHash-LSH candidate pairs: signature → b bands of r hashes → hash
-    * each band → explode → self-join on (band, bandHash) → distinct id
-    * pairs (a<b). Exactly the banding construction of Broder/MMDS ch.3.
-    * One shuffle on band hash; bucket sizes bounded by banding, not data
-    * size. */
+    * each band → explode → bucket-combine on (band, bandHash) → distinct
+    * id pairs (a<b). Exactly the banding construction of Broder/MMDS
+    * ch.3. One shuffle on band hash; bucket sizes bounded by banding,
+    * not data size. */
   def lshCandidates(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
     lshCandidatesFromSig(
