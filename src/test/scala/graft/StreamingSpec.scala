@@ -186,6 +186,29 @@ class StreamingSpec extends SparkSpec {
     assert(store.read(spark).count() == 10L)
   }
 
+  test("contaminationScreen runs on a stream (stateless ingest decontamination)") {
+    implicit val sqlCtx = spark.sqlContext
+    val eval = Seq((100L, "held out benchmark sentence never for training"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val screened = graft.llm.Dedup.contaminationScreen(
+      mem.toDF().toDF("doc_id", "text"), eval, "doc_id", "text", 3)
+    assert(screened.isStreaming, "screen must stay a streaming frame")
+    val q = screened.writeStream.format("memory").queryName("screen_st")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "held out benchmark sentence never for training"), // leak
+        (2L, "an ordinary training document with its own words"))
+      q.processAllAvailable()
+      val out = spark.table("screen_st")
+        .select("doc_id", "est_contamination")
+        .as[(Long, Double)].collect().toMap
+      assert(out(1L) == 1.0, s"leaked doc must flag: $out")
+      assert(out(2L) == 0.0, s"clean doc must not flag: $out")
+    } finally q.stop()
+  }
+
   test("streamingDedup drops duplicate keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
