@@ -365,6 +365,11 @@ object SparkEntry {
       graft.llm.LanguageModel.unigramScore(t(s, d, "documents"),
         "doc_id", "text")),
 
+    "q_bigram_logprob" -> ((s, d) =>
+      // interpolated bigram LM (Jelinek-Mercer) over the corpus
+      graft.llm.LanguageModel.bigramScore(t(s, d, "documents"),
+        "doc_id", "text")),
+
     "q_token_repetition" -> ((s, d) =>
       // Gopher/RefinedWeb-style intra-doc repetition quality signal
       t(s, d, "documents").select(col("doc_id"),
@@ -756,6 +761,20 @@ object SparkEntry {
          SELECT doc_id, count(*) AS n_tokens,
                 round(avg(ln(cnt::DOUBLE / tot)), 6) AS avg_logp
          FROM toks JOIN freq USING (w) CROSS JOIN tot
+         GROUP BY doc_id""",
+
+    "q_bigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         bg AS (SELECT doc_id, t[i-1] AS w1, t[i] AS w2
+                FROM tok CROSS JOIN UNNEST(generate_series(2, len(t))) AS u(i)),
+         bfreq AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         sfreq AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+         uni AS (SELECT w2, count(*) AS c FROM bg GROUP BY w2),
+         tot AS (SELECT sum(c) AS tot FROM uni)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(avg(ln(0.75 * c12 / c1 + 0.25 * c / tot)), 6) AS avg_logp
+         FROM bg JOIN bfreq USING (w1, w2) JOIN sfreq USING (w1)
+                 JOIN uni USING (w2) CROSS JOIN tot
          GROUP BY doc_id""",
 
     "q_token_repetition" ->

@@ -33,4 +33,43 @@ object LanguageModel {
         round(avg(log(col("cnt").cast("double") / col("tot"))), 6)
           .as("avg_logp"))
   }
+
+  /** Interpolated bigram score: per doc, the mean natural log of
+    * lambda * p(w2|w1) + (1-lambda) * p(w2), with both distributions
+    * fitted on the corpus (p(w2|w1) = bigram count / w1-start count;
+    * p(w2) over bigram-second positions). The Jelinek-Mercer-smoothed
+    * step up from [[unigramScore]] — catches wrong-order token soup
+    * that unigram statistics cannot. Docs with < 2 tokens are absent
+    * from the output (no bigrams).
+    *
+    * Scale shape: bigram rows come from exploding POSITIONS (the
+    * lambda-CSE-safe form); the three frequency joins are keyed by
+    * (w1,w2), w1 and w2 — all token-sized keys; the scalar total rides
+    * as a broadcast. */
+  def bigramScore(df: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.75): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      Text.tokens(lower(col(textCol))).as("t"))
+    val starts = when(size(col("t")) >= 2,
+      sequence(lit(2), size(col("t")))).otherwise(array())
+    val bg = toks
+      .select(col("id"), col("t"), explode(starts).as("i"))
+      .select(col("id"),
+        element_at(col("t"), col("i") - 1).as("w1"),
+        element_at(col("t"), col("i")).as("w2"))
+    val bfreq = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val sfreq = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val uni = bg.groupBy("w2").agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("tot"))
+    bg.join(bfreq, Seq("w1", "w2"))
+      .join(sfreq, Seq("w1"))
+      .join(uni, Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(
+          lit(lambda) * col("c12").cast("double") / col("c1") +
+          lit(1.0 - lambda) * col("c").cast("double") / col("tot"))), 6)
+          .as("avg_logp"))
+  }
 }

@@ -94,6 +94,20 @@ class TextSpec extends SparkSpec {
     assert(out.toSeq == Seq(0.0, 0.5, 0.75, 0.0, 0.0))
   }
 
+  test("bigramScore interpolates bigram and unigram probabilities") {
+    val df = Seq((0L, "a b a b"), (1L, "b a")).toDF("doc_id", "text")
+    val out = graft.llm.LanguageModel.bigramScore(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "avg_logp")
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._2).toSeq == Seq(3L, 1L))
+    // doc 1's only bigram (b,a): p_bi = 2/2, p_uni(a) = 2/4
+    // -> ln(0.75*1 + 0.25*0.5) = ln(0.875)
+    assert(math.abs(out(1)._3 -
+      BigDecimal(math.log(0.875)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("unigramScore: common-vocabulary docs outscore rare-vocabulary docs") {
     // "the cat" tokens dominate the corpus; doc 2's tokens are singletons
     val df = Seq(
