@@ -43,11 +43,15 @@ object CorpusPipeline {
       .withColumn("rep_ratio", Text.repetitionRatio(col(textCol)))
     val lm = LanguageModel.unigramScore(deduped, idCol, textCol)
       .select(col(idCol), col("avg_logp"))
+    // docs absent from the LM frame (zero tokens) coalesce to -inf —
+    // the WORST score — so they pass only when the threshold is the
+    // permissive -inf default, never a finite quality bar
     val filtered = scored
       .join(lm, Seq(idCol), "left")
       .filter(col("quality") >= cfg.minQuality &&
         col("rep_ratio") <= cfg.maxRepetition &&
-        coalesce(col("avg_logp"), lit(0.0)) >= cfg.minAvgLogProb)
+        coalesce(col("avg_logp"), lit(Double.NegativeInfinity)) >=
+          cfg.minAvgLogProb)
     val decontaminated = evalSet match {
       case Some(ev) =>
         // screen-then-exact: the map-only bloom screen never

@@ -19,6 +19,34 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** CACHING SIDE EFFECT: [[minhashClusters]], [[dedupCorpus]],
+    * [[ngramJaccardPairs]] and [[similarityJoin]] persist small
+    * intermediate frames (signatures / shingle-hash rows) that feed
+    * several plan branches. The blocks stay cached until released —
+    * fine for job-per-invocation use, a leak for a long-lived driver
+    * calling these repeatedly. Such callers should invoke
+    * [[releaseCaches]] after the consuming action completes (safe at
+    * any time: a released frame is recomputed on next use, never
+    * wrong). */
+  private val trackedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackedCaches.add(p)
+    p
+  }
+
+  /** Unpersist every intermediate frame cached by this object's
+    * operators since the last release. */
+  def releaseCaches(): Unit = {
+    var df = trackedCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = trackedCaches.poll()
+    }
+  }
+
   /** Exact dedup: group identical normalized texts, keep min doc id as
     * canonical, report group size. 100 TB note: the shuffle carries only
     * (fingerprint, doc_id) pairs after map-side partial aggregation. */
@@ -104,8 +132,7 @@ object Dedup {
     // orders of magnitude smaller than the text it derives from, the
     // same trade Spark ML's MinHashLSH makes when it caches transformed
     // input. Spills to disk if it outgrows executor memory.
-    val sig = signatureFrame(df, idCol, textCol, shingleN, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = persistTracked(signatureFrame(df, idCol, textCol, shingleN, k))
     val cands = lshCandidatesFromSig(sig, bands, rowsPerBand)
     val est = cands
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
@@ -139,9 +166,8 @@ object Dedup {
     // aggregation over the full text runs exactly once. All filtering
     // joins are left_semi: they never widen rows with join-side
     // columns, and a semi join on a small id set broadcasts.
-    val exactKeep = exact(df, idCol, textCol)
-      .select(col("canonical_id").as(idCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exactKeep = persistTracked(exact(df, idCol, textCol)
+      .select(col("canonical_id").as(idCol)))
     val exactKept = df.join(exactKeep, Seq(idCol), "left_semi")
     val clusters = minhashClusters(exactKept, idCol, textCol,
       shingleN, bands, rowsPerBand, minEstJaccard)
@@ -304,8 +330,7 @@ object Dedup {
     // nothing is exchange-reusable — without the persist the whole
     // tokenize+hash pipeline runs twice. (id, hash) rows are ~an order
     // smaller than the text; spills to disk if bigger than memory.
-    val sh = shingleHashRows(df, idCol, textCol, shingleN)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = persistTracked(shingleHashRows(df, idCol, textCol, shingleN))
     // No pre-distinct: collect_set / count_distinct dedupe within the
     // same shuffle that builds the buckets, saving a full (id, shingle)
     // exchange. Intersections via bucket-and-combine instead of a
@@ -358,8 +383,8 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // distinct (id, shingle) rows feed three branches (frequency agg,
     // ranking, verify sets) — persist, same trade as ngramJaccardPairs
-    val sh = shingleHashRows(df, idCol, textCol, shingleN).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = persistTracked(
+      shingleHashRows(df, idCol, textCol, shingleN).distinct())
     val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val ranked = sh.join(freq, "shingle")
       .withColumn("r", row_number().over(

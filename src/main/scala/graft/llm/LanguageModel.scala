@@ -22,8 +22,12 @@ object LanguageModel {
     * aggregation — every shuffle keyed by token or doc id. The
     * single-row total rides along as a broadcast. */
   def unigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // split("") yields [""] — drop the empty pseudo-token so blank
+    // docs are genuinely ABSENT from the output (downstream consumers
+    // treat absence as worst-quality, cf. CorpusPipeline)
     val toks = df.select(col(idCol).as("id"),
       explode(Text.tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
     val freq = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
     val tot = freq.agg(sum(col("cnt")).as("tot"))
     toks.join(freq, "w")

@@ -93,7 +93,15 @@ object Similarity {
     * trained once per corpus and amortized over every subsequent query
     * batch (the standard ANN serving contract — FAISS separates
     * train/add from search the same way). Keyed by caller-supplied
-    * corpus identity + nlist. */
+    * corpus identity + nlist.
+    *
+    * CONTRACT: `cacheKey` must identify the corpus CONTENT, not just
+    * its location — if the data behind a key changes (new snapshot,
+    * appended files), the caller must use a new key (e.g. embed a
+    * version/snapshot id) or call [[invalidateIvf]] first, else
+    * searches silently serve the stale index. Each cached index pins
+    * a persisted DataFrame; evict with [[invalidateIvf]] /
+    * [[clearIvfCache]] when a corpus is retired. */
   private val ivfCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int), IvfIndex]
 
@@ -101,6 +109,20 @@ object Similarity {
       nlist: Int, cacheKey: String, seed: Long = 42L): IvfIndex =
     ivfCache.getOrElseUpdate((cacheKey, nlist),
       buildIvf(corpus, idCol, vecCol, nlist, seed))
+
+  /** Drop every cached index built under `cacheKey` (all nlist
+    * variants) and unpersist their inverted-list frames. Call when the
+    * corpus behind the key changes or is retired. */
+  def invalidateIvf(cacheKey: String): Unit =
+    ivfCache.keys.filter(_._1 == cacheKey).foreach { k =>
+      ivfCache.remove(k).foreach(_.indexed.unpersist(blocking = false))
+    }
+
+  /** Evict the whole registry (e.g. between test suites / jobs). */
+  def clearIvfCache(): Unit =
+    ivfCache.keys.foreach { k =>
+      ivfCache.remove(k).foreach(_.indexed.unpersist(blocking = false))
+    }
 
   def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long = 42L): IvfIndex = {

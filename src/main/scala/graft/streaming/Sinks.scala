@@ -108,19 +108,33 @@ final class PartitionedParquetKeyedStore(
     spark.read.parquet(path) // partition column recovered from dir names
 
   override def upsert(batch: DataFrame): Unit = synchronized {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val spark = batch.sparkSession
+    // Partition values are escaped exactly the way Spark's own
+    // partitioned writer escapes them (ExternalCatalogUtils), so
+    // read()'s partition discovery always round-trips: '/', '=',
+    // spaces etc. are %-encoded, and null/empty values land in the
+    // __HIVE_DEFAULT_PARTITION__ directory (read back as null, same
+    // as Spark). Several raw values can share a directory (null and
+    // "" both map to the default partition) — group first, and merge
+    // with a predicate over the raw values (null-safe), never the
+    // interpolated path.
     val touched = batch.select(col(partitionCol).cast("string"))
-      .distinct().collect().map(_.getString(0))
-    touched.foreach { p =>
-      val dir = s"$path/$partitionCol=$p"
-      val part = batch.filter(col(partitionCol).cast("string") === p)
-        .drop(partitionCol)
+      .distinct().collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+      .groupBy(v => ExternalCatalogUtils.getPartitionValueString(v))
+    touched.foreach { case (dirName, vals) =>
+      val dir = s"$path/$partitionCol=$dirName"
+      val c = col(partitionCol).cast("string")
+      val pred = vals.map(v => if (v == null) c.isNull else c === lit(v))
+        .reduce(_ || _)
+      val part = batch.filter(pred).drop(partitionCol)
       val merged =
         if (!Files.exists(Paths.get(dir))) part
         else Relational.dedupKeyed(subKeys,
           Seq(col(versionCol).desc))(
           spark.read.parquet(dir).unionByName(part))
-      val tmp = s"$path/.tmp-$partitionCol=$p"
+      val tmp = s"$path/.tmp-$partitionCol=$dirName"
       merged.write.mode("overwrite").parquet(tmp)
       AtomicSwap.swapIn(tmp, dir)
     }

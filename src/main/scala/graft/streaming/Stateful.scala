@@ -17,7 +17,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object Stateful {
 
   case class PricePoint(symbol: String, timestamp: Long, price: Double)
-  case class EwmaState(ewma: Double, n: Long)
+  case class EwmaState(ewma: Double, n: Long, maxTs: Long = Long.MinValue)
   case class EwmaOut(symbol: String, timestamp: Long, price: Double,
       ewma: Double, n: Long)
 
@@ -48,16 +48,26 @@ object Stateful {
             val sorted = rows.toSeq.sortBy(p => (p.timestamp, p.price))
             var st = state.getOption.getOrElse(EwmaState(0.0, 0L))
             val out = sorted.map { p =>
+              val ts = math.max(st.maxTs, p.timestamp)
               st =
-                if (st.n == 0L) EwmaState(p.price, 1L)
-                else EwmaState(alpha * p.price + (1 - alpha) * st.ewma, st.n + 1)
+                if (st.n == 0L) EwmaState(p.price, 1L, ts)
+                else EwmaState(alpha * p.price + (1 - alpha) * st.ewma,
+                  st.n + 1, ts)
               EwmaOut(symbol, p.timestamp, p.price, st.ewma, st.n)
             }
             state.update(st)
             if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
               state.setTimeoutDuration(timeoutMs)
-            else if (timeout == GroupStateTimeout.EventTimeTimeout)
-              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + timeoutMs)
+            else if (timeout == GroupStateTimeout.EventTimeTimeout) {
+              // key-relative expiry: the key's max SEEN event time +
+              // timeoutMs (per the contract above), clamped above the
+              // current watermark because Spark rejects timeout
+              // timestamps at or below it — late-arriving keys expire
+              // at the earliest legal instant instead of throwing
+              state.setTimeoutTimestamp(
+                math.max(st.maxTs + timeoutMs,
+                  state.getCurrentWatermarkMs() + 1))
+            }
             out.iterator
           }
       }

@@ -158,6 +158,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("CorpusPipeline: zero-token docs fail a finite LM quality bar") {
+    // a doc with no tokens has no avg_logp row; it must be treated as
+    // WORST quality under a finite minAvgLogProb, not best (advisor
+    // r2: coalesce to 0.0 let token-less docs bypass the LM filter)
+    val corpus = Seq(
+      (0L, "normal document with plenty of ordinary words in it today"),
+      (1L, "   ")) // whitespace-only -> zero tokens -> no LM score
+      .toDF("doc_id", "text")
+    val kept = graft.llm.CorpusPipeline.prepare(corpus, "doc_id", "text",
+      cfg = graft.llm.CorpusPipeline.Config(minAvgLogProb = -100.0))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(0L))
+    // permissive default (-inf) keeps both
+    val all = graft.llm.CorpusPipeline.prepare(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(all == Seq(0L, 1L))
+  }
+
   test("contaminationScreen: map-only, never below the exact fraction") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta"),

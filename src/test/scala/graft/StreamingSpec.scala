@@ -165,6 +165,26 @@ class StreamingSpec extends SparkSpec {
       ("XOM", 2L, 1L, 12.0)))
   }
 
+  test("PartitionedParquetKeyedStore round-trips null and special-char partition values") {
+    import graft.streaming.PartitionedParquetKeyedStore
+    val dir = tmpDir("pstore-esc") + "/t"
+    val store = new PartitionedParquetKeyedStore(
+      dir, "sym", Seq("sym", "ts"), "v")
+    // "a/b=c d" needs Spark's partition-path escaping; null must land
+    // in __HIVE_DEFAULT_PARTITION__ and merge (not be silently dropped)
+    store.upsert(Seq(("a/b=c d", 1L, 1L, 10.0), (null, 1L, 1L, 20.0))
+      .toDF("sym", "ts", "v", "price"))
+    store.upsert(Seq(("a/b=c d", 1L, 2L, 11.0), (null, 1L, 2L, 21.0))
+      .toDF("sym", "ts", "v", "price"))
+    val out = store.read(spark)
+      .select("sym", "ts", "v", "price")
+      .as[(String, Long, Long, Double)].collect()
+      .sortBy(r => (Option(r._1), r._2))
+    assert(out.toSeq == Seq(
+      (null, 1L, 2L, 21.0),        // null key upserted, last-writer-wins
+      ("a/b=c d", 1L, 2L, 11.0)))  // escaped dir discovered + merged
+  }
+
   test("ParquetKeyedStore.upsert is safe under concurrent writers") {
     // StreamJobs wires two foreachBatch writers (predictor +
     // labelUpdater) to one store in the same driver JVM — the
