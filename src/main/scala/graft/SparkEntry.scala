@@ -232,6 +232,58 @@ object SparkEntry {
             .as("revenue")))
     }),
 
+    "q_rollup_revenue" -> ((s, d) =>
+      // multi-level subtotals in ONE Expand+agg pass (status, year,
+      // grand total), grouping_id disambiguates subtotal rows
+      Aggregates.rollupAgg(Seq("o_orderstatus", "yr"),
+        Seq(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue")))(
+        t(s, d, "orders").select(col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy").as("yr"),
+          col("o_totalprice")))),
+
+    "q_cube_daily" -> ((s, d) =>
+      // all 2^2 grouping sets over (event_type, day) in one pass
+      Aggregates.cubeAgg(Seq("event_type", "day"),
+        Seq(count(lit(1)).as("n_events"),
+          round(avg(col("value")), 4).as("avg_value")))(
+        t(s, d, "events").select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value")))),
+
+    "q_pivot_daily" -> ((s, d) =>
+      // long-to-wide reshape: one column per event type, single-pass
+      // conditional aggregates (explicit value list — no distinct job)
+      Aggregates.pivotAgg(Seq("day"), "event_type",
+        Seq("click", "error", "purchase", "signup", "view"),
+        round(avg(col("value")), 4))(
+        t(s, d, "events").select(
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("value")))),
+
+    "q_set_ops" -> ((s, d) => {
+      // §2.7 completion: (user, day) pairs that clicked AND viewed but
+      // never errored — intersect/except as semi/anti hash joins
+      val e = t(s, d, "events")
+      def ud(tp: String) = e.filter(col("event_type") === tp)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      Relational.exceptDistinct(
+        Relational.intersectDistinct(ud("click"), ud("view")), ud("error"))
+    }),
+
+    "q_range_join" -> ((s, d) => {
+      // interval containment: clicks within 1h after an error by the
+      // same user, aggregated per error event
+      val e = t(s, d, "events")
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("user_id"),
+          col("ts").as("lo"), (col("ts") + expr("INTERVAL 1 HOUR")).as("hi"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      graft.operators.Joins.rangeJoin(clicks, errors, Seq("user_id"),
+        "ts", "lo", "hi")
+        .groupBy(col("err_id")).agg(count(lit(1)).as("n_clicks"))
+    }),
+
     "q_grid_fill" -> ((s, d) => {
       val events = t(s, d, "events")
       val days = events.select(to_date(col("ts")).as("day")).distinct()
@@ -384,6 +436,54 @@ object SparkEntry {
       Dedup.contamination(docs.filter(col("doc_id") < 50),
         docs.filter(col("doc_id") >= 50), "doc_id", "text", 3)
     }),
+
+    "q_tfidf_top_terms" -> ((s, d) =>
+      // smoothed TF-IDF keyword extraction, top-3 per doc, ranked on
+      // the rounded score for cross-engine determinism
+      graft.llm.Relevance.tfidfTopTerms(t(s, d, "documents"),
+        "doc_id", "text", 3)),
+
+    "q_bm25" -> ((s, d) =>
+      // BM25 ranked retrieval for a bag-of-terms query; corpus stats
+      // (df, dl, avgdl, N) fitted on the full documents table
+      graft.llm.Relevance.bm25(t(s, d, "documents"), "doc_id", "text",
+        Seq("vector", "join", "stream"))),
+
+    "q_char_entropy" -> ((s, d) =>
+      // Shannon character entropy (nats) — spam/noise quality signal
+      graft.llm.LanguageModel.charEntropy(t(s, d, "documents"),
+        "doc_id", "text")),
+
+    "q_pii_redact" -> ((s, d) => {
+      // PII scrubbing: the corpus carries no natural PII, so a
+      // deterministic contact line is appended per doc — the scrubber
+      // and the oracle must then agree on every replacement
+      val aug = t(s, d, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or 555-123-4567")).as("aug"))
+      aug.select(col("doc_id"), Text.piiCount(col("aug")).as("n_pii"),
+        Text.redactPii(col("aug")).as("redacted"))
+    }),
+
+    "q_pack_sequences" -> ((s, d) => {
+      // sequence-packing assignment: 10 hash shards pack independently
+      // (parallel windows), 2048-token context budget
+      val docs = Relational.withHashSplit(
+        t(s, d, "documents").select(col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens")),
+        col("doc_id"), 10, "shard")
+      graft.llm.Packing.contiguousPacks(docs, "n_tokens", 2048L,
+        Seq(col("doc_id")), Some("shard"))
+    }),
+
+    "q_stratified_sample" -> ((s, d) =>
+      // data mixing: downsample over-represented languages with
+      // key-stable per-stratum rates (en 30%, zh 50%, rest kept)
+      Relational.stratifiedSample(t(s, d, "documents"), col("lang"),
+        col("doc_id"), Map("en" -> 0.3, "zh" -> 0.5))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(length(col("text"))), 4).as("avg_chars"))),
 
     "q_rolling_zscore" -> ((s, d) =>
       // trailing-100-row anomaly signal per event type
@@ -678,6 +778,45 @@ object SparkEntry {
          GROUP BY o_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
 
+    "q_rollup_revenue" ->
+      """SELECT o_orderstatus, yr, CAST(GROUPING(o_orderstatus, yr) AS BIGINT) AS lvl,
+                count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+         FROM (SELECT o_orderstatus, strftime(o_orderdate, '%Y') AS yr, o_totalprice
+               FROM orders)
+         GROUP BY ROLLUP(o_orderstatus, yr)""",
+
+    "q_cube_daily" ->
+      """SELECT event_type, day, CAST(GROUPING(event_type, day) AS BIGINT) AS lvl,
+                count(*) AS n_events, round(avg(value), 4) AS avg_value
+         FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
+         GROUP BY CUBE(event_type, day)""",
+
+    "q_pivot_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+                round(avg(value) FILTER (WHERE event_type = 'click'), 4) AS click,
+                round(avg(value) FILTER (WHERE event_type = 'error'), 4) AS error,
+                round(avg(value) FILTER (WHERE event_type = 'purchase'), 4) AS purchase,
+                round(avg(value) FILTER (WHERE event_type = 'signup'), 4) AS signup,
+                round(avg(value) FILTER (WHERE event_type = 'view'), 4) AS view
+         FROM events GROUP BY 1""",
+
+    "q_set_ops" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'view'
+         EXCEPT
+         SELECT user_id, CAST(ts AS DATE) FROM events WHERE event_type = 'error'""",
+
+    "q_range_join" ->
+      """WITH err AS (SELECT event_id AS err_id, user_id, ts AS lo,
+                             ts + INTERVAL 1 HOUR AS hi
+                      FROM events WHERE event_type = 'error'),
+              clk AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+         SELECT err_id, count(*) AS n_clicks
+         FROM clk JOIN err ON clk.user_id = err.user_id
+           AND clk.ts >= err.lo AND clk.ts < err.hi
+         GROUP BY err_id""",
+
     "q_grid_fill" ->
       """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
             types AS (SELECT DISTINCT event_type FROM events),
@@ -816,6 +955,79 @@ object SparkEntry {
                 count(*) AS n_docs,
                 round(avg(len(string_split(text, ' '))), 4) AS mean_tokens
          FROM documents GROUP BY 1""",
+
+    "q_tfidf_top_terms" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                       FROM documents),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+                WHERE length(w) > 0 GROUP BY 1, 2),
+         dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+         scored AS (
+           SELECT doc_id, w,
+                  round(tf * (ln((n_docs + 1.0) / (df + 1)) + 1), 6) AS tfidf
+           FROM tf JOIN dfq USING (w) CROSS JOIN n)
+         SELECT doc_id, w AS term, tfidf,
+                CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, w) AS INT) AS rank
+         FROM scored QUALIFY rank <= 3""",
+
+    "q_bm25" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                       FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks WHERE length(w) > 0 GROUP BY 1),
+         stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+                WHERE w IN ('vector', 'join', 'stream') GROUP BY 1, 2),
+         dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+         SELECT doc_id, round(sum(
+                  ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+                  (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+         FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+         GROUP BY doc_id""",
+
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, substr(text, i, 1) AS c
+                     FROM documents
+                     CROSS JOIN UNNEST(generate_series(1, length(text))) AS u(i)),
+         cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_chars,
+                round(ln(CAST(sum(k) AS DOUBLE)) -
+                      sum(k * ln(CAST(k AS DOUBLE))) / sum(k), 6) AS entropy
+         FROM cnt GROUP BY doc_id""",
+
+    "q_pii_redact" ->
+      """WITH aug AS (SELECT doc_id,
+                text || ' contact user' || doc_id || '@example.com or 555-123-4567' AS aug
+              FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   + len(regexp_extract_all(aug, '\b\d{3}-\d{2}-\d{4}\b'))
+                   + len(regexp_extract_all(aug, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INT) AS n_pii,
+                regexp_replace(regexp_replace(regexp_replace(aug,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                  '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
+         FROM aug""",
+
+    "q_pack_sequences" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  len(string_split(text, ' ')) AS n_tokens,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10 AS shard
+           FROM documents)
+         SELECT doc_id, n_tokens, shard,
+                CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY shard
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 2048.0) AS BIGINT) AS pack_id
+         FROM base""",
+
+    "q_stratified_sample" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(length(text)), 4) AS avg_chars
+         FROM documents
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000 <
+               CASE lang WHEN 'en' THEN 300 WHEN 'zh' THEN 500 ELSE 1000 END
+         GROUP BY lang""",
 
     "q_quality_score" ->
       """WITH base AS (

@@ -146,6 +146,34 @@ object Text {
       - lit(0.25) * punctPenalty, 6)
   }
 
+  // --- PII redaction (training-data scrubbing) ---
+
+  /** PII patterns, deliberately RE2-compatible (no lookaround, no
+    * backreferences) so the exact same pattern strings run under
+    * Java regex here and RE2-based engines (the oracle) identically. */
+  val emailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ssnRe: String = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val phoneRe: String = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** Scrub emails / SSN-shaped ids / phone numbers with typed
+    * placeholder tags — the standard pre-training redaction pass.
+    * SSNs are replaced before phones (both are digit runs; the order
+    * makes the composition deterministic). Pure codegen'd
+    * regexp_replace chain: map-side only, no shuffle, safe to run
+    * inline in any 100 TB scan. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ssnRe, "<SSN>"),
+      phoneRe, "<PHONE>")
+
+  /** Number of PII matches [[redactPii]] would scrub (audit metric). */
+  def piiCount(text: Column): Column =
+    regexp_count(text, lit(emailRe)) +
+      regexp_count(text, lit(ssnRe)) +
+      regexp_count(text, lit(phoneRe))
+
   // --- language ID (marker-word heuristic) ---
 
   /** Marker stopwords per language for the n-gram-free heuristic. */

@@ -38,6 +38,29 @@ object LanguageModel {
           .as("avg_logp"))
   }
 
+  /** Per-document Shannon character entropy in nats, via the
+    * single-pass identity H = ln(n) − (Σ cᵢ·ln cᵢ)/n over raw
+    * character counts (no second normalization pass). Low entropy
+    * flags repeated-character spam and degenerate boilerplate; very
+    * high entropy flags random-byte noise — both filter candidates
+    * alongside [[unigramScore]] in a quality stack.
+    *
+    * Scale shape: one character explode + two hash aggregations keyed
+    * by (doc, char) then doc — the (doc, char) partial aggregate
+    * collapses each doc to ≤ |alphabet| rows map-side, so the shuffle
+    * carries character histograms, not characters.
+    * Output: (idCol, n_chars, entropy). */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String,
+      scale: Int = 6): DataFrame =
+    df.select(col(idCol).as("id"), explode(split(col(textCol), "")).as("c"))
+      .filter(length(col("c")) > 0) // split("") artifact on empty text
+      .groupBy("id", "c").agg(count(lit(1)).as("cnt"))
+      .groupBy(col("id").as(idCol))
+      .agg(sum(col("cnt")).as("n_chars"),
+        round(log(sum(col("cnt")).cast("double")) -
+          sum(col("cnt").cast("double") * log(col("cnt").cast("double"))) /
+            sum(col("cnt")).cast("double"), scale).as("entropy"))
+
   /** Interpolated bigram score: per doc, the mean natural log of
     * lambda * p(w2|w1) + (1-lambda) * p(w2), with both distributions
     * fitted on the corpus (p(w2|w1) = bigram count / w1-start count;

@@ -1,0 +1,93 @@
+package graft.llm
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Term-relevance scoring over a document corpus (north-star
+  * text-analysis surface): TF-IDF keyword extraction and BM25 ranked
+  * retrieval — the lexical-relevance half of a training-data pipeline
+  * (keyword profiling, query-based corpus slicing, hard-negative
+  * mining for retrieval training).
+  *
+  * Scale shape: everything is one token explode + hash aggregates
+  * keyed by (doc id | term) — the same shuffle profile as
+  * [[LanguageModel]]; corpus-level scalars (N, avgdl) ride along as
+  * broadcast single-row frames, never a driver collect.
+  */
+object Relevance {
+
+  /** (id, w) token rows, lower-cased, empty pseudo-token dropped. */
+  private def tokenRows(df: DataFrame, idCol: String, textCol: String) =
+    df.select(col(idCol).as("id"),
+        explode(Text.tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+
+  /** Top-k terms per document by smoothed TF-IDF
+    * (sklearn-style: tfidf = tf * (ln((N+1)/(df+1)) + 1), where df is
+    * the number of documents containing the term). Ranking is on the
+    * ROUNDED score (then term asc) so the k-set is reproducible
+    * bit-for-bit across engines — raw FP products can differ in the
+    * last ulp between ln implementations.
+    * Output: (idCol, term, tfidf, rank). */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int, scale: Int = 6): DataFrame = {
+    val tf = tokenRows(df, idCol, textCol)
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (id, w): counting them per term IS the
+    // document frequency — no second distinct pass over raw tokens
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = tf.select(col("id")).distinct().agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "w")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), scale))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("w"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("w").as("term"),
+        col("tfidf"), col("rank"))
+  }
+
+  /** BM25 relevance of every matching document for a bag-of-terms
+    * query (Robertson/Lucene formulation):
+    *
+    *   score = Σ_t idf(t) * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * Documents sharing no query term are absent (score 0). Term
+    * statistics (df, dl, avgdl, N) are fitted on the full corpus;
+    * only tf rows matching the query terms flow past the first
+    * filter, so the per-query cost is a filtered aggregate — the
+    * inverted-index access pattern, expressed relationally.
+    * Output: (idCol, score) rounded to `scale`. */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      scale: Int = 6): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val toks = tokenRows(df, idCol, textCol)
+    // per-doc length over ALL tokens (BM25 normalizes by full doc
+    // length, not just matching terms); avgdl/N ride as a broadcast
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"),
+      count(lit(1)).cast("double").as("n_docs"))
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val tf = toks.filter(col("w").isin(terms: _*))
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "w")
+      .join(dl, "id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("part",
+        col("idf") * col("tf") * (lit(k1) + 1) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id").as(idCol))
+      .agg(round(sum(col("part")), scale).as("score"))
+  }
+}

@@ -145,6 +145,37 @@ object Aggregates {
       round((v - avg(v).over(w)) / stddev_samp(v).over(w), scale))
   }
 
+  /** Multi-level subtotal aggregate via ROLLUP: the n+1 grouping sets
+    * (every key prefix + the grand total) in ONE pass, tagged with the
+    * grouping-id bitmask (`lvlCol`) so subtotal rows are
+    * distinguishable from genuine null key values. Catalyst plans
+    * rollup as a single Expand + hash aggregate — one scan and one
+    * shuffle for all levels, vs n+1 scans for a union-of-groupbys
+    * (the dashboard-total shape of SURVEY §2.4 A10, generalized). */
+  def rollupAgg(keys: Seq[String], aggs: Seq[Column],
+      lvlCol: String = "lvl")(df: DataFrame): DataFrame =
+    df.rollup(keys.map(col): _*)
+      .agg(grouping_id().cast("long").as(lvlCol), aggs: _*)
+
+  /** All-combinations subtotals via CUBE (2^n grouping sets), same
+    * single Expand + hash-aggregate plan shape as [[rollupAgg]].
+    * Keep `keys` small: the Expand multiplies scan rows by 2^n. */
+  def cubeAgg(keys: Seq[String], aggs: Seq[Column],
+      lvlCol: String = "lvl")(df: DataFrame): DataFrame =
+    df.cube(keys.map(col): _*)
+      .agg(grouping_id().cast("long").as(lvlCol), aggs: _*)
+
+  /** Pivot: one output column per `values` entry holding `agg` over
+    * the matching rows — the long-to-wide reshape behind every
+    * per-category dashboard block (A10). `values` is REQUIRED: with
+    * an explicit list Spark plans a single pass of conditional
+    * aggregates; omitting it costs an extra distinct job over the
+    * pivot column before the plan can even be built (and an
+    * unbounded-width schema at 100 TB). */
+  def pivotAgg(groupBy: Seq[String], pivotCol: String,
+      values: Seq[String], agg: Column)(df: DataFrame): DataFrame =
+    df.groupBy(groupBy.map(col): _*).pivot(pivotCol, values).agg(agg)
+
   /** A11 — RMSE between a prediction and a label column, grouped.
     * Reference: `app_2 NEW with joined.py:235-236`
     * (`sqrt(mean((pred-label)**2))`).

@@ -60,6 +60,21 @@ object Relational {
   def unionAll(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_ unionByName _)
 
+  /** Set intersection (distinct) by NAME — `b`'s columns are reordered
+    * to `a`'s schema first, the same by-name safety rule as
+    * [[unionAll]]. Catalyst plans this as a left-semi hash join over
+    * distinct rows: one shuffle per side keyed by the full row, with
+    * map-side partial dedup — no sort, broadcastable when one side's
+    * distinct set is small. */
+  def intersectDistinct(a: DataFrame, b: DataFrame): DataFrame =
+    a.intersect(b.select(a.columns.toIndexedSeq.map(col): _*))
+
+  /** Set difference (distinct) by NAME: rows of `a` not present in
+    * `b`. Left-anti hash join over distinct rows, same shuffle shape
+    * as [[intersectDistinct]]. */
+  def exceptDistinct(a: DataFrame, b: DataFrame): DataFrame =
+    a.except(b.select(a.columns.toIndexedSeq.map(col): _*))
+
   /** O1/O2 — deterministic top-k: order by `measures` then `tieBreak`
     * (a unique key) so the k-set is stable. Reference:
     * `EDA_silver.ipynb` cell 9 (`orderBy(count desc).head(10)`).
@@ -161,6 +176,29 @@ object Relational {
       fraction: Double, buckets: Int = 1000): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0)
     val keep = math.round(fraction * buckets)
+    withHashSplit(df, key, buckets, "__bucket")
+      .filter(col("__bucket") < keep)
+      .drop("__bucket")
+  }
+
+  /** Stratified deterministic sampling: a per-stratum keep rate over
+    * the same md5 key-bucket mechanism as [[deterministicSample]] —
+    * the data-mixing primitive of a training pipeline (downsample
+    * over-represented languages/domains, keep the tail whole). Rows
+    * whose stratum is absent from `rates` keep `defaultRate`.
+    * Key-stable and engine/partitioning-independent; the rate lookup
+    * is a codegen'd CASE chain, so the whole operator stays a pure
+    * map-side projection + filter (no shuffle, no sampling state). */
+  def stratifiedSample(df: DataFrame, strata: Column, key: Column,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      buckets: Int = 1000): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0,1]")
+    val keep = rates.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultRate * buckets)): Column) {
+      case (els, (s, r)) =>
+        when(strata === s, lit(math.round(r * buckets))).otherwise(els)
+    }
     withHashSplit(df, key, buckets, "__bucket")
       .filter(col("__bucket") < keep)
       .drop("__bucket")

@@ -145,6 +145,69 @@ class RelationalSpec extends SparkSpec {
     assert(keptUsers.size > 100 && keptUsers.size < 200, keptUsers.size)
   }
 
+  test("rollupAgg emits every prefix level plus the grand total, tagged") {
+    val df = Seq(("F", "1995", 10.0), ("F", "1996", 20.0), ("O", "1995", 5.0))
+      .toDF("status", "yr", "price")
+    val out = Aggregates.rollupAgg(Seq("status", "yr"),
+      Seq(round(sum(col("price")), 2).as("rev")))(df)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set(
+      ("F", "1995", 0L, 10.0), ("F", "1996", 0L, 20.0), ("O", "1995", 0L, 5.0),
+      ("F", null, 1L, 30.0), ("O", null, 1L, 5.0),
+      (null, null, 3L, 35.0)))
+  }
+
+  test("cubeAgg emits all 2^n grouping sets") {
+    val df = Seq(("a", "x", 1L), ("a", "y", 1L), ("b", "x", 1L))
+      .toDF("k1", "k2", "v")
+    val out = Aggregates.cubeAgg(Seq("k1", "k2"),
+      Seq(count(lit(1)).as("n")))(df)
+    // 3 exact + 2 k1-subtotals + 2 k2-subtotals + 1 grand total
+    assert(out.count() == 8)
+    val grand = out.filter(col("lvl") === 3).select("n").as[Long].collect()
+    assert(grand.toSeq == Seq(3L))
+  }
+
+  test("pivotAgg widens one column per pivot value") {
+    val df = Seq(("d1", "click", 1.0), ("d1", "view", 3.0), ("d2", "click", 5.0))
+      .toDF("day", "tp", "v")
+    val out = Aggregates.pivotAgg(Seq("day"), "tp", Seq("click", "view"),
+      round(avg(col("v")), 2))(df)
+    assert(out.columns.toSeq == Seq("day", "click", "view"))
+    val d2 = out.filter(col("day") === "d2").collect().head
+    assert(d2.getDouble(1) == 5.0 && d2.isNullAt(2))
+  }
+
+  test("intersect/except operate by name, with distinct semantics") {
+    val a = Seq((1, "x"), (2, "y"), (2, "y"), (3, "z")).toDF("k", "t")
+    // same columns, swapped order: by-name alignment must fix it
+    val b = Seq(("y", 2), ("z", 3), ("w", 4)).toDF("t", "k")
+    val inter = Relational.intersectDistinct(a, b)
+      .as[(Int, String)].collect().sorted
+    assert(inter.toSeq == Seq((2, "y"), (3, "z")))
+    val exc = Relational.exceptDistinct(a, b)
+      .as[(Int, String)].collect().sorted
+    assert(exc.toSeq == Seq((1, "x")))
+  }
+
+  test("stratifiedSample applies per-stratum rates, key-stable") {
+    val df = (1L to 1000L).map(i => (i, if (i <= 500) "big" else "rare"))
+      .toDF("id", "stratum")
+    val out = Relational.stratifiedSample(df, col("stratum"), col("id"),
+      Map("big" -> 0.2), defaultRate = 1.0)
+    val byStratum = out.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    // rare stratum kept whole; big stratum ~20% (generous band)
+    assert(byStratum("rare") == 500L)
+    assert(byStratum("big") > 50L && byStratum("big") < 200L, byStratum)
+    // key-stable: identical selection under a different layout
+    val again = Relational.stratifiedSample(df.repartition(13),
+      col("stratum"), col("id"), Map("big" -> 0.2))
+      .select("id").as[Long].collect().toSet
+    assert(again == out.select("id").as[Long].collect().toSet)
+  }
+
   test("withHashSplit is deterministic, in-range, and partition-independent") {
     val df = (1L to 2000L).toDF("id")
     val a = Relational.withHashSplit(df, col("id"), 10)
