@@ -18,20 +18,24 @@ object Bench {
       SparkEntry.queries.get("q_pricing_summary")
         .foreach(fn => fn(spark, sfDir).count())
     } catch { case _: Throwable => () }
-    // Two passes per query, report the min (steady-state): the first
-    // execution of each distinct plan pays ~0.3-2s of whole-stage-codegen
-    // JIT compile, a one-time constant that a resident cluster session
-    // amortizes away. Cold-start behavior is characterized separately in
-    // README/SCALING.md.
+    // Three passes per query, report the MEDIAN: the first execution of
+    // each distinct plan pays ~0.3-2s of whole-stage-codegen JIT compile
+    // (a one-time constant a resident cluster session amortizes away),
+    // and the median of the remaining steady-state runs absorbs one-off
+    // GC/scheduler noise that min-of-two let through. Cold-start
+    // behavior is characterized separately in README/SCALING.md.
     def once(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val a = once(fn); val b = once(fn)
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val runs = Seq(once(fn), once(fn), once(fn))
+      // per-invocation dedup caches must not accumulate across 64 queries
+      graft.llm.Dedup.releaseCaches()
+      name -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1))
     }
+    graft.llm.Similarity.clearIvfCache()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

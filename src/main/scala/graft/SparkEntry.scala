@@ -104,7 +104,9 @@ object SparkEntry {
         t(s, d, "lineitem"))),
 
     "q_spearman" -> ((s, d) =>
-      Aggregates.spearmanMinRank("l_quantity", "l_extendedprice", 6)(
+      // size-gated: min-rank (oracle-reproducible) at this scale,
+      // distributed ml.stat ranking beyond 1M rows
+      Aggregates.spearman("l_quantity", "l_extendedprice", 6)(
         t(s, d, "lineitem"))),
 
     "q_rmse" -> ((s, d) =>
@@ -369,10 +371,13 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.8)),
 
     "q_embedding_near_dups" -> ((s, d) =>
-      // rows-only: LSH bucket pairs at cosine>=0.35 (bucketing not
-      // expressible in the oracle engine)
+      // rows-only: banded hyperplane-LSH pairs at cosine>=0.35 (the
+      // hash bucketing is not expressible in the oracle engine).
+      // 16 bands x 4 bits: recall-tuned for this low threshold — see
+      // q_embedding_band_recall for the measured recall vs the exact
+      // all-pairs ground truth
       Dedup.embeddingNearDups(t(s, d, "embeddings"), "vec_id", "embedding",
-        minCosine = 0.35, nBits = 4)),
+        minCosine = 0.35, bands = 16, bitsPerBand = 4)),
 
     "q_simhash" -> ((s, d) =>
       Dedup.simhashFrame(t(s, d, "documents"), "doc_id", "text")
@@ -533,10 +538,65 @@ object SparkEntry {
     }),
 
     "q_lsh_knn" -> ((s, d) => {
-      // Rows-only: LSH recall path (bucket join, not full scan).
+      // Rows-only: multi-table LSH recall path (band-bucket join, not
+      // full scan); see q_lsh_knn_recall for the measured recall@k
       val emb = t(s, d, "embeddings")
       Similarity.lshKnn(emb.filter(col("vec_id") < 10), emb,
-        "vec_id", "embedding", 5, nBits = 4)
+        "vec_id", "embedding", 5, bands = 8, bitsPerBand = 4)
+    }),
+
+    // ---- llm/: approximate-operator quality gates (graft.llm.Recall).
+    // Each approximate family gets a deterministic one-row summary vs
+    // its exact twin; fixed seeds make the numbers exact, and
+    // RecallGatesSpec hard-asserts thresholds on the same summaries.
+    "q_lsh_knn_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      graft.llm.Recall.knnRecall(
+        Similarity.lshKnn(q, emb, "vec_id", "embedding", 5,
+          bands = 8, bitsPerBand = 4),
+        Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 5))
+    }),
+
+    "q_ivf_knn_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val index = Similarity.ivfIndexFor(emb, "vec_id", "embedding",
+        nlist = 16, cacheKey = d)
+      graft.llm.Recall.knnRecall(
+        Similarity.ivfKnn(q, index, "vec_id", "embedding", 5, nProbe = 4),
+        Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 5))
+    }),
+
+    "q_minhash_pair_quality" -> ((s, d) => {
+      // precision/recall of minhash-cluster-implied pairs vs the exact
+      // jaccard>=0.7 pair set (the threshold the clusters estimate)
+      val docs = t(s, d, "documents")
+      graft.llm.Recall.pairQuality(
+        graft.llm.Recall.clusterPairs(
+          Dedup.minhashClusters(docs, "doc_id", "text")),
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7))
+    }),
+
+    "q_simhash_band_recall" -> ((s, d) => {
+      // pigeonhole banding is exact for hamming<=maxHamming: both
+      // precision and recall must be 1.0 vs brute-force hamming (the
+      // id cap bounds the quadratic ground truth at larger sf)
+      val sig = Dedup.simhashFrame(t(s, d, "documents"), "doc_id", "text")
+        .filter(col("id") < 2000)
+      graft.llm.Recall.pairQuality(
+        Dedup.simhashNearDupsFromSig(sig, 6),
+        graft.llm.Recall.exactHammingPairs(sig, 6))
+    }),
+
+    "q_embedding_band_recall" -> ((s, d) => {
+      // measured recall of the banded hyperplane LSH at the graded
+      // low threshold, vs exact all-pairs cosine
+      val emb = t(s, d, "embeddings")
+      graft.llm.Recall.pairQuality(
+        Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+          minCosine = 0.35, bands = 16, bitsPerBand = 4),
+        graft.llm.Recall.exactCosinePairs(emb, "vec_id", "embedding", 0.35))
     })
   )
 

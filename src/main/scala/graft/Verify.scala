@@ -21,7 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the dedup operators persist per-invocation intermediates; a
+      // driver running all queries must not accumulate every cache
+      graft.llm.Dedup.releaseCaches()
     }
+    graft.llm.Similarity.clearIvfCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -34,13 +34,20 @@ object Vectors {
   /** Random-hyperplane LSH bit signature: sign bits of dot products with
     * `planes` (deterministic pseudo-random planes derived from a seed on
     * the caller side). Returns a compact Long bucket id for up to 63 bits.
+    *
+    * Each sign bit runs through the fused native cosine kernel (one
+    * codegen'd pass per plane) rather than the interpreted HOF dot —
+    * sign(cosine) == sign(dot) for non-zero vectors, and HOF lambdas are
+    * never whole-stage-codegen'd (measured 15-150x slower per element).
+    * A zero vector (cosine null) hashes to the all-zeros bucket.
     */
   def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
     require(planes.size <= 63, "bucket id packs into a signed long")
     val vd = asDouble(v)
     planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit(_)): _*)
-      when(dot(vd, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(graft.plans.VectorExpressions.cosineSim(vd, planeCol) >= 0,
+        lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 }

@@ -47,6 +47,10 @@ object Dedup {
     }
   }
 
+  /** Currently-tracked (not yet released) cached frames — drains to 0
+    * after [[releaseCaches]]. */
+  def trackedCacheCount: Int = trackedCaches.size
+
   /** Exact dedup: group identical normalized texts, keep min doc id as
     * canonical, report group size. 100 TB note: the shuffle carries only
     * (fingerprint, doc_id) pairs after map-side partial aggregation. */
@@ -91,21 +95,15 @@ object Dedup {
       signatureFrame(df, idCol, textCol, shingleN, bands * rowsPerBand),
       bands, rowsPerBand)
 
-  /** Banding over an existing (id, sig) frame — lets callers that also
-    * need the signatures elsewhere (e.g. [[minhashClusters]]) build
-    * them once. */
-  def lshCandidatesFromSig(sig: DataFrame,
-      bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sig.select(col("id"), posexplode(
-      array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
-      }: _*)).as(Seq("band", "band_hash")))
-    // Bucket-and-combine instead of a self-join: group by (band,
-    // band_hash), collect the member ids, emit pairs from two
-    // codegen'd Generates. One shuffle, and the minhash pipeline is
-    // evaluated ONCE — a self-join evaluates it per side (AQE does not
-    // reuse the alias-twin exchanges), a broadcast per side too.
+  /** Distinct candidate id pairs (id_a < id_b) from a banded
+    * (id, band, band_hash) frame, by bucket-and-combine instead of a
+    * self-join: group by (band, band_hash), collect the member ids,
+    * emit pairs from two codegen'd Generates. One shuffle, and the
+    * upstream signature pipeline is evaluated ONCE — a self-join
+    * evaluates it per side (AQE does not reuse the alias-twin
+    * exchanges), a broadcast per side too. Shared by every LSH family
+    * (minhash bands, hyperplane bands). */
+  private def bucketPairs(banded: DataFrame): DataFrame = {
     val buckets = banded.groupBy("band", "band_hash")
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -116,6 +114,17 @@ object Dedup {
           .as("id_b"))
       .distinct()
   }
+
+  /** Banding over an existing (id, sig) frame — lets callers that also
+    * need the signatures elsewhere (e.g. [[minhashClusters]]) build
+    * them once. */
+  def lshCandidatesFromSig(sig: DataFrame,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    bucketPairs(sig.select(col("id"), posexplode(
+      array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+      }: _*)).as(Seq("band", "band_hash"))))
 
   /** MinHash near-dup clusters: candidates filtered by estimated Jaccard
     * (fraction of equal minhash slots), then connected into clusters by
@@ -178,29 +187,46 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
-  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket join,
-    * exact cosine on candidates, threshold filter. The vector-space
-    * sibling of [[lshCandidates]] (cf. SURVEY north star:
-    * "embedding-cosine near-dup"). */
+  /** Embedding-cosine near-duplicate pairs: banded hyperplane-LSH
+    * candidate generation, exact cosine verify, threshold filter. The
+    * vector-space sibling of [[lshCandidates]] (cf. SURVEY north star:
+    * "embedding-cosine near-dup").
+    *
+    * Banding (b bands of r sign bits; a pair is a candidate iff some
+    * band's r bits all agree) is what makes this survive 100 TB: a
+    * single 2^nBits table has only 2^nBits distinct join keys — at
+    * nBits small enough for recall that means ~N²/2^nBits within-bucket
+    * pairs AND ≤2^nBits-way join parallelism. With bands, bucket
+    * cardinality is b·2^r (keys scale with data via the hash values),
+    * candidate volume ~ b·N²·p̄^r for mean bit-agreement p̄, and recall
+    * at cosine c is 1-(1-p(c)^r)^b with p(c) = 1 - arccos(c)/π — tune
+    * r up for pruning, b up for recall. Defaults (16×12, 192 planes)
+    * put the recall knee at p ≈ (1/b)^(1/r) ≈ 0.79, i.e. cosine ≈ 0.8
+    * — the near-dup regime. For LOW thresholds (< ~0.6) sign-LSH
+    * cannot prune (random pairs agree per bit with p = 0.5); use fewer
+    * bits per band for recall and expect candidate volume to approach
+    * all-pairs — exact territory, same gating note as
+    * [[ngramJaccardPairs]] vs [[lshCandidates]].
+    *
+    * Candidates carry only ids; vectors are re-attached by two id-keyed
+    * joins, so buckets never shuffle vector payloads. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      minCosine: Double = 0.95, nBits: Int = 8, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val ps = graft.llm.Similarity.planes(nBits, dim, seed)
-    val side = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      graft.functions.Vectors.hyperplaneBucket(col(vecCol), ps).as("bucket"))
-    // NO shuffle_hash here (unlike simhashNearDups): nBits is small so
-    // the join key has only 2^nBits distinct values — a shuffle join
-    // collapses parallelism onto few partitions; broadcasting the
-    // bucketed side keeps the probe fully parallel
-    side.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
-      .join(side.select(col("bucket"), col("id").as("id_b"), col("v").as("vb")),
-        "bucket")
-      .filter(col("id_a") < col("id_b"))
+      minCosine: Double = 0.95, bands: Int = 16, bitsPerBand: Int = 12,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val ps = graft.llm.Similarity.planes(bands * bitsPerBand, dim, seed)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = vecs.select(col("id"), posexplode(
+      array((0 until bands).map { b =>
+        graft.functions.Vectors.hyperplaneBucket(col("v"),
+          ps.slice(b * bitsPerBand, (b + 1) * bitsPerBand))
+      }: _*)).as(Seq("band", "band_hash")))
+    bucketPairs(banded)
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("cosine",
         graft.plans.VectorExpressions.cosineSim(col("va"), col("vb")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
-      .distinct()
   }
 
   /** 64-bit SimHash over a token-hash array column: bit j of the

@@ -58,21 +58,40 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(next()))
   }
 
-  /** LSH-bucketed ANN: bucket corpus and queries by random-hyperplane
-    * signature, join on bucket equality (plus optional multi-probe via
-    * fewer bits), exact-score within buckets, top-k per query. Trades
-    * recall for a candidate set ~ corpus/2^bits per bucket — the 100 TB
-    * path (bucket join instead of full scan per query batch). */
+  /** Multi-table LSH ANN: `bands` independent hash tables of
+    * `bitsPerBand` random-hyperplane sign bits each; a corpus vector is
+    * a candidate for a query if they share ANY table's bucket (the
+    * classic L-table LSH construction — recall 1-(1-p^r)^L). Candidates
+    * are deduped per (query, neighbor) before exact scoring so a pair
+    * colliding in several tables scores once. Trades recall for a
+    * candidate set ~ L·corpus/2^r per query — the 100 TB path (bucket
+    * join instead of full scan per query batch); the join key
+    * (band, band_hash) has L·2^r distinct values, so parallelism
+    * scales with the table count rather than collapsing onto 2^nBits
+    * partitions. */
   def lshKnn(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nBits: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val ps = planes(nBits, dim, seed)
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      Vectors.hyperplaneBucket(col(vecCol), ps).as("bucket"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      Vectors.hyperplaneBucket(col(vecCol), ps).as("bucket"))
-    val scored = q.join(c, Seq("bucket"))
+      bands: Int = 8, bitsPerBand: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val ps = planes(bands * bitsPerBand, dim, seed)
+    // the band join carries ONLY (id, band, band_hash) — vectors never
+    // shuffle bands-times over; they re-attach after candidate dedup
+    // (query side by broadcast, corpus side by id-keyed shuffle join)
+    def banded(df: DataFrame, id: String, vec: String) =
+      df.select(col(id), posexplode(
+        array((0 until bands).map { b =>
+          Vectors.hyperplaneBucket(col(vec),
+            ps.slice(b * bitsPerBand, (b + 1) * bitsPerBand))
+        }: _*)).as(Seq("band", "band_hash")))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val cands = banded(qv, "query_id", "qv")
+      .join(banded(cv, "neighbor_id", "cv"), Seq("band", "band_hash"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cands
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
       .withColumn("sim",
         graft.plans.VectorExpressions.cosineSim(col("qv"), col("cv")))
     topKPerQuery(scored, k)
@@ -180,16 +199,24 @@ object Similarity {
 
   /** kNN label agreement: for each query, how many of its top-k exact
     * neighbors (searched over the full corpus) share its label
-    * (embedding-space cluster sanity metric). Output: (query_id, n_agree). */
+    * (embedding-space cluster sanity metric). `queries` must carry
+    * `labelCol` (it is a corpus subset in practice). Output:
+    * (query_id, n_agree).
+    *
+    * Join asymmetry is deliberate: the query-side label frame is small
+    * (a probe set) and broadcasts; the neighbor-side label frame is
+    * CORPUS-sized, so it joins by plain shuffle on neighbor_id — the
+    * knn output is only |queries|·k rows, one exchange of (id, label)
+    * pairs. Broadcasting the corpus side would be a driver/executor
+    * OOM at billion-row corpora. */
   def knnLabelAgreement(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
     val knn = bruteForceKnn(queries, corpus, idCol, vecCol, k)
-    val labels = corpus.select(col(idCol), col(labelCol))
     knn
-      .join(broadcast(labels.select(col(idCol).as("query_id"),
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
         col(labelCol).as("q_label"))), "query_id")
-      .join(broadcast(labels.select(col(idCol).as("neighbor_id"),
-        col(labelCol).as("n_label"))), "neighbor_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("n_label")), "neighbor_id")
       .groupBy("query_id")
       .agg(sum(when(col("q_label") === col("n_label"), 1).otherwise(0))
         .cast("long").as("n_agree"))

@@ -71,6 +71,27 @@ object Aggregates {
       .agg(round(corr(col("rx"), col("ry")), scale).as("spearman"))
   }
 
+  /** A6 — size-gated Spearman: the min-rank form below this threshold
+    * (exact ANSI-oracle reproducibility, but its global rank is a
+    * single-partition sort), the distributed ml.stat form beyond it.
+    * The gate probes with `limit(maxExactRows + 1).count()` — bounded
+    * work, never a full count of a huge frame. NOTE the two forms only
+    * agree exactly on tie-free data (min ranks vs average ranks); on a
+    * 100 TB frame the distributed path's average-rank semantics is the
+    * one pandas/scipy users expect anyway. */
+  def spearman(x: String, y: String, scale: Int = 6,
+      maxExactRows: Int = 1000000)(df: DataFrame): DataFrame = {
+    val small = df.limit(maxExactRows + 1).count() <= maxExactRows
+    if (small) spearmanMinRank(x, y, scale)(df)
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      Seq(BigDecimal(spearmanDistributed(x, y)(df))
+        .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .toDF("spearman")
+    }
+  }
+
   /** A6, scale path — Spearman via `ml.stat.Correlation` (average ranks
     * for ties, distributed ranking under the hood: no single-partition
     * window). Use this form beyond dashboard-sized frames; the min-rank

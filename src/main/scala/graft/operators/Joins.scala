@@ -68,12 +68,45 @@ object Joins {
   }
 
   /** Range join: pair rows where `leftPoint` falls inside the right
-    * side's [lo, hi) interval, matching on keys. Planned as an equi-join
-    * on keys with the range as a post-join predicate — for 100 TB with
-    * hot keys, bucket the point and interval endpoints to a common grid
-    * and join on (key, bucket) to bound the per-key fan-out. */
+    * side's [lo, hi) interval, matching on keys.
+    *
+    * Planned as a GRID-BUCKETED equi-join: points and interval
+    * endpoints are floored to a common grid of `gridSeconds`-wide cells
+    * (micros for timestamps, the column's own unit for numerics), the
+    * interval side is exploded over the cells it overlaps, and the join
+    * runs on (keys..., cell) with the exact range test as the residual
+    * predicate. A point lies in exactly ONE cell, so every qualifying
+    * (point, interval) pair matches exactly once — no dedup pass. This
+    * bounds per-task fan-out by per-(key, cell) occupancy instead of
+    * per-key occupancy: a hot key (one user with millions of rows)
+    * spreads across cells instead of collapsing onto one reducer —
+    * the join keeps data-scaled parallelism even with FEW distinct
+    * keys. Interval-side row inflation is len/gridSeconds + 1 cells
+    * per interval; pick the grid near the typical interval length.
+    *
+    * `keys` may be empty (pure interval containment): the cell id alone
+    * is the join key — the naive form would be a cross join.
+    */
   def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftPoint: String, lo: String, hi: String): DataFrame =
-    left.join(right, keys).filter(
-      col(leftPoint) >= col(lo) && col(leftPoint) < col(hi))
+      leftPoint: String, lo: String, hi: String,
+      gridSeconds: Double = 3600.0): DataFrame = {
+    import org.apache.spark.sql.types.TimestampType
+    require(gridSeconds > 0, "gridSeconds must be positive")
+    val isTs = left.schema(leftPoint).dataType == TimestampType
+    // one grid for both sides; timestamps bucket on epoch micros
+    def cellOf(c: Column): Column =
+      if (isTs) floor(unix_micros(c) / lit(gridSeconds * 1e6))
+      else floor(c.cast("double") / lit(gridSeconds))
+    val l = left.withColumn("__cell", cellOf(col(leftPoint)))
+    // include hi's cell unconditionally (empty-overlap cells only add
+    // candidates that the residual predicate drops — simpler than the
+    // exclusive-bound epsilon dance, and off by at most one cell)
+    val r = right
+      .filter(col(hi) > col(lo))
+      .withColumn("__cell",
+        explode(sequence(cellOf(col(lo)), cellOf(col(hi)))))
+    l.join(r, keys :+ "__cell")
+      .filter(col(leftPoint) >= col(lo) && col(leftPoint) < col(hi))
+      .drop("__cell")
+  }
 }

@@ -91,7 +91,7 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().head
     val lsh = Similarity.lshKnn(
       vecs.filter(col("vec_id") === 0L), vecs, "vec_id", "embedding", 1,
-      nBits = 2, dim = 3)
+      bands = 2, bitsPerBand = 2, dim = 3)
       .select("neighbor_id").as[Long].collect()
     // LSH may prune, but anything it returns must be bucket-consistent;
     // with 2 bits the tight cluster stays together.
@@ -120,6 +120,45 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     // tight clusters: probing only the home list still finds the same top-5
     assert(oneProbe == brute)
+  }
+
+  test("embeddingNearDups (banded) finds every exact-threshold pair") {
+    // seeded corpus: 10 planted near-dup pairs (base + tiny noise,
+    // cosine ~0.999) among 20 unrelated random vectors; the banded LSH
+    // at defaults must recover EVERY pair the exact all-pairs cosine
+    // threshold finds (deterministic: fixed seed + deterministic planes)
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def randVec() = Array.fill(dim)(rnd.nextGaussian())
+    val bases = Seq.fill(10)(randVec())
+    val rows =
+      bases.zipWithIndex.flatMap { case (b, i) =>
+        val noisy = b.map(x => x + rnd.nextGaussian() * 0.01)
+        Seq((i.toLong * 2, b.map(_.toFloat).toSeq),
+          (i.toLong * 2 + 1, noisy.map(_.toFloat).toSeq))
+      } ++ (100L until 120L).map(i => (i, randVec().map(_.toFloat).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    // exact ground truth, computed locally
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val (d, na, nb) = a.zip(b).foldLeft((0.0, 0.0, 0.0)) {
+        case ((d, na, nb), (x, y)) =>
+          (d + x.toDouble * y, na + x.toDouble * x, nb + y.toDouble * y)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val byId = rows.toMap
+    val exactPairs = (for {
+      (a, va) <- rows; (b, vb) <- rows if a < b && cos(va, vb) >= 0.95
+    } yield (a, b)).toSet
+    assert(exactPairs.size >= 10, s"expected planted pairs, got $exactPairs")
+    val banded = Dedup.embeddingNearDups(df, "vec_id", "embedding",
+      minCosine = 0.95, dim = dim)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exactPairs.subsetOf(banded),
+      s"banded LSH missed pairs: ${exactPairs -- banded}")
+    // and nothing below the exact threshold sneaks in (exact verify step)
+    banded.foreach { case (a, b) =>
+      assert(cos(byId(a), byId(b)) >= 0.95) }
   }
 
   test("knnLabelAgreement scores cluster members by shared labels") {
@@ -199,6 +238,14 @@ class DedupSimilaritySpec extends SparkSpec {
     }
     // at this vocabulary size the bloom has no false positives
     assert(est.map(r => (r._1, r._3)).toMap == exact)
+  }
+
+  test("tracked dedup caches drain after releaseCaches") {
+    Dedup.releaseCaches() // start clean regardless of suite order
+    Dedup.minhashClusters(docs, "doc_id", "text").count()
+    assert(Dedup.trackedCacheCount > 0, "minhashClusters should track its persist")
+    Dedup.releaseCaches()
+    assert(Dedup.trackedCacheCount == 0, "release must drain the queue")
   }
 
   test("contamination: full overlap = 1.0, disjoint = 0.0, partial in between") {

@@ -63,4 +63,50 @@ class JoinsSpec extends SparkSpec {
       .select("p", "label").as[(Int, String)].collect().toSet
     assert(out == Set((5, "lo"), (15, "hi")))
   }
+
+  test("rangeJoin: grid matches the naive form exactly on a hot key") {
+    // ONE key owning every row — the worst case for the plain
+    // key-equi-join (all fan-out lands on a single reducer). The grid
+    // must (a) agree with the naive cross+filter ground truth
+    // row-for-row, including intervals that straddle cell boundaries
+    // matching each point exactly once, and (b) actually join on the
+    // cell so per-task input is bounded by (key, cell) occupancy.
+    val pts = (0 until 200).map(i => ("hot", i * 7 % 500)).toDF("k", "p")
+    val ivs = (0 until 60).map { i =>
+      ("hot", i * 8, i * 8 + 37, i.toLong) }.toDF("k", "lo", "hi", "iid")
+    val grid = Joins.rangeJoin(pts, ivs, Seq("k"), "p", "lo", "hi",
+      gridSeconds = 50.0)
+    val naive = pts.join(ivs, "k")
+      .filter($"p" >= $"lo" && $"p" < $"hi").select("p", "iid")
+    val g = grid.select("p", "iid").as[(Int, Long)].collect()
+    val n = naive.as[(Int, Long)].collect()
+    assert(g.sorted.toSeq == n.sorted.toSeq)
+    assert(g.length == g.distinct.length, "straddlers must not duplicate")
+    // the physical join key must include the grid cell, not just k
+    val plan = grid.queryExecution.executedPlan.toString
+    assert(plan.contains("__cell"), s"expected grid cell in join keys:\n$plan")
+  }
+
+  test("rangeJoin with no keys is a cell join, not a cross join") {
+    val pts = Seq(Tuple1(5), Tuple1(15), Tuple1(9999)).toDF("p")
+    val ivs = Seq((0, 10, "a"), (10, 20, "b")).toDF("lo", "hi", "label")
+    val out = Joins.rangeJoin(pts, ivs, Seq.empty, "p", "lo", "hi",
+      gridSeconds = 10.0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"keyless grid join must stay an equi-join:\n$plan")
+    assert(out.select("p", "label").as[(Int, String)].collect().toSet ==
+      Set((5, "a"), (15, "b")))
+  }
+
+  test("rangeJoin on timestamps: interval spanning many cells, once each") {
+    val pts = Seq(("u", ts(100)), ("u", ts(7300)), ("u", ts(90000)))
+      .toDF("k", "p")
+    val ivs = Seq(("u", ts(0), ts(7400), 1L), // spans 3 one-hour cells
+      ("u", ts(7400), ts(8000), 2L)).toDF("k", "lo", "hi", "iid")
+    val out = Joins.rangeJoin(pts, ivs, Seq("k"), "p", "lo", "hi")
+      .select("iid", "p").as[(Long, Timestamp)].collect().toSeq
+    assert(out.sorted == Seq((1L, ts(100)), (1L, ts(7300))).sorted)
+  }
 }

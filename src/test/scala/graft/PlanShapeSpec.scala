@@ -73,6 +73,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!lsh.contains("Join"), s"lshCandidates must not join:\n$lsh")
   }
 
+  test("knnLabelAgreement never broadcasts the corpus-side label frame") {
+    // the neighbor-side label frame is corpus-sized: it must attach via
+    // a shuffle join; only query-derived frames may carry a broadcast
+    // hint (corpus-sized broadcast = driver OOM at billion-row corpora)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val out = graft.llm.Similarity.knnLabelAgreement(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", "label", 3)
+    val hints = out.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.nonEmpty, "query-side broadcasts expected")
+    hints.foreach { h =>
+      assert(!h.output.map(_.name).contains("n_label"),
+        s"corpus-side label frame must not be hinted broadcast:\n$h")
+      assert(!h.output.map(_.name).contains("cv"),
+        s"corpus vector side must not be hinted broadcast:\n$h")
+    }
+  }
+
   test("single-pass corr matrix: one aggregate, no RDD detour") {
     val li = Tables.load(spark, sf, "lineitem")
     val df = li.agg(corr(col("l_quantity"), col("l_extendedprice")))

@@ -1,0 +1,57 @@
+package graft
+
+/** Hard quality gates for the approximate-operator families, asserted
+  * on the SAME SparkEntry queries the driver grades (sf0.001 ==
+  * sf0.01's documents/embeddings tables, so the numbers here are the
+  * graded numbers). Fixed seeds + deterministic planes make every
+  * metric exact — a refactor that silently degrades recall fails the
+  * build here instead of shipping.
+  */
+class RecallGatesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def row(q: String): org.apache.spark.sql.Row = {
+    val r = SparkEntry.queries(q)(spark, sf).collect()
+    graft.llm.Dedup.releaseCaches()
+    assert(r.length == 1, s"$q must emit a one-row summary")
+    r.head
+  }
+
+  test("multi-table LSH kNN recall@5 stays above the floor") {
+    val r = row("q_lsh_knn_recall")
+    assert(r.getAs[Long]("n_exact") == 50L)
+    assert(r.getAs[Double]("recall") >= 0.6, s"lshKnn recall degraded: $r")
+  }
+
+  test("IVF ANN recall@5 at nProbe=4/nlist=16 stays above the floor") {
+    val r = row("q_ivf_knn_recall")
+    assert(r.getAs[Long]("n_exact") == 50L)
+    assert(r.getAs[Double]("recall") >= 0.5, s"ivfKnn recall degraded: $r")
+  }
+
+  test("minhash cluster pairs track exact jaccard>=0.7 pairs") {
+    val r = row("q_minhash_pair_quality")
+    assert(r.getAs[Double]("precision") >= 0.95,
+      s"minhash cluster precision degraded: $r")
+    assert(r.getAs[Double]("recall") >= 0.95,
+      s"minhash cluster recall degraded: $r")
+  }
+
+  test("simhash pigeonhole banding is EXACT (precision = recall = 1)") {
+    // mathematical guarantee: any pair within hamming d agrees on one
+    // of d+1 blocks, and candidates are verified with exact hamming —
+    // anything else is a banding bug, so the gate is equality
+    val r = row("q_simhash_band_recall")
+    assert(r.getAs[Double]("precision") == 1.0, s"banding broke: $r")
+    assert(r.getAs[Double]("recall") == 1.0, s"banding broke: $r")
+  }
+
+  test("banded hyperplane LSH near-dup recall at the graded threshold") {
+    val r = row("q_embedding_band_recall")
+    // exact-cosine verify step makes precision exact by construction
+    assert(r.getAs[Double]("precision") == 1.0, s"verify step broke: $r")
+    assert(r.getAs[Double]("recall") >= 0.85,
+      s"banded embedding recall degraded: $r")
+  }
+}

@@ -111,6 +111,19 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(minRank - dist) < 1e-9)
   }
 
+  test("size-gated spearman: both gate paths agree to 6dp, tie-free") {
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 200).map(_ =>
+      (rnd.nextDouble(), rnd.nextDouble())).toDF("x", "y")
+    val small = Aggregates.spearman("x", "y")(df)
+      .as[Double].collect().head                    // min-rank path
+    val large = Aggregates.spearman("x", "y", maxExactRows = 10)(df)
+      .as[Double].collect().head                    // distributed path
+    assert((small - large).abs < 1e-6, s"$small vs $large")
+    assert(small == Aggregates.spearmanMinRank("x", "y")(df)
+      .as[Double].collect().head)
+  }
+
   test("rmse matches a hand computation") {
     val df = Seq((1.0, 2.0), (3.0, 5.0)).toDF("p", "l")
     val r = Aggregates.rmse(Nil, "p", "l", 4)(df).as[Double].collect().head

@@ -185,6 +185,35 @@ class StreamingSpec extends SparkSpec {
       ("a/b=c d", 1L, 2L, 11.0)))  // escaped dir discovered + merged
   }
 
+  test("JdbcKeyedStore: DB-side MERGE upsert, last-writer-wins, replay-safe") {
+    // same upsert/read contract as the parquet stores, but against a
+    // real external store over JDBC (in-JVM Derby): staging + MERGE,
+    // O(batch) per upsert — closes the SURVEY S4/S6 external-store gap
+    val url = s"jdbc:derby:${tmpDir("derby")}/db;create=true"
+    val store = new graft.streaming.JdbcKeyedStore(
+      url, "serving", Seq("symbol", "timestamp"), "version")
+    store.upsert(Seq(("XOM", 1L, 10.0, 1L), ("BP", 1L, 20.0, 1L))
+      .toDF("symbol", "timestamp", "price", "version"))
+    store.upsert(Seq(("XOM", 1L, 99.0, 2L), ("COP", 2L, 30.0, 2L))
+      .toDF("symbol", "timestamp", "price", "version"))
+    // an at-least-once REPLAY of the stale version must lose to the
+    // newer stored row (version guard), and an equal-version replay
+    // must be a no-op rewrite, not a duplicate
+    store.upsert(Seq(("XOM", 1L, 55.0, 1L), ("COP", 2L, 30.0, 2L))
+      .toDF("symbol", "timestamp", "price", "version"))
+    val out = store.read(spark).orderBy("symbol")
+      .select("symbol", "price", "version")
+      .as[(String, Double, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("BP", 20.0, 1L), ("COP", 30.0, 2L), ("XOM", 99.0, 2L)))
+    // within-batch dedup: two versions of one key in a single batch
+    store.upsert(Seq(("NEW", 9L, 1.0, 5L), ("NEW", 9L, 2.0, 6L))
+      .toDF("symbol", "timestamp", "price", "version"))
+    val n = store.read(spark).filter($"symbol" === "NEW")
+      .select("price").as[Double].collect()
+    assert(n.toSeq == Seq(2.0))
+  }
+
   test("ParquetKeyedStore.upsert is safe under concurrent writers") {
     // StreamJobs wires two foreachBatch writers (predictor +
     // labelUpdater) to one store in the same driver JVM — the
