@@ -570,8 +570,9 @@ object SparkEntry {
 
     "q_minhash_pair_quality" -> ((s, d) => {
       // precision/recall of minhash-cluster-implied pairs vs the exact
-      // jaccard>=0.7 pair set (the threshold the clusters estimate)
-      val docs = t(s, d, "documents")
+      // jaccard>=0.7 pair set (the threshold the clusters estimate);
+      // the id cap bounds the quadratic exact ground truth at larger sf
+      val docs = t(s, d, "documents").filter(col("doc_id") < 2000)
       graft.llm.Recall.pairQuality(
         graft.llm.Recall.clusterPairs(
           Dedup.minhashClusters(docs, "doc_id", "text")),
@@ -591,8 +592,10 @@ object SparkEntry {
 
     "q_embedding_band_recall" -> ((s, d) => {
       // measured recall of the banded hyperplane LSH at the graded
-      // low threshold, vs exact all-pairs cosine
-      val emb = t(s, d, "embeddings")
+      // low threshold, vs exact all-pairs cosine; the id cap bounds
+      // the quadratic exact ground truth at larger sf (both sides see
+      // the same subset, so precision/recall stay well-defined)
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 1000)
       graft.llm.Recall.pairQuality(
         Dedup.embeddingNearDups(emb, "vec_id", "embedding",
           minCosine = 0.35, bands = 16, bitsPerBand = 4),

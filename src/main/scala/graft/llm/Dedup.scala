@@ -102,7 +102,10 @@ object Dedup {
     * upstream signature pipeline is evaluated ONCE — a self-join
     * evaluates it per side (AQE does not reuse the alias-twin
     * exchanges), a broadcast per side too. Shared by every LSH family
-    * (minhash bands, hyperplane bands). */
+    * (minhash bands, hyperplane bands). The pre-join distinct pays for
+    * itself: measured AGAINST deferring dedup past the verify filter —
+    * shrinking the candidate set before the id-keyed joins beats
+    * re-verifying the ~1.5x cross-band duplicates. */
   private def bucketPairs(banded: DataFrame): DataFrame = {
     val buckets = banded.groupBy("band", "band_hash")
       .agg(sort_array(collect_set(col("id"))).as("ids"))
@@ -215,11 +218,8 @@ object Dedup {
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     val ps = graft.llm.Similarity.planes(bands * bitsPerBand, dim, seed)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val banded = vecs.select(col("id"), posexplode(
-      array((0 until bands).map { b =>
-        graft.functions.Vectors.hyperplaneBucket(col("v"),
-          ps.slice(b * bitsPerBand, (b + 1) * bitsPerBand))
-      }: _*)).as(Seq("band", "band_hash")))
+    val banded = graft.llm.Similarity.bandedSignatures(
+      vecs, "id", "v", ps, bands, bitsPerBand)
     bucketPairs(banded)
       .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")

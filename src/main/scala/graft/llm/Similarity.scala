@@ -58,6 +58,33 @@ object Similarity {
     Seq.fill(nPlanes)(Seq.fill(dim)(next()))
   }
 
+  /** (idCol, band, band_hash) rows: `bands` banded hyperplane
+    * signatures of `bitsPerBand` sign bits each, one row per
+    * (vector, band). Shared by the banded-LSH family
+    * ([[lshKnn]], [[Dedup.embeddingNearDups]]).
+    *
+    * Shape matters: the band INDEX is exploded first (an array of
+    * literals — free to re-evaluate inside the collapsed Generate) and
+    * the hash is computed after the explode through a lazily-evaluated
+    * CASE chain, so each row evaluates exactly ONE band's bitsPerBand
+    * sign kernels. The naive posexplode(array(hash_0..hash_b)) form
+    * collapses the array build into the Generate and re-evaluates all
+    * b hashes per OUTPUT row — b× the kernel work (measured ~10x wall
+    * on the banded stage). */
+  private[llm] def bandedSignatures(df: DataFrame, idCol: String,
+      vecCol: String, planes: Seq[Seq[Double]], bands: Int,
+      bitsPerBand: Int): DataFrame = {
+    def bandHash(b: Int) = Vectors.hyperplaneBucket(col(vecCol),
+      planes.slice(b * bitsPerBand, (b + 1) * bitsPerBand))
+    val hashExpr = (1 until bands).foldLeft(
+      when(col("band") === 0, bandHash(0))) { (acc, b) =>
+      acc.when(col("band") === b, bandHash(b))
+    }
+    df.select(col(idCol), col(vecCol),
+        explode(array((0 until bands).map(lit(_)): _*)).as("band"))
+      .select(col(idCol), col("band"), hashExpr.as("band_hash"))
+  }
+
   /** Multi-table LSH ANN: `bands` independent hash tables of
     * `bitsPerBand` random-hyperplane sign bits each; a corpus vector is
     * a candidate for a query if they share ANY table's bucket (the
@@ -77,16 +104,11 @@ object Similarity {
     // the band join carries ONLY (id, band, band_hash) — vectors never
     // shuffle bands-times over; they re-attach after candidate dedup
     // (query side by broadcast, corpus side by id-keyed shuffle join)
-    def banded(df: DataFrame, id: String, vec: String) =
-      df.select(col(id), posexplode(
-        array((0 until bands).map { b =>
-          Vectors.hyperplaneBucket(col(vec),
-            ps.slice(b * bitsPerBand, (b + 1) * bitsPerBand))
-        }: _*)).as(Seq("band", "band_hash")))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val cands = banded(qv, "query_id", "qv")
-      .join(banded(cv, "neighbor_id", "cv"), Seq("band", "band_hash"))
+    val cands = bandedSignatures(qv, "query_id", "qv", ps, bands, bitsPerBand)
+      .join(bandedSignatures(cv, "neighbor_id", "cv", ps, bands, bitsPerBand),
+        Seq("band", "band_hash"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
     val scored = cands
