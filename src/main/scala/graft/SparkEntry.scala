@@ -545,6 +545,14 @@ object SparkEntry {
         "vec_id", "embedding", 5, bands = 8, bitsPerBand = 4)
     }),
 
+    "q_semantic_dedup" -> ((s, d) =>
+      // rows-only: SemDeDup-shaped cluster-then-sweep (k-means
+      // assignment not expressible in the oracle engine); kept subset
+      // at the corpus's observed near-pair threshold
+      graft.llm.Dedup.semanticDedup(t(s, d, "embeddings"),
+        "vec_id", "embedding", minCosine = 0.35, nlist = 8)
+        .select(col("vec_id"), col("label"))),
+
     // ---- llm/: approximate-operator quality gates (graft.llm.Recall).
     // Each approximate family gets a deterministic one-row summary vs
     // its exact twin; fixed seeds make the numbers exact, and

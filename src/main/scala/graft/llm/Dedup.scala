@@ -229,6 +229,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): k-means
+    * partition of embedding space, exact cosine pairs computed WITHIN
+    * each cluster only, then every near-dup group keeps its min-id
+    * member. Returns the kept subset of `df` — the embedding-space
+    * sibling of [[dedupCorpus]].
+    *
+    * Scale shape: the cluster assignment bounds the quadratic — pair
+    * candidates are ~N²/nlist instead of N² (SemDeDup's core trick),
+    * the within-cluster pair join is an equi-join on list_id, and
+    * group contraction is the same min-neighbor map as
+    * [[minhashClusters]] (near-dup groups are cliques in practice).
+    * Pairs straddling a cluster boundary are missed BY DESIGN — banded
+    * LSH ([[embeddingNearDups]]) is the recall-tunable alternative;
+    * this is the cheap cluster-then-sweep used on billion-scale
+    * corpora. The assignment frame is persist-tracked (see
+    * [[releaseCaches]]): it feeds both sides of the pair join. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.95, nlist: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      array_to_vector(graft.functions.Vectors.asDouble(col(vecCol)))
+        .as("__features"))
+    // random init + capped iterations, same rationale as the IVF
+    // quantizer: cells only need to be balanced-ish, not optimal
+    val km = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("__features")
+      .setInitMode("random").setMaxIter(10)
+      .setPredictionCol("list_id")
+    val side = persistTracked(
+      km.fit(feats).transform(feats).select(col("list_id"), col("id"),
+        col("v")))
+    val close = side.select(col("list_id"), col("id").as("id_a"),
+        col("v").as("va"))
+      .join(side.select(col("list_id"), col("id").as("id_b"),
+        col("v").as("vb")), "list_id")
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.plans.VectorExpressions.cosineSim(col("va"), col("vb"))
+        >= minCosine)
+      .select("id_a", "id_b")
+    val edges = close.union(close.select(col("id_b").as("id_a"),
+      col("id_a").as("id_b")))
+    val neighborMin = edges.groupBy(col("id_a").as("id"))
+      .agg(min(col("id_b")).as("min_neighbor"))
+    val keep = df.select(col(idCol).as("id"))
+      .join(neighborMin, Seq("id"), "left")
+      .filter(col("id") <= coalesce(col("min_neighbor"), col("id")))
+      .select(col("id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** 64-bit SimHash over a token-hash array column: bit j of the
     * signature is the majority vote of bit j across the hashes.
     * Delegates to the native `simhash64` kernel — the HOF formulation

@@ -161,6 +161,35 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(cos(byId(a), byId(b)) >= 0.95) }
   }
 
+  test("semanticDedup keeps one member per planted near-dup pair") {
+    // same seeded corpus shape as the banded-LSH test: 10 planted
+    // near-identical pairs + 20 unrelated vectors; near-identical
+    // vectors land in the same k-means cell, so the within-cluster
+    // sweep must keep exactly the min id of each pair and every
+    // unrelated vector
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def randVec() = Array.fill(dim)(rnd.nextGaussian())
+    val bases = Seq.fill(10)(randVec())
+    val rows =
+      bases.zipWithIndex.flatMap { case (b, i) =>
+        val noisy = b.map(x => x + rnd.nextGaussian() * 0.01)
+        Seq((i.toLong * 2, b.map(_.toFloat).toSeq),
+          (i.toLong * 2 + 1, noisy.map(_.toFloat).toSeq))
+      } ++ (100L until 120L).map(i => (i, randVec().map(_.toFloat).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding",
+      minCosine = 0.95, nlist = 4)
+      .select("vec_id").as[Long].collect().toSet
+    Dedup.releaseCaches()
+    (0 until 10).foreach { i =>
+      assert(kept.contains(i.toLong * 2), s"min id of pair $i must survive")
+      assert(!kept.contains(i.toLong * 2 + 1), s"dup of pair $i must drop")
+    }
+    (100L until 120L).foreach(i =>
+      assert(kept.contains(i), s"unrelated vector $i must survive"))
+  }
+
   test("knnLabelAgreement scores cluster members by shared labels") {
     val out = Similarity.knnLabelAgreement(
       vecs.filter(col("vec_id") === 0L), vecs,
