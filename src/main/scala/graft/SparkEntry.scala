@@ -545,6 +545,17 @@ object SparkEntry {
         "vec_id", "embedding", 5, bands = 8, bitsPerBand = 4)
     }),
 
+    "q_dedup_incremental" -> ((s, d) => {
+      // rows-only: ingest-time dedup of an incoming batch (doc_id >=
+      // 400) against the already-kept corpus (doc_id < 400) — exact
+      // fingerprints + cross-set minhash banding (hash-based, not
+      // oracle-expressible)
+      val docs = t(s, d, "documents")
+      Dedup.incrementalDedup(docs.filter(col("doc_id") >= 400),
+        docs.filter(col("doc_id") < 400), "doc_id", "text")
+        .select(col("doc_id"))
+    }),
+
     "q_semantic_dedup" -> ((s, d) =>
       // rows-only: SemDeDup-shaped cluster-then-sweep (k-means
       // assignment not expressible in the oracle engine); kept subset

@@ -118,16 +118,24 @@ object Dedup {
       .distinct()
   }
 
+  /** (id, band, band_hash) rows from an (id, sig) minhash-signature
+    * frame — the banding projection shared by the self-dedup path
+    * ([[lshCandidatesFromSig]]) and the cross-set path
+    * ([[incrementalDedup]]). */
+  private def minhashBands(sig: DataFrame,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    sig.select(col("id"), posexplode(
+      array((0 until bands).map { b =>
+        xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
+      }: _*)).as(Seq("band", "band_hash")))
+
   /** Banding over an existing (id, sig) frame — lets callers that also
     * need the signatures elsewhere (e.g. [[minhashClusters]]) build
     * them once. */
   def lshCandidatesFromSig(sig: DataFrame,
       bands: Int, rowsPerBand: Int): DataFrame =
-    bucketPairs(sig.select(col("id"), posexplode(
-      array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)), lit(b))
-      }: _*)).as(Seq("band", "band_hash"))))
+    bucketPairs(minhashBands(sig, bands, rowsPerBand))
 
   /** MinHash near-dup clusters: candidates filtered by estimated Jaccard
     * (fraction of equal minhash slots), then connected into clusters by
@@ -227,6 +235,63 @@ object Dedup {
         graft.plans.VectorExpressions.cosineSim(col("va"), col("vb")))
       .filter(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Ingest-time incremental dedup: keep only the docs of `newDocs`
+    * that duplicate neither the existing `corpus` nor each other —
+    * exact (fingerprint) first, then near-dup (MinHash estimated
+    * jaccard >= minEstJaccard). The production ingestion contract:
+    * dedup each incoming batch against the already-kept corpus
+    * WITHOUT re-clustering the corpus.
+    *
+    * 100 TB shape: the corpus side reduces to distinct fingerprints
+    * (16 bytes/doc) and minhash band hashes (bands x 8 bytes/doc) —
+    * its text is read once and never shuffled; batch-vs-corpus
+    * candidates come from a (band, band_hash) equi-join exactly like
+    * the self-dedup banding, and all filtering joins are
+    * semi/anti-joins on doc ids. Per-batch cost scales with the BATCH
+    * (plus one corpus signature scan, which a real deployment persists
+    * between batches — both signature frames are persist-tracked, see
+    * [[releaseCaches]]). */
+  def incrementalDedup(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 4, minEstJaccard: Double = 0.7): DataFrame = {
+    val k = bands * rowsPerBand
+    // exact: batch self-dedup (min id per fingerprint), then drop
+    // fingerprints the corpus already holds
+    val bFp = newDocs.select(col(idCol).as("id"),
+      Text.fingerprint(col(textCol)).as("fp"))
+    val cFp = corpus.select(Text.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+    val exactKeep = bFp.groupBy("fp").agg(min(col("id")).as("id"))
+      .join(cFp, Seq("fp"), "left_anti")
+      .select(col("id").as(idCol))
+    val exactKept = newDocs.join(exactKeep, Seq(idCol), "left_semi")
+    // near vs corpus: cross-set banding (batch bands join corpus bands)
+    val bSig = persistTracked(
+      signatureFrame(exactKept, idCol, textCol, shingleN, k))
+    val cSig = persistTracked(
+      signatureFrame(corpus, idCol, textCol, shingleN, k))
+    val cands = minhashBands(bSig, bands, rowsPerBand)
+      .withColumnRenamed("id", "id_new")
+      .join(minhashBands(cSig, bands, rowsPerBand)
+        .withColumnRenamed("id", "id_old"), Seq("band", "band_hash"))
+      .select("id_new", "id_old").distinct()
+    val flagged = cands
+      .join(bSig.select(col("id").as("id_new"), col("sig").as("sig_n")),
+        "id_new")
+      .join(cSig.select(col("id").as("id_old"), col("sig").as("sig_o")),
+        "id_old")
+      .filter(size(filter(zip_with(col("sig_n"), col("sig_o"), _ === _),
+        b => b)).cast("double") / lit(k.toDouble) >= minEstJaccard)
+      .select(col("id_new").as(idCol)).distinct()
+    val vsCorpusKept = exactKept.join(flagged, Seq(idCol), "left_anti")
+    // near within the batch: standard cluster contraction, keep canonicals
+    val clusters = minhashClusters(vsCorpusKept, idCol, textCol,
+      shingleN, bands, rowsPerBand, minEstJaccard)
+    val keep = clusters.filter(col("id") === col("cluster_id"))
+      .select(col("id").as(idCol))
+    newDocs.join(keep, Seq(idCol), "left_semi")
   }
 
   /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): k-means

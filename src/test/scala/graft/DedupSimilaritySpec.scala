@@ -161,6 +161,34 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(cos(byId(a), byId(b)) >= 0.95) }
   }
 
+  test("incrementalDedup drops batch docs duplicating corpus or batch") {
+    // near-dup docs are ~30 tokens with ONE changed word so the true
+    // 3-gram jaccard (~0.8) sits clearly above the 0.7 threshold —
+    // short docs make one word change dominate the shingle set
+    val baseA = "the quick brown fox jumps over the lazy dog while the " +
+      "patient observer writes down every single movement it makes in " +
+      "the quiet golden afternoon light today"
+    val baseB = "bucketed joins salted keys and broadcast dimensions " +
+      "make shuffles cheap when the planner co locates both sides of " +
+      "every large fact join across the cluster nodes"
+    val corpus = Seq(
+      (0L, baseA),
+      (1L, "completely different content about spark query engines and shuffles here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, baseA),                               // exact dup of corpus 0 -> drop
+      (11L, baseA.replace("today", "tonight")),   // near dup of corpus 0 -> drop
+      (12L, "a genuinely fresh document with vocabulary nothing else shares at all"), // keep
+      (13L, baseB),                               // keep (min of 13/14/15 family)
+      (14L, baseB),                               // exact dup within batch -> drop
+      (15L, baseB.replace("cheap", "fast")))      // near dup within batch -> drop
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    Dedup.releaseCaches()
+    assert(kept == Seq(12L, 13L))
+  }
+
   test("semanticDedup keeps one member per planted near-dup pair") {
     // same seeded corpus shape as the banded-LSH test: 10 planted
     // near-identical pairs + 20 unrelated vectors; near-identical

@@ -214,6 +214,30 @@ class StreamingSpec extends SparkSpec {
     assert(n.toSeq == Seq(2.0))
   }
 
+  test("JdbcKeyedStore serves as the live foreachBatch upsert sink") {
+    // the S6 serving-store contract driven through the real streaming
+    // path: MemoryStream -> upsertEachBatch -> JDBC MERGE, two
+    // micro-batches with overlapping keys, last-writer-wins read-back
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val url = s"jdbc:derby:${tmpDir("derby-live")}/db;create=true"
+    val store = new graft.streaming.JdbcKeyedStore(
+      url, "live_serving", Seq("symbol"), "version")
+    val mem = MemoryStream[(String, Double, Long)]
+    val q = graft.streaming.Sinks.upsertEachBatch(
+      mem.toDF().toDF("symbol", "price", "version"), store,
+      tmpDir("ckpt-jdbc"), triggerMs = 10L)
+    try {
+      mem.addData(("XOM", 10.0, 1L), ("BP", 20.0, 1L))
+      q.processAllAvailable()
+      mem.addData(("XOM", 99.0, 2L), ("COP", 30.0, 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = store.read(spark).orderBy("symbol")
+      .select("symbol", "price").as[(String, Double)].collect()
+    assert(out.toSeq == Seq(("BP", 20.0), ("COP", 30.0), ("XOM", 99.0)))
+  }
+
   test("ParquetKeyedStore.upsert is safe under concurrent writers") {
     // StreamJobs wires two foreachBatch writers (predictor +
     // labelUpdater) to one store in the same driver JVM — the
