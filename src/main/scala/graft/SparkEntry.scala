@@ -481,6 +481,12 @@ object SparkEntry {
         Seq(col("doc_id")), Some("shard"))
     }),
 
+    "q_chunk_docs" -> ((s, d) =>
+      // context-length chunking: 32-token windows, stride 24 (8-token
+      // overlap) — map-only, no shuffle
+      graft.llm.Packing.chunkDocuments(t(s, d, "documents"),
+        "doc_id", "text", 32, 24)),
+
     "q_stratified_sample" -> ((s, d) =>
       // data mixing: downsample over-represented languages with
       // key-stable per-stratum rates (en 30%, zh 50%, rest kept)
@@ -1103,6 +1109,22 @@ object SparkEntry {
                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                   / 2048.0) AS BIGINT) AS pack_id
          FROM base""",
+
+    "q_chunk_docs" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         s AS (
+           SELECT doc_id, toks, len(toks) AS n,
+                  unnest(range(1, len(toks) + 1, 24)) AS start
+           FROM t
+           WHERE len(toks) > 0 AND toks[1] <> '')
+         SELECT doc_id,
+                CAST((start - 1) / 24 AS INT) AS chunk_index,
+                CAST(least(32, n - start + 1) AS INT) AS chunk_tokens,
+                array_to_string(list_slice(toks, start, least(start + 31, n)), ' ') AS chunk_text
+         FROM s""",
 
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_docs, round(avg(length(text)), 4) AS avg_chars

@@ -38,4 +38,37 @@ object Packing {
       lit(0L))
     df.withColumn("pack_id", floor(cumBefore / lit(budget)))
   }
+
+  /** Chunk long documents into overlapping token windows of
+    * `chunkTokens` tokens advancing by `strideTokens` (stride <
+    * chunkTokens ⇒ overlap) — the context-length splitting step that
+    * precedes packing in a training pipeline. Output: (idCol,
+    * chunk_index, chunk_tokens, chunk_text); docs with zero tokens
+    * emit no chunks, and no empty tail chunk is emitted (the last
+    * chunk starts strictly inside the document).
+    *
+    * Shape: window START positions are exploded and the chunk string
+    * is built after the explode (slice + concat_ws over the staged
+    * token array) — the explode-positions rule; see
+    * [[graft.llm.Dedup.ngramJaccardPairs]] for the measured pathology
+    * of exploding pre-built arrays. Map-only: no shuffle at all —
+    * chunking 100 TB is embarrassingly parallel. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0,
+      "chunk and stride must be positive")
+    val toks = df.select(col(idCol),
+      split(lower(graft.functions.Text.normWs(col(textCol))), " ").as("__t"))
+      .select(col(idCol), col("__t"), size(col("__t")).as("__n"))
+    toks
+      .filter(col("__n") > 0 && col("__t").getItem(0) =!= "")
+      .select(col(idCol), col("__t"), col("__n"),
+        posexplode(sequence(lit(1), col("__n"), lit(strideTokens)))
+          .as(Seq("chunk_index", "__start")))
+      .select(col(idCol), col("chunk_index"),
+        least(lit(chunkTokens), col("__n") - col("__start") + 1)
+          .cast("int").as("chunk_tokens"),
+        concat_ws(" ", slice(col("__t"), col("__start"), lit(chunkTokens)))
+          .as("chunk_text"))
+  }
 }

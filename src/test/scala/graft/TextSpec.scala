@@ -124,4 +124,25 @@ class TextSpec extends SparkSpec {
     assert(math.abs(out(2)._3 - math.log(1.0 / 12)) < 1e-5)
     assert(out(0)._3 > out(2)._3)
   }
+
+  test("chunkDocuments: overlapping windows, capped tail, no empty docs") {
+    val df = Seq(
+      (1L, "a b c d e f g"),   // 7 tokens
+      (2L, "x y"),             // shorter than one chunk
+      (3L, "   "))             // zero tokens -> no chunks
+      .toDF("doc_id", "text")
+    val out = graft.llm.Packing.chunkDocuments(df, "doc_id", "text", 3, 2)
+      .orderBy("doc_id", "chunk_index")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, 3, "a b c"),
+      (1L, 1, 3, "c d e"),
+      (1L, 2, 3, "e f g"),
+      (1L, 3, 1, "g"),        // tail chunk starts inside the doc, capped
+      (2L, 0, 2, "x y")))
+    // map-only: chunking must not shuffle
+    val plan = graft.llm.Packing.chunkDocuments(df, "doc_id", "text", 3, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must be map-only:\n$plan")
+  }
 }
