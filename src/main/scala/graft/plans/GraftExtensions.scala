@@ -54,6 +54,27 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash64(array<bigint>)")
         SimHash64(args(0))
+      }),
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sig(array<string>, k)")
+        args(1) match {
+          case Literal(k: Int, _) => MinHashSig(args(0), k)
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig k must be an integer literal, got $other")
+        }
+      }),
+    (new FunctionIdentifier("winnow_fp"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fp"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "winnow_fp(text, k, w)")
+        (args(1), args(2)) match {
+          case (Literal(k: Int, _), Literal(w: Int, _)) =>
+            WinnowFingerprints(args(0), k, w)
+          case other => throw new IllegalArgumentException(
+            s"winnow_fp k and w must be integer literals, got $other")
+        }
       }))
 
   /** Runtime registration into a live session (tests, shells):

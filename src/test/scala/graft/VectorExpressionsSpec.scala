@@ -116,5 +116,20 @@ class VectorExpressionsSpec extends SparkSpec {
         "hamming64(5L, 4L) AS h").collect().head
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getInt(1) == 1)
+    // the hashing kernels resolve too, and agree with the Column API
+    val r2 = spark.sql(
+      "SELECT minhash_sig(array('a b c', 'b c d'), 4) AS m, " +
+        "simhash64(array(1L, 3L)) AS s, " +
+        "winnow_fp('abcdefghij', 4, 3) AS w").collect().head
+    assert(r2.getSeq[Long](r2.fieldIndex("m")).length == 4)
+    val viaColumn = Seq("x").toDF("d").select(
+      graft.plans.MinHashSig.minhashSig(
+        array(lit("a b c"), lit("b c d")), 4).as("m"),
+      graft.plans.Winnow.winnowFp(lit("abcdefghij"), 4, 3).as("w"))
+      .collect().head
+    assert(r2.getSeq[Long](r2.fieldIndex("m")) ==
+      viaColumn.getSeq[Long](viaColumn.fieldIndex("m")))
+    assert(r2.getSeq[Long](r2.fieldIndex("w")) ==
+      viaColumn.getSeq[Long](viaColumn.fieldIndex("w")))
   }
 }
