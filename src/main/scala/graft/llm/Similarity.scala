@@ -111,8 +111,10 @@ object Similarity {
         Seq("band", "band_hash"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
-    val scored = cands
-      .join(broadcast(qv), "query_id")
+    // the candidate set is bounded by the probe batch (|queries| x
+    // bands x bucket occupancy) — broadcast IT into the corpus-vector
+    // attach so the 100 TB side is a map-side scan, not a shuffle
+    val scored = broadcast(cands.join(broadcast(qv), "query_id"))
       .join(cv, "neighbor_id")
       .withColumn("sim",
         graft.plans.VectorExpressions.cosineSim(col("qv"), col("cv")))
