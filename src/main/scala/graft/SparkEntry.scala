@@ -115,11 +115,17 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("double")))),
 
     "q_percentiles" -> ((s, d) =>
-      t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))),
+      Aggregates.percentiles(Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95"))(
+        t(s, d, "lineitem"))),
+
+    "q_approx_percentiles" -> ((s, d) =>
+      // rows-only: the 100 TB sketch twin of q_percentiles
+      // (approx_percentile values are engine-specific); accuracy gated
+      // against the exact form in RelationalSpec
+      Aggregates.percentiles(Seq("l_returnflag"), "l_extendedprice",
+        Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95"),
+        exact = false)(t(s, d, "lineitem"))),
 
     "q_count_distinct" -> ((s, d) =>
       t(s, d, "events").groupBy(col("event_type"))

@@ -42,6 +42,27 @@ object Aggregates {
       .withColumn("window_start", col("window.start"))
       .drop("window")
 
+  /** Grouped percentile block. `exact = true` uses SQL `percentile`
+    * (reproducible to the digit in any ANSI engine — but it buffers
+    * every value of a group in memory: dashboard-scale only).
+    * `exact = false` is the 100 TB twin: `approx_percentile`'s
+    * mergeable sketch holds O(accuracy) numbers per group regardless
+    * of group size, with rank error <= 1/accuracy (the same
+    * exact-for-oracles / sketch-for-scale pairing as
+    * [[spearmanMinRank]] vs [[spearmanDistributed]]; accuracy-vs-exact
+    * agreement is gated in RelationalSpec). */
+  def percentiles(groupBy: Seq[String], valueCol: String,
+      ps: Seq[(Double, String)], exact: Boolean = true,
+      accuracy: Int = 10000, scale: Int = 4)(df: DataFrame): DataFrame = {
+    val aggs = ps.map { case (p, name) =>
+      val e =
+        if (exact) expr(s"percentile($valueCol, $p)")
+        else expr(s"approx_percentile($valueCol, $p, $accuracy)")
+      round(e.cast("double"), scale).as(name)
+    }
+    df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** A5 — Pearson correlation aggregate (optionally grouped).
     * Reference: `joined_streams.py:103-110` (`corr(bp_price, eth_ask)` over
     * per-minute means).

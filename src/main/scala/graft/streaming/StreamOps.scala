@@ -142,4 +142,43 @@ object StreamOps {
       keys: Seq[String]): DataFrame =
     df.withWatermark(eventTime, lateness)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming ingest NEAR-dedup: each micro-batch is deduplicated
+    * against the corpus accumulated so far (exact fingerprints +
+    * cross-set MinHash banding + within-batch clusters —
+    * [[graft.llm.Dedup.incrementalDedup]]) and the survivors are
+    * upserted into `store`. The production corpus-ingestion pattern:
+    * dedup happens batch-vs-kept-corpus in the foreachBatch hook, not
+    * in operator state — corpus size is unbounded by watermarks, and
+    * the store IS the output.
+    *
+    * Replay-safe under the checkpointed at-least-once contract: a
+    * replayed batch finds its own docs already in the corpus, the
+    * exact fingerprint anti-join drops every one, and the keyed upsert
+    * is idempotent anyway. First-ever batch sees an empty corpus.
+    *
+    * 100 TB note: `store.read` per batch re-reads kept docs; the
+    * incremental dedup reduces them to fingerprints + band hashes
+    * (text is scanned, never shuffled). A deployment at corpus scale
+    * persists the signature frames between batches instead of
+    * re-deriving them — the operator seam for that is
+    * [[graft.llm.Dedup.incrementalDedup]]'s corpus argument. */
+  def nearDedupIngest(df: DataFrame, store: KeyedStore, idCol: String,
+      textCol: String, checkpoint: String, triggerMs: Long = 1000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val corpus = scala.util.Try(store.read(batch.sparkSession))
+            .getOrElse(batch.limit(0))
+          val kept = graft.llm.Dedup.incrementalDedup(
+            batch, corpus, idCol, textCol)
+          if (!kept.isEmpty) store.upsert(kept)
+          graft.llm.Dedup.releaseCaches()
+        }
+      }
+      .start()
 }

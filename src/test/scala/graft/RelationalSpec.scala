@@ -111,6 +111,23 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(minRank - dist) < 1e-9)
   }
 
+  test("percentiles: sketch twin tracks the exact form within rank error") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+    val ps = Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95")
+    def byFlag(exact: Boolean) =
+      Aggregates.percentiles(Seq("l_returnflag"), "l_extendedprice", ps,
+        exact = exact)(li)
+        .collect().map(r => r.getString(0) ->
+          (1 to 4).map(r.getDouble)).toMap
+    val e = byFlag(true); val a = byFlag(false)
+    assert(e.keySet == a.keySet)
+    for (k <- e.keySet; i <- 0 until 4) {
+      val (ev, av) = (e(k)(i), a(k)(i))
+      assert(math.abs(ev - av) / math.max(ev.abs, 1.0) < 0.01,
+        s"flag $k p${ps(i)._2}: exact $ev vs approx $av")
+    }
+  }
+
   test("size-gated spearman: both gate paths agree to 6dp, tie-free") {
     val rnd = new scala.util.Random(3)
     val df = (1 to 200).map(_ =>

@@ -238,6 +238,32 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(("BP", 20.0), ("COP", 30.0), ("XOM", 99.0)))
   }
 
+  test("nearDedupIngest drops stream docs duplicating the kept corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val baseA = "the quick brown fox jumps over the lazy dog while the " +
+      "patient observer writes down every single movement it makes in " +
+      "the quiet golden afternoon light today"
+    val store = new ParquetKeyedStore(
+      tmpDir("ingest") + "/corpus", Seq("doc_id"), "doc_id")
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDedupIngest(
+      mem.toDF().toDF("doc_id", "text"), store, "doc_id", "text",
+      tmpDir("ckpt-ingest"), triggerMs = 10L)
+    try {
+      mem.addData((1L, baseA),
+        (2L, "completely different content about spark query engines and shuffles"))
+      q.processAllAvailable()
+      mem.addData(
+        (3L, baseA),                             // exact dup of kept 1 -> drop
+        (4L, baseA.replace("today", "tonight")), // near dup of kept 1 -> drop
+        (5L, "a genuinely fresh document with vocabulary nothing else shares"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = store.read(spark).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 5L))
+  }
+
   test("ParquetKeyedStore.upsert is safe under concurrent writers") {
     // StreamJobs wires two foreachBatch writers (predictor +
     // labelUpdater) to one store in the same driver JVM — the
