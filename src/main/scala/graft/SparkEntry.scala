@@ -558,12 +558,14 @@ object SparkEntry {
     }),
 
     "q_dedup_incremental" -> ((s, d) => {
-      // rows-only: ingest-time dedup of an incoming batch (doc_id >=
-      // 400) against the already-kept corpus (doc_id < 400) — exact
-      // fingerprints + cross-set minhash banding (hash-based, not
-      // oracle-expressible)
+      // rows-only: ingest-time dedup of an incoming batch (doc_id in
+      // [400, 600) — batches are SMALL relative to the corpus by
+      // contract) against the already-kept corpus (doc_id < 400) —
+      // exact fingerprints + cross-set minhash banding (hash-based,
+      // not oracle-expressible)
       val docs = t(s, d, "documents")
-      Dedup.incrementalDedup(docs.filter(col("doc_id") >= 400),
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") >= 400 && col("doc_id") < 600),
         docs.filter(col("doc_id") < 400), "doc_id", "text")
         .select(col("doc_id"))
     }),
@@ -603,7 +605,7 @@ object SparkEntry {
       // precision/recall of minhash-cluster-implied pairs vs the exact
       // jaccard>=0.7 pair set (the threshold the clusters estimate);
       // the id cap bounds the quadratic exact ground truth at larger sf
-      val docs = t(s, d, "documents").filter(col("doc_id") < 2000)
+      val docs = t(s, d, "documents").filter(col("doc_id") < 1000)
       graft.llm.Recall.pairQuality(
         graft.llm.Recall.clusterPairs(
           Dedup.minhashClusters(docs, "doc_id", "text")),

@@ -2,6 +2,7 @@ package graft
 
 import graft.llm.Dedup
 import graft.operators.Relational
+import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -30,6 +31,36 @@ class PropertySpec extends SparkSpec {
         assert(n1 == n2)
         assert(n1 == rows.distinct.size)
       }
+  }
+
+  test("rangeJoin grid form equals naive cross+filter for any grid width") {
+    // the grid is a pure optimization: for random points, intervals
+    // and grid widths (including widths far smaller/larger than the
+    // interval lengths), output must equal the naive key-join + range
+    // filter row-for-row, with no duplicated straddlers
+    import graft.operators.Joins
+    val ptGen = Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(-50, 150))
+    val ivGen = for {
+      k <- Gen.oneOf("a", "b")
+      lo <- Gen.chooseNum(-60, 140)
+      len <- Gen.chooseNum(-5, 60) // includes empty/negative intervals
+    } yield (k, lo, lo + len)
+    val caseGen = for {
+      pts <- Gen.nonEmptyListOf(ptGen)
+      ivs <- Gen.nonEmptyListOf(ivGen)
+      w <- Gen.oneOf(1.0, 3.0, 7.5, 40.0, 1000.0)
+    } yield (pts, ivs, w)
+    samples(caseGen).foreach { case (pts, ivs, w) =>
+      val l = pts.toDF("k", "p")
+      val r = ivs.zipWithIndex.map { case ((k, lo, hi), i) =>
+        (k, lo, hi, i.toLong) }.toDF("k", "lo", "hi", "iid")
+      val grid = Joins.rangeJoin(l, r, Seq("k"), "p", "lo", "hi", w)
+        .select("p", "iid").as[(Int, Long)].collect().toSeq.sorted
+      val naive = l.join(r, "k")
+        .filter(col("p") >= col("lo") && col("p") < col("hi"))
+        .select("p", "iid").as[(Int, Long)].collect().toSeq.sorted
+      assert(grid == naive, s"width $w: $grid != $naive")
+    }
   }
 
   test("unionAll preserves total row count") {
