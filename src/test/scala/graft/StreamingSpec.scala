@@ -264,6 +264,28 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L, 5L))
   }
 
+  test("JdbcKeyedStore.upsert is safe under concurrent writers") {
+    // same driver-JVM serialization contract as the parquet stores:
+    // two foreachBatch-style writers share one store instance and the
+    // instance lock must serialize the staging+MERGE cycles
+    val url = s"jdbc:derby:${tmpDir("derby-conc")}/db;create=true"
+    val store = new graft.streaming.JdbcKeyedStore(
+      url, "conc", Seq("k"), "v")
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        try {
+          (0 until 5).foreach { i =>
+            store.upsert(Seq((s"k-$t-$i", 1L)).toDF("k", "v"))
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, errors)
+    assert(store.read(spark).count() == 10L)
+  }
+
   test("ParquetKeyedStore.upsert is safe under concurrent writers") {
     // StreamJobs wires two foreachBatch writers (predictor +
     // labelUpdater) to one store in the same driver JVM — the
