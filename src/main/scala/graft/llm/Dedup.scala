@@ -309,7 +309,13 @@ object Dedup {
     * LSH ([[embeddingNearDups]]) is the recall-tunable alternative;
     * this is the cheap cluster-then-sweep used on billion-scale
     * corpora. The assignment frame is persist-tracked (see
-    * [[releaseCaches]]): it feeds both sides of the pair join. */
+    * [[releaseCaches]]): it feeds both sides of the pair join.
+    *
+    * `nlist` MUST scale with the corpus: it bounds candidates
+    * (~N²/nlist) AND caps the pair-join parallelism (the join key has
+    * exactly nlist distinct values — SemDeDup itself runs ~11k
+    * clusters for 100M docs). Rule of thumb: nlist >= max(cluster
+    * cores, N/50k). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       minCosine: Double = 0.95, nlist: Int = 16,
       seed: Long = 42L): DataFrame = {

@@ -92,6 +92,23 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("round-4 operators plan without cartesian products") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val docs = Tables.load(spark, sf, "documents")
+    val sd = planOf(graft.llm.Dedup.semanticDedup(
+      emb, "vec_id", "embedding", 0.9, 4))
+    assert(!sd.contains("CartesianProduct"), sd)
+    graft.llm.Dedup.releaseCaches()
+    val inc = planOf(graft.llm.Dedup.incrementalDedup(
+      docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+      "doc_id", "text"))
+    assert(!inc.contains("CartesianProduct"), inc)
+    graft.llm.Dedup.releaseCaches()
+    val end = planOf(graft.llm.Dedup.embeddingNearDups(
+      emb, "vec_id", "embedding", 0.9))
+    assert(!end.contains("CartesianProduct"), end)
+  }
+
   test("single-pass corr matrix: one aggregate, no RDD detour") {
     val li = Tables.load(spark, sf, "lineitem")
     val df = li.agg(corr(col("l_quantity"), col("l_extendedprice")))
