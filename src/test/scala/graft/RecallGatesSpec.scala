@@ -47,6 +47,19 @@ class RecallGatesSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") == 1.0, s"banding broke: $r")
   }
 
+  test("HLL++ distinct estimate tracks the exact count within 3x rsd") {
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("q_count_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.06, // 3x the 0.02 rsd
+        s"$k: approx $a vs exact $e")
+    }
+  }
+
   test("banded hyperplane LSH near-dup recall at the graded threshold") {
     val r = row("q_embedding_band_recall")
     // exact-cosine verify step makes precision exact by construction
