@@ -41,6 +41,20 @@ object R4ScaleProbe {
       time("hot-key grid (1h cells)")(grid)
     }
 
+    // --- incrementalDedup: fixed 200-doc batch vs growing corpus ---
+    val d1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val d10 = Tables.load(spark, "/tmp/scale10x", "documents")
+    val batch = d1.filter(col("doc_id") >= 400 && col("doc_id") < 600)
+    for (pass <- 1 to 2) {
+      println(s"--- pass $pass")
+      time("incrementalDedup batch=200 corpus=5k")(
+        graft.llm.Dedup.incrementalDedup(batch, d1, "doc_id", "text"))
+      graft.llm.Dedup.releaseCaches()
+      time("incrementalDedup batch=200 corpus=50k")(
+        graft.llm.Dedup.incrementalDedup(batch, d10, "doc_id", "text"))
+      graft.llm.Dedup.releaseCaches()
+    }
+
     // --- semanticDedup 1x vs 10x ---
     val e1 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
     val e10 = Tables.load(spark, "/tmp/scale10x", "embeddings")
