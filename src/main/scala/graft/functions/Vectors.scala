@@ -35,19 +35,14 @@ object Vectors {
     * `planes` (deterministic pseudo-random planes derived from a seed on
     * the caller side). Returns a compact Long bucket id for up to 63 bits.
     *
-    * Each sign bit runs through the fused native cosine kernel (one
-    * codegen'd pass per plane) rather than the interpreted HOF dot —
-    * sign(cosine) == sign(dot) for non-zero vectors, and HOF lambdas are
-    * never whole-stage-codegen'd (measured 15-150x slower per element).
-    * A zero vector (cosine null) hashes to the all-zeros bucket.
-    */
+    * Delegates to the native `hyperplane_bits` kernel: ALL sign bits in
+    * one fused pass over the vector — the per-plane composed form (one
+    * cosine kernel per bit) re-reads the vector once per plane, and the
+    * HOF dot is never whole-stage-codegen'd at all. A zero-norm or
+    * wrong-length vector hashes to the all-zeros bucket (matching the
+    * composed form's null-cosine bits). */
   def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
     require(planes.size <= 63, "bucket id packs into a signed long")
-    val vd = asDouble(v)
-    planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit(_)): _*)
-      when(graft.plans.VectorExpressions.cosineSim(vd, planeCol) >= 0,
-        lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    graft.plans.VectorExpressions.hyperplaneBits(v, planes)
   }
 }

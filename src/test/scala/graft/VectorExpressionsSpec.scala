@@ -51,6 +51,46 @@ class VectorExpressionsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
   }
 
+  test("HyperplaneBits == composed per-plane cosine sign form") {
+    val planes = graft.llm.Similarity.planes(12, 8, 7L)
+    val df = (1 to 60).map(i =>
+      Seq.tabulate(8)(j => ((i * (j + 3)) % 11 - 5).toFloat)).toDF("v")
+    def composed(v: org.apache.spark.sql.Column) =
+      planes.zipWithIndex.map { case (pl, i) =>
+        when(VectorExpressions.cosineSim(
+          graft.functions.Vectors.asDouble(v),
+          array(pl.map(lit(_)): _*)) >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val out = df.select(
+      VectorExpressions.hyperplaneBits(col("v"), planes).as("fused"),
+      composed(col("v")).as("composed")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+    // zero-norm and wrong-length vectors hash to bucket 0
+    val edge = Seq(Seq(0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f),
+      Seq(1.0f, 2.0f)).toDF("v")
+    val eo = edge.select(
+      VectorExpressions.hyperplaneBits(col("v"), planes)).as[Long].collect()
+    assert(eo.toSeq == Seq(0L, 0L))
+  }
+
+  test("HyperplaneBits codegen path == interpreted path") {
+    val planes = graft.llm.Similarity.planes(9, 6, 3L)
+    val df = (1 to 40).map(i =>
+      Seq.tabulate(6)(j => ((i + j * j) % 9 - 4).toFloat)).toDF("v")
+    val withCg = df.select(
+      VectorExpressions.hyperplaneBits(col("v"), planes)).as[Long].collect()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(
+        VectorExpressions.hyperplaneBits(col("v"), planes)).as[Long].collect()
+      assert(withCg.toSeq == interp.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("CosineSimilarity codegen path == interpreted path") {
     val df = (1 to 50).map(i =>
       (Seq.tabulate(8)(j => (i * j % 7).toFloat),
