@@ -52,6 +52,48 @@ object Ticks {
   val featureColumns: Seq[String] =
     Seq("volume", "volatility", "market_sentiment", "trading_activity")
 
+  /** Message validation — the engine form of the reference's publish-side
+    * schema checks (`Deliverable_2/Stream Data Codes/
+    * tests_pub_sub_schema.py:53-98`: required symbol/timestamp,
+    * future-timestamp rejection, source/data_type enums,
+    * market_sentiment in [-1,1], trading_activity in [0,100]). Adds a
+    * `violations` array column (empty = valid) — map-only, works the
+    * same on batch and streaming frames, so ingest can route invalid
+    * rows to a dead-letter sink instead of throwing per message.
+    *
+    * `nowMs` is caller-supplied (determinism: a query must not read the
+    * clock at plan time — pass the batch/trigger timestamp). Type
+    * violations surface as nulls after the declared-schema parse
+    * ([[parseTicks]] casts via the schema, mirroring the reference's
+    * isinstance checks), so null required fields are flagged here. */
+  def validate(df: DataFrame, nowMs: Long): DataFrame = {
+    val checks: Seq[(Column, String)] = Seq(
+      (col("symbol").isNull, "missing_symbol"),
+      (col("timestamp").isNull, "missing_timestamp"),
+      (col("timestamp").isNotNull && col("timestamp") > lit(nowMs),
+        "future_timestamp"),
+      (!coalesce(col("source").isin("YLIFE_FEED", "XTB_FEED"), lit(false)),
+        "invalid_source"),
+      (!coalesce(col("data_type") === "MARKET_DATA", lit(false)),
+        "invalid_data_type"),
+      (col("market_sentiment").isNotNull &&
+        (col("market_sentiment") < -1.0 || col("market_sentiment") > 1.0),
+        "sentiment_out_of_range"),
+      (col("trading_activity").isNotNull &&
+        (col("trading_activity") < 0.0 || col("trading_activity") > 100.0),
+        "activity_out_of_range"))
+    df.withColumn("violations", array_compact(array(
+      checks.map { case (c, tag) => when(c, lit(tag)) }: _*)))
+  }
+
+  /** [[validate]] then split: (valid rows without the violations column,
+    * rejected rows with it) — the dead-letter routing shape. */
+  def partitionValid(df: DataFrame, nowMs: Long): (DataFrame, DataFrame) = {
+    val v = validate(df, nowMs)
+    (v.filter(size(col("violations")) === 0).drop("violations"),
+      v.filter(size(col("violations")) > 0))
+  }
+
   /** S2+P1 — decode a Kafka-shaped frame (binary/string `value` column)
     * into flat tick columns: CAST value AS STRING → from_json → flatten.
     * Reference: `NEW_train_offset_3_10min.py:103-105`. Works identically

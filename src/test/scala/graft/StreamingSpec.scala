@@ -28,6 +28,43 @@ class StreamingSpec extends SparkSpec {
     assert(out.getAs[Long]("timestamp") == 1736081410598L)
   }
 
+  test("validate mirrors the reference's nine pub-sub schema rules") {
+    val now = base + 1000000L
+    def row(sym: String = "XOM", ts: java.lang.Long = base,
+        src: String = "YLIFE_FEED", dt: String = "MARKET_DATA",
+        sent: java.lang.Double = 0.2, act: java.lang.Double = 75.0) =
+      (sym, ts, src, dt, sent, act)
+    val df = Seq(
+      row(),                                  // valid
+      row(sym = null),                        // missing symbol
+      row(ts = null),                         // missing timestamp (wrong type -> null post-parse)
+      row(ts = now + 1L),                     // future timestamp
+      row(src = "BLOOMBERG"),                 // invalid source enum
+      row(src = null),                        // missing source counts as invalid
+      row(dt = "NEWS"),                       // invalid data_type enum
+      row(sent = -1.5),                       // sentiment below range
+      row(act = 150.0))                       // activity above range
+      .toDF("symbol", "timestamp", "source", "data_type",
+        "market_sentiment", "trading_activity")
+    val out = Ticks.validate(df, now)
+      .select("violations").as[Seq[String]].collect()
+    assert(out(0).isEmpty)
+    assert(out(1) == Seq("missing_symbol"))
+    assert(out(2) == Seq("missing_timestamp"))
+    assert(out(3) == Seq("future_timestamp"))
+    assert(out(4) == Seq("invalid_source"))
+    assert(out(5) == Seq("invalid_source"))
+    assert(out(6) == Seq("invalid_data_type"))
+    assert(out(7) == Seq("sentiment_out_of_range"))
+    assert(out(8) == Seq("activity_out_of_range"))
+    val (ok, dead) = Ticks.partitionValid(df, now)
+    assert(ok.count() == 1 && dead.count() == 8)
+    assert(!ok.columns.contains("violations"))
+    // map-only: routing must not shuffle
+    val plan = Ticks.validate(df, now).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("repairEthSentinels recovers price from bid/ask midpoint") {
     val df = ticksDf(Seq(tick("ETHEREUM", base, -1.0)))
       .withColumn("bid", lit(100.0)).withColumn("ask", lit(104.0))
