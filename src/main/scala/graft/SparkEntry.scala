@@ -336,6 +336,13 @@ object SparkEntry {
         lead(col("value"), 1).over(w).as("next_value"))
     }),
 
+    "q_time_shift" -> ((s, d) =>
+      // W3: plain projection offset shift (plot/label alignment —
+      // reference shifts event_time by -10 minutes); no window frame
+      t(s, d, "events").select(col("event_id"),
+        date_format(col("ts") - expr("INTERVAL 10 MINUTES"),
+          "yyyy-MM-dd HH:mm:ss").as("ts_shifted"))),
+
     "q_interpolate" -> ((s, d) =>
       // W2: nulls injected on 'error' events, linearly interpolated per
       // user over event_id order. Rows-only check (window-composite op;
@@ -422,6 +429,36 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), Text.languageId(col("text")).as("lang_pred"))),
+
+    "q_temperature_resample" -> ((s, d) =>
+      // corpus mixing: p^0.3 temperature resampling over sources to a
+      // ~50% target, md5-key-deterministic accept (oracle reproduces
+      // the exact kept set)
+      graft.llm.Mixing.temperatureResample(t(s, d, "documents"),
+          "source", col("doc_id"), 0.3, 0.5)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          round(first(col("accept_rate")), 6).as("accept_rate"))),
+
+    "q_js_divergence" -> ((s, d) => {
+      // corpus drift: Jensen-Shannon divergence between the unigram
+      // distributions of the en and zh slices
+      val docs = t(s, d, "documents")
+      graft.llm.Mixing.jsDivergence(docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") === "zh"), "text")
+    }),
+
+    "q_oov_rate" -> ((s, d) =>
+      // tokenizer-vocabulary coverage: OOV token rate per language
+      // against the corpus-global top-15 vocab
+      graft.llm.Mixing.oovRate(t(s, d, "documents"), "text", "lang", 15)),
+
+    "q_token_budget" -> ((s, d) =>
+      // best-tokens corpus assembly: highest-quality docs whose token
+      // counts fit a 10k budget (two-phase histogram plan; oracle is
+      // the naive ordered-window form)
+      graft.llm.Mixing.tokenBudgetSelect(t(s, d, "documents"),
+        "text", "doc_id", 10000L)),
 
     "q_unigram_logprob" -> ((s, d) =>
       // unigram-LM quality scoring fitted on the corpus itself
@@ -687,6 +724,11 @@ object SparkEntry {
                 count(*) AS n_orders,
                 round(sum(o_totalprice), 2) AS revenue
          FROM orders GROUP BY 1""",
+
+    "q_time_shift" ->
+      """SELECT event_id,
+                strftime(ts - INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS ts_shifted
+         FROM events""",
 
     "q_time_bucket" ->
       """SELECT event_type,
@@ -988,6 +1030,73 @@ object SparkEntry {
                      ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_tokens,
                 length(text) AS n_chars_raw
          FROM documents""",
+
+    "q_temperature_resample" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         t1 AS (SELECT sum(n) AS tot FROM c),
+         w AS (SELECT source, n, tot, pow(n * 1.0 / tot, 0.3) AS pq FROM c, t1),
+         z AS (SELECT sum(pq) AS zs FROM w),
+         r AS (SELECT source, least(1.0, 0.5 * tot * (pq / zs) / n) AS accept FROM w, z)
+         SELECT d.source, count(*) AS n_kept, round(any_value(r.accept), 6) AS accept_rate
+         FROM documents d JOIN r ON d.source = r.source
+         WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000
+               < round(r.accept * 1000)
+         GROUP BY 1""",
+
+    "q_js_divergence" ->
+      """WITH ca AS (SELECT w, count(*) AS cnt FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE lang = 'en')
+           GROUP BY 1),
+         cb AS (SELECT w, count(*) AS cnt FROM (
+             SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE lang = 'zh')
+           GROUP BY 1),
+         pa AS (SELECT w, cnt * 1.0 / (SELECT sum(cnt) FROM ca) AS p FROM ca),
+         pb AS (SELECT w, cnt * 1.0 / (SELECT sum(cnt) FROM cb) AS q FROM cb),
+         j AS (SELECT coalesce(p, 0.0) AS p, coalesce(q, 0.0) AS q
+               FROM pa FULL OUTER JOIN pb USING (w))
+         SELECT count(*) AS n_terms,
+                round(sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) / 2 ELSE 0 END
+                        + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) / 2 ELSE 0 END), 6)
+                  AS js_divergence
+         FROM j""",
+
+    "q_oov_rate" ->
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+         freq AS (SELECT w, count(*) AS cnt FROM toks GROUP BY 1),
+         vocab AS (SELECT w FROM freq ORDER BY cnt DESC, w LIMIT 15)
+         SELECT lang, count(*) AS n_tokens,
+                round(CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 6) AS oov_rate
+         FROM toks LEFT JOIN vocab v ON toks.w = v.w
+         GROUP BY 1""",
+
+    "q_token_budget" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks,
+                  regexp_replace(text, '\s+', '', 'g') AS body,
+                  trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter(toks, w -> w IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','that','this'))) AS DOUBLE) / len(toks) END AS stopword_ratio,
+                  CASE WHEN length(body) = 0 THEN 0.0
+                       ELSE CAST(length(regexp_replace(body, '[\p{L}\p{N}]', '', 'g')) AS DOUBLE) / length(body) END AS punct_ratio,
+                  CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END AS n_tokens
+           FROM base),
+         q AS (
+           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                  round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                        + 0.5 * least(stopword_ratio * 4.0, 1.0)
+                        - 0.25 * least(punct_ratio * 2.0, 1.0), 6) AS quality
+           FROM m),
+         c AS (
+           SELECT doc_id, quality, n_tokens,
+                  sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+           FROM q)
+         SELECT doc_id, quality, n_tokens FROM c WHERE cum <= 10000""",
 
     "q_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

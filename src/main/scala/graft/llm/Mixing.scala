@@ -1,0 +1,192 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.Relational
+
+/** Corpus-mixing operators for training-data assembly: temperature
+  * resampling across domains, token-budget selection, distribution
+  * divergence between corpus slices, and vocabulary-coverage (OOV)
+  * profiling.
+  *
+  * Scale posture shared by the family: per-stratum / per-token state is
+  * the only thing that shuffles (8-byte counts keyed by a bounded
+  * stratum set or by token); document payloads stay map-side. Scalar
+  * totals travel as broadcast one-row frames, never `Window.orderBy`
+  * global sorts.
+  */
+object Mixing {
+
+  /** Per-stratum acceptance rates for temperature resampling
+    * (multilingual-LM style: sample shares proportional to p^alpha, so
+    * over-represented domains are downweighted and the tail is kept).
+    *
+    * With stratum shares p_s = n_s/N and q_s = p_s^alpha / Z, a target
+    * total of `targetFrac`*N rows gives per-stratum accept probability
+    *   a_s = min(1, targetFrac * N * q_s / n_s).
+    *
+    * Relational end-to-end: the per-stratum count frame is
+    * stratum-cardinality-sized (domains/sources — bounded, thousands at
+    * most at 100 TB), and the two scalar totals (N, Z) ride as
+    * broadcast one-row frames, so nothing is ever single-partitioned.
+    */
+  def temperatureRates(docs: DataFrame, stratumCol: String, alpha: Double,
+      targetFrac: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0,1]")
+    require(targetFrac > 0.0 && targetFrac <= 1.0, "targetFrac in (0,1]")
+    val cnts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+    val withTot = cnts
+      .crossJoin(broadcast(cnts.agg(sum("__n").as("__tot"))))
+      .withColumn("__pq", pow(col("__n").cast("double") / col("__tot"), alpha))
+    withTot
+      .crossJoin(broadcast(withTot.agg(sum("__pq").as("__z"))))
+      .select(col(stratumCol),
+        least(lit(1.0),
+          lit(targetFrac) * col("__tot") * (col("__pq") / col("__z")) /
+            col("__n")).as("accept_rate"))
+  }
+
+  /** Temperature resampling: keep each row of `docs` with its stratum's
+    * [[temperatureRates]] probability, decided by the deterministic md5
+    * key bucket of [[Relational.withHashSplit]] — key-stable,
+    * partitioning-independent, reproducible on any engine. The rate
+    * frame is broadcast (bounded stratum cardinality); the scan side is
+    * a pure map projection + filter.
+    *
+    * The bucket threshold is `round(accept_rate * buckets)` rather than
+    * a raw double compare: on a perfectly balanced corpus a_s ==
+    * targetFrac analytically, and rounding keeps the cut stable against
+    * last-ulp float divergence across engines/summation orders.
+    */
+  def temperatureResample(docs: DataFrame, stratumCol: String, key: Column,
+      alpha: Double, targetFrac: Double, buckets: Int = 1000): DataFrame = {
+    val rates = temperatureRates(docs, stratumCol, alpha, targetFrac)
+    Relational.withHashSplit(
+        docs.join(broadcast(rates), stratumCol), key, buckets, "__bucket")
+      .filter(col("__bucket") <
+        round(col("accept_rate") * buckets).cast("long"))
+      .drop("__bucket")
+  }
+
+  /** Unigram distribution of `textCol` split on single spaces:
+    * one row per distinct token with its count and the (broadcast)
+    * corpus total. Token-keyed hash aggregation — partial map-side
+    * combine, 8-byte counts on the wire. */
+  private def unigramDist(df: DataFrame, textCol: String): DataFrame = {
+    val cnts = df
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    cnts.crossJoin(broadcast(cnts.agg(sum("cnt").as("tot"))))
+  }
+
+  /** Jensen-Shannon divergence (natural log, in [0, ln 2]) between the
+    * unigram token distributions of two corpus slices — the standard
+    * drift/contrast metric between corpus versions or domains. Output
+    * is one row: the union vocabulary size and the divergence.
+    *
+    * Shape: two token-keyed count aggregations, a full-outer join on
+    * token (absent tokens contribute probability 0 and, by the JS
+    * convention 0*ln(0/m) = 0, a zero term), one scalar sum. Vocabulary
+    * rows are what shuffles — never documents.
+    */
+  def jsDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    val pa = unigramDist(a, textCol)
+      .select(col("w"), (col("cnt").cast("double") / col("tot")).as("p"))
+    val pb = unigramDist(b, textCol)
+      .select(col("w"), (col("cnt").cast("double") / col("tot")).as("q"))
+    val joined = pa.join(pb, Seq("w"), "full_outer")
+      .select(coalesce(col("p"), lit(0.0)).as("p"),
+        coalesce(col("q"), lit(0.0)).as("q"))
+    val m = (col("p") + col("q")) / 2
+    val term =
+      when(col("p") > 0, col("p") * log(col("p") / m) / 2).otherwise(0.0) +
+      when(col("q") > 0, col("q") * log(col("q") / m) / 2).otherwise(0.0)
+    joined.agg(count(lit(1)).as("n_terms"),
+      round(sum(term), 6).as("js_divergence"))
+  }
+
+  /** Top-`vocabSize` tokens by global count (count desc, token asc on
+    * ties — a total order, so the cut is deterministic). Produces a
+    * `vocabSize`-row frame: TakeOrdered over the token-count agg, small
+    * enough to broadcast into any coverage join. */
+  def topVocab(docs: DataFrame, textCol: String, vocabSize: Int): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc)
+      .limit(vocabSize)
+      .select("w")
+
+  /** Out-of-vocabulary token rate per group (e.g. per language) against
+    * the corpus-global [[topVocab]] — the coverage signal for sizing a
+    * tokenizer vocabulary or spotting under-served languages. The vocab
+    * side broadcasts; the token stream is a map-side explode + hash
+    * aggregation on the group key. */
+  def oovRate(docs: DataFrame, textCol: String, groupCol: String,
+      vocabSize: Int): DataFrame = {
+    val vocab = topVocab(docs, textCol, vocabSize)
+      .withColumn("__in_vocab", lit(1))
+    docs.select(col(groupCol),
+        explode(split(col(textCol), " ")).as("w"))
+      .join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(when(col("__in_vocab").isNull, 1).otherwise(0))
+          .cast("double") / count(lit(1)), 6).as("oov_rate"))
+  }
+
+  /** Select the highest-quality documents whose token counts fit a total
+    * budget — the "best N tokens" corpus-assembly step. Selection order
+    * is ([[Text.qualityScore]] desc, id asc); a document is kept iff the
+    * running token total through it stays within `budgetTokens`.
+    *
+    * Scalable two-phase plan instead of the naive global-ordered window
+    * (which is a single-partition sort at corpus scale):
+    *   1. histogram pass — token totals per quality value. qualityScore
+    *      is rounded to 6 decimals, so the histogram is bounded
+    *      (≤ ~1.25M keys) REGARDLESS of corpus size; collecting it to
+    *      the driver is O(bounded), not O(rows).
+    *   2. the driver walks the histogram best-first to find the boundary
+    *      quality value: strictly-better docs all fit (kept wholesale,
+    *      no sort at all), strictly-worse docs can't fit (dropped).
+    *   3. only the boundary-quality docs get an ordered running sum —
+    *      a window partitioned BY the boundary value, i.e. one quality
+    *      group, typically a vanishing fraction of the corpus.
+    * The kept set is identical to the naive window's (MixingSpec proves
+    * equality), with the global sort reduced to one boundary group.
+    */
+  def tokenBudgetSelect(docs: DataFrame, textCol: String, idCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0)
+    val scored = docs.select(col(idCol).as("doc_id"),
+      Text.qualityScore(col(textCol)).as("quality"),
+      Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    val hist = scored.groupBy("quality")
+      .agg(sum("n_tokens").as("t")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (q, _) => -q }
+    var prefix = 0L
+    var boundary: Option[Double] = None
+    var i = 0
+    while (boundary.isEmpty && i < hist.length) {
+      val (q, t) = hist(i)
+      if (prefix + t > budgetTokens) boundary = Some(q)
+      else { prefix += t; i += 1 }
+    }
+    val kept = boundary match {
+      case None => scored // everything fits
+      case Some(qb) =>
+        val above = scored.filter(col("quality") > qb)
+        val w = Window.partitionBy("quality").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val atBoundary = scored.filter(col("quality") === qb)
+          .withColumn("__cum", sum("n_tokens").over(w))
+          .filter(col("__cum") + prefix <= budgetTokens)
+          .drop("__cum")
+        above.unionByName(atBoundary)
+    }
+    kept.select("doc_id", "quality", "n_tokens")
+  }
+}

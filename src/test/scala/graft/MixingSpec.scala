@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.llm.Mixing
+
+/** Corpus-mixing operators: temperature resampling, JS divergence,
+  * OOV coverage, token-budget selection. */
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs: DataFrame =
+    Tables.load(spark, "/root/testdata/sf0.001", "documents")
+
+  test("temperatureRates: uniform corpus keeps targetFrac everywhere") {
+    val df = Seq.tabulate(100)(i => (i.toLong, s"src${i % 4}"))
+      .toDF("id", "source")
+    val rates = Mixing.temperatureRates(df, "source", 0.3, 0.4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates.size == 4)
+    // balanced shares: p^alpha renormalizes to the same shares, so
+    // every stratum's accept rate is exactly the target fraction
+    rates.values.foreach(a => assert(math.abs(a - 0.4) < 1e-12))
+  }
+
+  test("temperatureRates: skewed corpus upweights the tail") {
+    val df = (Seq.tabulate(900)(i => (i.toLong, "big")) ++
+      Seq.tabulate(100)(i => (900L + i, "small"))).toDF("id", "source")
+    val rates = Mixing.temperatureRates(df, "source", 0.3, 0.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("small") > rates("big"),
+      s"tail stratum must keep a higher rate: $rates")
+    assert(rates.values.forall(a => a > 0.0 && a <= 1.0))
+  }
+
+  test("temperatureResample: deterministic and partitioning-independent") {
+    val a = Mixing.temperatureResample(docs, "source", col("doc_id"), 0.3, 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    val b = Mixing.temperatureResample(docs.repartition(7), "source",
+        col("doc_id"), 0.3, 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.nonEmpty && a.length < 500)
+    assert(a.sameElements(b))
+  }
+
+  test("jsDivergence: identical slices diverge by zero") {
+    val r = Mixing.jsDivergence(docs, docs, "text").collect()(0)
+    assert(r.getDouble(r.fieldIndex("js_divergence")) == 0.0)
+  }
+
+  test("jsDivergence: disjoint vocabularies diverge by ln 2, symmetric") {
+    val a = Seq("x x x", "y y").toDF("text")
+    val b = Seq("u u", "v").toDF("text")
+    val ab = Mixing.jsDivergence(a, b, "text").collect()(0).getDouble(1)
+    val ba = Mixing.jsDivergence(b, a, "text").collect()(0).getDouble(1)
+    assert(math.abs(ab - math.log(2.0)) < 1e-6)
+    assert(ab == ba)
+  }
+
+  test("oovRate: full vocabulary means zero OOV everywhere") {
+    val nVocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .select("w").distinct().count().toInt
+    val r = Mixing.oovRate(docs, "text", "lang", nVocab)
+      .select("oov_rate").as[Double].collect()
+    assert(r.nonEmpty && r.forall(_ == 0.0))
+  }
+
+  test("oovRate: tiny vocabulary leaves most tokens OOV") {
+    val r = Mixing.oovRate(docs, "text", "lang", 2)
+      .select("oov_rate").as[Double].collect()
+    assert(r.forall(x => x > 0.5 && x < 1.0))
+  }
+
+  /** Naive single-window form of the budget selection (the oracle's
+    * plan shape) — ground truth for the two-phase implementation. */
+  private def naiveBudget(budget: Long): Set[Long] =
+    docs.select(col("doc_id"),
+        Text.qualityScore(col("text")).as("quality"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(
+        Window.orderBy(col("quality").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= budget)
+      .select("doc_id").as[Long].collect().toSet
+
+  test("tokenBudgetSelect: two-phase plan equals the naive ordered window") {
+    for (budget <- Seq(0L, 500L, 5000L, 10000L, 1000000L)) {
+      val twoPhase = Mixing.tokenBudgetSelect(docs, "text", "doc_id", budget)
+        .select("doc_id").as[Long].collect().toSet
+      assert(twoPhase == naiveBudget(budget), s"budget=$budget")
+    }
+  }
+
+  test("tokenBudgetSelect: budget is binding and selection is maximal") {
+    val kept = Mixing.tokenBudgetSelect(docs, "text", "doc_id", 5000L)
+    val total = kept.agg(sum("n_tokens")).as[Long].collect()(0)
+    assert(total <= 5000L)
+    // maximality: the best unkept doc would overflow the budget
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    val nextBest = docs
+      .filter(!col("doc_id").isInCollection(keptIds))
+      .select(col("doc_id"), Text.qualityScore(col("text")).as("q"),
+        Text.tokenCount(col("text")).cast("long").as("t"))
+      .orderBy(col("q").desc, col("doc_id")).limit(1)
+      .select("t").as[Long].collect()
+    nextBest.headOption.foreach(t => assert(total + t > 5000L))
+  }
+}
