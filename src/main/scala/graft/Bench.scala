@@ -31,8 +31,10 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val runs = Seq(once(fn), once(fn), once(fn))
-      // per-invocation dedup caches must not accumulate across 64 queries
+      // per-invocation dedup/mixing caches must not accumulate across
+      // the full query sweep
       graft.llm.Dedup.releaseCaches()
+      graft.llm.Mixing.releaseCaches()
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1))
     }
     graft.llm.Similarity.clearIvfCache()

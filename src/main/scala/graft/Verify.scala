@@ -21,9 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // the dedup operators persist per-invocation intermediates; a
-      // driver running all queries must not accumulate every cache
+      // the dedup/mixing operators persist per-invocation intermediates;
+      // a driver running all queries must not accumulate every cache
       graft.llm.Dedup.releaseCaches()
+      graft.llm.Mixing.releaseCaches()
     }
     graft.llm.Similarity.clearIvfCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -20,6 +20,30 @@ import graft.operators.Relational
   */
 object Mixing {
 
+  /** Same tracked-persist contract as [[Dedup]]: [[tokenBudgetSelect]]
+    * caches its scored frame (it feeds the histogram pass AND both
+    * kept-set branches — without the cache the quality-score regex
+    * scan runs three times). Long-lived drivers call [[releaseCaches]]
+    * after the consuming action; a released frame is recomputed on
+    * next use, never wrong. */
+  private val trackedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackedCaches.add(p)
+    p
+  }
+
+  /** Unpersist every frame cached by this object since last release. */
+  def releaseCaches(): Unit = {
+    var df = trackedCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = trackedCaches.poll()
+    }
+  }
+
   /** Per-stratum acceptance rates for temperature resampling
     * (multilingual-LM style: sample shares proportional to p^alpha, so
     * over-represented domains are downweighted and the tail is kept).
@@ -160,9 +184,11 @@ object Mixing {
   def tokenBudgetSelect(docs: DataFrame, textCol: String, idCol: String,
       budgetTokens: Long): DataFrame = {
     require(budgetTokens >= 0)
-    val scored = docs.select(col(idCol).as("doc_id"),
+    // cached: feeds the histogram job and both kept-set branches —
+    // otherwise the quality-regex scan of the corpus runs three times
+    val scored = persistTracked(docs.select(col(idCol).as("doc_id"),
       Text.qualityScore(col(textCol)).as("quality"),
-      Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      Text.tokenCount(col(textCol)).cast("long").as("n_tokens")))
     val hist = scored.groupBy("quality")
       .agg(sum("n_tokens").as("t")).collect()
       .map(r => (r.getDouble(0), r.getLong(1)))

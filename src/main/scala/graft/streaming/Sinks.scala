@@ -248,4 +248,20 @@ object Sinks {
         if (!batch.isEmpty) store.upsert(batch)
       }
       .start()
+
+  /** S7 — console debug sink (the reference tails micro-batches to
+    * stdout while developing a topology; reference:
+    * `NEW_train_offset_3_10min.py` console writer). `numRows`/
+    * `truncate` mirror the Spark options; append mode, per SURVEY the
+    * only mode the reference uses it with. */
+  def consoleSink(df: DataFrame, triggerMs: Long = 1000L,
+      numRows: Int = 20, truncate: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .format("console")
+      .outputMode("append")
+      .option("numRows", numRows)
+      .option("truncate", truncate)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .start()
 }

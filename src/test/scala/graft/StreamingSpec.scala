@@ -275,6 +275,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(("BP", 20.0), ("COP", 30.0), ("XOM", 99.0)))
   }
 
+  test("consoleSink drives micro-batches through the console writer") {
+    // S7 live: MemoryStream -> console sink; the query must process
+    // both batches without error and report sunk rows in its progress
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    // trigger slow enough that idle-tick progress events can't flood
+    // recentProgress' bounded buffer and evict the row-bearing entries
+    val q = graft.streaming.Sinks.consoleSink(
+      mem.toDF().toDF("symbol", "price"), triggerMs = 200L, numRows = 5)
+    try {
+      // progress reporting trails processAllAvailable; poll briefly
+      def sunkAtLeast(n: Long): Long = {
+        // idle triggers report numOutputRows = -1 (unknown), not 0
+        def sunk() = q.recentProgress
+          .map(p => math.max(0L, p.sink.numOutputRows)).sum
+        val deadline = System.nanoTime() + 10000000000L
+        while (sunk() < n && System.nanoTime() < deadline) Thread.sleep(50)
+        sunk()
+      }
+      mem.addData(("XOM", 10.0), ("BP", 20.0))
+      q.processAllAvailable()
+      assert(sunkAtLeast(2) == 2, "first micro-batch")
+      mem.addData(("COP", 30.0))
+      q.processAllAvailable()
+      assert(sunkAtLeast(3) == 3, "second micro-batch")
+    } finally q.stop()
+  }
+
   test("nearDedupIngest drops stream docs duplicating the kept corpus") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
