@@ -453,6 +453,13 @@ object SparkEntry {
       // against the corpus-global top-15 vocab
       graft.llm.Mixing.oovRate(t(s, d, "documents"), "text", "lang", 15)),
 
+    "q_shuffle_shards" -> ((s, d) =>
+      // deterministic sharded training-order shuffle: salted-md5 shard
+      // + per-shard position; parallel per-shard windows, no global
+      // sort (oracle reproduces shard and position exactly)
+      graft.llm.Mixing.shuffleShards(
+          t(s, d, "documents").select("doc_id"), col("doc_id"), 8)),
+
     "q_token_budget" -> ((s, d) =>
       // best-tokens corpus assembly: highest-quality docs whose token
       // counts fit a 10k budget (two-phase histogram plan; oracle is
@@ -1069,6 +1076,16 @@ object SparkEntry {
                       / count(*), 6) AS oov_rate
          FROM toks LEFT JOIN vocab v ON toks.w = v.w
          GROUP BY 1""",
+
+    "q_shuffle_shards" ->
+      """WITH h AS (
+           SELECT doc_id,
+                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 6)) AS BIGINT) % 8 AS shard,
+                  md5(CAST(doc_id AS VARCHAR) || ':pos') AS ph
+           FROM documents)
+         SELECT doc_id, shard,
+                CAST(row_number() OVER (PARTITION BY shard ORDER BY ph, doc_id) AS INT) AS pos
+         FROM h""",
 
     "q_token_budget" ->
       """WITH base AS (

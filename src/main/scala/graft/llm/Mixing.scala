@@ -161,6 +161,27 @@ object Mixing {
           .cast("double") / count(lit(1)), 6).as("oov_rate"))
   }
 
+  /** Deterministic sharded training-order shuffle: every row gets a
+    * shard (salted md5 bucket of its key) and a position within the
+    * shard (rank of an independently-salted md5 — decorrelated from the
+    * shard hash). The standard shard-writer shape for pre-training
+    * data: reproducible on any engine/partitioning (no rand()), and the
+    * ordering work is per-shard windows running in parallel — each
+    * sorts ~N/nShards rows, never a global sort. Pick nShards so a
+    * shard fits an executor's sort buffer at corpus scale.
+    */
+  def shuffleShards(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards > 0)
+    val ks = key.cast("string")
+    val shard = conv(substring(md5(concat(ks, lit(":shard"))), 1, 6), 16, 10)
+      .cast("long") % nShards
+    val posHash = md5(concat(ks, lit(":pos")))
+    val w = Window.partitionBy("shard").orderBy(col("__ph"), key)
+    df.withColumn("shard", shard).withColumn("__ph", posHash)
+      .withColumn("pos", row_number().over(w))
+      .drop("__ph")
+  }
+
   /** Select the highest-quality documents whose token counts fit a total
     * budget — the "best N tokens" corpus-assembly step. Selection order
     * is ([[Text.qualityScore]] desc, id asc); a document is kept iff the

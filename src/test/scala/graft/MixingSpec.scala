@@ -74,6 +74,30 @@ class MixingSpec extends SparkSpec {
     assert(r.forall(x => x > 0.5 && x < 1.0))
   }
 
+  test("shuffleShards: complete, deterministic, positions dense per shard") {
+    val a = Mixing.shuffleShards(docs.select("doc_id"), col("doc_id"), 8)
+    val b = Mixing.shuffleShards(docs.repartition(7).select("doc_id"),
+      col("doc_id"), 8)
+    val rows = a.collect().map(r =>
+      (r.getLong(0), r.getLong(r.fieldIndex("shard")),
+        r.getInt(r.fieldIndex("pos"))))
+    // every doc exactly once; partitioning-independent assignment
+    assert(rows.length == 500)
+    assert(rows.map(_._1).distinct.length == 500)
+    assert(rows.toSet == b.collect().map(r =>
+      (r.getLong(0), r.getLong(r.fieldIndex("shard")),
+        r.getInt(r.fieldIndex("pos")))).toSet)
+    // positions are 1..n within each shard, no gaps or dups
+    rows.groupBy(_._2).foreach { case (shard, g) =>
+      assert(g.map(_._3).sorted.sameElements(1 to g.length), s"shard $shard")
+    }
+    // shard and position hashes are decorrelated: within a shard, the
+    // doc ids are not ordered by id (a correlated hash would sort them)
+    val someShard = rows.groupBy(_._2).values.maxBy(_.length)
+      .sortBy(_._3).map(_._1)
+    assert(!someShard.sorted.sameElements(someShard))
+  }
+
   /** Naive single-window form of the budget selection (the oracle's
     * plan shape) — ground truth for the two-phase implementation. */
   private def naiveBudget(budget: Long): Set[Long] =

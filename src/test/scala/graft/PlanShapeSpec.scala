@@ -109,6 +109,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!end.contains("CartesianProduct"), end)
   }
 
+  test("mixing family: broadcast rates/vocab, no single-partition sort") {
+    val docs = Tables.load(spark, sf, "documents")
+    // temperature resample: the per-stratum rate frame broadcasts into
+    // the scan side — never a shuffled (hash-hash) corpus join
+    val tr = planOf(graft.llm.Mixing.temperatureResample(
+      docs, "source", col("doc_id"), 0.3, 0.5))
+    assert(tr.contains("BroadcastHashJoin"), tr)
+    // OOV coverage: vocab cut is TakeOrdered (no global sort of the
+    // token stream) and the coverage attach broadcasts the vocab
+    val oov = planOf(graft.llm.Mixing.oovRate(docs, "text", "lang", 15))
+    assert(oov.contains("TakeOrderedAndProject"), oov)
+    assert(oov.contains("BroadcastHashJoin"), oov)
+    // token-budget selection: the ordered running sum must be a window
+    // PARTITIONED by the boundary quality value — the naive form's
+    // Exchange SinglePartition is exactly what the two-phase plan kills
+    val tb = planOf(graft.llm.Mixing.tokenBudgetSelect(
+      docs, "text", "doc_id", 5000L))
+    assert(!tb.contains("SinglePartition"), tb)
+    graft.llm.Mixing.releaseCaches()
+    // sharded shuffle: per-shard windows hash-partition on shard;
+    // no single-partition global sort anywhere in the plan
+    val ss = planOf(graft.llm.Mixing.shuffleShards(
+      docs.select("doc_id"), col("doc_id"), 8))
+    assert(ss.contains("hashpartitioning(shard"), ss)
+    assert(!ss.contains("SinglePartition"), ss)
+  }
+
   test("single-pass corr matrix: one aggregate, no RDD detour") {
     val li = Tables.load(spark, sf, "lineitem")
     val df = li.agg(corr(col("l_quantity"), col("l_extendedprice")))
