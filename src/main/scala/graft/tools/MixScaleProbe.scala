@@ -62,6 +62,12 @@ object MixScaleProbe {
         graft.llm.Mixing.jsDivergence(
           d10.filter(col("lang") === "en"), d10.filter(col("lang") === "zh"),
           "text"))
+      time("shuffleShards               5k docs")(
+        graft.llm.Mixing.shuffleShards(d1.select("doc_id"),
+          col("doc_id"), 8))
+      time("shuffleShards              50k docs")(
+        graft.llm.Mixing.shuffleShards(d10.select("doc_id"),
+          col("doc_id"), 8))
     }
     spark.stop()
   }

@@ -175,6 +175,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("temperatureRates: rates in (0,1], monotone against stratum size") {
+    // for any random stratum-size profile: a smaller stratum never gets
+    // a lower accept rate than a bigger one (p^alpha flattens shares),
+    // and expected kept volume stays at-or-under the uncapped target
+    val profileGen = Gen.nonEmptyListOf(Gen.chooseNum(1, 40)).map(_.take(6))
+    samples(profileGen).foreach { sizes =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, s) =>
+        Seq.tabulate(n)(i => (s.toLong * 1000 + i, s"s$s"))
+      }
+      val rates = graft.llm.Mixing
+        .temperatureRates(rows.toDF("id", "source"), "source", 0.3, 0.4)
+        .collect().map(r => r.getString(0).drop(1).toInt -> r.getDouble(1))
+        .toMap
+      assert(rates.values.forall(a => a > 0.0 && a <= 1.0), rates)
+      for (a <- sizes.indices; b <- sizes.indices if sizes(a) < sizes(b))
+        assert(rates(a) >= rates(b) - 1e-12,
+          s"sizes=$sizes smaller stratum $a got lower rate than $b: $rates")
+      // sum n_s * min(1, fN q_s/n_s) <= fN sum(q_s) = fN — capping only
+      // ever shrinks the kept volume, never grows it
+      val expectedKept = sizes.indices.map(s => sizes(s) * rates(s)).sum
+      assert(expectedKept <= 0.4 * sizes.sum + 1e-9,
+        s"sizes=$sizes rates=$rates")
+    }
+  }
+
   test("withHashSplit buckets are a pure function of the key value") {
     samples(Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L)), n = 5)
       .foreach { ks =>
