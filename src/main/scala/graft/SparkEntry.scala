@@ -560,6 +560,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           count_distinct(col("user_id")).as("n_users"))),
 
+    "q_deterministic_take" -> ((s, d) =>
+      // exact-k reproducible subset (salted-md5 order, TakeOrdered plan
+      // — no global sort); summarized per source so the oracle checks
+      // the exact selection
+      Relational.deterministicTake(t(s, d, "documents"), col("doc_id"), 100)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))),
+
     "q_hash_split" -> ((s, d) =>
       // deterministic md5 train/val/test split — stable across engines,
       // runs and partitionings (the oracle reproduces it exactly)
@@ -1171,6 +1179,16 @@ object SparkEntry {
          FROM events
          WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000 < 300
          GROUP BY event_type""",
+
+    "q_deterministic_take" ->
+      """WITH sel AS (
+           SELECT doc_id, source
+           FROM documents
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':take'), doc_id
+           LIMIT 100)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum
+         FROM sel GROUP BY 1""",
 
     "q_hash_split" ->
       """SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10 AS split_bucket,

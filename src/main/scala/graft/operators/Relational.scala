@@ -203,4 +203,21 @@ object Relational {
       .filter(col("__bucket") < keep)
       .drop("__bucket")
   }
+
+  /** Deterministic EXACT-size sample: the k rows whose salted md5 hash
+    * is smallest (ties broken by the hash's own key, so the selection
+    * is a total order). The fixed-count companion to
+    * [[deterministicSample]]'s fixed-fraction: any engine, run, or
+    * partitioning picks the same k rows, and late-arriving data only
+    * changes the selection where a new key hashes under the cut.
+    * Plans as TakeOrderedAndProject — per-partition bounded heaps,
+    * never a global sort (the same reason top-k is scalable). */
+  def deterministicTake(df: DataFrame, key: Column, k: Int,
+      salt: String = "take"): DataFrame = {
+    require(k >= 0)
+    df.withColumn("__h", md5(concat(key.cast("string"), lit(":" + salt))))
+      .orderBy(col("__h"), key)
+      .limit(k)
+      .drop("__h")
+  }
 }

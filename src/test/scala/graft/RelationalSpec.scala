@@ -251,4 +251,20 @@ class RelationalSpec extends SparkSpec {
     val sizes = a.values.groupBy(identity).view.mapValues(_.size)
     assert(sizes.size == 10 && sizes.values.forall(s => s > 66 && s < 600))
   }
+
+  test("deterministicTake: exact k, partition-independent, TakeOrdered plan") {
+    val df = spark.range(0, 1000).toDF("id")
+    val a = Relational.deterministicTake(df, col("id"), 50)
+    assert(a.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"), "must plan as bounded top-k")
+    val idsA = a.select("id").as[Long].collect().toSet
+    val idsB = Relational
+      .deterministicTake(df.repartition(13), col("id"), 50)
+      .select("id").as[Long].collect().toSet
+    assert(idsA.size == 50 && idsA == idsB)
+    // different salt picks a (deterministically) different subset
+    val idsC = Relational.deterministicTake(df, col("id"), 50, salt = "v2")
+      .select("id").as[Long].collect().toSet
+    assert(idsC.size == 50 && idsC != idsA)
+  }
 }
