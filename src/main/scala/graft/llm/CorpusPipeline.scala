@@ -72,4 +72,49 @@ object CorpusPipeline {
     }
     Relational.withHashSplit(decontaminated, col(idCol), cfg.splitBuckets)
   }
+
+  final case class AssemblyConfig(
+      prepare: Config = Config(),
+      stratumCol: String = "source",
+      alpha: Double = 0.3,
+      targetFrac: Double = 1.0,
+      budgetTokens: Long = Long.MaxValue,
+      nShards: Int = 64)
+
+  /** The full training-set assembly a pre-training data run executes,
+    * composed from verified stages:
+    *
+    *   1. [[prepare]] — dedup, quality filter, decontaminate, split
+    *   2. [[Mixing.temperatureResample]] — p^alpha domain re-balance
+    *   3. [[Mixing.tokenBudgetSelect]] — best docs under token budget
+    *   4. [[Mixing.shuffleShards]] — deterministic training order
+    *
+    * Returns the selected docs with (`quality`, `n_tokens`, `shard`,
+    * `pos`). Determinism end to end: every stage is keyed on md5(id) or
+    * exact values — two runs (or two engines) produce the identical
+    * training set in the identical shard order. Scale posture is the
+    * stages' own: nothing here adds a shuffle beyond theirs. */
+  def assembleTrainingSet(docs: DataFrame, idCol: String, textCol: String,
+      evalSet: Option[DataFrame] = None,
+      cfg: AssemblyConfig = AssemblyConfig()): DataFrame = {
+    // stage boundaries are localCheckpoints, not persists: every stage
+    // references its input 2-5x (rates+join, histogram+branches, ...),
+    // so composing the lineage multiplies the logical tree per branch —
+    // the assembly becomes one mega-plan that recomputes dedup/LM per
+    // branch and whose very plan STRING is heap-sized. Checkpointing
+    // truncates the plan to the materialized blocks, which is what a
+    // production multi-stage driver does between phases anyway (the
+    // durable variant being a parquet write per medallion layer).
+    val prepared =
+      prepare(docs, idCol, textCol, evalSet, cfg.prepare).localCheckpoint()
+    val mixed = Mixing.temperatureResample(
+      prepared, cfg.stratumCol, col(idCol), cfg.alpha, cfg.targetFrac)
+      .localCheckpoint()
+    val selected = Mixing
+      .tokenBudgetSelect(mixed, textCol, idCol, cfg.budgetTokens)
+      .select(col("doc_id").as("__sel_id"), col("n_tokens"))
+    val kept = mixed.join(selected, col(idCol) === col("__sel_id"))
+      .drop("__sel_id")
+    Mixing.shuffleShards(kept, col(idCol), cfg.nShards)
+  }
 }

@@ -98,6 +98,42 @@ class MixingSpec extends SparkSpec {
     assert(!someShard.sorted.sameElements(someShard))
   }
 
+  test("assembleTrainingSet: end-to-end deterministic sharded corpus") {
+    import graft.llm.CorpusPipeline
+    val evalSet = docs.filter(col("doc_id") < 20)
+    val train = docs.filter(col("doc_id") >= 20)
+    val cfg = CorpusPipeline.AssemblyConfig(
+      prepare = CorpusPipeline.Config(minQuality = 0.1),
+      targetFrac = 0.8, budgetTokens = 8000L, nShards = 4)
+    val out = CorpusPipeline.assembleTrainingSet(
+      train, "doc_id", "text", Some(evalSet), cfg).cache()
+    val rows = out.select("doc_id", "n_tokens", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    graft.llm.Mixing.releaseCaches(); graft.llm.Dedup.releaseCaches()
+    // budget respected; every doc once; shard positions dense
+    assert(rows.nonEmpty && rows.map(_._2).sum <= 8000L)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.groupBy(_._3).foreach { case (shard, g) =>
+      assert(g.map(_._4).sorted.sameElements(1 to g.length), s"shard $shard")
+    }
+    // decontamination: no selected doc is an eval doc's duplicate
+    val evalFps = evalSet
+      .select(graft.functions.Text.fingerprint(col("text"))).as[String]
+      .collect().toSet
+    val keptFps = out
+      .select(graft.functions.Text.fingerprint(col("text"))).as[String]
+      .collect().toSet
+    assert(keptFps.intersect(evalFps).isEmpty)
+    // end-to-end determinism under different input partitioning
+    val again = CorpusPipeline.assembleTrainingSet(
+      train.repartition(7), "doc_id", "text", Some(evalSet), cfg)
+      .select("doc_id", "n_tokens", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    graft.llm.Mixing.releaseCaches(); graft.llm.Dedup.releaseCaches()
+    assert(rows.toSet == again.toSet)
+    out.unpersist()
+  }
+
   /** Naive single-window form of the budget selection (the oracle's
     * plan shape) — ground truth for the two-phase implementation. */
   private def naiveBudget(budget: Long): Set[Long] =
