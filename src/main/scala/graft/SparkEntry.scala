@@ -430,6 +430,22 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), Text.languageId(col("text")).as("lang_pred"))),
 
+    "q_corpus_report" -> ((s, d) => {
+      // dataset-card summary: one pass over the corpus (count/sum/
+      // distincts/mean quality/exact median tokens in a single agg)
+      val base = t(s, d, "documents").select(
+        Text.tokenCount(col("text")).cast("long").as("n_toks"),
+        Text.qualityScore(col("text")).as("q"),
+        col("lang"), col("source"))
+      base.agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        round(avg(col("q")), 6).as("mean_quality"),
+        round(expr("percentile(n_toks, 0.5)"), 1).as("median_tokens"))
+    }),
+
     "q_temperature_resample" -> ((s, d) =>
       // corpus mixing: p^0.3 temperature resampling over sources to a
       // ~50% target, md5-key-deterministic accept (oracle reproduces
@@ -1045,6 +1061,36 @@ object SparkEntry {
                      ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_tokens,
                 length(text) AS n_chars_raw
          FROM documents""",
+
+    "q_corpus_report" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks,
+                  regexp_replace(text, '\s+', '', 'g') AS body,
+                  trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
+                  lang, source
+           FROM documents),
+         m AS (
+           SELECT doc_id, lang, source,
+                  CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter(toks, w -> w IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','that','this'))) AS DOUBLE) / len(toks) END AS stopword_ratio,
+                  CASE WHEN length(body) = 0 THEN 0.0
+                       ELSE CAST(length(regexp_replace(body, '[\p{L}\p{N}]', '', 'g')) AS DOUBLE) / length(body) END AS punct_ratio,
+                  CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END AS n_toks
+           FROM base),
+         q AS (
+           SELECT lang, source, CAST(n_toks AS BIGINT) AS n_toks,
+                  round(0.5 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0)
+                        + 0.5 * least(stopword_ratio * 4.0, 1.0)
+                        - 0.25 * least(punct_ratio * 2.0, 1.0), 6) AS q
+           FROM m)
+         SELECT count(*) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                count(DISTINCT lang) AS n_langs,
+                count(DISTINCT source) AS n_sources,
+                round(avg(q), 6) AS mean_quality,
+                round(quantile_cont(n_toks, 0.5), 1) AS median_tokens
+         FROM q""",
 
     "q_temperature_resample" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
