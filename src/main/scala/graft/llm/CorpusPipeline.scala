@@ -93,7 +93,13 @@ object CorpusPipeline {
     * `pos`). Determinism end to end: every stage is keyed on md5(id) or
     * exact values — two runs (or two engines) produce the identical
     * training set in the identical shard order. Scale posture is the
-    * stages' own: nothing here adds a shuffle beyond theirs. */
+    * stages' own: nothing here adds a shuffle beyond theirs.
+    *
+    * Lifecycle: the checkpoint blocks backing the stage boundaries live
+    * until the returned frame's RDDs are garbage-collected (Spark's
+    * ContextCleaner); a long-lived driver assembling many corpora
+    * should drop references promptly or write each assembly to its
+    * durable sink and discard the frame. */
   def assembleTrainingSet(docs: DataFrame, idCol: String, textCol: String,
       evalSet: Option[DataFrame] = None,
       cfg: AssemblyConfig = AssemblyConfig()): DataFrame = {

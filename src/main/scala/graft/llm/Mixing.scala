@@ -84,12 +84,20 @@ object Mixing {
     * a raw double compare: on a perfectly balanced corpus a_s ==
     * targetFrac analytically, and rounding keeps the cut stable against
     * last-ulp float divergence across engines/summation orders.
+    *
+    * The rate attach is a null-SAFE equi-join: a null stratum is a real
+    * stratum (temperatureRates' groupBy produces its rate row), and a
+    * plain `===` join would silently drop every null-stratum row
+    * instead of resampling it.
     */
   def temperatureResample(docs: DataFrame, stratumCol: String, key: Column,
       alpha: Double, targetFrac: Double, buckets: Int = 1000): DataFrame = {
     val rates = temperatureRates(docs, stratumCol, alpha, targetFrac)
+      .withColumnRenamed(stratumCol, "__stratum")
     Relational.withHashSplit(
-        docs.join(broadcast(rates), stratumCol), key, buckets, "__bucket")
+        docs.join(broadcast(rates),
+          col(stratumCol) <=> col("__stratum")).drop("__stratum"),
+        key, buckets, "__bucket")
       .filter(col("__bucket") <
         round(col("accept_rate") * buckets).cast("long"))
       .drop("__bucket")
@@ -169,6 +177,11 @@ object Mixing {
     * ordering work is per-shard windows running in parallel — each
     * sorts ~N/nShards rows, never a global sort. Pick nShards so a
     * shard fits an executor's sort buffer at corpus scale.
+    *
+    * Keys must be non-null (standard dataset-id contract): a null key
+    * hashes to a null shard — rows land in a separate `shard IS NULL`
+    * group instead of being silently dropped, but engines disagree on
+    * null ordering, so only non-null keys are portable.
     */
   def shuffleShards(df: DataFrame, key: Column, nShards: Int): DataFrame = {
     require(nShards > 0)
@@ -201,6 +214,10 @@ object Mixing {
     *      group, typically a vanishing fraction of the corpus.
     * The kept set is identical to the naive window's (MixingSpec proves
     * equality), with the global sort reduced to one boundary group.
+    *
+    * Null-text docs (null quality score) are excluded up front: they
+    * carry no tokens, and null ordering in a quality sort differs
+    * between engines — excluding them is the only portable contract.
     */
   def tokenBudgetSelect(docs: DataFrame, textCol: String, idCol: String,
       budgetTokens: Long): DataFrame = {
@@ -209,7 +226,8 @@ object Mixing {
     // otherwise the quality-regex scan of the corpus runs three times
     val scored = persistTracked(docs.select(col(idCol).as("doc_id"),
       Text.qualityScore(col(textCol)).as("quality"),
-      Text.tokenCount(col(textCol)).cast("long").as("n_tokens")))
+      Text.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("quality").isNotNull))
     val hist = scored.groupBy("quality")
       .agg(sum("n_tokens").as("t")).collect()
       .map(r => (r.getDouble(0), r.getLong(1)))

@@ -211,7 +211,10 @@ object Relational {
     * partitioning picks the same k rows, and late-arriving data only
     * changes the selection where a new key hashes under the cut.
     * Plans as TakeOrderedAndProject — per-partition bounded heaps,
-    * never a global sort (the same reason top-k is scalable). */
+    * never a global sort (the same reason top-k is scalable).
+    * Keys must be non-null: a null key yields a null hash, and engines
+    * disagree on where nulls sort — the selection would not be
+    * portable. */
   def deterministicTake(df: DataFrame, key: Column, k: Int,
       salt: String = "take"): DataFrame = {
     require(k >= 0)

@@ -36,6 +36,16 @@ class MixingSpec extends SparkSpec {
     assert(rates.values.forall(a => a > 0.0 && a <= 1.0))
   }
 
+  test("temperatureResample: null stratum is resampled, not dropped") {
+    val df = (Seq.tabulate(40)(i => (i.toLong, Option("a"))) ++
+      Seq.tabulate(40)(i => (40L + i, Option.empty[String])))
+      .toDF("id", "source")
+    val kept = Mixing.temperatureResample(df, "source", col("id"), 0.3, 0.5)
+    val nullKept = kept.filter(col("source").isNull).count()
+    assert(nullKept > 0, "null-stratum rows must survive the rate join")
+    assert(kept.count() < 80)
+  }
+
   test("temperatureResample: deterministic and partitioning-independent") {
     val a = Mixing.temperatureResample(docs, "source", col("doc_id"), 0.3, 0.5)
       .select("doc_id").as[Long].collect().sorted
