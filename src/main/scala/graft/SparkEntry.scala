@@ -469,6 +469,12 @@ object SparkEntry {
       // against the corpus-global top-15 vocab
       graft.llm.Mixing.oovRate(t(s, d, "documents"), "text", "lang", 15)),
 
+    "q_quality_percentile" -> ((s, d) =>
+      // per-domain adaptive quality bar: each source keeps its own top
+      // 50% by quality (parallel partitioned windows)
+      graft.llm.Mixing.qualityPercentileFilter(
+        t(s, d, "documents"), "text", "doc_id", "source", 0.5)),
+
     "q_shuffle_shards" -> ((s, d) =>
       // deterministic sharded training-order shuffle: salted-md5 shard
       // + per-shard position; parallel per-shard windows, no global
@@ -1130,6 +1136,34 @@ object SparkEntry {
                       / count(*), 6) AS oov_rate
          FROM toks LEFT JOIN vocab v ON toks.w = v.w
          GROUP BY 1""",
+
+    "q_quality_percentile" ->
+      """WITH base AS (
+           SELECT doc_id, source,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks,
+                  regexp_replace(text, '\s+', '', 'g') AS body,
+                  trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+           FROM documents),
+         m AS (
+           SELECT doc_id, source,
+                  CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter(toks, w -> w IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','that','this'))) AS DOUBLE) / len(toks) END AS stopword_ratio,
+                  CASE WHEN length(body) = 0 THEN 0.0
+                       ELSE CAST(length(regexp_replace(body, '[\p{L}\p{N}]', '', 'g')) AS DOUBLE) / length(body) END AS punct_ratio,
+                  CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END AS n_tokens
+           FROM base),
+         q AS (
+           SELECT doc_id, source,
+                  round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                        + 0.5 * least(stopword_ratio * 4.0, 1.0)
+                        - 0.25 * least(punct_ratio * 2.0, 1.0), 6) AS quality
+           FROM m),
+         r AS (
+           SELECT doc_id, source, quality,
+                  percent_rank() OVER (PARTITION BY source
+                                       ORDER BY quality DESC, doc_id) AS pr
+           FROM q)
+         SELECT doc_id, source, quality FROM r WHERE pr <= 0.5""",
 
     "q_shuffle_shards" ->
       """WITH h AS (

@@ -91,11 +91,21 @@ object Mixing {
     * instead of resampling it.
     */
   def temperatureResample(docs: DataFrame, stratumCol: String, key: Column,
-      alpha: Double, targetFrac: Double, buckets: Int = 1000): DataFrame = {
-    val rates = temperatureRates(docs, stratumCol, alpha, targetFrac)
-      .withColumnRenamed(stratumCol, "__stratum")
+      alpha: Double, targetFrac: Double, buckets: Int = 1000): DataFrame =
+    applyRates(docs, temperatureRates(docs, stratumCol, alpha, targetFrac),
+      stratumCol, key, buckets)
+
+  /** Apply a precomputed (stratum, accept_rate) frame to `rows` — the
+    * stateless half of [[temperatureResample]], split out so the same
+    * rates (fitted on a batch corpus snapshot) can resample a STREAM:
+    * broadcast join + deterministic hash filter are both map-side, so
+    * the operator is legal and state-free under Structured Streaming.
+    */
+  def applyRates(rows: DataFrame, rates: DataFrame, stratumCol: String,
+      key: Column, buckets: Int = 1000): DataFrame = {
+    val r = rates.withColumnRenamed(stratumCol, "__stratum")
     Relational.withHashSplit(
-        docs.join(broadcast(rates),
+        rows.join(broadcast(r),
           col(stratumCol) <=> col("__stratum")).drop("__stratum"),
         key, buckets, "__bucket")
       .filter(col("__bucket") <
@@ -167,6 +177,31 @@ object Mixing {
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(when(col("__in_vocab").isNull, 1).otherwise(0))
           .cast("double") / count(lit(1)), 6).as("oov_rate"))
+  }
+
+  /** Per-stratum adaptive quality bar: keep the best `keepFrac` of each
+    * stratum's docs by [[Text.qualityScore]] (percent_rank over quality
+    * desc, id tiebreak — a total order, so the cut is deterministic).
+    * The per-domain version of a global quality threshold: domains with
+    * different score distributions each keep their own top slice.
+    *
+    * Scale: the window partitions BY stratum, so ranking runs in
+    * parallel across domains; one pathologically hot stratum becomes a
+    * single sort partition — for that shape, bucket the hot stratum
+    * through a bounded quality histogram as [[tokenBudgetSelect]] does.
+    * Null-quality (null-text) docs are excluded as in
+    * [[tokenBudgetSelect]]. */
+  def qualityPercentileFilter(docs: DataFrame, textCol: String,
+      idCol: String, stratumCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac >= 0.0 && keepFrac <= 1.0)
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(col("quality").desc, col(idCol))
+    docs.select(col(idCol), col(stratumCol),
+        Text.qualityScore(col(textCol)).as("quality"))
+      .filter(col("quality").isNotNull)
+      .withColumn("__pr", percent_rank().over(w))
+      .filter(col("__pr") <= keepFrac)
+      .drop("__pr")
   }
 
   /** Deterministic sharded training-order shuffle: every row gets a

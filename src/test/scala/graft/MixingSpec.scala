@@ -108,6 +108,55 @@ class MixingSpec extends SparkSpec {
     assert(!someShard.sorted.sameElements(someShard))
   }
 
+  test("qualityPercentileFilter keeps each stratum's own top slice") {
+    val kept = Mixing.qualityPercentileFilter(
+      docs, "text", "doc_id", "source", 0.5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val all = docs.select(col("doc_id"), col("source"),
+        graft.functions.Text.qualityScore(col("text")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    all.groupBy(_._2).foreach { case (src, g) =>
+      val keptHere = kept.filter(_._2 == src)
+      // roughly half per stratum (percent_rank <= 0.5 keeps ceil(n/2)
+      // plus quality ties straddling the cut)
+      assert(keptHere.length >= g.length / 2 &&
+        keptHere.length <= g.length / 2 + 2, s"$src: ${keptHere.length}/${g.length}")
+      // every kept doc is at least as good as every dropped doc
+      val dropped = g.map(_._1).toSet -- keptHere.map(_._1).toSet
+      if (dropped.nonEmpty && keptHere.nonEmpty) {
+        val worstKept = keptHere.map(_._3).min
+        val bestDropped = g.filter(d => dropped.contains(d._1)).map(_._3).max
+        assert(worstKept >= bestDropped, src)
+      }
+    }
+  }
+
+  test("applyRates resamples a live stream statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // rates fitted on the batch corpus snapshot...
+    val rates = Mixing.temperatureRates(docs, "source", 0.3, 0.5)
+    // ...applied to a stream of incoming docs (append mode — no state)
+    val mem = MemoryStream[(Long, String)]
+    val stream = Mixing.applyRates(
+      mem.toDF().toDF("doc_id", "source"), rates, "source", col("doc_id"))
+    val q = stream.writeStream.format("memory")
+      .queryName("mix_stream").outputMode("append").start()
+    try {
+      val batchIds = docs.select("doc_id", "source")
+        .as[(Long, String)].collect()
+      mem.addData(batchIds.toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("mix_stream")
+      .select("doc_id").as[Long].collect().toSet
+    // stream selection == batch selection (same rates, same hash)
+    val batch = Mixing.applyRates(
+        docs.select("doc_id", "source"), rates, "source", col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("assembleTrainingSet: end-to-end deterministic sharded corpus") {
     import graft.llm.CorpusPipeline
     val evalSet = docs.filter(col("doc_id") < 20)
