@@ -469,6 +469,12 @@ object SparkEntry {
       // against the corpus-global top-15 vocab
       graft.llm.Mixing.oovRate(t(s, d, "documents"), "text", "lang", 15)),
 
+    "q_epoch_plan" -> ((s, d) =>
+      // data-mixture card: per-source epoch multipliers to hit a 100k
+      // token target with p^0.3-tempered shares (>1 = repeat data)
+      graft.llm.Mixing.epochPlan(t(s, d, "documents"),
+        "source", "text", 0.3, 100000L)),
+
     "q_quality_percentile" -> ((s, d) =>
       // per-domain adaptive quality bar: each source keeps its own top
       // 50% by quality (parallel partitioned windows)
@@ -1136,6 +1142,25 @@ object SparkEntry {
                       / count(*), 6) AS oov_rate
          FROM toks LEFT JOIN vocab v ON toks.w = v.w
          GROUP BY 1""",
+
+    "q_epoch_plan" ->
+      """WITH base AS (
+           SELECT source,
+                  CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+                       ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_toks
+           FROM documents),
+         c AS (SELECT source, count(*) AS n_docs,
+                      CAST(sum(n_toks) AS BIGINT) AS n_tokens
+               FROM base GROUP BY 1),
+         t1 AS (SELECT sum(n_tokens) AS tot FROM c),
+         w AS (SELECT source, n_docs, n_tokens,
+                      pow(n_tokens * 1.0 / tot, 0.3) AS pq
+               FROM c, t1),
+         z AS (SELECT sum(pq) AS zs FROM w)
+         SELECT source, n_docs, n_tokens,
+                round(pq / zs, 6) AS share,
+                round(100000.0 * (pq / zs) / n_tokens, 6) AS epochs
+         FROM w, z""",
 
     "q_quality_percentile" ->
       """WITH base AS (

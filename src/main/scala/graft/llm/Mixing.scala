@@ -179,6 +179,60 @@ object Mixing {
           .cast("double") / count(lit(1)), 6).as("oov_rate"))
   }
 
+  /** Per-stratum epoch plan — the UPSAMPLING complement of
+    * [[temperatureRates]] (whose accept probability caps at 1, so it
+    * can only shrink a stratum): to hit `targetTokens` total with
+    * p^alpha-tempered shares, under-represented strata need their data
+    * REPEATED. For stratum s with t_s tokens and tempered share q_s,
+    *   epochs_s = targetTokens * q_s / t_s
+    * (>1 means repeat, <1 means subsample within one pass). Output is
+    * the plan table (stratum, n_docs, n_tokens, share, epochs) —
+    * stratum-cardinality-sized, the thing a training run logs as its
+    * data-mixture card. */
+  def epochPlan(docs: DataFrame, stratumCol: String, textCol: String,
+      alpha: Double, targetTokens: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0,1]")
+    require(targetTokens > 0)
+    val cnts = docs.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(Text.tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+    val withTot = cnts
+      .crossJoin(broadcast(cnts.agg(sum("n_tokens").as("__tot"))))
+      .withColumn("__pq",
+        pow(col("n_tokens").cast("double") / col("__tot"), alpha))
+    withTot
+      .crossJoin(broadcast(withTot.agg(sum("__pq").as("__z"))))
+      .select(col(stratumCol), col("n_docs"), col("n_tokens"),
+        round(col("__pq") / col("__z"), 6).as("share"),
+        round(lit(targetTokens.toDouble) * (col("__pq") / col("__z")) /
+          col("n_tokens"), 6).as("epochs"))
+  }
+
+  /** Materialize an [[epochPlan]]: emit each doc `floor(epochs)` times
+    * plus one more with probability `frac(epochs)` (deterministic
+    * salted-md5 accept keyed by (doc, repeat index) — reproducible on
+    * any engine/partitioning). Output carries an `epoch` index column.
+    * Map-side only: the plan broadcasts, repetition is a bounded
+    * `sequence` explode — no shuffle, no state; expected token share
+    * per stratum converges to the plan's `share`. */
+  def materializeEpochs(docs: DataFrame, plan: DataFrame,
+      stratumCol: String, key: Column, buckets: Int = 1000): DataFrame = {
+    val p = plan.select(col(stratumCol).as("__stratum"), col("epochs"))
+    val whole = floor(col("epochs")).cast("int")
+    val fracKeep = round((col("epochs") - floor(col("epochs"))) * buckets)
+      .cast("long")
+    val lastBucket = conv(substring(
+        md5(concat(key.cast("string"), lit("@"), col("__e"))), 1, 6), 16, 10)
+      .cast("long") % buckets
+    docs.join(broadcast(p), col(stratumCol) <=> col("__stratum"))
+      .drop("__stratum")
+      .withColumn("__e",
+        explode(sequence(lit(0), whole, lit(1))))
+      .filter(col("__e") < whole || lastBucket < fracKeep)
+      .withColumnRenamed("__e", "epoch")
+      .drop("epochs")
+  }
+
   /** Per-stratum adaptive quality bar: keep the best `keepFrac` of each
     * stratum's docs by [[Text.qualityScore]] (percent_rank over quality
     * desc, id tiebreak — a total order, so the cut is deterministic).

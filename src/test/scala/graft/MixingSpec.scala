@@ -108,6 +108,42 @@ class MixingSpec extends SparkSpec {
     assert(!someShard.sorted.sameElements(someShard))
   }
 
+  test("materializeEpochs: floor repeats exact, shares approach plan") {
+    // skewed corpus: 'big' has 9x the tokens of 'small'
+    val df = (Seq.tabulate(180)(i => (i.toLong, "big", "w w w w w")) ++
+      Seq.tabulate(20)(i => (200L + i, "small", "w w w w w")))
+      .toDF("id", "source", "text")
+    val plan = Mixing.epochPlan(df, "source", "text", 0.3, 2000L)
+    val planRows = plan.collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("epochs"))).toMap
+    // tail stratum must be repeated harder than the head
+    assert(planRows("small") > planRows("big"), planRows.toString)
+    val out = Mixing.materializeEpochs(df, plan, "source", col("id"))
+    val copies = out.groupBy("id").count()
+      .join(df.select("id", "source"), "id")
+      .select("source", "count").as[(String, Long)].collect()
+    copies.groupBy(_._1).foreach { case (src, g) =>
+      val e = planRows(src)
+      // every doc appears floor(e) or floor(e)+1 times
+      assert(g.forall { case (_, c) =>
+        c == math.floor(e).toLong || c == math.floor(e).toLong + 1 }, src)
+    }
+    // realized token share within a few points of the plan share
+    val shares = plan.collect()
+      .map(r => r.getString(0) -> r.getDouble(r.fieldIndex("share"))).toMap
+    val tok = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    val total = tok.values.sum.toDouble
+    shares.foreach { case (src, share) =>
+      assert(math.abs(tok(src) / total - share) < 0.05, s"$src $shares $tok")
+    }
+    // deterministic under repartitioning
+    val again = Mixing.materializeEpochs(
+      df.repartition(7), plan, "source", col("id"))
+      .groupBy("id").count().as[(Long, Long)].collect().toSet
+    assert(again == out.groupBy("id").count()
+      .as[(Long, Long)].collect().toSet)
+  }
+
   test("qualityPercentileFilter keeps each stratum's own top slice") {
     val kept = Mixing.qualityPercentileFilter(
       docs, "text", "doc_id", "source", 0.5).collect()
