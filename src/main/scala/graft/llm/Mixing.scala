@@ -204,8 +204,11 @@ object Mixing {
       .crossJoin(broadcast(withTot.agg(sum("__pq").as("__z"))))
       .select(col(stratumCol), col("n_docs"), col("n_tokens"),
         round(col("__pq") / col("__z"), 6).as("share"),
-        round(lit(targetTokens.toDouble) * (col("__pq") / col("__z")) /
-          col("n_tokens"), 6).as("epochs"))
+        // a zero-token stratum (all-empty texts) has share 0 and gets
+        // epochs 0, not the 0/0 NaN the raw division would produce
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          round(lit(targetTokens.toDouble) * (col("__pq") / col("__z")) /
+            col("n_tokens"), 6)).as("epochs"))
   }
 
   /** Materialize an [[epochPlan]]: emit each doc `floor(epochs)` times
@@ -216,7 +219,15 @@ object Mixing {
     * `sequence` explode — no shuffle, no state; expected token share
     * per stratum converges to the plan's `share`. */
   def materializeEpochs(docs: DataFrame, plan: DataFrame,
-      stratumCol: String, key: Column, buckets: Int = 1000): DataFrame = {
+      stratumCol: String, key: Column, buckets: Int = 1000,
+      maxEpochs: Double = 1000.0): DataFrame = {
+    // guard the explode fan-out: a mis-sized plan (tiny stratum, huge
+    // token target) would otherwise sequence() millions of copies per
+    // row. The check is one action on the stratum-sized plan frame.
+    val worst = plan.agg(max(col("epochs"))).head.getDouble(0)
+    require(worst <= maxEpochs,
+      f"plan epochs $worst%.1f exceeds maxEpochs $maxEpochs%.1f — " +
+        "raise maxEpochs explicitly if the fan-out is intended")
     val p = plan.select(col(stratumCol).as("__stratum"), col("epochs"))
     val whole = floor(col("epochs")).cast("int")
     val fracKeep = round((col("epochs") - floor(col("epochs"))) * buckets)
