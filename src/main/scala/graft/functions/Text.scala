@@ -20,9 +20,19 @@ object Text {
   def tokens(text: Column): Column =
     split(normWs(text), " ")
 
+  /** Single-pass counts backing the quality metrics —
+    * [n_tokens, n_stopword_tokens, n_body_chars, n_punct_chars] via the
+    * native [[graft.plans.TextStats]] kernel (one string scan instead
+    * of several regex passes + an interpreted HOF stopword filter;
+    * TextStatsSpec proves count-equality with those column forms).
+    * Identical instances of this subtree CSE within a projection, so a
+    * block computing all four metrics still scans each doc once. */
+  private def textStats(text: Column): Column =
+    graft.plans.TextStatsExpr.textStats(text)
+
   /** Token count (0 for empty/blank text). */
   def tokenCount(text: Column): Column =
-    when(length(normWs(text)) === 0, lit(0)).otherwise(size(tokens(text)))
+    element_at(textStats(text), 1).cast("int")
 
   /** Intra-document token repetition ratio in [0,1]:
     * 1 - distinct_tokens/total_tokens (0 = all tokens distinct). The
@@ -114,26 +124,23 @@ object Text {
 
   /** Fraction of tokens that are stopwords (0 when no tokens). */
   def stopwordRatio(text: Column): Column = {
-    val toks = tokens(lower(text))
-    when(size(toks) === 0, lit(0.0)).otherwise(
-      size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("double") /
-        size(toks).cast("double"))
+    val s = textStats(text)
+    when(element_at(s, 1) === 0, lit(0.0)).otherwise(
+      element_at(s, 2).cast("double") / element_at(s, 1).cast("double"))
   }
 
   /** Fraction of non-space characters that are not letters or digits. */
   def punctRatio(text: Column): Column = {
-    val body = regexp_replace(text, "\\s+", "")
-    when(length(body) === 0, lit(0.0)).otherwise(
-      length(regexp_replace(body, "[\\p{L}\\p{N}]", "")).cast("double") /
-        length(body).cast("double"))
+    val s = textStats(text)
+    when(element_at(s, 3) === 0, lit(0.0)).otherwise(
+      element_at(s, 4).cast("double") / element_at(s, 3).cast("double"))
   }
 
   /** Mean token length in characters (0 when no tokens). */
   def meanTokenLen(text: Column): Column = {
-    val n = tokenCount(text)
-    when(n === 0, lit(0.0)).otherwise(
-      length(regexp_replace(normWs(text), " ", "")).cast("double") /
-        n.cast("double"))
+    val s = textStats(text)
+    when(element_at(s, 1) === 0, lit(0.0)).otherwise(
+      element_at(s, 3).cast("double") / element_at(s, 1).cast("double"))
   }
 
   /** Composite quality score in [0,1]: rewards mid-range length, some
