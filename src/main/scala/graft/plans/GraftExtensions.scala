@@ -65,6 +65,12 @@ object GraftExtensions {
             s"minhash_sig k must be an integer literal, got $other")
         }
       }),
+    (new FunctionIdentifier("text_stats"),
+      new ExpressionInfo(classOf[TextStats].getName, "text_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "text_stats(text)")
+        TextStats(args(0))
+      }),
     (new FunctionIdentifier("winnow_fp"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fp"),
       (args: Seq[Expression]) => {

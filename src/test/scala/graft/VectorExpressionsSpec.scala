@@ -161,6 +161,8 @@ class VectorExpressionsSpec extends SparkSpec {
       "SELECT minhash_sig(array('a b c', 'b c d'), 4) AS m, " +
         "simhash64(array(1L, 3L)) AS s, " +
         "winnow_fp('abcdefghij', 4, 3) AS w").collect().head
+    assert(spark.sql("SELECT text_stats('the quick, fox!') AS t")
+      .collect().head.getSeq[Long](0) == Seq(3L, 1L, 13L, 2L))
     assert(r2.getSeq[Long](r2.fieldIndex("m")).length == 4)
     val viaColumn = Seq("x").toDF("d").select(
       graft.plans.MinHashSig.minhashSig(
