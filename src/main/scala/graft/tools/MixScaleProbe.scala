@@ -68,6 +68,20 @@ object MixScaleProbe {
       time("shuffleShards              50k docs")(
         graft.llm.Mixing.shuffleShards(d10.select("doc_id"),
           col("doc_id"), 8))
+      time("qualityPercentileFilter     5k docs")(
+        graft.llm.Mixing.qualityPercentileFilter(
+          d1, "text", "doc_id", "source", 0.5))
+      time("qualityPercentileFilter    50k docs")(
+        graft.llm.Mixing.qualityPercentileFilter(
+          d10, "text", "doc_id", "source", 0.5))
+      time("epochPlan+materialize       5k docs")(
+        graft.llm.Mixing.materializeEpochs(d1,
+          graft.llm.Mixing.epochPlan(d1, "source", "text", 0.3, 500000L),
+          "source", col("doc_id")))
+      time("epochPlan+materialize      50k docs")(
+        graft.llm.Mixing.materializeEpochs(d10,
+          graft.llm.Mixing.epochPlan(d10, "source", "text", 0.3, 5000000L),
+          "source", col("doc_id")))
     }
     spark.stop()
   }
