@@ -588,6 +588,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           count_distinct(col("user_id")).as("n_users"))),
 
+    "q_corpus_diff" -> ((s, d) => {
+      // corpus-release audit: v1 = docs < 400, v2 = docs >= 100 with
+      // the 200-299 block rewritten — added/removed/changed/unchanged
+      val docs = t(s, d, "documents")
+      val v1 = docs.filter(col("doc_id") < 400)
+      val v2 = docs.filter(col("doc_id") >= 100).withColumn("text",
+        when(col("doc_id").between(200, 299),
+          concat(col("text"), lit(" rewritten"))).otherwise(col("text")))
+      Relational.datasetDiff(v1, v2, "doc_id", "text")
+        .groupBy("status").agg(count(lit(1)).as("n_docs"))
+    }),
+
     "q_deterministic_take" -> ((s, d) =>
       // exact-k reproducible subset (salted-md5 order, TakeOrdered plan
       // — no global sort); summarized per source so the oracle checks
@@ -1284,6 +1296,27 @@ object SparkEntry {
          FROM events
          WHERE CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000 < 300
          GROUP BY event_type""",
+
+    "q_corpus_diff" ->
+      """WITH v1 AS (
+           SELECT doc_id,
+                  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+           FROM documents WHERE doc_id < 400),
+         v2 AS (
+           SELECT doc_id,
+                  md5(lower(trim(regexp_replace(
+                    CASE WHEN doc_id BETWEEN 200 AND 299
+                         THEN text || ' rewritten' ELSE text END,
+                    '\s+', ' ', 'g')))) AS f
+           FROM documents WHERE doc_id >= 100),
+         d AS (
+           SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+                  CASE WHEN v1.f IS NULL THEN 'added'
+                       WHEN v2.f IS NULL THEN 'removed'
+                       WHEN v1.f = v2.f THEN 'unchanged'
+                       ELSE 'changed' END AS status
+           FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+         SELECT status, count(*) AS n_docs FROM d GROUP BY 1""",
 
     "q_deterministic_take" ->
       """WITH sel AS (

@@ -204,6 +204,26 @@ object Relational {
       .drop("__bucket")
   }
 
+  /** Dataset version diff: per-id status between two corpus snapshots —
+    * `added` (only in `b`), `removed` (only in `a`), `changed` (both,
+    * content fingerprint differs), `unchanged`. The audit primitive for
+    * corpus versioning: what moved between two releases, cheap enough
+    * to run per release. One equi-join of (id, 16-byte fingerprint)
+    * projections — document text never shuffles. */
+  def datasetDiff(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val fa = a.select(col(idCol).as("id"),
+      graft.functions.Text.fingerprint(col(textCol)).as("__fa"))
+    val fb = b.select(col(idCol).as("id"),
+      graft.functions.Text.fingerprint(col(textCol)).as("__fb"))
+    fa.join(fb, Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("__fa").isNull, "added")
+          .when(col("__fb").isNull, "removed")
+          .when(col("__fa") === col("__fb"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Deterministic EXACT-size sample: the k rows whose salted md5 hash
     * is smallest (ties broken by the hash's own key, so the selection
     * is a total order). The fixed-count companion to
