@@ -150,6 +150,39 @@ object Mixing {
       round(sum(term), 6).as("js_divergence"))
   }
 
+  /** Jensen-Shannon divergence of each window's token distribution
+    * against a reference corpus distribution — the batch half of the
+    * streaming drift monitor ([[graft.streaming.StreamOps
+    * .tokenWindowCounts]] produces `winCounts`: one row per (window,
+    * token, count), e.g. from append-mode finalized windows).
+    *
+    * The reference-only mass never joins: for every reference token
+    * ABSENT from a window (p=0), the JS term is q·ln2/2, so the whole
+    * absent tail contributes 0.5·ln2·(1 − Σ_present q) — computed from
+    * the presence join alone. No windows×vocabulary expansion, which is
+    * what makes this exact AND cheap at a 100 TB vocabulary. */
+  def jsAgainstReference(winCounts: DataFrame, refDocs: DataFrame,
+      textCol: String): DataFrame = {
+    val ref = unigramDist(refDocs, textCol)
+      .select(col("w"), (col("cnt").cast("double") / col("tot")).as("q"))
+    val withTot = winCounts.withColumn("__tot",
+      sum("cnt").over(Window.partitionBy("win")))
+    val joined = withTot.join(ref, Seq("w"), "left")
+      .select(col("win"),
+        (col("cnt").cast("double") / col("__tot")).as("p"),
+        coalesce(col("q"), lit(0.0)).as("q"))
+    val m = (col("p") + col("q")) / 2
+    val present =
+      when(col("p") > 0, col("p") * log(col("p") / m) / 2).otherwise(0.0) +
+      when(col("q") > 0, col("q") * log(col("q") / m) / 2).otherwise(0.0)
+    joined.groupBy("win")
+      .agg(sum(present).as("__js_present"), sum(col("q")).as("__q_present"))
+      .select(col("win"),
+        round(col("__js_present") +
+          lit(math.log(2.0) / 2) * (lit(1.0) - col("__q_present")), 6)
+          .as("js_divergence"))
+  }
+
   /** Top-`vocabSize` tokens by global count (count desc, token asc on
     * ties — a total order, so the cut is deterministic). Produces a
     * `vocabSize`-row frame: TakeOrdered over the token-count agg, small

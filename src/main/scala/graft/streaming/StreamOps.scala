@@ -181,4 +181,19 @@ object StreamOps {
         }
       }
       .start()
+
+  /** Per-window token counts over a document stream — the streaming
+    * half of the corpus drift monitor. One watermarked windowed
+    * aggregation (append-legal: windows emit once, finalized, after the
+    * watermark passes); feed the finalized rows to
+    * [[graft.llm.Mixing.jsAgainstReference]] for the per-window
+    * divergence against a reference corpus. State is bounded by
+    * (windows in the watermark horizon) x (per-window vocabulary). */
+  def tokenWindowCounts(docs: DataFrame, textCol: String, tsCol: String,
+      windowDur: String, lateness: String): DataFrame =
+    docs.withWatermark(tsCol, lateness)
+      .select(window(col(tsCol), windowDur).as("win"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy("win", "w")
+      .agg(count(lit(1)).as("cnt"))
 }

@@ -193,6 +193,47 @@ class MixingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("drift monitor: streamed window counts -> JS matches batch slices") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val en = docs.filter(col("lang") === "en").select("text")
+      .as[String].collect()
+    val zh = docs.filter(col("lang") === "zh").select("text")
+      .as[String].collect()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val counts = graft.streaming.StreamOps.tokenWindowCounts(
+      mem.toDF().toDF("ts", "text"), "text", "ts", "10 minutes", "1 minute")
+    val q = counts.writeStream.format("memory").queryName("drift_counts")
+      .outputMode("append").start()
+    try {
+      // window A: the en slice; window B: the zh slice
+      mem.addData(en.toIndexedSeq.map((ts("2024-01-01 00:01:00"), _)))
+      mem.addData(zh.toIndexedSeq.map((ts("2024-01-01 00:11:00"), _)))
+      q.processAllAvailable()
+      // sentinel far ahead advances the watermark, finalizing A and B
+      mem.addData(Seq((ts("2024-01-01 01:00:00"), "flush")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val finalized = spark.table("drift_counts")
+      .select(col("win"), col("w"), col("cnt"))
+    val js = graft.llm.Mixing.jsAgainstReference(finalized, docs, "text")
+      .select(col("win.start").cast("string"), col("js_divergence"))
+      .as[(String, Double)].collect().toMap
+    assert(js.size == 2, js.toString)
+    // parity with the batch operator on the same slices
+    val batchA = graft.llm.Mixing.jsDivergence(
+      docs.filter(col("lang") === "en"), docs, "text")
+      .select("js_divergence").as[Double].head()
+    val batchB = graft.llm.Mixing.jsDivergence(
+      docs.filter(col("lang") === "zh"), docs, "text")
+      .select("js_divergence").as[Double].head()
+    assert(math.abs(js("2024-01-01 00:00:00") - batchA) <= 1e-6)
+    assert(math.abs(js("2024-01-01 00:10:00") - batchB) <= 1e-6)
+    // the zh slice drifts further from the (en-heavy) corpus than en
+    assert(js("2024-01-01 00:10:00") > js("2024-01-01 00:00:00"))
+  }
+
   test("assembleTrainingSet: end-to-end deterministic sharded corpus") {
     import graft.llm.CorpusPipeline
     val evalSet = docs.filter(col("doc_id") < 20)
