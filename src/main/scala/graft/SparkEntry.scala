@@ -1403,7 +1403,7 @@ object SparkEntry {
     "q_chunk_docs" ->
       """WITH t AS (
            SELECT doc_id,
-                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+                  string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
            FROM documents),
          s AS (
            SELECT doc_id, toks, len(toks) AS n,

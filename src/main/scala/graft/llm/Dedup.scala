@@ -153,6 +153,16 @@ object Dedup {
     // same trade Spark ML's MinHashLSH makes when it caches transformed
     // input. Spills to disk if it outgrows executor memory.
     val sig = persistTracked(signatureFrame(df, idCol, textCol, shingleN, k))
+    clustersFromSig(sig, bands, rowsPerBand, minEstJaccard)
+  }
+
+  /** Cluster contraction over an existing (id, sig) frame — the body of
+    * [[minhashClusters]], split out so callers that already hold (and
+    * persisted) the signatures ([[incrementalDedup]]'s within-batch
+    * pass) don't pay a second shingle+minhash scan over the text. */
+  private def clustersFromSig(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      minEstJaccard: Double): DataFrame = {
+    val k = bands * rowsPerBand
     val cands = lshCandidatesFromSig(sig, bands, rowsPerBand)
     val est = cands
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
@@ -165,7 +175,7 @@ object Dedup {
       .union(est.select(col("id_b"), col("id_a")))
     val neighborMin = edges.groupBy(col("id_a").as("id"))
       .agg(min(col("id_b")).as("min_neighbor"))
-    df.select(col(idCol).as("id"))
+    sig.select(col("id"))
       .join(neighborMin, Seq("id"), "left")
       .select(col("id"),
         least(col("id"), coalesce(col("min_neighbor"), col("id")))
@@ -286,9 +296,13 @@ object Dedup {
         b => b)).cast("double") / lit(k.toDouble) >= minEstJaccard)
       .select(col("id_new").as(idCol)).distinct()
     val vsCorpusKept = exactKept.join(flagged, Seq(idCol), "left_anti")
-    // near within the batch: standard cluster contraction, keep canonicals
-    val clusters = minhashClusters(vsCorpusKept, idCol, textCol,
-      shingleN, bands, rowsPerBand, minEstJaccard)
+    // near within the batch: standard cluster contraction, REUSING the
+    // persisted batch signatures (bSig covers exactKept ⊇ vsCorpusKept;
+    // the semi-join filter reads the cache, not a second text scan)
+    val keptSig = bSig.join(
+      vsCorpusKept.select(col(idCol).as("id")), Seq("id"), "left_semi")
+    val clusters = clustersFromSig(keptSig, bands, rowsPerBand,
+      minEstJaccard)
     val keep = clusters.filter(col("id") === col("cluster_id"))
       .select(col("id").as(idCol))
     newDocs.join(keep, Seq(idCol), "left_semi")

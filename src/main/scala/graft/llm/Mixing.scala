@@ -100,16 +100,24 @@ object Mixing {
     * rates (fitted on a batch corpus snapshot) can resample a STREAM:
     * broadcast join + deterministic hash filter are both map-side, so
     * the operator is legal and state-free under Structured Streaming.
+    *
+    * The attach is a LEFT join: a stream can carry strata that did not
+    * exist when the rates were fitted (a new `source` appearing after
+    * the batch snapshot), and an inner join would silently drop that
+    * whole domain. Unseen strata pass through at rate 1.0 (keep
+    * everything) with a null `accept_rate` marking them for the caller;
+    * refit the rates to start resampling them.
     */
   def applyRates(rows: DataFrame, rates: DataFrame, stratumCol: String,
       key: Column, buckets: Int = 1000): DataFrame = {
     val r = rates.withColumnRenamed(stratumCol, "__stratum")
     Relational.withHashSplit(
         rows.join(broadcast(r),
-          col(stratumCol) <=> col("__stratum")).drop("__stratum"),
+          col(stratumCol) <=> col("__stratum"), "left").drop("__stratum"),
         key, buckets, "__bucket")
       .filter(col("__bucket") <
-        round(col("accept_rate") * buckets).cast("long"))
+        round(coalesce(col("accept_rate"), lit(1.0)) * buckets)
+          .cast("long"))
       .drop("__bucket")
   }
 
@@ -257,7 +265,10 @@ object Mixing {
     // guard the explode fan-out: a mis-sized plan (tiny stratum, huge
     // token target) would otherwise sequence() millions of copies per
     // row. The check is one action on the stratum-sized plan frame.
-    val worst = plan.agg(max(col("epochs"))).head.getDouble(0)
+    // An empty plan (docs filtered to nothing) has max(epochs) = NULL:
+    // nothing will join downstream anyway, so treat it as 0, not NPE.
+    val worstRow = plan.agg(max(col("epochs"))).head
+    val worst = if (worstRow.isNullAt(0)) 0.0 else worstRow.getDouble(0)
     require(worst <= maxEpochs,
       f"plan epochs $worst%.1f exceeds maxEpochs $maxEpochs%.1f — " +
         "raise maxEpochs explicitly if the fan-out is intended")

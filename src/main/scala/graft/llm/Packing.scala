@@ -52,13 +52,18 @@ object Packing {
     * token array) — the explode-positions rule; see
     * [[graft.llm.Dedup.ngramJaccardPairs]] for the measured pathology
     * of exploding pre-built arrays. Map-only: no shuffle at all —
-    * chunking 100 TB is embarrassingly parallel. */
+    * chunking 100 TB is embarrassingly parallel.
+    *
+    * Unlike the MATCHING operators (shingles/fingerprints), the text
+    * here is training payload: whitespace is normalized for stable
+    * token windows but case is preserved — case-folding the corpus
+    * would silently corrupt what the model trains on. */
   def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Int, strideTokens: Int): DataFrame = {
     require(chunkTokens > 0 && strideTokens > 0,
       "chunk and stride must be positive")
     val toks = df.select(col(idCol),
-      split(lower(graft.functions.Text.normWs(col(textCol))), " ").as("__t"))
+      split(graft.functions.Text.normWs(col(textCol)), " ").as("__t"))
       .select(col(idCol), col("__t"), size(col("__t")).as("__n"))
     toks
       .filter(col("__n") > 0 && col("__t").getItem(0) =!= "")

@@ -36,10 +36,15 @@ object QualityModel {
     new Pipeline().setStages(Array(tf, asm))
   }
 
-  /** The raw columns [[featurizer]] consumes, derived from `textCol`. */
+  /** The raw columns [[featurizer]] consumes, derived from `textCol`.
+    * Null text yields an empty token array (HashingTF has no null
+    * handling and would NPE) but null stats — so the assembler's
+    * `handleInvalid=skip` drops null-text docs from train/score rather
+    * than crashing the job. */
   def withRawFeatures(docs: DataFrame, textCol: String): DataFrame =
     docs
-      .withColumn("__tokens", Text.tokens(lower(col(textCol))))
+      .withColumn("__tokens",
+        Text.tokens(lower(coalesce(col(textCol), lit("")))))
       .withColumn("__stopword_ratio", Text.stopwordRatio(col(textCol)))
       .withColumn("__punct_ratio", Text.punctRatio(col(textCol)))
       .withColumn("__mean_token_len", Text.meanTokenLen(col(textCol)))

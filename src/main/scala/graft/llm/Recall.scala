@@ -25,6 +25,7 @@ object Recall {
   def knnRecall(approx: DataFrame, exact: DataFrame): DataFrame = {
     val e = exact.select(col("query_id"), col("neighbor_id"))
     val a = approx.select(col("query_id"), col("neighbor_id"))
+      .distinct() // duplicate approx pairs would fan out the join and overstate recall
       .withColumn("__hit", lit(1))
     e.join(a, Seq("query_id", "neighbor_id"), "left")
       .agg(count(lit(1)).as("n_exact"),

@@ -86,27 +86,51 @@ object Joins {
     *
     * `keys` may be empty (pure interval containment): the cell id alone
     * is the join key — the naive form would be a cross join.
+    *
+    * Intervals spanning more than `maxCellsPerInterval` cells (e.g. an
+    * SCD-style open-ended row with a 9999-12-31 sentinel `hi`, which
+    * would otherwise demand a billions-long `sequence` and kill the
+    * task) skip the grid and take a BROADCAST fallback join (on the
+    * keys, or a broadcast cross join when `keys` is empty). Such rows
+    * are expected RARE — sentinel open-ended validity rows, one per
+    * entity at most — which is what makes the broadcast safe, and when
+    * there are none AQE's empty-relation propagation collapses the
+    * fallback branch without scanning the point side twice. A corpus
+    * where LONG intervals are the bulk needs a different operator
+    * shape (overlap join), not this fallback.
     */
   def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftPoint: String, lo: String, hi: String,
-      gridSeconds: Double = 3600.0): DataFrame = {
+      gridSeconds: Double = 3600.0,
+      maxCellsPerInterval: Int = 4096): DataFrame = {
     import org.apache.spark.sql.types.TimestampType
     require(gridSeconds > 0, "gridSeconds must be positive")
+    require(maxCellsPerInterval > 0, "maxCellsPerInterval must be positive")
     val isTs = left.schema(leftPoint).dataType == TimestampType
     // one grid for both sides; timestamps bucket on epoch micros
     def cellOf(c: Column): Column =
       if (isTs) floor(unix_micros(c) / lit(gridSeconds * 1e6))
       else floor(c.cast("double") / lit(gridSeconds))
+    val residual = col(leftPoint) >= col(lo) && col(leftPoint) < col(hi)
+    val rValid = right.filter(col(hi) > col(lo))
+      .withColumn("__ncells", cellOf(col(hi)) - cellOf(col(lo)) + 1)
     val l = left.withColumn("__cell", cellOf(col(leftPoint)))
     // include hi's cell unconditionally (empty-overlap cells only add
     // candidates that the residual predicate drops — simpler than the
     // exclusive-bound epsilon dance, and off by at most one cell)
-    val r = right
-      .filter(col(hi) > col(lo))
+    val rShort = rValid.filter(col("__ncells") <= maxCellsPerInterval)
       .withColumn("__cell",
         explode(sequence(cellOf(col(lo)), cellOf(col(hi)))))
-    l.join(r, keys :+ "__cell")
-      .filter(col(leftPoint) >= col(lo) && col(leftPoint) < col(hi))
+      .drop("__ncells")
+    val gridded = l.join(rShort, keys :+ "__cell")
+      .filter(residual)
       .drop("__cell")
+    val rLong = rValid.filter(col("__ncells") > maxCellsPerInterval)
+      .drop("__ncells")
+    val longJoined =
+      (if (keys.nonEmpty) left.join(broadcast(rLong), keys)
+       else left.crossJoin(broadcast(rLong)))
+        .filter(residual)
+    gridded.unionByName(longJoined)
   }
 }

@@ -17,6 +17,11 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 trait KeyedStore {
   def upsert(batch: DataFrame): Unit
   def read(spark: SparkSession): DataFrame
+  /** Whether the store has been created yet. Callers that tolerate a
+    * missing store (first-ever batch) must gate on this rather than
+    * swallowing `read` exceptions — a transient read FAILURE must
+    * propagate, not masquerade as an empty store. */
+  def exists: Boolean
 }
 
 /** Parquet-backed keyed upsert store.
@@ -40,7 +45,7 @@ final class ParquetKeyedStore(
     path: String, keys: Seq[String], versionCol: String)
   extends KeyedStore {
 
-  private def exists: Boolean = Files.exists(Paths.get(path))
+  override def exists: Boolean = Files.exists(Paths.get(path))
 
   override def read(spark: SparkSession): DataFrame =
     spark.read.parquet(path)
@@ -103,6 +108,8 @@ final class PartitionedParquetKeyedStore(
   require(keys.contains(partitionCol),
     s"partition column $partitionCol must be part of the keys")
   private val subKeys = keys.filterNot(_ == partitionCol)
+
+  override def exists: Boolean = Files.exists(Paths.get(path))
 
   override def read(spark: SparkSession): DataFrame =
     spark.read.parquet(path) // partition column recovered from dir names
@@ -181,6 +188,28 @@ final class JdbcKeyedStore(
       .option("url", url).option("driver", driver)
       .option("dbtable", table).load()
 
+  private def connect(): java.sql.Connection = {
+    Class.forName(driver)
+    java.sql.DriverManager.getConnection(url)
+  }
+
+  // Portable existence probe: the table name is passed UNQUOTED here
+  // exactly as Spark's JDBC writer passes it on CREATE, so the DB
+  // applies the same identifier folding to both (metadata lookups like
+  // getTables(name.toUpperCase) only match upper-folding engines such
+  // as Derby and break on lower-folding ones like PostgreSQL).
+  private def tableExists(conn: java.sql.Connection): Boolean = {
+    val st = conn.createStatement()
+    try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+    catch { case _: java.sql.SQLException => false }
+    finally st.close()
+  }
+
+  override def exists: Boolean = {
+    val conn = connect()
+    try tableExists(conn) finally conn.close()
+  }
+
   private def writeJdbc(df: DataFrame, target: String,
       mode: String): Unit = {
     val stringOverrides = df.schema.fields.collect {
@@ -198,14 +227,9 @@ final class JdbcKeyedStore(
   override def upsert(batch: DataFrame): Unit = synchronized {
     val deduped = Relational.dedupKeyed(keys,
       Seq(col(versionCol).desc))(batch)
-    val conn = java.sql.DriverManager.getConnection(url)
+    val conn = connect()
     try {
-      val exists = {
-        val rs = conn.getMetaData.getTables(
-          null, null, table.toUpperCase, null)
-        try rs.next() finally rs.close()
-      }
-      if (!exists) {
+      if (!tableExists(conn)) {
         writeJdbc(deduped, table, "errorifexists") // creates the table
       } else {
         writeJdbc(deduped, staging, "overwrite")

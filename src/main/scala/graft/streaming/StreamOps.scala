@@ -172,8 +172,13 @@ object StreamOps {
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val corpus = scala.util.Try(store.read(batch.sparkSession))
-            .getOrElse(batch.limit(0))
+          // Gate on exists, don't catch read failures: only a
+          // not-yet-created store means "empty corpus". A transient
+          // read error must fail the batch (checkpoint replays it) —
+          // treating it as empty would ingest duplicates permanently.
+          val corpus =
+            if (store.exists) store.read(batch.sparkSession)
+            else batch.limit(0)
           val kept = graft.llm.Dedup.incrementalDedup(
             batch, corpus, idCol, textCol)
           if (!kept.isEmpty) store.upsert(kept)

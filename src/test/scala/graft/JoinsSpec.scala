@@ -92,12 +92,39 @@ class JoinsSpec extends SparkSpec {
     val ivs = Seq((0, 10, "a"), (10, 20, "b")).toDF("lo", "hi", "label")
     val out = Joins.rangeJoin(pts, ivs, Seq.empty, "p", "lo", "hi",
       gridSeconds = 10.0)
+    // the BULK path must be the cell equi-join; the only nested-loop
+    // node allowed is the rare-long-interval fallback branch, which is
+    // gated on __ncells and broadcast (and empty here)
     val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"),
-      s"keyless grid join must stay an equi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"keyless grid join must not plan a cartesian product:\n$plan")
+    assert(plan.contains("__cell"),
+      s"bulk path must equi-join on the grid cell:\n$plan")
     assert(out.select("p", "label").as[(Int, String)].collect().toSet ==
       Set((5, "a"), (15, "b")))
+  }
+
+  test("rangeJoin: sentinel open-ended intervals take the fallback, not " +
+      "a billions-long sequence") {
+    // an SCD-style 'valid forever' row: hi = year 9999. The grid form
+    // would need ~7e7 hourly cells for this ONE row; the fallback must
+    // route it around the explode and still match exactly.
+    val pts = Seq(("u", ts(100)), ("u", ts(7300)), ("v", ts(500)))
+      .toDF("k", "p")
+    val far = java.sql.Timestamp.valueOf("9999-12-31 00:00:00")
+    val ivs = Seq(("u", ts(0), ts(200), 1L),          // normal, grid path
+      ("u", ts(1000), far, 2L),                        // open-ended
+      ("v", ts(0), far, 3L)).toDF("k", "lo", "hi", "iid")
+    val out = Joins.rangeJoin(pts, ivs, Seq("k"), "p", "lo", "hi")
+      .select("iid", "p").as[(Long, Timestamp)].collect().toSeq
+    assert(out.sorted == Seq((1L, ts(100)), (2L, ts(7300)),
+      (3L, ts(500))).sorted)
+    // keyless flavor with a sentinel interval must also complete
+    val keyless = Joins.rangeJoin(pts.select("p"),
+      ivs.filter($"iid" === 2L).select("lo", "hi", "iid"),
+      Seq.empty, "p", "lo", "hi")
+      .select("iid", "p").as[(Long, Timestamp)].collect().toSeq
+    assert(keyless.sorted == Seq((2L, ts(7300))).sorted)
   }
 
   test("rangeJoin on timestamps: interval spanning many cells, once each") {

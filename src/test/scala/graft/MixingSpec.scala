@@ -167,6 +167,34 @@ class MixingSpec extends SparkSpec {
     }
   }
 
+  test("applyRates: strata unseen at fit time pass through, not vanish") {
+    // rates fitted on an en/zh-only snapshot; the applied frame carries
+    // a brand-new 'de' stratum (the stream-after-snapshot case)
+    val snapshot = Seq((1L, "en"), (2L, "en"), (3L, "zh"))
+      .toDF("doc_id", "source")
+    val rates = Mixing.temperatureRates(snapshot, "source", 0.5, 1.0)
+    val incoming = (Seq.tabulate(50)(i => (100L + i, "de")) ++
+      Seq((1L, "en"))).toDF("doc_id", "source")
+    val out = Mixing.applyRates(incoming, rates, "source", col("doc_id"))
+    val bySrc = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // every unseen-stratum doc kept (rate defaults to 1.0)
+    assert(bySrc.get("de").contains(50L), bySrc.toString)
+    // unseen strata are marked: accept_rate stays null for the caller
+    assert(out.filter(col("source") === "de")
+      .filter(col("accept_rate").isNotNull).isEmpty)
+  }
+
+  test("materializeEpochs: empty plan yields empty output, not an NPE") {
+    val none = Seq.empty[(Long, String, String)]
+      .toDF("id", "source", "text")
+    val plan = Mixing.epochPlan(
+      Seq((1L, "en", "w w")).toDF("id", "source", "text"),
+      "source", "text", 0.5, 100L)
+      .filter(col("source") === "absent") // empty plan frame
+    assert(Mixing.materializeEpochs(none, plan, "source", col("id")).isEmpty)
+  }
+
   test("applyRates resamples a live stream statelessly") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

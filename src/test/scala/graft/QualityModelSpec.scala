@@ -38,6 +38,19 @@ class QualityModelSpec extends SparkSpec {
     assert(n > 0 && n < heldOut.count())
   }
 
+  test("null-text docs are skipped, not an NPE (HashingTF has no null path)") {
+    val withNull = docs.limit(20)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0, lit(null)).otherwise(col("text")))
+    val weak = coalesce(Text.qualityScore(col("text")), lit(0.0)) >= lit(0.3)
+    val model = QualityModel.train(withNull, "text", weak,
+      numFeatures = 256, maxIter = 5)
+    val scored = QualityModel.score(model, withNull, "text")
+    // null-text rows are dropped by the assembler's skip, the rest score
+    assert(scored.count() == withNull.filter(col("text").isNotNull).count())
+    assert(scored.filter(col("p_good").isNull).isEmpty)
+  }
+
   test("model store round-trips the classifier pipeline") {
     val weak = Text.qualityScore(col("text")) >= lit(0.3)
     val model = QualityModel.train(docs.limit(200), "text", weak,

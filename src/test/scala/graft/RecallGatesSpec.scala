@@ -47,6 +47,19 @@ class RecallGatesSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") == 1.0, s"banding broke: $r")
   }
 
+  test("knnRecall is duplicate-proof: repeated approx pairs can't inflate it") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L))
+      .toDF("query_id", "neighbor_id")
+    // one true hit repeated 5x (raw band-join output shape) + one miss
+    val approx = (Seq.fill(5)((1L, 10L)) :+ (2L, 99L))
+      .toDF("query_id", "neighbor_id")
+    val r = graft.llm.Recall.knnRecall(approx, exact).head
+    assert(r.getAs[Long]("n_exact") == 3L, r.toString)
+    assert(r.getAs[Long]("n_hit") == 1L, r.toString)
+    assert(math.abs(r.getAs[Double]("recall") - 1.0 / 3) < 1e-6, r.toString)
+  }
+
   test("HLL++ distinct estimate tracks the exact count within 3x rsd") {
     val approx = SparkEntry.queries("q_approx_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

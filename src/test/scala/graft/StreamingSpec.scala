@@ -251,6 +251,27 @@ class StreamingSpec extends SparkSpec {
     assert(n.toSeq == Seq(2.0))
   }
 
+  test("KeyedStore.exists: false before first upsert, true after — all impls") {
+    // callers gate first-batch handling on exists (never on swallowed
+    // read errors), so the probe must be right on every store impl;
+    // the JDBC probe in particular must not depend on Derby's
+    // upper-case identifier folding
+    val pq = new graft.streaming.ParquetKeyedStore(
+      tmpDir("ex-pq") + "/store", Seq("k"), "v")
+    val part = new graft.streaming.PartitionedParquetKeyedStore(
+      tmpDir("ex-part") + "/store", "k", Seq("k"), "v")
+    val jdbc = new graft.streaming.JdbcKeyedStore(
+      s"jdbc:derby:${tmpDir("ex-derby")}/db;create=true", "ex_tbl",
+      Seq("k"), "v")
+    val batch = Seq(("a", 1L)).toDF("k", "v")
+    for (store <- Seq[graft.streaming.KeyedStore](pq, part, jdbc)) {
+      assert(!store.exists, store.getClass.getSimpleName)
+      store.upsert(batch)
+      assert(store.exists, store.getClass.getSimpleName)
+      assert(store.read(spark).count() == 1L)
+    }
+  }
+
   test("JdbcKeyedStore serves as the live foreachBatch upsert sink") {
     // the S6 serving-store contract driven through the real streaming
     // path: MemoryStream -> upsertEachBatch -> JDBC MERGE, two

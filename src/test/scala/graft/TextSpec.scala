@@ -128,7 +128,7 @@ class TextSpec extends SparkSpec {
   test("chunkDocuments: overlapping windows, capped tail, no empty docs") {
     val df = Seq(
       (1L, "a b c d e f g"),   // 7 tokens
-      (2L, "x y"),             // shorter than one chunk
+      (2L, "X y"),             // shorter than one chunk; mixed case
       (3L, "   "))             // zero tokens -> no chunks
       .toDF("doc_id", "text")
     val out = graft.llm.Packing.chunkDocuments(df, "doc_id", "text", 3, 2)
@@ -139,7 +139,7 @@ class TextSpec extends SparkSpec {
       (1L, 1, 3, "c d e"),
       (1L, 2, 3, "e f g"),
       (1L, 3, 1, "g"),        // tail chunk starts inside the doc, capped
-      (2L, 0, 2, "x y")))
+      (2L, 0, 2, "X y")))      // payload text: case preserved, not folded
     // map-only: chunking must not shuffle
     val plan = graft.llm.Packing.chunkDocuments(df, "doc_id", "text", 3, 2)
       .queryExecution.executedPlan.toString
