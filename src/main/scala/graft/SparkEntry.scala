@@ -20,6 +20,19 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** 12-token-per-line re-wrap of the (single-line) synthetic documents:
+    * the corpus the line-level cleaning operators are graded on. Built
+    * with the exact same chunking in the DuckDB oracle; near-duplicate
+    * docs share aligned chunk lines, so cross-doc frequent lines exist
+    * at sf0.01 (96 of them) and the strip is non-trivial. */
+  private def multiLineDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), split(Text.normWs(col("text")), " ").as("__t"))
+      .select(col("doc_id"),
+        array_join(transform(sequence(lit(1), size(col("__t")), lit(12)),
+          st => concat_ws(" ", slice(col("__t"), st, lit(12)))), "\n")
+          .as("text"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     pricingSummary(t(spark, "/root/testdata/sf0.001", "lineitem"))
@@ -564,6 +577,35 @@ object SparkEntry {
       // overlap) — map-only, no shuffle
       graft.llm.Packing.chunkDocuments(t(s, d, "documents"),
         "doc_id", "text", 32, 24)),
+
+    // ---- llm/: line-level cleaning (C4-style) ----
+    "q_line_doc_freq" -> ((s, d) =>
+      graft.llm.Lines.lineDocFreq(multiLineDocs(s, d), "doc_id", "text")),
+
+    "q_boilerplate_strip" -> ((s, d) =>
+      // cross-doc boilerplate removal: lines occurring in >=2 distinct
+      // docs stripped, documents reassembled in order
+      graft.llm.Lines.stripBoilerplate(multiLineDocs(s, d), "doc_id",
+        "text", 2).withColumnRenamed("id", "doc_id")),
+
+    "q_c4_line_filter" -> ((s, d) =>
+      // C4 §2.1 per-line heuristics: >=3 words and no blocklisted term
+      // (map-only array HOF, no shuffle)
+      graft.llm.Lines.c4LineFilter(multiLineDocs(s, d), "doc_id", "text",
+        minWords = 3, requireTerminalPunct = false,
+        blocklist = Seq("spark")).withColumnRenamed("id", "doc_id")),
+
+    // ---- llm/: substring-level dedup (Lee et al. 2022 shape) ----
+    "q_repeated_spans" -> ((s, d) =>
+      // maximal token spans whose 15-gram windows repeat corpus-wide
+      Dedup.repeatedSpans(t(s, d, "documents"), "doc_id", "text", 15)
+        .select(col("id").as("doc_id"), col("start_tok").cast("long"),
+          col("end_tok").cast("long"), col("n_tokens").cast("long"))),
+
+    "q_span_dedup" -> ((s, d) =>
+      // remove duplicated spans keeping one occurrence corpus-wide
+      Dedup.removeRepeatedSpans(t(s, d, "documents"), "doc_id", "text", 15)
+        .withColumnRenamed("id", "doc_id")),
 
     "q_stratified_sample" -> ((s, d) =>
       // data mixing: downsample over-represented languages with
@@ -1415,6 +1457,114 @@ object SparkEntry {
                 CAST(least(32, n - start + 1) AS INT) AS chunk_tokens,
                 array_to_string(list_slice(toks, start, least(start + 31, n)), ' ') AS chunk_text
          FROM s""",
+
+    "q_line_doc_freq" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         ml AS (
+           SELECT doc_id,
+                  array_to_string(list_transform(range(1, len(t) + 1, 12),
+                    st -> array_to_string(t[st:st+11], ' ')), chr(10)) AS text
+           FROM toks)
+         SELECT line, count(DISTINCT doc_id) AS n_docs
+         FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM ml)
+         GROUP BY line""",
+
+    "q_boilerplate_strip" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         ml AS (
+           SELECT doc_id,
+                  array_to_string(list_transform(range(1, len(t) + 1, 12),
+                    st -> array_to_string(t[st:st+11], ' ')), chr(10)) AS text
+           FROM toks),
+         freq AS (
+           SELECT line
+           FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM ml)
+           GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+         fl AS (SELECT coalesce(list(line), []) AS ls FROM freq)
+         SELECT ml.doc_id,
+                coalesce(array_to_string(list_filter(string_split(ml.text, chr(10)),
+                  l -> NOT list_contains(fl.ls, l)), chr(10)), '') AS clean_text,
+                len(list_filter(string_split(ml.text, chr(10)),
+                  l -> NOT list_contains(fl.ls, l))) AS n_lines_kept,
+                len(string_split(ml.text, chr(10))) -
+                  len(list_filter(string_split(ml.text, chr(10)),
+                    l -> NOT list_contains(fl.ls, l))) AS n_lines_dropped
+         FROM ml, fl""",
+
+    "q_c4_line_filter" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         ml AS (
+           SELECT doc_id,
+                  array_to_string(list_transform(range(1, len(t) + 1, 12),
+                    st -> array_to_string(t[st:st+11], ' ')), chr(10)) AS text
+           FROM toks),
+         f AS (
+           SELECT doc_id, text,
+                  list_filter(string_split(text, chr(10)),
+                    l -> len(regexp_split_to_array(trim(l), '\s+')) >= 3
+                         AND length(trim(l)) > 0
+                         AND NOT contains(lower(l), 'spark')) AS keep
+           FROM ml)
+         SELECT doc_id, coalesce(array_to_string(keep, chr(10)), '') AS clean_text,
+                len(keep) AS n_lines_kept,
+                len(string_split(text, chr(10))) - len(keep) AS n_lines_dropped
+         FROM f""",
+
+    "q_repeated_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         wins AS (
+           SELECT doc_id, i AS pos, array_to_string(t[i:i+14], ' ') AS w
+           FROM toks, unnest(range(1, len(t) - 13)) AS u(i)),
+         dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+         fl AS (SELECT doc_id, pos FROM wins WHERE w IN (SELECT w FROM dup)),
+         isl AS (
+           SELECT doc_id, pos,
+                  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+                       THEN 0 ELSE 1 END AS brk
+           FROM fl),
+         grp AS (
+           SELECT doc_id, pos,
+                  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+           FROM isl)
+         SELECT doc_id, min(pos) AS start_tok, max(pos) + 14 AS end_tok,
+                max(pos) + 14 - min(pos) + 1 AS n_tokens
+         FROM grp GROUP BY doc_id, g""",
+
+    "q_span_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         wins AS (
+           SELECT doc_id, i AS pos, array_to_string(t[i:i+14], ' ') AS w
+           FROM toks, unnest(range(1, len(t) - 13)) AS u(i)),
+         x AS (
+           SELECT doc_id, pos,
+                  row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn,
+                  count(*) OVER (PARTITION BY w) AS occ
+           FROM wins),
+         covered AS (
+           SELECT DISTINCT doc_id, u.tp
+           FROM x, unnest(range(pos, pos + 15)) AS u(tp)
+           WHERE occ >= 2 AND rn > 1),
+         tokpos AS (
+           SELECT doc_id, i AS tp, t[i] AS tok
+           FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+         kept AS (
+           SELECT doc_id, tp, tok FROM tokpos ANTI JOIN covered USING (doc_id, tp))
+         SELECT t.doc_id,
+                coalesce(string_agg(k.tok, ' ' ORDER BY k.tp), '') AS clean_text,
+                count(k.tok) AS n_tokens,
+                any_value(len(t.t)) - count(k.tok) AS n_tokens_removed
+         FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
+         GROUP BY t.doc_id""",
 
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_docs, round(avg(length(text)), 4) AS avg_chars

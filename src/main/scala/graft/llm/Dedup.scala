@@ -646,4 +646,116 @@ object Dedup {
         round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
           count(lit(1)), 6).as("contamination"))
   }
+
+  /** (id, pos, h) token n-gram rows WITH start positions (1-based, in
+    * the whitespace-token sequence of the normalized text) — the
+    * position-carrying sibling of [[shingleHashRows]], for span-level
+    * work where WHERE a window sits matters, not just that it exists.
+    * Same explode-positions-then-hash staging (see shingleHashRows). */
+  private def spanHashRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      split(Text.normWs(col(textCol)), " ").as("t"))
+    val starts = when(size(col("t")) >= n,
+      sequence(lit(1), size(col("t")) - (n - 1))).otherwise(array())
+    toks
+      .select(col("id"), col("t"), explode(starts).as("pos"))
+      .select(col("id"), col("pos"),
+        xxhash64(concat_ws(" ", slice(col("t"), col("pos"), lit(n))))
+          .as("h"))
+  }
+
+  /** Repeated-substring detection at token-n-gram granularity (the
+    * primitive behind exact substring dedup, Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * arXiv:2107.06499 — which removes >=50-token substrings occurring
+    * more than once in the corpus). Suffix arrays don't distribute;
+    * the standard scale-out approximation is fixed-n windows: a
+    * duplicated substring of length L >= n appears as a run of
+    * L - n + 1 consecutive duplicated window starts, so maximal runs
+    * recover the span boundaries exactly (up to n-1 tokens of slack at
+    * the ends for partial windows).
+    *
+    * Occurrences are counted with multiplicity (a span repeated within
+    * ONE doc counts), matching Lee et al.'s definition. Output: one row
+    * per maximal duplicated span, (id, start_tok, end_tok, n_tokens),
+    * token positions 1-based inclusive.
+    *
+    * Scale shape: the occurrence count is a map-side-combined hash agg
+    * on the 8-byte window hash; flagging joins it back keyed by the
+    * same hash (1:1 per window row — no pair fan-out, unlike the
+    * similarity joins); run-merging is a per-doc window (partitioned by
+    * id — parallelism = corpus size). `maxOcc` is the stop-phrase
+    * valve: hashes above it (ubiquitous n-grams) are ignored the same
+    * way `maxDocFreq` drops hot shingles in [[ngramJaccardPairs]]. */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 20, minOcc: Int = 2,
+      maxOcc: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = persistTracked(spanHashRows(df, idCol, textCol, n))
+    val dup = rows.groupBy("h").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= minOcc && col("occ") <= maxOcc)
+      .select("h")
+    val flagged = rows.join(dup, "h").select("id", "pos")
+    val w = Window.partitionBy("id").orderBy("pos")
+    flagged
+      .withColumn("__brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) === 1, 0).otherwise(1))
+      .withColumn("__grp", sum(col("__brk")).over(w))
+      .groupBy(col("id"), col("__grp"))
+      .agg(min(col("pos")).as("start_tok"),
+        (max(col("pos")) + n - 1).as("end_tok"))
+      .select(col("id"), col("start_tok"), col("end_tok"),
+        (col("end_tok") - col("start_tok") + 1).as("n_tokens"))
+  }
+
+  /** Remove duplicated spans, keeping ONE occurrence corpus-wide (Lee
+    * et al. removal policy at token granularity): for every duplicated
+    * window hash the occurrence with the globally smallest (id, pos)
+    * is the keeper; tokens covered by any NON-keeper duplicated window
+    * are dropped and the document is reassembled from the survivors.
+    * Output: (id, clean_text, n_tokens, n_tokens_removed).
+    *
+    * Scale shape: this one rewrites text at token granularity, so it
+    * pays two token-level exchanges (covered-position anti-join keyed
+    * by (id, pos), then the id-keyed reassembly) — inherent to exact
+    * span surgery, the same trade [[Lines.stripBoilerplate]] makes at
+    * line granularity. Everything upstream of those joins carries only
+    * (8-byte hash, id, int pos). Text is normalized (whitespace
+    * collapse) by reconstruction. */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 20, minOcc: Int = 2,
+      maxOcc: Int = Int.MaxValue): DataFrame = {
+    val rows = persistTracked(spanHashRows(df, idCol, textCol, n))
+    val dupKeeper = rows.groupBy("h")
+      .agg(count(lit(1)).as("occ"),
+        min(struct(col("id"), col("pos"))).as("keep"))
+      .filter(col("occ") >= minOcc && col("occ") <= maxOcc)
+      .select("h", "keep")
+    // non-keeper duplicated window starts -> the token positions they
+    // cover; sequence explode multiplies rows by n but each row is
+    // (id, int) — no text
+    val covered = rows.join(dupKeeper, "h")
+      .filter(!(col("id") === col("keep.id") && col("pos") === col("keep.pos")))
+      .select(col("id"), explode(sequence(col("pos"),
+        col("pos") + n - 1)).as("tpos"))
+      .distinct()
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(split(Text.normWs(col(textCol)), " "))
+          .as(Seq("__p", "tok")))
+      .select(col("id"), (col("__p") + 1).as("tpos"), col("tok"))
+    val kept = toks.join(covered, Seq("id", "tpos"), "left_anti")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("tpos"), col("tok"))))
+        .as("xs"))
+      .select(col("id"), array_join(col("xs.tok"), " ").as("clean_text"),
+        size(col("xs")).cast("long").as("n_tokens"))
+    val total = toks.groupBy("id").agg(count(lit(1)).as("__n"))
+    total.join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (col("__n") - coalesce(col("n_tokens"), lit(0L))).cast("long")
+          .as("n_tokens_removed"))
+  }
 }

@@ -1,0 +1,169 @@
+package graft.llm
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Line-level corpus cleaning (C4 / RefinedWeb / Dolma-style): web-scale
+  * training corpora carry cross-document boilerplate — cookie banners,
+  * navigation menus, license footers — that document-level dedup never
+  * sees because the surrounding text differs. The standard treatment
+  * (C4 §2.1 of Raffel et al., RefinedWeb line-wise filtering) works on
+  * `\n`-separated lines: drop lines that recur across many documents,
+  * plus per-line quality heuristics.
+  *
+  * Scale design mirrors the contamination pair in [[Dedup]]:
+  *  - the frequent-line SET is found with one hash aggregate whose
+  *    map-side-combined shuffle carries (16-byte fingerprint, doc_id) —
+  *    never full text;
+  *  - exact stripping joins exploded lines against that (small) set
+  *    broadcast-style and reconstructs documents with ONE exchange of
+  *    the corpus text, keyed by doc id;
+  *  - the screen variant folds the frequent set into a bloom literal so
+  *    the 100 TB side stays a map-only projection (no corpus shuffle at
+  *    all), at the cost of ~1% false-positive over-stripping.
+  */
+object Lines {
+
+  /** One row per (doc, line): (id, pos, line). Position is 0-based and
+    * preserved so documents can be reassembled in order. Lines are NOT
+    * trimmed or normalized — C4 matches boilerplate byte-exactly, and
+    * the DuckDB oracle must agree on semantics. */
+  private[llm] def lineRows(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+
+  /** Per-line document frequency: (line, n_docs), one row per distinct
+    * line. 100 TB note: the aggregate groups on the 16-byte md5 of the
+    * line with the line text carried as `min` — after map-side partial
+    * aggregation the shuffle moves one (fingerprint, line, partial
+    * count-set) row per distinct line per partition, and boilerplate
+    * lines (the whole point) collapse hardest. */
+  def lineDocFreq(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    lineRows(df, idCol, textCol)
+      .select(Text.fingerprint(col("line")).as("fp"), col("line"), col("id"))
+      .groupBy("fp")
+      .agg(min(col("line")).as("line"),
+        count_distinct(col("id")).as("n_docs"))
+      .select("line", "n_docs")
+
+  /** Boilerplate line set: lines occurring in at least `minDocFreq`
+    * distinct documents. By construction this is small relative to the
+    * corpus (a line needs df >= threshold to qualify), so downstream
+    * consumers broadcast it or fold it into a bloom filter. */
+  def boilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Int): DataFrame =
+    lineDocFreq(df, idCol, textCol)
+      .filter(col("n_docs") >= minDocFreq)
+
+  /** EXACT boilerplate strip: remove every line whose corpus-wide
+    * document frequency is >= `minDocFreq`, reassemble the survivors in
+    * original order. Output: (id, clean_text, n_lines_kept,
+    * n_lines_dropped). Documents whose every line is boilerplate come
+    * back with empty clean_text (callers typically drop them next).
+    *
+    * Plan shape: exploded (id, pos, line) left-anti-joined against the
+    * frequent set on the line fingerprint (AQE broadcasts the set — it
+    * is df-thresholded small; at extreme cardinality it degrades to a
+    * shuffle join and stays correct), then ONE id-keyed exchange
+    * rebuilds documents. That single text exchange is inherent to
+    * exact line-level rewriting; the map-only alternative is
+    * [[stripBoilerplateScreen]]. */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Int): DataFrame = {
+    val freqFps = boilerplateLines(df, idCol, textCol, minDocFreq)
+      .select(Text.fingerprint(col("line")).as("fp"))
+    val rows = lineRows(df, idCol, textCol)
+      .withColumn("fp", Text.fingerprint(col("line")))
+    val total = rows.groupBy("id").agg(count(lit(1)).as("n_lines"))
+    val kept = rows.join(freqFps, Seq("fp"), "left_anti")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("line"))))
+          .as("xs"))
+      .select(col("id"),
+        array_join(col("xs.line"), "\n").as("clean_text"),
+        size(col("xs")).as("n_lines_kept"))
+    total.join(kept, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines_kept"), lit(0)).cast("long")
+          .as("n_lines_kept"),
+        (col("n_lines") - coalesce(col("n_lines_kept"), lit(0)))
+          .cast("long").as("n_lines_dropped"))
+  }
+
+  /** Map-only boilerplate SCREEN: the frequent-line fingerprints are
+    * folded into a bloom filter literal (same construction as
+    * [[Dedup.contaminationScreen]]), so the corpus pass is a pure
+    * projection — lines are filtered inside an array HOF and the
+    * document never leaves its partition. False positives over-strip
+    * ~1% of innocent lines at the default sizing; use the exact
+    * [[stripBoilerplate]] when byte-exact semantics matter more than
+    * the saved exchange.
+    *
+    * The first phase (finding frequent lines) still runs its fingerprint
+    * aggregate — that shuffle carries fingerprints, not text, and is
+    * unavoidable: corpus-wide frequency is a global property. */
+  def stripBoilerplateScreen(df: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Int, expectedLines: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val numBits = math.min(8L * expectedLines, 8L * 64 * 1024 * 1024)
+    val freq = boilerplateLines(df, idCol, textCol, minDocFreq)
+      .select(xxhash64(col("line")).as("h"))
+    val bloomAgg = Bridge.toColumn(
+      new BloomFilterAggregate(
+        Bridge.toExpression(col("h")),
+        Literal(expectedLines), Literal(numBits)).toAggregateExpression())
+    val bytes = freq.agg(bloomAgg.as("__bf")).head().getAs[Array[Byte]](0)
+    def hit(x: Column): Column =
+      if (bytes == null) lit(false)
+      else Bridge.toColumn(BloomFilterMightContain(
+        Literal(bytes, BinaryType), Bridge.toExpression(x)))
+    df.select(col(idCol).as("id"), split(col(textCol), "\n").as("__ls"))
+      .select(col("id"), col("__ls"),
+        filter(col("__ls"), l => !hit(xxhash64(l))).as("__keep"))
+      .select(col("id"),
+        array_join(col("__keep"), "\n").as("clean_text"),
+        size(col("__keep")).cast("long").as("n_lines_kept"),
+        (size(col("__ls")) - size(col("__keep"))).cast("long")
+          .as("n_lines_dropped"))
+  }
+
+  /** C4-style per-line quality filter (Raffel et al. §2.1, parameters
+    * exposed): keep a line iff
+    *  - it has at least `minWords` whitespace words, and
+    *  - (`requireTerminalPunct`) it ends in . ! ? or a closing quote, and
+    *  - it contains none of `blocklist` (case-insensitive substring —
+    *    the C4 "javascript"/"lorem ipsum"/"cookie policy" rule).
+    * Documents are reassembled from surviving lines; map-only (the
+    * filter is a per-row array HOF, no shuffle anywhere).
+    * Output: (id, clean_text, n_lines_kept, n_lines_dropped). */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3, requireTerminalPunct: Boolean = false,
+      blocklist: Seq[String] = Seq.empty): DataFrame = {
+    def keep(l: Column): Column = {
+      val words = size(split(trim(l), "\\s+")) >= minWords &&
+        length(trim(l)) > 0
+      val punct =
+        if (requireTerminalPunct)
+          trim(l).rlike("[.!?][\"']?$")
+        else lit(true)
+      val blocked = blocklist
+        .map(b => lower(l).contains(lit(b.toLowerCase)))
+        .foldLeft(lit(false))(_ || _)
+      words && punct && !blocked
+    }
+    df.select(col(idCol).as("id"), split(col(textCol), "\n").as("__ls"))
+      .select(col("id"), col("__ls"),
+        filter(col("__ls"), keep _).as("__keep"))
+      .select(col("id"),
+        array_join(col("__keep"), "\n").as("clean_text"),
+        size(col("__keep")).cast("long").as("n_lines_kept"),
+        (size(col("__ls")) - size(col("__keep"))).cast("long")
+          .as("n_lines_dropped"))
+  }
+}

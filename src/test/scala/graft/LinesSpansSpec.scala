@@ -1,0 +1,127 @@
+package graft
+
+import graft.llm.{Dedup, Lines}
+import org.apache.spark.sql.functions._
+
+/** Line-level cleaning (C4-style boilerplate / heuristics) and
+  * substring-level dedup (repeated token spans, Lee et al. shape). */
+class LinesSpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three docs sharing a cookie banner + a nav line; distinct bodies
+  private val docs = Seq(
+    (0L, "We use cookies on this site.\nHome | About | Contact\nAlpha article body one with real content here.\nMore alpha prose follows."),
+    (1L, "We use cookies on this site.\nHome | About | Contact\nBeta article body two, entirely different text."),
+    (2L, "We use cookies on this site.\nGamma body three stands alone.\nShort.\n"),
+    (3L, "Unique document with no shared lines at all.\nJust content."))
+    .toDF("doc_id", "text")
+
+  test("lineDocFreq counts distinct-doc frequency per exact line") {
+    val freq = Lines.lineDocFreq(docs, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(freq("We use cookies on this site.") == 3L)
+    assert(freq("Home | About | Contact") == 2L)
+    assert(freq("Just content.") == 1L)
+    // a line repeated within one doc counts once (distinct docs)
+    val rep = Seq((10L, "x\nx\nx")).toDF("doc_id", "text")
+    val f2 = Lines.lineDocFreq(rep, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(f2("x") == 1L)
+  }
+
+  test("stripBoilerplate removes frequent lines, keeps order, counts drops") {
+    val out = Lines.stripBoilerplate(docs, "doc_id", "text", minDocFreq = 2)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(0L)._2 ==
+      "Alpha article body one with real content here.\nMore alpha prose follows.")
+    assert(out(0L)._3 == 2L && out(0L)._4 == 2L)
+    assert(out(1L)._2 == "Beta article body two, entirely different text.")
+    assert(out(3L)._2 == "Unique document with no shared lines at all.\nJust content.")
+    assert(out(3L)._4 == 0L)
+    // doc that is ALL boilerplate comes back empty, not missing
+    val all = Seq((20L, "same\nsame2"), (21L, "same\nsame2")).toDF("doc_id", "text")
+    val stripped = Lines.stripBoilerplate(all, "doc_id", "text", 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(stripped(20L)._2 == "" && stripped(20L)._3 == 0L && stripped(20L)._4 == 2L)
+  }
+
+  test("stripBoilerplateScreen agrees with exact strip on a no-collision corpus") {
+    val exact = Lines.stripBoilerplate(docs, "doc_id", "text", 2)
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    val screen = Lines.stripBoilerplateScreen(docs, "doc_id", "text", 2)
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(screen == exact) // tiny corpus: bloom fp-rate ~0
+  }
+
+  test("stripBoilerplateScreen is map-only (no Exchange on the corpus pass)") {
+    // phase 1 (frequent-line agg) runs eagerly at plan build; the
+    // returned frame's own plan must not shuffle the corpus
+    val plan = Lines.stripBoilerplateScreen(docs, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"corpus pass should be map-only:\n$plan")
+  }
+
+  test("c4LineFilter applies word-count, punctuation, and blocklist rules") {
+    val d = Seq(
+      (0L, "This line is long enough and ends well.\nshort one\nThis one mentions javascript code here.\nNo terminal punctuation on this line"))
+      .toDF("doc_id", "text")
+    val strict = Lines.c4LineFilter(d, "doc_id", "text", minWords = 3,
+      requireTerminalPunct = true, blocklist = Seq("javascript"))
+      .as[(Long, String, Long, Long)].collect().head
+    assert(strict._2 == "This line is long enough and ends well.")
+    assert(strict._3 == 1L && strict._4 == 3L)
+    val lax = Lines.c4LineFilter(d, "doc_id", "text", minWords = 3,
+      requireTerminalPunct = false, blocklist = Seq("javascript"))
+      .as[(Long, String, Long, Long)].collect().head
+    assert(lax._2 ==
+      "This line is long enough and ends well.\nNo terminal punctuation on this line")
+  }
+
+  test("repeatedSpans finds the planted cross-doc span with exact bounds") {
+    val shared = (1 to 30).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (0L, s"a1 a2 a3 $shared b1 b2 b3"),            // span at tokens 4..33
+      (1L, s"$shared c1 c2 c3 c4 c5 c6 c7 c8 c9"),   // span at tokens 1..30
+      (2L, (1 to 40).map(i => s"u$i").mkString(" "))) // no duplication
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(d, "doc_id", "text", n = 10)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(spans == Set((0L, 4, 33, 30), (1L, 1, 30, 30)))
+  }
+
+  test("repeatedSpans counts within-doc repetition (multiplicity, not doc freq)") {
+    val rep = (1 to 12).map(i => s"r$i").mkString(" ")
+    val d = Seq((0L, s"$rep x1 x2 x3 $rep")).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(d, "doc_id", "text", n = 12)
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(spans == Set((0L, 1, 12, 12), (0L, 16, 27, 12)))
+  }
+
+  test("removeRepeatedSpans keeps exactly one occurrence corpus-wide") {
+    val shared = (1 to 30).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (0L, s"a1 a2 a3 $shared b1 b2 b3"),
+      (1L, s"$shared c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+      (2L, (1 to 40).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(d, "doc_id", "text", n = 10)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // keeper is the globally-min (id, pos): doc 0 keeps its copy
+    assert(out(0L)._2 == s"a1 a2 a3 $shared b1 b2 b3" && out(0L)._4 == 0L)
+    assert(out(1L)._2 == "c1 c2 c3 c4 c5 c6 c7 c8 c9" && out(1L)._4 == 30L)
+    assert(out(2L)._4 == 0L)
+    // corpus-wide: exactly one copy of the span text survives
+    val kept = out.values.map(_._2).mkString("\n")
+    assert(kept.indexOf(shared) == kept.lastIndexOf(shared) && kept.contains(shared))
+  }
+
+  test("maxOcc valve ignores ubiquitous n-grams") {
+    val stop = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = (0L to 5L).map(i => (i, s"$stop tail$i")).toDF("doc_id", "text")
+    // occ=6 above valve -> no spans at all
+    val spans = Dedup.repeatedSpans(d, "doc_id", "text", n = 10,
+      minOcc = 2, maxOcc = 5)
+    assert(spans.count() == 0L)
+  }
+}
