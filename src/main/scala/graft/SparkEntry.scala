@@ -607,6 +607,21 @@ object SparkEntry {
       Dedup.removeRepeatedSpans(t(s, d, "documents"), "doc_id", "text", 15)
         .withColumnRenamed("id", "doc_id")),
 
+    // ---- llm/: tokenizer training (BPE) ----
+    "q_bpe_pairs" -> ((s, d) =>
+      // first-iteration adjacent-symbol pair counts over the distinct-
+      // word table ("left"/"right" are SQL keywords — aliased)
+      graft.llm.Bpe.pairCounts(graft.llm.Bpe.initSymbols(
+        graft.llm.Bpe.wordFreq(t(s, d, "documents"), "text")))
+        .select(col("left").as("lhs"), col("right").as("rhs"), col("cnt"))),
+
+    "q_bpe_merges" -> ((s, d) =>
+      // rows-only: 12 BPE merge iterations (iterative argmax+re-merge
+      // not expressible in one SQL statement); deterministic tie-break
+      // (count desc, pair asc); BpeSpec proves equality with a
+      // reference implementation
+      graft.llm.Bpe.mergesDf(t(s, d, "documents"), "text", 12)),
+
     "q_stratified_sample" -> ((s, d) =>
       // data mixing: downsample over-represented languages with
       // key-stable per-stratum rates (en 30%, zh 50%, rest kept)
@@ -1565,6 +1580,19 @@ object SparkEntry {
                 any_value(len(t.t)) - count(k.tok) AS n_tokens_removed
          FROM toks t LEFT JOIN kept k ON t.doc_id = k.doc_id
          GROUP BY t.doc_id""",
+
+    "q_bpe_pairs" ->
+      """WITH wf AS (
+           SELECT word, count(*) AS freq
+           FROM (SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS word
+                 FROM documents)
+           WHERE length(word) > 0 GROUP BY word),
+         sy AS (
+           SELECT freq, list_append(string_split(word, ''), '</w>') AS s
+           FROM wf)
+         SELECT s[i] AS lhs, s[i+1] AS rhs, sum(freq) AS cnt
+         FROM sy, unnest(range(1, len(s))) AS u(i)
+         GROUP BY 1, 2""",
 
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_docs, round(avg(length(text)), 4) AS avg_chars

@@ -1,0 +1,125 @@
+package graft.llm
+
+import graft.functions.Text
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer training (Sennrich et al.
+  * 2016, arXiv:1508.07909 — the subword algorithm behind GPT-2/RoBERTa
+  * vocabularies). The scale shape every real BPE trainer uses: the
+  * corpus is scanned ONCE into a (word, freq) table — at 100 TB that
+  * agg is map-side combined on word and its output is bounded by
+  * DISTINCT-word cardinality (millions, not trillions) — and all
+  * `numMerges` training iterations run against that bounded table.
+  * Per iteration: one pair-count aggregate over symbol adjacencies
+  * (weighted by word freq), a 1-row collect of the argmax pair, and a
+  * map-only greedy re-merge of the symbol arrays. Driver traffic is
+  * one (pair, count) row per merge — nothing corpus-sized ever moves.
+  */
+object Bpe {
+
+  /** (word, freq) over whitespace tokens of the normalized text — the
+    * pre-count that makes BPE training corpus-size-independent. */
+  def wordFreq(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(Text.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Initial symbol table: each word split to characters with the
+    * standard end-of-word marker appended as its own symbol (so merges
+    * can learn word-final units distinctly from word-internal ones). */
+  def initSymbols(wf: DataFrame, marker: String = "</w>"): DataFrame =
+    wf.select(col("word"), col("freq"),
+      concat(split(col("word"), ""), array(lit(marker))).as("symbols"))
+
+  /** Frequency of each adjacent symbol pair, weighted by word freq —
+    * one iteration's statistics. Explodes adjacency POSITIONS (ints),
+    * not pre-built pair arrays (see Dedup.shingleHashRows for why);
+    * the agg is map-side combined on the (left, right) pair. */
+  def pairCounts(symbols: DataFrame): DataFrame =
+    symbols
+      .select(col("freq"), col("symbols"),
+        explode(when(size(col("symbols")) >= 2,
+            sequence(lit(1), size(col("symbols")) - 1))
+          .otherwise(array())).as("i"))
+      .select(col("freq"),
+        element_at(col("symbols"), col("i")).as("left"),
+        element_at(col("symbols"), col("i") + 1).as("right"))
+      .groupBy("left", "right").agg(sum(col("freq")).as("cnt"))
+
+  /** Greedy left-to-right merge of one (a, b) pair inside a symbol
+    * array — the BPE re-tokenization step, as a fold over the array
+    * (interpreted HOF, but it runs on the distinct-WORD table, not the
+    * corpus). Overlapping runs merge greedily ("aaa" + (a,a) → [aa, a]),
+    * matching the reference algorithm. */
+  private[graft] def mergePair(sym: Column, a: String, b: String): Column =
+    aggregate(sym, array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Train `numMerges` BPE merges. Ties break deterministically by
+    * (count desc, left asc, right asc) — fixed across engines and
+    * partitionings. Stops early when no pair reaches `minCount`.
+    * Returns the learned merge list in order.
+    *
+    * Each iteration localCheckpoints the re-merged symbol table:
+    * without it the plan nests one interpreted fold per merge and
+    * analysis cost grows quadratically in numMerges. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L, marker: String = "</w>"): Seq[(String, String, Long)] = {
+    var syms = initSymbols(wordFreq(df, textCol), marker).localCheckpoint()
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val top = pairCounts(syms)
+        .orderBy(col("cnt").desc, col("left"), col("right"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getAs[Long]("cnt") < minCount) done = true
+      else {
+        val (a, b, c) = (top(0).getAs[String]("left"),
+          top(0).getAs[String]("right"), top(0).getAs[Long]("cnt"))
+        merges += ((a, b, c))
+        val next = syms.withColumn("symbols",
+          mergePair(col("symbols"), a, b)).localCheckpoint()
+        syms.unpersist(blocking = false)
+        syms = next
+        i += 1
+      }
+    }
+    syms.unpersist(blocking = false)
+    merges.result()
+  }
+
+  /** The learned subword vocabulary implied by a merge list: initial
+    * characters plus one new symbol per merge, as a DataFrame for
+    * inspection / persistence. */
+  def mergesDf(df: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    train(df, textCol, numMerges, minCount).zipWithIndex
+      .map { case ((a, b, c), i) => (i, a, b, a + b, c) }
+      .toDF("merge_rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** Segment text with a trained merge list (the encode side): apply
+    * the merges to each distinct word in learned order, then count
+    * resulting subword units corpus-wide. Merge application is the
+    * same fold as training, composed numMerges deep on the distinct-
+    * word table; documents then join their words' segmentations by a
+    * broadcast of that (small) table. */
+  def subwordCounts(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], marker: String = "</w>"): DataFrame = {
+    val words = initSymbols(wordFreq(df, textCol), marker)
+    val segmented = merges.foldLeft(words) { case (acc, (a, b)) =>
+      acc.withColumn("symbols", mergePair(col("symbols"), a, b))
+    }
+    segmented
+      .select(col("freq"), explode(col("symbols")).as("subword"))
+      .groupBy("subword").agg(sum(col("freq")).as("n"))
+  }
+}

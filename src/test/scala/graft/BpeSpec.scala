@@ -1,0 +1,95 @@
+package graft
+
+import graft.llm.Bpe
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Distributed BPE training vs an in-memory reference implementation. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference BPE (Sennrich alg. 1): same greedy left-to-right merge,
+    * same (count desc, left, right) tie-break. */
+  private def refBpe(words: Map[String, Long], numMerges: Int,
+      minCount: Long): Seq[(String, String, Long)] = {
+    var tbl: Vector[(Vector[String], Long)] = words.toVector
+      .map { case (w, f) => (w.split("").toVector :+ "</w>", f) }
+    val out = Vector.newBuilder[(String, String, Long)]
+    var done = false
+    var i = 0
+    while (i < numMerges && !done) {
+      val counts = mutable.Map.empty[(String, String), Long]
+      tbl.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ => ()
+        }
+      }
+      val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some(((a, b), c)) if c >= minCount =>
+          out += ((a, b, c))
+          tbl = tbl.map { case (syms, f) =>
+            (syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == a && x == b)
+                acc.init :+ (a + b)
+              else acc :+ x
+            }, f)
+          }
+          i += 1
+        case _ => done = true
+      }
+    }
+    out.result()
+  }
+
+  private val corpus = Seq(
+    (0L, "low low low low low lower lower newest newest"),
+    (1L, "newest newest newest newest widest widest widest new new"))
+    .toDF("doc_id", "text")
+
+  private def corpusWords: Map[String, Long] =
+    corpus.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+
+  test("mergePair merges greedily left-to-right, handling overlaps") {
+    val df = Seq(Seq("a", "a", "a", "a"), Seq("x", "a", "a", "y"),
+      Seq("a"), Seq.empty[String]).toDF("s")
+    val out = df.select(Bpe.mergePair(col("s"), "a", "a").as("m"))
+      .as[Seq[String]].collect().toSeq
+    assert(out == Seq(Seq("aa", "aa"), Seq("x", "aa", "y"),
+      Seq("a"), Seq.empty))
+  }
+
+  test("train reproduces the reference merge sequence exactly") {
+    val got = Bpe.train(corpus, "text", numMerges = 12, minCount = 2L)
+    val want = refBpe(corpusWords, numMerges = 12, minCount = 2L)
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the classic example learns word-final "est</w>" as a unit
+    assert(got.exists { case (a, b, _) => a + b == "est</w>" })
+  }
+
+  test("train stops when no pair reaches minCount") {
+    val tiny = Seq((0L, "ab cd")).toDF("doc_id", "text")
+    assert(Bpe.train(tiny, "text", 10, minCount = 2L).isEmpty)
+    // with minCount=1 it keeps merging until every word is one symbol
+    val all = Bpe.train(tiny, "text", 10, minCount = 1L)
+    assert(all.size == 4) // ab + </w>, cd + </w> fully merged in 4 steps
+  }
+
+  test("subwordCounts conserves total symbol mass under merging") {
+    val merges = Bpe.train(corpus, "text", 12, 2L).map(m => (m._1, m._2))
+    val sub = Bpe.subwordCounts(corpus, "text", merges)
+      .as[(String, Long)].collect().toMap
+    // segmentation covers each word occurrence exactly once: merged
+    // symbols concatenate strings, so character mass (with the 4-char
+    // end marker) is conserved under any merge sequence
+    val wf = corpusWords
+    val totalMass = wf.map { case (w, f) => (w.length + 4L) * f }.sum
+    val gotMass = sub.map { case (s, n) => s.length.toLong * n }.sum
+    assert(gotMass == totalMass)
+    // frequent whole words surface as single subword units
+    assert(sub.contains("newest</w>") || sub.contains("est</w>"))
+  }
+}
