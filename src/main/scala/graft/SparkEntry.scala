@@ -622,6 +622,21 @@ object SparkEntry {
       // reference implementation
       graft.llm.Bpe.mergesDf(t(s, d, "documents"), "text", 12)),
 
+    // ---- llm/: importance-resampling data selection (DSIR) ----
+    "q_dsir_weights" -> ((s, d) =>
+      // hashed-bigram importance weight of every doc vs the English
+      // slice as the target distribution
+      graft.llm.Dsir.importanceWeights(t(s, d, "documents"),
+        t(s, d, "documents").filter(col("lang") === "en"),
+        "doc_id", "text")),
+
+    "q_dsir_select" -> ((s, d) =>
+      // the 50 most target-like docs (rounded-weight order: ties at
+      // 6 dp cannot flip between engines)
+      graft.llm.Dsir.select(t(s, d, "documents"),
+        t(s, d, "documents").filter(col("lang") === "en"),
+        "doc_id", "text", 50)),
+
     "q_stratified_sample" -> ((s, d) =>
       // data mixing: downsample over-represented languages with
       // key-stable per-stratum rates (en 30%, zh 50%, rest kept)
@@ -1593,6 +1608,56 @@ object SparkEntry {
          SELECT s[i] AS lhs, s[i+1] AS rhs, sum(freq) AS cnt
          FROM sy, unnest(range(1, len(s))) AS u(i)
          GROUP BY 1, 2""",
+
+    "q_dsir_weights" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+           FROM documents),
+         rawg AS (
+           SELECT doc_id,
+                  CAST(('0x' || substr(md5(array_to_string(t[i:i+1], ' ')), 1, 6)) AS BIGINT) % 10000 AS bucket
+           FROM toks, unnest(range(1, len(t))) AS u(i)),
+         tgtg AS (
+           SELECT r.bucket FROM rawg r JOIN documents d ON d.doc_id = r.doc_id
+           WHERE d.lang = 'en'),
+         rc AS (SELECT bucket, count(*) AS c_raw FROM rawg GROUP BY 1),
+         tc AS (SELECT bucket, count(*) AS c_tgt FROM tgtg GROUP BY 1),
+         tot AS (SELECT (SELECT sum(c_raw) FROM rc) AS t_raw,
+                        (SELECT sum(c_tgt) FROM tc) AS t_tgt)
+         SELECT r.doc_id, count(*) AS n_ngrams,
+                round(avg(ln((coalesce(tc.c_tgt, 0) + 1) / (tot.t_tgt + 10000.0)) -
+                          ln((coalesce(rc.c_raw, 0) + 1) / (tot.t_raw + 10000.0))), 6) AS weight
+         FROM rawg r
+         LEFT JOIN rc ON rc.bucket = r.bucket
+         LEFT JOIN tc ON tc.bucket = r.bucket
+         CROSS JOIN tot
+         GROUP BY r.doc_id""",
+
+    "q_dsir_select" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+           FROM documents),
+         rawg AS (
+           SELECT doc_id,
+                  CAST(('0x' || substr(md5(array_to_string(t[i:i+1], ' ')), 1, 6)) AS BIGINT) % 10000 AS bucket
+           FROM toks, unnest(range(1, len(t))) AS u(i)),
+         tgtg AS (
+           SELECT r.bucket FROM rawg r JOIN documents d ON d.doc_id = r.doc_id
+           WHERE d.lang = 'en'),
+         rc AS (SELECT bucket, count(*) AS c_raw FROM rawg GROUP BY 1),
+         tc AS (SELECT bucket, count(*) AS c_tgt FROM tgtg GROUP BY 1),
+         tot AS (SELECT (SELECT sum(c_raw) FROM rc) AS t_raw,
+                        (SELECT sum(c_tgt) FROM tc) AS t_tgt)
+         SELECT doc_id, n_ngrams, weight FROM (
+           SELECT r.doc_id, count(*) AS n_ngrams,
+                  round(avg(ln((coalesce(tc.c_tgt, 0) + 1) / (tot.t_tgt + 10000.0)) -
+                            ln((coalesce(rc.c_raw, 0) + 1) / (tot.t_raw + 10000.0))), 6) AS weight
+           FROM rawg r
+           LEFT JOIN rc ON rc.bucket = r.bucket
+           LEFT JOIN tc ON tc.bucket = r.bucket
+           CROSS JOIN tot
+           GROUP BY r.doc_id)
+         ORDER BY weight DESC, doc_id LIMIT 50""",
 
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_docs, round(avg(length(text)), 4) AS avg_chars
