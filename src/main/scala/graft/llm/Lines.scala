@@ -106,11 +106,20 @@ object Lines {
     * aggregate — that shuffle carries fingerprints, not text, and is
     * unavoidable: corpus-wide frequency is a global property. */
   def stripBoilerplateScreen(df: DataFrame, idCol: String, textCol: String,
-      minDocFreq: Int, expectedLines: Long = 1000000L): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      minDocFreq: Int, expectedLines: Long = 1000000L): DataFrame =
+    applyBoilerplateBloom(df, idCol, textCol,
+      boilerplateBloom(df, idCol, textCol, minDocFreq, expectedLines))
+
+  /** Fit phase of the screen: fold the frequent-line xxhash64 set into
+    * serialized bloom-filter bytes (null when no line reaches
+    * `minDocFreq`). The artifact is a few MB regardless of corpus size
+    * — persist it / ship it to a streaming job the way batch-fitted
+    * [[Mixing.applyRates]] rates are. */
+  def boilerplateBloom(df: DataFrame, idCol: String, textCol: String,
+      minDocFreq: Int, expectedLines: Long = 1000000L): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.types.BinaryType
     val numBits = math.min(8L * expectedLines, 8L * 64 * 1024 * 1024)
     val freq = boilerplateLines(df, idCol, textCol, minDocFreq)
       .select(xxhash64(col("line")).as("h"))
@@ -118,11 +127,24 @@ object Lines {
       new BloomFilterAggregate(
         Bridge.toExpression(col("h")),
         Literal(expectedLines), Literal(numBits)).toAggregateExpression())
-    val bytes = freq.agg(bloomAgg.as("__bf")).head().getAs[Array[Byte]](0)
+    freq.agg(bloomAgg.as("__bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Apply phase: drop lines the bloom flags, map-only (the filter is
+    * an array HOF against a literal — no shuffle, no state). Works
+    * unchanged on a STREAMING DataFrame: fit on the batch corpus with
+    * [[boilerplateBloom]], apply at ingest — the streaming analogue of
+    * the batch [[stripBoilerplate]], trading ~1% bloom false-positive
+    * over-stripping for zero per-batch aggregation. */
+  def applyBoilerplateBloom(df: DataFrame, idCol: String, textCol: String,
+      bloom: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
     def hit(x: Column): Column =
-      if (bytes == null) lit(false)
+      if (bloom == null) lit(false)
       else Bridge.toColumn(BloomFilterMightContain(
-        Literal(bytes, BinaryType), Bridge.toExpression(x)))
+        Literal(bloom, BinaryType), Bridge.toExpression(x)))
     df.select(col(idCol).as("id"), split(col(textCol), "\n").as("__ls"))
       .select(col("id"), col("__ls"),
         filter(col("__ls"), l => !hit(xxhash64(l))).as("__keep"))

@@ -70,6 +70,19 @@ object LineSpanScaleProbe {
         Dedup.removeRepeatedSpans(d1, "doc_id", "text", 15))
       time("removeRepeatedSpans   50k docs")(
         Dedup.removeRepeatedSpans(d10, "doc_id", "text", 15))
+      time("dsirWeights            5k docs")(
+        graft.llm.Dsir.importanceWeights(d1,
+          d1.filter(col("lang") === "en"), "doc_id", "text"))
+      time("dsirWeights           50k docs")(
+        graft.llm.Dsir.importanceWeights(d10,
+          d10.filter(col("lang") === "en"), "doc_id", "text"))
+      val t0 = System.nanoTime()
+      val m1 = graft.llm.Bpe.train(d1, "text", 12)
+      println(f"bpe.train(12)          5k docs        ${(System.nanoTime() - t0) / 1e9}%8.3f s   merges=${m1.size}")
+      val t1 = System.nanoTime()
+      val m10 = graft.llm.Bpe.train(d10, "text", 12)
+      println(f"bpe.train(12)         50k docs        ${(System.nanoTime() - t1) / 1e9}%8.3f s   merges=${m10.size}")
+      println("merge sequences equal: " + (m1.map(m => (m._1, m._2)) == m10.map(m => (m._1, m._2))))
     }
     spark.stop()
   }

@@ -62,6 +62,34 @@ class LinesSpansSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"corpus pass should be map-only:\n$plan")
   }
 
+  test("boilerplate bloom fitted on batch applies to a live stream (parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // fit on the batch reference corpus...
+    val bloom = Lines.boilerplateBloom(docs, "doc_id", "text", 2)
+    // ...apply at ingest on a live stream of fresh docs
+    val incoming = Seq(
+      (100L, "We use cookies on this site.\nFresh article about streams."),
+      (101L, "No boilerplate in this one.\nJust body text."))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamed = Lines.applyBoilerplateBloom(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", bloom)
+    val q = streamed.writeStream.format("memory")
+      .queryName("line_screen_out").outputMode("append").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val got = spark.table("line_screen_out")
+        .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+      val want = Lines.applyBoilerplateBloom(
+        incoming.toDF("doc_id", "text"), "doc_id", "text", bloom)
+        .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+      assert(got == want)
+      assert(got(100L)._2 == "Fresh article about streams.")
+      assert(got(101L)._4 == 0L)
+    } finally q.stop()
+  }
+
   test("c4LineFilter applies word-count, punctuation, and blocklist rules") {
     val d = Seq(
       (0L, "This line is long enough and ends well.\nshort one\nThis one mentions javascript code here.\nNo terminal punctuation on this line"))
