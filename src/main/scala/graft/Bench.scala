@@ -35,6 +35,7 @@ object Bench {
       // the full query sweep
       graft.llm.Dedup.releaseCaches()
       graft.llm.Mixing.releaseCaches()
+      graft.llm.Lines.releaseCaches()
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1))
     }
     graft.llm.Similarity.clearIvfCache()

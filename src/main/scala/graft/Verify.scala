@@ -25,6 +25,7 @@ object Verify {
       // a driver running all queries must not accumulate every cache
       graft.llm.Dedup.releaseCaches()
       graft.llm.Mixing.releaseCaches()
+      graft.llm.Lines.releaseCaches()
     }
     graft.llm.Similarity.clearIvfCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -115,8 +115,12 @@ object Bpe {
   def subwordCounts(df: DataFrame, textCol: String,
       merges: Seq[(String, String)], marker: String = "</w>"): DataFrame = {
     val words = initSymbols(wordFreq(df, textCol), marker)
-    val segmented = merges.foldLeft(words) { case (acc, (a, b)) =>
-      acc.withColumn("symbols", mergePair(col("symbols"), a, b))
+    // real vocabularies are 10k-50k merges: checkpoint every 64 folds
+    // so plan depth stays bounded (same blowup train's loop avoids)
+    val segmented = merges.zipWithIndex.foldLeft(words) {
+      case (acc, ((a, b), i)) =>
+        val next = acc.withColumn("symbols", mergePair(col("symbols"), a, b))
+        if ((i + 1) % 64 == 0) next.localCheckpoint() else next
     }
     segmented
       .select(col("freq"), explode(col("symbols")).as("subword"))

@@ -471,18 +471,29 @@ object Dedup {
     * column (a staged array column collapsed into the Generate
     * re-evaluates the whole array construction pathologically). The
     * 64-bit hash keeps every downstream shuffle key at 8 bytes. */
-  private def shingleHashRows(df: DataFrame, idCol: String,
-      textCol: String, shingleN: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      split(lower(Text.normWs(col(textCol))), " ").as("t"))
-    val starts = when(size(col("t")) >= shingleN,
-      sequence(lit(1), size(col("t")) - (shingleN - 1))).otherwise(array())
+  /** THE explode-positions n-gram staging (shared by the shingle, span
+    * and DSIR pipelines): tokenize once, explode window START positions
+    * (cheap ints), build each n-gram string AFTER the explode. One
+    * place so the staging idiom can't drift across the three hashing
+    * flavors. Output: (id, pos, gram), pos 1-based. */
+  private[llm] def ngramRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int, lowercase: Boolean): DataFrame = {
+    val base =
+      if (lowercase) lower(Text.normWs(col(textCol)))
+      else Text.normWs(col(textCol))
+    val toks = df.select(col(idCol).as("id"), split(base, " ").as("t"))
+    val starts = when(size(col("t")) >= n,
+      sequence(lit(1), size(col("t")) - (n - 1))).otherwise(array())
     toks
-      .select(col("id"), col("t"), explode(starts).as("i"))
-      .select(col("id"),
-        xxhash64(concat_ws(" ", slice(col("t"), col("i"), lit(shingleN))))
-          .as("shingle"))
+      .select(col("id"), col("t"), explode(starts).as("pos"))
+      .select(col("id"), col("pos"),
+        concat_ws(" ", slice(col("t"), col("pos"), lit(n))).as("gram"))
   }
+
+  private def shingleHashRows(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame =
+    ngramRows(df, idCol, textCol, shingleN, lowercase = true)
+      .select(col("id"), xxhash64(col("gram")).as("shingle"))
 
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, minJaccard: Double = 0.0,
@@ -653,17 +664,11 @@ object Dedup {
     * work where WHERE a window sits matters, not just that it exists.
     * Same explode-positions-then-hash staging (see shingleHashRows). */
   private def spanHashRows(df: DataFrame, idCol: String, textCol: String,
-      n: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      split(Text.normWs(col(textCol)), " ").as("t"))
-    val starts = when(size(col("t")) >= n,
-      sequence(lit(1), size(col("t")) - (n - 1))).otherwise(array())
-    toks
-      .select(col("id"), col("t"), explode(starts).as("pos"))
-      .select(col("id"), col("pos"),
-        xxhash64(concat_ws(" ", slice(col("t"), col("pos"), lit(n))))
-          .as("h"))
-  }
+      n: Int): DataFrame =
+    // case-SENSITIVE grams: span dedup rewrites the original text, so
+    // "The cat" and "the cat" are different spans
+    ngramRows(df, idCol, textCol, n, lowercase = false)
+      .select(col("id"), col("pos"), xxhash64(col("gram")).as("h"))
 
   /** Repeated-substring detection at token-n-gram granularity (the
     * primitive behind exact substring dedup, Lee et al. 2022,
@@ -740,10 +745,12 @@ object Dedup {
       .select(col("id"), explode(sequence(col("pos"),
         col("pos") + n - 1)).as("tpos"))
       .distinct()
-    val toks = df.select(col(idCol).as("id"),
+    // persisted: the token rows feed both the reassembly branch and the
+    // per-doc total count — without it the corpus re-tokenizes per branch
+    val toks = persistTracked(df.select(col(idCol).as("id"),
         posexplode(split(Text.normWs(col(textCol)), " "))
           .as(Seq("__p", "tok")))
-      .select(col("id"), (col("__p") + 1).as("tpos"), col("tok"))
+      .select(col("id"), (col("__p") + 1).as("tpos"), col("tok")))
     val kept = toks.join(covered, Seq("id", "tpos"), "left_anti")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("tpos"), col("tok"))))

@@ -26,19 +26,15 @@ import org.apache.spark.sql.functions._
 object Dsir {
 
   /** (id, bucket) hashed word-n-gram rows; one row per n-gram
-    * OCCURRENCE (bag semantics, per the DSIR construction). */
+    * OCCURRENCE (bag semantics, per the DSIR construction). Staging via
+    * the shared [[Dedup.ngramRows]]; the md5-prefix bucket is the
+    * engine-stable idiom of [[graft.operators.Relational.withHashSplit]]. */
   private def ngramBucketRows(df: DataFrame, idCol: String,
-      textCol: String, n: Int, numBuckets: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      split(lower(Text.normWs(col(textCol))), " ").as("t"))
-    val starts = when(size(col("t")) >= n,
-      sequence(lit(1), size(col("t")) - (n - 1))).otherwise(array())
-    toks
-      .select(col("id"), col("t"), explode(starts).as("i"))
+      textCol: String, n: Int, numBuckets: Int): DataFrame =
+    Dedup.ngramRows(df, idCol, textCol, n, lowercase = true)
       .select(col("id"),
-        (conv(substring(md5(concat_ws(" ", slice(col("t"), col("i"), lit(n)))),
-          1, 6), 16, 10).cast("long") % numBuckets).as("bucket"))
-  }
+        (conv(substring(md5(col("gram")), 1, 6), 16, 10)
+          .cast("long") % numBuckets).as("bucket"))
 
   /** Hashed n-gram histogram of a corpus: (bucket, cnt). Output
     * cardinality <= numBuckets — fixed, broadcastable. */
@@ -72,8 +68,7 @@ object Dsir {
           (log((coalesce(col("c_tgt"), lit(0L)) + 1).cast("double") /
               (col("t_tgt") + numBuckets)) -
             log((coalesce(col("c_raw"), lit(0L)) + 1).cast("double") /
-              (col("t_raw") + numBuckets))).as("log_ratio"),
-          col("t_raw"), col("t_tgt")))
+              (col("t_raw") + numBuckets))).as("log_ratio")))
     // buckets absent from BOTH corpora (left-join miss) still have a
     // well-defined smoothed ratio — coalesce below computes it
     ngramBucketRows(raw, idCol, textCol, n, numBuckets)

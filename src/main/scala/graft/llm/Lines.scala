@@ -25,24 +25,51 @@ import org.apache.spark.sql.functions._
   */
 object Lines {
 
+  /** Cache tracking for the multi-branch strip plans, mirroring
+    * [[Dedup.releaseCaches]]: long-lived drivers release after the
+    * consuming action; a released frame recomputes, never goes wrong. */
+  private val trackedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackedCaches.add(p)
+    p
+  }
+
+  def releaseCaches(): Unit = {
+    var df = trackedCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = trackedCaches.poll()
+    }
+  }
+
   /** One row per (doc, line): (id, pos, line). Position is 0-based and
     * preserved so documents can be reassembled in order. Lines are NOT
-    * trimmed or normalized — C4 matches boilerplate byte-exactly, and
-    * the DuckDB oracle must agree on semantics. */
+    * trimmed, case-folded or otherwise normalized — C4 matches
+    * boilerplate byte-exactly, and the DuckDB oracle must agree on
+    * semantics — so the grouping fingerprint below is md5 of the RAW
+    * line (NOT [[Text.fingerprint]], which case-folds and would merge
+    * "Cookie Policy" with "cookie policy"). */
   private[llm] def lineRows(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
 
+  /** Byte-exact 16-byte grouping key of a raw line. */
+  private def lineFp(line: Column): Column = unhex(md5(line))
+
   /** Per-line document frequency: (line, n_docs), one row per distinct
     * line. 100 TB note: the aggregate groups on the 16-byte md5 of the
-    * line with the line text carried as `min` — after map-side partial
-    * aggregation the shuffle moves one (fingerprint, line, partial
-    * count-set) row per distinct line per partition, and boilerplate
-    * lines (the whole point) collapse hardest. */
+    * raw line with the line text carried as `min` (all group members
+    * are byte-identical, so min is the line itself) — after map-side
+    * partial aggregation the shuffle moves one (fingerprint, line,
+    * partial count-set) row per distinct line per partition, and
+    * boilerplate lines (the whole point) collapse hardest. */
   def lineDocFreq(df: DataFrame, idCol: String, textCol: String): DataFrame =
     lineRows(df, idCol, textCol)
-      .select(Text.fingerprint(col("line")).as("fp"), col("line"), col("id"))
+      .select(lineFp(col("line")).as("fp"), col("line"), col("id"))
       .groupBy("fp")
       .agg(min(col("line")).as("line"),
         count_distinct(col("id")).as("n_docs"))
@@ -72,10 +99,15 @@ object Lines {
     * [[stripBoilerplateScreen]]. */
   def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
       minDocFreq: Int): DataFrame = {
-    val freqFps = boilerplateLines(df, idCol, textCol, minDocFreq)
-      .select(Text.fingerprint(col("line")).as("fp"))
-    val rows = lineRows(df, idCol, textCol)
-      .withColumn("fp", Text.fingerprint(col("line")))
+    // persisted: the exploded line rows feed THREE branches (frequency
+    // agg, per-doc totals, kept reassembly) keyed differently — without
+    // the persist each branch re-scans and re-splits the corpus text
+    val rows = persistTracked(lineRows(df, idCol, textCol)
+      .withColumn("fp", lineFp(col("line"))))
+    val freqFps = rows.groupBy("fp")
+      .agg(count_distinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocFreq)
+      .select("fp")
     val total = rows.groupBy("id").agg(count(lit(1)).as("n_lines"))
     val kept = rows.join(freqFps, Seq("fp"), "left_anti")
       .groupBy("id")

@@ -46,6 +46,25 @@ class LinesSpansSpec extends SparkSpec {
     assert(stripped(20L)._2 == "" && stripped(20L)._3 == 0L && stripped(20L)._4 == 2L)
   }
 
+  test("line matching is byte-exact: case variants are distinct lines") {
+    // C4 semantics — "Cookie Policy" and "cookie policy" must NOT merge
+    val d = Seq(
+      (0L, "Cookie Policy\nbody zero"),
+      (1L, "cookie policy\nbody one"),
+      (2L, "Cookie Policy\nbody two")).toDF("doc_id", "text")
+    val freq = Lines.lineDocFreq(d, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(freq("Cookie Policy") == 2L && freq("cookie policy") == 1L)
+    val out = Lines.stripBoilerplate(d, "doc_id", "text", 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._2 == "body zero")        // frequent variant stripped
+    assert(out(1L)._2 == "cookie policy\nbody one") // rare variant kept
+    // screen agrees: bloom is built from the byte-exact line set
+    val screen = Lines.stripBoilerplateScreen(d, "doc_id", "text", 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(screen == out)
+  }
+
   test("stripBoilerplateScreen agrees with exact strip on a no-collision corpus") {
     val exact = Lines.stripBoilerplate(docs, "doc_id", "text", 2)
       .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
