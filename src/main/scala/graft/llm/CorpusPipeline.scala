@@ -29,15 +29,47 @@ object CorpusPipeline {
       maxRepetition: Double = 1.0,
       minAvgLogProb: Double = Double.NegativeInfinity,
       maxContamination: Double = 0.5,
-      splitBuckets: Int = 10)
+      splitBuckets: Int = 10,
+      /** When set, strip lines occurring in >= this many distinct docs
+        * (C4 boilerplate removal, [[Lines.stripBoilerplate]]) before
+        * any document-level stage; fully-stripped docs are dropped. */
+      boilerplateMinDocFreq: Option[Int] = None,
+      /** When set, remove corpus-duplicated token spans of this window
+        * size, keeping one occurrence ([[Dedup.removeRepeatedSpans]]);
+        * fully-emptied docs are dropped. */
+      spanDedupN: Option[Int] = None)
+
+  /** Rewrite `textCol` with a cleaning stage's clean_text, keeping all
+    * other columns; docs whose text is emptied by the cleaner drop out
+    * (C4 drops boilerplate-only pages the same way). */
+  private def rewriteText(docs: DataFrame, idCol: String, textCol: String,
+      cleaned: DataFrame): DataFrame =
+    docs.drop(textCol)
+      .join(cleaned.select(col("id").as(idCol),
+        col("clean_text").as(textCol)), Seq(idCol))
+      .filter(length(col(textCol)) > 0)
 
   /** Returns the cleaned corpus: input columns + quality/split columns
     * (`quality`, `rep_ratio`, `avg_logp`, `split_bucket`), with
-    * duplicate, low-quality and eval-contaminated docs removed. */
+    * boilerplate lines / duplicated spans (when configured), duplicate,
+    * low-quality and eval-contaminated docs removed. */
   def prepare(docs: DataFrame, idCol: String, textCol: String,
       evalSet: Option[DataFrame] = None,
       cfg: Config = Config()): DataFrame = {
-    val deduped = Dedup.dedupCorpus(docs, idCol, textCol, cfg.shingleN)
+    // sub-document surgery first (C4 order): line-level boilerplate,
+    // then span-level dedup, so document-level fingerprints/shingles
+    // see the cleaned text
+    val afterLines = cfg.boilerplateMinDocFreq match {
+      case Some(k) => rewriteText(docs, idCol, textCol,
+        Lines.stripBoilerplate(docs, idCol, textCol, k))
+      case None => docs
+    }
+    val base = cfg.spanDedupN match {
+      case Some(n) => rewriteText(afterLines, idCol, textCol,
+        Dedup.removeRepeatedSpans(afterLines, idCol, textCol, n))
+      case None => afterLines
+    }
+    val deduped = Dedup.dedupCorpus(base, idCol, textCol, cfg.shingleN)
     val scored = deduped
       .withColumn("quality", Text.qualityScore(col(textCol)))
       .withColumn("rep_ratio", Text.repetitionRatio(col(textCol)))

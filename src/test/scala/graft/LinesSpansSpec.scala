@@ -163,6 +163,29 @@ class LinesSpansSpec extends SparkSpec {
     assert(kept.indexOf(shared) == kept.lastIndexOf(shared) && kept.contains(shared))
   }
 
+  test("prepare composes line cleaning and span dedup before doc dedup") {
+    val span = (1 to 20).map(i => s"sp$i").mkString(" ")
+    val d = Seq(
+      (0L, s"We use cookies here today folks.\nalpha body ${(1 to 30).map(i => s"a$i").mkString(" ")}"),
+      (1L, s"We use cookies here today folks.\nbeta body ${(1 to 30).map(i => s"b$i").mkString(" ")}"),
+      (2L, s"gamma opening text\n$span gamma tail one two three"),
+      (3L, s"delta opening text\n$span delta tail four five six"),
+      (4L, "We use cookies here today folks.")) // boilerplate-only page
+      .toDF("doc_id", "text").withColumn("source", lit("web"))
+    val out = graft.llm.CorpusPipeline.prepare(d, "doc_id", "text",
+      cfg = graft.llm.CorpusPipeline.Config(
+        boilerplateMinDocFreq = Some(3), spanDedupN = Some(10)))
+    val byId = out.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    assert(!byId.contains(4L))                    // emptied page dropped
+    assert(!byId(0L).contains("cookies"))         // boilerplate stripped
+    assert(byId(0L).contains("alpha body"))
+    // the shared span survives in exactly one of docs 2/3
+    val spanCount = Seq(2L, 3L).count(i => byId(i).contains(span))
+    assert(spanCount == 1, byId.toString)
+    assert(byId(2L).contains("gamma") && byId(3L).contains("delta"))
+  }
+
   test("maxOcc valve ignores ubiquitous n-grams") {
     val stop = (1 to 10).map(i => s"w$i").mkString(" ")
     val d = (0L to 5L).map(i => (i, s"$stop tail$i")).toDF("doc_id", "text")
