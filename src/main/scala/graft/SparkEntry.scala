@@ -622,6 +622,18 @@ object SparkEntry {
       // reference implementation
       graft.llm.Bpe.mergesDf(t(s, d, "documents"), "text", 12)),
 
+    "q_bpe_fertility" -> ((s, d) => {
+      // rows-only: train 12 merges, encode every doc to token ids,
+      // report tokens/subwords/fertility (iterative training not
+      // expressible in one SQL statement; BpeSpec round-trips the
+      // encoding exactly)
+      val docs = t(s, d, "documents")
+      val merges = graft.llm.Bpe.train(docs, "text", 12)
+        .map(m => (m._1, m._2))
+      graft.llm.Bpe.fertility(docs, "doc_id", "text", merges)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // ---- llm/: importance-resampling data selection (DSIR) ----
     "q_dsir_weights" -> ((s, d) =>
       // hashed-bigram importance weight of every doc vs the English

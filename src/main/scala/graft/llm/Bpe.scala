@@ -106,24 +106,80 @@ object Bpe {
       .toDF("merge_rank", "left", "right", "merged", "pair_count")
   }
 
-  /** Segment text with a trained merge list (the encode side): apply
-    * the merges to each distinct word in learned order, then count
-    * resulting subword units corpus-wide. Merge application is the
-    * same fold as training, composed numMerges deep on the distinct-
-    * word table; documents then join their words' segmentations by a
-    * broadcast of that (small) table. */
-  def subwordCounts(df: DataFrame, textCol: String,
-      merges: Seq[(String, String)], marker: String = "</w>"): DataFrame = {
-    val words = initSymbols(wordFreq(df, textCol), marker)
-    // real vocabularies are 10k-50k merges: checkpoint every 64 folds
-    // so plan depth stays bounded (same blowup train's loop avoids)
-    val segmented = merges.zipWithIndex.foldLeft(words) {
+  /** The distinct-word table segmented under a trained merge list:
+    * (word, freq, symbols). Merge application is the same fold as
+    * training, composed on the word table — real vocabularies are
+    * 10k-50k merges, so the fold localCheckpoints every 64 layers to
+    * keep Catalyst analysis depth bounded (the same blowup train's
+    * loop avoids). */
+  def segmentWords(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], marker: String = "</w>"): DataFrame =
+    merges.zipWithIndex.foldLeft(initSymbols(wordFreq(df, textCol), marker)) {
       case (acc, ((a, b), i)) =>
         val next = acc.withColumn("symbols", mergePair(col("symbols"), a, b))
         if ((i + 1) % 64 == 0) next.localCheckpoint() else next
     }
-    segmented
+
+  /** Corpus-wide subword unit counts under a trained merge list. */
+  def subwordCounts(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], marker: String = "</w>"): DataFrame =
+    segmentWords(df, textCol, merges, marker)
       .select(col("freq"), explode(col("symbols")).as("subword"))
       .groupBy("subword").agg(sum(col("freq")).as("n"))
+
+  /** The tokenizer's id table (GPT-2-style layout): base symbols —
+    * every distinct character in the corpus plus the end marker,
+    * lexicographically — take ids 0..nBase-1, then one id per merge in
+    * learned rank order. Bounded by vocab size; broadcastable. */
+  def vocabDf(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], marker: String = "</w>"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = wordFreq(df, textCol)
+      .select(explode(split(col("word"), "")).as("token"))
+      .distinct().orderBy("token")
+      .as[String].collect().toSeq :+ marker
+    val all = base ++ merges.map { case (a, b) => a + b }
+    all.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+      .toDF("token", "token_id")
   }
+
+  /** THE last mile: documents to model-ready token-id sequences.
+    * Words explode with positions, join their segmentation from the
+    * broadcast word table, subwords map to ids through the broadcast
+    * vocab, and one id-keyed exchange reassembles each document in
+    * order. The corpus-sized side shuffles exactly once (the
+    * reassembly), carrying int ids — not text.
+    * Output: (id, n_tokens, n_subwords, token_ids: array<long>). */
+  def encodeDocs(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], marker: String = "</w>"): DataFrame = {
+    val seg = broadcast(segmentWords(df, textCol, merges, marker)
+      .select(col("word"), col("symbols")))
+    val vocab = broadcast(vocabDf(df, textCol, merges, marker))
+    val words = df.select(col(idCol).as("id"),
+        posexplode(Text.tokens(col(textCol))).as(Seq("wpos", "word")))
+      .filter(length(col("word")) > 0)
+    val subs = words.join(seg, "word")
+      .select(col("id"), col("wpos"),
+        posexplode(col("symbols")).as(Seq("spos", "token")))
+      .join(vocab, "token")
+    subs
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("wpos"), col("spos"),
+          col("token_id")))).as("xs"),
+        count_distinct(col("wpos")).as("n_tokens"))
+      .select(col("id"), col("n_tokens").cast("long").as("n_tokens"),
+        size(col("xs")).cast("long").as("n_subwords"),
+        col("xs.token_id").as("token_ids"))
+  }
+
+  /** Tokenizer fertility report (subwords emitted per word — the
+    * standard tokenizer-quality metric): per doc, token and subword
+    * counts and their ratio. */
+  def fertility(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)], marker: String = "</w>"): DataFrame =
+    encodeDocs(df, idCol, textCol, merges, marker)
+      .select(col("id"), col("n_tokens"), col("n_subwords"),
+        round(col("n_subwords").cast("double") / col("n_tokens"), 6)
+          .as("fertility"))
 }

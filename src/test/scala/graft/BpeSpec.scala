@@ -78,6 +78,46 @@ class BpeSpec extends SparkSpec {
     assert(all.size == 4) // ab + </w>, cd + </w> fully merged in 4 steps
   }
 
+  test("vocabDf lays out base chars then merges, densely numbered") {
+    val merges = Bpe.train(corpus, "text", 12, 2L).map(m => (m._1, m._2))
+    val v = Bpe.vocabDf(corpus, "text", merges)
+      .as[(String, Long)].collect()
+    assert(v.map(_._2).sorted.toSeq == (0L until v.length).toSeq)
+    val byTok = v.toMap
+    // merged symbols numbered after every base symbol, in rank order
+    val nBase = v.length - merges.length
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      assert(byTok(a + b) == nBase + i)
+    }
+    assert(byTok.contains("</w>"))
+  }
+
+  test("encodeDocs round-trips: ids decode back to the original text") {
+    val merges = Bpe.train(corpus, "text", 12, 2L).map(m => (m._1, m._2))
+    val idToTok = Bpe.vocabDf(corpus, "text", merges)
+      .as[(String, Long)].collect().map(_.swap).toMap
+    val enc = Bpe.encodeDocs(corpus, "doc_id", "text", merges)
+      .as[(Long, Long, Long, Seq[Long])].collect().map(r => r._1 -> r).toMap
+    val original = corpus.as[(Long, String)].collect().toMap
+    original.foreach { case (id, text) =>
+      val (_, nTok, nSub, ids) = enc(id)
+      assert(nTok == text.split(" ").length)
+      assert(nSub == ids.length && nSub >= nTok)
+      val decoded = ids.map(idToTok).mkString("")
+        .replace("</w>", " ").trim
+      assert(decoded == text, s"doc $id")
+    }
+  }
+
+  test("fertility is 1.0 exactly when every word is a single subword") {
+    val d = Seq((0L, "low low low")).toDF("doc_id", "text")
+    // enough merges to fully fuse "low</w>"
+    val merges = Bpe.train(d, "text", 10, 1L).map(m => (m._1, m._2))
+    val f = Bpe.fertility(d, "doc_id", "text", merges)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(f == ((0L, 3L, 3L, 1.0)))
+  }
+
   test("subwordCounts conserves total symbol mass under merging") {
     val merges = Bpe.train(corpus, "text", 12, 2L).map(m => (m._1, m._2))
     val sub = Bpe.subwordCounts(corpus, "text", merges)
