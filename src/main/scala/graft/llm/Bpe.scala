@@ -106,19 +106,33 @@ object Bpe {
       .toDF("merge_rank", "left", "right", "merged", "pair_count")
   }
 
+  /** Apply a merge list to an (word, freq, symbols) table. Real
+    * vocabularies are 10k-50k merges, so the fold localCheckpoints
+    * every 64 layers to keep Catalyst analysis depth bounded (the same
+    * blowup train's loop avoids) — and unpersists each superseded
+    * checkpoint once the next materializes, so at most one checkpoint
+    * of the word table is pinned at a time (train's pattern). */
+  private def applyMerges(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    var cur = words
+    var lastCp: Option[DataFrame] = None
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      cur = cur.withColumn("symbols", mergePair(col("symbols"), a, b))
+      if ((i + 1) % 64 == 0) {
+        val cp = cur.localCheckpoint() // eager: materialized here
+        lastCp.foreach(_.unpersist(blocking = false))
+        lastCp = Some(cp)
+        cur = cp
+      }
+    }
+    cur
+  }
+
   /** The distinct-word table segmented under a trained merge list:
-    * (word, freq, symbols). Merge application is the same fold as
-    * training, composed on the word table — real vocabularies are
-    * 10k-50k merges, so the fold localCheckpoints every 64 layers to
-    * keep Catalyst analysis depth bounded (the same blowup train's
-    * loop avoids). */
+    * (word, freq, symbols). */
   def segmentWords(df: DataFrame, textCol: String,
       merges: Seq[(String, String)], marker: String = "</w>"): DataFrame =
-    merges.zipWithIndex.foldLeft(initSymbols(wordFreq(df, textCol), marker)) {
-      case (acc, ((a, b), i)) =>
-        val next = acc.withColumn("symbols", mergePair(col("symbols"), a, b))
-        if ((i + 1) % 64 == 0) next.localCheckpoint() else next
-    }
+    applyMerges(initSymbols(wordFreq(df, textCol), marker), merges)
 
   /** Corpus-wide subword unit counts under a trained merge list. */
   def subwordCounts(df: DataFrame, textCol: String,
@@ -127,15 +141,11 @@ object Bpe {
       .select(col("freq"), explode(col("symbols")).as("subword"))
       .groupBy("subword").agg(sum(col("freq")).as("n"))
 
-  /** The tokenizer's id table (GPT-2-style layout): base symbols —
-    * every distinct character in the corpus plus the end marker,
-    * lexicographically — take ids 0..nBase-1, then one id per merge in
-    * learned rank order. Bounded by vocab size; broadcastable. */
-  def vocabDf(df: DataFrame, textCol: String,
-      merges: Seq[(String, String)], marker: String = "</w>"): DataFrame = {
-    val spark = df.sparkSession
+  private def vocabFromWords(words: DataFrame,
+      merges: Seq[(String, String)], marker: String): DataFrame = {
+    val spark = words.sparkSession
     import spark.implicits._
-    val base = wordFreq(df, textCol)
+    val base = words
       .select(explode(split(col("word"), "")).as("token"))
       .distinct().orderBy("token")
       .as[String].collect().toSeq :+ marker
@@ -144,25 +154,50 @@ object Bpe {
       .toDF("token", "token_id")
   }
 
+  /** The tokenizer's id table (GPT-2-style layout): base symbols —
+    * every distinct character in the corpus plus the end marker,
+    * lexicographically — take ids 0..nBase-1, then one id per merge in
+    * learned rank order. Bounded by vocab size; broadcastable.
+    *
+    * A vocabulary is a TRAINING-TIME artifact: build it ONCE from the
+    * training corpus, persist it next to the merge list, and pass it
+    * into every [[encodeDocs]] call — deriving it per-shard would
+    * renumber every id whenever a shard's character set differs. */
+  def vocabDf(df: DataFrame, textCol: String,
+      merges: Seq[(String, String)], marker: String = "</w>"): DataFrame =
+    vocabFromWords(wordFreq(df, textCol), merges, marker)
+
   /** THE last mile: documents to model-ready token-id sequences.
     * Words explode with positions, join their segmentation from the
     * broadcast word table, subwords map to ids through the broadcast
     * vocab, and one id-keyed exchange reassembles each document in
     * order. The corpus-sized side shuffles exactly once (the
     * reassembly), carrying int ids — not text.
+    *
+    * Pass the persisted training-corpus [[vocabDf]] as `vocab` when
+    * encoding shards/new data so ids stay consistent across calls (and
+    * subwords outside it are DROPPED from the output — count them via
+    * [[Mixing.oovRate]]-style coverage checks first); the None default
+    * derives vocab from `df` itself, which is only correct
+    * single-corpus use. Docs with no tokens (empty/whitespace text)
+    * produce no output row, like [[Dsir.importanceWeights]] — join
+    * back by id when you need them represented.
     * Output: (id, n_tokens, n_subwords, token_ids: array<long>). */
   def encodeDocs(df: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)], marker: String = "</w>"): DataFrame = {
-    val seg = broadcast(segmentWords(df, textCol, merges, marker)
+      merges: Seq[(String, String)], marker: String = "</w>",
+      vocab: Option[DataFrame] = None): DataFrame = {
+    val wf = wordFreq(df, textCol)
+    val seg = broadcast(applyMerges(initSymbols(wf, marker), merges)
       .select(col("word"), col("symbols")))
-    val vocab = broadcast(vocabDf(df, textCol, merges, marker))
+    val voc = broadcast(
+      vocab.getOrElse(vocabFromWords(wf, merges, marker)))
     val words = df.select(col(idCol).as("id"),
         posexplode(Text.tokens(col(textCol))).as(Seq("wpos", "word")))
       .filter(length(col("word")) > 0)
     val subs = words.join(seg, "word")
       .select(col("id"), col("wpos"),
         posexplode(col("symbols")).as(Seq("spos", "token")))
-      .join(vocab, "token")
+      .join(voc, "token")
     subs
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("wpos"), col("spos"),
@@ -179,7 +214,8 @@ object Bpe {
     * [[encodeDocs]]: the counts need only each word's segment SIZE
     * from the broadcast word table, so the corpus pass is one word
     * explode + broadcast join + agg — no subword-level row explosion,
-    * no per-doc sequence reassembly (measured 12x cheaper at sf0.1). */
+    * no per-doc sequence reassembly (measured 12x cheaper at sf0.1).
+    * Docs with no tokens are omitted, like [[encodeDocs]]. */
   def fertility(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], marker: String = "</w>"): DataFrame = {
     val segSizes = broadcast(segmentWords(df, textCol, merges, marker)

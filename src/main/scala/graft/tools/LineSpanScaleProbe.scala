@@ -39,6 +39,7 @@ object LineSpanScaleProbe {
       val n = f.count()
       println(f"$label%-44s ${(System.nanoTime() - t0) / 1e9}%8.3f s   rows=$n")
       Dedup.releaseCaches()
+      Lines.releaseCaches()
     }
 
     // multi-line re-wrap (the graded corpus shape) at both scales

@@ -109,6 +109,25 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("a shared vocab keeps token ids stable across shards") {
+    val merges = Bpe.train(corpus, "text", 12, 2L).map(m => (m._1, m._2))
+    val vocab = Bpe.vocabDf(corpus, "text", merges)
+    // shard B's character set differs (digits 6-9 absent from shard A)
+    val shardA = corpus.filter(col("doc_id") === 0L)
+    val shardB = corpus.filter(col("doc_id") === 1L)
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      Bpe.encodeDocs(df, "doc_id", "text", merges, vocab = Some(vocab))
+        .as[(Long, Long, Long, Seq[Long])].collect().map(r => r._1 -> r._4).toMap
+    val sharded = enc(shardA) ++ enc(shardB)
+    val whole = enc(corpus)
+    assert(sharded == whole) // same ids regardless of sharding
+    // without the shared vocab, per-shard derivation would renumber:
+    // the test corpus makes the shards' char sets genuinely differ
+    val aChars = shardA.select(explode(split(col("text"), ""))).distinct().count()
+    val bChars = shardB.select(explode(split(col("text"), ""))).distinct().count()
+    assert(aChars != bChars)
+  }
+
   test("fertility is 1.0 exactly when every word is a single subword") {
     val d = Seq((0L, "low low low")).toDF("doc_id", "text")
     // enough merges to fully fuse "low</w>"
