@@ -187,8 +187,13 @@ object Bpe {
       merges: Seq[(String, String)], marker: String = "</w>",
       vocab: Option[DataFrame] = None): DataFrame = {
     val wf = wordFreq(df, textCol)
+    // localCheckpoint BEFORE broadcasting: the segmented symbols column
+    // is otherwise a numMerges-deep interpreted-fold EXPRESSION, and
+    // the downstream Generate (posexplode) re-evaluates such exprs per
+    // output row — measured 30x on this stage (cf. the staging pitfall
+    // on Dedup.shingleHashRows). Checkpointing ships plain arrays.
     val seg = broadcast(applyMerges(initSymbols(wf, marker), merges)
-      .select(col("word"), col("symbols")))
+      .select(col("word"), col("symbols")).localCheckpoint())
     val voc = broadcast(
       vocab.getOrElse(vocabFromWords(wf, merges, marker)))
     val words = df.select(col(idCol).as("id"),

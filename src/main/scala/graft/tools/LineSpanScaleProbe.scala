@@ -84,6 +84,18 @@ object LineSpanScaleProbe {
       val m10 = graft.llm.Bpe.train(d10, "text", 12)
       println(f"bpe.train(12)         50k docs        ${(System.nanoTime() - t1) / 1e9}%8.3f s   merges=${m10.size}")
       println("merge sequences equal: " + (m1.map(m => (m._1, m._2)) == m10.map(m => (m._1, m._2))))
+      val mergesShared = m1.map(m => (m._1, m._2))
+      val vocabShared = graft.llm.Bpe.vocabDf(d1, "text", mergesShared)
+      time("bpe.fertility          5k docs")(
+        graft.llm.Bpe.fertility(d1, "doc_id", "text", mergesShared))
+      time("bpe.fertility         50k docs")(
+        graft.llm.Bpe.fertility(d10, "doc_id", "text", mergesShared))
+      time("bpe.encodeDocs         5k docs")(
+        graft.llm.Bpe.encodeDocs(d1, "doc_id", "text", mergesShared,
+          vocab = Some(vocabShared)))
+      time("bpe.encodeDocs        50k docs")(
+        graft.llm.Bpe.encodeDocs(d10, "doc_id", "text", mergesShared,
+          vocab = Some(vocabShared)))
     }
     spark.stop()
   }
