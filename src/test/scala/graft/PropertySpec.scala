@@ -200,6 +200,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("stripBoilerplate above any line's doc-frequency is the identity") {
+    // multi-line docs from a tiny line alphabet (collisions guaranteed)
+    val lineGen = Gen.oneOf("cookie banner", "nav menu", "body a",
+      "body b", "footer")
+    val mlDocGen = Gen.chooseNum(1, 5)
+      .flatMap(n => Gen.listOfN(n, lineGen)).map(_.mkString("\n"))
+    samples(Gen.nonEmptyListOf(mlDocGen), n = 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.llm.Lines
+        .stripBoilerplate(df, "doc_id", "text", texts.size + 1)
+        .select("id", "clean_text", "n_lines_dropped")
+        .as[(Long, String, Long)].collect()
+      assert(out.forall(_._3 == 0L))
+      assert(out.map(r => r._1 -> r._2).toMap ==
+        texts.zipWithIndex.map { case (t, i) => i.toLong -> t }.toMap)
+      graft.llm.Lines.releaseCaches()
+    }
+  }
+
+  test("removeRepeatedSpans on an all-unique corpus is whitespace-normalization") {
+    // per-doc disjoint token alphabets -> no n-gram can repeat
+    samples(Gen.chooseNum(2, 5), n = 5).foreach { nDocs =>
+      val texts = (0 until nDocs).map(d =>
+        (1 to 25).map(i => s"d${d}w$i").mkString(" "))
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Dedup.removeRepeatedSpans(df, "doc_id", "text", n = 5)
+        .select("id", "clean_text", "n_tokens_removed")
+        .as[(Long, String, Long)].collect()
+      assert(out.forall(_._3 == 0L))
+      assert(out.map(r => r._1 -> r._2).toMap ==
+        texts.zipWithIndex.map { case (t, i) => i.toLong -> t }.toMap)
+      Dedup.releaseCaches()
+    }
+  }
+
+  test("bpe pairCounts mass equals sum of (len(word)) * freq") {
+    // every adjacency (including word->marker) counted exactly once:
+    // a word of L chars + marker has L pairs
+    samples(Gen.nonEmptyListOf(docGen), n = 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val pairs = graft.llm.Bpe.pairCounts(graft.llm.Bpe.initSymbols(
+          graft.llm.Bpe.wordFreq(df, "text")))
+        .agg(sum(col("cnt"))).as[Long].collect().head
+      val words = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      assert(pairs == words.map(_.length.toLong).sum)
+    }
+  }
+
   test("withHashSplit buckets are a pure function of the key value") {
     samples(Gen.nonEmptyListOf(Gen.chooseNum(-1000L, 1000L)), n = 5)
       .foreach { ks =>
