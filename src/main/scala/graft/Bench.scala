@@ -36,6 +36,7 @@ object Bench {
       graft.llm.Dedup.releaseCaches()
       graft.llm.Mixing.releaseCaches()
       graft.llm.Lines.releaseCaches()
+      graft.llm.Bpe.releaseCaches()
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1))
     }
     graft.llm.Similarity.clearIvfCache()

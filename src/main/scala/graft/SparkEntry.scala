@@ -623,10 +623,10 @@ object SparkEntry {
       graft.llm.Bpe.mergesDf(t(s, d, "documents"), "text", 12)),
 
     "q_bpe_fertility" -> ((s, d) => {
-      // rows-only: train 12 merges, encode every doc to token ids,
-      // report tokens/subwords/fertility (iterative training not
-      // expressible in one SQL statement; BpeSpec round-trips the
-      // encoding exactly)
+      // rows-only: train 12 merges, report per-doc tokens/subwords/
+      // fertility from broadcast segment SIZES (the id-materializing
+      // encodeDocs path is exercised by BpeSpec + the scale probe, not
+      // this query; iterative training isn't SQL-expressible)
       val docs = t(s, d, "documents")
       val merges = graft.llm.Bpe.train(docs, "text", 12)
         .map(m => (m._1, m._2))

@@ -26,6 +26,7 @@ object Verify {
       graft.llm.Dedup.releaseCaches()
       graft.llm.Mixing.releaseCaches()
       graft.llm.Lines.releaseCaches()
+      graft.llm.Bpe.releaseCaches()
     }
     graft.llm.Similarity.clearIvfCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

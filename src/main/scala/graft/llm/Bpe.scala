@@ -18,6 +18,33 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
+  /** Checkpoint tracking: [[applyMerges]] and [[encodeDocs]] pin
+    * localCheckpoints of the word table (a few MB-GB, bounded by
+    * distinct-word cardinality). Unlike [[Dedup.releaseCaches]], a
+    * released CHECKPOINT cannot recompute — call [[releaseCaches]]
+    * only after the consuming action, when the returned frames are
+    * discarded (Verify/Bench do exactly that per query). Without a
+    * release, blocks live until the driver GCs the plan (Spark's
+    * ContextCleaner). */
+  private val trackedCheckpoints =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def trackCp(df: DataFrame): DataFrame = {
+    trackedCheckpoints.add(df)
+    df
+  }
+
+  /** Unpersist every checkpoint pinned since the last release. Only
+    * call once frames returned by this object are no longer needed —
+    * checkpoint-backed frames cannot recompute after release. */
+  def releaseCaches(): Unit = {
+    var df = trackedCheckpoints.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = trackedCheckpoints.poll()
+    }
+  }
+
   /** (word, freq) over whitespace tokens of the normalized text — the
     * pre-count that makes BPE training corpus-size-independent. */
   def wordFreq(df: DataFrame, textCol: String): DataFrame =
@@ -125,6 +152,9 @@ object Bpe {
         cur = cp
       }
     }
+    // the FINAL checkpoint backs the returned frame — it stays pinned
+    // until the caller is done (released via [[releaseCaches]])
+    lastCp.foreach(trackCp)
     cur
   }
 
@@ -149,7 +179,12 @@ object Bpe {
       .select(explode(split(col("word"), "")).as("token"))
       .distinct().orderBy("token")
       .as[String].collect().toSeq :+ marker
-    val all = base ++ merges.map { case (a, b) => a + b }
+    // distinct: two merges can concatenate to the same string (('a','bc')
+    // and ('ab','c') both yield "abc"), and web-ish text can even learn a
+    // merge equal to the marker — first definition wins, so the table
+    // stays one id per token string (a duplicate would fan out the
+    // encode join and corrupt token_ids)
+    val all = (base ++ merges.map { case (a, b) => a + b }).distinct
     all.zipWithIndex.map { case (t, i) => (t, i.toLong) }
       .toDF("token", "token_id")
   }
@@ -190,12 +225,16 @@ object Bpe {
     // localCheckpoint BEFORE broadcasting: the segmented symbols column
     // is otherwise a numMerges-deep interpreted-fold EXPRESSION, and
     // the downstream Generate (posexplode) re-evaluates such exprs per
-    // output row — measured 30x on this stage (cf. the staging pitfall
-    // on Dedup.shingleHashRows). Checkpointing ships plain arrays.
-    val seg = broadcast(applyMerges(initSymbols(wf, marker), merges)
+    // output row — measured ~25x on this stage, 15 s -> 0.6 s at sf0.1
+    // (cf. the staging pitfall on Dedup.shingleHashRows). Checkpointing
+    // ships plain arrays.
+    val segCp = trackCp(applyMerges(initSymbols(wf, marker), merges)
       .select(col("word"), col("symbols")).localCheckpoint())
+    val seg = broadcast(segCp)
+    // default-vocab base chars come from the MATERIALIZED word table,
+    // not a second wordFreq pass over the corpus
     val voc = broadcast(
-      vocab.getOrElse(vocabFromWords(wf, merges, marker)))
+      vocab.getOrElse(vocabFromWords(segCp, merges, marker)))
     val words = df.select(col(idCol).as("id"),
         posexplode(Text.tokens(col(textCol))).as(Seq("wpos", "word")))
       .filter(length(col("word")) > 0)

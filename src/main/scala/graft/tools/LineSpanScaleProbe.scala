@@ -40,6 +40,7 @@ object LineSpanScaleProbe {
       println(f"$label%-44s ${(System.nanoTime() - t0) / 1e9}%8.3f s   rows=$n")
       Dedup.releaseCaches()
       Lines.releaseCaches()
+      graft.llm.Bpe.releaseCaches()
     }
 
     // multi-line re-wrap (the graded corpus shape) at both scales

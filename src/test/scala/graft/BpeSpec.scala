@@ -112,7 +112,9 @@ class BpeSpec extends SparkSpec {
   test("a shared vocab keeps token ids stable across shards") {
     val merges = Bpe.train(corpus, "text", 12, 2L).map(m => (m._1, m._2))
     val vocab = Bpe.vocabDf(corpus, "text", merges)
-    // shard B's character set differs (digits 6-9 absent from shard A)
+    // the shards' character sets genuinely differ: doc 0 has
+    // {l,o,w,e,r,n,s,t}, doc 1 has {n,e,w,s,t,i,d} — per-shard vocab
+    // derivation would renumber ids
     val shardA = corpus.filter(col("doc_id") === 0L)
     val shardB = corpus.filter(col("doc_id") === 1L)
     def enc(df: org.apache.spark.sql.DataFrame) =
