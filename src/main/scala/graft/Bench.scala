@@ -37,13 +37,24 @@ object Bench {
       graft.llm.Mixing.releaseCaches()
       graft.llm.Lines.releaseCaches()
       graft.llm.Bpe.releaseCaches()
+      graft.llm.LanguageModel.releaseCaches()
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1))
     }
     graft.llm.Similarity.clearIvfCache()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    graft.llm.Dedup.clearCorpusStateCache()
+    // 4-decimal timings keep the one-line JSON short enough to survive
+    // log-tail capture; the full line is also persisted to a file so no
+    // per-query number is ever lost to truncation.
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -740,9 +740,15 @@ object SparkEntry {
       // exact fingerprints + cross-set minhash banding (hash-based,
       // not oracle-expressible)
       val docs = t(s, d, "documents")
-      Dedup.incrementalDedup(
+      // registry: the corpus fingerprint/signature state builds once
+      // per sf-dir and every batch dedups against the cached frames
+      // (build-once/ingest-many contract, like ivfIndexFor)
+      val st = Dedup.corpusDedupStateFor(
+        docs.filter(col("doc_id") < 400), "doc_id", "text",
+        cacheKey = d + "#documents:doc_id<400")
+      Dedup.incrementalDedupWithState(
         docs.filter(col("doc_id") >= 400 && col("doc_id") < 600),
-        docs.filter(col("doc_id") < 400), "doc_id", "text")
+        st, "doc_id", "text")
         .select(col("doc_id"))
     }),
 
@@ -1617,7 +1623,7 @@ object SparkEntry {
          sy AS (
            SELECT freq, list_append(string_split(word, ''), '</w>') AS s
            FROM wf)
-         SELECT s[i] AS lhs, s[i+1] AS rhs, sum(freq) AS cnt
+         SELECT s[i] AS lhs, s[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
          FROM sy, unnest(range(1, len(s))) AS u(i)
          GROUP BY 1, 2""",
 

@@ -27,8 +27,10 @@ object Verify {
       graft.llm.Mixing.releaseCaches()
       graft.llm.Lines.releaseCaches()
       graft.llm.Bpe.releaseCaches()
+      graft.llm.LanguageModel.releaseCaches()
     }
     graft.llm.Similarity.clearIvfCache()
+    graft.llm.Dedup.clearCorpusStateCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -13,6 +13,30 @@ import org.apache.spark.sql.functions._
   */
 object LanguageModel {
 
+  /** Same tracked-persist contract as [[Dedup]]: [[bigramScore]] caches
+    * its exploded bigram frame — it feeds three frequency aggregations
+    * plus the final join, so without the cache the corpus-wide
+    * tokenize+explode runs four times. Long-lived drivers call
+    * [[releaseCaches]] after the consuming action; a released frame is
+    * recomputed on next use, never wrong. */
+  private val trackedCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackedCaches.add(p)
+    p
+  }
+
+  /** Unpersist every frame cached by this object since last release. */
+  def releaseCaches(): Unit = {
+    var df = trackedCaches.poll()
+    while (df != null) {
+      df.unpersist(blocking = false)
+      df = trackedCaches.poll()
+    }
+  }
+
   /** (idCol, n_tokens, avg_logp) per document, where avg_logp is the
     * mean natural-log unigram probability of the doc's tokens (token
     * probabilities are corpus-relative frequencies).
@@ -79,11 +103,13 @@ object LanguageModel {
       Text.tokens(lower(col(textCol))).as("t"))
     val starts = when(size(col("t")) >= 2,
       sequence(lit(2), size(col("t")))).otherwise(array())
-    val bg = toks
+    // persisted: bg feeds bfreq/sfreq/uni AND the final join — four
+    // corpus-wide tokenize+explode scans without the cache
+    val bg = persistTracked(toks
       .select(col("id"), col("t"), explode(starts).as("i"))
       .select(col("id"),
         element_at(col("t"), col("i") - 1).as("w1"),
-        element_at(col("t"), col("i")).as("w2"))
+        element_at(col("t"), col("i")).as("w2")))
     val bfreq = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val sfreq = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val uni = bg.groupBy("w2").agg(count(lit(1)).as("c"))

@@ -162,7 +162,11 @@ object StreamOps {
     * (text is scanned, never shuffled). A deployment at corpus scale
     * persists the signature frames between batches instead of
     * re-deriving them — the operator seam for that is
-    * [[graft.llm.Dedup.incrementalDedup]]'s corpus argument. */
+    * [[graft.llm.Dedup.corpusDedupStateFor]] +
+    * [[graft.llm.Dedup.incrementalDedupWithState]], invalidating (or
+    * appending the accepted batch's signatures to) the state after
+    * each upsert; here the corpus mutates every batch, so this
+    * demonstration derives it inline. */
   def nearDedupIngest(df: DataFrame, store: KeyedStore, idCol: String,
       textCol: String, checkpoint: String, triggerMs: Long = 1000L)
       : org.apache.spark.sql.streaming.StreamingQuery =

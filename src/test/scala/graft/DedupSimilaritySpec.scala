@@ -189,6 +189,49 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Seq(12L, 13L))
   }
 
+  test("corpusDedupStateFor: batches dedup without rescanning corpus text") {
+    val baseA = "the quick brown fox jumps over the lazy dog while the " +
+      "patient observer writes down every single movement it makes in " +
+      "the quiet golden afternoon light today"
+    val dir = tmpDir("graft-corpus-state")
+    Seq(
+      (0L, baseA),
+      (1L, "completely different content about spark query engines and shuffles here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val cacheKey = s"spec:$dir"
+    val st = Dedup.corpusDedupStateFor(spark.read.parquet(dir),
+      "doc_id", "text", cacheKey)
+    // HARD proof of the no-rescan contract: delete the corpus parquet
+    // behind the state — any batch that touches corpus text (instead of
+    // the cached fingerprint/signature frames) now throws.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    Files.walk(Paths.get(dir)).iterator().asScala.toSeq.reverse
+      .foreach(Files.delete)
+    val batch1 = Seq(
+      (10L, baseA),                             // exact dup of corpus 0
+      (11L, baseA.replace("today", "tonight")), // near dup of corpus 0
+      (12L, "a genuinely fresh document with vocabulary nothing else shares at all"))
+      .toDF("doc_id", "text")
+    val kept1 = Dedup.incrementalDedupWithState(batch1, st, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept1 == Seq(12L))
+    // second batch against the same registry entry — still no corpus read
+    val batch2 = Seq(
+      (20L, baseA),                             // exact dup of corpus 0
+      (21L, "another entirely novel body of words unseen in any prior document"))
+      .toDF("doc_id", "text")
+    val kept2 = Dedup.incrementalDedupWithState(batch2, st, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept2 == Seq(21L))
+    // the registry returns the SAME state instance for the key (no rebuild)
+    assert(Dedup.corpusDedupStateFor(spark.emptyDataFrame, "doc_id",
+      "text", cacheKey) eq st)
+    Dedup.releaseCaches()
+    Dedup.invalidateCorpusState(cacheKey)
+  }
+
   test("semanticDedup keeps one member per planted near-dup pair") {
     // same seeded corpus shape as the banded-LSH test: 10 planted
     // near-identical pairs + 20 unrelated vectors; near-identical
