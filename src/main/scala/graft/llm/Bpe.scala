@@ -87,17 +87,145 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
+  /** True iff `sym` contains pair (a, b) at some adjacent position —
+    * as a codegen'd string containment over the space-joined array
+    * (tokens are whitespace-split upstream, so no symbol can contain a
+    * space), NOT an interpreted positional HOF: this predicate runs
+    * over the full word table every merge and is the reason
+    * incremental training can afford per-merge scans. */
+  private def hasAdjacentPair(sym: Column, a: String, b: String): Column =
+    concat(lit(" "), array_join(sym, " "), lit(" "))
+      .contains(" " + a + " " + b + " ")
+
   /** Train `numMerges` BPE merges. Ties break deterministically by
     * (count desc, left asc, right asc) — fixed across engines and
     * partitionings. Stops early when no pair reaches `minCount`.
     * Returns the learned merge list in order.
     *
-    * Each iteration localCheckpoints the re-merged symbol table:
-    * without it the plan nests one interpreted fold per merge and
-    * analysis cost grows quadratically in numMerges. */
+    * SIZE-GATED between two spec-equivalent trainers (the same
+    * adaptive pattern as the size-gated Spearman): word tables at or
+    * above `incrementalMinWords` train incrementally
+    * ([[trainIncremental]] — the vocabulary-scale path, measured 5.2x
+    * faster per merge at 2M words and widening with table size,
+    * SCALING.md); smaller tables use the definitional full recount
+    * ([[trainFullRecount]]), whose single cheap re-agg beats the
+    * incremental path's four small jobs per merge when the table is
+    * tiny (fixed scheduler overhead dominates). The word table is
+    * materialized either way, so the gate's count() is nearly free. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-      minCount: Long = 2L, marker: String = "</w>"): Seq[(String, String, Long)] = {
-    var syms = initSymbols(wordFreq(df, textCol), marker).localCheckpoint()
+      minCount: Long = 2L, marker: String = "</w>",
+      incrementalMinWords: Long = 100000L): Seq[(String, String, Long)] = {
+    require(!marker.exists(_.isWhitespace),
+      "end-of-word marker must not contain whitespace")
+    val syms = initSymbols(wordFreq(df, textCol), marker).localCheckpoint()
+    if (syms.count() >= incrementalMinWords)
+      trainIncrementalFromSyms(syms, numMerges, minCount)
+    else trainRecountFromSyms(syms, numMerges, minCount)
+  }
+
+  /** The vocabulary-scale trainer (the fastBPE/Sennrich
+    * incremental-counts optimization, distributed): the adjacent-pair
+    * frequency table is built ONCE from the initial symbol table and
+    * then maintained by DELTAS — merging (a,b) only changes the pair
+    * statistics of words that contain (a,b) adjacently, so each
+    * iteration (1) argmaxes the persisted pair table, (2) re-merges
+    * ONLY the affected words (codegen'd containment filter; the
+    * interpreted fold runs on the affected subset, which shrinks as
+    * training proceeds), (3) applies their old-minus-new pair-count
+    * delta. Per-merge aggregation cost is bounded by affected-word
+    * volume, not the word table — full re-aggregation pays the whole
+    * positions-explode + shuffle every merge, which at 10k-50k-merge
+    * production vocabularies is 10k-50k corpus-derived aggs.
+    * Equivalence with the definitional recount is spec-enforced
+    * (BpeSpec) and re-asserted inside the scale probe. */
+  private[graft] def trainIncremental(df: DataFrame, textCol: String,
+      numMerges: Int, minCount: Long = 2L,
+      marker: String = "</w>"): Seq[(String, String, Long)] = {
+    require(!marker.exists(_.isWhitespace),
+      "end-of-word marker must not contain whitespace")
+    trainIncrementalFromSyms(
+      initSymbols(wordFreq(df, textCol), marker).localCheckpoint(),
+      numMerges, minCount)
+  }
+
+  /** Incremental-delta training loop over a pre-materialized
+    * (word, freq, symbols) checkpoint (consumed: unpersisted on exit).
+    * Each iteration localCheckpoints the updated tables: without it
+    * the plan nests one interpreted fold per merge and analysis cost
+    * grows quadratically in numMerges. */
+  private def trainIncrementalFromSyms(syms0: DataFrame, numMerges: Int,
+      minCount: Long): Seq[(String, String, Long)] = {
+    var syms = syms0
+    // unaffected ∪ re-merged concatenates partition lists; without the
+    // per-iteration coalesce the word table's partition count DOUBLES
+    // every merge (exponential scheduler death long before 1k merges)
+    val nPart = math.max(1, syms.rdd.getNumPartitions)
+    var counts = pairCounts(syms).localCheckpoint()
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val top = counts
+        .orderBy(col("cnt").desc, col("left"), col("right"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getAs[Long]("cnt") < minCount) done = true
+      else {
+        val (a, b, c) = (top(0).getAs[String]("left"),
+          top(0).getAs[String]("right"), top(0).getAs[Long]("cnt"))
+        merges += ((a, b, c))
+        // affected words only: old and merged symbols side by side
+        val aff = syms.filter(hasAdjacentPair(col("symbols"), a, b))
+          .select(col("word"), col("freq"), col("symbols"),
+            mergePair(col("symbols"), a, b).as("merged"))
+          .localCheckpoint()
+        // delta = new pair stats of affected words minus their old ones;
+        // the merged pair's own rows cancel to exactly zero (greedy
+        // re-merge leaves no adjacent (a,b) behind)
+        val delta = pairCounts(aff.select(col("merged").as("symbols"),
+            col("freq")))
+          .union(pairCounts(aff.select(col("symbols"),
+            (-col("freq")).as("freq"))))
+        val nextCounts = counts.union(delta)
+          .groupBy("left", "right").agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") > 0)
+          .localCheckpoint()
+        val next = syms.filter(!hasAdjacentPair(col("symbols"), a, b))
+          .union(aff.select(col("word"), col("freq"),
+            col("merged").as("symbols")))
+          .coalesce(nPart)
+          .localCheckpoint()
+        aff.unpersist(blocking = false)
+        counts.unpersist(blocking = false)
+        syms.unpersist(blocking = false)
+        counts = nextCounts
+        syms = next
+        i += 1
+      }
+    }
+    syms.unpersist(blocking = false)
+    counts.unpersist(blocking = false)
+    merges.result()
+  }
+
+  /** The definitional trainer — full pair-count re-aggregation over
+    * the word table every merge (Sennrich et al.'s algorithm as
+    * written). The equivalence oracle for [[trainIncremental]], and
+    * the path [[train]]'s size gate picks for small word tables (one
+    * cheap re-agg per merge beats four small jobs there); at
+    * production vocabularies its per-merge full-table shuffle is the
+    * non-scalable part — use [[train]]. */
+  private[graft] def trainFullRecount(df: DataFrame, textCol: String,
+      numMerges: Int, minCount: Long = 2L,
+      marker: String = "</w>"): Seq[(String, String, Long)] =
+    trainRecountFromSyms(
+      initSymbols(wordFreq(df, textCol), marker).localCheckpoint(),
+      numMerges, minCount)
+
+  /** Full-recount training loop over a pre-materialized symbol
+    * checkpoint (consumed: unpersisted on exit). */
+  private def trainRecountFromSyms(syms0: DataFrame, numMerges: Int,
+      minCount: Long): Seq[(String, String, Long)] = {
+    var syms = syms0
     val merges = Seq.newBuilder[(String, String, Long)]
     var i = 0
     var done = false
@@ -210,14 +338,16 @@ object Bpe {
     * reassembly), carrying int ids — not text.
     *
     * Pass the persisted training-corpus [[vocabDf]] as `vocab` when
-    * encoding shards/new data so ids stay consistent across calls (and
-    * subwords outside it are DROPPED from the output — count them via
-    * [[Mixing.oovRate]]-style coverage checks first); the None default
-    * derives vocab from `df` itself, which is only correct
-    * single-corpus use. Docs with no tokens (empty/whitespace text)
-    * produce no output row, like [[Dsir.importanceWeights]] — join
-    * back by id when you need them represented.
-    * Output: (id, n_tokens, n_subwords, token_ids: array<long>). */
+    * encoding shards/new data so ids stay consistent across calls; the
+    * None default derives vocab from `df` itself, which is only
+    * correct single-corpus use. Subwords OUTSIDE the vocab are dropped
+    * from `token_ids` but COUNTED per row in `n_oov` (vocab attach is
+    * a left join, not an inner join, precisely so shard-encoding loss
+    * is detectable row-by-row — a doc that decodes to different text
+    * always shows n_oov > 0). Docs with no tokens (empty/whitespace
+    * text) produce no output row, like [[Dsir.importanceWeights]] —
+    * join back by id when you need them represented.
+    * Output: (id, n_tokens, n_subwords, n_oov, token_ids: array<long>). */
   def encodeDocs(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)], marker: String = "</w>",
       vocab: Option[DataFrame] = None): DataFrame = {
@@ -241,14 +371,18 @@ object Bpe {
     val subs = words.join(seg, "word")
       .select(col("id"), col("wpos"),
         posexplode(col("symbols")).as(Seq("spos", "token")))
-      .join(voc, "token")
+      .join(voc, Seq("token"), "left")
     subs
       .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("wpos"), col("spos"),
-          col("token_id")))).as("xs"),
-        count_distinct(col("wpos")).as("n_tokens"))
+      // collect_list skips nulls, so the OOV rows (no token_id) fall
+      // out of the sequence while still being counted
+      .agg(array_sort(collect_list(when(col("token_id").isNotNull,
+          struct(col("wpos"), col("spos"), col("token_id"))))).as("xs"),
+        count_distinct(col("wpos")).as("n_tokens"),
+        sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_oov"))
       .select(col("id"), col("n_tokens").cast("long").as("n_tokens"),
         size(col("xs")).cast("long").as("n_subwords"),
+        col("n_oov").cast("long").as("n_oov"),
         col("xs.token_id").as("token_ids"))
   }
 

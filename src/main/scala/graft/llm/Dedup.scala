@@ -342,11 +342,35 @@ object Dedup {
       }
     }
 
+  /** Extend corpus state with an accepted batch WITHOUT rescanning the
+    * corpus: union the batch's fingerprint/signature rows onto the
+    * state frames and localCheckpoint (eager, lineage-free — the chain
+    * stays flat across thousands of micro-batches instead of nesting
+    * one union per batch), then unpersist the superseded frames. Batch
+    * fingerprints need no re-distinct: accepted docs passed the exact
+    * anti-join, so their fingerprints are new and unique. The returned
+    * state REPLACES `st` (its frames are released); keep using the old
+    * reference only if you skip the release by rebuilding instead. */
+  def extendCorpusDedupState(st: CorpusDedupState, accepted: DataFrame,
+      idCol: String, textCol: String): CorpusDedupState = {
+    val k = st.bands * st.rowsPerBand
+    val fp = st.fingerprints
+      .union(accepted.select(Text.fingerprint(col(textCol)).as("fp")))
+      .localCheckpoint()
+    val sig = st.signatures
+      .union(signatureFrame(accepted, idCol, textCol, st.shingleN, k))
+      .localCheckpoint()
+    st.fingerprints.unpersist(blocking = false)
+    st.signatures.unpersist(blocking = false)
+    CorpusDedupState(fp, sig, st.shingleN, st.bands, st.rowsPerBand)
+  }
+
   /** [[incrementalDedup]] against pre-built corpus state: per-batch
     * cost scales with the BATCH alone — the corpus contributes only
     * its cached fingerprint/signature frames (no text rescan). This is
     * the production per-batch entry point; pair with
-    * [[corpusDedupStateFor]] for build-once/ingest-many. */
+    * [[corpusDedupStateFor]] for build-once/ingest-many and
+    * [[extendCorpusDedupState]] to absorb accepted batches. */
   def incrementalDedupWithState(newDocs: DataFrame,
       state: CorpusDedupState, idCol: String, textCol: String,
       minEstJaccard: Double = 0.7): DataFrame = {
@@ -764,9 +788,16 @@ object Dedup {
   private def spanHashRows(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     // case-SENSITIVE grams: span dedup rewrites the original text, so
-    // "The cat" and "the cat" are different spans
+    // "The cat" and "the cat" are different spans. TWO independent
+    // 64-bit hashes (the second salted) form an effective 128-bit key:
+    // span dedup DELETES text, and at ~1e12 windows (100 TB) single
+    // 64-bit birthday collisions are expected (~3%/group at 2^32
+    // distinct) and would falsely excise spans from innocent documents;
+    // at 128 bits the collision odds are ~1e-14 — accepted. Costs 8
+    // extra bytes per window row in the count shuffle.
     ngramRows(df, idCol, textCol, n, lowercase = false)
-      .select(col("id"), col("pos"), xxhash64(col("gram")).as("h"))
+      .select(col("id"), col("pos"), xxhash64(col("gram")).as("h"),
+        xxhash64(lit("graft-span-h2"), col("gram")).as("h2"))
 
   /** Repeated-substring detection at token-n-gram granularity (the
     * primitive behind exact substring dedup, Lee et al. 2022,
@@ -785,8 +816,8 @@ object Dedup {
     * token positions 1-based inclusive.
     *
     * Scale shape: the occurrence count is a map-side-combined hash agg
-    * on the 8-byte window hash; flagging joins it back keyed by the
-    * same hash (1:1 per window row — no pair fan-out, unlike the
+    * on the 128-bit (dual 64-bit) window hash; flagging joins it back
+    * keyed by the same pair (1:1 per window row — no pair fan-out, unlike the
     * similarity joins); run-merging is a per-doc window (partitioned by
     * id — parallelism = corpus size). `maxOcc` is the stop-phrase
     * valve: hashes above it (ubiquitous n-grams) are ignored the same
@@ -796,10 +827,10 @@ object Dedup {
       maxOcc: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = persistTracked(spanHashRows(df, idCol, textCol, n))
-    val dup = rows.groupBy("h").agg(count(lit(1)).as("occ"))
+    val dup = rows.groupBy("h", "h2").agg(count(lit(1)).as("occ"))
       .filter(col("occ") >= minOcc && col("occ") <= maxOcc)
-      .select("h")
-    val flagged = rows.join(dup, "h").select("id", "pos")
+      .select("h", "h2")
+    val flagged = rows.join(dup, Seq("h", "h2")).select("id", "pos")
     val w = Window.partitionBy("id").orderBy("pos")
     flagged
       .withColumn("__brk",
@@ -824,21 +855,21 @@ object Dedup {
     * by (id, pos), then the id-keyed reassembly) — inherent to exact
     * span surgery, the same trade [[Lines.stripBoilerplate]] makes at
     * line granularity. Everything upstream of those joins carries only
-    * (8-byte hash, id, int pos). Text is normalized (whitespace
+    * (16-byte dual hash, id, int pos). Text is normalized (whitespace
     * collapse) by reconstruction. */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 20, minOcc: Int = 2,
       maxOcc: Int = Int.MaxValue): DataFrame = {
     val rows = persistTracked(spanHashRows(df, idCol, textCol, n))
-    val dupKeeper = rows.groupBy("h")
+    val dupKeeper = rows.groupBy("h", "h2")
       .agg(count(lit(1)).as("occ"),
         min(struct(col("id"), col("pos"))).as("keep"))
       .filter(col("occ") >= minOcc && col("occ") <= maxOcc)
-      .select("h", "keep")
+      .select("h", "h2", "keep")
     // non-keeper duplicated window starts -> the token positions they
     // cover; sequence explode multiplies rows by n but each row is
     // (id, int) — no text
-    val covered = rows.join(dupKeeper, "h")
+    val covered = rows.join(dupKeeper, Seq("h", "h2"))
       .filter(!(col("id") === col("keep.id") && col("pos") === col("keep.pos")))
       .select(col("id"), explode(sequence(col("pos"),
         col("pos") + n - 1)).as("tpos"))

@@ -8,10 +8,13 @@ import org.apache.spark.sql.types._
   * (image/audio/video) ride as opaque `binary` columns with typed
   * metadata; decode / feature-extraction runs partition-batched.
   *
-  * The decode kernels themselves are STUBS (no media libraries in this
-  * container — deterministic fakes clearly marked below); everything
-  * Spark-side is real and tested: schema, partitioning, batch shape,
-  * null/corrupt handling.
+  * Two codecs are decoded FOR REAL, dependency-free: uncompressed
+  * 24-bpp BMP (pixel parse → luminance grid features, nearest-neighbor
+  * resize) and 16-bit PCM WAV (sample parse → windowed-RMS features).
+  * Payloads in any other format fall back to the clearly-marked
+  * deterministic STUB (no media libraries in this container for JPEG/
+  * PNG/MP3/...); everything Spark-side — schema, partitioning, batch
+  * shape, null/corrupt handling — is real and tested either way.
   *
   * Scale design: media bytes never enter a shuffle — decode happens in a
   * narrow `mapPartitions` projection before any wide op; downstream
@@ -21,6 +24,203 @@ import org.apache.spark.sql.types._
   * memory).
   */
 object Multimodal {
+
+  // ---- real dependency-free codecs: 24-bpp BMP and 16-bit PCM WAV ----
+
+  private def u16le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  private def i32le(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private[graft] def isBmp(b: Array[Byte]): Boolean =
+    b != null && b.length >= 2 && b(0) == 'B' && b(1) == 'M'
+
+  private[graft] def isWav(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Decoded image: width, height, and row-major TOP-DOWN per-pixel
+    * luminance in [0,1] (Rec.601 weights over the BGR samples). */
+  private[graft] final case class DecodedImage(width: Int, height: Int,
+      luma: Array[Float])
+
+  /** Parse an uncompressed 24-bpp BMP (BITMAPINFOHEADER or larger,
+    * BI_RGB) to row-major TOP-DOWN BGR bytes: rows are 4-byte aligned
+    * in the file, bottom-up unless height is negative. Returns None on
+    * any malformed/truncated/unsupported payload — a corrupt file must
+    * flag decode_ok=false, never throw. */
+  private[graft] def decodeBmpBgr(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    try {
+      if (!isBmp(b) || b.length < 54) return None
+      val pixelOff = i32le(b, 10)
+      val dibSize = i32le(b, 14)
+      if (dibSize < 40) return None // BITMAPCOREHEADER not supported
+      val width = i32le(b, 18)
+      val rawHeight = i32le(b, 22)
+      val bpp = u16le(b, 28)
+      val compression = i32le(b, 30)
+      if (width <= 0 || rawHeight == 0 || bpp != 24 || compression != 0)
+        return None
+      val height = math.abs(rawHeight)
+      val bottomUp = rawHeight > 0
+      val rowSize = ((width * 3 + 3) / 4) * 4
+      if (pixelOff < 0 || pixelOff.toLong + rowSize.toLong * height > b.length)
+        return None
+      val bgr = new Array[Byte](width * height * 3)
+      var y = 0
+      while (y < height) {
+        val srcRow = if (bottomUp) height - 1 - y else y
+        System.arraycopy(b, pixelOff + srcRow * rowSize,
+          bgr, y * width * 3, width * 3)
+        y += 1
+      }
+      Some((width, height, bgr))
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  private[graft] def decodeBmp(b: Array[Byte]): Option[DecodedImage] =
+    decodeBmpBgr(b).map { case (w, h, bgr) =>
+      val luma = new Array[Float](w * h)
+      var i = 0
+      while (i < luma.length) {
+        val bl = bgr(i * 3) & 0xff
+        val g = bgr(i * 3 + 1) & 0xff
+        val r = bgr(i * 3 + 2) & 0xff
+        luma(i) = (0.299f * r + 0.587f * g + 0.114f * bl) / 255.0f
+        i += 1
+      }
+      DecodedImage(w, h, luma)
+    }
+
+  /** Encode row-major top-down BGR pixels as a minimal uncompressed
+    * 24-bpp BMP (54-byte header, bottom-up, 4-byte-aligned rows). */
+  private[graft] def encodeBmp24(width: Int, height: Int,
+      bgr: Array[Byte]): Array[Byte] = {
+    require(bgr.length == width * height * 3, "bgr length mismatch")
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val fileSize = 54 + rowSize * height
+    val out = new Array[Byte](fileSize)
+    def w32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    w32(2, fileSize); w32(10, 54); w32(14, 40)
+    w32(18, width); w32(22, height)
+    out(26) = 1 // planes
+    out(28) = 24 // bpp
+    w32(34, rowSize * height)
+    var y = 0
+    while (y < height) {
+      // file rows are bottom-up; padding bytes stay zero
+      System.arraycopy(bgr, y * width * 3,
+        out, 54 + (height - 1 - y) * rowSize, width * 3)
+      y += 1
+    }
+    out
+  }
+
+  /** Nearest-neighbor resample of top-down BGR pixels. */
+  private[graft] def resampleBgr(bgr: Array[Byte], w: Int, h: Int,
+      ow: Int, oh: Int): Array[Byte] = {
+    val out = new Array[Byte](ow * oh * 3)
+    var y = 0
+    while (y < oh) {
+      val sy = (y.toLong * h / oh).toInt
+      var x = 0
+      while (x < ow) {
+        val sx = (x.toLong * w / ow).toInt
+        val src = (sy * w + sx) * 3
+        val dst = (y * ow + x) * 3
+        out(dst) = bgr(src); out(dst + 1) = bgr(src + 1)
+        out(dst + 2) = bgr(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decoded audio: sample rate and mono-mixed samples in [-1,1]. */
+  private[graft] final case class DecodedAudio(sampleRate: Int,
+      samples: Array[Float])
+
+  /** Parse a 16-bit PCM RIFF/WAVE payload (any channel count —
+    * channels are mono-mixed). Walks the chunk list (sizes padded to
+    * even per RIFF); None on malformed/truncated/non-PCM input. */
+  private[graft] def decodeWav(b: Array[Byte]): Option[DecodedAudio] = {
+    try {
+      if (!isWav(b)) return None
+      var off = 12
+      var channels = 0
+      var sampleRate = 0
+      var fmtOk = false
+      var samples: Array[Float] = null
+      while (off + 8 <= b.length) {
+        val id = new String(b, off, 4, "US-ASCII")
+        val size = i32le(b, off + 4)
+        if (size < 0 || off + 8 + size > b.length) return None
+        if (id == "fmt ") {
+          if (size < 16) return None
+          val audioFormat = u16le(b, off + 8)
+          channels = u16le(b, off + 10)
+          sampleRate = i32le(b, off + 12)
+          val bitsPerSample = u16le(b, off + 22)
+          fmtOk = audioFormat == 1 && bitsPerSample == 16 && channels > 0
+        } else if (id == "data") {
+          if (!fmtOk) return None // fmt must precede data
+          val nFrames = size / (2 * channels)
+          val out = new Array[Float](nFrames)
+          var f = 0
+          while (f < nFrames) {
+            var acc = 0.0f
+            var c = 0
+            while (c < channels) {
+              val s = (u16le(b, off + 8 + (f * channels + c) * 2)).toShort
+              acc += s / 32768.0f
+              c += 1
+            }
+            out(f) = acc / channels
+            f += 1
+          }
+          samples = out
+        }
+        off += 8 + size + (size & 1) // RIFF chunks pad to even
+      }
+      if (fmtOk && samples != null) Some(DecodedAudio(sampleRate, samples))
+      else None
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /** Mean-pool `xs` into `dim` contiguous cells (the grid feature for
+    * images, row-major; empty cells → 0). */
+  private[graft] def pooled(xs: Array[Float], dim: Int): Array[Float] =
+    Array.tabulate(dim) { i =>
+      val lo = (i.toLong * xs.length / dim).toInt
+      val hi = ((i + 1).toLong * xs.length / dim).toInt
+      if (hi <= lo) 0.0f
+      else {
+        var s = 0.0; var j = lo
+        while (j < hi) { s += xs(j); j += 1 }
+        (s / (hi - lo)).toFloat
+      }
+    }
+
+  /** RMS energy of `dim` contiguous windows (the audio feature). */
+  private[graft] def rmsWindows(xs: Array[Float], dim: Int): Array[Float] =
+    Array.tabulate(dim) { i =>
+      val lo = (i.toLong * xs.length / dim).toInt
+      val hi = ((i + 1).toLong * xs.length / dim).toInt
+      if (hi <= lo) 0.0f
+      else {
+        var s = 0.0; var j = lo
+        while (j < hi) { s += xs(j).toDouble * xs(j); j += 1 }
+        math.sqrt(s / (hi - lo)).toFloat
+      }
+    }
 
   /** Typed metadata accompanying every media payload. */
   val mediaSchema: StructType = StructType(Seq(
@@ -57,6 +257,19 @@ object Multimodal {
       ((h % 1000L).toFloat) / 1000.0f
     })
 
+  /** Decode dispatch: payloads with a BMP or WAV signature decode FOR
+    * REAL (luminance-grid / windowed-RMS features); a payload that
+    * CLAIMS a real codec but fails to parse is corrupt (None — never
+    * silently stubbed); anything else falls back to the deterministic
+    * stub. */
+  private[graft] def decodeFeature(payload: Array[Byte],
+      dim: Int): Option[Array[Float]] =
+    if (payload == null || payload.isEmpty) None
+    else if (isBmp(payload)) decodeBmp(payload).map(d => pooled(d.luma, dim))
+    else if (isWav(payload))
+      decodeWav(payload).map(d => rmsWindows(d.samples, dim))
+    else decodeStub(payload, dim)
+
   /** Partition-batched decode+featurize: binary in, small feature row
     * out. One pass, no shuffle, media bytes dropped immediately after
     * decode. */
@@ -72,7 +285,7 @@ object Multimodal {
           val tpe = r.getString(1)
           val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
           val nBytes = if (payload == null) 0L else payload.length.toLong
-          decodeStub(payload, dim) match {
+          decodeFeature(payload, dim) match {
             case Some(f) => Row(id, tpe, nBytes, true, f.toSeq)
             case None => Row(id, tpe, nBytes, false, null)
           }
@@ -80,22 +293,45 @@ object Multimodal {
       }(enc)
   }
 
-  /** Image-resize plumbing: recompute typed dimension metadata for a
-    * target box (aspect-preserving fit) and pass the payload through the
-    * STUB transcode. The geometry math is real and tested; only the
-    * pixel operation is faked (no imaging libs in this container). */
+  private val resizeSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("out_width", IntegerType),
+    StructField("out_height", IntegerType),
+    StructField("out_payload", BinaryType)))
+
+  /** Image resize: recompute typed dimension metadata for a target box
+    * (aspect-preserving fit, never upscaling — metadata width/height is
+    * the geometry source of truth) and transcode the payload. BMP
+    * payloads are REALLY resampled (nearest-neighbor, re-encoded as
+    * 24-bpp BMP); other formats pass through unchanged (no JPEG/PNG
+    * codecs in this container). Same narrow no-shuffle shape as
+    * [[extractFeatures]]: pixels never ride an exchange. */
   def resizeImages(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val scale = least(
       lit(maxW.toDouble) / col("width"), lit(maxH.toDouble) / col("height"),
       lit(1.0))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(resizeSchema)
     media.filter(col("media_type") === "image" &&
         col("width").isNotNull && col("height").isNotNull &&
         col("width") > 0 && col("height") > 0)
       .withColumn("out_width", floor(col("width") * scale).cast("int"))
       .withColumn("out_height", floor(col("height") * scale).cast("int"))
-      // STUB transcode: a real impl decodes+rescales payload bytes here
-      .withColumn("out_payload", col("payload"))
-      .select("media_id", "out_width", "out_height", "out_payload")
+      .select("media_id", "out_width", "out_height", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val ow = r.getInt(1)
+          val oh = r.getInt(2)
+          val payload = if (r.isNullAt(3)) null else r.getAs[Array[Byte]](3)
+          val resized = decodeBmpBgr(payload) match {
+            case Some((w, h, bgr)) if ow > 0 && oh > 0 &&
+                (w != ow || h != oh) =>
+              encodeBmp24(ow, oh, resampleBgr(bgr, w, h, ow, oh))
+            case _ => payload // non-BMP (or already in the box): as-is
+          }
+          Row(r.getLong(0), ow, oh, resized)
+        }
+      }(enc)
   }
 
   /** Video frame-sampling plumbing: emit one row per sampled frame

@@ -157,39 +157,53 @@ object StreamOps {
     * exact fingerprint anti-join drops every one, and the keyed upsert
     * is idempotent anyway. First-ever batch sees an empty corpus.
     *
-    * 100 TB note: `store.read` per batch re-reads kept docs; the
-    * incremental dedup reduces them to fingerprints + band hashes
-    * (text is scanned, never shuffled). A deployment at corpus scale
-    * persists the signature frames between batches instead of
-    * re-deriving them — the operator seam for that is
-    * [[graft.llm.Dedup.corpusDedupStateFor]] +
-    * [[graft.llm.Dedup.incrementalDedupWithState]], invalidating (or
-    * appending the accepted batch's signatures to) the state after
-    * each upsert; here the corpus mutates every batch, so this
-    * demonstration derives it inline. */
+    * 100 TB note: the kept corpus is read (and its text scanned into
+    * fingerprints + band hashes) exactly ONCE per stream start — the
+    * first batch builds a [[graft.llm.Dedup.CorpusDedupState]] and
+    * every accepted batch is absorbed into it via
+    * [[graft.llm.Dedup.extendCorpusDedupState]] (batch-sized unions
+    * onto lineage-free checkpointed frames); later batches never touch
+    * `store.read` or corpus text again. State lives on the driver's
+    * streaming thread (foreachBatch runs batches sequentially) and is
+    * rebuilt from the store on restart, so checkpoint replay stays
+    * correct: a replayed batch finds its docs in the rebuilt state and
+    * the upsert is idempotent anyway. */
   def nearDedupIngest(df: DataFrame, store: KeyedStore, idCol: String,
       textCol: String, checkpoint: String, triggerMs: Long = 1000L)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    var state: Option[graft.llm.Dedup.CorpusDedupState] = None
     df.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          // Gate on exists, don't catch read failures: only a
-          // not-yet-created store means "empty corpus". A transient
-          // read error must fail the batch (checkpoint replays it) —
-          // treating it as empty would ingest duplicates permanently.
-          val corpus =
-            if (store.exists) store.read(batch.sparkSession)
-            else batch.limit(0)
-          val kept = graft.llm.Dedup.incrementalDedup(
-            batch, corpus, idCol, textCol)
-          if (!kept.isEmpty) store.upsert(kept)
+          val st = state.getOrElse {
+            // Gate on exists, don't catch read failures: only a
+            // not-yet-created store means "empty corpus". A transient
+            // read error must fail the batch (checkpoint replays it) —
+            // treating it as empty would ingest duplicates permanently.
+            val corpus =
+              if (store.exists) store.read(batch.sparkSession)
+              else batch.limit(0)
+            graft.llm.Dedup.buildCorpusDedupState(corpus, idCol, textCol)
+          }
+          val kept = graft.llm.Dedup.incrementalDedupWithState(
+            batch, st, idCol, textCol)
+          // materialize kept BEFORE the per-batch caches are released:
+          // upsert consumes it, and the state extension re-reads it
+          val keptCp = kept.localCheckpoint()
+          if (!keptCp.isEmpty) {
+            store.upsert(keptCp)
+            state = Some(graft.llm.Dedup.extendCorpusDedupState(
+              st, keptCp, idCol, textCol))
+          } else state = Some(st)
+          keptCp.unpersist(blocking = false)
           graft.llm.Dedup.releaseCaches()
         }
       }
       .start()
+  }
 
   /** Per-window token counts over a document stream — the streaming
     * half of the corpus drift monitor. One watermarked windowed

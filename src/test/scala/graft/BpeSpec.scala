@@ -70,6 +70,29 @@ class BpeSpec extends SparkSpec {
     assert(got.exists { case (a, b, _) => a + b == "est</w>" })
   }
 
+  test("incremental-delta train equals the full-recount trainer") {
+    // richer corpus than the classic example: repeated chars exercise
+    // greedy-overlap deltas ("aaa"), and many near-tied counts exercise
+    // the (count desc, left, right) tie-break against maintained counts
+    val messy = Seq(
+      (0L, "aaa aaa aab abab banana bandana low lower lowest"),
+      (1L, "banana bandana cabana low low lowest widest widest"),
+      (2L, "ababab aab aaa cabana nana ban band bandana"))
+      .toDF("doc_id", "text")
+    val inc = Bpe.trainIncremental(messy, "text", numMerges = 25,
+      minCount = 2L)
+    val full = Bpe.trainFullRecount(messy, "text", numMerges = 25,
+      minCount = 2L)
+    assert(inc == full)
+    assert(inc.size == 25 || inc.size == full.size)
+    // the public size-gated entry agrees with both paths either side
+    // of the gate
+    assert(Bpe.train(messy, "text", 25, 2L,
+      incrementalMinWords = 0L) == inc)
+    assert(Bpe.train(messy, "text", 25, 2L,
+      incrementalMinWords = Long.MaxValue) == full)
+  }
+
   test("train stops when no pair reaches minCount") {
     val tiny = Seq((0L, "ab cd")).toDF("doc_id", "text")
     assert(Bpe.train(tiny, "text", 10, minCount = 2L).isEmpty)
@@ -97,16 +120,37 @@ class BpeSpec extends SparkSpec {
     val idToTok = Bpe.vocabDf(corpus, "text", merges)
       .as[(String, Long)].collect().map(_.swap).toMap
     val enc = Bpe.encodeDocs(corpus, "doc_id", "text", merges)
-      .as[(Long, Long, Long, Seq[Long])].collect().map(r => r._1 -> r).toMap
+      .as[(Long, Long, Long, Long, Seq[Long])].collect()
+      .map(r => r._1 -> r).toMap
     val original = corpus.as[(Long, String)].collect().toMap
     original.foreach { case (id, text) =>
-      val (_, nTok, nSub, ids) = enc(id)
+      val (_, nTok, nSub, nOov, ids) = enc(id)
       assert(nTok == text.split(" ").length)
       assert(nSub == ids.length && nSub >= nTok)
+      assert(nOov == 0L) // self-derived vocab: nothing can be OOV
       val decoded = ids.map(idToTok).mkString("")
         .replace("</w>", " ").trim
       assert(decoded == text, s"doc $id")
     }
+  }
+
+  test("encodeDocs counts OOV subwords per row instead of silent drops") {
+    val merges = Bpe.train(corpus, "text", 12, 2L).map(m => (m._1, m._2))
+    val vocab = Bpe.vocabDf(corpus, "text", merges)
+    // "xyz" introduces characters the training corpus never saw — its
+    // subwords are OOV under the shared vocab and must be COUNTED, not
+    // silently dropped (the encode-loss detectability contract)
+    val shard = Seq((7L, "low xyz")).toDF("doc_id", "text")
+    val row = Bpe.encodeDocs(shard, "doc_id", "text", merges,
+      vocab = Some(vocab))
+      .as[(Long, Long, Long, Long, Seq[Long])].collect().head
+    val (_, nTok, nSub, nOov, ids) = row
+    assert(nTok == 2L)
+    // "xyz" segments to [x, y, z, </w>]; the marker is a base vocab
+    // symbol, so exactly x, y, z are OOV
+    assert(nOov == 3L, s"x, y, z OOV, got $nOov")
+    assert(nSub == ids.length)
+    assert(nSub + nOov >= nTok)
   }
 
   test("a shared vocab keeps token ids stable across shards") {
@@ -119,7 +163,8 @@ class BpeSpec extends SparkSpec {
     val shardB = corpus.filter(col("doc_id") === 1L)
     def enc(df: org.apache.spark.sql.DataFrame) =
       Bpe.encodeDocs(df, "doc_id", "text", merges, vocab = Some(vocab))
-        .as[(Long, Long, Long, Seq[Long])].collect().map(r => r._1 -> r._4).toMap
+        .as[(Long, Long, Long, Long, Seq[Long])].collect()
+        .map(r => r._1 -> r._5).toMap
     val sharded = enc(shardA) ++ enc(shardB)
     val whole = enc(corpus)
     assert(sharded == whole) // same ids regardless of sharding

@@ -228,6 +228,17 @@ class DedupSimilaritySpec extends SparkSpec {
     // the registry returns the SAME state instance for the key (no rebuild)
     assert(Dedup.corpusDedupStateFor(spark.emptyDataFrame, "doc_id",
       "text", cacheKey) eq st)
+    // absorb batch2's survivor into the state (still no corpus files on
+    // disk): a later batch duplicating it must now be dropped
+    val st2 = Dedup.extendCorpusDedupState(st,
+      batch2.filter(col("doc_id") === 21L), "doc_id", "text")
+    val batch3 = Seq(
+      (30L, "another entirely novel body of words unseen in any prior document"), // dup of accepted 21
+      (31L, "yet more completely fresh prose sharing no vocabulary with anything else"))
+      .toDF("doc_id", "text")
+    val kept3 = Dedup.incrementalDedupWithState(batch3, st2, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept3 == Seq(31L))
     Dedup.releaseCaches()
     Dedup.invalidateCorpusState(cacheKey)
   }

@@ -119,6 +119,101 @@ class EtlMultimodalSpec extends SparkSpec {
     assert(rows(0).getSeq[Float](4) == again(0).getSeq[Float](4))
   }
 
+  // ---- real-codec fixtures, built byte-by-byte in the test ----
+
+  /** Hand-built 3x2 uncompressed 24-bpp BMP (bottom-up, rows padded
+    * 9 → 12 bytes). Pixel layout (top-down): row0 = R, G, B;
+    * row1 = white, black, mid-gray(128). */
+  private def bmpFixture: Array[Byte] = {
+    val topDownBgr = Array[Int](
+      0, 0, 255,   0, 255, 0,   255, 0, 0,     // red, green, blue (BGR!)
+      255, 255, 255,   0, 0, 0,   128, 128, 128)
+      .map(_.toByte)
+    Multimodal.encodeBmp24(3, 2, topDownBgr)
+  }
+
+  /** Hand-built mono 16-bit PCM WAV with 8 known samples. */
+  private def wavFixture(samples: Seq[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => buf.putShort(s))
+    buf.array()
+  }
+
+  test("BMP payloads decode for real: known pixels, known features") {
+    // luminance (Rec.601, /255): red .299, green .587, blue .114,
+    // white 1.0, black 0.0, gray 128/255*... -> (.299+.587+.114)*128/255
+    val expected = Seq(0.299f, 0.587f, 0.114f, 1.0f, 0.0f, 128f / 255f)
+    val dec = Multimodal.decodeBmp(bmpFixture)
+    assert(dec.isDefined)
+    assert(dec.get.width == 3 && dec.get.height == 2)
+    dec.get.luma.zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-4f, s"luma $got != $want")
+    }
+    // through the Spark surface: dim=6 grid == per-pixel luminance
+    val media = spark.createDataFrame(
+      java.util.List.of(Row(1L, "image", bmpFixture, 3, 2, null)),
+      Multimodal.mediaSchema)
+    val row = Multimodal.extractFeatures(media, dim = 6).collect()(0)
+    assert(row.getAs[Boolean]("decode_ok"))
+    row.getSeq[Float](4).zip(expected).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-4f)
+    }
+  }
+
+  test("truncated BMP is corrupt (decode_ok=false), not silently stubbed") {
+    val cut = bmpFixture.take(40) // valid magic, impossible body
+    val media = spark.createDataFrame(
+      java.util.List.of(Row(1L, "image", cut, 3, 2, null)),
+      Multimodal.mediaSchema)
+    val row = Multimodal.extractFeatures(media, dim = 4).collect()(0)
+    assert(!row.getAs[Boolean]("decode_ok") && row.isNullAt(4))
+  }
+
+  test("WAV PCM payloads decode for real: windowed RMS of known samples") {
+    // 8 samples; dim=4 -> RMS over pairs
+    val s = Seq[Short](16384, -16384, 0, 0, 32767, 32767, -8192, 8192)
+    val wav = wavFixture(s)
+    val dec = Multimodal.decodeWav(wav)
+    assert(dec.isDefined && dec.get.sampleRate == 8000)
+    assert(dec.get.samples.length == 8)
+    assert(math.abs(dec.get.samples(0) - 0.5f) < 1e-4f)
+    val media = spark.createDataFrame(
+      java.util.List.of(Row(9L, "audio", wav, null, null, 1L)),
+      Multimodal.mediaSchema)
+    val feat = Multimodal.extractFeatures(media, dim = 4).collect()(0)
+    assert(feat.getAs[Boolean]("decode_ok"))
+    val f = feat.getSeq[Float](4)
+    assert(math.abs(f(0) - 0.5f) < 1e-4f)       // rms(.5, -.5)
+    assert(math.abs(f(1) - 0.0f) < 1e-4f)       // rms(0, 0)
+    assert(math.abs(f(2) - 32767f / 32768f) < 1e-4f)
+    assert(math.abs(f(3) - 0.25f) < 1e-3f)      // rms(-.25, .25)
+  }
+
+  test("resizeImages really resamples BMP payloads to the fit box") {
+    val media = spark.createDataFrame(
+      java.util.List.of(Row(1L, "image", bmpFixture, 3, 2, null)),
+      Multimodal.mediaSchema)
+    // box 2x2 -> scale = min(2/3, 1, 1) = 2/3 -> out 2x1
+    val out = Multimodal.resizeImages(media, 2, 2).collect()(0)
+    assert(out.getInt(1) == 2 && out.getInt(2) == 1)
+    val resized = Multimodal.decodeBmp(out.getAs[Array[Byte]](3))
+    assert(resized.isDefined, "resized payload must be a decodable BMP")
+    assert(resized.get.width == 2 && resized.get.height == 1)
+    // nearest-neighbor from 3x2 to 2x1: sy=0; sx = 0, 1 -> red, green
+    val expect = Seq(0.299f, 0.587f)
+    resized.get.luma.zip(expect).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-4f)
+    }
+  }
+
   test("resizeImages computes aspect-preserving fit, never upscales") {
     val media = spark.createDataFrame(
       java.util.List.of(
