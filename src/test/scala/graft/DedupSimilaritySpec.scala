@@ -243,6 +243,42 @@ class DedupSimilaritySpec extends SparkSpec {
     Dedup.invalidateCorpusState(cacheKey)
   }
 
+  test("incrementalDedupWithState stays a bounded-job plan (no tree blowup)") {
+    // regression guard for the round-5 finding: un-materialized batch
+    // subtrees re-inlined into every downstream join produced a
+    // 1,400-line physical plan and 91 Spark jobs per batch; with the
+    // three materialized seams a warm batch runs ~20 jobs. Threshold
+    // carries 2x headroom — trip it and the plan tree has regressed.
+    val corpus = (0L until 50L)
+      .map(i => (i, s"corpus document number $i with some shared words"))
+      .toDF("doc_id", "text")
+    val batch = (100L until 120L)
+      .map(i => (i, s"batch document number $i entirely fresh tokens"))
+      .toDF("doc_id", "text")
+    val st = Dedup.buildCorpusDedupState(corpus, "doc_id", "text")
+    Dedup.incrementalDedupWithState(batch, st, "doc_id", "text").count()
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Dedup.incrementalDedupWithState(batch, st, "doc_id", "text").count()
+      // listener events post asynchronously; wait until the count stops
+      // moving (bounded)
+      var last = -1
+      var spins = 0
+      while (jobs != last && spins < 50) {
+        last = jobs; spins += 1; Thread.sleep(100)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    Dedup.releaseCaches()
+    st.fingerprints.unpersist(); st.signatures.unpersist()
+    assert(jobs <= 40, s"plan tree regressed: $jobs jobs for one batch")
+  }
+
   test("semanticDedup keeps one member per planted near-dup pair") {
     // same seeded corpus shape as the banded-LSH test: 10 planted
     // near-identical pairs + 20 unrelated vectors; near-identical

@@ -350,6 +350,49 @@ class StreamingSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 2L, 5L))
   }
 
+  test("nearDedupIngest reads the kept corpus ONCE across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val inner = new ParquetKeyedStore(
+      tmpDir("ingest-once") + "/corpus", Seq("doc_id"), "doc_id")
+    // pre-populate so there IS a corpus to read on stream start
+    inner.upsert(Seq(
+      (1L, "a seeded corpus document that lives in the store already"))
+      .toDF("doc_id", "text"))
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val store = new graft.streaming.KeyedStore {
+      override def upsert(b: org.apache.spark.sql.DataFrame): Unit =
+        inner.upsert(b)
+      override def read(s: org.apache.spark.sql.SparkSession) = {
+        reads.incrementAndGet(); inner.read(s)
+      }
+      override def exists: Boolean = inner.exists
+    }
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDedupIngest(
+      mem.toDF().toDF("doc_id", "text"), store, "doc_id", "text",
+      tmpDir("ckpt-ingest-once"), triggerMs = 10L)
+    try {
+      mem.addData((2L, "a second document with its own distinct vocabulary"))
+      q.processAllAvailable()
+      mem.addData(
+        (3L, "a seeded corpus document that lives in the store already"), // dup of 1
+        (4L, "a second document with its own distinct vocabulary"),       // dup of 2
+        (5L, "yet another novel piece of text unlike the previous ones"))
+      q.processAllAvailable()
+      mem.addData(
+        (6L, "yet another novel piece of text unlike the previous ones")) // dup of 5
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = inner.read(spark).select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 5L))
+    // batch 1 built the state from ONE store read; batches 2 and 3
+    // deduped against the extended in-memory state (dups of docs
+    // accepted in EARLIER batches were caught without re-reading)
+    assert(reads.get() == 1,
+      s"corpus re-read ${reads.get()} times; state extension broken")
+  }
+
   test("JdbcKeyedStore.upsert is safe under concurrent writers") {
     // same driver-JVM serialization contract as the parquet stores:
     // two foreachBatch-style writers share one store instance and the
