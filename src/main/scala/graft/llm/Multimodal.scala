@@ -8,13 +8,16 @@ import org.apache.spark.sql.types._
   * (image/audio/video) ride as opaque `binary` columns with typed
   * metadata; decode / feature-extraction runs partition-batched.
   *
-  * Two codecs are decoded FOR REAL, dependency-free: uncompressed
-  * 24-bpp BMP (pixel parse → luminance grid features, nearest-neighbor
-  * resize) and 16-bit PCM WAV (sample parse → windowed-RMS features).
-  * Payloads in any other format fall back to the clearly-marked
-  * deterministic STUB (no media libraries in this container for JPEG/
-  * PNG/MP3/...); everything Spark-side — schema, partitioning, batch
-  * shape, null/corrupt handling — is real and tested either way.
+  * Three codecs are decoded FOR REAL, dependency-free: uncompressed
+  * 24-bpp BMP (pixel parse), 8-bit PNG (chunk walk + JDK zlib inflate
+  * + full None/Sub/Up/Average/Paeth filter reconstruction), and 16-bit
+  * PCM WAV (sample parse → windowed-RMS features). Images yield
+  * luminance-grid features and REAL nearest-neighbor resizes
+  * (re-encoded in their own format). Payloads in any other format
+  * fall back to the clearly-marked deterministic STUB (no JPEG/MP3/
+  * video codecs in the JDK); everything Spark-side — schema,
+  * partitioning, batch shape, null/corrupt handling — is real and
+  * tested either way.
   *
   * Scale design: media bytes never enter a shuffle — decode happens in a
   * narrow `mapPartitions` projection before any wide op; downstream
@@ -144,6 +147,176 @@ object Multimodal {
     out
   }
 
+  // ---- PNG (zlib lives in the JDK, so this codec is also real) ----
+
+  private val pngSig =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private[graft] def isPng(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 && (0 until 8).forall(i => b(i) == pngSig(i))
+
+  private def i32be(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** Parse an 8-bit-depth non-interlaced PNG (gray / gray+alpha / RGB /
+    * RGBA) to row-major top-down RGB bytes: walk chunks, inflate the
+    * IDAT stream, undo the per-row filters (None/Sub/Up/Average/
+    * Paeth). None on malformed/truncated/unsupported payloads. */
+  private[graft] def decodePngRgb(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    try {
+      if (!isPng(b)) return None
+      var off = 8
+      var width = 0; var height = 0; var colorType = -1; var ok = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (off + 8 <= b.length) {
+        val len = i32be(b, off)
+        val tpe = new String(b, off + 4, 4, "US-ASCII")
+        if (len < 0 || off + 12 + len > b.length) return None
+        tpe match {
+          case "IHDR" =>
+            if (len < 13) return None
+            width = i32be(b, off + 8)
+            height = i32be(b, off + 12)
+            val bitDepth = b(off + 16)
+            colorType = b(off + 17)
+            val interlace = b(off + 20)
+            ok = width > 0 && height > 0 && bitDepth == 8 &&
+              interlace == 0 && Set(0, 2, 4, 6)(colorType)
+            if (!ok) return None
+          case "IDAT" => idat.write(b, off + 8, len)
+          case _ => ()
+        }
+        off += 12 + len
+      }
+      if (!ok || idat.size() == 0) return None
+      val channels = colorType match {
+        case 0 => 1; case 4 => 2; case 2 => 3; case 6 => 4
+      }
+      val stride = width * channels
+      val raw = new Array[Byte]((stride + 1) * height)
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        got += n
+      }
+      inf.end()
+      if (got < raw.length) return None
+      // undo per-row filters in place (prev = reconstructed row above)
+      val px = new Array[Byte](stride * height)
+      var y = 0
+      while (y < height) {
+        val filter = raw(y * (stride + 1)) & 0xff
+        val src = y * (stride + 1) + 1
+        val dst = y * stride
+        var x = 0
+        while (x < stride) {
+          val rawV = raw(src + x) & 0xff
+          val a = if (x >= channels) px(dst + x - channels) & 0xff else 0
+          val up = if (y > 0) px(dst - stride + x) & 0xff else 0
+          val ul = if (y > 0 && x >= channels)
+            px(dst - stride + x - channels) & 0xff else 0
+          val rec = filter match {
+            case 0 => rawV
+            case 1 => rawV + a
+            case 2 => rawV + up
+            case 3 => rawV + (a + up) / 2
+            case 4 => // Paeth predictor
+              val p = a + up - ul
+              val pa = math.abs(p - a); val pb = math.abs(p - up)
+              val pc = math.abs(p - ul)
+              rawV + (if (pa <= pb && pa <= pc) a
+                      else if (pb <= pc) up else ul)
+            case _ => return None
+          }
+          px(dst + x) = rec.toByte
+          x += 1
+        }
+        y += 1
+      }
+      // expand to RGB
+      val rgb = new Array[Byte](width * height * 3)
+      var i = 0
+      while (i < width * height) {
+        colorType match {
+          case 0 | 4 => // gray (+alpha dropped)
+            val g = px(i * channels)
+            rgb(i * 3) = g; rgb(i * 3 + 1) = g; rgb(i * 3 + 2) = g
+          case 2 | 6 => // rgb (+alpha dropped)
+            rgb(i * 3) = px(i * channels)
+            rgb(i * 3 + 1) = px(i * channels + 1)
+            rgb(i * 3 + 2) = px(i * channels + 2)
+        }
+        i += 1
+      }
+      Some((width, height, rgb))
+    } catch {
+      case _: IndexOutOfBoundsException => None
+      case _: java.util.zip.DataFormatException => None
+    }
+  }
+
+  private[graft] def decodePng(b: Array[Byte]): Option[DecodedImage] =
+    decodePngRgb(b).map { case (w, h, rgb) =>
+      val luma = new Array[Float](w * h)
+      var i = 0
+      while (i < luma.length) {
+        val r = rgb(i * 3) & 0xff
+        val g = rgb(i * 3 + 1) & 0xff
+        val bl = rgb(i * 3 + 2) & 0xff
+        luma(i) = (0.299f * r + 0.587f * g + 0.114f * bl) / 255.0f
+        i += 1
+      }
+      DecodedImage(w, h, luma)
+    }
+
+  /** Encode row-major top-down RGB as a minimal 8-bit color-type-2 PNG
+    * (filter 0 rows, one zlib IDAT). */
+  private[graft] def encodePng(width: Int, height: Int,
+      rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "rgb length mismatch")
+    val stride = width * 3
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      // filter byte 0 already zero; copy the row after it
+      System.arraycopy(rgb, y * stride, raw, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) zOut.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(pngSig, 0, 8)
+    def chunk(tpe: String, data: Array[Byte]): Unit = {
+      val len = data.length
+      def be(v: Int): Array[Byte] = Array((v >> 24).toByte,
+        (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+      out.write(be(len), 0, 4)
+      val tb = tpe.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, len)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(2.toByte) // bit depth 8, color type RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    chunk("IHDR", ihdr)
+    chunk("IDAT", zOut.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
   /** Decoded audio: sample rate and mono-mixed samples in [-1,1]. */
   private[graft] final case class DecodedAudio(sampleRate: Int,
       samples: Array[Float])
@@ -257,8 +430,8 @@ object Multimodal {
       ((h % 1000L).toFloat) / 1000.0f
     })
 
-  /** Decode dispatch: payloads with a BMP or WAV signature decode FOR
-    * REAL (luminance-grid / windowed-RMS features); a payload that
+  /** Decode dispatch: payloads with a BMP, PNG or WAV signature decode
+    * FOR REAL (luminance-grid / windowed-RMS features); a payload that
     * CLAIMS a real codec but fails to parse is corrupt (None — never
     * silently stubbed); anything else falls back to the deterministic
     * stub. */
@@ -266,6 +439,7 @@ object Multimodal {
       dim: Int): Option[Array[Float]] =
     if (payload == null || payload.isEmpty) None
     else if (isBmp(payload)) decodeBmp(payload).map(d => pooled(d.luma, dim))
+    else if (isPng(payload)) decodePng(payload).map(d => pooled(d.luma, dim))
     else if (isWav(payload))
       decodeWav(payload).map(d => rmsWindows(d.samples, dim))
     else decodeStub(payload, dim)
@@ -323,11 +497,18 @@ object Multimodal {
           val ow = r.getInt(1)
           val oh = r.getInt(2)
           val payload = if (r.isNullAt(3)) null else r.getAs[Array[Byte]](3)
+          // resampleBgr is channel-order-agnostic over 3-byte pixels,
+          // so it serves both codecs; each re-encodes in its own format
           val resized = decodeBmpBgr(payload) match {
             case Some((w, h, bgr)) if ow > 0 && oh > 0 &&
                 (w != ow || h != oh) =>
               encodeBmp24(ow, oh, resampleBgr(bgr, w, h, ow, oh))
-            case _ => payload // non-BMP (or already in the box): as-is
+            case _ => decodePngRgb(payload) match {
+              case Some((w, h, rgb)) if ow > 0 && oh > 0 &&
+                  (w != ow || h != oh) =>
+                encodePng(ow, oh, resampleBgr(rgb, w, h, ow, oh))
+              case _ => payload // other formats (or already in box): as-is
+            }
           }
           Row(r.getLong(0), ow, oh, resized)
         }

@@ -177,6 +177,105 @@ class EtlMultimodalSpec extends SparkSpec {
     assert(!row.getAs[Boolean]("decode_ok") && row.isNullAt(4))
   }
 
+  test("PNG round-trips: encode then decode returns identical pixels") {
+    val rng = new scala.util.Random(5)
+    val (w, h) = (7, 5) // odd width exercises non-aligned strides
+    val rgb = Array.fill[Byte](w * h * 3)(rng.nextInt().toByte)
+    val png = Multimodal.encodePng(w, h, rgb)
+    val dec = Multimodal.decodePngRgb(png)
+    assert(dec.isDefined)
+    assert(dec.get._1 == w && dec.get._2 == h)
+    assert(dec.get._3.toSeq == rgb.toSeq)
+  }
+
+  test("PNG filter reconstruction: all five filter types round-trip") {
+    // hand-build a PNG whose rows use filters 0..4 (encodePng only
+    // emits 0, so this exercises the Sub/Up/Average/Paeth undo paths)
+    val (w, h) = (4, 5)
+    val rng = new scala.util.Random(11)
+    val rgb = Array.fill[Byte](w * h * 3)(rng.nextInt().toByte)
+    val stride = w * 3
+    def px(y: Int, x: Int) = if (y < 0 || x < 0) 0 else rgb(y * stride + x) & 0xff
+    val raw = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      val filter = y % 5
+      raw(y * (stride + 1)) = filter.toByte
+      for (x <- 0 until stride) {
+        val cur = px(y, x)
+        val a = if (x >= 3) px(y, x - 3) else 0
+        val up = px(y - 1, x)
+        val ul = if (x >= 3) px(y - 1, x - 3) else 0
+        val predicted = filter match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) / 2
+          case 4 =>
+            val p = a + up - ul
+            val pa = math.abs(p - a); val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul
+        }
+        raw(y * (stride + 1) + 1 + x) = (cur - predicted).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def chunk(tpe: String, data: Array[Byte]): Unit = {
+      def be(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte,
+        (v >> 8).toByte, v.toByte)
+      out.write(be(data.length), 0, 4)
+      out.write(tpe.getBytes("US-ASCII"), 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tpe.getBytes("US-ASCII")); crc.update(data)
+      out.write(be(crc.getValue.toInt), 0, 4)
+    }
+    chunk("IHDR", java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).array())
+    chunk("IDAT", z.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    val dec = Multimodal.decodePngRgb(out.toByteArray)
+    assert(dec.isDefined, "filtered PNG must decode")
+    assert(dec.get._3.toSeq == rgb.toSeq,
+      "filter reconstruction must recover the original pixels")
+  }
+
+  test("PNG payloads flow through extractFeatures and resizeImages") {
+    // 2x2: white, black / black, white → luma grid [1,0,0,1]
+    val rgb = Array[Int](255, 255, 255, 0, 0, 0, 0, 0, 0, 255, 255, 255)
+      .map(_.toByte)
+    val png = Multimodal.encodePng(2, 2, rgb)
+    val media = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, "image", png, 2, 2, null),
+        Row(2L, "image", png.take(30), 2, 2, null)), // truncated: corrupt
+      Multimodal.mediaSchema)
+    val rows = Multimodal.extractFeatures(media, dim = 4)
+      .orderBy("media_id").collect()
+    assert(rows(0).getAs[Boolean]("decode_ok"))
+    val f = rows(0).getSeq[Float](4)
+    assert(math.abs(f(0) - 1.0f) < 1e-4f && math.abs(f(1)) < 1e-4f)
+    assert(math.abs(f(2)) < 1e-4f && math.abs(f(3) - 1.0f) < 1e-4f)
+    assert(!rows(1).getAs[Boolean]("decode_ok"),
+      "truncated PNG must flag corrupt, not stub")
+    // resize 2x2 → 1x1 (nearest-neighbor picks top-left = white), PNG out
+    val r = Multimodal.resizeImages(
+      media.filter(col("media_id") === 1L), 1, 1).collect()(0)
+    assert(r.getInt(1) == 1 && r.getInt(2) == 1)
+    val back = Multimodal.decodePngRgb(r.getAs[Array[Byte]](3))
+    assert(back.isDefined && back.get._1 == 1 && back.get._2 == 1)
+    assert((back.get._3(0) & 0xff) == 255)
+  }
+
   test("WAV PCM payloads decode for real: windowed RMS of known samples") {
     // 8 samples; dim=4 -> RMS over pairs
     val s = Seq[Short](16384, -16384, 0, 0, 32767, 32767, -8192, 8192)
