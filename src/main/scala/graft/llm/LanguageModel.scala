@@ -48,10 +48,13 @@ object LanguageModel {
   def unigramScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // split("") yields [""] — drop the empty pseudo-token so blank
     // docs are genuinely ABSENT from the output (downstream consumers
-    // treat absence as worst-quality, cf. CorpusPipeline)
-    val toks = df.select(col(idCol).as("id"),
+    // treat absence as worst-quality, cf. CorpusPipeline).
+    // persisted: toks feeds the frequency agg AND the join-back — two
+    // corpus-wide tokenize+explode scans without the cache (same fix
+    // as bigramScore's, one branch smaller)
+    val toks = persistTracked(df.select(col(idCol).as("id"),
       explode(Text.tokens(lower(col(textCol)))).as("w"))
-      .filter(length(col("w")) > 0)
+      .filter(length(col("w")) > 0))
     val freq = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
     val tot = freq.agg(sum(col("cnt")).as("tot"))
     toks.join(freq, "w")

@@ -267,4 +267,53 @@ class PropertySpec extends SparkSpec {
         assert(a == b)
       }
   }
+
+  test("BMP encode/decode round-trips for any width (row padding)") {
+    // widths 1..9 sweep every 4-byte row-alignment residue; random
+    // pixel bytes cover sign-extension pitfalls
+    val gen = for {
+      w <- Gen.chooseNum(1, 9)
+      h <- Gen.chooseNum(1, 6)
+      px <- Gen.listOfN(w * h * 3, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield (w, h, px.toArray)
+    samples(gen, 20).foreach { case (w, h, bgr) =>
+      val dec = graft.llm.Multimodal.decodeBmpBgr(
+        graft.llm.Multimodal.encodeBmp24(w, h, bgr))
+      assert(dec.isDefined)
+      assert(dec.get._1 == w && dec.get._2 == h)
+      assert(dec.get._3.toSeq == bgr.toSeq, s"bmp $w x $h")
+    }
+  }
+
+  test("PNG encode/decode round-trips for any size") {
+    val gen = for {
+      w <- Gen.chooseNum(1, 9)
+      h <- Gen.chooseNum(1, 6)
+      px <- Gen.listOfN(w * h * 3, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield (w, h, px.toArray)
+    samples(gen, 20).foreach { case (w, h, rgb) =>
+      val dec = graft.llm.Multimodal.decodePngRgb(
+        graft.llm.Multimodal.encodePng(w, h, rgb))
+      assert(dec.isDefined)
+      assert(dec.get._1 == w && dec.get._2 == h)
+      assert(dec.get._3.toSeq == rgb.toSeq, s"png $w x $h")
+    }
+  }
+
+  test("resampleBgr at identity size is the identity") {
+    val gen = for {
+      w <- Gen.chooseNum(1, 8)
+      h <- Gen.chooseNum(1, 8)
+      px <- Gen.listOfN(w * h * 3, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield (w, h, px.toArray)
+    samples(gen, 10).foreach { case (w, h, px) =>
+      assert(graft.llm.Multimodal.resampleBgr(px, w, h, w, h).toSeq ==
+        px.toSeq)
+      // downscale to 1x1 picks a real source pixel
+      val one = graft.llm.Multimodal.resampleBgr(px, w, h, 1, 1)
+      val pixels = (0 until w * h).map(i =>
+        (px(i * 3), px(i * 3 + 1), px(i * 3 + 2)))
+      assert(pixels.contains((one(0), one(1), one(2))))
+    }
+  }
 }
