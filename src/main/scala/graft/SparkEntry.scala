@@ -396,6 +396,19 @@ object SparkEntry {
       // planted near-duplicates, oracle-checked
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.8)),
 
+    "q_dup_components" -> ((s, d) => {
+      // transitive closure of the EXACT jaccard>=0.8 pair graph:
+      // duplicate GROUPS, not just pairs — chains (A~B, B~C, no A~C)
+      // land in one component; oracle = recursive CTE over the same
+      // edge set
+      val docs = t(s, d, "documents")
+      graft.operators.Graph.connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+          .select(col("id_a"), col("id_b")))
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "q_embedding_near_dups" -> ((s, d) =>
       // rows-only: banded hyperplane-LSH pairs at cosine>=0.35 (the
       // hash bucketing is not expressible in the oracle engine).
@@ -594,6 +607,12 @@ object SparkEntry {
       graft.llm.Lines.c4LineFilter(multiLineDocs(s, d), "doc_id", "text",
         minWords = 3, requireTerminalPunct = false,
         blocklist = Seq("spark")).withColumnRenamed("id", "doc_id")),
+
+    "q_para_dedup" -> ((s, d) =>
+      // keep-FIRST paragraph dedup (vs boilerplate strip's remove-ALL):
+      // each distinct line survives once at its smallest (doc, pos)
+      graft.llm.Lines.dedupParagraphs(multiLineDocs(s, d), "doc_id",
+        "text", sep = "\n").withColumnRenamed("id", "doc_id")),
 
     // ---- llm/: substring-level dedup (Lee et al. 2022 shape) ----
     "q_repeated_spans" -> ((s, d) =>
@@ -926,6 +945,33 @@ object SparkEntry {
          JOIN counts ca ON ca.doc_id = id_a
          JOIN counts cb ON cb.doc_id = id_b
          WHERE round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.8""",
+
+    "q_dup_components" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+           FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+         counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN counts ca ON ca.doc_id = id_a
+           JOIN counts cb ON cb.doc_id = id_b
+           WHERE round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.8),
+         edges AS (
+           SELECT id_a, id_b FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT doc_id AS src, doc_id AS dst FROM documents
+           UNION
+           SELECT r.src, e.id_b FROM reach r JOIN edges e ON e.id_a = r.dst)
+         SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component_id
+         FROM reach GROUP BY src""",
 
     "q_corr_pearson" ->
       """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr
@@ -1563,6 +1609,36 @@ object SparkEntry {
                 len(keep) AS n_lines_kept,
                 len(string_split(text, chr(10))) - len(keep) AS n_lines_dropped
          FROM f""",
+
+    "q_para_dedup" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         ml AS (
+           SELECT doc_id,
+                  array_to_string(list_transform(range(1, len(t) + 1, 12),
+                    st -> array_to_string(t[st:st+11], ' ')), chr(10)) AS text
+           FROM toks),
+         rows_ AS (
+           SELECT doc_id, unnest(string_split(text, chr(10))) AS para,
+                  unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+           FROM ml),
+         canon AS (
+           SELECT doc_id, pos FROM (
+             SELECT doc_id, pos,
+                    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+             FROM rows_) WHERE rn = 1),
+         kept AS (
+           SELECT r.doc_id, string_agg(r.para, chr(10) ORDER BY r.pos) AS clean_text,
+                  count(*) AS n_kept
+           FROM rows_ r JOIN canon c ON r.doc_id = c.doc_id AND r.pos = c.pos
+           GROUP BY r.doc_id),
+         tot AS (SELECT doc_id, count(*) AS n FROM rows_ GROUP BY doc_id)
+         SELECT t.doc_id,
+                coalesce(k.clean_text, '') AS clean_text,
+                CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_paras_kept,
+                CAST(t.n - coalesce(k.n_kept, 0) AS BIGINT) AS n_paras_dropped
+         FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id""",
 
     "q_repeated_spans" ->
       """WITH toks AS (

@@ -187,6 +187,49 @@ object Lines {
           .as("n_lines_dropped"))
   }
 
+  /** Keep-FIRST paragraph dedup (Dolma-style): corpus-wide, every
+    * distinct paragraph survives exactly once — at its canonical
+    * occurrence, the lexicographically smallest (doc id, position) —
+    * and every later occurrence is removed. Distinct from
+    * [[stripBoilerplate]], which removes ALL occurrences of frequent
+    * lines: boilerplate strip de-noises, keep-first dedup preserves
+    * one copy of every passage (the Lee et al. / Dolma training-set
+    * treatment, at paragraph rather than substring granularity).
+    * Output: (id, clean_text, n_paras_kept, n_paras_dropped); docs
+    * whose every paragraph appeared earlier come back empty.
+    *
+    * 100 TB plan: text rides exactly ONE exchange.
+    *  1. canonical-occurrence aggregate groups a text-free projection
+    *     (16-byte md5 fingerprint, id, pos) — map-side-combined `min`
+    *     on a struct; the shuffle carries ~28 bytes per paragraph
+    *     occurrence, and duplicate-heavy corpora collapse hardest;
+    *  2. the canonical set is re-keyed per doc into a sorted
+    *     kept-position array (fingerprints dropped — positions only);
+    *  3. the original (un-exploded) corpus joins that array on doc id
+    *     — the single text exchange — and the rewrite is a map-only
+    *     index-filtered array HOF; no explode-reassemble round trip. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val rows = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sepLit)).as(Seq("pos", "para")))
+      .select(col("id"), col("pos"), lineFp(col("para")).as("fp"))
+    val keepPos = rows.groupBy("fp")
+      .agg(min(struct(col("id"), col("pos"))).as("c"))
+      .groupBy(col("c.id").as("id"))
+      .agg(sort_array(collect_list(col("c.pos"))).as("__kp"))
+    df.select(col(idCol).as("id"), split(col(textCol), sepLit).as("__ps"))
+      .join(keepPos, Seq("id"), "left")
+      .select(col("id"), col("__ps"),
+        coalesce(col("__kp"), array().cast("array<int>")).as("__kp"))
+      .select(col("id"),
+        array_join(filter(col("__ps"),
+          (_, i) => array_contains(col("__kp"), i)), sep).as("clean_text"),
+        size(col("__kp")).cast("long").as("n_paras_kept"),
+        (size(col("__ps")) - size(col("__kp"))).cast("long")
+          .as("n_paras_dropped"))
+  }
+
   /** C4-style per-line quality filter (Raffel et al. §2.1, parameters
     * exposed): keep a line iff
     *  - it has at least `minWords` whitespace words, and

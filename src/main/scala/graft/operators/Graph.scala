@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives needed by the dedup family: near-dup
+  * candidate pairs form a graph whose connected components are the
+  * duplicate groups. [[graft.llm.Dedup.minhashClusters]] uses a
+  * single-pass min-neighbor contraction (documented clique
+  * assumption); this operator is the exact transitive closure for
+  * graphs where chains matter (A~B, B~C, no A~C edge — progressive
+  * paraphrase, shingled near-dup drift).
+  */
+object Graph {
+
+  /** Connected components by iterative min-label propagation: every
+    * node's label converges to the smallest node id reachable from it.
+    * Input: `nodes` with an `id` column (every vertex, including
+    * isolated ones), `edges` with `id_a`/`id_b` (undirected; direction
+    * and duplicates don't matter). Output: (id, component_id).
+    *
+    * Scale shape: per iteration ONE shuffle join of the (symmetrized)
+    * edge list against the current (id, label) frame, one
+    * map-side-combined min aggregate, and one id-keyed label update —
+    * all carrying 16-byte rows, never payloads. The loop runs until no
+    * label changes (one driver-side count per iteration, the same
+    * bounded-action pattern as BPE training), which takes at most the
+    * graph diameter — near-dup graphs are shallow (dup groups are
+    * near-cliques), so 3-5 iterations in practice. `maxIter` is a
+    * backstop, not a tuning knob; the alternating large-star/
+    * small-star contraction (Kiveris et al., MR'14) brings worst-case
+    * rounds to O(log^2 n) if a pathological chain graph ever shows up.
+    * Labels are localCheckpoint'ed each round so the loop's lineage
+    * (and codegen depth) stays flat.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a"), col("id_b"))
+      .union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .filter(col("id_a") =!= col("id_b"))
+    var labels = nodes.select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // smallest label among each node's neighbors (nodes with no
+      // neighbors simply keep their label via the left join below)
+      val nbrMin = sym
+        .join(labels.select(col("id").as("id_b"), col("comp").as("nc")),
+          Seq("id_b"))
+        .groupBy(col("id_a").as("id"))
+        .agg(min(col("nc")).as("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("new_comp"))
+        .localCheckpoint(true)
+      changed = next.filter(col("new_comp") =!= col("comp")).count()
+      labels = next.select(col("id"), col("new_comp").as("comp"))
+      iter += 1
+    }
+    labels.select(col("id"), col("comp").as("component_id"))
+  }
+}

@@ -109,6 +109,49 @@ class LinesSpansSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupParagraphs keeps the first occurrence, drops all later ones") {
+    // para "shared passage" appears in docs 0 (pos 1), 1 (pos 0), and
+    // twice in doc 2 — only doc 0 pos 1 survives (smallest doc wins;
+    // within doc 2 even the earlier copy loses to doc 0's)
+    val d = Seq(
+      (0L, "alpha one\n\nshared passage\n\nalpha two"),
+      (1L, "shared passage\n\nbeta body"),
+      (2L, "shared passage\n\ngamma\n\nshared passage"))
+      .toDF("doc_id", "text")
+    val out = Lines.dedupParagraphs(d, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._2 == "alpha one\n\nshared passage\n\nalpha two")
+    assert(out(0L)._3 == 3L && out(0L)._4 == 0L)
+    assert(out(1L)._2 == "beta body")
+    assert(out(1L)._3 == 1L && out(1L)._4 == 1L)
+    assert(out(2L)._2 == "gamma")
+    assert(out(2L)._3 == 1L && out(2L)._4 == 2L)
+  }
+
+  test("dedupParagraphs: all-duplicate doc comes back empty, not missing") {
+    val d = Seq(
+      (0L, "only passage"),
+      (5L, "only passage")).toDF("doc_id", "text")
+    val out = Lines.dedupParagraphs(d, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._2 == "only passage" && out(0L)._3 == 1L)
+    assert(out(5L)._2 == "" && out(5L)._3 == 0L && out(5L)._4 == 1L)
+  }
+
+  test("dedupParagraphs vs stripBoilerplate: keep-one vs remove-all") {
+    // the same corpus, the two semantics differ exactly on the
+    // canonical occurrence: strip removes it, dedup keeps it
+    val d = Seq(
+      (0L, "dup line\nunique zero"),
+      (1L, "dup line\nunique one")).toDF("doc_id", "text")
+    val strip = Lines.stripBoilerplate(d, "doc_id", "text", 2)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val dedup = Lines.dedupParagraphs(d, "doc_id", "text", sep = "\n")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(strip(0L) == "unique zero" && dedup(0L) == "dup line\nunique zero")
+    assert(strip(1L) == "unique one" && dedup(1L) == "unique one")
+  }
+
   test("c4LineFilter applies word-count, punctuation, and blocklist rules") {
     val d = Seq(
       (0L, "This line is long enough and ends well.\nshort one\nThis one mentions javascript code here.\nNo terminal punctuation on this line"))

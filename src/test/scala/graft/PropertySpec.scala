@@ -268,6 +268,45 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("connectedComponents equals driver-side union-find on random graphs") {
+    import graft.operators.Graph
+    // random sparse graphs over up to 30 nodes — chains, cliques and
+    // isolated nodes all occur; compare against a sequential union-find
+    val gen = for {
+      n <- Gen.chooseNum(2, 30)
+      m <- Gen.chooseNum(0, n * 2)
+      es <- Gen.listOfN(m,
+        Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+    } yield (n, es)
+    samples(gen, 12).foreach { case (n, es) =>
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n.toInt)
+        .map(i => i.toLong -> find(i).toLong).toMap
+      val nodes = (0L until n.toLong).toDF("id")
+      val edges = es.toDF("id_a", "id_b")
+      val got = Graph.connectedComponents(nodes, edges)
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"n=$n edges=$es")
+    }
+  }
+
+  test("connectedComponents closes a pure chain (worst-case diameter)") {
+    import graft.operators.Graph
+    // 0-1-2-...-19: single-pass star contraction CANNOT close this;
+    // the iterative closure must label every node 0
+    val nodes = (0L until 20L).toDF("id")
+    val edges = (0L until 19L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Graph.connectedComponents(nodes, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.forall(_ == 0L) && got.size == 20)
+  }
+
   test("BMP encode/decode round-trips for any width (row padding)") {
     // widths 1..9 sweep every 4-byte row-alignment residue; random
     // pixel bytes cover sign-extension pitfalls
