@@ -608,6 +608,11 @@ object SparkEntry {
         minWords = 3, requireTerminalPunct = false,
         blocklist = Seq("spark")).withColumnRenamed("id", "doc_id")),
 
+    "q_ppl_bucket" -> ((s, d) =>
+      // CCNet-style head/middle/tail perplexity buckets per language
+      graft.llm.LanguageModel.pplBuckets(t(s, d, "documents"),
+        "doc_id", "text", "lang")),
+
     "q_para_dedup" -> ((s, d) =>
       // keep-FIRST paragraph dedup (vs boilerplate strip's remove-ALL):
       // each distinct line survives once at its smallest (doc, pos)
@@ -1609,6 +1614,25 @@ object SparkEntry {
                 len(keep) AS n_lines_kept,
                 len(string_split(text, chr(10))) - len(keep) AS n_lines_dropped
          FROM f""",
+
+    "q_ppl_bucket" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         freq AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+         tot AS (SELECT sum(cnt) AS tot FROM freq),
+         sc AS (
+           SELECT doc_id, round(avg(ln(cnt::DOUBLE / tot)), 6) AS avg_logp
+           FROM toks JOIN freq USING (w) CROSS JOIN tot
+           GROUP BY doc_id),
+         pr AS (
+           SELECT d.doc_id, d.lang, s.avg_logp,
+                  percent_rank() OVER (PARTITION BY d.lang
+                    ORDER BY s.avg_logp DESC, d.doc_id) AS p
+           FROM documents d JOIN sc s USING (doc_id))
+         SELECT doc_id, lang, avg_logp,
+                CASE WHEN p < 1.0/3 THEN 'head'
+                     WHEN p > 1 - 1.0/3 THEN 'tail'
+                     ELSE 'middle' END AS ppl_bucket
+         FROM pr""",
 
     "q_para_dedup" ->
       """WITH toks AS (

@@ -65,6 +65,38 @@ object LanguageModel {
           .as("avg_logp"))
   }
 
+  /** CCNet-style per-language perplexity bucketing: rank each language's
+    * documents by their LM score ([[unigramScore]]'s corpus-relative
+    * mean log-probability — higher = more fluent) and label the top
+    * `headFrac` "head", the bottom `tailFrac` "tail", the rest
+    * "middle". CCNet/RedPajama keep head+middle and drop or down-weight
+    * tail; bucketing per LANGUAGE is the point — absolute perplexity is
+    * not comparable across languages, percentiles are.
+    * Output: (idCol, lang, avg_logp, ppl_bucket); docs with no tokens
+    * are absent (no score — the [[unigramScore]] contract).
+    *
+    * Scale shape: scoring is [[unigramScore]]'s token-keyed shuffles;
+    * the ranking window partitions BY language, so each language ranks
+    * in parallel (ordering is (score desc, id) — a total order, making
+    * the cut deterministic). One language dominating the corpus makes
+    * a hot sort partition; at that shape pre-bucket scores through a
+    * bounded histogram the way `Mixing.tokenBudgetSelect` does. */
+  def pplBuckets(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, headFrac: Double = 1.0 / 3,
+      tailFrac: Double = 1.0 / 3): DataFrame = {
+    require(headFrac >= 0 && tailFrac >= 0 && headFrac + tailFrac <= 1.0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logp").desc, col(idCol))
+    df.select(col(idCol), col(langCol).as("lang"))
+      .join(unigramScore(df, idCol, textCol), Seq(idCol))
+      .withColumn("__pr", percent_rank().over(w))
+      .select(col(idCol), col("lang"), col("avg_logp"),
+        when(col("__pr") < headFrac, lit("head"))
+          .when(col("__pr") > lit(1.0) - tailFrac, lit("tail"))
+          .otherwise(lit("middle")).as("ppl_bucket"))
+  }
+
   /** Per-document Shannon character entropy in nats, via the
     * single-pass identity H = ln(n) − (Σ cᵢ·ln cᵢ)/n over raw
     * character counts (no second normalization pass). Low entropy

@@ -125,6 +125,32 @@ class TextSpec extends SparkSpec {
     assert(out(0)._3 > out(2)._3)
   }
 
+  test("pplBuckets stratifies per language; fluent docs land in head") {
+    // en: six docs — four common-vocab (fluent), two singleton-vocab
+    // (gibberish); fr: three docs ranked within fr only
+    val df = Seq(
+      (0L, "the cat sat", "en"), (1L, "the cat ran", "en"),
+      (2L, "the cat sat", "en"), (3L, "the cat ran", "en"),
+      (4L, "zq wvx yyj", "en"), (5L, "kpf hgd bbn", "en"),
+      (10L, "le chat le chat", "fr"), (11L, "le chat dort", "fr"),
+      (12L, "xqz wfv plj", "fr")).toDF("doc_id", "text", "lang")
+    val out = graft.llm.LanguageModel
+      .pplBuckets(df, "doc_id", "text", "lang")
+      .as[(Long, String, Double, String)].collect()
+      .map(r => r._1 -> (r._2, r._4)).toMap
+    assert(out.size == 9)
+    // gibberish docs are never head; the most fluent doc of each
+    // language is head (percent_rank 0 < 1/3 always)
+    assert(Seq(4L, 5L, 12L).forall(out(_)._2 != "head"))
+    assert(out(12L) == ("fr", "tail"))
+    assert(out.count { case (_, (l, b)) => l == "en" && b == "head" } >= 1)
+    assert(out.count { case (_, (l, b)) => l == "fr" && b == "head" } >= 1)
+    // buckets are language-local: every language has a head even though
+    // fr scores are computed against the same shared corpus vocabulary
+    val frBuckets = out.collect { case (_, ("fr", b)) => b }.toSet
+    assert(frBuckets.contains("head") && frBuckets.contains("tail"))
+  }
+
   test("chunkDocuments: overlapping windows, capped tail, no empty docs") {
     val df = Seq(
       (1L, "a b c d e f g"),   // 7 tokens
