@@ -409,6 +409,12 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    "q_leakage_split" -> ((s, d) =>
+      // leakage-safe train/val/test: near-dups (exact jaccard>=0.8,
+      // transitively closed) always share a bucket — the md5 split key
+      // is the component, not the doc
+      Dedup.leakageSafeSplit(t(s, d, "documents"), "doc_id", "text", 10)),
+
     "q_embedding_near_dups" -> ((s, d) =>
       // rows-only: banded hyperplane-LSH pairs at cosine>=0.35 (the
       // hash bucketing is not expressible in the oracle engine).
@@ -977,6 +983,37 @@ object SparkEntry {
            SELECT r.src, e.id_b FROM reach r JOIN edges e ON e.id_a = r.dst)
          SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component_id
          FROM reach GROUP BY src""",
+
+    "q_leakage_split" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+           FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)),
+         counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM inter
+           JOIN counts ca ON ca.doc_id = id_a
+           JOIN counts cb ON cb.doc_id = id_b
+           WHERE round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) >= 0.8),
+         edges AS (
+           SELECT id_a, id_b FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT doc_id AS src, doc_id AS dst FROM documents
+           UNION
+           SELECT r.src, e.id_b FROM reach r JOIN edges e ON e.id_a = r.dst),
+         comp AS (
+           SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS component_id
+           FROM reach GROUP BY src)
+         SELECT doc_id, component_id,
+                CAST(('0x' || substr(md5(CAST(component_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10 AS split_bucket
+         FROM comp""",
 
     "q_corr_pearson" ->
       """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) AS corr

@@ -208,6 +208,40 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Leakage-safe deterministic split: assign every document a
+    * train/val/test bucket such that near-duplicates NEVER straddle a
+    * split boundary. Naive per-doc hash splits leak — a test doc with a
+    * near-duplicate in train is memorization measured as generalization
+    * (the Lee et al. 2022 dedup motivation) — so the split key must be
+    * the duplicate GROUP: near-dup pairs are transitively closed into
+    * components ([[graft.operators.Graph.connectedComponents]]) and the
+    * md5 bucket ([[graft.operators.Relational.withHashSplit]]) is taken
+    * on the component id, putting every member of a dup group in the
+    * same bucket. Output: (idCol, component_id, split_bucket).
+    *
+    * The default edge source is [[similarityJoin]] (PPJoin-style
+    * prefix-filtered EXACT jaccard — the exact-at-scale path); any
+    * (id_a, id_b) pair frame works via
+    * [[leakageSafeSplitFromEdges]] — e.g. [[lshCandidates]] for
+    * approximate-but-cheaper grouping, or [[embeddingNearDups]] for
+    * semantic leakage. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 10, shingleN: Int = 3,
+      minJaccard: Double = 0.8): DataFrame =
+    leakageSafeSplitFromEdges(df, idCol,
+      similarityJoin(df, idCol, textCol, shingleN, minJaccard)
+        .select(col("id_a"), col("id_b")), buckets)
+
+  /** [[leakageSafeSplit]] over a caller-supplied near-dup edge frame. */
+  def leakageSafeSplitFromEdges(df: DataFrame, idCol: String,
+      edges: DataFrame, buckets: Int): DataFrame = {
+    val comp = graft.operators.Graph.connectedComponents(
+      df.select(col(idCol).as("id")), edges)
+    graft.operators.Relational.withHashSplit(comp,
+        col("component_id"), buckets)
+      .select(col("id").as(idCol), col("component_id"), col("split_bucket"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: banded hyperplane-LSH
     * candidate generation, exact cosine verify, threshold filter. The
     * vector-space sibling of [[lshCandidates]] (cf. SURVEY north star:

@@ -39,6 +39,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(byId(2L) == 0L) // near-dup joins cluster 0
   }
 
+  test("leakageSafeSplit: near-dups never straddle a split boundary") {
+    val out = Dedup.leakageSafeSplit(docs, "doc_id", "text", buckets = 10)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.size == 5)
+    // the 0/1/2 dup family (exact + near) shares one component+bucket,
+    // as does 3/4; the two families are independent components
+    assert(out(0L) == out(1L) && out(1L) == out(2L))
+    assert(out(3L) == out(4L))
+    assert(out(0L)._1 == 0L && out(3L)._1 == 3L)
+    // bucket is the md5 split of the COMPONENT id, matching
+    // withHashSplit of the same key exactly
+    val expected = graft.operators.Relational.withHashSplit(
+        Seq(0L, 3L).toDF("component_id"), col("component_id"), 10)
+      .as[(Long, Long)].collect().toMap
+    assert(out(0L)._2 == expected(0L) && out(3L)._2 == expected(3L))
+  }
+
+  test("leakageSafeSplitFromEdges groups via a caller-supplied edge set") {
+    // semantic edges (not text-derived): 0-3 declared near-dups
+    val edges = Seq((0L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.leakageSafeSplitFromEdges(docs, "doc_id", edges, 10)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(out(0L) == 0L && out(3L) == 0L)     // merged component
+    assert(out(1L) == 1L && out(2L) == 2L && out(4L) == 4L) // singletons
+  }
+
   test("ngramJaccardPairs: exact dup has jaccard 1.0, near dup is high") {
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.4)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
