@@ -136,6 +136,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(!ss.contains("SinglePartition"), ss)
   }
 
+  test("round-5 operators: para dedup explodes once, ppl windows per-lang") {
+    val docs = Tables.load(spark, sf, "documents")
+    // dedupParagraphs: the ONLY explode is the text-free fingerprint
+    // projection — the rewrite is an index-filtered HOF on the
+    // un-exploded corpus, so there is no explode→reassemble round trip
+    val pd = planOf(graft.llm.Lines.dedupParagraphs(
+      docs, "doc_id", "text", sep = "\n"))
+    assert("Generate posexplode".r.findAllIn(pd).size == 1,
+      s"expected exactly one explode (fingerprint projection):\n$pd")
+    assert(!pd.contains("CartesianProduct"), pd)
+    assert(!pd.contains("Exchange SinglePartition"), pd)
+    // pplBuckets: ranking window partitions BY language (parallel per
+    // lang), never a single-partition global sort
+    val pb = planOf(graft.llm.LanguageModel.pplBuckets(
+      docs, "doc_id", "text", "lang"))
+    assert(pb.contains("hashpartitioning(lang"), pb)
+    // the ranking sort must be window-local (", false" = non-global);
+    // the only SinglePartition allowed is the 1-row scalar total
+    assert(!"Sort \\[[^\\n]*\\], true".r.findFirstIn(pb).isDefined,
+      s"no global sort expected:\n$pb")
+    graft.llm.LanguageModel.releaseCaches()
+  }
+
   test("single-pass corr matrix: one aggregate, no RDD detour") {
     val li = Tables.load(spark, sf, "lineitem")
     val df = li.agg(corr(col("l_quantity"), col("l_extendedprice")))
