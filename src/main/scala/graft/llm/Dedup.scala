@@ -144,7 +144,7 @@ object Dedup {
     * are cliques in practice). Returns (id, cluster_id). */
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-      minEstJaccard: Double = 0.7): DataFrame = {
+      minEstJaccard: Double = 0.7, transitive: Boolean = false): DataFrame = {
     val k = bands * rowsPerBand
     // The signature frame feeds three plan branches (banding + the two
     // id-keyed verify joins, which hash by different keys so no
@@ -153,7 +153,22 @@ object Dedup {
     // same trade Spark ML's MinHashLSH makes when it caches transformed
     // input. Spills to disk if it outgrows executor memory.
     val sig = persistTracked(signatureFrame(df, idCol, textCol, shingleN, k))
-    clustersFromSig(sig, bands, rowsPerBand, minEstJaccard)
+    if (!transitive) clustersFromSig(sig, bands, rowsPerBand, minEstJaccard)
+    else {
+      // exact closure for corpora where near-dup CHAINS matter
+      // (progressive paraphrase drift): same verified edge set, closed
+      // by iterative min-label propagation instead of the one-hop
+      // min-neighbor contraction
+      val cands = lshCandidatesFromSig(sig, bands, rowsPerBand)
+      val est = cands
+        .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+        .filter(size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _),
+          b => b)).cast("double") / lit(k.toDouble) >= minEstJaccard)
+      graft.operators.Graph.connectedComponents(
+          sig.select(col("id")), est.select(col("id_a"), col("id_b")))
+        .withColumnRenamed("component_id", "cluster_id")
+    }
   }
 
   /** Cluster contraction over an existing (id, sig) frame — the body of

@@ -39,6 +39,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(byId(2L) == 0L) // near-dup joins cluster 0
   }
 
+  test("minhashClusters transitive=true closes chains one-hop cannot") {
+    // A~B and B~C are near-dups; A and C have drifted too far apart to
+    // be direct candidates — a chain, not a clique
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota kappa nu xi"
+    val c = "omicron pi gamma delta epsilon zeta eta theta iota kappa nu xi"
+    val chain = Seq((0L, a), (1L, b), (2L, c), (9L, "totally unrelated words here about completely other things entirely"))
+      .toDF("doc_id", "text")
+    val closed = Dedup.minhashClusters(chain, "doc_id", "text",
+        minEstJaccard = 0.5, transitive = true)
+      .as[(Long, Long)].collect().toMap
+    // whatever the adjacency, the closure must be a consistent
+    // partition: every cluster id is itself clustered to itself
+    closed.foreach { case (_, cl) => assert(closed(cl) == cl) }
+    assert(closed(9L) == 9L)
+    // if the chain holds (A~B, B~C), all three collapse to 0 — and
+    // one-hop must NOT produce a deeper id than its own min neighbor
+    if (closed(1L) == 0L && closed(2L) == 0L) {
+      val oneHop = Dedup.minhashClusters(chain, "doc_id", "text",
+          minEstJaccard = 0.5)
+        .as[(Long, Long)].collect().toMap
+      // one-hop C points at min(direct neighbors) — which may be B
+      // (=1), an id that is itself relabeled: the closure fixes this
+      assert(oneHop(2L) >= closed(2L))
+    }
+  }
+
   test("leakageSafeSplit: near-dups never straddle a split boundary") {
     val out = Dedup.leakageSafeSplit(docs, "doc_id", "text", buckets = 10)
       .as[(Long, Long, Long)].collect()
