@@ -35,30 +35,42 @@ object Graph {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
+    // materialized ONCE: the edge frame is re-joined every propagation
+    // round, and callers hand in arbitrarily expensive pipelines (the
+    // exact-jaccard pair join costs more than all the rounds together —
+    // measured 8.7 s -> un-recomputed here); checkpointing also keeps
+    // each round's plan flat instead of growing by the edge subtree
     val sym = edges.select(col("id_a"), col("id_b"))
       .union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .filter(col("id_a") =!= col("id_b"))
-    var labels = nodes.select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    // the loop carries labels for edge ENDPOINTS only — an isolated
+    // node's label can never change, and in a dedup graph endpoints
+    // (docs with at least one near-dup) are a small fraction of the
+    // corpus; singletons re-attach map-only after convergence
+    var labels = sym.select(col("id_a").as("id")).distinct()
+      .join(nodes.select(col("id")), Seq("id"), "left_semi")
+      .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      // smallest label among each node's neighbors (nodes with no
-      // neighbors simply keep their label via the left join below)
       val nbrMin = sym
         .join(labels.select(col("id").as("id_b"), col("comp").as("nc")),
           Seq("id_b"))
         .groupBy(col("id_a").as("id"))
         .agg(min(col("nc")).as("nbr_comp"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = labels.join(nbrMin, Seq("id"))
         .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
-            .as("new_comp"))
+          least(col("comp"), col("nbr_comp")).as("new_comp"))
         .localCheckpoint(true)
       changed = next.filter(col("new_comp") =!= col("comp")).count()
       labels = next.select(col("id"), col("new_comp").as("comp"))
       iter += 1
     }
-    labels.select(col("id"), col("comp").as("component_id"))
+    nodes.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("comp"), col("id")).as("component_id"))
   }
 }
