@@ -552,6 +552,15 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 50), "doc_id", "text", 3)
     }),
 
+    "q_decontaminate_spans" -> ((s, d) => {
+      // surgical 13-gram decontamination: test-set windows excised from
+      // train docs (vs q_decontaminate, which only scores)
+      val docs = t(s, d, "documents")
+      Dedup.decontaminateSpans(docs.filter(col("doc_id") >= 50),
+        docs.filter(col("doc_id") < 50), "doc_id", "text", 13)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "q_tfidf_top_terms" -> ((s, d) =>
       // smoothed TF-IDF keyword extraction, top-3 per doc, ranked on
       // the rounded score for cross-engine determinism
@@ -1722,6 +1731,34 @@ object SparkEntry {
          SELECT doc_id, min(pos) AS start_tok, max(pos) + 14 AS end_tok,
                 max(pos) + 14 - min(pos) + 1 AS n_tokens
          FROM grp GROUP BY doc_id, g""",
+
+    "q_decontaminate_spans" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         tr AS (SELECT * FROM toks WHERE doc_id >= 50),
+         te AS (SELECT * FROM toks WHERE doc_id < 50),
+         twins AS (
+           SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS w
+           FROM te, unnest(range(1, len(t) - 11)) AS u(i)),
+         wins AS (
+           SELECT doc_id, i AS pos, array_to_string(t[i:i+12], ' ') AS w
+           FROM tr, unnest(range(1, len(t) - 11)) AS u(i)),
+         covered AS (
+           SELECT DISTINCT doc_id, u.tp
+           FROM wins, unnest(range(pos, pos + 13)) AS u(tp)
+           WHERE w IN (SELECT w FROM twins)),
+         tokpos AS (
+           SELECT doc_id, i AS tp, t[i] AS tok
+           FROM tr, unnest(range(1, len(t) + 1)) AS u(i)),
+         kept AS (
+           SELECT doc_id, tp, tok FROM tokpos ANTI JOIN covered USING (doc_id, tp))
+         SELECT t.doc_id,
+                coalesce(string_agg(k.tok, ' ' ORDER BY k.tp), '') AS clean_text,
+                count(k.tok) AS n_tokens,
+                any_value(len(t.t)) - count(k.tok) AS n_tokens_removed
+         FROM tr t LEFT JOIN kept k ON t.doc_id = k.doc_id
+         GROUP BY t.doc_id""",
 
     "q_span_dedup" ->
       """WITH toks AS (

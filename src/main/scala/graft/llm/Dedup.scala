@@ -923,6 +923,15 @@ object Dedup {
       .select(col("id"), explode(sequence(col("pos"),
         col("pos") + n - 1)).as("tpos"))
       .distinct()
+    removeCoveredTokens(df, idCol, textCol, covered)
+  }
+
+  /** Shared rewrite tail of the span-surgery family: drop the (id,
+    * tpos) token positions in `covered`, reassemble each doc from the
+    * survivors. Output: (id, clean_text, n_tokens, n_tokens_removed);
+    * text is normalized (whitespace collapse) by reconstruction. */
+  private def removeCoveredTokens(df: DataFrame, idCol: String,
+      textCol: String, covered: DataFrame): DataFrame = {
     // persisted: the token rows feed both the reassembly branch and the
     // per-doc total count — without it the corpus re-tokenizes per branch
     val toks = persistTracked(df.select(col(idCol).as("id"),
@@ -942,5 +951,32 @@ object Dedup {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         (col("__n") - coalesce(col("n_tokens"), lit(0L))).cast("long")
           .as("n_tokens_removed"))
+  }
+
+  /** SURGICAL train-set decontamination (the GPT-3 appendix-C / Lee et
+    * al. policy at token granularity): remove from every training
+    * document each n-gram window that also appears anywhere in the
+    * held-out set, and reassemble the survivors — the span-level
+    * counterpart of [[contamination]], which only SCORES docs. Unlike
+    * [[removeRepeatedSpans]] there is no keeper: every contaminated
+    * window is excised (the test set is the reference, not a peer).
+    * GPT-3 used 13-gram removal — hence the default. Output: (id,
+    * clean_text, n_tokens, n_tokens_removed).
+    *
+    * Scale shape: the test-side frame collapses to DISTINCT 128-bit
+    * window hashes (held-out sets are small — it broadcasts); the
+    * train side pays the same two token-level exchanges as
+    * [[removeRepeatedSpans]], inherent to exact span surgery.
+    * Upstream of those, only (16-byte hash, id, int pos) rows move. */
+  def decontaminateSpans(train: DataFrame, test: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    val rows = spanHashRows(train, idCol, textCol, n)
+    val testHashes = spanHashRows(test, idCol, textCol, n)
+      .select("h", "h2").distinct()
+    val covered = rows.join(testHashes, Seq("h", "h2"), "left_semi")
+      .select(col("id"), explode(sequence(col("pos"),
+        col("pos") + n - 1)).as("tpos"))
+      .distinct()
+    removeCoveredTokens(train, idCol, textCol, covered)
   }
 }

@@ -206,6 +206,30 @@ class LinesSpansSpec extends SparkSpec {
     assert(kept.indexOf(shared) == kept.lastIndexOf(shared) && kept.contains(shared))
   }
 
+  test("decontaminateSpans excises every test window from train docs") {
+    // the 5-gram "one two three four five" sits inside a train doc and
+    // a test doc; unlike removeRepeatedSpans there is NO keeper — the
+    // train occurrence is removed outright
+    val train = Seq(
+      (100L, "aa bb one two three four five cc dd"),
+      (101L, "totally clean doc with nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val test = Seq(
+      (0L, "xx one two three four five yy")).toDF("doc_id", "text")
+    val out = Dedup.decontaminateSpans(train, test, "doc_id", "text", 5)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(100L)._2 == "aa bb cc dd")
+    assert(out(100L)._3 == 4L && out(100L)._4 == 5L)
+    assert(out(101L)._2 ==
+      "totally clean doc with nothing shared here at all")
+    assert(out(101L)._4 == 0L)
+    // a train doc that is ENTIRELY test material comes back empty
+    val all = Seq((200L, "one two three four five")).toDF("doc_id", "text")
+    val o2 = Dedup.decontaminateSpans(all, test, "doc_id", "text", 5)
+      .as[(Long, String, Long, Long)].collect().head
+    assert(o2._2 == "" && o2._3 == 0L && o2._4 == 5L)
+  }
+
   test("prepare composes line cleaning and span dedup before doc dedup") {
     val span = (1 to 20).map(i => s"sp$i").mkString(" ")
     val d = Seq(
