@@ -552,6 +552,24 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 50), "doc_id", "text", 3)
     }),
 
+    "q_rrf_fuse" -> ((s, d) => {
+      // reciprocal-rank fusion of BM25 relevance with the quality
+      // ranking: "relevant AND well-formed" doc selection; ranks are on
+      // rounded scores with id tiebreaks so both engines agree exactly
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val bmRank = graft.llm.Relevance.bm25(docs, "doc_id", "text",
+          Seq("vector", "join", "stream"))
+        .select(col("doc_id").as("id"), row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).as("rank"))
+      val qRank = docs
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
+        .select(col("doc_id").as("id"), row_number().over(
+          Window.orderBy(col("q").desc, col("doc_id"))).as("rank"))
+      graft.llm.Relevance.rrfFuse(Seq(bmRank, qRank), k = 60, topN = 50)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "q_decontaminate_spans" -> ((s, d) => {
       // surgical 13-gram decontamination: test-set windows excised from
       // train docs (vs q_decontaminate, which only scores)
@@ -1731,6 +1749,56 @@ object SparkEntry {
          SELECT doc_id, min(pos) AS start_tok, max(pos) + 14 AS end_tok,
                 max(pos) + 14 - min(pos) + 1 AS n_tokens
          FROM grp GROUP BY doc_id, g""",
+
+    "q_rrf_fuse" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                       FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks WHERE length(w) > 0 GROUP BY 1),
+         stats AS (SELECT avg(dl) AS avgdl, CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+                WHERE w IN ('vector', 'join', 'stream') GROUP BY 1, 2),
+         dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         bm AS (
+           SELECT doc_id, round(sum(
+                    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+                    (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
+           FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
+           GROUP BY doc_id),
+         bmrank AS (
+           SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           FROM bm),
+         qbase AS (
+           SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks,
+                  regexp_replace(text, '\s+', '', 'g') AS body,
+                  trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+           FROM documents),
+         qm AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter(toks, w -> w IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','that','this'))) AS DOUBLE) / len(toks) END AS stopword_ratio,
+                  CASE WHEN length(body) = 0 THEN 0.0
+                       ELSE CAST(length(regexp_replace(body, '[\p{L}\p{N}]', '', 'g')) AS DOUBLE) / length(body) END AS punct_ratio,
+                  CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END AS n_tokens
+           FROM qbase),
+         q AS (
+           SELECT doc_id,
+                  round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                        + 0.5 * least(stopword_ratio * 4.0, 1.0)
+                        - 0.25 * least(punct_ratio * 2.0, 1.0), 6) AS quality
+           FROM qm),
+         qrank AS (
+           SELECT doc_id, row_number() OVER (ORDER BY quality DESC, doc_id) AS rank
+           FROM q),
+         contrib AS (
+           SELECT doc_id, 1.0 / (60 + rank) AS c FROM bmrank
+           UNION ALL SELECT doc_id, 1.0 / (60 + rank) AS c FROM qrank),
+         fused AS (
+           SELECT doc_id, round(sum(c), 6) AS rrf_score,
+                  CAST(count(*) AS BIGINT) AS n_lists
+           FROM contrib GROUP BY doc_id)
+         SELECT doc_id, rrf_score, n_lists
+         FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 50""",
 
     "q_decontaminate_spans" ->
       """WITH toks AS (

@@ -90,4 +90,32 @@ object Relevance {
       .groupBy(col("id").as(idCol))
       .agg(round(sum(col("part")), scale).as("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists:
+    * rrf(d) = Σ_lists 1/(k + rank_d), summed over the lists containing
+    * d — the standard combinator for hybrid retrieval (BM25 + dense)
+    * and multi-signal corpus curation (relevance × quality), robust to
+    * incomparable score scales because only RANKS enter. Each input
+    * frame is (id, rank) with rank 1-based; `k` dampens the head
+    * (larger k flattens list influence; 60 is the paper's constant).
+    * Output: (id, rrf_score, n_lists), top `topN` by (score desc, id)
+    * when topN > 0 — a TakeOrdered plan, not a global sort.
+    *
+    * Scale note: inputs are RETRIEVAL OUTPUTS (top-k lists, bounded by
+    * construction), not corpora — the union+aggregate is list-sized.
+    * Rank ties must already be broken upstream (rank on rounded scores
+    * with an id tiebreak, cf. [[tfidfTopTerms]]) or fusion inherits the
+    * nondeterminism. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int = 60, topN: Int = 0,
+      scale: Int = 6): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val contribs = rankings.map(r =>
+      r.select(col("id"), (lit(1.0) / (lit(k) + col("rank"))).as("__c")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy("id")
+      .agg(round(sum(col("__c")), scale).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+    if (topN <= 0) fused
+    else fused.orderBy(col("rrf_score").desc, col("id")).limit(topN)
+  }
 }

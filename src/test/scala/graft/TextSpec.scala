@@ -151,6 +151,28 @@ class TextSpec extends SparkSpec {
     assert(frBuckets.contains("head") && frBuckets.contains("tail"))
   }
 
+  test("rrfFuse sums reciprocal ranks; consensus docs beat one-list hits") {
+    // list A ranks (1,2,3) = docs 10,20,30; list B ranks docs 20,10,40:
+    // doc 20: 1/62 + 1/61, doc 10: 1/61 + 1/62 (tie!), 30: 1/63, 40: 1/63
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (10L, 2), (40L, 3)).toDF("id", "rank")
+    val out = graft.llm.Relevance.rrfFuse(Seq(a, b))
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val r12 = BigDecimal(1.0 / 61 + 1.0 / 62)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r3 = BigDecimal(1.0 / 63)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(10L) == (r12, 2L) && out(20L) == (r12, 2L))
+    assert(out(30L) == (r3, 1L) && out(40L) == (r3, 1L))
+    // consensus (both lists) dominates single-list presence
+    assert(out(10L)._1 > out(30L)._1)
+    // topN keeps the best by (score desc, id) — the score tie between
+    // 10 and 20 breaks toward the smaller id
+    val top = graft.llm.Relevance.rrfFuse(Seq(a, b), topN = 3)
+      .as[(Long, Double, Long)].collect().map(_._1)
+    assert(top.take(2).toSeq == Seq(10L, 20L))
+  }
+
   test("chunkDocuments: overlapping windows, capped tail, no empty docs") {
     val df = Seq(
       (1L, "a b c d e f g"),   // 7 tokens
