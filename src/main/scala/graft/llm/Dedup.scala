@@ -979,4 +979,60 @@ object Dedup {
       .distinct()
     removeCoveredTokens(train, idCol, textCol, covered)
   }
+
+  /** Fit phase of the span-decontamination SCREEN: the held-out set's
+    * distinct 64-bit window hashes folded into serialized bloom bytes
+    * (null when the test set has no n-token window). Ship it to a
+    * streaming ingest job the way [[Lines.boilerplateBloom]] ships. */
+  def spanBloom(test: DataFrame, idCol: String, textCol: String,
+      n: Int = 13, expectedWindows: Long = 1000000L): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    val numBits = math.min(8L * expectedWindows, 8L * 64 * 1024 * 1024)
+    val h = spanHashRows(test, idCol, textCol, n).select(col("h")).distinct()
+    val bloomAgg = Bridge.toColumn(
+      new BloomFilterAggregate(
+        Bridge.toExpression(col("h")),
+        Literal(expectedWindows), Literal(numBits)).toAggregateExpression())
+    h.agg(bloomAgg.as("__bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Map-only span-decontamination SCREEN: [[decontaminateSpans]]'s
+    * streaming-legal sibling. Window hashes are computed INSIDE array
+    * HOFs against the bloom literal, so the whole rewrite is a pure
+    * per-row projection — no shuffle, no state, runs unchanged on a
+    * live streaming DataFrame (fit the bloom on the held-out set in
+    * batch, excise at ingest). Bloom false positives over-remove ~1%
+    * of innocent windows at default sizing (the screen family's usual
+    * trade — use the exact form when surgical precision matters more
+    * than the saved exchanges); the single 64-bit hash is fine HERE
+    * because a collision costs an innocent n-gram, not a dedup
+    * deletion cascade. Output matches the exact form:
+    * (id, clean_text, n_tokens, n_tokens_removed). */
+  def decontaminateSpansScreen(train: DataFrame, idCol: String,
+      textCol: String, bloom: Array[Byte], n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    def hit(x: Column): Column =
+      if (bloom == null) lit(false)
+      else Bridge.toColumn(BloomFilterMightContain(
+        Literal(bloom, BinaryType), Bridge.toExpression(x)))
+    val t = col("__t")
+    val starts = when(size(t) >= n,
+      sequence(lit(1), size(t) - (n - 1))).otherwise(array())
+    train
+      .select(col(idCol).as("id"),
+        split(Text.normWs(col(textCol)), " ").as("__t"))
+      .withColumn("__hits", filter(starts,
+        i => hit(xxhash64(concat_ws(" ", slice(t, i, lit(n)))))))
+      .withColumn("__cov", array_distinct(flatten(
+        transform(col("__hits"), i => sequence(i, i + lit(n - 1))))))
+      .select(col("id"),
+        array_join(filter(t, (_, j) =>
+          !array_contains(col("__cov"), j + 1)), " ").as("clean_text"),
+        (size(t) - size(col("__cov"))).cast("long").as("n_tokens"),
+        size(col("__cov")).cast("long").as("n_tokens_removed"))
+  }
 }

@@ -230,6 +230,40 @@ class LinesSpansSpec extends SparkSpec {
     assert(o2._2 == "" && o2._3 == 0L && o2._4 == 5L)
   }
 
+  test("decontaminateSpansScreen == exact form; runs on a live stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val test = Seq((0L, "xx one two three four five yy"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (100L, "aa bb one two three four five cc dd"),
+      (101L, "totally clean doc with nothing shared here at all"),
+      (102L, "one two three four five"))
+    // screen == exact on this no-collision corpus
+    val bloom = Dedup.spanBloom(test, "doc_id", "text", 5)
+    val exact = Dedup.decontaminateSpans(train.toDF("doc_id", "text"),
+        test, "doc_id", "text", 5)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val screen = Dedup.decontaminateSpansScreen(train.toDF("doc_id", "text"),
+        "doc_id", "text", bloom, 5)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(screen == exact)
+    assert(screen(100L)._2 == "aa bb cc dd" && screen(102L)._2 == "")
+    // the same screen runs unchanged on a live stream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = Dedup.decontaminateSpansScreen(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", bloom, 5)
+      .writeStream.format("memory")
+      .queryName("span_screen_out").outputMode("append").start()
+    try {
+      mem.addData(train: _*)
+      q.processAllAvailable()
+      val got = spark.table("span_screen_out")
+        .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+      assert(got == exact)
+    } finally q.stop()
+  }
+
   test("prepare composes line cleaning and span dedup before doc dedup") {
     val span = (1 to 20).map(i => s"sp$i").mkString(" ")
     val d = Seq(

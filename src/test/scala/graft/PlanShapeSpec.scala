@@ -149,6 +149,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pd.contains("Exchange SinglePartition"), pd)
     // pplBuckets: ranking window partitions BY language (parallel per
     // lang), never a single-partition global sort
+    // span-decontamination screen: the corpus pass must be map-only
+    // (bloom literal + array HOFs — streaming-legal by construction)
+    val bloom = graft.llm.Dedup.spanBloom(
+      docs.filter(col("doc_id") < 5), "doc_id", "text", 13)
+    val scr = planOf(graft.llm.Dedup.decontaminateSpansScreen(
+      docs, "doc_id", "text", bloom, 13))
+    assert(!scr.contains("Exchange"),
+      s"span screen must not shuffle:\n$scr")
     val pb = planOf(graft.llm.LanguageModel.pplBuckets(
       docs, "doc_id", "text", "lang"))
     assert(pb.contains("hashpartitioning(lang"), pb)
