@@ -706,6 +706,12 @@ object SparkEntry {
         t(s, d, "documents").filter(col("lang") === "en"),
         "doc_id", "text", 50)),
 
+    "q_stratified_take" -> ((s, d) =>
+      // balanced subset: exactly 20 docs per language (fewer if the
+      // stratum is smaller), deterministic across engines/partitionings
+      Relational.stratifiedTake(t(s, d, "documents")
+          .select("doc_id", "lang"), col("lang"), col("doc_id"), 20)),
+
     "q_stratified_sample" -> ((s, d) =>
       // data mixing: downsample over-represented languages with
       // key-stable per-stratum rates (en 30%, zh 50%, rest kept)
@@ -1918,6 +1924,14 @@ object SparkEntry {
            CROSS JOIN tot
            GROUP BY r.doc_id)
          ORDER BY weight DESC, doc_id LIMIT 50""",
+
+    "q_stratified_take" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':take'), doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 20""",
 
     "q_stratified_sample" ->
       """SELECT lang, count(*) AS n_docs, round(avg(length(text)), 4) AS avg_chars

@@ -243,4 +243,28 @@ object Relational {
       .limit(k)
       .drop("__h")
   }
+
+  /** Deterministic per-stratum EXACT-k take: within every stratum, the
+    * k rows with the smallest salted md5 hash (key tiebreak — a total
+    * order). The balanced-subset primitive: equal-sized per-language /
+    * per-domain samples for evals, probes and human review, stable
+    * across engines, runs and partitionings. Strata with fewer than k
+    * rows keep everything (no padding).
+    *
+    * Scale shape: one hash-partitioned exchange on the stratum key,
+    * then per-stratum window ranks run in parallel — the
+    * [[graft.llm.Mixing.qualityPercentileFilter]] posture; one
+    * pathologically hot stratum becomes a single sort partition (same
+    * caveat, same histogram-bucketing escape hatch). Keys must be
+    * non-null, as in [[deterministicTake]]. */
+  def stratifiedTake(df: DataFrame, strata: Column, key: Column, k: Int,
+      salt: String = "take"): DataFrame = {
+    require(k >= 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strata).orderBy(col("__h"), key)
+    df.withColumn("__h", md5(concat(key.cast("string"), lit(":" + salt))))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__h", "__rn")
+  }
 }

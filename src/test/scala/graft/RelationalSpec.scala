@@ -175,6 +175,24 @@ class RelationalSpec extends SparkSpec {
     assert(keptUsers.size > 100 && keptUsers.size < 200, keptUsers.size)
   }
 
+  test("stratifiedTake: exact k per stratum, short strata whole, stable") {
+    val df = ((1L to 100L).map(i => (i, "big")) ++
+      (200L to 203L).map(i => (i, "small"))).toDF("id", "s")
+    val t1 = Relational.stratifiedTake(df, col("s"), col("id"), 10)
+      .as[(Long, String)].collect()
+    val byS = t1.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byS("big").size == 10)
+    assert(byS("small") == Set(200L, 201L, 202L, 203L)) // < k: kept whole
+    // layout-independent: same selection after a repartition
+    val t2 = Relational.stratifiedTake(df.repartition(7), col("s"),
+      col("id"), 10).as[(Long, String)].collect()
+    assert(t2.toSet == t1.toSet)
+    // nested: the k=5 take is a subset of the k=10 take per stratum
+    val t3 = Relational.stratifiedTake(df, col("s"), col("id"), 5)
+      .as[(Long, String)].collect().toSet
+    assert(t3.subsetOf(t1.toSet))
+  }
+
   test("rollupAgg emits every prefix level plus the grand total, tagged") {
     val df = Seq(("F", "1995", 10.0), ("F", "1996", 20.0), ("O", "1995", 5.0))
       .toDF("status", "yr", "price")
