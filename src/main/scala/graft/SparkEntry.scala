@@ -607,6 +607,18 @@ object SparkEntry {
         Text.redactPii(col("aug")).as("redacted"))
     }),
 
+    "q_bestfit_pack" -> ((s, d) => {
+      // rows-only: best-fit-decreasing packing (bin state lives in a
+      // Catalyst aggregate HOF — not ANSI-expressible); TextSpec gates
+      // capacity + packs-used <= contiguous
+      val docs = Relational.withHashSplit(
+        t(s, d, "documents").select(col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens")),
+        col("doc_id"), 10, "shard")
+      graft.llm.Packing.bestFitPacks(docs, "doc_id", "n_tokens",
+        2048L, "shard").withColumnRenamed("id", "doc_id")
+    }),
+
     "q_pack_sequences" -> ((s, d) => {
       // sequence-packing assignment: 10 hash shards pack independently
       // (parallel windows), 2048-token context budget

@@ -39,6 +39,67 @@ object Packing {
     df.withColumn("pack_id", floor(cumBefore / lit(budget)))
   }
 
+  /** Best-fit-decreasing pack assignment: within every shard, docs are
+    * walked in (token count DESC, id) order and each is placed into the
+    * FULLEST open pack that still fits it, opening a new pack when none
+    * does — the classic bin-packing heuristic (≤ 11/9·OPT + 1), which
+    * beats [[contiguousPacks]]' fill-in-order rule on padding waste
+    * because small docs backfill the holes big docs leave. Docs larger
+    * than the budget get a pack of their own (trainers truncate).
+    * Output: (shard, id, n_tokens, pack_id); pack ids are 0-based and
+    * shard-local. Deterministic: the walk order is total and best-fit
+    * ties resolve to the lowest pack id.
+    *
+    * Scale design: the packing state (open-pack loads) is inherently
+    * sequential, so it lives INSIDE one Catalyst `aggregate` HOF over a
+    * per-shard collected array — no UDF, no driver loop; shards pack in
+    * parallel and the accumulator is (#packs) longs. The per-shard
+    * collect is the same bounded-domain contract as the shard-window in
+    * [[contiguousPacks]]: pick shards (e.g.
+    * [[graft.operators.Relational.withHashSplit]] buckets) so a shard's
+    * doc LIST fits an executor — thousands to low millions of docs,
+    * never the corpus. */
+  def bestFitPacks(df: DataFrame, idCol: String, nTokensCol: String,
+      budget: Long, shardCol: String): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val docs = df.select(col(shardCol).as("shard"),
+      struct((-col(nTokensCol).cast("long")).as("negn"),
+        col(idCol).cast("long").as("id")).as("d"))
+    val perShard = docs.groupBy("shard")
+      .agg(array_sort(collect_list(col("d"))).as("ds"))
+    // acc.loads: open-pack loads; acc.packs: the i-th doc's pack id
+    val emptyAcc = struct(
+      array().cast("array<bigint>").as("loads"),
+      array().cast("array<int>").as("packs"))
+    val placed = aggregate(
+      col("ds"), emptyAcc,
+      (acc, d) => {
+        val n = -d.getField("negn")
+        val feasible = filter(acc.getField("loads"),
+          l => l + n <= lit(budget))
+        val bestIdx = array_position(acc.getField("loads"),
+          array_max(feasible)) // 1-based; 0 when no feasible pack
+        when(size(feasible) > 0, struct(
+          transform(acc.getField("loads"),
+            (l, i) => when(i === bestIdx - 1, l + n).otherwise(l))
+            .as("loads"),
+          concat(acc.getField("packs"),
+            array((bestIdx - 1).cast("int"))).as("packs")))
+        .otherwise(struct(
+          concat(acc.getField("loads"), array(n)).as("loads"),
+          concat(acc.getField("packs"),
+            array(size(acc.getField("loads")).cast("int"))).as("packs")))
+      })
+    perShard
+      .select(col("shard"), col("ds"), placed.getField("packs").as("ps"))
+      .select(col("shard"),
+        posexplode(arrays_zip(col("ds"), col("ps"))).as(Seq("__i", "z")))
+      .select(col("shard"),
+        col("z.ds.id").as("id"),
+        (-col("z.ds.negn")).as("n_tokens"),
+        col("z.ps").cast("long").as("pack_id"))
+  }
+
   /** Chunk long documents into overlapping token windows of
     * `chunkTokens` tokens advancing by `strideTokens` (stride <
     * chunkTokens ⇒ overlap) — the context-length splitting step that

@@ -151,6 +151,41 @@ class TextSpec extends SparkSpec {
     assert(frBuckets.contains("head") && frBuckets.contains("tail"))
   }
 
+  test("bestFitPacks: capacity respected, beats contiguous on padding") {
+    // budget 10; sizes desc 7,5,4,3,2,2 — BFD: 7→p0, 5→p1, 4→p1(9),
+    // 3→p0(10), 2→p2 (no fit in 10/9), 2→p2(4): loads {10,9,4}
+    val df = Seq((1L, 7L), (2L, 5L), (3L, 4L), (4L, 3L), (5L, 2L), (6L, 2L))
+      .toDF("doc_id", "n_tokens").withColumn("shard", lit(0))
+    val out = graft.llm.Packing.bestFitPacks(df, "doc_id", "n_tokens",
+      10L, "shard").as[(Int, Long, Long, Long)].collect()
+    val byPack = out.groupBy(_._4).view
+      .mapValues(_.map(r => r._2 -> r._3)).toMap
+    assert(byPack.size == 3, s"expected 3 packs: $byPack")
+    byPack.values.foreach(p => assert(p.map(_._2).sum <= 10L, s"$byPack"))
+    assert(byPack.values.map(_.map(_._2).sum).toSeq.sorted == Seq(4L, 9L, 10L))
+    // oversize doc gets its own pack; zero never overflows
+    val big = Seq((1L, 25L), (2L, 3L)).toDF("doc_id", "n_tokens")
+      .withColumn("shard", lit(0))
+    val ob = graft.llm.Packing.bestFitPacks(big, "doc_id", "n_tokens",
+      10L, "shard").as[(Int, Long, Long, Long)].collect()
+      .map(r => r._2 -> r._4).toMap
+    assert(ob(1L) != ob(2L))
+    // determinism under physical layout
+    val again = graft.llm.Packing.bestFitPacks(df.repartition(5), "doc_id",
+      "n_tokens", 10L, "shard").as[(Int, Long, Long, Long)].collect()
+    assert(again.sortBy(_._2).toSeq == out.sortBy(_._2).toSeq)
+    // efficiency gate vs contiguous on a skewed fixture: BFD never uses
+    // more packs
+    val mix = (1L to 60L).map(i => (i, 1L + (i * 37) % 9))
+      .toDF("doc_id", "n_tokens").withColumn("shard", (col("doc_id") % 2).cast("int"))
+    val bfd = graft.llm.Packing.bestFitPacks(mix, "doc_id", "n_tokens",
+      10L, "shard").select("shard", "pack_id").distinct().count()
+    val contig = graft.llm.Packing.contiguousPacks(mix, "n_tokens", 10L,
+      Seq(col("doc_id")), Some("shard"))
+      .select("shard", "pack_id").distinct().count()
+    assert(bfd <= contig, s"BFD $bfd packs vs contiguous $contig")
+  }
+
   test("rrfFuse sums reciprocal ranks; consensus docs beat one-list hits") {
     // list A ranks (1,2,3) = docs 10,20,30; list B ranks docs 20,10,40:
     // doc 20: 1/62 + 1/61, doc 10: 1/61 + 1/62 (tie!), 30: 1/63, 40: 1/63
