@@ -37,7 +37,16 @@ object CorpusPipeline {
       /** When set, remove corpus-duplicated token spans of this window
         * size, keeping one occurrence ([[Dedup.removeRepeatedSpans]]);
         * fully-emptied docs are dropped. */
-      spanDedupN: Option[Int] = None)
+      spanDedupN: Option[Int] = None,
+      /** When set, keep-first paragraph dedup on this separator
+        * ([[Lines.dedupParagraphs]]) runs between the line and span
+        * stages; fully-emptied docs are dropped. */
+      paraDedupSep: Option[String] = None,
+      /** When set, the final train/val/test split is LEAKAGE-SAFE
+        * ([[Dedup.leakageSafeSplit]] at this exact-jaccard threshold):
+        * near-dup groups never straddle a split boundary. Default is
+        * the plain per-doc hash split. */
+      leakageSafeMinJaccard: Option[Double] = None)
 
   /** Rewrite `textCol` with a cleaning stage's clean_text, keeping all
     * other columns; docs whose text is emptied by the cleaner drop out
@@ -64,10 +73,15 @@ object CorpusPipeline {
         Lines.stripBoilerplate(docs, idCol, textCol, k))
       case None => docs
     }
-    val base = cfg.spanDedupN match {
-      case Some(n) => rewriteText(afterLines, idCol, textCol,
-        Dedup.removeRepeatedSpans(afterLines, idCol, textCol, n))
+    val afterParas = cfg.paraDedupSep match {
+      case Some(sep) => rewriteText(afterLines, idCol, textCol,
+        Lines.dedupParagraphs(afterLines, idCol, textCol, sep))
       case None => afterLines
+    }
+    val base = cfg.spanDedupN match {
+      case Some(n) => rewriteText(afterParas, idCol, textCol,
+        Dedup.removeRepeatedSpans(afterParas, idCol, textCol, n))
+      case None => afterParas
     }
     val deduped = Dedup.dedupCorpus(base, idCol, textCol, cfg.shingleN)
     val scored = deduped
@@ -102,7 +116,19 @@ object CorpusPipeline {
         filtered.join(confirmed, Seq(idCol), "left_anti")
       case None => filtered
     }
-    Relational.withHashSplit(decontaminated, col(idCol), cfg.splitBuckets)
+    cfg.leakageSafeMinJaccard match {
+      case Some(j) =>
+        // split key = near-dup component: survivors of doc-level dedup
+        // can still be near-dups just UNDER its threshold — without
+        // this, a test doc's almost-duplicate lands in train
+        val sp = Dedup.leakageSafeSplit(decontaminated, idCol, textCol,
+            cfg.splitBuckets, cfg.shingleN, j)
+          .select(col(idCol), col("split_bucket"))
+        decontaminated.join(sp, Seq(idCol))
+      case None =>
+        Relational.withHashSplit(decontaminated, col(idCol),
+          cfg.splitBuckets)
+    }
   }
 
   final case class AssemblyConfig(

@@ -287,6 +287,34 @@ class LinesSpansSpec extends SparkSpec {
     assert(byId(2L).contains("gamma") && byId(3L).contains("delta"))
   }
 
+  test("prepare: paragraph-dedup stage and leakage-safe split options") {
+    val para = (1 to 15).map(i => s"p$i").mkString(" ")
+    val nearA = (1 to 25).map(i => s"w$i").mkString(" ")
+    val nearB = (1 to 24).map(i => s"w$i").mkString(" ") + " zz"
+    val d = Seq(
+      (0L, s"$para\nalpha ${(1 to 30).map(i => s"a$i").mkString(" ")}"),
+      (1L, s"$para\nbeta ${(1 to 30).map(i => s"b$i").mkString(" ")}"),
+      (2L, s"unique gamma $nearA"),
+      (3L, s"unique gamma $nearB")) // near-dup of 2, below dedup cut
+      .toDF("doc_id", "text").withColumn("source", lit("web"))
+    val out = graft.llm.CorpusPipeline.prepare(d, "doc_id", "text",
+      cfg = graft.llm.CorpusPipeline.Config(
+        paraDedupSep = Some("\n"),
+        leakageSafeMinJaccard = Some(0.5)))
+    val text = out.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    // the shared paragraph survives only in doc 0 (keep-first)
+    assert(text(0L).contains(para) && !text(1L).contains(para))
+    // near-dups 2/3 survive doc-level dedup (jaccard < its 0.7 bar for
+    // clustering at default bands is possible, but the leakage-safe
+    // split must still co-bucket whatever near-dups remain)
+    val buckets = out.select("doc_id", "split_bucket")
+      .as[(Long, Long)].collect().toMap
+    if (buckets.contains(2L) && buckets.contains(3L))
+      assert(buckets(2L) == buckets(3L),
+        s"near-dups straddle the split: $buckets")
+  }
+
   test("maxOcc valve ignores ubiquitous n-grams") {
     val stop = (1 to 10).map(i => s"w$i").mkString(" ")
     val d = (0L to 5L).map(i => (i, s"$stop tail$i")).toDF("doc_id", "text")
