@@ -86,6 +86,18 @@ object R5NewOpsProbe {
         .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
       time("connectedComponents   50-node chain (worst)")(
         Graph.connectedComponents(chainNodes, chainEdges, maxIter = 60))
+      // best-fit packing: shard-array aggregate — cost scales with
+      // docs-per-shard, so hold shard size fixed and scale shard count
+      def packed(df: DataFrame, shards: Int): DataFrame = {
+        val docs = graft.operators.Relational.withHashSplit(
+          df.select(col("doc_id"),
+            graft.functions.Text.tokenCount(col("text")).as("n_tokens")),
+          col("doc_id"), shards, "shard")
+        graft.llm.Packing.bestFitPacks(docs, "doc_id", "n_tokens",
+          2048L, "shard")
+      }
+      time("bestFitPacks          5k docs, 10 shards")(packed(d1, 10))
+      time("bestFitPacks         50k docs, 100 shards")(packed(d10, 100))
     }
     spark.stop()
   }
