@@ -552,6 +552,15 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 50), "doc_id", "text", 3)
     }),
 
+    "q_nfc_normalize" -> ((s, d) =>
+      // unicode canonicalization ahead of fingerprint/shingle dedup
+      // (native codegen kernel; composed/decomposed parity is proven in
+      // TextStatsSpec — the synthetic corpus is ASCII so the oracle
+      // checks the identity path through both engines)
+      t(s, d, "documents").select(col("doc_id"),
+        graft.plans.UnicodeNormExpr.nfcNormalize(col("text"))
+          .as("norm_text"))),
+
     "q_rrf_fuse" -> ((s, d) => {
       // reciprocal-rank fusion of BM25 relevance with the quality
       // ranking: "relevant AND well-formed" doc selection; ranks are on
@@ -1767,6 +1776,9 @@ object SparkEntry {
          SELECT doc_id, min(pos) AS start_tok, max(pos) + 14 AS end_tok,
                 max(pos) + 14 - min(pos) + 1 AS n_tokens
          FROM grp GROUP BY doc_id, g""",
+
+    "q_nfc_normalize" ->
+      """SELECT doc_id, nfc_normalize(text) AS norm_text FROM documents""",
 
     "q_rrf_fuse" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w

@@ -71,6 +71,12 @@ object GraftExtensions {
         require(args.length == 1, "text_stats(text)")
         TextStats(args(0))
       }),
+    (new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize(text)")
+        NfcNormalize(args(0))
+      }),
     (new FunctionIdentifier("winnow_fp"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fp"),
       (args: Seq[Expression]) => {

@@ -95,6 +95,51 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("nfc_normalize: composed==decomposed, idempotent, ascii identity") {
+    import graft.plans.UnicodeNormExpr.nfcNormalize
+    val composed = "café résumé"              // é as U+00E9
+    val decomposed = "cafe\u0301 re\u0301sume\u0301"         // e + U+0301
+    val df = Seq(composed, decomposed, "plain ascii", "",
+      "𝔸 math", "mixed café and café").toDF("t")
+    val out = df.select(col("t"), nfcNormalize(col("t")).as("n"))
+      .as[(String, String)].collect().toMap
+    // the two é spellings canonicalize to the same bytes
+    assert(out(composed) == out(decomposed))
+    assert(out(composed) == composed)            // NFC keeps composed
+    assert(out("plain ascii") == "plain ascii")  // ascii fast path
+    assert(out("") == "")
+    // idempotent
+    val twice = df.select(nfcNormalize(nfcNormalize(col("t"))).as("n2"))
+      .as[String].collect()
+    assert(twice.toSet == out.values.toSet)
+    // the dedup consequence: fingerprints of the two spellings agree
+    // only AFTER normalization
+    val fp = Seq((1L, composed), (2L, decomposed)).toDF("id", "t")
+    val raw = fp.select(Text.fingerprint(col("t")).cast("string").as("f"))
+      .as[String].collect()
+    assert(raw(0) != raw(1))
+    val norm = fp.select(
+        Text.fingerprint(nfcNormalize(col("t"))).cast("string").as("f"))
+      .as[String].collect()
+    assert(norm(0) == norm(1))
+    // codegen == interpreted
+    def run(): Array[String] =
+      df.select(nfcNormalize(col("t"))).as[String].collect()
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run().toSeq == gen.toSeq)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // SQL registration
+    graft.plans.GraftExtensions.registerInto(spark)
+    df.createOrReplaceTempView("nfc_in")
+    assert(spark.sql(s"SELECT nfc_normalize(t) FROM nfc_in")
+      .as[String].collect().toSet == out.values.toSet)
+  }
+
   test("qualityScore on the kernel matches the assembled reference formula") {
     val refQuality = {
       val lenScore =
