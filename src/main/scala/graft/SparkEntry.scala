@@ -462,6 +462,24 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), Text.languageId(col("text")).as("lang_pred"))),
 
+    "q_vocab_stats" -> ((s, d) => {
+      // corpus vocabulary profile: Zipf-style one-row summary (vocab
+      // growth + hapax share are the standard tokenizer-sizing inputs)
+      val freq = t(s, d, "documents")
+        .select(explode(Text.tokens(lower(col("text")))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      freq.agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        round(count(lit(1)).cast("double") / sum(col("c")), 6)
+          .as("type_token_ratio"),
+        round(sum(when(col("c") === 1, 1).otherwise(0)).cast("double") /
+          count(lit(1)), 6).as("hapax_share"),
+        round(max(col("c")).cast("double") / sum(col("c")), 6)
+          .as("top1_share"))
+    }),
+
     "q_corpus_report" -> ((s, d) => {
       // dataset-card summary: one pass over the corpus (count/sum/
       // distincts/mean quality/exact median tokens in a single agg)
@@ -1317,6 +1335,16 @@ object SparkEntry {
                      ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_tokens,
                 length(text) AS n_chars_raw
          FROM documents""",
+
+    "q_vocab_stats" ->
+      """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+         freq AS (SELECT w, count(*) AS c FROM toks WHERE length(w) > 0 GROUP BY w)
+         SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+                count(*) AS vocab_size,
+                round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS type_token_ratio,
+                round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS hapax_share,
+                round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top1_share
+         FROM freq""",
 
     "q_corpus_report" ->
       """WITH base AS (

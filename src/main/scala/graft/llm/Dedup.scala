@@ -223,6 +223,43 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** MinHash-LSH parameter planner: the smallest `(bands, rowsPerBand)`
+    * under `maxSlots` total hash slots whose S-curve hits at least
+    * `minRecall` at `threshold` — p(candidate | jaccard = s) is
+    * 1 - (1 - s^r)^b, so recall rises with b and falls with r, while
+    * precision (candidate suppression below the threshold) rises with
+    * r. The planner scans r descending (most selective first) and takes
+    * the first r whose minimal sufficient b fits the slot budget —
+    * i.e. the most precise configuration that meets recall. Use it to
+    * size [[minhashClusters]]/[[lshCandidates]] instead of folklore
+    * constants; the returned recall/falsePositiveRate make the choice
+    * auditable (fpRate = S-curve value at `fpJaccard`, default 0.3).
+    * Pure arithmetic — no Spark. */
+  def lshPlan(threshold: Double, minRecall: Double = 0.9,
+      maxSlots: Int = 256, fpJaccard: Double = 0.3): LshPlan = {
+    require(threshold > 0 && threshold < 1 && minRecall > 0 && minRecall < 1)
+    def sCurve(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val best = (for {
+      r <- (maxSlots to 1 by -1).iterator
+      // smallest b with recall >= minRecall at this r:
+      // b >= ln(1-minRecall) / ln(1-threshold^r)
+      pr = math.pow(threshold, r)
+      if pr < 1.0 && pr > 0.0
+      // double space until the budget check: the required b explodes
+      // for selective r (0.5^256 needs ~1e77 bands) and would wrap Int
+      bD = math.ceil(math.log1p(-minRecall) / math.log1p(-pr))
+      if bD >= 1.0 && bD * r <= maxSlots
+      b = bD.toInt
+    } yield LshPlan(b, r, sCurve(threshold, b, r),
+        sCurve(fpJaccard, b, r))).nextOption()
+    best.getOrElse(throw new IllegalArgumentException(
+      s"no (b,r) within $maxSlots slots reaches recall $minRecall at $threshold"))
+  }
+
+  final case class LshPlan(bands: Int, rowsPerBand: Int,
+      recallAtThreshold: Double, fpRateAtLowJaccard: Double)
+
   /** Leakage-safe deterministic split: assign every document a
     * train/val/test bucket such that near-duplicates NEVER straddle a
     * split boundary. Naive per-doc hash splits leak — a test doc with a

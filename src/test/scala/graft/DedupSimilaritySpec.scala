@@ -39,6 +39,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(byId(2L) == 0L) // near-dup joins cluster 0
   }
 
+  test("lshPlan meets the recall target with the most selective r that fits") {
+    def sCurve(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    for (threshold <- Seq(0.5, 0.7, 0.8, 0.9);
+         recall <- Seq(0.8, 0.9, 0.95)) {
+      val p = Dedup.lshPlan(threshold, recall, maxSlots = 256)
+      assert(p.bands * p.rowsPerBand <= 256)
+      assert(p.recallAtThreshold >= recall,
+        s"t=$threshold want=$recall got=$p")
+      assert(math.abs(p.recallAtThreshold -
+        sCurve(threshold, p.bands, p.rowsPerBand)) < 1e-12)
+      // most-selective-first: no r' > r fits the budget at this recall
+      val rPrime = p.rowsPerBand + 1
+      val pr = math.pow(threshold, rPrime)
+      if (pr > 0 && pr < 1) {
+        val bNeeded = math.ceil(math.log1p(-recall) / math.log1p(-pr))
+        assert(bNeeded * rPrime > 256.0,
+          s"a more selective plan fit: r=$rPrime b=$bNeeded for t=$threshold")
+      }
+    }
+    // the repo's own clustering default (8x4 at threshold 0.7) is close
+    // to what the planner picks under a 32-slot budget
+    val small = Dedup.lshPlan(0.7, 0.85, maxSlots = 32)
+    assert(small.bands * small.rowsPerBand <= 32 &&
+      small.recallAtThreshold >= 0.85)
+  }
+
   test("minhashClusters transitive=true closes chains one-hop cannot") {
     // A~B and B~C are near-dups; A and C have drifted too far apart to
     // be direct candidates — a chain, not a clique
