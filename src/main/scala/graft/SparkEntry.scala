@@ -570,6 +570,12 @@ object SparkEntry {
         docs.filter(col("doc_id") >= 50), "doc_id", "text", 3)
     }),
 
+    "q_term_proximity" -> ((s, d) =>
+      // min token distance between two query terms per doc — the
+      // proximity signal bag-of-words BM25 cannot see
+      graft.llm.Relevance.termProximity(t(s, d, "documents"),
+        "doc_id", "text", "vector", "join")),
+
     "q_nfc_normalize" -> ((s, d) =>
       // unicode canonicalization ahead of fingerprint/shingle dedup
       // (native codegen kernel; composed/decomposed parity is proven in
@@ -1807,6 +1813,21 @@ object SparkEntry {
 
     "q_nfc_normalize" ->
       """SELECT doc_id, nfc_normalize(text) AS norm_text FROM documents""",
+
+    "q_term_proximity" ->
+      """WITH toks AS (
+           SELECT doc_id, w, i AS p FROM (
+             SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+             unnest(range(1, len(t) + 1)) AS u(i), LATERAL (SELECT t[i] AS w)
+           WHERE w IN ('vector', 'join')),
+         lagged AS (
+           SELECT doc_id, p, w = 'vector' AS isA,
+                  lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS pp,
+                  lag(w = 'vector') OVER (PARTITION BY doc_id ORDER BY p) AS pa
+           FROM toks)
+         SELECT doc_id, CAST(min(p - pp) AS BIGINT) AS min_distance
+         FROM lagged WHERE pa IS NOT NULL AND pa <> isA
+         GROUP BY doc_id""",
 
     "q_rrf_fuse" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w

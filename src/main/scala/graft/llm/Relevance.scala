@@ -91,6 +91,35 @@ object Relevance {
       .agg(round(sum(col("part")), scale).as("score"))
   }
 
+  /** Minimum token distance between two terms per document — the
+    * proximity signal BM25 lacks (bag-of-words scores "new york" the
+    * same whether the words are adjacent or paragraphs apart). Only
+    * docs containing BOTH terms appear. Output: (idCol, min_distance).
+    *
+    * Shape: occurrences of either term are a per-doc sorted stream;
+    * the global minimum cross-term distance is always realized by two
+    * ADJACENT occurrences with different tags (two-pointer argument),
+    * so one id-partitioned lag window finds it — positions never
+    * cross-join, and the window input is occurrence rows of the two
+    * terms only, not the corpus token stream. */
+  def termProximity(df: DataFrame, idCol: String, textCol: String,
+      termA: String, termB: String): DataFrame = {
+    require(termA.toLowerCase != termB.toLowerCase,
+      "terms must differ (distance 0 is degenerate)")
+    val (a, b) = (termA.toLowerCase, termB.toLowerCase)
+    val occ = df.select(col(idCol).as("id"),
+        posexplode(Text.tokens(lower(col(textCol)))).as(Seq("p", "w")))
+      .filter(col("w") === a || col("w") === b)
+      .select(col("id"), col("p"), (col("w") === a).as("isA"))
+    val w = Window.partitionBy("id").orderBy("p")
+    occ
+      .withColumn("__pp", lag(col("p"), 1).over(w))
+      .withColumn("__pa", lag(col("isA"), 1).over(w))
+      .filter(col("__pa").isNotNull && col("__pa") =!= col("isA"))
+      .groupBy(col("id").as(idCol))
+      .agg(min(col("p") - col("__pp")).cast("long").as("min_distance"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists:
     * rrf(d) = Σ_lists 1/(k + rank_d), summed over the lists containing
     * d — the standard combinator for hybrid retrieval (BM25 + dense)

@@ -151,6 +151,19 @@ class TextSpec extends SparkSpec {
     assert(frBuckets.contains("head") && frBuckets.contains("tail"))
   }
 
+  test("termProximity: min cross-term distance via adjacent-pair window") {
+    val d = Seq(
+      (0L, "alpha beta gamma beta delta alpha"),  // alpha..delta: min |4-5|? see below
+      (1L, "delta x x x alpha"),                  // distance 4
+      (2L, "alpha only here"),                    // missing delta -> absent
+      (3L, "delta delta alpha delta"))            // adjacent after: 1
+      .toDF("doc_id", "text")
+    val out = graft.llm.Relevance.termProximity(d, "doc_id", "text",
+      "alpha", "delta").as[(Long, Long)].collect().toMap
+    // doc 0: alpha@0,5 delta@4 -> min(|4-0|,|5-4|)=1
+    assert(out == Map(0L -> 1L, 1L -> 4L, 3L -> 1L))
+  }
+
   test("bestFitPacks: capacity respected, beats contiguous on padding") {
     // budget 10; sizes desc 7,5,4,3,2,2 — BFD: 7→p0, 5→p1, 4→p1(9),
     // 3→p0(10), 2→p2 (no fit in 10/9), 2→p2(4): loads {10,9,4}
