@@ -809,6 +809,19 @@ object SparkEntry {
           round(avg(Text.tokenCount(col("text"))), 4).as("mean_tokens"))),
 
     // ---- llm/: similarity search ----
+    "q_mean_pool" -> ((s, d) => {
+      // chunk -> doc embedding: element-wise mean + L2 normalize over
+      // pseudo-docs of 10 chunks; flattened to (group, dim, value)
+      // scalars so the oracle compare never hashes arrays
+      val emb = t(s, d, "embeddings")
+        .select((col("vec_id") / 10).cast("long").as("g"), col("embedding"))
+      graft.llm.Similarity.meanPoolEmbeddings(emb, "g", "embedding")
+        .select(col("g").as("group_id"), col("n_chunks"),
+          posexplode(col("embedding")).as(Seq("dim", "value")))
+        .select(col("group_id"), col("n_chunks"),
+          col("dim").cast("long").as("dim"), col("value"))
+    }),
+
     "q_ann_cosine" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       Similarity.bruteForceKnn(emb.filter(col("vec_id") < 10), emb,
@@ -1813,6 +1826,29 @@ object SparkEntry {
 
     "q_nfc_normalize" ->
       """SELECT doc_id, nfc_normalize(text) AS norm_text FROM documents""",
+
+    "q_mean_pool" ->
+      """WITH e AS (
+           SELECT CAST(vec_id // 10 AS BIGINT) AS group_id,
+                  unnest(embedding) AS x,
+                  unnest(range(0, len(embedding))) AS dim
+           FROM embeddings),
+         pd AS (
+           SELECT group_id, dim, avg(CAST(x AS DOUBLE)) AS m, count(*) AS n
+           FROM e GROUP BY 1, 2),
+         v AS (
+           SELECT group_id, list(m ORDER BY dim) AS vec,
+                  max(CASE WHEN dim = 0 THEN n END) AS n_chunks
+           FROM pd GROUP BY 1),
+         nrm AS (
+           SELECT group_id, n_chunks, vec,
+                  sqrt(list_sum(list_transform(vec, x -> x * x))) AS l2
+           FROM v)
+         SELECT group_id, CAST(n_chunks AS BIGINT) AS n_chunks, dim,
+                round(val / CASE WHEN l2 = 0 THEN 1 ELSE l2 END, 6) AS value
+         FROM (SELECT group_id, n_chunks, l2, unnest(vec) AS val,
+                      unnest(range(0, len(vec))) AS dim
+               FROM nrm)""",
 
     "q_term_proximity" ->
       """WITH toks AS (

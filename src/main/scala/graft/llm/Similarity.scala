@@ -12,6 +12,41 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Mean-pool chunk embeddings into one L2-normalized vector per
+    * group (chunk → document, sentence → passage): the standard
+    * aggregation for building doc-level vectors from a chunk-level
+    * embedding model before doc-level ANN / semantic dedup.
+    * Output: (groupCol, embedding array<double> rounded to `scale`,
+    * n_chunks). Groups are averaged element-wise; the zero vector
+    * (all-zero chunks cancelling) normalizes to itself.
+    *
+    * Scale shape: vectors are EXPLODED to (group, dim, value) scalars
+    * before the aggregate, so the shuffle carries map-side-combined
+    * per-dimension partial sums — never whole vectors — and the
+    * rebuild is one group-keyed collect of dim-count scalars. Mixed
+    * dimensionalities within a group are a caller bug; the n_chunks
+    * count uses dim 0 as the representative. */
+  def meanPoolEmbeddings(df: DataFrame, groupCol: String, vecCol: String,
+      scale: Int = 6): DataFrame = {
+    val dims = df.select(col(groupCol).as("g"),
+      posexplode(col(vecCol)).as(Seq("i", "x")))
+    val perDim = dims.groupBy("g", "i")
+      .agg(avg(col("x").cast("double")).as("m"),
+        count(lit(1)).as("n"))
+    perDim.groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("xs"),
+        max(when(col("i") === 0, col("n"))).as("n_chunks"))
+      .select(col("g").as(groupCol),
+        col("xs.m").as("__v"), col("n_chunks"))
+      .select(col(groupCol),
+        transform(col("__v"), x => round(x / when(
+          sqrt(aggregate(col("__v"), lit(0.0), (a, y) => a + y * y)) === 0.0,
+          lit(1.0)).otherwise(
+          sqrt(aggregate(col("__v"), lit(0.0), (a, y) => a + y * y))), scale))
+          .as("embedding"),
+        col("n_chunks"))
+  }
+
   /** Exact top-k cosine neighbors of each query vector among `corpus`
     * (excluding self-matches by id). Query side is broadcast — at scale
     * the query batch is small (a probe set), the corpus is the 100 TB

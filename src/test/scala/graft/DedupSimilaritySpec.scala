@@ -39,6 +39,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(byId(2L) == 0L) // near-dup joins cluster 0
   }
 
+  test("meanPoolEmbeddings: element-wise mean, L2 normalized, zero-safe") {
+    val d = Seq(
+      (0L, Array(1.0f, 0.0f)), (0L, Array(0.0f, 1.0f)), // mean (.5,.5)
+      (1L, Array(3.0f, 4.0f)),                          // single chunk
+      (2L, Array(0.0f, 0.0f)))                          // zero vector
+      .toDF("g", "embedding")
+    val out = Similarity.meanPoolEmbeddings(d, "g", "embedding")
+      .as[(Long, Seq[Double], Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(0L)._1 == Seq(0.707107, 0.707107) && out(0L)._2 == 2L)
+    assert(out(1L)._1 == Seq(0.6, 0.8) && out(1L)._2 == 1L)
+    assert(out(2L)._1 == Seq(0.0, 0.0))   // zero normalizes to itself
+  }
+
   test("lshPlan meets the recall target with the most selective r that fits") {
     def sCurve(s: Double, b: Int, r: Int): Double =
       1.0 - math.pow(1.0 - math.pow(s, r), b)
