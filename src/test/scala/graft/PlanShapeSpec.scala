@@ -149,6 +149,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pd.contains("Exchange SinglePartition"), pd)
     // pplBuckets: ranking window partitions BY language (parallel per
     // lang), never a single-partition global sort
+    // mean-pool: per-dimension partial aggregation must be map-side
+    // combined (vectors never ride the shuffle whole)
+    val mp = planOf(graft.llm.Similarity.meanPoolEmbeddings(
+      Tables.load(spark, sf, "embeddings")
+        .select((col("vec_id") / 10).cast("long").as("g"), col("embedding")),
+      "g", "embedding"))
+    assert(mp.contains("partial_avg") || mp.contains("partial"), mp)
+    assert(!mp.contains("CartesianProduct"), mp)
+    // term proximity: the lag window partitions by doc id — parallel,
+    // and its input is the two terms' occurrence rows only
+    val tp = planOf(graft.llm.Relevance.termProximity(
+      docs, "doc_id", "text", "vector", "join"))
+    assert(tp.contains("hashpartitioning(id"), tp)
+    assert(!"Sort \\[[^\\n]*\\], true".r.findFirstIn(tp).isDefined, tp)
     // span-decontamination screen: the corpus pass must be map-only
     // (bloom literal + array HOFs — streaming-legal by construction)
     val bloom = graft.llm.Dedup.spanBloom(
