@@ -462,6 +462,15 @@ object SparkEntry {
       t(s, d, "documents")
         .select(col("doc_id"), Text.languageId(col("text")).as("lang_pred"))),
 
+    "q_lang_mismatch" -> ((s, d) =>
+      // label-noise audit: docs whose declared language disagrees with
+      // the n-gram language-id prediction (und = no evidence, skipped)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          Text.languageId(col("text")).as("lang_pred"))
+        .filter(col("lang_pred") =!= col("lang") &&
+          col("lang_pred") =!= "und")),
+
     "q_vocab_stats" -> ((s, d) => {
       // corpus vocabulary profile: Zipf-style one-row summary (vocab
       // growth + hapax share are the standard tokenizer-sizing inputs)
@@ -2074,6 +2083,29 @@ object SparkEntry {
                       + 0.5 * least(stopword_ratio * 4.0, 1.0)
                       - 0.25 * least(punct_ratio * 2.0, 1.0), 6) AS quality
          FROM m""",
+
+    "q_lang_mismatch" ->
+      """WITH s AS (
+           SELECT doc_id, lang,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+           FROM documents),
+         sc AS (
+           SELECT doc_id, lang,
+                  len(list_filter(toks, w -> w IN ('the','and','of','is','a'))) AS s_en,
+                  len(list_filter(toks, w -> w IN ('el','la','de','que','y'))) AS s_es,
+                  len(list_filter(toks, w -> w IN ('le','la','et','les','des'))) AS s_fr,
+                  len(list_filter(toks, w -> w IN ('der','die','und','das','ist'))) AS s_de
+           FROM s),
+         p AS (
+           SELECT doc_id, lang,
+                  CASE WHEN s_en = greatest(s_en, s_es, s_fr, s_de) AND s_en > 0 THEN 'en'
+                       WHEN s_es = greatest(s_en, s_es, s_fr, s_de) AND s_es > 0 THEN 'es'
+                       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) AND s_fr > 0 THEN 'fr'
+                       WHEN s_de = greatest(s_en, s_es, s_fr, s_de) AND s_de > 0 THEN 'de'
+                       ELSE 'und' END AS lang_pred
+           FROM sc)
+         SELECT doc_id, lang, lang_pred
+         FROM p WHERE lang_pred <> lang AND lang_pred <> 'und'""",
 
     "q_lang_id" ->
       """WITH s AS (
