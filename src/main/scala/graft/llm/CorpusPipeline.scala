@@ -120,11 +120,17 @@ object CorpusPipeline {
       case Some(j) =>
         // split key = near-dup component: survivors of doc-level dedup
         // can still be near-dups just UNDER its threshold — without
-        // this, a test doc's almost-duplicate lands in train
-        val sp = Dedup.leakageSafeSplit(decontaminated, idCol, textCol,
+        // this, a test doc's almost-duplicate lands in train.
+        // Materialized seam: this frame feeds THREE branches (the
+        // similarity-join shingle scan, the component node set, and
+        // the output join) — Spark plans are trees, so without the
+        // checkpoint each branch re-runs the whole upstream pipeline
+        // (the incrementalDedup seam lesson, one level up).
+        val seam = decontaminated.localCheckpoint(true)
+        val sp = Dedup.leakageSafeSplit(seam, idCol, textCol,
             cfg.splitBuckets, cfg.shingleN, j)
           .select(col(idCol), col("split_bucket"))
-        decontaminated.join(sp, Seq(idCol))
+        seam.join(sp, Seq(idCol))
       case None =>
         Relational.withHashSplit(decontaminated, col(idCol),
           cfg.splitBuckets)

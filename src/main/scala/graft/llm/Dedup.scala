@@ -154,21 +154,34 @@ object Dedup {
     // input. Spills to disk if it outgrows executor memory.
     val sig = persistTracked(signatureFrame(df, idCol, textCol, shingleN, k))
     if (!transitive) clustersFromSig(sig, bands, rowsPerBand, minEstJaccard)
-    else {
+    else
       // exact closure for corpora where near-dup CHAINS matter
       // (progressive paraphrase drift): same verified edge set, closed
       // by iterative min-label propagation instead of the one-hop
       // min-neighbor contraction
-      val cands = lshCandidatesFromSig(sig, bands, rowsPerBand)
-      val est = cands
-        .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-        .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-        .filter(size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _),
-          b => b)).cast("double") / lit(k.toDouble) >= minEstJaccard)
       graft.operators.Graph.connectedComponents(
-          sig.select(col("id")), est.select(col("id_a"), col("id_b")))
+          sig.select(col("id")),
+          verifiedEdges(sig, bands, rowsPerBand, minEstJaccard)
+            .select(col("id_a"), col("id_b")))
         .withColumnRenamed("component_id", "cluster_id")
-    }
+  }
+
+  /** LSH candidates verified by estimated jaccard (fraction of equal
+    * minhash slots): the edge set shared by the one-hop contraction
+    * ([[clustersFromSig]]) and the transitive closure — one definition
+    * so the two paths cannot silently diverge on the estimator.
+    * Output: (id_a, id_b, est_jaccard). */
+  private def verifiedEdges(sig: DataFrame, bands: Int, rowsPerBand: Int,
+      minEstJaccard: Double): DataFrame = {
+    val k = bands * rowsPerBand
+    lshCandidatesFromSig(sig, bands, rowsPerBand)
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _),
+          b => b)).cast("double") / lit(k.toDouble))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "est_jaccard")
   }
 
   /** Cluster contraction over an existing (id, sig) frame — the body of
@@ -177,15 +190,7 @@ object Dedup {
     * pass) don't pay a second shingle+minhash scan over the text. */
   private def clustersFromSig(sig: DataFrame, bands: Int, rowsPerBand: Int,
       minEstJaccard: Double): DataFrame = {
-    val k = bands * rowsPerBand
-    val cands = lshCandidatesFromSig(sig, bands, rowsPerBand)
-    val est = cands
-      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), _ === _),
-          b => b)).cast("double") / lit(k.toDouble))
-      .filter(col("est_jaccard") >= minEstJaccard)
+    val est = verifiedEdges(sig, bands, rowsPerBand, minEstJaccard)
     val edges = est.select(col("id_a"), col("id_b"))
       .union(est.select(col("id_b"), col("id_a")))
     val neighborMin = edges.groupBy(col("id_a").as("id"))

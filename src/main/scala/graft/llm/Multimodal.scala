@@ -55,6 +55,13 @@ object Multimodal {
     * in the file, bottom-up unless height is negative. Returns None on
     * any malformed/truncated/unsupported payload — a corrupt file must
     * flag decode_ok=false, never throw. */
+  /** Header-declared dimensions are UNTRUSTED input: a crafted file can
+    * claim widths whose pixel-buffer size wraps Int (negative array
+    * size) or demands multi-GB allocations from a 100-byte payload (a
+    * decompression bomb). All dimension math below runs in Long and is
+    * capped here before any allocation. */
+  private val MaxDecodedPixels = 1L << 26 // 67M px = ~200 MB RGB
+
   private[graft] def decodeBmpBgr(b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     try {
       if (!isBmp(b) || b.length < 54) return None
@@ -68,8 +75,9 @@ object Multimodal {
       if (width <= 0 || rawHeight == 0 || bpp != 24 || compression != 0)
         return None
       val height = math.abs(rawHeight)
+      if (width.toLong * height > MaxDecodedPixels) return None
       val bottomUp = rawHeight > 0
-      val rowSize = ((width * 3 + 3) / 4) * 4
+      val rowSize = ((width.toLong * 3 + 3) / 4 * 4).toInt
       if (pixelOff < 0 || pixelOff.toLong + rowSize.toLong * height > b.length)
         return None
       val bgr = new Array[Byte](width * height * 3)
@@ -81,7 +89,7 @@ object Multimodal {
         y += 1
       }
       Some((width, height, bgr))
-    } catch { case _: IndexOutOfBoundsException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private[graft] def decodeBmp(b: Array[Byte]): Option[DecodedImage] =
@@ -193,17 +201,24 @@ object Multimodal {
       val channels = colorType match {
         case 0 => 1; case 4 => 2; case 2 => 3; case 6 => 4
       }
+      if (width.toLong * height > MaxDecodedPixels ||
+        (width.toLong * channels + 1) * height > Int.MaxValue) return None
       val stride = width * channels
       val raw = new Array[Byte]((stride + 1) * height)
       val inf = new java.util.zip.Inflater()
-      inf.setInput(idat.toByteArray)
       var got = 0
-      while (got < raw.length && !inf.finished()) {
-        val n = inf.inflate(raw, got, raw.length - got)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
-        got += n
-      }
-      inf.end()
+      try {
+        inf.setInput(idat.toByteArray)
+        while (got < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, got, raw.length - got)
+          // ANY zero-progress state exits: truncated input
+          // (needsInput), preset-dictionary streams (needsDictionary —
+          // inflate would otherwise return 0 forever), or a stuck
+          // stream; only finished() with full output is success
+          if (n == 0 && !inf.finished()) return None
+          got += n
+        }
+      } finally inf.end()
       if (got < raw.length) return None
       // undo per-row filters in place (prev = reconstructed row above)
       val px = new Array[Byte](stride * height)
@@ -253,10 +268,7 @@ object Multimodal {
         i += 1
       }
       Some((width, height, rgb))
-    } catch {
-      case _: IndexOutOfBoundsException => None
-      case _: java.util.zip.DataFormatException => None
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   private[graft] def decodePng(b: Array[Byte]): Option[DecodedImage] =
@@ -365,7 +377,7 @@ object Multimodal {
       }
       if (fmtOk && samples != null) Some(DecodedAudio(sampleRate, samples))
       else None
-    } catch { case _: IndexOutOfBoundsException => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Mean-pool `xs` into `dim` contiguous cells (the grid feature for

@@ -62,9 +62,11 @@ object Packing {
   def bestFitPacks(df: DataFrame, idCol: String, nTokensCol: String,
       budget: Long, shardCol: String): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // id keeps its input type (string/UUID ids sort fine in the
+    // struct; a numeric cast would silently null them)
     val docs = df.select(col(shardCol).as("shard"),
       struct((-col(nTokensCol).cast("long")).as("negn"),
-        col(idCol).cast("long").as("id")).as("d"))
+        col(idCol).as("id")).as("d"))
     val perShard = docs.groupBy("shard")
       .agg(array_sort(collect_list(col("d"))).as("ds"))
     // acc.loads: open-pack loads; acc.packs: the i-th doc's pack id

@@ -27,14 +27,16 @@ object Graph {
     * bounded-action pattern as BPE training), which takes at most the
     * graph diameter — near-dup graphs are shallow (dup groups are
     * near-cliques), so 3-5 iterations in practice. `maxIter` is a
-    * backstop, not a tuning knob; the alternating large-star/
+    * backstop, not a tuning knob — hitting it THROWS rather than
+    * returning silently-wrong (unconverged) labels, because a split
+    * keyed on them would leak; the alternating large-star/
     * small-star contraction (Kiveris et al., MR'14) brings worst-case
     * rounds to O(log^2 n) if a pathological chain graph ever shows up.
     * Labels are localCheckpoint'ed each round so the loop's lineage
     * (and codegen depth) stays flat.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     // materialized ONCE: the edge frame is re-joined every propagation
     // round, and callers hand in arbitrarily expensive pipelines (the
     // exact-jaccard pair join costs more than all the rounds together —
@@ -68,6 +70,15 @@ object Graph {
       labels = next.select(col("id"), col("new_comp").as("comp"))
       iter += 1
     }
+    // Unconverged labels are WRONG labels: one dup group reported as
+    // several components means a leakage-safe split quietly leaks —
+    // fail loudly rather than return them. Hitting this needs a chain
+    // of diameter > maxIter, which no near-clique dup graph produces;
+    // if one ever appears, raise maxIter or switch this loop to
+    // large-star/small-star contraction (O(log^2 n) rounds).
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing); graph diameter exceeds maxIter")
     nodes.select(col("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"),
