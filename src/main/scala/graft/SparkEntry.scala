@@ -1529,7 +1529,11 @@ object SparkEntry {
          SELECT doc_id, quality, n_tokens FROM c WHERE cum <= 10000""",
 
     "q_unigram_logprob" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      """WITH toks AS (
+           SELECT doc_id, w FROM (
+             SELECT doc_id,
+                    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+             FROM documents) WHERE length(w) > 0),
          freq AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
          tot AS (SELECT sum(cnt) AS tot FROM freq)
          SELECT doc_id, count(*) AS n_tokens,
@@ -1538,7 +1542,10 @@ object SparkEntry {
          GROUP BY doc_id""",
 
     "q_bigram_logprob" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
          bg AS (SELECT doc_id, t[i-1] AS w1, t[i] AS w2
                 FROM tok CROSS JOIN UNNEST(generate_series(2, len(t))) AS u(i)),
          bfreq AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
@@ -1763,7 +1770,11 @@ object SparkEntry {
          FROM f""",
 
     "q_ppl_bucket" ->
-      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      """WITH toks AS (
+           SELECT doc_id, w FROM (
+             SELECT doc_id,
+                    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+             FROM documents) WHERE length(w) > 0),
          freq AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
          tot AS (SELECT sum(cnt) AS tot FROM freq),
          sc AS (

@@ -413,24 +413,27 @@ object Dedup {
     CorpusDedupState(fp, sig, shingleN, bands, rowsPerBand)
   }
 
+  /** Unpersist a state's cached/checkpointed frames. Call when a state
+    * object is retired outside the registry (e.g. the final state held
+    * by a stopped ingest stream); registry-held states are released by
+    * [[invalidateCorpusState]]/[[clearCorpusStateCache]] instead. */
+  def releaseCorpusState(st: CorpusDedupState): Unit = {
+    st.fingerprints.unpersist(blocking = false)
+    st.signatures.unpersist(blocking = false)
+  }
+
   /** Drop every registry state built under `cacheKey` (all geometry
     * variants) and unpersist its frames. Call when the corpus behind
     * the key changes (e.g. a batch was accepted) or is retired. */
   def invalidateCorpusState(cacheKey: String): Unit =
     corpusStates.keys.filter(_._1 == cacheKey).foreach { k =>
-      corpusStates.remove(k).foreach { st =>
-        st.fingerprints.unpersist(blocking = false)
-        st.signatures.unpersist(blocking = false)
-      }
+      corpusStates.remove(k).foreach(releaseCorpusState)
     }
 
   /** Evict the whole corpus-state registry (between jobs / suites). */
   def clearCorpusStateCache(): Unit =
     corpusStates.keys.foreach { k =>
-      corpusStates.remove(k).foreach { st =>
-        st.fingerprints.unpersist(blocking = false)
-        st.signatures.unpersist(blocking = false)
-      }
+      corpusStates.remove(k).foreach(releaseCorpusState)
     }
 
   /** Extend corpus state with an accepted batch WITHOUT rescanning the

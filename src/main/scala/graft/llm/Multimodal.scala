@@ -487,10 +487,10 @@ object Multimodal {
 
   /** Image resize: recompute typed dimension metadata for a target box
     * (aspect-preserving fit, never upscaling — metadata width/height is
-    * the geometry source of truth) and transcode the payload. BMP
-    * payloads are REALLY resampled (nearest-neighbor, re-encoded as
-    * 24-bpp BMP); other formats pass through unchanged (no JPEG/PNG
-    * codecs in this container). Same narrow no-shuffle shape as
+    * the geometry source of truth) and transcode the payload. BMP and
+    * PNG payloads are REALLY resampled (nearest-neighbor, re-encoded
+    * in-format: 24-bpp BMP, 8-bit PNG); other formats (JPEG etc.) pass
+    * through unchanged. Same narrow no-shuffle shape as
     * [[extractFeatures]]: pixels never ride an exchange. */
   def resizeImages(media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
     val scale = least(

@@ -26,14 +26,17 @@ object Graph {
     * label changes (one driver-side count per iteration, the same
     * bounded-action pattern as BPE training), which takes at most the
     * graph diameter — near-dup graphs are shallow (dup groups are
-    * near-cliques), so 3-5 iterations in practice. `maxIter` is a
-    * backstop, not a tuning knob — hitting it THROWS rather than
-    * returning silently-wrong (unconverged) labels, because a split
-    * keyed on them would leak; the alternating large-star/
-    * small-star contraction (Kiveris et al., MR'14) brings worst-case
-    * rounds to O(log^2 n) if a pathological chain graph ever shows up.
-    * Labels are localCheckpoint'ed each round so the loop's lineage
-    * (and codegen depth) stays flat.
+    * near-cliques), so 3-5 iterations in practice. Each round's
+    * superseded label checkpoint is unpersisted once the next round is
+    * materialized, so block usage stays one-round deep.
+    *
+    * `maxIter` is a REGIME SWITCH, not a failure bound: a graph whose
+    * diameter exceeds it (pathological chains) is handed off to the
+    * alternating large-star/small-star contraction ([[starContract]],
+    * Kiveris et al., MR'14 — O(log^2 n) rounds independent of
+    * diameter) applied to the label-contracted graph, so the work the
+    * propagation rounds already did is kept. Either path returns
+    * exact, fully-converged components — never partial labels.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 50): DataFrame = {
@@ -67,21 +70,121 @@ object Graph {
           least(col("comp"), col("nbr_comp")).as("new_comp"))
         .localCheckpoint(true)
       changed = next.filter(col("new_comp") =!= col("comp")).count()
+      // `next` is materialized (eager checkpoint) and `changed` is
+      // consumed — the previous round's blocks are dead; release them
+      // so the loop holds one round of labels, not `iter` rounds
+      labels.unpersist(blocking = false)
       labels = next.select(col("id"), col("new_comp").as("comp"))
       iter += 1
     }
-    // Unconverged labels are WRONG labels: one dup group reported as
-    // several components means a leakage-safe split quietly leaks —
-    // fail loudly rather than return them. Hitting this needs a chain
-    // of diameter > maxIter, which no near-clique dup graph produces;
-    // if one ever appears, raise maxIter or switch this loop to
-    // large-star/small-star contraction (O(log^2 n) rounds).
-    if (changed > 0) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still changing); graph diameter exceeds maxIter")
+    if (changed > 0) {
+      // Diameter exceeded the propagation budget (a chain-shaped
+      // graph). Returning the partial labels would be WRONG (one dup
+      // group reported as several components leaks through a
+      // leakage-safe split) — instead contract the graph through the
+      // labels converged so far (nodes sharing a label are proven
+      // connected) and finish on the contracted graph with the
+      // diameter-independent star contraction.
+      val contracted = sym
+        .join(labels.select(col("id").as("id_a"), col("comp").as("ca")),
+          Seq("id_a"))
+        .join(labels.select(col("id").as("id_b"), col("comp").as("cb")),
+          Seq("id_b"))
+        .select(col("ca").as("id_a"), col("cb").as("id_b"))
+      // roots: label-id -> smallest label in its contracted component;
+      // the global component min m always has comp(m)=m (min-label
+      // never lowers the minimum's own label), so m IS a contracted
+      // node id and the star root equals the true component min.
+      val roots = starContract(contracted)
+        .select(col("id").as("comp"), col("comp_root"))
+      val composed = labels.join(roots, Seq("comp"), "left")
+        .select(col("id"),
+          coalesce(col("comp_root"), col("comp")).as("comp"))
+        .localCheckpoint(true)
+      labels.unpersist(blocking = false)
+      roots.unpersist(blocking = false)
+      labels = composed
+    }
     nodes.select(col("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("comp"), col("id")).as("component_id"))
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): each
+    * round rewires every node toward the minimum of its neighborhood,
+    * halving the height of the forest — O(log^2 n) rounds worst case,
+    * INDEPENDENT of graph diameter (min-label propagation needs
+    * diameter rounds, fatal on chain graphs). Input: undirected edges
+    * (id_a, id_b); output (id, comp_root) for every edge ENDPOINT,
+    * comp_root = smallest id in the component.
+    *
+    * Scale shape per round: one symmetrized self-aggregation (min per
+    * neighborhood, map-side combined) and one key-repartitioned
+    * rewrite — edge-list-sized shuffles of two-long rows, same as one
+    * propagation round; there are just O(log^2 n) of them instead of
+    * O(diameter). Convergence = the edge set reaches a fixed point
+    * (every node points directly at its component min), checked with
+    * one count + one except per round. Superseded rounds are
+    * unpersisted as soon as the next is materialized. */
+  def starContract(edges: DataFrame, maxRounds: Int = 60): DataFrame = {
+    // canonical directed form u -> v with u > v (self-loops dropped):
+    // both star operations emit edges pointing from larger to smaller,
+    // so the invariant is stable across rounds
+    var e = edges
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = e.isEmpty
+    while (!converged && rounds < maxRounds) {
+      // LARGE-STAR: for each node n, connect every strictly-larger
+      // neighbor to min(N(n) ∪ {n}). Each undirected edge {a,b}, a<b,
+      // is emitted exactly once — from a's neighborhood as (b, m(a)).
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v"))) // n = "u"
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // SMALL-STAR on the directed (large -> small) edges: every node
+      // n rewires its smaller neighbors AND itself to min(N(n)).
+      val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(minsS, Seq("u"))
+        .select(col("v").as("n"), col("m"))
+        .union(minsS.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      large.unpersist(blocking = false)
+      // fixed point: the round changed nothing — every edge already
+      // points at its component minimum
+      converged = small.count() == e.count() && small.except(e).isEmpty
+      e.unpersist(blocking = false)
+      e = small
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"starContract did not reach a fixed point in $maxRounds rounds " +
+        "— exceeds the proven O(log^2 n) bound; edge input is likely " +
+        "unstable (non-deterministic ids)")
+    // converged stars: every non-root endpoint appears exactly once as
+    // u pointing at its root; roots label themselves. Materialized so
+    // the converged edge frame's blocks can be released here rather
+    // than leaking past the return.
+    val labels = e.select(col("u").as("id"), col("v").as("comp_root"))
+      .union(e.select(col("v").as("id"), col("v").as("comp_root"))
+        .distinct())
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    labels
   }
 }

@@ -172,7 +172,7 @@ object StreamOps {
       textCol: String, checkpoint: String, triggerMs: Long = 1000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     var state: Option[graft.llm.Dedup.CorpusDedupState] = None
-    df.writeStream
+    val query = df.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
@@ -203,6 +203,26 @@ object StreamOps {
         }
       }
       .start()
+    // the final state's checkpointed fingerprint/signature frames
+    // outlive the last batch — release them when the query stops, so a
+    // long-lived driver that starts/stops many ingest streams doesn't
+    // accumulate dead cached blocks
+    val streams = df.sparkSession.streams
+    streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            state.foreach(graft.llm.Dedup.releaseCorpusState)
+            state = None
+            streams.removeListener(this)
+          }
+      })
+    query
   }
 
   /** Per-window token counts over a document stream — the streaming

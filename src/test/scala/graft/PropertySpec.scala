@@ -307,6 +307,57 @@ class PropertySpec extends SparkSpec {
     assert(got.values.forall(_ == 0L) && got.size == 20)
   }
 
+  test("starContract equals driver-side union-find on random graphs") {
+    import graft.operators.Graph
+    val gen = for {
+      n <- Gen.chooseNum(2, 30)
+      m <- Gen.chooseNum(1, n * 2)
+      es <- Gen.listOfN(m,
+        Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+    } yield (n, es)
+    samples(gen, 10).foreach { case (n, es) =>
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // starContract labels edge ENDPOINTS only (no self-loop-only or
+      // isolated nodes) — compare over exactly that set
+      val endpoints = es.flatMap { case (a, b) => Seq(a, b) }
+        .filter(x => es.exists { case (p, q) => p != q && (p == x || q == x) })
+        .distinct
+      val expected = endpoints.map(i => i -> find(i.toInt).toLong).toMap
+      val got = Graph.starContract(es.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"n=$n edges=$es")
+    }
+  }
+
+  test("connectedComponents chain past maxIter converges via star fallback") {
+    import graft.operators.Graph
+    // a 60-node chain with maxIter=4: min-label propagation alone
+    // cannot close diameter 59 in 4 rounds — the star-contraction
+    // fallback must still produce exact components (all label 0)
+    val nodes = (0L until 60L).toDF("id")
+    val edges = (0L until 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Graph.connectedComponents(nodes, edges, maxIter = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 60 && got.values.forall(_ == 0L))
+    // two chains + an isolated node, also past the propagation budget:
+    // components must stay separate and the singleton keeps its own id
+    val nodes2 = (0L until 41L).toDF("id")
+    val edges2 = ((0L until 19L).map(i => (i, i + 1)) ++
+      (20L until 39L).map(i => (i, i + 1))).toDF("id_a", "id_b")
+    val got2 = Graph.connectedComponents(nodes2, edges2, maxIter = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got2.size == 41)
+    assert((0L to 19L).forall(got2(_) == 0L))
+    assert((20L to 39L).forall(got2(_) == 20L))
+    assert(got2(40L) == 40L)
+  }
+
   test("BMP encode/decode round-trips for any width (row padding)") {
     // widths 1..9 sweep every 4-byte row-alignment residue; random
     // pixel bytes cover sign-extension pitfalls
