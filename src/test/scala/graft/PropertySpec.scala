@@ -390,6 +390,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bestFitPacks equals a driver-side best-fit-decreasing reference") {
+    // the native BestFitPackIds kernel vs a plain-Scala reference of
+    // the same rule (fullest feasible pack, lowest id on ties) over
+    // random size mixes — covers oversize docs and zero-token docs
+    val gen = for {
+      k <- Gen.chooseNum(1, 40)
+      ns <- Gen.listOfN(k, Gen.chooseNum(0L, 13L))
+    } yield ns
+    samples(gen, 15).foreach { ns =>
+      val budget = 10L
+      val walk = ns.zipWithIndex
+        .map { case (n, i) => (i.toLong, n) }
+        .sortBy { case (id, n) => (-n, id) }
+      val loads = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val expected = walk.map { case (id, n) =>
+        val fits = loads.zipWithIndex
+          .filter { case (l, _) => l + n <= budget }
+        val p = if (fits.isEmpty) { loads += n; loads.size - 1 }
+        else {
+          val best = fits.maxBy { case (l, i) => (l, -i) }._2
+          loads(best) += n; best
+        }
+        id -> p.toLong
+      }.toMap
+      val df = ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+        .toDF("doc_id", "n_tokens").withColumn("shard", lit(0))
+      val got = graft.llm.Packing.bestFitPacks(df, "doc_id", "n_tokens",
+        budget, "shard")
+        .select(col("id"), col("pack_id")).as[(Long, Long)]
+        .collect().toMap
+      assert(got == expected, s"ns=$ns")
+    }
+  }
+
   test("resampleBgr at identity size is the identity") {
     val gen = for {
       w <- Gen.chooseNum(1, 8)
