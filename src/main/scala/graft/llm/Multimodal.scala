@@ -8,16 +8,19 @@ import org.apache.spark.sql.types._
   * (image/audio/video) ride as opaque `binary` columns with typed
   * metadata; decode / feature-extraction runs partition-batched.
   *
-  * Three codecs are decoded FOR REAL, dependency-free: uncompressed
+  * Four codecs are decoded FOR REAL, dependency-free: uncompressed
   * 24-bpp BMP (pixel parse), 8-bit PNG (chunk walk + JDK zlib inflate
-  * + full None/Sub/Up/Average/Paeth filter reconstruction), and 16-bit
-  * PCM WAV (sample parse → windowed-RMS features). Images yield
-  * luminance-grid features and REAL nearest-neighbor resizes
-  * (re-encoded in their own format). Payloads in any other format
-  * fall back to the clearly-marked deterministic STUB (no JPEG/MP3/
-  * video codecs in the JDK); everything Spark-side — schema,
-  * partitioning, batch shape, null/corrupt handling — is real and
-  * tested either way.
+  * + full None/Sub/Up/Average/Paeth filter reconstruction), baseline
+  * JPEG (marker walk + canonical Huffman + IDCT, 4:4:4/4:2:2/4:2:0/
+  * gray, restart markers — decoded to the luminance plane), and
+  * 16-bit PCM WAV (sample parse → windowed-RMS features). Images
+  * yield luminance-grid features; BMP/PNG additionally get REAL
+  * nearest-neighbor resizes re-encoded in their own format (no
+  * entropy ENCODER for JPEG — resize passes JPEG through unchanged).
+  * Payloads in any other format (MP3, video, progressive JPEG) fall
+  * back to the clearly-marked deterministic STUB; everything
+  * Spark-side — schema, partitioning, batch shape, null/corrupt
+  * handling — is real and tested either way.
   *
   * Scale design: media bytes never enter a shuffle — decode happens in a
   * narrow `mapPartitions` projection before any wide op; downstream
@@ -329,6 +332,393 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ---- baseline JPEG (SOF0/SOF1): marker walk + Huffman + IDCT ----
+
+  private[graft] def isJpeg(b: Array[Byte]): Boolean =
+    b != null && b.length >= 3 &&
+      (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+  /** Scan-order → natural-order index map (ITU T.81 Figure A.6). */
+  private val jpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** C(u)·cos((2x+1)uπ/16) for the separable 1-D IDCT, indexed x*8+u. */
+  private val jpegIdctCos: Array[Double] = Array.tabulate(64) { i =>
+    val x = i >> 3; val u = i & 7
+    math.cos((2 * x + 1) * u * math.Pi / 16) *
+      (if (u == 0) math.sqrt(0.5) else 1.0)
+  }
+
+  /** Canonical Huffman decode tables (T.81 Annex C/F: MINCODE/MAXCODE/
+    * VALPTR per code length). `counts(i)` = #codes of length i+1. */
+  private final class JpegHuff(counts: Array[Int], val symbols: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var total = 0
+      var code = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = total
+        minCode(l) = code
+        code += counts(l - 1)
+        total += counts(l - 1)
+        maxCode(l) = if (counts(l - 1) == 0) -1 else code - 1
+        code <<= 1
+        l += 1
+      }
+      require(total == symbols.length && total > 0, "bad huffman table")
+    }
+  }
+
+  /** Entropy-segment bit reader: 0xFF00 byte-stuffing unwrapped; any
+    * real marker mid-stream (truncation, overrun) throws — the scan
+    * must end by MCU count, never by running into a marker. */
+  private final class JpegBits(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nbits = 0
+    def nextBit(): Int = {
+      if (nbits == 0) {
+        if (pos >= b.length) throw new IllegalArgumentException("jpeg eof")
+        var v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length || (b(pos) & 0xff) != 0x00)
+            throw new IllegalArgumentException("marker in entropy data")
+          pos += 1 // stuffed zero
+        }
+        acc = v
+        nbits = 8
+      }
+      nbits -= 1
+      (acc >> nbits) & 1
+    }
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    def decodeHuff(t: JpegHuff): Int = {
+      var code = nextBit()
+      var l = 1
+      while (code > t.maxCode(l) || t.maxCode(l) < 0) {
+        l += 1
+        if (l > 16) throw new IllegalArgumentException("bad huffman code")
+        code = (code << 1) | nextBit()
+      }
+      t.symbols(t.valPtr(l) + code - t.minCode(l))
+    }
+    /** Byte-align and consume the expected restart marker. */
+    def expectRst(idx: Int): Unit = {
+      nbits = 0
+      if (pos + 1 >= b.length || (b(pos) & 0xff) != 0xff ||
+          (b(pos + 1) & 0xff) != (0xd0 + idx))
+        throw new IllegalArgumentException("missing restart marker")
+      pos += 2
+    }
+  }
+
+  /** T.81 F.2.2.1 EXTEND: map a `t`-bit magnitude to its signed value. */
+  private def jpegExtend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** Dequantized natural-order coefficients → clamped [0,255] samples
+    * (separable double-precision IDCT — exact over the speed-tuned
+    * fixed-point forms; decode here feeds feature pooling, not a
+    * realtime viewer). */
+  private def jpegIdct(coef: Array[Double], out: Array[Int]): Unit = {
+    val tmp = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) { s += coef(v * 8 + u) * jpegIdctCos(x * 8 + u); u += 1 }
+        tmp(v * 8 + x) = s / 2
+        x += 1
+      }
+      v += 1
+    }
+    var x = 0
+    while (x < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var w = 0
+        while (w < 8) { s += tmp(w * 8 + x) * jpegIdctCos(y * 8 + w); w += 1 }
+        val p = math.round(s / 2 + 128.0).toInt
+        out(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+        y += 1
+      }
+      x += 1
+    }
+  }
+
+  private final case class JpegComp(id: Int, h: Int, v: Int, tq: Int)
+
+  /** Decode a baseline JPEG (SOF0/SOF1, Huffman, optional restart
+    * markers, 8-bit samples, up to 4 components at 4:4:4 / 4:2:2 /
+    * 4:2:0 / grayscale samplings) to its LUMINANCE plane: the Y
+    * channel IS Rec.601 luma by definition (T.871), so chroma blocks
+    * are entropy-decoded to keep the bitstream in sync but skip
+    * dequant+IDCT — features and luma-grid consumers never see them.
+    * Progressive (SOF2), arithmetic (SOF9+), hierarchical and 12-bit
+    * streams return None, as does any malformed/truncated payload.
+    * Header dims are UNTRUSTED: Long math + the shared pixel cap gate
+    * every allocation (same contract as BMP/PNG). The first scan must
+    * cover the first SOF component (true of every interleaved baseline
+    * file); multi-scan files whose first scan is chroma-only are
+    * rejected, not misdecoded. */
+  private[graft] def decodeJpeg(b: Array[Byte]): Option[DecodedImage] = try {
+    if (!isJpeg(b)) return None
+    val qt = new Array[Array[Int]](4) // natural-order dequant tables
+    val dcTab = new Array[JpegHuff](4)
+    val acTab = new Array[JpegHuff](4)
+    var restartInterval = 0
+    var width = 0
+    var height = 0
+    var comps: Array[JpegComp] = null
+    var pos = 2
+    def u16be(off: Int): Int =
+      ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    var luma: Array[Float] = null
+    while (luma == null) {
+      // marker scan: skip fill bytes (T.81 allows FF padding)
+      if (pos + 1 >= b.length) throw new IllegalArgumentException("eof")
+      if ((b(pos) & 0xff) != 0xff) throw new IllegalArgumentException("no marker")
+      while (pos < b.length && (b(pos) & 0xff) == 0xff) pos += 1
+      if (pos >= b.length) throw new IllegalArgumentException("eof")
+      val marker = b(pos) & 0xff
+      pos += 1
+      marker match {
+        case 0xd9 => // EOI before any scan produced an image
+          throw new IllegalArgumentException("eoi before scan")
+        case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+          val len = u16be(pos)
+          if (b(pos + 2) != 8) throw new IllegalArgumentException("12-bit")
+          height = u16be(pos + 3)
+          width = u16be(pos + 5)
+          val nf = b(pos + 7) & 0xff
+          if (width < 1 || height < 1 || nf < 1 || nf > 4 ||
+              width.toLong * height > MaxDecodedPixels)
+            throw new IllegalArgumentException("bad dims")
+          comps = Array.tabulate(nf) { i =>
+            val o = pos + 8 + 3 * i
+            val c = JpegComp(b(o) & 0xff, (b(o + 1) & 0xf0) >> 4,
+              b(o + 1) & 0x0f, b(o + 2) & 0xff)
+            if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 || c.tq > 3)
+              throw new IllegalArgumentException("bad sampling")
+            c
+          }
+          pos += len
+        case 0xc4 => // DHT (possibly several tables in one segment)
+          val len = u16be(pos)
+          val end = pos + len
+          var p = pos + 2
+          while (p < end) {
+            val tc = (b(p) & 0xf0) >> 4
+            val th = b(p) & 0x0f
+            if (tc > 1 || th > 3) throw new IllegalArgumentException("bad DHT")
+            val counts = Array.tabulate(16)(i => b(p + 1 + i) & 0xff)
+            val n = counts.sum
+            if (n > 256 || p + 17 + n > end)
+              throw new IllegalArgumentException("bad DHT")
+            val syms = Array.tabulate(n)(i => b(p + 17 + i) & 0xff)
+            val t = new JpegHuff(counts, syms)
+            if (tc == 0) dcTab(th) = t else acTab(th) = t
+            p += 17 + n
+          }
+          pos = end
+        case 0xdb => // DQT (8- or 16-bit entries, several per segment)
+          val len = u16be(pos)
+          val end = pos + len
+          var p = pos + 2
+          while (p < end) {
+            val pq = (b(p) & 0xf0) >> 4
+            val tq = b(p) & 0x0f
+            if (pq > 1 || tq > 3) throw new IllegalArgumentException("bad DQT")
+            val tab = new Array[Int](64)
+            var i = 0
+            while (i < 64) {
+              val v = if (pq == 0) b(p + 1 + i) & 0xff
+                else u16be(p + 1 + 2 * i)
+              tab(jpegZigzag(i)) = v
+              i += 1
+            }
+            qt(tq) = tab
+            p += 1 + (if (pq == 0) 64 else 128)
+          }
+          pos = end
+        case 0xdd => // DRI
+          restartInterval = u16be(pos + 2)
+          pos += u16be(pos)
+        case 0xda => // SOS — decode the scan
+          val ns = b(pos + 2) & 0xff
+          if (comps == null || ns < 1 || ns > comps.length)
+            throw new IllegalArgumentException("bad SOS")
+          val scan = Array.tabulate(ns) { i =>
+            val o = pos + 3 + 2 * i
+            val cid = b(o) & 0xff
+            val ci = comps.indexWhere(_.id == cid)
+            if (ci < 0) throw new IllegalArgumentException("unknown comp")
+            (ci, (b(o + 1) & 0xf0) >> 4, b(o + 1) & 0x0f)
+          }
+          if (scan(0)._1 != 0)
+            throw new IllegalArgumentException("first scan not luma")
+          pos += u16be(pos) // skip Ss/Se/Ah-Al (baseline: fixed)
+          luma = jpegDecodeScan(b, pos, width, height, comps, scan,
+            qt, dcTab, acTab, restartInterval)
+        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+            0xcd | 0xce | 0xcf =>
+          throw new IllegalArgumentException("non-baseline SOF")
+        case m if m >= 0xd0 && m <= 0xd7 => // stray RST
+          throw new IllegalArgumentException("stray RST")
+        case 0x01 => () // TEM, standalone
+        case _ => // APPn / COM / anything with a length field
+          pos += u16be(pos)
+      }
+    }
+    Some(DecodedImage(width, height, luma))
+  } catch {
+    case scala.util.control.NonFatal(_) => None
+  }
+
+  /** Interleaved (or single-component) baseline scan → full-resolution
+    * luma plane in [0,1]. Only the first SOF component is IDCT'd; all
+    * scan components are entropy-decoded (the stream interleaves their
+    * blocks). */
+  private def jpegDecodeScan(b: Array[Byte], dataPos: Int, width: Int,
+      height: Int, comps: Array[JpegComp], scan: Array[(Int, Int, Int)],
+      qt: Array[Array[Int]], dcTab: Array[JpegHuff],
+      acTab: Array[JpegHuff], restartInterval: Int): Array[Float] = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val y0 = comps(0)
+    // component-0 plane at its natural sampling, padded to whole MCUs
+    val (mcusX, mcusY, bw, bh) =
+      if (scan.length == 1) {
+        // non-interleaved: MCU = one block of that component
+        val cw = (width.toLong * y0.h + hmax - 1) / hmax
+        val ch = (height.toLong * y0.v + vmax - 1) / vmax
+        val bx = ((cw + 7) / 8).toInt
+        val by = ((ch + 7) / 8).toInt
+        (bx, by, 1, 1)
+      } else {
+        ((width + 8 * hmax - 1) / (8 * hmax),
+          (height + 8 * vmax - 1) / (8 * vmax), y0.h, y0.v)
+      }
+    val planeW = mcusX.toLong * 8 * bw
+    val planeH = mcusY.toLong * 8 * bh
+    // padded plane bound: ≤ cap + one MCU ring in each dimension
+    if (planeW * planeH > MaxDecodedPixels + 32L * (planeW + planeH))
+      throw new IllegalArgumentException("plane too large")
+    val plane = new Array[Byte]((planeW * planeH).toInt)
+    val pw = planeW.toInt
+    val bits = new JpegBits(b, dataPos)
+    val pred = new Array[Int](comps.length)
+    val coef = new Array[Double](64)
+    val px = new Array[Int](64)
+    var mcu = 0
+    var rstIdx = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bits.expectRst(rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        java.util.Arrays.fill(pred, 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var s = 0
+      while (s < scan.length) {
+        val (ci, td, ta) = scan(s)
+        val c = comps(ci)
+        val dc = dcTab(td)
+        val ac = acTab(ta)
+        if (dc == null || ac == null || qt(c.tq) == null)
+          throw new IllegalArgumentException("missing table")
+        val q = qt(c.tq)
+        val (nbx, nby) = if (scan.length == 1) (1, 1) else (c.h, c.v)
+        var by = 0
+        while (by < nby) {
+          var bx = 0
+          while (bx < nbx) {
+            val wantPixels = ci == 0
+            if (wantPixels) java.util.Arrays.fill(coef, 0.0)
+            // DC
+            val t = bits.decodeHuff(dc)
+            if (t > 15) throw new IllegalArgumentException("bad DC cat")
+            val diff = jpegExtend(bits.receive(t), t)
+            pred(ci) += diff
+            if (wantPixels) coef(0) = pred(ci).toDouble * q(0)
+            // AC
+            var k = 1
+            while (k < 64) {
+              val rs = bits.decodeHuff(ac)
+              val r = rs >> 4
+              val sz = rs & 0x0f
+              if (sz == 0) {
+                if (r == 15) k += 16 // ZRL
+                else k = 64 // EOB
+              } else {
+                k += r
+                if (k > 63) throw new IllegalArgumentException("AC overrun")
+                val v = jpegExtend(bits.receive(sz), sz)
+                if (wantPixels) {
+                  val nat = jpegZigzag(k)
+                  coef(nat) = v.toDouble * q(nat)
+                }
+                k += 1
+              }
+            }
+            if (wantPixels) {
+              jpegIdct(coef, px)
+              val ox = (mx * bw + bx) * 8
+              val oy = (my * bh + by) * 8
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  plane((oy + yy) * pw + ox + xx) = px(yy * 8 + xx).toByte
+                  xx += 1
+                }
+                yy += 1
+              }
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        s += 1
+      }
+      mcu += 1
+    }
+    // sample the (possibly subsampled) component-0 plane to WxH luma
+    val luma = new Array[Float](width * height)
+    var y = 0
+    while (y < height) {
+      val sy = (y.toLong * y0.v / vmax).toInt
+      var x = 0
+      while (x < width) {
+        val sx = (x.toLong * y0.h / hmax).toInt
+        luma(y * width + x) = (plane(sy * pw + sx) & 0xff) / 255.0f
+        x += 1
+      }
+      y += 1
+    }
+    luma
+  }
+
   /** Decoded audio: sample rate and mono-mixed samples in [-1,1]. */
   private[graft] final case class DecodedAudio(sampleRate: Int,
       samples: Array[Float])
@@ -442,16 +832,20 @@ object Multimodal {
       ((h % 1000L).toFloat) / 1000.0f
     })
 
-  /** Decode dispatch: payloads with a BMP, PNG or WAV signature decode
-    * FOR REAL (luminance-grid / windowed-RMS features); a payload that
-    * CLAIMS a real codec but fails to parse is corrupt (None — never
-    * silently stubbed); anything else falls back to the deterministic
-    * stub. */
+  /** Decode dispatch: payloads with a BMP, PNG, baseline-JPEG or WAV
+    * signature decode FOR REAL (luminance-grid / windowed-RMS
+    * features); a payload that CLAIMS a real codec but fails to parse
+    * is corrupt (None — never silently stubbed): progressive or
+    * arithmetic JPEG carries the JPEG signature, so it is rejected,
+    * not stubbed. Anything else (MP3, video) falls back to the
+    * deterministic stub. */
   private[graft] def decodeFeature(payload: Array[Byte],
       dim: Int): Option[Array[Float]] =
     if (payload == null || payload.isEmpty) None
     else if (isBmp(payload)) decodeBmp(payload).map(d => pooled(d.luma, dim))
     else if (isPng(payload)) decodePng(payload).map(d => pooled(d.luma, dim))
+    else if (isJpeg(payload))
+      decodeJpeg(payload).map(d => pooled(d.luma, dim))
     else if (isWav(payload))
       decodeWav(payload).map(d => rmsWindows(d.samples, dim))
     else decodeStub(payload, dim)
