@@ -29,7 +29,16 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional comma-separated query filter for isolated A/B runs
+    // (sweep-pressure outliers need re-measuring alone before being
+    // banked as noise — VERDICT r5 §wrong-2).
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val runs = Seq(once(fn), once(fn), once(fn))
       // per-invocation dedup/mixing caches must not accumulate across
       // the full query sweep
