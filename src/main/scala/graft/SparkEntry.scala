@@ -571,6 +571,29 @@ object SparkEntry {
         size(array_distinct(Text.tokens(col("text")))).as("n_distinct"),
         Text.repetitionRatio(col("text")).as("rep_ratio"))),
 
+    "q_gopher_repetition" -> ((s, d) => {
+      // Gopher A1.1 n-gram repetition signals (top-{2,3,4}-gram char
+      // mass, duplicate-{5..10}-gram char COVERAGE — union of
+      // occurrence intervals, overlaps never double-count — plus the
+      // alpha-word fraction), one map-only kernel scan per doc. The
+      // fixture text has no repeated 5-grams, so a deterministic
+      // subset is augmented with self-repetition (full doubling and a
+      // partial first-80-chars echo) to exercise the coverage path;
+      // the oracle applies the identical CASE
+      val aug = when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" "), col("text")))
+        .when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" "), substring(col("text"), 1, 80)))
+        .otherwise(col("text"))
+      val r = Text.gopherRepetition(aug)
+      val names = Seq("top2_frac", "top3_frac", "top4_frac",
+        "dup5_frac", "dup6_frac", "dup7_frac", "dup8_frac", "dup9_frac",
+        "dup10_frac", "alpha_frac")
+      t(s, d, "documents").select(
+        col("doc_id") +: names.zipWithIndex.map { case (nm, ix) =>
+          round(r.getItem(ix), 6).as(nm) }: _*)
+    }),
+
     "q_decontaminate" -> ((s, d) => {
       // train/test n-gram decontamination: docs < 50 are the "held-out
       // set", the rest the training corpus
@@ -1557,6 +1580,86 @@ object SparkEntry {
          FROM bg JOIN bfreq USING (w1, w2) JOIN sfreq USING (w1)
                  JOIN uni USING (w2) CROSS JOIN tot
          GROUP BY doc_id""",
+
+    "q_gopher_repetition" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 7 = 0 THEN text || ' ' || text
+                       WHEN doc_id % 3 = 0 THEN text || ' ' || substr(text, 1, 80)
+                       ELSE text END AS text
+           FROM documents
+         ),
+         base AS (
+           SELECT doc_id,
+                  [w FOR w IN string_split_regex(lower(text), '\s+') IF len(w) > 0] AS toks
+           FROM aug
+         ),
+         b AS (
+           SELECT doc_id, toks, len(toks) AS nt,
+                  COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS tc
+           FROM base
+         ),
+         grams AS (
+           SELECT b.doc_id, n.n, i.i,
+                  array_to_string(toks[i.i:i.i + n.n - 1], ' ') AS gram,
+                  CAST(list_sum(list_transform(toks[i.i:i.i + n.n - 1], x -> len(x))) AS BIGINT) AS gc
+           FROM b
+           CROSS JOIN UNNEST([2,3,4,5,6,7,8,9,10]) AS n(n)
+           CROSS JOIN UNNEST(generate_series(1, b.nt - n.n + 1)) AS i(i)
+         ),
+         cnt AS (
+           SELECT doc_id, n, gram, count(*) AS c, max(gc) AS gc
+           FROM grams GROUP BY doc_id, n, gram
+         ),
+         top AS (
+           SELECT doc_id, n, c * gc AS mass
+           FROM (SELECT *, row_number() OVER
+                   (PARTITION BY doc_id, n ORDER BY c DESC, gram ASC) AS rn
+                 FROM cnt WHERE n <= 4)
+           WHERE rn = 1
+         ),
+         cov AS (
+           SELECT DISTINCT g.doc_id, g.n, p.p
+           FROM grams g
+           JOIN cnt ON cnt.doc_id = g.doc_id AND cnt.n = g.n AND cnt.gram = g.gram
+           CROSS JOIN UNNEST(generate_series(g.i, g.i + g.n - 1)) AS p(p)
+           WHERE g.n >= 5 AND cnt.c >= 2
+         ),
+         dup AS (
+           SELECT cov.doc_id, cov.n,
+                  CAST(SUM(len(b.toks[cov.p])) AS BIGINT) AS covc
+           FROM cov JOIN b ON b.doc_id = cov.doc_id
+           GROUP BY cov.doc_id, cov.n
+         ),
+         alpha AS (
+           SELECT doc_id,
+                  CASE WHEN nt = 0 THEN 0.0
+                       ELSE len([x FOR x IN toks IF regexp_matches(x, '\p{L}')])::DOUBLE / nt
+                  END AS af
+           FROM b
+         )
+         SELECT b.doc_id,
+           round(COALESCE(t2.mass::DOUBLE / NULLIF(b.tc, 0), 0.0), 6) AS top2_frac,
+           round(COALESCE(t3.mass::DOUBLE / NULLIF(b.tc, 0), 0.0), 6) AS top3_frac,
+           round(COALESCE(t4.mass::DOUBLE / NULLIF(b.tc, 0), 0.0), 6) AS top4_frac,
+           round(COALESCE(d5.covc::DOUBLE / NULLIF(b.tc, 0), 0.0), 6) AS dup5_frac,
+           round(COALESCE(d6.covc::DOUBLE / NULLIF(b.tc, 0), 0.0), 6) AS dup6_frac,
+           round(COALESCE(d7.covc::DOUBLE / NULLIF(b.tc, 0), 0.0), 6) AS dup7_frac,
+           round(COALESCE(d8.covc::DOUBLE / NULLIF(b.tc, 0), 0.0), 6) AS dup8_frac,
+           round(COALESCE(d9.covc::DOUBLE / NULLIF(b.tc, 0), 0.0), 6) AS dup9_frac,
+           round(COALESCE(d10.covc::DOUBLE / NULLIF(b.tc, 0), 0.0), 6) AS dup10_frac,
+           round(alpha.af, 6) AS alpha_frac
+         FROM b
+         LEFT JOIN top t2 ON t2.doc_id = b.doc_id AND t2.n = 2
+         LEFT JOIN top t3 ON t3.doc_id = b.doc_id AND t3.n = 3
+         LEFT JOIN top t4 ON t4.doc_id = b.doc_id AND t4.n = 4
+         LEFT JOIN dup d5 ON d5.doc_id = b.doc_id AND d5.n = 5
+         LEFT JOIN dup d6 ON d6.doc_id = b.doc_id AND d6.n = 6
+         LEFT JOIN dup d7 ON d7.doc_id = b.doc_id AND d7.n = 7
+         LEFT JOIN dup d8 ON d8.doc_id = b.doc_id AND d8.n = 8
+         LEFT JOIN dup d9 ON d9.doc_id = b.doc_id AND d9.n = 9
+         LEFT JOIN dup d10 ON d10.doc_id = b.doc_id AND d10.n = 10
+         JOIN alpha ON alpha.doc_id = b.doc_id""",
 
     "q_token_repetition" ->
       """SELECT doc_id,

@@ -45,6 +45,14 @@ object Text {
         size(array_distinct(tokens(text))).cast("double") /
         size(tokens(text)), 6))
 
+  /** Gopher A1.1 repetition + alpha-word signals as one array column
+    * — [top2, top3, top4, dup5..dup10, alpha_frac], definitions in
+    * [[graft.plans.RepetitionStatsUtil]]. One kernel scan per document
+    * (map-only, no shuffle); the n-gram signals catch phrase-cycling
+    * boilerplate the unigram [[repetitionRatio]] cannot see. */
+  def gopherRepetition(text: Column): Column =
+    graft.plans.RepetitionStatsExpr.repetitionStats(text)
+
   /** A BPE-ish sub-word segmentation: split on whitespace AND on
     * letter/digit/punctuation boundaries (approximates byte-pair merge
     * boundaries well enough for cost estimation). */
