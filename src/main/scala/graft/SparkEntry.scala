@@ -458,6 +458,46 @@ object SparkEntry {
         round(Text.meanTokenLen(col("text")), 6).as("mean_token_len"),
         Text.qualityScore(col("text")).as("quality"))),
 
+    "q_gopher_quality" -> ((s, d) => {
+      // Gopher A1 document quality rules (Rae et al. 2021): word-count
+      // and mean-word-length bounds, >=80% alpha words, hash/ellipsis
+      // symbol ratios <=0.1, and >=2 of the 8 canonical English
+      // stopwords present — composed into a keep flag. All codegen
+      // built-ins + one kernel slot; map-only at any scale
+      val nWords = Text.tokenCount(col("text"))
+      val mwl = Text.meanTokenLen(col("text"))
+      val alphaF = Text.gopherRepetition(col("text"))
+        .getItem(graft.plans.RepetitionStatsUtil.WIDTH - 1)
+      val hashN = regexp_count(col("text"), lit("#"))
+      val ellipsisN = regexp_count(col("text"), lit("\\.\\.\\.")) +
+        regexp_count(col("text"), lit("…"))
+      val safeRatio = (c: org.apache.spark.sql.Column) =>
+        when(nWords === 0, lit(0.0))
+          .otherwise(round(c.cast("double") / nWords, 6))
+      val stopHits = size(array_intersect(
+        array_distinct(Text.tokens(lower(col("text")))),
+        array(Seq("the", "be", "to", "of", "and", "that", "have",
+          "with").map(lit(_)): _*)))
+      val keep = (nWords >= 50) && (nWords <= 100000) &&
+        (mwl >= 3.0) && (mwl <= 10.0) && (alphaF >= 0.8) &&
+        (safeRatio(hashN) <= 0.1) && (safeRatio(ellipsisN) <= 0.1) &&
+        (stopHits >= 2)
+      t(s, d, "documents").select(col("doc_id"),
+        nWords.as("n_words"),
+        round(mwl, 6).as("mean_word_len"),
+        round(alphaF, 6).as("alpha_frac"),
+        safeRatio(hashN).as("hash_ratio"),
+        safeRatio(ellipsisN).as("ellipsis_ratio"),
+        stopHits.as("stop_hits"),
+        // the two rules the fixture actually crosses in both
+        // directions (n_words spans 10..99 over the 50 bound;
+        // stop_hits spans 0..3+), so the flag logic is exercised even
+        // though the full conjunction rejects every synthetic doc
+        (nWords >= 50).cast("int").as("r_words"),
+        (stopHits >= 2).cast("int").as("r_stop"),
+        keep.cast("int").as("keep"))
+    }),
+
     "q_lang_id" -> ((s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), Text.languageId(col("text")).as("lang_pred"))),
@@ -2171,6 +2211,47 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 1000 <
                CASE lang WHEN 'en' THEN 300 WHEN 'zh' THEN 500 ELSE 1000 END
          GROUP BY lang""",
+
+    "q_gopher_quality" ->
+      """WITH base AS (
+           SELECT doc_id, text,
+                  trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
+                  regexp_replace(text, '\s+', '', 'g') AS body
+           FROM documents),
+         m AS (
+           SELECT doc_id, text, norm,
+                  CASE WHEN len(norm) = 0 THEN 0
+                       ELSE len(string_split(norm, ' ')) END AS n_words,
+                  CASE WHEN len(norm) = 0 THEN 0.0
+                       ELSE len(body)::DOUBLE / len(string_split(norm, ' ')) END AS mwl,
+                  CASE WHEN len(norm) = 0 THEN 0.0
+                       ELSE len([w FOR w IN string_split(lower(norm), ' ') IF regexp_matches(w, '\p{L}')])::DOUBLE
+                            / len(string_split(norm, ' ')) END AS alpha_frac,
+                  len(regexp_extract_all(text, '#')) AS hash_n,
+                  len(regexp_extract_all(text, '\.\.\.')) + len(regexp_extract_all(text, '…')) AS ell_n,
+                  CASE WHEN len(norm) = 0 THEN 0
+                       ELSE len(list_intersect(list_distinct(string_split(lower(norm), ' ')),
+                            ['the','be','to','of','and','that','have','with'])) END AS stop_hits
+           FROM base),
+         r AS (
+           SELECT doc_id, n_words, mwl, alpha_frac, stop_hits,
+                  CASE WHEN n_words = 0 THEN 0.0
+                       ELSE round(hash_n::DOUBLE / n_words, 6) END AS hash_ratio,
+                  CASE WHEN n_words = 0 THEN 0.0
+                       ELSE round(ell_n::DOUBLE / n_words, 6) END AS ellipsis_ratio
+           FROM m)
+         SELECT doc_id, n_words,
+                round(mwl, 6) AS mean_word_len,
+                round(alpha_frac, 6) AS alpha_frac,
+                hash_ratio, ellipsis_ratio, stop_hits,
+                CASE WHEN n_words >= 50 THEN 1 ELSE 0 END AS r_words,
+                CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stop,
+                CASE WHEN n_words >= 50 AND n_words <= 100000
+                      AND mwl >= 3.0 AND mwl <= 10.0
+                      AND alpha_frac >= 0.8
+                      AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+                      AND stop_hits >= 2 THEN 1 ELSE 0 END AS keep
+         FROM r""",
 
     "q_quality_score" ->
       """WITH base AS (
