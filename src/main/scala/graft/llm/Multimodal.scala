@@ -967,4 +967,95 @@ object Multimodal {
       payloadSimhash(media, idCol, payloadCol, chunkBytes)
         .filter(col("simhash").isNotNull),
       maxHamming)
+
+  /** 64-bit perceptual difference hash (dHash) over DECODED luminance:
+    * area-mean the luma plane onto a 9x8 grid, bit (r, c) = cell
+    * (r, c+1) brighter than cell (r, c). Unlike [[payloadSimhash]]
+    * (bytes, format-sensitive), this sees pixels: the SAME image
+    * encoded as BMP and as PNG hashes IDENTICALLY, and resampling or
+    * mild noise moves only a few bits — the standard image-dedup
+    * signal once real decoders exist. Cell regions are never empty
+    * (>= 1 px), so any decodable image >= 1x1 hashes. */
+  private[graft] def dhash64(img: DecodedImage): Long = {
+    val w = img.width; val h = img.height
+    val grid = new Array[Double](9 * 8)
+    var gy = 0
+    while (gy < 8) {
+      // gy*h/8 <= 7h/8 < h, so y0 <= h-1 and y0 < y1 <= h always —
+      // every cell covers >= 1 row/col even for tiny images
+      val y0 = (gy.toLong * h / 8).toInt
+      val y1 = math.min(h, math.max(y0 + 1, ((gy + 1).toLong * h / 8).toInt))
+      var gx = 0
+      while (gx < 9) {
+        val x0 = (gx.toLong * w / 9).toInt
+        val x1 = math.min(w, math.max(x0 + 1, ((gx + 1).toLong * w / 9).toInt))
+        var s = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += img.luma(y * w + x); x += 1 }
+          y += 1
+        }
+        grid(gy * 9 + gx) = s / ((y1 - y0).toLong * (x1 - x0))
+        gx += 1
+      }
+      gy += 1
+    }
+    var sig = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (grid(r * 9 + c + 1) > grid(r * 9 + c))
+          sig |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    sig
+  }
+
+  private val dhashSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("simhash", LongType, nullable = true)))
+
+  /** Perceptual dHash per image payload (BMP/PNG/baseline-JPEG via the
+    * real decoders): (id, simhash), simhash null when the payload is
+    * not a decodable image. Same narrow no-shuffle shape as
+    * [[extractFeatures]] — pixels are dropped inside the partition,
+    * only the 8-byte signature ever moves. */
+  def imageDhash(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(dhashSchema)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val img =
+            if (payload == null || payload.isEmpty) None
+            else if (isBmp(payload)) decodeBmp(payload)
+            else if (isPng(payload)) decodePng(payload)
+            else if (isJpeg(payload)) decodeJpeg(payload)
+            else None
+          img match {
+            case Some(d) => Row(id, dhash64(d))
+            case None => Row(id, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Near-duplicate IMAGE pairs: hamming <= maxHamming over the
+    * perceptual dHash, banded exactly like text/payload simhash (the
+    * shared pigeonhole candidate join — no all-pairs). Catches
+    * re-encoded (BMP<->PNG), resampled, and lightly-edited copies that
+    * byte-level [[payloadNearDups]] cannot see. */
+  def imageNearDups(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload", maxHamming: Int = 8): DataFrame =
+    graft.llm.Dedup.simhashNearDupsFromSig(
+      imageDhash(media, idCol, payloadCol)
+        .filter(col("simhash").isNotNull),
+      maxHamming)
 }

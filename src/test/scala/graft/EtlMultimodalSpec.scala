@@ -361,6 +361,85 @@ class EtlMultimodalSpec extends SparkSpec {
       s"unrelated blob must not pair: $pairs")
   }
 
+  test("imageDhash: re-encoding invariant, noise-tolerant, edit-sensitive") {
+    // a 36x24 smooth two-axis gradient: distinct cell means, so dHash
+    // comparisons are far from float ties
+    val w = 36; val h = 24
+    def lum(x: Int, y: Int): Int = (x * 5 + y * 3) % 256
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; lum(p % w, p / w).toByte
+    }
+    val bgr = rgb.clone() // grayscale: R=G=B, channel order irrelevant
+    val bmp = Multimodal.encodeBmp24(w, h, bgr)
+    val png = Multimodal.encodePng(w, h, rgb)
+    // same pixels, different container: byte simhash differs, dHash equal
+    val noisy = rgb.clone()
+    var i = 0
+    while (i < noisy.length) { // ±2 luma jitter on every pixel
+      noisy(i) = math.max(0, math.min(255,
+        (noisy(i) & 0xff) + (i % 5) - 2)).toByte
+      i += 1
+    }
+    val flipped = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; lum(w - 1 - p % w, p / w).toByte // mirror = different image
+    }
+    val media = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, "image", bmp, null, null, null),
+        Row(2L, "image", png, null, null, null),
+        Row(3L, "image", Multimodal.encodePng(w, h, noisy), null, null, null),
+        Row(4L, "image", Multimodal.encodePng(w, h, flipped), null, null, null),
+        Row(5L, "image", "not an image".getBytes, null, null, null)),
+      Multimodal.mediaSchema)
+    val sig = Multimodal.imageDhash(media).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(sig(5L).isEmpty, "undecodable payload -> null dHash")
+    assert(sig(1L) == sig(2L),
+      "same pixels as BMP and PNG must hash identically")
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L).get, sig(3L).get) <= 8,
+      s"jittered copy too far: ${ham(sig(1L).get, sig(3L).get)}")
+    assert(ham(sig(1L).get, sig(4L).get) > 16,
+      s"mirrored image too close: ${ham(sig(1L).get, sig(4L).get)}")
+    // and the byte-level simhash CANNOT see the BMP==PNG equivalence
+    val bytes = Multimodal.payloadSimhash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ham(bytes(1L), bytes(2L)) > 6,
+      "byte simhash should differ across containers (else dHash is redundant)")
+    // banded near-dup: {1,2,3} cluster, mirror and garbage excluded
+    val pairs = Multimodal.imageNearDups(media, maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)),
+      s"expected re-encode+noise pairs, got $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"mirror must not pair: $pairs")
+  }
+
+  test("imageDhash survives nearest-neighbor downscale (the dedup case)") {
+    val w = 72; val h = 48
+    def lum(x: Int, y: Int): Int = (x * 3 + y * 2) % 256
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; lum(p % w, p / w).toByte
+    }
+    val big = Multimodal.encodeBmp24(w, h, rgb)
+    val media = spark.createDataFrame(
+      java.util.List.of(Row(1L, "image", big, 0, 0, null)),
+      StructType(Seq(StructField("media_id", LongType),
+        StructField("media_type", StringType),
+        StructField("payload", BinaryType),
+        StructField("width", IntegerType),
+        StructField("height", IntegerType),
+        StructField("duration_ms", LongType))))
+      .withColumn("width", lit(w)).withColumn("height", lit(h))
+    val small = Multimodal.resizeImages(media, w / 2, h / 2)
+      .select(col("media_id"), col("out_payload").as("payload"))
+    val sigBig = Multimodal.imageDhash(media).collect().head.getLong(1)
+    val sigSmall = Multimodal.imageDhash(small).collect().head.getLong(1)
+    val d = java.lang.Long.bitCount(sigBig ^ sigSmall)
+    assert(d <= 8, s"downscaled copy drifted $d bits")
+  }
+
   test("sampleFrames skips zero/null-duration videos instead of failing") {
     val media = spark.createDataFrame(
       java.util.List.of(
