@@ -459,6 +459,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Gopher repetition/quality signals run map-only on a stream") {
+    // the kernel expression is a stateless projection, so an ingest
+    // quality screen is just withColumn on the streaming frame — this
+    // pins batch==stream value parity and that no state/shuffle sneaks
+    // into the plan (streaming would reject it otherwise)
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Text
+    val rows = Seq(
+      (1L, "a b c d e a b c d e"),
+      (2L, "the quick brown fox and the lazy dog with it"),
+      (3L, ""))
+    def signals(df: org.apache.spark.sql.DataFrame) = {
+      val r = Text.gopherRepetition(col("text"))
+      df.select(col("doc_id"),
+        round(r.getItem(3), 6).as("dup5"),
+        round(r.getItem(9), 6).as("alpha"),
+        Text.tokenCount(col("text")).as("n_words"))
+    }
+    val mem = MemoryStream[(Long, String)]
+    val q = signals(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_st")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gopher_st").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getInt(3)))
+        .toMap
+      val batch = signals(rows.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getInt(3)))
+        .toMap
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed(1L)._1 == 1.0) // repeated phrase flags dup5
+    } finally q.stop()
+  }
+
   test("streamingDedup drops duplicate keys across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
