@@ -373,6 +373,17 @@ object SparkEntry {
           .select(explode(Text.tokens(col("text"))).as("word"))
           .groupBy("word").agg(count(lit(1)).as("n")))),
 
+    "q_top_ngrams" -> ((s, d) =>
+      // corpus-wide frequent-phrase profile (boilerplate discovery —
+      // "subscribe to our newsletter" hunting): explode 3-gram
+      // shingles, count, top-k. Partial aggregation halves the
+      // shuffle and TakeOrderedAndProject keeps the sort k-bounded —
+      // already the 100 TB plan, no custom operator needed
+      Relational.topK(20, Seq(col("n").desc), Seq(col("gram")))(
+        t(s, d, "documents")
+          .select(explode(Text.shinglesAll(col("text"), 3)).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("n")))),
+
     // ---- llm/: dedup family ----
     "q_doc_fingerprint" -> ((s, d) =>
       t(s, d, "documents")
@@ -1391,6 +1402,15 @@ object SparkEntry {
            SELECT unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS word
            FROM documents)
          GROUP BY word ORDER BY n DESC, word LIMIT 20""",
+
+    "q_top_ngrams" ->
+      """WITH tok AS (
+           SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+           FROM documents),
+         sh AS (SELECT array_to_string(t[i:i+2], ' ') AS gram
+                FROM tok CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i))
+         SELECT gram, count(*) AS n FROM sh
+         GROUP BY gram ORDER BY n DESC, gram LIMIT 20""",
 
     "q_doc_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint

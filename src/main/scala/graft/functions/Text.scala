@@ -83,12 +83,22 @@ object Text {
     * non-trivial expression referenced inside lambda bodies, so an
     * inlined split() re-runs its regex once per emitted shingle/hash
     * (measured 5-60x overhead). */
-  def shinglesFromTokens(toks: Column, n: Int): Column = {
+  def shinglesFromTokens(toks: Column, n: Int): Column =
+    array_distinct(shinglesAllFromTokens(toks, n))
+
+  /** Like [[shinglesFromTokens]] but WITH multiplicity — one entry per
+    * window position. Frequency analysis (corpus phrase counts,
+    * repetition masses) needs occurrences; the distinct form is for
+    * set semantics (MinHash, Jaccard). */
+  def shinglesAllFromTokens(toks: Column, n: Int): Column = {
     val starts = when(size(toks) >= n,
       sequence(lit(1), size(toks) - (n - 1))).otherwise(array())
-    array_distinct(
-      transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
+    transform(starts, i => concat_ws(" ", slice(toks, i, lit(n))))
   }
+
+  /** [[shinglesAllFromTokens]] over the normalized lower-cased text. */
+  def shinglesAll(text: Column, n: Int): Column =
+    shinglesAllFromTokens(split(lower(normWs(text)), " "), n)
 
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm): hash every character k-gram of the normalized text,
