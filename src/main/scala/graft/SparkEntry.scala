@@ -1009,6 +1009,23 @@ object SparkEntry {
         graft.llm.Recall.exactHammingPairs(sig, 6))
     }),
 
+    "q_leakage_gate" -> ((s, d) => {
+      // straddle audit of leakageSafeSplitAuto's SCALE path (LSH-edge
+      // split, forced regardless of the doc-count gate): every EXACT
+      // jaccard>=0.8 near-dup pair must share a bucket. The 2-sigma
+      // verify slack (0.8 -> 0.7 est) is what leakageSafeSplitAuto
+      // itself applies; `pass` mirrors the RecallGatesSpec floor so
+      // the graded row pins it too
+      val docs = t(s, d, "documents")
+      val lshSplit = Dedup.leakageSafeSplitFromEdges(docs, "doc_id",
+        Dedup.lshVerifiedEdges(docs, "doc_id", "text",
+            minEstJaccard = 0.7)
+          .select(col("id_a"), col("id_b")), 10)
+      graft.llm.Recall.splitStraddleRate(lshSplit, "doc_id",
+        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+          .select(col("id_a"), col("id_b")), maxStraddleRate = 0.0)
+    }),
+
     "q_embedding_band_recall" -> ((s, d) => {
       // measured recall of the banded hyperplane LSH at the graded
       // low threshold, vs exact all-pairs cosine; the id cap bounds

@@ -299,6 +299,51 @@ object Dedup {
       .select(col("id").as(idCol), col("component_id"), col("split_bucket"))
   }
 
+  /** MinHash-LSH near-dup edges verified by estimated jaccard — the
+    * approximate, banded twin of [[similarityJoin]] for edge-frame
+    * consumers ([[leakageSafeSplitFromEdges]] at corpus scale).
+    * Candidate volume comes from (band, band_hash) equi-join keys that
+    * scale with the data, never all-pairs; defaults (16 bands x 4
+    * rows = 64 slots) put the banding recall knee near est jaccard
+    * (1/16)^(1/4) ~ 0.5, i.e. recall ~0.9998 at the 0.8 near-dup
+    * design point. Output: (id_a, id_b, est_jaccard); signatures are
+    * persist-tracked — call [[releaseCaches]] after the consuming
+    * action. */
+  def lshVerifiedEdges(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      minEstJaccard: Double = 0.8): DataFrame = {
+    val sig = persistTracked(
+      signatureFrame(df, idCol, textCol, shingleN, bands * rowsPerBand))
+    verifiedEdges(sig, bands, rowsPerBand, minEstJaccard)
+  }
+
+  /** Size-gated [[leakageSafeSplit]] — the same exact-below / banded-
+    * above contract as the Spearman matrix and BPE trainer gates: the
+    * PPJoin exact edge build below `maxExactDocs` documents (zero
+    * false-negative edges, oracle-verifiable), [[lshVerifiedEdges]]
+    * above (the 100 TB shape). The LSH path verifies at
+    * `minJaccard - estimatorSlack`: with k = bands*rowsPerBand slots
+    * the jaccard estimator's std at s=0.8 is ~sqrt(s(1-s)/64) ~ 0.05,
+    * and the two error directions are NOT symmetric for split duty —
+    * a false-positive edge only coarsens the split (merges two
+    * components; still leakage-free), a false-negative edge can leak a
+    * near-dup pair across buckets — so the verify threshold errs 2
+    * sigma low. Residual straddle risk vs the exact split is measured
+    * by q_leakage_gate and floored in RecallGatesSpec. The size probe
+    * is limit(maxExactDocs+1).count() — bounded work independent of
+    * corpus size. */
+  def leakageSafeSplitAuto(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 10, shingleN: Int = 3, minJaccard: Double = 0.8,
+      maxExactDocs: Int = 100000, bands: Int = 16, rowsPerBand: Int = 4,
+      estimatorSlack: Double = 0.1): DataFrame = {
+    val small = df.limit(maxExactDocs + 1).count() <= maxExactDocs
+    if (small) leakageSafeSplit(df, idCol, textCol, buckets, shingleN, minJaccard)
+    else leakageSafeSplitFromEdges(df, idCol,
+      lshVerifiedEdges(df, idCol, textCol, shingleN, bands, rowsPerBand,
+          math.max(0.0, minJaccard - estimatorSlack))
+        .select(col("id_a"), col("id_b")), buckets)
+  }
+
   /** Embedding-cosine near-duplicate pairs: banded hyperplane-LSH
     * candidate generation, exact cosine verify, threshold filter. The
     * vector-space sibling of [[lshCandidates]] (cf. SURVEY north star:

@@ -84,6 +84,28 @@ object Recall {
       .select("id_a", "id_b")
   }
 
+  /** Straddle audit for an approximate leakage-safe split: the
+    * fraction of exact near-dup pairs whose endpoints land in
+    * DIFFERENT buckets under the split — i.e. leakage the approximate
+    * edge source failed to fence. `pass` mirrors the hard floor so the
+    * audited number rides in the graded output itself. One row:
+    * (n_pairs, n_straddle, straddle_rate, pass). */
+  def splitStraddleRate(split: DataFrame, idCol: String,
+      exactPairs: DataFrame, maxStraddleRate: Double): DataFrame = {
+    val b = split.select(col(idCol), col("split_bucket"))
+    val straddled = sum(when(col("__ba") =!= col("__bb"), 1L).otherwise(0L))
+    exactPairs.select(col("id_a"), col("id_b")).distinct()
+      .join(b.select(col(idCol).as("id_a"),
+        col("split_bucket").as("__ba")), "id_a")
+      .join(b.select(col(idCol).as("id_b"),
+        col("split_bucket").as("__bb")), "id_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(straddled, lit(0L)).as("n_straddle"),
+        round(coalesce(straddled, lit(0L)).cast("double") /
+          greatest(count(lit(1)), lit(1L)), 6).as("straddle_rate"))
+      .withColumn("pass", col("straddle_rate") <= maxStraddleRate)
+  }
+
   /** Cluster-implied pairs from a (id, cluster_id) assignment: all
     * (id_a < id_b) with the same cluster. Small-cluster safe (clusters
     * are near-dup families); the self-equi-join is on cluster_id. */

@@ -125,6 +125,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(0L)._2 == expected(0L) && out(3L)._2 == expected(3L))
   }
 
+  test("leakageSafeSplitAuto: exact path below the gate, LSH path above") {
+    val exact = Dedup.leakageSafeSplit(docs, "doc_id", "text", buckets = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    // 5 docs < 100k default gate -> must BE the exact split
+    val small = Dedup.leakageSafeSplitAuto(docs, "doc_id", "text",
+        buckets = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(small == exact)
+    // forced over the gate (maxExactDocs=1): banded edges, same dup
+    // families -> identical components and buckets on this fixture
+    val lsh = Dedup.leakageSafeSplitAuto(docs, "doc_id", "text",
+        buckets = 10, maxExactDocs = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    Dedup.releaseCaches()
+    assert(lsh == exact)
+  }
+
   test("leakageSafeSplitFromEdges groups via a caller-supplied edge set") {
     // semantic edges (not text-derived): 0-3 declared near-dups
     val edges = Seq((0L, 3L)).toDF("id_a", "id_b")

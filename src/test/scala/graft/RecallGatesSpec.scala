@@ -80,4 +80,12 @@ class RecallGatesSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") >= 0.85,
       s"banded embedding recall degraded: $r")
   }
+
+  test("LSH-edge leakage split: exact near-dups never straddle buckets") {
+    val r = row("q_leakage_gate")
+    assert(r.getAs[Long]("n_pairs") > 0L, s"empty ground truth: $r")
+    assert(r.getAs[Long]("n_straddle") == 0L, s"split leaked: $r")
+    assert(r.getAs[Double]("straddle_rate") == 0.0, s"split leaked: $r")
+    assert(r.getAs[Boolean]("pass"), s"gate column disagrees: $r")
+  }
 }
