@@ -150,17 +150,40 @@ object Bpe {
 
   /** Incremental-delta training loop over a pre-materialized
     * (word, freq, symbols) checkpoint (consumed: unpersisted on exit).
-    * Each iteration localCheckpoints the updated tables: without it
-    * the plan nests one interpreted fold per merge and analysis cost
-    * grows quadratically in numMerges. */
+    *
+    * The word table is maintained as a DELTA LOG with periodic
+    * compaction: the materialized base plus, per merge, a lazy
+    * `filter(!pair) ∪ re-merged-affected` patch whose affected rows
+    * ARE materialized (a small checkpoint — the interpreted fold runs
+    * exactly once per affected word) while the full-table rewrite is
+    * deferred. Scanning the chained view costs the base scan plus the
+    * stacked codegen'd pair filters — row-bounded, no extra tasks
+    * (each patch is coalesced back to the base partition count, so
+    * union never grows the task count). Every `compactEvery` merges
+    * the chain is compacted into a fresh checkpoint and the superseded
+    * base + patch blocks released, so full-table materialization cost
+    * is paid once per k merges instead of every merge (the r5-measured
+    * linear-in-table-size term), and plan/codegen depth stays bounded
+    * by k. */
   private def trainIncrementalFromSyms(syms0: DataFrame, numMerges: Int,
-      minCount: Long): Seq[(String, String, Long)] = {
-    var syms = syms0
-    // unaffected ∪ re-merged concatenates partition lists; without the
-    // per-iteration coalesce the word table's partition count DOUBLES
-    // every merge (exponential scheduler death long before 1k merges)
-    val nPart = math.max(1, syms.rdd.getNumPartitions)
-    var counts = pairCounts(syms).localCheckpoint()
+      minCount: Long, compactEvery: Int = 10): Seq[(String, String, Long)] = {
+    var base = syms0          // materialized head of the delta log
+    var cur = syms0           // base + in-batch lazy patches
+    val patches = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    // unaffected ∪ re-merged concatenates partition lists; the
+    // per-patch coalesce keeps the scan's task count at the base
+    // table's — without it the partition count DOUBLES every merge
+    // (exponential scheduler death long before 1k merges)
+    val nPart = math.max(1, syms0.rdd.getNumPartitions)
+    def compact(): Unit = if (patches.nonEmpty) {
+      val next = cur.localCheckpoint() // eager: materialized here
+      base.unpersist(blocking = false)
+      patches.foreach(_.unpersist(blocking = false))
+      patches.clear()
+      base = next
+      cur = next
+    }
+    var counts = pairCounts(cur).localCheckpoint()
     val merges = Seq.newBuilder[(String, String, Long)]
     var i = 0
     var done = false
@@ -174,7 +197,7 @@ object Bpe {
           top(0).getAs[String]("right"), top(0).getAs[Long]("cnt"))
         merges += ((a, b, c))
         // affected words only: old and merged symbols side by side
-        val aff = syms.filter(hasAdjacentPair(col("symbols"), a, b))
+        val aff = cur.filter(hasAdjacentPair(col("symbols"), a, b))
           .select(col("word"), col("freq"), col("symbols"),
             mergePair(col("symbols"), a, b).as("merged"))
           .localCheckpoint()
@@ -189,20 +212,22 @@ object Bpe {
           .groupBy("left", "right").agg(sum(col("cnt")).as("cnt"))
           .filter(col("cnt") > 0)
           .localCheckpoint()
-        val next = syms.filter(!hasAdjacentPair(col("symbols"), a, b))
+        // lazy patch: the affected rows ride from aff's checkpoint
+        // (fold already evaluated), unaffected rows flow through one
+        // more stacked codegen'd filter; no full-table materialization
+        cur = cur.filter(!hasAdjacentPair(col("symbols"), a, b))
           .union(aff.select(col("word"), col("freq"),
             col("merged").as("symbols")))
           .coalesce(nPart)
-          .localCheckpoint()
-        aff.unpersist(blocking = false)
+        patches += aff
         counts.unpersist(blocking = false)
-        syms.unpersist(blocking = false)
         counts = nextCounts
-        syms = next
         i += 1
+        if (i % compactEvery == 0) compact()
       }
     }
-    syms.unpersist(blocking = false)
+    base.unpersist(blocking = false)
+    patches.foreach(_.unpersist(blocking = false))
     counts.unpersist(blocking = false)
     merges.result()
   }
