@@ -969,12 +969,16 @@ object SparkEntry {
     // its exact twin; fixed seeds make the numbers exact, and
     // RecallGatesSpec hard-asserts thresholds on the same summaries.
     "q_lsh_knn_recall" -> ((s, d) => {
+      // the RecallGatesSpec floor rides in the graded row (min_recall
+      // + pass) and the filter drops the row if recall degrades, so
+      // the driver's rows-only check pins the gate too
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
-      graft.llm.Recall.knnRecall(
-        Similarity.lshKnn(q, emb, "vec_id", "embedding", 5,
-          bands = 8, bitsPerBand = 4),
-        Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 5))
+      graft.llm.Recall.gated(graft.llm.Recall.knnRecall(
+          Similarity.lshKnn(q, emb, "vec_id", "embedding", 5,
+            bands = 8, bitsPerBand = 4),
+          Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 5)),
+        "recall" -> 0.6).filter(col("pass"))
     }),
 
     "q_ivf_knn_recall" -> ((s, d) => {
@@ -982,9 +986,10 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 10)
       val index = Similarity.ivfIndexFor(emb, "vec_id", "embedding",
         nlist = 16, cacheKey = d)
-      graft.llm.Recall.knnRecall(
-        Similarity.ivfKnn(q, index, "vec_id", "embedding", 5, nProbe = 4),
-        Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 5))
+      graft.llm.Recall.gated(graft.llm.Recall.knnRecall(
+          Similarity.ivfKnn(q, index, "vec_id", "embedding", 5, nProbe = 4),
+          Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 5)),
+        "recall" -> 0.5).filter(col("pass"))
     }),
 
     "q_minhash_pair_quality" -> ((s, d) => {
@@ -992,10 +997,11 @@ object SparkEntry {
       // jaccard>=0.7 pair set (the threshold the clusters estimate);
       // the id cap bounds the quadratic exact ground truth at larger sf
       val docs = t(s, d, "documents").filter(col("doc_id") < 1000)
-      graft.llm.Recall.pairQuality(
-        graft.llm.Recall.clusterPairs(
-          Dedup.minhashClusters(docs, "doc_id", "text")),
-        Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7))
+      graft.llm.Recall.gated(graft.llm.Recall.pairQuality(
+          graft.llm.Recall.clusterPairs(
+            Dedup.minhashClusters(docs, "doc_id", "text")),
+          Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.7)),
+        "precision" -> 0.95, "recall" -> 0.95).filter(col("pass"))
     }),
 
     "q_simhash_band_recall" -> ((s, d) => {
@@ -1004,9 +1010,10 @@ object SparkEntry {
       // id cap bounds the quadratic ground truth at larger sf)
       val sig = Dedup.simhashFrame(t(s, d, "documents"), "doc_id", "text")
         .filter(col("id") < 2000)
-      graft.llm.Recall.pairQuality(
-        Dedup.simhashNearDupsFromSig(sig, 6),
-        graft.llm.Recall.exactHammingPairs(sig, 6))
+      graft.llm.Recall.gated(graft.llm.Recall.pairQuality(
+          Dedup.simhashNearDupsFromSig(sig, 6),
+          graft.llm.Recall.exactHammingPairs(sig, 6)),
+        "precision" -> 1.0, "recall" -> 1.0).filter(col("pass"))
     }),
 
     "q_leakage_gate" -> ((s, d) => {
@@ -1024,6 +1031,7 @@ object SparkEntry {
       graft.llm.Recall.splitStraddleRate(lshSplit, "doc_id",
         Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
           .select(col("id_a"), col("id_b")), maxStraddleRate = 0.0)
+        .filter(col("pass"))
     }),
 
     "q_embedding_band_recall" -> ((s, d) => {
@@ -1032,10 +1040,12 @@ object SparkEntry {
       // the quadratic exact ground truth at larger sf (both sides see
       // the same subset, so precision/recall stay well-defined)
       val emb = t(s, d, "embeddings").filter(col("vec_id") < 1000)
-      graft.llm.Recall.pairQuality(
-        Dedup.embeddingNearDups(emb, "vec_id", "embedding",
-          minCosine = 0.35, bands = 16, bitsPerBand = 4),
-        graft.llm.Recall.exactCosinePairs(emb, "vec_id", "embedding", 0.35))
+      graft.llm.Recall.gated(graft.llm.Recall.pairQuality(
+          Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+            minCosine = 0.35, bands = 16, bitsPerBand = 4),
+          graft.llm.Recall.exactCosinePairs(emb, "vec_id", "embedding",
+            0.35)),
+        "precision" -> 1.0, "recall" -> 0.85).filter(col("pass"))
     })
   )
 

@@ -106,6 +106,20 @@ object Recall {
       .withColumn("pass", col("straddle_rate") <= maxStraddleRate)
   }
 
+  /** Stamp gate floors into a one-row metrics frame: a `min_<metric>`
+    * column per floor plus `pass` = every metric at or above its
+    * floor. Gate queries filter on `pass`, so a degraded gate DROPS
+    * its summary row — the driver's rows-only check then catches the
+    * drift (1 row -> 0), not just the ScalaTest floor. The floors ride
+    * in the graded output itself, so spec and artifact can't diverge. */
+  def gated(metrics: DataFrame, floors: (String, Double)*): DataFrame = {
+    val stamped = floors.foldLeft(metrics) { case (df, (m, f)) =>
+      df.withColumn(s"min_$m", lit(f))
+    }
+    stamped.withColumn("pass",
+      floors.map { case (m, f) => col(m) >= f }.reduce(_ && _))
+  }
+
   /** Cluster-implied pairs from a (id, cluster_id) assignment: all
     * (id_a < id_b) with the same cluster. Small-cluster safe (clusters
     * are near-dup families); the self-equi-join is on cluster_id. */

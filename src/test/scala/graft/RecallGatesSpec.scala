@@ -14,7 +14,10 @@ class RecallGatesSpec extends SparkSpec {
   private def row(q: String): org.apache.spark.sql.Row = {
     val r = SparkEntry.queries(q)(spark, sf).collect()
     graft.llm.Dedup.releaseCaches()
-    assert(r.length == 1, s"$q must emit a one-row summary")
+    // gate queries filter on their own `pass` column — an empty result
+    // means the metric fell below the floor stamped in the query
+    assert(r.length == 1,
+      s"$q must emit a one-row summary (0 rows = the in-query gate failed)")
     r.head
   }
 
@@ -22,12 +25,16 @@ class RecallGatesSpec extends SparkSpec {
     val r = row("q_lsh_knn_recall")
     assert(r.getAs[Long]("n_exact") == 50L)
     assert(r.getAs[Double]("recall") >= 0.6, s"lshKnn recall degraded: $r")
+    // the floor the query itself gates on must be THIS floor — a
+    // silently loosened in-query gate fails here
+    assert(r.getAs[Double]("min_recall") == 0.6 && r.getAs[Boolean]("pass"))
   }
 
   test("IVF ANN recall@5 at nProbe=4/nlist=16 stays above the floor") {
     val r = row("q_ivf_knn_recall")
     assert(r.getAs[Long]("n_exact") == 50L)
     assert(r.getAs[Double]("recall") >= 0.5, s"ivfKnn recall degraded: $r")
+    assert(r.getAs[Double]("min_recall") == 0.5 && r.getAs[Boolean]("pass"))
   }
 
   test("minhash cluster pairs track exact jaccard>=0.7 pairs") {
@@ -36,6 +43,8 @@ class RecallGatesSpec extends SparkSpec {
       s"minhash cluster precision degraded: $r")
     assert(r.getAs[Double]("recall") >= 0.95,
       s"minhash cluster recall degraded: $r")
+    assert(r.getAs[Double]("min_precision") == 0.95 &&
+      r.getAs[Double]("min_recall") == 0.95 && r.getAs[Boolean]("pass"))
   }
 
   test("simhash pigeonhole banding is EXACT (precision = recall = 1)") {
@@ -45,6 +54,8 @@ class RecallGatesSpec extends SparkSpec {
     val r = row("q_simhash_band_recall")
     assert(r.getAs[Double]("precision") == 1.0, s"banding broke: $r")
     assert(r.getAs[Double]("recall") == 1.0, s"banding broke: $r")
+    assert(r.getAs[Double]("min_precision") == 1.0 &&
+      r.getAs[Double]("min_recall") == 1.0 && r.getAs[Boolean]("pass"))
   }
 
   test("knnRecall is duplicate-proof: repeated approx pairs can't inflate it") {
@@ -79,6 +90,8 @@ class RecallGatesSpec extends SparkSpec {
     assert(r.getAs[Double]("precision") == 1.0, s"verify step broke: $r")
     assert(r.getAs[Double]("recall") >= 0.85,
       s"banded embedding recall degraded: $r")
+    assert(r.getAs[Double]("min_precision") == 1.0 &&
+      r.getAs[Double]("min_recall") == 0.85 && r.getAs[Boolean]("pass"))
   }
 
   test("LSH-edge leakage split: exact near-dups never straddle buckets") {
