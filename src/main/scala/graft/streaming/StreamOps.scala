@@ -70,7 +70,18 @@ object StreamOps {
     *
     * We join on the native `window()` struct equality — Spark recognizes
     * it for state cleanup (the reference joined on manually-derived
-    * bucket columns, which works but obscures the window semantics). */
+    * bucket columns, which works but obscures the window semantics).
+    *
+    * State is bounded by watermark horizon x per-bucket volume, and a
+    * skewed bucket's spike leaves state whole once the watermark
+    * passes it — both measured, per trigger, in
+    * `tools/R6StreamStateProbe` (SCALING.md round-6 table). Skew note
+    * for cluster duty: the join hash-partitions on the bucket struct,
+    * so one hot minute lands on one task's state store. If per-minute
+    * volume can exceed an executor's state budget, salt the join key —
+    * add `hash(value) % k` as a second join column on BOTH sides at
+    * ingest; eviction semantics are unchanged (cleanup is per-window,
+    * not per-key) at the cost of k-way duplicate right-side routing. */
   def bucketJoin(
       left: DataFrame, leftVal: String,
       right: DataFrame, rightVal: String,
