@@ -392,6 +392,12 @@ object SparkEntry {
     "q_dedup_docs" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
 
+    "q_soft_dedup" -> ((s, d) =>
+      // duplicate-aware soft reweighting: every copy kept, weight
+      // 1/cluster_size so each duplicate cluster contributes exactly
+      // one document's worth of gradient
+      Dedup.softDedupWeights(t(s, d, "documents"), "doc_id", "text")),
+
     "q_minhash_clusters" -> ((s, d) =>
       Dedup.minhashClusters(t(s, d, "documents"), "doc_id", "text")),
 
@@ -613,6 +619,12 @@ object SparkEntry {
     "q_bigram_logprob" -> ((s, d) =>
       // interpolated bigram LM (Jelinek-Mercer) over the corpus
       graft.llm.LanguageModel.bigramScore(t(s, d, "documents"),
+        "doc_id", "text")),
+
+    "q_kneser_ney" -> ((s, d) =>
+      // interpolated Kneser-Ney bigram LM (absolute discount +
+      // continuation-count back-off) over the corpus
+      graft.llm.LanguageModel.kneserNeyBigramScore(t(s, d, "documents"),
         "doc_id", "text")),
 
     "q_token_repetition" -> ((s, d) =>
@@ -979,6 +991,27 @@ object SparkEntry {
             bands = 8, bitsPerBand = 4),
           Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 5)),
         "recall" -> 0.6).filter(col("pass"))
+    }),
+
+    "q_int8_knn" -> ((s, d) => {
+      // rows-only: exact-shape kNN over int8-quantized vectors (4x
+      // smaller corpus scan, integer inner loop); recall vs the float
+      // kernel is gate-checked in q_int8_knn_recall
+      val emb = t(s, d, "embeddings")
+      Similarity.quantizedKnn(emb.filter(col("vec_id") < 10), emb,
+        "vec_id", "embedding", 5)
+    }),
+
+    "q_int8_knn_recall" -> ((s, d) => {
+      // recall@5 of the int8-quantized kNN against the float kernel;
+      // floor rides in the graded row (quantization reorders only
+      // near-tied neighbors, so the floor is far above the LSH gates')
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      graft.llm.Recall.gated(graft.llm.Recall.knnRecall(
+          Similarity.quantizedKnn(q, emb, "vec_id", "embedding", 5),
+          Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 5)),
+        "recall" -> 0.9).filter(col("pass"))
     }),
 
     "q_ivf_knn_recall" -> ((s, d) => {
@@ -1448,6 +1481,16 @@ object SparkEntry {
                 min(doc_id) AS canonical_id, count(*) AS dup_count
          FROM documents GROUP BY 1""",
 
+    "q_soft_dedup" ->
+      """WITH fp AS (
+           SELECT doc_id,
+                  count(*) OVER (PARTITION BY
+                    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS cluster_size
+           FROM documents)
+         SELECT doc_id, cluster_size,
+                round(1.0::DOUBLE / cluster_size, 6) AS weight
+         FROM fp""",
+
     "q_ngram_jaccard_top" ->
       """WITH toks AS (
            SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
@@ -1666,6 +1709,24 @@ object SparkEntry {
                 round(avg(ln(0.75 * c12 / c1 + 0.25 * c / tot)), 6) AS avg_logp
          FROM bg JOIN bfreq USING (w1, w2) JOIN sfreq USING (w1)
                  JOIN uni USING (w2) CROSS JOIN tot
+         GROUP BY doc_id""",
+
+    "q_kneser_ney" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+           FROM documents),
+         bg AS (SELECT doc_id, t[i-1] AS w1, t[i] AS w2
+                FROM tok CROSS JOIN UNNEST(generate_series(2, len(t))) AS u(i)),
+         bfreq AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         lft AS (SELECT w1, sum(c12) AS c1, count(*) AS n1f FROM bfreq GROUP BY w1),
+         cont AS (SELECT w2, count(*) AS n1b FROM bfreq GROUP BY w2),
+         tot AS (SELECT count(*) AS n_types FROM bfreq)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(avg(ln(greatest(c12::DOUBLE - 0.75, 0.0) / c1 +
+                             0.75 * n1f::DOUBLE / c1 * (n1b::DOUBLE / n_types))), 6) AS avg_logp
+         FROM bg JOIN bfreq USING (w1, w2) JOIN lft USING (w1)
+                 JOIN cont USING (w2) CROSS JOIN tot
          GROUP BY doc_id""",
 
     "q_gopher_repetition" ->

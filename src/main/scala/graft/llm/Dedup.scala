@@ -60,6 +60,25 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("dup_count"))
 
+  /** Duplicate-aware soft reweighting (the SoftDeDup idea: keep every
+    * copy, down-weight by duplicate multiplicity instead of dropping —
+    * sum of weights over a duplicate cluster is exactly 1, so the
+    * effective corpus size equals the distinct-text count while rare
+    * formatting variants still contribute gradient). Output:
+    * (idCol, cluster_size, weight = 1/cluster_size).
+    *
+    * Scale shape: one shuffle of (id, 16-byte fingerprint) pairs — the
+    * count rides a window over the fingerprint partition, so the text
+    * column is dropped before the exchange and nothing is joined back. */
+  def softDedupWeights(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
+    df.select(col(idCol), Text.fingerprint(col(textCol)).as("fingerprint"))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col(idCol), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+  }
+
   /** (id, shingles) frame with the token array materialized in its own
     * projection stage — see [[Text.shinglesFromTokens]] for why staging
     * matters (lambda bodies defeat CSE). */

@@ -160,4 +160,54 @@ object LanguageModel {
           lit(1.0 - lambda) * col("c").cast("double") / col("tot"))), 6)
           .as("avg_logp"))
   }
+
+  /** Interpolated Kneser-Ney bigram score (fixed discount D): per doc,
+    * the mean natural log of
+    *   max(c12 - D, 0)/c1  +  D * n1f(w1)/c1 * pcont(w2)
+    * where n1f(w1) = distinct continuations of w1 (so the back-off mass
+    * is exactly the discount taken from w1's observed bigrams) and
+    * pcont(w2) = distinct-predecessor count of w2 over the number of
+    * distinct bigram TYPES — the continuation distribution that makes
+    * KN the strongest fixed-order n-gram smoother ("Francisco" scores
+    * high as a unigram but low as a continuation). The absolute-
+    * discount step up from [[bigramScore]]'s Jelinek-Mercer mixing.
+    *
+    * Scale shape: every derived table (n1f, n1b, c1) aggregates the
+    * TYPE table `bfreq`, not the corpus token stream — one corpus-wide
+    * bigram count, then type-sized groupBys keyed by single tokens;
+    * the distinct-type total rides as a 1-row broadcast. */
+  def kneserNeyBigramScore(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      Text.tokens(lower(col(textCol))).as("t"))
+    val starts = when(size(col("t")) >= 2,
+      sequence(lit(2), size(col("t")))).otherwise(array())
+    // persisted: bg feeds bfreq AND the final join — two corpus-wide
+    // tokenize+explode scans without the cache
+    val bg = persistTracked(toks
+      .select(col("id"), col("t"), explode(starts).as("i"))
+      .select(col("id"),
+        element_at(col("t"), col("i") - 1).as("w1"),
+        element_at(col("t"), col("i")).as("w2")))
+    // persisted: the type table feeds c1/n1f, n1b, the type total AND
+    // the final join
+    val bfreq = persistTracked(
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+    val left = bfreq.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = bfreq.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val types = bfreq.agg(count(lit(1)).as("n_types"))
+    bg.join(bfreq, Seq("w1", "w2"))
+      .join(left, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(
+          greatest(col("c12").cast("double") - discount, lit(0.0)) /
+            col("c1") +
+          lit(discount) * col("n1f").cast("double") / col("c1") *
+            (col("n1b").cast("double") / col("n_types")))), 6)
+          .as("avg_logp"))
+  }
 }

@@ -1058,4 +1058,60 @@ object Multimodal {
       imageDhash(media, idCol, payloadCol)
         .filter(col("simhash").isNotNull),
       maxHamming)
+
+  /** 64-bit perceptual audio fingerprint over DECODED samples: RMS
+    * energy on a 65-window grid, bit i = window i+1 louder than window
+    * i — the audio analogue of [[dhash64]] (energy-envelope deltas
+    * instead of luma-gradient deltas). Because only the SIGN of the
+    * energy delta is kept, the hash is invariant to volume scaling and
+    * to the channel layout (decode mono-mixes), and time-local edits
+    * move only the bits whose windows they touch — the same robustness
+    * argument as dHash, one domain over. */
+  private[graft] def audioFingerprint64(a: DecodedAudio): Long = {
+    val e = rmsWindows(a.samples, 65)
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i + 1) > e(i)) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+
+  /** Perceptual audio fingerprint per payload (real WAV decode):
+    * (id, simhash), null when the payload is not decodable audio. Same
+    * narrow no-shuffle shape as [[imageDhash]] — samples are dropped
+    * inside the partition, only the 8-byte signature moves. */
+  def audioFingerprints(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(dhashSchema)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          val audio =
+            if (payload == null || payload.isEmpty) None
+            else if (isWav(payload)) decodeWav(payload)
+            else None
+          audio match {
+            case Some(a) => Row(id, audioFingerprint64(a))
+            case None => Row(id, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Near-duplicate AUDIO pairs: hamming <= maxHamming over the
+    * energy-envelope fingerprint, banded exactly like text/payload/
+    * image signatures (the shared pigeonhole candidate join). Catches
+    * re-leveled (volume-scaled) and channel-remixed copies that
+    * byte-level [[payloadNearDups]] cannot see. */
+  def audioNearDups(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload", maxHamming: Int = 6): DataFrame =
+    graft.llm.Dedup.simhashNearDupsFromSig(
+      audioFingerprints(media, idCol, payloadCol)
+        .filter(col("simhash").isNotNull),
+      maxHamming)
 }

@@ -69,6 +69,37 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Int8-quantize an embedding column: (id, qvec binary), 4x smaller
+    * than float32 per vector with no metadata column (the per-vector
+    * scale cancels inside cosine — see `QuantizeInt8`). At 100 TB this
+    * is the memory/bandwidth lever: the quantized corpus scan, the
+    * broadcast of a quantized query batch, and any cached index all
+    * shrink 4x, and the pair kernel accumulates in integers. */
+  def quantizeVectors(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.plans.VectorExpressions.quantizeInt8(col(vecCol)).as("qvec"))
+
+  /** Exact-shape kNN over int8-quantized vectors: same broadcast
+    * nested-loop + bounded-heap top-k plan as [[bruteForceKnn]], but
+    * both sides ride as packed byte arrays and the inner loop is the
+    * integer [[graft.plans.QuantizedCosine]] kernel. Quantization
+    * error reorders only near-tied neighbors — recall@k vs the float
+    * kernel is gate-checked (RecallGatesSpec / q_int8_knn_recall).
+    * Output: (query_id, neighbor_id, rank). */
+  def quantizedKnn(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(quantizeVectors(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("qvec").as("qq")))
+    val c = quantizeVectors(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("qvec").as("qc"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        graft.plans.VectorExpressions.quantizedCosine(col("qq"), col("qc")))
+      .filter(col("sim").isNotNull)
+    topKPerQuery(scored, k)
+  }
+
   /** Per-query top-k via the bounded-heap aggregator (F2): map-side
     * partial heaps mean the shuffle carries k rows per (partition,
     * query) instead of every scored pair — the window/row_number form

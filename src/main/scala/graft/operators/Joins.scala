@@ -103,13 +103,20 @@ object Joins {
       leftPoint: String, lo: String, hi: String,
       gridSeconds: Double = 3600.0,
       maxCellsPerInterval: Int = 4096): DataFrame = {
-    import org.apache.spark.sql.types.TimestampType
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     require(gridSeconds > 0, "gridSeconds must be positive")
     require(maxCellsPerInterval > 0, "maxCellsPerInterval must be positive")
-    val isTs = left.schema(leftPoint).dataType == TimestampType
+    // TIMESTAMP and TIMESTAMP_NTZ both bucket on epoch micros (NTZ wall
+    // time reads as session-tz instants — the same conversion on both
+    // sides of the join, so cells stay consistent); parquet readers
+    // hand back either depending on the writer's isAdjustedToUTC flag
+    val isTs = left.schema(leftPoint).dataType match {
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    }
     // one grid for both sides; timestamps bucket on epoch micros
     def cellOf(c: Column): Column =
-      if (isTs) floor(unix_micros(c) / lit(gridSeconds * 1e6))
+      if (isTs) floor(unix_micros(c.cast(TimestampType)) / lit(gridSeconds * 1e6))
       else floor(c.cast("double") / lit(gridSeconds))
     val residual = col(leftPoint) >= col(lo) && col(leftPoint) < col(hi)
     val rValid = right.filter(col(hi) > col(lo))

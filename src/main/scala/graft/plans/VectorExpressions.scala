@@ -321,6 +321,156 @@ case class HyperplaneBits(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** quantize_int8(array<float|double>) -> binary: symmetric per-vector
+  * int8 quantization, q[i] = round(127 * x[i] / max|x|). The scale
+  * factor is NOT stored because the downstream consumer is cosine
+  * similarity, where a positive per-vector scale cancels exactly —
+  * the quantized corpus is 4x smaller than float32 (16x vs float64)
+  * with no extra metadata column to carry through joins. A zero or
+  * null-element vector quantizes to all-zero bytes (QuantizedCosine
+  * maps those to null, mirroring cosine_sim's zero-norm rule). */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"quantize_int8 expects array<float|double>, got ${dt.catalogString}")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = child.nullable
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val isF = elemIsFloat
+    val out = new Array[Byte](n)
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return out // all-zero: downstream cosine -> null
+      val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+      val a = math.abs(x)
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    if (maxAbs == 0.0) return out
+    i = 0
+    while (i < n) {
+      val x = if (isF) v.getFloat(i).toDouble else v.getDouble(i)
+      out(i) = math.round(127.0 * x / maxAbs).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val a = ctx.freshName("a")
+      val maxAbs = ctx.freshName("maxAbs")
+      val bad = ctx.freshName("bad")
+      val out = ctx.freshName("out")
+      s"""
+        |final int $n = $v.numElements();
+        |final byte[] $out = new byte[$n];
+        |double $maxAbs = 0.0;
+        |boolean $bad = false;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if ($v.isNullAt($i)) { $bad = true; break; }
+        |  final double $a = java.lang.Math.abs((double) $v.$get($i));
+        |  if ($a > $maxAbs) { $maxAbs = $a; }
+        |}
+        |if (!$bad && $maxAbs != 0.0) {
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    final double $x = (double) $v.$get($i);
+        |    $out[$i] = (byte) java.lang.Math.round(127.0 * $x / $maxAbs);
+        |  }
+        |}
+        |${ev.value} = $out;
+      """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "quantize_int8"
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+}
+
+/** quantized_cosine(binary, binary) -> double: cosine over two int8
+  * vectors packed as byte arrays. All accumulation is integer (exact —
+  * 127^2 * dim stays far inside a long), one fused loop per pair; the
+  * pair loop is the ANN hot path, so inputs are 4x smaller than the
+  * float32 kernel's, which is the entire point at 100 TB corpus scale:
+  * a quantized corpus scan moves a quarter of the bytes per candidate.
+  * Null on length mismatch or a zero-norm side (which is also how
+  * [[QuantizeInt8]] reports null-element inputs). */
+case class QuantizedCosine(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == BinaryType && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"quantized_cosine expects (binary, binary), got " +
+        s"${left.dataType.catalogString} / ${right.dataType.catalogString}")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) return null
+    var dot = 0L; var nx = 0L; var ny = 0L
+    var i = 0
+    while (i < x.length) {
+      val xi = x(i).toLong; val yi = y(i).toLong
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    if (nx == 0L || ny == 0L) null
+    else dot / (math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        |if ($x.length != $y.length) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  long $dot = 0L; long $nx = 0L; long $ny = 0L;
+        |  for (int $i = 0; $i < $x.length; $i++) {
+        |    final long $xi = (long) $x[$i];
+        |    final long $yi = (long) $y[$i];
+        |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+        |  }
+        |  if ($nx == 0L || $ny == 0L) { ${ev.isNull} = true; }
+        |  else { ${ev.value} =
+        |    $dot / (java.lang.Math.sqrt((double) $nx) * java.lang.Math.sqrt((double) $ny)); }
+        |}
+      """.stripMargin
+    })
+
+  override def prettyName: String = "quantized_cosine"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): QuantizedCosine =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column-API entry points (no session registration needed). */
   def cosineSim(a: Column, b: Column): Column =
@@ -337,4 +487,11 @@ object VectorExpressions {
   def hyperplaneBits(v: Column, planes: Seq[Seq[Double]]): Column =
     Bridge.toColumn(HyperplaneBits(Bridge.toExpression(v),
       planes.map(_.toArray).toArray))
+
+  def quantizeInt8(v: Column): Column =
+    Bridge.toColumn(QuantizeInt8(Bridge.toExpression(v)))
+
+  def quantizedCosine(a: Column, b: Column): Column =
+    Bridge.toColumn(QuantizedCosine(
+      Bridge.toExpression(a), Bridge.toExpression(b)))
 }

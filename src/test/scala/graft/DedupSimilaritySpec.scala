@@ -524,4 +524,47 @@ class DedupSimilaritySpec extends SparkSpec {
       (1L, 4L, 0L, 0.0),
       (2L, 4L, 1L, 0.25)))
   }
+
+  test("softDedupWeights: every copy kept, cluster weights sum to exactly 1") {
+    val out = Dedup.softDedupWeights(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "cluster_size", "weight")
+      .as[(Long, Long, Double)].collect().toSeq
+    // docs fixture: {0,1} exact dups, {3,4} exact dups, 2 unique
+    assert(out == Seq(
+      (0L, 2L, 0.5), (1L, 2L, 0.5), (2L, 1L, 1.0),
+      (3L, 2L, 0.5), (4L, 2L, 0.5)))
+    // effective corpus size == distinct-text count
+    assert(math.abs(out.map(_._3).sum - 3.0) < 1e-9)
+  }
+
+  test("quantizedKnn matches bruteForceKnn when gaps exceed quantization error") {
+    // candidates at angles 0.2*i from each query, two disjoint axis
+    // planes: cosine gaps (0.18 at the top-5 boundary) dwarf int8
+    // quantization error (~0.01), so the top-5 SET must equal the
+    // float kernel's exactly. (Near-TIED neighbors are the one thing
+    // int8 legitimately reorders — the sf-scale recall gate
+    // q_int8_knn_recall covers that regime with a 0.9 floor.)
+    val dim = 8
+    def vec(axis: Int, other: Int, theta: Double): Seq[Float] =
+      Seq.tabulate(dim)(j =>
+        (if (j == axis) math.cos(theta)
+         else if (j == other) math.sin(theta) else 0.0).toFloat)
+    val corpus = (
+      Seq((0L, vec(0, 1, 0.0)), (100L, vec(2, 3, 0.0))) ++
+      (1 to 12).map(i => (i.toLong, vec(0, 1, 0.2 * i))) ++
+      (1 to 12).map(i => (100L + i, vec(2, 3, 0.2 * i)))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id").isin(0L, 100L))
+    val brute = Similarity.bruteForceKnn(queries, corpus, "vec_id",
+      "embedding", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedKnn(queries, corpus, "vec_id",
+      "embedding", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute == quant,
+      s"int8 kNN diverged: missing ${brute -- quant}, extra ${quant -- brute}")
+    assert(quant == (for (q <- Seq(0L, 100L); i <- 1 to 5)
+      yield (q, q + i)).toSet)
+  }
 }

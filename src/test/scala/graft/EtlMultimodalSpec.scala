@@ -440,6 +440,45 @@ class EtlMultimodalSpec extends SparkSpec {
     assert(d <= 8, s"downscaled copy drifted $d bits")
   }
 
+  test("audioFingerprints: volume-invariant, edit-sensitive, banded dedup") {
+    // 65 windows x 10 samples, each window a +/-a square wave so its
+    // RMS is exactly a/32768 — amplitudes from a seeded LCG keep
+    // neighboring windows clearly apart (no float ties to flip)
+    var seed = 987654321L
+    def nextAmp(): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      2000 + 2 * (math.abs(seed >>> 33).toInt % 14000) // even, in [2000, 30000)
+    }
+    val amps = Array.fill(65)(nextAmp())
+    def square(a: Array[Int]): Seq[Short] =
+      a.toSeq.flatMap(amp => Seq.fill(5)(Seq(amp.toShort,
+        (-amp).toShort)).flatten)
+    val base = wavFixture(square(amps))
+    // re-leveled copy: every sample halved (amplitudes even -> exact)
+    val releveled = wavFixture(square(amps.map(_ / 2)))
+    val other = wavFixture(square(Array.fill(65)(nextAmp())))
+    val media = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, "audio", base, null, null, null),
+        Row(2L, "audio", releveled, null, null, null),
+        Row(3L, "audio", other, null, null, null),
+        Row(4L, "audio", "not audio".getBytes, null, null, null)),
+      Multimodal.mediaSchema)
+    val sig = Multimodal.audioFingerprints(media).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(sig(4L).isEmpty, "undecodable payload -> null fingerprint")
+    assert(sig(1L) == sig(2L),
+      "volume scaling must not move a single energy-delta bit")
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L).get, sig(3L).get) > 16,
+      s"unrelated waveform too close: ${ham(sig(1L).get, sig(3L).get)}")
+    // banded near-dup surface: the re-leveled pair, nothing else
+    val pairs = Multimodal.audioNearDups(media, maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the re-leveled pair: $pairs")
+  }
+
   test("sampleFrames skips zero/null-duration videos instead of failing") {
     val media = spark.createDataFrame(
       java.util.List.of(

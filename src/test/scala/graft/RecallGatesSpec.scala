@@ -37,6 +37,13 @@ class RecallGatesSpec extends SparkSpec {
     assert(r.getAs[Double]("min_recall") == 0.5 && r.getAs[Boolean]("pass"))
   }
 
+  test("int8-quantized kNN recall@5 vs the float kernel stays above the floor") {
+    val r = row("q_int8_knn_recall")
+    assert(r.getAs[Long]("n_exact") == 50L)
+    assert(r.getAs[Double]("recall") >= 0.9, s"int8 kNN recall degraded: $r")
+    assert(r.getAs[Double]("min_recall") == 0.9 && r.getAs[Boolean]("pass"))
+  }
+
   test("minhash cluster pairs track exact jaccard>=0.7 pairs") {
     val r = row("q_minhash_pair_quality")
     assert(r.getAs[Double]("precision") >= 0.95,

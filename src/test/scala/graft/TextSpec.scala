@@ -108,6 +108,35 @@ class TextSpec extends SparkSpec {
         BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("kneserNeyBigramScore: discount + continuation back-off, hand-checked") {
+    // corpus bigrams: (san,francisco) x3, (the,cat), (the,dog), (the,rat)
+    // left:  san -> c1=3, n1f=1;  the -> c1=3, n1f=3
+    // cont:  every w2 has n1b=1; n_types=4
+    // p(francisco|san) = (3-.75)/3 + .75*(1/3)*(1/4) = 13/16
+    // p(cat|the)       = (1-.75)/3 + .75*(3/3)*(1/4) = 13/48
+    // KN's point: "francisco" is frequent but a ONE-context
+    // continuation, so its back-off mass (1/4) is no larger than the
+    // singletons' — the continuation distribution, not raw frequency
+    val df = Seq(
+      (0L, "san francisco"), (1L, "san francisco"), (2L, "san francisco"),
+      (3L, "the cat"), (4L, "the dog"), (5L, "the rat"))
+      .toDF("doc_id", "text")
+    val out = graft.llm.LanguageModel.kneserNeyBigramScore(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "avg_logp")
+      .as[(Long, Long, Double)].collect()
+    graft.llm.LanguageModel.releaseCaches()
+    assert(out.map(_._2).toSeq == Seq.fill(6)(1L))
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(out(0)._3 - r6(math.log(13.0 / 16))) < 1e-9)
+    assert(math.abs(out(3)._3 - r6(math.log(13.0 / 48))) < 1e-9)
+    // discount mass conservation: over w1="the", kept probability
+    // (3 * (1-.75)/3) plus back-off mass (.75*3/3) is exactly 1 when
+    // pcont sums to 1 over the vocab — spot-check the formula's terms
+    assert(out(3)._3 == out(4)._3 && out(4)._3 == out(5)._3)
+  }
+
   test("unigramScore: common-vocabulary docs outscore rare-vocabulary docs") {
     // "the cat" tokens dominate the corpus; doc 2's tokens are singletons
     val df = Seq(

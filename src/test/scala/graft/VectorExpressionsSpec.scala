@@ -174,4 +174,72 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r2.getSeq[Long](r2.fieldIndex("w")) ==
       viaColumn.getSeq[Long](viaColumn.fieldIndex("w")))
   }
+
+  test("QuantizeInt8 produces the expected bytes; scale cancels in cosine") {
+    // maxAbs = 1.0 -> q = round(127 * x): [64, -127, 32]
+    val out = Seq(Seq(0.5f, -1.0f, 0.25f)).toDF("v")
+      .select(VectorExpressions.quantizeInt8(col("v"))).collect().head
+    assert(out.getAs[Array[Byte]](0).toSeq == Seq[Byte](64, -127, 32))
+    // a uniformly scaled vector quantizes to the SAME bytes (the
+    // reason no scale factor needs to ride along for cosine duty)
+    val pair = Seq((Seq(0.5f, -1.0f, 0.25f), Seq(5.0f, -10.0f, 2.5f)))
+      .toDF("a", "b")
+      .select(VectorExpressions.quantizeInt8(col("a")).as("qa"),
+        VectorExpressions.quantizeInt8(col("b")).as("qb")).collect().head
+    assert(pair.getAs[Array[Byte]](0).toSeq ==
+      pair.getAs[Array[Byte]](1).toSeq)
+  }
+
+  test("QuantizedCosine tracks the float cosine within quantization error") {
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(50)((Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+      Seq.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("a", "b")
+    val out = df.select(
+      VectorExpressions.cosineSim(col("a"), col("b")).as("f"),
+      VectorExpressions.quantizedCosine(
+        VectorExpressions.quantizeInt8(col("a")),
+        VectorExpressions.quantizeInt8(col("b"))).as("q"))
+      .as[(Double, Double)].collect()
+    out.foreach { case (f, q) =>
+      assert(math.abs(f - q) < 0.03, s"float $f vs int8 $q drifted") }
+  }
+
+  test("QuantizedCosine null rules: zero/null-element vectors, length mismatch") {
+    val zero = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+      .select(VectorExpressions.quantizedCosine(
+        VectorExpressions.quantizeInt8(col("a")),
+        VectorExpressions.quantizeInt8(col("b")))).collect().head
+    assert(zero.isNullAt(0), "zero-norm side must be null")
+    val nullElem = Seq((Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))))
+      .toDF("a", "b")
+      .select(VectorExpressions.quantizedCosine(
+        VectorExpressions.quantizeInt8(col("a")),
+        VectorExpressions.quantizeInt8(col("b")))).collect().head
+    assert(nullElem.isNullAt(0), "null-element vector must be null")
+    val mismatch = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+      .select(VectorExpressions.quantizedCosine(
+        VectorExpressions.quantizeInt8(col("a")),
+        VectorExpressions.quantizeInt8(col("b")))).collect().head
+    assert(mismatch.isNullAt(0), "length mismatch must be null")
+  }
+
+  test("QuantizeInt8/QuantizedCosine codegen path == interpreted path") {
+    val df = (1 to 50).map(i =>
+      (Seq.tabulate(8)(j => (i * j % 7 - 3).toFloat),
+        Seq.tabulate(8)(j => ((i + j) % 5 - 2).toFloat))).toDF("a", "b")
+    def run() = df.select(VectorExpressions.quantizedCosine(
+        VectorExpressions.quantizeInt8(col("a")),
+        VectorExpressions.quantizeInt8(col("b"))))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val withCg = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      assert(withCg.toSeq == run().toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
