@@ -50,6 +50,7 @@ object Bench {
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1))
     }
     graft.llm.Similarity.clearIvfCache()
+    graft.llm.Similarity.clearPqCache()
     graft.llm.Dedup.clearCorpusStateCache()
     // 4-decimal timings keep the one-line JSON short enough to survive
     // log-tail capture; the full line is also persisted to a file so no

@@ -1025,6 +1025,54 @@ object SparkEntry {
         "recall" -> 0.5).filter(col("pass"))
     }),
 
+    "q_pq_knn" -> ((s, d) => {
+      // rows-only: exhaustive ADC kNN over the product-quantized
+      // corpus (m-byte codes, 16x narrower scan than float32); recall
+      // vs the float kernel is gate-checked in q_pq_knn_recall
+      val emb = t(s, d, "embeddings")
+      val index = Similarity.pqIndexFor(emb, "vec_id", "embedding",
+        cacheKey = d, m = 16, ksub = 256)
+      Similarity.pqKnn(emb.filter(col("vec_id") < 10), index,
+        "vec_id", "embedding", 5)
+    }),
+
+    "q_pq_knn_recall" -> ((s, d) => {
+      // recall@5 of exhaustive PQ-ADC search vs the float kernel;
+      // the floor rides in the graded row. PQ sits below int8 on the
+      // accuracy/bandwidth ladder (16x vs 4x compression at m=16 over
+      // dim-64 — and these RANDOM gaussian fixtures are PQ's worst
+      // case, near-tied neighbors everywhere), so its floor is the
+      // LSH/IVF tier, not int8's 0.9; measured 0.84/0.76 at
+      // sf0.001/sf0.01, deterministic under the fixed seed
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val index = Similarity.pqIndexFor(emb, "vec_id", "embedding",
+        cacheKey = d, m = 16, ksub = 256)
+      graft.llm.Recall.gated(graft.llm.Recall.knnRecall(
+          Similarity.pqKnn(q, index, "vec_id", "embedding", 5),
+          Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 5)),
+        "recall" -> 0.7).filter(col("pass"))
+    }),
+
+    "q_ivfpq_knn_recall" -> ((s, d) => {
+      // recall@5 of the COMPOSED serving stack (coarse-list pruning +
+      // ADC scoring, the FAISS IVFPQ shape): pruning and quantization
+      // losses multiply, so the floor sits below either alone;
+      // measured 0.76/0.70 at sf0.001/sf0.01 (nProbe=8/nlist=16,
+      // m=16), deterministic under the fixed seeds
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val coarse = Similarity.ivfIndexFor(emb, "vec_id", "embedding",
+        nlist = 16, cacheKey = d)
+      val pq = Similarity.pqIndexFor(emb, "vec_id", "embedding",
+        cacheKey = d, m = 16, ksub = 256)
+      graft.llm.Recall.gated(graft.llm.Recall.knnRecall(
+          Similarity.ivfPqKnn(q, coarse, pq, "vec_id", "embedding", 5,
+            nProbe = 8),
+          Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 5)),
+        "recall" -> 0.6).filter(col("pass"))
+    }),
+
     "q_minhash_pair_quality" -> ((s, d) => {
       // precision/recall of minhash-cluster-implied pairs vs the exact
       // jaccard>=0.7 pair set (the threshold the clusters estimate);

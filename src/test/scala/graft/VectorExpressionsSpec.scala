@@ -224,6 +224,80 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(mismatch.isNullAt(0), "length mismatch must be null")
   }
 
+  test("PqEncode/PqLut/PqAdc: known codebook, ADC == LUT-sum by hand") {
+    // m=2 subspaces of 2 dims, 2 centroids each; centroid norms chosen
+    // like real trained pieces of unit vectors (reconstructions are
+    // unit-norm), so ADC genuinely approximates cosine
+    val cb: Array[Array[Array[Float]]] = Array(
+      Array(Array(0.7071f, 0.0f), Array(0.0f, 0.7071f)),
+      Array(Array(0.5f, 0.5f), Array(-0.5f, 0.5f)))
+    // normalized: [1,0, .7071,.7071] scaled by 2 -> same code
+    val df = Seq(
+      Seq(2.0f, 0.0f, 1.4142f, 1.4142f),
+      Seq(0.0f, 1.0f, -0.5f, 0.5f)).toDF("v")
+    val codes = df.select(VectorExpressions.pqEncode(col("v"), cb))
+      .collect().map(_.getAs[Array[Byte]](0).toSeq)
+    // vectors normalize to [.707,0,.5,.5] and [0,.816,-.408,.408]:
+    // nearest sub-centroids are (0,0) and (1,1)
+    assert(codes(0) == Seq[Byte](0, 0), s"got ${codes(0)}")
+    assert(codes(1) == Seq[Byte](1, 1), s"got ${codes(1)}")
+    // ADC against a query equals the hand-summed LUT entries
+    val q = Seq((Seq(1.0f, 0.0f, 1.0f, 0.0f), Seq(2.0f, 0.0f, 1.4142f, 1.4142f)))
+      .toDF("qv", "cv")
+    val row = q.select(
+      VectorExpressions.pqLut(col("qv"), cb).as("lut"),
+      VectorExpressions.pqAdc(VectorExpressions.pqLut(col("qv"), cb),
+        VectorExpressions.pqEncode(col("cv"), cb), 2).as("adc"))
+      .collect().head
+    val lut = row.getSeq[Float](0)
+    assert(lut.length == 4)
+    // cv codes to (0, 0) -> adc = lut[0*2+0] + lut[1*2+0]
+    assert(math.abs(row.getDouble(1) - (lut(0) + lut(2))) < 1e-6)
+    // and the ADC approximates the true cosine of the normalized pair
+    val trueCos = q.select(VectorExpressions.cosineSim(col("qv"), col("cv")))
+      .collect().head.getDouble(0)
+    assert(math.abs(row.getDouble(1) - trueCos) < 0.15,
+      s"adc ${row.getDouble(1)} vs cosine $trueCos")
+  }
+
+  test("PQ null rules: zero/null-element/length-mismatch vectors -> null") {
+    val cb: Array[Array[Array[Float]]] = Array(
+      Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+    val out = Seq(
+      (1L, Seq(Option(0.0f), Option(0.0f))),       // zero norm
+      (2L, Seq(Option(1.0f), None)),               // null element
+      (3L, Seq(Option(1.0f), Option(0.0f), Option(1.0f)))) // wrong length
+      .toDF("id", "v")
+      .select(col("id"), VectorExpressions.pqEncode(col("v"), cb).as("c"))
+      .collect()
+    out.foreach(r => assert(r.isNullAt(1), s"id ${r.getLong(0)} not null"))
+    // PqAdc: stride mismatch -> null
+    val bad = Seq((Seq(1.0f, 2.0f, 3.0f), Array[Byte](0, 0))).toDF("lut", "c")
+      .select(VectorExpressions.pqAdc(col("lut"), col("c"), 2)).collect().head
+    assert(bad.isNullAt(0))
+  }
+
+  test("PqEncode/PqAdc codegen path == interpreted path") {
+    val rnd = new scala.util.Random(3)
+    val cb: Array[Array[Array[Float]]] = Array.fill(4)(
+      Array.fill(8)(Array.fill(2)(rnd.nextFloat() * 2 - 1)))
+    val df = (1 to 40).map(i =>
+      Seq.tabulate(8)(j => ((i * 7 + j * 3) % 11 - 5).toFloat)).toDF("v")
+    def run() = df.select(
+      VectorExpressions.pqAdc(VectorExpressions.pqLut(col("v"), cb),
+        VectorExpressions.pqEncode(col("v"), cb), 8))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    val withCg = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      assert(withCg.toSeq == run().toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("QuantizeInt8/QuantizedCosine codegen path == interpreted path") {
     val df = (1 to 50).map(i =>
       (Seq.tabulate(8)(j => (i * j % 7 - 3).toFloat),
