@@ -61,15 +61,25 @@ object R6QuantKnnProbe {
         Similarity.quantizedKnn(queries, corpus, "vec_id", "embedding", 5)
           .count()
       }
+      // PQ rung: index built once (the serving contract), searches timed
+      val pq = Similarity.buildPq(corpus, "vec_id", "embedding",
+        m = 16, ksub = 256)
+      pq.encoded.count() // materialize the encode outside the timer
+      time(s"pq ADC pqKnn x$times") {
+        Similarity.pqKnn(queries, pq, "vec_id", "embedding", 5).count()
+      }
       // the bandwidth story: bytes per vector in each representation
       val widths = corpus.limit(1000)
         .select(
           avg(size(col("embedding")) * 4).as("float_bytes"),
           avg(length(graft.plans.VectorExpressions
-            .quantizeInt8(col("embedding")))).as("int8_bytes"))
+            .quantizeInt8(col("embedding")))).as("int8_bytes"),
+          avg(length(graft.plans.VectorExpressions
+            .pqEncode(col("embedding"), pq.codebooks))).as("pq_bytes"))
         .collect()(0)
       println(s"   scan width/vec: float=${widths.getDouble(0)} B, " +
-        s"int8=${widths.getDouble(1)} B")
+        s"int8=${widths.getDouble(1)} B, pq=${widths.getDouble(2)} B")
+      pq.encoded.unpersist(blocking = true)
       corpus.unpersist(blocking = true)
     }
     spark.stop()
