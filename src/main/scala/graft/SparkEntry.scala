@@ -384,6 +384,31 @@ object SparkEntry {
           .select(explode(Text.shinglesAll(col("text"), 3)).as("gram"))
           .groupBy("gram").agg(count(lit(1)).as("n")))),
 
+    "q_freq_tokens_gate" -> ((s, d) => {
+      // zero-miss gate for the one-pass heavy-hitters sketch: every
+      // token with frequency > support*N must surface (the
+      // Misra-Gries superset guarantee — false positives allowed,
+      // misses never), floor stamped in-row. O(1/support) memory per
+      // partition vs the exact profile's full distinct-count shuffle
+      val support = 0.02
+      val toks = t(s, d, "documents")
+        .select(explode(Text.tokens(lower(col("text")))).as("item"))
+        .filter(length(col("item")) > 0)
+      val approx = graft.operators.Aggregates
+        .frequentItems(toks, "item", support)
+        .withColumn("__hit", lit(1))
+      val exact = toks.groupBy("item").agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(toks.agg(count(lit(1)).as("tot"))))
+        .filter(col("c") > lit(support) * col("tot")).select("item")
+      graft.llm.Recall.gated(
+        exact.join(approx, Seq("item"), "left")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("__hit"), lit(0))).as("n_hit"),
+            round(sum(coalesce(col("__hit"), lit(0))).cast("double") /
+              count(lit(1)), 6).as("recall")),
+        "recall" -> 1.0).filter(col("pass"))
+    }),
+
     // ---- llm/: dedup family ----
     "q_doc_fingerprint" -> ((s, d) =>
       t(s, d, "documents")

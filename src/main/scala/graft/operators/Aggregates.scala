@@ -218,6 +218,27 @@ object Aggregates {
       values: Seq[String], agg: Column)(df: DataFrame): DataFrame =
     df.groupBy(groupBy.map(col): _*).pivot(pivotCol, values).agg(agg)
 
+  /** Single-pass approximate heavy hitters over an exploded item
+    * column (the sketch twin of the exact top-k profile): wraps
+    * Spark's `stat.freqItems` (Karp/Demaine one-pass counting — the
+    * Misra-Gries family), whose guarantee is a SUPERSET: every item
+    * with frequency > support*N is returned, possibly with false
+    * positives, using O(1/support) memory per partition regardless of
+    * corpus size. That memory bound is the 100 TB story — the exact
+    * profile shuffles every distinct item's count; the sketch merges
+    * 1/support-sized summaries. False positives are the documented
+    * trade (callers needing exactness re-count just the candidates —
+    * candidate-sized, not corpus-sized work). Output: one exploded
+    * (item) row per surfaced candidate.
+    *
+    * The zero-miss guarantee is gate-checked (q_freq_tokens_gate:
+    * recall == 1.0 vs the exact > support*N set, floor in-row). */
+  def frequentItems(df: DataFrame, itemCol: String,
+      support: Double): DataFrame =
+    df.select(col(itemCol).as("item"))
+      .stat.freqItems(Seq("item"), support)
+      .select(explode(col("item_freqItems")).as("item"))
+
   /** A11 — RMSE between a prediction and a label column, grouped.
     * Reference: `app_2 NEW with joined.py:235-236`
     * (`sqrt(mean((pred-label)**2))`).

@@ -236,6 +236,34 @@ object StreamOps {
     query
   }
 
+  /** Streaming ANN: search each micro-batch of query vectors against
+    * a STATIC pre-built IVF-PQ index (the retrieval-serving shape:
+    * index built offline, queries arrive as a stream). foreachBatch
+    * is the right engine hook — the per-query bounded-heap top-k is
+    * a full aggregation that append-mode streaming cannot express,
+    * and per-batch the search is exactly the batch operator, so
+    * parity is by construction (spec-asserted anyway). Results land
+    * through `sink` (e.g. a keyed upsert); batches run sequentially
+    * so the sink sees whole-batch results in order. The corpus-side
+    * frames inside the index are persisted once at build time — a
+    * thousand-trigger stream re-reads the SAME cached lists/codes,
+    * never the raw vectors. */
+  def annServe(queries: DataFrame, coarse: graft.llm.Similarity.IvfIndex,
+      pq: graft.llm.Similarity.PqIndex, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, checkpoint: String,
+      sink: DataFrame => Unit,
+      triggerMs: Long = 1000L): org.apache.spark.sql.streaming.StreamingQuery =
+    queries.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.llm.Similarity.ivfPqKnn(batch, coarse, pq,
+            idCol, vecCol, k, nProbe))
+      }
+      .start()
+
   /** Per-window token counts over a document stream — the streaming
     * half of the corpus drift monitor. One watermarked windowed
     * aggregation (append-legal: windows emit once, finalized, after the

@@ -602,6 +602,29 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivfpq == brute,
       s"IVF-PQ diverged: missing ${brute -- ivfpq}, extra ${ivfpq -- brute}")
+
+    // streaming serve: two micro-batches of queries against the SAME
+    // static index must reproduce the batch search exactly
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.StreamOps.annServe(
+      mem.toDF().toDF("vec_id", "embedding"), coarse, index,
+      "vec_id", "embedding", 5, nProbe = 3,
+      checkpoint = tmpDir("annserve"),
+      sink = out => collected.synchronized {
+        collected ++= out.collect().map(r => (r.getLong(0), r.getLong(1)))
+      })
+    try {
+      mem.addData((0L, vec(0, 1, 0.0)))
+      q.processAllAvailable()
+      mem.addData((100L, vec(2, 3, 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(collected.toSet == brute,
+      s"streaming serve diverged: ${collected.toSet} vs $brute")
+
     index.encoded.unpersist(blocking = true)
     coarse.indexed.unpersist(blocking = true)
   }

@@ -191,7 +191,7 @@ class PlanShapeSpec extends SparkSpec {
       Seq("l_quantity", "l_extendedprice"))(li).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
     val direct = li.agg(corr(col("l_quantity"), col("l_extendedprice")))
-      .head.getDouble(0)
+      .head().getDouble(0)
     assert(m(("l_quantity", "l_quantity")) == 1.0)
     assert(math.abs(m(("l_quantity", "l_extendedprice")) - direct) < 1e-6)
   }

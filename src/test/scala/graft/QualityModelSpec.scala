@@ -20,7 +20,7 @@ class QualityModelSpec extends SparkSpec {
     val heldOut = split.filter(col("split_bucket") >= 8)
     // weak supervision: median-quality threshold on the training slice
     val tau = train.select(Text.qualityScore(col("text")).as("q"))
-      .agg(expr("percentile(q, 0.5)")).head.getDouble(0)
+      .agg(expr("percentile(q, 0.5)")).head().getDouble(0)
     val weak = Text.qualityScore(col("text")) >= tau
     val model = QualityModel.train(train, "text", weak)
     val scored = QualityModel.score(model, heldOut, "text")

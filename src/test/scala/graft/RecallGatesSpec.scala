@@ -64,6 +64,14 @@ class RecallGatesSpec extends SparkSpec {
     graft.llm.Similarity.clearIvfCache()
   }
 
+  test("frequent-items sketch never misses a true heavy hitter") {
+    val r = row("q_freq_tokens_gate")
+    assert(r.getAs[Long]("n_exact") > 0L, s"empty ground truth: $r")
+    assert(r.getAs[Double]("recall") == 1.0,
+      s"Misra-Gries superset guarantee broken: $r")
+    assert(r.getAs[Double]("min_recall") == 1.0 && r.getAs[Boolean]("pass"))
+  }
+
   test("minhash cluster pairs track exact jaccard>=0.7 pairs") {
     val r = row("q_minhash_pair_quality")
     assert(r.getAs[Double]("precision") >= 0.95,
@@ -92,7 +100,7 @@ class RecallGatesSpec extends SparkSpec {
     // one true hit repeated 5x (raw band-join output shape) + one miss
     val approx = (Seq.fill(5)((1L, 10L)) :+ (2L, 99L))
       .toDF("query_id", "neighbor_id")
-    val r = graft.llm.Recall.knnRecall(approx, exact).head
+    val r = graft.llm.Recall.knnRecall(approx, exact).head()
     assert(r.getAs[Long]("n_exact") == 3L, r.toString)
     assert(r.getAs[Long]("n_hit") == 1L, r.toString)
     assert(math.abs(r.getAs[Double]("recall") - 1.0 / 3) < 1e-6, r.toString)
