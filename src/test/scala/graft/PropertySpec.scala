@@ -440,4 +440,60 @@ class PropertySpec extends SparkSpec {
       assert(pixels.contains((one(0), one(1), one(2))))
     }
   }
+
+  test("quantizeInt8 is scale-invariant: v and c*v share bytes and cosines") {
+    // the property that justifies storing NO scale factor: any
+    // positive power-of-two scaling (exact in float) yields identical
+    // codes, so quantized cosine is exactly scale-free
+    val gen = for {
+      n <- Gen.chooseNum(2, 16)
+      v <- Gen.listOfN(n, Gen.chooseNum(-100, 100).map(_ / 10.0f))
+      if v.exists(_ != 0.0f)
+      c <- Gen.oneOf(0.25f, 0.5f, 2.0f, 8.0f)
+    } yield (v, c)
+    samples(gen, 10).foreach { case (v, c) =>
+      val df = Seq((v, v.map(x => x * c))).toDF("a", "b")
+      val row = df.select(
+        graft.plans.VectorExpressions.quantizeInt8(col("a")).as("qa"),
+        graft.plans.VectorExpressions.quantizeInt8(col("b")).as("qb"))
+        .collect().head
+      assert(row.getAs[Array[Byte]](0).toSeq ==
+        row.getAs[Array[Byte]](1).toSeq, s"scaling $c moved bytes for $v")
+    }
+  }
+
+  test("softDedupWeights: weights sum to the distinct-text count") {
+    samples(Gen.nonEmptyListOf(docGen), 10).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Dedup.softDedupWeights(df, "doc_id", "text")
+      assert(out.count() == docs.size, "every copy must be kept")
+      val wsum = out.agg(sum("weight")).head().getDouble(0)
+      val distinct = docs.map(_.toLowerCase.trim.replaceAll("\\s+", " "))
+        .distinct.size
+      assert(math.abs(wsum - distinct) < 1e-4,
+        s"weight mass $wsum != distinct count $distinct")
+    }
+  }
+
+  test("pq encode/ADC self-similarity is ~1 for any unit-ish vector") {
+    // scoring a vector against its OWN code with its OWN lut must
+    // approach 1 when the codebook contains the exact sub-vectors
+    // (kEff == sample size -> zero distortion)
+    val gen = Gen.listOfN(8, Gen.chooseNum(-50, 50).map(_ / 10.0))
+      .suchThat(v => v.exists(_ != 0.0))
+    val vs = samples(gen, 12).distinct
+    val df = vs.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.map(_.toFloat)) }.toDF("vec_id", "embedding")
+    val idx = graft.llm.Similarity.buildPq(df, "vec_id", "embedding",
+      m = 4, ksub = 256)
+    val self = df.select(
+      graft.plans.VectorExpressions.pqAdc(
+        graft.plans.VectorExpressions.pqLut(col("embedding"), idx.codebooks),
+        graft.plans.VectorExpressions.pqEncode(col("embedding"), idx.codebooks),
+        idx.ksub).as("s")).collect().map(_.getDouble(0))
+    self.foreach(s => assert(math.abs(s - 1.0) < 1e-5,
+      s"self-ADC $s drifted from 1"))
+    idx.encoded.unpersist(blocking = true)
+  }
 }
