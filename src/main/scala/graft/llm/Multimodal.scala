@@ -921,6 +921,141 @@ object Multimodal {
       }(enc)
   }
 
+  /** Parsed ISO-BMFF (MP4/MOV) metadata: duration in ms plus the
+    * first video track's display dimensions. */
+  private[graft] final case class Mp4Meta(durationMs: Long,
+      width: Int, height: Int)
+
+  private[graft] def isMp4(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  /** Walk the ISO-BMFF box tree (ftyp..moov → mvhd + trak → tkhd) and
+    * extract duration + first-track display size — REAL container
+    * parsing, no codec needed: the box layout is length-prefixed, so
+    * metadata probing is O(header bytes) however large the media is.
+    * Same untrusted-header posture as the image decoders: sizes read
+    * into Longs before any arithmetic, every box end is bounds-checked
+    * against its parent, 64-bit largesize boxes are handled, and
+    * malformed structure returns None rather than throwing. Frame
+    * DECODE stays stubbed (no codec in-container) — this makes the
+    * metadata layer of the video surface real, which is the part the
+    * sampling/partitioning plumbing actually consumes. */
+  private[graft] def probeMp4(b: Array[Byte]): Option[Mp4Meta] = {
+    try {
+      if (!isMp4(b)) return None
+      def u32(off: Int): Long =
+        ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+          ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+      def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+      // returns (payloadStart, boxEnd) or null on malformed sizes
+      def box(off: Long, limit: Long): Option[(String, Long, Long)] = {
+        if (off + 8 > limit) return None
+        val o = off.toInt
+        var size = u32(o)
+        val tpe = new String(b, o + 4, 4, "US-ASCII")
+        var payload = off + 8
+        if (size == 1L) {
+          if (off + 16 > limit) return None
+          size = u64(o + 8)
+          payload = off + 16
+        } else if (size == 0L) size = limit - off // box extends to EOF
+        val end = off + size
+        if (size < 8L || end > limit || end < off) None
+        else Some((tpe, payload, end))
+      }
+      var durationMs = -1L
+      var width = -1
+      var height = -1
+      def walkTrak(start: Long, limit: Long): Unit = {
+        var off = start
+        while (off < limit && (width < 0)) {
+          box(off, limit) match {
+            case Some(("tkhd", p, end)) =>
+              val v = b(p.toInt) & 0xff
+              // v0: 4+4+4+4+4+4+8+2+2+2+2+36 bytes precede width
+              val wOff = p + 4 + (if (v == 1) 8 + 8 + 4 + 4 + 8 else 4 + 4 + 4 + 4 + 4) + 8 + 2 + 2 + 2 + 2 + 36
+              if (wOff + 8 <= end) {
+                val w = (u32(wOff.toInt) >> 16).toInt // 16.16 fixed
+                val h = (u32(wOff.toInt + 4) >> 16).toInt
+                if (w > 0 && h > 0) { width = w; height = h }
+              }
+              off = end
+            case Some((_, _, end)) => off = end
+            case None => return
+          }
+        }
+      }
+      def walkMoov(start: Long, limit: Long): Unit = {
+        var off = start
+        while (off < limit) {
+          box(off, limit) match {
+            case Some(("mvhd", p, end)) =>
+              val v = b(p.toInt) & 0xff
+              val (tsOff, durOff, dur64) =
+                if (v == 1) (p + 4 + 8 + 8, p + 4 + 8 + 8 + 4, true)
+                else (p + 4 + 4 + 4, p + 4 + 4 + 4 + 4, false)
+              if ((if (dur64) durOff + 8 else durOff + 4) <= end) {
+                val ts = u32(tsOff.toInt)
+                val dur = if (dur64) u64(durOff.toInt) else u32(durOff.toInt)
+                if (ts > 0L) durationMs = dur * 1000L / ts
+              }
+              off = end
+            case Some(("trak", p, end)) =>
+              if (width < 0) walkTrak(p, end)
+              off = end
+            case Some((_, _, end)) => off = end
+            case None => return
+          }
+        }
+      }
+      var off = 0L
+      val limit = b.length.toLong
+      while (off < limit) {
+        box(off, limit) match {
+          case Some(("moov", p, end)) => walkMoov(p, end); off = end
+          case Some((_, _, end)) => off = end
+          case None => return None
+        }
+      }
+      if (durationMs >= 0L) Some(Mp4Meta(durationMs,
+        math.max(width, 0), math.max(height, 0)))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private val videoMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("probe_ok", BooleanType),
+    StructField("duration_ms", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType)))
+
+  /** Probe REAL duration/dimensions out of MP4/MOV payloads (box-tree
+    * metadata — no codec): (media_id, probe_ok, duration_ms, width,
+    * height), probe_ok=false (null metadata) for undecodable or
+    * non-MP4 payloads. The trusted replacement for caller-supplied
+    * `duration_ms` before [[sampleFrames]] — same narrow no-shuffle
+    * shape as the other decode kernels. */
+  def probeVideoMeta(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(videoMetaSchema)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          probeMp4(payload) match {
+            case Some(m) => Row(id, true, m.durationMs,
+              if (m.width > 0) m.width else null,
+              if (m.height > 0) m.height else null)
+            case None => Row(id, false, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
   /** Video frame-sampling plumbing: emit one row per sampled frame
     * index (every `everyMs` within duration) — the decode of each frame
     * is the same stub. Shows the explode-then-decode shape without

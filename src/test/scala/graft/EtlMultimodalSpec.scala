@@ -479,6 +479,63 @@ class EtlMultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"expected only the re-leveled pair: $pairs")
   }
 
+  test("probeVideoMeta parses real MP4 box trees; malformed inputs -> probe_ok=false") {
+    def be(buf: java.nio.ByteBuffer): java.nio.ByteBuffer = buf
+    def fullMp4(timescale: Int, duration: Int, w: Int, h: Int): Array[Byte] = {
+      val ftyp = java.nio.ByteBuffer.allocate(16)
+      ftyp.putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put("isom".getBytes("US-ASCII")).putInt(0)
+      val mvhd = java.nio.ByteBuffer.allocate(108)
+      mvhd.putInt(108).put("mvhd".getBytes("US-ASCII"))
+        .putInt(0) // version 0 + flags
+        .putInt(0).putInt(0) // creation, modification
+        .putInt(timescale).putInt(duration)
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+        .putLong(0) // rate, volume, reserved
+      (0 until 9).foreach(_ => mvhd.putInt(0)) // matrix
+      (0 until 6).foreach(_ => mvhd.putInt(0)) // predefined
+      mvhd.putInt(2) // next track id
+      val tkhd = java.nio.ByteBuffer.allocate(92)
+      tkhd.putInt(92).put("tkhd".getBytes("US-ASCII"))
+        .putInt(0) // version 0 + flags
+        .putInt(0).putInt(0).putInt(1).putInt(0).putInt(duration)
+        .putLong(0) // reserved
+        .putShort(0).putShort(0).putShort(0).putShort(0)
+      (0 until 9).foreach(_ => tkhd.putInt(0)) // matrix
+      tkhd.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
+      val trak = java.nio.ByteBuffer.allocate(100)
+      trak.putInt(100).put("trak".getBytes("US-ASCII")).put(tkhd.array())
+      val moov = java.nio.ByteBuffer.allocate(216)
+      moov.putInt(216).put("moov".getBytes("US-ASCII"))
+        .put(mvhd.array()).put(trak.array())
+      val out = java.nio.ByteBuffer.allocate(16 + 216)
+      be(out).put(ftyp.array()).put(moov.array())
+      out.array()
+    }
+    val good = fullMp4(timescale = 600, duration = 1500, w = 320, h = 240)
+    assert(Multimodal.probeMp4(good).contains(
+      Multimodal.Mp4Meta(2500L, 320, 240)))
+    // hardening: truncation, size overflow, zero timescale, non-MP4
+    assert(Multimodal.probeMp4(good.take(40)).isEmpty)
+    val oversize = good.clone()
+    oversize(16) = 0x7f.toByte // moov box claims 2 GB
+    assert(Multimodal.probeMp4(oversize).isEmpty)
+    assert(Multimodal.probeMp4(
+      fullMp4(timescale = 0, duration = 1500, w = 320, h = 240)).isEmpty)
+    assert(Multimodal.probeMp4("actually text".getBytes).isEmpty)
+    // the Spark surface: probe_ok + typed metadata columns
+    val media = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, "video", good, null, null, null),
+        Row(2L, "video", "junk".getBytes, null, null, null)),
+      Multimodal.mediaSchema)
+    val out = Multimodal.probeVideoMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(1) && out(1L).getLong(2) == 2500L &&
+      out(1L).getInt(3) == 320 && out(1L).getInt(4) == 240)
+    assert(!out(2L).getBoolean(1) && out(2L).isNullAt(2))
+  }
+
   test("sampleFrames skips zero/null-duration videos instead of failing") {
     val media = spark.createDataFrame(
       java.util.List.of(
