@@ -47,6 +47,7 @@ object Bench {
       graft.llm.Lines.releaseCaches()
       graft.llm.Bpe.releaseCaches()
       graft.llm.LanguageModel.releaseCaches()
+      graft.llm.Unigram.releaseCaches()
       name -> (if (runs.exists(_ < 0)) -1.0 else runs.sorted.apply(1))
     }
     graft.llm.Similarity.clearIvfCache()

@@ -384,6 +384,38 @@ object SparkEntry {
           .select(explode(Text.shinglesAll(col("text"), 3)).as("gram"))
           .groupBy("gram").agg(count(lit(1)).as("n")))),
 
+    "q_unigram_fertility" -> ((s, d) => {
+      // rows-only: SentencePiece-style unigram-LM tokenizer trained on
+      // the corpus word table (Viterbi-EM), then fertility per doc —
+      // the probabilistic sibling of q_bpe_fertility
+      val docs = t(s, d, "documents")
+      val vocab = graft.llm.Unigram.train(docs, "text",
+        vocabSize = 1500, iters = 3, maxPieceLen = 6, seedSize = 8000)
+      graft.llm.Unigram.encodeDocs(docs, "doc_id", "text", vocab)
+    }),
+
+    "q_unigram_train_gate" -> ((s, d) => {
+      // hard-EM invariant stamped into a graded row: the freq-weighted
+      // best-segmentation log-likelihood must be monotone
+      // non-decreasing across EM iterations (the Viterbi-EM guarantee
+      // — a regression here means the E/M steps disagree about the
+      // model). 0 rows = the gate failed
+      val (_, obj) = graft.llm.Unigram.trainWithObjective(
+        t(s, d, "documents"), "text", vocabSize = 1500, iters = 3,
+        maxPieceLen = 6, seedSize = 8000)
+      val monotone = obj.sliding(2).forall {
+        case Seq(a, b) => b >= a - 1e-6
+        case _ => true
+      }
+      import s.implicits._
+      Seq((obj.size.toLong,
+        math.rint(obj.head * 1e4) / 1e4, math.rint(obj.last * 1e4) / 1e4,
+        monotone, monotone))
+        .toDF("n_iters", "first_objective", "last_objective",
+          "monotone", "pass")
+        .filter(col("pass"))
+    }),
+
     "q_freq_tokens_gate" -> ((s, d) => {
       // zero-miss gate for the one-pass heavy-hitters sketch: every
       // token with frequency > support*N must surface (the

@@ -34,6 +34,7 @@ object Verify {
       graft.llm.Lines.releaseCaches()
       graft.llm.Bpe.releaseCaches()
       graft.llm.LanguageModel.releaseCaches()
+      graft.llm.Unigram.releaseCaches()
     }
     graft.llm.Similarity.clearIvfCache()
     graft.llm.Similarity.clearPqCache()
