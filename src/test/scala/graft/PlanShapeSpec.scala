@@ -195,4 +195,74 @@ class PlanShapeSpec extends SparkSpec {
     assert(m(("l_quantity", "l_quantity")) == 1.0)
     assert(math.abs(m(("l_quantity", "l_extendedprice")) - direct) < 1e-6)
   }
+
+  test("softDedupWeights: text never rides the window exchange") {
+    val df = SparkEntry.queries("q_soft_dedup")(spark, sf)
+    val plan = planOf(df)
+    // the Exchange hashpartitions on the md5 fingerprint; the raw text
+    // column must be projected away BEFORE it — the Project feeding
+    // the exchange OUTPUTS only (doc_id, fingerprint); text appears
+    // inside the md5 expression, never as an output column
+    assert(plan.contains("Exchange hashpartitioning(fingerprint"), plan)
+    // precise check on the exchange INPUT schema, not the plan string:
+    // every shuffle's child may output only small fixed-width columns
+    val root = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan // post-EnsureRequirements: exchanges are in place
+      case p => p
+    }
+    val exchanges = root.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty, plan)
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name)
+      assert(!cols.contains("text"),
+        s"text crossed a shuffle: exchange input = $cols")
+    }
+  }
+
+  test("quantized and PQ kNN broadcast the query side, never shuffle vectors") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val quant = graft.llm.Similarity.quantizedKnn(q, emb, "vec_id",
+      "embedding", 5)
+    val qp = planOf(quant)
+    assert(qp.contains("BroadcastNestedLoopJoin"), qp)
+    assert(!qp.contains("SortMergeJoin") && !qp.contains("CartesianProduct"), qp)
+    // a MATERIALIZED PQ index serves searches from (id, code) cache
+    // blocks — the float vectors are read once at build, never per
+    // search (the build-once/search-many contract)
+    val pq = graft.llm.Similarity.buildPq(emb, "vec_id", "embedding",
+      m = 16, ksub = 256)
+    pq.encoded.count() // materialize the index
+    val pqPlan = planOf(graft.llm.Similarity.pqKnn(q, pq, "vec_id",
+      "embedding", 5))
+    assert(pqPlan.contains("BroadcastNestedLoopJoin"), pqPlan)
+    assert(pqPlan.contains("InMemoryTableScan"),
+      s"search must read the cached index:\n$pqPlan")
+    val joinIdx = pqPlan.indexOf("BroadcastNestedLoopJoin")
+    val corpusSide = pqPlan.substring(joinIdx)
+    assert(corpusSide.linesIterator.exists(l =>
+        l.contains("InMemoryTableScan") && !l.contains("embedding#")),
+      s"ADC scan must read codes, not float vectors:\n$corpusSide")
+    pq.encoded.unpersist(blocking = true)
+  }
+
+  test("ivfPqKnn corpus join is an equi-join on list_id carrying codes only") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val coarse = graft.llm.Similarity.buildIvf(emb, "vec_id", "embedding",
+      nlist = 16)
+    val pq = graft.llm.Similarity.buildPq(emb, "vec_id", "embedding",
+      m = 16, ksub = 256)
+    val plan = planOf(graft.llm.Similarity.ivfPqKnn(q, coarse, pq,
+      "vec_id", "embedding", 5, nProbe = 4))
+    // candidate pruning is an equi-join (hash or sort-merge), never a
+    // nested loop over the whole corpus
+    assert(plan.contains("list_id"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    coarse.indexed.unpersist(blocking = true)
+    pq.encoded.unpersist(blocking = true)
+  }
 }
