@@ -315,6 +315,20 @@ object SparkEntry {
         Map("n_events" -> lit(0L)))
     }),
 
+    "q_salted_join" -> ((s, d) => {
+      // skew-salted equi-join: events.event_type is low-cardinality
+      // (every key is "hot"), the exact shape salting exists for; the
+      // oracle is the PLAIN join — salting must be invisible in the
+      // output
+      val e = t(s, d, "events")
+      val dim = e.groupBy("event_type")
+        .agg(round(avg(col("value")), 6).as("type_avg"))
+      graft.operators.Joins.saltedJoin(
+          e.select("event_id", "event_type"), dim,
+          Seq("event_type"), salts = 8)
+        .select("event_id", "event_type", "type_avg")
+    }),
+
     "q_full_outer_coalesce" -> ((s, d) => {
       val events = t(s, d, "events")
       def side(tp: String, out: String) = events
@@ -1535,6 +1549,13 @@ object SparkEntry {
          SELECT d.day, t.event_type, coalesce(a.n_events, 0) AS n_events
          FROM days d CROSS JOIN types t
          LEFT JOIN agg a ON a.day = d.day AND a.event_type = t.event_type""",
+
+    "q_salted_join" ->
+      """WITH dim AS (
+           SELECT event_type, round(avg(value), 6) AS type_avg
+           FROM events GROUP BY event_type)
+         SELECT e.event_id, e.event_type, d.type_avg
+         FROM events e JOIN dim d USING (event_type)""",
 
     "q_full_outer_coalesce" ->
       """WITH c AS (SELECT CAST(ts AS DATE) AS day, round(avg(value), 4) AS click_avg

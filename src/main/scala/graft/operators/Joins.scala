@@ -140,4 +140,35 @@ object Joins {
         .filter(residual)
     gridded.unionByName(longJoined)
   }
+
+  /** Skew-salted equi-join: the hot-key mitigation for shuffles AQE
+    * cannot re-plan (stream-static joins, or when one key holds >1
+    * executor's worth of rows even after AQE's partition splitting).
+    * The BIG side's key is widened with a per-row salt in [0, salts);
+    * the SMALL side is replicated `salts` times so every (key, salt)
+    * cell still finds its match — one hot key now spreads across
+    * `salts` reducers instead of melting one. Output == the plain
+    * equi-join row-for-row (JoinsSpec asserts it on a skewed
+    * fixture); cost = `salts`x the small side's shuffle volume, which
+    * is the explicit trade (use for genuinely skewed keys, not as a
+    * default — unskewed joins should let AQE work).
+    *
+    * The salt is `monotonically_increasing_id % salts` — deterministic
+    * for a fixed partition layout, and the OUTPUT is layout-invariant
+    * regardless (the join result does not depend on which salt cell a
+    * row lands in). Only inner/left joins are offered: right/outer
+    * over a replicated side would need match-dedup bookkeeping that
+    * belongs in a different operator. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    require(joinType == "inner" || joinType == "left" ||
+      joinType == "left_outer",
+      s"saltedJoin supports inner/left joins, got $joinType")
+    val b = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val s = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    b.join(s, keys :+ "__salt", joinType).drop("__salt")
+  }
 }

@@ -136,4 +136,24 @@ class JoinsSpec extends SparkSpec {
       .select("iid", "p").as[(Long, Timestamp)].collect().toSeq
     assert(out.sorted == Seq((1L, ts(100)), (1L, ts(7300))).sorted)
   }
+
+  test("saltedJoin == plain equi-join on a skewed fixture, inner and left") {
+    // 90% of the big side lands on one hot key
+    val big = (1 to 200).map(i =>
+      (if (i <= 180) "hot" else s"k${i % 7}", i.toLong)).toDF("k", "v")
+    val small = Seq(("hot", 1.0), ("k1", 2.0), ("k3", 3.0), ("unmatched", 9.0))
+      .toDF("k", "w")
+    for (jt <- Seq("inner", "left")) {
+      val plain = big.join(small, Seq("k"), jt)
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      val salted = Joins.saltedJoin(big, small, Seq("k"), salts = 8, jt)
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+      assert(salted == plain, s"$jt salted join diverged")
+    }
+    // the join key actually includes the salt (the whole point):
+    // one hot key occupies `salts` shuffle cells, not one
+    val plan = Joins.saltedJoin(big, small, Seq("k"), 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), plan)
+  }
 }
