@@ -476,6 +476,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin == plain join for any key skew and salt count") {
+    val gen = for {
+      nBig <- Gen.chooseNum(1, 60)
+      bigKeys <- Gen.listOfN(nBig, Gen.chooseNum(0, 4))
+      smallKeys <- Gen.nonEmptyListOf(Gen.chooseNum(0, 6))
+      salts <- Gen.chooseNum(1, 7)
+    } yield (bigKeys, smallKeys.distinct, salts)
+    samples(gen, 8).foreach { case (bigKeys, smallKeys, salts) =>
+      val big = bigKeys.zipWithIndex.map { case (k, i) => (s"k$k", i.toLong) }
+        .toDF("k", "v")
+      val small = smallKeys.map(k => (s"k$k", k * 1.5)).toDF("k", "w")
+      for (jt <- Seq("inner", "left")) {
+        val plain = big.join(small, Seq("k"), jt)
+          .collect().map(_.toSeq).sortBy(_.toString).toSeq
+        val salted = graft.operators.Joins.saltedJoin(
+            big, small, Seq("k"), salts, jt)
+          .collect().map(_.toSeq).sortBy(_.toString).toSeq
+        assert(salted == plain, s"salts=$salts $jt diverged")
+      }
+    }
+  }
+
+  test("frequentItems never misses an item above support on random streams") {
+    val gen = for {
+      n <- Gen.chooseNum(50, 300)
+      items <- Gen.listOfN(n, Gen.frequency(
+        // skewed: 'hot' dominates, tail is diffuse
+        2 -> Gen.const("hot"), 1 -> Gen.const("warm"),
+        2 -> Gen.chooseNum(0, 40).map(i => s"cold$i")))
+      support <- Gen.oneOf(0.1, 0.2, 0.3)
+    } yield (items, support)
+    samples(gen, 8).foreach { case (items, support) =>
+      val df = items.toDF("item")
+      val surfaced = graft.operators.Aggregates
+        .frequentItems(df, "item", support)
+        .as[String].collect().toSet
+      val exact = items.groupBy(identity).view.mapValues(_.size)
+        .filter { case (_, c) => c > support * items.size }.keySet
+      assert(exact.subsetOf(surfaced),
+        s"sketch missed heavy hitters: ${exact -- surfaced} " +
+          s"(support=$support, n=${items.size})")
+    }
+  }
+
   test("pq encode/ADC self-similarity is ~1 for any unit-ish vector") {
     // scoring a vector against its OWN code with its OWN lut must
     // approach 1 when the codebook contains the exact sub-vectors
