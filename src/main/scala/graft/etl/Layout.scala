@@ -35,15 +35,15 @@ object Layout {
     * saltSource column must vary WITHIN a key (any per-row attribute —
     * a row id, a timestamp); a key-constant source degenerates to no
     * spreading.
-    */
+    *
+    * Thin wrapper over [[graft.operators.Joins.saltedJoin]] (the single
+    * implementation — multi-key, inner/left, optional salt source);
+    * kept for the layout-lever API surface alongside
+    * bucketing/copartition/bloom. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-      salts: Int, saltSource: Column): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(hash(saltSource), lit(salts)))
-    val replicatedSmall = small.withColumn("__salt",
-      explode(array((0 until salts).map(lit(_)): _*)))
-    saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")
-  }
+      salts: Int, saltSource: Column): DataFrame =
+    graft.operators.Joins.saltedJoin(big, small, Seq(key), salts,
+      "inner", Some(saltSource))
 
   /** Pre-shuffle co-partitioning without a catalog: repartition both
     * sides identically by the key so the join reuses the exchange (one

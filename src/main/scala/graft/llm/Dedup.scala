@@ -62,10 +62,13 @@ object Dedup {
 
   /** Duplicate-aware soft reweighting (the SoftDeDup idea: keep every
     * copy, down-weight by duplicate multiplicity instead of dropping —
-    * sum of weights over a duplicate cluster is exactly 1, so the
-    * effective corpus size equals the distinct-text count while rare
-    * formatting variants still contribute gradient). Output:
-    * (idCol, cluster_size, weight = 1/cluster_size).
+    * a cluster's weights sum to 1 up to 6-decimal rounding (weight is
+    * round(1/cluster_size, 6), so a 3-doc cluster sums to 0.999999;
+    * the rounding is what lets the DuckDB oracle reproduce the value
+    * bit-exactly), so the effective corpus size equals the
+    * distinct-text count while rare formatting variants still
+    * contribute gradient). Output:
+    * (idCol, cluster_size, weight = round(1/cluster_size, 6)).
     *
     * Scale shape: one shuffle of (id, 16-byte fingerprint) pairs — the
     * count rides a window over the fingerprint partition, so the text

@@ -998,7 +998,11 @@ object Multimodal {
               if ((if (dur64) durOff + 8 else durOff + 4) <= end) {
                 val ts = u32(tsOff.toInt)
                 val dur = if (dur64) u64(durOff.toInt) else u32(durOff.toInt)
-                if (ts > 0L) durationMs = dur * 1000L / ts
+                // untrusted 64-bit mvhd duration: a value above
+                // Long.MaxValue/1000 would wrap the multiply and emit a
+                // garbage duration with probe_ok=true — treat as malformed
+                if (ts > 0L && dur >= 0L && dur <= Long.MaxValue / 1000L)
+                  durationMs = dur * 1000L / ts
               }
               off = end
             case Some(("trak", p, end)) =>
@@ -1013,7 +1017,12 @@ object Multimodal {
       val limit = b.length.toLong
       while (off < limit) {
         box(off, limit) match {
-          case Some(("moov", p, end)) => walkMoov(p, end); off = end
+          case Some(("moov", p, end)) =>
+            walkMoov(p, end)
+            // moov parsed: stop walking — trailing truncation/garbage
+            // (e.g. a cut-short mdat in a moov-first progressive file)
+            // must not void metadata already in hand
+            if (durationMs >= 0L) off = limit else off = end
           case Some((_, _, end)) => off = end
           case None => return None
         }

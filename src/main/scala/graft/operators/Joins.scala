@@ -153,20 +153,29 @@ object Joins {
     * is the explicit trade (use for genuinely skewed keys, not as a
     * default — unskewed joins should let AQE work).
     *
-    * The salt is `monotonically_increasing_id % salts` — deterministic
-    * for a fixed partition layout, and the OUTPUT is layout-invariant
-    * regardless (the join result does not depend on which salt cell a
-    * row lands in). Only inner/left joins are offered: right/outer
-    * over a replicated side would need match-dedup bookkeeping that
-    * belongs in a different operator. */
+    * The default salt is `monotonically_increasing_id % salts` —
+    * deterministic for a fixed partition layout, and the OUTPUT is
+    * layout-invariant regardless (the join result does not depend on
+    * which salt cell a row lands in). Pass `saltSource` (any per-row
+    * attribute that varies WITHIN a key — a row id, a timestamp) to
+    * derive the salt as `pmod(hash(saltSource), salts)` instead, which
+    * is stable across reruns and resumed stages independent of layout;
+    * a key-constant source degenerates to no spreading. Only
+    * inner/left joins are offered: right/outer over a replicated side
+    * would need match-dedup bookkeeping that belongs in a different
+    * operator. (Single implementation — `etl.Layout.saltedJoin`
+    * delegates here.) */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
-      salts: Int, joinType: String = "inner"): DataFrame = {
+      salts: Int, joinType: String = "inner",
+      saltSource: Option[Column] = None): DataFrame = {
     require(salts > 0, "salts must be positive")
     require(joinType == "inner" || joinType == "left" ||
       joinType == "left_outer",
       s"saltedJoin supports inner/left joins, got $joinType")
-    val b = big.withColumn("__salt",
-      pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val saltExpr = saltSource
+      .map(src => pmod(hash(src), lit(salts)).cast("long"))
+      .getOrElse(pmod(monotonically_increasing_id(), lit(salts.toLong)))
+    val b = big.withColumn("__salt", saltExpr)
     val s = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     b.join(s, keys :+ "__salt", joinType).drop("__salt")

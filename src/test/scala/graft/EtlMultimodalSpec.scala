@@ -523,6 +523,35 @@ class EtlMultimodalSpec extends SparkSpec {
     assert(Multimodal.probeMp4(
       fullMp4(timescale = 0, duration = 1500, w = 320, h = 240)).isEmpty)
     assert(Multimodal.probeMp4("actually text".getBytes).isEmpty)
+    // trailing truncation after moov (moov-first progressive file with a
+    // cut-short mdat) must NOT void already-parsed metadata
+    val cutMdat = java.nio.ByteBuffer.allocate(good.length + 12)
+    cutMdat.put(good).putInt(5000).put("mdat".getBytes("US-ASCII"))
+      .putInt(0) // claims 5000 bytes, only 4 present
+    assert(Multimodal.probeMp4(cutMdat.array()).contains(
+      Multimodal.Mp4Meta(2500L, 320, 240)),
+      "truncated trailing box after moov must not discard metadata")
+    // v1 (64-bit) mvhd: sane duration parses; an attacker-sized duration
+    // that would overflow dur*1000 is rejected, not wrapped into garbage
+    def v1Mp4(duration: Long): Array[Byte] = {
+      val mvhd = java.nio.ByteBuffer.allocate(48)
+      mvhd.putInt(48).put("mvhd".getBytes("US-ASCII"))
+        .put(1.toByte).put(Array[Byte](0, 0, 0)) // version 1 + flags
+        .putLong(0).putLong(0) // creation, modification (64-bit)
+        .putInt(600).putLong(duration).putInt(0)
+      val moov = java.nio.ByteBuffer.allocate(56)
+      moov.putInt(56).put("moov".getBytes("US-ASCII")).put(mvhd.array())
+      val ftyp = java.nio.ByteBuffer.allocate(16)
+      ftyp.putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put("isom".getBytes("US-ASCII")).putInt(0)
+      val out = java.nio.ByteBuffer.allocate(16 + 56)
+      out.put(ftyp.array()).put(moov.array())
+      out.array()
+    }
+    assert(Multimodal.probeMp4(v1Mp4(3000L)).contains(
+      Multimodal.Mp4Meta(5000L, 0, 0)), "64-bit mvhd path")
+    assert(Multimodal.probeMp4(v1Mp4(Long.MaxValue / 2)).isEmpty,
+      "overflow-sized mvhd duration must be rejected")
     // the Spark surface: probe_ok + typed metadata columns
     val media = spark.createDataFrame(
       java.util.List.of(
