@@ -40,7 +40,7 @@ object Bpe {
   def releaseCaches(): Unit = {
     var df = trackedCheckpoints.poll()
     while (df != null) {
-      df.unpersist(blocking = false)
+      org.apache.spark.sql.graft.Bridge.releaseFrame(df)
       df = trackedCheckpoints.poll()
     }
   }
@@ -177,8 +177,8 @@ object Bpe {
     val nPart = math.max(1, syms0.rdd.getNumPartitions)
     def compact(): Unit = if (patches.nonEmpty) {
       val next = cur.localCheckpoint() // eager: materialized here
-      base.unpersist(blocking = false)
-      patches.foreach(_.unpersist(blocking = false))
+      org.apache.spark.sql.graft.Bridge.releaseFrame(base)
+      patches.foreach(org.apache.spark.sql.graft.Bridge.releaseFrame(_))
       patches.clear()
       base = next
       cur = next
@@ -220,15 +220,15 @@ object Bpe {
             col("merged").as("symbols")))
           .coalesce(nPart)
         patches += aff
-        counts.unpersist(blocking = false)
+        org.apache.spark.sql.graft.Bridge.releaseFrame(counts)
         counts = nextCounts
         i += 1
         if (i % compactEvery == 0) compact()
       }
     }
-    base.unpersist(blocking = false)
-    patches.foreach(_.unpersist(blocking = false))
-    counts.unpersist(blocking = false)
+    org.apache.spark.sql.graft.Bridge.releaseFrame(base)
+    patches.foreach(org.apache.spark.sql.graft.Bridge.releaseFrame(_))
+    org.apache.spark.sql.graft.Bridge.releaseFrame(counts)
     merges.result()
   }
 
@@ -265,12 +265,12 @@ object Bpe {
         merges += ((a, b, c))
         val next = syms.withColumn("symbols",
           mergePair(col("symbols"), a, b)).localCheckpoint()
-        syms.unpersist(blocking = false)
+        org.apache.spark.sql.graft.Bridge.releaseFrame(syms)
         syms = next
         i += 1
       }
     }
-    syms.unpersist(blocking = false)
+    org.apache.spark.sql.graft.Bridge.releaseFrame(syms)
     merges.result()
   }
 
@@ -300,7 +300,7 @@ object Bpe {
       cur = cur.withColumn("symbols", mergePair(col("symbols"), a, b))
       if ((i + 1) % 64 == 0) {
         val cp = cur.localCheckpoint() // eager: materialized here
-        lastCp.foreach(_.unpersist(blocking = false))
+        lastCp.foreach(org.apache.spark.sql.graft.Bridge.releaseFrame(_))
         lastCp = Some(cp)
         cur = cp
       }

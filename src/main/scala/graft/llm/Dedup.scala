@@ -485,8 +485,11 @@ object Dedup {
     * by a stopped ingest stream); registry-held states are released by
     * [[invalidateCorpusState]]/[[clearCorpusStateCache]] instead. */
   def releaseCorpusState(st: CorpusDedupState): Unit = {
-    st.fingerprints.unpersist(blocking = false)
-    st.signatures.unpersist(blocking = false)
+    // releaseFrame, not Dataset.unpersist: after the first
+    // extendCorpusDedupState these frames are localCheckpoints, whose
+    // blocks Dataset.unpersist does NOT free (see Bridge.releaseFrame)
+    org.apache.spark.sql.graft.Bridge.releaseFrame(st.fingerprints)
+    org.apache.spark.sql.graft.Bridge.releaseFrame(st.signatures)
   }
 
   /** Drop every registry state built under `cacheKey` (all geometry
@@ -521,8 +524,8 @@ object Dedup {
     val sig = st.signatures
       .union(signatureFrame(accepted, idCol, textCol, st.shingleN, k))
       .localCheckpoint()
-    st.fingerprints.unpersist(blocking = false)
-    st.signatures.unpersist(blocking = false)
+    org.apache.spark.sql.graft.Bridge.releaseFrame(st.fingerprints)
+    org.apache.spark.sql.graft.Bridge.releaseFrame(st.signatures)
     CorpusDedupState(fp, sig, st.shingleN, st.bands, st.rowsPerBand)
   }
 

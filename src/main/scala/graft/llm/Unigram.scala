@@ -35,7 +35,7 @@ object Unigram {
   def releaseCaches(): Unit = {
     var ds = trackedCheckpoints.poll()
     while (ds != null) {
-      ds.unpersist(blocking = false)
+      org.apache.spark.sql.graft.Bridge.releaseFrame(ds)
       ds = trackedCheckpoints.poll()
     }
   }

@@ -73,7 +73,7 @@ object Graph {
       // `next` is materialized (eager checkpoint) and `changed` is
       // consumed — the previous round's blocks are dead; release them
       // so the loop holds one round of labels, not `iter` rounds
-      labels.unpersist(blocking = false)
+      org.apache.spark.sql.graft.Bridge.releaseFrame(labels)
       labels = next.select(col("id"), col("new_comp").as("comp"))
       iter += 1
     }
@@ -101,8 +101,8 @@ object Graph {
         .select(col("id"),
           coalesce(col("comp_root"), col("comp")).as("comp"))
         .localCheckpoint(true)
-      labels.unpersist(blocking = false)
-      roots.unpersist(blocking = false)
+      org.apache.spark.sql.graft.Bridge.releaseFrame(labels)
+      org.apache.spark.sql.graft.Bridge.releaseFrame(roots)
       labels = composed
     }
     nodes.select(col("id"))
@@ -164,11 +164,11 @@ object Graph {
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
         .localCheckpoint(true)
-      large.unpersist(blocking = false)
+      org.apache.spark.sql.graft.Bridge.releaseFrame(large)
       // fixed point: the round changed nothing — every edge already
       // points at its component minimum
       converged = small.count() == e.count() && small.except(e).isEmpty
-      e.unpersist(blocking = false)
+      org.apache.spark.sql.graft.Bridge.releaseFrame(e)
       e = small
       rounds += 1
     }
@@ -184,7 +184,7 @@ object Graph {
       .union(e.select(col("v").as("id"), col("v").as("comp_root"))
         .distinct())
       .localCheckpoint(true)
-    e.unpersist(blocking = false)
+    org.apache.spark.sql.graft.Bridge.releaseFrame(e)
     labels
   }
 }

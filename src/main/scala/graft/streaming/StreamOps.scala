@@ -209,7 +209,7 @@ object StreamOps {
             state = Some(graft.llm.Dedup.extendCorpusDedupState(
               st, keptCp, idCol, textCol))
           } else state = Some(st)
-          keptCp.unpersist(blocking = false)
+          org.apache.spark.sql.graft.Bridge.releaseFrame(keptCp)
           graft.llm.Dedup.releaseCaches()
         }
       }

@@ -393,6 +393,36 @@ class StreamingSpec extends SparkSpec {
       s"corpus re-read ${reads.get()} times; state extension broken")
   }
 
+  test("nearDedupIngest releases corpus-state blocks when the query stops") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val store = new ParquetKeyedStore(
+      tmpDir("ingest-release") + "/corpus", Seq("doc_id"), "doc_id")
+    def residentRdds(): Int = spark.sparkContext.getPersistentRDDs.size
+    val baseline = residentRdds()
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDedupIngest(
+      mem.toDF().toDF("doc_id", "text"), store, "doc_id", "text",
+      tmpDir("ckpt-ingest-release"), triggerMs = 10L)
+    try {
+      mem.addData((1L, "first unique document with its own wording"))
+      q.processAllAvailable()
+      // a second batch forces extendCorpusDedupState, so the final
+      // state frames are localCheckpoints — the case Dataset.unpersist
+      // alone cannot release
+      mem.addData((2L, "second document that shares no phrasing at all"))
+      q.processAllAvailable()
+      assert(residentRdds() > baseline,
+        "live ingest state should pin corpus fingerprint/signature blocks")
+    } finally q.stop()
+    // onQueryTerminated fires asynchronously after stop()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (residentRdds() > baseline && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(residentRdds() == baseline,
+      s"corpus-state blocks leaked after stop(): ${residentRdds()} resident vs baseline $baseline")
+  }
+
   test("JdbcKeyedStore.upsert is safe under concurrent writers") {
     // same driver-JVM serialization contract as the parquet stores:
     // two foreachBatch-style writers share one store instance and the
