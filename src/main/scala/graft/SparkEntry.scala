@@ -132,13 +132,44 @@ object SparkEntry {
         Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95"))(
         t(s, d, "lineitem"))),
 
-    "q_approx_percentiles" -> ((s, d) =>
-      // rows-only: the 100 TB sketch twin of q_percentiles
-      // (approx_percentile values are engine-specific); accuracy gated
-      // against the exact form in RelationalSpec
-      Aggregates.percentiles(Seq("l_returnflag"), "l_extendedprice",
+    "q_approx_percentiles" -> ((s, d) => {
+      // rows-only + in-row gate: the 100 TB sketch twin of
+      // q_percentiles (approx_percentile values are engine-specific,
+      // so no DuckDB hash oracle) — but the sketch's DOCUMENTED
+      // guarantee (rank error <= N/accuracy) is verified in the row
+      // itself: each approx value's true rank interval [rank_lt,
+      // rank_le] must cover p*N within max_rank_err = N/accuracy + 1.
+      // A degraded sketch drops rows (12 -> fewer), which the driver's
+      // rows check pins. One extra pass over the group to rank the 12
+      // approx values (broadcast), gate-only duty at this scale.
+      val acc = 10000
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val approx = Aggregates.percentiles(
+        Seq("l_returnflag"), "l_extendedprice",
         Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75", 0.95 -> "p95"),
-        exact = false)(t(s, d, "lineitem"))),
+        exact = false, accuracy = acc)(li)
+      val melted = approx.select(col("l_returnflag"), expr(
+        "stack(4, 'p25', 0.25D, p25, 'p50', 0.50D, p50, " +
+          "'p75', 0.75D, p75, 'p95', 0.95D, p95) AS (pname, p, approx_value)"))
+      li.join(broadcast(melted), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("pname"), col("p"),
+          col("approx_value"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("approx_value"), 1L)
+            .otherwise(0L)).as("rank_lt"),
+          sum(when(col("l_extendedprice") <= col("approx_value"), 1L)
+            .otherwise(0L)).as("rank_le"))
+        .withColumn("max_rank_err",
+          col("n").cast("double") / acc + lit(1.0))
+        .withColumn("pass",
+          col("rank_lt").cast("double") - col("max_rank_err") <=
+            col("p") * col("n") &&
+          col("p") * col("n") <=
+            col("rank_le").cast("double") + col("max_rank_err"))
+        .filter(col("pass"))
+        .orderBy(col("l_returnflag"), col("pname"))
+    }),
 
     "q_count_distinct" -> ((s, d) =>
       t(s, d, "events").groupBy(col("event_type"))
@@ -147,10 +178,21 @@ object SparkEntry {
 
     "q_approx_distinct" -> ((s, d) =>
       // HLL++ sketch path for billion-key cardinalities (no oracle:
-      // sketch estimates differ across engines by construction; the
-      // exact twin q_count_distinct is the checked variant).
+      // sketch estimates differ across engines by construction) with
+      // the error bound pinned IN-ROW: the exact count rides alongside
+      // (gate-only duty — at 100 TB you run the sketch alone) and each
+      // group's rel_err must stay within max_rel_err = 0.05 (2.5x the
+      // 0.02 rsd). A drifting sketch drops rows (5 -> fewer), which
+      // the driver's rows check catches.
       t(s, d, "events").groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))),
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"),
+          countDistinct(col("user_id")).as("n_users_exact"))
+        .withColumn("rel_err",
+          round(abs(col("n_users_approx") - col("n_users_exact"))
+            .cast("double") / col("n_users_exact"), 6))
+        .withColumn("max_rel_err", lit(0.05))
+        .withColumn("pass", col("rel_err") <= col("max_rel_err"))
+        .filter(col("pass"))),
 
     "q_top_event_per_type" -> ((s, d) => {
       // A10 idxmax: the event holding the max value per type,
@@ -489,6 +531,15 @@ object SparkEntry {
       // exact near-dup detection at jaccard>=0.8 — finds the corpus's
       // planted near-duplicates, oracle-checked
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 3, 0.8)),
+
+    "q_similarity_join" -> ((s, d) =>
+      // the PPJoin prefix-filtered path to the SAME exact answer:
+      // candidates come only from each doc's rarest-first prefix
+      // shingles (n - ceil(t*n) + 1 of them), then exact-verified —
+      // output is row-for-row equal to ngramJaccardPairs, so the
+      // all-pairs oracle verifies the prefix filter for free. This is
+      // the exact-jaccard shape that survives 100 TB at high t.
+      Dedup.similarityJoin(t(s, d, "documents"), "doc_id", "text", 3, 0.8)),
 
     "q_dup_components" -> ((s, d) => {
       // transitive closure of the EXACT jaccard>=0.8 pair graph:
@@ -1210,7 +1261,13 @@ object SparkEntry {
   /** DuckDB-runnable oracle per query (driver compares on sf0.01).
     * Regex note: Spark regexp_replace is global by default; DuckDB needs
     * the explicit 'g' flag — every oracle below passes it. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // the PPJoin path is spec-proven row-equal to the all-pairs join,
+    // so the same DuckDB oracle verifies both — equality makes the
+    // oracle free
+    ("q_similarity_join" -> oracleSqlBase("q_near_dup_pairs"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q_scan_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                 strftime(l_shipdate, '%Y-%m-%d') AS ship_date

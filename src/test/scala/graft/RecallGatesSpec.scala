@@ -106,16 +106,35 @@ class RecallGatesSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("recall") - 1.0 / 3) < 1e-6, r.toString)
   }
 
-  test("HLL++ distinct estimate tracks the exact count within 3x rsd") {
-    val approx = SparkEntry.queries("q_approx_distinct")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = SparkEntry.queries("q_count_distinct")(spark, sf)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(approx.keySet == exact.keySet)
-    exact.foreach { case (k, e) =>
-      val a = approx(k)
-      assert(math.abs(a - e).toDouble / e <= 0.06, // 3x the 0.02 rsd
-        s"$k: approx $a vs exact $e")
+  test("HLL++ distinct estimate carries its own error gate in-row") {
+    val rows = SparkEntry.queries("q_approx_distinct")(spark, sf).collect()
+    val nTypes = SparkEntry.queries("q_count_distinct")(spark, sf).count()
+    // every group must SURVIVE the in-row rel_err <= 0.05 filter — a
+    // drifting sketch shows up as dropped rows, exactly what the
+    // driver's rows check pins
+    assert(rows.length.toLong == nTypes,
+      s"HLL++ gate dropped groups: ${rows.length} of $nTypes")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rel_err") <= 0.05 &&
+        r.getAs[Double]("max_rel_err") == 0.05 && r.getAs[Boolean]("pass"),
+        s"gate row inconsistent: $r")
+      assert(r.getAs[Long]("n_users_exact") > 0L, r.toString)
+    }
+  }
+
+  test("approx_percentile rank error stays within the documented bound") {
+    val rows = SparkEntry.queries("q_approx_percentiles")(spark, sf).collect()
+    // 3 return flags x 4 percentiles; the in-row gate filters on the
+    // sketch's own guarantee (rank error <= N/accuracy), so any
+    // degraded cell DROPS its row
+    assert(rows.length == 12, s"rank-error gate dropped rows: ${rows.length}")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val p = r.getAs[Double]("p")
+      val err = r.getAs[Double]("max_rank_err")
+      assert(r.getAs[Long]("rank_lt") - err <= p * n &&
+        p * n <= r.getAs[Long]("rank_le") + err && r.getAs[Boolean]("pass"),
+        s"rank bound violated: $r")
     }
   }
 
