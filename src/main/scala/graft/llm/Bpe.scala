@@ -87,16 +87,6 @@ object Bpe {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
-  /** True iff `sym` contains pair (a, b) at some adjacent position —
-    * as a codegen'd string containment over the space-joined array
-    * (tokens are whitespace-split upstream, so no symbol can contain a
-    * space), NOT an interpreted positional HOF: this predicate runs
-    * over the full word table every merge and is the reason
-    * incremental training can afford per-merge scans. */
-  private def hasAdjacentPair(sym: Column, a: String, b: String): Column =
-    concat(lit(" "), array_join(sym, " "), lit(" "))
-      .contains(" " + a + " " + b + " ")
-
   /** Train `numMerges` BPE merges. Ties break deterministically by
     * (count desc, left asc, right asc) — fixed across engines and
     * partitionings. Stops early when no pair reaches `minCount`.
@@ -105,13 +95,15 @@ object Bpe {
     * SIZE-GATED between two spec-equivalent trainers (the same
     * adaptive pattern as the size-gated Spearman): word tables at or
     * above `incrementalMinWords` train incrementally
-    * ([[trainIncremental]] — the vocabulary-scale path, measured 5.2x
-    * faster per merge at 2M words and widening with table size,
-    * SCALING.md); smaller tables use the definitional full recount
-    * ([[trainFullRecount]]), whose single cheap re-agg beats the
-    * incremental path's four small jobs per merge when the table is
-    * tiny (fixed scheduler overhead dominates). The word table is
-    * materialized either way, so the gate's count() is nearly free. */
+    * ([[trainIncremental]] — the chunked vocabulary-scale path,
+    * measured 679 ms/merge at 2M words x 1000 merges: 2.5x the r6
+    * row-per-word shape, 19.6x the full recount, SCALING.md); smaller
+    * tables use the definitional
+    * full recount ([[trainFullRecount]]), whose single cheap re-agg
+    * beats the incremental path's chunk-packing prologue and two
+    * small jobs per merge when the table is tiny (fixed scheduler
+    * overhead dominates). The word table is materialized either way,
+    * so the gate's count() is nearly free. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
       minCount: Long = 2L, marker: String = "</w>",
       incrementalMinWords: Long = 100000L): Seq[(String, String, Long)] = {
@@ -127,17 +119,19 @@ object Bpe {
     * incremental-counts optimization, distributed): the adjacent-pair
     * frequency table is built ONCE from the initial symbol table and
     * then maintained by DELTAS — merging (a,b) only changes the pair
-    * statistics of words that contain (a,b) adjacently, so each
-    * iteration (1) argmaxes the persisted pair table, (2) re-merges
-    * ONLY the affected words (codegen'd containment filter; the
-    * interpreted fold runs on the affected subset, which shrinks as
-    * training proceeds), (3) applies their old-minus-new pair-count
-    * delta. Per-merge aggregation cost is bounded by affected-word
-    * volume, not the word table — full re-aggregation pays the whole
-    * positions-explode + shuffle every merge, which at 10k-50k-merge
-    * production vocabularies is 10k-50k corpus-derived aggs.
-    * Equivalence with the definitional recount is spec-enforced
-    * (BpeSpec) and re-asserted inside the scale probe. */
+    * statistics of words that contain (a,b) adjacently. The word table
+    * itself lives CHUNKED (~1k words per row as a line-blob + freq
+    * array, [[graft.plans.BpeChunk]]) so per-merge work has no
+    * per-word row overhead: each iteration (1) argmaxes the
+    * one-partition pair table, (2) runs one delta-kernel pass over the
+    * chunk rows (affected lines re-counted in place), (3) stacks one
+    * lazy merge-kernel layer, compacted every few merges. Per-merge
+    * aggregation cost is bounded by affected-line volume plus a byte
+    * scan — full re-aggregation pays the whole positions-explode +
+    * shuffle every merge, which at 10k-50k-merge production
+    * vocabularies is 10k-50k corpus-derived aggs. Equivalence with the
+    * definitional recount is spec-enforced (BpeSpec) and re-asserted
+    * inside the scale probe. */
   private[graft] def trainIncremental(df: DataFrame, textCol: String,
       numMerges: Int, minCount: Long = 2L,
       marker: String = "</w>"): Seq[(String, String, Long)] = {
@@ -151,84 +145,121 @@ object Bpe {
   /** Incremental-delta training loop over a pre-materialized
     * (word, freq, symbols) checkpoint (consumed: unpersisted on exit).
     *
-    * The word table is maintained as a DELTA LOG with periodic
-    * compaction: the materialized base plus, per merge, a lazy
-    * `filter(!pair) ∪ re-merged-affected` patch whose affected rows
-    * ARE materialized (a small checkpoint — the interpreted fold runs
-    * exactly once per affected word) while the full-table rewrite is
-    * deferred. Scanning the chained view costs the base scan plus the
-    * stacked codegen'd pair filters — row-bounded, no extra tasks
-    * (each patch is coalesced back to the base partition count, so
-    * union never grows the task count). Every `compactEvery` merges
-    * the chain is compacted into a fresh checkpoint and the superseded
-    * base + patch blocks released, so full-table materialization cost
-    * is paid once per k merges instead of every merge (the r5-measured
-    * linear-in-table-size term), and plan/codegen depth stays bounded
-    * by k. */
+    * The word table is packed ONCE into ~`chunkWords`-word CHUNKS —
+    * one `\n`-separated blob of space-delimited symbol lines plus a
+    * parallel freq array per chunk ([[graft.plans.BpeChunk]]) — and
+    * every per-merge operation becomes a codegen kernel pass over the
+    * ~(words/chunkWords) chunk rows: the pair-count delta is one
+    * [[graft.plans.BpeChunkPairDelta]] scan (affected lines
+    * re-counted, untouched lines cost a byte-scan miss, output
+    * pre-aggregated per chunk), and the table rewrite is a LAZY
+    * [[graft.plans.BpeMergeChunk]] layer compacted to a fresh
+    * checkpoint every `compactEvery` merges. The r6 shape kept
+    * word-per-row and paid ~1.5 s/merge of pure 2M-row scan overhead
+    * regardless of predicate cost (measured: an identical filter over
+    * a precomputed joined column was only 25% cheaper than building
+    * array_join per row — the floor is row count, not the predicate)
+    * — chunking removes the per-row floor instead of shaving its
+    * constant, and drops per-merge job count from 4 to 2 (argmax +
+    * delta-fused counts update). Merge-sequence equality with
+    * [[trainFullRecount]] is spec-enforced (BpeSpec) and re-asserted
+    * at 2M words inside [[graft.tools.BpeVocabProbe]]. */
   private def trainIncrementalFromSyms(syms0: DataFrame, numMerges: Int,
-      minCount: Long, compactEvery: Int = 10): Seq[(String, String, Long)] = {
-    var base = syms0          // materialized head of the delta log
-    var cur = syms0           // base + in-batch lazy patches
-    val patches = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    // unaffected ∪ re-merged concatenates partition lists; the
-    // per-patch coalesce keeps the scan's task count at the base
-    // table's — without it the partition count DOUBLES every merge
-    // (exponential scheduler death long before 1k merges)
-    val nPart = math.max(1, syms0.rdd.getNumPartitions)
-    def compact(): Unit = if (patches.nonEmpty) {
+      minCount: Long, compactEvery: Int = 10,
+      chunkWords: Long = 1024L): Seq[(String, String, Long)] = {
+    import graft.plans.BpeChunk
+    import org.apache.spark.sql.graft.Bridge
+    val spark = syms0.sparkSession
+    val nWords = syms0.count()
+    val nChunks = math.max(
+      spark.sparkContext.defaultParallelism.toLong,
+      nWords / chunkWords).max(1L)
+    // pack: one shuffle on a hash-derived chunk id; blob lines and the
+    // freq array come from the SAME collected struct list, so they
+    // stay aligned whatever order collect_list produces (per-line
+    // independence makes order irrelevant to the result)
+    val chunks0 = syms0
+      .select(
+        pmod(xxhash64(col("word")), lit(nChunks)).as("cid"),
+        struct(col("freq"),
+          concat(lit(" "), array_join(col("symbols"), " "), lit(" "))
+            .as("repr")).as("x"))
+      .groupBy("cid")
+      .agg(collect_list(col("x")).as("xs"))
+      .select(col("xs.freq").as("freqs"),
+        array_join(col("xs.repr"), "\n").as("blob"))
+      .localCheckpoint()
+    Bridge.releaseFrame(syms0) // consumed: repacked into chunks
+    var base = chunks0        // materialized head of the merge chain
+    var cur = chunks0         // base + up to compactEvery lazy kernel layers
+    def compact(): Unit = if (cur ne base) {
       val next = cur.localCheckpoint() // eager: materialized here
-      org.apache.spark.sql.graft.Bridge.releaseFrame(base)
-      patches.foreach(org.apache.spark.sql.graft.Bridge.releaseFrame(_))
-      patches.clear()
+      Bridge.releaseFrame(base)
       base = next
       cur = next
     }
-    var counts = pairCounts(cur).localCheckpoint()
+    // the pair table is vocabulary-sized (hundreds to low-thousands of
+    // rows) — one partition keeps every per-merge counts job and the
+    // argmax at single-task cost
+    var counts = chunks0
+      .select(explode(BpeChunk.pairCounts(col("blob"), col("freqs"))).as("p"))
+      .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+      .agg(sum(col("p.delta")).as("cnt"))
+      .coalesce(1)
+      .localCheckpoint()
+    // the previous round's counts checkpoint: releasable only AFTER the
+    // current (lazily-checkpointed) counts materialize — a released
+    // localCheckpoint cannot recompute
+    var prevCounts: DataFrame = null
     val merges = Seq.newBuilder[(String, String, Long)]
     var i = 0
     var done = false
     while (i < numMerges && !done) {
+      // this collect MATERIALIZES a lazy counts checkpoint (one job for
+      // delta + counts update + argmax together), after which the
+      // superseded round's blocks can go
       val top = counts
         .orderBy(col("cnt").desc, col("left"), col("right"))
         .limit(1).collect()
+      if (prevCounts != null) { Bridge.releaseFrame(prevCounts); prevCounts = null }
       if (top.isEmpty || top(0).getAs[Long]("cnt") < minCount) done = true
       else {
         val (a, b, c) = (top(0).getAs[String]("left"),
           top(0).getAs[String]("right"), top(0).getAs[Long]("cnt"))
         merges += ((a, b, c))
-        // affected words only: old and merged symbols side by side
-        val aff = cur.filter(hasAdjacentPair(col("symbols"), a, b))
-          .select(col("word"), col("freq"), col("symbols"),
-            mergePair(col("symbols"), a, b).as("merged"))
-          .localCheckpoint()
-        // delta = new pair stats of affected words minus their old ones;
-        // the merged pair's own rows cancel to exactly zero (greedy
-        // re-merge leaves no adjacent (a,b) behind)
-        val delta = pairCounts(aff.select(col("merged").as("symbols"),
-            col("freq")))
-          .union(pairCounts(aff.select(col("symbols"),
-            (-col("freq")).as("freq"))))
-        val nextCounts = counts.union(delta)
+        // chunk-local deltas union'd straight into the global pair
+        // table (the merged pair's own rows cancel to exactly zero —
+        // greedy re-merge leaves no adjacent (a,b) behind); the
+        // checkpoint is LAZY so the next iteration's argmax drives it
+        val deltaRows = cur
+          .select(explode(
+            BpeChunk.pairDelta(col("blob"), col("freqs"), a, b)).as("p"))
+          .select(col("p.left").as("left"), col("p.right").as("right"),
+            col("p.delta").as("cnt"))
+        val nextCounts = counts.union(deltaRows)
           .groupBy("left", "right").agg(sum(col("cnt")).as("cnt"))
           .filter(col("cnt") > 0)
-          .localCheckpoint()
-        // lazy patch: the affected rows ride from aff's checkpoint
-        // (fold already evaluated), unaffected rows flow through one
-        // more stacked codegen'd filter; no full-table materialization
-        cur = cur.filter(!hasAdjacentPair(col("symbols"), a, b))
-          .union(aff.select(col("word"), col("freq"),
-            col("merged").as("symbols")))
-          .coalesce(nPart)
-        patches += aff
-        org.apache.spark.sql.graft.Bridge.releaseFrame(counts)
+          .coalesce(1)
+          .localCheckpoint(false)
+        // lazy rewrite: one stacked kernel layer; untouched chunks
+        // return the input blob object (no copy)
+        cur = cur.withColumn("blob",
+          BpeChunk.mergeChunk(col("blob"), a, b))
+        prevCounts = counts
         counts = nextCounts
         i += 1
-        if (i % compactEvery == 0) compact()
+        if (i % compactEvery == 0) {
+          // compaction evaluates the chunk chain; materialize the
+          // pending counts FIRST so both jobs read the same chain once
+          counts.count()
+          if (prevCounts != null) { Bridge.releaseFrame(prevCounts); prevCounts = null }
+          compact()
+        }
       }
     }
-    org.apache.spark.sql.graft.Bridge.releaseFrame(base)
-    patches.foreach(org.apache.spark.sql.graft.Bridge.releaseFrame(_))
-    org.apache.spark.sql.graft.Bridge.releaseFrame(counts)
+    if (prevCounts != null) Bridge.releaseFrame(prevCounts)
+    Bridge.releaseFrame(base)
+    Bridge.releaseFrame(counts)
     merges.result()
   }
 

@@ -1065,6 +1065,151 @@ object Multimodal {
       }(enc)
   }
 
+  /** Parsed MPEG-audio (MP3) stream metadata from frame headers. */
+  private[graft] final case class Mp3Meta(durationMs: Long,
+      sampleRateHz: Int, bitrateKbps: Int, nFrames: Long, vbr: Boolean)
+
+  /** True when the payload starts with an ID3v2 tag or an MPEG-audio
+    * frame sync. */
+  private[graft] def isMp3(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 &&
+      ((b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+        ((b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0))
+
+  // bitrate (kbps) by [versionGroup][layer][index]; 0 = free (unusable
+  // for frame sizing), -1 = bad. versionGroup: 0 = MPEG1, 1 = MPEG2/2.5
+  private val mp3Bitrates: Array[Array[Array[Int]]] = Array(
+    Array( // MPEG1: layer I, II, III
+      Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448, -1),
+      Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384, -1),
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, -1)),
+    Array( // MPEG2/2.5
+      Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256, -1),
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, -1),
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, -1)))
+
+  private val mp3Rates: Array[Array[Int]] = Array(
+    Array(44100, 48000, 32000), // MPEG1
+    Array(22050, 24000, 16000), // MPEG2
+    Array(11025, 12000, 8000))  // MPEG2.5
+
+  /** Walk MPEG-audio frame headers (the [[probeMp4]] pattern applied
+    * to MP3): duration/bitrate/sample-rate come straight from the
+    * 4-byte header of each length-prefixed frame, O(frame count) with
+    * no decoder. Same untrusted-header posture as the box walker —
+    * every frame length is table-derived and bounds-checked, a
+    * reserved version/layer, bad bitrate index, bad sample-rate index
+    * or free-format bitrate (length not derivable) STOPS the walk, and
+    * a truncated trailing frame does not void metadata already in hand
+    * (the moov-first lesson). An ID3v2 preamble is skipped via its
+    * syncsafe length. Returns None unless at least one whole valid
+    * frame parses. VBR streams report the frame-weighted mean bitrate
+    * and vbr=true. */
+  private[graft] def probeMp3(b: Array[Byte]): Option[Mp3Meta] = {
+    try {
+      if (!isMp3(b)) return None
+      var off = 0
+      // ID3v2: "ID3" ver(2) flags(1) size(4 syncsafe, tag bytes follow)
+      if (b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+        if (b.length < 10) return None
+        if (((b(6) | b(7) | b(8) | b(9)) & 0x80) != 0) return None
+        val tagLen = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+          ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+        off = 10 + tagLen
+        if (off < 0 || off > b.length) return None
+      }
+      var nFrames = 0L
+      var durationUs = 0.0
+      var firstRate = -1
+      var firstBitrate = -1
+      var kbpsSum = 0.0
+      var vbr = false
+      var halted = false
+      while (!halted && off + 4 <= b.length) {
+        val h0 = b(off) & 0xff
+        val h1 = b(off + 1) & 0xff
+        val h2 = b(off + 2) & 0xff
+        val h3 = b(off + 3) & 0xff
+        if (h0 != 0xff || (h1 & 0xe0) != 0xe0) halted = true
+        else {
+          val versionBits = (h1 >> 3) & 0x3 // 0=2.5, 1=reserved, 2=MPEG2, 3=MPEG1
+          val layerBits = (h1 >> 1) & 0x3   // 1=III, 2=II, 3=I
+          val bitrateIdx = (h2 >> 4) & 0xf
+          val rateIdx = (h2 >> 2) & 0x3
+          val padding = (h2 >> 1) & 0x1
+          if (versionBits == 1 || layerBits == 0 || rateIdx == 3) halted = true
+          else {
+            val vGroup = if (versionBits == 3) 0 else 1
+            val layer = 3 - layerBits // 0=I, 1=II, 2=III
+            val kbps = mp3Bitrates(vGroup)(layer)(bitrateIdx)
+            if (kbps <= 0) halted = true // free-format or bad index
+            else {
+              val rate = versionBits match {
+                case 3 => mp3Rates(0)(rateIdx)
+                case 2 => mp3Rates(1)(rateIdx)
+                case _ => mp3Rates(2)(rateIdx)
+              }
+              val samplesPerFrame =
+                if (layer == 0) 384
+                else if (layer == 1) 1152
+                else if (vGroup == 0) 1152 else 576 // layer III
+              val slot = if (layer == 0) 4 else 1
+              val frameLen =
+                (samplesPerFrame / 8 / slot * kbps * 1000 / rate + padding) * slot
+              if (frameLen < 4 || off + frameLen > b.length) halted = true
+              else {
+                if (nFrames == 0L) { firstRate = rate; firstBitrate = kbps }
+                else if (kbps != firstBitrate) vbr = true
+                nFrames += 1L
+                kbpsSum += kbps
+                durationUs += samplesPerFrame * 1000000.0 / rate
+                off += frameLen
+              }
+            }
+          }
+        }
+      }
+      if (nFrames == 0L) None
+      else Some(Mp3Meta(math.rint(durationUs / 1000.0).toLong, firstRate,
+        math.rint(kbpsSum / nFrames).toInt, nFrames, vbr))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private val audioMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("probe_ok", BooleanType),
+    StructField("duration_ms", LongType),
+    StructField("sample_rate_hz", IntegerType),
+    StructField("bitrate_kbps", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("vbr", BooleanType)))
+
+  /** Probe REAL duration/bitrate/sample-rate out of MP3 payloads
+    * (frame-header walk — no decoder): (media_id, probe_ok,
+    * duration_ms, sample_rate_hz, bitrate_kbps, n_frames, vbr),
+    * probe_ok=false (null metadata) for undecodable or non-MP3
+    * payloads. The audio twin of [[probeVideoMeta]] — with it, every
+    * media family's METADATA layer is real (WAV decodes fully, MP3 and
+    * MP4/MOV probe their containers); only codec frame DECODE remains
+    * stubbed. Same narrow no-shuffle shape as the decode kernels. */
+  def probeAudioMeta(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(audioMetaSchema)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          probeMp3(payload) match {
+            case Some(m) => Row(id, true, m.durationMs, m.sampleRateHz,
+              m.bitrateKbps, m.nFrames, m.vbr)
+            case None => Row(id, false, null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
   /** Video frame-sampling plumbing: emit one row per sampled frame
     * index (every `everyMs` within duration) — the decode of each frame
     * is the same stub. Shows the explode-then-decode shape without

@@ -190,16 +190,35 @@ object Unigram {
   }
 
   /** Encode documents under a trained vocabulary: per doc, the pieces
-    * of every word (Viterbi under the broadcast vocab) plus the
-    * fertility ratio n_pieces/n_words — the tokenizer-quality metric.
-    * The corpus is scanned once; the vocab is a bounded broadcast
-    * map, and each row's work is O(chars x maxPieceLen). Output:
-    * (idCol, n_words, n_pieces, fertility). */
+    * of every word (Viterbi DP, candidates bounded by maxPieceLen)
+    * plus the fertility ratio n_pieces/n_words — the tokenizer-quality
+    * metric. The corpus is scanned once and the whole pass is a single
+    * codegen projection ([[graft.plans.UnigramEncodeStats]] — the
+    * bounded vocab map rides the plan, one copy per executor via the
+    * task-binary broadcast); no Dataset encoder boundary on the hot
+    * path. Output: (idCol, n_words, n_pieces, fertility). */
   def encodeDocs(df: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame, maxPieceLen: Int = 6): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    // bounded collect (vocabSize rows) — the BPE broadcast pattern
+    // bounded collect (vocabSize rows) — the BPE vocab-table pattern
+    val logp = vocab.select("piece", "logp").as[(String, Double)]
+      .collect().toMap
+    df.select(col(idCol).cast("long").as(idCol),
+        graft.plans.UnigramEncode.stats(
+          graft.functions.Text.tokens(lower(col(textCol))),
+          logp, maxPieceLen).as("__s"))
+      .select(col(idCol), col("__s.n_words").as("n_words"),
+        col("__s.n_pieces").as("n_pieces"),
+        col("__s.fertility").as("fertility"))
+  }
+
+  /** The pre-r7 typed-map encode pass — kept as the equivalence oracle
+    * for the codegen kernel (UnigramSpec asserts row equality). */
+  private[graft] def encodeDocsTyped(df: DataFrame, idCol: String,
+      textCol: String, vocab: DataFrame, maxPieceLen: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val logp = vocab.select("piece", "logp").as[(String, Double)]
       .collect().toMap
     val bc = spark.sparkContext.broadcast(logp)

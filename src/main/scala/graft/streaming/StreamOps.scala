@@ -101,6 +101,43 @@ object StreamOps {
     l.join(r, "time_bucket")
   }
 
+  /** [[bucketJoin]]'s skew-salted variant — the hot-minute mitigation
+    * the J1 docstring prescribes, as an operator. The join is a
+    * within-bucket cross product, so plain two-sided salting would
+    * DROP pairs (a left row in cell 3 never meets a right row in cell
+    * 5); instead the left side hashes its value into one of `salt`
+    * cells and the right side is replicated into EVERY cell, so each
+    * (left, right) pair meets exactly once at key (bucket, cell).
+    * A hot minute's left-side state then spreads across `salt` state
+    * partitions instead of one (measured: R6StreamStateProbe salted
+    * mode, SCALING.md), at the documented cost of `salt`-way duplicate
+    * right-side routing — the right trade when left volume dwarfs
+    * right volume (tick streams vs reference feeds). Watermark
+    * eviction is unchanged: cleanup keys on the window bucket, which
+    * stays a join column. Output equals [[bucketJoin]] row-for-row
+    * (spec-enforced, batch and stream). */
+  def bucketJoinSalted(
+      left: DataFrame, leftVal: String,
+      right: DataFrame, rightVal: String,
+      bucket: String = "1 minute",
+      watermark: String = "10 minutes",
+      salt: Int = 8,
+      streaming: Boolean = true): DataFrame = {
+    require(salt >= 1, "salt must be positive")
+    def side(df: DataFrame, v: String, tag: String) = {
+      val wm = if (streaming) df.withWatermark("event_time", watermark) else df
+      wm.select(window(col("event_time"), bucket).as("time_bucket"),
+        col(v).as(s"${tag}_$v"))
+    }
+    val l = side(left, leftVal, "l")
+      .withColumn("__cell",
+        pmod(xxhash64(col(s"l_$leftVal")), lit(salt.toLong)).cast("int"))
+    val r = side(right, rightVal, "r")
+      .withColumn("__cell",
+        explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, Seq("time_bucket", "__cell")).drop("__cell")
+  }
+
   /** §3.3 per-batch correlation: minute-mean both sides, then Pearson
     * corr of the means plus global min/max/avg scalars — computed in ONE
     * aggregate pass over the joined frame (the reference runs four

@@ -565,6 +565,75 @@ class EtlMultimodalSpec extends SparkSpec {
     assert(!out(2L).getBoolean(1) && out(2L).isNullAt(2))
   }
 
+  test("probeMp3 walks real frame headers; malformed inputs -> probe_ok=false") {
+    // MPEG1 Layer III 44100 Hz: header FF FB <bitrateIdx<<4 | rateIdx<<2
+    // | pad<<1> 00, frame length = 144*bitrate/rate + pad
+    def frame(kbps: Int, pad: Int = 0): Array[Byte] = {
+      val idx = Seq(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+        224, 256, 320).indexOf(kbps)
+      assert(idx > 0, s"not a MPEG1-L3 bitrate: $kbps")
+      val len = 144 * kbps * 1000 / 44100 + pad
+      val f = Array.fill[Byte](len)(0x11)
+      f(0) = 0xff.toByte; f(1) = 0xfb.toByte
+      f(2) = ((idx << 4) | (pad << 1)).toByte; f(3) = 0x00
+      f
+    }
+    val cbr10 = Array.fill(10)(frame(128)).flatten
+    // 10 frames x 1152 samples / 44100 Hz = 261.2 ms
+    assert(Multimodal.probeMp3(cbr10).contains(
+      Multimodal.Mp3Meta(261L, 44100, 128, 10L, vbr = false)))
+    // padding bit lengthens the frame by one slot — walk must follow it
+    val padded = (frame(128, pad = 1) ++ frame(128)) :+ 0x00.toByte
+    assert(Multimodal.probeMp3(padded).exists(_.nFrames == 2L))
+    // ID3v2 preamble (10-byte header + syncsafe-sized tag) is skipped
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 20) ++
+      Array.fill[Byte](20)(0x41) ++ cbr10
+    assert(Multimodal.probeMp3(id3).contains(
+      Multimodal.Mp3Meta(261L, 44100, 128, 10L, vbr = false)))
+    // VBR: frame-weighted mean bitrate, vbr flagged
+    val vbr = (Array.fill(5)(frame(128)) ++ Array.fill(5)(frame(192))).flatten
+    assert(Multimodal.probeMp3(vbr).contains(
+      Multimodal.Mp3Meta(261L, 44100, 160, 10L, vbr = true)))
+    // truncated trailing frame must not void frames already parsed
+    val cut = cbr10 ++ frame(128).take(100)
+    assert(Multimodal.probeMp3(cut).exists(m =>
+      m.nFrames == 10L && m.durationMs == 261L),
+      "truncated trailing frame must keep parsed metadata")
+    // hardening: non-audio, bad bitrate index, free-format, reserved
+    // version, oversized ID3 length — all None, never garbage
+    assert(Multimodal.probeMp3("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.probeMp3(null).isEmpty)
+    val badIdx = frame(128); badIdx(2) = 0xf0.toByte // bitrate index 15
+    assert(Multimodal.probeMp3(badIdx).isEmpty)
+    val free = frame(128); free(2) = 0x00 // free-format: length unknowable
+    assert(Multimodal.probeMp3(free).isEmpty)
+    val reserved = frame(128); reserved(1) = 0xeb.toByte // version bits 01
+    assert(Multimodal.probeMp3(reserved).isEmpty)
+    val hugeId3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0x7f, 0x7f, 0x7f, 0x7f)
+    assert(Multimodal.probeMp3(hugeId3).isEmpty)
+    // MPEG2 Layer III (FF F3): 576 samples/frame at 22050 Hz
+    val m2 = {
+      val len = 72 * 64 * 1000 / 22050 // idx 8 = 64 kbps
+      val f = Array.fill[Byte](len)(0x22)
+      f(0) = 0xff.toByte; f(1) = 0xf3.toByte; f(2) = 0x80.toByte; f(3) = 0
+      f
+    }
+    assert(Multimodal.probeMp3(m2).contains(
+      Multimodal.Mp3Meta(26L, 22050, 64, 1L, vbr = false)))
+    // the Spark surface: probe_ok + typed metadata columns
+    val media = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, "audio", cbr10, null, null, null),
+        Row(2L, "audio", "junk".getBytes, null, null, null)),
+      Multimodal.mediaSchema)
+    val out = Multimodal.probeAudioMeta(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(1) && out(1L).getLong(2) == 261L &&
+      out(1L).getInt(3) == 44100 && out(1L).getInt(4) == 128 &&
+      out(1L).getLong(5) == 10L && !out(1L).getBoolean(6))
+    assert(!out(2L).getBoolean(1) && out(2L).isNullAt(2))
+  }
+
   test("sampleFrames skips zero/null-duration videos instead of failing") {
     val media = spark.createDataFrame(
       java.util.List.of(

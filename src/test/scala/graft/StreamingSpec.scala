@@ -137,6 +137,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucketJoinSalted == bucketJoin row-for-row, batch and stream") {
+    // skewed: one hot minute carries most left rows, exercising the
+    // replicate-right/spread-left construction
+    val left = (0 until 30).map(i => tick("BP", base + (i % 3) * 1000L, 30.0 + i)) ++
+      (0 until 6).map(i => tick("BP", base + 120000L + i * 5000L, 90.0 + i))
+    val right = (0 until 8).map(i => tick("ETHEREUM", base + i * 30000L, 3000.0 + i))
+    def prep(rows: Seq[Ticks.MarketTickTuple]) =
+      Ticks.withEventTime(ticksDf(rows))
+    def sorted(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("time_bucket.start").cast("long").as("b"),
+        col("l_price"), col("r_price"))
+      .orderBy("b", "l_price", "r_price").collect().map(_.toSeq).toSeq
+
+    val plain = StreamOps.bucketJoin(
+      prep(left), "price", prep(right), "price", streaming = false)
+    val salted = StreamOps.bucketJoinSalted(
+      prep(left), "price", prep(right), "price", salt = 4, streaming = false)
+    assert(sorted(salted) == sorted(plain) && sorted(plain).nonEmpty)
+
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[Ticks.MarketTickTuple]
+    val memR = MemoryStream[Ticks.MarketTickTuple]
+    memL.addData(left); memR.addData(right)
+    def prepStream(m: MemoryStream[Ticks.MarketTickTuple]) =
+      Ticks.withEventTime(m.toDF().toDF("symbol", "timestamp", "source",
+        "data_type", "bid", "ask", "price", "volume", "spread_raw",
+        "spread_table", "volatility", "market_sentiment", "trading_activity"))
+    val q = StreamOps.bucketJoinSalted(
+        prepStream(memL), "price", prepStream(memR), "price", salt = 4)
+      .writeStream.format("memory").queryName("bjs_parity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sorted(spark.table("bjs_parity")) == sorted(plain))
+    } finally q.stop()
+  }
+
   test("bucketCorrSummary computes corr of minute means in one pass") {
     // two perfectly correlated series across 5 buckets
     val left = (0 until 5).flatMap(b => Seq(

@@ -54,6 +54,36 @@ class UnigramSpec extends SparkSpec {
     assert(r3.getLong(1) == 2L && r3.getLong(2) >= 2L)
   }
 
+  test("codegen encode kernel == typed-map encode, row for row") {
+    // real-ish vocab over the training corpus plus adversarial docs:
+    // empty text, whitespace-only, unseen characters (per-char
+    // fallback), repeated words
+    val docs = corpus.unionByName(Seq(
+      (100L, ""), (101L, "   "), (102L, "héllo wörld"),
+      (103L, "hello hello hello hello")).toDF("doc_id", "text"))
+    val vocab = Unigram.train(corpus, "text", vocabSize = 50, iters = 2,
+      maxPieceLen = 6, seedSize = 200)
+    Unigram.releaseCaches()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val kernel = rows(Unigram.encodeDocs(docs, "doc_id", "text", vocab))
+    val typed = rows(Unigram.encodeDocsTyped(docs, "doc_id", "text", vocab))
+    assert(kernel == typed, s"kernel/typed divergence")
+    assert(kernel.size == 44)
+    // interpreted == codegen for the kernel expression itself
+    val logp = vocab.select("piece", "logp").as[(String, Double)]
+      .collect().toMap
+    val e = graft.plans.UnigramEncodeStats(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq("hello", "quux", "héllo"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType)),
+      logp, 6)
+    val interp = e.eval(null)
+    assert(interp != null && interp.asInstanceOf[
+      org.apache.spark.sql.catalyst.InternalRow].getLong(0) == 3L)
+  }
+
   test("q_unigram_train_gate emits a passing monotonicity row") {
     val r = SparkEntry.queries("q_unigram_train_gate")(
       spark, "/root/testdata/sf0.001").collect()
