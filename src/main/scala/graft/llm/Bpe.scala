@@ -317,13 +317,25 @@ object Bpe {
       .toDF("merge_rank", "left", "right", "merged", "pair_count")
   }
 
-  /** Apply a merge list to an (word, freq, symbols) table. Real
-    * vocabularies are 10k-50k merges, so the fold localCheckpoints
-    * every 64 layers to keep Catalyst analysis depth bounded (the same
-    * blowup train's loop avoids) — and unpersists each superseded
-    * checkpoint once the next materializes, so at most one checkpoint
-    * of the word table is pinned at a time (train's pattern). */
+  /** Apply a merge list to an (word, freq, symbols) table — ONE
+    * codegen kernel pass ([[graft.plans.BpeApplyMerges]]): the whole
+    * rank-ordered list compiles into an int-interned program applied
+    * per word, so a 10k-merge production vocabulary segments in a
+    * single projection. The pre-r7 shape stacked one interpreted fold
+    * layer per merge with a localCheckpoint every 64 layers to bound
+    * Catalyst depth — ~156 full word-table materializations at 10k
+    * merges just to segment ([[applyMergesFold]], kept as the
+    * spec-enforced equivalence oracle). */
   private def applyMerges(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    words.withColumn("symbols",
+      graft.plans.BpeChunk.applyMerges(col("symbols"), merges))
+
+  /** The definitional layer-per-merge application (fold semantics the
+    * kernel must reproduce exactly) — equivalence oracle for
+    * [[applyMerges]] in BpeSpec; checkpoints every 64 layers to bound
+    * Catalyst analysis depth. */
+  private[graft] def applyMergesFold(words: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
     var cur = words
     var lastCp: Option[DataFrame] = None

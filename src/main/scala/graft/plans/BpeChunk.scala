@@ -303,6 +303,146 @@ case class BpeChunkPairs(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Compiled form of a whole BPE merge list, applied to one symbol
+  * array in a single kernel pass — the encode-side twin of the chunked
+  * trainer. The r6 `applyMerges` stacked one interpreted fold layer
+  * per merge (localCheckpointing every 64 to bound Catalyst depth): at
+  * a 10k-merge production vocabulary that is ~156 full word-table
+  * materializations just to SEGMENT. This class applies the merges
+  * sequentially in rank order per word (exactly the fold semantics:
+  * greedy left-to-right per merge, spec-enforced equal), with symbols
+  * int-interned once at plan time so the inner loop is integer
+  * compares, and a per-thread epoch-stamped presence table so merges
+  * whose pair symbols don't BOTH occur in the word cost O(1) — the
+  * common case, since a word holds <=len distinct symbols out of
+  * ~2 x numMerges. Worst-case per word is O(numMerges x len); typical
+  * is O(numMerges + touched x len). */
+final class BpeMergeProgram(merges: Seq[(String, String)]) extends Serializable {
+  // intern every symbol a merge can consume or produce
+  private val ids = new java.util.HashMap[String, Integer]()
+  private def intern(s: String): Int = {
+    val got = ids.get(s)
+    if (got != null) got.intValue()
+    else { val id = ids.size(); ids.put(s, id); id }
+  }
+  private val aIds = new Array[Int](merges.size)
+  private val bIds = new Array[Int](merges.size)
+  private val mIds = new Array[Int](merges.size)
+  private val mToks = new Array[UTF8String](merges.size)
+  merges.zipWithIndex.foreach { case ((a, b), k) =>
+    aIds(k) = intern(a); bIds(k) = intern(b); mIds(k) = intern(a + b)
+    mToks(k) = UTF8String.fromString(a + b)
+  }
+  private val nIds = ids.size()
+
+  // per-thread scratch: presence stamps + token/id work arrays
+  @transient private lazy val scratch =
+    ThreadLocal.withInitial[BpeMergeProgram.Scratch](() =>
+      new BpeMergeProgram.Scratch(nIds))
+
+  def apply(arr: ArrayData): GenericArrayData = {
+    val n = arr.numElements()
+    val s = scratch.get()
+    s.ensure(n)
+    s.nextRow()
+    val toks = s.toks
+    val symIds = s.ids
+    var i = 0
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      toks(i) = u
+      val id =
+        if (u == null) -1
+        else { val g = ids.get(u.toString); if (g == null) -1 else g.intValue() }
+      symIds(i) = id
+      s.mark(id)
+      i += 1
+    }
+    var len = n
+    var k = 0
+    while (k < aIds.length) {
+      if (s.has(aIds(k)) && s.has(bIds(k))) {
+        // greedy left-to-right merge in place (the mergePair fold)
+        val a = aIds(k); val b = bIds(k)
+        var r = 0 // read
+        var w = 0 // write
+        while (r < len) {
+          if (r + 1 < len && symIds(r) == a && symIds(r + 1) == b) {
+            symIds(w) = mIds(k); toks(w) = mToks(k)
+            s.mark(mIds(k))
+            r += 2
+          } else {
+            symIds(w) = symIds(r); toks(w) = toks(r)
+            r += 1
+          }
+          w += 1
+        }
+        len = w
+      }
+      k += 1
+    }
+    val out = new Array[Any](len)
+    i = 0
+    while (i < len) { out(i) = toks(i); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+object BpeMergeProgram {
+  /** Presence stamps are epoch-compared, so rows don't pay a clear;
+    * stale marks (symbols merged away) only cost a wasted O(len) scan,
+    * never a wrong result — greedy merge of an absent pair is a no-op. */
+  final class Scratch(nIds: Int) {
+    private val stamp = new Array[Int](math.max(1, nIds))
+    private var epoch = 0
+    var toks = new Array[UTF8String](64)
+    var ids = new Array[Int](64)
+    def ensure(n: Int): Unit = if (n > toks.length) {
+      toks = new Array[UTF8String](Integer.highestOneBit(n) * 2)
+      ids = new Array[Int](toks.length)
+    }
+    def nextRow(): Unit = {
+      epoch += 1
+      if (epoch == Int.MaxValue) {
+        java.util.Arrays.fill(stamp, 0); epoch = 1
+      }
+    }
+    def mark(id: Int): Unit = if (id >= 0) stamp(id) = epoch
+    def has(id: Int): Boolean = id >= 0 && stamp(id) == epoch
+  }
+}
+
+/** bpe_apply_merges(symbols): the symbol array after the whole merge
+  * list, rank order, greedy left-to-right each — one pass, no stacked
+  * layers. Null array -> null; null elements pass through unmerged. */
+case class BpeApplyMerges(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"bpe_apply_merges expects array<string>, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType = child.dataType
+
+  @transient private lazy val program = new BpeMergeProgram(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    program.apply(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val progRef = ctx.addReferenceObj("bpeProgram", program,
+        classOf[BpeMergeProgram].getName)
+      s"${ev.value} = $progRef.apply($x);"
+    })
+
+  override def prettyName: String = "bpe_apply_merges"
+  override protected def withNewChildInternal(newChild: Expression): BpeApplyMerges =
+    copy(child = newChild)
+}
+
 object BpeChunk {
   def mergeChunk(blob: Column, a: String, b: String): Column =
     Bridge.toColumn(BpeMergeChunk(Bridge.toExpression(blob), a, b))
@@ -312,4 +452,6 @@ object BpeChunk {
   def pairCounts(blob: Column, freqs: Column): Column =
     Bridge.toColumn(BpeChunkPairs(
       Bridge.toExpression(blob), Bridge.toExpression(freqs)))
+  def applyMerges(symbols: Column, merges: Seq[(String, String)]): Column =
+    Bridge.toColumn(BpeApplyMerges(Bridge.toExpression(symbols), merges))
 }

@@ -61,6 +61,34 @@ class BpeSpec extends SparkSpec {
       Seq("a"), Seq.empty))
   }
 
+  test("kernel applyMerges == layer-per-merge fold, incl. rank-order traps") {
+    // chained merges, overlap runs, symbols outside every merge, and
+    // the SEQUENTIAL-semantics trap: ("x","ab") ranks BEFORE ("a","b"),
+    // so by the time "ab" exists its consumer has already passed — a
+    // min-rank-loop encoder would merge [x,a,b] all the way to [xab];
+    // rank-order application must stop at [x, ab]
+    val merges = Seq(("x", "ab"), ("a", "b"), ("ab", "c"), ("a", "a"))
+    val words = Seq(
+      Seq("x", "a", "b"), Seq("a", "b", "c"), Seq("a", "a", "a"),
+      Seq("a", "a", "a", "a"), Seq("q", "z"), Seq("a"), Seq.empty[String],
+      Seq("x", "a", "b", "c", "a", "b"), Seq("ab", "x", "ab"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, 1L, s) }
+      .toDF("word", "freq", "symbols")
+    def out(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("word").select("symbols").as[Seq[String]].collect().toSeq
+    val kernel = out(words.withColumn("symbols",
+      graft.plans.BpeChunk.applyMerges(col("symbols"), merges)))
+    val fold = {
+      val r = out(Bpe.applyMergesFold(words, merges))
+      Bpe.releaseCaches(); r
+    }
+    assert(kernel == fold, s"kernel $kernel vs fold $fold")
+    assert(kernel(0) == Seq("x", "ab"), s"rank-order trap broken: ${kernel(0)}")
+    assert(kernel(2) == Seq("aa", "a") && kernel(3) == Seq("aa", "aa"))
+    // pre-existing "ab" tokens DO feed the rank-0 merge
+    assert(kernel(8) == Seq("ab", "xab"), kernel(8).toString)
+  }
+
   test("train reproduces the reference merge sequence exactly") {
     val got = Bpe.train(corpus, "text", numMerges = 12, minCount = 2L)
     val want = refBpe(corpusWords, numMerges = 12, minCount = 2L)
