@@ -59,11 +59,19 @@ object Bench {
     // warmed by the first probe, so start/mid/end probe totals move
     // only with session load.
     val canaryNames = Seq("q_pricing_summary", "q_scan_filter", "q_word_count")
-    def canaryPass(): Double = canaryNames.flatMap(SparkEntry.queries.get)
-      .map(fn => once(fn)).filter(_ >= 0).sum
+    // a pass is valid only if EVERY canary query ran: summing the
+    // survivors of a partial failure would make probe points
+    // incomparable (2-query vs 3-query totals) and fake/mask drift
+    def canaryPass(): Double = {
+      val ts = canaryNames.flatMap(SparkEntry.queries.get).map(fn => once(fn))
+      if (ts.isEmpty || ts.exists(_ < 0)) -1.0 else ts.sum
+    }
     // each probe point = min of two back-to-back passes, so a single
     // GC pause cannot fake (or mask) drift
-    def canaryProbe(): Double = math.min(canaryPass(), canaryPass())
+    def canaryProbe(): Double = {
+      val (a, b) = (canaryPass(), canaryPass())
+      if (a < 0 || b < 0) -1.0 else math.min(a, b)
+    }
     // Optional comma-separated query filter for isolated A/B runs
     // (sweep-pressure outliers need re-measuring alone before being
     // banked as noise — VERDICT r5 §wrong-2).
@@ -73,10 +81,16 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None        => SparkEntry.queries
     }
+    // the canary exists to diagnose the FULL sweep; an isolated-subset
+    // A/B run (SPARK_GRAFT_QUERIES) must stay isolated — up to ~24
+    // canary executions of unrelated queries around a single-query
+    // measurement would defeat the filter's purpose
+    val canaryOn = only.isEmpty
     // two untimed passes first: the 1st warms the three plans, the 2nd
     // soaks residual tiered-JIT warmup that otherwise inflates `start`
     // (and with it drift) on a freshly-launched JVM
-    val canaryStart = { canaryPass(); canaryPass(); canaryProbe() }
+    val canaryStart =
+      if (canaryOn) { canaryPass(); canaryPass(); canaryProbe() } else -1.0
     val half = (selected.size + 1) / 2
     var canaryMid = -1.0
     var i = 0
@@ -90,11 +104,11 @@ object Bench {
       val runs = Seq(once(fn), once(fn), once(fn))
       releasePerQueryCaches()
       i += 1
-      if (i == half) canaryMid = canaryProbe()
+      if (canaryOn && i == half) canaryMid = canaryProbe()
       val failed = runs.exists(_ < 0)
       name -> (if (failed) (-1.0, -1.0) else (runs.sorted.apply(1), runs.min))
     }
-    val canaryEnd = canaryProbe()
+    val canaryEnd = if (canaryOn) canaryProbe() else -1.0
     // Outlier re-run: medians that tower over their own min were taken
     // under transient pressure — measure once more, post-sweep.
     val retries = results.collect {
@@ -117,8 +131,11 @@ object Bench {
     val medians = results.map { case (k, (med, _)) => k -> med }
     val mins = results.map { case (k, (_, mn)) => k -> mn }
     val total = if (medians.nonEmpty) medians.values.sum else 0.0
+    // drift needs >= 2 comparable points; with fewer (canary off, or
+    // probes invalidated by a failing canary query) report -1, never a
+    // fabricated 1.0
     val probes = Seq(canaryStart, canaryMid, canaryEnd).filter(_ > 0)
-    val drift = if (probes.nonEmpty && probes.min > 0) probes.max / probes.min else -1.0
+    val drift = if (probes.size >= 2) probes.max / probes.min else -1.0
     val canaryJson = s"""{"start":${fmt(canaryStart)},"mid":${fmt(canaryMid)},"end":${fmt(canaryEnd)},"drift":${fmt(drift)}}"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(medians)},"queries_min":${obj(mins)},"canary":$canaryJson,"retry":${obj(retries)},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(

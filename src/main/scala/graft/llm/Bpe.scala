@@ -110,8 +110,9 @@ object Bpe {
     require(!marker.exists(_.isWhitespace),
       "end-of-word marker must not contain whitespace")
     val syms = initSymbols(wordFreq(df, textCol), marker).localCheckpoint()
-    if (syms.count() >= incrementalMinWords)
-      trainIncrementalFromSyms(syms, numMerges, minCount)
+    val nWords = syms.count()
+    if (nWords >= incrementalMinWords)
+      trainIncrementalFromSyms(syms, numMerges, minCount, nWords0 = nWords)
     else trainRecountFromSyms(syms, numMerges, minCount)
   }
 
@@ -166,11 +167,14 @@ object Bpe {
     * at 2M words inside [[graft.tools.BpeVocabProbe]]. */
   private def trainIncrementalFromSyms(syms0: DataFrame, numMerges: Int,
       minCount: Long, compactEvery: Int = 10,
-      chunkWords: Long = 1024L): Seq[(String, String, Long)] = {
+      chunkWords: Long = 1024L,
+      nWords0: Long = -1L): Seq[(String, String, Long)] = {
     import graft.plans.BpeChunk
     import org.apache.spark.sql.graft.Bridge
     val spark = syms0.sparkSession
-    val nWords = syms0.count()
+    // callers that already counted the table for the size gate pass
+    // the count through instead of paying a second scan job
+    val nWords = if (nWords0 >= 0L) nWords0 else syms0.count()
     val nChunks = math.max(
       spark.sparkContext.defaultParallelism.toLong,
       nWords / chunkWords).max(1L)

@@ -82,22 +82,26 @@ object StreamOps {
     * add `hash(value) % k` as a second join column on BOTH sides at
     * ingest; eviction semantics are unchanged (cleanup is per-window,
     * not per-key) at the cost of k-way duplicate right-side routing. */
+  // One side of a bucket join: project ONLY (bucket, value) — carrying
+  // the raw event_time through alongside the windowed bucket would
+  // leave two watermarked event-time columns in one stream — rejected
+  // by Spark. Shared by the plain and salted joins so the projection
+  // semantics can't diverge between them.
+  private def bucketSide(df: DataFrame, v: String, tag: String,
+      bucket: String, watermark: String, streaming: Boolean): DataFrame = {
+    val wm = if (streaming) df.withWatermark("event_time", watermark) else df
+    wm.select(window(col("event_time"), bucket).as("time_bucket"),
+      col(v).as(s"${tag}_$v"))
+  }
+
   def bucketJoin(
       left: DataFrame, leftVal: String,
       right: DataFrame, rightVal: String,
       bucket: String = "1 minute",
       watermark: String = "10 minutes",
       streaming: Boolean = true): DataFrame = {
-    // Each side projects ONLY (bucket, value): carrying the raw
-    // event_time through alongside the windowed bucket would leave two
-    // watermarked event-time columns in one stream — rejected by Spark.
-    def side(df: DataFrame, v: String, tag: String) = {
-      val wm = if (streaming) df.withWatermark("event_time", watermark) else df
-      wm.select(window(col("event_time"), bucket).as("time_bucket"),
-        col(v).as(s"${tag}_$v"))
-    }
-    val l = side(left, leftVal, "l")
-    val r = side(right, rightVal, "r")
+    val l = bucketSide(left, leftVal, "l", bucket, watermark, streaming)
+    val r = bucketSide(right, rightVal, "r", bucket, watermark, streaming)
     l.join(r, "time_bucket")
   }
 
@@ -124,15 +128,10 @@ object StreamOps {
       salt: Int = 8,
       streaming: Boolean = true): DataFrame = {
     require(salt >= 1, "salt must be positive")
-    def side(df: DataFrame, v: String, tag: String) = {
-      val wm = if (streaming) df.withWatermark("event_time", watermark) else df
-      wm.select(window(col("event_time"), bucket).as("time_bucket"),
-        col(v).as(s"${tag}_$v"))
-    }
-    val l = side(left, leftVal, "l")
+    val l = bucketSide(left, leftVal, "l", bucket, watermark, streaming)
       .withColumn("__cell",
         pmod(xxhash64(col(s"l_$leftVal")), lit(salt.toLong)).cast("int"))
-    val r = side(right, rightVal, "r")
+    val r = bucketSide(right, rightVal, "r", bucket, watermark, streaming)
       .withColumn("__cell",
         explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, Seq("time_bucket", "__cell")).drop("__cell")

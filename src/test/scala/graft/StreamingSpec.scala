@@ -456,7 +456,10 @@ class StreamingSpec extends SparkSpec {
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     while (residentRdds() > baseline && System.nanoTime() < deadline)
       Thread.sleep(50)
-    assert(residentRdds() == baseline,
+    // <= not ==: the shared session's async ContextCleaner may release
+    // leftover checkpoints from EARLIER tests during this one, dipping
+    // the count below the captured baseline
+    assert(residentRdds() <= baseline,
       s"corpus-state blocks leaked after stop(): ${residentRdds()} resident vs baseline $baseline")
   }
 
