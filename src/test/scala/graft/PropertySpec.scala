@@ -498,6 +498,97 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("blob merge kernel == definitional fold for random words and pairs") {
+    // pins the byte-level resume rule (delimiter sharing in overlap
+    // runs) and delimiter safety under multi-char symbols whose BYTES
+    // overlap the pattern (" a aa " must not match " a a ")
+    import java.nio.charset.StandardCharsets.UTF_8
+    import org.apache.spark.unsafe.types.UTF8String
+    val syms = Vector("a", "b", "aa", "ab", "ba")
+    val wordGen = Gen.chooseNum(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(syms)))
+    val caseGen = for {
+      words <- Gen.nonEmptyListOf(wordGen)
+      a <- Gen.oneOf(syms)
+      b <- Gen.oneOf(syms)
+    } yield (words, a, b)
+    def foldMerge(w: List[String], a: String, b: String): List[String] =
+      w.foldLeft(List.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b)
+          acc.init :+ (a + b)
+        else acc :+ x
+      }
+    samples(caseGen, 20).foreach { case (words, a, b) =>
+      val blob = words.map(w => " " + w.mkString(" ") + " ").mkString("\n")
+      val out = graft.plans.BpeChunkUtil.merge(
+        UTF8String.fromString(blob),
+        (" " + a + " " + b + " ").getBytes(UTF_8),
+        (" " + a + b).getBytes(UTF_8)).toString
+      val got = out.split("\n", -1).toList
+        .map(_.split(" ").filter(_.nonEmpty).toList)
+      val want = words.map(w => foldMerge(w, a, b))
+      assert(got == want, s"pair=($a,$b) words=$words got=$got")
+      // scalar twin agrees too (the delta kernel's merge path)
+      words.foreach { w =>
+        assert(graft.plans.BpeChunkUtil.greedyMerge(w.toArray, a, b).toList ==
+          foldMerge(w, a, b))
+      }
+    }
+  }
+
+  test("chunked incremental trainer == full recount on random corpora") {
+    // overlap-heavy random corpora over a 3-char alphabet: repeated
+    // chars force greedy-overlap deltas, tiny vocab forces near-ties
+    // against the (count desc, left, right) tie-break
+    import graft.llm.Bpe
+    val wordGen = Gen.chooseNum(1, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c"))).map(_.mkString)
+    val docGen = Gen.chooseNum(2, 8)
+      .flatMap(m => Gen.listOfN(m, wordGen)).map(_.mkString(" "))
+    val corpusGen = Gen.chooseNum(4, 12).flatMap(n => Gen.listOfN(n, docGen))
+    samples(corpusGen, 5).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val inc = Bpe.trainIncremental(df, "text", numMerges = 12, minCount = 2L)
+      val rec = Bpe.trainFullRecount(df, "text", numMerges = 12, minCount = 2L)
+      assert(inc == rec, s"corpus=$docs inc=$inc rec=$rec")
+    }
+  }
+
+  test("compiled merge-list kernel == fold layers for random rank orders") {
+    // merges drawn over a GROWING vocab so later merges can consume
+    // earlier outputs, and orderings where a consumer outranks its
+    // producer (the sequential-semantics trap) arise naturally
+    import graft.llm.Bpe
+    val mergesGen = Gen.listOfN(8, Gen.chooseNum(0, 1000)).map { picks =>
+      var vocab = Vector("a", "b", "c")
+      picks.map { p =>
+        val a = vocab((p / 37) % vocab.size)
+        val b = vocab(p % vocab.size)
+        vocab = vocab :+ (a + b)
+        (a, b)
+      }
+    }
+    val caseGen = for {
+      merges <- mergesGen
+      shuffleSeed <- Gen.chooseNum(0, 5)
+      nWords <- Gen.chooseNum(3, 10)
+      words <- Gen.listOfN(nWords, Gen.chooseNum(1, 8).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab", "bc"))))
+    } yield (new scala.util.Random(shuffleSeed).shuffle(merges), words)
+    samples(caseGen, 8).foreach { case (merges, words) =>
+      val df = words.zipWithIndex.map { case (s, i) => (i.toLong, 1L, s) }
+        .toDF("word", "freq", "symbols")
+      def out(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy("word").select("symbols").as[Seq[String]].collect().toSeq
+      val kernel = out(df.withColumn("symbols",
+        graft.plans.BpeChunk.applyMerges(col("symbols"), merges)))
+      val fold = { val r = out(Bpe.applyMergesFold(df, merges))
+        Bpe.releaseCaches(); r }
+      assert(kernel == fold, s"merges=$merges words=$words")
+    }
+  }
+
   test("frequentItems never misses an item above support on random streams") {
     val gen = for {
       n <- Gen.chooseNum(50, 300)
