@@ -634,6 +634,45 @@ class EtlMultimodalSpec extends SparkSpec {
     assert(!out(2L).getBoolean(1) && out(2L).isNullAt(2))
   }
 
+  test("probeMp3 never throws or reports garbage on fuzzed inputs") {
+    val rnd = new scala.util.Random(7)
+    // pure noise: must never throw; if a frame parses by chance the
+    // metadata must still be internally consistent
+    (0 until 300).foreach { i =>
+      val b = Array.fill[Byte](rnd.nextInt(400))(rnd.nextInt(256).toByte)
+      Multimodal.probeMp3(b).foreach { m =>
+        assert(m.durationMs >= 0 && m.nFrames > 0 && m.sampleRateHz > 0 &&
+          m.bitrateKbps > 0, s"inconsistent meta from noise #$i: $m")
+      }
+    }
+    // every truncation prefix of a valid stream: no throw, and any
+    // successful probe reports only whole frames actually present
+    val frame128 = {
+      val len = 144 * 128 * 1000 / 44100
+      val f = Array.fill[Byte](len)(0x33)
+      f(0) = 0xff.toByte; f(1) = 0xfb.toByte; f(2) = 0x90.toByte; f(3) = 0
+      f
+    }
+    val full = Array.fill(4)(frame128).flatten
+    (0 to full.length).foreach { n =>
+      Multimodal.probeMp3(full.take(n)).foreach { m =>
+        assert(m.nFrames == n / frame128.length,
+          s"prefix $n reported ${m.nFrames} frames")
+      }
+    }
+    // bit-flip fuzz over a valid stream: header corruption must stop
+    // the walk (fewer frames) or leave consistent metadata, never throw
+    (0 until 200).foreach { i =>
+      val b = full.clone()
+      val pos = rnd.nextInt(b.length)
+      b(pos) = (b(pos) ^ (1 << rnd.nextInt(8))).toByte
+      Multimodal.probeMp3(b).foreach { m =>
+        assert(m.nFrames >= 1 && m.nFrames <= 4 && m.durationMs >= 0,
+          s"bit-flip at $pos gave $m")
+      }
+    }
+  }
+
   test("sampleFrames skips zero/null-duration videos instead of failing") {
     val media = spark.createDataFrame(
       java.util.List.of(
