@@ -23,6 +23,10 @@ object BpeVocabProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val nMerges = if (args.length > 1) args(1).toInt else 1000
+    // table-size slope runs: phase-2 word count and recount merges are
+    // overridable (recount at >2M words costs ~15 s/merge — keep small)
+    val phase2Words = if (args.length > 2) args(2).toLong else 2000000L
+    val recountMerges = if (args.length > 3) args(3).toInt else 20
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -57,13 +61,13 @@ object BpeVocabProbe {
     // --- phase 2: synthetic vocabulary-scale word table ---
     // 2M distinct 32-char hex words, zipf-ish freq via id skew; text =
     // one word per row, so wordFreq is the table itself
-    val vocab = spark.range(2000000L)
+    val vocab = spark.range(phase2Words)
       .select(md5(col("id").cast("string")).as("text"))
-    println("phase 2: 2,000,000 distinct synthetic words")
-    val inc2 = timed(s"incremental train x$nMerges @2M words")(
+    println(s"phase 2: $phase2Words distinct synthetic words")
+    val inc2 = timed(s"incremental train x$nMerges @$phase2Words words")(
       Bpe.trainIncremental(vocab, "text", nMerges, minCount = 2L))
-    val rec2 = timed("full-recount train x20 @2M words")(
-      Bpe.trainFullRecount(vocab, "text", 20, minCount = 2L))
+    val rec2 = timed(s"full-recount train x$recountMerges @$phase2Words words")(
+      Bpe.trainFullRecount(vocab, "text", recountMerges, minCount = 2L))
     val common2 = math.min(inc2.size, rec2.size)
     require(inc2.take(common2) == rec2.take(common2),
       "trainer mismatch on synthetic vocab!")
