@@ -947,6 +947,26 @@ object SparkEntry {
       // reference implementation
       graft.llm.Bpe.mergesDf(t(s, d, "documents"), "text", 12)),
 
+    "q_bpe_train_gate" -> ((s, d) => {
+      // the vocabulary-scale CHUNKED trainer is size-gated OFF at sf
+      // scale (tiny word tables route to the definitional recount), so
+      // without this gate its plan would be invisible to the driver:
+      // run BOTH trainers on the same corpus and pin merge-sequence
+      // equality in-row (iterative training has no ANSI oracle). 0
+      // rows = the trainers diverged.
+      val docs = t(s, d, "documents")
+      val inc = graft.llm.Bpe.train(docs, "text", 10, minCount = 2L,
+        incrementalMinWords = 0L)
+      val rec = graft.llm.Bpe.train(docs, "text", 10, minCount = 2L,
+        incrementalMinWords = Long.MaxValue)
+      import s.implicits._
+      val equal = inc == rec && inc.nonEmpty
+      Seq((inc.size.toLong, rec.size.toLong, equal, equal))
+        .toDF("n_merges_incremental", "n_merges_recount",
+          "sequences_equal", "pass")
+        .filter(col("pass"))
+    }),
+
     "q_bpe_fertility" -> ((s, d) => {
       // rows-only: train 12 merges, report per-doc tokens/subwords/
       // fertility from broadcast segment SIZES (the id-materializing

@@ -122,6 +122,16 @@ class RecallGatesSpec extends SparkSpec {
     }
   }
 
+  test("chunked-vs-recount BPE trainer gate emits its passing row") {
+    val rows = SparkEntry.queries("q_bpe_train_gate")(spark, sf).collect()
+    graft.llm.Bpe.releaseCaches()
+    assert(rows.length == 1, s"trainer gate dropped its row: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[Boolean]("sequences_equal") && r.getAs[Boolean]("pass") &&
+      r.getAs[Long]("n_merges_incremental") ==
+        r.getAs[Long]("n_merges_recount"), r.toString)
+  }
+
   test("approx_percentile rank error stays within the documented bound") {
     val rows = SparkEntry.queries("q_approx_percentiles")(spark, sf).collect()
     // 3 return flags x 4 percentiles; the in-row gate filters on the
