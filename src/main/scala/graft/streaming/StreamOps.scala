@@ -78,10 +78,11 @@ object StreamOps {
     * `tools/R6StreamStateProbe` (SCALING.md round-6 table). Skew note
     * for cluster duty: the join hash-partitions on the bucket struct,
     * so one hot minute lands on one task's state store. If per-minute
-    * volume can exceed an executor's state budget, salt the join key —
-    * add `hash(value) % k` as a second join column on BOTH sides at
-    * ingest; eviction semantics are unchanged (cleanup is per-window,
-    * not per-key) at the cost of k-way duplicate right-side routing. */
+    * volume can exceed an executor's state budget, use
+    * [[bucketJoinSalted]] — NOTE the construction is left-hash +
+    * right-REPLICATE, not a same-hash salt column on both sides: this
+    * join is a within-bucket cross product, so two-sided hashing would
+    * silently drop every pair whose sides land in different cells. */
   // One side of a bucket join: project ONLY (bucket, value) — carrying
   // the raw event_time through alongside the windowed bucket would
   // leave two watermarked event-time columns in one stream — rejected
