@@ -265,4 +265,51 @@ class PlanShapeSpec extends SparkSpec {
     coarse.indexed.unpersist(blocking = true)
     pq.encoded.unpersist(blocking = true)
   }
+
+  test("unigram encode is one codegen projection: no object-serde boundary") {
+    // the r7 kernel exists precisely to remove the typed-map encoder
+    // round-trip; a regression reintroducing it shows up as
+    // Serialize/DeserializeToObject nodes (and a MapElements) in the plan
+    val docs = Tables.load(spark, sf, "documents")
+    val vocab = graft.llm.Unigram.train(docs, "text", vocabSize = 200,
+      iters = 1, maxPieceLen = 4, seedSize = 500)
+    graft.llm.Unigram.releaseCaches()
+    val plan = planOf(
+      graft.llm.Unigram.encodeDocs(docs, "doc_id", "text", vocab))
+    assert(!plan.contains("DeserializeToObject") &&
+      !plan.contains("SerializeFromObject") &&
+      !plan.contains("MapElements"),
+      s"encoder boundary reintroduced:\n$plan")
+    assert(plan.contains("unigram_encode_stats"), plan)
+    assert(!plan.contains("Exchange"), s"encode pass must be map-only:\n$plan")
+  }
+
+  test("approx-percentile gate broadcasts the melted sketch side") {
+    val plan = planOf(
+      SparkEntry.queries("q_approx_percentiles")(spark, sf))
+    // the 12-row melted approx table must broadcast against lineitem,
+    // never shuffle the fact side for the join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("compiled BPE merge application is map-only over the word table") {
+    val docs = Tables.load(spark, sf, "documents")
+    val merges = graft.llm.Bpe.train(docs, "text", 6, minCount = 2L)
+      .map(m => (m._1, m._2))
+    val words = graft.llm.Bpe.initSymbols(
+      graft.llm.Bpe.wordFreq(docs, "text"))
+    val df = words.withColumn("symbols",
+      graft.plans.BpeChunk.applyMerges(col("symbols"), merges))
+    // the kernel collapses INTO the word-table aggregate's result
+    // projection (no extra stage), so its pretty name only shows in the
+    // logical plan; the physical assert is on stage/boundary count
+    assert(df.queryExecution.analyzed.toString.contains("bpe_apply_merges"),
+      df.queryExecution.analyzed.toString)
+    val plan = planOf(df)
+    // one aggregation exchange builds the word table; the merge
+    // application itself adds NO further exchange or serde boundary
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan)
+    assert(!plan.contains("DeserializeToObject"), plan)
+  }
 }
