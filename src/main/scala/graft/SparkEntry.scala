@@ -1275,8 +1275,140 @@ object SparkEntry {
           graft.llm.Recall.exactCosinePairs(emb, "vec_id", "embedding",
             0.35)),
         "precision" -> 1.0, "recall" -> 0.85).filter(col("pass"))
+    }),
+
+    // ---- llm/: PII scrub (round 8) ----
+    "q_pii_mask" -> ((s, d) =>
+      // map-only PII masking over the deterministic PII-bearing corpus
+      // (see piiCorpus — every category fires on a known subset, so
+      // the oracle compare doubles as a Java-regex/RE2 parity gate)
+      graft.llm.Pii.maskDocs(piiCorpus(s, d), "text")
+        .withColumnRenamed("text", "masked_text")),
+
+    "q_pii_report" -> ((s, d) =>
+      graft.llm.Pii.report(piiCorpus(s, d), "text")),
+
+    // ---- sessionization + funnel (round 8) ----
+    "q_sessionize" -> ((s, d) =>
+      graft.operators.Sessions.sessionStats(t(s, d, "events"),
+        "user_id", "ts", 21600, Seq(col("event_id")))
+        .select(col("user_id"), col("session_seq"), col("n_events"),
+          date_format(col("sess_start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          date_format(col("sess_end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+          col("duration_s"))),
+
+    "q_funnel" -> ((s, d) =>
+      graft.operators.Sessions.funnelSummary(t(s, d, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))),
+
+    // ---- sketches: Count-Min gate (round 8) ----
+    "q_cms_gate" -> ((s, d) => {
+      // Count-Min point-frequency gate: for the top-20 exact tokens,
+      // the sketch estimate must satisfy the CM guarantee IN-ROW —
+      // exact <= est <= exact + eps*N (one-sided overestimate). A
+      // drifting sketch drops rows (20 -> fewer), which the driver's
+      // rows check catches.
+      val eps = 0.001
+      val toks = t(s, d, "documents")
+        .select(explode(Text.tokens(lower(col("text")))).as("item"))
+        .filter(length(col("item")) > 0)
+      val top = toks.groupBy("item").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("item")).limit(20)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val n = toks.count()
+      val est = Aggregates.countMinEstimates(toks, "item",
+        top.map(_._1).toSeq, eps, 0.99)
+      import s.implicits._
+      val exact = top.toSeq.toDF("item", "exact")
+      est.join(exact, Seq("item"))
+        .withColumn("slack", lit((eps * n).toLong))
+        .withColumn("pass",
+          col("est") >= col("exact") &&
+            col("est") <= col("exact") + col("slack"))
+        .filter(col("pass"))
+        .select("item", "exact", "est", "slack", "pass")
+    }),
+
+    // ---- layout: Z-order data skipping (round 8) ----
+    "q_zorder_gate" -> ((s, d) => {
+      // Z-order vs linear layout, measured: per-file min/max stats
+      // (the parquet row-group skipping index) under both layouts for
+      // a predicate on the NON-leading dimension. The linear layout
+      // (1-dim z = the scaled sort key) cannot prune l_suppkey, so it
+      // must touch ~every file; the z-layout's gate is overlap
+      // strictly below linear's. Deterministic contiguous z-slices
+      // (fixed z-range arithmetic, no sampling), so the row hashes
+      // are stable.
+      import graft.etl.Layout
+      val li = t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+      val parts = 32
+      val zed = Layout.zorderSlices(li, Seq("l_partkey", "l_suppkey"),
+        parts, bits = 8)
+      val lin = Layout.zorderSlices(li, Seq("l_partkey"),
+        parts, bits = 8)
+      val (qlo, qhi) = (40, 49) // middle 10% of l_suppkey's [0,99]
+      def stats(laid: org.apache.spark.sql.DataFrame) =
+        Layout.partitionStats(laid, Seq("l_suppkey"),
+            Some(col("__zslice")))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(when(col("mn_l_suppkey") <= qhi &&
+              col("mx_l_suppkey") >= qlo, 1L).otherwise(0L)).as("n_hit"))
+      val z = stats(zed).select(col("n_parts").as("n_parts_z"),
+        round(col("n_hit").cast("double") / col("n_parts"), 4).as("z_frac"))
+      val l = stats(lin).select(col("n_parts").as("n_parts_lin"),
+        round(col("n_hit").cast("double") / col("n_parts"), 4).as("lin_frac"))
+      z.crossJoin(l)
+        .withColumn("pass", col("z_frac") < col("lin_frac"))
+        .filter(col("pass"))
     })
   )
+
+  /** Deterministic PII-bearing corpus derived from `events`: each
+    * category fires on a fixed id-dependent subset (emails on
+    * event_id%3==0, IPs on %5<2, phones on %4==1, 9-digit badge ids on
+    * %2==0), so masking and the per-category report are non-trivial
+    * and byte-reproducible in both engines. The SQL twin is
+    * [[piiCorpusSql]]. */
+  private def piiCorpus(s: SparkSession, d: String): DataFrame = {
+    val uid = col("user_id").cast("string")
+    val eid = col("event_id")
+    t(s, d, "events").select(col("event_id"),
+      concat(
+        lit("user "), uid,
+        when(eid % 3 === 0,
+          concat(lit(" mail u"), uid, lit("@ex"),
+            (eid % 7).cast("string"), lit(".com"))).otherwise(lit("")),
+        when(eid % 5 < 2,
+          concat(lit(" ip 10."), (eid % 200).cast("string"), lit(".0."),
+            (col("user_id") % 250).cast("string"))).otherwise(lit("")),
+        when(eid % 4 === 1,
+          concat(lit(" call +1-555-"),
+            lpad((eid % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((col("user_id") * 13 % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(eid % 2 === 0,
+          concat(lit(" badge "),
+            lpad((eid * 7919 % 100000000).cast("string"), 9, "0")))
+          .otherwise(lit("")),
+        lit(" end")).as("text"))
+  }
+
+  private val piiCorpusSql: String =
+    """SELECT event_id,
+         concat('user ', CAST(user_id AS VARCHAR),
+           CASE WHEN event_id % 3 = 0
+                THEN concat(' mail u', CAST(user_id AS VARCHAR), '@ex',
+                            CAST(event_id % 7 AS VARCHAR), '.com') ELSE '' END,
+           CASE WHEN event_id % 5 < 2
+                THEN concat(' ip 10.', CAST(event_id % 200 AS VARCHAR), '.0.',
+                            CAST(user_id % 250 AS VARCHAR)) ELSE '' END,
+           CASE WHEN event_id % 4 = 1
+                THEN concat(' call +1-555-', lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0'),
+                            '-', lpad(CAST(user_id * 13 % 10000 AS VARCHAR), 4, '0')) ELSE '' END,
+           CASE WHEN event_id % 2 = 0
+                THEN concat(' badge ', lpad(CAST(event_id * 7919 % 100000000 AS VARCHAR), 9, '0')) ELSE '' END,
+           ' end') AS text
+       FROM events"""
 
   /** DuckDB-runnable oracle per query (driver compares on sf0.01).
     * Regex note: Spark regexp_replace is global by default; DuckDB needs
@@ -2662,6 +2794,78 @@ object SparkEntry {
          FROM knn
          JOIN embeddings ql ON ql.vec_id = knn.query_id
          JOIN embeddings nl ON nl.vec_id = knn.neighbor_id
-         GROUP BY query_id"""
+         GROUP BY query_id""",
+
+    "q_pii_mask" ->
+      s"""WITH corpus AS ($piiCorpusSql)
+         SELECT event_id,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+                  '\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                  '[0-9]{6,}', '<ID>', 'g') AS masked_text
+         FROM corpus""",
+
+    "q_pii_report" ->
+      s"""WITH corpus AS ($piiCorpusSql),
+         c AS (SELECT
+                 len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                 len(regexp_extract_all(text, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ipv4,
+                 len(regexp_extract_all(text, '\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+                 len(regexp_extract_all(text, '[0-9]{6,}')) AS n_id
+               FROM corpus)
+         SELECT 'email' AS category,
+                CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+                CAST(sum(n_email) AS BIGINT) AS n_matches FROM c
+         UNION ALL
+         SELECT 'ipv4', CAST(sum(CASE WHEN n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(n_ipv4) AS BIGINT) FROM c
+         UNION ALL
+         SELECT 'phone', CAST(sum(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(n_phone) AS BIGINT) FROM c
+         UNION ALL
+         SELECT 'id_number', CAST(sum(CASE WHEN n_id > 0 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(n_id) AS BIGINT) FROM c""",
+
+    "q_sessionize" ->
+      """WITH brk AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 21600
+                       THEN 1 ELSE 0 END AS is_brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts,
+                  sum(is_brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM brk)
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                count(*) AS n_events,
+                strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+                strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end,
+                CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s
+         FROM sess GROUP BY user_id, session_seq""",
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id),
+         n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+                      (SELECT count(*) FROM s2) AS n2,
+                      (SELECT count(*) FROM s3) AS n3)
+         SELECT 'view' AS step, CAST(1 AS INTEGER) AS step_idx,
+                n1 AS n_keys, CAST(1.0 AS DOUBLE) AS conv_from_prev FROM n
+         UNION ALL
+         SELECT 'click', CAST(2 AS INTEGER), n2,
+                round(n2 / CAST(nullif(n1, 0) AS DOUBLE), 6) FROM n
+         UNION ALL
+         SELECT 'purchase', CAST(3 AS INTEGER), n3,
+                round(n3 / CAST(nullif(n2, 0) AS DOUBLE), 6) FROM n"""
   )
 }

@@ -93,4 +93,88 @@ object Layout {
       Literal(bytes, BinaryType),
       Bridge.toExpression(xxhash64(largeKey)))))
   }
+
+  /** Morton (Z-order) value over numeric columns: each column is
+    * min/max-scaled into a `bits`-bit bucket and the bucket bits are
+    * interleaved, so rows close in EVERY dimension get close z-values.
+    * The min/max frame rides the plan as a broadcast 1-row cross join
+    * (no collect). The interleave is a fixed shiftleft/and chain —
+    * whole-stage-codegen'd, no UDF. */
+  def zValue(df: DataFrame, cols: Seq[String], bits: Int = 8,
+      out: String = "__z"): DataFrame = {
+    require(cols.nonEmpty && bits * cols.size <= 62,
+      s"bits*dims must fit a long, got $bits x ${cols.size}")
+    val stats = df.agg(
+      min(col(cols.head).cast("double")).as(s"__mn_${cols.head}"),
+      cols.tail.flatMap(c => Seq(
+        min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))) :+
+        max(col(cols.head).cast("double")).as(s"__mx_${cols.head}"): _*)
+    val withStats = df.crossJoin(broadcast(stats))
+    val n = (1L << bits) - 1
+    val buckets = cols.map { c =>
+      val span = col(s"__mx_$c") - col(s"__mn_$c")
+      least(lit(n), greatest(lit(0L),
+        floor((col(c).cast("double") - col(s"__mn_$c")) /
+          (span + lit(1e-12)) * lit(n + 1)).cast("long")))
+    }
+    val z = (0 until bits).flatMap { b =>
+      buckets.zipWithIndex.map { case (bk, i) =>
+        shiftleft(shiftright(bk, b).bitwiseAND(lit(1L)),
+          b * cols.size + i)
+      }
+    }.reduce[Column](_.bitwiseOR(_))
+    withStats.withColumn(out, z)
+      .drop(cols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
+  }
+
+  /** Z-order layout clustering — the multi-dimensional data-skipping
+    * lever (Delta/Iceberg `OPTIMIZE ZORDER BY` shape): cluster the
+    * table so per-file min/max ranges are TIGHT IN EVERY listed
+    * dimension, making predicates on ANY subset of `cols` prune files.
+    * A linear sort gives perfect pruning on its leading column and
+    * none on the others; z-order trades a little of the first for
+    * pruning on all — at 100 TB a two-column point query reads
+    * ~sqrt(files) instead of all of them.
+    *
+    * Range-partitions by z-value (balanced under skew via reservoir
+    * sampling), sorted within partitions — each output file covers a
+    * contiguous z-range, i.e. a tile that is tight in every listed
+    * dimension. For a deterministic (sampling-free) slice assignment —
+    * e.g. to MEASURE pruning reproducibly — use [[zorderSlices]]. */
+  def zorderBy(df: DataFrame, cols: Seq[String], numPartitions: Int,
+      bits: Int = 8): DataFrame =
+    zValue(df, cols, bits)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+
+  /** Deterministic contiguous z-slicing: adds `__zslice` in
+    * [0, slices) by fixed z-range arithmetic — the file id a
+    * contiguous z-ordered writer would produce, with NO sampling and
+    * NO shuffle (a hash `repartition` on the slice id would collide
+    * slices into shared partitions and wreck tile locality — measured,
+    * r8). Equal z-RANGES, not equal row counts: use for reproducible
+    * pruning measurement; use [[zorderBy]] for balanced layout duty. */
+  def zorderSlices(df: DataFrame, cols: Seq[String], slices: Int,
+      bits: Int = 8): DataFrame = {
+    val maxZ = 1L << (bits * cols.size)
+    zValue(df, cols, bits)
+      .withColumn("__zslice", (col("__z") * slices / maxZ).cast("int"))
+      .drop("__z")
+  }
+
+  /** Per-file min/max of the given columns — the data-skipping index a
+    * parquet writer would persist per file/row-group for the current
+    * layout. `fileKey` defaults to the physical partition id; pass an
+    * explicit column (e.g. `__zslice`) to measure a deterministic
+    * layout. A predicate can skip every file whose [min,max] misses
+    * it. */
+  def partitionStats(df: DataFrame, cols: Seq[String],
+      fileKey: Option[Column] = None): DataFrame =
+    df.groupBy(fileKey.getOrElse(spark_partition_id()).as("pid"))
+      .agg(min(col(cols.head)).as(s"mn_${cols.head}"),
+        cols.tail.flatMap(c => Seq(
+          min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))) :+
+          max(col(cols.head)).as(s"mx_${cols.head}"): _*)
 }

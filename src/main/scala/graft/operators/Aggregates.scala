@@ -239,6 +239,35 @@ object Aggregates {
       .stat.freqItems(Seq("item"), support)
       .select(explode(col("item_freqItems")).as("item"))
 
+  /** Count-Min point-frequency estimates for a bounded candidate set
+    * (the frequency twin of [[frequentItems]]'s membership sketch):
+    * wraps Spark's `stat.countMinSketch` (Cormode/Muthukrishnan CM
+    * sketch — a distributed aggregate merging per-partition
+    * d×w counter grids of w = ceil(2/eps) columns; the corpus never
+    * leaves the executors, only O(d·w) counters do). The guarantee is
+    * ONE-SIDED: estimate >= true count always, and
+    * estimate <= true + eps·N with probability 1-delta. At 100 TB the
+    * sketch answers "how often does item x occur" for any x in a
+    * single already-merged structure — the exact answer is a full
+    * distinct-count shuffle per refresh.
+    *
+    * `candidates` must be bounded (a top-k list, a blocklist — never
+    * corpus-derived-unbounded): estimates are read driver-side from
+    * the merged sketch. Output: (item, est) per candidate.
+    *
+    * Both bound sides are gate-checked (q_cms_gate: est in
+    * [exact, exact + eps·N], floors in-row). */
+  def countMinEstimates(df: DataFrame, itemCol: String,
+      candidates: Seq[String], eps: Double, confidence: Double,
+      seed: Int = 42): DataFrame = {
+    val sketch = df.select(col(itemCol).as("item"))
+      .stat.countMinSketch("item", eps, confidence, seed)
+    val spark = df.sparkSession
+    import spark.implicits._
+    candidates.map(c => (c, sketch.estimateCount(c)))
+      .toDF("item", "est")
+  }
+
   /** A11 — RMSE between a prediction and a label column, grouped.
     * Reference: `app_2 NEW with joined.py:235-236`
     * (`sqrt(mean((pred-label)**2))`).

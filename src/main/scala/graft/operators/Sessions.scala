@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization and funnel analysis over event streams at rest
+  * — the batch twins of the streaming session window
+  * ([[graft.streaming.StreamOps]] T2 session ext) and the event-order
+  * analytics the reference's dashboard layer implies (cf. reference
+  * `Deliverable_4/dashboard.py` per-user event slicing).
+  *
+  * Scale shape: both operators hash-shuffle ONCE on the session key and
+  * then run per-key window passes in parallel — no global sort, no
+  * driver-side state. Session assignment is the classic
+  * gap-break/running-sum construction (two window functions over the
+  * same (key, ts) spec — Catalyst plans them into consecutive Window
+  * nodes over one Exchange). Funnel stages chain window minima over
+  * that same partitioning, so the whole k-step funnel costs one
+  * shuffle of (key, ts, type) triples regardless of k. Per-key row
+  * counts bound window memory; skewed keys are event-stream users, not
+  * power-law tokens, so AQE's skew handling suffices.
+  */
+object Sessions {
+
+  /** Events with a per-key `session_seq` (1-based) assigned by
+    * event-time gaps: a new session starts when the previous event of
+    * the same key is more than `gapSeconds` older (or absent). Ties in
+    * `ts` are totally ordered by `tieBreak` so the assignment is
+    * deterministic and engine-reproducible. */
+  def sessionize(df: DataFrame, key: String, ts: String,
+      gapSeconds: Long, tieBreak: Seq[Column] = Nil): DataFrame = {
+    val order = (col(ts) +: tieBreak).map(_.asc)
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+    val prev = lag(col(ts), 1).over(w)
+    val isBreak = when(prev.isNull ||
+      unix_timestamp(col(ts)) - unix_timestamp(prev) > gapSeconds, 1L)
+      .otherwise(0L)
+    df.withColumn("__brk", isBreak)
+      .withColumn("session_seq",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .drop("__brk")
+  }
+
+  /** Per-session roll-up: (key, session_seq, n_events, sess_start,
+    * sess_end, duration_s). One extra map-side-combined agg on the
+    * already-co-partitioned (key, session_seq) — AQE reuses the
+    * sessionize exchange's partitioning, so the text of the events
+    * never moves twice. */
+  def sessionStats(df: DataFrame, key: String, ts: String,
+      gapSeconds: Long, tieBreak: Seq[Column] = Nil): DataFrame =
+    sessionize(df, key, ts, gapSeconds, tieBreak)
+      .groupBy(col(key), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(ts)).as("sess_start"),
+        max(col(ts)).as("sess_end"))
+      .withColumn("duration_s",
+        unix_timestamp(col("sess_end")) - unix_timestamp(col("sess_start")))
+
+  /** Ordered-funnel analysis: for each key, the timestamp at which each
+    * step was first reached, where step i counts only if it occurs
+    * STRICTLY AFTER the first completion of step i-1 (the standard
+    * product-analytics funnel semantic — a purchase logged before the
+    * first view does not convert a view→purchase funnel).
+    *
+    * Returns one row per key: (key, step_1_ts .. step_k_ts). Each
+    * stage is a conditional window-min over the same per-key
+    * partitioning — k window passes, ONE exchange. */
+  def funnelTimes(df: DataFrame, key: String, ts: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy(col(key))
+    val staged = steps.zipWithIndex.foldLeft(df) { case (acc, (step, i)) =>
+      val cond =
+        if (i == 0) col(typeCol) === step
+        else col(typeCol) === step &&
+          col(s"step_${i}_ts").isNotNull &&
+          col(ts) > col(s"step_${i}_ts")
+      acc.withColumn(s"step_${i + 1}_ts",
+        min(when(cond, col(ts))).over(w))
+    }
+    staged.groupBy(col(key))
+      .agg(max(col("step_1_ts")).as("step_1_ts"),
+        (2 to steps.size).map(i =>
+          max(col(s"step_${i}_ts")).as(s"step_${i}_ts")): _*)
+  }
+
+  /** Funnel summary: one row per step — keys reaching it and the
+    * conversion rate from the previous step (rounded 6 dp). Bounded
+    * output (|steps| rows). */
+  def funnelSummary(df: DataFrame, key: String, ts: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    val times = funnelTimes(df, key, ts, typeCol, steps)
+    val counts = times.agg(
+      count(when(col("step_1_ts").isNotNull, 1)).as("n_1"),
+      (2 to steps.size).map(i =>
+        count(when(col(s"step_${i}_ts").isNotNull, 1)).as(s"n_$i")): _*)
+    val stacked = steps.indices.map { i =>
+      val n = i + 1
+      val fromPrev =
+        if (i == 0) "cast(1.0 as double)"
+        else s"round(n_$n / cast(nullif(n_$i, 0) as double), 6)"
+      s"'${steps(i)}', cast($n as int), n_$n, $fromPrev"
+    }.mkString(", ")
+    counts.selectExpr(
+      s"stack(${steps.size}, $stacked) AS (step, step_idx, n_keys, conv_from_prev)")
+  }
+}

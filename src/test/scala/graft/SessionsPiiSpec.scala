@@ -1,0 +1,204 @@
+package graft
+
+import graft.etl.Layout
+import graft.llm.Pii
+import graft.operators.{Aggregates, Sessions}
+import org.apache.spark.sql.functions._
+
+/** Round-8 operators: PII scrub, sessionization/funnel, Count-Min
+  * estimates, Z-order layout. */
+class SessionsPiiSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- PII ----
+
+  test("Pii.mask masks every category and leaves clean text alone") {
+    val df = Seq(
+      (1L, "contact john.doe+x@mail.example.org today"),
+      (2L, "server at 192.168.0.1 rebooted"),
+      (3L, "call +1-555-123-4567 or 44-201-555-0199"),
+      (4L, "badge 123456789 cleared"),
+      (5L, "plain text, digits 12345 under six stay")) // 5 digits: kept
+      .toDF("id", "text")
+    val out = Pii.maskDocs(df, "text").orderBy("id")
+      .as[(Long, String)].collect().map(_._2)
+    assert(out(0) == "contact <EMAIL> today")
+    assert(out(1) == "server at <IP> rebooted")
+    assert(out(2) == "call <PHONE> or <PHONE>")
+    assert(out(3) == "badge <ID> cleared")
+    assert(out(4) == "plain text, digits 12345 under six stay")
+  }
+
+  test("Pii.mask order: email/ip digits are not double-masked as ids") {
+    val df = Seq((1L, "a123456@b.com at 123.456.178.222")).toDF("id", "text")
+    val out = Pii.maskDocs(df, "text").as[(Long, String)].collect().head._2
+    assert(out == "<EMAIL> at <IP>")
+  }
+
+  test("Pii.audit counts per category; report aggregates them") {
+    val df = Seq(
+      (1L, "a@b.co and c@d.io from 10.0.0.1"),
+      (2L, "id 9876543 and 1234567890"),
+      (3L, "clean")).toDF("id", "text")
+    val audit = Pii.audit(df, "id", "text").orderBy("id").collect()
+    assert(audit(0).getAs[Int]("n_email") == 2)
+    assert(audit(0).getAs[Int]("n_ipv4") == 1)
+    assert(audit(0).getAs[Int]("n_pii") == 3)
+    assert(audit(1).getAs[Int]("n_id_number") == 2)
+    assert(audit(2).getAs[Int]("n_pii") == 0)
+    val byCat = Pii.report(df, "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byCat("email") == (1L, 2L))
+    assert(byCat("ipv4") == (1L, 1L))
+    assert(byCat("id_number") == (1L, 2L))
+    assert(byCat("phone") == (0L, 0L))
+  }
+
+  test("Pii masking is a map-only plan (no Exchange)") {
+    val df = Seq((1L, "x@y.zz")).toDF("id", "text")
+    val plan = Pii.maskDocs(df, "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ---- Sessionization ----
+
+  test("sessionize breaks sessions at the gap and numbers them per key") {
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val df = Seq(
+      ("u1", ts(0), 1L), ("u1", ts(10), 2L), ("u1", ts(100), 3L),
+      ("u1", ts(105), 4L), ("u2", ts(0), 5L))
+      .toDF("user", "ts", "eid")
+    val out = Sessions.sessionize(df, "user", "ts", 1800, Seq(col("eid")))
+      .orderBy("eid").select("session_seq").as[Long].collect()
+    // gap 30 min: u1 events at 0,10 -> session 1; 100,105 -> session 2
+    assert(out.toSeq == Seq(1L, 1L, 2L, 2L, 1L))
+  }
+
+  test("sessionStats rolls up counts, bounds and duration") {
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val df = Seq(
+      ("u1", ts(0), 1L), ("u1", ts(10), 2L), ("u1", ts(100), 3L))
+      .toDF("user", "ts", "eid")
+    val out = Sessions.sessionStats(df, "user", "ts", 1800, Seq(col("eid")))
+      .orderBy("session_seq")
+      .select("session_seq", "n_events", "duration_s")
+      .as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 600L), (2L, 1L, 0L)))
+  }
+
+  test("sessionize boundary: a gap of exactly gapSeconds does NOT break") {
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    val df = Seq(("u", ts(0), 1L), ("u", ts(1800), 2L), ("u", ts(3601), 3L))
+      .toDF("user", "ts", "eid")
+    val out = Sessions.sessionize(df, "user", "ts", 1800, Seq(col("eid")))
+      .orderBy("eid").select("session_seq").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 1L, 2L))
+  }
+
+  test("sessionize plans exactly one Exchange (stats reuse the partitioning)") {
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val df = Seq(("u1", ts(0), 1L)).toDF("user", "ts", "eid")
+    val plan = Sessions.sessionStats(df, "user", "ts", 1800, Seq(col("eid")))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, plan)
+  }
+
+  // ---- Funnel ----
+
+  test("funnel steps only count strictly-after completions") {
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val df = Seq(
+      // u1 completes view -> click -> purchase in order
+      ("u1", ts(0), "view"), ("u1", ts(1), "click"), ("u1", ts(2), "purchase"),
+      // u2's purchase precedes its click: stops at click
+      ("u2", ts(0), "view"), ("u2", ts(2), "click"), ("u2", ts(1), "purchase"),
+      // u3 never views: contributes nothing
+      ("u3", ts(0), "click"), ("u3", ts(1), "purchase"))
+      .toDF("user", "ts", "etype")
+    val out = Sessions.funnelSummary(df, "user", "ts", "etype",
+      Seq("view", "click", "purchase"))
+      .orderBy("step_idx").select("n_keys").as[Long].collect()
+    assert(out.toSeq == Seq(2L, 2L, 1L))
+  }
+
+  test("funnelTimes picks the FIRST qualifying time per step") {
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val df = Seq(
+      ("u", ts(5), "view"), ("u", ts(1), "view"),
+      ("u", ts(3), "click"), ("u", ts(9), "click"))
+      .toDF("user", "ts", "etype")
+    val r = Sessions.funnelTimes(df, "user", "ts", "etype",
+      Seq("view", "click")).collect().head
+    assert(r.getTimestamp(1).getTime == 60000L)  // first view at t=1
+    assert(r.getTimestamp(2).getTime == 180000L) // first click after it: t=3
+  }
+
+  test("funnel chains k steps over ONE Exchange") {
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val df = Seq(("u", ts(0), "view")).toDF("user", "ts", "etype")
+    val plan = Sessions.funnelTimes(df, "user", "ts", "etype",
+      Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, plan)
+  }
+
+  // ---- Count-Min ----
+
+  test("countMinEstimates honors the CM guarantee on a known stream") {
+    val items = Seq.fill(500)("hot") ++ (1 to 300).map(i => s"t$i")
+    val df = items.toDF("item")
+    val out = Aggregates.countMinEstimates(df, "item",
+      Seq("hot", "t1", "absent"), eps = 0.01, confidence = 0.99)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = items.size
+    assert(out("hot") >= 500 && out("hot") <= 500 + (0.01 * n).toLong + 1)
+    assert(out("t1") >= 1)
+    assert(out("absent") <= (0.01 * n).toLong + 1) // never underestimates 0's true count... but may collide
+  }
+
+  // ---- Z-order ----
+
+  test("zValue interleaves: both dims influence the key, corners ordered") {
+    val df = Seq((0, 0), (255, 255), (0, 255), (255, 0))
+      .toDF("x", "y")
+    val z = Layout.zValue(df, Seq("x", "y"), bits = 8)
+      .select("x", "y", "__z").as[(Int, Int, Long)].collect()
+      .map { case (x, y, zv) => (x, y) -> zv }.toMap
+    assert(z((0, 0)) == 0L)
+    assert(z((255, 255)) == (1L << 16) - 1)
+    // mixed corners land strictly between the extremes
+    assert(z((0, 255)) > 0 && z((0, 255)) < (1L << 16) - 1)
+    assert(z((255, 0)) > 0 && z((255, 0)) < (1L << 16) - 1)
+  }
+
+  test("z-order slices prune the non-leading dimension; linear cannot") {
+    val rows = for { x <- 0 until 64; y <- 0 until 64 } yield (x, y)
+    val df = rows.toDF("x", "y")
+    val parts = 16
+    val zed = Layout.zorderSlices(df, Seq("x", "y"), parts, bits = 6)
+    val lin = Layout.zorderSlices(df, Seq("x"), parts, bits = 6)
+    def hitFrac(laid: org.apache.spark.sql.DataFrame): Double = {
+      val st = Layout.partitionStats(laid, Seq("y"),
+        Some(col("__zslice"))).collect()
+      st.count(r => r.getAs[Int]("mn_y") <= 20 && r.getAs[Int]("mx_y") >= 16)
+        .toDouble / st.length
+    }
+    val (zf, lf) = (hitFrac(zed), hitFrac(lin))
+    assert(lf == 1.0, s"linear-by-x must touch every slice for a y-box, got $lf")
+    // 16 slices of a 12-bit z = 16x16 tiles; a 5-wide y-box crosses
+    // one tile row = 4/16 of them
+    assert(zf <= 0.25, s"z-order should prune the y-box to <=25% of slices, got $zf")
+  }
+
+  test("zorderBy preserves rows exactly (layout only)") {
+    val rows = (0 until 1000).map(i => (i % 37, i % 53, i))
+    val df = rows.toDF("a", "b", "v")
+    val out = Layout.zorderBy(df, Seq("a", "b"), 8, bits = 5)
+    assert(out.columns.toSeq == Seq("a", "b", "v"))
+    assert(out.select(sum($"v")).as[Long].collect().head ==
+      rows.map(_._3.toLong).sum)
+    assert(out.count() == 1000)
+  }
+}
