@@ -52,7 +52,12 @@ object R8NewOpsProbe {
         concat(lit("u"), col("user_id").cast("string"), lit("@ex.com ip 10.0.0."),
           (col("user_id") % 250).cast("string"), lit(" badge "),
           lpad((col("event_id") % 100000000).cast("string"), 9, "0")).as("text"))
-      time(s"pii mask $tag") { Pii.maskDocs(corpus, "text") }
+      // checksum agg: .count() alone would let Catalyst prune the
+      // mask projection away entirely
+      time(s"pii mask $tag") {
+        Pii.maskDocs(corpus, "text")
+          .agg(sum(length(col("text"))).as("chk"))
+      }
       time(s"pii report $tag") { Pii.report(corpus, "text") }
       time(s"sessionStats $tag") {
         Sessions.sessionStats(e, "user_id", "ts", 21600,
