@@ -1288,6 +1288,16 @@ object SparkEntry {
     "q_pii_report" -> ((s, d) =>
       graft.llm.Pii.report(piiCorpus(s, d), "text")),
 
+    // ---- llm/: accent folding (round 8) ----
+    "q_accent_fold" -> ((s, d) =>
+      // native accent_fold kernel vs DuckDB strip_accents on the same
+      // deterministically-accented corpus (translate injects composed
+      // diacritics, a non-decomposable ø, and Hangul to pin the NFC
+      // recompose path) — a cross-engine Unicode-semantics parity gate
+      t(s, d, "documents").select(col("doc_id"),
+        graft.plans.UnicodeNormExpr.accentFold(
+          translate(col("text"), "aeioucsnk", "áéíóüçøñ한")).as("folded"))),
+
     // ---- sessionization + funnel (round 8) ----
     "q_sessionize" -> ((s, d) =>
       graft.operators.Sessions.sessionStats(t(s, d, "events"),
@@ -1300,6 +1310,10 @@ object SparkEntry {
     "q_funnel" -> ((s, d) =>
       graft.operators.Sessions.funnelSummary(t(s, d, "events"),
         "user_id", "ts", "event_type", Seq("view", "click", "purchase"))),
+
+    "q_retention" -> ((s, d) =>
+      graft.operators.Sessions.retentionCohorts(t(s, d, "events"),
+        "user_id", "ts")),
 
     // ---- sketches: Count-Min gate (round 8) ----
     "q_cms_gate" -> ((s, d) => {
@@ -2866,6 +2880,28 @@ object SparkEntry {
                 round(n2 / CAST(nullif(n1, 0) AS DOUBLE), 6) FROM n
          UNION ALL
          SELECT 'purchase', CAST(3 AS INTEGER), n3,
-                round(n3 / CAST(nullif(n2, 0) AS DOUBLE), 6) FROM n"""
+                round(n3 / CAST(nullif(n2, 0) AS DOUBLE), 6) FROM n""",
+
+    "q_retention" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+                    FROM events GROUP BY user_id),
+         a AS (SELECT DISTINCT e.user_id,
+                 strftime(f.cw, '%Y-%m-%d') AS cohort,
+                 CAST(date_diff('day', CAST(f.cw AS DATE),
+                   CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS period_offset
+               FROM events e JOIN f USING (user_id)),
+         c AS (SELECT cohort, period_offset, count(*) AS n_active
+               FROM a GROUP BY cohort, period_offset)
+         SELECT cohort, period_offset, n_active,
+                max(CASE WHEN period_offset = 0 THEN n_active END)
+                  OVER (PARTITION BY cohort) AS cohort_size,
+                round(n_active / CAST(max(CASE WHEN period_offset = 0 THEN n_active END)
+                  OVER (PARTITION BY cohort) AS DOUBLE), 6) AS retention
+         FROM c""",
+
+    "q_accent_fold" ->
+      """SELECT doc_id,
+                strip_accents(translate(text, 'aeioucsnk', 'áéíóüçøñ한')) AS folded
+         FROM documents"""
   )
 }

@@ -86,6 +86,39 @@ object Sessions {
           max(col(s"step_${i}_ts")).as(s"step_${i}_ts")): _*)
   }
 
+  /** Cohort retention analysis: keys are grouped into cohorts by the
+    * calendar week of their FIRST event; for each (cohort, week
+    * offset) the output counts how many of the cohort's keys were
+    * active that week and the retention rate vs the cohort's size
+    * (its offset-0 count — every key is active in its first week by
+    * construction, so the denominator needs no separate pass).
+    *
+    * Scale shape: one window-min over the key partitioning (first
+    * event), a distinct on (key, cohort, offset) — 3 small columns,
+    * text/payload never rides — and a (cohort, offset) count; the
+    * cohort-size denominator is a window over the BOUNDED cohort
+    * dimension. No joins, no driver state. */
+  def retentionCohorts(df: DataFrame, key: String, ts: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+    val firstWeek = date_trunc("week", min(col(ts)).over(w))
+    val eventWeek = date_trunc("week", col(ts))
+    val active = df
+      .withColumn("__cw", firstWeek)
+      .select(col(key),
+        date_format(col("__cw"), "yyyy-MM-dd").as("cohort"),
+        (datediff(to_date(eventWeek), to_date(col("__cw"))) / 7)
+          .cast("long").as("period_offset"))
+      .distinct()
+    val counts = active.groupBy("cohort", "period_offset")
+      .agg(count(lit(1)).as("n_active"))
+    val wc = Window.partitionBy(col("cohort"))
+    counts
+      .withColumn("cohort_size",
+        max(when(col("period_offset") === 0, col("n_active"))).over(wc))
+      .withColumn("retention",
+        round(col("n_active") / col("cohort_size").cast("double"), 6))
+  }
+
   /** Funnel summary: one row per step — keys reaching it and the
     * conversion rate from the previous step (rounded 6 dp). Bounded
     * output (|steps| rows). */

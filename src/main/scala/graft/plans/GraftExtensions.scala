@@ -77,6 +77,12 @@ object GraftExtensions {
         require(args.length == 1, "nfc_normalize(text)")
         NfcNormalize(args(0))
       }),
+    (new FunctionIdentifier("accent_fold"),
+      new ExpressionInfo(classOf[AccentFold].getName, "accent_fold"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "accent_fold(text)")
+        AccentFold(args(0))
+      }),
     (new FunctionIdentifier("winnow_fp"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fp"),
       (args: Seq[Expression]) => {

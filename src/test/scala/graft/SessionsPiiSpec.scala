@@ -158,6 +158,75 @@ class SessionsPiiSpec extends SparkSpec {
     assert(out("absent") <= (0.01 * n).toLong + 1) // never underestimates 0's true count... but may collide
   }
 
+  // ---- Accent folding ----
+
+  test("accent_fold: strip_accents semantics, Hangul recompose, ascii fast path") {
+    import graft.plans.UnicodeNormExpr.accentFold
+    val df = Seq(
+      "áéíóü çñ Café",      // composed diacritics fold away
+      "café",          // decomposed combining mark folds too
+      "ø Ω ﬁ",              // non-decomposables pass through
+      "한",              // 한: NFD->Jamo must recompose to 한
+      "plain ascii", "").toDF("t")
+    val out = df.select(col("t"), accentFold(col("t")).as("f"))
+      .as[(String, String)].collect().toMap
+    assert(out("áéíóü çñ Café") == "aeiou cn Cafe")
+    assert(out("café") == "cafe")
+    assert(out("ø Ω ﬁ") == "ø Ω ﬁ")
+    assert(out("한") == "한")
+    assert(out("plain ascii") == "plain ascii")
+    assert(out("") == "")
+    // codegen == interpreted
+    def run(): Array[String] =
+      df.select(accentFold(col("t"))).as[String].collect()
+    val gen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run().toSeq == gen.toSeq)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // dedup consequence: accented and plain spellings share a
+    // fingerprint only after folding
+    val fp = Seq((1L, "Café"), (2L, "Cafe")).toDF("id", "t")
+    val raw = fp.select(graft.functions.Text.fingerprint(col("t"))
+      .cast("string").as("f")).as[String].collect()
+    assert(raw(0) != raw(1))
+    val folded = fp.select(graft.functions.Text.fingerprint(
+      accentFold(col("t"))).cast("string").as("f")).as[String].collect()
+    assert(folded(0) == folded(1))
+  }
+
+  test("accent_fold registers as a SQL function") {
+    graft.plans.GraftExtensions.registerInto(spark)
+    val r = spark.sql("SELECT accent_fold('Ångström ñ') AS f")
+      .as[String].collect().head
+    assert(r == "Angstrom n")
+  }
+
+  // ---- Retention cohorts ----
+
+  test("retentionCohorts: weekly cohorts, offsets and rates") {
+    def ts(day: Int) = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf(f"2024-01-${day}%02d 12:00:00").getTime)
+    // 2024-01-01 is a Monday: week boundaries at 01, 08, 15
+    val df = Seq(
+      ("a", ts(1)), ("a", ts(9)),            // cohort W1, active W1+W2
+      ("b", ts(2)),                           // cohort W1, only W1
+      ("c", ts(8)), ("c", ts(16)), ("c", ts(17))) // cohort W2, active W2+W3
+      .toDF("user", "ts")
+    val out = Sessions.retentionCohorts(df, "user", "ts")
+      .orderBy("cohort", "period_offset")
+      .select("cohort", "period_offset", "n_active", "cohort_size", "retention")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),
+      ("2024-01-01", 1L, 1L, 2L, 0.5),
+      ("2024-01-08", 0L, 1L, 1L, 1.0),
+      ("2024-01-08", 1L, 1L, 1L, 1.0)))
+  }
+
   // ---- Z-order ----
 
   test("zValue interleaves: both dims influence the key, corners ordered") {
