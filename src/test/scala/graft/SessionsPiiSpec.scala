@@ -60,6 +60,31 @@ class SessionsPiiSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("Pii masking runs unchanged on a live stream (parity)") {
+    // the scrub is a stateless projection, so the same maskDocs call
+    // works at ingest time — PII never reaches the bronze layer
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val incoming = Seq(
+      (1L, "mail a@b.co from 10.0.0.7"),
+      (2L, "badge 987654321 plain"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val streamed = Pii.maskDocs(mem.toDF().toDF("id", "text"), "text")
+    val q = streamed.writeStream.format("memory")
+      .queryName("pii_screen_out").outputMode("append").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val got = spark.table("pii_screen_out")
+        .as[(Long, String)].collect().toMap
+      val want = Pii.maskDocs(incoming.toDF("id", "text"), "text")
+        .as[(Long, String)].collect().toMap
+      assert(got == want)
+      assert(got(1L) == "mail <EMAIL> from <IP>")
+      assert(got(2L) == "badge <ID> plain")
+    } finally q.stop()
+  }
+
   // ---- Sessionization ----
 
   test("sessionize breaks sessions at the gap and numbers them per key") {
