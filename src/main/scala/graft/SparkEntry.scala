@@ -1288,6 +1288,18 @@ object SparkEntry {
     "q_pii_report" -> ((s, d) =>
       graft.llm.Pii.report(piiCorpus(s, d), "text")),
 
+    "q_luhn_audit" -> ((s, d) =>
+      // card-shape detection vs Luhn VALIDATION, both as Catalyst HOF
+      // chains; the corpus plants one valid separated card and one
+      // invalid unseparated pan on disjoint id subsets, so
+      // n_card_shaped > n_luhn_valid by construction
+      graft.llm.Pii.luhnAudit(piiCorpus(s, d), "event_id", "text")
+        .agg(
+          sum(when(col("n_card_shaped") > 0, 1L).otherwise(0L))
+            .as("n_docs_with_cards"),
+          sum(col("n_card_shaped")).cast("long").as("n_card_shaped"),
+          sum(col("n_luhn_valid")).cast("long").as("n_luhn_valid"))),
+
     // ---- llm/: accent folding (round 8) ----
     "q_accent_fold" -> ((s, d) =>
       // native accent_fold kernel vs DuckDB strip_accents on the same
@@ -1314,6 +1326,17 @@ object SparkEntry {
     "q_retention" -> ((s, d) =>
       graft.operators.Sessions.retentionCohorts(t(s, d, "events"),
         "user_id", "ts")),
+
+    "q_weighted_take" -> ((s, d) =>
+      // Efraimidis-Spirakis weighted sample, n_chars as the weight
+      // (the quality-weighted subsample shape); reported as per-source
+      // counts like its unweighted sibling q_deterministic_take
+      Relational.weightedTake(t(s, d, "documents"), col("doc_id"),
+          col("n_chars"), 100)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))),
 
     // ---- sketches: Count-Min gate (round 8) ----
     "q_cms_gate" -> ((s, d) => {
@@ -1404,6 +1427,10 @@ object SparkEntry {
           concat(lit(" badge "),
             lpad((eid * 7919 % 100000000).cast("string"), 9, "0")))
           .otherwise(lit("")),
+        when(eid % 7 === 3, lit(" card 4111-1111-1111-1111"))
+          .otherwise(lit("")),
+        when(eid % 11 === 5, lit(" pan 4111111111111112"))
+          .otherwise(lit("")),
         lit(" end")).as("text"))
   }
 
@@ -1421,6 +1448,8 @@ object SparkEntry {
                             '-', lpad(CAST(user_id * 13 % 10000 AS VARCHAR), 4, '0')) ELSE '' END,
            CASE WHEN event_id % 2 = 0
                 THEN concat(' badge ', lpad(CAST(event_id * 7919 % 100000000 AS VARCHAR), 9, '0')) ELSE '' END,
+           CASE WHEN event_id % 7 = 3 THEN ' card 4111-1111-1111-1111' ELSE '' END,
+           CASE WHEN event_id % 11 = 5 THEN ' pan 4111111111111112' ELSE '' END,
            ' end') AS text
        FROM events"""
 
@@ -2813,7 +2842,8 @@ object SparkEntry {
     "q_pii_mask" ->
       s"""WITH corpus AS ($piiCorpusSql)
          SELECT event_id,
-                regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                  '\\b(([0-9]{4}[- ]){3}[0-9]{4}|[0-9]{13,19})\\b', '<CARD>', 'g'),
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                   '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
                   '\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
@@ -2823,14 +2853,18 @@ object SparkEntry {
     "q_pii_report" ->
       s"""WITH corpus AS ($piiCorpusSql),
          c AS (SELECT
+                 len(regexp_extract_all(text, '\\b(([0-9]{4}[- ]){3}[0-9]{4}|[0-9]{13,19})\\b')) AS n_ccard,
                  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
                  len(regexp_extract_all(text, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ipv4,
                  len(regexp_extract_all(text, '\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
                  len(regexp_extract_all(text, '[0-9]{6,}')) AS n_id
                FROM corpus)
-         SELECT 'email' AS category,
-                CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
-                CAST(sum(n_email) AS BIGINT) AS n_matches FROM c
+         SELECT 'ccard' AS category,
+                CAST(sum(CASE WHEN n_ccard > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+                CAST(sum(n_ccard) AS BIGINT) AS n_matches FROM c
+         UNION ALL
+         SELECT 'email', CAST(sum(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(sum(n_email) AS BIGINT) FROM c
          UNION ALL
          SELECT 'ipv4', CAST(sum(CASE WHEN n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT),
                 CAST(sum(n_ipv4) AS BIGINT) FROM c
@@ -2840,6 +2874,23 @@ object SparkEntry {
          UNION ALL
          SELECT 'id_number', CAST(sum(CASE WHEN n_id > 0 THEN 1 ELSE 0 END) AS BIGINT),
                 CAST(sum(n_id) AS BIGINT) FROM c""",
+
+    "q_luhn_audit" ->
+      s"""WITH corpus AS ($piiCorpusSql),
+         a AS (SELECT
+                 regexp_extract_all(text, '\\b(([0-9]{4}[- ]){3}[0-9]{4}|[0-9]{13,19})\\b') AS cands
+               FROM corpus),
+         v AS (SELECT len(cands) AS n_shaped,
+                 len(list_filter(cands, c ->
+                   list_sum(list_transform(
+                     list_reverse(string_split_regex(regexp_replace(c, '[^0-9]', '', 'g'), '')),
+                     (x, i) -> CASE WHEN i % 2 = 1 THEN CAST(x AS INT)
+                                    WHEN CAST(x AS INT) * 2 > 9 THEN CAST(x AS INT) * 2 - 9
+                                    ELSE CAST(x AS INT) * 2 END)) % 10 = 0)) AS n_valid
+               FROM a)
+         SELECT CAST(sum(CASE WHEN n_shaped > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_cards,
+                CAST(sum(n_shaped) AS BIGINT) AS n_card_shaped,
+                CAST(sum(n_valid) AS BIGINT) AS n_luhn_valid FROM v""",
 
     "q_sessionize" ->
       """WITH brk AS (
@@ -2902,6 +2953,20 @@ object SparkEntry {
     "q_accent_fold" ->
       """SELECT doc_id,
                 strip_accents(translate(text, 'aeioucsnk', 'áéíóüçøñ한')) AS folded
-         FROM documents"""
+         FROM documents""",
+
+    "q_weighted_take" ->
+      """WITH scored AS (
+           SELECT doc_id, source, n_chars,
+                  ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wtake'), 1, 13)) AS BIGINT)
+                      + 1.0) / (4503599627370498.0))
+                    / CAST(n_chars AS DOUBLE) AS ws
+           FROM documents),
+         sel AS (SELECT doc_id, source, n_chars FROM scored
+                 ORDER BY ws DESC, doc_id LIMIT 100)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                CAST(sum(n_chars) AS BIGINT) AS chars_sum
+         FROM sel GROUP BY source"""
   )
 }

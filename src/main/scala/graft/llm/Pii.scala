@@ -27,13 +27,18 @@ import org.apache.spark.sql.functions._
   */
 object Pii {
 
-  /** (category, pattern, replacement) in application order. Email and
-    * IPv4 run before the bare digit-run rule so their digits are
-    * already tokenized away; phone groups are 1-4 digits so the
-    * digit-run rule ([0-9]{6,}) cannot pre-empt them in either order,
-    * but the canonical order is fixed so Spark and the oracle always
-    * agree byte-for-byte. */
+  /** (category, pattern, replacement) in application order. Cards run
+    * FIRST (most specific — an unseparated 16-digit run must become
+    * <CARD>, not <ID>, and the 4-4-4-4 separated form matches nothing
+    * else); email and IPv4 run before the bare digit-run rule so their
+    * digits are already tokenized away; phone groups are 1-4 digits so
+    * the digit-run rule ([0-9]{6,}) cannot pre-empt them in either
+    * order, but the canonical order is fixed so Spark and the oracle
+    * always agree byte-for-byte. Masking is deliberately
+    * SHAPE-level (over-masking is the safe direction); Luhn VALIDITY
+    * is the audit's job — see [[luhnValid]]/[[luhnAudit]]. */
   val categories: Seq[(String, String, String)] = Seq(
+    ("ccard", "\\b(([0-9]{4}[- ]){3}[0-9]{4}|[0-9]{13,19})\\b", "<CARD>"),
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
     ("phone", "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
@@ -67,6 +72,36 @@ object Pii {
     val total = categories.map { case (n, _, _) => col(s"n_$n") }
       .reduce(_ + _)
     counted.withColumn("n_pii", total)
+  }
+
+  /** Luhn checksum over a card-shaped candidate string (separators
+    * stripped): the mod-10 double-every-second-digit-from-the-right
+    * rule, expressed entirely in Catalyst HOFs (reverse/transform-
+    * with-index/aggregate) — no UDF, stays in codegen'd array ops. The
+    * index parity mirrors the oracle's 1-based lambda index (Spark's
+    * is 0-based): 0-based-even = the check-digit side, kept as-is. */
+  def luhnValid(candidate: Column): Column = {
+    val digits = filter(
+      split(regexp_replace(candidate, "[^0-9]", ""), ""),
+      x => x =!= "")
+    val summed = aggregate(
+      transform(reverse(digits), (x, i) => {
+        val d = x.cast("int")
+        when(i % 2 === 0, d)
+          .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+      }),
+      lit(0), (acc, x) => acc + x)
+    summed % 10 === 0
+  }
+
+  /** Per-row counts of card-SHAPED candidates vs Luhn-VALID ones —
+    * validation separates real pans from random digit runs (the
+    * shape rule alone over-fires by design). Map-only. */
+  def luhnAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cands = regexp_extract_all(col(textCol),
+      lit(categories.head._2), lit(0))
+    df.select(col(idCol), size(cands).as("n_card_shaped"),
+      size(filter(cands, c => luhnValid(c))).as("n_luhn_valid"))
   }
 
   /** Corpus-level report: one row per category — documents hit and

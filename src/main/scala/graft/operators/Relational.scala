@@ -267,4 +267,29 @@ object Relational {
       .filter(col("__rn") <= k)
       .drop("__h", "__rn")
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006): every row draws u from its salted md5 hash and is
+    * ranked by ln(u)/weight — the top-k by that score is a weighted
+    * sample where a row's selection odds scale with its weight (the
+    * quality-weighted corpus subsample: sample 1B of 10B docs
+    * proportionally to quality score, reproducibly). Weights must be
+    * strictly positive.
+    *
+    * Scale shape: one map-only score projection + TakeOrdered (per-
+    * partition heaps, k rows per partition to the driver — no global
+    * sort). Deterministic across runs, engines and partitionings: u is
+    * the md5-prefix idiom of [[deterministicTake]], u in (0,1) from 52
+    * hash bits, ties broken by key. */
+  def weightedTake(df: DataFrame, key: Column, weight: Column, k: Int,
+      salt: String = "wtake"): DataFrame = {
+    require(k >= 0)
+    val u = (conv(substring(
+        md5(concat(key.cast("string"), lit(":" + salt))), 1, 13), 16, 10)
+      .cast("double") + lit(1.0)) / lit(math.pow(2, 52) + 2.0)
+    df.withColumn("__ws", log(u) / weight.cast("double"))
+      .orderBy(col("__ws").desc, key)
+      .limit(k)
+      .drop("__ws")
+  }
 }

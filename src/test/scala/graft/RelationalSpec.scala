@@ -285,4 +285,29 @@ class RelationalSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(idsC.size == 50 && idsC != idsA)
   }
+
+  test("weightedTake: exact k, partition-independent, weight-dominant") {
+    val df = spark.range(1000).toDF("id")
+      .withColumn("w", when(col("id") < 500, 10.0).otherwise(1.0))
+    val a = Relational.weightedTake(df, col("id"), col("w"), 200)
+      .select("id").as[Long].collect().toSet
+    assert(a.size == 200)
+    // layout-independent
+    val b = Relational.weightedTake(df.repartition(13), col("id"),
+      col("w"), 200).select("id").as[Long].collect().toSet
+    assert(a == b)
+    // 10x-weighted half must dominate the sample (expected ~185 of
+    // 200 under Efraimidis-Spirakis; 140 is many sigma of slack)
+    assert(a.count(_ < 500) > 140, s"heavy half got ${a.count(_ < 500)}")
+    // an overwhelming weight is effectively always selected
+    val huge = df.withColumn("w",
+      when(col("id") === 999, 1e9).otherwise(col("w")))
+    val c = Relational.weightedTake(huge, col("id"), col("w"), 10)
+      .select("id").as[Long].collect().toSet
+    assert(c.contains(999L))
+    // TakeOrdered plan — no global sort materialization
+    val plan = Relational.weightedTake(df, col("id"), col("w"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

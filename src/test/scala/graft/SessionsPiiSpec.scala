@@ -60,6 +60,24 @@ class SessionsPiiSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("Pii card masking is shape-level; Luhn audit separates validity") {
+    val df = Seq(
+      (1L, "pay 4111-1111-1111-1111 now"),  // valid, separated
+      (2L, "pan 4111111111111112 bad"),     // card-shaped, Luhn-invalid
+      (3L, "amex 378282246310005 ok"),      // 15-digit valid
+      (4L, "short 12345 and id 987654321")) // no card shapes
+      .toDF("id", "text")
+    val masked = Pii.maskDocs(df, "text").orderBy("id")
+      .as[(Long, String)].collect().map(_._2)
+    assert(masked(0) == "pay <CARD> now")
+    assert(masked(1) == "pan <CARD> bad") // over-masking is the safe side
+    assert(masked(2) == "amex <CARD> ok")
+    assert(masked(3) == "short 12345 and id <ID>") // 9 digits: id, not card
+    val audit = Pii.luhnAudit(df, "id", "text").orderBy("id")
+      .as[(Long, Int, Int)].collect().map(a => (a._2, a._3)).toSeq
+    assert(audit == Seq((1, 1), (1, 0), (1, 1), (0, 0)))
+  }
+
   test("Pii masking runs unchanged on a live stream (parity)") {
     // the scrub is a stateless projection, so the same maskDocs call
     // works at ingest time — PII never reaches the bronze layer
