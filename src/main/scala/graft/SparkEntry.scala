@@ -1366,6 +1366,24 @@ object SparkEntry {
         .select("item", "exact", "est", "slack", "pass")
     }),
 
+    // ---- graph: PageRank (round 8) ----
+    "q_pagerank" -> ((s, d) => {
+      // weighted PageRank over the supplier->part shipment graph
+      // (node ids prefixed so the two key spaces cannot collide); the
+      // part side has no out-edges, so the dangling-mass path is
+      // exercised on every iteration. Oracle: the same 10 iterations
+      // unrolled as chained DuckDB CTEs (pagerankSql builds them
+      // programmatically). Ranks rounded 6dp; top-20 with node
+      // tiebreak so ulp-level sum-order drift cannot reorder rows.
+      val edges = t(s, d, "lineitem")
+        .groupBy(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+        .agg(count(lit(1)).cast("double").as("weight"))
+      graft.operators.Graph.pageRank(edges, 10, 0.85)
+        .select(col("node"), round(col("rank"), 6).as("rank_r"))
+        .orderBy(col("rank_r").desc, col("node")).limit(20)
+    }),
+
     // ---- layout: Z-order data skipping (round 8) ----
     "q_zorder_gate" -> ((s, d) => {
       // Z-order vs linear layout, measured: per-file min/max stats
@@ -1452,6 +1470,50 @@ object SparkEntry {
            CASE WHEN event_id % 11 = 5 THEN ' pan 4111111111111112' ELSE '' END,
            ' end') AS text
        FROM events"""
+
+  /** 10 unrolled power-method iterations as chained CTEs — DuckDB has
+    * no iterative construct for fixed-point float computation, but a
+    * FIXED iteration count is just 10 copies of the same step (join
+    * contributions + dangling mass + teleport), built here by loop.
+    * Mirrors [[graft.operators.Graph.pageRank]] term-for-term.
+    * Every step is AS MATERIALIZED: each r_i references r_{i-1} TWICE
+    * (dangling mass + contributions), so inlined CTEs re-evaluate the
+    * whole chain 2^10 times — measured minutes-not-seconds before the
+    * hint. */
+  private val pagerankSql: String = {
+    val prefix =
+      """WITH edges AS MATERIALIZED (
+           SELECT concat('s', CAST(l_suppkey AS VARCHAR)) AS src,
+                  concat('p', CAST(l_partkey AS VARCHAR)) AS dst,
+                  CAST(count(*) AS DOUBLE) AS w
+           FROM lineitem GROUP BY 1, 2),
+         nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+         outw AS MATERIALIZED (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+         en AS MATERIALIZED (SELECT e.src, e.dst, e.w / o.ow AS p
+                FROM edges e JOIN outw o ON e.src = o.src),
+         nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+                FROM nodes CROSS JOIN nn)"""
+    val steps = (1 to 10).map { i =>
+      val p = s"r${i - 1}"
+      s""",
+         r$i AS MATERIALIZED (
+           SELECT nodes.node,
+                  CAST(0.15 AS DOUBLE) / nn.n +
+                  CAST(0.85 AS DOUBLE) * (coalesce(c.contrib, 0) + dang.mass / nn.n) AS rank
+           FROM nodes CROSS JOIN nn
+           CROSS JOIN (SELECT coalesce(sum(r.rank), 0) AS mass
+                       FROM $p r LEFT JOIN outw o ON r.node = o.src
+                       WHERE o.src IS NULL) dang
+           LEFT JOIN (SELECT en.dst AS node, sum(en.p * r.rank) AS contrib
+                      FROM en JOIN $p r ON en.src = r.node
+                      GROUP BY en.dst) c ON c.node = nodes.node)"""
+    }.mkString
+    prefix + steps + """
+         SELECT node, round(rank, 6) AS rank_r FROM r10
+         ORDER BY rank_r DESC, node LIMIT 20"""
+  }
 
   /** DuckDB-runnable oracle per query (driver compares on sf0.01).
     * Regex note: Spark regexp_replace is global by default; DuckDB needs
@@ -2954,6 +3016,8 @@ object SparkEntry {
       """SELECT doc_id,
                 strip_accents(translate(text, 'aeioucsnk', 'áéíóüçøñ한')) AS folded
          FROM documents""",
+
+    "q_pagerank" -> pagerankSql,
 
     "q_weighted_take" ->
       """WITH scored AS (

@@ -187,4 +187,66 @@ object Graph {
     org.apache.spark.sql.graft.Bridge.releaseFrame(e)
     labels
   }
+
+  /** Weighted PageRank by fixed-iteration power method — the authority
+    * signal corpus curation runs over link/citation/co-occurrence
+    * graphs (Common-Crawl-style domain ranking feeding quality
+    * weights). Input: `edges` with (src, dst, weight); nodes are the
+    * edge endpoints. Fixed `iterations` (not a convergence test) keeps
+    * the result deterministic and the oracle expressible.
+    *
+    * Per iteration: ONE shuffle join of the weight-normalized edge
+    * list against the current (node, rank) frame, one map-side-
+    * combined sum per destination, and a left join back onto the node
+    * set — 3 bounded exchanges carrying (id, double) rows regardless
+    * of graph size. Dangling mass (rank parked on nodes with no
+    * out-edges) is a 1-row aggregate redistributed uniformly — the
+    * same bounded driver action as the BPE argmax; without it a
+    * bipartite graph's sink side silently absorbs all rank. Each
+    * round's superseded rank checkpoint is released once the next is
+    * materialized ([[connectedComponents]] discipline), so block usage
+    * stays one round deep. Total rank sums to 1 every iteration
+    * (spec-asserted). */
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+      col("weight").cast("double").as("w"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count().toDouble
+    val outW = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val eNorm = e.join(outW, Seq("src"))
+      .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.Bridge.releaseFrame(e)
+    val srcs = eNorm.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var ranks = nodes
+      .select(col("node"), (lit(1.0) / n).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val dangling = ranks.join(srcs, Seq("node"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)))
+        .head().getDouble(0)
+      val contrib = eNorm
+        .join(ranks.select(col("node").as("src"), col("rank").as("r")),
+          Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("p") * col("r")).as("contrib"))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) + lit(damping) *
+            (coalesce(col("contrib"), lit(0.0)) + lit(dangling / n)))
+            .as("rank"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.Bridge.releaseFrame(ranks)
+      ranks = next
+    }
+    org.apache.spark.sql.graft.Bridge.releaseFrame(eNorm)
+    org.apache.spark.sql.graft.Bridge.releaseFrame(srcs)
+    org.apache.spark.sql.graft.Bridge.releaseFrame(nodes)
+    ranks
+  }
 }

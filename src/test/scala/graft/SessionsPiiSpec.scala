@@ -187,6 +187,41 @@ class SessionsPiiSpec extends SparkSpec {
     assert(exchanges == 1, plan)
   }
 
+  // ---- PageRank ----
+
+  test("pageRank matches a reference power iteration incl. dangling mass") {
+    val edges = Seq(("A", "B", 1.0), ("A", "D", 1.0), ("B", "C", 1.0),
+      ("C", "A", 1.0)).toDF("src", "dst", "weight")
+    val got = graft.operators.Graph.pageRank(edges, 10, 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // reference: driver-side power iteration with the same semantics
+    // (D has no out-edges — its mass redistributes uniformly)
+    val nodes = Seq("A", "B", "C", "D")
+    val out = Map("A" -> Seq(("B", 0.5), ("D", 0.5)),
+      "B" -> Seq(("C", 1.0)), "C" -> Seq(("A", 1.0)))
+    var rank = nodes.map(_ -> 0.25).toMap
+    for (_ <- 1 to 10) {
+      val dang = rank("D")
+      val contrib = scala.collection.mutable.Map(nodes.map(_ -> 0.0): _*)
+      for ((s, outs) <- out; (d2, p) <- outs) contrib(d2) += rank(s) * p
+      rank = nodes.map(n =>
+        n -> (0.15 / 4 + 0.85 * (contrib(n) + dang / 4))).toMap
+    }
+    nodes.foreach(n =>
+      assert(math.abs(got(n) - rank(n)) < 1e-9, s"node $n: ${got(n)} vs ${rank(n)}"))
+    // total rank is conserved (teleport + dangling redistribution)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank: heavier in-links rank higher on a weighted star") {
+    // hub h links to a with weight 9 and b with weight 1
+    val edges = Seq(("h", "a", 9.0), ("h", "b", 1.0), ("a", "h", 1.0),
+      ("b", "h", 1.0)).toDF("src", "dst", "weight")
+    val got = graft.operators.Graph.pageRank(edges, 10, 0.85)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") > got("b"))
+  }
+
   // ---- Count-Min ----
 
   test("countMinEstimates honors the CM guarantee on a known stream") {
