@@ -200,13 +200,17 @@ object Graph {
     * combined sum per destination, and a left join back onto the node
     * set — 3 bounded exchanges carrying (id, double) rows regardless
     * of graph size. Dangling mass (rank parked on nodes with no
-    * out-edges) is a 1-row aggregate redistributed uniformly — the
-    * same bounded driver action as the BPE argmax; without it a
-    * bipartite graph's sink side silently absorbs all rank. Each
-    * round's superseded rank checkpoint is released once the next is
-    * materialized ([[connectedComponents]] discipline), so block usage
-    * stays one round deep. Total rank sums to 1 every iteration
-    * (spec-asserted). */
+    * out-edges) rides as a broadcast 1-row aggregate INSIDE the same
+    * job as the round's materialization (a separate driver action per
+    * round would double the local job floor — measured); without it a
+    * bipartite graph's sink side silently absorbs all rank. Each round
+    * eagerly checkpoints (both the dangling and contribution branches
+    * re-read the previous ranks — an unmaterialized loop would double
+    * the plan TREE per round, the same 2^k blowup the oracle's
+    * MATERIALIZED CTEs guard against) and the superseded checkpoint is
+    * released once the next is materialized ([[connectedComponents]]
+    * discipline), so block usage stays one round deep. Total rank sums
+    * to 1 every iteration (spec-asserted). */
   def pageRank(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
     val e = edges.select(col("src"), col("dst"),
@@ -227,18 +231,19 @@ object Graph {
       .select(col("node"), (lit(1.0) / n).as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val dangling = ranks.join(srcs, Seq("node"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0)))
-        .head().getDouble(0)
+      val dangling = broadcast(
+        ranks.join(srcs, Seq("node"), "left_anti")
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang")))
       val contrib = eNorm
         .join(ranks.select(col("node").as("src"), col("rank").as("r")),
           Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("p") * col("r")).as("contrib"))
       val next = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(dangling)
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + lit(dangling / n)))
+            (coalesce(col("contrib"), lit(0.0)) + col("__dang") / n))
             .as("rank"))
         .localCheckpoint(true)
       org.apache.spark.sql.graft.Bridge.releaseFrame(ranks)

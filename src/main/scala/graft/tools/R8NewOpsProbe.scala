@@ -74,6 +74,20 @@ object R8NewOpsProbe {
           Seq("value"), Some(col("__zslice")))
       }
     }
+
+    // PageRank edge-count scaling: synthetic graphs of 200k vs 2M
+    // edges (powers of the same hash construction, ~20k nodes) — the
+    // per-iteration cost should scale with |E| while the checkpoint /
+    // scheduling floor dominates locally
+    for ((tag, m) <- Seq("200k" -> 200000L, "2M" -> 2000000L)) {
+      val edges = spark.range(m).select(
+        concat(lit("n"), pmod(hash(col("id")), lit(20000)).cast("string")).as("src"),
+        concat(lit("n"), pmod(hash(col("id") * 31 + 7), lit(20000)).cast("string")).as("dst"),
+        lit(1.0).as("weight"))
+      time(s"pageRank 10 iters $tag edges") {
+        graft.operators.Graph.pageRank(edges, 10, 0.85)
+      }
+    }
     spark.stop()
   }
 }
