@@ -147,6 +147,25 @@ class SessionsPiiSpec extends SparkSpec {
     assert(exchanges == 1, plan)
   }
 
+  test("batch gap sessionization == session_window grouping (parity)") {
+    // Sessions.sessionize and Spark's session_window implement the
+    // same gap semantics (they differ only at a gap of EXACTLY the
+    // threshold — merge vs split — unobservable at microsecond
+    // timestamps), so the batch operator and the streaming-capable
+    // aggregation must produce identical (key, start, count) sessions
+    // on the real events table
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val batch = Sessions.sessionStats(e, "user_id", "ts", 1800,
+        Seq(col("event_id")))
+      .select(col("user_id"), col("sess_start"), col("n_events"))
+    val sw = graft.streaming.StreamOps.sessionAgg("ts", "30 minutes",
+        Seq("user_id"), Seq(count(lit(1)).as("n_events")))(e)
+      .select(col("user_id"), col("session_start").as("sess_start"),
+        col("n_events"))
+    assert(batch.count() > 0)
+    assert(batch.except(sw).count() == 0 && sw.except(batch).count() == 0)
+  }
+
   // ---- Funnel ----
 
   test("funnel steps only count strictly-after completions") {
