@@ -2915,7 +2915,7 @@ object SparkEntry {
                   '\\b(([0-9]{4}[- ]){3}[0-9]{4}|[0-9]{13,19})\\b', '<CARD>', 'g'),
                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                   '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
-                  '\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                  '\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g'),
                   '[0-9]{6,}', '<ID>', 'g') AS masked_text
          FROM corpus""",
 
@@ -2925,7 +2925,7 @@ object SparkEntry {
                  len(regexp_extract_all(text, '\\b(([0-9]{4}[- ]){3}[0-9]{4}|[0-9]{13,19})\\b')) AS n_ccard,
                  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
                  len(regexp_extract_all(text, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ipv4,
-                 len(regexp_extract_all(text, '\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phone,
+                 len(regexp_extract_all(text, '\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS n_phone,
                  len(regexp_extract_all(text, '[0-9]{6,}')) AS n_id
                FROM corpus)
          SELECT 'ccard' AS category,

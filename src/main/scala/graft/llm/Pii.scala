@@ -41,7 +41,7 @@ object Pii {
     ("ccard", "\\b(([0-9]{4}[- ]){3}[0-9]{4}|[0-9]{13,19})\\b", "<CARD>"),
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
-    ("phone", "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("phone", "\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3}[- ][0-9]{4}", "<PHONE>"),
     ("id_number", "[0-9]{6,}", "<ID>"))
 
   /** Masked text: the category chain applied in order. Pure projection. */

@@ -18,7 +18,8 @@ class SessionsPiiSpec extends SparkSpec {
       (2L, "server at 192.168.0.1 rebooted"),
       (3L, "call +1-555-123-4567 or 44-201-555-0199"),
       (4L, "badge 123456789 cleared"),
-      (5L, "plain text, digits 12345 under six stay")) // 5 digits: kept
+      (5L, "plain text, digits 12345 under six stay"), // 5 digits: kept
+      (6L, "ring +1 555 123 4567 now"))                // space-separated
       .toDF("id", "text")
     val out = Pii.maskDocs(df, "text").orderBy("id")
       .as[(Long, String)].collect().map(_._2)
@@ -27,6 +28,7 @@ class SessionsPiiSpec extends SparkSpec {
     assert(out(2) == "call <PHONE> or <PHONE>")
     assert(out(3) == "badge <ID> cleared")
     assert(out(4) == "plain text, digits 12345 under six stay")
+    assert(out(5) == "ring <PHONE> now")
   }
 
   test("Pii.mask order: email/ip digits are not double-masked as ids") {
