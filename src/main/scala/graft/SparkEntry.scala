@@ -1366,6 +1366,23 @@ object SparkEntry {
         .select("item", "exact", "est", "slack", "pass")
     }),
 
+    // ---- etl: data-quality rule validation (round 8) ----
+    "q_quality_rules" -> ((s, d) => {
+      // deequ-shape declarative checks: 6 single-scan rules + one
+      // referential-integrity anti-join; the tight o_totalprice range
+      // rule FAILS by construction, proving failed rules surface as
+      // pass=false rows rather than vanishing
+      import graft.etl.QualityRules._
+      check(t(s, d, "orders"), Seq(
+        NotNull("o_custkey"),
+        NotNull("o_orderdate"),
+        InRange("o_totalprice", 0, 1e7),
+        InRange("o_totalprice", 0, 100000, minFrac = 0.9),
+        Matches("o_orderpriority", "^[1-5]-"),
+        Unique("o_orderkey"),
+        RefIntegrity("o_custkey", t(s, d, "customer"), "c_custkey")))
+    }),
+
     // ---- graph: PageRank (round 8) ----
     "q_pagerank" -> ((s, d) => {
       // weighted PageRank over the supplier->part shipment graph
@@ -3025,6 +3042,34 @@ object SparkEntry {
          FROM documents""",
 
     "q_pagerank" -> pagerankSql,
+
+    "q_quality_rules" ->
+      """WITH m AS (SELECT
+           round(CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS m0,
+           round(CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS m1,
+           round(CAST(sum(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 10000000.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS m2,
+           round(CAST(sum(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 100000.0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS m3,
+           round(CAST(sum(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS m4,
+           round(CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*), 6) AS m5
+           FROM orders),
+         r AS (SELECT round(CAST(sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS m6
+               FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                 ON o.o_custkey = c.c_custkey
+               WHERE o.o_custkey IS NOT NULL)
+         SELECT CAST(0 AS INTEGER) AS rule_idx, 'not_null' AS rule, 'o_custkey' AS col_name,
+                m0 AS metric, CAST(0.0 AS DOUBLE) AS threshold, '<=' AS direction, m0 <= 0.0 AS pass FROM m
+         UNION ALL
+         SELECT CAST(1 AS INTEGER), 'not_null', 'o_orderdate', m1, CAST(0.0 AS DOUBLE), '<=', m1 <= 0.0 FROM m
+         UNION ALL
+         SELECT CAST(2 AS INTEGER), 'in_range', 'o_totalprice', m2, CAST(1.0 AS DOUBLE), '>=', m2 >= 1.0 FROM m
+         UNION ALL
+         SELECT CAST(3 AS INTEGER), 'in_range', 'o_totalprice', m3, CAST(0.9 AS DOUBLE), '>=', m3 >= 0.9 FROM m
+         UNION ALL
+         SELECT CAST(4 AS INTEGER), 'matches', 'o_orderpriority', m4, CAST(1.0 AS DOUBLE), '>=', m4 >= 1.0 FROM m
+         UNION ALL
+         SELECT CAST(5 AS INTEGER), 'unique', 'o_orderkey', m5, CAST(1.0 AS DOUBLE), '>=', m5 >= 1.0 FROM m
+         UNION ALL
+         SELECT CAST(6 AS INTEGER), 'ref_integrity', 'o_custkey', m6, CAST(1.0 AS DOUBLE), '>=', m6 >= 1.0 FROM r""",
 
     "q_weighted_take" ->
       """WITH scored AS (

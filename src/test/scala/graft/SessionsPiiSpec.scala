@@ -208,6 +208,52 @@ class SessionsPiiSpec extends SparkSpec {
     assert(exchanges == 1, plan)
   }
 
+  // ---- Data-quality rules ----
+
+  test("QualityRules: metrics and pass flags on a known-dirty fixture") {
+    import graft.etl.QualityRules._
+    val df = Seq(
+      (Some(1), Some("A-1"), 10.0), (Some(2), Some("B-2"), 20.0),
+      (Some(2), None, 300.0), (None, Some("bad"), -5.0))
+      .toDF("k", "tag", "v")
+    val ref = Seq(1, 2, 3).toDF("rk")
+    val out = check(df, Seq(
+      NotNull("k", maxNullFrac = 0.3),     // 1/4 null -> pass
+      NotNull("tag"),                       // 1/4 null -> fail
+      InRange("v", 0, 100, minFrac = 0.5),  // 2/4 in range -> pass
+      Matches("tag", "^[A-Z]-"),           // 2/4 match -> fail at 1.0
+      Unique("k"),                          // 3 distinct / 4 -> fail
+      RefIntegrity("k", ref, "rk")))        // all non-null k in ref -> pass
+      .orderBy("rule_idx")
+      .select("rule", "metric", "pass")
+      .as[(String, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("not_null", 0.25, true),
+      ("not_null", 0.25, false),
+      ("in_range", 0.5, true),
+      ("matches", 0.5, false),
+      ("unique", 0.75, false),
+      ("ref_integrity", 1.0, true)))
+  }
+
+  test("QualityRules: orphan keys fail referential integrity") {
+    import graft.etl.QualityRules._
+    val df = Seq(1, 2, 9).toDF("k")
+    val ref = Seq(1, 2).toDF("rk")
+    val r = check(df, Seq(RefIntegrity("k", ref, "rk"))).collect().head
+    assert(math.abs(r.getAs[Double]("metric") - 0.666667) < 1e-6)
+    assert(!r.getAs[Boolean]("pass"))
+  }
+
+  test("QualityRules: row-local + unique rules plan a single scan") {
+    import graft.etl.QualityRules._
+    val df = Seq((1, 5.0), (2, 6.0)).toDF("k", "v")
+    val plan = check(df, Seq(NotNull("k"), InRange("v", 0, 10),
+      Unique("k"))).queryExecution.executedPlan.toString
+    val scans = "LocalTableScan".r.findAllIn(plan).size
+    assert(scans == 1, s"expected one scan of the input:\n$plan")
+  }
+
   // ---- PageRank ----
 
   test("pageRank matches a reference power iteration incl. dangling mass") {
