@@ -164,6 +164,45 @@ object Layout {
       .drop("__z")
   }
 
+  /** Small-file compaction — the lakehouse maintenance op (OPTIMIZE /
+    * rewrite-data-files shape): a streaming sink or over-parallel
+    * writer leaves thousands of KB-scale files whose per-file open/
+    * footer cost dominates scans at 100 TB; rewrite the dataset into
+    * ~`targetBytes` files. File count is computed from the ACTUAL
+    * on-disk bytes (Hadoop FS listing — no sampling, no guessing);
+    * `sortCols` optionally re-clusters during the rewrite (compaction
+    * is the natural moment to restore clustering — pair with
+    * [[zorderBy]]'s z-value for multi-dim). Writes to `outPath` via
+    * overwrite; caller swaps directories atomically (same contract as
+    * [[graft.etl.Medallion]] partitioned writes).
+    *
+    * Returns the file count written. Coalesce (not repartition) when
+    * no sortCols: merging files needs no shuffle. */
+  def compactTo(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long, sortCols: Seq[String] = Nil): Int = {
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(hPath)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val laid =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else {
+        // coalesce can only REDUCE partition count, and the scan may
+        // already have packed the small files below the target count
+        // (files.maxPartitionBytes) — report what will actually land
+        val eff = math.min(nFiles, df.rdd.getNumPartitions)
+        df.coalesce(math.max(1, eff))
+      }
+    laid.write.mode("overwrite").parquet(outPath)
+    if (sortCols.nonEmpty) nFiles
+    else math.max(1, math.min(nFiles, df.rdd.getNumPartitions))
+  }
+
   /** Per-file min/max of the given columns — the data-skipping index a
     * parquet writer would persist per file/row-group for the current
     * layout. `fileKey` defaults to the physical partition id; pass an

@@ -111,4 +111,25 @@ object QualityRules {
       s"stack(${rules.size}, $stacked) AS " +
         "(rule_idx, rule, col_name, metric, threshold, direction, pass)")
   }
+
+  /** Metric anomaly gate over a HISTORY of past [[check]] reports
+    * (deequ's anomaly-detection shape): a rule can hold steady at
+    * pass=true while its metric drifts toward the cliff — compare
+    * each current metric to its history mean ± k·stddev and flag
+    * excursions. `history` is past check() output (any subset of
+    * columns incl. rule/col_name/metric); bounded by |rules| ×
+    * retained runs, so the agg and join are dimension-table-sized.
+    * The epsilon absorbs float jitter when a metric's history is
+    * perfectly constant (stddev 0). */
+  def anomalyGate(history: DataFrame, current: DataFrame,
+      k: Double = 3.0, epsilon: Double = 1e-9): DataFrame = {
+    val stats = history.groupBy("rule", "col_name")
+      .agg(avg(col("metric")).as("mu"),
+        coalesce(stddev(col("metric")), lit(0.0)).as("sigma"),
+        count(lit(1)).as("n_runs"))
+    current.join(broadcast(stats), Seq("rule", "col_name"), "left")
+      .withColumn("anomaly",
+        col("mu").isNotNull &&
+          abs(col("metric") - col("mu")) > lit(k) * col("sigma") + epsilon)
+  }
 }

@@ -254,6 +254,89 @@ class SessionsPiiSpec extends SparkSpec {
     assert(scans == 1, s"expected one scan of the input:\n$plan")
   }
 
+  test("QualityRules.anomalyGate flags metric drift against history") {
+    import graft.etl.QualityRules._
+    val history = Seq(
+      ("not_null", "k", 0.10), ("not_null", "k", 0.11),
+      ("not_null", "k", 0.09), ("unique", "k", 1.0),
+      ("unique", "k", 1.0)).toDF("rule", "col_name", "metric")
+    val steady = Seq(("not_null", "k", 0.10), ("unique", "k", 1.0))
+      .toDF("rule", "col_name", "metric")
+    val drifted = Seq(("not_null", "k", 0.55), ("unique", "k", 1.0))
+      .toDF("rule", "col_name", "metric")
+    def flags(cur: org.apache.spark.sql.DataFrame) =
+      anomalyGate(history, cur).orderBy("rule")
+        .select("anomaly").as[Boolean].collect().toSeq
+    assert(flags(steady) == Seq(false, false))
+    assert(flags(drifted) == Seq(true, false))
+    // constant-history metric (stddev 0): exact repeat is NOT an
+    // anomaly (epsilon absorbs float jitter)
+    val exact = Seq(("unique", "k", 1.0)).toDF("rule", "col_name", "metric")
+    assert(anomalyGate(history, exact).select("anomaly")
+      .as[Boolean].collect().toSeq == Seq(false))
+  }
+
+  test("QualityRules.check runs unchanged per micro-batch (streaming)") {
+    import graft.etl.QualityRules._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Option[Int], Double)]
+    val reports = scala.collection.mutable.ArrayBuffer[(Long, String, Boolean)]()
+    val q = mem.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        check(batch, Seq(NotNull("k"), InRange("v", 0, 100)))
+          .select("rule", "pass").collect()
+          .foreach(r => reports.synchronized {
+            reports += ((id, r.getString(0), r.getBoolean(1)))
+          })
+        ()
+      }.start()
+    try {
+      mem.addData((Some(1), 5.0), (Some(2), 6.0))
+      q.processAllAvailable()
+      mem.addData((None, 500.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byBatch = reports.groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+    assert(byBatch(0L) == Set(("not_null", true), ("in_range", true)))
+    assert(byBatch(1L) == Set(("not_null", false), ("in_range", false)))
+  }
+
+  test("compactTo merges small files to the byte target, preserving data") {
+    import graft.etl.Layout
+    val in = tmpDir("compact_in")
+    val out = tmpDir("compact_out")
+    val df = spark.range(20000).toDF("id")
+      .withColumn("v", col("id") * 2)
+    df.repartition(64).write.mode("overwrite").parquet(in)
+    val inFiles = new java.io.File(in).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(inFiles == 64)
+    val totalBytes = new java.io.File(in).listFiles
+      .filter(f => f.getName.endsWith(".parquet")).map(_.length).sum
+    val n = Layout.compactTo(spark, in, out, targetBytes = totalBytes / 4)
+    val outFiles = new java.io.File(out).listFiles
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(outFiles == n && n >= 3 && n <= 6, s"got $n files")
+    // data preserved exactly
+    val a = spark.read.parquet(in).orderBy("id").collect()
+    val b = spark.read.parquet(out).orderBy("id").collect()
+    assert(a.sameElements(b))
+    // sortCols variant re-clusters: per-file id ranges must not overlap
+    val out2 = tmpDir("compact_out2")
+    Layout.compactTo(spark, in, out2, totalBytes / 4, sortCols = Seq("id"))
+    val stats = Layout.partitionStats(spark.read.parquet(out2), Seq("id"),
+        Some(input_file_name()))
+      .collect().map(r => (r.getAs[Long]("mn_id"), r.getAs[Long]("mx_id")))
+      .sortBy(_._1)
+    assert(stats.length >= 3)
+    stats.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) => assert(aMax < bMin)
+      case _ =>
+    }
+  }
+
   // ---- PageRank ----
 
   test("pageRank matches a reference power iteration incl. dangling mass") {
