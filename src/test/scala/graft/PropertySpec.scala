@@ -631,4 +631,83 @@ class PropertySpec extends SparkSpec {
       s"self-ADC $s drifted from 1"))
     idx.encoded.unpersist(blocking = true)
   }
+
+  test("sessionize: per-key session count == gap-breaks + 1; events conserved") {
+    import graft.operators.Sessions
+    val eventsGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0L, 100000L)))
+    samples(eventsGen).foreach { raw =>
+      // distinct (key, second) pairs so the tie-break never decides
+      val rows = raw.distinct.zipWithIndex
+        .map { case ((k, s), i) => (s"u$k", new java.sql.Timestamp(s * 1000), i.toLong) }
+      val gap = 5000L
+      val df = rows.toDF("user", "ts", "eid")
+      val out = Sessions.sessionStats(df, "user", "ts", gap, Seq(col("eid")))
+        .groupBy("user")
+        .agg(max(col("session_seq")).as("n_sessions"),
+          sum(col("n_events")).as("n_events"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      // scala-side reference: breaks where the sorted per-key diff > gap
+      rows.groupBy(_._1).foreach { case (u, evs) =>
+        val ts = evs.map(_._2.getTime / 1000).sorted
+        val breaks = ts.sliding(2).count {
+          case Seq(a, b) => b - a > gap; case _ => false
+        }
+        assert(out(u) == (breaks + 1L, ts.size.toLong),
+          s"key $u: got ${out(u)}, want ${(breaks + 1, ts.size)}")
+      }
+    }
+  }
+
+  test("funnel counts are monotone non-increasing for any event stream") {
+    import graft.operators.Sessions
+    val evGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0, 4),
+      Gen.chooseNum(0L, 1000L),
+      Gen.oneOf("view", "click", "purchase", "error")))
+    samples(evGen).foreach { raw =>
+      val rows = raw.zipWithIndex.map { case ((k, s, t), i) =>
+        (s"u$k", new java.sql.Timestamp(s * 1000 + i), t) // unique ts
+      }
+      val counts = Sessions.funnelSummary(rows.toDF("user", "ts", "etype"),
+        "user", "ts", "etype", Seq("view", "click", "purchase"))
+        .orderBy("step_idx").select("n_keys").as[Long].collect()
+      assert(counts.length == 3)
+      assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+        s"funnel not monotone: ${counts.toSeq}")
+    }
+  }
+
+  test("retention: offset-0 count equals cohort size; rates in (0,1]") {
+    import graft.operators.Sessions
+    val evGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0, 5), Gen.chooseNum(0, 27)))
+    samples(evGen).foreach { raw =>
+      val rows = raw.distinct.map { case (k, day) =>
+        (s"u$k", java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00"))
+      }
+      val out = Sessions.retentionCohorts(rows.toDF("user", "ts"),
+        "user", "ts").collect()
+      out.foreach { r =>
+        val (off, n, size, ret) = (r.getAs[Long]("period_offset"),
+          r.getAs[Long]("n_active"), r.getAs[Long]("cohort_size"),
+          r.getAs[Double]("retention"))
+        if (off == 0) assert(n == size, "offset-0 row must equal cohort size")
+        assert(n <= size && ret > 0 && ret <= 1.0 + 1e-9,
+          s"offset $off: n=$n size=$size ret=$ret")
+      }
+    }
+  }
+
+  test("weightedTake: k >= N returns every row; uniform weights match count") {
+    import graft.operators.Relational
+    samples(Gen.chooseNum(1, 40)).foreach { n =>
+      val df = spark.range(n).toDF("id").withColumn("w", lit(1.0))
+      val all = Relational.weightedTake(df, col("id"), col("w"), n + 10)
+      assert(all.count() == n)
+      val k = math.min(5, n)
+      assert(Relational.weightedTake(df, col("id"), col("w"), k).count() == k)
+    }
+  }
 }
