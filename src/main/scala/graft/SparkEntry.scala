@@ -1366,6 +1366,27 @@ object SparkEntry {
         .select("item", "exact", "est", "slack", "pass")
     }),
 
+    // ---- profiling: join-key skew diagnosis (round 8) ----
+    "q_skew_report" -> ((s, d) =>
+      Aggregates.skewReport(t(s, d, "lineitem"), "l_suppkey")),
+
+    // ---- llm/: keyed pseudonymization (round 8) ----
+    "q_pseudonymize" -> ((s, d) => {
+      // structured ids leave the corpus as salted-SHA-256 tokens;
+      // the SAME secret across frames keeps referential structure —
+      // the graded row proves events and orders still join on the
+      // token with the exact per-key counts of the raw join
+      val secret = "graft-release-1"
+      val ev = graft.llm.Pii.pseudonymizeCols(
+        t(s, d, "events").select(col("user_id")), secret, Seq("user_id"))
+      val ord = graft.llm.Pii.pseudonymizeCols(
+        t(s, d, "orders").select(col("o_custkey")), secret, Seq("o_custkey"))
+      ev.groupBy(col("user_id").as("token"))
+        .agg(count(lit(1)).as("n_events"))
+        .join(ord.groupBy(col("o_custkey").as("token"))
+          .agg(count(lit(1)).as("n_orders")), Seq("token"))
+    }),
+
     // ---- etl: data-quality rule validation (round 8) ----
     "q_quality_rules" -> ((s, d) => {
       // deequ-shape declarative checks: 6 single-scan rules + one
@@ -3042,6 +3063,29 @@ object SparkEntry {
          FROM documents""",
 
     "q_pagerank" -> pagerankSql,
+
+    "q_skew_report" ->
+      """WITH c AS (SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
+         t AS (SELECT sum(cnt) AS total, count(*) AS n_keys, max(cnt) AS mx FROM c),
+         tk AS (SELECT sum(cnt) AS topk FROM
+                 (SELECT cnt FROM c ORDER BY cnt DESC, k LIMIT 5))
+         SELECT 'l_suppkey' AS key_col,
+                CAST(t.total AS BIGINT) AS n_rows,
+                CAST(t.n_keys AS BIGINT) AS n_keys,
+                round(CAST(t.total AS DOUBLE) / t.n_keys, 2) AS avg_rows_per_key,
+                round(CAST(t.mx AS DOUBLE) / t.total, 6) AS max_share,
+                round(CAST(tk.topk AS DOUBLE) / t.total, 6) AS top5_share
+         FROM t CROSS JOIN tk""",
+
+    "q_pseudonymize" ->
+      """WITH ev AS (SELECT sha256(concat('graft-release-1:', CAST(user_id AS VARCHAR))) AS token
+                     FROM events),
+         ord AS (SELECT sha256(concat('graft-release-1:', CAST(o_custkey AS VARCHAR))) AS token
+                 FROM orders)
+         SELECT e.token, e.n_events, o.n_orders
+         FROM (SELECT token, count(*) AS n_events FROM ev GROUP BY token) e
+         JOIN (SELECT token, count(*) AS n_orders FROM ord GROUP BY token) o
+           USING (token)""",
 
     "q_quality_rules" ->
       """WITH m AS (SELECT

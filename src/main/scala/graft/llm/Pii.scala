@@ -104,6 +104,25 @@ object Pii {
       size(filter(cands, c => luhnValid(c))).as("n_luhn_valid"))
   }
 
+  /** Deterministic keyed pseudonymization: value -> hex token via a
+    * salted SHA-256. The privacy lever the masking rules can't
+    * provide for STRUCTURED keys: user/session/account ids must leave
+    * the corpus, but downstream joins and group-bys still need a
+    * consistent handle — the same (secret, value) always yields the
+    * same token, so referential structure survives while the raw id
+    * never does. Re-identification requires the secret (or a brute
+    * force over the id space — pair with wide id spaces or rotate
+    * secrets per release). Map-only projection, codegen'd sha2. */
+  def pseudonymize(value: Column, secret: String, bits: Int = 256): Column =
+    sha2(concat(lit(secret), lit(":"), value.cast("string")), bits)
+
+  /** df with `cols` pseudonymized in place under one secret (shared
+    * secret = cross-table join consistency). */
+  def pseudonymizeCols(df: DataFrame, secret: String,
+      cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((acc, c) =>
+      acc.withColumn(c, pseudonymize(col(c), secret)))
+
   /** Corpus-level report: one row per category — documents hit and
     * total matches. Bounded output (|categories| rows); the only
     * exchange is the final 4-group agg of map-side-combined partials. */

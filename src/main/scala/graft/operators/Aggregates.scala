@@ -239,6 +239,35 @@ object Aggregates {
       .stat.freqItems(Seq("item"), support)
       .select(explode(col("item_freqItems")).as("item"))
 
+  /** Join-key skew diagnosis — the report that picks the join
+    * strategy BEFORE the 100 TB shuffle burns: distinct-key count,
+    * rows-per-key average, and the share of the hottest key / hottest
+    * topK keys. max_share ≈ 1/parallelism means one reducer owns the
+    * key's whole partition — reach for [[graft.operators.Joins
+    * .saltedJoin]] (or AQE skew-split for sort-merge cases);
+    * a small n_keys with modest rows means broadcast.
+    *
+    * One map-side-combined count per key (key-cardinality-sized
+    * frame), one 1-row roll-up, one TakeOrdered(topK). Output: a
+    * single bounded row. */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("n_keys"), max(col("cnt")).as("mx"))
+    val topk = counts.orderBy(col("cnt").desc, col("k")).limit(topK)
+      .agg(sum(col("cnt")).as("topk"))
+    totals.crossJoin(broadcast(topk))
+      .select(lit(keyCol).as("key_col"),
+        col("total").cast("long").as("n_rows"),
+        col("n_keys").cast("long").as("n_keys"),
+        round(col("total").cast("double") / col("n_keys"), 2)
+          .as("avg_rows_per_key"),
+        round(col("mx").cast("double") / col("total"), 6).as("max_share"),
+        round(col("topk").cast("double") / col("total"), 6)
+          .as(s"top${topK}_share"))
+  }
+
   /** Count-Min point-frequency estimates for a bounded candidate set
     * (the frequency twin of [[frequentItems]]'s membership sketch):
     * wraps Spark's `stat.countMinSketch` (Cormode/Muthukrishnan CM

@@ -80,6 +80,32 @@ class SessionsPiiSpec extends SparkSpec {
     assert(audit == Seq((1, 1), (1, 0), (1, 1), (0, 0)))
   }
 
+  test("pseudonymize: join-consistent tokens, secret-dependent, non-identity") {
+    val a = Seq(1L, 2L, 3L).toDF("uid")
+    val b = Seq(2L, 3L, 4L).toDF("uid")
+    val pa = Pii.pseudonymizeCols(a, "s1", Seq("uid"))
+    val pb = Pii.pseudonymizeCols(b, "s1", Seq("uid"))
+    // same secret: the raw intersection {2,3} survives as a 2-row join
+    assert(pa.join(pb, Seq("uid")).count() == 2)
+    // different secret: no accidental collisions with s1's tokens
+    val pb2 = Pii.pseudonymizeCols(b, "s2", Seq("uid"))
+    assert(pa.join(pb2, Seq("uid")).count() == 0)
+    // tokens are 64-hex-char digests, never the raw value
+    val toks = pa.as[String].collect()
+    assert(toks.forall(t => t.length == 64 && t.matches("[0-9a-f]+")))
+    assert(toks.toSet.size == 3)
+  }
+
+  test("skewReport flags a hot key; shares sum correctly") {
+    import graft.operators.Aggregates
+    val rows = Seq.fill(90)("hot") ++ (1 to 10).map(i => s"k$i")
+    val r = Aggregates.skewReport(rows.toDF("key"), "key", topK = 3)
+      .collect().head
+    assert(r.getAs[Long]("n_rows") == 100 && r.getAs[Long]("n_keys") == 11)
+    assert(math.abs(r.getAs[Double]("max_share") - 0.9) < 1e-9)
+    assert(math.abs(r.getAs[Double]("top3_share") - 0.92) < 1e-9)
+  }
+
   test("Pii masking runs unchanged on a live stream (parity)") {
     // the scrub is a stateless projection, so the same maskDocs call
     // works at ingest time — PII never reaches the bronze layer
