@@ -1327,6 +1327,17 @@ object SparkEntry {
       graft.operators.Sessions.retentionCohorts(t(s, d, "events"),
         "user_id", "ts")),
 
+    "q_stratified_weighted_take" -> ((s, d) =>
+      // per-source quality-weighted exact-5 sample (the per-domain
+      // mixing sampler); same ln(u)/w score as q_weighted_take so the
+      // two samplers agree where strata don't bind
+      Relational.stratifiedWeightedTake(t(s, d, "documents"),
+          col("source"), col("doc_id"), col("n_chars"), 5)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("chars_sum"))),
+
     "q_weighted_take" -> ((s, d) =>
       // Efraimidis-Spirakis weighted sample, n_chars as the weight
       // (the quality-weighted subsample shape); reported as per-source
@@ -1422,6 +1433,25 @@ object SparkEntry {
         .orderBy(col("rank_r").desc, col("node")).limit(20)
     }),
 
+    "q_hits" -> ((s, d) => {
+      // HITS on the same shipment graph: hubs (suppliers) and
+      // authorities (parts) separate cleanly on a bipartite graph —
+      // the role distinction PageRank's single score conflates. Top-10
+      // per role, ranks rounded 6dp with node tiebreaks.
+      val edges = t(s, d, "lineitem")
+        .groupBy(concat(lit("s"), col("l_suppkey")).as("src"),
+          concat(lit("p"), col("l_partkey")).as("dst"))
+        .agg(count(lit(1)).cast("double").as("weight"))
+      val scores = graft.operators.Graph.hits(edges, hitsIters)
+        .select(col("node"), round(col("hub"), 6).as("hub_r"),
+          round(col("authority"), 6).as("auth_r"))
+      scores.orderBy(col("hub_r").desc, col("node")).limit(10)
+        .withColumn("role", lit("hub"))
+        .unionByName(
+          scores.orderBy(col("auth_r").desc, col("node")).limit(10)
+            .withColumn("role", lit("authority")))
+    }),
+
     // ---- layout: Z-order data skipping (round 8) ----
     "q_zorder_gate" -> ((s, d) => {
       // Z-order vs linear layout, measured: per-file min/max stats
@@ -1515,6 +1545,58 @@ object SparkEntry {
     * join+checkpoint job locally) while exercising every semantic —
     * dangling redistribution fires each round on the bipartite graph. */
   private val pagerankIters = 6
+
+  /** Shared by q_hits and its oracle, same rationale as
+    * [[pagerankIters]]; HITS converges geometrically on this graph —
+    * 4 rounds are past rank stability at 6 dp. */
+  private val hitsIters = 4
+
+  /** Unrolled HITS iterations as MATERIALIZED CTEs (see
+    * [[pagerankSql]] for why the hint is load-bearing): each round is
+    * an authority update from the previous hubs, an L2 norm, a hub
+    * update from the FRESH authorities, and its norm. */
+  private val hitsSql: String = {
+    val prefix =
+      """WITH edges AS MATERIALIZED (
+           SELECT concat('s', CAST(l_suppkey AS VARCHAR)) AS src,
+                  concat('p', CAST(l_partkey AS VARCHAR)) AS dst,
+                  CAST(count(*) AS DOUBLE) AS w
+           FROM lineitem GROUP BY 1, 2),
+         nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+           (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+         h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes)"""
+    val steps = (1 to hitsIters).map { i =>
+      s""",
+         a${i}r AS MATERIALIZED (
+           SELECT e.dst AS node, sum(e.w * p.h) AS v
+           FROM edges e JOIN h${i - 1} p ON e.src = p.node GROUP BY e.dst),
+         a$i AS MATERIALIZED (
+           SELECT nodes.node,
+                  CASE WHEN n.s > 0 THEN coalesce(r.v, 0) / n.s ELSE 0 END AS a
+           FROM nodes LEFT JOIN a${i}r r ON r.node = nodes.node
+           CROSS JOIN (SELECT sqrt(sum(v * v)) AS s FROM a${i}r) n),
+         h${i}r AS MATERIALIZED (
+           SELECT e.src AS node, sum(e.w * q.a) AS v
+           FROM edges e JOIN a$i q ON e.dst = q.node GROUP BY e.src),
+         h$i AS MATERIALIZED (
+           SELECT nodes.node,
+                  CASE WHEN n.s > 0 THEN coalesce(r.v, 0) / n.s ELSE 0 END AS h
+           FROM nodes LEFT JOIN h${i}r r ON r.node = nodes.node
+           CROSS JOIN (SELECT sqrt(sum(v * v)) AS s FROM h${i}r) n)"""
+    }.mkString
+    prefix + steps + s"""
+         , scores AS (SELECT h$hitsIters.node, round(h, 6) AS hub_r,
+                             round(a, 6) AS auth_r
+                      FROM h$hitsIters JOIN a$hitsIters
+                        ON h$hitsIters.node = a$hitsIters.node)
+         SELECT * FROM
+           (SELECT node, hub_r, auth_r, 'hub' AS role FROM scores
+            ORDER BY hub_r DESC, node LIMIT 10)
+         UNION ALL
+         SELECT * FROM
+           (SELECT node, hub_r, auth_r, 'authority' AS role FROM scores
+            ORDER BY auth_r DESC, node LIMIT 10)"""
+  }
 
   /** Unrolled power-method iterations as chained CTEs — DuckDB has
     * no iterative construct for fixed-point float computation, but a
@@ -3064,6 +3146,8 @@ object SparkEntry {
 
     "q_pagerank" -> pagerankSql,
 
+    "q_hits" -> hitsSql,
+
     "q_skew_report" ->
       """WITH c AS (SELECT l_suppkey AS k, count(*) AS cnt FROM lineitem GROUP BY 1),
          t AS (SELECT sum(cnt) AS total, count(*) AS n_keys, max(cnt) AS mx FROM c),
@@ -3114,6 +3198,22 @@ object SparkEntry {
          SELECT CAST(5 AS INTEGER), 'unique', 'o_orderkey', m5, CAST(1.0 AS DOUBLE), '>=', m5 >= 1.0 FROM m
          UNION ALL
          SELECT CAST(6 AS INTEGER), 'ref_integrity', 'o_custkey', m6, CAST(1.0 AS DOUBLE), '>=', m6 >= 1.0 FROM r""",
+
+    "q_stratified_weighted_take" ->
+      """WITH scored AS (
+           SELECT doc_id, source, n_chars,
+                  ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wtake'), 1, 13)) AS BIGINT)
+                      + 1.0) / (4503599627370498.0))
+                    / CAST(n_chars AS DOUBLE) AS ws
+           FROM documents),
+         sel AS (SELECT doc_id, source, n_chars FROM
+                  (SELECT *, row_number() OVER (PARTITION BY source
+                     ORDER BY ws DESC, doc_id) AS rn FROM scored)
+                 WHERE rn <= 5)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                CAST(sum(n_chars) AS BIGINT) AS chars_sum
+         FROM sel GROUP BY source""",
 
     "q_weighted_take" ->
       """WITH scored AS (

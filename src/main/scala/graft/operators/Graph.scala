@@ -211,6 +211,69 @@ object Graph {
     * released once the next is materialized ([[connectedComponents]]
     * discipline), so block usage stays one round deep. Total rank sums
     * to 1 every iteration (spec-asserted). */
+  /** HITS hubs & authorities (Kleinberg 1999) by fixed-iteration
+    * mutual reinforcement — the complementary authority signal to
+    * [[pageRank]] on bipartite curation graphs: a GOOD SOURCE (hub)
+    * links to many good items, a GOOD ITEM (authority) is linked by
+    * many good sources; PageRank's single score conflates the two
+    * roles. Weighted: a(j) = Σ_{i→j} w·h(i), then h(i) = Σ_{i→j}
+    * w·a(j) with the FRESH authorities, each side L2-normalized per
+    * round (norms ride as broadcast 1-row aggregates, the
+    * [[pageRank]] dangling pattern).
+    *
+    * Per round: two shuffle joins of the edge list against the
+    * current score frames and two eager checkpoints (authorities are
+    * consumed twice — by the hub update and the output — the same
+    * double-reference rule as pageRank), superseded rounds released.
+    * Output: (node, hub, authority). */
+  def hits(edges: DataFrame, iterations: Int = 4): DataFrame = {
+    val e = edges.select(col("src"), col("dst"),
+      col("weight").cast("double").as("w"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint(true)
+    var hubs = nodes.select(col("node"), lit(1.0).as("h"))
+      .localCheckpoint(true)
+    var auths = hubs.select(col("node"), col("h").as("a"))
+    for (_ <- 1 to iterations) {
+      val aRaw = e
+        .join(hubs.select(col("node").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("w") * col("h")).as("v"))
+      val aNorm = broadcast(aRaw.agg(
+        sqrt(sum(col("v") * col("v"))).as("__n")))
+      val nextA = nodes.join(aRaw, Seq("node"), "left").crossJoin(aNorm)
+        .select(col("node"),
+          when(col("__n") > 0, coalesce(col("v"), lit(0.0)) / col("__n"))
+            .otherwise(lit(0.0)).as("a"))
+        .localCheckpoint(true)
+      val hRaw = e
+        .join(nextA.select(col("node").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("w") * col("a")).as("v"))
+      val hNorm = broadcast(hRaw.agg(
+        sqrt(sum(col("v") * col("v"))).as("__n")))
+      val nextH = nodes.join(hRaw, Seq("node"), "left").crossJoin(hNorm)
+        .select(col("node"),
+          when(col("__n") > 0, coalesce(col("v"), lit(0.0)) / col("__n"))
+            .otherwise(lit(0.0)).as("h"))
+        .localCheckpoint(true)
+      // releaseFrame is a no-op on the first round's auths view (not
+      // its own checkpoint) — safe to release both unconditionally
+      org.apache.spark.sql.graft.Bridge.releaseFrame(hubs)
+      org.apache.spark.sql.graft.Bridge.releaseFrame(auths)
+      auths = nextA
+      hubs = nextH
+    }
+    val out = hubs.join(auths, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.Bridge.releaseFrame(e)
+    org.apache.spark.sql.graft.Bridge.releaseFrame(nodes)
+    out
+  }
+
   def pageRank(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
     val e = edges.select(col("src"), col("dst"),

@@ -284,12 +284,37 @@ object Relational {
   def weightedTake(df: DataFrame, key: Column, weight: Column, k: Int,
       salt: String = "wtake"): DataFrame = {
     require(k >= 0)
-    val u = (conv(substring(
-        md5(concat(key.cast("string"), lit(":" + salt))), 1, 13), 16, 10)
-      .cast("double") + lit(1.0)) / lit(math.pow(2, 52) + 2.0)
-    df.withColumn("__ws", log(u) / weight.cast("double"))
+    df.withColumn("__ws", esScore(key, weight, salt))
       .orderBy(col("__ws").desc, key)
       .limit(k)
       .drop("__ws")
+  }
+
+  /** Per-stratum weighted EXACT-k sampling without replacement: the
+    * [[weightedTake]] score ranked inside each stratum — per-domain /
+    * per-language quality-proportional subsamples with a hard per-cell
+    * budget (the corpus-mixing sampler: "200k docs per language,
+    * preferring high quality"). Strata with fewer than k rows keep
+    * everything. Same scale posture as [[stratifiedTake]]: one hash
+    * exchange on the stratum key, parallel per-stratum window ranks. */
+  def stratifiedWeightedTake(df: DataFrame, strata: Column, key: Column,
+      weight: Column, k: Int, salt: String = "wtake"): DataFrame = {
+    require(k >= 0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strata).orderBy(col("__ws").desc, key)
+    df.withColumn("__ws", esScore(key, weight, salt))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__ws", "__rn")
+  }
+
+  /** The Efraimidis-Spirakis ranking score ln(u)/w with u drawn from
+    * the salted-md5 idiom — shared by the global and stratified
+    * weighted takes so their samples agree where strata don't bind. */
+  private def esScore(key: Column, weight: Column, salt: String): Column = {
+    val u = (conv(substring(
+        md5(concat(key.cast("string"), lit(":" + salt))), 1, 13), 16, 10)
+      .cast("double") + lit(1.0)) / lit(math.pow(2, 52) + 2.0)
+    log(u) / weight.cast("double")
   }
 }

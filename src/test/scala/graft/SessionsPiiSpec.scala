@@ -398,6 +398,61 @@ class SessionsPiiSpec extends SparkSpec {
     assert(got("a") > got("b"))
   }
 
+  test("hits matches a reference mutual-reinforcement iteration") {
+    val edges = Seq(("s1", "p1", 2.0), ("s1", "p2", 1.0), ("s2", "p1", 1.0))
+      .toDF("src", "dst", "weight")
+    val got = graft.operators.Graph.hits(edges, 4)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // driver-side reference with identical semantics
+    val out = Map("s1" -> Seq(("p1", 2.0), ("p2", 1.0)),
+      "s2" -> Seq(("p1", 1.0)))
+    val nodes = Seq("s1", "s2", "p1", "p2")
+    var h = nodes.map(_ -> 1.0).toMap
+    var a = Map.empty[String, Double]
+    for (_ <- 1 to 4) {
+      val ar = nodes.map(n => n -> out.toSeq.flatMap { case (s, es) =>
+        es.collect { case (d, w) if d == n => w * h(s) } }.sum).toMap
+      val an = math.sqrt(ar.values.map(v => v * v).sum)
+      a = ar.map { case (n, v) => n -> (if (an > 0) v / an else 0.0) }
+      val hr = nodes.map(n => n -> out.getOrElse(n, Nil)
+        .map { case (d, w) => w * a(d) }.sum).toMap
+      val hn = math.sqrt(hr.values.map(v => v * v).sum)
+      h = hr.map { case (n, v) => n -> (if (hn > 0) v / hn else 0.0) }
+    }
+    nodes.foreach { n =>
+      assert(math.abs(got(n)._1 - h(n)) < 1e-9, s"hub $n")
+      assert(math.abs(got(n)._2 - a(n)) < 1e-9, s"auth $n")
+    }
+    // bipartite role separation: sources have no authority, sinks no hub
+    assert(got("s1")._2 == 0.0 && got("p1")._1 == 0.0)
+    // the heavier-linked part is the stronger authority
+    assert(got("p1")._2 > got("p2")._2)
+  }
+
+  test("stratifiedWeightedTake: exact k per stratum, agrees with global scorer") {
+    import graft.operators.Relational
+    val df = (0 until 300).map(i => (s"s${i % 3}", i.toLong,
+      if (i % 2 == 0) 10.0 else 1.0)).toDF("src", "id", "w")
+    val out = Relational.stratifiedWeightedTake(df, col("src"), col("id"),
+      col("w"), 20)
+    val per = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per.values.forall(_ == 20) && per.size == 3)
+    // short strata keep everything
+    val short = Relational.stratifiedWeightedTake(df.filter(col("id") < 5),
+      col("src"), col("id"), col("w"), 20)
+    assert(short.count() == 5)
+    // where a stratum's budget doesn't bind, the kept set is exactly
+    // the global scorer's choice restricted to that stratum
+    val justS0 = df.filter(col("src") === "s0")
+    val global = Relational.weightedTake(justS0, col("id"), col("w"), 20)
+      .select("id").as[Long].collect().toSet
+    val strat = Relational.stratifiedWeightedTake(justS0, col("src"),
+      col("id"), col("w"), 20).select("id").as[Long].collect().toSet
+    assert(global == strat)
+  }
+
   // ---- Count-Min ----
 
   test("countMinEstimates honors the CM guarantee on a known stream") {
