@@ -1553,8 +1553,10 @@ object SparkEntry {
 
   /** Unrolled HITS iterations as MATERIALIZED CTEs (see
     * [[pagerankSql]] for why the hint is load-bearing): each round is
-    * an authority update from the previous hubs, an L2 norm, a hub
-    * update from the FRESH authorities, and its norm. */
+    * a RAW authority update from the previous hubs and a raw hub
+    * update from the fresh authorities; the single L2 normalization
+    * happens at the end, mirroring [[graft.operators.Graph.hits]]
+    * term-for-term. */
   private val hitsSql: String = {
     val prefix =
       """WITH edges AS MATERIALIZED (
@@ -1567,28 +1569,28 @@ object SparkEntry {
          h0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes)"""
     val steps = (1 to hitsIters).map { i =>
       s""",
-         a${i}r AS MATERIALIZED (
-           SELECT e.dst AS node, sum(e.w * p.h) AS v
-           FROM edges e JOIN h${i - 1} p ON e.src = p.node GROUP BY e.dst),
          a$i AS MATERIALIZED (
-           SELECT nodes.node,
-                  CASE WHEN n.s > 0 THEN coalesce(r.v, 0) / n.s ELSE 0 END AS a
-           FROM nodes LEFT JOIN a${i}r r ON r.node = nodes.node
-           CROSS JOIN (SELECT sqrt(sum(v * v)) AS s FROM a${i}r) n),
-         h${i}r AS MATERIALIZED (
-           SELECT e.src AS node, sum(e.w * q.a) AS v
-           FROM edges e JOIN a$i q ON e.dst = q.node GROUP BY e.src),
+           SELECT nodes.node, coalesce(r.v, 0) AS a
+           FROM nodes LEFT JOIN
+             (SELECT e.dst AS node, sum(e.w * p.h) AS v
+              FROM edges e JOIN h${i - 1} p ON e.src = p.node
+              GROUP BY e.dst) r ON r.node = nodes.node),
          h$i AS MATERIALIZED (
-           SELECT nodes.node,
-                  CASE WHEN n.s > 0 THEN coalesce(r.v, 0) / n.s ELSE 0 END AS h
-           FROM nodes LEFT JOIN h${i}r r ON r.node = nodes.node
-           CROSS JOIN (SELECT sqrt(sum(v * v)) AS s FROM h${i}r) n)"""
+           SELECT nodes.node, coalesce(r.v, 0) AS h
+           FROM nodes LEFT JOIN
+             (SELECT e.src AS node, sum(e.w * q.a) AS v
+              FROM edges e JOIN a$i q ON e.dst = q.node
+              GROUP BY e.src) r ON r.node = nodes.node)"""
     }.mkString
     prefix + steps + s"""
-         , scores AS (SELECT h$hitsIters.node, round(h, 6) AS hub_r,
-                             round(a, 6) AS auth_r
-                      FROM h$hitsIters JOIN a$hitsIters
-                        ON h$hitsIters.node = a$hitsIters.node)
+         , na AS (SELECT sqrt(sum(a * a)) AS s FROM a$hitsIters),
+         nh AS (SELECT sqrt(sum(h * h)) AS s FROM h$hitsIters),
+         scores AS (SELECT h$hitsIters.node,
+                           round(CASE WHEN nh.s > 0 THEN h / nh.s ELSE 0 END, 6) AS hub_r,
+                           round(CASE WHEN na.s > 0 THEN a / na.s ELSE 0 END, 6) AS auth_r
+                    FROM h$hitsIters JOIN a$hitsIters
+                      ON h$hitsIters.node = a$hitsIters.node
+                    CROSS JOIN na CROSS JOIN nh)
          SELECT * FROM
            (SELECT node, hub_r, auth_r, 'hub' AS role FROM scores
             ORDER BY hub_r DESC, node LIMIT 10)

