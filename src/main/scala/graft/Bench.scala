@@ -1,10 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Emits ONE JSON line with, beyond the per-query
-  * medians, enough self-diagnosis to distinguish "code got slower"
-  * from "session was loaded" without a re-run (the official sweep has
-  * been contention-distorted two rounds running):
+/** Benchmark main. Emits ONE JSON line to stdout — compact enough to
+  * survive a ~2000-char log-tail capture (total, canary, retries, the
+  * slowest queries) — and persists the FULL per-query line to
+  * BENCH_FULL.json. Beyond the per-query medians it carries enough
+  * self-diagnosis to distinguish "code got slower" from "session was
+  * loaded" without a re-run (the official sweep has been
+  * contention-distorted two rounds running):
   *
   *  - `canary`: a fixed 3-query probe timed at sweep start, middle and
   *    end; `drift` = slowest/fastest probe total. Code cannot change
@@ -144,7 +147,26 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"BENCH_FULL.json write failed: $e")
     }
-    println(line)
+    // The harness capturing this output keeps only the last ~2000
+    // chars of the log; the full per-query line above (140+ queries,
+    // ~4 KB) has NEVER fit, so the captured artifact recorded
+    // parsed=null every round. stdout therefore carries a COMPACT
+    // line — total, canary, retries, and the slowest queries up to a
+    // fixed char budget (the slow tail is the perf signal; the full
+    // detail is already persisted to BENCH_FULL.json and lost to
+    // nothing). Budget 1500 chars leaves room for the build tool's
+    // trailing success line inside the capture window.
+    val slowestFirst = medians.toSeq.sortBy(-_._2)
+    val fixedPart = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${medians.size},"canary":$canaryJson,"retry":${obj(retries)},"sf":"$sfDir","queries":{}}"""
+    var budget = 1500 - fixedPart.length
+    val kept = slowestFirst.takeWhile { case (k, v) =>
+      val cost = k.length + fmt(v).length + 6
+      val fits = budget - cost >= 0
+      if (fits) budget -= cost
+      fits
+    }
+    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${medians.size},"canary":$canaryJson,"retry":${obj(retries)},"sf":"$sfDir","queries":${obj(kept)}}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -1420,9 +1420,9 @@ object SparkEntry {
       // weighted PageRank over the supplier->part shipment graph
       // (node ids prefixed so the two key spaces cannot collide); the
       // part side has no out-edges, so the dangling-mass path is
-      // exercised on every iteration. Oracle: the same 10 iterations
-      // unrolled as chained DuckDB CTEs (pagerankSql builds them
-      // programmatically). Ranks rounded 6dp; top-20 with node
+      // exercised on every iteration. Oracle: the same pagerankIters
+      // iterations unrolled as chained DuckDB CTEs (pagerankSql builds
+      // them programmatically). Ranks rounded 6dp; top-20 with node
       // tiebreak so ulp-level sum-order drift cannot reorder rows.
       val edges = t(s, d, "lineitem")
         .groupBy(concat(lit("s"), col("l_suppkey")).as("src"),
@@ -1602,13 +1602,13 @@ object SparkEntry {
 
   /** Unrolled power-method iterations as chained CTEs — DuckDB has
     * no iterative construct for fixed-point float computation, but a
-    * FIXED iteration count is just 10 copies of the same step (join
-    * contributions + dangling mass + teleport), built here by loop.
-    * Mirrors [[graft.operators.Graph.pageRank]] term-for-term.
+    * FIXED iteration count is just pagerankIters copies of the same
+    * step (join contributions + dangling mass + teleport), built here
+    * by loop. Mirrors [[graft.operators.Graph.pageRank]] term-for-term.
     * Every step is AS MATERIALIZED: each r_i references r_{i-1} TWICE
     * (dangling mass + contributions), so inlined CTEs re-evaluate the
-    * whole chain 2^10 times — measured minutes-not-seconds before the
-    * hint. */
+    * whole chain 2^pagerankIters times — measured minutes-not-seconds
+    * before the hint. */
   private val pagerankSql: String = {
     val prefix =
       """WITH edges AS MATERIALIZED (

@@ -158,9 +158,15 @@ object Layout {
     * pruning measurement; use [[zorderBy]] for balanced layout duty. */
   def zorderSlices(df: DataFrame, cols: Seq[String], slices: Int,
       bits: Int = 8): DataFrame = {
+    // divide, don't multiply: __z * slices overflows long once
+    // bits*dims approaches 62 (zValue permits it), flipping slice ids
+    // negative. Integer DIV by a fixed z-range width keeps every term
+    // in range; least() absorbs the remainder rows of an inexact split.
     val maxZ = 1L << (bits * cols.size)
+    val width = math.max(1L, maxZ / slices)
     zValue(df, cols, bits)
-      .withColumn("__zslice", (col("__z") * slices / maxZ).cast("int"))
+      .withColumn("__zslice",
+        least(expr(s"__z DIV ${width}L"), lit(slices - 1L)).cast("int"))
       .drop("__z")
   }
 
@@ -182,9 +188,17 @@ object Layout {
       targetBytes: Long, sortCols: Seq[String] = Nil): Int = {
     val hPath = new org.apache.hadoop.fs.Path(inPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.listStatus(hPath)
-      .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-      .map(_.getLen).sum
+    // recursive listing: a partitionBy layout (the Medallion contract
+    // this claims compatibility with) nests data files under key
+    // subdirectories — a flat listStatus would size it at 0 bytes and
+    // collapse the whole table into one output file
+    val it = fs.listFiles(hPath, true)
+    var totalBytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) totalBytes += f.getLen
+    }
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(inPath)
     val laid =

@@ -188,29 +188,6 @@ object Graph {
     labels
   }
 
-  /** Weighted PageRank by fixed-iteration power method — the authority
-    * signal corpus curation runs over link/citation/co-occurrence
-    * graphs (Common-Crawl-style domain ranking feeding quality
-    * weights). Input: `edges` with (src, dst, weight); nodes are the
-    * edge endpoints. Fixed `iterations` (not a convergence test) keeps
-    * the result deterministic and the oracle expressible.
-    *
-    * Per iteration: ONE shuffle join of the weight-normalized edge
-    * list against the current (node, rank) frame, one map-side-
-    * combined sum per destination, and a left join back onto the node
-    * set — 3 bounded exchanges carrying (id, double) rows regardless
-    * of graph size. Dangling mass (rank parked on nodes with no
-    * out-edges) rides as a broadcast 1-row aggregate INSIDE the same
-    * job as the round's materialization (a separate driver action per
-    * round would double the local job floor — measured); without it a
-    * bipartite graph's sink side silently absorbs all rank. Each round
-    * eagerly checkpoints (both the dangling and contribution branches
-    * re-read the previous ranks — an unmaterialized loop would double
-    * the plan TREE per round, the same 2^k blowup the oracle's
-    * MATERIALIZED CTEs guard against) and the superseded checkpoint is
-    * released once the next is materialized ([[connectedComponents]]
-    * discipline), so block usage stays one round deep. Total rank sums
-    * to 1 every iteration (spec-asserted). */
   /** HITS hubs & authorities (Kleinberg 1999) by fixed-iteration
     * mutual reinforcement — the complementary authority signal to
     * [[pageRank]] on bipartite curation graphs: a GOOD SOURCE (hub)
@@ -294,6 +271,29 @@ object Graph {
     out
   }
 
+  /** Weighted PageRank by fixed-iteration power method — the authority
+    * signal corpus curation runs over link/citation/co-occurrence
+    * graphs (Common-Crawl-style domain ranking feeding quality
+    * weights). Input: `edges` with (src, dst, weight); nodes are the
+    * edge endpoints. Fixed `iterations` (not a convergence test) keeps
+    * the result deterministic and the oracle expressible.
+    *
+    * Per iteration: ONE shuffle join of the weight-normalized edge
+    * list against the current (node, rank) frame, one map-side-
+    * combined sum per destination, and a left join back onto the node
+    * set — 3 bounded exchanges carrying (id, double) rows regardless
+    * of graph size. Dangling mass (rank parked on nodes with no
+    * out-edges) rides as a broadcast 1-row aggregate INSIDE the same
+    * job as the round's materialization (a separate driver action per
+    * round would double the local job floor — measured); without it a
+    * bipartite graph's sink side silently absorbs all rank. Each round
+    * eagerly checkpoints (both the dangling and contribution branches
+    * re-read the previous ranks — an unmaterialized loop would double
+    * the plan TREE per round, the same 2^k blowup the oracle's
+    * MATERIALIZED CTEs guard against) and the superseded checkpoint is
+    * released once the next is materialized ([[connectedComponents]]
+    * discipline), so block usage stays one round deep. Total rank sums
+    * to 1 every iteration (spec-asserted). */
   def pageRank(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
     val e = edges.select(col("src"), col("dst"),

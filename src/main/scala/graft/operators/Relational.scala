@@ -315,6 +315,13 @@ object Relational {
     val u = (conv(substring(
         md5(concat(key.cast("string"), lit(":" + salt))), 1, 13), 16, 10)
       .cast("double") + lit(1.0)) / lit(math.pow(2, 52) + 2.0)
-    log(u) / weight.cast("double")
+    // weights must be strictly positive: w<0 flips ln(u)/w positive so
+    // the row ALWAYS wins, w=0 yields -Inf silently — fail loudly
+    // instead of biasing the sample
+    val w = weight.cast("double")
+    val wChecked = when(w > 0.0, w).otherwise(raise_error(concat(
+      lit("esScore: weight must be strictly positive, got "),
+      coalesce(w.cast("string"), lit("null")))))
+    log(u) / wChecked
   }
 }

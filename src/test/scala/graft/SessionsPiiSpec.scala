@@ -363,6 +363,58 @@ class SessionsPiiSpec extends SparkSpec {
     }
   }
 
+  test("compactTo sizes a partitionBy layout recursively") {
+    import graft.etl.Layout
+    val in = tmpDir("compact_part_in")
+    val out = tmpDir("compact_part_out")
+    val df = spark.range(20000).toDF("id")
+      .withColumn("k", (col("id") % 4).cast("int"))
+      .withColumn("v", col("id") * 2)
+    df.repartition(16).write.mode("overwrite").partitionBy("k").parquet(in)
+    def bytes(f: java.io.File): Long =
+      if (f.isFile) { if (f.getName.endsWith(".parquet")) f.length else 0L }
+      else f.listFiles.map(bytes).sum
+    val total = bytes(new java.io.File(in))
+    assert(total > 0)
+    // a flat listing sized the nested data files at 0 bytes and
+    // collapsed the table to ONE file regardless of targetBytes
+    val n = Layout.compactTo(spark, in, out, targetBytes = total / 4)
+    assert(n >= 3, s"partitioned input mis-sized: compacted to $n files")
+    val a = spark.read.parquet(in).select("id", "v", "k")
+      .orderBy("id").collect()
+    val b = spark.read.parquet(out).select("id", "v", "k")
+      .orderBy("id").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("zorderSlices: slice ids stay in range at bits*dims = 62") {
+    import graft.etl.Layout
+    // bits=31 x 2 dims: the old __z * slices multiply overflowed long
+    // for z-values in the top slices, casting them to NEGATIVE ids
+    val df = spark.range(200).toDF("x")
+      .withColumn("y", (col("x") * 37) % 200)
+    val ids = Layout.zorderSlices(df, Seq("x", "y"), slices = 16,
+        bits = 31)
+      .select("__zslice").distinct().collect().map(_.getInt(0))
+    assert(ids.forall(i => i >= 0 && i < 16),
+      s"out-of-range slice ids: ${ids.sorted.mkString(",")}")
+    assert(ids.length > 1, "expected multiple slices")
+  }
+
+  test("weighted takes fail loudly on non-positive weights") {
+    import graft.operators.Relational
+    val df = spark.range(10).toDF("id")
+      .withColumn("w", when(col("id") === 7, lit(0.0)).otherwise(lit(1.0)))
+    val ex = intercept[Exception] {
+      Relational.weightedTake(df, col("id"), col("w"), 5).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain(ex).exists(_.contains("strictly positive")),
+      s"wrong failure: ${chain(ex).mkString(" | ")}")
+  }
+
   // ---- PageRank ----
 
   test("pageRank matches a reference power iteration incl. dangling mass") {
