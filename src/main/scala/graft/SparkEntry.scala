@@ -1483,7 +1483,170 @@ object SparkEntry {
       z.crossJoin(l)
         .withColumn("pass", col("z_frac") < col("lin_frac"))
         .filter(col("pass"))
-    })
+    }),
+
+    // ---- OLAP multi-join suite (round 9): the TPC-H query shapes the
+    // scan/agg/join coverage above didn't yet exercise — market-share
+    // conditional ratios, scalar-subquery gates, anti/semi joins and
+    // outer-join distributions. Dims (nation/region/part/supplier)
+    // ride as explicit broadcasts; the fact-side shuffles are only on
+    // the join keys.
+    "q_market_share" -> ((s, d) => {
+      // Q8 shape: NATION_3's share of EUROPE-customer order volume per
+      // order year. Customer->nation->region fixes the market;
+      // supplier->nation names the numerator. Share is a conditional
+      // ratio of sums, rounded 6dp.
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val custN = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey")))
+      val suppN = broadcast(t(s, d, "nation")
+        .select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation")))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(custN, col("c_nationkey") === col("cn_key"))
+        .join(broadcast(t(s, d, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(suppN, col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(round(sum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0.0))) / sum(vol), 6).as("mkt_share"))
+    }),
+
+    "q_product_profit" -> ((s, d) => {
+      // Q9 shape: per supplier-nation, per order year, volume on 'red'
+      // parts. The filtered part key set and the supplier/nation dims
+      // broadcast; lineitem shuffles once, on l_orderkey.
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")
+          .filter(col("p_name").contains("red")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, d, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("supp_nation"),
+          year(col("o_orderdate")).as("yr"))
+        .agg(round(sum(vol), 2).as("profit"))
+    }),
+
+    "q_promo_share" -> ((s, d) => {
+      // Q14 shape: PROMO parts' revenue share for one ship month —
+      // the ship-date filter lands in PushedFilters, part broadcast.
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(t(s, d, "part").select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(sum(when(col("p_type") === "PROMO", vol)
+          .otherwise(lit(0.0))) * lit(100.0) / sum(vol), 6)
+          .as("promo_share"))
+    }),
+
+    "q_cust_distribution" -> ((s, d) =>
+      // Q13 shape: how many customers placed k orders, INCLUDING the
+      // zero bucket a plain groupBy(orders) can't see — the left outer
+      // join is the point. count(col) skips the nulls the outer join
+      // manufactures.
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+          "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("n_orders"))
+        .agg(count(lit(1)).as("n_custs"))),
+
+    "q_avg_yearly" -> ((s, d) => {
+      // Q17 shape: revenue/7 of small-quantity lineitems, gated by a
+      // PER-PART scalar subquery (0.2 x that part's mean quantity).
+      // The per-part aggregate is part-count-sized — broadcast back
+      // instead of re-shuffling the fact side. Quantities are
+      // integral, so the mean (and the gate) is bit-exact in any sum
+      // order.
+      val pk = broadcast(t(s, d, "part")
+        .filter(col("p_brand") === "Brand#13").select("p_partkey"))
+      val li = t(s, d, "lineitem")
+        .join(pk, col("l_partkey") === col("p_partkey"))
+      val caps = li.groupBy(col("l_partkey").as("__ck"))
+        .agg((avg(col("l_quantity")) * lit(0.2)).as("__cap"))
+      li.join(broadcast(caps), col("l_partkey") === col("__ck"))
+        .filter(col("l_quantity") < col("__cap"))
+        .agg(round(sum(col("l_extendedprice")) / lit(7.0), 2)
+          .as("avg_yearly"))
+    }),
+
+    "q_large_orders" -> ((s, d) => {
+      // Q18 shape: orders whose lineitems sum past 200 units, with
+      // customer names — a groupBy-having gate joined back to two
+      // tables, top-20 by price with key tiebreak. Quantity sums are
+      // integral-exact.
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > lit(200.0))
+      t(s, d, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    "q_idle_customers" -> ((s, d) => {
+      // Q22 shape: above-average-balance customers with NO 1995 order
+      // — a broadcast scalar subquery gate plus a LEFT ANTI join
+      // (NOT EXISTS), rolled up by segment.
+      val cust = t(s, d, "customer")
+      val avgBal = cust.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("__ab"))
+      val o95 = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__ab"))
+        .join(o95, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_custs"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+    }),
+
+    // ---- sequence analytics + robust stats (round 9) ----
+    "q_event_transitions" -> ((s, d) =>
+      // first-order Markov matrix over per-user event streams:
+      // transition counts and row-normalized probabilities. Counts are
+      // integers, so p is bit-identical across engines.
+      graft.operators.Sessions.transitionMatrix(t(s, d, "events"),
+        "user_id", "ts", "event_type", Seq(col("event_id")))),
+
+    "q_mad_outliers" -> ((s, d) =>
+      // robust per-type outlier profile: EXACT median/MAD so DuckDB
+      // verifies cell-for-cell; threshold 3 x 1.4826 x MAD
+      graft.operators.Aggregates.madOutliers(t(s, d, "events"),
+        Seq("event_type"), "value", 3.0)),
+
+    "q_scd2_history" -> ((s, d) =>
+      // SCD2 historization of each user's event_type stream: one row
+      // per run of identical values with validity stitching —
+      // timestamps formatted at second grain (shared convention with
+      // q_sessionize: nanos vs micros readers agree at seconds)
+      graft.etl.Cdc.scd2(t(s, d, "events"), "user_id", "ts",
+          Seq("event_type"), Seq(col("event_id")))
+        .select(col("user_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss")
+            .as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss")
+            .as("valid_to"),
+          col("is_current"), col("n_obs")))
   )
 
   /** Deterministic PII-bearing corpus derived from `events`: each
@@ -3229,6 +3392,149 @@ object SparkEntry {
          SELECT source, count(*) AS n_docs,
                 CAST(sum(doc_id) AS BIGINT) AS id_sum,
                 CAST(sum(n_chars) AS BIGINT) AS chars_sum
-         FROM sel GROUP BY source"""
+         FROM sel GROUP BY source""",
+
+    // ---- OLAP multi-join suite (round 9) ----
+    "q_market_share" ->
+      """SELECT CAST(date_part('year', o_orderdate) AS INT) AS yr,
+                round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                               THEN l_extendedprice * (1.0 - l_discount)
+                               ELSE 0.0 END)
+                      / sum(l_extendedprice * (1.0 - l_discount)), 6)
+                  AS mkt_share
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN region ON cn.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         WHERE r_name = 'EUROPE'
+         GROUP BY 1""",
+
+    "q_product_profit" ->
+      """SELECT n_name AS supp_nation,
+                CAST(date_part('year', o_orderdate) AS INT) AS yr,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                  AS profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2""",
+
+    "q_promo_share" ->
+      """SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1.0 - l_discount)
+                               ELSE 0.0 END) * 100.0
+                      / sum(l_extendedprice * (1.0 - l_discount)), 6)
+                  AS promo_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'""",
+
+    "q_cust_distribution" ->
+      """SELECT n_orders, count(*) AS n_custs
+         FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+               FROM customer
+               LEFT JOIN orders ON c_custkey = o_custkey
+               GROUP BY c_custkey)
+         GROUP BY n_orders""",
+
+    "q_avg_yearly" ->
+      """WITH caps AS (
+           SELECT l_partkey AS ck, avg(l_quantity) * 0.2 AS cap
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE p_brand = 'Brand#13'
+           GROUP BY 1)
+         SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN caps ON l_partkey = ck
+         WHERE p_brand = 'Brand#13' AND l_quantity < cap""",
+
+    "q_large_orders" ->
+      """WITH big AS (
+           SELECT l_orderkey, sum(l_quantity) AS total_qty
+           FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200.0)
+         SELECT c_name, o_orderkey,
+                strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                o_totalprice, total_qty
+         FROM orders
+         JOIN big ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+
+    "q_idle_customers" ->
+      """SELECT c_mktsegment, count(*) AS n_custs,
+                round(sum(c_acctbal), 2) AS total_bal
+         FROM customer
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                            WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '1995-01-01'
+                             AND o_orderdate < TIMESTAMP '1996-01-01')
+         GROUP BY c_mktsegment""",
+
+    // ---- sequence analytics + robust stats (round 9) ----
+    "q_event_transitions" ->
+      """WITH seq AS (
+           SELECT event_type AS from_state,
+                  lead(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS to_state
+           FROM events)
+         SELECT from_state, to_state, count(*) AS n,
+                round(count(*) / sum(count(*))
+                  OVER (PARTITION BY from_state), 6) AS p
+         FROM seq WHERE to_state IS NOT NULL
+         GROUP BY 1, 2""",
+
+    "q_mad_outliers" ->
+      """WITH med AS (SELECT event_type, median(value) AS m
+                      FROM events GROUP BY 1),
+              mad AS (SELECT e.event_type,
+                             median(abs(e.value - med.m)) AS md
+                      FROM events e JOIN med USING (event_type)
+                      GROUP BY 1)
+         SELECT e.event_type, round(med.m, 6) AS median,
+                round(mad.md, 6) AS mad,
+                CAST(sum(CASE WHEN abs(e.value - med.m) >
+                                   (3.0 * 1.4826) * mad.md
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+                count(*) AS n_rows
+         FROM events e
+         JOIN med USING (event_type)
+         JOIN mad ON mad.event_type = e.event_type
+         GROUP BY 1, med.m, mad.md""",
+
+    "q_scd2_history" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN event_type IS DISTINCT FROM
+                            lag(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id)
+                       THEN 1 ELSE 0 END AS chg
+           FROM events),
+         runs AS (
+           SELECT user_id, event_type, ts,
+                  sum(chg) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS run
+           FROM flagged),
+         collapsed AS (
+           SELECT user_id, event_type, run, min(ts) AS vf,
+                  count(*) AS n_obs
+           FROM runs GROUP BY 1, 2, 3)
+         SELECT user_id, event_type,
+                strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY vf),
+                  '%Y-%m-%d %H:%M:%S') AS valid_to,
+                lead(vf) OVER (PARTITION BY user_id ORDER BY vf) IS NULL
+                  AS is_current,
+                n_obs
+         FROM collapsed"""
   )
 }

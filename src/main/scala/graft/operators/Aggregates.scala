@@ -307,4 +307,36 @@ object Aggregates {
     if (groupBy.isEmpty) df.agg(e)
     else df.groupBy(groupBy.map(col): _*).agg(e)
   }
+
+  /** Robust per-group outlier profile: median, MAD (median absolute
+    * deviation) and the count of rows whose deviation from the median
+    * exceeds k·1.4826·MAD (1.4826 scales MAD to σ under normality) —
+    * the metric-anomaly screen that, unlike a z-score, a few extreme
+    * rows cannot drag toward themselves.
+    *
+    * EXACT medians (`percentile`, not approx) so a SQL oracle verifies
+    * cell-for-cell; the threshold multiplies (k·1.4826) FIRST to match
+    * left-associated SQL arithmetic bit-for-bit. Three grouped passes
+    * over the (keys, value) projection, the group-count-sized median
+    * and MAD frames broadcast back. Exact percentile holds one sorted
+    * value buffer per group — at 100 TB swap in approx_percentile via
+    * [[percentiles]] and keep this as the oracle-duty variant. */
+  def madOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
+      k: Double = 3.0, scale: Int = 6): DataFrame = {
+    val kc = keys.map(col)
+    val slim = df.select((col(valueCol).cast("double").as("__v") +: kc): _*)
+    val med = slim.groupBy(kc: _*)
+      .agg(expr("percentile(__v, 0.5)").as("__med"))
+    val mad = slim.join(broadcast(med), keys)
+      .groupBy(kc: _*)
+      .agg(expr("percentile(abs(__v - __med), 0.5)").as("__mad"))
+    slim.join(broadcast(med), keys).join(broadcast(mad), keys)
+      .groupBy(kc: _*)
+      .agg(
+        round(first(col("__med")), scale).as("median"),
+        round(first(col("__mad")), scale).as("mad"),
+        sum(when(abs(col("__v") - col("__med")) >
+          lit(k * 1.4826) * col("__mad"), 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_rows"))
+  }
 }

@@ -139,4 +139,32 @@ object Sessions {
     counts.selectExpr(
       s"stack(${steps.size}, $stacked) AS (step, step_idx, n_keys, conv_from_prev)")
   }
+
+  /** First-order Markov transition matrix over per-key ordered event
+    * streams: for every observed (from_state, to_state) pair, the
+    * count and the row-normalized transition probability — the
+    * behavioral-sequence summary (what follows a click?) and the
+    * generator for sequence-anomaly scoring.
+    *
+    * Scale shape: one window-lead over the key-partitioned stream
+    * (state + order columns only — payloads never ride), then a
+    * map-side-combined pair count. The per-from-state normalizer is a
+    * window over the COUNTED pairs — a |states|²-bounded frame, not
+    * the event stream. `tieBreak` makes within-timestamp order (and so
+    * the matrix) deterministic. */
+  def transitionMatrix(df: DataFrame, key: String, ts: String,
+      state: String, tieBreak: Seq[Column] = Nil,
+      scale: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts) +: tieBreak: _*)
+    val pairs = df
+      .select(col(key) +: col(ts) +: col(state) +: tieBreak: _*)
+      .withColumn("__next", lead(col(state), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(state).as("from_state"), col("__next").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_state"))
+    pairs.withColumn("p",
+      round(col("n").cast("double") / sum(col("n")).over(wf), scale))
+  }
 }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 operators: SCD2 historization, event-transition matrix,
+  * MAD outlier profile. */
+class CdcSequenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transitionMatrix: counts and row-normalized probabilities") {
+    val df = Seq(
+      (1L, 1, "A"), (1L, 2, "B"), (1L, 3, "B"), (1L, 4, "C"),
+      (2L, 1, "A"), (2L, 2, "B"), (2L, 3, "A")
+    ).toDF("k", "t", "st")
+    val out = graft.operators.Sessions
+      .transitionMatrix(df, "k", "t", "st")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(out == Set(
+      ("A", "B", 2L, 1.0),
+      ("B", "B", 1L, 0.333333),
+      ("B", "C", 1L, 0.333333),
+      ("B", "A", 1L, 0.333333)))
+  }
+
+  test("transitionMatrix: probabilities sum to ~1 per from_state; partition-independent") {
+    val df = spark.range(2000).select(
+      (col("id") % 37).as("k"), col("id").as("t"),
+      (col("id") * 7919 % 5).cast("string").as("st"))
+    val a = graft.operators.Sessions.transitionMatrix(df, "k", "t", "st")
+    val sums = a.groupBy("from_state").agg(sum("p").as("s"))
+      .collect().map(_.getDouble(1))
+    assert(sums.nonEmpty && sums.forall(s => math.abs(s - 1.0) < 1e-4))
+    val b = graft.operators.Sessions
+      .transitionMatrix(df.repartition(13), "k", "t", "st")
+    assert(a.orderBy("from_state", "to_state").collect()
+      .sameElements(b.orderBy("from_state", "to_state").collect()))
+  }
+
+  test("madOutliers: hand-computed median/MAD/outlier count") {
+    val df = Seq(
+      ("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0), ("g", 100.0),
+      ("h", 10.0), ("h", 10.0), ("h", 10.0)
+    ).toDF("grp", "v")
+    val out = graft.operators.Aggregates
+      .madOutliers(df, Seq("grp"), "v", 3.0)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // g: median 3, devs {2,1,0,1,97} -> mad 1; only 100 exceeds
+    // 3*1.4826*1 = 4.4478. h: mad 0 -> a zero deviation is NOT > 0.
+    assert(out == Set(
+      ("g", 3.0, 1.0, 1L, 5L),
+      ("h", 10.0, 0.0, 0L, 3L)))
+  }
+
+  test("scd2: run-length semantics — a re-observed value reopens a new interval") {
+    val df = Seq(
+      ("u1", 1, "A"), ("u1", 2, "A"), ("u1", 3, "B"),
+      ("u1", 4, "A"), ("u1", 5, "A"),
+      ("u2", 1, "X")
+    ).toDF("k", "t", "st")
+    val out = graft.etl.Cdc.scd2(df, "k", "t", Seq("st"))
+      .orderBy("k", "valid_from")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        Option(r.get(4)).map(_.asInstanceOf[Int]),
+        r.getBoolean(5), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      ("u1", "A", 1, Some(3), false, 2L),
+      ("u1", "B", 3, Some(4), false, 1L),
+      ("u1", "A", 4, None, true, 2L),
+      ("u2", "X", 1, None, true, 1L)))
+  }
+
+  test("scd2: a null attribute is a tracked value, not a wildcard") {
+    val df = Seq(
+      ("u", 1, Some("A")), ("u", 2, None: Option[String]),
+      ("u", 3, None: Option[String]), ("u", 4, Some("A"))
+    ).toDF("k", "t", "st")
+    val out = graft.etl.Cdc.scd2(df, "k", "t", Seq("st"))
+      .orderBy("valid_from")
+      .collect()
+      .map(r => (Option(r.getString(1)), r.getInt(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (Some("A"), 1, 1L), (None, 2, 2L), (Some("A"), 4, 1L)))
+  }
+
+  test("scd2: partition-independent") {
+    val df = spark.range(5000).select(
+      (col("id") % 61).as("k"), col("id").as("t"),
+      (col("id") * 2654435761L % 4).cast("string").as("st"))
+    val a = graft.etl.Cdc.scd2(df, "k", "t", Seq("st"))
+      .orderBy("k", "valid_from").collect()
+    val b = graft.etl.Cdc.scd2(df.repartition(17), "k", "t", Seq("st"))
+      .orderBy("k", "valid_from").collect()
+    assert(a.sameElements(b))
+    // intervals tile each key's timeline: non-current rows' valid_to
+    // equals the next row's valid_from (already implied by the lead
+    // construction) and exactly one current row per key
+    val cur = graft.etl.Cdc.scd2(df, "k", "t", Seq("st"))
+      .groupBy("k").agg(sum(when(col("is_current"), 1).otherwise(0)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(cur.forall(_ == 1L))
+  }
+}

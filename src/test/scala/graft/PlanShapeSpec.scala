@@ -24,6 +24,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("l_tax#"), "unused columns must be pruned")
   }
 
+  test("round-9 OLAP suite: dims and scalar gates broadcast, anti join is anti") {
+    val ms = planOf(SparkEntry.queries("q_market_share")(spark, sf))
+    assert(ms.contains("BroadcastHashJoin"), ms)
+    assert(!ms.contains("CartesianProduct"), ms)
+    // the per-part cap frame must come back as a broadcast, not a
+    // second fact-side shuffle
+    val ay = planOf(SparkEntry.queries("q_avg_yearly")(spark, sf))
+    assert(ay.contains("BroadcastHashJoin"), ay)
+    val ic = planOf(SparkEntry.queries("q_idle_customers")(spark, sf))
+    assert(ic.contains("LeftAnti"), ic)
+  }
+
   test("dimension joins broadcast, fact side does not") {
     val df = SparkEntry.queries("q_join_region_revenue")(spark, sf)
     val plan = planOf(df)
