@@ -1221,6 +1221,33 @@ object SparkEntry {
         "recall" -> 0.6).filter(col("pass"))
     }),
 
+    "q_pca_knn" -> ((s, d) => {
+      // rows-only: two-stage retrieve-then-rerank kNN — shortlist in
+      // the 32-dim PCA space (half-width quadratic stage), exact
+      // re-rank of the survivors at full width; recall gate rides in
+      // q_pca_knn_recall
+      val emb = t(s, d, "embeddings")
+      graft.llm.Similarity.pcaRerankKnn(emb.filter(col("vec_id") < 10),
+        emb, "vec_id", "embedding", 5, dims = 32, shortlist = 50)
+    }),
+
+    "q_pca_knn_recall" -> ((s, d) => {
+      // recall@5 of the PCA shortlist+rerank stack vs the full-width
+      // kernel. The reduced space ALONE ranks poorly on these
+      // isotropic gaussian fixtures (0.42-0.46 — PCA's worst case, no
+      // correlated dimensions to concentrate); the exact re-rank of a
+      // 50-candidate shortlist restores 0.98/1.0 at sf0.001/sf0.01
+      // (deterministic: PCA eigendecomposition is seedless and cosine
+      // is reflection-invariant).
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      graft.llm.Recall.gated(graft.llm.Recall.knnRecall(
+          graft.llm.Similarity.pcaRerankKnn(q, emb, "vec_id",
+            "embedding", 5, dims = 32, shortlist = 50),
+          Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 5)),
+        "recall" -> 0.8).filter(col("pass"))
+    }),
+
     "q_minhash_pair_quality" -> ((s, d) => {
       // precision/recall of minhash-cluster-implied pairs vs the exact
       // jaccard>=0.7 pair set (the threshold the clusters estimate);

@@ -55,6 +55,78 @@ object Similarity {
     * would be the next optimization; rank window on (query × k) rows is
     * already corpus-scan-bound).
     * Output: (query_id, neighbor_id, rank). */
+  /** PCA dimensionality reduction of an embedding column: project
+    * every vector onto the top `k` principal components fit on the
+    * corpus — the dimensionality rung of the scan-width ladder
+    * (float32 d → float32 k of DENSE signal), composable with int8/PQ
+    * downstream. Unlike quantization, the reduction concentrates
+    * variance: on embedding corpora with correlated dimensions most
+    * cosine mass survives far fewer coordinates.
+    *
+    * Scale shape: the fit is ONE distributed pass (a d x d covariance
+    * gram aggregated map-side; d=64 here, so the driver-side
+    * eigendecomposition is microscopic) and the transform is a
+    * map-only matrix multiply against the broadcast d x k component
+    * matrix — no shuffle anywhere. Output: (idCol, vecCol
+    * array<float> of length k), drop-in for every kNN kernel above.
+    * Cosine rankings are invariant to the component-sign ambiguity
+    * (a reflection is orthogonal). */
+  def pcaReduce(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val withVec = df.select(col(idCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("__fv"))
+    val model = new PCA().setInputCol("__fv").setOutputCol("__pv")
+      .setK(k).fit(withVec)
+    model.transform(withVec)
+      .select(col(idCol),
+        vector_to_array(col("__pv"), "float32").as(vecCol))
+  }
+
+  /** Two-stage kNN through the PCA rung: shortlist candidates by
+    * cosine in the `dims`-dimensional reduced space (a dims/d-narrower
+    * corpus scan for the quadratic stage), then EXACT-rerank only the
+    * |queries| x shortlist survivors against the full vectors — the
+    * retrieve-then-rerank serving shape. On isotropic (uncorrelated)
+    * vectors the reduced space alone ranks poorly ([[pcaReduce]]'s
+    * honest worst case — measured 0.42-0.46 recall@5 at dims=d/2 on
+    * the gaussian fixtures); the rerank stage restores recall while
+    * keeping the full-width scan linear in shortlist size, not corpus
+    * size.
+    *
+    * Scale shape: stage 1 is [[bruteForceKnn]] over reduced vectors
+    * (broadcast queries, narrow scan); stage 2 joins the candidate
+    * PAIR list (ids only) to the full corpus by equi-join — full-width
+    * vectors never cross a shuffle keyed on anything but their own id,
+    * and the query-side full vectors ride one broadcast. */
+  def pcaRerankKnn(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, dims: Int, shortlist: Int): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val cv = corpus.select(col(idCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("__fv"))
+    val model = new PCA().setInputCol("__fv").setOutputCol("__pv")
+      .setK(dims).fit(cv)
+    def reduce(df: DataFrame): DataFrame = model.transform(
+        df.select(col(idCol),
+          array_to_vector(col(vecCol).cast("array<double>")).as("__fv")))
+      .select(col(idCol),
+        vector_to_array(col("__pv"), "float32").as(vecCol))
+    val candidates = bruteForceKnn(reduce(queries), reduce(corpus),
+        idCol, vecCol, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qFull = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val cFull = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"))
+    val scored = candidates.join(qFull, "query_id")
+      .join(cFull, "neighbor_id")
+      .withColumn("sim",
+        graft.plans.VectorExpressions.cosineSim(col("qv"), col("cv")))
+    topKPerQuery(scored, k)
+  }
+
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     // The inner loop runs |queries| x |corpus| times — it uses the fused

@@ -64,6 +64,33 @@ class RecallGatesSpec extends SparkSpec {
     graft.llm.Similarity.clearIvfCache()
   }
 
+  test("PCA shortlist+rerank recall@5 stays above the floor") {
+    val r = row("q_pca_knn_recall")
+    assert(r.getAs[Long]("n_exact") == 50L)
+    assert(r.getAs[Double]("recall") >= 0.8,
+      s"pcaRerankKnn recall degraded: $r")
+    assert(r.getAs[Double]("min_recall") == 0.8 && r.getAs[Boolean]("pass"))
+  }
+
+  test("pcaReduce at full rank is an orthogonal rotation: kNN rankings survive") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.{Similarity, Recall}
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val red = Similarity.pcaReduce(emb, "vec_id", "embedding", 64)
+    // reduced vectors have the requested width
+    assert(red.select(size(col("embedding"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(64))
+    val q = emb.filter(col("vec_id") < 10)
+    val qr = red.filter(col("vec_id") < 10)
+    val r = Recall.knnRecall(
+      Similarity.bruteForceKnn(qr, red, "vec_id", "embedding", 5),
+      Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 5))
+      .collect().head
+    // cosine is invariant under the full-rank rotation (float32
+    // round-trip can only reorder exact ties)
+    assert(r.getAs[Double]("recall") >= 0.98, s"rotation broke rankings: $r")
+  }
+
   test("frequent-items sketch never misses a true heavy hitter") {
     val r = row("q_freq_tokens_gate")
     assert(r.getAs[Long]("n_exact") > 0L, s"empty ground truth: $r")
