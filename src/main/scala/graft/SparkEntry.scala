@@ -1647,6 +1647,33 @@ object SparkEntry {
           round(sum(col("c_acctbal")), 2).as("total_bal"))
     }),
 
+    // ---- association / trend / distribution profiling (round 9) ----
+    "q_chi2_assoc" -> ((s, d) =>
+      // is document language independent of source? chi-square + MI
+      // over the 5 x 20 contingency grid (grid-sized arithmetic; one
+      // counting pass over the data)
+      graft.operators.Aggregates.association(t(s, d, "documents"),
+        "lang", "source")),
+
+    "q_value_trend" -> ((s, d) =>
+      // per-event-type OLS drift of value over elapsed hours — the
+      // x axis is anchored at a fixed epoch so both engines feed
+      // identical doubles to the co-moment aggregates
+      // ts is NTZ: hop through LTZ (session tz is UTC) for the
+      // fractional-seconds epoch both engines agree on
+      graft.operators.Aggregates.groupOls(
+        t(s, d, "events").withColumn("__x",
+          (col("ts").cast("timestamp").cast("double") - lit(1.7040672e9))
+            / lit(3600.0)),
+        Seq("event_type"), "__x", "value")),
+
+    "q_value_histogram" -> ((s, d) =>
+      // 20-bin equi-width histogram of event values; bin arithmetic is
+      // plain double ops on the shared min/width so DuckDB buckets
+      // identically
+      graft.operators.Aggregates.histogram(t(s, d, "events"),
+        "value", 20)),
+
     // ---- sequence analytics + robust stats (round 9) ----
     "q_event_transitions" -> ((s, d) =>
       // first-order Markov matrix over per-user event streams:
@@ -3506,6 +3533,59 @@ object SparkEntry {
                              AND o_orderdate >= TIMESTAMP '1995-01-01'
                              AND o_orderdate < TIMESTAMP '1996-01-01')
          GROUP BY c_mktsegment""",
+
+    // ---- association / trend / distribution profiling (round 9) ----
+    "q_chi2_assoc" ->
+      """WITH counts AS (SELECT lang AS a, source AS b, count(*) AS n
+                         FROM documents GROUP BY 1, 2),
+              la AS (SELECT a, sum(n) AS na FROM counts GROUP BY 1),
+              lb AS (SELECT b, sum(n) AS nb FROM counts GROUP BY 1),
+              grid AS (SELECT la.a AS a, lb.b AS b, la.na AS na,
+                              lb.nb AS nb, coalesce(c.n, 0) AS n
+                       FROM la CROSS JOIN lb
+                       LEFT JOIN counts c ON c.a = la.a AND c.b = lb.b),
+              tot AS (SELECT sum(n) AS t FROM grid)
+         SELECT CAST(max(t) AS BIGINT) AS n,
+                CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1)
+                  AS BIGINT) AS dof,
+                round(sum(pow(n - CAST(na AS DOUBLE) * nb / t, 2)
+                      / (CAST(na AS DOUBLE) * nb / t)), 6) AS chi2,
+                round(sum(CASE WHEN n > 0
+                               THEN (n / t) * ln(n * t /
+                                 (CAST(na AS DOUBLE) * nb))
+                               ELSE 0.0 END), 6) AS mutual_info
+         FROM grid CROSS JOIN tot""",
+
+    "q_value_trend" ->
+      """SELECT event_type,
+                round(covar_pop(x, value) /
+                  (CASE WHEN var_pop(x) <> 0 THEN var_pop(x) END), 6)
+                  AS slope,
+                round(avg(value) - (covar_pop(x, value) /
+                  (CASE WHEN var_pop(x) <> 0 THEN var_pop(x) END))
+                  * avg(x), 6) AS intercept,
+                round(pow(covar_pop(x, value), 2) /
+                  (CASE WHEN var_pop(x) <> 0 AND var_pop(value) <> 0
+                        THEN var_pop(x) * var_pop(value) END), 6) AS r2,
+                count(*) AS n
+         FROM (SELECT event_type, value,
+                      (epoch(ts) - 1704067200.0) / 3600.0 AS x
+               FROM events)
+         GROUP BY event_type""",
+
+    "q_value_histogram" ->
+      """WITH mm AS (SELECT min(value) AS mn, max(value) AS mx
+                     FROM events),
+              b AS (SELECT CASE WHEN (mx - mn) / 20.0 = 0 THEN 0
+                           ELSE least(CAST(floor((value - mn) /
+                             ((mx - mn) / 20.0)) AS BIGINT), 19) END
+                             AS bin, mn, mx
+                    FROM events CROSS JOIN mm)
+         SELECT bin,
+                round(min(mn + bin * ((mx - mn) / 20.0)), 6) AS lo,
+                round(min(mn + (bin + 1) * ((mx - mn) / 20.0)), 6) AS hi,
+                count(*) AS n
+         FROM b GROUP BY bin""",
 
     // ---- sequence analytics + robust stats (round 9) ----
     "q_event_transitions" ->

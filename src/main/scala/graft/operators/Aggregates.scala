@@ -321,6 +321,94 @@ object Aggregates {
     * and MAD frames broadcast back. Exact percentile holds one sorted
     * value buffer per group — at 100 TB swap in approx_percentile via
     * [[percentiles]] and keep this as the oracle-duty variant. */
+  /** Association metrics between two categorical columns — the
+    * contingency-table screen (is `lang` independent of `source`? is a
+    * label leaking through a metadata column?): Pearson chi-square
+    * statistic, degrees of freedom, and mutual information (nats) in
+    * ONE summary row.
+    *
+    * Chi-square needs the ZERO cells, so the full |A| x |B| grid is
+    * materialized — as a cross join of the two DISTINCT level frames
+    * (both bounded by cardinality, broadcast), never of the data.
+    * MI's zero cells contribute 0 and drop out. One groupBy(a,b) count
+    * is the only pass over the data; everything downstream is
+    * arithmetic on the grid-sized frame. */
+  def association(df: DataFrame, a: String, b: String,
+      scale: Int = 6): DataFrame = {
+    val counts = df.groupBy(col(a).as("__a"), col(b).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val levelsA = counts.groupBy(col("__a")).agg(sum(col("__n")).as("__na"))
+    val levelsB = counts.groupBy(col("__b")).agg(sum(col("__n")).as("__nb"))
+    val grid = broadcast(levelsA).crossJoin(broadcast(levelsB))
+      .join(counts, Seq("__a", "__b"), "left")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+    grid
+      .withColumn("__tot", sum(col("__n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("__e",
+        col("__na").cast("double") * col("__nb") / col("__tot"))
+      .agg(
+        max(col("__tot")).as("n"),
+        ((countDistinct(col("__a")) - 1) *
+          (countDistinct(col("__b")) - 1)).as("dof"),
+        round(sum(pow(col("__n") - col("__e"), 2) / col("__e")), scale)
+          .as("chi2"),
+        round(sum(when(col("__n") > 0,
+          (col("__n") / col("__tot")) *
+            log(col("__n") * col("__tot") /
+              (col("__na").cast("double") * col("__nb"))))
+          .otherwise(lit(0.0))), scale).as("mutual_info"))
+  }
+
+  /** Per-group ordinary-least-squares trend: slope, intercept, r² and
+    * count of y over x within each key — the per-entity drift detector
+    * (is this metric trending per segment?). One grouped pass of
+    * co-moment aggregates (covar_pop/var_pop/corr are all single-pass,
+    * map-side combined); no joins, no windows. Degenerate groups
+    * (var(x)=0) yield null slope/intercept rather than Infinity. */
+  def groupOls(df: DataFrame, keys: Seq[String], x: String, y: String,
+      scale: Int = 6): DataFrame = {
+    val slope = covar_pop(col(x), col(y)) /
+      when(var_pop(col(x)) =!= 0.0, var_pop(col(x)))
+    // r² as covar²/(var·var), not corr()²: built-in corr THROWS under
+    // ANSI on a zero-variance group instead of yielding null, and the
+    // when-guarded divisor form degrades to null for free
+    val r2 = pow(covar_pop(col(x), col(y)), 2) /
+      when(var_pop(col(x)) =!= 0.0 && var_pop(col(y)) =!= 0.0,
+        var_pop(col(x)) * var_pop(col(y)))
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        round(slope, scale).as("slope"),
+        round(avg(col(y)) - slope * avg(col(x)), scale).as("intercept"),
+        round(r2, scale).as("r2"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Equi-width histogram of a numeric column: `bins` buckets over the
+    * observed [min, max], emitting (bin, lo, hi, n). Two passes — a
+    * 1-row min/max aggregate broadcast back, then one map-side-combined
+    * bucket count. The top edge closes the last bin (least()), so
+    * max lands in bin bins-1, not a phantom bins-th bucket. Bucket
+    * arithmetic is plain double ops on the shared min/width, so any
+    * engine computing the same expression buckets identically. */
+  def histogram(df: DataFrame, valueCol: String, bins: Int,
+      scale: Int = 6): DataFrame = {
+    require(bins > 0)
+    val v = col(valueCol).cast("double")
+    val mm = df.agg(min(v).as("__mn"), max(v).as("__mx"))
+    df.select(v.as("__v")).crossJoin(broadcast(mm))
+      .withColumn("__w", (col("__mx") - col("__mn")) / lit(bins.toDouble))
+      .withColumn("bin", when(col("__w") === 0.0, lit(0L)).otherwise(
+        least(floor((col("__v") - col("__mn")) / col("__w")).cast("long"),
+          lit(bins - 1L))))
+      .groupBy(col("bin"))
+      .agg(
+        round(min(col("__mn") + col("bin") * col("__w")), scale).as("lo"),
+        round(min(col("__mn") + (col("bin") + 1) * col("__w")), scale)
+          .as("hi"),
+        count(lit(1)).as("n"))
+  }
+
   def madOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
       k: Double = 3.0, scale: Int = 6): DataFrame = {
     val kc = keys.map(col)

@@ -87,6 +87,53 @@ class CdcSequenceSpec extends SparkSpec {
       (Some("A"), 1, 1L), (None, 2, 2L), (Some("A"), 4, 1L)))
   }
 
+  test("association: independent table scores 0, perfect association scores N and ln2") {
+    import graft.operators.Aggregates
+    val indep = Seq.tabulate(20)(i =>
+      (if (i % 2 == 0) "x" else "y", if (i % 4 < 2) "u" else "v"))
+      .toDF("a", "b")
+    val r1 = Aggregates.association(indep, "a", "b").collect().head
+    assert(r1.getAs[Long]("n") == 20L && r1.getAs[Long]("dof") == 1L)
+    assert(r1.getAs[Double]("chi2") == 0.0)
+    assert(r1.getAs[Double]("mutual_info") == 0.0)
+    val dep = Seq.tabulate(20)(i =>
+      (if (i % 2 == 0) "x" else "y", if (i % 2 == 0) "u" else "v"))
+      .toDF("a", "b")
+    val r2 = Aggregates.association(dep, "a", "b").collect().head
+    assert(r2.getAs[Double]("chi2") == 20.0)
+    assert(math.abs(r2.getAs[Double]("mutual_info") - math.log(2)) < 1e-5)
+  }
+
+  test("groupOls: recovers an exact line; degenerate x yields nulls") {
+    import graft.operators.Aggregates
+    val line = Seq.tabulate(10)(i => ("g", i.toDouble, 2.0 * i + 1.0))
+      .toDF("k", "x", "y")
+    val r = Aggregates.groupOls(line, Seq("k"), "x", "y").collect().head
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 1.0)
+    assert(r.getAs[Double]("r2") == 1.0 && r.getAs[Long]("n") == 10L)
+    val flat = Seq(("g", 1.0, 2.0), ("g", 1.0, 5.0)).toDF("k", "x", "y")
+    val rf = Aggregates.groupOls(flat, Seq("k"), "x", "y").collect().head
+    assert(rf.isNullAt(rf.fieldIndex("slope")),
+      "var(x)=0 must yield null, not Infinity")
+  }
+
+  test("histogram: equi-width bins tile [min,max], max closes the last bin") {
+    import graft.operators.Aggregates
+    val df = (0 until 10).map(_.toDouble).toDF("v")
+    val bins = Aggregates.histogram(df, "v", 5)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(bins.length == 5)
+    assert(bins.forall(_._4 == 2L), bins.mkString(","))
+    assert(bins.head._2 == 0.0 && bins.last._3 == 9.0)
+    // constant column: everything lands in bin 0, no NaN bins
+    val const = Seq(3.0, 3.0, 3.0).toDF("v")
+    val cb = Aggregates.histogram(const, "v", 4).collect()
+    assert(cb.length == 1 && cb.head.getLong(0) == 0L &&
+      cb.head.getLong(3) == 3L)
+  }
+
   test("scd2: partition-independent") {
     val df = spark.range(5000).select(
       (col("id") % 61).as("k"), col("id").as("t"),
