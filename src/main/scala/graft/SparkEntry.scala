@@ -1688,6 +1688,25 @@ object SparkEntry {
       graft.operators.Aggregates.madOutliers(t(s, d, "events"),
         Seq("event_type"), "value", 3.0)),
 
+    "q_scd2_merge" -> ((s, d) => {
+      // incremental CDC path: historize the first fortnight, MERGE the
+      // remainder as a batch — the contract says the result row-equals
+      // the full recompute, so the oracle IS the full recompute.
+      // Touched-key rebuild only; untouched history anti-joins through.
+      val ev = t(s, d, "events")
+      val cutoff = lit("2024-01-15").cast("timestamp_ntz")
+      val hist = graft.etl.Cdc.scd2(ev.filter(col("ts") < cutoff),
+        "user_id", "ts", Seq("event_type"))
+      graft.etl.Cdc.scd2Merge(hist, ev.filter(col("ts") >= cutoff),
+          "user_id", "ts", Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss")
+            .as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss")
+            .as("valid_to"),
+          col("is_current"), col("n_obs"))
+    }),
+
     "q_scd2_history" -> ((s, d) =>
       // SCD2 historization of each user's event_type stream: one row
       // per run of identical values with validity stitching —
@@ -3617,6 +3636,34 @@ object SparkEntry {
          JOIN med USING (event_type)
          JOIN mad ON mad.event_type = e.event_type
          GROUP BY 1, med.m, mad.md""",
+
+    // the merge contract is row-equality with the full recompute, so
+    // the oracle is q_scd2_history's construction verbatim (ts values
+    // are micro-unique, so the tiebreak column is immaterial here)
+    "q_scd2_merge" ->
+      """WITH flagged AS (
+           SELECT user_id, ts, event_type,
+                  CASE WHEN event_type IS DISTINCT FROM
+                            lag(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts)
+                       THEN 1 ELSE 0 END AS chg
+           FROM events),
+         runs AS (
+           SELECT user_id, event_type, ts,
+                  sum(chg) OVER (PARTITION BY user_id ORDER BY ts) AS run
+           FROM flagged),
+         collapsed AS (
+           SELECT user_id, event_type, run, min(ts) AS vf,
+                  count(*) AS n_obs
+           FROM runs GROUP BY 1, 2, 3)
+         SELECT user_id, event_type,
+                strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+                strftime(lead(vf) OVER (PARTITION BY user_id ORDER BY vf),
+                  '%Y-%m-%d %H:%M:%S') AS valid_to,
+                lead(vf) OVER (PARTITION BY user_id ORDER BY vf) IS NULL
+                  AS is_current,
+                n_obs
+         FROM collapsed""",
 
     "q_scd2_history" ->
       """WITH flagged AS (

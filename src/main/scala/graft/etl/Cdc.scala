@@ -27,18 +27,57 @@ object Cdc {
     * (key, order, attrs). `tieBreak` makes within-timestamp order
     * deterministic. */
   def scd2(df: DataFrame, key: String, ts: String, attrs: Seq[String],
-      tieBreak: Seq[Column] = Nil): DataFrame = {
+      tieBreak: Seq[Column] = Nil): DataFrame =
+    collapse(df.select(col(key) +: col(ts) +:
+        (attrs.map(col) ++ tieBreak :+ lit(1L).as("__w")): _*),
+      key, ts, attrs, tieBreak)
+
+  /** Incremental SCD2 MERGE: fold a batch of new observations into an
+    * existing [[scd2]] history without touching unaffected keys — the
+    * per-trigger CDC upsert. History rows of the touched keys are
+    * replayed as weighted pseudo-observations (valid_from carries the
+    * run, n_obs carries its weight), unioned with the fresh rows and
+    * re-collapsed; a batch row that continues a key's current run
+    * extends it (n_obs grows, valid_from survives) rather than opening
+    * a duplicate interval.
+    *
+    * Contract: batch observations must not predate the key's recorded
+    * history (the run structure of the original observations inside a
+    * closed interval is no longer recoverable) — the standard
+    * append-in-time CDC assumption. Under it the result row-equals a
+    * full recompute over all observations (spec-enforced).
+    *
+    * Scale shape: the window/collapse work is bounded by the TOUCHED
+    * keys' history + batch (batch-sized, not corpus-sized); untouched
+    * history passes through a single anti join unchanged. */
+  def scd2Merge(history: DataFrame, updates: DataFrame, key: String,
+      ts: String, attrs: Seq[String]): DataFrame = {
+    val touched = updates.select(col(key)).distinct()
+    val touchedHist = history.join(touched, Seq(key), "left_semi")
+    val untouched = history.join(touched, Seq(key), "left_anti")
+    val pseudo = touchedHist.select(col(key) +:
+      col("valid_from").as(ts) +:
+      (attrs.map(col) :+ col("n_obs").as("__w")): _*)
+    val fresh = updates.select(col(key) +: col(ts) +:
+      (attrs.map(col) :+ lit(1L).as("__w")): _*)
+    val rebuilt = collapse(pseudo.unionByName(fresh), key, ts, attrs, Nil)
+    untouched.unionByName(rebuilt)
+  }
+
+  /** Shared core: run-length collapse + validity stitch over rows
+    * already projected to (key, ts, attrs, tieBreak, __w). */
+  private def collapse(obs: DataFrame, key: String, ts: String,
+      attrs: Seq[String], tieBreak: Seq[Column]): DataFrame = {
     require(attrs.nonEmpty, "scd2 needs at least one tracked attribute")
     val w = Window.partitionBy(col(key)).orderBy(col(ts) +: tieBreak: _*)
     val changed = attrs
       .map(a => !(col(a) <=> lag(col(a), 1).over(w)))
       .reduce(_ || _)
-    val runs = df
-      .select(col(key) +: col(ts) +: (attrs.map(col) ++ tieBreak): _*)
+    val runs = obs
       .withColumn("__run", sum(when(changed, 1L).otherwise(0L)).over(w))
     val collapsed = runs
       .groupBy(col(key) +: col("__run") +: attrs.map(col): _*)
-      .agg(min(col(ts)).as("valid_from"), count(lit(1)).as("n_obs"))
+      .agg(min(col(ts)).as("valid_from"), sum(col("__w")).as("n_obs"))
     val wk = Window.partitionBy(col(key)).orderBy(col("valid_from"))
     collapsed
       .withColumn("valid_to", lead(col("valid_from"), 1).over(wk))

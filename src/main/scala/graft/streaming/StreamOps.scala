@@ -106,6 +106,30 @@ object StreamOps {
     l.join(r, "time_bucket")
   }
 
+  /** [[bucketJoin]]'s OUTER variants — the gap-visible stream join
+    * (which minutes had ticks on one feed but not the other?). Same
+    * native window-struct equality, so Spark still keys state cleanup
+    * on the bucket; the null-padded rows for unmatched buckets emit
+    * once the WATERMARK passes the bucket end (outer results are
+    * necessarily late by up to the watermark delay — inherent to
+    * stream-stream outer semantics, not a defect). Batch mode
+    * (streaming=false) degrades to a plain outer join for parity
+    * testing. State bound is identical to [[bucketJoin]]: watermark
+    * horizon x per-bucket volume per side. */
+  def bucketJoinOuter(
+      left: DataFrame, leftVal: String,
+      right: DataFrame, rightVal: String,
+      bucket: String = "1 minute",
+      watermark: String = "10 minutes",
+      joinType: String = "left_outer",
+      streaming: Boolean = true): DataFrame = {
+    require(Set("left_outer", "right_outer", "full_outer")(joinType),
+      s"outer join type expected, got $joinType")
+    val l = bucketSide(left, leftVal, "l", bucket, watermark, streaming)
+    val r = bucketSide(right, rightVal, "r", bucket, watermark, streaming)
+    l.join(r, Seq("time_bucket"), joinType)
+  }
+
   /** [[bucketJoin]]'s skew-salted variant — the hot-minute mitigation
     * the J1 docstring prescribes, as an operator. The join is a
     * within-bucket cross product, so plain two-sided salting would

@@ -134,6 +134,28 @@ class CdcSequenceSpec extends SparkSpec {
       cb.head.getLong(3) == 3L)
   }
 
+  test("scd2Merge == full recompute for append-in-time batches; untouched keys pass through") {
+    val df = spark.range(4000).select(
+      (col("id") % 101).as("k"), col("id").as("t"),
+      (col("id") * 2654435761L % 3).cast("string").as("st"))
+    // time split: every batch row is later than every history row
+    val hist = graft.etl.Cdc.scd2(df.filter(col("id") < 3000),
+      "k", "t", Seq("st"))
+    val merged = graft.etl.Cdc.scd2Merge(hist,
+      df.filter(col("id") >= 3000), "k", "t", Seq("st"))
+    val full = graft.etl.Cdc.scd2(df, "k", "t", Seq("st"))
+    assert(merged.orderBy("k", "valid_from").collect()
+      .sameElements(full.orderBy("k", "valid_from").collect()))
+    // a batch touching ONE key must leave every other key's rows
+    // byte-identical (the anti-join passthrough)
+    val one = df.filter(col("id") === 3999)
+    val m1 = graft.etl.Cdc.scd2Merge(hist, one, "k", "t", Seq("st"))
+    val k0 = one.select("k").collect().head.getLong(0)
+    assert(m1.filter(col("k") =!= k0).orderBy("k", "valid_from").collect()
+      .sameElements(hist.filter(col("k") =!= k0)
+        .orderBy("k", "valid_from").collect()))
+  }
+
   test("scd2: partition-independent") {
     val df = spark.range(5000).select(
       (col("id") % 61).as("k"), col("id").as("t"),

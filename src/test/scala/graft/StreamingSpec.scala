@@ -137,6 +137,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bucketJoinOuter: unmatched buckets emit null-padded once the watermark passes") {
+    // left ticks every minute 0-9, right only on even minutes: odd
+    // buckets must surface with a null right side. Flush ticks at
+    // +30/+31 min advance the watermark past every data bucket (outer
+    // results are watermark-late by construction).
+    val left = (0 until 10).map(i => tick("BP", base + i * 60000L, 30.0 + i))
+    val right = (0 until 5).map(i => tick("ETHEREUM", base + i * 120000L, 3000.0 + i))
+    def prep(rows: Seq[Ticks.MarketTickTuple]) =
+      Ticks.withEventTime(ticksDf(rows))
+    val horizon = new java.sql.Timestamp(base + 10 * 60000L)
+    val expected = StreamOps.bucketJoinOuter(
+        prep(left), "price", prep(right), "price", streaming = false)
+      .filter(col("time_bucket.start") < lit(horizon))
+    assert(expected.count() == 10 &&
+      expected.filter(col("r_price").isNull).count() == 5)
+
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[Ticks.MarketTickTuple]
+    val memR = MemoryStream[Ticks.MarketTickTuple]
+    def prepStream(m: MemoryStream[Ticks.MarketTickTuple]) =
+      Ticks.withEventTime(m.toDF().toDF("symbol", "timestamp", "source",
+        "data_type", "bid", "ask", "price", "volume", "spread_raw",
+        "spread_table", "volatility", "market_sentiment", "trading_activity"))
+    val joined = StreamOps.bucketJoinOuter(
+      prepStream(memL), "price", prepStream(memR), "price")
+    val q = joined.writeStream.format("memory").queryName("bjo_parity")
+      .outputMode("append").start()
+    try {
+      memL.addData(left); memR.addData(right)
+      q.processAllAvailable()
+      // two watermark-advancing batches: wm trails one batch behind
+      memL.addData(Seq(tick("BP", base + 30 * 60000L, 99.0)))
+      memR.addData(Seq(tick("ETHEREUM", base + 30 * 60000L, 999.0)))
+      q.processAllAvailable()
+      memL.addData(Seq(tick("BP", base + 31 * 60000L, 99.5)))
+      memR.addData(Seq(tick("ETHEREUM", base + 31 * 60000L, 999.5)))
+      q.processAllAvailable()
+      val got = spark.table("bjo_parity")
+        .filter(col("time_bucket.start") < lit(horizon))
+      assert(got.count() == 10, "outer rows missing after watermark advance")
+      assert(got.filter(col("r_price").isNull).count() == 5)
+    } finally q.stop()
+  }
+
   test("bucketJoinSalted == bucketJoin row-for-row, batch and stream") {
     // skewed: one hot minute carries most left rows, exercising the
     // replicate-right/spread-left construction
