@@ -1674,6 +1674,19 @@ object SparkEntry {
       graft.operators.Aggregates.histogram(t(s, d, "events"),
         "value", 20)),
 
+    "q_depth_histogram" -> ((s, d) =>
+      // 10-bucket equi-depth histogram of order totals: percentile
+      // cutpoints (exact, so DuckDB agrees) with strictly-below bucket
+      // assignment
+      graft.operators.Aggregates.histogramEquiDepth(
+        t(s, d, "orders"), "o_totalprice", 10)),
+
+    "q_winsorized_stats" -> ((s, d) =>
+      // outlier-robust mean of event values per type, clipped into the
+      // [p05, p95] band
+      graft.operators.Aggregates.winsorizedStats(t(s, d, "events"),
+        Seq("event_type"), "value", 0.05, 0.95)),
+
     // ---- sequence analytics + robust stats (round 9) ----
     "q_event_transitions" -> ((s, d) =>
       // first-order Markov matrix over per-user event streams:
@@ -3605,6 +3618,32 @@ object SparkEntry {
                 round(min(mn + (bin + 1) * ((mx - mn) / 20.0)), 6) AS hi,
                 count(*) AS n
          FROM b GROUP BY bin""",
+
+    "q_depth_histogram" ->
+      """WITH cuts AS (
+           SELECT quantile_cont(o_totalprice,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+           FROM orders)
+         SELECT CAST(len(list_filter(c, x -> x < o_totalprice))
+                  AS BIGINT) AS bin,
+                count(*) AS n
+         FROM orders CROSS JOIN cuts
+         GROUP BY 1""",
+
+    "q_winsorized_stats" ->
+      """WITH bands AS (
+           SELECT event_type,
+                  quantile_cont(value, 0.05) AS plo,
+                  quantile_cont(value, 0.95) AS phi
+           FROM events GROUP BY 1)
+         SELECT e.event_type,
+                round(bands.plo, 6) AS p_lo,
+                round(bands.phi, 6) AS p_hi,
+                round(avg(least(greatest(e.value, bands.plo), bands.phi)),
+                  6) AS wins_mean,
+                count(*) AS n
+         FROM events e JOIN bands USING (event_type)
+         GROUP BY e.event_type, bands.plo, bands.phi""",
 
     // ---- sequence analytics + robust stats (round 9) ----
     "q_event_transitions" ->

@@ -308,6 +308,55 @@ object Aggregates {
     else df.groupBy(groupBy.map(col): _*).agg(e)
   }
 
+  /** Equi-DEPTH histogram: `bins` buckets holding ~equal row counts,
+    * split at the exact percentile cutpoints — the distribution view
+    * equi-width can't give on skewed data (one huge bin + empties).
+    * One 1-row exact-percentile aggregate (broadcast back) and one
+    * map-side-combined count; the bucket id is "how many cutpoints lie
+    * strictly below v", so a value equal to a cutpoint closes the
+    * lower bucket in any engine evaluating the same lambda. Exact
+    * percentile is the oracle-duty choice — swap approx_percentile
+    * cutpoints at 100 TB for one pass less memory. */
+  def histogramEquiDepth(df: DataFrame, valueCol: String,
+      bins: Int): DataFrame = {
+    require(bins > 0)
+    val v = col(valueCol).cast("double")
+    val ps = (1 until bins).map(i => i.toDouble / bins)
+    val cuts = df.agg(expr(
+      s"percentile(CAST($valueCol AS DOUBLE), array(${ps.mkString(",")}))")
+      .as("__cuts"))
+    df.select(v.as("__v")).crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        size(filter(col("__cuts"), c => c < col("__v"))).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Winsorized per-group stats: clip values into the [lo, hi]
+    * percentile band, then mean/min/max — the outlier-robust central
+    * tendency (a handful of extreme rows cannot drag the mean). One
+    * grouped exact-percentile pass broadcast back, one clipped
+    * aggregate; exact percentiles keep the SQL oracle cell-for-cell
+    * (the [[percentiles]] approx variant is the 100 TB swap). */
+  def winsorizedStats(df: DataFrame, keys: Seq[String], valueCol: String,
+      lo: Double = 0.05, hi: Double = 0.95, scale: Int = 6): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi)
+    val kc = keys.map(col)
+    val slim = df.select((col(valueCol).cast("double").as("__v") +: kc): _*)
+    val bands = slim.groupBy(kc: _*)
+      .agg(expr(s"percentile(__v, $lo)").as("__plo"),
+        expr(s"percentile(__v, $hi)").as("__phi"))
+    slim.join(broadcast(bands), keys)
+      .withColumn("__c", least(greatest(col("__v"), col("__plo")),
+        col("__phi")))
+      .groupBy(kc: _*)
+      .agg(
+        round(first(col("__plo")), scale).as("p_lo"),
+        round(first(col("__phi")), scale).as("p_hi"),
+        round(avg(col("__c")), scale).as("wins_mean"),
+        count(lit(1)).as("n"))
+  }
+
   /** Robust per-group outlier profile: median, MAD (median absolute
     * deviation) and the count of rows whose deviation from the median
     * exceeds k·1.4826·MAD (1.4826 scales MAD to σ under normality) —

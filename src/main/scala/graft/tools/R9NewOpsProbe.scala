@@ -1,0 +1,173 @@
+package graft.tools
+
+import graft.Tables
+import graft.etl.Cdc
+import graft.operators.{Aggregates, Sessions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Throwaway 10x scale probes for the round-9 additions (not library
+  * surface): transition matrix, MAD outliers, SCD2 historize + merge,
+  * association/histogram profiling, the OLAP join suite, and the PCA
+  * rerank kNN. Events/lineitem are replicated 10x with shifted ids
+  * (+31 days per replica for events so per-user run structure repeats
+  * instead of merging); embeddings replicate with shifted vec_ids. */
+object R9NewOpsProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val evPath = "/tmp/scale10x_events/events.parquet"
+    if (!new java.io.File(evPath).exists()) {
+      val e = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      (0 until 10).map(i =>
+          e.withColumn("event_id", col("event_id") + lit(i * 10000000L))
+            .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 31} DAYS")))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(evPath)
+    }
+    val liPath = "/tmp/scale10x_li/lineitem.parquet"
+    if (!new java.io.File(liPath).exists()) {
+      val li = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+      (0 until 10).map(i =>
+          li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(liPath)
+    }
+    val embPath = "/tmp/scale10x_emb/embeddings.parquet"
+    if (!new java.io.File(embPath).exists()) {
+      val emb = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+      (0 until 10).map(i =>
+          emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(embPath)
+    }
+    val e1 = Tables.load(spark, "/root/testdata/sf0.1", "events")
+    val e10 = spark.read.parquet(evPath)
+    val li1 = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+    val li10 = spark.read.parquet(liPath)
+    val emb1 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val emb10 = spark.read.parquet(embPath)
+
+    def time(label: String)(f: => DataFrame): Unit = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val n = f.count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val med = runs.map(_._1).sorted.apply(1)
+      println(f"$label%-36s $med%8.3f s   rows=${runs.head._2}")
+    }
+
+    for ((tag, e) <- Seq("1x" -> e1, "10x" -> e10)) {
+      time(s"transitionMatrix $tag") {
+        Sessions.transitionMatrix(e, "user_id", "ts", "event_type",
+          Seq(col("event_id")))
+      }
+      time(s"madOutliers $tag") {
+        Aggregates.madOutliers(e, Seq("event_type"), "value", 3.0)
+      }
+      time(s"association $tag") {
+        Aggregates.association(
+          e.withColumn("seg", (col("user_id") % 20).cast("string")),
+          "event_type", "seg")
+      }
+      time(s"histogram $tag") {
+        Aggregates.histogram(e, "value", 20)
+      }
+      time(s"scd2 historize $tag") {
+        Cdc.scd2(e, "user_id", "ts", Seq("event_type"),
+          Seq(col("event_id")))
+      }
+    }
+    // merge cost vs HISTORY size, fixed batch: the claim is the window
+    // work is bounded by batch + touched keys, so growing history 10x
+    // should move the wall only by the passthrough scan. The time-
+    // shifted replica set is WRONG for this (its replicas all land
+    // after the cutoff, so the "10x" history wouldn't grow) — use
+    // USER-shifted replicas over the same date range instead; the
+    // fixed batch touches only the base users, so 9/10 of the 10x
+    // history rides the anti-join passthrough.
+    val evUPath = "/tmp/scale10x_events_u/events.parquet"
+    if (!new java.io.File(evUPath).exists()) {
+      val e = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      (0 until 10).map(i =>
+          e.withColumn("event_id", col("event_id") + lit(i * 10000000L))
+            .withColumn("user_id", col("user_id") + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(evUPath)
+    }
+    val eU10 = spark.read.parquet(evUPath)
+    val cutoff = to_timestamp(lit("2024-01-20")).cast("timestamp_ntz")
+    val batch = e1.filter(col("ts") >= cutoff &&
+      col("ts") < to_timestamp(lit("2024-01-21")).cast("timestamp_ntz"))
+    for ((tag, e) <- Seq("1x" -> e1, "10x" -> eU10)) {
+      val hist = Cdc.scd2(e.filter(col("ts") < cutoff), "user_id", "ts",
+        Seq("event_type")).localCheckpoint(true)
+      time(s"scd2Merge fixed-batch hist=$tag") {
+        Cdc.scd2Merge(hist, batch, "user_id", "ts", Seq("event_type"))
+      }
+    }
+    // OLAP suite vs lineitem size (orders/dims fixed at sf0.1)
+    for ((tag, li) <- Seq("1x" -> li1, "10x" -> li10)) {
+      val d = "/root/testdata/sf0.1"
+      val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      time(s"market_share-shape $tag") {
+        val custN = broadcast(Tables.load(spark, d, "nation")
+          .select(col("n_nationkey").as("cn_key"), col("n_regionkey")))
+        val suppN = broadcast(Tables.load(spark, d, "nation")
+          .select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation")))
+        li.join(Tables.load(spark, d, "orders"),
+            col("l_orderkey") % lit(10000000L) === col("o_orderkey"))
+          .join(Tables.load(spark, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .join(custN, col("c_nationkey") === col("cn_key"))
+          .join(broadcast(Tables.load(spark, d, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .filter(col("r_name") === "EUROPE")
+          .join(broadcast(Tables.load(spark, d, "supplier")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(suppN, col("s_nationkey") === col("sn_key"))
+          .groupBy(year(col("o_orderdate")).as("yr"))
+          .agg(round(sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0.0))) / sum(vol), 6).as("mkt_share"))
+      }
+      time(s"avg_yearly-shape $tag") {
+        val pk = broadcast(Tables.load(spark, d, "part")
+          .filter(col("p_brand") === "Brand#13").select("p_partkey"))
+        val lij = li.join(pk, col("l_partkey") === col("p_partkey"))
+        val caps = lij.groupBy(col("l_partkey").as("__ck"))
+          .agg((avg(col("l_quantity")) * lit(0.2)).as("__cap"))
+        lij.join(broadcast(caps), col("l_partkey") === col("__ck"))
+          .filter(col("l_quantity") < col("__cap"))
+          .agg(round(sum(col("l_extendedprice")) / lit(7.0), 2)
+            .as("avg_yearly"))
+      }
+      time(s"large_orders-shape $tag") {
+        val big = li.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("total_qty"))
+          .filter(col("total_qty") > lit(200.0))
+        Tables.load(spark, d, "orders")
+          .join(big, col("o_orderkey") === col("l_orderkey") % lit(10000000L))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)
+      }
+    }
+    // PCA rerank vs corpus size (fixed 10 queries): stage 1 scales
+    // with corpus at half width; stage 2 stays shortlist-bounded
+    for ((tag, emb) <- Seq("1x" -> emb1, "10x" -> emb10)) {
+      time(s"pcaRerankKnn $tag") {
+        graft.llm.Similarity.pcaRerankKnn(
+          emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+          5, dims = 32, shortlist = 50)
+      }
+    }
+    spark.stop()
+  }
+}

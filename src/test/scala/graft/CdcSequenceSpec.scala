@@ -156,6 +156,33 @@ class CdcSequenceSpec extends SparkSpec {
         .orderBy("k", "valid_from").collect()))
   }
 
+  test("histogramEquiDepth: near-equal bucket depths, cutpoint values close the lower bin") {
+    import graft.operators.Aggregates
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val bins = Aggregates.histogramEquiDepth(df, "v", 4)
+      .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // cutpoints for 1..100 at .25/.5/.75 are 25.75/50.5/75.25 -> 4x25
+    assert(bins.toSeq == Seq((0L, 25L), (1L, 25L), (2L, 25L), (3L, 25L)))
+    // heavy ties: a value equal to a cutpoint lands in the LOWER bin
+    val ties = (Seq.fill(50)(1.0) ++ Seq.fill(50)(2.0)).toDF("v")
+    val tb = Aggregates.histogramEquiDepth(ties, "v", 2)
+      .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(tb.toSeq == Seq((0L, 50L), (1L, 50L)))
+  }
+
+  test("winsorizedStats: clipping tames a planted outlier") {
+    import graft.operators.Aggregates
+    val df = ((1 to 99).map(i => ("g", i.toDouble)) :+ ("g", 1e6))
+      .toDF("k", "v")
+    val r = Aggregates.winsorizedStats(df, Seq("k"), "v", 0.05, 0.95)
+      .collect().head
+    val mean = r.getAs[Double]("wins_mean")
+    assert(mean > 40 && mean < 60,
+      s"winsorized mean should sit near 50, got $mean")
+    assert(r.getAs[Double]("p_lo") < r.getAs[Double]("p_hi"))
+    assert(r.getAs[Long]("n") == 100L)
+  }
+
   test("scd2: partition-independent") {
     val df = spark.range(5000).select(
       (col("id") % 61).as("k"), col("id").as("t"),
