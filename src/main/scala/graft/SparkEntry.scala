@@ -1674,6 +1674,17 @@ object SparkEntry {
       graft.operators.Aggregates.histogram(t(s, d, "events"),
         "value", 20)),
 
+    "q_fuzzy_pairs" -> ((s, d) =>
+      // edit-distance near-dup rung: blocked Levenshtein pairs over
+      // 40-char prefixes. ASCII-prefix docs only — Spark's levenshtein
+      // counts CODEPOINTS, DuckDB's counts BYTES, and the two agree
+      // exactly on the ASCII plane (every planted near-dup pair
+      // survives the filter at both graded scales)
+      graft.operators.Joins.fuzzyPairs(
+        t(s, d, "documents")
+          .filter(substring(col("text"), 1, 40).rlike("^[ -~]*$")),
+        "doc_id", "text")),
+
     "q_depth_histogram" -> ((s, d) =>
       // 10-bucket equi-depth histogram of order totals: percentile
       // cutpoints (exact, so DuckDB agrees) with strictly-below bucket
@@ -3618,6 +3629,19 @@ object SparkEntry {
                 round(min(mn + (bin + 1) * ((mx - mn) / 20.0)), 6) AS hi,
                 count(*) AS n
          FROM b GROUP BY bin""",
+
+    "q_fuzzy_pairs" ->
+      """WITH base AS (
+           SELECT doc_id AS id, substr(text, 1, 40) AS pfx,
+                  substr(text, 1, 6) AS blk,
+                  CAST(floor(length(text) / 16) AS BIGINT) AS lb
+           FROM documents
+           WHERE regexp_matches(substr(text, 1, 40), '^[ -~]*$'))
+         SELECT a.id AS a_id, b.id AS b_id,
+                CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
+         FROM base a JOIN base b ON a.blk = b.blk AND a.lb = b.lb
+           AND a.id < b.id
+         WHERE levenshtein(a.pfx, b.pfx) <= 5""",
 
     "q_depth_histogram" ->
       """WITH cuts AS (

@@ -180,4 +180,40 @@ object Joins {
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     b.join(s, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Blocked fuzzy self-join: (id, id, dist) pairs whose `prefixLen`-
+    * char prefixes sit within `maxDist` Levenshtein edits — the
+    * edit-distance rung of the near-dup ladder (catches the
+    * char-level typo/OCR variants token shingles smear out). Candidate
+    * generation is an EQUI-join on (first `blockLen` chars, length
+    * band), so the quadratic Levenshtein kernel only runs inside
+    * blocks — the standard blocking trade: a pair edited within its
+    * first `blockLen` chars or straddling a length band is missed, by
+    * contract (tune blockLen down / lenBand up for recall, at
+    * block-occupancy cost). Keep prefixLen bounded: Levenshtein is
+    * O(prefixLen²) per pair and full-text distance at corpus scale is
+    * exactly the trap the prefix avoids.
+    *
+    * Scale shape: one hash exchange on the (block, band) key carrying
+    * id + prefix only (never full text); per-block fan-out is bounded
+    * by block occupancy, same posture as [[rangeJoin]]'s grid cells. */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String,
+      blockLen: Int = 6, prefixLen: Int = 40, maxDist: Int = 5,
+      lenBand: Int = 16): DataFrame = {
+    require(blockLen > 0 && prefixLen >= blockLen && maxDist >= 0 &&
+      lenBand > 0)
+    val base = df.select(col(idCol).as("__id"),
+      substring(col(strCol), 1, prefixLen).as("__pfx"),
+      substring(col(strCol), 1, blockLen).as("__blk"),
+      floor(length(col(strCol)) / lenBand).as("__lb"))
+    val a = base.select(col("__id").as("a_id"), col("__pfx").as("__apfx"),
+      col("__blk"), col("__lb"))
+    val b = base.select(col("__id").as("b_id"), col("__pfx").as("__bpfx"),
+      col("__blk"), col("__lb"))
+    a.join(b, Seq("__blk", "__lb"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dist", levenshtein(col("__apfx"), col("__bpfx")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
 }

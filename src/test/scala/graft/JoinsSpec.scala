@@ -156,4 +156,28 @@ class JoinsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("__salt"), plan)
   }
+
+  test("fuzzyPairs: finds in-block typo pairs, enforces threshold and id order") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tail"),
+      (2L, "the quick brown fox jumps over the lazy dog tails"), // 1 edit
+      (3L, "the quick brown cat jumps over the lazy dog tail"),  // 3 edits vs 1
+      (4L, "a completely different document body here now"),
+      (5L, "the quick brown fox leaps over the hazy bog swamps then rambles on for a while") // same block, far length
+    ).toDF("id", "text")
+    val pairs = Joins.fuzzyPairs(docs, "id", "text",
+        blockLen = 6, prefixLen = 40, maxDist = 5, lenBand = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // 1-2 (dist 0 on the 40-prefix... their prefixes differ only past
+    // 40 chars), 1-3 and 2-3 (3 edits within the prefix); 5 shares the
+    // block but sits in another length band; 4 is in another block
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"got $pairs")
+    assert(pairs.forall(p => p._1 < p._2 && p._3 <= 5))
+    // the equi-join blocking plans NO cartesian product
+    val plan = Joins.fuzzyPairs(docs, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
