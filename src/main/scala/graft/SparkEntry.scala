@@ -1674,6 +1674,14 @@ object SparkEntry {
       graft.operators.Aggregates.histogram(t(s, d, "events"),
         "value", 20)),
 
+    "q_table_profile" -> ((s, d) =>
+      // long-form schema profile of orders: per-column null + exact
+      // distinct counts in one pass (the multi-distinct Expand plan is
+      // the oracle-duty choice; exact=false flips to HLL++ at scale)
+      Relational.profileColumns(t(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority"))),
+
     "q_fuzzy_pairs" -> ((s, d) =>
       // edit-distance near-dup rung: blocked Levenshtein pairs over
       // 40-char prefixes. ASCII-prefix docs only — Spark's levenshtein
@@ -3629,6 +3637,27 @@ object SparkEntry {
                 round(min(mn + (bin + 1) * ((mx - mn) / 20.0)), 6) AS hi,
                 count(*) AS n
          FROM b GROUP BY bin""",
+
+    "q_table_profile" ->
+      """SELECT 'o_orderkey' AS col_name,
+                CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+         FROM orders
+         UNION ALL SELECT 'o_custkey',
+                CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+         UNION ALL SELECT 'o_orderstatus',
+                CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders
+         UNION ALL SELECT 'o_totalprice',
+                CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders
+         UNION ALL SELECT 'o_orderdate',
+                CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(DISTINCT o_orderdate) AS BIGINT) FROM orders
+         UNION ALL SELECT 'o_orderpriority',
+                CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders""",
 
     "q_fuzzy_pairs" ->
       """WITH base AS (

@@ -54,6 +54,26 @@ object Relational {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Schema-wide column profile: one row per column with its null and
+    * distinct counts — [[nullProfile]]'s long-form sibling and the
+    * first query run against any unfamiliar table. ONE aggregate pass;
+    * with `exact=true` Spark expands the input once per distinct
+    * column (the multi-distinct Expand plan — fine for oracle duty),
+    * with `exact=false` the distincts become mergeable HLL++ sketches
+    * and the pass stays single-width (the 100 TB default). */
+  def profileColumns(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
+      (if (exact) countDistinct(col(c))
+       else approx_count_distinct(col(c))).as(s"__d_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c => s"'$c', __n_$c, __d_$c").mkString(", ")
+    row.selectExpr(
+      s"stack(${cols.size}, $stacked) AS (col_name, n_nulls, n_distinct)")
+  }
+
   /** U1 — n-way union by name (the reference unions by position:
     * `load_to_silver_layer.py:120`; by-name is the safe generalization).
     */

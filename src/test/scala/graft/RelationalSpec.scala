@@ -286,6 +286,18 @@ class RelationalSpec extends SparkSpec {
     assert(idsC.size == 50 && idsC != idsA)
   }
 
+  test("profileColumns: per-column nulls/distincts in one pass; approx tracks exact") {
+    val df = Seq((1, Option("a")), (2, Option("b")), (3, None), (4, Option("a")))
+      .toDF("id", "s")
+    val p = Relational.profileColumns(df, Seq("id", "s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(p("id") == (0L, 4L))
+    assert(p("s") == (1L, 2L), "distinct must skip nulls")
+    val a = Relational.profileColumns(df, Seq("id", "s"), exact = false)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(math.abs(a("id") - 4L) <= 1 && math.abs(a("s") - 2L) <= 1)
+  }
+
   test("weightedTake: exact k, partition-independent, weight-dominant") {
     val df = spark.range(1000).toDF("id")
       .withColumn("w", when(col("id") < 500, 10.0).otherwise(1.0))
