@@ -1674,6 +1674,16 @@ object SparkEntry {
       graft.operators.Aggregates.histogram(t(s, d, "events"),
         "value", 20)),
 
+    "q_peak_concurrency" -> ((s, d) => {
+      // peak simultaneous 10-minute-gap sessions per day: two-level
+      // prefix sum (day windows + bounded carry frame) — the oracle
+      // runs the equivalent single global running sum
+      val sess = graft.operators.Sessions.sessionStats(t(s, d, "events"),
+        "user_id", "ts", 600, Seq(col("event_id")))
+      graft.operators.Sessions.peakConcurrency(sess,
+        "sess_start", "sess_end")
+    }),
+
     "q_table_profile" -> ((s, d) =>
       // long-form schema profile of orders: per-column null + exact
       // distinct counts in one pass (the multi-distinct Expand plan is
@@ -3637,6 +3647,33 @@ object SparkEntry {
                 round(min(mn + (bin + 1) * ((mx - mn) / 20.0)), 6) AS hi,
                 count(*) AS n
          FROM b GROUP BY bin""",
+
+    "q_peak_concurrency" ->
+      """WITH brk AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 600
+                       THEN 1 ELSE 0 END AS is_brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, ts,
+                  sum(is_brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+           FROM brk),
+         bounds AS (
+           SELECT user_id, seq, min(ts) AS s, max(ts) AS e
+           FROM sess GROUP BY 1, 2),
+         deltas AS (
+           SELECT s AS t, 1 AS d FROM bounds
+           UNION ALL SELECT e, -1 FROM bounds),
+         run AS (
+           SELECT CAST(t AS DATE) AS day,
+                  sum(d) OVER (ORDER BY t, d
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           FROM deltas)
+         SELECT day, CAST(max(c) AS BIGINT) AS peak_concurrency
+         FROM run GROUP BY day""",
 
     "q_table_profile" ->
       """SELECT 'o_orderkey' AS col_name,

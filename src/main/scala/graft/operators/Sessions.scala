@@ -140,6 +140,39 @@ object Sessions {
       s"stack(${steps.size}, $stacked) AS (step, step_idx, n_keys, conv_from_prev)")
   }
 
+  /** Peak interval concurrency per day — how many sessions/jobs/calls
+    * were simultaneously open at the day's busiest instant (capacity
+    * planning's first question). End-EXCLUSIVE: intervals that merely
+    * touch don't overlap, and a zero-length interval counts nothing —
+    * both encoded by ordering the -1 delta before the +1 at equal
+    * timestamps.
+    *
+    * Scale shape: the classic two-level prefix-sum decomposition
+    * instead of one global running sum (which would demand a single
+    * totally-ordered partition). Within-day running sums ride a
+    * day-partitioned window; the cross-day carry is a running sum over
+    * the DAY-COUNT-bounded net-change frame, broadcast back. Identical
+    * result to the global-order construction — which is exactly what
+    * the SQL oracle runs. */
+  def peakConcurrency(df: DataFrame, startCol: String,
+      endCol: String): DataFrame = {
+    val deltas = df.select(col(startCol).as("__t"), lit(1).as("__d"))
+      .unionByName(df.select(col(endCol).as("__t"), lit(-1).as("__d")))
+      .withColumn("__day", to_date(col("__t")))
+    val w = Window.partitionBy(col("__day")).orderBy(col("__t"), col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRun = deltas.withColumn("__run", sum(col("__d")).over(w))
+    val wd = Window.orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = deltas.groupBy(col("__day"))
+      .agg(sum(col("__d")).as("__net"))
+      .withColumn("__carry", coalesce(sum(col("__net")).over(wd), lit(0L)))
+      .select(col("__day"), col("__carry"))
+    withRun.join(broadcast(carries), Seq("__day"))
+      .groupBy(col("__day").as("day"))
+      .agg(max(col("__run") + col("__carry")).as("peak_concurrency"))
+  }
+
   /** First-order Markov transition matrix over per-key ordered event
     * streams: for every observed (from_state, to_state) pair, the
     * count and the row-normalized transition probability — the

@@ -156,6 +156,33 @@ class CdcSequenceSpec extends SparkSpec {
         .orderBy("k", "valid_from").collect()))
   }
 
+  test("peakConcurrency: end-exclusive peaks, midnight carry across days") {
+    import graft.operators.Sessions
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val iv = Seq(
+      // day 1: A and B overlap (peak 2); C starts exactly as A ends
+      (ts("2024-03-01 10:00:00"), ts("2024-03-01 12:00:00")), // A
+      (ts("2024-03-01 11:00:00"), ts("2024-03-01 11:30:00")), // B
+      (ts("2024-03-01 12:00:00"), ts("2024-03-01 13:00:00")), // C: touches A only
+      // D spans midnight; E overlaps D on day 2 -> day-2 peak 2
+      (ts("2024-03-01 22:00:00"), ts("2024-03-02 02:00:00")), // D
+      (ts("2024-03-02 01:00:00"), ts("2024-03-02 03:00:00"))  // E
+    ).toDF("s", "e")
+    val out = Sessions.peakConcurrency(iv, "s", "e")
+      .orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    assert(out.toSeq == Seq(("2024-03-01", 2L), ("2024-03-02", 2L)),
+      s"got ${out.toSeq}")
+    // touching-only intervals never stack (end-exclusive)
+    val touch = Seq(
+      (ts("2024-03-01 10:00:00"), ts("2024-03-01 11:00:00")),
+      (ts("2024-03-01 11:00:00"), ts("2024-03-01 12:00:00"))
+    ).toDF("s", "e")
+    val p = Sessions.peakConcurrency(touch, "s", "e").collect()
+      .map(_.getLong(1))
+    assert(p.toSeq == Seq(1L))
+  }
+
   test("histogramEquiDepth: near-equal bucket depths, cutpoint values close the lower bin") {
     import graft.operators.Aggregates
     val df = (1 to 100).map(_.toDouble).toDF("v")
