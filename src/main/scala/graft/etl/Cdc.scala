@@ -19,12 +19,14 @@ object Cdc {
     * SAME values open a new interval only after an intervening change
     * (true run-length semantics, not a distinct on values).
     *
-    * Scale shape: the run id is a change-flag running sum over ONE
-    * key-partitioned window (null-safe `<=>` against the lag, so a
-    * null attribute is a value, not a wildcard); the per-run collapse
-    * groups on (key, run) and the `valid_to` stitch is a lead over the
-    * run-count-sized frame — three exchanges total, all carrying only
-    * (key, order, attrs). `tieBreak` makes within-timestamp order
+    * Scale shape: ONE exchange total (plan-audited). The run id is a
+    * change-flag running sum over a key-partitioned window (null-safe
+    * `<=>` against the lag, so a null attribute is a value, not a
+    * wildcard); the per-run collapse groups on (key, run, attrs) and
+    * the `valid_to` stitch windows on key — both REUSE the first
+    * window's hash partitioning (their keys contain it), so only
+    * in-partition sorts follow. The exchange carries (key, order,
+    * attrs) only. `tieBreak` makes within-timestamp order
     * deterministic. */
   def scd2(df: DataFrame, key: String, ts: String, attrs: Seq[String],
       tieBreak: Seq[Column] = Nil): DataFrame =
