@@ -1674,6 +1674,38 @@ object SparkEntry {
       graft.operators.Aggregates.histogram(t(s, d, "events"),
         "value", 20)),
 
+    "q_overlap_gate" -> ((s, d) => {
+      // audience-overlap estimate: clickers ∩ purchasers by HLL
+      // inclusion-exclusion, exact twin + rel_err stamped in-row
+      // (measured 0.0/0.007/0.067 at sf0.001/0.01/0.1 vs the 0.15
+      // floor — inclusion-exclusion compounds three sketches)
+      val e = t(s, d, "events")
+      graft.operators.Aggregates.distinctOverlapGate(
+          e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "purchase"), "user_id")
+        .filter(col("pass"))
+    }),
+
+    "q_basket_lift" -> ((s, d) => {
+      // market-basket association over order baskets of part brands:
+      // support + lift per co-purchased brand pair (brand vocabulary
+      // is bounded, so the pair frame is items^2-bounded). Top-20 by
+      // lift with pair tiebreak.
+      val bi = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part").select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("p_brand"))
+      graft.operators.Aggregates.basketLift(bi, "l_orderkey", "p_brand")
+        .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+        .limit(20)
+    }),
+
+    "q_funnel_latency" -> ((s, d) =>
+      // time-to-convert per funnel transition (count / mean / exact
+      // median seconds among converters)
+      graft.operators.Sessions.funnelLatency(t(s, d, "events"),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))),
+
     "q_peak_concurrency" -> ((s, d) => {
       // peak simultaneous 10-minute-gap sessions per day: two-level
       // prefix sum (day windows + bounded carry frame) — the oracle
@@ -3647,6 +3679,51 @@ object SparkEntry {
                 round(min(mn + (bin + 1) * ((mx - mn) / 20.0)), 6) AS hi,
                 count(*) AS n
          FROM b GROUP BY bin""",
+
+    "q_basket_lift" ->
+      """WITH bi AS (
+           SELECT DISTINCT l_orderkey AS b, p_brand AS i
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         n AS (SELECT count(DISTINCT b) AS nb FROM bi),
+         items AS (SELECT i, count(*) AS ni FROM bi GROUP BY 1),
+         pairs AS (
+           SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab
+           FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+           GROUP BY 1, 2)
+         SELECT item_a, item_b, n_ab,
+                ia.ni AS n_a, ib.ni AS n_b,
+                round(n_ab / CAST(nb AS DOUBLE), 6) AS support,
+                round(n_ab * nb / (CAST(ia.ni AS DOUBLE) * ib.ni), 6)
+                  AS lift
+         FROM pairs
+         JOIN items ia ON ia.i = item_a
+         JOIN items ib ON ib.i = item_b
+         CROSS JOIN n
+         ORDER BY lift DESC, item_a, item_b LIMIT 20""",
+
+    "q_funnel_latency" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                     WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                GROUP BY e.user_id),
+         d1 AS (SELECT epoch(t2) - epoch(s1.t1) AS d
+                FROM s2 JOIN s1 ON s2.user_id = s1.user_id),
+         d2 AS (SELECT epoch(t3) - epoch(s2.t2) AS d
+                FROM s3 JOIN s2 ON s3.user_id = s2.user_id)
+         SELECT 'view->click' AS transition, CAST(1 AS INT) AS step_idx,
+                count(d) AS n_converted, round(avg(d), 2) AS mean_s,
+                round(median(d), 2) AS median_s
+         FROM d1
+         UNION ALL
+         SELECT 'click->purchase', CAST(2 AS INT), count(d),
+                round(avg(d), 2), round(median(d), 2)
+         FROM d2""",
 
     "q_peak_concurrency" ->
       """WITH brk AS (

@@ -308,6 +308,80 @@ object Aggregates {
     else df.groupBy(groupBy.map(col): _*).agg(e)
   }
 
+  /** Distinct-set overlap estimate by HLL inclusion-exclusion:
+    * |A∩B| ≈ hll(A) + hll(B) - hll(A∪B) — the audience-overlap
+    * estimator that never materializes either key set (three
+    * mergeable sketches vs an exact distinct join). The EXACT overlap
+    * is computed alongside (per-key flag aggregate) and the relative
+    * error is stamped IN-ROW with a `pass` gate, mirroring the
+    * q_freq_tokens_gate discipline: a drifting sketch drops the row.
+    * Inclusion-exclusion COMPOUNDS the three sketches' errors, so the
+    * floor sits above a single sketch's rsd. */
+  def distinctOverlapGate(a: DataFrame, b: DataFrame, keyCol: String,
+      maxRelErr: Double = 0.15): DataFrame = {
+    val ta = a.select(col(keyCol).as("__k"), lit(1).as("__ta"),
+      lit(0).as("__tb"))
+    val tb = b.select(col(keyCol).as("__k"), lit(0).as("__ta"),
+      lit(1).as("__tb"))
+    val u = ta.unionByName(tb)
+    val approx = u.agg(
+      approx_count_distinct(when(col("__ta") === 1, col("__k"))).as("__ca"),
+      approx_count_distinct(when(col("__tb") === 1, col("__k"))).as("__cb"),
+      approx_count_distinct(col("__k")).as("__cu"))
+    val exact = u.groupBy(col("__k"))
+      .agg(max(col("__ta")).as("__a"), max(col("__tb")).as("__b"))
+      .agg(sum(when(col("__a") === 1 && col("__b") === 1, 1L)
+        .otherwise(0L)).as("n_exact"))
+    approx.crossJoin(exact)
+      .select(
+        (col("__ca") + col("__cb") - col("__cu")).as("n_est"),
+        col("n_exact"),
+        round(abs(col("__ca") + col("__cb") - col("__cu") -
+          col("n_exact")) /
+          when(col("n_exact") =!= 0L, col("n_exact").cast("double")), 6)
+          .as("rel_err"),
+        lit(maxRelErr).as("max_rel_err"))
+      .withColumn("pass", col("rel_err") <= col("max_rel_err"))
+  }
+
+  /** Market-basket pair analysis: for every co-occurring item pair,
+    * the basket counts and the SUPPORT (P(a,b)) and LIFT
+    * (P(a,b)/(P(a)P(b))) association metrics — "bought X, also bought
+    * Y" and its statistical strength (lift > 1 = genuinely
+    * associated, not just both popular).
+    *
+    * Scale shape: one distinct pass to (basket, item), a self-join
+    * keyed on basket (per-basket fan-out bounded by basket size
+    * squared — the inherent pair cost), then an item²-bounded pair
+    * aggregate. Per-item basket counts and the global basket count
+    * ride back as broadcasts. Items should be a bounded vocabulary
+    * (brands, categories); for open vocabularies pre-filter to the
+    * frequent items first (Apriori's first pass — [[frequentItems]]). */
+  def basketLift(df: DataFrame, basketCol: String, itemCol: String,
+      scale: Int = 6): DataFrame = {
+    val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val n = broadcast(bi.agg(countDistinct(col("__b")).as("__n")))
+    val items = bi.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val pairs = bi.as("a")
+      .join(bi.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
+      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(items.select(col("__i").as("item_a"),
+        col("__ni").as("n_a"))), "item_a")
+      .join(broadcast(items.select(col("__i").as("item_b"),
+        col("__ni").as("n_b"))), "item_b")
+      .crossJoin(n)
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        round(col("n_ab") / col("__n").cast("double"), scale)
+          .as("support"),
+        round(col("n_ab") * col("__n") /
+          (col("n_a").cast("double") * col("n_b")), scale).as("lift"))
+  }
+
   /** Equi-DEPTH histogram: `bins` buckets holding ~equal row counts,
     * split at the exact percentile cutpoints — the distribution view
     * equi-width can't give on skewed data (one huge bin + empties).

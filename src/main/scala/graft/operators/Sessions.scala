@@ -140,6 +140,36 @@ object Sessions {
       s"stack(${steps.size}, $stacked) AS (step, step_idx, n_keys, conv_from_prev)")
   }
 
+  /** Funnel conversion LATENCY: for each consecutive step pair, how
+    * long converters took (count, mean and exact-median seconds) —
+    * the time-to-convert companion of [[funnelSummary]]'s rates
+    * ("users purchase 40 minutes after clicking, median").
+    *
+    * Scale shape: rides [[funnelTimes]]'s single exchange, then ONE
+    * global aggregate over the per-key step-time frame (steps-bounded
+    * columns), melted long via stack. Exact medians for oracle duty —
+    * the [[graft.operators.Aggregates.percentiles]] approx form is
+    * the 100 TB swap. */
+  def funnelLatency(df: DataFrame, key: String, ts: String,
+      typeCol: String, steps: Seq[String], scale: Int = 2): DataFrame = {
+    require(steps.size >= 2, "latency needs at least two funnel steps")
+    val times = funnelTimes(df, key, ts, typeCol, steps)
+    val withD = times.select((1 until steps.size).map(i =>
+      (col(s"step_${i + 1}_ts").cast("timestamp").cast("double") -
+        col(s"step_${i}_ts").cast("timestamp").cast("double"))
+        .as(s"__d_$i")): _*)
+    val aggs = (1 until steps.size).flatMap(i => Seq(
+      count(col(s"__d_$i")).as(s"__n_$i"),
+      round(avg(col(s"__d_$i")), scale).as(s"__m_$i"),
+      round(expr(s"percentile(__d_$i, 0.5)"), scale).as(s"__md_$i")))
+    val row = withD.agg(aggs.head, aggs.tail: _*)
+    val stacked = (1 until steps.size).map(i =>
+      s"'${steps(i - 1)}->${steps(i)}', $i, __n_$i, __m_$i, __md_$i")
+      .mkString(", ")
+    row.selectExpr(s"stack(${steps.size - 1}, $stacked) AS " +
+      "(transition, step_idx, n_converted, mean_s, median_s)")
+  }
+
   /** Peak interval concurrency per day — how many sessions/jobs/calls
     * were simultaneously open at the day's busiest instant (capacity
     * planning's first question). End-EXCLUSIVE: intervals that merely

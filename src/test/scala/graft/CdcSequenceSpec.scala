@@ -156,6 +156,53 @@ class CdcSequenceSpec extends SparkSpec {
         .orderBy("k", "valid_from").collect()))
   }
 
+  test("basketLift: hand-computed support and lift; perfect pair tops chance pair") {
+    import graft.operators.Aggregates
+    // 4 baskets: {x,y} {x,y} {x,z} {y,z} -> n=4
+    // xy: n_ab=2, n_x=3, n_y=3 -> lift = 2*4/9 = 0.888889
+    // xz: 1*4/(3*2) = 0.666667 ; yz: 1*4/(3*2) = 0.666667
+    val df = Seq(
+      (1, "x"), (1, "y"), (2, "x"), (2, "y"),
+      (3, "x"), (3, "z"), (4, "y"), (4, "z")
+    ).toDF("b", "i")
+    val out = Aggregates.basketLift(df, "b", "i").collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out(("x", "y")) == (2L, 0.5, 0.888889))
+    assert(out(("x", "z")) == (1L, 0.25, 0.666667))
+    assert(out(("y", "z")) == (1L, 0.25, 0.666667))
+    // duplicate items inside a basket must not inflate counts
+    val dup = df.union(Seq((1, "x"), (1, "x")).toDF("b", "i"))
+    val o2 = Aggregates.basketLift(dup, "b", "i").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(o2(("x", "y")) == 2L)
+  }
+
+  test("funnelLatency: deltas only among converters, exact medians") {
+    import graft.operators.Sessions
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1 converts view->click in 60s, click->buy in 120s
+      (1L, ts("2024-03-01 10:00:00"), "view"),
+      (1L, ts("2024-03-01 10:01:00"), "click"),
+      (1L, ts("2024-03-01 10:03:00"), "buy"),
+      // u2 converts view->click in 180s, never buys
+      (2L, ts("2024-03-01 11:00:00"), "view"),
+      (2L, ts("2024-03-01 11:03:00"), "click"),
+      // u3 clicks BEFORE viewing: no conversion
+      (3L, ts("2024-03-01 12:01:00"), "click"),
+      (3L, ts("2024-03-01 12:02:00"), "view")
+    ).toDF("k", "t", "et")
+    val out = Sessions.funnelLatency(ev, "k", "t", "et",
+        Seq("view", "click", "buy"))
+      .orderBy("step_idx").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("view->click", 2L, 120.0, 120.0),
+      ("click->buy", 1L, 120.0, 120.0)), s"got ${out.toSeq}")
+  }
+
   test("peakConcurrency: end-exclusive peaks, midnight carry across days") {
     import graft.operators.Sessions
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

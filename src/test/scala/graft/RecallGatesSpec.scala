@@ -91,6 +91,13 @@ class RecallGatesSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") >= 0.98, s"rotation broke rankings: $r")
   }
 
+  test("HLL inclusion-exclusion overlap stays within its in-row error gate") {
+    val r = row("q_overlap_gate")
+    assert(r.getAs[Boolean]("pass"))
+    assert(r.getAs[Double]("rel_err") <= 0.15)
+    assert(r.getAs[Long]("n_exact") > 0)
+  }
+
   test("frequent-items sketch never misses a true heavy hitter") {
     val r = row("q_freq_tokens_gate")
     assert(r.getAs[Long]("n_exact") > 0L, s"empty ground truth: $r")
