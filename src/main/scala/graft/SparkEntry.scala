@@ -1228,7 +1228,7 @@ object SparkEntry {
       // q_pca_knn_recall
       val emb = t(s, d, "embeddings")
       graft.llm.Similarity.pcaRerankKnn(emb.filter(col("vec_id") < 10),
-        emb, "vec_id", "embedding", 5, dims = 32, shortlist = 50)
+        emb, "vec_id", "embedding", 5, dims = 32, shortlist = 200)
     }),
 
     "q_pca_knn_recall" -> ((s, d) => {
@@ -1236,14 +1236,16 @@ object SparkEntry {
       // kernel. The reduced space ALONE ranks poorly on these
       // isotropic gaussian fixtures (0.42-0.46 — PCA's worst case, no
       // correlated dimensions to concentrate); the exact re-rank of a
-      // 50-candidate shortlist restores 0.98/1.0 at sf0.001/sf0.01
-      // (deterministic: PCA eigendecomposition is seedless and cosine
-      // is reflection-invariant).
+      // 200-candidate shortlist restores 1.0/1.0 at sf0.001/sf0.01 and
+      // 0.94 on sf0.1's harder draw — shortlist 50 scored 0.7 there,
+      // which is why the parameter sits at 200 (the r9 sf0.1 audit
+      // caught it). Deterministic: PCA eigendecomposition is seedless
+      // and cosine is reflection-invariant.
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
       graft.llm.Recall.gated(graft.llm.Recall.knnRecall(
           graft.llm.Similarity.pcaRerankKnn(q, emb, "vec_id",
-            "embedding", 5, dims = 32, shortlist = 50),
+            "embedding", 5, dims = 32, shortlist = 200),
           Similarity.bruteForceKnn(q, emb, "vec_id", "embedding", 5)),
         "recall" -> 0.8).filter(col("pass"))
     }),
