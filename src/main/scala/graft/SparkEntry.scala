@@ -1676,6 +1676,16 @@ object SparkEntry {
       graft.operators.Aggregates.histogram(t(s, d, "events"),
         "value", 20)),
 
+    "q_ks_drift" -> ((s, d) => {
+      // distribution-shift screen: KS statistic between click and
+      // purchase value samples; two-level prefix sum vs the oracle's
+      // single global running sum
+      val e = t(s, d, "events")
+      graft.operators.Aggregates.ksTwoSample(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"), "value")
+    }),
+
     "q_overlap_gate" -> ((s, d) => {
       // audience-overlap estimate: clickers ∩ purchasers by HLL
       // inclusion-exclusion, exact twin + rel_err stamped in-row
@@ -3681,6 +3691,27 @@ object SparkEntry {
                 round(min(mn + (bin + 1) * ((mx - mn) / 20.0)), 6) AS hi,
                 count(*) AS n
          FROM b GROUP BY bin""",
+
+    "q_ks_drift" ->
+      """WITH u AS (
+           SELECT value AS v, 1 AS ca, 0 AS cb FROM events
+           WHERE event_type = 'click'
+           UNION ALL
+           SELECT value, 0, 1 FROM events WHERE event_type = 'purchase'),
+         inc AS (SELECT v, sum(ca) AS da, sum(cb) AS db
+                 FROM u GROUP BY v),
+         run AS (
+           SELECT sum(da) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ra,
+                  sum(db) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rb
+           FROM inc),
+         tot AS (SELECT sum(da) AS na, sum(db) AS nb FROM inc)
+         SELECT round(max(abs(ra / CAST(na AS DOUBLE)
+                  - rb / CAST(nb AS DOUBLE))), 6) AS ks_stat,
+                CAST(max(na) AS BIGINT) AS n_a,
+                CAST(max(nb) AS BIGINT) AS n_b
+         FROM run CROSS JOIN tot""",
 
     "q_basket_lift" ->
       """WITH bi AS (

@@ -308,6 +308,60 @@ object Aggregates {
     else df.groupBy(groupBy.map(col): _*).agg(e)
   }
 
+  /** Two-sample Kolmogorov-Smirnov statistic: D = max |F_a(x) -
+    * F_b(x)| over the empirical CDFs — the distribution-shift
+    * detector between two numeric samples (did this week's quality
+    * scores drift from last week's?).
+    *
+    * Scale shape: the CDF needs a running count over globally-ordered
+    * values — decomposed like [[graft.operators.Sessions.peakConcurrency]]
+    * instead of one totally-ordered window: per-distinct-value
+    * increments bucket into `buckets` equi-width value ranges,
+    * running sums ride bucket-partitioned windows, and the cross-
+    * bucket carry is a running sum over the BUCKETS-bounded frame,
+    * broadcast back. Ties are handled by aggregating increments per
+    * distinct value first, so the CDF is evaluated after each whole
+    * tie group — identical to the single global running sum the SQL
+    * oracle runs. */
+  def ksTwoSample(a: DataFrame, b: DataFrame, valueCol: String,
+      buckets: Int = 1024, scale: Int = 6): DataFrame = {
+    require(buckets > 0)
+    val v = col(valueCol).cast("double")
+    val u = a.select(v.as("__v"), lit(1L).as("__ca"), lit(0L).as("__cb"))
+      .unionByName(b.select(v.as("__v"), lit(0L).as("__ca"),
+        lit(1L).as("__cb")))
+    val inc = u.groupBy(col("__v"))
+      .agg(sum(col("__ca")).as("__da"), sum(col("__cb")).as("__db"))
+    val mm = broadcast(inc.agg(min(col("__v")).as("__mn"),
+      max(col("__v")).as("__mx")))
+    val width = (col("__mx") - col("__mn")) / lit(buckets.toDouble)
+    val bucketed = inc.crossJoin(mm)
+      .withColumn("__bkt", when(width === 0.0, lit(0L)).otherwise(
+        least(floor((col("__v") - col("__mn")) / width).cast("long"),
+          lit(buckets - 1L))))
+    val w = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = bucketed
+      .withColumn("__ra", sum(col("__da")).over(w))
+      .withColumn("__rb", sum(col("__db")).over(w))
+    val wc = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col("__da")).as("__na"), sum(col("__db")).as("__nb"))
+      .withColumn("__cca", coalesce(sum(col("__na")).over(wc), lit(0L)))
+      .withColumn("__ccb", coalesce(sum(col("__nb")).over(wc), lit(0L)))
+      .select(col("__bkt"), col("__cca"), col("__ccb"))
+    val tot = broadcast(inc.agg(sum(col("__da")).as("__NA"),
+      sum(col("__db")).as("__NB")))
+    run.join(broadcast(carries), Seq("__bkt")).crossJoin(tot)
+      .select(abs(
+        (col("__ra") + col("__cca")) / col("__NA").cast("double") -
+          (col("__rb") + col("__ccb")) / col("__NB").cast("double"))
+        .as("__diff"), col("__NA"), col("__NB"))
+      .agg(round(max(col("__diff")), scale).as("ks_stat"),
+        max(col("__NA")).as("n_a"), max(col("__NB")).as("n_b"))
+  }
+
   /** Distinct-set overlap estimate by HLL inclusion-exclusion:
     * |A∩B| ≈ hll(A) + hll(B) - hll(A∪B) — the audience-overlap
     * estimator that never materializes either key set (three

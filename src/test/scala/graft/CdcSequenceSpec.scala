@@ -156,6 +156,24 @@ class CdcSequenceSpec extends SparkSpec {
         .orderBy("k", "valid_from").collect()))
   }
 
+  test("ksTwoSample: hand-computed D, identical samples score 0, bucketing-invariant") {
+    import graft.operators.Aggregates
+    // A = {1,2,3,4}, B = {3,4,5,6}: D peaks at x=2 (F_A=0.5, F_B=0) = 0.5
+    val a = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    val r = Aggregates.ksTwoSample(a, b, "v").collect().head
+    assert(r.getAs[Double]("ks_stat") == 0.5, r.toString)
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    // identical distributions: D = 0
+    val same = Aggregates.ksTwoSample(a, a, "v").collect().head
+    assert(same.getAs[Double]("ks_stat") == 0.0)
+    // the two-level decomposition must not depend on bucket count
+    val r1 = Aggregates.ksTwoSample(a, b, "v", buckets = 1).collect().head
+    val r7 = Aggregates.ksTwoSample(a, b, "v", buckets = 7).collect().head
+    assert(r1.getAs[Double]("ks_stat") == 0.5 &&
+      r7.getAs[Double]("ks_stat") == 0.5)
+  }
+
   test("basketLift: hand-computed support and lift; perfect pair tops chance pair") {
     import graft.operators.Aggregates
     // 4 baskets: {x,y} {x,y} {x,z} {y,z} -> n=4
