@@ -89,11 +89,16 @@ object Bench {
     // canary executions of unrelated queries around a single-query
     // measurement would defeat the filter's purpose
     val canaryOn = only.isEmpty
-    // two untimed passes first: the 1st warms the three plans, the 2nd
-    // soaks residual tiered-JIT warmup that otherwise inflates `start`
-    // (and with it drift) on a freshly-launched JVM
+    // four untimed passes first: the 1st warms the three plans, the
+    // rest soak residual tiered-JIT warmup that otherwise inflates
+    // `start` (and with it drift) on a freshly-launched JVM — the r8
+    // and r9 sweeps both recorded `start` as the slowest probe point
+    // with two passes, which reads as load when it is partly warmup
     val canaryStart =
-      if (canaryOn) { canaryPass(); canaryPass(); canaryProbe() } else -1.0
+      if (canaryOn) {
+        (1 to 4).foreach(_ => canaryPass())
+        canaryProbe()
+      } else -1.0
     val half = (selected.size + 1) / 2
     var canaryMid = -1.0
     var i = 0

@@ -1676,6 +1676,15 @@ object SparkEntry {
       graft.operators.Aggregates.histogram(t(s, d, "events"),
         "value", 20)),
 
+    "q_ab_ttest" -> ((s, d) => {
+      // A/B summary: Welch t between click and purchase values
+      // (identical co-moment arithmetic both engines, rounded 6dp)
+      val e = t(s, d, "events")
+      graft.operators.Aggregates.welchTTest(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"), "value")
+    }),
+
     "q_ks_drift" -> ((s, d) => {
       // distribution-shift screen: KS statistic between click and
       // purchase value samples; two-level prefix sum vs the oracle's
@@ -3691,6 +3700,25 @@ object SparkEntry {
                 round(min(mn + (bin + 1) * ((mx - mn) / 20.0)), 6) AS hi,
                 count(*) AS n
          FROM b GROUP BY bin""",
+
+    "q_ab_ttest" ->
+      """WITH sa AS (SELECT avg(value) AS ma, var_samp(value) AS va,
+                            count(value) AS n_a
+                     FROM events WHERE event_type = 'click'),
+              sb AS (SELECT avg(value) AS mb, var_samp(value) AS vb,
+                            count(value) AS n_b
+                     FROM events WHERE event_type = 'purchase')
+         SELECT round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+                round((ma - mb) / (CASE WHEN va / n_a + vb / n_b > 0
+                  THEN sqrt(va / n_a + vb / n_b) END), 6) AS t_stat,
+                round(((va / n_a + vb / n_b) * (va / n_a + vb / n_b)) /
+                  (CASE WHEN n_a > 1 AND n_b > 1
+                             AND va / n_a + vb / n_b > 0
+                        THEN pow(va / n_a, 2) / (n_a - 1)
+                             + pow(vb / n_b, 2) / (n_b - 1) END), 6)
+                  AS deg_f,
+                n_a, n_b
+         FROM sa CROSS JOIN sb""",
 
     "q_ks_drift" ->
       """WITH u AS (

@@ -308,6 +308,36 @@ object Aggregates {
     else df.groupBy(groupBy.map(col): _*).agg(e)
   }
 
+  /** Welch's two-sample t-test: means, the t statistic and the
+    * Welch-Satterthwaite degrees of freedom for unequal-variance
+    * samples — the A/B-test summary (is the metric difference real?).
+    * One aggregate pass per side (mean + sample variance are
+    * single-pass co-moments), all arithmetic on two 1-row frames.
+    * Degenerate inputs (n<2 or both variances 0) yield null t/df
+    * rather than Infinity. */
+  def welchTTest(a: DataFrame, b: DataFrame, valueCol: String,
+      scale: Int = 6): DataFrame = {
+    val v = col(valueCol).cast("double")
+    def side(df: DataFrame, tag: String): DataFrame = df.agg(
+      avg(v).as(s"__m$tag"), var_samp(v).as(s"__v$tag"),
+      count(v).as(s"n_$tag"))
+    val sa = side(a, "a")
+    val sb = side(b, "b")
+    val se2 = col("__va") / col("n_a") + col("__vb") / col("n_b")
+    val tStat = (col("__ma") - col("__mb")) /
+      when(se2 > 0.0, sqrt(se2))
+    val dof = (se2 * se2) /
+      when(col("n_a") > 1L && col("n_b") > 1L && se2 > 0.0,
+        pow(col("__va") / col("n_a"), 2) / (col("n_a") - 1L) +
+          pow(col("__vb") / col("n_b"), 2) / (col("n_b") - 1L))
+    sa.crossJoin(sb).select(
+      round(col("__ma"), scale).as("mean_a"),
+      round(col("__mb"), scale).as("mean_b"),
+      round(tStat, scale).as("t_stat"),
+      round(dof, scale).as("deg_f"),
+      col("n_a"), col("n_b"))
+  }
+
   /** Two-sample Kolmogorov-Smirnov statistic: D = max |F_a(x) -
     * F_b(x)| over the empirical CDFs — the distribution-shift
     * detector between two numeric samples (did this week's quality

@@ -156,6 +156,21 @@ class CdcSequenceSpec extends SparkSpec {
         .orderBy("k", "valid_from").collect()))
   }
 
+  test("welchTTest: known-shift samples score a positive t; degenerate inputs yield nulls") {
+    import graft.operators.Aggregates
+    val a = (1 to 50).map(i => 10.0 + (i % 5)).toDF("v")
+    val b = (1 to 50).map(i => 8.0 + (i % 5)).toDF("v")
+    val r = Aggregates.welchTTest(a, b, "v").collect().head
+    assert(r.getAs[Double]("mean_a") - r.getAs[Double]("mean_b") == 2.0)
+    assert(r.getAs[Double]("t_stat") > 5.0, r.toString)
+    assert(r.getAs[Double]("deg_f") > 90.0 && r.getAs[Double]("deg_f") <= 98.0)
+    // constant samples: zero pooled variance must yield null, not Inf
+    val c = Seq(1.0, 1.0, 1.0).toDF("v")
+    val rc = Aggregates.welchTTest(c, c, "v").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("t_stat")))
+    assert(rc.isNullAt(rc.fieldIndex("deg_f")))
+  }
+
   test("ksTwoSample: hand-computed D, identical samples score 0, bucketing-invariant") {
     import graft.operators.Aggregates
     // A = {1,2,3,4}, B = {3,4,5,6}: D peaks at x=2 (F_A=0.5, F_B=0) = 0.5
