@@ -1676,6 +1676,29 @@ object SparkEntry {
       graft.operators.Aggregates.histogram(t(s, d, "events"),
         "value", 20)),
 
+    "q_agg_merge" -> ((s, d) => {
+      // materialized-view refresh: per-type daily gold (count/sum/
+      // min/max of value) built from the first fortnight, then the
+      // remainder folded in as a batch — the contract is row-equality
+      // with the full recompute, so the oracle IS the recompute. The
+      // cutoff lands MID-day so the boundary day exists on both sides
+      // and the fold genuinely merges partial aggregates.
+      val e = t(s, d, "events")
+      val cutoff = lit("2024-01-15 12:00:00").cast("timestamp_ntz")
+      def aggregate(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_v"),
+            min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+      graft.etl.Cdc.mergeAggregates(
+          aggregate(e.filter(col("ts") < cutoff)),
+          aggregate(e.filter(col("ts") >= cutoff)),
+          Seq("event_type", "day"),
+          sumCols = Seq("n_events", "sum_v"),
+          minCols = Seq("min_v"), maxCols = Seq("max_v"))
+        .select(col("event_type"), col("day"), col("n_events"),
+          round(col("sum_v"), 4).as("sum_v"), col("min_v"), col("max_v"))
+    }),
+
     "q_ab_ttest" -> ((s, d) => {
       // A/B summary: Welch t between click and purchase values
       // (identical co-moment arithmetic both engines, rounded 6dp)
@@ -3700,6 +3723,18 @@ object SparkEntry {
                 round(min(mn + (bin + 1) * ((mx - mn) / 20.0)), 6) AS hi,
                 count(*) AS n
          FROM b GROUP BY bin""",
+
+    // full-recompute oracle for the incremental fold. Caveat mirrored
+    // from the Spark side: sum_v is a sum of doubles, so the merged
+    // fold sums per-slice partials — round(4) absorbs the
+    // association difference
+    "q_agg_merge" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day,
+                count(*) AS n_events,
+                round(sum(value), 4) AS sum_v,
+                min(value) AS min_v, max(value) AS max_v
+         FROM events
+         GROUP BY 1, 2""",
 
     "q_ab_ttest" ->
       """WITH sa AS (SELECT avg(value) AS ma, var_samp(value) AS va,

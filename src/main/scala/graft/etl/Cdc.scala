@@ -66,6 +66,35 @@ object Cdc {
     untouched.unionByName(rebuilt)
   }
 
+  /** Incremental aggregate maintenance: fold a new batch into an
+    * existing pre-aggregated gold table WITHOUT rescanning history —
+    * the materialized-view refresh every medallion pipeline runs per
+    * trigger. Works for the MERGEABLE aggregate algebra (count, sum,
+    * min, max — and means as sum/count downstream); a non-mergeable
+    * aggregate (exact median, distinct) needs either a sketch
+    * (HLL/quantile) or a recompute, by design.
+    *
+    * `gold` and `batchAgg` must share the schema: `keys` plus the
+    * aggregate columns named in `sumCols`/`minCols`/`maxCols` (counts
+    * are sums of counts — list them in `sumCols`). Result row-equals
+    * the full recompute over (history ∪ batch) (spec-enforced).
+    *
+    * Scale shape: one unionByName + one grouped fold over the
+    * KEY-CARDINALITY-sized frames — the raw history never appears.
+    * The batch side is batch-sized; the gold side is the standing
+    * aggregate. */
+  def mergeAggregates(gold: DataFrame, batchAgg: DataFrame,
+      keys: Seq[String], sumCols: Seq[String],
+      minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): DataFrame = {
+    require(sumCols.nonEmpty || minCols.nonEmpty || maxCols.nonEmpty)
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
+      minCols.map(c => min(col(c)).as(c)) ++
+      maxCols.map(c => max(col(c)).as(c))
+    gold.unionByName(batchAgg)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Shared core: run-length collapse + validity stitch over rows
     * already projected to (key, ts, attrs, tieBreak, __w). */
   private def collapse(obs: DataFrame, key: String, ts: String,

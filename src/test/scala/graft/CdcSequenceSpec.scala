@@ -156,6 +156,26 @@ class CdcSequenceSpec extends SparkSpec {
         .orderBy("k", "valid_from").collect()))
   }
 
+  test("mergeAggregates == full recompute; keys only in one side survive") {
+    import graft.etl.Cdc
+    val df = spark.range(3000).select(
+      (col("id") % 7).as("k"), (col("id") % 500).cast("double").as("v"))
+    def aggOf(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"),
+        min("v").as("mn"), max("v").as("mx"))
+    val gold = aggOf(df.filter(col("id") < 2000))
+    val batch = aggOf(df.filter(col("id") >= 2000)
+      .union(spark.range(1).select(lit(99L).as("k"), lit(5.0).as("v"))))
+    val merged = Cdc.mergeAggregates(gold, batch, Seq("k"),
+      sumCols = Seq("n", "s"), minCols = Seq("mn"), maxCols = Seq("mx"))
+    val full = aggOf(df.union(
+      spark.range(1).select(lit(99L).as("k"), lit(5.0).as("v"))))
+    assert(merged.orderBy("k").collect()
+      .sameElements(full.orderBy("k").collect()))
+    // the batch-only key arrives intact
+    assert(merged.filter(col("k") === 99L).count() == 1)
+  }
+
   test("welchTTest: known-shift samples score a positive t; degenerate inputs yield nulls") {
     import graft.operators.Aggregates
     val a = (1 to 50).map(i => 10.0 + (i % 5)).toDF("v")
