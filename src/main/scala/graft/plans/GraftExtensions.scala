@@ -93,6 +93,26 @@ object GraftExtensions {
           case other => throw new IllegalArgumentException(
             s"winnow_fp k and w must be integer literals, got $other")
         }
+      }),
+    (new FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName,
+        "repetition_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "repetition_stats(text)")
+        RepetitionStats(args(0))
+      }),
+    (new FunctionIdentifier("quantize_int8"),
+      new ExpressionInfo(classOf[QuantizeInt8].getName, "quantize_int8"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "quantize_int8(array<float|double>)")
+        QuantizeInt8(args(0))
+      }),
+    (new FunctionIdentifier("quantized_cosine"),
+      new ExpressionInfo(classOf[QuantizedCosine].getName,
+        "quantized_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "quantized_cosine(binary, binary)")
+        QuantizedCosine(args(0), args(1))
       }))
 
   /** Runtime registration into a live session (tests, shells):

@@ -560,6 +560,22 @@ class SessionsPiiSpec extends SparkSpec {
     assert(folded(0) == folded(1))
   }
 
+  test("round-9 kernels register as SQL functions (repetition/quantize/qcosine)") {
+    graft.plans.GraftExtensions.registerInto(spark)
+    // output slots: [top2, top3, top4, dup5..dup10, alpha_frac]
+    val rep = spark.sql(
+      "SELECT repetition_stats('a b a b a b')[0] AS f")
+      .collect().head.getDouble(0)
+    assert(rep > 0.5, s"ab-repeated text must flag top-2gram mass, got $rep")
+    val qc = spark.sql(
+      """SELECT quantized_cosine(
+           quantize_int8(array(CAST(1.0 AS DOUBLE), CAST(0.5 AS DOUBLE))),
+           quantize_int8(array(CAST(1.0 AS DOUBLE), CAST(0.5 AS DOUBLE))))
+           AS c""")
+      .collect().head.getDouble(0)
+    assert(math.abs(qc - 1.0) < 1e-6, s"self-cosine must be ~1, got $qc")
+  }
+
   test("accent_fold registers as a SQL function") {
     graft.plans.GraftExtensions.registerInto(spark)
     val r = spark.sql("SELECT accent_fold('Ångström ñ') AS f")
