@@ -165,7 +165,53 @@ object R9NewOpsProbe {
       time(s"pcaRerankKnn $tag") {
         graft.llm.Similarity.pcaRerankKnn(
           emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
-          5, dims = 32, shortlist = 50)
+          5, dims = 32, shortlist = 200)
+      }
+    }
+    // late round-9 batch: drift/AB stats, overlap sketch, basket
+    // pairs, aggregate-merge refresh
+    for ((tag, e) <- Seq("1x" -> e1, "10x" -> e10)) {
+      val clicks = e.filter(col("event_type") === "click")
+      val buys = e.filter(col("event_type") === "purchase")
+      time(s"ksTwoSample $tag") {
+        Aggregates.ksTwoSample(clicks, buys, "value")
+      }
+      time(s"welchTTest $tag") {
+        Aggregates.welchTTest(clicks, buys, "value")
+      }
+      time(s"distinctOverlapGate $tag") {
+        Aggregates.distinctOverlapGate(clicks, buys, "user_id")
+      }
+      time(s"peakConcurrency(sessions) $tag") {
+        val sess = Sessions.sessionStats(e, "user_id", "ts", 600,
+          Seq(col("event_id")))
+        Sessions.peakConcurrency(sess, "sess_start", "sess_end")
+      }
+    }
+    for ((tag, li) <- Seq("1x" -> li1, "10x" -> li10)) {
+      val d = "/root/testdata/sf0.1"
+      time(s"basketLift $tag") {
+        val bi = li.join(broadcast(Tables.load(spark, d, "part")
+            .select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand"))
+        Aggregates.basketLift(bi, "l_orderkey", "p_brand")
+      }
+    }
+    // agg-merge refresh: fixed one-day batch folded into a standing
+    // gold aggregate built from 1x vs 10x (user-shifted) history
+    for ((tag, e) <- Seq("1x" -> e1, "10x" -> eU10)) {
+      def aggregate(df: DataFrame) =
+        df.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("s"),
+            min(col("value")).as("mn"), max(col("value")).as("mx"))
+      val gold = aggregate(e.filter(col("ts") < cutoff))
+        .localCheckpoint(true)
+      val batchAgg = aggregate(batch)
+      time(s"mergeAggregates hist=$tag") {
+        Cdc.mergeAggregates(gold, batchAgg, Seq("event_type", "day"),
+          sumCols = Seq("n", "s"), minCols = Seq("mn"),
+          maxCols = Seq("mx"))
       }
     }
     spark.stop()
