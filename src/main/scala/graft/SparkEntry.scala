@@ -1676,6 +1676,24 @@ object SparkEntry {
       graft.operators.Aggregates.histogram(t(s, d, "events"),
         "value", 20)),
 
+    "q_top_paths" -> ((s, d) =>
+      // most common first-3-event sequences per user (bounded path
+      // vocabulary: 5^3); deterministic assembly via the rank-sorted
+      // struct array
+      graft.operators.Sessions.topPaths(t(s, d, "events"),
+        "user_id", "ts", "event_type", Seq(col("event_id")))),
+
+    "q_seasonal_baseline" -> ((s, d) => {
+      // seasonal-naive backtest: hour-of-day train means predict the
+      // final week; per-type MAE (the baseline any forecaster must
+      // beat)
+      val e = t(s, d, "events")
+      val cutoff = lit("2024-01-25").cast("timestamp_ntz")
+      graft.operators.Aggregates.seasonalBaseline(
+        e.filter(col("ts") < cutoff), e.filter(col("ts") >= cutoff),
+        Seq("event_type"), "ts", "value")
+    }),
+
     "q_agg_merge" -> ((s, d) => {
       // materialized-view refresh: per-type daily gold (count/sum/
       // min/max of value) built from the first fortnight, then the
@@ -3723,6 +3741,35 @@ object SparkEntry {
                 round(min(mn + (bin + 1) * ((mx - mn) / 20.0)), 6) AS hi,
                 count(*) AS n
          FROM b GROUP BY bin""",
+
+    "q_top_paths" ->
+      """WITH ranked AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rn
+           FROM events QUALIFY rn <= 3),
+         paths AS (
+           SELECT user_id,
+                  string_agg(event_type, '->' ORDER BY rn) AS path
+           FROM ranked GROUP BY user_id)
+         SELECT path, count(*) AS n_keys
+         FROM paths GROUP BY path
+         ORDER BY n_keys DESC, path LIMIT 20""",
+
+    "q_seasonal_baseline" ->
+      """WITH model AS (
+           SELECT event_type, date_part('hour', ts) AS h,
+                  avg(value) AS pred
+           FROM events WHERE ts < TIMESTAMP '2024-01-25'
+           GROUP BY 1, 2)
+         SELECT e.event_type,
+                round(avg(abs(e.value - m.pred)), 4) AS mae,
+                count(*) AS n_test
+         FROM events e
+         JOIN model m ON e.event_type = m.event_type
+           AND date_part('hour', e.ts) = m.h
+         WHERE e.ts >= TIMESTAMP '2024-01-25'
+         GROUP BY e.event_type""",
 
     // full-recompute oracle for the incremental fold. Caveat mirrored
     // from the Spark side: sum_v is a sum of doubles, so the merged

@@ -308,6 +308,29 @@ object Aggregates {
     else df.groupBy(groupBy.map(col): _*).agg(e)
   }
 
+  /** Seasonal-naive baseline forecast + backtest: predict each test
+    * row by its (keys, hour-of-day) TRAIN mean and report the
+    * per-key MAE — the baseline every fancier forecaster must beat,
+    * and the drift smoke-test for metric pipelines.
+    *
+    * Scale shape: the model IS a (keys x 24)-bounded aggregate,
+    * broadcast back onto the test side; one grouped pass each way,
+    * no windows. */
+  def seasonalBaseline(train: DataFrame, test: DataFrame,
+      keys: Seq[String], ts: String, valueCol: String,
+      scale: Int = 4): DataFrame = {
+    val kc = keys.map(col)
+    val model = train
+      .groupBy(kc :+ hour(col(ts)).as("__h"): _*)
+      .agg(avg(col(valueCol)).as("__pred"))
+    test.withColumn("__h", hour(col(ts)))
+      .join(broadcast(model), keys :+ "__h")
+      .groupBy(kc: _*)
+      .agg(round(avg(abs(col(valueCol) - col("__pred"))), scale)
+        .as("mae"),
+        count(lit(1)).as("n_test"))
+  }
+
   /** Welch's two-sample t-test: means, the t statistic and the
     * Welch-Satterthwaite degrees of freedom for unequal-variance
     * samples — the A/B-test summary (is the metric difference real?).

@@ -140,6 +140,38 @@ object Sessions {
       s"stack(${steps.size}, $stacked) AS (step, step_idx, n_keys, conv_from_prev)")
   }
 
+  /** Top event PATHS: the most common sequences of each key's first
+    * `pathLen` events — the "how do users actually start" view that
+    * funnels (which fix the steps up front) cannot give.
+    *
+    * Scale shape: one key window caps each key at its first `pathLen`
+    * rows BEFORE any aggregation (payloads drop immediately), the
+    * path string assembles per key from a pathLen-bounded struct
+    * array (array_sort on the rank field keeps assembly order
+    * deterministic regardless of partitioning), and the path count is
+    * a map-side-combined group on strings of bounded length with a
+    * TakeOrdered top-N. */
+  def topPaths(df: DataFrame, key: String, ts: String, typeCol: String,
+      tieBreak: Seq[Column] = Nil, pathLen: Int = 3,
+      topN: Int = 20): DataFrame = {
+    require(pathLen > 0 && topN > 0)
+    val w = Window.partitionBy(col(key)).orderBy(col(ts) +: tieBreak: _*)
+    val ranked = df
+      .select(col(key) +: col(ts) +: col(typeCol) +: tieBreak: _*)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= pathLen)
+    val paths = ranked.groupBy(col(key))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__rn"),
+            col(typeCol).as("__et")))),
+          x => x("__et")), "->").as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("n_keys").desc, col("path"))
+      .limit(topN)
+  }
+
   /** Funnel conversion LATENCY: for each consecutive step pair, how
     * long converters took (count, mean and exact-median seconds) —
     * the time-to-convert companion of [[funnelSummary]]'s rates

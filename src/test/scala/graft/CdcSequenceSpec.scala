@@ -156,6 +156,38 @@ class CdcSequenceSpec extends SparkSpec {
         .orderBy("k", "valid_from").collect()))
   }
 
+  test("topPaths: counts first-k sequences; short keys keep short paths; partition-independent") {
+    import graft.operators.Sessions
+    val df = Seq(
+      (1L, 1, "a"), (1L, 2, "b"), (1L, 3, "c"), (1L, 4, "d"),
+      (2L, 1, "a"), (2L, 2, "b"), (2L, 3, "c"),
+      (3L, 1, "a"), (3L, 2, "b"),
+      (4L, 1, "x")
+    ).toDF("k", "t", "et")
+    val out = Sessions.topPaths(df, "k", "t", "et", pathLen = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // the 4th event of key 1 is ignored; key 3's path stops at 2
+    assert(out == Map("a->b->c" -> 2L, "a->b" -> 1L, "x" -> 1L), out)
+    val shuffled = Sessions.topPaths(df.repartition(7), "k", "t", "et",
+      pathLen = 3).collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(shuffled == out)
+  }
+
+  test("seasonalBaseline: perfect seasonal signal backtests to MAE 0") {
+    import graft.operators.Aggregates
+    def ts(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-03-$day%02d $h%02d:00:00")
+    // value depends only on hour-of-day -> the hour-mean model is exact
+    val rows = for (d <- 1 to 6; h <- Seq(9, 12, 15))
+      yield ("g", ts(d, h), h * 2.0)
+    val df = rows.toDF("k", "t", "v")
+    val r = Aggregates.seasonalBaseline(
+      df.filter(col("t") < lit("2024-03-05").cast("timestamp")),
+      df.filter(col("t") >= lit("2024-03-05").cast("timestamp")),
+      Seq("k"), "t", "v").collect().head
+    assert(r.getAs[Double]("mae") == 0.0 && r.getAs[Long]("n_test") == 6L)
+  }
+
   test("mergeAggregates == full recompute; keys only in one side survive") {
     import graft.etl.Cdc
     val df = spark.range(3000).select(
