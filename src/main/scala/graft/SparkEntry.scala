@@ -1676,6 +1676,19 @@ object SparkEntry {
       graft.operators.Aggregates.histogram(t(s, d, "events"),
         "value", 20)),
 
+    "q_source_entropy" -> ((s, d) =>
+      // language-mix diversity per document source (Shannon entropy,
+      // nats) — the one-note-source screen
+      graft.operators.Aggregates.entropy(t(s, d, "documents"),
+        Seq("source"), "lang")),
+
+    "q_conversion_ci" -> ((s, d) =>
+      // per-type rate of above-median-value events with Wilson 95% CI
+      // (closed-form arithmetic, engine-identical)
+      graft.operators.Aggregates.wilsonInterval(
+        t(s, d, "events").withColumn("__hit", col("value") > 10.0),
+        Seq("event_type"), "__hit")),
+
     "q_top_paths" -> ((s, d) =>
       // most common first-3-event sequences per user (bounded path
       // vocabulary: 5^3); deterministic assembly via the rank-sorted
@@ -3741,6 +3754,42 @@ object SparkEntry {
                 round(min(mn + (bin + 1) * ((mx - mn) / 20.0)), 6) AS hi,
                 count(*) AS n
          FROM b GROUP BY bin""",
+
+    "q_source_entropy" ->
+      """WITH counts AS (
+           SELECT source, lang, count(*) AS n
+           FROM documents GROUP BY 1, 2),
+         tot AS (SELECT source, sum(n) AS t FROM counts GROUP BY 1)
+         SELECT counts.source,
+                round(-sum((n / CAST(t AS DOUBLE)) *
+                  ln(n / CAST(t AS DOUBLE))), 6) AS entropy,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_categories,
+                CAST(max(t) AS BIGINT) AS n_rows
+         FROM counts JOIN tot ON counts.source = tot.source
+         GROUP BY counts.source""",
+
+    "q_conversion_ci" ->
+      """WITH agg AS (
+           SELECT event_type,
+                  CAST(sum(CASE WHEN value > 10.0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_success,
+                  count(*) AS n
+           FROM events GROUP BY 1)
+         SELECT event_type, n_success, n,
+                round(n_success / CAST(n AS DOUBLE), 6) AS rate,
+                round(((n_success / CAST(n AS DOUBLE))
+                       + (1.96 * 1.96) / (2.0 * n)
+                       - 1.96 * sqrt((n_success / CAST(n AS DOUBLE))
+                           * (1.0 - n_success / CAST(n AS DOUBLE)) / n
+                           + (1.96 * 1.96) / (4.0 * n * n)))
+                  / (1.0 + (1.96 * 1.96) / n), 6) AS ci_lo,
+                round(((n_success / CAST(n AS DOUBLE))
+                       + (1.96 * 1.96) / (2.0 * n)
+                       + 1.96 * sqrt((n_success / CAST(n AS DOUBLE))
+                           * (1.0 - n_success / CAST(n AS DOUBLE)) / n
+                           + (1.96 * 1.96) / (4.0 * n * n)))
+                  / (1.0 + (1.96 * 1.96) / n), 6) AS ci_hi
+         FROM agg""",
 
     "q_top_paths" ->
       """WITH ranked AS (

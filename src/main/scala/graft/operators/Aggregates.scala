@@ -308,6 +308,50 @@ object Aggregates {
     else df.groupBy(groupBy.map(col): _*).agg(e)
   }
 
+  /** Shannon entropy (nats) of a categorical column per group — the
+    * diversity screen (is this source one-note? did a segment's event
+    * mix collapse?). One (keys, cat) count, then entropy assembled
+    * over the category-bounded frame via a window on the keys —
+    * nothing row-scaled past the first aggregate. */
+  def entropy(df: DataFrame, keys: Seq[String], catCol: String,
+      scale: Int = 6): DataFrame = {
+    val kc = keys.map(col)
+    val counts = df.groupBy(kc :+ col(catCol).as("__c"): _*)
+      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(kc: _*)
+    counts
+      .withColumn("__tot", sum(col("__n")).over(w))
+      .groupBy(kc: _*)
+      .agg(round(-sum((col("__n") / col("__tot")) *
+        log(col("__n") / col("__tot"))), scale).as("entropy"),
+        countDistinct(col("__c")).as("n_categories"),
+        max(col("__tot")).as("n_rows"))
+  }
+
+  /** Wilson score interval for a per-group success rate — the
+    * conversion-rate CI that stays sane at small n and extreme rates
+    * (a plain normal interval leaks outside [0,1]). z defaults to
+    * 1.96 (95%). One grouped pass; closed-form arithmetic both
+    * engines evaluate identically. */
+  def wilsonInterval(df: DataFrame, keys: Seq[String],
+      successCol: String, z: Double = 1.96, scale: Int = 6): DataFrame = {
+    val kc = keys.map(col)
+    val agg = df.groupBy(kc: _*)
+      .agg(sum(when(col(successCol).cast("boolean"), 1L).otherwise(0L))
+        .as("n_success"), count(lit(1)).as("n"))
+    val nD = col("n").cast("double")
+    val p = col("n_success") / nD
+    val z2 = lit(z * z)
+    val denom = lit(1.0) + z2 / nD
+    val center = p + z2 / (lit(2.0) * nD)
+    val spread = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))
+    agg.select(kc ++ Seq(col("n_success"), col("n"),
+      round(p, scale).as("rate"),
+      round((center - spread) / denom, scale).as("ci_lo"),
+      round((center + spread) / denom, scale).as("ci_hi")): _*)
+  }
+
   /** Seasonal-naive baseline forecast + backtest: predict each test
     * row by its (keys, hour-of-day) TRAIN mean and report the
     * per-key MAE — the baseline every fancier forecaster must beat,

@@ -188,6 +188,33 @@ class CdcSequenceSpec extends SparkSpec {
     assert(r.getAs[Double]("mae") == 0.0 && r.getAs[Long]("n_test") == 6L)
   }
 
+  test("entropy: uniform 4-way = ln 4, single category = 0") {
+    import graft.operators.Aggregates
+    val df = Seq.tabulate(40)(i => ("u", s"c${i % 4}"))
+      .toDF("k", "c")
+      .union(Seq.fill(10)(("m", "only")).toDF("k", "c"))
+    val out = Aggregates.entropy(df, Seq("k"), "c").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(math.abs(out("u")._1 - math.log(4)) < 1e-5)
+    assert(out("u")._2 == 4L)
+    assert(out("m") == (0.0, 1L))
+  }
+
+  test("wilsonInterval: CI brackets the rate and stays inside [0,1] at the extremes") {
+    import graft.operators.Aggregates
+    val df = Seq.tabulate(100)(i => ("g", i < 30))
+      .union(Seq.tabulate(10)(_ => ("z", true)))
+      .toDF("k", "hit")
+    val out = Aggregates.wilsonInterval(df, Seq("k"), "hit").collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    val (rate, lo, hi) = out("g")
+    assert(rate == 0.3 && lo < rate && rate < hi && lo > 0.2 && hi < 0.4)
+    // all-success small sample: a normal interval would exceed 1
+    val (r1, lo1, hi1) = out("z")
+    assert(r1 == 1.0 && hi1 <= 1.0 && lo1 > 0.6)
+  }
+
   test("mergeAggregates == full recompute; keys only in one side survive") {
     import graft.etl.Cdc
     val df = spark.range(3000).select(
