@@ -1676,6 +1676,14 @@ object SparkEntry {
       graft.operators.Aggregates.histogram(t(s, d, "events"),
         "value", 20)),
 
+    "q_revenue_gini" -> ((s, d) =>
+      // customer revenue concentration: Gini over per-customer order
+      // totals via the bucketed-rank decomposition (oracle runs the
+      // single global row_number)
+      graft.operators.Aggregates.gini(
+        t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice")).as("rev")), "rev")),
+
     "q_source_entropy" -> ((s, d) =>
       // language-mix diversity per document source (Shannon entropy,
       // nats) — the one-note-source screen
@@ -3754,6 +3762,18 @@ object SparkEntry {
                 round(min(mn + (bin + 1) * ((mx - mn) / 20.0)), 6) AS hi,
                 count(*) AS n
          FROM b GROUP BY bin""",
+
+    "q_revenue_gini" ->
+      """WITH pc AS (SELECT o_custkey, sum(o_totalprice) AS rev
+                     FROM orders GROUP BY 1),
+              r AS (SELECT rev, row_number() OVER (ORDER BY rev) AS rn
+                    FROM pc),
+              t AS (SELECT count(*) AS n, sum(rev) AS s FROM pc)
+         SELECT round(2.0 * sum(rn * rev) / (n * s)
+                  - (n + 1) / CAST(n AS DOUBLE), 6) AS gini,
+                CAST(max(n) AS BIGINT) AS n,
+                round(max(s), 2) AS total
+         FROM r CROSS JOIN t GROUP BY n, s""",
 
     "q_source_entropy" ->
       """WITH counts AS (

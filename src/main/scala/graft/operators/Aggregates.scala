@@ -459,6 +459,45 @@ object Aggregates {
         max(col("__NA")).as("n_a"), max(col("__NB")).as("n_b"))
   }
 
+  /** Gini concentration index over a non-negative value column —
+    * "what share of revenue sits with the top customers" as one
+    * number in [0, 1): G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over the
+    * ascending-sorted values. Equal values commute inside Σ i·x, so
+    * tie order cannot change the result.
+    *
+    * Scale shape: the global rank i decomposes exactly like
+    * [[graft.operators.Sessions.peakConcurrency]] — equi-width value
+    * buckets, row_number within bucket windows, plus a
+    * BUCKETS-bounded count-carry broadcast back; one final 1-row
+    * aggregate. The SQL oracle runs the single global row_number. */
+  def gini(df: DataFrame, valueCol: String, buckets: Int = 1024,
+      scale: Int = 6): DataFrame = {
+    require(buckets > 0)
+    val v = col(valueCol).cast("double")
+    val mm = broadcast(df.agg(min(v).as("__mn"), max(v).as("__mx")))
+    val width = (col("__mx") - col("__mn")) / lit(buckets.toDouble)
+    val bucketed = df.select(v.as("__v")).crossJoin(mm)
+      .withColumn("__bkt", when(width === 0.0, lit(0L)).otherwise(
+        least(floor((col("__v") - col("__mn")) / width).cast("long"),
+          lit(buckets - 1L))))
+    val w = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
+    val ranked = bucketed.withColumn("__r", row_number().over(w))
+    val wc = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = bucketed.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__carry", coalesce(sum(col("__bn")).over(wc), lit(0L)))
+      .select(col("__bkt"), col("__carry"))
+    ranked.join(broadcast(carries), Seq("__bkt"))
+      .agg(
+        round(lit(2.0) * sum((col("__r") + col("__carry")) * col("__v")) /
+          (count(lit(1)) * sum(col("__v"))) -
+          (count(lit(1)) + lit(1L)).cast("double") / count(lit(1)), scale)
+          .as("gini"),
+        count(lit(1)).as("n"),
+        round(sum(col("__v")), 2).as("total"))
+  }
+
   /** Distinct-set overlap estimate by HLL inclusion-exclusion:
     * |A∩B| ≈ hll(A) + hll(B) - hll(A∪B) — the audience-overlap
     * estimator that never materializes either key set (three

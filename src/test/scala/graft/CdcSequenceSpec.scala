@@ -188,6 +188,22 @@ class CdcSequenceSpec extends SparkSpec {
     assert(r.getAs[Double]("mae") == 0.0 && r.getAs[Long]("n_test") == 6L)
   }
 
+  test("gini: equality scores 0, single holder scores (n-1)/n, bucket-invariant") {
+    import graft.operators.Aggregates
+    val equal = Seq.fill(50)(10.0).toDF("v")
+    assert(Aggregates.gini(equal, "v").collect().head
+      .getAs[Double]("gini") == 0.0)
+    val oneHolder = (Seq.fill(9)(0.0) :+ 100.0).toDF("v")
+    assert(Aggregates.gini(oneHolder, "v").collect().head
+      .getAs[Double]("gini") == 0.9)
+    val skewed = (1 to 100).map(i => math.pow(i.toDouble, 3)).toDF("v")
+    val g1 = Aggregates.gini(skewed, "v", buckets = 1).collect().head
+      .getAs[Double]("gini")
+    val g9 = Aggregates.gini(skewed, "v", buckets = 9).collect().head
+      .getAs[Double]("gini")
+    assert(g1 == g9 && g1 > 0.4 && g1 < 0.8, s"$g1 vs $g9")
+  }
+
   test("entropy: uniform 4-way = ln 4, single category = 0") {
     import graft.operators.Aggregates
     val df = Seq.tabulate(40)(i => ("u", s"c${i % 4}"))
