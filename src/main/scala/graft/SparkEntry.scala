@@ -1676,6 +1676,17 @@ object SparkEntry {
       graft.operators.Aggregates.histogram(t(s, d, "events"),
         "value", 20)),
 
+    "q_psi_drift" -> ((s, d) => {
+      // Population Stability Index: first-fortnight event values as
+      // the expected sample, the remainder as actual — the standard
+      // model-monitoring drift score with open-ended edge bins
+      val e = t(s, d, "events")
+      val cutoff = lit("2024-01-15").cast("timestamp_ntz")
+      graft.operators.Aggregates.psi(
+        e.filter(col("ts") < cutoff), e.filter(col("ts") >= cutoff),
+        "value")
+    }),
+
     "q_revenue_gini" -> ((s, d) =>
       // customer revenue concentration: Gini over per-customer order
       // totals via the bucketed-rank decomposition (oracle runs the
@@ -3762,6 +3773,34 @@ object SparkEntry {
                 round(min(mn + (bin + 1) * ((mx - mn) / 20.0)), 6) AS hi,
                 count(*) AS n
          FROM b GROUP BY bin""",
+
+    "q_psi_drift" ->
+      """WITH mm AS (SELECT min(value) AS mn, max(value) AS mx
+                     FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+         be AS (SELECT CASE WHEN (mx - mn) / 10.0 = 0 THEN 0
+                       ELSE least(greatest(CAST(floor((value - mn) /
+                         ((mx - mn) / 10.0)) AS BIGINT), 0), 9) END AS bin
+                FROM events CROSS JOIN mm
+                WHERE ts < TIMESTAMP '2024-01-15'),
+         ba AS (SELECT CASE WHEN (mx - mn) / 10.0 = 0 THEN 0
+                       ELSE least(greatest(CAST(floor((value - mn) /
+                         ((mx - mn) / 10.0)) AS BIGINT), 0), 9) END AS bin
+                FROM events CROSS JOIN mm
+                WHERE ts >= TIMESTAMP '2024-01-15'),
+         ce AS (SELECT bin, count(*) AS n FROM be GROUP BY 1),
+         ca AS (SELECT bin, count(*) AS n FROM ba GROUP BY 1),
+         te AS (SELECT sum(n) AS t FROM ce),
+         ta AS (SELECT sum(n) AS t FROM ca),
+         pe AS (SELECT bin, greatest(n / CAST(t AS DOUBLE), 0.0001) AS p
+                FROM ce CROSS JOIN te),
+         pa AS (SELECT bin, greatest(n / CAST(t AS DOUBLE), 0.0001) AS p
+                FROM ca CROSS JOIN ta),
+         j AS (SELECT coalesce(pe.p, 0.0001) AS x,
+                      coalesce(pa.p, 0.0001) AS y
+               FROM pe FULL OUTER JOIN pa USING (bin))
+         SELECT round(sum((y - x) * ln(y / x)), 6) AS psi,
+                count(*) AS n_bins
+         FROM j""",
 
     "q_revenue_gini" ->
       """WITH pc AS (SELECT o_custkey, sum(o_totalprice) AS rev

@@ -459,6 +459,47 @@ object Aggregates {
         max(col("__NA")).as("n_a"), max(col("__NB")).as("n_b"))
   }
 
+  /** Population Stability Index between an EXPECTED (training /
+    * last-period) and ACTUAL (serving / this-period) sample of a
+    * numeric column — the industry-standard model-monitoring drift
+    * score (rule of thumb: <0.1 stable, 0.1-0.25 watch, >0.25 act).
+    * Bins are equi-width over the EXPECTED sample's [min, max] with
+    * open-ended edge bins so actual values outside the training range
+    * land in the boundary bins instead of vanishing; empty shares are
+    * floored at `eps` so PSI stays finite.
+    *
+    * Scale shape: a 1-row min/max pass on expected (broadcast), one
+    * map-side bucket count per side, then arithmetic on two
+    * bins-bounded frames. */
+  def psi(expected: DataFrame, actual: DataFrame, valueCol: String,
+      bins: Int = 10, eps: Double = 1e-4, scale: Int = 6): DataFrame = {
+    require(bins > 0)
+    val v = col(valueCol).cast("double")
+    val mm = broadcast(expected.agg(min(v).as("__mn"), max(v).as("__mx")))
+    def share(df: DataFrame, tag: String): DataFrame = {
+      val width = (col("__mx") - col("__mn")) / lit(bins.toDouble)
+      val binned = df.select(v.as("__v")).crossJoin(mm)
+        .withColumn("__bin", when(width === 0.0, lit(0L)).otherwise(
+          least(greatest(
+            floor((col("__v") - col("__mn")) / width).cast("long"),
+            lit(0L)), lit(bins - 1L))))
+        .groupBy(col("__bin")).agg(count(lit(1)).as(s"__n_$tag"))
+      binned.crossJoin(broadcast(
+          binned.agg(sum(col(s"__n_$tag")).as(s"__t_$tag"))))
+        .select(col("__bin"), greatest(
+          col(s"__n_$tag") / col(s"__t_$tag").cast("double"), lit(eps))
+          .as(s"__p_$tag"))
+    }
+    val e = share(expected, "e")
+    val a = share(actual, "a")
+    e.join(a, Seq("__bin"), "full_outer")
+      .select(coalesce(col("__p_e"), lit(eps)).as("__pe"),
+        coalesce(col("__p_a"), lit(eps)).as("__pa"))
+      .agg(round(sum((col("__pa") - col("__pe")) *
+        log(col("__pa") / col("__pe"))), scale).as("psi"),
+        count(lit(1)).as("n_bins"))
+  }
+
   /** Gini concentration index over a non-negative value column —
     * "what share of revenue sits with the top customers" as one
     * number in [0, 1): G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n over the

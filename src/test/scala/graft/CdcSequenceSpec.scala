@@ -188,6 +188,20 @@ class CdcSequenceSpec extends SparkSpec {
     assert(r.getAs[Double]("mae") == 0.0 && r.getAs[Long]("n_test") == 6L)
   }
 
+  test("psi: identical samples ~0, a shifted sample scores large, out-of-range lands in edge bins") {
+    import graft.operators.Aggregates
+    val base = (1 to 1000).map(i => (i % 100).toDouble).toDF("v")
+    val same = Aggregates.psi(base, base, "v").collect().head
+    assert(same.getAs[Double]("psi") < 1e-9, same.toString)
+    // hard shift: mass moves to the top bins + beyond the range
+    val shifted = (1 to 1000).map(i => (i % 100) + 150.0).toDF("v")
+    val drift = Aggregates.psi(base, shifted, "v").collect().head
+    assert(drift.getAs[Double]("psi") > 1.0, drift.toString)
+    // out-of-range actual values must be COUNTED (edge bins), so the
+    // actual shares still sum to ~1 and the score is finite
+    assert(!drift.getAs[Double]("psi").isInfinite)
+  }
+
   test("gini: equality scores 0, single holder scores (n-1)/n, bucket-invariant") {
     import graft.operators.Aggregates
     val equal = Seq.fill(50)(10.0).toDF("v")
