@@ -198,6 +198,38 @@ object R9NewOpsProbe {
         Aggregates.basketLift(bi, "l_orderkey", "p_brand")
       }
     }
+    // final round-9 batch: paths/forecast/diversity/CI/concentration/
+    // drift — all bounded-frame aggregates
+    for ((tag, e) <- Seq("1x" -> e1, "10x" -> e10)) {
+      time(s"topPaths $tag") {
+        Sessions.topPaths(e, "user_id", "ts", "event_type",
+          Seq(col("event_id")))
+      }
+      time(s"seasonalBaseline $tag") {
+        val cut = to_timestamp(lit("2024-01-25")).cast("timestamp_ntz")
+        Aggregates.seasonalBaseline(e.filter(col("ts") < cut),
+          e1.filter(col("ts") >= cut), Seq("event_type"), "ts", "value")
+      }
+      time(s"entropy $tag") {
+        Aggregates.entropy(
+          e.withColumn("seg", (col("user_id") % 20).cast("string")),
+          Seq("seg"), "event_type")
+      }
+      time(s"wilsonInterval $tag") {
+        Aggregates.wilsonInterval(
+          e.withColumn("__hit", col("value") > 10.0),
+          Seq("event_type"), "__hit")
+      }
+      time(s"gini $tag") {
+        Aggregates.gini(e.groupBy(col("user_id"))
+          .agg(sum(col("value")).as("rev")), "rev")
+      }
+      time(s"psi $tag") {
+        val cut = to_timestamp(lit("2024-01-15")).cast("timestamp_ntz")
+        Aggregates.psi(e.filter(col("ts") < cut),
+          e.filter(col("ts") >= cut), "value")
+      }
+    }
     // agg-merge refresh: fixed one-day batch folded into a standing
     // gold aggregate built from 1x vs 10x (user-shifted) history
     for ((tag, e) <- Seq("1x" -> e1, "10x" -> eU10)) {
