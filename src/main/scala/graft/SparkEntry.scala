@@ -1676,6 +1676,18 @@ object SparkEntry {
       graft.operators.Aggregates.histogram(t(s, d, "events"),
         "value", 20)),
 
+    "q_benford" -> ((s, d) =>
+      // first-digit forensics over order totals: observed vs Benford
+      // shares per digit with absolute deviations
+      graft.operators.Aggregates.benford(t(s, d, "orders"),
+        "o_totalprice")),
+
+    "q_top_share" -> ((s, d) =>
+      // Lorenz one-liner: the top decile's share of customer revenue
+      graft.operators.Aggregates.topShare(
+        t(s, d, "orders").groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice")).as("rev")), "rev", 0.9)),
+
     "q_psi_drift" -> ((s, d) => {
       // Population Stability Index: first-fortnight event values as
       // the expected sample, the remainder as actual — the standard
@@ -3773,6 +3785,34 @@ object SparkEntry {
                 round(min(mn + (bin + 1) * ((mx - mn) / 20.0)), 6) AS hi,
                 count(*) AS n
          FROM b GROUP BY bin""",
+
+    "q_benford" ->
+      """WITH counts AS (
+           SELECT CAST(floor(o_totalprice /
+                    pow(10.0, floor(log10(o_totalprice)))) AS INT)
+                    AS digit,
+                  count(*) AS n
+           FROM orders WHERE o_totalprice > 0.0
+           GROUP BY 1),
+         tot AS (SELECT sum(n) AS t FROM counts)
+         SELECT digit, n,
+                round(n / CAST(t AS DOUBLE), 6) AS observed,
+                round(log10(1.0 + 1.0 / digit), 6) AS expected,
+                round(abs(n / CAST(t AS DOUBLE)
+                  - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+         FROM counts CROSS JOIN tot""",
+
+    "q_top_share" ->
+      """WITH pc AS (SELECT o_custkey, sum(o_totalprice) AS rev
+                     FROM orders GROUP BY 1),
+         thr AS (SELECT quantile_cont(rev, 0.9) AS q FROM pc)
+         SELECT round(max(q), 6) AS threshold,
+                round(sum(CASE WHEN rev >= q THEN rev ELSE 0.0 END)
+                  / sum(rev), 6) AS top_share,
+                CAST(sum(CASE WHEN rev >= q THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_top,
+                count(*) AS n
+         FROM pc CROSS JOIN thr""",
 
     "q_psi_drift" ->
       """WITH mm AS (SELECT min(value) AS mn, max(value) AS mx

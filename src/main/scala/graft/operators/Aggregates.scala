@@ -459,6 +459,51 @@ object Aggregates {
         max(col("__NA")).as("n_a"), max(col("__NB")).as("n_b"))
   }
 
+  /** Benford first-digit deviation — the data-forensics screen for
+    * fabricated or truncated numeric columns: observed first-
+    * significant-digit shares vs Benford's log10(1 + 1/d), one row
+    * per digit plus the share delta. Judge with the mean absolute
+    * deviation downstream (<0.006 conforming, >0.015 suspect by the
+    * Nigrini rule of thumb). One map-side digit extraction + a
+    * 9-row-bounded aggregate; only strictly-positive values
+    * participate (Benford is undefined elsewhere). */
+  def benford(df: DataFrame, valueCol: String,
+      scale: Int = 6): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val digit = floor(v / pow(lit(10.0), floor(log10(v)))).cast("int")
+    val counts = df.filter(v > 0.0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    counts.crossJoin(broadcast(counts.agg(sum(col("n")).as("__t"))))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("__t").cast("double"), scale).as("observed"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), scale)
+          .as("expected"),
+        round(abs(col("n") / col("__t").cast("double") -
+          log10(lit(1.0) + lit(1.0) / col("digit"))), scale).as("abs_dev"))
+  }
+
+  /** Top-share concentration: what fraction of the column's total sits
+    * at or above the p-th percentile ("the top decile holds X% of
+    * revenue") — the one-number Lorenz summary lighter than [[gini]].
+    * One exact-percentile aggregate broadcast back + one conditional
+    * sum; ties at the threshold are included on the top side in both
+    * engines. */
+  def topShare(df: DataFrame, valueCol: String, p: Double = 0.9,
+      scale: Int = 6): DataFrame = {
+    require(p > 0 && p < 1)
+    val v = col(valueCol).cast("double")
+    val thr = df.agg(expr(
+      s"percentile(CAST($valueCol AS DOUBLE), $p)").as("__thr"))
+    df.select(v.as("__v")).crossJoin(broadcast(thr))
+      .agg(round(max(col("__thr")), scale).as("threshold"),
+        round(sum(when(col("__v") >= col("__thr"), col("__v"))
+          .otherwise(lit(0.0))) / sum(col("__v")), scale).as("top_share"),
+        sum(when(col("__v") >= col("__thr"), 1L).otherwise(0L))
+          .as("n_top"),
+        count(lit(1)).as("n"))
+  }
+
   /** Population Stability Index between an EXPECTED (training /
     * last-period) and ACTUAL (serving / this-period) sample of a
     * numeric column — the industry-standard model-monitoring drift

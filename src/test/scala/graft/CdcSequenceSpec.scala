@@ -399,6 +399,38 @@ class CdcSequenceSpec extends SparkSpec {
     assert(r.getAs[Long]("n") == 100L)
   }
 
+  test("benford: first significant digit extracted across magnitudes, non-positives excluded") {
+    import graft.operators.Aggregates
+    // digits span magnitudes: 1.0/12/150 -> 1, 25/2.9 -> 2, 0.05 -> 5;
+    // zero and negatives must not participate at all
+    val df = Seq(1.0, 12.0, 150.0, 25.0, 2.9, 0.05, 0.0, -5.0).toDF("v")
+    val out = Aggregates.benford(df, "v").collect()
+      .map(r => r.getAs[Int]("digit") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("observed"),
+         r.getAs[Double]("expected"), r.getAs[Double]("abs_dev"))).toMap
+    assert(out.keySet == Set(1, 2, 5))
+    assert(out(1)._1 == 3L && out(2)._1 == 2L && out(5)._1 == 1L)
+    assert(out(1)._2 == 0.5 && out(2)._2 == 0.333333)
+    // expected shares are the Benford curve, deviations consistent
+    assert(out(1)._3 == 0.30103 && out(5)._3 == 0.079181)
+    assert(math.abs(out(1)._4 - (0.5 - 0.30103)) < 1e-6)
+  }
+
+  test("topShare: exact-percentile threshold, ties included on the top side") {
+    import graft.operators.Aggregates
+    val df = (1 to 10).map(_.toDouble).toDF("v")
+    // percentile(1..10, 0.9) interpolates to 9.1 -> top = {10}
+    val r = Aggregates.topShare(df, "v", 0.9).collect().head
+    assert(r.getAs[Double]("threshold") == 9.1)
+    assert(r.getAs[Double]("top_share") == 0.181818, r.toString)
+    assert(r.getAs[Long]("n_top") == 1L && r.getAs[Long]("n") == 10L)
+    // ties AT the threshold count as top: all-equal column -> share 1
+    val ties = Seq.fill(8)(5.0).toDF("v")
+    val rt = Aggregates.topShare(ties, "v", 0.5).collect().head
+    assert(rt.getAs[Double]("top_share") == 1.0 &&
+      rt.getAs[Long]("n_top") == 8L)
+  }
+
   test("scd2: partition-independent") {
     val df = spark.range(5000).select(
       (col("id") % 61).as("k"), col("id").as("t"),
