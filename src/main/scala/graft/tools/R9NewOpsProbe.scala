@@ -55,7 +55,10 @@ object R9NewOpsProbe {
     val emb1 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
     val emb10 = spark.read.parquet(embPath)
 
+    // optional substring filter: `runMain ... benford` times only the
+    // probes whose label contains "benford"
     def time(label: String)(f: => DataFrame): Unit = {
+      if (args.nonEmpty && !args.exists(label.contains)) return
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val n = f.count()
@@ -228,6 +231,20 @@ object R9NewOpsProbe {
         val cut = to_timestamp(lit("2024-01-15")).cast("timestamp_ntz")
         Aggregates.psi(e.filter(col("ts") < cut),
           e.filter(col("ts") >= cut), "value")
+      }
+    }
+    // forensic/concentration screens: digit extraction is map-side over
+    // the raw scan (benford); topShare is one exact-percentile agg +
+    // one conditional-sum pass over the key-cardinality revenue frame
+    for ((tag, li) <- Seq("1x" -> li1, "10x" -> li10)) {
+      time(s"benford $tag") {
+        Aggregates.benford(li, "l_extendedprice")
+      }
+    }
+    for ((tag, e) <- Seq("1x" -> e1, "10x" -> e10)) {
+      time(s"topShare $tag") {
+        Aggregates.topShare(e.groupBy(col("user_id"))
+          .agg(sum(col("value")).as("rev")), "rev", 0.9)
       }
     }
     // agg-merge refresh: fixed one-day batch folded into a standing
