@@ -1688,6 +1688,51 @@ object SparkEntry {
         t(s, d, "orders").groupBy(col("o_custkey"))
           .agg(sum(col("o_totalprice")).as("rev")), "rev", 0.9)),
 
+    "q_acf" -> ((s, d) =>
+      // autocorrelation of each event type's daily-mean series at
+      // lags 1..5 — the seasonality/momentum screen
+      graft.operators.Aggregates.autocorrelation(t(s, d, "events"),
+        Seq("event_type"), "ts", "value", maxLag = 5)),
+
+    "q_mutual_info" -> ((s, d) =>
+      // association strength between return flag and line status in
+      // nats, with marginal entropies and sqrt-normalized NMI
+      graft.operators.Aggregates.mutualInfo(t(s, d, "lineitem"),
+        "l_returnflag", "l_linestatus")),
+
+    "q_zipf_fit" -> ((s, d) =>
+      // Zipf power-law fit over the top-1000 token frequencies:
+      // ln(count) ~ ln(rank) OLS; slope near -1 is natural text
+      graft.operators.Aggregates.zipfSlope(
+        t(s, d, "documents")
+          .select(explode(Text.tokens(lower(col("text")))).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("c")),
+        "w", "c", topN = 1000)),
+
+    "q_triangle_count" -> ((s, d) => {
+      // graph cohesion of the part co-purchase graph (parts sharing an
+      // urgent order): exact triangles via the degree-orientation
+      // construction — the skew-proof wedge join
+      val li = t(s, d, "lineitem")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk"))
+      val pairs = li.join(
+          li.select(col("__ok"), col("__pk").as("__pk2")), Seq("__ok"))
+        .filter(col("__pk") < col("__pk2"))
+        .select(col("__pk").as("id_a"), col("__pk2").as("id_b"))
+      graft.operators.Graph.triangleCount(pairs)
+    }),
+
+    "q_attribution" -> ((s, d) =>
+      // last-touch vs first-touch credit for purchase value across
+      // the preceding event channels; untouched purchases go direct
+      graft.operators.Sessions.touchAttribution(t(s, d, "events"),
+        "user_id", "ts", "event_type", "purchase", Seq(col("event_id")))),
+
     "q_psi_drift" -> ((s, d) => {
       // Population Stability Index: first-fortnight event values as
       // the expected sample, the remainder as actual — the standard
@@ -3813,6 +3858,106 @@ object SparkEntry {
                   AS BIGINT) AS n_top,
                 count(*) AS n
          FROM pc CROSS JOIN thr""",
+
+    "q_acf" ->
+      """WITH d AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS v
+           FROM events GROUP BY 1, 2),
+         l AS (
+           SELECT event_type, v,
+                  lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+                  lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4,
+                  lag(v, 5) OVER w AS l5
+           FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         s AS (
+           SELECT event_type, 1 AS lag, v, l1 AS lv FROM l UNION ALL
+           SELECT event_type, 2, v, l2 FROM l UNION ALL
+           SELECT event_type, 3, v, l3 FROM l UNION ALL
+           SELECT event_type, 4, v, l4 FROM l UNION ALL
+           SELECT event_type, 5, v, l5 FROM l)
+         SELECT event_type, lag, round(corr(v, lv), 6) AS acf,
+                count(lv) AS n_pairs
+         FROM s GROUP BY 1, 2""",
+
+    "q_mutual_info" ->
+      """WITH j AS (
+           SELECT l_returnflag AS x, l_linestatus AS y, count(*) AS n
+           FROM lineitem
+           WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+           GROUP BY 1, 2),
+         tt AS (SELECT sum(n) AS t FROM j),
+         m AS (
+           SELECT n / t AS p,
+                  sum(n) OVER (PARTITION BY x) / t AS px,
+                  sum(n) OVER (PARTITION BY y) / t AS py,
+                  t
+           FROM j CROSS JOIN tt)
+         SELECT round(sum(p * ln(p / (px * py))), 6) AS mi_nats,
+                round(-sum(p * ln(px)), 6) AS h_x,
+                round(-sum(p * ln(py)), 6) AS h_y,
+                round(sum(p * ln(p / (px * py))) /
+                  sqrt(sum(p * ln(px)) * sum(p * ln(py))), 6) AS nmi,
+                CAST(max(t) AS BIGINT) AS n
+         FROM m""",
+
+    "q_zipf_fit" ->
+      """WITH toks AS (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+         freq AS (SELECT w, count(*) AS c FROM toks WHERE length(w) > 0 GROUP BY w),
+         r AS (
+           SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rn
+           FROM freq QUALIFY rn <= 1000)
+         SELECT round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rn AS DOUBLE))), 6) AS slope,
+                round(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rn AS DOUBLE))), 6) AS intercept,
+                round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rn AS DOUBLE))), 6) AS r2,
+                count(*) AS n_terms
+         FROM r""",
+
+    "q_triangle_count" ->
+      """WITH li AS (
+           SELECT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderpriority = '1-URGENT'),
+         e AS (
+           SELECT DISTINCT a.pk AS a, b.pk AS b
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         deg AS (
+           SELECT id, count(*) AS d FROM (
+             SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+           GROUP BY 1),
+         tri AS (
+           SELECT count(*) AS t
+           FROM e e1 JOIN e e2 ON e2.a = e1.b
+                     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         st AS (
+           SELECT count(*) AS n_nodes,
+                  CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+           FROM deg),
+         ec AS (SELECT count(*) AS n_edges FROM e)
+         SELECT n_nodes, n_edges, n_wedges, CAST(t AS BIGINT) AS n_triangles,
+                round(3.0 * t / n_wedges, 6) AS global_clustering
+         FROM st CROSS JOIN ec CROSS JOIN tri""",
+
+    "q_attribution" ->
+      """WITH w AS (
+           SELECT event_type, value,
+                  last_value(CASE WHEN event_type <> 'purchase'
+                    THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt,
+                  first_value(CASE WHEN event_type <> 'purchase'
+                    THEN event_type END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft
+           FROM events),
+         c AS (SELECT * FROM w WHERE event_type = 'purchase')
+         SELECT 'last_touch' AS model, coalesce(lt, 'direct') AS channel,
+                count(*) AS n_conversions,
+                round(sum(value), 2) AS attributed_value
+         FROM c GROUP BY 2
+         UNION ALL
+         SELECT 'first_touch', coalesce(ft, 'direct'), count(*),
+                round(sum(value), 2)
+         FROM c GROUP BY 2""",
 
     "q_psi_drift" ->
       """WITH mm AS (SELECT min(value) AS mn, max(value) AS mx

@@ -459,6 +459,96 @@ object Aggregates {
         max(col("__NA")).as("n_a"), max(col("__NB")).as("n_b"))
   }
 
+  /** Autocorrelation function over a per-key daily-mean series: for
+    * each key and each lag 1..maxLag, the Pearson correlation between
+    * the series and its lag-shifted self — the standard seasonality /
+    * momentum screen ("does today's metric predict tomorrow's?").
+    *
+    * Scale shape: the raw stream collapses to a (keys × days)-bounded
+    * frame in ONE map-side-combined aggregate; the lag columns ride a
+    * single key-partitioned window pass over that bounded frame (all
+    * maxLag shifts in one sort), and the stacked corr is a group on
+    * (key, lag) — nothing afterwards scales with raw rows. */
+  def autocorrelation(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, maxLag: Int = 5, scale: Int = 6): DataFrame = {
+    require(maxLag >= 1, "need at least lag 1")
+    val daily = df
+      .groupBy((keyCols.map(col) :+ to_date(col(tsCol)).as("__day")): _*)
+      .agg(avg(col(valueCol)).as("__v"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__day"))
+    val lagged = (1 to maxLag).foldLeft(daily)((d, i) =>
+      d.withColumn(s"__l$i", lag(col("__v"), i).over(w)))
+    val stacked = (1 to maxLag)
+      .map(i => s"$i, __v, __l$i").mkString(", ")
+    lagged
+      .selectExpr(keyCols :+
+        s"stack($maxLag, $stacked) AS (`lag`, __v, __lv)": _*)
+      .groupBy((keyCols.map(col) :+ col("lag")): _*)
+      .agg(round(corr(col("__v"), col("__lv")), scale).as("acf"),
+        count(col("__lv")).as("n_pairs"))
+  }
+
+  /** Mutual information between two categorical columns, in nats, with
+    * the marginal entropies and the sqrt-normalized NMI — the
+    * association strength that, unlike chi-square, reads directly as
+    * "bits of one column knowable from the other".
+    *
+    * Scale shape: ONE count pass over the raw rows to the |X|×|Y|
+    * joint table; marginals, entropies and the MI sum are all
+    * arithmetic over that category-bounded frame (windows + one final
+    * agg), with nothing row-scaled after the first exchange. */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String,
+      scale: Int = 6): DataFrame = {
+    val joint = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__n"))
+    val withP = joint
+      .crossJoin(broadcast(joint.agg(sum(col("__n")).as("__t"))))
+      .withColumn("__nx", sum(col("__n")).over(Window.partitionBy(col("__x"))))
+      .withColumn("__ny", sum(col("__n")).over(Window.partitionBy(col("__y"))))
+      .select(
+        (col("__n") / col("__t")).as("__p"),
+        (col("__nx") / col("__t")).as("__px"),
+        (col("__ny") / col("__t")).as("__py"),
+        col("__n"), col("__nx"), col("__ny"), col("__t"))
+    withP.agg(
+      round(sum(col("__p") * log(col("__p") / (col("__px") * col("__py")))),
+        scale).as("mi_nats"),
+      // marginal entropies: each joint cell contributes p * ln(px)
+      // grouped by x exactly once per x across its cells — summing
+      // p*ln(px) over ALL cells reproduces sum_x px*ln(px)
+      round(-sum(col("__p") * log(col("__px"))), scale).as("h_x"),
+      round(-sum(col("__p") * log(col("__py"))), scale).as("h_y"),
+      round(sum(col("__p") * log(col("__p") / (col("__px") * col("__py")))) /
+        sqrt(sum(col("__p") * log(col("__px"))) *
+          sum(col("__p") * log(col("__py")))), scale).as("nmi"),
+      max(col("__t")).as("n"))
+  }
+
+  /** Zipf power-law fit over a frequency table: OLS of ln(count) on
+    * ln(rank) for the top-N entries — slope ≈ -1 is the Zipf
+    * signature; a flatter slope flags synthetic or templated text and
+    * feeds tokenizer-vocabulary sizing. Rank ties break on the term
+    * for cross-engine determinism.
+    *
+    * Scale shape: the frequency table is top-N'd via
+    * TakeOrderedAndProject (k-bounded, no global sort materialized);
+    * ranking and the closed-form regression run on N rows. */
+  def zipfSlope(df: DataFrame, termCol: String, countCol: String,
+      topN: Int = 1000, scale: Int = 6): DataFrame = {
+    require(topN >= 2, "regression needs at least two ranks")
+    val top = df.select(col(termCol).as("__w"), col(countCol).as("__c"))
+      .orderBy(col("__c").desc, col("__w")).limit(topN)
+    val ranked = top.withColumn("__r",
+      row_number().over(Window.orderBy(col("__c").desc, col("__w"))))
+    ranked.agg(
+      round(expr("regr_slope(ln(CAST(__c AS DOUBLE)), ln(CAST(__r AS DOUBLE)))"), scale).as("slope"),
+      round(expr("regr_intercept(ln(CAST(__c AS DOUBLE)), ln(CAST(__r AS DOUBLE)))"), scale).as("intercept"),
+      round(expr("regr_r2(ln(CAST(__c AS DOUBLE)), ln(CAST(__r AS DOUBLE)))"), scale).as("r2"),
+      count(lit(1)).as("n_terms"))
+  }
+
   /** Benford first-digit deviation — the data-forensics screen for
     * fabricated or truncated numeric columns: observed first-
     * significant-digit shares vs Benford's log10(1 + 1/d), one row

@@ -343,4 +343,80 @@ object Graph {
     org.apache.spark.sql.graft.Bridge.releaseFrame(nodes)
     ranks
   }
+
+  /** Exact triangle count + global clustering coefficient over an
+    * undirected edge list (`id_a`/`id_b`; duplicates, direction and
+    * self-loops don't matter). One summary row: node/edge/wedge/
+    * triangle counts and 3T/wedges — the graph-cohesion profile
+    * (community density of a co-occurrence or near-dup graph).
+    *
+    * Scale shape: the degree-ORIENTATION construction (direct every
+    * edge from its (degree, id)-smaller endpoint to the larger), so
+    * the wedge self-join fans out per-node by ORIENTED out-degree —
+    * bounded by O(sqrt(m)) on any graph instead of the raw max degree
+    * that makes naive wedge counting explode on skewed graphs (the
+    * celebrity node contributes its full deg² under a naive join,
+    * ~nothing under orientation). Each triangle has exactly one
+    * orientation-minimal vertex, so the count is exact, not sampled:
+    * wedge (v,w) out of u closes iff oriented edge v→w exists —
+    * one equi-join against the oriented edge list. Frames carry ids
+    * and degrees only; payloads never ride. */
+  def triangleCount(edges: DataFrame, scale: Int = 6): DataFrame = {
+    // canonical undirected edges: a < b, distinct, no self-loops
+    val canon = edges.select(
+        least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = canon.select(col("a").as("id"))
+      .unionAll(canon.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    // orient by (degree, id): lower endpoint in that total order
+    // becomes the source
+    val withDeg = canon
+      .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+      .localCheckpoint(true)
+    // wedges out of each source, ordered by the same (degree, id)
+    // total order so the closing edge appears exactly once in
+    // `oriented` as v -> w
+    val e1 = oriented.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+    val e2 = oriented.select(col("src"), col("dst").as("w"), col("dd").as("dw"))
+    // distinct centers can contribute the same (v,w) wedge — each is
+    // its own potential triangle, so the count is over wedge ROWS
+    // matching an oriented edge (oriented is already duplicate-free)
+    val wedgePairs = e1.join(e2, Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("v").as("src"), col("w").as("dst"))
+    val nTri = wedgePairs
+      .join(oriented.select(col("src"), col("dst")), Seq("src", "dst"))
+      .count()
+    // the remaining outputs are scalars — bounded 1-row collects, so
+    // the checkpointed frames can be released before assembly
+    val statsRow = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      // integer DIV, not `/`: double division would round wedge counts
+      // once degrees pass 2^26 (d² beyond the 53-bit mantissa)
+      sum(expr("(d * (d - 1)) DIV 2")).cast("long").as("n_wedges"))
+      .first()
+    val (nNodes, nWedges) =
+      (statsRow.getAs[Long]("n_nodes"), statsRow.getAs[Long]("n_wedges"))
+    val nEdges = canon.count()
+    org.apache.spark.sql.graft.Bridge.releaseFrame(canon)
+    org.apache.spark.sql.graft.Bridge.releaseFrame(oriented)
+    edges.sparkSession.range(1).select(
+      lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+      lit(nWedges).as("n_wedges"), lit(nTri).as("n_triangles"),
+      (if (nWedges > 0)
+        round(lit(3.0 * nTri / nWedges), scale).cast("double")
+      else lit(null).cast("double")).as("global_clustering"))
+  }
 }

@@ -262,4 +262,40 @@ object Sessions {
     pairs.withColumn("p",
       round(col("n").cast("double") / sum(col("n")).over(wf), scale))
   }
+
+  /** Marketing-style touch attribution: credit each conversion event's
+    * value to the LAST and FIRST non-conversion touch preceding it in
+    * the same key's stream (conversions with no prior touch fall to
+    * the `direct` channel). Output per channel: conversions and value
+    * under each attribution model — the classic last-touch /
+    * first-touch comparison in one pass.
+    *
+    * Scale shape: ONE key-partitioned window sort carrying only
+    * (key, ts, type, value, tie-break); both attribution models ride
+    * the same frame via ignore-nulls first/last over the
+    * rows-preceding window, then a channel-bounded aggregate per
+    * model, unioned. Payload columns never enter the sort. */
+  def touchAttribution(df: DataFrame, key: String, ts: String,
+      typeCol: String, convType: String, tieBreak: Seq[Column] = Nil,
+      valueCol: String = "value", scale: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts) +: tieBreak: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol) =!= convType, col(typeCol))
+    val attributed = df
+      .select(col(key) +: col(ts) +: col(typeCol) +:
+        col(valueCol).cast("double").as("__v") +: tieBreak: _*)
+      .withColumn("__last", last(touch, ignoreNulls = true).over(w))
+      .withColumn("__first", first(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+    def model(chanCol: String, name: String): DataFrame = attributed
+      .groupBy(coalesce(col(chanCol), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col("__v")), scale).as("attributed_value"))
+      .withColumn("model", lit(name))
+    model("__last", "last_touch")
+      .unionByName(model("__first", "first_touch"))
+      .select(col("model"), col("channel"), col("n_conversions"),
+        col("attributed_value"))
+  }
 }

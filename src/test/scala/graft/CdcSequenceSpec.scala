@@ -431,6 +431,48 @@ class CdcSequenceSpec extends SparkSpec {
       rt.getAs[Long]("n_top") == 8L)
   }
 
+  test("autocorrelation: alternating series scores -1 at lag 1 and +1 at lag 2") {
+    import graft.operators.Aggregates
+    // one event per day, values alternating 1/3 for 14 days
+    val rows = (0 until 14).map(i =>
+      ("k", java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"),
+        if (i % 2 == 0) 1.0 else 3.0))
+    val df = rows.toDF("k", "t", "v")
+    val out = Aggregates.autocorrelation(df, Seq("k"), "t", "v", maxLag = 2)
+      .collect().map(r => r.getAs[Int]("lag") ->
+        (r.getAs[Double]("acf"), r.getAs[Long]("n_pairs"))).toMap
+    assert(out(1) == (-1.0, 13L), out.toString)
+    assert(out(2) == (1.0, 12L), out.toString)
+  }
+
+  test("mutualInfo: identical columns give MI = H and NMI = 1; independent give 0") {
+    import graft.operators.Aggregates
+    val dep = (Seq.fill(10)("a") ++ Seq.fill(10)("b")).map(x => (x, x)).toDF("x", "y")
+    val rd = Aggregates.mutualInfo(dep, "x", "y").collect().head
+    assert(math.abs(rd.getAs[Double]("mi_nats") - math.log(2)) < 1e-6)
+    assert(rd.getAs[Double]("h_x") == rd.getAs[Double]("h_y"))
+    assert(rd.getAs[Double]("nmi") == 1.0 && rd.getAs[Long]("n") == 20L)
+    // full cross product with equal counts -> exactly independent
+    val ind = (for (x <- Seq("a", "b"); y <- Seq("c", "d"); _ <- 1 to 5)
+      yield (x, y)).toDF("x", "y")
+    val ri = Aggregates.mutualInfo(ind, "x", "y").collect().head
+    assert(math.abs(ri.getAs[Double]("mi_nats")) < 1e-9, ri.toString)
+  }
+
+  test("zipfSlope: exact power law recovers its exponent with r2 = 1") {
+    import graft.operators.Aggregates
+    // c = 1000 / r^2 over ranks 1..8 -> slope -2, intercept ln 1000
+    val freq = (1 to 8).map(r => (s"w$r", 1000.0 / (r * r))).toDF("w", "c")
+    val out = Aggregates.zipfSlope(freq, "w", "c", topN = 100)
+      .collect().head
+    assert(out.getAs[Double]("slope") == -2.0, out.toString)
+    assert(math.abs(out.getAs[Double]("intercept") - math.log(1000)) < 1e-5)
+    assert(out.getAs[Double]("r2") == 1.0 && out.getAs[Long]("n_terms") == 8L)
+    // topN truncates the fit set and ranks tie-break on the term
+    val out3 = Aggregates.zipfSlope(freq, "w", "c", topN = 3).collect().head
+    assert(out3.getAs[Long]("n_terms") == 3L)
+  }
+
   test("scd2: partition-independent") {
     val df = spark.range(5000).select(
       (col("id") % 61).as("k"), col("id").as("t"),

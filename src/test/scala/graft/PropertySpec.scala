@@ -710,4 +710,27 @@ class PropertySpec extends SparkSpec {
       assert(Relational.weightedTake(df, col("id"), col("w"), k).count() == k)
     }
   }
+
+  test("triangleCount == brute-force enumeration on random graphs") {
+    import graft.operators.Graph
+    val edgeGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L)))
+    samples(edgeGen, 5).foreach { raw =>
+      val canon = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      val adj = canon.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        .withDefaultValue(Set.empty[Long])
+      val nodes = canon.flatMap(e => Seq(e._1, e._2))
+      // adj holds only min->max edges, so a common neighbor of (a,b)
+      // satisfies c > b > a — each triangle counted exactly once, at
+      // its lowest edge
+      val expTri = canon.toSeq.map { case (a, b) =>
+        (adj(a) intersect adj(b)).size }.sum
+      val r = Graph.triangleCount(raw.toDF("id_a", "id_b")).collect().head
+      assert(r.getAs[Long]("n_triangles") == expTri.toLong,
+        s"edges=$canon got=$r expected=$expTri")
+      assert(r.getAs[Long]("n_edges") == canon.size.toLong)
+      assert(r.getAs[Long]("n_nodes") == nodes.size.toLong)
+    }
+  }
 }

@@ -639,6 +639,48 @@ class SessionsPiiSpec extends SparkSpec {
     assert(zf <= 0.25, s"z-order should prune the y-box to <=25% of slices, got $zf")
   }
 
+  test("touchAttribution: last/first touch split, untouched conversions go direct") {
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val df = Seq(
+      (1L, ts(1), "click", 0.0, 10L),
+      (1L, ts(2), "view", 0.0, 11L),
+      (1L, ts(3), "purchase", 10.0, 12L),
+      (1L, ts(4), "purchase", 5.0, 13L),
+      (2L, ts(1), "purchase", 7.0, 20L))
+      .toDF("user_id", "t", "event_type", "value", "event_id")
+    val out = Sessions.touchAttribution(df, "user_id", "t", "event_type",
+      "purchase", Seq(col("event_id")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_conversions"), r.getAs[Double]("attributed_value")))
+      .toMap
+    // user 1's two purchases: last touch = view, first touch = click;
+    // user 2 converted cold -> direct under both models
+    assert(out(("last_touch", "view")) == (2L, 15.0))
+    assert(out(("first_touch", "click")) == (2L, 15.0))
+    assert(out(("last_touch", "direct")) == (1L, 7.0))
+    assert(out(("first_touch", "direct")) == (1L, 7.0))
+    assert(out.size == 4)
+  }
+
+  test("triangleCount: K4 plus a dangling path, robust to dup/reversed/self edges") {
+    import graft.operators.Graph
+    // K4 on 1..4 (4 triangles, 6 edges, 12 wedges) + path 4-5-6 (no
+    // new triangles); inputs arrive messy: duplicates, both
+    // directions, a self-loop
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 1L), // reversed duplicates
+      (4L, 5L), (5L, 6L), (5L, 5L)) // path + self-loop
+      .toDF("id_a", "id_b")
+    val r = Graph.triangleCount(edges).collect().head
+    assert(r.getAs[Long]("n_nodes") == 6L)
+    assert(r.getAs[Long]("n_edges") == 8L)
+    assert(r.getAs[Long]("n_triangles") == 4L, r.toString)
+    // wedges: degs are (3,3,3,4,2,1) -> 3+3+3+6+1+0 = 16
+    assert(r.getAs[Long]("n_wedges") == 16L)
+    assert(r.getAs[Double]("global_clustering") == 0.75)
+  }
+
   test("zorderBy preserves rows exactly (layout only)") {
     val rows = (0 until 1000).map(i => (i % 37, i % 53, i))
     val df = rows.toDF("a", "b", "v")
