@@ -405,11 +405,13 @@ object Graph {
       count(lit(1)).as("n_nodes"),
       // integer DIV, not `/`: double division would round wedge counts
       // once degrees pass 2^26 (d² beyond the 53-bit mantissa)
-      sum(expr("(d * (d - 1)) DIV 2")).cast("long").as("n_wedges"))
+      sum(expr("(d * (d - 1)) DIV 2")).cast("long").as("n_wedges"),
+      // every canonical edge contributes one to each endpoint's degree
+      sum(expr("d")).cast("long").as("__degsum"))
       .first()
     val (nNodes, nWedges) =
       (statsRow.getAs[Long]("n_nodes"), statsRow.getAs[Long]("n_wedges"))
-    val nEdges = canon.count()
+    val nEdges = statsRow.getAs[Long]("__degsum") / 2
     org.apache.spark.sql.graft.Bridge.releaseFrame(canon)
     org.apache.spark.sql.graft.Bridge.releaseFrame(oriented)
     edges.sparkSession.range(1).select(

@@ -288,14 +288,18 @@ object Sessions {
       .withColumn("__last", last(touch, ignoreNulls = true).over(w))
       .withColumn("__first", first(touch, ignoreNulls = true).over(w))
       .filter(col(typeCol) === convType)
-    def model(chanCol: String, name: String): DataFrame = attributed
-      .groupBy(coalesce(col(chanCol), lit("direct")).as("channel"))
+    // both models stack into rows BEFORE the aggregate, so the window
+    // frame is computed once and one exchange serves both (separate
+    // per-model groupBys would re-sort the stream per branch —
+    // plan-audited at 2x the exchanges)
+    attributed
+      .selectExpr(
+        """stack(2,
+             'last_touch', coalesce(__last, 'direct'),
+             'first_touch', coalesce(__first, 'direct')) AS (model, channel)""",
+        "__v")
+      .groupBy(col("model"), col("channel"))
       .agg(count(lit(1)).as("n_conversions"),
         round(sum(col("__v")), scale).as("attributed_value"))
-      .withColumn("model", lit(name))
-    model("__last", "last_touch")
-      .unionByName(model("__first", "first_touch"))
-      .select(col("model"), col("channel"), col("n_conversions"),
-        col("attributed_value"))
   }
 }

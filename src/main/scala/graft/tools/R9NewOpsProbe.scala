@@ -247,6 +247,52 @@ object R9NewOpsProbe {
           .agg(sum(col("value")).as("rev")), "rev", 0.9)
       }
     }
+    // graph/series/association batch: triangle probe replicates the
+    // EDGE list with disjoint id spaces (an order-replicated lineitem
+    // would collapse to the same part pairs), so 10x means 10x nodes,
+    // edges and triangles; ACF gets 10x-longer daily series from the
+    // time-shifted replicas; attribution 10x-longer user streams
+    {
+      val d = "/root/testdata/sf0.1"
+      val liU = li1.join(Tables.load(spark, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val pairs1 = liU.join(liU.select(col("ok"), col("pk").as("pk2")),
+          Seq("ok"))
+        .filter(col("pk") < col("pk2"))
+        .select(col("pk").as("id_a"), col("pk2").as("id_b"))
+        .localCheckpoint(true)
+      val pairs10 = (0 until 10).map(i =>
+          pairs1.select((col("id_a") + lit(i * 10000000L)).as("id_a"),
+            (col("id_b") + lit(i * 10000000L)).as("id_b")))
+        .reduce(_ unionByName _).localCheckpoint(true)
+      for ((tag, p) <- Seq("1x" -> pairs1, "10x" -> pairs10))
+        time(s"triangleCount $tag") {
+          graft.operators.Graph.triangleCount(p)
+        }
+    }
+    for ((tag, e) <- Seq("1x" -> e1, "10x" -> e10)) {
+      time(s"autocorrelation $tag") {
+        Aggregates.autocorrelation(e, Seq("event_type"), "ts", "value", 5)
+      }
+      time(s"touchAttribution $tag") {
+        graft.operators.Sessions.touchAttribution(e, "user_id", "ts",
+          "event_type", "purchase", Seq(col("event_id")))
+      }
+      time(s"mutualInfo $tag") {
+        Aggregates.mutualInfo(
+          e.withColumn("seg", (col("user_id") % 20).cast("string")),
+          "event_type", "seg")
+      }
+      time(s"zipfSlope $tag") {
+        // term = event id (unique), so the freq table itself scales
+        // 10x — probes the TakeOrdered top-N over a growing table
+        Aggregates.zipfSlope(e.select(col("event_id").as("w"),
+          (abs(col("value")) + lit(1.0)).as("c")), "w", "c", 1000)
+      }
+    }
     // agg-merge refresh: fixed one-day batch folded into a standing
     // gold aggregate built from 1x vs 10x (user-shifted) history
     for ((tag, e) <- Seq("1x" -> e1, "10x" -> eU10)) {
