@@ -1733,6 +1733,32 @@ object SparkEntry {
       graft.operators.Sessions.touchAttribution(t(s, d, "events"),
         "user_id", "ts", "event_type", "purchase", Seq(col("event_id")))),
 
+    "q_pareto_class" -> ((s, d) =>
+      // ABC inventory classes over per-part revenue: A holds the
+      // first 80% of cumulative revenue, B to 95%, C the tail —
+      // cumulative ranks via the gini-style bucketed decomposition
+      graft.operators.Aggregates.paretoClasses(
+        t(s, d, "lineitem").groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice")).as("rev")),
+        "l_partkey", "rev")),
+
+    "q_period_over_period" -> ((s, d) =>
+      // monthly revenue with MoM and YoY growth — the dashboard page
+      graft.operators.Aggregates.periodOverPeriod(
+        t(s, d, "orders"), "o_orderdate", "o_totalprice")),
+
+    "q_cusum_shift" -> ((s, d) =>
+      // single change-point estimate per event type: the day where
+      // the cumulative deviation from the series mean peaks
+      graft.operators.Aggregates.cusumChangePoint(t(s, d, "events"),
+        Seq("event_type"), "ts", "value")),
+
+    "q_rolling_active" -> ((s, d) =>
+      // exact rolling 7-day active users by day, via the distinct
+      // (user, day) explode — Spark windows can't COUNT DISTINCT
+      graft.operators.Sessions.rollingActive(t(s, d, "events"),
+        "user_id", "ts", days = 7)),
+
     "q_psi_drift" -> ((s, d) => {
       // Population Stability Index: first-fortnight event values as
       // the expected sample, the remainder as actual — the standard
@@ -3858,6 +3884,65 @@ object SparkEntry {
                   AS BIGINT) AS n_top,
                 count(*) AS n
          FROM pc CROSS JOIN thr""",
+
+    "q_pareto_class" ->
+      """WITH pr AS (
+           SELECT l_partkey AS k, sum(l_extendedprice) AS v
+           FROM lineitem GROUP BY 1),
+         c AS (
+           SELECT k, v,
+                  sum(v) OVER (ORDER BY v DESC, k) AS cum,
+                  sum(v) OVER () AS tot
+           FROM pr),
+         cl AS (
+           SELECT CASE WHEN cum / tot <= 0.8 THEN 'A'
+                       WHEN cum / tot <= 0.95 THEN 'B'
+                       ELSE 'C' END AS pareto_class, v, tot
+           FROM c)
+         SELECT pareto_class, count(*) AS n_keys,
+                round(sum(v), 2) AS revenue,
+                round(sum(v) / max(tot), 6) AS revenue_share
+         FROM cl GROUP BY 1""",
+
+    "q_period_over_period" ->
+      """WITH m AS (
+           SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                  sum(o_totalprice) AS rev
+           FROM orders GROUP BY 1)
+         SELECT month, round(rev, 2) AS revenue,
+                round(rev / lag(rev, 1) OVER (ORDER BY month) - 1, 6) AS mom,
+                round(rev / lag(rev, 12) OVER (ORDER BY month) - 1, 6) AS yoy
+         FROM m""",
+
+    "q_cusum_shift" ->
+      """WITH d AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS v
+           FROM events GROUP BY 1, 2),
+         m AS (
+           SELECT event_type, avg(v) AS mu, count(*) AS nd
+           FROM d GROUP BY 1),
+         c AS (
+           SELECT d.event_type, day, nd,
+                  round(abs(sum(v - mu) OVER (PARTITION BY d.event_type
+                    ORDER BY day)), 6) AS a
+           FROM d JOIN m USING (event_type)),
+         r AS (
+           SELECT event_type, day, a, nd,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY a DESC, day) AS rn
+           FROM c)
+         SELECT event_type, day AS change_day, a AS cusum_peak,
+                nd AS n_days
+         FROM r WHERE rn = 1""",
+
+    "q_rolling_active" ->
+      """WITH du AS (
+           SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+         days AS (SELECT DISTINCT day FROM du)
+         SELECT d.day, count(DISTINCT u.user_id) AS active_keys
+         FROM days d JOIN du u
+           ON u.day BETWEEN d.day - 6 AND d.day
+         GROUP BY d.day""",
 
     "q_acf" ->
       """WITH d AS (

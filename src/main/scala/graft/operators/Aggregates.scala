@@ -459,6 +459,110 @@ object Aggregates {
         max(col("__NA")).as("n_a"), max(col("__NB")).as("n_b"))
   }
 
+  /** Pareto / ABC classification over an aggregated (key, value)
+    * frame: rank keys by value descending, classify by inclusive
+    * cumulative share against `thresholds` (A ≤ t1, B ≤ t2, else C),
+    * and report each class's key count, total and share — the
+    * inventory-analytics 80/15/5 screen.
+    *
+    * Scale shape: the cumulative sum uses the same two-level
+    * bucketed-rank decomposition as [[gini]] — equi-width value
+    * buckets partition the descending order, the within-bucket running
+    * sum rides a bucket-partitioned window, and the cross-bucket carry
+    * is a windows-over-BUCKET-COUNT frame broadcast back; no global
+    * single-partition sort at any width. Ties break on the key, so the
+    * order (and the classes) are engine-reproducible. */
+  def paretoClasses(df: DataFrame, keyCol: String, valueCol: String,
+      thresholds: Seq[Double] = Seq(0.8, 0.95), buckets: Int = 1024,
+      scale: Int = 6): DataFrame = {
+    require(thresholds.size == 2 && thresholds(0) < thresholds(1),
+      "expect two ascending share thresholds")
+    val v = col(valueCol).cast("double")
+    val mm = broadcast(df.agg(min(v).as("__mn"), max(v).as("__mx"),
+      sum(v).as("__tot")))
+    val width = (col("__mx") - col("__mn")) / lit(buckets.toDouble)
+    // bucket 0 holds the LARGEST values: descending order = ascending
+    // bucket ids, so the carry is "sum of all higher-value buckets"
+    val bucketed = df.select(col(keyCol).as("__k"), v.as("__v"))
+      .crossJoin(mm)
+      .withColumn("__bkt", when(width === 0.0, lit(0L)).otherwise(
+        least(floor((col("__mx") - col("__v")) / width).cast("long"),
+          lit(buckets - 1L))))
+    val w = Window.partitionBy(col("__bkt"))
+      .orderBy(col("__v").desc, col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = bucketed.withColumn("__run", sum(col("__v")).over(w))
+    val wc = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col("__v")).as("__bv"))
+      .withColumn("__carry", coalesce(sum(col("__bv")).over(wc), lit(0.0)))
+      .select(col("__bkt"), col("__carry"))
+    val share = run.join(broadcast(carries), Seq("__bkt"))
+      .withColumn("__share", (col("__run") + col("__carry")) / col("__tot"))
+    share
+      .withColumn("pareto_class",
+        when(col("__share") <= thresholds(0), "A")
+          .when(col("__share") <= thresholds(1), "B").otherwise("C"))
+      .groupBy(col("pareto_class"))
+      .agg(count(lit(1)).as("n_keys"),
+        round(sum(col("__v")), 2).as("revenue"),
+        round(sum(col("__v")) / max(col("__tot")), scale)
+          .as("revenue_share"))
+  }
+
+  /** Period-over-period report: bucket a timestamped value stream to
+    * calendar months, then stamp each month's total with its
+    * month-over-month and year-over-year growth — the first BI page
+    * of any revenue dashboard.
+    *
+    * Scale shape: raw rows collapse to the month-cardinality frame in
+    * one map-side-combined aggregate; both lags ride a single window
+    * over that bounded frame. */
+  def periodOverPeriod(df: DataFrame, tsCol: String, valueCol: String,
+      scale: Int = 6): DataFrame = {
+    val monthly = df
+      .groupBy(date_format(col(tsCol), "yyyy-MM").as("month"))
+      .agg(sum(col(valueCol).cast("double")).as("__rev"))
+    val w = Window.orderBy(col("month"))
+    monthly.select(col("month"),
+      round(col("__rev"), 2).as("revenue"),
+      round(col("__rev") / lag(col("__rev"), 1).over(w) - 1.0, scale)
+        .as("mom"),
+      round(col("__rev") / lag(col("__rev"), 12).over(w) - 1.0, scale)
+        .as("yoy"))
+  }
+
+  /** CUSUM change-point screen per key: cumulative sum of deviations
+    * from the key's series mean over the daily-mean series; the day
+    * where |S| peaks is the classic single-change-point estimate, and
+    * the peak height (vs the series' spread) is the evidence. Peak
+    * selection rounds |S| first and tie-breaks on the day, so the
+    * argmax is engine-reproducible.
+    *
+    * Scale shape: raw rows collapse to (keys × days) in one
+    * aggregate; the running sum and the argmax ride key-partitioned
+    * windows over that bounded frame. */
+  def cusumChangePoint(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, scale: Int = 6): DataFrame = {
+    val daily = df
+      .groupBy((keyCols.map(col) :+ to_date(col(tsCol)).as("__day")): _*)
+      .agg(avg(col(valueCol)).as("__v"))
+    val mu = daily.groupBy(keyCols.map(col): _*)
+      .agg(avg(col("__v")).as("__mu"), count(lit(1)).as("__nd"))
+    val wr = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withS = daily.join(mu, keyCols)
+      .withColumn("__s", sum(col("__v") - col("__mu")).over(wr))
+      .withColumn("__abs", round(abs(col("__s")), scale))
+    val pick = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__abs").desc, col("__day"))
+    withS.withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(keyCols.map(col) :+ col("__day").as("change_day") :+
+        col("__abs").as("cusum_peak") :+ col("__nd").as("n_days"): _*)
+  }
+
   /** Autocorrelation function over a per-key daily-mean series: for
     * each key and each lag 1..maxLag, the Pearson correlation between
     * the series and its lag-shifted self — the standard seasonality /

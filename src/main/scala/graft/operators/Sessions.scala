@@ -263,6 +263,33 @@ object Sessions {
       round(col("n").cast("double") / sum(col("n")).over(wf), scale))
   }
 
+  /** Rolling N-day active keys per day — the DAU/WAU/MAU family's
+    * workhorse ("7-day actives by day") computed EXACTLY without a
+    * windowed count-distinct (which Spark's window functions cannot
+    * express at all).
+    *
+    * Scale shape: the activity stream collapses to distinct
+    * (key, day) pairs in one aggregate; each pair then fans out to
+    * the `days` windows it participates in (a bounded ×N explode of
+    * the DISTINCT frame, not the raw stream) and one count-distinct
+    * group per day finishes it. Only days with observed activity are
+    * reported. */
+  def rollingActive(df: DataFrame, key: String, ts: String,
+      days: Int = 7): DataFrame = {
+    require(days >= 1)
+    val du = df.select(to_date(col(ts)).as("__day"), col(key).as("__k"))
+      .distinct()
+    // activity on day d is visible to windows ENDING on d .. d+N-1
+    val expanded = du.select(
+      explode(sequence(col("__day"), date_add(col("__day"), days - 1)))
+        .as("day"), col("__k"))
+    expanded
+      .join(du.select(col("__day").as("day")).distinct(),
+        Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__k")).as("active_keys"))
+  }
+
   /** Marketing-style touch attribution: credit each conversion event's
     * value to the LAST and FIRST non-conversion touch preceding it in
     * the same key's stream (conversions with no prior touch fall to

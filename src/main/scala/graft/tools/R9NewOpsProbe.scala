@@ -293,6 +293,37 @@ object R9NewOpsProbe {
           (abs(col("value")) + lit(1.0)).as("c")), "w", "c", 1000)
       }
     }
+    // BI/monitoring batch: pareto probes both growth axes (10x raw
+    // rows over a fixed key frame via li10; 10x KEYS via the
+    // user-shifted replicas), period/cusum get 10x-longer calendars
+    // from the time-shifted replicas, rollingActive a 10x-larger
+    // distinct (user, day) frame
+    for ((tag, li) <- Seq("1x" -> li1, "10x" -> li10)) {
+      time(s"paretoClasses rows $tag") {
+        Aggregates.paretoClasses(
+          li.groupBy(col("l_partkey"))
+            .agg(sum(col("l_extendedprice")).as("rev")), "l_partkey", "rev")
+      }
+    }
+    for ((tag, e) <- Seq("1x" -> e1, "10x" -> spark.read.parquet(
+        "/tmp/scale10x_events_u/events.parquet"))) {
+      time(s"paretoClasses keys $tag") {
+        Aggregates.paretoClasses(
+          e.groupBy(col("user_id")).agg(sum(col("value")).as("rev")),
+          "user_id", "rev")
+      }
+    }
+    for ((tag, e) <- Seq("1x" -> e1, "10x" -> e10)) {
+      time(s"periodOverPeriod $tag") {
+        Aggregates.periodOverPeriod(e, "ts", "value")
+      }
+      time(s"cusumChangePoint $tag") {
+        Aggregates.cusumChangePoint(e, Seq("event_type"), "ts", "value")
+      }
+      time(s"rollingActive $tag") {
+        graft.operators.Sessions.rollingActive(e, "user_id", "ts", 7)
+      }
+    }
     // agg-merge refresh: fixed one-day batch folded into a standing
     // gold aggregate built from 1x vs 10x (user-shifted) history
     for ((tag, e) <- Seq("1x" -> e1, "10x" -> eU10)) {

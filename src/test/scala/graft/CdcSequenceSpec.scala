@@ -473,6 +473,58 @@ class CdcSequenceSpec extends SparkSpec {
     assert(out3.getAs[Long]("n_terms") == 3L)
   }
 
+  test("paretoClasses: known 80/15/5 split classifies A/B/C, bucket-invariant") {
+    import graft.operators.Aggregates
+    val df = Seq(("k1", 80.0), ("k2", 15.0), ("k3", 5.0)).toDF("k", "v")
+    val out = Aggregates.paretoClasses(df, "k", "v").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_keys"), r.getAs[Double]("revenue"),
+          r.getAs[Double]("revenue_share"))).toMap
+    assert(out("A") == (1L, 80.0, 0.8))
+    assert(out("B") == (1L, 15.0, 0.15))
+    assert(out("C") == (1L, 5.0, 0.05))
+    // decomposition must not depend on the bucket count
+    val many = (1 to 200).map(i => (s"k$i", (201 - i).toDouble)).toDF("k", "v")
+    val b1 = Aggregates.paretoClasses(many, "k", "v", buckets = 1)
+      .orderBy("pareto_class").collect().toSeq
+    val b9 = Aggregates.paretoClasses(many, "k", "v", buckets = 9)
+      .orderBy("pareto_class").collect().toSeq
+    assert(b1 == b9, s"$b1 vs $b9")
+  }
+
+  test("periodOverPeriod: MoM and YoY growth against a planted 13-month series") {
+    import graft.operators.Aggregates
+    // month i carries revenue 100 * 2^i -> mom = 1.0 everywhere,
+    // yoy at month 13 = 2^12 - 1
+    val rows = (0 until 13).map { i =>
+      val m = i % 12 + 1
+      val y = 2023 + i / 12
+      (java.sql.Timestamp.valueOf(f"$y-$m%02d-15 00:00:00"),
+        100.0 * (1L << i))
+    }
+    val out = Aggregates.periodOverPeriod(rows.toDF("t", "v"), "t", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("revenue"), Option(r.get(2)), Option(r.get(3))))
+      .toMap
+    assert(out("2023-01") == (100.0, None, None))
+    assert(out("2023-02")._2.contains(1.0))
+    assert(out("2024-01")._3.contains(4095.0))
+    assert(out.size == 13)
+  }
+
+  test("cusumChangePoint: planted mean shift is found at the shift boundary") {
+    import graft.operators.Aggregates
+    // 10 days at 0 then 10 days at 10: |S| peaks (=50) on day 10
+    val rows = (0 until 20).map(i =>
+      ("k", java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 09:00:00"),
+        if (i < 10) 0.0 else 10.0))
+    val r = Aggregates.cusumChangePoint(rows.toDF("k", "t", "v"),
+      Seq("k"), "t", "v").collect().head
+    assert(r.getAs[java.sql.Date]("change_day").toString == "2024-01-10")
+    assert(r.getAs[Double]("cusum_peak") == 50.0)
+    assert(r.getAs[Long]("n_days") == 20L)
+  }
+
   test("scd2: partition-independent") {
     val df = spark.range(5000).select(
       (col("id") % 61).as("k"), col("id").as("t"),

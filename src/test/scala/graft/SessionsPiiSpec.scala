@@ -681,6 +681,22 @@ class SessionsPiiSpec extends SparkSpec {
     assert(r.getAs[Double]("global_clustering") == 0.75)
   }
 
+  test("rollingActive: exact windowed distinct users, silent days not reported") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 08:00:00")
+    val df = Seq(
+      (1L, ts(1)), (1L, ts(1)), // same user twice on day 1
+      (2L, ts(3)), (1L, ts(3)),
+      (3L, ts(12)))
+      .toDF("user_id", "t")
+    val out = Sessions.rollingActive(df, "user_id", "t", days = 3)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Long]("active_keys")).toMap
+    // day 1: {1}; day 3 window (1..3): {1,2}; day 12 far from the
+    // rest: {3}; days 2 and 4..11 had no activity -> absent
+    assert(out == Map("2024-01-01" -> 1L, "2024-01-03" -> 2L,
+      "2024-01-12" -> 1L), out.toString)
+  }
+
   test("zorderBy preserves rows exactly (layout only)") {
     val rows = (0 until 1000).map(i => (i % 37, i % 53, i))
     val df = rows.toDF("a", "b", "v")
