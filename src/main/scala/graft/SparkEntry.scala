@@ -1733,6 +1733,65 @@ object SparkEntry {
       graft.operators.Sessions.touchAttribution(t(s, d, "events"),
         "user_id", "ts", "event_type", "purchase", Seq(col("event_id")))),
 
+    "q_table_diff" -> ((s, d) => {
+      // keyed snapshot reconciliation: deterministic synthetic OLD
+      // (drops keys % 97) and NEW (drops % 89, bumps price on % 13)
+      // views of orders, diffed into added/removed/changed/unchanged
+      // with per-column drift counts — the backfill audit
+      val orders = t(s, d, "orders")
+      val old = orders.filter(col("o_orderkey") % 97 =!= 0)
+      val nw = orders.filter(col("o_orderkey") % 89 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + 1000.0)
+            .otherwise(col("o_totalprice")))
+      graft.etl.Cdc.diffTables(old, nw, Seq("o_orderkey"),
+        Seq("o_totalprice", "o_orderstatus"))
+    }),
+
+    "q_late_orders" -> ((s, d) =>
+      // TPC-H Q4 shape: orders with ANY line shipped 60+ days after
+      // the order date, counted per priority — the EXISTS semi-join
+      // keeps the probe side unexploded (no per-line fan-out)
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") +
+              expr("INTERVAL 60 DAYS"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_late"))),
+
+    "q_blame_supplier" -> ((s, d) => {
+      // TPC-H Q21 shape: suppliers who were the SOLE late shipper in
+      // a multi-supplier order. Pairs are distinct (order, supplier)
+      // frames — the doubly-filtered blame set stays id-width through
+      // both the sole-late and multi-supplier reductions; the name
+      // join broadcasts the supplier dim
+      val li = t(s, d, "lineitem")
+      val late = li.join(t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") +
+          expr("INTERVAL 90 DAYS"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val allPairs = li.select(col("l_orderkey").as("ok"),
+        col("l_suppkey").as("sk")).distinct()
+      val multi = allPairs.groupBy(col("ok"))
+        .agg(count(lit(1)).as("__ns")).filter(col("__ns") > 1)
+        .select("ok")
+      val sole = late.groupBy(col("ok"))
+        .agg(count(lit(1)).as("__nl"), max(col("sk")).as("sk"))
+        .filter(col("__nl") === 1)
+      Relational.topK(20, Seq(col("numwait").desc, col("s_name")),
+        Seq(col("s_name"), col("numwait")))(
+        sole.join(multi, Seq("ok"), "left_semi")
+          .join(broadcast(t(s, d, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+            col("sk") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait")))
+    }),
+
     "q_pareto_class" -> ((s, d) =>
       // ABC inventory classes over per-part revenue: A holds the
       // first 80% of cumulative revenue, B to 95%, C the tail —
@@ -3884,6 +3943,62 @@ object SparkEntry {
                   AS BIGINT) AS n_top,
                 count(*) AS n
          FROM pc CROSS JOIN thr""",
+
+    "q_table_diff" ->
+      """WITH o AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderkey % 97 <> 0),
+         n AS (
+           SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 13 = 0
+                    THEN o_totalprice + 1000.0 ELSE o_totalprice END
+                    AS o_totalprice,
+                  o_orderstatus
+           FROM orders WHERE o_orderkey % 89 <> 0),
+         j AS (
+           SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                       WHEN n.o_orderkey IS NULL THEN 'removed'
+                       WHEN (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+                         OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+                         THEN 'changed'
+                       ELSE 'unchanged' END AS status,
+                  CASE WHEN o.o_orderkey IS NOT NULL
+                        AND n.o_orderkey IS NOT NULL
+                        AND o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                    THEN 1 ELSE 0 END AS d_tp,
+                  CASE WHEN o.o_orderkey IS NOT NULL
+                        AND n.o_orderkey IS NOT NULL
+                        AND o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    THEN 1 ELSE 0 END AS d_st
+           FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey)
+         SELECT status, count(*) AS n,
+                CAST(sum(d_tp) AS BIGINT) AS changed_o_totalprice,
+                CAST(sum(d_st) AS BIGINT) AS changed_o_orderstatus
+         FROM j GROUP BY 1""",
+
+    "q_late_orders" ->
+      """SELECT o_orderpriority, count(*) AS n_late
+         FROM orders WHERE EXISTS (
+           SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey
+             AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1""",
+
+    "q_blame_supplier" ->
+      """WITH lp AS (
+           SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY),
+         allp AS (
+           SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+           FROM lineitem),
+         multi AS (SELECT ok FROM allp GROUP BY ok HAVING count(*) > 1),
+         sole AS (SELECT ok, max(sk) AS sk FROM lp
+                  GROUP BY ok HAVING count(*) = 1)
+         SELECT s_name, count(*) AS numwait
+         FROM sole JOIN multi USING (ok)
+         JOIN supplier ON sk = s_suppkey
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""",
 
     "q_pareto_class" ->
       """WITH pr AS (

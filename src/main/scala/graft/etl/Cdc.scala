@@ -95,6 +95,47 @@ object Cdc {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Keyed table reconciliation: diff an OLD and a NEW snapshot on a
+    * key, classify every key as added / removed / changed / unchanged
+    * (null-safe column compare over `compareCols`), and report the
+    * count per status — the migration / CDC-replication audit run
+    * after every backfill ("did the copy drift?").
+    *
+    * Scale shape: ONE full-outer shuffle join on the key carrying the
+    * key plus only the compared columns (never whole rows), then a
+    * 4-row-bounded status aggregate. Column-level drift columns
+    * (which field changed how often) ride the same join via one
+    * conditional-sum pass — no second scan. */
+  def diffTables(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compared column")
+    val o = oldDf.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__o", lit(1))
+      .select(keys.map(col) ++ compareCols.map(c =>
+        col(c).as(s"__o_$c")) :+ col("__o"): _*)
+    val n = newDf.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__n", lit(1))
+      .select(keys.map(col) ++ compareCols.map(c =>
+        col(c).as(s"__n_$c")) :+ col("__n"): _*)
+    val joined = o.join(n, keys, "full_outer")
+    val anyDiff = compareCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    val status = when(col("__o").isNull, "added")
+      .when(col("__n").isNull, "removed")
+      .when(anyDiff, "changed")
+      .otherwise("unchanged")
+    joined.select(status.as("status") +:
+      compareCols.map(c =>
+        when(col("__o").isNotNull && col("__n").isNotNull &&
+          !(col(s"__o_$c") <=> col(s"__n_$c")), 1L).otherwise(0L)
+          .as(s"__d_$c")): _*)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        compareCols.map(c =>
+          sum(col(s"__d_$c")).as(s"changed_$c")): _*)
+  }
+
   /** Shared core: run-length collapse + validity stitch over rows
     * already projected to (key, ts, attrs, tieBreak, __w). */
   private def collapse(obs: DataFrame, key: String, ts: String,

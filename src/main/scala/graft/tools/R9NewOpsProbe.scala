@@ -324,6 +324,54 @@ object R9NewOpsProbe {
         graft.operators.Sessions.rollingActive(e, "user_id", "ts", 7)
       }
     }
+    // reconciliation + semi/anti OLAP batch: diff carries only key +
+    // compared columns through the one full-outer join; the Q4/Q21
+    // shapes probe semi-join and double-reduction scaling (replica
+    // orderkeys fold back with % so the orders dim stays fixed)
+    for ((tag, li) <- Seq("1x" -> li1, "10x" -> li10)) {
+      val d = "/root/testdata/sf0.1"
+      time(s"diffTables $tag") {
+        val old = li.filter(col("l_orderkey") % 97 =!= 0)
+        val nw = li.filter(col("l_orderkey") % 89 =!= 0)
+          .withColumn("l_extendedprice",
+            when(col("l_orderkey") % 13 === 0,
+              col("l_extendedprice") + 1000.0)
+              .otherwise(col("l_extendedprice")))
+        graft.etl.Cdc.diffTables(old, nw,
+          Seq("l_orderkey", "l_linenumber"),
+          Seq("l_extendedprice", "l_returnflag"))
+      }
+      time(s"late_orders-shape $tag") {
+        Tables.load(spark, d, "orders")
+          .join(li, col("o_orderkey") === col("l_orderkey") % lit(10000000L) &&
+            col("l_shipdate") > col("o_orderdate") +
+              expr("INTERVAL 60 DAYS"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_late"))
+      }
+      time(s"blame_supplier-shape $tag") {
+        val late = li.join(Tables.load(spark, d, "orders")
+            .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") % lit(10000000L) === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") +
+            expr("INTERVAL 90 DAYS"))
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        val allPairs = li.select(col("l_orderkey").as("ok"),
+          col("l_suppkey").as("sk")).distinct()
+        val multi = allPairs.groupBy(col("ok"))
+          .agg(count(lit(1)).as("ns")).filter(col("ns") > 1).select("ok")
+        val sole = late.groupBy(col("ok"))
+          .agg(count(lit(1)).as("nl"), max(col("sk")).as("sk"))
+          .filter(col("nl") === 1)
+        sole.join(multi, Seq("ok"), "left_semi")
+          .join(broadcast(Tables.load(spark, d, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+            col("sk") === col("s_suppkey"))
+          .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name")).limit(20)
+      }
+    }
     // agg-merge refresh: fixed one-day batch folded into a standing
     // gold aggregate built from 1x vs 10x (user-shifted) history
     for ((tag, e) <- Seq("1x" -> e1, "10x" -> eU10)) {

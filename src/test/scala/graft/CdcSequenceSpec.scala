@@ -525,6 +525,30 @@ class CdcSequenceSpec extends SparkSpec {
     assert(r.getAs[Long]("n_days") == 20L)
   }
 
+  test("diffTables: add/remove/change classification is null-safe per column") {
+    import graft.etl.Cdc
+    val old = Seq(
+      (1L, Some(10.0), "a"), // unchanged
+      (2L, Some(20.0), "b"), // price changes
+      (3L, None: Option[Double], "c"), // null -> value = changed
+      (4L, Some(40.0), "d")) // removed
+      .toDF("k", "price", "st")
+    val nw = Seq(
+      (1L, Some(10.0), "a"),
+      (2L, Some(25.0), "b"),
+      (3L, Some(3.0), "c"),
+      (5L, Some(50.0), "e")) // added
+      .toDF("k", "price", "st")
+    val out = Cdc.diffTables(old, nw, Seq("k"), Seq("price", "st"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("changed_price"),
+          r.getAs[Long]("changed_st"))).toMap
+    assert(out("unchanged") == (1L, 0L, 0L))
+    assert(out("changed") == (2L, 2L, 0L))
+    assert(out("removed") == (1L, 0L, 0L))
+    assert(out("added") == (1L, 0L, 0L))
+  }
+
   test("scd2: partition-independent") {
     val df = spark.range(5000).select(
       (col("id") % 61).as("k"), col("id").as("t"),
