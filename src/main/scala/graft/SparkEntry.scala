@@ -1733,6 +1733,26 @@ object SparkEntry {
       graft.operators.Sessions.touchAttribution(t(s, d, "events"),
         "user_id", "ts", "event_type", "purchase", Seq(col("event_id")))),
 
+    "q_dedup_profile" -> ((s, d) => {
+      // dedup observability: cluster-size histogram of exact duplicate
+      // groups with corpus share — sizes the dedup stage before it
+      // runs. The corpus plants only NEAR-dups, so a deterministic
+      // exact-dup slice (every 5th doc re-ingested under a shifted id)
+      // gives the histogram real mass at size 2
+      val docs = t(s, d, "documents")
+      val reingested = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      graft.llm.Dedup.sizeProfile(docs.unionByName(reingested),
+        "doc_id", "text")
+    }),
+
+    "q_ngram_novelty" -> ((s, d) =>
+      // per-doc share of 3-gram shingles unique to the doc — the
+      // originality signal pairwise dedup misses (templated text
+      // scores low without having an exact duplicate)
+      graft.llm.Dedup.ngramNovelty(t(s, d, "documents"),
+        "doc_id", "text", shingleN = 3)),
+
     "q_table_diff" -> ((s, d) => {
       // keyed snapshot reconciliation: deterministic synthetic OLD
       // (drops keys % 97) and NEW (drops % 89, bumps price on % 13)
@@ -3943,6 +3963,37 @@ object SparkEntry {
                   AS BIGINT) AS n_top,
                 count(*) AS n
          FROM pc CROSS JOIN thr""",
+
+    "q_dedup_profile" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents
+           WHERE doc_id % 5 = 0),
+         cl AS (
+           SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+                  count(*) AS cs
+           FROM corpus GROUP BY 1),
+         tot AS (SELECT CAST(sum(cs) AS DOUBLE) AS t FROM cl)
+         SELECT cs AS cluster_size, count(*) AS n_clusters,
+                CAST(cs * count(*) AS BIGINT) AS n_docs,
+                round(cs * count(*) / t, 6) AS doc_share
+         FROM cl CROSS JOIN tot GROUP BY cs, t""",
+
+    "q_ngram_novelty" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+           FROM tok CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 2, 0))) AS u(i)),
+         dfq AS (SELECT gram, count(*) AS df FROM sh GROUP BY 1)
+         SELECT doc_id, count(*) AS n_shingles,
+                CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+                round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) /
+                  CAST(count(*) AS DOUBLE), 6) AS novelty
+         FROM sh JOIN dfq USING (gram)
+         GROUP BY 1""",
 
     "q_table_diff" ->
       """WITH o AS (

