@@ -1733,6 +1733,13 @@ object SparkEntry {
       graft.operators.Sessions.touchAttribution(t(s, d, "events"),
         "user_id", "ts", "event_type", "purchase", Seq(col("event_id")))),
 
+    "q_kaplan_meier" -> ((s, d) =>
+      // product-limit retention curve over user activity lifetimes;
+      // users last seen within 3 days of corpus end are censored,
+      // not counted as churn
+      graft.operators.Sessions.kaplanMeier(t(s, d, "events"),
+        "user_id", "ts", censorDays = 3)),
+
     "q_dedup_profile" -> ((s, d) => {
       // dedup observability: cluster-size histogram of exact duplicate
       // groups with corpus share — sizes the dedup stage before it
@@ -3963,6 +3970,38 @@ object SparkEntry {
                   AS BIGINT) AS n_top,
                 count(*) AS n
          FROM pc CROSS JOIN thr""",
+
+    "q_kaplan_meier" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+         u AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+               FROM events GROUP BY 1),
+         lab AS (
+           SELECT CAST(CAST(l AS DATE) - CAST(f AS DATE) AS INT) AS t,
+                  CASE WHEN l < (SELECT m FROM mx) - INTERVAL 3 DAY
+                    THEN 1 ELSE 0 END AS churn
+           FROM u),
+         g AS (
+           SELECT t, CAST(sum(churn) AS BIGINT) AS n_events,
+                  CAST(sum(1 - churn) AS BIGINT) AS n_censored
+           FROM lab GROUP BY 1),
+         r AS (
+           SELECT t, n_events, n_censored,
+                  (SELECT count(*) FROM lab) -
+                    coalesce(sum(n_events + n_censored) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS n_risk
+           FROM g),
+         s AS (
+           SELECT t, n_risk, n_events, n_censored,
+                  1.0 - CAST(n_events AS DOUBLE) / n_risk AS f
+           FROM r)
+         SELECT t AS lifetime_days, n_risk, n_events, n_censored,
+                round(CASE WHEN max(CASE WHEN f = 0 THEN 1 ELSE 0 END)
+                    OVER w = 1 THEN 0.0
+                  ELSE exp(sum(CASE WHEN f > 0 THEN ln(f) ELSE 0 END)
+                    OVER w) END, 6) AS survival
+         FROM s WINDOW w AS (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
 
     "q_dedup_profile" ->
       """WITH corpus AS (

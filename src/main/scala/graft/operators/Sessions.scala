@@ -290,6 +290,55 @@ object Sessions {
       .agg(countDistinct(col("__k")).as("active_keys"))
   }
 
+  /** Kaplan-Meier survival estimate over per-key activity lifetimes:
+    * lifetime = calendar days between a key's first and last event;
+    * keys last seen within `censorDays` of the corpus end are
+    * right-CENSORED (still alive), everyone else churned at their
+    * last day. One row per distinct lifetime with the at-risk count,
+    * events, censored and the product-limit survival — the retention
+    * curve that, unlike naive churn rates, does not treat still-active
+    * users as churned.
+    *
+    * Scale shape: the stream collapses to per-key (first, last) in
+    * one aggregate, then to the LIFETIME-DAY-cardinality frame; the
+    * at-risk walk, the zero-factor flag and the log-sum product all
+    * ride windows over that bounded frame. The product is
+    * exp∘sum∘ln — associative, so it distributes — with the d=n
+    * terminal point (survival exactly 0) handled by an explicit flag
+    * because ln(0) is engine-divergent (null in Spark, -inf in
+    * DuckDB). */
+  def kaplanMeier(df: DataFrame, key: String, ts: String,
+      censorDays: Int = 3, scale: Int = 6): DataFrame = {
+    val mx = broadcast(df.agg(max(col(ts)).as("__mx")))
+    val u = df.groupBy(col(key))
+      .agg(min(col(ts)).as("__fst"), max(col(ts)).as("__lst"))
+    val lab = u.crossJoin(mx).select(
+      datediff(to_date(col("__lst")), to_date(col("__fst"))).as("t"),
+      when(col("__lst") < col("__mx") -
+        expr(s"INTERVAL $censorDays DAYS"), 1).otherwise(0).as("__churn"))
+    val g = lab.groupBy(col("t"))
+      .agg(sum(col("__churn")).cast("long").as("n_events"),
+        sum(lit(1) - col("__churn")).cast("long").as("n_censored"))
+    val total = broadcast(lab.agg(count(lit(1)).as("__N")))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.crossJoin(total)
+      .withColumn("n_risk", col("__N") -
+        coalesce(sum(col("n_events") + col("n_censored")).over(wPrev),
+          lit(0L)))
+      .withColumn("__f",
+        lit(1.0) - col("n_events").cast("double") / col("n_risk"))
+      .withColumn("__zero",
+        max(when(col("__f") === 0.0, 1).otherwise(0)).over(wCum))
+      .withColumn("survival", round(when(col("__zero") === 1, 0.0)
+        .otherwise(exp(sum(when(col("__f") > 0.0, log(col("__f")))
+          .otherwise(0.0)).over(wCum))), scale))
+      .select(col("t").as("lifetime_days"), col("n_risk"),
+        col("n_events"), col("n_censored"), col("survival"))
+  }
+
   /** Marketing-style touch attribution: credit each conversion event's
     * value to the LAST and FIRST non-conversion touch preceding it in
     * the same key's stream (conversions with no prior touch fall to

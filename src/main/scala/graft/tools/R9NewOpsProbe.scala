@@ -396,6 +396,11 @@ object R9NewOpsProbe {
         }
       }
     }
+    for ((tag, e) <- Seq("1x" -> e1, "10x" -> e10)) {
+      time(s"kaplanMeier $tag") {
+        graft.operators.Sessions.kaplanMeier(e, "user_id", "ts", 3)
+      }
+    }
     // agg-merge refresh: fixed one-day batch folded into a standing
     // gold aggregate built from 1x vs 10x (user-shifted) history
     for ((tag, e) <- Seq("1x" -> e1, "10x" -> eU10)) {

@@ -697,6 +697,26 @@ class SessionsPiiSpec extends SparkSpec {
       "2024-01-12" -> 1L), out.toString)
   }
 
+  test("kaplanMeier: hand-computed product-limit curve; censored users aren't churn") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // corpus ends day 20 -> censor horizon = day 17
+    val df = Seq(
+      (1L, ts(1)), (1L, ts(2)), // lifetime 1, churned
+      (2L, ts(5)), // lifetime 0, churned
+      (3L, ts(1)), (3L, ts(19)), // lifetime 18, censored
+      (4L, ts(10)), (4L, ts(20))) // lifetime 10, censored (defines max)
+      .toDF("user_id", "t")
+    val out = Sessions.kaplanMeier(df, "user_id", "t", censorDays = 3)
+      .collect().map(r => r.getAs[Int]("lifetime_days") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_censored"), r.getAs[Double]("survival"))).toMap
+    // S(0) = 3/4; S(1) = 3/4 * 2/3 = 1/2; censored points hold S
+    assert(out(0) == (4L, 1L, 0L, 0.75), out.toString)
+    assert(out(1) == (3L, 1L, 0L, 0.5))
+    assert(out(10) == (2L, 0L, 1L, 0.5))
+    assert(out(18) == (1L, 0L, 1L, 0.5))
+  }
+
   test("zorderBy preserves rows exactly (layout only)") {
     val rows = (0 until 1000).map(i => (i % 37, i % 53, i))
     val df = rows.toDF("a", "b", "v")
