@@ -1733,6 +1733,15 @@ object SparkEntry {
       graft.operators.Sessions.touchAttribution(t(s, d, "events"),
         "user_id", "ts", "event_type", "purchase", Seq(col("event_id")))),
 
+    "q_qq_drift" -> ((s, d) => {
+      // where did the purchase-value distribution sit vs clicks?
+      // decile-by-decile shift — the location companion to q_ks_drift
+      val e = t(s, d, "events")
+      graft.operators.Aggregates.qqDrift(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"), "value")
+    }),
+
     "q_kaplan_meier" -> ((s, d) =>
       // product-limit retention curve over user activity lifetimes;
       // users last seen within 3 days of corpus end are censored,
@@ -3970,6 +3979,22 @@ object SparkEntry {
                   AS BIGINT) AS n_top,
                 count(*) AS n
          FROM pc CROSS JOIN thr""",
+
+    "q_qq_drift" ->
+      """WITH qa AS (
+           SELECT quantile_cont(value,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+           FROM events WHERE event_type = 'click'),
+         qb AS (
+           SELECT quantile_cont(value,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
+           FROM events WHERE event_type = 'purchase')
+         SELECT p, round(a, 6) AS q_a, round(b, 6) AS q_b,
+                round(b - a, 6) AS shift
+         FROM (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+                              0.6, 0.7, 0.8, 0.9]) AS p,
+                      unnest((SELECT q FROM qa)) AS a,
+                      unnest((SELECT q FROM qb)) AS b)""",
 
     "q_kaplan_meier" ->
       """WITH mx AS (SELECT max(ts) AS m FROM events),

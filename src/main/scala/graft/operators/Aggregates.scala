@@ -459,6 +459,33 @@ object Aggregates {
         max(col("__NA")).as("n_a"), max(col("__NB")).as("n_b"))
   }
 
+  /** Quantile-quantile drift table between two samples: exact
+    * percentiles of both sides at the given probabilities, side by
+    * side with the per-quantile shift — WHERE the distribution moved
+    * (the location companion to [[ksTwoSample]]'s single max-gap
+    * number: a tail-only drift shows up at p=0.9 and nowhere else).
+    *
+    * Scale shape: one percentile aggregate per side (1-row array
+    * results), zipped and exploded to a probs-bounded frame — no
+    * joins over data rows. Exact percentiles for oracle duty; swap
+    * [[percentiles]]' approx form at 100 TB. */
+  def qqDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      probs: Seq[Double] = (1 to 9).map(_ / 10.0),
+      scale: Int = 6): DataFrame = {
+    require(probs.nonEmpty)
+    val ps = probs.mkString(", ")
+    def side(df: DataFrame, out: String) = df.agg(
+      expr(s"percentile(CAST($valueCol AS DOUBLE), array($ps))").as(out))
+    side(a, "__qa").crossJoin(side(b, "__qb"))
+      .select(explode(arrays_zip(
+        array(probs.map(lit): _*).as("p"),
+        col("__qa").as("q_a"), col("__qb").as("q_b"))).as("__z"))
+      .select(col("__z.p").as("p"),
+        round(col("__z.q_a"), scale).as("q_a"),
+        round(col("__z.q_b"), scale).as("q_b"),
+        round(col("__z.q_b") - col("__z.q_a"), scale).as("shift"))
+  }
+
   /** Pareto / ABC classification over an aggregated (key, value)
     * frame: rank keys by value descending, classify by inclusive
     * cumulative share against `thresholds` (A ≤ t1, B ≤ t2, else C),

@@ -400,6 +400,10 @@ object R9NewOpsProbe {
       time(s"kaplanMeier $tag") {
         graft.operators.Sessions.kaplanMeier(e, "user_id", "ts", 3)
       }
+      time(s"qqDrift $tag") {
+        Aggregates.qqDrift(e.filter(col("event_type") === "click"),
+          e.filter(col("event_type") === "purchase"), "value")
+      }
     }
     // agg-merge refresh: fixed one-day batch folded into a standing
     // gold aggregate built from 1x vs 10x (user-shifted) history

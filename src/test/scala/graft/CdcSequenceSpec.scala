@@ -549,6 +549,20 @@ class CdcSequenceSpec extends SparkSpec {
     assert(out("added") == (1L, 0L, 0L))
   }
 
+  test("qqDrift: pure location shift moves every decile by the same amount") {
+    import graft.operators.Aggregates
+    val a = (1 to 100).map(_.toDouble).toDF("v")
+    val b = (1 to 100).map(_ + 10.0).toDF("v")
+    val out = Aggregates.qqDrift(a, b, "v").collect()
+      .map(r => r.getAs[Double]("p") ->
+        (r.getAs[Double]("q_a"), r.getAs[Double]("shift"))).toMap
+    assert(out.size == 9)
+    // percentile(1..100, 0.1) interpolates to 1 + 0.1*99 = 10.9
+    assert(out(0.1)._1 == 10.9)
+    assert(out(0.5)._1 == 50.5)
+    assert(out.values.forall(_._2 == 10.0), out.toString)
+  }
+
   test("scd2: partition-independent") {
     val df = spark.range(5000).select(
       (col("id") % 61).as("k"), col("id").as("t"),
