@@ -1733,6 +1733,137 @@ object SparkEntry {
       graft.operators.Sessions.touchAttribution(t(s, d, "events"),
         "user_id", "ts", "event_type", "purchase", Seq(col("event_id")))),
 
+    "q_topk_per_group" -> ((s, d) => {
+      // F2 UDAF on the graded path: top-3 parts per supplier by
+      // revenue through the bounded-heap aggregator — k rows per
+      // (partition, key) cross the shuffle instead of the window
+      // form's full per-key candidate sort. Revenue rounded BEFORE
+      // ranking so both engines rank identical doubles.
+      val rev = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
+      rev.groupBy(col("l_suppkey"))
+        .agg(graft.functions.TopKAgg.topK(3, col("revenue"),
+          col("l_partkey")).as("__top"))
+        .select(col("l_suppkey"), posexplode(col("__top")).as(Seq("__rk", "__t")))
+        .select(col("l_suppkey"), (col("__rk") + 1).cast("int").as("rank"),
+          col("__t._2").as("l_partkey"), col("__t._1").as("revenue"))
+    }),
+
+    "q_volume_shipping" -> ((s, d) => {
+      // TPC-H Q7 shape: bilateral trade volume between two nations by
+      // ship year. The nation dim rides TWICE (supplier side, customer
+      // side) — both copies broadcast, so the fact shuffles only on its
+      // join keys; the symmetric-pair disjunction filters AFTER both
+      // nation names are in scope (it references both sides, so no
+      // single scan can absorb it — Catalyst still pushes the IN-list
+      // halves to each broadcast dim).
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val su = t(s, d, "supplier")
+      val n1 = t(s, d, "nation").select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation").select(
+        col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      li.filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_3" &&
+            col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" &&
+            col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    "q_returned_items" -> ((s, d) => {
+      // TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+      // one quarter. Quarter filter pushes to the orders scan, the
+      // returnflag filter to the lineitem scan — both BEFORE the join;
+      // revenue rounded before the top-k rank so engines order the same
+      // doubles, custkey breaks ties deterministically.
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      Relational.topK(20, Seq(col("revenue").desc), Seq(col("c_custkey")))(
+        li.filter(col("l_returnflag") === "R")
+          .join(o.filter(
+            col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue")))
+    }),
+
+    "q_top_supplier" -> ((s, d) => {
+      // TPC-H Q15 shape: supplier(s) achieving the quarter's maximum
+      // revenue. The "scalar subquery" is a 1-row max over the grouped
+      // frame, broadcast back as a cross join — the per-supplier
+      // aggregate is computed ONCE and reused for both the max and the
+      // equality gate (no second scan, no window over all suppliers).
+      val rev = t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val top = rev.agg(max(col("total_revenue")).as("__max_rev"))
+      rev.join(broadcast(top))
+        .filter(col("total_revenue") === col("__max_rev"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    "q_disjunctive_revenue" -> ((s, d) => {
+      // TPC-H Q19 shape: OR-of-ANDs spanning both sides of a fact-dim
+      // join. Catalyst's "push extracted common factors" rewrite sends
+      // the part-only half of each disjunct ((brand, size-range)) down
+      // the broadcast part scan, so the dim shrinks before the join even
+      // though the full predicate needs columns from both tables.
+      val li = t(s, d, "lineitem")
+      val p = t(s, d, "part")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    }),
+
+    "q_priority_split" -> ((s, d) => {
+      // TPC-H Q12 shape (conditional split aggregation; the testdata
+      // carries no l_shipmode/receiptdate, so the split key is the
+      // return flag and the lateness window rides on shipdate): per
+      // flag, how many lines belong to critical-priority orders vs not
+      // — one counting pass, the CASE folds into the aggregate.
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+            .as("low_line_count"))
+    }),
+
     "q_qq_drift" -> ((s, d) => {
       // where did the purchase-value distribution sit vs clicks?
       // decile-by-decile shift — the location companion to q_ks_drift
@@ -3979,6 +4110,84 @@ object SparkEntry {
                   AS BIGINT) AS n_top,
                 count(*) AS n
          FROM pc CROSS JOIN thr""",
+
+    "q_topk_per_group" ->
+      """WITH pr AS (
+           SELECT l_suppkey, l_partkey,
+                  round(sum(l_extendedprice), 2) AS revenue
+           FROM lineitem GROUP BY 1, 2),
+         r AS (
+           SELECT l_suppkey, l_partkey, revenue,
+                  row_number() OVER (PARTITION BY l_suppkey
+                    ORDER BY revenue DESC, l_partkey) AS rk
+           FROM pr QUALIFY rk <= 3)
+         SELECT l_suppkey, CAST(rk AS INT) AS rank, l_partkey, revenue
+         FROM r""",
+
+    "q_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                year(l_shipdate) AS l_year,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-01-01'
+           AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+             OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+         GROUP BY 1, 2, 3""",
+
+    "q_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1995-10-01'
+           AND o_orderdate <  TIMESTAMP '1996-01-01'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""",
+
+    "q_top_supplier" ->
+      """WITH rev AS (
+           SELECT l_suppkey,
+                  round(sum(l_extendedprice * (1 - l_discount)), 2)
+                    AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_revenue
+         FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         ORDER BY s_suppkey""",
+
+    "q_disjunctive_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q_priority_split" ->
+      """SELECT l_returnflag,
+                CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-01-01'
+         GROUP BY 1""",
 
     "q_qq_drift" ->
       """WITH qa AS (
