@@ -1864,6 +1864,24 @@ object SparkEntry {
             .as("low_line_count"))
     }),
 
+    "q_join_cardinality" -> ((s, d) =>
+      // join-size preflight: the exact |lineitem ⋈ orders| row count
+      // from key-count frames — fact rows never cross an exchange; the
+      // oracle materializes the actual join and counts it, proving the
+      // Σ cntL·cntR identity exactly
+      graft.operators.Joins.joinCardinality(
+        t(s, d, "lineitem"), col("l_orderkey"),
+        t(s, d, "orders"), col("o_orderkey"))),
+
+    "q_join_blowup" -> ((s, d) =>
+      // the culprit half of the preflight: which users would explode an
+      // events self-join on user_id — per-key multiplicities and the
+      // output-rows product, top-10. These are the keys to salt,
+      // filter, or pre-aggregate before attempting the real join.
+      graft.operators.Joins.joinBlowupKeys(
+        t(s, d, "events"), col("user_id"),
+        t(s, d, "events"), col("user_id"), 10)),
+
     "q_qq_drift" -> ((s, d) => {
       // where did the purchase-value distribution sit vs clicks?
       // decile-by-decile shift — the location companion to q_ks_drift
@@ -4188,6 +4206,20 @@ object SparkEntry {
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate <  TIMESTAMP '1997-01-01'
          GROUP BY 1""",
+
+    "q_join_cardinality" ->
+      """SELECT count(*) AS join_rows
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey""",
+
+    "q_join_blowup" ->
+      """WITH c AS (
+           SELECT user_id AS key, count(*) AS n
+           FROM events GROUP BY 1)
+         SELECT a.key, a.n AS left_rows, b.n AS right_rows,
+                a.n * b.n AS out_rows
+         FROM c a JOIN c b ON a.key = b.key
+         ORDER BY out_rows DESC, a.key
+         LIMIT 10""",
 
     "q_qq_drift" ->
       """WITH qa AS (

@@ -216,4 +216,40 @@ object Joins {
       .filter(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist"))
   }
+
+  /** Join-cardinality preflight: the EXACT output row count of
+    * `left ⋈ right` on an equality key, WITHOUT materializing the
+    * join — Σ_k cntL(k)·cntR(k) over the per-key count frames.
+    *
+    * The guard you run before a join you suspect of blowup at 100 TB:
+    * each side collapses to one row per distinct key via a map-side-
+    * combined count, the key-sized frames equi-join, and one product
+    * sum comes back. Cost is bounded by DISTINCT-KEY cardinality —
+    * the fact rows never cross an exchange — so a join that would
+    * produce 10^13 rows is diagnosed for the price of two counts.
+    * Output: 1 row, `join_rows` (long). */
+  def joinCardinality(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column): DataFrame = {
+    val lc = left.groupBy(leftKey.as("__k")).agg(count(lit(1)).as("__lc"))
+    val rc = right.groupBy(rightKey.as("__k")).agg(count(lit(1)).as("__rc"))
+    lc.join(rc, "__k")
+      .agg(coalesce(sum(col("__lc") * col("__rc")), lit(0L)).as("join_rows"))
+  }
+
+  /** [[joinCardinality]]'s culprit report: the `k` keys contributing
+    * the most output rows to the join, with both sides' multiplicities
+    * — the actionable half of the preflight (these are the keys to
+    * salt, filter, or pre-aggregate). Same key-sized cost shape; the
+    * top-k rides TakeOrderedAndProject, ties break on the key. */
+  def joinBlowupKeys(left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val lc = left.groupBy(leftKey.as("__k")).agg(count(lit(1)).as("left_rows"))
+    val rc = right.groupBy(rightKey.as("__k")).agg(count(lit(1)).as("right_rows"))
+    lc.join(rc, "__k")
+      .select(col("__k").as("key"), col("left_rows"), col("right_rows"),
+        (col("left_rows") * col("right_rows")).as("out_rows"))
+      .orderBy(col("out_rows").desc, col("key"))
+      .limit(k)
+  }
 }

@@ -180,4 +180,37 @@ class JoinsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("joinCardinality equals the materialized join's count, fact-free") {
+    import org.apache.spark.sql.functions.col
+    val l = Seq(1, 1, 1, 2, 3, 5).toDF("k")
+    val r = Seq(1, 2, 2, 4).toDF("rk")
+    val est = Joins.joinCardinality(l, col("k"), r, col("rk"))
+      .as[Long].head()
+    val actual = l.join(r, col("k") === col("rk")).count()
+    assert(est == actual && est == 5L) // 3*1 + 1*2
+    // empty overlap degrades to 0, not null
+    val none = Joins.joinCardinality(l, col("k"),
+      Seq(9).toDF("rk"), col("rk")).as[Long].head()
+    assert(none == 0L)
+  }
+
+  test("joinBlowupKeys ranks keys by output contribution with ties on key") {
+    import org.apache.spark.sql.functions.col
+    val l = Seq("a", "a", "a", "b", "b", "c").toDF("k")
+    val r = Seq("a", "b", "b", "b", "c").toDF("rk")
+    val out = Joins.joinBlowupKeys(l, col("k"), r, col("rk"), 2)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // b: 2*3=6 beats a: 3*1=3; c: 1*1=1 cut by k=2
+    assert(out == Seq(("b", 2L, 3L, 6L), ("a", 3L, 1L, 3L)))
+    // the preflight must rank through TakeOrderedAndProject, and the
+    // contribution sum over ALL keys matches joinCardinality
+    val plan = Joins.joinBlowupKeys(l, col("k"), r, col("rk"), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    val full = Joins.joinBlowupKeys(l, col("k"), r, col("rk"), 100)
+      .agg(org.apache.spark.sql.functions.sum("out_rows")).as[Long].head()
+    assert(full == Joins.joinCardinality(l, col("k"), r, col("rk"))
+      .as[Long].head())
+  }
 }
