@@ -1733,6 +1733,25 @@ object SparkEntry {
       graft.operators.Sessions.touchAttribution(t(s, d, "events"),
         "user_id", "ts", "event_type", "purchase", Seq(col("event_id")))),
 
+    "q_label_prop" -> ((s, d) => {
+      // communities of the urgent-order co-purchase graph by
+      // deterministic synchronous LPA (ties to the smallest label) —
+      // the density-community companion to q_dup_components'
+      // transitive-exact components. 3 fixed rounds, oracle-unrolled.
+      val li = t(s, d, "lineitem")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk"))
+      val pairs = li.join(
+          li.select(col("__ok"), col("__pk").as("__pk2")), Seq("__ok"))
+        .filter(col("__pk") < col("__pk2"))
+        .select(col("__pk").as("id_a"), col("__pk2").as("id_b"))
+      graft.operators.Graph.labelPropagation(pairs, 3)
+        .orderBy(col("id"))
+    }),
+
     "q_topk_per_group" -> ((s, d) => {
       // F2 UDAF on the graded path: top-3 parts per supplier by
       // revenue through the bounded-heap aggregator — k rows per
@@ -4492,6 +4511,45 @@ object SparkEntry {
          SELECT n_nodes, n_edges, n_wedges, CAST(t AS BIGINT) AS n_triangles,
                 round(3.0 * t / n_wedges, 6) AS global_clustering
          FROM st CROSS JOIN ec CROSS JOIN tri""",
+
+    "q_label_prop" ->
+      """WITH li AS (
+           SELECT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderpriority = '1-URGENT'),
+         e AS MATERIALIZED (
+           SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         und AS MATERIALIZED (
+           SELECT a AS src, b AS dst FROM e
+           UNION SELECT b AS src, a AS dst FROM e),
+         l0 AS MATERIALIZED (
+           SELECT DISTINCT src AS node, src AS label FROM und),
+         c1 AS (
+           SELECT u.src, l.label, count(*) AS cnt
+           FROM und u JOIN l0 l ON u.dst = l.node GROUP BY 1, 2),
+         l1 AS MATERIALIZED (
+           SELECT src AS node, label FROM (
+             SELECT src, label, row_number() OVER (
+               PARTITION BY src ORDER BY cnt DESC, label) AS rk
+             FROM c1) WHERE rk = 1),
+         c2 AS (
+           SELECT u.src, l.label, count(*) AS cnt
+           FROM und u JOIN l1 l ON u.dst = l.node GROUP BY 1, 2),
+         l2 AS MATERIALIZED (
+           SELECT src AS node, label FROM (
+             SELECT src, label, row_number() OVER (
+               PARTITION BY src ORDER BY cnt DESC, label) AS rk
+             FROM c2) WHERE rk = 1),
+         c3 AS (
+           SELECT u.src, l.label, count(*) AS cnt
+           FROM und u JOIN l2 l ON u.dst = l.node GROUP BY 1, 2),
+         l3 AS (
+           SELECT src AS node, label FROM (
+             SELECT src, label, row_number() OVER (
+               PARTITION BY src ORDER BY cnt DESC, label) AS rk
+             FROM c3) WHERE rk = 1)
+         SELECT node AS id, label FROM l3 ORDER BY id""",
 
     "q_attribution" ->
       """WITH w AS (

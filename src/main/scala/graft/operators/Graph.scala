@@ -421,4 +421,54 @@ object Graph {
         round(lit(3.0 * nTri / nWedges), scale).cast("double")
       else lit(null).cast("double")).as("global_clustering"))
   }
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007): every node starts as its own community and, each round,
+    * adopts the most frequent label among its NEIGHBORS — ties break to
+    * the smallest label, so the whole run is deterministic and
+    * oracle-checkable (the classic randomized-order variant is not).
+    * Input: `edges` with `id_a`/`id_b` (undirected; duplicates and
+    * direction are absorbed by symmetrize+distinct). Output:
+    * (id, label) for every edge endpoint.
+    *
+    * Scale shape per round — the [[pageRank]] posture: ONE shuffle join
+    * of the symmetrized edge list against the current (id, label)
+    * frame, one map-side-combined (node, label) count, and one
+    * struct-argmax per node; all rows are id-width. Each round eagerly
+    * checkpoints and the superseded frame is released, so block usage
+    * stays one round deep. Runs a FIXED iteration count: synchronous
+    * LPA on bipartite-ish regions can two-cycle rather than converge,
+    * so a fixed budget is the honest contract (density floors, not
+    * exactness, is what LPA offers; use [[connectedComponents]] when
+    * membership must be transitive-exact). */
+  def labelPropagation(edges: DataFrame, iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val sym = edges.select(col("id_a"), col("id_b"))
+      .union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("id_a").as("id"))
+      .distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      // neighbor labels for node id_a come from id_b's current label;
+      // argmax by (count, smallest label) rides ONE struct max_by —
+      // no window, no per-node sort
+      val next = sym
+        .join(labels.select(col("id").as("id_b"), col("label")),
+          Seq("id_b"))
+        .groupBy(col("id_a"), col("label"))
+        .agg(count(lit(1)).as("__cnt"))
+        .groupBy(col("id_a").as("id"))
+        .agg(max_by(col("label"),
+          struct(col("__cnt"), (-col("label")).as("__nl"))).as("label"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.Bridge.releaseFrame(labels)
+      labels = next
+    }
+    org.apache.spark.sql.graft.Bridge.releaseFrame(sym)
+    labels
+  }
 }

@@ -441,6 +441,33 @@ class SessionsPiiSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("labelPropagation: bridged cliques settle into two communities") {
+    // cliques {1,2,3} and {10,11,12} joined by one bridge edge 3-10;
+    // 3 synchronous rounds with smallest-label ties must put each
+    // clique in one community and keep the cliques apart
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+      .toDF("id_a", "id_b")
+    val got = graft.operators.Graph.labelPropagation(edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)
+    assert(Set(got(10L), got(11L), got(12L)).size == 1)
+    assert(got(1L) != got(10L))
+  }
+
+  test("labelPropagation is deterministic and direction/dup-insensitive") {
+    val e1 = Seq((5L, 6L), (6L, 7L), (7L, 8L)).toDF("id_a", "id_b")
+    // reversed directions plus duplicate edges — same graph
+    val e2 = Seq((6L, 5L), (7L, 6L), (8L, 7L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val r1 = graft.operators.Graph.labelPropagation(e1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val r2 = graft.operators.Graph.labelPropagation(e2, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(r1 == r2 && r1.map(_._1) == Seq(5L, 6L, 7L, 8L))
+  }
+
   test("pageRank: heavier in-links rank higher on a weighted star") {
     // hub h links to a with weight 9 and b with weight 1
     val edges = Seq(("h", "a", 9.0), ("h", "b", 1.0), ("a", "h", 1.0),
