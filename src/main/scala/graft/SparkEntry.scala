@@ -1883,6 +1883,39 @@ object SparkEntry {
             .as("low_line_count"))
     }),
 
+    "q_ewma" -> ((s, d) =>
+      // per-user EWMA of event values — the batch twin of the
+      // streaming Stateful EWMA, bit-identical to the oracle's
+      // recursive-CTE fold (same sequential recurrence, no rounding
+      // tolerance needed)
+      graft.operators.Sessions.ewma(
+        t(s, d, "events").select("user_id", "ts", "event_id", "value"),
+        "user_id", Seq("ts", "event_id"), "value", 0.25)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("ewma"))),
+
+    "q_rank_suite" -> ((s, d) => {
+      // the full SQL rank-function family over one window frame:
+      // rank / dense_rank / percent_rank / cume_dist / ntile on the
+      // per-flag monthly revenue, ordering made total by the month
+      // tie-break so every function is deterministic; percent_rank
+      // and cume_dist are integer ratios both engines divide
+      // identically — no rounding
+      import org.apache.spark.sql.expressions.Window
+      val m = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("revenue"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("revenue").desc, col("month"))
+      m.select(col("l_returnflag"), col("month"), col("revenue"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    }),
+
     "q_join_cardinality" -> ((s, d) =>
       // join-size preflight: the exact |lineitem ⋈ orders| row count
       // from key-count frames — fact rows never cross an exchange; the
@@ -4225,6 +4258,37 @@ object SparkEntry {
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate <  TIMESTAMP '1997-01-01'
          GROUP BY 1""",
+
+    "q_ewma" ->
+      """WITH RECURSIVE base AS (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, event_id, value, rn, value AS ewma
+           FROM base WHERE rn = 1
+           UNION ALL
+           SELECT b.user_id, b.event_id, b.value, b.rn,
+                  0.25 * b.value + 0.75 * r.ewma
+           FROM r JOIN base b
+             ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+         SELECT user_id, event_id, value, ewma FROM r""",
+
+    "q_rank_suite" ->
+      """WITH m AS (
+           SELECT l_returnflag, strftime(l_shipdate, '%Y-%m') AS month,
+                  round(sum(l_extendedprice), 2) AS revenue
+           FROM lineitem GROUP BY 1, 2)
+         SELECT l_returnflag, month, revenue,
+                rank() OVER w AS rnk,
+                dense_rank() OVER w AS drnk,
+                percent_rank() OVER w AS prnk,
+                cume_dist() OVER w AS cdist,
+                ntile(4) OVER w AS quartile
+         FROM m
+         WINDOW w AS (PARTITION BY l_returnflag
+                      ORDER BY revenue DESC, month)""",
 
     "q_join_cardinality" ->
       """SELECT count(*) AS join_rows

@@ -98,4 +98,45 @@ class StatefulSpec extends SparkSpec {
       assert(xom.map(_.n) == Seq(1L, 1L))
     } finally q.stop()
   }
+
+  test("batch Sessions.ewma == streaming ewmaPerSymbol, bit-for-bit") {
+    import org.apache.spark.sql.functions.col
+    // irrational-ish doubles so any summation-order difference between
+    // the batch fold and the streaming recurrence would show up
+    val pts = Seq(
+      ("XOM", 1L, 100.37), ("XOM", 2L, 99.113), ("XOM", 3L, 101.77),
+      ("XOM", 4L, 98.031), ("BP", 1L, 30.29), ("BP", 2L, 31.444))
+    val batch = graft.operators.Sessions.ewma(
+      pts.toDF("symbol", "timestamp", "price"),
+      "symbol", Seq("timestamp"), "price", alpha = 0.3)
+      .select("symbol", "timestamp", "ewma")
+      .as[(String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val stream = Stateful.ewmaPerSymbol(
+      pts.map(p => PricePoint(p._1, p._2, p._3)).toDS(), alpha = 0.3)
+      .collect().map(o => (o.symbol, o.timestamp, o.ewma))
+      .sortBy(r => (r._1, r._2))
+    // == on doubles: the two paths must agree to the last ulp
+    assert(batch.toSeq == stream.toSeq)
+    // hand check the recurrence head
+    assert(batch(0)._3 == 30.29 &&
+      batch(1)._3 == 0.3 * 31.444 + 0.7 * 30.29)
+  }
+
+  test("Sessions.ewma restarts per key and rejects null values") {
+    import org.apache.spark.sql.functions.col
+    val two = graft.operators.Sessions.ewma(
+      Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 1L, 5.0))
+        .toDF("k", "t", "v"), "k", Seq("t"), "v", 0.5)
+      .select("k", "ewma").as[(String, Double)]
+      .collect().sortBy(identity).toSeq
+    assert(two == Seq(("a", 10.0), ("a", 15.0), ("b", 5.0)))
+    val bad = Seq(("a", 1L, Some(1.0)), ("a", 2L, None))
+      .toDF("k", "t", "v")
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.operators.Sessions.ewma(bad, "k", Seq("t"), "v", 0.5)
+        .collect()
+    }
+    assert(e.getMessage.contains("ewma") ||
+      Option(e.getCause).exists(_.getMessage.contains("ewma")))
+  }
 }
