@@ -1883,6 +1883,13 @@ object SparkEntry {
             .as("low_line_count"))
     }),
 
+    "q_auc" -> ((s, d) =>
+      // does event value predict purchase? exact midrank Mann-Whitney
+      // AUC over the full corpus — integer arithmetic to the final
+      // division, distinct-value frame, no global sort of data rows
+      Aggregates.auc(t(s, d, "events"),
+        col("event_type") === "purchase", col("value"))),
+
     "q_ewma" -> ((s, d) =>
       // per-user EWMA of event values — the batch twin of the
       // streaming Stateful EWMA, bit-identical to the oracle's
@@ -4258,6 +4265,28 @@ object SparkEntry {
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate <  TIMESTAMP '1997-01-01'
          GROUP BY 1""",
+
+    "q_auc" ->
+      """WITH s AS (
+           SELECT value AS v,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events),
+         g AS (SELECT v, count(*) AS cnt, sum(y) AS pos FROM s GROUP BY 1),
+         r AS (
+           SELECT v, cnt, pos,
+                  coalesce(sum(cnt) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS cumb
+           FROM g),
+         t AS (
+           SELECT sum(pos * (2 * cumb + cnt + 1)) AS r2,
+                  sum(pos) AS np, sum(cnt) AS n
+           FROM r)
+         SELECT round((r2 - np * (np + 1)) / (2.0 * np * (n - np)), 6)
+                  AS auc,
+                CAST(np AS BIGINT) AS n_pos,
+                CAST(n - np AS BIGINT) AS n_neg
+         FROM t""",
 
     "q_ewma" ->
       """WITH RECURSIVE base AS (

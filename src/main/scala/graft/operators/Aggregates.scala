@@ -459,6 +459,67 @@ object Aggregates {
         max(col("__NA")).as("n_a"), max(col("__NB")).as("n_b"))
   }
 
+  /** Exact ROC AUC by the midrank Mann-Whitney identity:
+    * AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻), with R⁺ the positive rows'
+    * midrank sum over the score ordering — ties get the average rank,
+    * the textbook estimator. The binary-classifier eval you run over
+    * a full corpus (quality-model scores vs labels) where sampling
+    * would bias the tail.
+    *
+    * Scale shape — the [[ksTwoSample]] two-level construction: rows
+    * collapse to the DISTINCT-SCORE frame in one map-side-combined
+    * count, prefix sums ride value-range buckets (within-bucket
+    * running sum + bucket-carry broadcast) so no global sort ever
+    * touches data rows. Midranks stay in INTEGER arithmetic (×2, as
+    * decimal(38,0) against n² overflow) until the single final
+    * division, so the result is deterministic to the division — not
+    * a float-accumulation race. Output: 1 row (auc, n_pos, n_neg);
+    * auc is null when a class is empty. */
+  def auc(df: DataFrame, labelCol: Column, scoreCol: Column,
+      buckets: Int = 1024, scale: Int = 6): DataFrame = {
+    require(buckets > 0)
+    val g = df.select(scoreCol.cast("double").as("__v"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__y")).as("__pos"))
+    val mm = broadcast(g.agg(min(col("__v")).as("__mn"),
+      max(col("__v")).as("__mx")))
+    val width = (col("__mx") - col("__mn")) / lit(buckets.toDouble)
+    val bucketed = g.crossJoin(mm)
+      .withColumn("__bkt", when(width === 0.0, lit(0L)).otherwise(
+        least(floor((col("__v") - col("__mn")) / width).cast("long"),
+          lit(buckets - 1L))))
+    val w = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wc = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = bucketed.groupBy(col("__bkt"))
+      .agg(sum(col("__cnt")).as("__bn"))
+      .withColumn("__carry", coalesce(sum(col("__bn")).over(wc), lit(0L)))
+      .select(col("__bkt"), col("__carry"))
+    bucketed
+      .withColumn("__run", sum(col("__cnt")).over(w))
+      .join(broadcast(carries), Seq("__bkt"))
+      // cumBefore = (carry + within-bucket run) − own count;
+      // 2·midrank = 2·cumBefore + cnt + 1 keeps everything integral
+      .select((col("__pos").cast("decimal(38,0)") *
+          (lit(2) * (col("__carry") + col("__run") - col("__cnt")) +
+            col("__cnt") + lit(1)).cast("decimal(38,0)")).as("__r2"),
+        col("__cnt"), col("__pos"))
+      .agg(sum(col("__r2")).as("__R2"),
+        sum(col("__pos")).cast("decimal(38,0)").as("__np"),
+        sum(col("__cnt")).cast("decimal(38,0)").as("__n"))
+      .select(
+        when(col("__np") > 0 && (col("__n") - col("__np")) > 0,
+          round((col("__R2") - col("__np") * (col("__np") + lit(1)))
+              .cast("double") /
+            (lit(2.0) * col("__np").cast("double") *
+              (col("__n") - col("__np")).cast("double")), scale))
+          .as("auc"),
+        col("__np").cast("long").as("n_pos"),
+        (col("__n") - col("__np")).cast("long").as("n_neg"))
+  }
+
   /** Quantile-quantile drift table between two samples: exact
     * percentiles of both sides at the given probabilities, side by
     * side with the per-quantile shift — WHERE the distribution moved

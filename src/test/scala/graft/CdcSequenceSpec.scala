@@ -580,4 +580,38 @@ class CdcSequenceSpec extends SparkSpec {
       .collect().map(_.getLong(1))
     assert(cur.forall(_ == 1L))
   }
+
+  test("auc: hand-computed midrank value with ties; separation endpoints") {
+    import graft.operators.Aggregates
+    // scores: pos {0.9, 0.7, 0.5}, neg {0.7, 0.3}
+    // pairs: (0.9 beats both)=2, (0.7 vs 0.7 tie=0.5, beats 0.3)=1.5,
+    // (0.5 loses 0.7, beats 0.3)=1 -> AUC = 4.5/6 = 0.75
+    val df = Seq((0.9, true), (0.7, true), (0.5, true),
+      (0.7, false), (0.3, false)).toDF("s", "y")
+    val r = Aggregates.auc(df, col("y"), col("s")).collect().head
+    assert(r.getDouble(0) == 0.75 &&
+      r.getLong(1) == 3L && r.getLong(2) == 2L)
+    // perfect separation -> 1.0; inverted scores -> symmetric 0.25
+    val perf = Seq((5.0, true), (4.0, true), (1.0, false))
+      .toDF("s", "y")
+    assert(Aggregates.auc(perf, col("y"), col("s"))
+      .collect().head.getDouble(0) == 1.0)
+    val inv = Aggregates.auc(df, col("y"), -col("s")).collect().head
+    assert(inv.getDouble(0) == 1.0 - 0.75)
+    // one-class input degrades to null, not a division error
+    val one = Seq((1.0, true), (2.0, true)).toDF("s", "y")
+    assert(Aggregates.auc(one, col("y"), col("s")).collect().head.isNullAt(0))
+  }
+
+  test("auc is bucketing-invariant") {
+    import graft.operators.Aggregates
+    val df = (1 to 200).map(i =>
+      (math.sin(i * 1.7) * 10, i % 3 == 0)).toDF("s", "y")
+    val b1 = Aggregates.auc(df, col("y"), col("s"), buckets = 1)
+      .collect().head.getDouble(0)
+    val b7 = Aggregates.auc(df, col("y"), col("s"), buckets = 7)
+      .collect().head.getDouble(0)
+    val bk = Aggregates.auc(df, col("y"), col("s")).collect().head.getDouble(0)
+    assert(b1 == b7 && b7 == bk)
+  }
 }
