@@ -1890,6 +1890,13 @@ object SparkEntry {
       Aggregates.auc(t(s, d, "events"),
         col("event_type") === "purchase", col("value"))),
 
+    "q_pr_curve" -> ((s, d) =>
+      // the operating-point companion to q_auc: confusion quadrant +
+      // precision/recall/F1 at the score deciles — data touched once,
+      // sweep rides the distinct-score frame
+      Aggregates.prCurve(t(s, d, "events"),
+        col("event_type") === "purchase", col("value"))),
+
     "q_ewma" -> ((s, d) =>
       // per-user EWMA of event values — the batch twin of the
       // streaming Stateful EWMA, bit-identical to the oracle's
@@ -4287,6 +4294,32 @@ object SparkEntry {
                 CAST(np AS BIGINT) AS n_pos,
                 CAST(n - np AS BIGINT) AS n_neg
          FROM t""",
+
+    "q_pr_curve" ->
+      """WITH s AS (
+           SELECT value AS v,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events),
+         q AS (
+           SELECT unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS prob,
+                  unnest(quantile_cont(v,
+                    [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS thr
+           FROM s),
+         tot AS (SELECT sum(y) AS np, count(*) AS n FROM s),
+         c AS (
+           SELECT prob, thr,
+                  sum(CASE WHEN v >= thr THEN y ELSE 0 END) AS tp,
+                  sum(CASE WHEN v >= thr THEN 1 - y ELSE 0 END) AS fp
+           FROM q CROSS JOIN s GROUP BY 1, 2)
+         SELECT CAST(prob AS DOUBLE) AS prob, round(thr, 4) AS threshold,
+                CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+                CAST(np - tp AS BIGINT) AS fn,
+                CAST(n - np - fp AS BIGINT) AS tn,
+                round(tp / NULLIF(tp + fp, 0), 6) AS prec,
+                round(tp / NULLIF(np, 0), 6) AS recall,
+                round(2.0 * tp / NULLIF(2 * tp + fp + (np - tp), 0), 6)
+                  AS f1
+         FROM c CROSS JOIN tot""",
 
     "q_ewma" ->
       """WITH RECURSIVE base AS (

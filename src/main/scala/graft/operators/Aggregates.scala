@@ -520,6 +520,58 @@ object Aggregates {
         (col("__n") - col("__np")).cast("long").as("n_neg"))
   }
 
+  /** Precision/recall threshold sweep — the PR-curve table at exact
+    * score percentiles: per threshold, the full confusion quadrant
+    * (tp/fp/fn/tn) plus precision, recall, F1. [[auc]] ranks the
+    * classifier; this picks its operating point.
+    *
+    * Scale shape: data rows are touched ONCE (the map-side-combined
+    * collapse to the distinct-score frame) plus one percentile
+    * aggregate; the probs-sized threshold frame cross-joins the
+    * DISTINCT frame, never the data, so the sweep costs
+    * |thresholds|x|distinct scores| frame rows. Counts are integral;
+    * ratios are the only doubles, rounded once at the end. Percentile
+    * thresholds may differ from another engine's at the last ulp, but
+    * interpolated cuts land strictly between adjacent distinct values,
+    * so the >= comparisons — and every count — are ulp-insensitive. */
+  def prCurve(df: DataFrame, labelCol: Column, scoreCol: Column,
+      probs: Seq[Double] = (1 to 9).map(_ / 10.0),
+      scale: Int = 6): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1))
+    val base = df.select(scoreCol.cast("double").as("__v"),
+      when(labelCol, 1L).otherwise(0L).as("__y"))
+    val g = base.groupBy(col("__v"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__y")).as("__pos"))
+    val probsArr = probs.map(p => s"${p}D").mkString(",")
+    val thr = g.agg(expr(
+        s"percentile(__v, array($probsArr), __cnt) AS __thrs"))
+      .select(posexplode(col("__thrs")).as(Seq("__i", "threshold")))
+      .select(element_at(expr(s"array($probsArr)"),
+        col("__i").cast("int") + 1).as("prob"), col("threshold"))
+    val tot = broadcast(g.agg(sum(col("__pos")).as("__np"),
+      sum(col("__cnt")).as("__n")))
+    g.crossJoin(broadcast(thr))
+      .groupBy(col("prob"), col("threshold"))
+      .agg(sum(when(col("__v") >= col("threshold"), col("__pos"))
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__v") >= col("threshold"),
+          col("__cnt") - col("__pos")).otherwise(0L)).as("fp"))
+      .crossJoin(tot)
+      .select(col("prob"), round(col("threshold"), 4).as("threshold"),
+        col("tp"), col("fp"),
+        (col("__np") - col("tp")).as("fn"),
+        (col("__n") - col("__np") - col("fp")).as("tn"),
+        // "prec" not "precision": DOUBLE PRECISION makes the natural
+        // name a reserved word in ANSI oracles
+        round(col("tp").cast("double") /
+          nullif(col("tp") + col("fp"), lit(0L)), scale).as("prec"),
+        round(col("tp").cast("double") /
+          nullif(col("__np"), lit(0L)), scale).as("recall"),
+        round(lit(2.0) * col("tp").cast("double") /
+          nullif(lit(2L) * col("tp") + col("fp") +
+            (col("__np") - col("tp")), lit(0L)), scale).as("f1"))
+  }
+
   /** Quantile-quantile drift table between two samples: exact
     * percentiles of both sides at the given probabilities, side by
     * side with the per-quantile shift — WHERE the distribution moved

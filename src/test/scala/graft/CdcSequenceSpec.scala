@@ -603,6 +603,27 @@ class CdcSequenceSpec extends SparkSpec {
     assert(Aggregates.auc(one, col("y"), col("s")).collect().head.isNullAt(0))
   }
 
+  test("prCurve: hand-computed confusion quadrant at the median threshold") {
+    import graft.operators.Aggregates
+    val df = Seq((0.9, true), (0.7, true), (0.5, true),
+      (0.7, false), (0.3, false)).toDF("s", "y")
+    // median over the 5 raw rows is 0.7 — exercises the frequency-
+    // weighted percentile over the collapsed distinct frame
+    val r = Aggregates.prCurve(df, col("y"), col("s"), Seq(0.5))
+      .collect().head
+    assert(r.getAs[Double]("threshold") == 0.7)
+    assert(r.getAs[Long]("tp") == 2L && r.getAs[Long]("fp") == 1L &&
+      r.getAs[Long]("fn") == 1L && r.getAs[Long]("tn") == 1L)
+    assert(r.getAs[Double]("prec") == 0.666667 &&
+      r.getAs[Double]("recall") == 0.666667 &&
+      r.getAs[Double]("f1") == 0.666667)
+    // counts tile the corpus at every threshold
+    val all = Aggregates.prCurve(df, col("y"), col("s")).collect()
+    assert(all.length == 9 && all.forall(x =>
+      x.getAs[Long]("tp") + x.getAs[Long]("fp") +
+        x.getAs[Long]("fn") + x.getAs[Long]("tn") == 5L))
+  }
+
   test("auc is bucketing-invariant") {
     import graft.operators.Aggregates
     val df = (1 to 200).map(i =>
