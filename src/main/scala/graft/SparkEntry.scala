@@ -1890,6 +1890,14 @@ object SparkEntry {
       Aggregates.auc(t(s, d, "events"),
         col("event_type") === "purchase", col("value"))),
 
+    "q_calibration" -> ((s, d) =>
+      // the third leg of the eval triad: decile reliability table —
+      // does a higher event value actually mean a higher purchase
+      // rate? pos_rate is an exact integer ratio; only mean_score
+      // carries float accumulation (rounded)
+      Aggregates.calibrationBins(t(s, d, "events"),
+        col("event_type") === "purchase", col("value"))),
+
     "q_pr_curve" -> ((s, d) =>
       // the operating-point companion to q_auc: confusion quadrant +
       // precision/recall/F1 at the score deciles — data touched once,
@@ -4294,6 +4302,24 @@ object SparkEntry {
                 CAST(np AS BIGINT) AS n_pos,
                 CAST(n - np AS BIGINT) AS n_neg
          FROM t""",
+
+    "q_calibration" ->
+      """WITH s AS (
+           SELECT value AS v,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events),
+         c AS (
+           SELECT quantile_cont(v,
+             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+           FROM s),
+         b AS (
+           SELECT v, y,
+                  len(list_filter(c.cuts, x -> x < v)) AS bin
+           FROM s CROSS JOIN c)
+         SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+                round(avg(v), 6) AS mean_score,
+                round(avg(y), 6) AS pos_rate
+         FROM b GROUP BY 1""",
 
     "q_pr_curve" ->
       """WITH s AS (

@@ -1016,6 +1016,34 @@ object Aggregates {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Calibration (reliability) table: equi-depth score bins, each with
+    * its observed positive rate next to its mean score — the "is the
+    * score honest about its own confidence" check that completes the
+    * eval triad ([[auc]] ranks, [[prCurve]] picks the threshold, this
+    * audits the score's magnitude).
+    *
+    * Scale shape: one percentile aggregate for the cutpoints (1-row
+    * array, broadcast), one map-side bin assignment (HOF filter over
+    * the bins-sized cut array — no join, no sort), one grouped pass.
+    * `pos_rate` is an integer ratio (exact across engines); only
+    * `mean_score` is a float accumulation, rounded once. */
+  def calibrationBins(df: DataFrame, labelCol: Column, scoreCol: Column,
+      bins: Int = 10, scale: Int = 6): DataFrame = {
+    require(bins > 1)
+    val base = df.select(scoreCol.cast("double").as("__v"),
+      when(labelCol, 1L).otherwise(0L).as("__y"))
+    val ps = (1 until bins).map(i => i.toDouble / bins)
+    val cuts = base.agg(expr(
+      s"percentile(__v, array(${ps.mkString(",")}))").as("__cuts"))
+    base.crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        size(filter(col("__cuts"), c => c < col("__v"))).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__v")), scale).as("mean_score"),
+        round(avg(col("__y")), scale).as("pos_rate"))
+  }
+
   /** Winsorized per-group stats: clip values into the [lo, hi]
     * percentile band, then mean/min/max — the outlier-robust central
     * tendency (a handful of extreme rows cannot drag the mean). One

@@ -624,6 +624,25 @@ class CdcSequenceSpec extends SparkSpec {
         x.getAs[Long]("fn") + x.getAs[Long]("tn") == 5L))
   }
 
+  test("calibrationBins: a perfectly calibrated score reports its own rate") {
+    import graft.operators.Aggregates
+    // score == true probability: rows with score s are positive at
+    // rate s (built deterministically: i%10 < s*10)
+    val df = (0 until 1000).map { i =>
+      val s = (i % 10) / 10.0 + 0.05
+      (s, (i / 10) % 10 < (i % 10) + 1)
+    }.toDF("s", "y")
+    val out = Aggregates.calibrationBins(df, col("y"), col("s"), bins = 5)
+      .orderBy("bin").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(out.map(_.getLong(1)).sum == 1000L)
+    // observed rate tracks mean score inside each equi-depth bin
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 0.06,
+        s"bin ${r.getLong(0)}: ${r.getDouble(2)} vs ${r.getDouble(3)}")
+    }
+  }
+
   test("auc is bucketing-invariant") {
     import graft.operators.Aggregates
     val df = (1 to 200).map(i =>
