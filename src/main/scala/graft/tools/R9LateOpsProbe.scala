@@ -47,6 +47,35 @@ object R9LateOpsProbe {
       println(f"$label%-36s $med%8.3f s   rows=${runs.head._2}")
     }
 
+    val evPath = "/tmp/scale10x_events/events.parquet"
+    if (!new java.io.File(evPath).exists()) {
+      val e = Tables.load(spark, "/root/testdata/sf0.1", "events")
+      (0 until 10).map(i =>
+          e.withColumn("event_id", col("event_id") + lit(i * 10000000L))
+            .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 31} DAYS")))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(evPath)
+    }
+    val e1 = Tables.load(spark, "/root/testdata/sf0.1", "events")
+    val e10 = spark.read.parquet(evPath)
+    for ((tag, e) <- Seq("1x" -> e1, "10x" -> e10)) {
+      val lbl = col("event_type") === "purchase"
+      time(s"auc $tag") {
+        graft.operators.Aggregates.auc(e, lbl, col("value"))
+      }
+      time(s"prCurve $tag") {
+        graft.operators.Aggregates.prCurve(e, lbl, col("value"))
+      }
+      time(s"calibrationBins $tag") {
+        graft.operators.Aggregates.calibrationBins(e, lbl, col("value"))
+      }
+      time(s"ewma $tag") {
+        graft.operators.Sessions.ewma(
+          e.select("user_id", "ts", "event_id", "value"),
+          "user_id", Seq("ts", "event_id"), "value", 0.25)
+      }
+    }
+
     for ((tag, li) <- Seq("1x" -> li1, "10x" -> li10)) {
       // the preflight vs the self-join it sizes (≈49 out-rows/key)
       time(s"joinCardinality(self) $tag") {
