@@ -1905,6 +1905,16 @@ object SparkEntry {
       Aggregates.prCurve(t(s, d, "events"),
         col("event_type") === "purchase", col("value"))),
 
+    "q_holt" -> ((s, d) =>
+      // per-user Holt level+trend smoothing — the trend-following
+      // forecast next to q_ewma's level-only smoother; bit-identical
+      // to the recursive-CTE oracle (binary-exact α=0.25, β=0.125)
+      graft.operators.Sessions.holt(
+        t(s, d, "events").select("user_id", "ts", "event_id", "value"),
+        "user_id", Seq("ts", "event_id"), "value", 0.25, 0.125)
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("level"), col("trend"), col("forecast"))),
+
     "q_ewma" -> ((s, d) =>
       // per-user EWMA of event values — the batch twin of the
       // streaming Stateful EWMA, bit-identical to the oracle's
@@ -4346,6 +4356,28 @@ object SparkEntry {
                 round(2.0 * tp / NULLIF(2 * tp + fp + (np - tp), 0), 6)
                   AS f1
          FROM c CROSS JOIN tot""",
+
+    "q_holt" ->
+      """WITH RECURSIVE base AS (
+           SELECT user_id, event_id, value,
+                  row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         r AS (
+           SELECT user_id, event_id, value, rn,
+                  value AS level, CAST(0.0 AS DOUBLE) AS trend
+           FROM base WHERE rn = 1
+           UNION ALL
+           SELECT b.user_id, b.event_id, b.value, b.rn,
+                  0.25 * b.value + 0.75 * (r.level + r.trend) AS level,
+                  0.125 * ((0.25 * b.value + 0.75 * (r.level + r.trend))
+                      - r.level)
+                    + 0.875 * r.trend AS trend
+           FROM r JOIN base b
+             ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+         SELECT user_id, event_id, value, level, trend,
+                level + trend AS forecast
+         FROM r""",
 
     "q_ewma" ->
       """WITH RECURSIVE base AS (

@@ -395,6 +395,51 @@ object Sessions {
     * this exact fold, so all three agree to the last ulp with no
     * rounding tolerance. Null values throw rather than silently
     * corrupting downstream state; filter them first. */
+  /** Holt double-exponential (level + trend) smoothing — [[ewma]]'s
+    * two-state sibling and the trend-following forecaster the
+    * seasonal-naive backtest lacks: per key, ordered,
+    * l₁ = x₁, b₁ = 0, then l' = α·x + (1−α)(l+b),
+    * b' = β(l'−l) + (1−β)b; appends `level`, `trend`, and the
+    * one-step `forecast` = l+b. Same scale shape and same
+    * bit-identity contract as [[ewma]] (the oracle's recursive CTE
+    * spells out the identical expression trees, so doubles agree to
+    * the ulp); same null-rejection posture. */
+  def holt(df: DataFrame, key: String, orderCols: Seq[String],
+      valueCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0 && beta >= 0.0 && beta <= 1.0,
+      "alpha in (0,1], beta in [0,1]")
+    val dt = org.apache.spark.sql.types.DoubleType
+    val outSchema = df.schema.add("level", dt, nullable = false)
+      .add("trend", dt, nullable = false)
+      .add("forecast", dt, nullable = false)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val kIdx = df.schema.fieldIndex(key)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    df.repartition(col(key))
+      .sortWithinPartitions((col(key) +: orderCols.map(col)): _*)
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var started = false
+        var l = 0.0
+        var b = 0.0
+        rows.map { r =>
+          if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
+            s"holt: null $valueCol for key ${r.get(kIdx)}")
+          val k = r.get(kIdx)
+          val x = r.getDouble(vIdx)
+          if (!started || k != curKey) {
+            curKey = k; started = true; l = x; b = 0.0
+          } else {
+            val lNew = alpha * x + (1.0 - alpha) * (l + b)
+            b = beta * (lNew - l) + (1.0 - beta) * b
+            l = lNew
+          }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ l :+ b :+ (l + b))
+        }
+      }(enc)
+  }
+
   def ewma(df: DataFrame, key: String, orderCols: Seq[String],
       valueCol: String, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")

@@ -122,6 +122,36 @@ class StatefulSpec extends SparkSpec {
       batch(1)._3 == 0.3 * 31.444 + 0.7 * 30.29)
   }
 
+  test("Sessions.holt matches a driver-side fold bit-for-bit; trend locks a line") {
+    import org.apache.spark.sql.functions.col
+    val xs = Seq(3.7, 9.113, 4.77, 12.031, 8.29, 15.444)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("k", "t", "v")
+    val got = graft.operators.Sessions
+      .holt(df, "k", Seq("t"), "v", 0.3, 0.1)
+      .select("t", "level", "trend", "forecast")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    var l = xs.head; var b = 0.0
+    val want = xs.zipWithIndex.map { case (x, i) =>
+      if (i > 0) {
+        val lNew = 0.3 * x + 0.7 * (l + b)
+        b = 0.1 * (lNew - l) + 0.9 * b
+        l = lNew
+      }
+      (i.toLong, l, b, l + b)
+    }
+    assert(got.toSeq == want)
+    // a pure line is eventually tracked: level ~ x, trend ~ slope
+    val line = (0 until 200).map(i => ("k", i.toLong, 2.0 * i + 5.0))
+      .toDF("k", "t", "v")
+    val tail = graft.operators.Sessions
+      .holt(line, "k", Seq("t"), "v", 0.3, 0.1)
+      .filter(col("t") === 199L)
+      .select("level", "trend").as[(Double, Double)].head()
+    assert(math.abs(tail._1 - (2.0 * 199 + 5.0)) < 0.5 &&
+      math.abs(tail._2 - 2.0) < 0.05)
+  }
+
   test("Sessions.ewma restarts per key and rejects null values") {
     import org.apache.spark.sql.functions.col
     val two = graft.operators.Sessions.ewma(
