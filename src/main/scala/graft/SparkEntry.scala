@@ -1905,6 +1905,38 @@ object SparkEntry {
       Aggregates.prCurve(t(s, d, "events"),
         col("event_type") === "purchase", col("value"))),
 
+    "q_gains" -> ((s, d) => {
+      // cumulative gains/lift by score decile: how much of the
+      // positive class the top-k% of scores captures, and the lift
+      // over random targeting. Every ratio divides int64 counts —
+      // exact across engines; the window rides the 10-row bin frame
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, d, "events").select(
+        col("value").as("__v"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("__y"))
+      val cuts = base.agg(expr(
+        s"percentile(__v, array(${(1 to 9).map(_ / 10.0).mkString(",")}))")
+        .as("__cuts"))
+      val bins = base.crossJoin(broadcast(cuts))
+        .withColumn("bin",
+          size(filter(col("__cuts"), c => c < col("__v"))).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
+      val wDesc = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = broadcast(bins.agg(sum(col("n")).as("__N"),
+        sum(col("pos")).as("__P")))
+      bins.crossJoin(tot)
+        .select(col("bin"), col("n"), col("pos"),
+          round(sum(col("n")).over(wDesc).cast("double") / col("__N"), 6)
+            .as("cum_share"),
+          round(sum(col("pos")).over(wDesc).cast("double") / col("__P"), 6)
+            .as("cum_capture"),
+          round((sum(col("pos")).over(wDesc).cast("double") / col("__P")) /
+            (sum(col("n")).over(wDesc).cast("double") / col("__N")), 6)
+            .as("lift"))
+    }),
+
     "q_holt" -> ((s, d) =>
       // per-user Holt level+trend smoothing — the trend-following
       // forecast next to q_ewma's level-only smoother; bit-identical
@@ -4356,6 +4388,30 @@ object SparkEntry {
                 round(2.0 * tp / NULLIF(2 * tp + fp + (np - tp), 0), 6)
                   AS f1
          FROM c CROSS JOIN tot""",
+
+    "q_gains" ->
+      """WITH s AS (
+           SELECT value AS v,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+           FROM events),
+         c AS (
+           SELECT quantile_cont(v,
+             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+           FROM s),
+         b AS (
+           SELECT CAST(len(list_filter(c.cuts, x -> x < v)) AS BIGINT)
+                    AS bin, count(*) AS n, sum(y) AS pos
+           FROM s CROSS JOIN c
+           GROUP BY 1),
+         t AS (SELECT sum(n) AS nn, sum(pos) AS pp FROM b)
+         SELECT bin, n, CAST(pos AS BIGINT) AS pos,
+                round(sum(n) OVER w / (1.0 * nn), 6) AS cum_share,
+                round(sum(pos) OVER w / (1.0 * pp), 6) AS cum_capture,
+                round((sum(pos) OVER w / (1.0 * pp)) /
+                      (sum(n) OVER w / (1.0 * nn)), 6) AS lift
+         FROM b CROSS JOIN t
+         WINDOW w AS (ORDER BY bin DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
 
     "q_holt" ->
       """WITH RECURSIVE base AS (
