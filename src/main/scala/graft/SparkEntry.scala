@@ -1905,6 +1905,13 @@ object SparkEntry {
       Aggregates.prCurve(t(s, d, "events"),
         col("event_type") === "purchase", col("value"))),
 
+    "q_distinctive_terms" -> ((s, d) =>
+      // what vocabulary makes each source different — c-TF-IDF with
+      // each source as one concatenated document; top-3 terms per
+      // source, rounded-then-ranked for cross-engine reproducibility
+      graft.llm.Relevance.distinctiveTerms(
+        t(s, d, "documents"), "source", "text", 3)),
+
     "q_gains" -> ((s, d) => {
       // cumulative gains/lift by score decile: how much of the
       // positive class the top-k% of scores captures, and the lift
@@ -4388,6 +4395,28 @@ object SparkEntry {
                 round(2.0 * tp / NULLIF(2 * tp + fp + (np - tp), 0), 6)
                   AS f1
          FROM c CROSS JOIN tot""",
+
+    "q_distinctive_terms" ->
+      """WITH toks AS (
+           SELECT source, unnest(string_split(lower(text), ' ')) AS w
+           FROM documents),
+         ctf AS (
+           SELECT source, w, count(*) AS tf
+           FROM toks WHERE length(w) > 0 GROUP BY 1, 2),
+         fw AS (SELECT w, sum(tf) AS fwc FROM ctf GROUP BY 1),
+         a AS (
+           SELECT sum(tf) / (1.0 * count(DISTINCT source)) AS avg_class
+           FROM ctf)
+         SELECT source, w AS term,
+                round(tf * ln(1.0 + avg_class / fwc), 6) AS ctfidf,
+                CAST(rank AS INT) AS rank
+         FROM (
+           SELECT source, w, tf, fwc, avg_class,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY round(tf * ln(1.0 + avg_class / fwc), 6)
+                      DESC, w) AS rank
+           FROM ctf JOIN fw USING (w) CROSS JOIN a)
+         WHERE rank <= 3""",
 
     "q_gains" ->
       """WITH s AS (

@@ -52,6 +52,44 @@ object Relevance {
         col("tfidf"), col("rank"))
   }
 
+  /** Distinctive vocabulary per corpus slice — class-based TF-IDF
+    * (the BERTopic c-TF-IDF shape, Grootendorst 2022): each class is
+    * treated as ONE concatenated document, and a term's score in a
+    * class is tf_{w,c} · ln(1 + A / f_w), with A the mean tokens per
+    * class and f_w the term's corpus-wide count. The "what makes this
+    * source/cluster different" labeler that plain per-doc TF-IDF
+    * can't answer.
+    *
+    * Scale shape: one token explode → ONE map-side-combined
+    * (class, term) count; the term-total and class-size frames both
+    * aggregate off that count frame (term- and class-cardinality
+    * sized), and the top-k rides a per-class window over the count
+    * frame. Ranking is on the ROUNDED score (then term asc) — the
+    * [[tfidfTopTerms]] reproducibility discipline, since ln
+    * implementations may differ in the last ulp.
+    * Output: (classCol, term, ctfidf, rank). */
+  def distinctiveTerms(df: DataFrame, classCol: String, textCol: String,
+      k: Int, scale: Int = 6): DataFrame = {
+    val ctf = df.select(col(classCol).as("__c"),
+        explode(Text.tokens(lower(col(textCol)))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("__c"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val fw = ctf.groupBy("w").agg(sum(col("tf")).as("__fw"))
+    val a = ctf.agg((sum(col("tf")).cast("double") /
+      countDistinct(col("__c"))).as("__A"))
+    val w = Window.partitionBy(col("__c"))
+      .orderBy(col("ctfidf").desc, col("w"))
+    ctf.join(fw, "w")
+      .crossJoin(broadcast(a))
+      .withColumn("ctfidf",
+        round(col("tf") * log(lit(1.0) + col("__A") / col("__fw")), scale))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("__c").as(classCol), col("w").as("term"),
+        col("ctfidf"), col("rank"))
+  }
+
   /** BM25 relevance of every matching document for a bag-of-terms
     * query (Robertson/Lucene formulation):
     *

@@ -270,4 +270,24 @@ class TextSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must be map-only:\n$plan")
   }
+
+  test("distinctiveTerms: class-unique vocabulary outranks shared filler") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      ("sports", "the game the match the goal"),
+      ("sports", "the game again"),
+      ("finance", "the market the bond the rates"),
+      ("finance", "the market closes")).toDF("cls", "text")
+    val out = graft.llm.Relevance.distinctiveTerms(docs, "cls", "text", 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(3)))
+    val top = out.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    // the class-exclusive repeated term outranks the corpus-dominant
+    // shared filler: ln damps "the" (f=8) to 4·ln(1+9/8)=3.02 below
+    // game/market 2·ln(1+9/2)=3.41
+    assert(top("sports") == "game" && top("finance") == "market", top)
+    // exactly k rows per class, ranks 1..k
+    assert(out.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(_._3).sorted.toSeq == Seq(1, 2) })
+  }
 }
