@@ -1905,6 +1905,19 @@ object SparkEntry {
       Aggregates.prCurve(t(s, d, "events"),
         col("event_type") === "purchase", col("value"))),
 
+    "q_day_allocation" -> ((s, d) => {
+      // utilization split: session time allocated to the calendar days
+      // each session touches, in exact integer microseconds — the
+      // interval-to-grid allocation every usage/revenue-recognition
+      // rollup needs; map-only explode, one day-level exchange
+      val sess = graft.operators.Sessions.sessionStats(t(s, d, "events"),
+        "user_id", "ts", 21600, Seq(col("event_id")))
+      graft.operators.Sessions.allocateToDays(sess, "sess_start", "sess_end")
+        .groupBy(date_format(col("day"), "yyyy-MM-dd").as("day"))
+        .agg(sum(col("overlap_us")).as("total_us"),
+          count(lit(1)).as("n_sessions"))
+    }),
+
     "q_distinctive_terms" -> ((s, d) =>
       // what vocabulary makes each source different — c-TF-IDF with
       // each source as one concatenated document; top-3 terms per
@@ -4395,6 +4408,40 @@ object SparkEntry {
                 round(2.0 * tp / NULLIF(2 * tp + fp + (np - tp), 0), 6)
                   AS f1
          FROM c CROSS JOIN tot""",
+
+    "q_day_allocation" ->
+      """WITH ev AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+           FROM events),
+         brk AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w))
+                            > 21600
+                       THEN 1 ELSE 0 END AS is_brk
+           FROM ev
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess0 AS (
+           SELECT user_id, ts,
+                  sum(is_brk) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS session_seq
+           FROM brk),
+         sess AS (
+           SELECT user_id, session_seq, min(ts) AS vf, max(ts) AS vt
+           FROM sess0 GROUP BY 1, 2),
+         ser AS (
+           SELECT vf, vt,
+                  unnest(generate_series(date_trunc('day', vf),
+                    date_trunc('day', vt), INTERVAL 1 DAY)) AS day
+           FROM sess)
+         SELECT strftime(day, '%Y-%m-%d') AS day,
+                CAST(sum(epoch_us(least(vt, day + INTERVAL 1 DAY)) -
+                         epoch_us(greatest(vf, day))) AS BIGINT)
+                  AS total_us,
+                count(*) AS n_sessions
+         FROM ser GROUP BY 1""",
 
     "q_distinctive_terms" ->
       """WITH toks AS (

@@ -395,6 +395,30 @@ object Sessions {
     * this exact fold, so all three agree to the last ulp with no
     * rounding tolerance. Null values throw rather than silently
     * corrupting downstream state; filter them first. */
+  /** Interval-to-day allocation: explode each [start, end] interval
+    * onto the calendar days it touches, with the exact microsecond
+    * overlap per day — the utilization / revenue-recognition split
+    * ("how much of each session belongs to each day"). Overlaps are
+    * INTEGER microseconds (unix_micros of clamped bounds), so
+    * downstream sums are exact and engine-independent; a zero-length
+    * interval contributes one day with overlap 0.
+    *
+    * Scale shape: map-only — one `sequence` explode bounded by the
+    * interval's day span (no join against a calendar dim, no
+    * shuffle); the caller's day-level rollup is the only exchange. */
+  def allocateToDays(df: DataFrame, startCol: String,
+      endCol: String): DataFrame = {
+    val s = col(startCol).cast("timestamp")
+    val e = col(endCol).cast("timestamp")
+    df.filter(e >= s)
+      .withColumn("day", explode(sequence(
+        date_trunc("DAY", s), date_trunc("DAY", e),
+        expr("INTERVAL 1 DAY"))))
+      .withColumn("overlap_us",
+        unix_micros(least(e, col("day") + expr("INTERVAL 1 DAY"))) -
+          unix_micros(greatest(s, col("day"))))
+  }
+
   /** Holt double-exponential (level + trend) smoothing — [[ewma]]'s
     * two-state sibling and the trend-following forecaster the
     * seasonal-naive backtest lacks: per key, ordered,

@@ -441,6 +441,32 @@ class SessionsPiiSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9)
   }
 
+  test("allocateToDays: midnight-spanning interval splits exactly, zero-length kept") {
+    import java.sql.Timestamp
+    val df = Seq(
+      // 23:00 -> 01:30 next day: 1h on day 1, 1.5h on day 2
+      (Timestamp.valueOf("2024-03-01 23:00:00"),
+        Timestamp.valueOf("2024-03-02 01:30:00")),
+      // zero-length: one day row, overlap 0
+      (Timestamp.valueOf("2024-03-05 10:00:00"),
+        Timestamp.valueOf("2024-03-05 10:00:00")))
+      .toDF("s", "e")
+    val out = graft.operators.Sessions.allocateToDays(df, "s", "e")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("d"), col("overlap_us"))
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("2024-03-01", 3600L * 1000000),
+      ("2024-03-02", 5400L * 1000000),
+      ("2024-03-05", 0L)))
+    // allocation conserves total duration
+    val total = out.filter(_._1.startsWith("2024-03-0")).map(_._2).sum
+    assert(total == (3600L + 5400L) * 1000000)
+    // map-only: no Exchange in the allocation itself
+    val plan = graft.operators.Sessions.allocateToDays(df, "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("labelPropagation: bridged cliques settle into two communities") {
     // cliques {1,2,3} and {10,11,12} joined by one bridge edge 3-10;
     // 3 synchronous rounds with smallest-label ties must put each
