@@ -454,16 +454,19 @@ object Graph {
       .localCheckpoint(true)
     for (_ <- 1 to iterations) {
       // neighbor labels for node id_a come from id_b's current label;
-      // argmax by (count, smallest label) rides ONE struct max_by —
-      // no window, no per-node sort
+      // argmax by (count, smallest label) rides ONE struct min_by —
+      // no window, no per-node sort. min_by on (−cnt, label), NOT
+      // max_by on (cnt, −label): negating the label would cast
+      // string node ids to null and silently break the documented
+      // smallest-label determinism; counts are always numeric
       val next = sym
         .join(labels.select(col("id").as("id_b"), col("label")),
           Seq("id_b"))
         .groupBy(col("id_a"), col("label"))
         .agg(count(lit(1)).as("__cnt"))
         .groupBy(col("id_a").as("id"))
-        .agg(max_by(col("label"),
-          struct(col("__cnt"), (-col("label")).as("__nl"))).as("label"))
+        .agg(min_by(col("label"),
+          struct((-col("__cnt")).as("__nc"), col("label"))).as("label"))
         .localCheckpoint(true)
       org.apache.spark.sql.graft.Bridge.releaseFrame(labels)
       labels = next

@@ -379,22 +379,6 @@ object Sessions {
         round(sum(col("__v")), scale).as("attributed_value"))
   }
 
-  /** Batch twin of [[graft.streaming.Stateful.ewmaPerSymbol]]: the
-    * exponentially weighted moving average as a per-key ordered scan —
-    * s_1 = x_1, s_t = α·x_t + (1−α)·s_{t−1} — appended as an `ewma`
-    * column, input rows otherwise unchanged.
-    *
-    * The recurrence is genuinely sequential (each output depends on
-    * the previous output), so this is one of the few operators that
-    * drops to mapPartitions: ONE hash shuffle on the key, a
-    * partition-local (key, order) sort, and an O(1)-state single
-    * pass. No windowed closed form reproduces the recurrence
-    * bit-for-bit (a Σ α(1−α)^j x rewrite sums in a different order),
-    * and bit-equality IS the contract here — the DuckDB recursive-CTE
-    * oracle and the streaming mapGroupsWithState operator compute
-    * this exact fold, so all three agree to the last ulp with no
-    * rounding tolerance. Null values throw rather than silently
-    * corrupting downstream state; filter them first. */
   /** Interval-to-day allocation: explode each [start, end] interval
     * onto the calendar days it touches, with the exact microsecond
     * overlap per day — the utilization / revenue-recognition split
@@ -451,7 +435,9 @@ object Sessions {
           if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
             s"holt: null $valueCol for key ${r.get(kIdx)}")
           val k = r.get(kIdx)
-          val x = r.getDouble(vIdx)
+          // Number, not getDouble: int/long/float/decimal value
+          // columns fold without a mid-job ClassCastException
+          val x = r.get(vIdx).asInstanceOf[Number].doubleValue()
           if (!started || k != curKey) {
             curKey = k; started = true; l = x; b = 0.0
           } else {
@@ -464,6 +450,22 @@ object Sessions {
       }(enc)
   }
 
+  /** Batch twin of [[graft.streaming.Stateful.ewmaPerSymbol]]: the
+    * exponentially weighted moving average as a per-key ordered scan —
+    * s_1 = x_1, s_t = α·x_t + (1−α)·s_{t−1} — appended as an `ewma`
+    * column, input rows otherwise unchanged.
+    *
+    * The recurrence is genuinely sequential (each output depends on
+    * the previous output), so this is one of the few operators that
+    * drops to mapPartitions: ONE hash shuffle on the key, a
+    * partition-local (key, order) sort, and an O(1)-state single
+    * pass. No windowed closed form reproduces the recurrence
+    * bit-for-bit (a Σ α(1−α)^j x rewrite sums in a different order),
+    * and bit-equality IS the contract here — the DuckDB recursive-CTE
+    * oracle and the streaming mapGroupsWithState operator compute
+    * this exact fold, so all three agree to the last ulp with no
+    * rounding tolerance. Null values throw rather than silently
+    * corrupting downstream state; filter them first. */
   def ewma(df: DataFrame, key: String, orderCols: Seq[String],
       valueCol: String, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
@@ -483,7 +485,9 @@ object Sessions {
           if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
             s"ewma: null $valueCol for key ${r.get(kIdx)}")
           val k = r.get(kIdx)
-          val x = r.getDouble(vIdx)
+          // Number, not getDouble: int/long/float/decimal value
+          // columns fold without a mid-job ClassCastException
+          val x = r.get(vIdx).asInstanceOf[Number].doubleValue()
           if (!started || k != curKey) { curKey = k; started = true; s = x }
           else s = alpha * x + (1.0 - alpha) * s
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ s)

@@ -482,6 +482,22 @@ class SessionsPiiSpec extends SparkSpec {
     assert(got(1L) != got(10L))
   }
 
+  test("labelPropagation: string node ids keep smallest-label ties") {
+    // a 4-cycle with string ids: every neighborhood is a 2-way tie,
+    // so the result is ENTIRELY tie-breaks — any null-casting in the
+    // tie-break struct would make this nondeterministic
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("id_a", "id_b")
+    val got = graft.operators.Graph.labelPropagation(edges, 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // round 1 (all ties -> smallest neighbor): a:{b,d}->b, b:{a,c}->a,
+    // c:{b,d}->b, d:{c,a}->a
+    // round 2 on (a->b, b->a, c->b, d->a): a:{l(b),l(d)}={a,a}->a,
+    // b:{l(a),l(c)}={b,b}->b, c:{l(b),l(d)}={a,a}->a,
+    // d:{l(c),l(a)}={b,b}->b
+    assert(got == Map("a" -> "a", "b" -> "b", "c" -> "a", "d" -> "b"), got)
+  }
+
   test("labelPropagation is deterministic and direction/dup-insensitive") {
     val e1 = Seq((5L, 6L), (6L, 7L), (7L, 8L)).toDF("id_a", "id_b")
     // reversed directions plus duplicate edges — same graph
