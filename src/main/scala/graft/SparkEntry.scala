@@ -1905,6 +1905,18 @@ object SparkEntry {
       Aggregates.prCurve(t(s, d, "events"),
         col("event_type") === "purchase", col("value"))),
 
+    "q_frequent_triples" -> ((s, d) => {
+      // A-priori frequent brand triples in orders at 0.35% fractional
+      // support — baskets prune to frequent items BEFORE the triple
+      // expansion (downward closure), which is what bounds the
+      // per-basket C(w,3) blowup at scale
+      val bi = t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      Aggregates.frequentTriples(bi, "basket", "item", 0.0035)
+    }),
+
     "q_day_allocation" -> ((s, d) => {
       // utilization split: session time allocated to the calendar days
       // each session touches, in exact integer microseconds — the
@@ -4408,6 +4420,22 @@ object SparkEntry {
                 round(2.0 * tp / NULLIF(2 * tp + fp + (np - tp), 0), 6)
                   AS f1
          FROM c CROSS JOIN tot""",
+
+    "q_frequent_triples" ->
+      """WITH bi AS (
+           SELECT DISTINCT l_orderkey AS b, p_brand AS i
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         thr AS (
+           SELECT CAST(ceil(count(DISTINCT b) * 0.0035) AS BIGINT) AS t
+           FROM bi)
+         SELECT a.i AS item_a, b.i AS item_b, c.i AS item_c,
+                count(*) AS support
+         FROM bi a
+         JOIN bi b ON a.b = b.b AND a.i < b.i
+         JOIN bi c ON a.b = c.b AND b.i < c.i
+         CROSS JOIN thr
+         GROUP BY 1, 2, 3, t
+         HAVING count(*) >= t""",
 
     "q_day_allocation" ->
       """WITH ev AS (

@@ -967,6 +967,50 @@ object Aggregates {
     * ride back as broadcasts. Items should be a bounded vocabulary
     * (brands, categories); for open vocabularies pre-filter to the
     * frequent items first (Apriori's first pass — [[frequentItems]]). */
+  /** Frequent 3-itemsets by the A-priori downward-closure route
+    * (Agrawal & Srikant 1994): items below `minSupport` cannot appear
+    * in any frequent triple, so baskets are PRUNED to frequent items
+    * BEFORE the triple expansion — the difference between C(|basket|,3)
+    * over raw baskets and over their frequent cores, which is what
+    * makes per-basket expansion survive wide baskets at scale (the
+    * level-2 prune — requiring all three pairs frequent — composes the
+    * same way; level 1 alone already bounds the blowup and keeps the
+    * construction oracle-mirrorable).
+    *
+    * Scale shape: one distinct pass, one item-support count, a
+    * broadcast semi-join prune, then two basket-keyed self-joins whose
+    * fan-out is bounded by the PRUNED basket width; one final
+    * map-side-combined triple count. Output: (item_a < item_b <
+    * item_c, support), support >= minSupport. */
+  def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
+      minSupportFraction: Double): DataFrame = {
+    require(minSupportFraction > 0.0 && minSupportFraction <= 1.0)
+    val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    // support threshold as a FRACTION of baskets, not an absolute
+    // count — the mining contract that survives a 100x corpus growth
+    // with the same selectivity
+    val thr = broadcast(bi.agg(
+      ceil(countDistinct(col("__b")) * lit(minSupportFraction))
+        .cast("long").as("__thr")))
+    val freq1 = bi.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+      .crossJoin(thr)
+      .filter(col("__ni") >= col("__thr"))
+      .select(col("__i"))
+    val core = bi.join(broadcast(freq1), Seq("__i"), "left_semi")
+    core.as("a")
+      .join(core.as("b"),
+        col("a.__b") === col("b.__b") && col("a.__i") < col("b.__i"))
+      .join(core.as("c"),
+        col("a.__b") === col("c.__b") && col("b.__i") < col("c.__i"))
+      .groupBy(col("a.__i").as("item_a"), col("b.__i").as("item_b"),
+        col("c.__i").as("item_c"))
+      .agg(count(lit(1)).as("support"))
+      .crossJoin(thr)
+      .filter(col("support") >= col("__thr"))
+      .select(col("item_a"), col("item_b"), col("item_c"), col("support"))
+  }
+
   def basketLift(df: DataFrame, basketCol: String, itemCol: String,
       scale: Int = 6): DataFrame = {
     val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))

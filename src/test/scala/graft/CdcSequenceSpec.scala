@@ -624,6 +624,26 @@ class CdcSequenceSpec extends SparkSpec {
         x.getAs[Long]("fn") + x.getAs[Long]("tn") == 5L))
   }
 
+  test("frequentTriples: downward-closure prune, fractional threshold, exact support") {
+    import graft.operators.Aggregates
+    val bi = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"), (2L, "C"), (2L, "C"), // dup collapses
+      (3L, "A"), (3L, "B"), (3L, "D"),
+      (4L, "E")).toDF("b", "i")
+    // thr = ceil(4 * 0.5) = 2: D and E are infrequent and must be
+    // pruned before expansion; only (A,B,C) reaches support 2
+    val out = Aggregates.frequentTriples(bi, "b", "i", 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getLong(3))).toSeq
+    assert(out == Seq(("A", "B", "C", 2L)), out)
+    // the A-priori item prune is in the plan: a LeftSemi against the
+    // frequent-item frame gates the triple expansion
+    val plan = Aggregates.frequentTriples(bi, "b", "i", 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+  }
+
   test("calibrationBins: a perfectly calibrated score reports its own rate") {
     import graft.operators.Aggregates
     // score == true probability: rows with score s are positive at
