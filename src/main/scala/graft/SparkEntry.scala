@@ -1905,6 +1905,23 @@ object SparkEntry {
       Aggregates.prCurve(t(s, d, "events"),
         col("event_type") === "purchase", col("value"))),
 
+    "q_cuped" -> ((s, d) => {
+      // CUPED on a synthetic split of January: pre-period value sums
+      // (Jan 1-15) as the covariate, experiment-period sums (Jan 16+)
+      // as the metric, arms by user-id parity — how much variance the
+      // pre-period knowledge removes
+      val cut = lit("2024-01-16").cast("timestamp")
+      val units = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          coalesce(sum(when(col("ts").cast("timestamp") < cut,
+            col("value"))), lit(0.0)).as("x"),
+          coalesce(sum(when(col("ts").cast("timestamp") >= cut,
+            col("value"))), lit(0.0)).as("y"))
+      Aggregates.cuped(units, pmod(col("user_id"), lit(2)),
+        col("x"), col("y"))
+    }),
+
     "q_frequent_triples" -> ((s, d) => {
       // A-priori frequent brand triples in orders at 0.35% fractional
       // support — baskets prune to frequent items BEFORE the triple
@@ -4420,6 +4437,38 @@ object SparkEntry {
                 round(2.0 * tp / NULLIF(2 * tp + fp + (np - tp), 0), 6)
                   AS f1
          FROM c CROSS JOIN tot""",
+
+    "q_cuped" ->
+      """WITH units AS (
+           SELECT user_id,
+                  coalesce(sum(CASE WHEN CAST(ts AS TIMESTAMP)
+                    < TIMESTAMP '2024-01-16' THEN value END), 0.0) AS x,
+                  coalesce(sum(CASE WHEN CAST(ts AS TIMESTAMP)
+                    >= TIMESTAMP '2024-01-16' THEN value END), 0.0) AS y,
+                  CAST(user_id % 2 AS INT) AS arm
+           FROM events GROUP BY 1),
+         mom AS (
+           SELECT covar_pop(x, y) AS cxy, var_pop(x) AS vx,
+                  avg(x) AS mx
+           FROM units),
+         adj AS (
+           SELECT arm, y,
+                  CASE WHEN vx > 0 THEN cxy / vx END AS theta,
+                  CASE WHEN vx > 0 THEN y - (cxy / vx) * (x - mx)
+                       ELSE y END AS yadj
+           FROM units CROSS JOIN mom)
+         SELECT count(*) AS n_units,
+                round(any_value(theta), 6) AS theta,
+                round(var_pop(y), 2) AS var_y,
+                round(var_pop(yadj), 2) AS var_adj,
+                round(1.0 - var_pop(yadj) / var_pop(y), 6)
+                  AS var_reduction,
+                round(avg(CASE WHEN arm = 1 THEN y END) -
+                      avg(CASE WHEN arm = 0 THEN y END), 6) AS diff_raw,
+                round(avg(CASE WHEN arm = 1 THEN yadj END) -
+                      avg(CASE WHEN arm = 0 THEN yadj END), 6)
+                  AS diff_cuped
+         FROM adj""",
 
     "q_frequent_triples" ->
       """WITH bi AS (

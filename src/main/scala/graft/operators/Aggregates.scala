@@ -967,6 +967,50 @@ object Aggregates {
     * ride back as broadcasts. Items should be a bounded vocabulary
     * (brands, categories); for open vocabularies pre-filter to the
     * frequent items first (Apriori's first pass — [[frequentItems]]). */
+  /** CUPED variance reduction (Deng et al. 2013): adjust each unit's
+    * experiment metric by its pre-period covariate,
+    * y* = y − θ(x − x̄) with θ = cov(x,y)/var(x), and report the
+    * arm-mean difference before and after adjustment plus the
+    * variance-reduction ratio — the experimentation-platform op that
+    * turns a week of extra data into narrower confidence intervals.
+    * θ is fit POOLED (treatment-blind), the standard unbiased recipe.
+    *
+    * Input is the per-unit frame (unit, arm, covariate x, metric y) —
+    * build it with one grouped pass upstream. Scale shape: one 1-row
+    * co-moment aggregate broadcast back onto the unit frame, one
+    * adjusted aggregate; nothing beyond unit cardinality is ever
+    * shuffled. Output: 1 row (n_units, theta, var_y, var_adj,
+    * var_reduction, diff_raw, diff_cuped); null theta (zero-variance
+    * covariate) passes y through unadjusted. */
+  def cuped(units: DataFrame, armCol: Column, xCol: Column, yCol: Column,
+      scale: Int = 6): DataFrame = {
+    val base = units.select(armCol.cast("int").as("__arm"),
+      xCol.cast("double").as("__x"), yCol.cast("double").as("__y"))
+    val mom = broadcast(base.agg(
+      covar_pop(col("__x"), col("__y")).as("__cxy"),
+      var_pop(col("__x")).as("__vx"),
+      avg(col("__x")).as("__mx")))
+    val adj = base.crossJoin(mom)
+      .withColumn("__theta",
+        when(col("__vx") > 0.0, col("__cxy") / col("__vx")))
+      .withColumn("__yadj",
+        when(col("__theta").isNotNull,
+          col("__y") - col("__theta") * (col("__x") - col("__mx")))
+          .otherwise(col("__y")))
+    adj.agg(
+      count(lit(1)).as("n_units"),
+      round(first(col("__theta")), scale).as("theta"),
+      round(var_pop(col("__y")), 2).as("var_y"),
+      round(var_pop(col("__yadj")), 2).as("var_adj"),
+      round(lit(1.0) - var_pop(col("__yadj")) / var_pop(col("__y")),
+        scale).as("var_reduction"),
+      round(avg(when(col("__arm") === 1, col("__y"))) -
+        avg(when(col("__arm") === 0, col("__y"))), scale).as("diff_raw"),
+      round(avg(when(col("__arm") === 1, col("__yadj"))) -
+        avg(when(col("__arm") === 0, col("__yadj"))), scale)
+        .as("diff_cuped"))
+  }
+
   /** Frequent 3-itemsets by the A-priori downward-closure route
     * (Agrawal & Srikant 1994): items below `minSupport` cannot appear
     * in any frequent triple, so baskets are PRUNED to frequent items

@@ -624,6 +624,30 @@ class CdcSequenceSpec extends SparkSpec {
         x.getAs[Long]("fn") + x.getAs[Long]("tn") == 5L))
   }
 
+  test("cuped: a perfectly predictive covariate leaves only the arm effect") {
+    import graft.operators.Aggregates
+    // y = 3x + arm, with x chosen orthogonal to arm: theta must
+    // recover 3, adjustment strips all covariate variance, and the
+    // CUPED diff equals the true effect 1.0
+    val units = Seq((1.0, 0), (2.0, 1), (3.0, 1), (4.0, 0))
+      .map { case (x, a) => (a, x, 3.0 * x + a) }
+      .toDF("arm", "x", "y")
+    val r = Aggregates.cuped(units, col("arm"), col("x"), col("y"))
+      .collect().head
+    assert(r.getAs[Long]("n_units") == 4L)
+    assert(math.abs(r.getAs[Double]("theta") - 3.0) < 1e-9)
+    assert(r.getAs[Double]("var_adj") == 0.25) // var of the arm bits
+    assert(math.abs(r.getAs[Double]("diff_cuped") - 1.0) < 1e-9)
+    // var(y) = 9*var(x) + var(arm) = 9*1.25 + 0.25 = 11.5
+    assert(r.getAs[Double]("var_y") == 11.5)
+    // degenerate covariate: theta null, metric passes through
+    val flat = Seq((0, 1.0, 5.0), (1, 1.0, 7.0)).toDF("arm", "x", "y")
+    val fr = Aggregates.cuped(flat, col("arm"), col("x"), col("y"))
+      .collect().head
+    assert(fr.isNullAt(fr.fieldIndex("theta")))
+    assert(fr.getAs[Double]("diff_cuped") == 2.0)
+  }
+
   test("frequentTriples: downward-closure prune, fractional threshold, exact support") {
     import graft.operators.Aggregates
     val bi = Seq(
