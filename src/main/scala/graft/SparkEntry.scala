@@ -1905,6 +1905,28 @@ object SparkEntry {
       Aggregates.prCurve(t(s, d, "events"),
         col("event_type") === "purchase", col("value"))),
 
+    "q_entity_resolution" -> ((s, d) => {
+      // MDM-style entity resolution, three operators composed: blocked
+      // edit-distance match edges (fuzzyPairs) -> exact transitive
+      // closure (connectedComponents) -> survivorship (golden record =
+      // longest text, ties to the smallest id). Only merged entities
+      // (>= 2 members) are emitted — the singleton tail stays put.
+      val docs = t(s, d, "documents")
+        .filter(substring(col("text"), 1, 40).rlike("^[ -~]*$"))
+      val edges = graft.operators.Joins.fuzzyPairs(docs, "doc_id", "text")
+        .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+      graft.operators.Graph.connectedComponents(
+          docs.select(col("doc_id").as("id")), edges)
+        .join(docs.select(col("doc_id").as("id"), col("n_chars")),
+          Seq("id"))
+        .groupBy(col("component_id").as("entity_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min_by(col("id"), struct((-col("n_chars")).as("__nc"),
+            col("id"))).as("golden_doc"),
+          sum(col("n_chars")).as("total_chars"))
+        .filter(col("n_members") >= 2)
+    }),
+
     "q_cuped" -> ((s, d) => {
       // CUPED on a synthetic split of January: pre-period value sums
       // (Jan 1-15) as the covariate, experiment-period sums (Jan 16+)
@@ -4437,6 +4459,42 @@ object SparkEntry {
                 round(2.0 * tp / NULLIF(2 * tp + fp + (np - tp), 0), 6)
                   AS f1
          FROM c CROSS JOIN tot""",
+
+    "q_entity_resolution" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id AS id, substr(text, 1, 40) AS pfx,
+                  substr(text, 1, 6) AS blk,
+                  CAST(floor(length(text) / 16) AS BIGINT) AS lb,
+                  n_chars
+           FROM documents
+           WHERE regexp_matches(substr(text, 1, 40), '^[ -~]*$')),
+         pairs AS (
+           SELECT a.id AS id_a, b.id AS id_b
+           FROM base a JOIN base b ON a.blk = b.blk AND a.lb = b.lb
+             AND a.id < b.id
+           WHERE levenshtein(a.pfx, b.pfx) <= 5),
+         edges AS (
+           SELECT id_a, id_b FROM pairs
+           UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (
+           SELECT id AS src, id AS dst FROM base
+           UNION
+           SELECT r.src, e.id_b FROM reach r JOIN edges e
+             ON e.id_a = r.dst),
+         comp AS (
+           SELECT src AS id, min(dst) AS entity_id FROM reach GROUP BY 1),
+         m AS (
+           SELECT c.entity_id, b.id, b.n_chars,
+                  row_number() OVER (PARTITION BY c.entity_id
+                    ORDER BY b.n_chars DESC, b.id) AS rk
+           FROM comp c JOIN base b ON b.id = c.id)
+         SELECT CAST(entity_id AS BIGINT) AS entity_id,
+                count(*) AS n_members,
+                CAST(min(CASE WHEN rk = 1 THEN id END) AS BIGINT)
+                  AS golden_doc,
+                CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM m GROUP BY 1
+         HAVING count(*) >= 2""",
 
     "q_cuped" ->
       """WITH units AS (
