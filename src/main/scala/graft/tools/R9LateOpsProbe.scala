@@ -104,6 +104,17 @@ object R9LateOpsProbe {
             .orderBy(col("revenue").desc, col("l_partkey"))))
           .filter(col("__rk") <= 3)
       }
+      time(s"frequentTriples $tag") {
+        // brand baskets; replicas shift l_orderkey so basket counts
+        // scale 10x while the item vocabulary stays 25 brands
+        val bi = li.join(
+            Tables.load(spark, "/root/testdata/sf0.1", "part")
+              .select("p_partkey", "p_brand"),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+        graft.operators.Aggregates.frequentTriples(
+          bi, "basket", "item", 0.0035)
+      }
       // LPA on the urgent co-purchase graph (edge build dominates)
       time(s"labelPropagation $tag") {
         val ur = Tables.load(spark, "/root/testdata/sf0.1", "orders")
