@@ -1912,7 +1912,7 @@ object SparkEntry {
       // longest text, ties to the smallest id). Only merged entities
       // (>= 2 members) are emitted — the singleton tail stays put.
       val docs = t(s, d, "documents")
-        .filter(substring(col("text"), 1, 40).rlike("^[ -~]*$"))
+        .filter(substring(col("text"), 1, 40).rlike("^[ -~]*\\z"))
       val edges = graft.operators.Joins.fuzzyPairs(docs, "doc_id", "text")
         .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
       graft.operators.Graph.connectedComponents(
@@ -2337,10 +2337,13 @@ object SparkEntry {
       // 40-char prefixes. ASCII-prefix docs only — Spark's levenshtein
       // counts CODEPOINTS, DuckDB's counts BYTES, and the two agree
       // exactly on the ASCII plane (every planted near-dup pair
-      // survives the filter at both graded scales)
+      // survives the filter at both graded scales). \z not $: Java's
+      // $ matches before a trailing newline, RE2's does not — the
+      // absolute anchor keeps both engines gating identical docs
+      // even if the corpus gains newline-terminated text
       graft.operators.Joins.fuzzyPairs(
         t(s, d, "documents")
-          .filter(substring(col("text"), 1, 40).rlike("^[ -~]*$")),
+          .filter(substring(col("text"), 1, 40).rlike("^[ -~]*\\z")),
         "doc_id", "text")),
 
     "q_depth_histogram" -> ((s, d) =>

@@ -954,19 +954,6 @@ object Aggregates {
       .withColumn("pass", col("rel_err") <= col("max_rel_err"))
   }
 
-  /** Market-basket pair analysis: for every co-occurring item pair,
-    * the basket counts and the SUPPORT (P(a,b)) and LIFT
-    * (P(a,b)/(P(a)P(b))) association metrics — "bought X, also bought
-    * Y" and its statistical strength (lift > 1 = genuinely
-    * associated, not just both popular).
-    *
-    * Scale shape: one distinct pass to (basket, item), a self-join
-    * keyed on basket (per-basket fan-out bounded by basket size
-    * squared — the inherent pair cost), then an item²-bounded pair
-    * aggregate. Per-item basket counts and the global basket count
-    * ride back as broadcasts. Items should be a bounded vocabulary
-    * (brands, categories); for open vocabularies pre-filter to the
-    * frequent items first (Apriori's first pass — [[frequentItems]]). */
   /** CUPED variance reduction (Deng et al. 2013): adjust each unit's
     * experiment metric by its pre-period covariate,
     * y* = y − θ(x − x̄) with θ = cov(x,y)/var(x), and report the
@@ -1002,7 +989,10 @@ object Aggregates {
       round(first(col("__theta")), scale).as("theta"),
       round(var_pop(col("__y")), 2).as("var_y"),
       round(var_pop(col("__yadj")), 2).as("var_adj"),
-      round(lit(1.0) - var_pop(col("__yadj")) / var_pop(col("__y")),
+      // guard-the-divisor (ANSI throws on ratio /0): a zero-variance
+      // metric reports null reduction, not a crash
+      round(lit(1.0) - var_pop(col("__yadj")) /
+        when(var_pop(col("__y")) > 0.0, var_pop(col("__y"))),
         scale).as("var_reduction"),
       round(avg(when(col("__arm") === 1, col("__y"))) -
         avg(when(col("__arm") === 0, col("__y"))), scale).as("diff_raw"),
@@ -1029,8 +1019,13 @@ object Aggregates {
   def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
       minSupportFraction: Double): DataFrame = {
     require(minSupportFraction > 0.0 && minSupportFraction <= 1.0)
+    // materialized ONCE: both the threshold aggregate and the
+    // frequent-item count aggregate read this frame, and the triple
+    // expansion joins it three ways — without the checkpoint each
+    // consumer re-runs the distinct shuffle
     val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .distinct()
+      .localCheckpoint(true)
     // support threshold as a FRACTION of baskets, not an absolute
     // count — the mining contract that survives a 100x corpus growth
     // with the same selectivity
@@ -1055,6 +1050,19 @@ object Aggregates {
       .select(col("item_a"), col("item_b"), col("item_c"), col("support"))
   }
 
+  /** Market-basket pair analysis: for every co-occurring item pair,
+    * the basket counts and the SUPPORT (P(a,b)) and LIFT
+    * (P(a,b)/(P(a)P(b))) association metrics — "bought X, also bought
+    * Y" and its statistical strength (lift > 1 = genuinely
+    * associated, not just both popular).
+    *
+    * Scale shape: one distinct pass to (basket, item), a self-join
+    * keyed on basket (per-basket fan-out bounded by basket size
+    * squared — the inherent pair cost), then an item²-bounded pair
+    * aggregate. Per-item basket counts and the global basket count
+    * ride back as broadcasts. Items should be a bounded vocabulary
+    * (brands, categories); for open vocabularies pre-filter to the
+    * frequent items first (Apriori's first pass — [[frequentItems]]). */
   def basketLift(df: DataFrame, basketCol: String, itemCol: String,
       scale: Int = 6): DataFrame = {
     val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))

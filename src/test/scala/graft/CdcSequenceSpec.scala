@@ -646,6 +646,12 @@ class CdcSequenceSpec extends SparkSpec {
       .collect().head
     assert(fr.isNullAt(fr.fieldIndex("theta")))
     assert(fr.getAs[Double]("diff_cuped") == 2.0)
+    // zero-variance metric: var_reduction is null, not a
+    // DIVIDE_BY_ZERO crash under ANSI
+    val samey = Seq((0, 1.0, 5.0), (1, 2.0, 5.0)).toDF("arm", "x", "y")
+    val sr = Aggregates.cuped(samey, col("arm"), col("x"), col("y"))
+      .collect().head
+    assert(sr.isNullAt(sr.fieldIndex("var_reduction")))
   }
 
   test("frequentTriples: downward-closure prune, fractional threshold, exact support") {
