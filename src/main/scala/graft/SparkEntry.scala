@@ -1905,6 +1905,14 @@ object SparkEntry {
       Aggregates.prCurve(t(s, d, "events"),
         col("event_type") === "purchase", col("value"))),
 
+    "q_nelson_aalen" -> ((s, d) =>
+      // cumulative-hazard companion to q_kaplan_meier over the same
+      // risk table: H(t) = sum d/n, survival exp(-H) — the running
+      // sum is t-ordered so both engines add identical terms in
+      // identical order
+      graft.operators.Sessions.nelsonAalen(t(s, d, "events"),
+        "user_id", "ts", 3)),
+
     "q_entity_resolution" -> ((s, d) => {
       // MDM-style entity resolution, three operators composed: blocked
       // edit-distance match edges (fuzzyPairs) -> exact transitive
@@ -4462,6 +4470,34 @@ object SparkEntry {
                 round(2.0 * tp / NULLIF(2 * tp + fp + (np - tp), 0), 6)
                   AS f1
          FROM c CROSS JOIN tot""",
+
+    "q_nelson_aalen" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events),
+         u AS (SELECT user_id, min(ts) AS f, max(ts) AS l
+               FROM events GROUP BY 1),
+         lab AS (
+           SELECT CAST(CAST(l AS DATE) - CAST(f AS DATE) AS INT) AS t,
+                  CASE WHEN l < (SELECT m FROM mx) - INTERVAL 3 DAY
+                    THEN 1 ELSE 0 END AS churn
+           FROM u),
+         g AS (
+           SELECT t, CAST(sum(churn) AS BIGINT) AS n_events,
+                  CAST(sum(1 - churn) AS BIGINT) AS n_censored
+           FROM lab GROUP BY 1),
+         r AS (
+           SELECT t, n_events, n_censored,
+                  (SELECT count(*) FROM lab) -
+                    coalesce(sum(n_events + n_censored) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS n_risk
+           FROM g)
+         SELECT t AS lifetime_days, n_risk, n_events, n_censored,
+                round(sum(CAST(n_events AS DOUBLE) / n_risk) OVER w, 6)
+                  AS cum_hazard,
+                round(exp(-sum(CAST(n_events AS DOUBLE) / n_risk)
+                  OVER w), 6) AS na_survival
+         FROM r WINDOW w AS (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
 
     "q_entity_resolution" ->
       """WITH RECURSIVE base AS (

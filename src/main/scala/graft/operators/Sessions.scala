@@ -290,6 +290,55 @@ object Sessions {
       .agg(countDistinct(col("__k")).as("active_keys"))
   }
 
+  /** Shared survival risk table for [[kaplanMeier]] / [[nelsonAalen]]:
+    * per lifetime-day (t, n_events, n_censored, n_risk) from each
+    * key's (first, last) activity span with right-censoring inside
+    * `censorDays` of the corpus horizon. */
+  private def riskTable(df: DataFrame, key: String, ts: String,
+      censorDays: Int): DataFrame = {
+    val mx = broadcast(df.agg(max(col(ts)).as("__mx")))
+    val u = df.groupBy(col(key))
+      .agg(min(col(ts)).as("__fst"), max(col(ts)).as("__lst"))
+    val lab = u.crossJoin(mx).select(
+      datediff(to_date(col("__lst")), to_date(col("__fst"))).as("t"),
+      when(col("__lst") < col("__mx") -
+        expr(s"INTERVAL $censorDays DAYS"), 1).otherwise(0).as("__churn"))
+    val g = lab.groupBy(col("t"))
+      .agg(sum(col("__churn")).cast("long").as("n_events"),
+        sum(lit(1) - col("__churn")).cast("long").as("n_censored"))
+    val total = broadcast(lab.agg(count(lit(1)).as("__N")))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.crossJoin(total)
+      .withColumn("n_risk", col("__N") -
+        coalesce(sum(col("n_events") + col("n_censored")).over(wPrev),
+          lit(0L)))
+      .drop("__N")
+  }
+
+  /** Nelson–Aalen cumulative hazard over the same activity-lifetime
+    * frame as [[kaplanMeier]]: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ, plus the
+    * Fleming–Harrington survival exp(−H). The hazard ACCUMULATES where
+    * KM multiplies — better-behaved in small risk sets, and its
+    * increments are the per-day hazard rates a churn model consumes.
+    * The running sum is window-ordered by t, so both engines add the
+    * identical terms in the identical order. */
+  def nelsonAalen(df: DataFrame, key: String, ts: String,
+      censorDays: Int = 3, scale: Int = 6): DataFrame = {
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    riskTable(df, key, ts, censorDays)
+      .withColumn("cum_hazard",
+        round(sum(col("n_events").cast("double") / col("n_risk"))
+          .over(wCum), scale))
+      .withColumn("na_survival",
+        round(exp(-sum(col("n_events").cast("double") / col("n_risk"))
+          .over(wCum)), scale))
+      .select(col("t").as("lifetime_days"), col("n_risk"),
+        col("n_events"), col("n_censored"), col("cum_hazard"),
+        col("na_survival"))
+  }
+
   /** Kaplan-Meier survival estimate over per-key activity lifetimes:
     * lifetime = calendar days between a key's first and last event;
     * keys last seen within `censorDays` of the corpus end are
@@ -309,25 +358,9 @@ object Sessions {
     * DuckDB). */
   def kaplanMeier(df: DataFrame, key: String, ts: String,
       censorDays: Int = 3, scale: Int = 6): DataFrame = {
-    val mx = broadcast(df.agg(max(col(ts)).as("__mx")))
-    val u = df.groupBy(col(key))
-      .agg(min(col(ts)).as("__fst"), max(col(ts)).as("__lst"))
-    val lab = u.crossJoin(mx).select(
-      datediff(to_date(col("__lst")), to_date(col("__fst"))).as("t"),
-      when(col("__lst") < col("__mx") -
-        expr(s"INTERVAL $censorDays DAYS"), 1).otherwise(0).as("__churn"))
-    val g = lab.groupBy(col("t"))
-      .agg(sum(col("__churn")).cast("long").as("n_events"),
-        sum(lit(1) - col("__churn")).cast("long").as("n_censored"))
-    val total = broadcast(lab.agg(count(lit(1)).as("__N")))
-    val wPrev = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    g.crossJoin(total)
-      .withColumn("n_risk", col("__N") -
-        coalesce(sum(col("n_events") + col("n_censored")).over(wPrev),
-          lit(0L)))
+    riskTable(df, key, ts, censorDays)
       .withColumn("__f",
         lit(1.0) - col("n_events").cast("double") / col("n_risk"))
       .withColumn("__zero",

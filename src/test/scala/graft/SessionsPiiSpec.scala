@@ -784,6 +784,16 @@ class SessionsPiiSpec extends SparkSpec {
     assert(out(1) == (3L, 1L, 0L, 0.5))
     assert(out(10) == (2L, 0L, 1L, 0.5))
     assert(out(18) == (1L, 0L, 1L, 0.5))
+    // Nelson-Aalen over the SAME risk table: H accumulates d/n in
+    // t-order — H(0)=1/4, H(1)=1/4+1/3; censored rows hold H
+    val na = Sessions.nelsonAalen(df, "user_id", "t", censorDays = 3)
+      .collect().map(r => r.getAs[Int]("lifetime_days") ->
+        (r.getAs[Double]("cum_hazard"), r.getAs[Double]("na_survival")))
+      .toMap
+    assert(na(0) == (0.25, math.rint(math.exp(-0.25) * 1e6) / 1e6))
+    val h1 = 0.25 + 1.0 / 3
+    assert(na(1)._1 == math.rint(h1 * 1e6) / 1e6)
+    assert(na(18) == na(1))
   }
 
   test("zorderBy preserves rows exactly (layout only)") {
