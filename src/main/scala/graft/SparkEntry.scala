@@ -1905,6 +1905,14 @@ object SparkEntry {
       Aggregates.prCurve(t(s, d, "events"),
         col("event_type") === "purchase", col("value"))),
 
+    "q_seasonal_decompose" -> ((s, d) =>
+      // classical additive decomposition of daily event value:
+      // centered 7-day MA trend, zero-centered weekly seasonal from
+      // phase means, remainder — daily sums rounded ONCE so both
+      // engines derive from identical doubles
+      Aggregates.seasonalDecompose(t(s, d, "events"),
+        col("ts").cast("timestamp"), col("value"))),
+
     "q_nelson_aalen" -> ((s, d) =>
       // cumulative-hazard companion to q_kaplan_meier over the same
       // risk table: H(t) = sum d/n, survival exp(-H) — the running
@@ -4470,6 +4478,27 @@ object SparkEntry {
                 round(2.0 * tp / NULLIF(2 * tp + fp + (np - tp), 0), 6)
                   AS f1
          FROM c CROSS JOIN tot""",
+
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS day, round(sum(value), 6) AS y
+           FROM events GROUP BY 1),
+         d0 AS (SELECT min(day) AS a FROM daily),
+         detr AS (
+           SELECT day, y,
+                  avg(y) OVER (ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+                  y - avg(y) OVER (ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS dd,
+                  CAST(day - (SELECT a FROM d0) AS INT) % 7 AS phase
+           FROM daily),
+         pm AS (SELECT phase, avg(dd) AS praw FROM detr GROUP BY 1),
+         ctr AS (SELECT avg(praw) AS c FROM pm)
+         SELECT strftime(day, '%Y-%m-%d') AS day, y,
+                round(trend, 6) AS trend,
+                round(praw - c, 6) AS seasonal,
+                round(dd - (praw - c), 6) AS remainder
+         FROM detr JOIN pm USING (phase) CROSS JOIN ctr""",
 
     "q_nelson_aalen" ->
       """WITH mx AS (SELECT max(ts) AS m FROM events),

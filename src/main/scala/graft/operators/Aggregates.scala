@@ -954,6 +954,48 @@ object Aggregates {
       .withColumn("pass", col("rel_err") <= col("max_rel_err"))
   }
 
+  /** Additive seasonal decomposition of a daily series (the classical
+    * decompose / STL-lite shape): y = trend + seasonal + remainder,
+    * with trend a centered `period`-day moving average, seasonal the
+    * per-phase mean of the detrended series re-centered to sum to
+    * zero, and remainder what's left. The "is this spike real or just
+    * Saturday" separation a drift monitor needs before alerting.
+    *
+    * Engine-portability: the daily sums are rounded ONCE up front, so
+    * every downstream mean/difference is derived from identical
+    * doubles in both engines; the phase index is pure day arithmetic
+    * ((day − first day) mod period), never a locale-dependent
+    * weekday function. Scale shape: rows collapse to the
+    * DAY-cardinality frame in one map-side-combined pass; the trend
+    * window, the phase means (period-sized), and the re-centering
+    * 1-row mean all ride that bounded frame. */
+  def seasonalDecompose(df: DataFrame, tsCol: Column, valueCol: Column,
+      period: Int = 7, scale: Int = 6): DataFrame = {
+    require(period > 1)
+    val half = period / 2
+    val daily = df.groupBy(to_date(tsCol).as("day"))
+      .agg(round(sum(valueCol), scale).as("y"))
+    val wTrend = Window.orderBy(col("day")).rowsBetween(-half, half)
+    val anchor = broadcast(daily.agg(min(col("day")).as("__d0")))
+    val detr = daily.crossJoin(anchor)
+      .withColumn("__trend", avg(col("y")).over(wTrend))
+      .withColumn("__detr", col("y") - col("__trend"))
+      .withColumn("__phase",
+        pmod(datediff(col("day"), col("__d0")), lit(period)))
+    val phaseMeans = detr.groupBy(col("__phase"))
+      .agg(avg(col("__detr")).as("__praw"))
+    val center = broadcast(phaseMeans.agg(avg(col("__praw")).as("__c")))
+    detr
+      .join(broadcast(phaseMeans), Seq("__phase"))
+      .crossJoin(center)
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("y"),
+        round(col("__trend"), scale).as("trend"),
+        round(col("__praw") - col("__c"), scale).as("seasonal"),
+        round(col("__detr") - (col("__praw") - col("__c")), scale)
+          .as("remainder"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013): adjust each unit's
     * experiment metric by its pre-period covariate,
     * y* = y − θ(x − x̄) with θ = cov(x,y)/var(x), and report the

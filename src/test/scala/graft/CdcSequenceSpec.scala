@@ -624,6 +624,34 @@ class CdcSequenceSpec extends SparkSpec {
         x.getAs[Long]("fn") + x.getAs[Long]("tn") == 5L))
   }
 
+  test("seasonalDecompose: a pure weekly signal lands in seasonal, not remainder") {
+    import graft.operators.Aggregates
+    import java.sql.Timestamp
+    val s = Seq(7.0, -7.0, 3.0, -3.0, 5.0, -5.0, 0.0) // sums to 0
+    val df = (0 until 28).map { i =>
+      (Timestamp.valueOf(f"2024-02-${i + 1}%02d 10:00:00"),
+        100.0 + s(i % 7))
+    }.toDF("t", "v")
+    val out = Aggregates.seasonalDecompose(df, col("t"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // interior days: the centered 7-day MA is exactly the base level,
+    // the weekly pattern lands fully in seasonal, remainder ~ 0
+    (4 to 25).foreach { d =>
+      val (trend, seas, rem) = out(f"2024-02-$d%02d")
+      assert(trend == 100.0, s"day $d trend $trend")
+      assert(math.abs(seas - s((d - 1) % 7)) < 1.0, s"day $d seas $seas")
+      assert(math.abs(rem) < 1.0, s"day $d rem $rem")
+    }
+    // decomposition is exact by construction: y = trend+seasonal+rem
+    val rows = Aggregates.seasonalDecompose(df, col("t"), col("v"))
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) -
+        (r.getDouble(2) + r.getDouble(3) + r.getDouble(4))) < 1e-5)
+    }
+  }
+
   test("cuped: a perfectly predictive covariate leaves only the arm effect") {
     import graft.operators.Aggregates
     // y = 3x + arm, with x chosen orthogonal to arm: theta must
