@@ -1921,6 +1921,57 @@ object SparkEntry {
       graft.operators.Sessions.nelsonAalen(t(s, d, "events"),
         "user_id", "ts", 3)),
 
+    "q_theil_sen" -> ((s, d) =>
+      // robust trend of daily order revenue: median pairwise slope —
+      // the calendar-bounded pair fan-out a bad day cannot drag
+      Aggregates.theilSen(t(s, d, "orders"), "o_orderdate",
+        "o_totalprice")),
+
+    "q_mann_kendall" -> ((s, d) =>
+      // monotonic-trend significance over the same daily frame:
+      // tie-corrected S statistic + continuity-corrected z
+      Aggregates.mannKendall(t(s, d, "orders"), "o_orderdate",
+        "o_totalprice")),
+
+    "q_price_elasticity" -> ((s, d) =>
+      // log-log demand regression per brand: slope of ln(qty) on
+      // ln(unit price) from pop moments in one hash aggregate
+      Aggregates.olsByGroup(
+        t(s, d, "lineitem")
+          .join(broadcast(t(s, d, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+            col("l_partkey") === col("p_partkey"))
+          .withColumn("unit_price",
+            col("l_extendedprice") / col("l_quantity")),
+        Seq("p_brand"), "unit_price", "l_quantity",
+        logX = true, logY = true)),
+
+    "q_demand_classes" -> ((s, d) =>
+      // XYZ demand-variability classes per part from weekly-qty CV —
+      // the planning-stability twin of q_pareto_class's ABC
+      Aggregates.xyzClasses(t(s, d, "lineitem"), "l_partkey",
+        "l_shipdate", "l_quantity")),
+
+    "q_rfm_segments" -> ((s, d) =>
+      // RFM quintile segmentation — scores are exact distributed
+      // NTILE(5) via the bucketed-rank decomposition, no
+      // single-partition window
+      Aggregates.rfmSegments(t(s, d, "orders"), "o_custkey",
+        "o_orderdate", "o_totalprice")),
+
+    "q_interarrival" -> ((s, d) =>
+      // per-customer order cadence: mean gap, CV and Goh–Barabási
+      // burstiness from one lag window + one aggregate
+      graft.operators.Sessions.interArrival(t(s, d, "orders"),
+        "o_custkey", "o_orderdate")),
+
+    "q_cohort_ltv" -> ((s, d) =>
+      // cohort lifetime-value curve: first-order-month cohorts,
+      // monthly revenue, cumulative LTV per member over the
+      // calendar-bounded (cohort x age) frame
+      graft.operators.Sessions.cohortLtv(t(s, d, "orders"),
+        "o_custkey", "o_orderdate", "o_totalprice")),
+
     "q_entity_resolution" -> ((s, d) => {
       // MDM-style entity resolution, three operators composed: blocked
       // edit-distance match edges (fuzzyPairs) -> exact transitive
@@ -4527,6 +4578,186 @@ object SparkEntry {
                   OVER w), 6) AS na_survival
          FROM r WINDOW w AS (ORDER BY t
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
+    "q_theil_sen" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS d,
+                  round(sum(o_totalprice), 6) AS v
+           FROM orders GROUP BY 1),
+         dd AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01', d) AS DOUBLE)
+                    AS x, v
+           FROM daily),
+         p AS (
+           SELECT (b.v - a.v) / (b.x - a.x) AS s
+           FROM dd a JOIN dd b ON b.x > a.x),
+         m AS (SELECT median(s) AS m, count(*) AS n_pairs FROM p)
+         SELECT round(m.m, 6) AS slope_per_day,
+                round((SELECT median(v - m.m * x) FROM dd), 6)
+                  AS intercept,
+                (SELECT count(*) FROM dd) AS n_days,
+                m.n_pairs AS n_pairs
+         FROM m""",
+
+    "q_mann_kendall" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS d,
+                  round(sum(o_totalprice), 6) AS v
+           FROM orders GROUP BY 1),
+         dd AS (
+           SELECT date_diff('day', DATE '1970-01-01', d) AS x, v
+           FROM daily),
+         s AS (
+           SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1
+                                WHEN b.v < a.v THEN -1
+                                ELSE 0 END) AS BIGINT) AS s_stat
+           FROM dd a JOIN dd b ON b.x > a.x),
+         tg AS (SELECT v, count(*) AS t FROM daily GROUP BY 1),
+         tc AS (
+           SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+             AS BIGINT) AS tc
+           FROM tg),
+         n AS (SELECT count(*) AS n FROM daily),
+         vs AS (
+           SELECT CAST(n.n * (n.n - 1) * (2 * n.n + 5) - tc.tc
+                    AS DOUBLE) / 18.0 AS vs,
+                  n.n AS n
+           FROM n CROSS JOIN tc),
+         z AS (
+           SELECT s.s_stat, vs.n, vs.vs,
+                  CASE WHEN vs.vs <= 0 THEN 0.0
+                       WHEN s.s_stat > 0
+                         THEN CAST(s.s_stat - 1 AS DOUBLE) / sqrt(vs.vs)
+                       WHEN s.s_stat < 0
+                         THEN CAST(s.s_stat + 1 AS DOUBLE) / sqrt(vs.vs)
+                       ELSE 0.0 END AS z
+           FROM s CROSS JOIN vs)
+         SELECT s_stat, n AS n_days, round(vs, 6) AS var_s,
+                round(z, 6) AS z,
+                CASE WHEN vs > 0 AND z > 1.96 THEN 'increasing'
+                     WHEN vs > 0 AND z < -1.96 THEN 'decreasing'
+                     ELSE 'none' END AS trend
+         FROM z""",
+
+    "q_price_elasticity" ->
+      """WITH j AS (
+           SELECT p_brand,
+                  ln(l_extendedprice / l_quantity) AS x,
+                  ln(l_quantity) AS y
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_extendedprice / l_quantity > 0 AND l_quantity > 0)
+         SELECT p_brand, count(*) AS n,
+                round(covar_pop(y, x) /
+                  (CASE WHEN var_pop(x) <> 0 THEN var_pop(x) END), 6)
+                  AS slope,
+                round(avg(y) - (covar_pop(y, x) /
+                  (CASE WHEN var_pop(x) <> 0 THEN var_pop(x) END))
+                  * avg(x), 6) AS intercept,
+                round((covar_pop(y, x) * covar_pop(y, x)) /
+                  (CASE WHEN var_pop(x) * var_pop(y) <> 0
+                     THEN var_pop(x) * var_pop(y) END), 6) AS r2
+         FROM j GROUP BY 1""",
+
+    "q_demand_classes" ->
+      """WITH w AS (
+           SELECT l_partkey AS k, date_trunc('week', l_shipdate) AS wk,
+                  sum(l_quantity) AS q
+           FROM lineitem GROUP BY 1, 2),
+         pk AS (
+           SELECT k, count(*) AS nw, avg(q) AS mu,
+                  stddev_samp(q) AS sd, sum(q) AS tot
+           FROM w GROUP BY 1),
+         cl AS (
+           SELECT CASE WHEN sd / mu <= 0.5 THEN 'X'
+                       WHEN sd / mu <= 1.0 THEN 'Y'
+                       ELSE 'Z' END AS xyz_class,
+                  sd / mu AS cv, tot
+           FROM pk WHERE nw >= 2 AND mu <> 0)
+         SELECT xyz_class, count(*) AS n_keys,
+                round(avg(cv), 6) AS avg_cv,
+                round(sum(tot), 2) AS total_qty
+         FROM cl GROUP BY 1""",
+
+    "q_rfm_segments" ->
+      """WITH mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS md
+                     FROM orders),
+         pc AS (
+           SELECT o_custkey AS c,
+                  date_diff('day', CAST(max(o_orderdate) AS DATE),
+                    (SELECT md FROM mx)) AS recency,
+                  count(*) AS frequency,
+                  sum(o_totalprice) AS monetary
+           FROM orders GROUP BY 1),
+         sc AS (
+           SELECT recency, frequency, monetary,
+                  ntile(5) OVER (ORDER BY recency DESC, c) AS r,
+                  ntile(5) OVER (ORDER BY frequency, c) AS f,
+                  ntile(5) OVER (ORDER BY monetary, c) AS m
+           FROM pc),
+         seg AS (
+           SELECT CASE
+               WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champion'
+               WHEN f >= 4 THEN 'loyal'
+               WHEN m >= 4 THEN 'big_spender'
+               WHEN r <= 2 AND f <= 2 THEN 'hibernating'
+               WHEN r <= 2 THEN 'at_risk'
+               ELSE 'regular' END AS segment,
+             recency, frequency, monetary
+           FROM sc)
+         SELECT segment, count(*) AS n_customers,
+                round(avg(recency), 6) AS avg_recency_days,
+                round(avg(frequency), 6) AS avg_orders,
+                round(sum(monetary), 2) AS total_spend
+         FROM seg GROUP BY 1""",
+
+    "q_interarrival" ->
+      """WITH g AS (
+           SELECT o_custkey,
+                  CAST(date_diff('day',
+                    lag(CAST(o_orderdate AS DATE)) OVER (
+                      PARTITION BY o_custkey
+                      ORDER BY CAST(o_orderdate AS DATE)),
+                    CAST(o_orderdate AS DATE)) AS DOUBLE) AS gap
+           FROM orders),
+         pk AS (
+           SELECT o_custkey, count(*) AS n_events, avg(gap) AS mu,
+                  stddev_samp(gap) AS sd
+           FROM g GROUP BY 1)
+         SELECT o_custkey, n_events,
+                round(mu, 6) AS mean_gap_days,
+                round(sd / (CASE WHEN mu <> 0 THEN mu END), 6) AS cv,
+                round((sd - mu) /
+                  (CASE WHEN sd + mu <> 0 THEN sd + mu END), 6)
+                  AS burstiness
+         FROM pk WHERE n_events >= 3""",
+
+    "q_cohort_ltv" ->
+      """WITH f AS (
+           SELECT o_custkey AS c, min(CAST(o_orderdate AS DATE)) AS fd
+           FROM orders GROUP BY 1),
+         fc AS (
+           SELECT c, year(fd) * 12 + month(fd) AS cm,
+                  strftime(fd, '%Y-%m') AS cohort
+           FROM f),
+         sz AS (SELECT cohort, count(*) AS sz FROM fc GROUP BY 1),
+         a AS (
+           SELECT cohort,
+                  (year(CAST(o_orderdate AS DATE)) * 12 +
+                   month(CAST(o_orderdate AS DATE))) - cm AS age_months,
+                  count(DISTINCT c) AS n_active,
+                  sum(o_totalprice) AS rev
+           FROM orders JOIN fc ON o_custkey = c
+           GROUP BY 1, 2),
+         cw AS (
+           SELECT cohort, age_months, n_active, rev,
+                  round(sum(rev) OVER (PARTITION BY cohort
+                    ORDER BY age_months ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW), 2) AS cum
+           FROM a)
+         SELECT cohort, age_months, sz AS cohort_size, n_active,
+                round(rev, 2) AS revenue, cum AS cum_revenue,
+                round(cum / sz, 6) AS ltv_per_user
+         FROM cw JOIN sz USING (cohort)""",
 
     "q_entity_resolution" ->
       """WITH RECURSIVE base AS (

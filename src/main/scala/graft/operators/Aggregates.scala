@@ -1326,4 +1326,259 @@ object Aggregates {
           lit(k * 1.4826) * col("__mad"), 1L).otherwise(0L)).as("n_outliers"),
         count(lit(1)).as("n_rows"))
   }
+
+  /** Theil–Sen robust trend estimate over a daily-bucketed series:
+    * the median of all pairwise slopes (vⱼ−vᵢ)/(xⱼ−xᵢ), with the
+    * intercept as the median residual median(v − m·x) — the
+    * breakdown-point-0.29 alternative to OLS that one bad day cannot
+    * drag (Sen 1968).
+    *
+    * Scale shape: raw rows first collapse to the DAY-cardinality
+    * frame (one map-side-combined aggregate), so the O(d²) pair
+    * fan-out is CALENDAR-bounded — data-size independent; at a
+    * 7-year span d≈2.6k and the non-equi self-join is a broadcast
+    * nested loop over ~3.3M slope rows regardless of input width.
+    * Medians are Spark's exact interpolating `percentile`, which
+    * matches DuckDB's `median` bit-for-bit on identical doubles. */
+  def theilSen(df: DataFrame, tsCol: String, valueCol: String,
+      scale: Int = 6): DataFrame = {
+    // daily sums rounded ONCE so both engines pair identical doubles
+    val daily = df
+      .groupBy(to_date(col(tsCol)).as("__d"))
+      .agg(round(sum(col(valueCol).cast("double")), 6).as("__v"))
+      .select(datediff(col("__d"), lit("1970-01-01").cast("date"))
+        .cast("double").as("__x"), col("__v"))
+    val a = daily.select(col("__x").as("__xi"), col("__v").as("__vi"))
+    val b = daily.select(col("__x").as("__xj"), col("__v").as("__vj"))
+    val slopes = broadcast(a).join(b, col("__xj") > col("__xi"))
+      .select(((col("__vj") - col("__vi")) / (col("__xj") - col("__xi")))
+        .as("__s"))
+    val m = broadcast(slopes.agg(
+      expr("percentile(__s, 0.5)").as("__m"),
+      count(lit(1)).as("n_pairs")))
+    daily.crossJoin(m)
+      .agg(
+        round(first(col("__m")), scale).as("slope_per_day"),
+        round(expr("percentile(__v - __m * __x, 0.5)"), scale)
+          .as("intercept"),
+        count(lit(1)).as("n_days"),
+        first(col("n_pairs")).as("n_pairs"))
+  }
+
+  /** Mann–Kendall trend test over the same daily frame: S =
+    * Σᵢ<ⱼ sign(vⱼ−vᵢ), tie-corrected variance
+    * [n(n−1)(2n+5) − Σₜ t(t−1)(2t+5)]/18, and the continuity-corrected
+    * normal score z — the standard "is there a monotonic trend"
+    * screen that pairs with [[theilSen]]'s slope magnitude.
+    *
+    * Scale shape: identical to [[theilSen]] — the pair fan-out runs
+    * over the calendar-bounded daily frame, the tie table is a
+    * value-grouped aggregate of that same bounded frame, and the
+    * output is one row. sign() is a CASE expression so both engines
+    * count in exact integers; only z touches floats. */
+  def mannKendall(df: DataFrame, tsCol: String, valueCol: String,
+      scale: Int = 6): DataFrame = {
+    // daily sums rounded ONCE so both engines compare identical doubles
+    val daily = df
+      .groupBy(to_date(col(tsCol)).as("__d"))
+      .agg(round(sum(col(valueCol).cast("double")), 6).as("__v"))
+      .select(datediff(col("__d"), lit("1970-01-01").cast("date"))
+        .cast("long").as("__x"), col("__v"))
+    val a = daily.select(col("__x").as("__xi"), col("__v").as("__vi"))
+    val b = daily.select(col("__x").as("__xj"), col("__v").as("__vj"))
+    val sStat = broadcast(a).join(b, col("__xj") > col("__xi"))
+      .agg(sum(when(col("__vj") > col("__vi"), 1L)
+        .when(col("__vj") < col("__vi"), -1L).otherwise(0L)).as("s_stat"))
+    // tie groups over the bounded daily values: Σ t(t-1)(2t+5)
+    val ties = daily.groupBy(col("__v")).agg(count(lit(1)).as("__t"))
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1L) *
+        (lit(2L) * col("__t") + 5L)), lit(0L)).as("__tc"))
+    val n = daily.agg(count(lit(1)).as("__n"))
+    val varS = (col("__n") * (col("__n") - 1L) *
+      (lit(2L) * col("__n") + 5L) - col("__tc")).cast("double") / lit(18.0)
+    val z = when(col("s_stat") > 0L,
+        (col("s_stat") - 1L).cast("double") / sqrt(col("__vs")))
+      .when(col("s_stat") < 0L,
+        (col("s_stat") + 1L).cast("double") / sqrt(col("__vs")))
+      .otherwise(lit(0.0))
+    sStat.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+      .withColumn("__vs", varS)
+      .select(
+        col("s_stat"),
+        col("__n").as("n_days"),
+        round(col("__vs"), scale).as("var_s"),
+        round(when(col("__vs") > 0.0, z).otherwise(lit(0.0)), scale)
+          .as("z"),
+        when(col("__vs") > 0.0 && z > 1.96, "increasing")
+          .when(col("__vs") > 0.0 && z < -1.96, "decreasing")
+          .otherwise("none").as("trend"))
+  }
+
+  /** Per-group simple OLS on population moments: slope =
+    * covar_pop(y,x)/var_pop(x), intercept = ȳ − m·x̄, r² =
+    * covar²/(varₓ·var_y) — the regr_slope/regr_intercept/regr_r2
+    * family as one map-side-combined aggregate. Optional natural-log
+    * transforms turn it into the log-log elasticity estimator
+    * (slope = % change in y per % change in x). Zero-variance groups
+    * yield null slope/r² via when-guarded divisors (ANSI-safe)
+    * rather than throwing.
+    *
+    * Scale shape: five moment sums per group in ONE hash aggregate —
+    * shuffle volume is groups × 6 doubles, never raw rows. */
+  def olsByGroup(df: DataFrame, keys: Seq[String], xCol: String,
+      yCol: String, logX: Boolean = false, logY: Boolean = false,
+      scale: Int = 6): DataFrame = {
+    val xr = col(xCol).cast("double")
+    val yr = col(yCol).cast("double")
+    val x = if (logX) log(xr) else xr
+    val y = if (logY) log(yr) else yr
+    val base = df
+      .filter((!lit(logX) || xr > 0.0) && (!lit(logY) || yr > 0.0))
+      .select(keys.map(col) :+ x.as("__x") :+ y.as("__y"): _*)
+    val slope = covar_pop(col("__y"), col("__x")) /
+      when(var_pop(col("__x")) =!= 0.0, var_pop(col("__x")))
+    val r2 = (covar_pop(col("__y"), col("__x")) *
+        covar_pop(col("__y"), col("__x"))) /
+      when(var_pop(col("__x")) * var_pop(col("__y")) =!= 0.0,
+        var_pop(col("__x")) * var_pop(col("__y")))
+    base.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        round(slope, scale).as("slope"),
+        round(avg(col("__y")) - slope * avg(col("__x")), scale)
+          .as("intercept"),
+        round(r2, scale).as("r2"))
+  }
+
+  /** XYZ demand-variability classes: bucket demand to calendar weeks
+    * per key, score each key by the coefficient of variation of its
+    * weekly totals, and classify X (steady, cv ≤ t1) / Y (variable,
+    * cv ≤ t2) / Z (erratic) — the planning-stability twin of
+    * [[paretoClasses]]' value-concentration ABC. CV is measured over
+    * OBSERVED weeks (zero-demand weeks don't emit rows — documented
+    * intermittent-demand convention); keys with a single week are
+    * unclassifiable and dropped.
+    *
+    * Scale shape: two map-side-combined aggregates — raw rows →
+    * (key, week) totals → per-key moments — then a CLASS-cardinality
+    * rollup. Nothing wider than the weekly frame ever shuffles. */
+  def xyzClasses(df: DataFrame, keyCol: String, tsCol: String,
+      qtyCol: String, t1: Double = 0.5, t2: Double = 1.0,
+      scale: Int = 6): DataFrame = {
+    val weekly = df
+      .groupBy(col(keyCol).as("__k"),
+        date_trunc("week", col(tsCol)).as("__w"))
+      .agg(sum(col(qtyCol).cast("double")).as("__q"))
+    val perKey = weekly.groupBy(col("__k"))
+      .agg(count(lit(1)).as("__nw"), avg(col("__q")).as("__mu"),
+        stddev_samp(col("__q")).as("__sd"), sum(col("__q")).as("__tot"))
+      .filter(col("__nw") >= 2 && col("__mu") =!= 0.0)
+      .withColumn("__cv", col("__sd") / col("__mu"))
+    perKey
+      .withColumn("xyz_class",
+        when(col("__cv") <= t1, "X").when(col("__cv") <= t2, "Y")
+          .otherwise("Z"))
+      .groupBy(col("xyz_class"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        round(avg(col("__cv")), scale).as("avg_cv"),
+        round(sum(col("__tot")), 2).as("total_qty"))
+  }
+
+  /** Exact global row_number over (v ASC, tie ASC) WITHOUT a
+    * single-partition window: equi-width value buckets partition the
+    * total order (equal values share a bucket, so cross-bucket order
+    * is consistent), row_number runs per-bucket in parallel, and a
+    * BUCKETS-bounded count-carry broadcasts back — the same
+    * decomposition as [[gini]]/[[paretoClasses]], factored for rank
+    * consumers. Appends `__rank` (1-based) to the input columns. */
+  private def bucketedRowNumber(df: DataFrame, v: Column, tie: Column,
+      buckets: Int): DataFrame = {
+    val withV = df.withColumn("__rv", v.cast("double"))
+    val mm = broadcast(withV.agg(min(col("__rv")).as("__mn"),
+      max(col("__rv")).as("__mx")))
+    val width = (col("__mx") - col("__mn")) / lit(buckets.toDouble)
+    val bucketed = withV.crossJoin(mm)
+      .withColumn("__bkt", when(width === 0.0, lit(0L)).otherwise(
+        least(floor((col("__rv") - col("__mn")) / width).cast("long"),
+          lit(buckets - 1L))))
+    val w = Window.partitionBy(col("__bkt")).orderBy(col("__rv"), tie)
+    val wc = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = bucketed.groupBy(col("__bkt"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__carry", coalesce(sum(col("__bn")).over(wc), lit(0L)))
+      .select(col("__bkt"), col("__carry"))
+    bucketed.withColumn("__r", row_number().over(w))
+      .join(broadcast(carries), Seq("__bkt"))
+      .withColumn("__rank", col("__r") + col("__carry"))
+      .drop("__rv", "__bkt", "__mn", "__mx", "__r", "__carry")
+  }
+
+  /** SQL NTILE(b) from an exact 1-based rank and total count, in
+    * floor/ceil double arithmetic (exact below 2⁵²): the first n%b
+    * buckets take ⌈n/b⌉ rows, the rest ⌊n/b⌋ — bit-identical to the
+    * window function given the same total order. */
+  private def ntileFromRank(rank: Column, n: Column, b: Int): Column = {
+    val q = floor(n / lit(b.toDouble))          // ⌊n/b⌋
+    val r = n - q * b                           // n % b
+    val qp = q + lit(1.0)
+    when(rank <= r * qp, ceil(rank / qp))
+      .otherwise(r + ceil((rank - r * qp) / q))
+      .cast("int")
+  }
+
+  /** RFM segmentation: per customer, Recency (days since last order,
+    * vs the corpus max date), Frequency (order count) and Monetary
+    * (total spend), each scored 1–5 by exact quintile (5 = best), then
+    * rolled into named segments (champion / loyal / big_spender /
+    * at_risk / hibernating / regular) with per-segment size and
+    * averages — the classic customer-value screen.
+    *
+    * Scale shape: one groupBy(customer) collapses raw orders to the
+    * customer-cardinality frame; each quintile score is an exact
+    * global rank via [[bucketedRowNumber]] (parallel per-bucket
+    * windows + a broadcast carry — NO single-partition NTILE window),
+    * converted with [[ntileFromRank]] so the scores equal SQL
+    * `NTILE(5) OVER (ORDER BY metric, key)` exactly, ties broken on
+    * the key for engine-reproducible buckets. */
+  def rfmSegments(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, buckets: Int = 1024): DataFrame = {
+    val perCust = df.groupBy(col(keyCol).as("__c"))
+      .agg(max(to_date(col(tsCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast("double")).as("monetary"))
+    val maxd = broadcast(df.agg(max(to_date(col(tsCol))).as("__maxd")))
+    val base = perCust.crossJoin(maxd)
+      .withColumn("recency", datediff(col("__maxd"), col("__last")))
+      .drop("__last", "__maxd")
+    val nTot = broadcast(base.agg(count(lit(1)).as("__n")))
+    // three exact ranks over the bounded customer frame; DESC orders
+    // rank the negated metric so ties still break ASC on the key
+    val r1 = bucketedRowNumber(base, -col("recency"), col("__c"), buckets)
+      .withColumnRenamed("__rank", "__rr")
+    val r2 = bucketedRowNumber(r1, col("frequency"), col("__c"), buckets)
+      .withColumnRenamed("__rank", "__rf")
+    val r3 = bucketedRowNumber(r2, col("monetary"), col("__c"), buckets)
+      .withColumnRenamed("__rank", "__rm")
+    val scored = r3.crossJoin(nTot)
+      .withColumn("__r", ntileFromRank(col("__rr"), col("__n"), 5))
+      .withColumn("__f", ntileFromRank(col("__rf"), col("__n"), 5))
+      .withColumn("__m", ntileFromRank(col("__rm"), col("__n"), 5))
+    scored
+      .withColumn("segment",
+        when(col("__r") >= 4 && col("__f") >= 4 && col("__m") >= 4,
+          "champion")
+          .when(col("__f") >= 4, "loyal")
+          .when(col("__m") >= 4, "big_spender")
+          .when(col("__r") <= 2 && col("__f") <= 2, "hibernating")
+          .when(col("__r") <= 2, "at_risk")
+          .otherwise("regular"))
+      .groupBy(col("segment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(avg(col("recency")), 6).as("avg_recency_days"),
+        round(avg(col("frequency")), 6).as("avg_orders"),
+        round(sum(col("monetary")), 2).as("total_spend"))
+  }
 }

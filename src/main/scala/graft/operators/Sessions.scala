@@ -527,4 +527,83 @@ object Sessions {
         }
       }(enc)
   }
+
+  /** Per-key inter-arrival profile: day gaps between consecutive
+    * events, summarized per key as mean gap, coefficient of variation
+    * and the Goh–Barabási burstiness score (σ−μ)/(σ+μ) ∈ (−1, 1) —
+    * −1 is a metronome, 0 a Poisson process, →1 bursty — the
+    * purchase-cadence screen behind replenishment and churn models.
+    * Keys with fewer than `minEvents` events are dropped (the sample
+    * sd needs ≥2 gaps); all-zero-gap keys yield null cv/burstiness
+    * via guarded divisors rather than throwing under ANSI.
+    *
+    * Scale shape: one hash exchange on the key, a per-key lag window
+    * over (ts, then key order is tie-free by multiset invariance —
+    * equal timestamps give the same gap multiset under any tie
+    * order), and a map-side-combined per-key aggregate. Output is
+    * key-cardinality. */
+  def interArrival(df: DataFrame, key: String, ts: String,
+      minEvents: Int = 3, scale: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(to_date(col(ts)))
+    val gaps = df
+      .withColumn("__gap",
+        datediff(to_date(col(ts)), lag(to_date(col(ts)), 1).over(w))
+          .cast("double"))
+    val mu = avg(col("__gap"))
+    val sd = stddev_samp(col("__gap"))
+    gaps.groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(mu, scale).as("mean_gap_days"),
+        round(sd / when(mu =!= 0.0, mu), scale).as("cv"),
+        round((sd - mu) / when(sd + mu =!= 0.0, sd + mu), scale)
+          .as("burstiness"))
+      .filter(col("n_events") >= minEvents)
+  }
+
+  /** Cohort lifetime value: keys cohort by the calendar month of
+    * their FIRST event; for each (cohort, month age) the revenue that
+    * month, the cohort's cumulative revenue, and cumulative LTV per
+    * cohort member — the curve every subscription/repeat-purchase
+    * business reads retention economics from.
+    *
+    * Scale shape: first-event month is one groupBy(key) aggregate;
+    * raw rows then collapse to the (cohort × age) frame — bounded by
+    * the CALENDAR squared, data-size independent — before the
+    * cumulative window runs per-cohort over that bounded frame.
+    * Cohort sizes ride the same first-event aggregate, broadcast
+    * back. Month age is (year·12+month) arithmetic, identical in any
+    * engine. */
+  def cohortLtv(df: DataFrame, key: String, ts: String,
+      valueCol: String): DataFrame = {
+    val d = to_date(col(ts))
+    val firsts = df.groupBy(col(key).as("__k"))
+      .agg(min(d).as("__fd"))
+      .select(col("__k"),
+        (year(col("__fd")) * 12 + month(col("__fd"))).as("__cm"),
+        date_format(col("__fd"), "yyyy-MM").as("__cohort"))
+    val sizes = firsts.groupBy(col("__cohort"))
+      .agg(count(lit(1)).as("__sz"))
+    val aged = df
+      .join(firsts, df(key) === col("__k"))
+      .withColumn("__age",
+        (year(d) * 12 + month(d)) - col("__cm"))
+      .groupBy(col("__cohort"), col("__age"))
+      .agg(countDistinct(col("__k")).as("n_active"),
+        sum(col(valueCol).cast("double")).as("__rev"))
+    val wc = Window.partitionBy(col("__cohort")).orderBy(col("__age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aged.join(broadcast(sizes), "__cohort")
+      .withColumn("__cum", round(sum(col("__rev")).over(wc), 2))
+      .select(
+        col("__cohort").as("cohort"),
+        col("__age").as("age_months"),
+        col("__sz").as("cohort_size"),
+        col("n_active"),
+        round(col("__rev"), 2).as("revenue"),
+        col("__cum").as("cum_revenue"),
+        // divide the ROUNDED cumulative so both engines derive the
+        // ratio from identical doubles (the seasonalDecompose trick)
+        round(col("__cum") / col("__sz"), 6).as("ltv_per_user"))
+  }
 }

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Aggregates, Sessions}
+
+/** Round-9 continuation batch: robust trend (Theil–Sen, Mann–Kendall),
+  * per-group OLS / elasticity, XYZ demand classes, RFM segmentation
+  * (distributed exact NTILE), inter-arrival burstiness, cohort LTV. */
+class TrendAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def day(i: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-${i}%02d 00:00:00")
+
+  // ---- Theil–Sen ----
+
+  test("theilSen recovers a clean slope and shrugs off one wild outlier") {
+    // y = 5x + 100 exactly, except day 10 spikes 100x
+    val rows = (1 to 20).map { i =>
+      val v = if (i == 10) 50000.0 else 5.0 * i + 100.0
+      (day(i), v)
+    }
+    val out = Aggregates.theilSen(rows.toDF("ts", "v"), "ts", "v")
+      .collect()(0)
+    val slope = out.getAs[Double]("slope_per_day")
+    assert(math.abs(slope - 5.0) < 1e-6, s"robust slope $slope")
+    assert(out.getAs[Long]("n_days") === 20L)
+    assert(out.getAs[Long]("n_pairs") === 190L)
+    // OLS on the same series is dragged far off 5 by the outlier
+    val ols = Aggregates.olsByGroup(
+      rows.toDF("ts", "v").withColumn("g", lit(1))
+        .withColumn("x", dayofmonth(col("ts")).cast("double")),
+      Seq("g"), "x", "v").collect()(0).getAs[Double]("slope")
+    assert(math.abs(ols - 5.0) > 20.0, s"OLS should be dragged, got $ols")
+  }
+
+  // ---- Mann–Kendall ----
+
+  test("mannKendall flags a monotonic rise and stays quiet on a constant") {
+    val up = (1 to 30).map(i => (day(i), 10.0 * i)).toDF("ts", "v")
+    val r = Aggregates.mannKendall(up, "ts", "v").collect()(0)
+    // strictly increasing: S = n(n-1)/2 = 435, no ties
+    assert(r.getAs[Long]("s_stat") === 435L)
+    assert(r.getAs[String]("trend") === "increasing")
+    assert(r.getAs[Double]("z") > 1.96)
+
+    val flat = (1 to 30).map(i => (day(i), 7.0)).toDF("ts", "v")
+    val f = Aggregates.mannKendall(flat, "ts", "v").collect()(0)
+    // all values tie: S = 0 and the tie correction zeroes the variance
+    assert(f.getAs[Long]("s_stat") === 0L)
+    assert(f.getAs[Double]("var_s") === 0.0)
+    assert(f.getAs[String]("trend") === "none")
+    assert(f.getAs[Double]("z") === 0.0)
+  }
+
+  // ---- per-group OLS ----
+
+  test("olsByGroup: exact line, log-log elasticity, zero-variance guard") {
+    val line = (1 to 10).map(i => ("a", i.toDouble, 2.0 * i + 1.0))
+      .toDF("g", "x", "y")
+    val r = Aggregates.olsByGroup(line, Seq("g"), "x", "y").collect()(0)
+    assert(r.getAs[Double]("slope") === 2.0)
+    assert(r.getAs[Double]("intercept") === 1.0)
+    assert(r.getAs[Double]("r2") === 1.0)
+
+    // constant-elasticity data: q = 100 * p^(-2)  =>  slope -2 in logs
+    val el = (1 to 10).map { i =>
+      val p = i.toDouble; ("b", p, 100.0 * math.pow(p, -2.0))
+    }.toDF("g", "p", "q")
+    val e = Aggregates.olsByGroup(el, Seq("g"), "p", "q",
+      logX = true, logY = true).collect()(0)
+    assert(math.abs(e.getAs[Double]("slope") - -2.0) < 1e-6)
+
+    // zero x-variance: null slope/r2, no ANSI divide-by-zero throw
+    val const = Seq(("c", 1.0, 5.0), ("c", 1.0, 9.0)).toDF("g", "x", "y")
+    val c = Aggregates.olsByGroup(const, Seq("g"), "x", "y").collect()(0)
+    assert(c.isNullAt(c.fieldIndex("slope")))
+    assert(c.isNullAt(c.fieldIndex("r2")))
+  }
+
+  // ---- XYZ classes ----
+
+  test("xyzClasses separates steady from erratic weekly demand") {
+    // steady: 10 every week for 8 weeks (cv = 0 -> X)
+    // erratic: alternating 1 / 40 (cv > 1 -> Z)
+    def wk(w: Int): java.sql.Timestamp = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(7L * w).atStartOfDay())
+    val rows =
+      (0 until 8).map(w => (1L, wk(w), 10.0)) ++
+      (0 until 8).map(w => (2L, wk(w), if (w % 2 == 0) 1.0 else 40.0))
+    val out = Aggregates.xyzClasses(rows.toDF("k", "ts", "q"),
+      "k", "ts", "q").collect().map(r =>
+        r.getAs[String]("xyz_class") -> r.getAs[Long]("n_keys")).toMap
+    assert(out.get("X").contains(1L), s"got $out")
+    assert(out.get("Z").contains(1L), s"got $out")
+  }
+
+  // ---- RFM: distributed NTILE == window NTILE ----
+
+  test("rfmSegments quintiles equal a window NTILE(5) end-to-end") {
+    val rng = new scala.util.Random(7)
+    val orders = (1 to 400).map { i =>
+      val cust = 1L + rng.nextInt(80)
+      (cust, day(1 + rng.nextInt(28)), 10.0 + rng.nextInt(500))
+    }.toDF("c", "ts", "v")
+    val got = Aggregates.rfmSegments(orders, "c", "ts", "v")
+      .collect().map(r => (r.getAs[String]("segment"),
+        r.getAs[Long]("n_customers"),
+        r.getAs[Double]("total_spend"))).toSet
+
+    // reference: the same pipeline with plain window NTILEs
+    val per = orders.groupBy(col("c"))
+      .agg(max(to_date(col("ts"))).as("last"), count(lit(1)).as("f"),
+        sum(col("v")).as("m"))
+      .crossJoin(broadcast(
+        orders.agg(max(to_date(col("ts"))).as("maxd"))))
+      .withColumn("rec", datediff(col("maxd"), col("last")))
+    val scored = per
+      .withColumn("r", ntile(5).over(
+        Window.orderBy(col("rec").desc, col("c"))))
+      .withColumn("f5", ntile(5).over(Window.orderBy(col("f"), col("c"))))
+      .withColumn("m5", ntile(5).over(Window.orderBy(col("m"), col("c"))))
+    val want = scored
+      .withColumn("segment",
+        when(col("r") >= 4 && col("f5") >= 4 && col("m5") >= 4, "champion")
+          .when(col("f5") >= 4, "loyal")
+          .when(col("m5") >= 4, "big_spender")
+          .when(col("r") <= 2 && col("f5") <= 2, "hibernating")
+          .when(col("r") <= 2, "at_risk")
+          .otherwise("regular"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), round(sum(col("m")), 2).as("spend"))
+      .collect().map(r => (r.getAs[String]("segment"),
+        r.getAs[Long]("n"), r.getAs[Double]("spend"))).toSet
+    assert(got === want)
+  }
+
+  // ---- inter-arrival ----
+
+  test("interArrival: metronome is burstiness -1, short keys dropped") {
+    // key 1: orders every 5 days (7 events) — cv 0, burstiness -1
+    // key 2: two events only — dropped by minEvents=3
+    val reg = (0 until 7).map(i => (1L, java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(5L * i)
+        .atStartOfDay()))) ++ Seq((2L, day(1)), (2L, day(9)))
+    val out = Sessions.interArrival(reg.toDF("k", "ts"), "k", "ts")
+      .collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getAs[Long]("n_events") === 7L)
+    assert(r.getAs[Double]("mean_gap_days") === 5.0)
+    assert(r.getAs[Double]("cv") === 0.0)
+    assert(r.getAs[Double]("burstiness") === -1.0)
+  }
+
+  // ---- cohort LTV ----
+
+  test("cohortLtv: hand-checked two-cohort curve") {
+    val rows = Seq(
+      // cohort 2024-01: users 1,2 — Jan rev 30, Feb rev 20 (user 1)
+      (1L, ts("2024-01-05"), 10.0), (2L, ts("2024-01-20"), 20.0),
+      (1L, ts("2024-02-10"), 20.0),
+      // cohort 2024-02: user 3 — Feb rev 5
+      (3L, ts("2024-02-02"), 5.0))
+    val out = Sessions.cohortLtv(rows.toDF("u", "ts", "v"),
+        "u", "ts", "v")
+      .orderBy("cohort", "age_months").collect()
+    val jan0 = out(0)
+    assert(jan0.getAs[String]("cohort") === "2024-01")
+    assert(jan0.getAs[Int]("age_months") === 0)
+    assert(jan0.getAs[Long]("cohort_size") === 2L)
+    assert(jan0.getAs[Long]("n_active") === 2L)
+    assert(jan0.getAs[Double]("revenue") === 30.0)
+    assert(jan0.getAs[Double]("ltv_per_user") === 15.0)
+    val jan1 = out(1)
+    assert(jan1.getAs[Int]("age_months") === 1)
+    assert(jan1.getAs[Long]("n_active") === 1L)
+    assert(jan1.getAs[Double]("cum_revenue") === 50.0)
+    assert(jan1.getAs[Double]("ltv_per_user") === 25.0)
+    val feb0 = out(2)
+    assert(feb0.getAs[String]("cohort") === "2024-02")
+    assert(feb0.getAs[Double]("ltv_per_user") === 5.0)
+  }
+
+  private def ts(d: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(d + " 00:00:00")
+}
