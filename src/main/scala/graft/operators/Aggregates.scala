@@ -1485,36 +1485,6 @@ object Aggregates {
         round(sum(col("__tot")), 2).as("total_qty"))
   }
 
-  /** Exact global row_number over (v ASC, tie ASC) WITHOUT a
-    * single-partition window: equi-width value buckets partition the
-    * total order (equal values share a bucket, so cross-bucket order
-    * is consistent), row_number runs per-bucket in parallel, and a
-    * BUCKETS-bounded count-carry broadcasts back — the same
-    * decomposition as [[gini]]/[[paretoClasses]], factored for rank
-    * consumers. Appends `__rank` (1-based) to the input columns. */
-  private def bucketedRowNumber(df: DataFrame, v: Column, tie: Column,
-      buckets: Int): DataFrame = {
-    val withV = df.withColumn("__rv", v.cast("double"))
-    val mm = broadcast(withV.agg(min(col("__rv")).as("__mn"),
-      max(col("__rv")).as("__mx")))
-    val width = (col("__mx") - col("__mn")) / lit(buckets.toDouble)
-    val bucketed = withV.crossJoin(mm)
-      .withColumn("__bkt", when(width === 0.0, lit(0L)).otherwise(
-        least(floor((col("__rv") - col("__mn")) / width).cast("long"),
-          lit(buckets - 1L))))
-    val w = Window.partitionBy(col("__bkt")).orderBy(col("__rv"), tie)
-    val wc = Window.orderBy(col("__bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carries = bucketed.groupBy(col("__bkt"))
-      .agg(count(lit(1)).as("__bn"))
-      .withColumn("__carry", coalesce(sum(col("__bn")).over(wc), lit(0L)))
-      .select(col("__bkt"), col("__carry"))
-    bucketed.withColumn("__r", row_number().over(w))
-      .join(broadcast(carries), Seq("__bkt"))
-      .withColumn("__rank", col("__r") + col("__carry"))
-      .drop("__rv", "__bkt", "__mn", "__mx", "__r", "__carry")
-  }
-
   /** SQL NTILE(b) from an exact 1-based rank and total count, in
     * floor/ceil double arithmetic (exact below 2⁵²): the first n%b
     * buckets take ⌈n/b⌉ rows, the rest ⌊n/b⌋ — bit-identical to the
@@ -1536,12 +1506,17 @@ object Aggregates {
     * averages — the classic customer-value screen.
     *
     * Scale shape: one groupBy(customer) collapses raw orders to the
-    * customer-cardinality frame; each quintile score is an exact
-    * global rank via [[bucketedRowNumber]] (parallel per-bucket
-    * windows + a broadcast carry — NO single-partition NTILE window),
-    * converted with [[ntileFromRank]] so the scores equal SQL
-    * `NTILE(5) OVER (ORDER BY metric, key)` exactly, ties broken on
-    * the key for engine-reproducible buckets. */
+    * customer-cardinality frame; the three quintile scores are exact
+    * global ranks computed in ONE pass — the frame stacks to a
+    * (metric, value) long frame, equi-width buckets per metric
+    * partition each total order (equal values share a bucket, so
+    * cross-bucket order is consistent), row_number runs in parallel
+    * per (metric, bucket) window, and a BUCKETS-bounded count-carry
+    * broadcasts back (the [[gini]]/[[paretoClasses]] decomposition —
+    * NO single-partition NTILE window). Ranks convert with
+    * [[ntileFromRank]] so the scores equal SQL `NTILE(5) OVER
+    * (ORDER BY metric, key)` exactly, ties broken on the key for
+    * engine-reproducible buckets. */
   def rfmSegments(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, buckets: Int = 1024): DataFrame = {
     val perCust = df.groupBy(col(keyCol).as("__c"))
@@ -1553,18 +1528,47 @@ object Aggregates {
       .withColumn("recency", datediff(col("__maxd"), col("__last")))
       .drop("__last", "__maxd")
     val nTot = broadcast(base.agg(count(lit(1)).as("__n")))
-    // three exact ranks over the bounded customer frame; DESC orders
-    // rank the negated metric so ties still break ASC on the key
-    val r1 = bucketedRowNumber(base, -col("recency"), col("__c"), buckets)
-      .withColumnRenamed("__rank", "__rr")
-    val r2 = bucketedRowNumber(r1, col("frequency"), col("__c"), buckets)
-      .withColumnRenamed("__rank", "__rf")
-    val r3 = bucketedRowNumber(r2, col("monetary"), col("__c"), buckets)
-      .withColumnRenamed("__rank", "__rm")
-    val scored = r3.crossJoin(nTot)
-      .withColumn("__r", ntileFromRank(col("__rr"), col("__n"), 5))
-      .withColumn("__f", ntileFromRank(col("__rf"), col("__n"), 5))
-      .withColumn("__m", ntileFromRank(col("__rm"), col("__n"), 5))
+    // all three exact ranks in ONE pass: stack to a (metric, value)
+    // long frame, bucket per metric, rank in parallel per
+    // (metric, bucket) windows with a per-metric broadcast carry —
+    // one exchange instead of three chained rank pipelines. DESC
+    // orders rank the negated metric so ties still break ASC on key.
+    val long0 = base
+      .withColumn("__vr", (-col("recency")).cast("double"))
+      .withColumn("__vf", col("frequency").cast("double"))
+      .withColumn("__vm", col("monetary"))
+      .selectExpr("__c",
+        "stack(3, 'r', __vr, 'f', __vf, 'm', __vm) as (__met, __rv)")
+    val mm = broadcast(long0.groupBy(col("__met"))
+      .agg(min(col("__rv")).as("__mn"), max(col("__rv")).as("__mx")))
+    val width = (col("__mx") - col("__mn")) / lit(buckets.toDouble)
+    val bucketed = long0.join(mm, "__met")
+      .withColumn("__bkt", when(width === 0.0, lit(0L)).otherwise(
+        least(floor((col("__rv") - col("__mn")) / width).cast("long"),
+          lit(buckets - 1L))))
+    val w = Window.partitionBy(col("__met"), col("__bkt"))
+      .orderBy(col("__rv"), col("__c"))
+    val wc = Window.partitionBy(col("__met")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = bucketed.groupBy(col("__met"), col("__bkt"))
+      .agg(count(lit(1)).as("__bn"))
+      .withColumn("__carry", coalesce(sum(col("__bn")).over(wc), lit(0L)))
+      .select(col("__met"), col("__bkt"), col("__carry"))
+    val ranked = bucketed.withColumn("__r", row_number().over(w))
+      .join(broadcast(carries), Seq("__met", "__bkt"))
+      .crossJoin(nTot)
+      .withColumn("__score",
+        ntileFromRank(col("__r") + col("__carry"), col("__n"), 5))
+    // pivot scores AND metric values back to one row per key — the
+    // raw metrics ride the long frame (r is negated), so no re-join
+    // against the customer frame is needed
+    val scored = ranked.groupBy(col("__c"))
+      .agg(max(when(col("__met") === "r", col("__score"))).as("__r"),
+        max(when(col("__met") === "f", col("__score"))).as("__f"),
+        max(when(col("__met") === "m", col("__score"))).as("__m"),
+        max(when(col("__met") === "r", -col("__rv"))).as("recency"),
+        max(when(col("__met") === "f", col("__rv"))).as("frequency"),
+        max(when(col("__met") === "m", col("__rv"))).as("monetary"))
     scored
       .withColumn("segment",
         when(col("__r") >= 4 && col("__f") >= 4 && col("__m") >= 4,
