@@ -1972,6 +1972,26 @@ object SparkEntry {
       graft.operators.Sessions.cohortLtv(t(s, d, "orders"),
         "o_custkey", "o_orderdate", "o_totalprice")),
 
+    "q_ohlc_bars" -> ((s, d) =>
+      // finance-style OHLC day bars per event type: open/close via
+      // min_by/max_by over a (ts, id) struct — one hash aggregate,
+      // shuffle volume is bars not rows
+      Aggregates.ohlcBars(t(s, d, "events"), Seq("event_type"), "ts",
+        "value", "event_id")),
+
+    "q_forecast_eval" -> ((s, d) =>
+      // walk-forward seasonal-naive backtest of daily revenue:
+      // 28-day holdout forecast by value 7 days earlier, scored
+      // MAE/RMSE/sMAPE/MASE in one pass over the daily frame
+      Aggregates.backtestSeasonalNaive(t(s, d, "orders"),
+        "o_orderdate", "o_totalprice")),
+
+    "q_weighted_median" -> ((s, d) =>
+      // quantity-weighted price quartiles per return flag — exact
+      // (dyadic thresholds over integral cumulative weights)
+      Aggregates.weightedPercentiles(t(s, d, "lineitem"),
+        Seq("l_returnflag"), "l_extendedprice", "l_quantity")),
+
     "q_entity_resolution" -> ((s, d) => {
       // MDM-style entity resolution, three operators composed: blocked
       // edit-distance match edges (fuzzyPairs) -> exact transitive
@@ -4758,6 +4778,71 @@ object SparkEntry {
                 round(rev, 2) AS revenue, cum AS cum_revenue,
                 round(cum / sz, 6) AS ltv_per_user
          FROM cw JOIN sz USING (cohort)""",
+
+    "q_ohlc_bars" ->
+      """WITH b AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, value,
+                  first_value(value) OVER (
+                    PARTITION BY event_type, CAST(ts AS DATE)
+                    ORDER BY ts, event_id) AS o,
+                  first_value(value) OVER (
+                    PARTITION BY event_type, CAST(ts AS DATE)
+                    ORDER BY ts DESC, event_id DESC) AS c
+           FROM events)
+         SELECT event_type, day,
+                round(min(o), 6) AS open,
+                round(max(value), 6) AS high,
+                round(min(value), 6) AS low,
+                round(min(c), 6) AS close,
+                count(*) AS n,
+                round(sum(value), 6) AS total
+         FROM b GROUP BY 1, 2""",
+
+    "q_forecast_eval" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS d,
+                  round(sum(o_totalprice), 6) AS v
+           FROM orders GROUP BY 1),
+         dd AS (
+           SELECT date_diff('day', DATE '1970-01-01', d) AS x, v
+           FROM daily),
+         mx AS (SELECT max(x) AS mx FROM dd),
+         j AS (
+           SELECT a.x, a.v, f.v AS fc, p.v AS pv,
+                  a.x > (SELECT mx FROM mx) - 28 AS test
+           FROM dd a
+           LEFT JOIN dd f ON a.x = f.x + 7
+           LEFT JOIN dd p ON a.x = p.x + 1),
+         den AS (
+           SELECT avg(abs(v - pv)) AS nmae
+           FROM j WHERE NOT test AND pv IS NOT NULL),
+         t AS (SELECT * FROM j WHERE test AND fc IS NOT NULL)
+         SELECT count(*) AS n_test,
+                round(avg(abs(v - fc)), 4) AS mae,
+                round(sqrt(avg(pow(v - fc, 2))), 4) AS rmse,
+                round(avg(2.0 * abs(v - fc) /
+                  (CASE WHEN abs(v) + abs(fc) <> 0
+                     THEN abs(v) + abs(fc) END)), 6) AS smape,
+                round(avg(abs(v - fc)) /
+                  (CASE WHEN den.nmae <> 0 THEN den.nmae END), 6)
+                  AS mase
+         FROM t CROSS JOIN den GROUP BY den.nmae""",
+
+    "q_weighted_median" ->
+      """WITH c AS (
+           SELECT l_returnflag, l_extendedprice AS v, l_quantity AS w,
+                  sum(l_quantity) OVER (PARTITION BY l_returnflag
+                    ORDER BY l_extendedprice ROWS BETWEEN UNBOUNDED
+                    PRECEDING AND CURRENT ROW) AS cum,
+                  sum(l_quantity) OVER (PARTITION BY l_returnflag)
+                    AS tot
+           FROM lineitem)
+         SELECT l_returnflag,
+                min(CASE WHEN cum >= 0.25 * tot THEN v END) AS p25,
+                min(CASE WHEN cum >= 0.5 * tot THEN v END) AS p50,
+                min(CASE WHEN cum >= 0.75 * tot THEN v END) AS p75,
+                sum(w) AS total_weight
+         FROM c GROUP BY 1""",
 
     "q_entity_resolution" ->
       """WITH RECURSIVE base AS (

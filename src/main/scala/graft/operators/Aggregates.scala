@@ -1485,6 +1485,132 @@ object Aggregates {
         round(sum(col("__tot")), 2).as("total_qty"))
   }
 
+  /** OHLC bar aggregation: per (key, day) the Open (value at the
+    * earliest timestamp), High, Low, Close (value at the latest) plus
+    * the row count and day total — the finance-style bar rollup of
+    * any (ts, value) stream. Open/Close use min_by/max_by over a
+    * (ts, tie) struct so simultaneous events resolve deterministically
+    * on the tie column instead of racing.
+    *
+    * Scale shape: ONE map-side-combined hash aggregate — min_by/max_by
+    * partial states are a single (value, ord) pair each, so shuffle
+    * volume is (key × day) bars, never raw rows. */
+  def ohlcBars(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, tieCol: String, scale: Int = 6): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val ord = struct(col(tsCol), col(tieCol))
+    df.groupBy(keyCols.map(col) :+ to_date(col(tsCol)).as("day"): _*)
+      .agg(
+        round(min_by(v, ord), scale).as("open"),
+        round(max(v), scale).as("high"),
+        round(min(v), scale).as("low"),
+        round(max_by(v, ord), scale).as("close"),
+        count(lit(1)).as("n"),
+        round(sum(v), scale).as("total"))
+  }
+
+  /** Seasonal-naive backtest: hold out the final `horizon` days,
+    * forecast each held-out day with the value `period` days earlier,
+    * and score MAE / RMSE / sMAPE / MASE (MAE over the naive-1
+    * one-step error on the TRAINING span — the Hyndman-Koehler
+    * scale-free denominator). The walk-forward sanity check every
+    * forecasting pipeline needs before anything fancier.
+    *
+    * Scale shape: raw rows collapse once to the calendar-bounded
+    * daily frame (sums rounded once so both engines difference
+    * identical doubles); the period/1-day shifts are broadcast
+    * self-joins on the day index — exact day semantics even across
+    * gaps, no row-offset lag — and the output is one row. */
+  def backtestSeasonalNaive(df: DataFrame, tsCol: String,
+      valueCol: String, horizon: Int = 28, period: Int = 7): DataFrame = {
+    require(horizon > 0 && period > 0)
+    val daily = df
+      .groupBy(to_date(col(tsCol)).as("__d"))
+      .agg(round(sum(col(valueCol).cast("double")), 6).as("__v"))
+      .select(datediff(col("__d"), lit("1970-01-01").cast("date"))
+        .cast("long").as("__x"), col("__v"))
+    val maxd = broadcast(daily.agg(max(col("__x")).as("__mx")))
+    val shifted = daily.select((col("__x") + period).as("__x"),
+      col("__v").as("__fc"))
+    val prev = daily.select((col("__x") + 1L).as("__x"),
+      col("__v").as("__pv"))
+    val joined = daily
+      .join(broadcast(shifted), Seq("__x"), "left")
+      .join(broadcast(prev), Seq("__x"), "left")
+      .crossJoin(maxd)
+      .withColumn("__test", col("__x") > col("__mx") - horizon)
+    // naive-1 MAE over the training span: the MASE denominator
+    val denom = broadcast(joined
+      .filter(!col("__test") && col("__pv").isNotNull)
+      .agg(avg(abs(col("__v") - col("__pv"))).as("__nmae")))
+    val test = joined.filter(col("__test") && col("__fc").isNotNull)
+    val mae = avg(abs(col("__v") - col("__fc")))
+    test.crossJoin(denom)
+      .agg(
+        count(lit(1)).as("n_test"),
+        round(mae, 4).as("mae"),
+        round(sqrt(avg(pow(col("__v") - col("__fc"), 2))), 4).as("rmse"),
+        round(avg(lit(2.0) * abs(col("__v") - col("__fc")) /
+          when(abs(col("__v")) + abs(col("__fc")) =!= 0.0,
+            abs(col("__v")) + abs(col("__fc")))), 6).as("smape"),
+        round(mae / when(first(col("__nmae")) =!= 0.0,
+          first(col("__nmae"))), 6).as("mase"))
+  }
+
+  /** Exact weighted lower percentiles per group: for each probability
+    * p, the smallest value whose running weight reaches p × total
+    * weight — the quantity-weighted price median and friends, with
+    * integral weights and dyadic probabilities (0.25/0.5/0.75) the
+    * thresholds are exact in both engines, so the result is EXACT,
+    * not rounded.
+    *
+    * Scale shape: a low-cardinality group column (flags, segments)
+    * must NOT become one window partition per group — the per-group
+    * cumulative weight decomposes over (group, equi-width value
+    * bucket) windows plus a per-group BUCKETS-bounded weight-carry
+    * broadcast back (the [[gini]]/[[rfmSegments]] construction, keyed
+    * per group). Equal values share a bucket, and intra-tie order
+    * cannot change which value first crosses a threshold (every row
+    * of a tie run carries the same value), so no tie-break column is
+    * needed. Integral weights keep partial-sum + carry exact in
+    * doubles. All requested percentiles ride the one pass. */
+  def weightedPercentiles(df: DataFrame, keyCols: Seq[String],
+      valueCol: String, weightCol: String,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      buckets: Int = 1024): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0))
+    val kc = keyCols.map(col)
+    val slim = df.select(kc :+ col(valueCol).cast("double").as("__v") :+
+      col(weightCol).cast("double").as("__w"): _*)
+    val mm = broadcast(slim.groupBy(kc: _*)
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
+        sum(col("__w")).as("__tot")))
+    val width = (col("__mx") - col("__mn")) / lit(buckets.toDouble)
+    val bucketed = slim.join(mm, keyCols)
+      .withColumn("__bkt", when(width === 0.0, lit(0L)).otherwise(
+        least(floor((col("__v") - col("__mn")) / width).cast("long"),
+          lit(buckets - 1L))))
+    val w = Window.partitionBy(kc :+ col("__bkt"): _*)
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wc = Window.partitionBy(kc: _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = bucketed.groupBy(kc :+ col("__bkt"): _*)
+      .agg(sum(col("__w")).as("__bw"))
+      .withColumn("__carry",
+        coalesce(sum(col("__bw")).over(wc), lit(0.0)))
+      .select(kc :+ col("__bkt") :+ col("__carry"): _*)
+    val cum = bucketed
+      .withColumn("__pc", sum(col("__w")).over(w))
+      .join(broadcast(carries), keyCols :+ "__bkt")
+      .withColumn("__cum", col("__pc") + col("__carry"))
+    val aggs = ps.map { p =>
+      min(when(col("__cum") >= lit(p) * col("__tot"), col("__v")))
+        .as(s"p${(p * 100).round}")
+    } :+ sum(col("__w")).as("total_weight")
+    cum.groupBy(kc: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** SQL NTILE(b) from an exact 1-based rank and total count, in
     * floor/ceil double arithmetic (exact below 2⁵²): the first n%b
     * buckets take ⌈n/b⌉ rows, the rest ⌊n/b⌋ — bit-identical to the

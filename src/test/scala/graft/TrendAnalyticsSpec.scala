@@ -185,4 +185,80 @@ class TrendAnalyticsSpec extends SparkSpec {
 
   private def ts(d: String): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(d + " 00:00:00")
+
+  // ---- OHLC bars ----
+
+  test("ohlcBars: open/close follow timestamps, ties break on id") {
+    def at(h: Int, m: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00")
+    val rows = Seq(
+      ("a", at(9, 0), 100.0, 1L), ("a", at(12, 0), 250.0, 2L),
+      ("a", at(16, 0), 50.0, 3L), ("a", at(16, 0), 75.0, 4L),
+      ("b", at(10, 0), 7.0, 5L))
+    val out = Aggregates.ohlcBars(rows.toDF("k", "ts", "v", "id"),
+        Seq("k"), "ts", "v", "id")
+      .orderBy("k").collect()
+    val a = out(0)
+    assert(a.getAs[Double]("open") === 100.0)
+    assert(a.getAs[Double]("high") === 250.0)
+    assert(a.getAs[Double]("low") === 50.0)
+    // two rows at 16:00 — the larger id (75.0) is the close
+    assert(a.getAs[Double]("close") === 75.0)
+    assert(a.getAs[Long]("n") === 4L)
+    val b = out(1)
+    assert(b.getAs[Double]("open") === 7.0 &&
+      b.getAs[Double]("close") === 7.0)
+  }
+
+  // ---- seasonal-naive backtest ----
+
+  test("backtestSeasonalNaive: perfect weekly signal scores zero error") {
+    // value depends only on weekday — the period-7 naive forecast is
+    // exact on the holdout, so every error metric is 0 and MASE is 0
+    val rows = (0 until 70).map { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      (java.sql.Timestamp.valueOf(d.atStartOfDay), 100.0 + (i % 7) * 10)
+    }
+    val r = Aggregates.backtestSeasonalNaive(rows.toDF("ts", "v"),
+      "ts", "v", horizon = 14, period = 7).collect()(0)
+    assert(r.getAs[Long]("n_test") === 14L)
+    assert(r.getAs[Double]("mae") === 0.0)
+    assert(r.getAs[Double]("rmse") === 0.0)
+    assert(r.getAs[Double]("smape") === 0.0)
+    assert(r.getAs[Double]("mase") === 0.0)
+
+    // shift the holdout by a constant: the first holdout week is
+    // forecast from unbumped days (error 5), the second from bumped
+    // ones (error 0) — MAE = 2.5 exactly, MASE finite
+    val bumped = rows.zipWithIndex.map { case ((t, v), i) =>
+      (t, if (i >= 56) v + 5.0 else v)
+    }
+    val b = Aggregates.backtestSeasonalNaive(bumped.toDF("ts", "v"),
+      "ts", "v", horizon = 14, period = 7).collect()(0)
+    assert(b.getAs[Double]("mae") === 2.5)
+    assert(b.getAs[Double]("mase") > 0.0)
+  }
+
+  // ---- weighted percentiles ----
+
+  test("weightedPercentiles: weights move the median, exact thresholds") {
+    // values 1..4 with weight stacked on 4: plain median would be
+    // 2.5-ish, weighted median must be 4 (cum 1+1+1 = 3 < 0.5*13)
+    val rows = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 1.0),
+      ("g", 4.0, 10.0))
+    val r = Aggregates.weightedPercentiles(rows.toDF("k", "v", "w"),
+      Seq("k"), "v", "w").collect()(0)
+    assert(r.getAs[Double]("p25") === 4.0)
+    assert(r.getAs[Double]("p50") === 4.0)
+    assert(r.getAs[Double]("p75") === 4.0)
+    assert(r.getAs[Double]("total_weight") === 13.0)
+
+    // uniform weights reduce to the plain lower percentile
+    val u = (1 to 100).map(i => ("u", i.toDouble, 1.0))
+    val ur = Aggregates.weightedPercentiles(u.toDF("k", "v", "w"),
+      Seq("k"), "v", "w").collect()(0)
+    assert(ur.getAs[Double]("p25") === 25.0)
+    assert(ur.getAs[Double]("p50") === 50.0)
+    assert(ur.getAs[Double]("p75") === 75.0)
+  }
 }
