@@ -1972,6 +1972,30 @@ object SparkEntry {
       graft.operators.Sessions.cohortLtv(t(s, d, "orders"),
         "o_custkey", "o_orderdate", "o_totalprice")),
 
+    "q_kcore" -> ((s, d) => {
+      // 12-core of the urgent-order co-purchase graph: synchronous
+      // peeling, idempotent after the fixpoint so the 8-round
+      // unrolled oracle is exact wherever convergence lands (measured
+      // fixpoint: 5 rounds at sf0.01, 7 at sf0.1)
+      val li = t(s, d, "lineitem")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk"))
+      val pairs = li.join(
+          li.select(col("__ok"), col("__pk").as("__pk2")), Seq("__ok"))
+        .filter(col("__pk") < col("__pk2"))
+        .select(col("__pk").as("id_a"), col("__pk2").as("id_b"))
+      graft.operators.Graph.kCore(pairs, 12, 8)
+    }),
+
+    "q_seasonal_outliers" -> ((s, d) =>
+      // days whose decompose remainder exceeds 3 robust sigmas —
+      // the STL-residual anomaly screen over daily order revenue
+      Aggregates.seasonalOutliers(t(s, d, "orders"),
+        col("o_orderdate"), col("o_totalprice"))),
+
     "q_ohlc_bars" -> ((s, d) =>
       // finance-style OHLC day bars per event type: open/close via
       // min_by/max_by over a (ts, id) struct — one hash aggregate,
@@ -4778,6 +4802,82 @@ object SparkEntry {
                 round(rev, 2) AS revenue, cum AS cum_revenue,
                 round(cum / sz, 6) AS ltv_per_user
          FROM cw JOIN sz USING (cohort)""",
+
+    "q_kcore" ->
+      """WITH li AS (
+           SELECT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderpriority = '1-URGENT'),
+         e AS MATERIALIZED (
+           SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         e0 AS MATERIALIZED (
+           SELECT a AS src, b AS dst FROM e
+           UNION SELECT b AS src, a AS dst FROM e),
+         k1 AS MATERIALIZED (SELECT src FROM e0 GROUP BY src
+           HAVING count(*) >= 12),
+         e1 AS MATERIALIZED (SELECT e0.src, e0.dst FROM e0
+           JOIN k1 x ON e0.src = x.src JOIN k1 y ON e0.dst = y.src),
+         k2 AS MATERIALIZED (SELECT src FROM e1 GROUP BY src
+           HAVING count(*) >= 12),
+         e2 AS MATERIALIZED (SELECT e1.src, e1.dst FROM e1
+           JOIN k2 x ON e1.src = x.src JOIN k2 y ON e1.dst = y.src),
+         k3 AS MATERIALIZED (SELECT src FROM e2 GROUP BY src
+           HAVING count(*) >= 12),
+         e3 AS MATERIALIZED (SELECT e2.src, e2.dst FROM e2
+           JOIN k3 x ON e2.src = x.src JOIN k3 y ON e2.dst = y.src),
+         k4 AS MATERIALIZED (SELECT src FROM e3 GROUP BY src
+           HAVING count(*) >= 12),
+         e4 AS MATERIALIZED (SELECT e3.src, e3.dst FROM e3
+           JOIN k4 x ON e3.src = x.src JOIN k4 y ON e3.dst = y.src),
+         k5 AS MATERIALIZED (SELECT src FROM e4 GROUP BY src
+           HAVING count(*) >= 12),
+         e5 AS MATERIALIZED (SELECT e4.src, e4.dst FROM e4
+           JOIN k5 x ON e4.src = x.src JOIN k5 y ON e4.dst = y.src),
+         k6 AS MATERIALIZED (SELECT src FROM e5 GROUP BY src
+           HAVING count(*) >= 12),
+         e6 AS MATERIALIZED (SELECT e5.src, e5.dst FROM e5
+           JOIN k6 x ON e5.src = x.src JOIN k6 y ON e5.dst = y.src),
+         k7 AS MATERIALIZED (SELECT src FROM e6 GROUP BY src
+           HAVING count(*) >= 12),
+         e7 AS MATERIALIZED (SELECT e6.src, e6.dst FROM e6
+           JOIN k7 x ON e6.src = x.src JOIN k7 y ON e6.dst = y.src),
+         k8 AS MATERIALIZED (SELECT src FROM e7 GROUP BY src
+           HAVING count(*) >= 12),
+         e8 AS MATERIALIZED (SELECT e7.src, e7.dst FROM e7
+           JOIN k8 x ON e7.src = x.src JOIN k8 y ON e7.dst = y.src)
+         SELECT src AS id, count(*) AS core_degree
+         FROM e8 GROUP BY 1""",
+
+    "q_seasonal_outliers" ->
+      """WITH daily AS (
+           SELECT CAST(o_orderdate AS DATE) AS d,
+                  round(sum(o_totalprice), 6) AS y
+           FROM orders GROUP BY 1),
+         d0 AS (SELECT min(d) AS a FROM daily),
+         detr AS (
+           SELECT d, y,
+                  avg(y) OVER (ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+                  y - avg(y) OVER (ORDER BY d
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS dd,
+                  CAST(d - (SELECT a FROM d0) AS INT) % 7 AS phase
+           FROM daily),
+         pm AS (SELECT phase, avg(dd) AS praw FROM detr GROUP BY 1),
+         ctr AS (SELECT avg(praw) AS c FROM pm),
+         rem AS (
+           SELECT strftime(d, '%Y-%m-%d') AS day, y,
+                  round(trend, 6) AS trend,
+                  round(dd - (praw - c), 6) AS remainder
+           FROM detr JOIN pm USING (phase) CROSS JOIN ctr),
+         m AS (SELECT median(remainder) AS med FROM rem),
+         md AS (
+           SELECT median(abs(remainder - med)) AS mad, min(med) AS med
+           FROM rem CROSS JOIN m)
+         SELECT day, y, trend, remainder,
+                round(med, 6) AS med, round(mad, 6) AS mad
+         FROM rem CROSS JOIN md
+         WHERE abs(remainder - med) > (3 * 1.4826) * mad""",
 
     "q_ohlc_bars" ->
       """WITH b AS (

@@ -996,6 +996,34 @@ object Aggregates {
           .as("remainder"))
   }
 
+  /** Seasonal anomaly screen: decompose the daily series with
+    * [[seasonalDecompose]], then flag the days whose remainder sits
+    * more than k robust sigmas (1.4826·MAD) from the remainder
+    * median — "which days were genuinely unusual AFTER the weekly
+    * rhythm and the trend are explained away". The STL-residual
+    * outlier rule, composed from two operators already proven exact.
+    *
+    * Scale shape: everything after the decompose's daily collapse is
+    * day-cardinality; the median/MAD gate is two exact-percentile
+    * aggregates broadcast back. Constants multiply FIRST (k·1.4826)
+    * so both engines compare bit-identical thresholds on the
+    * round-once remainder. */
+  def seasonalOutliers(df: DataFrame, tsCol: Column, valueCol: Column,
+      period: Int = 7, k: Double = 3.0): DataFrame = {
+    val dec = seasonalDecompose(df, tsCol, valueCol, period)
+    val med = broadcast(dec.agg(
+      expr("percentile(remainder, 0.5)").as("__med")))
+    val mad = broadcast(dec.crossJoin(med).agg(
+      expr("percentile(abs(remainder - __med), 0.5)").as("__mad"),
+      first(col("__med")).as("__med")))
+    dec.crossJoin(mad)
+      .filter(abs(col("remainder") - col("__med")) >
+        lit(k * 1.4826) * col("__mad"))
+      .select(col("day"), col("y"), col("trend"), col("remainder"),
+        round(col("__med"), 6).as("med"),
+        round(col("__mad"), 6).as("mad"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013): adjust each unit's
     * experiment metric by its pre-period covariate,
     * y* = y − θ(x − x̄) with θ = cov(x,y)/var(x), and report the

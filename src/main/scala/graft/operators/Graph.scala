@@ -474,4 +474,51 @@ object Graph {
     org.apache.spark.sql.graft.Bridge.releaseFrame(sym)
     labels
   }
+
+  /** k-core of an undirected graph: the maximal subgraph in which
+    * every node keeps degree ≥ k, found by synchronous peeling —
+    * each round drops every node whose CURRENT degree is below k
+    * (and the edges touching it), until nothing changes or `rounds`
+    * is exhausted. Returns the surviving nodes with their core
+    * degree. Peeling is idempotent after the fixpoint, so running
+    * exactly R rounds and early-exiting on an unchanged edge count
+    * produce the SAME output — which is what makes a fixed-R
+    * unrolled SQL oracle exact regardless of where convergence lands.
+    *
+    * Scale shape: per round one map-side-combined degree count plus
+    * two semi-joins on id-width pairs — no node ever sees more than
+    * its neighborhood, no global sort. Each round localCheckpoints
+    * (same discipline as [[labelPropagation]]) so the loop's lineage
+    * stays flat; superseded rounds release eagerly. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    var live = edges.select(col("id_a"), col("id_b"))
+      .union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = live.count()
+    var done = nEdges == 0L
+    var r = 0
+    while (!done && r < rounds) {
+      val keep = live.groupBy(col("id_a").as("__id"))
+        .agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") >= k)
+        .select(col("__id"))
+      val next = live
+        .join(keep.select(col("__id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(keep.select(col("__id").as("id_b")), Seq("id_b"), "left_semi")
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint(true)
+      val n = next.count()
+      org.apache.spark.sql.graft.Bridge.releaseFrame(live)
+      live = next
+      done = n == nEdges || n == 0L
+      nEdges = n
+      r += 1
+    }
+    val out = live.groupBy(col("id_a").as("id"))
+      .agg(count(lit(1)).as("core_degree"))
+    out
+  }
 }

@@ -261,4 +261,56 @@ class TrendAnalyticsSpec extends SparkSpec {
     assert(ur.getAs[Double]("p50") === 50.0)
     assert(ur.getAs[Double]("p75") === 75.0)
   }
+
+  // ---- k-core ----
+
+  test("kCore: clique survives, tails peel, chains cascade to empty") {
+    import graft.operators.Graph
+    // 4-clique {1,2,3,4} with a pendant path 4-5-6
+    val clique = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val g = (clique ++ Seq((4L, 5L), (5L, 6L))).toDF("id_a", "id_b")
+    val core3 = Graph.kCore(g, 3, 6).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("core_degree"))
+      .toMap
+    assert(core3 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+
+    // a 5-node chain has no 2-core: peeling cascades from the
+    // endpoints inward and needs MULTIPLE rounds to drain
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    assert(Graph.kCore(chain, 2, 6).count() === 0L)
+
+    // a cycle IS its own 2-core — nothing peels
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("id_a", "id_b")
+    val c2 = Graph.kCore(cycle, 2, 6).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("core_degree"))
+      .toMap
+    assert(c2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
+  // ---- seasonal outliers ----
+
+  test("seasonalOutliers flags exactly the planted anomaly day") {
+    // pure weekly signal for 10 weeks, day 40 spiked far outside it
+    val rows = (0 until 70).map { i =>
+      val d = java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)
+      val v = 100.0 + (i % 7) * 10 + (if (i == 40) 5000.0 else 0.0)
+      (java.sql.Timestamp.valueOf(d.atStartOfDay), v)
+    }
+    val out = Aggregates.seasonalOutliers(rows.toDF("ts", "v"),
+      col("ts"), col("v")).collect()
+    val days = out.map(_.getAs[String]("day")).toSet
+    assert(days.contains("2024-02-10"), s"planted day missing: $days")
+    // the spike contaminates its own phase mean and MA window, so
+    // secondary flags are legitimate — but the planted day must be
+    // BY FAR the most extreme residual among them
+    val byDev = out.map(r => r.getAs[String]("day") ->
+      math.abs(r.getAs[Double]("remainder") - r.getAs[Double]("med")))
+    val (topDay, topDev) = byDev.maxBy(_._2)
+    assert(topDay === "2024-02-10", s"most extreme is $topDay")
+    val secondDev = byDev.filter(_._1 != topDay).map(_._2).max
+    assert(topDev > 3.0 * secondDev,
+      s"planted dev $topDev vs next $secondDev")
+  }
 }
