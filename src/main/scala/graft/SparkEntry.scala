@@ -1972,6 +1972,14 @@ object SparkEntry {
       graft.operators.Sessions.cohortLtv(t(s, d, "orders"),
         "o_custkey", "o_orderdate", "o_totalprice")),
 
+    "q_lead_lag" -> ((s, d) =>
+      // does order revenue lead shipment revenue? Pearson r of the
+      // two daily series at every lag in [-10, +10] — the peak |r|
+      // lag is the discovered order-to-ship lead time
+      Aggregates.crossCorrelation(
+        t(s, d, "orders"), "o_orderdate", "o_totalprice",
+        t(s, d, "lineitem"), "l_shipdate", "l_extendedprice")),
+
     "q_kcore" -> ((s, d) => {
       // 12-core of the urgent-order co-purchase graph: synchronous
       // peeling, idempotent after the fixpoint so the 8-round
@@ -2128,6 +2136,23 @@ object SparkEntry {
         "user_id", Seq("ts", "event_id"), "value", 0.25, 0.125)
         .select(col("user_id"), col("event_id"), col("value"),
           col("level"), col("trend"), col("forecast"))),
+
+    "q_holt_winters" -> ((s, d) => {
+      // Holt-Winters additive smoothing of per-type daily event value
+      // (weekly season) — the seasonal top rung of the ewma -> holt
+      // ladder, bit-identical to the recursive-CTE oracle carrying
+      // the seasonal vector as a list (dyadic alpha/beta/gamma =
+      // 0.5/0.25/0.125, binary-exact)
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"),
+          to_date(col("ts").cast("timestamp")).as("day"))
+        .agg(round(sum(col("value")), 6).as("y"))
+      graft.operators.Sessions.holtWinters(daily, "event_type",
+          Seq("day"), "y", 0.5, 0.25, 0.125, 7)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("y"), col("level"), col("trend"), col("forecast"))
+    }),
 
     "q_ewma" -> ((s, d) =>
       // per-user EWMA of event values — the batch twin of the
@@ -4803,6 +4828,27 @@ object SparkEntry {
                 round(cum / sz, 6) AS ltv_per_user
          FROM cw JOIN sz USING (cohort)""",
 
+    "q_lead_lag" ->
+      """WITH a AS (
+           SELECT date_diff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS x,
+                  round(sum(o_totalprice), 6) AS va
+           FROM orders GROUP BY 1),
+         b AS (
+           SELECT date_diff('day', DATE '1970-01-01',
+                    CAST(l_shipdate AS DATE)) AS x,
+                  round(sum(l_extendedprice), 6) AS vb
+           FROM lineitem GROUP BY 1),
+         l AS (
+           SELECT a.va, b.vb, lag
+           FROM a CROSS JOIN unnest(generate_series(-10, 10)) AS t(lag)
+           JOIN b ON b.x = a.x + lag)
+         SELECT lag, count(*) AS n_days,
+                round(covar_pop(va, vb) /
+                  (CASE WHEN sqrt(var_pop(va) * var_pop(vb)) <> 0
+                     THEN sqrt(var_pop(va) * var_pop(vb)) END), 6) AS r
+         FROM l GROUP BY 1""",
+
     "q_kcore" ->
       """WITH li AS (
            SELECT l_orderkey AS ok, l_partkey AS pk
@@ -5128,6 +5174,41 @@ object SparkEntry {
              ON b.user_id = r.user_id AND b.rn = r.rn + 1)
          SELECT user_id, event_id, value, level, trend,
                 level + trend AS forecast
+         FROM r""",
+
+    "q_holt_winters" ->
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+                  round(sum(value), 6) AS y
+           FROM events GROUP BY 1, 2),
+         base AS (
+           SELECT event_type, day, y, row_number() OVER (
+             PARTITION BY event_type ORDER BY day) AS rn
+           FROM daily),
+         r AS (
+           SELECT event_type, day, y, rn,
+                  y AS level, CAST(0.0 AS DOUBLE) AS trend,
+                  [CAST(0.0 AS DOUBLE) for i in range(7)] AS seas
+           FROM base WHERE rn = 1
+           UNION ALL
+           SELECT b.event_type, b.day, b.y, b.rn,
+                  0.5 * (b.y - r.seas[((b.rn - 1) % 7) + 1])
+                    + 0.5 * (r.level + r.trend) AS level,
+                  0.25 * ((0.5 * (b.y - r.seas[((b.rn - 1) % 7) + 1])
+                      + 0.5 * (r.level + r.trend)) - r.level)
+                    + 0.75 * r.trend AS trend,
+                  [CASE WHEN i = ((b.rn - 1) % 7) + 1
+                     THEN 0.125 * (b.y -
+                            (0.5 * (b.y - r.seas[((b.rn - 1) % 7) + 1])
+                             + 0.5 * (r.level + r.trend)))
+                          + 0.875 * r.seas[i]
+                     ELSE r.seas[i] END
+                   for i in generate_series(1, 7)] AS seas
+           FROM r JOIN base b
+             ON b.event_type = r.event_type AND b.rn = r.rn + 1)
+         SELECT event_type, strftime(day, '%Y-%m-%d') AS day, y,
+                level, trend,
+                level + trend + seas[(rn % 7) + 1] AS forecast
          FROM r""",
 
     "q_ewma" ->

@@ -1024,6 +1024,40 @@ object Aggregates {
         round(col("__mad"), 6).as("mad"))
   }
 
+  /** Lead–lag cross-correlation of two daily series: Pearson r of
+    * (A on day t, B on day t+lag) for every lag in [−maxLag, maxLag] —
+    * "does order revenue lead shipment revenue, and by how many
+    * days". The lag with the peak |r| is the discovered lead time.
+    *
+    * Scale shape: both inputs collapse to calendar-bounded daily
+    * frames (rounded once); the lag sweep is an explode over the
+    * (2·maxLag+1)-row lag set against the day frame, joined back on
+    * the shifted day index — days × lags rows total, data-size
+    * independent. r is guarded covar/sqrt(var·var), null (not a
+    * throw) on degenerate windows. */
+  def crossCorrelation(dfA: DataFrame, tsA: String, valA: String,
+      dfB: DataFrame, tsB: String, valB: String,
+      maxLag: Int = 10, scale: Int = 6): DataFrame = {
+    require(maxLag >= 1)
+    def daily(df: DataFrame, ts: String, v: String, out: String) = df
+      .groupBy(to_date(col(ts)).as("__d"))
+      .agg(round(sum(col(v).cast("double")), 6).as(out))
+      .select(datediff(col("__d"), lit("1970-01-01").cast("date"))
+        .cast("long").as("__x"), col(out))
+    val a = daily(dfA, tsA, valA, "__a")
+    val b = daily(dfB, tsB, valB, "__b")
+    val lagged = a
+      .withColumn("lag", explode(sequence(lit(-maxLag), lit(maxLag))))
+      .withColumn("__x", col("__x") + col("lag"))
+      .join(b, "__x")
+    val den = sqrt(var_pop(col("__a")) * var_pop(col("__b")))
+    lagged.groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(covar_pop(col("__a"), col("__b")) /
+          when(den =!= 0.0, den), scale).as("r"))
+  }
+
   /** CUPED variance reduction (Deng et al. 2013): adjust each unit's
     * experiment metric by its pre-period covariate,
     * y* = y − θ(x − x̄) with θ = cov(x,y)/var(x), and report the

@@ -528,6 +528,68 @@ object Sessions {
       }(enc)
   }
 
+  /** Holt–Winters additive triple-exponential smoothing — the
+    * seasonal top rung of the [[ewma]] → [[holt]] ladder: per key,
+    * ordered, with period-m seasonal state s[0..m−1] initialized to
+    * zero (the first cycle learns it),
+    * l' = α(x − s[φ]) + (1−α)(l + b), b' = β(l'−l) + (1−β)b,
+    * s'[φ] = γ(x − l') + (1−γ)s[φ], φ = (t−1) mod m; appends `level`,
+    * `trend` and the one-step-ahead `forecast` = l' + b' + s'[φ₊₁].
+    *
+    * Same scale shape as [[holt]] (one hash shuffle, partition-local
+    * (key, order) sort, O(m)-state single pass) and the SAME
+    * BIT-IDENTITY contract: with binary-exact dyadic α/β/γ the DuckDB
+    * recursive-CTE oracle — carrying the seasonal vector as a list
+    * column and recomputing l' inline with the identical expression
+    * tree — agrees to the last ulp, no rounding tolerance. Null
+    * values throw rather than corrupting three states silently. */
+  def holtWinters(df: DataFrame, key: String, orderCols: Seq[String],
+      valueCol: String, alpha: Double, beta: Double, gamma: Double,
+      period: Int): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0 && beta >= 0.0 && beta <= 1.0 &&
+      gamma >= 0.0 && gamma <= 1.0 && period >= 2,
+      "alpha in (0,1], beta/gamma in [0,1], period >= 2")
+    val dt = org.apache.spark.sql.types.DoubleType
+    val outSchema = df.schema.add("level", dt, nullable = false)
+      .add("trend", dt, nullable = false)
+      .add("forecast", dt, nullable = false)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val kIdx = df.schema.fieldIndex(key)
+    val vIdx = df.schema.fieldIndex(valueCol)
+    df.repartition(col(key))
+      .sortWithinPartitions((col(key) +: orderCols.map(col)): _*)
+      .mapPartitions { rows =>
+        var curKey: Any = null
+        var started = false
+        var l = 0.0
+        var b = 0.0
+        var t = 0L
+        var s: Array[Double] = null
+        rows.map { r =>
+          if (r.isNullAt(vIdx)) throw new IllegalArgumentException(
+            s"holtWinters: null $valueCol for key ${r.get(kIdx)}")
+          val k = r.get(kIdx)
+          val x = r.get(vIdx).asInstanceOf[Number].doubleValue()
+          if (!started || k != curKey) {
+            curKey = k; started = true
+            l = x; b = 0.0; t = 1L
+            s = new Array[Double](period)
+          } else {
+            t += 1
+            val ph = ((t - 1) % period).toInt
+            val sOld = s(ph)
+            val lNew = alpha * (x - sOld) + (1.0 - alpha) * (l + b)
+            b = beta * (lNew - l) + (1.0 - beta) * b
+            s(ph) = gamma * (x - lNew) + (1.0 - gamma) * sOld
+            l = lNew
+          }
+          val fc = l + b + s((t % period).toInt)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ l :+ b :+ fc)
+        }
+      }(enc)
+  }
+
   /** Per-key inter-arrival profile: day gaps between consecutive
     * events, summarized per key as mean gap, coefficient of variation
     * and the Goh–Barabási burstiness score (σ−μ)/(σ+μ) ∈ (−1, 1) —

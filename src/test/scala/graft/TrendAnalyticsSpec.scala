@@ -289,6 +289,69 @@ class TrendAnalyticsSpec extends SparkSpec {
     assert(c2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
   }
 
+  // ---- cross-correlation ----
+
+  test("crossCorrelation peaks at exactly the planted shift") {
+    val rng = new scala.util.Random(11)
+    val base = (0 until 60).map(i => i -> (100.0 + rng.nextInt(1000)))
+    def day(i: Int): java.sql.Timestamp = java.sql.Timestamp.valueOf(
+      java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong).atStartOfDay)
+    val a = base.map { case (i, v) => (day(i), v) }.toDF("ts", "v")
+    // B is A shifted 3 days forward: corr at lag +3 must be exactly 1
+    val b = base.map { case (i, v) => (day(i + 3), v) }.toDF("ts", "v")
+    val out = Aggregates.crossCorrelation(a, "ts", "v", b, "ts", "v",
+        maxLag = 5)
+      .collect().map(r => r.getAs[Int]("lag") -> r.getAs[Double]("r"))
+      .toMap
+    assert(out(3) === 1.0, s"lag-3 r was ${out(3)}")
+    assert(out.filter(_._1 != 3).values.forall(r => r == null ||
+      math.abs(r) < 0.5), s"spurious peaks: $out")
+  }
+
+  // ---- Holt-Winters ----
+
+  test("holtWinters with gamma=0 reduces to holt bit-for-bit") {
+    val rng = new scala.util.Random(3)
+    val rows = (1 to 50).map(i => ("k", i, 10.0 + rng.nextInt(100)))
+      .toDF("k", "i", "v")
+    val hw = Sessions.holtWinters(rows, "k", Seq("i"), "v",
+        0.25, 0.125, 0.0, 7)
+      .select("i", "level", "trend").orderBy("i")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val h = Sessions.holt(rows, "k", Seq("i"), "v", 0.25, 0.125)
+      .select("i", "level", "trend").orderBy("i")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    assert(hw.toSeq === h.toSeq)
+  }
+
+  test("holtWinters matches a driver-side scalar fold to the ulp") {
+    val rng = new scala.util.Random(5)
+    val vals = (1 to 40).map(_ => 10.0 + rng.nextInt(100).toDouble)
+    val rows = vals.zipWithIndex.map { case (v, i) => ("k", i + 1, v) }
+      .toDF("k", "i", "v")
+    val got = Sessions.holtWinters(rows, "k", Seq("i"), "v",
+        0.5, 0.25, 0.125, 7)
+      .orderBy("i").select("level", "trend", "forecast")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    // the same recurrence, folded in plain Scala on the driver
+    var l = 0.0; var b = 0.0; var t = 0L
+    val s = new Array[Double](7)
+    val want = vals.map { x =>
+      if (t == 0L) { l = x; b = 0.0; t = 1L }
+      else {
+        t += 1
+        val ph = ((t - 1) % 7).toInt
+        val sOld = s(ph)
+        val lNew = 0.5 * (x - sOld) + 0.5 * (l + b)
+        b = 0.25 * (lNew - l) + 0.75 * b
+        s(ph) = 0.125 * (x - lNew) + 0.875 * sOld
+        l = lNew
+      }
+      (l, b, l + b + s((t % 7).toInt))
+    }
+    assert(got.toSeq === want)
+  }
+
   // ---- seasonal outliers ----
 
   test("seasonalOutliers flags exactly the planted anomaly day") {
