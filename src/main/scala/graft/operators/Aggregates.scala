@@ -980,8 +980,13 @@ object Aggregates {
       period: Int = 7, scale: Int = 6): DataFrame = {
     require(period > 1)
     val half = period / 2
+    // lineage cut: the anchor, trend window, phase means and final
+    // assembly all consume the day-cardinality frame — without it
+    // each branch re-derives the raw scan (measured 20 scans in
+    // q_seasonal_outliers' executed plan before the cut)
     val daily = df.groupBy(to_date(tsCol).as("day"))
       .agg(round(sum(valueCol), scale).as("y"))
+      .localCheckpoint(false)
     val wTrend = Window.orderBy(col("day")).rowsBetween(-half, half)
     val anchor = broadcast(daily.agg(min(col("day")).as("__d0")))
     val detr = daily.crossJoin(anchor)
@@ -1046,11 +1051,14 @@ object Aggregates {
       dfB: DataFrame, tsB: String, valB: String,
       maxLag: Int = 10, scale: Int = 6): DataFrame = {
     require(maxLag >= 1)
+    // day-cardinality frames, lineage-cut so the lag sweep's join
+    // branches don't re-derive the raw scans
     def daily(df: DataFrame, ts: String, v: String, out: String) = df
       .groupBy(to_date(col(ts)).as("__d"))
       .agg(round(sum(col(v).cast("double")), 6).as(out))
       .select(datediff(col("__d"), lit("1970-01-01").cast("date"))
         .cast("long").as("__x"), col(out))
+      .localCheckpoint(false)
     val a = daily(dfA, tsA, valA, "__a")
     val b = daily(dfB, tsB, valB, "__b")
     val lagged = a
@@ -1417,6 +1425,8 @@ object Aggregates {
       .agg(round(sum(col(valueCol).cast("double")), 6).as("__v"))
       .select(datediff(col("__d"), lit("1970-01-01").cast("date"))
         .cast("double").as("__x"), col("__v"))
+      // lineage cut: both pair sides and the intercept pass consume it
+      .localCheckpoint(false)
     val a = daily.select(col("__x").as("__xi"), col("__v").as("__vi"))
     val b = daily.select(col("__x").as("__xj"), col("__v").as("__vj"))
     val slopes = broadcast(a).join(b, col("__xj") > col("__xi"))
@@ -1453,6 +1463,8 @@ object Aggregates {
       .agg(round(sum(col(valueCol).cast("double")), 6).as("__v"))
       .select(datediff(col("__d"), lit("1970-01-01").cast("date"))
         .cast("long").as("__x"), col("__v"))
+      // lineage cut: pair sides, tie table and n all consume it
+      .localCheckpoint(false)
     val a = daily.select(col("__x").as("__xi"), col("__v").as("__vi"))
     val b = daily.select(col("__x").as("__xj"), col("__v").as("__vj"))
     val sStat = broadcast(a).join(b, col("__xj") > col("__xi"))
@@ -1598,6 +1610,8 @@ object Aggregates {
       .agg(round(sum(col(valueCol).cast("double")), 6).as("__v"))
       .select(datediff(col("__d"), lit("1970-01-01").cast("date"))
         .cast("long").as("__x"), col("__v"))
+      // lineage cut: the base, both shifts and the max all consume it
+      .localCheckpoint(false)
     val maxd = broadcast(daily.agg(max(col("__x")).as("__mx")))
     val shifted = daily.select((col("__x") + period).as("__x"),
       col("__v").as("__fc"))
