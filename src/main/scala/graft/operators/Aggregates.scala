@@ -427,8 +427,12 @@ object Aggregates {
     val u = a.select(v.as("__v"), lit(1L).as("__ca"), lit(0L).as("__cb"))
       .unionByName(b.select(v.as("__v"), lit(0L).as("__ca"),
         lit(1L).as("__cb")))
+    // lineage cut: the distinct-value frame feeds min/max, the
+    // bucketed run, the carries and the totals — without it each
+    // consumer re-derived both raw scans
     val inc = u.groupBy(col("__v"))
       .agg(sum(col("__ca")).as("__da"), sum(col("__cb")).as("__db"))
+      .localCheckpoint(false)
     val mm = broadcast(inc.agg(min(col("__v")).as("__mn"),
       max(col("__v")).as("__mx")))
     val width = (col("__mx") - col("__mn")) / lit(buckets.toDouble)
@@ -478,10 +482,13 @@ object Aggregates {
   def auc(df: DataFrame, labelCol: Column, scoreCol: Column,
       buckets: Int = 1024, scale: Int = 6): DataFrame = {
     require(buckets > 0)
+    // lineage cut: the distinct-score frame feeds min/max, the run
+    // window and the carries — one raw scan instead of four
     val g = df.select(scoreCol.cast("double").as("__v"),
         when(labelCol, 1L).otherwise(0L).as("__y"))
       .groupBy(col("__v"))
       .agg(count(lit(1)).as("__cnt"), sum(col("__y")).as("__pos"))
+      .localCheckpoint(false)
     val mm = broadcast(g.agg(min(col("__v")).as("__mn"),
       max(col("__v")).as("__mx")))
     val width = (col("__mx") - col("__mn")) / lit(buckets.toDouble)
@@ -540,8 +547,11 @@ object Aggregates {
     require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1))
     val base = df.select(scoreCol.cast("double").as("__v"),
       when(labelCol, 1L).otherwise(0L).as("__y"))
+    // lineage cut: the distinct-score frame feeds the percentile
+    // thresholds, the totals and the sweep — one raw scan
     val g = base.groupBy(col("__v"))
       .agg(count(lit(1)).as("__cnt"), sum(col("__y")).as("__pos"))
+      .localCheckpoint(false)
     val probsArr = probs.map(p => s"${p}D").mkString(",")
     val thr = g.agg(expr(
         s"percentile(__v, array($probsArr), __cnt) AS __thrs"))
@@ -1184,8 +1194,11 @@ object Aggregates {
     * frequent items first (Apriori's first pass — [[frequentItems]]). */
   def basketLift(df: DataFrame, basketCol: String, itemCol: String,
       scale: Int = 6): DataFrame = {
+    // lineage cut: the distinct (basket, item) frame feeds the basket
+    // count, the per-item counts and BOTH sides of the pair self-join
     val bi = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .distinct()
+      .localCheckpoint(false)
     val n = broadcast(bi.agg(countDistinct(col("__b")).as("__n")))
     val items = bi.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
     val pairs = bi.as("a")
