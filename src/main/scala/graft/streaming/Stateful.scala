@@ -72,4 +72,75 @@ object Stateful {
           }
       }
   }
+
+  case class HwState(level: Double, trend: Double, seas: Array[Double],
+      n: Long, maxTs: Long = Long.MinValue)
+  case class HwOut(symbol: String, timestamp: Long, price: Double,
+      level: Double, trend: Double, forecast: Double, n: Long)
+
+  /** Streaming twin of [[graft.operators.Sessions.holtWinters]]: the
+    * additive triple-exponential recurrence as keyed state —
+    * level/trend doubles plus the period-m seasonal array, O(m) per
+    * key. Same expression trees as the batch fold, so a MemoryStream
+    * replay of the batch input produces BIT-IDENTICAL level/trend/
+    * forecast columns (StatefulSpec asserts it); same timeout
+    * contract as [[ewmaPerSymbol]].
+    *
+    * Arrival order within a micro-batch is not guaranteed — rows sort
+    * by (timestamp, price) before folding so the recurrence is
+    * deterministic; ACROSS batches the stream must deliver in event
+    * order (the recurrence is order-defined, as with any incremental
+    * smoother). */
+  def holtWintersPerSymbol(points: Dataset[PricePoint], alpha: Double,
+      beta: Double, gamma: Double, period: Int,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      timeoutMs: Long = 600000L): Dataset[HwOut] = {
+    require(alpha > 0.0 && alpha <= 1.0 && beta >= 0.0 && beta <= 1.0 &&
+      gamma >= 0.0 && gamma <= 1.0 && period >= 2)
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.symbol)
+      .flatMapGroupsWithState[HwState, HwOut](
+        OutputMode.Append(), timeout) {
+        case (symbol, rows, state: GroupState[HwState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(p => (p.timestamp, p.price))
+            var st = state.getOption.getOrElse(
+              HwState(0.0, 0.0, new Array[Double](period), 0L))
+            val out = sorted.map { p =>
+              val ts = math.max(st.maxTs, p.timestamp)
+              st =
+                if (st.n == 0L)
+                  HwState(p.price, 0.0, new Array[Double](period), 1L, ts)
+                else {
+                  val t = st.n + 1
+                  val ph = ((t - 1) % period).toInt
+                  val s = st.seas.clone()
+                  val sOld = s(ph)
+                  val lNew = alpha * (p.price - sOld) +
+                    (1.0 - alpha) * (st.level + st.trend)
+                  val bNew = beta * (lNew - st.level) +
+                    (1.0 - beta) * st.trend
+                  s(ph) = gamma * (p.price - lNew) + (1.0 - gamma) * sOld
+                  HwState(lNew, bNew, s, t, ts)
+                }
+              val fc = st.level + st.trend +
+                st.seas((st.n % period).toInt)
+              HwOut(symbol, p.timestamp, p.price, st.level, st.trend,
+                fc, st.n)
+            }
+            state.update(st)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration(timeoutMs)
+            else if (timeout == GroupStateTimeout.EventTimeTimeout)
+              state.setTimeoutTimestamp(
+                math.max(st.maxTs + timeoutMs,
+                  state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
 }

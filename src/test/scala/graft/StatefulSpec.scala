@@ -169,4 +169,36 @@ class StatefulSpec extends SparkSpec {
     assert(e.getMessage.contains("ewma") ||
       Option(e.getCause).exists(_.getMessage.contains("ewma")))
   }
+
+  test("holtWintersPerSymbol: stream replay == batch fold, bit-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(9)
+    val series = (1 to 30).map(i =>
+      PricePoint("A", i.toLong, 50.0 + rng.nextInt(100))) ++
+      (1 to 5).map(i => PricePoint("B", i.toLong, 10.0 * i))
+    val mem = MemoryStream[Stateful.PricePoint]
+    val q = Stateful.holtWintersPerSymbol(mem.toDS(),
+        alpha = 0.5, beta = 0.25, gamma = 0.125, period = 7)
+      .writeStream.format("memory").queryName("hw_t")
+      .outputMode("append").start()
+    try {
+      // deliver in event order across three micro-batches
+      val ordered = series.sortBy(p => (p.symbol, p.timestamp))
+      ordered.grouped(12).foreach { g =>
+        mem.addData(g: _*); q.processAllAvailable()
+      }
+      val got = spark.table("hw_t").as[Stateful.HwOut]
+        .collect().sortBy(o => (o.symbol, o.timestamp))
+        .map(o => (o.symbol, o.timestamp, o.level, o.trend, o.forecast))
+      val batch = graft.operators.Sessions.holtWinters(
+          series.map(p => (p.symbol, p.timestamp, p.price))
+            .toDF("symbol", "ts", "price"),
+          "symbol", Seq("ts"), "price", 0.5, 0.25, 0.125, 7)
+        .orderBy("symbol", "ts")
+        .collect().map(r => (r.getAs[String]("symbol"),
+          r.getAs[Long]("ts"), r.getAs[Double]("level"),
+          r.getAs[Double]("trend"), r.getAs[Double]("forecast")))
+      assert(got.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
 }
