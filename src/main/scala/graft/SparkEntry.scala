@@ -20,6 +20,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Shared graph fixture: undirected co-purchase pair edges between
+    * parts sharing an urgent order — consumed by the triangle-count,
+    * label-propagation and k-core queries. The (order, part) frame is
+    * lineage-cut so the self-join's two sides don't each re-derive
+    * the lineitem-orders join. */
+  private def urgentCopurchasePairs(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .join(t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk"))
+      .localCheckpoint(false)
+    li.join(li.select(col("__ok"), col("__pk").as("__pk2")), Seq("__ok"))
+      .filter(col("__pk") < col("__pk2"))
+      .select(col("__pk").as("id_a"), col("__pk2").as("id_b"))
+  }
+
   /** 12-token-per-line re-wrap of the (single-line) synthetic documents:
     * the corpus the line-level cleaning operators are graded on. Built
     * with the exact same chunking in the DuckDB oracle; near-duplicate
@@ -1710,22 +1728,11 @@ object SparkEntry {
           .groupBy("w").agg(count(lit(1)).as("c")),
         "w", "c", topN = 1000)),
 
-    "q_triangle_count" -> ((s, d) => {
+    "q_triangle_count" -> ((s, d) =>
       // graph cohesion of the part co-purchase graph (parts sharing an
       // urgent order): exact triangles via the degree-orientation
       // construction — the skew-proof wedge join
-      val li = t(s, d, "lineitem")
-        .join(t(s, d, "orders")
-          .filter(col("o_orderpriority") === "1-URGENT")
-          .select("o_orderkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk"))
-      val pairs = li.join(
-          li.select(col("__ok"), col("__pk").as("__pk2")), Seq("__ok"))
-        .filter(col("__pk") < col("__pk2"))
-        .select(col("__pk").as("id_a"), col("__pk2").as("id_b"))
-      graft.operators.Graph.triangleCount(pairs)
-    }),
+      graft.operators.Graph.triangleCount(urgentCopurchasePairs(s, d))),
 
     "q_attribution" -> ((s, d) =>
       // last-touch vs first-touch credit for purchase value across
@@ -1733,24 +1740,14 @@ object SparkEntry {
       graft.operators.Sessions.touchAttribution(t(s, d, "events"),
         "user_id", "ts", "event_type", "purchase", Seq(col("event_id")))),
 
-    "q_label_prop" -> ((s, d) => {
+    "q_label_prop" -> ((s, d) =>
       // communities of the urgent-order co-purchase graph by
       // deterministic synchronous LPA (ties to the smallest label) —
       // the density-community companion to q_dup_components'
       // transitive-exact components. 3 fixed rounds, oracle-unrolled.
-      val li = t(s, d, "lineitem")
-        .join(t(s, d, "orders")
-          .filter(col("o_orderpriority") === "1-URGENT")
-          .select("o_orderkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk"))
-      val pairs = li.join(
-          li.select(col("__ok"), col("__pk").as("__pk2")), Seq("__ok"))
-        .filter(col("__pk") < col("__pk2"))
-        .select(col("__pk").as("id_a"), col("__pk2").as("id_b"))
-      graft.operators.Graph.labelPropagation(pairs, 3)
-        .orderBy(col("id"))
-    }),
+      graft.operators.Graph.labelPropagation(
+          urgentCopurchasePairs(s, d), 3)
+        .orderBy(col("id"))),
 
     "q_topk_per_group" -> ((s, d) => {
       // F2 UDAF on the graded path: top-3 parts per supplier by
@@ -1980,23 +1977,12 @@ object SparkEntry {
         t(s, d, "orders"), "o_orderdate", "o_totalprice",
         t(s, d, "lineitem"), "l_shipdate", "l_extendedprice")),
 
-    "q_kcore" -> ((s, d) => {
+    "q_kcore" -> ((s, d) =>
       // 12-core of the urgent-order co-purchase graph: synchronous
       // peeling, idempotent after the fixpoint so the 8-round
       // unrolled oracle is exact wherever convergence lands (measured
       // fixpoint: 5 rounds at sf0.01, 7 at sf0.1)
-      val li = t(s, d, "lineitem")
-        .join(t(s, d, "orders")
-          .filter(col("o_orderpriority") === "1-URGENT")
-          .select("o_orderkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("l_orderkey").as("__ok"), col("l_partkey").as("__pk"))
-      val pairs = li.join(
-          li.select(col("__ok"), col("__pk").as("__pk2")), Seq("__ok"))
-        .filter(col("__pk") < col("__pk2"))
-        .select(col("__pk").as("id_a"), col("__pk2").as("id_b"))
-      graft.operators.Graph.kCore(pairs, 12, 8)
-    }),
+      graft.operators.Graph.kCore(urgentCopurchasePairs(s, d), 12, 8)),
 
     "q_seasonal_outliers" -> ((s, d) =>
       // days whose decompose remainder exceeds 3 robust sigmas —
@@ -4755,7 +4741,7 @@ object SparkEntry {
                   date_diff('day', CAST(max(o_orderdate) AS DATE),
                     (SELECT md FROM mx)) AS recency,
                   count(*) AS frequency,
-                  sum(o_totalprice) AS monetary
+                  round(sum(o_totalprice), 2) AS monetary
            FROM orders GROUP BY 1),
          sc AS (
            SELECT recency, frequency, monetary,

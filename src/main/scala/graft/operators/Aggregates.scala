@@ -1651,6 +1651,9 @@ object Aggregates {
             abs(col("__v")) + abs(col("__fc")))), 6).as("smape"),
         round(mae / when(first(col("__nmae")) =!= 0.0,
           first(col("__nmae"))), 6).as("mase"))
+      // empty holdout (span <= period) yields ZERO rows, matching the
+      // grouped-oracle contract, instead of a lone all-null row
+      .filter(col("n_test") > 0L)
   }
 
   /** Exact weighted lower percentiles per group: for each probability
@@ -1747,10 +1750,13 @@ object Aggregates {
     * engine-reproducible buckets. */
   def rfmSegments(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, buckets: Int = 1024): DataFrame = {
+    // monetary rounded ONCE before ranking: an unrounded distributed
+    // sum can order exact-decimal ties by accumulation noise instead
+    // of the key, diverging from the oracle's NTILE on tied customers
     val perCust = df.groupBy(col(keyCol).as("__c"))
       .agg(max(to_date(col(tsCol))).as("__last"),
         count(lit(1)).as("frequency"),
-        sum(col(valueCol).cast("double")).as("monetary"))
+        round(sum(col(valueCol).cast("double")), 2).as("monetary"))
     val maxd = broadcast(df.agg(max(to_date(col(tsCol))).as("__maxd")))
     // lineage cut: the customer frame feeds the metric stack, the
     // count, AND the final segment rollup — without it the orders
