@@ -529,6 +529,22 @@ object SparkEntry {
     "q_dedup_docs" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "doc_id", "text")),
 
+    "q_dedup_survivor" -> ((s, d) =>
+      // golden-record dedup: per duplicate cluster keep the highest-
+      // quality copy (ties to smallest id) — one struct-min_by hash
+      // aggregate, same cost as q_dedup_docs' smallest-id policy
+      Dedup.survivorship(t(s, d, "documents"), "doc_id", "text",
+        graft.functions.Text.qualityScore(col("text")))),
+
+    "q_bfs_hops" -> ((s, d) =>
+      // blast radius: hop distance of every part from the Brand#13
+      // seed set in the urgent co-purchase graph (<= 3 hops) —
+      // frontier BFS, early-exit == fixed-round unrolled oracle
+      graft.operators.Graph.bfsHops(
+        urgentCopurchasePairs(s, d),
+        t(s, d, "part").filter(col("p_brand") === "Brand#13")
+          .select(col("p_partkey").as("id")), 3)),
+
     "q_soft_dedup" -> ((s, d) =>
       // duplicate-aware soft reweighting: every copy kept, weight
       // 1/cluster_size so each duplicate cluster contributes exactly
@@ -3098,6 +3114,75 @@ object SparkEntry {
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
                 min(doc_id) AS canonical_id, count(*) AS dup_count
          FROM documents GROUP BY 1""",
+
+    "q_dedup_survivor" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                    AS fp,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ',
+                    'g'))), ' ') AS toks,
+                  regexp_replace(text, '\s+', '', 'g') AS body,
+                  trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+           FROM documents),
+         m AS (
+           SELECT doc_id, fp,
+                  CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter(toks, w -> w IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','that','this'))) AS DOUBLE) / len(toks) END AS stopword_ratio,
+                  CASE WHEN length(body) = 0 THEN 0.0
+                       ELSE CAST(length(regexp_replace(body, '[\p{L}\p{N}]', '', 'g')) AS DOUBLE) / length(body) END AS punct_ratio,
+                  CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END
+                    AS n_tokens
+           FROM base),
+         q AS (
+           SELECT doc_id, fp,
+                  round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                        + 0.5 * least(stopword_ratio * 4.0, 1.0)
+                        - 0.25 * least(punct_ratio * 2.0, 1.0), 6) AS qs
+           FROM m),
+         r AS (
+           SELECT fp, doc_id, qs,
+                  row_number() OVER (PARTITION BY fp
+                    ORDER BY qs DESC, doc_id) AS rk,
+                  count(*) OVER (PARTITION BY fp) AS dc
+           FROM q)
+         SELECT fp AS fingerprint, doc_id AS survivor_id,
+                qs AS survivor_quality, dc AS dup_count
+         FROM r WHERE rk = 1""",
+
+    "q_bfs_hops" ->
+      """WITH li AS (
+           SELECT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderpriority = '1-URGENT'),
+         e AS MATERIALIZED (
+           SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         und AS MATERIALIZED (
+           SELECT a AS src, b AS dst FROM e
+           UNION SELECT b AS src, a AS dst FROM e),
+         d0 AS MATERIALIZED (
+           SELECT DISTINCT p_partkey AS id FROM part
+           WHERE p_brand = 'Brand#13'),
+         n1 AS MATERIALIZED (
+           SELECT DISTINCT u.dst AS id
+           FROM und u JOIN d0 ON u.src = d0.id
+           WHERE NOT EXISTS (SELECT 1 FROM d0 x WHERE x.id = u.dst)),
+         n2 AS MATERIALIZED (
+           SELECT DISTINCT u.dst AS id
+           FROM und u JOIN n1 ON u.src = n1.id
+           WHERE NOT EXISTS (SELECT 1 FROM d0 x WHERE x.id = u.dst)
+             AND NOT EXISTS (SELECT 1 FROM n1 y WHERE y.id = u.dst)),
+         n3 AS (
+           SELECT DISTINCT u.dst AS id
+           FROM und u JOIN n2 ON u.src = n2.id
+           WHERE NOT EXISTS (SELECT 1 FROM d0 x WHERE x.id = u.dst)
+             AND NOT EXISTS (SELECT 1 FROM n1 y WHERE y.id = u.dst)
+             AND NOT EXISTS (SELECT 1 FROM n2 z WHERE z.id = u.dst))
+         SELECT id, 0 AS hops FROM d0
+         UNION ALL SELECT id, 1 FROM n1
+         UNION ALL SELECT id, 2 FROM n2
+         UNION ALL SELECT id, 3 FROM n3""",
 
     "q_soft_dedup" ->
       """WITH fp AS (

@@ -60,6 +60,26 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("dup_count"))
 
+  /** Survivorship dedup: per exact-duplicate cluster keep the BEST
+    * copy by `score` (ties to the smallest id) instead of [[exact]]'s
+    * smallest-id canonical — the golden-record policy when duplicate
+    * copies differ in quality (truncation, encoding damage). The
+    * argmax rides one struct min_by inside the same single hash
+    * aggregate as [[exact]], so the cost is identical. Score must be
+    * engine-deterministic (e.g. the round-6
+    * [[graft.functions.Text.qualityScore]]) for oracle duty. */
+  def survivorship(df: DataFrame, idCol: String, textCol: String,
+      score: Column): DataFrame =
+    df.select(col(idCol).as("__id"),
+        Text.fingerprint(col(textCol)).as("fingerprint"),
+        score.cast("double").as("__q"))
+      .groupBy("fingerprint")
+      .agg(
+        min_by(col("__id"),
+          struct((-col("__q")).as("__nq"), col("__id"))).as("survivor_id"),
+        max(col("__q")).as("survivor_quality"),
+        count(lit(1)).as("dup_count"))
+
   /** Duplicate-aware soft reweighting (the SoftDeDup idea: keep every
     * copy, down-weight by duplicate multiplicity instead of dropping —
     * a cluster's weights sum to 1 up to 6-decimal rounding (weight is

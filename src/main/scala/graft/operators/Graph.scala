@@ -521,4 +521,52 @@ object Graph {
       .agg(count(lit(1)).as("core_degree"))
     out
   }
+
+  /** Multi-source BFS hop distance: every node's distance (in hops)
+    * from the nearest seed, up to `maxHops` — "how far is each
+    * product from the promoted set", the blast-radius query. Seeds
+    * are hop 0; unreached nodes don't emit.
+    *
+    * Scale shape: classic frontier expansion — per hop ONE id-width
+    * join (frontier × adjacency) and one anti-join against the
+    * settled set, both localCheckpointed ([[kCore]] discipline).
+    * Frontiers only shrink the unsettled set, so the loop exits
+    * early when a frontier drains; a fixed-R unrolled oracle stays
+    * exact because later rounds are no-ops. */
+  def bfsHops(edges: DataFrame, seeds: DataFrame,
+      maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1)
+    val sym = edges.select(col("id_a"), col("id_b"))
+      .union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+      .localCheckpoint(true)
+    var dist = seeds.select(col("id")).distinct()
+      .withColumn("hops", lit(0))
+      .localCheckpoint(true)
+    var frontier = dist.select("id")
+    var h = 1
+    var done = false
+    while (!done && h <= maxHops) {
+      val nxt = sym
+        .join(frontier.withColumnRenamed("id", "id_a"), Seq("id_a"),
+          "left_semi")
+        .select(col("id_b").as("id")).distinct()
+        .join(dist, Seq("id"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint(true)
+      if (nxt.count() == 0L) {
+        org.apache.spark.sql.graft.Bridge.releaseFrame(nxt)
+        done = true
+      } else {
+        val merged = dist.unionByName(nxt).localCheckpoint(true)
+        org.apache.spark.sql.graft.Bridge.releaseFrame(dist)
+        dist = merged
+        frontier = nxt.select("id")
+      }
+      h += 1
+    }
+    org.apache.spark.sql.graft.Bridge.releaseFrame(sym)
+    dist
+  }
 }

@@ -352,6 +352,48 @@ class TrendAnalyticsSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  // ---- BFS hops ----
+
+  test("bfsHops: path distances, cap, and disconnected nodes") {
+    import graft.operators.Graph
+    // path 1-2-3-4-5-6 plus isolated edge 10-11; seed = {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.bfsHops(edges, seeds, maxHops = 3).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("hops")).toMap
+    // nodes past the cap (5, 6) and the disconnected pair don't emit
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+
+    // two seeds: nearest-seed distance wins
+    val two = Graph.bfsHops(edges, Seq(1L, 6L).toDF("id"), 3).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Int]("hops")).toMap
+    assert(two === Map(1L -> 0, 6L -> 0, 2L -> 1, 5L -> 1,
+      3L -> 2, 4L -> 2))
+  }
+
+  // ---- survivorship dedup ----
+
+  test("survivorship keeps the best copy, ties to the smallest id") {
+    import graft.llm.Dedup
+    // three copies of the same normalized text (quality equal -> tie
+    // broken to smallest id), one cluster where lengths differ
+    val docs = Seq(
+      (5L, "the cat sat on the mat"),
+      (3L, "the cat  sat on   the mat"),   // same fingerprint, same q
+      (9L, "the cat sat on the mat"),
+      (1L, "x"),                            // singleton, tiny quality
+      (2L, "the quick brown fox jumps over the lazy dog and runs on"))
+      .toDF("doc_id", "text")
+    val out = Dedup.survivorship(docs, "doc_id", "text",
+        graft.functions.Text.qualityScore(col("text")))
+      .collect().map(r => r.getAs[Long]("survivor_id") ->
+        r.getAs[Long]("dup_count")).toMap
+    assert(out(3L) === 3L)  // tie on quality -> smallest id of 3,5,9
+    assert(out(1L) === 1L)
+    assert(out(2L) === 1L)
+  }
+
   // ---- seasonal outliers ----
 
   test("seasonalOutliers flags exactly the planted anomaly day") {
