@@ -733,4 +733,61 @@ class PropertySpec extends SparkSpec {
       assert(r.getAs[Long]("n_nodes") == nodes.size.toLong)
     }
   }
+
+  test("kCore == driver-side peeling on random graphs; output is a fixpoint") {
+    import graft.operators.Graph
+    val edgeGen = Gen.listOfN(50,
+      Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L)))
+    samples(edgeGen, 5).foreach { raw =>
+      val canon = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.toSet
+      if (canon.nonEmpty) {
+        val k = 3
+        // reference: peel to fixpoint on adjacency sets
+        var adj = scala.collection.mutable.Map[Long, Set[Long]]()
+          .withDefaultValue(Set.empty)
+        canon.foreach { case (a, b) =>
+          adj(a) = adj(a) + b; adj(b) = adj(b) + a
+        }
+        var changed = true
+        while (changed) {
+          val drop = adj.filter(_._2.size < k).keys.toSet
+          changed = drop.nonEmpty
+          if (changed) {
+            drop.foreach(adj.remove)
+            adj = adj.map { case (n, s) => n -> (s -- drop) }
+              .withDefaultValue(Set.empty)
+          }
+        }
+        val want = adj.map { case (n, s) => n -> s.size.toLong }.toMap
+        val got = Graph.kCore(canon.toSeq.toDF("id_a", "id_b"), k,
+            rounds = 16).collect()
+          .map(r => r.getAs[Long]("id") -> r.getAs[Long]("core_degree"))
+          .toMap
+        assert(got === want, s"edges=$canon")
+        // fixpoint: every surviving node keeps degree >= k
+        assert(got.values.forall(_ >= k))
+      }
+    }
+  }
+
+  test("weightedPercentiles with unit weights == driver-side lower quantile") {
+    import graft.operators.Aggregates
+    val valGen = Gen.listOfN(40, Gen.chooseNum(1, 500).map(_.toDouble))
+    samples(valGen, 5).foreach { vs =>
+      val df = vs.map(v => ("g", v, 1.0)).toDF("k", "v", "w")
+      val r = Aggregates.weightedPercentiles(df, Seq("k"), "v", "w")
+        .collect()(0)
+      val sorted = vs.sorted
+      def lower(p: Double): Double = {
+        // smallest v with cumweight >= p * n (unit weights)
+        val need = p * sorted.size
+        sorted(math.ceil(need).toInt - 1)
+      }
+      assert(r.getAs[Double]("p25") === lower(0.25), s"vs=$sorted")
+      assert(r.getAs[Double]("p50") === lower(0.5))
+      assert(r.getAs[Double]("p75") === lower(0.75))
+      assert(r.getAs[Double]("total_weight") === sorted.size.toDouble)
+    }
+  }
 }
