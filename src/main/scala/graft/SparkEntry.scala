@@ -881,6 +881,22 @@ object SparkEntry {
       graft.llm.Relevance.bm25(t(s, d, "documents"), "doc_id", "text",
         Seq("vector", "join", "stream"))),
 
+    "q_ndcg" -> ((s, d) => {
+      // retrieval eval closing the loop on q_bm25: graded NDCG@10 +
+      // MRR of the BM25 ranking against quality-derived relevance
+      // grades (2 / 1 / 0 at the 0.5 / 0.35 quality cuts)
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val ranked = graft.llm.Relevance.bm25(docs, "doc_id", "text",
+          Seq("vector", "join", "stream"))
+        .select(col("doc_id").as("id"), row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).as("rank"))
+      val q = graft.functions.Text.qualityScore(col("text"))
+      val rels = docs.select(col("doc_id").as("id"),
+        when(q >= 0.5, 2).when(q >= 0.35, 1).otherwise(0).as("rel"))
+      graft.llm.Relevance.rankingMetrics(ranked, rels, 10)
+    }),
+
     "q_char_entropy" -> ((s, d) =>
       // Shannon character entropy (nats) — spam/noise quality signal
       graft.llm.LanguageModel.charEntropy(t(s, d, "documents"),
@@ -3612,6 +3628,77 @@ object SparkEntry {
                   (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6) AS score
          FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id) CROSS JOIN stats
          GROUP BY doc_id""",
+
+    "q_ndcg" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                       FROM documents),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks
+                WHERE length(w) > 0 GROUP BY 1),
+         stats AS (SELECT avg(dl) AS avgdl,
+                          CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+         tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+                WHERE w IN ('vector', 'join', 'stream') GROUP BY 1, 2),
+         dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+         bm AS (
+           SELECT doc_id, round(sum(
+                    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+                    (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 6)
+                    AS score
+           FROM tf JOIN dfq USING (w) JOIN dl USING (doc_id)
+           CROSS JOIN stats GROUP BY doc_id),
+         ranked AS (
+           SELECT doc_id AS id, row_number() OVER (
+             ORDER BY score DESC, doc_id) AS rank
+           FROM bm),
+         qbase AS (
+           SELECT doc_id,
+                  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks,
+                  regexp_replace(text, '\s+', '', 'g') AS body,
+                  trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+           FROM documents),
+         qm AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) = 0 THEN 0.0
+                       ELSE CAST(len(list_filter(toks, w -> w IN ('the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','that','this'))) AS DOUBLE) / len(toks) END AS stopword_ratio,
+                  CASE WHEN length(body) = 0 THEN 0.0
+                       ELSE CAST(length(regexp_replace(body, '[\p{L}\p{N}]', '', 'g')) AS DOUBLE) / length(body) END AS punct_ratio,
+                  CASE WHEN length(norm) = 0 THEN 0 ELSE len(toks) END
+                    AS n_tokens
+           FROM qbase),
+         rels AS (
+           SELECT doc_id AS id,
+                  CASE WHEN round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                         + 0.5 * least(stopword_ratio * 4.0, 1.0)
+                         - 0.25 * least(punct_ratio * 2.0, 1.0), 6) >= 0.5
+                         THEN 2
+                       WHEN round(0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                         + 0.5 * least(stopword_ratio * 4.0, 1.0)
+                         - 0.25 * least(punct_ratio * 2.0, 1.0), 6) >= 0.35
+                         THEN 1
+                       ELSE 0 END AS rel
+           FROM qm),
+         topk AS (
+           SELECT r.rank, coalesce(rels.rel, 0) AS rel
+           FROM ranked r LEFT JOIN rels ON r.id = rels.id
+           WHERE r.rank <= 10),
+         d AS (
+           SELECT sum((pow(2, rel) - 1) / log2(rank + 1)) AS dcg,
+                  min(CASE WHEN rel > 0 THEN rank END) AS fr
+           FROM topk),
+         ideal AS (
+           SELECT rel, row_number() OVER (ORDER BY rel DESC, id) AS rr
+           FROM rels WHERE rel > 0),
+         i AS (
+           SELECT coalesce(sum((pow(2, rel) - 1) / log2(rr + 1)),
+                    CAST(0.0 AS DOUBLE)) AS idcg
+           FROM ideal WHERE rr <= 10),
+         nr AS (SELECT count(*) AS n_relevant FROM rels WHERE rel > 0)
+         SELECT 10 AS k, n_relevant, round(dcg, 6) AS dcg,
+                round(idcg, 6) AS idcg,
+                round(dcg / (CASE WHEN idcg <> 0 THEN idcg END), 6)
+                  AS ndcg,
+                round(CAST(1.0 AS DOUBLE) / fr, 6) AS mrr
+         FROM d CROSS JOIN i CROSS JOIN nr""",
 
     "q_char_entropy" ->
       """WITH ch AS (SELECT doc_id, substr(text, i, 1) AS c

@@ -185,4 +185,47 @@ object Relevance {
     if (topN <= 0) fused
     else fused.orderBy(col("rrf_score").desc, col("id")).limit(topN)
   }
+
+  /** Ranking-quality metrics for a retrieval run: graded NDCG@k
+    * (gain 2^rel − 1, log₂ discount), DCG/IDCG, MRR (reciprocal rank
+    * of the first relevant hit in the top k), and the relevant-doc
+    * count — the eval that closes the retrieval loop ([[bm25]] ranks,
+    * [[rrfFuse]] combines, this scores the ranking against labels).
+    * Inputs: `ranked` (id, rank; 1-based, ties broken upstream) and
+    * `rels` (id, rel; integer grades ≥ 0, 0/absent = irrelevant).
+    *
+    * Scale shape: only the TOP-K slice of the ranking joins labels
+    * (k rows); the ideal ordering ranks the RELEVANT label set —
+    * eval-set-sized by construction, so its window is bounded, not
+    * corpus-bound. Both DCG sums run over ≤ k terms; outputs round
+    * once. */
+  def rankingMetrics(ranked: DataFrame, rels: DataFrame, k: Int,
+      scale: Int = 6): DataFrame = {
+    require(k >= 1)
+    val topk = ranked.filter(col("rank") <= k)
+      .join(rels, Seq("id"), "left")
+      .withColumn("__rel", coalesce(col("rel"), lit(0)).cast("double"))
+    val dcgAgg = topk.agg(
+      sum((pow(lit(2.0), col("__rel")) - lit(1.0)) /
+        log2(col("rank") + lit(1.0))).as("__dcg"),
+      min(when(col("__rel") > 0.0, col("rank"))).as("__fr"))
+    val wIdeal = Window.orderBy(col("rel").desc, col("id"))
+    val idcgAgg = rels.filter(col("rel") > 0)
+      .withColumn("__r", row_number().over(wIdeal))
+      .filter(col("__r") <= k)
+      .agg(coalesce(sum((pow(lit(2.0), col("rel").cast("double")) -
+        lit(1.0)) / log2(col("__r") + lit(1.0))), lit(0.0)).as("__idcg"))
+    val nRel = rels.filter(col("rel") > 0)
+      .agg(count(lit(1)).as("n_relevant"))
+    dcgAgg.crossJoin(idcgAgg).crossJoin(nRel)
+      .select(
+        lit(k).as("k"),
+        col("n_relevant"),
+        round(col("__dcg"), scale).as("dcg"),
+        round(col("__idcg"), scale).as("idcg"),
+        round(col("__dcg") /
+          when(col("__idcg") =!= 0.0, col("__idcg")), scale).as("ndcg"),
+        round(lit(1.0) / when(col("__fr").isNotNull,
+          col("__fr").cast("double")), scale).as("mrr"))
+  }
 }

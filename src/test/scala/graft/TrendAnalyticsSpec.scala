@@ -352,6 +352,35 @@ class TrendAnalyticsSpec extends SparkSpec {
     assert(got.toSeq === want)
   }
 
+  // ---- ranking metrics ----
+
+  test("rankingMetrics: perfect ranking is NDCG 1, reversal degrades it") {
+    import graft.llm.Relevance
+    val rels = Seq((1L, 2), (2L, 1), (3L, 1), (4L, 0)).toDF("id", "rel")
+    // perfect: ranked exactly by grade
+    val perfect = Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4)).toDF("id", "rank")
+    val p = Relevance.rankingMetrics(perfect, rels, 10).collect()(0)
+    assert(p.getAs[Double]("ndcg") === 1.0)
+    assert(p.getAs[Double]("mrr") === 1.0)
+    assert(p.getAs[Long]("n_relevant") === 3L)
+
+    // worst: best doc last
+    val reversed = Seq((1L, 4), (2L, 3), (3L, 2), (4L, 1)).toDF("id", "rank")
+    val r = Relevance.rankingMetrics(reversed, rels, 10).collect()(0)
+    assert(r.getAs[Double]("ndcg") < 1.0)
+    assert(r.getAs[Double]("mrr") === 0.5)  // first relevant at rank 2
+
+    // hand check DCG of the perfect ranking:
+    // (2^2-1)/log2(2) + 1/log2(3) + 1/log2(4) = 3 + 0.63093 + 0.5
+    assert(math.abs(p.getAs[Double]("dcg") - 4.130930) < 1e-6)
+
+    // nothing relevant inside the cut: null mrr, ndcg 0
+    val missed = Seq((4L, 1)).toDF("id", "rank")
+    val m = Relevance.rankingMetrics(missed, rels, 1).collect()(0)
+    assert(m.isNullAt(m.fieldIndex("mrr")))
+    assert(m.getAs[Double]("ndcg") === 0.0)
+  }
+
   // ---- BFS hops ----
 
   test("bfsHops: path distances, cap, and disconnected nodes") {
