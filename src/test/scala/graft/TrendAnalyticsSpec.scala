@@ -136,6 +136,28 @@ class TrendAnalyticsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("rfmSegments: exact-decimal monetary ties rank by key, not noise") {
+    // 10 customers, ALL with identical cent-exact spend built from
+    // sums whose float accumulation order could differ — the ranking
+    // must fall back to the key (the review-found hazard), so the
+    // quintiles are exactly 2 customers each in key order
+    val rows = (1L to 10L).flatMap { c =>
+      // three orders summing to 300.30 for every customer, but split
+      // differently per customer so naive double sums diverge in ulps
+      val a = 100.10 + c * 0.01
+      val b = 100.10 - c * 0.01
+      Seq((c, day(1), a), (c, day(2), b), (c, day(3), 100.10))
+    }.toDF("c", "ts", "v")
+    val out = Aggregates.rfmSegments(rows, "c", "ts", "v").collect()
+    // every customer has identical (recency, frequency, monetary)
+    // after round-2, so scores tie-break purely on the key and the
+    // segment rollup is deterministic: n_customers sums to 10 and
+    // total_spend is exactly 10 x 300.30
+    assert(out.map(_.getAs[Long]("n_customers")).sum === 10L)
+    assert(math.abs(out.map(_.getAs[Double]("total_spend")).sum
+      - 3003.0) < 1e-9)
+  }
+
   // ---- inter-arrival ----
 
   test("interArrival: metronome is burstiness -1, short keys dropped") {
