@@ -2558,8 +2558,103 @@ object SparkEntry {
             .as("valid_from"),
           date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss")
             .as("valid_to"),
-          col("is_current"), col("n_obs")))
+          col("is_current"), col("n_obs"))),
+
+    // ---- text-overlap eval + set-op sketch + streaks (round 9) ----
+    "q_rouge_bigram" -> ((s, d) =>
+      // generation-eval / symmetric-leak screen: ROUGE-2 P/R/F1 of
+      // each doc against the NEXT doc of its source (deterministic
+      // lead pairing — near-dup planted docs surface as high-F1 pairs)
+      graft.llm.Eval.rougeN(docPairs(s, d), "doc_id", "cand", "ref", 2)),
+
+    "q_bleu" -> ((s, d) =>
+      // unsmoothed BLEU-2 over the same pairs: geometric mean of
+      // clipped 1/2-gram precisions x brevity penalty
+      graft.llm.Eval.bleu(docPairs(s, d), "doc_id", "cand", "ref", 2)),
+
+    "q_theta_sketch_gate" -> ((s, d) => {
+      // KMV/theta set-operation sketch vs its exact twin, error bounds
+      // pinned IN-ROW (the q_cms_gate protocol): part:supp combos seen
+      // under returnflag R vs A (~19k distinct each at sf0.01, ~5%
+      // Jaccard). k=4096: per-set RSE 1/sqrt(k-2) ~ 1.6% (0.1 bound =
+      // 6 sigma); the intersection is sampled at rate theta ~ k/|A∪B|
+      // ~ 0.11 -> ~207 shared samples, SD ~ 7%, so the 0.25 bound is
+      // ~3.5 sigma and survives a testdata regeneration that halves
+      // the overlap. A drifting sketch fails `pass` and drops the row
+      // — the driver's rows check catches it.
+      val li = t(s, d, "lineitem").select(
+        concat_ws(":", col("l_partkey"), col("l_suppkey")).as("ps"),
+        col("l_returnflag")).localCheckpoint(false)
+      val a = li.filter(col("l_returnflag") === "R").select("ps")
+      val b = li.filter(col("l_returnflag") === "A").select("ps")
+      val est = Aggregates.thetaSketchCompare(a, b, "ps", 4096)
+      val da = a.distinct().localCheckpoint(false)
+      val db = b.distinct().localCheckpoint(false)
+      val exact = da.agg(count(lit(1)).as("exact_a"))
+        .crossJoin(broadcast(db.agg(count(lit(1)).as("exact_b"))))
+        .crossJoin(broadcast(
+          da.join(db, Seq("ps")).agg(count(lit(1)).as("exact_inter"))))
+        .withColumn("exact_union",
+          col("exact_a") + col("exact_b") - col("exact_inter"))
+      def rel(e: String, x: String) =
+        abs(col(e) - col(x)) / col(x).cast("double")
+      est.crossJoin(broadcast(exact))
+        .withColumn("rel_a", round(rel("est_a", "exact_a"), 4))
+        .withColumn("rel_b", round(rel("est_b", "exact_b"), 4))
+        .withColumn("rel_inter", round(rel("est_intersection", "exact_inter"), 4))
+        .withColumn("rel_union", round(rel("est_union", "exact_union"), 4))
+        .withColumn("pass",
+          col("rel_a") <= 0.1 && col("rel_b") <= 0.1 &&
+            col("rel_inter") <= 0.25 && col("rel_union") <= 0.1)
+        .filter(col("pass"))
+        .select(col("exact_a"), round(col("est_a"), 1).as("est_a"),
+          col("exact_b"), round(col("est_b"), 1).as("est_b"),
+          col("exact_inter"),
+          round(col("est_intersection"), 1).as("est_inter"),
+          col("exact_union"), round(col("est_union"), 1).as("est_union"),
+          col("rel_a"), col("rel_b"), col("rel_inter"), col("rel_union"),
+          col("pass"))
+    }),
+
+    "q_activity_streaks" -> ((s, d) =>
+      // gaps-and-islands: longest consecutive-day activity streak per
+      // user, reported as the streak-length distribution
+      graft.operators.Sessions.maxStreak(t(s, d, "events"), "user_id", "ts")
+        .groupBy(col("max_streak"))
+        .agg(count(lit(1)).as("n_users"))),
+
+    "q_compress_ratio" -> ((s, d) =>
+      // rows-only + in-row sanity band: DEFLATE compression-ratio
+      // quality signal per source (no zlib in the SQL oracle; the
+      // kernel's determinism + known-string behavior is CompressSpec's
+      // job). Band: synthetic prose must land strictly inside
+      // (0.01, 1.2) with per-source means in [0.05, 0.95].
+      t(s, d, "documents")
+        .select(col("source"),
+          graft.plans.CompressExpr.deflateRatio(col("text")).as("r"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("r")), 4).as("avg_ratio"),
+          round(min(col("r")), 4).as("min_ratio"),
+          round(max(col("r")), 4).as("max_ratio"))
+        .withColumn("pass",
+          col("min_ratio") > 0.01 && col("max_ratio") < 1.2 &&
+            col("avg_ratio").between(0.05, 0.95))
+        .filter(col("pass")))
   )
+
+  /** Deterministic (candidate, reference) text pairs for the overlap
+    * eval queries: each document against the NEXT doc_id of its source
+    * (window lead — scale-invariant, no self-pairs, last doc per
+    * source unpaired). */
+  private def docPairs(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    t(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("text").as("cand"),
+        lead(col("text"), 1).over(w).as("ref"))
+      .filter(col("ref").isNotNull)
+  }
 
   /** Deterministic PII-bearing corpus derived from `events`: each
     * category fires on a fixed id-dependent subset (emails on
@@ -6119,6 +6214,104 @@ object SparkEntry {
                 lead(vf) OVER (PARTITION BY user_id ORDER BY vf) IS NULL
                   AS is_current,
                 n_obs
-         FROM collapsed"""
+         FROM collapsed""",
+
+    // ---- text-overlap eval + streaks (round 9) ----
+    "q_rouge_bigram" ->
+      """WITH norm AS (
+           SELECT doc_id, source,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS txt
+           FROM documents),
+         p AS (
+           SELECT doc_id AS id, txt AS cand,
+                  lead(txt) OVER (PARTITION BY source ORDER BY doc_id) AS ref
+           FROM norm QUALIFY ref IS NOT NULL),
+         cg AS (SELECT id, array_to_string(t[i:i+1], ' ') AS g, count(*) AS cc
+                FROM (SELECT id, string_split(cand, ' ') AS t FROM p) s
+                CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+                GROUP BY 1, 2),
+         rg AS (SELECT id, array_to_string(t[i:i+1], ' ') AS g, count(*) AS rc
+                FROM (SELECT id, string_split(ref, ' ') AS t FROM p) s
+                CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+                GROUP BY 1, 2),
+         ov AS (SELECT coalesce(cg.id, rg.id) AS id,
+                       sum(least(coalesce(cc, 0), coalesce(rc, 0))) AS ov,
+                       sum(coalesce(cc, 0)) AS ct,
+                       sum(coalesce(rc, 0)) AS rt
+                FROM cg FULL JOIN rg ON cg.id = rg.id AND cg.g = rg.g
+                GROUP BY 1),
+         sc AS (SELECT p.id,
+                       CASE WHEN ov.ct > 0 THEN ov.ov::DOUBLE / ov.ct ELSE 0 END AS pr,
+                       CASE WHEN ov.rt > 0 THEN ov.ov::DOUBLE / ov.rt ELSE 0 END AS re
+                FROM p LEFT JOIN ov ON p.id = ov.id)
+         SELECT id AS doc_id, round(pr, 6) AS rouge_p, round(re, 6) AS rouge_r,
+                round(CASE WHEN pr + re > 0 THEN 2 * pr * re / (pr + re)
+                           ELSE 0 END, 6) AS rouge_f
+         FROM sc""",
+
+    "q_bleu" ->
+      """WITH norm AS (
+           SELECT doc_id, source,
+                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS txt
+           FROM documents),
+         p AS (
+           SELECT doc_id AS id, txt AS cand,
+                  lead(txt) OVER (PARTITION BY source ORDER BY doc_id) AS ref
+           FROM norm QUALIFY ref IS NOT NULL),
+         lens AS (SELECT id, len(string_split(cand, ' '))::DOUBLE AS clen,
+                         len(string_split(ref, ' '))::DOUBLE AS rlen
+                  FROM p),
+         c1 AS (SELECT id, g, count(*) AS cc
+                FROM (SELECT id, unnest(string_split(cand, ' ')) AS g FROM p) s
+                GROUP BY 1, 2),
+         r1 AS (SELECT id, g, count(*) AS rc
+                FROM (SELECT id, unnest(string_split(ref, ' ')) AS g FROM p) s
+                GROUP BY 1, 2),
+         o1 AS (SELECT coalesce(c1.id, r1.id) AS id,
+                       sum(least(coalesce(cc, 0), coalesce(rc, 0))) AS ov,
+                       sum(coalesce(cc, 0)) AS ct
+                FROM c1 FULL JOIN r1 ON c1.id = r1.id AND c1.g = r1.g
+                GROUP BY 1),
+         c2 AS (SELECT id, array_to_string(t[i:i+1], ' ') AS g, count(*) AS cc
+                FROM (SELECT id, string_split(cand, ' ') AS t FROM p) s
+                CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+                GROUP BY 1, 2),
+         r2 AS (SELECT id, array_to_string(t[i:i+1], ' ') AS g, count(*) AS rc
+                FROM (SELECT id, string_split(ref, ' ') AS t FROM p) s
+                CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+                GROUP BY 1, 2),
+         o2 AS (SELECT coalesce(c2.id, r2.id) AS id,
+                       sum(least(coalesce(cc, 0), coalesce(rc, 0))) AS ov,
+                       sum(coalesce(cc, 0)) AS ct
+                FROM c2 FULL JOIN r2 ON c2.id = r2.id AND c2.g = r2.g
+                GROUP BY 1),
+         sc AS (SELECT p.id, lens.clen, lens.rlen,
+                       CASE WHEN o1.ct > 0 THEN o1.ov::DOUBLE / o1.ct ELSE 0 END AS p1,
+                       CASE WHEN o2.ct > 0 THEN o2.ov::DOUBLE / o2.ct ELSE 0 END AS p2
+                FROM p JOIN lens ON p.id = lens.id
+                LEFT JOIN o1 ON p.id = o1.id
+                LEFT JOIN o2 ON p.id = o2.id),
+         fin AS (SELECT id, p1, p2,
+                        CASE WHEN clen >= rlen THEN 1.0
+                             ELSE exp(1.0 - rlen / clen) END AS bp,
+                        CASE WHEN p1 > 0 AND p2 > 0 AND clen > 0
+                             THEN (CASE WHEN clen >= rlen THEN 1.0
+                                        ELSE exp(1.0 - rlen / clen) END)
+                                  * exp((ln(p1) + ln(p2)) / 2.0)
+                             ELSE 0 END AS bleu
+                 FROM sc)
+         SELECT id AS doc_id, round(p1, 6) AS bleu_p1, round(p2, 6) AS bleu_p2,
+                round(bp, 6) AS brevity_penalty, round(bleu, 6) AS bleu
+         FROM fin""",
+
+    "q_activity_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+         g AS (SELECT user_id,
+                      day - (row_number() OVER (PARTITION BY user_id
+                        ORDER BY day))::INT AS anchor
+               FROM d),
+         s AS (SELECT user_id, count(*) AS len FROM g GROUP BY user_id, anchor),
+         m AS (SELECT user_id, max(len) AS max_streak FROM s GROUP BY user_id)
+         SELECT max_streak, count(*) AS n_users FROM m GROUP BY 1"""
   )
 }

@@ -297,6 +297,63 @@ object Aggregates {
       .toDF("item", "est")
   }
 
+  /** KMV / theta-sketch set-operation estimates (Bar-Yossef et al.
+    * 2002 k-minimum-values; the theta-sketch framing of Dasgupta et
+    * al. 2016): distinct-count estimates for two key sets AND their
+    * intersection / union from two k-row sketches — the set-operation
+    * sibling of the HLL distinct sketch (HLL union is lossless but it
+    * cannot intersect; KMV intersects). At 100 TB: "how many
+    * part-supplier combos appear in BOTH quarters" is a full
+    * distinct-shuffle of each side done exactly; the sketch answer
+    * ships k=1024 doubles per side.
+    *
+    * Each side maps keys through the salted-md5 uniform-hash idiom
+    * (the [[graft.operators.Relational.deterministicTake]] u), keeps
+    * the k smallest distinct hashes (TakeOrdered — per-partition
+    * heaps, k rows to one task), and estimates |A| = (k-1)/u_k.
+    * theta = min(u_k^A, u_k^B); |A∩B| ≈ |{u in both sketches,
+    * u < theta}| / theta, |A∪B| likewise over the sketch union. A
+    * side with fewer than k distinct keys is EXACT (theta side = 1).
+    * RSE ≈ 1/sqrt(k-2) (~3.1% at k=1024) for the per-set counts;
+    * intersection error additionally scales with 1/Jaccard —
+    * q_theta_sketch_gate pins both IN-ROW against the exact twin.
+    *
+    * The two k-row sketch frames are localCheckpointed: each is read
+    * three times (kth-value row, intersection, union) and the cut
+    * stops the distinct+TakeOrdered re-running per use. Output: ONE
+    * row (est_a, est_b, est_intersection, est_union, theta). */
+  def thetaSketchCompare(a: DataFrame, b: DataFrame, keyCol: String,
+      k: Int = 1024): DataFrame = {
+    require(k >= 16, s"k=$k too small for a stable estimate")
+    def sketch(df: DataFrame): DataFrame =
+      df.select(((conv(substring(md5(col(keyCol).cast("string")), 1, 13),
+          16, 10).cast("double") + 1.0) /
+          lit(math.pow(2, 52) + 2.0)).as("u"))
+        .distinct().orderBy(col("u")).limit(k).localCheckpoint(true)
+    val ska = sketch(a)
+    val skb = sketch(b)
+    val bounds = ska.agg(count(lit(1)).as("na"), max(col("u")).as("ma"))
+      .crossJoin(broadcast(
+        skb.agg(count(lit(1)).as("nb"), max(col("u")).as("mb"))))
+      .withColumn("theta", least(
+        when(col("na") < k, lit(1.0)).otherwise(col("ma")),
+        when(col("nb") < k, lit(1.0)).otherwise(col("mb"))))
+    val thetaOnly = broadcast(bounds.select(col("theta").as("__t")))
+    val inter = ska.join(skb, Seq("u")).crossJoin(thetaOnly)
+      .filter(col("u") < col("__t")).agg(count(lit(1)).as("ni"))
+    val uni = ska.union(skb).distinct().crossJoin(thetaOnly)
+      .filter(col("u") < col("__t")).agg(count(lit(1)).as("nu"))
+    bounds.crossJoin(broadcast(inter)).crossJoin(broadcast(uni))
+      .select(
+        when(col("na") < k, col("na").cast("double"))
+          .otherwise(lit(k - 1.0) / col("ma")).as("est_a"),
+        when(col("nb") < k, col("nb").cast("double"))
+          .otherwise(lit(k - 1.0) / col("mb")).as("est_b"),
+        (col("ni").cast("double") / col("theta")).as("est_intersection"),
+        (col("nu").cast("double") / col("theta")).as("est_union"),
+        col("theta"))
+  }
+
   /** A11 — RMSE between a prediction and a label column, grouped.
     * Reference: `app_2 NEW with joined.py:235-236`
     * (`sqrt(mean((pred-label)**2))`).

@@ -290,6 +290,31 @@ object Sessions {
       .agg(countDistinct(col("__k")).as("active_keys"))
   }
 
+  /** Longest consecutive-calendar-day activity streak per key — the
+    * gaps-and-islands construction: distinct (key, day), then
+    * day - row_number(day) is CONSTANT exactly along a run of
+    * consecutive days, so grouping on that anchor yields island
+    * lengths and a per-key max. The engagement-streak metric next to
+    * [[rollingActive]]'s window counts (rolling answers "how many
+    * keys were active this week", streaks answer "how persistent is
+    * each key").
+    *
+    * Scale shape: one distinct on (key, day) — the frame is bounded
+    * by keys x active days, far below the event count — then two
+    * hash aggregates riding the same key partitioning; the only
+    * window is per-key over that bounded day frame. Output:
+    * (key, max_streak). */
+  def maxStreak(df: DataFrame, key: String, ts: String): DataFrame = {
+    val days = df.select(col(key), to_date(col(ts)).as("__day")).distinct()
+    val w = Window.partitionBy(col(key)).orderBy(col("__day"))
+    days
+      .withColumn("__anchor", date_sub(col("__day"), row_number().over(w)))
+      .groupBy(col(key), col("__anchor"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(col(key))
+      .agg(max(col("__len")).as("max_streak"))
+  }
+
   /** Shared survival risk table for [[kaplanMeier]] / [[nelsonAalen]]:
     * per lifetime-day (t, n_events, n_censored, n_risk) from each
     * key's (first, last) activity span with right-censoring inside

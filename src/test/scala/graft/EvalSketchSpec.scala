@@ -1,0 +1,178 @@
+package graft
+
+import graft.llm.Eval
+import graft.operators.{Aggregates, Sessions}
+import graft.plans.{CompressExpr, CompressUtil, DeflateLen}
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Round-9 continuation operators: ROUGE/BLEU overlap eval, KMV/theta
+  * set-operation sketch, deflate compression-ratio kernel, and the
+  * gaps-and-islands streak. Hand-computable fixtures throughout — every
+  * expected value below is derivable with pencil and paper. */
+class EvalSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- ROUGE ----
+
+  test("rougeN unigram: hand-computed clipped precision/recall/F1") {
+    // cand "the cat the cat sat", ref "the cat ate":
+    // cand counts {the:2, cat:2, sat:1}; ref {the:1, cat:1, ate:1}
+    // clipped overlap = 1 + 1 = 2; P = 2/5, R = 2/3, F = 2PR/(P+R) = 0.5
+    val pairs = Seq((1L, "the cat the cat sat", "the cat ate"))
+      .toDF("id", "cand", "ref")
+    val r = Eval.rougeN(pairs, "id", "cand", "ref", 1).collect().head
+    assert(r.getAs[Double]("rouge_p") == 0.4)
+    assert(math.abs(r.getAs[Double]("rouge_r") - 0.666667) < 1e-9)
+    assert(r.getAs[Double]("rouge_f") == 0.5)
+  }
+
+  test("rougeN bigram: disjoint pair scores 0, identical pair scores 1") {
+    val pairs = Seq(
+      (1L, "a b c", "x y z"),
+      (2L, "a b c d", "a b c d")).toDF("id", "cand", "ref")
+    val m = Eval.rougeN(pairs, "id", "cand", "ref", 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("rouge_f")).toMap
+    assert(m(1L) == 0.0)
+    assert(m(2L) == 1.0)
+  }
+
+  test("rougeN keeps a row for pairs shorter than n") {
+    val pairs = Seq((7L, "one", "one")).toDF("id", "cand", "ref")
+    val r = Eval.rougeN(pairs, "id", "cand", "ref", 2).collect()
+    assert(r.length == 1 && r.head.getAs[Double]("rouge_f") == 0.0)
+  }
+
+  // ---- BLEU ----
+
+  test("bleu: identical pair scores 1, disjoint pair scores 0") {
+    val pairs = Seq(
+      (1L, "a b c d", "a b c d"),
+      (2L, "a b c", "x y z")).toDF("id", "cand", "ref")
+    val m = Eval.bleu(pairs, "id", "cand", "ref", 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("bleu")).toMap
+    assert(m(1L) == 1.0)
+    assert(m(2L) == 0.0)
+  }
+
+  test("bleu: hand-computed brevity penalty and precisions") {
+    // cand "the cat" (2 toks) vs ref "the cat sat" (3 toks):
+    // p1 = 2/2 = 1, p2 = 1/1 = 1, bp = exp(1 - 3/2) = exp(-0.5)
+    val pairs = Seq((1L, "the cat", "the cat sat")).toDF("id", "cand", "ref")
+    val r = Eval.bleu(pairs, "id", "cand", "ref", 2).collect().head
+    assert(r.getAs[Double]("bleu_p1") == 1.0)
+    assert(r.getAs[Double]("bleu_p2") == 1.0)
+    val expBp = BigDecimal(math.exp(-0.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("brevity_penalty") == expBp)
+    assert(r.getAs[Double]("bleu") == expBp)
+  }
+
+  test("bleu: clipping caps repeated candidate grams") {
+    // cand "the the the the" vs ref "the cat": p1 = clip(4->1)/4 = 0.25
+    val pairs = Seq((1L, "the the the the", "the cat")).toDF("id", "cand", "ref")
+    val r = Eval.bleu(pairs, "id", "cand", "ref", 1).collect().head
+    assert(r.getAs[Double]("bleu_p1") == 0.25)
+    assert(r.getAs[Double]("brevity_penalty") == 1.0) // cand 4 >= ref 2
+    assert(r.getAs[Double]("bleu") == 0.25)
+  }
+
+  // ---- KMV / theta sketch ----
+
+  test("thetaSketchCompare is exact when both sets fit in k") {
+    val a = (1 to 300).map(i => s"k$i").toDF("key")
+    val b = (201 to 500).map(i => s"k$i").toDF("key")
+    val r = Aggregates.thetaSketchCompare(a, b, "key", 1024).collect().head
+    assert(r.getAs[Double]("est_a") == 300.0)
+    assert(r.getAs[Double]("est_b") == 300.0)
+    assert(r.getAs[Double]("est_intersection") == 100.0)
+    assert(r.getAs[Double]("est_union") == 500.0)
+    assert(r.getAs[Double]("theta") == 1.0)
+  }
+
+  test("thetaSketchCompare estimates within 3x RSE at 20k keys") {
+    // |A| = 20000, |B| = 15000 sharing 10000 keys; k = 1024 ->
+    // RSE ~ 1/sqrt(1022) ~ 3.1%; assert within 3x for counts and a
+    // looser 15% for the intersection/union ratios
+    val a = (1 to 20000).map(i => s"key$i").toDF("key")
+    val b = (10001 to 25000).map(i => s"key$i").toDF("key")
+    val r = Aggregates.thetaSketchCompare(a, b, "key", 1024).collect().head
+    assert(math.abs(r.getAs[Double]("est_a") - 20000) / 20000.0 < 0.10)
+    assert(math.abs(r.getAs[Double]("est_b") - 15000) / 15000.0 < 0.10)
+    assert(math.abs(r.getAs[Double]("est_intersection") - 10000) / 10000.0 < 0.15)
+    assert(math.abs(r.getAs[Double]("est_union") - 25000) / 25000.0 < 0.10)
+  }
+
+  test("thetaSketchCompare: duplicate rows do not move distinct estimates") {
+    val a = ((1 to 200) ++ (1 to 200)).map(i => s"k$i").toDF("key")
+    val b = (101 to 300).map(i => s"k$i").toDF("key")
+    val r = Aggregates.thetaSketchCompare(a, b, "key", 512).collect().head
+    assert(r.getAs[Double]("est_a") == 200.0)
+    assert(r.getAs[Double]("est_intersection") == 100.0)
+  }
+
+  // ---- deflate compression ratio ----
+
+  test("deflate ratio orders redundancy correctly and is deterministic") {
+    val repeated = "spam spam spam " * 200
+    // deterministic pseudo-noise: md5 chain — incompressible-ish text
+    val noisy = (1 to 60).map(i =>
+      java.util.UUID.nameUUIDFromBytes(s"chunk$i".getBytes).toString)
+      .mkString(" ")
+    val df = Seq((1L, repeated), (2L, noisy)).toDF("id", "text")
+      .select(col("id"), CompressExpr.deflateRatio(col("text")).as("r"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(1L) < 0.05, s"repeated text ratio ${m(1L)} should be tiny")
+    assert(m(2L) > 0.3, s"noisy text ratio ${m(2L)} should be large")
+    // determinism across invocations
+    val again = Seq((1L, repeated)).toDF("id", "text")
+      .select(CompressExpr.deflateRatio(col("text"))).collect().head.getDouble(0)
+    assert(again == m(1L))
+  }
+
+  test("deflateLen codegen == interpreted, null and empty edges") {
+    val texts = Seq("", "a", "hello world hello world", "é中文",
+      "x" * 10000)
+    texts.foreach { t =>
+      val viaUtil = CompressUtil.deflatedLen(UTF8String.fromString(t))
+      val viaExpr = Seq(Tuple1(t)).toDF("t")
+        .select(CompressExpr.deflateLen(col("t"))).collect().head.getLong(0)
+      val interpreted = DeflateLen(org.apache.spark.sql.graft.Bridge
+        .toExpression(col("t"))).nullSafeEval(UTF8String.fromString(t))
+      assert(viaExpr == viaUtil && interpreted == viaUtil,
+        s"mismatch for ${t.take(20)}: expr=$viaExpr util=$viaUtil")
+    }
+    val withNull = Seq((1L, null.asInstanceOf[String]), (2L, "ok"))
+      .toDF("id", "t")
+      .select(col("id"), CompressExpr.deflateLen(col("t")).as("n")).collect()
+    assert(withNull.find(_.getLong(0) == 1L).get.isNullAt(1))
+    assert(withNull.find(_.getLong(0) == 2L).get.getLong(1) > 0)
+  }
+
+  // ---- streaks ----
+
+  test("maxStreak: hand-built islands") {
+    // u1: days 1,2,3, 7,8 -> max 3; u2: 1, 3, 5 -> max 1;
+    // u3: 10..14 -> 5; duplicate events on a day collapse
+    def ts(day: Int, h: Int = 9) = f"2024-01-$day%02d $h%02d:00:00"
+    val ev = Seq(
+      (1L, ts(1)), (1L, ts(2)), (1L, ts(3)), (1L, ts(7)), (1L, ts(8)),
+      (1L, ts(8, 15)),
+      (2L, ts(1)), (2L, ts(3)), (2L, ts(5)),
+      (3L, ts(10)), (3L, ts(11)), (3L, ts(12)), (3L, ts(13)), (3L, ts(14)))
+      .toDF("user_id", "raw").select(col("user_id"),
+        to_timestamp(col("raw")).as("ts"))
+    val m = Sessions.maxStreak(ev, "user_id", "ts")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 3L, 2L -> 1L, 3L -> 5L))
+  }
+
+  test("maxStreak: month boundary is consecutive") {
+    val ev = Seq((1L, "2024-01-31 10:00:00"), (1L, "2024-02-01 10:00:00"),
+      (1L, "2024-02-02 10:00:00"))
+      .toDF("user_id", "raw").select(col("user_id"),
+        to_timestamp(col("raw")).as("ts"))
+    val m = Sessions.maxStreak(ev, "user_id", "ts").collect().head
+    assert(m.getLong(1) == 3L)
+  }
+}
