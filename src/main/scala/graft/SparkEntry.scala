@@ -2640,7 +2640,28 @@ object SparkEntry {
         .withColumn("pass",
           col("min_ratio") > 0.01 && col("max_ratio") < 1.2 &&
             col("avg_ratio").between(0.05, 0.95))
-        .filter(col("pass")))
+        .filter(col("pass"))),
+
+    "q_pmi_collocations" -> ((s, d) =>
+      // phrase mining: top-30 adjacent bigrams by pointwise mutual
+      // information (support floor 5) — the collocation ranking that
+      // surfaces multi-word expressions raw frequency buries
+      graft.llm.Relevance.pmiCollocations(
+        t(s, d, "documents"), "doc_id", "text", 5, 30)),
+
+    "q_sssp" -> ((s, d) => {
+      // weighted shortest paths from the Brand#13 seed set over the
+      // urgent co-purchase graph: edge cost 1/(shared urgent orders),
+      // 3 Bellman-Ford rounds — fixed-round min-plus == the unrolled
+      // oracle (the q_bfs_hops protocol, weighted)
+      val edges = urgentCopurchasePairs(s, d)
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("cnt"))
+        .select(col("id_a"), col("id_b"),
+          (lit(1.0) / col("cnt")).as("weight"))
+      graft.operators.Graph.sssp(edges,
+        t(s, d, "part").filter(col("p_brand") === "Brand#13")
+          .select(col("p_partkey").as("id")), 3)
+    })
   )
 
   /** Deterministic (candidate, reference) text pairs for the overlap
@@ -6312,6 +6333,66 @@ object SparkEntry {
                FROM d),
          s AS (SELECT user_id, count(*) AS len FROM g GROUP BY user_id, anchor),
          m AS (SELECT user_id, max(len) AS max_streak FROM s GROUP BY user_id)
-         SELECT max_streak, count(*) AS n_users FROM m GROUP BY 1"""
+         SELECT max_streak, count(*) AS n_users FROM m GROUP BY 1""",
+
+    "q_pmi_collocations" ->
+      """WITH toks AS (
+           SELECT string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+           FROM documents),
+         uni AS (SELECT g AS w, count(*) AS uc
+                 FROM (SELECT unnest(t) AS g FROM toks) s GROUP BY 1),
+         bi AS (SELECT array_to_string(t[i:i+1], ' ') AS gram, count(*) AS n
+                FROM toks
+                CROSS JOIN UNNEST(generate_series(1, greatest(len(t) - 1, 0))) AS u(i)
+                GROUP BY 1),
+         tot AS (SELECT (SELECT sum(uc) FROM uni)::DOUBLE AS tu,
+                        (SELECT sum(n) FROM bi)::DOUBLE AS tb),
+         sc AS (SELECT gram, n,
+                       round(ln((n / tb) /
+                         ((ua.uc / tu) * (ub.uc / tu))), 6) AS pmi
+                FROM bi
+                CROSS JOIN tot
+                JOIN uni ua ON ua.w = string_split(gram, ' ')[1]
+                JOIN uni ub ON ub.w = string_split(gram, ' ')[2]
+                WHERE n >= 5)
+         SELECT gram, n, pmi FROM sc ORDER BY pmi DESC, gram LIMIT 30""",
+
+    "q_sssp" ->
+      """WITH li AS (
+           SELECT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderpriority = '1-URGENT'),
+         e AS MATERIALIZED (
+           SELECT x.pk AS a, y.pk AS b, count(*) AS cnt
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+           GROUP BY 1, 2),
+         und AS MATERIALIZED (
+           SELECT a AS src, b AS dst, 1.0::DOUBLE / cnt AS w FROM e
+           UNION ALL SELECT b, a, 1.0::DOUBLE / cnt FROM e),
+         d0 AS MATERIALIZED (
+           SELECT DISTINCT p_partkey AS id, 0.0::DOUBLE AS dist FROM part
+           WHERE p_brand = 'Brand#13'),
+         r1 AS MATERIALIZED (
+           SELECT id, min(dist) AS dist FROM (
+             SELECT id, dist FROM d0
+             UNION ALL
+             SELECT u.dst AS id, d.dist + u.w AS dist
+             FROM und u JOIN d0 d ON u.src = d.id) s
+           GROUP BY id),
+         r2 AS MATERIALIZED (
+           SELECT id, min(dist) AS dist FROM (
+             SELECT id, dist FROM r1
+             UNION ALL
+             SELECT u.dst AS id, d.dist + u.w AS dist
+             FROM und u JOIN r1 d ON u.src = d.id) s
+           GROUP BY id),
+         r3 AS (
+           SELECT id, min(dist) AS dist FROM (
+             SELECT id, dist FROM r2
+             UNION ALL
+             SELECT u.dst AS id, d.dist + u.w AS dist
+             FROM und u JOIN r2 d ON u.src = d.id) s
+           GROUP BY id)
+         SELECT id, round(dist, 6) AS dist FROM r3"""
   )
 }

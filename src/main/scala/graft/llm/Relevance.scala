@@ -158,6 +158,49 @@ object Relevance {
       .agg(min(col("p") - col("__pp")).cast("long").as("min_distance"))
   }
 
+  /** PMI collocations (Church & Hanks 1990): top-k adjacent-bigram
+    * phrases ranked by pointwise mutual information
+    * ln(P(ab) / (P(a)·P(b))) with a minimum-count support floor — the
+    * phrase miner that frequency ranking (q_top_ngrams) is not: raw
+    * counts surface "of the"; PMI surfaces "los angeles" (components
+    * rare outside the pair). In a training-data pipeline this is the
+    * multi-word-expression vocabulary feed for tokenizer seeding and
+    * boilerplate phrase discovery.
+    *
+    * Scale shape: one unigram and one bigram count pass (both hash
+    * aggregates with map-side combine), the bigram frame joined twice
+    * to the word-keyed unigram frame (vocab-sized, shuffle join —
+    * never broadcast: vocabulary grows with the corpus), corpus
+    * totals riding as broadcast 1-row frames, TakeOrdered for the
+    * top-k. Ranking is on the ROUNDED pmi (then gram asc) — the
+    * [[tfidfTopTerms]] reproducibility rationale. */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Int, k: Int, scale: Int = 6): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      split(lower(Text.normWs(col(textCol))), " ").as("__toks"))
+    val uni = toks.select(explode(col("__toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("uc"))
+    val biAll = toks.select(
+        explode(Text.shinglesAllFromTokens(col("__toks"), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+    // totals BEFORE the support floor: P(ab) is over all bigram slots
+    val totals = broadcast(uni.agg(sum(col("uc")).as("tu"))
+      .crossJoin(broadcast(biAll.agg(sum(col("n")).as("tb")))))
+    val scored = biAll.filter(col("n") >= minCount)
+      .withColumn("__a", split(col("gram"), " ").getItem(0))
+      .withColumn("__b", split(col("gram"), " ").getItem(1))
+      .join(uni.select(col("w").as("__a"), col("uc").as("__ua")), Seq("__a"))
+      .join(uni.select(col("w").as("__b"), col("uc").as("__ub")), Seq("__b"))
+      .crossJoin(totals)
+      .withColumn("pmi", round(log(
+        (col("n").cast("double") / col("tb")) /
+          ((col("__ua").cast("double") / col("tu")) *
+            (col("__ub").cast("double") / col("tu")))), scale))
+      .select(col("gram"), col("n"), col("pmi"))
+    graft.operators.Relational.topK(k, Seq(col("pmi").desc),
+      Seq(col("gram")))(scored)
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists:
     * rrf(d) = Σ_lists 1/(k + rank_d), summed over the lists containing
     * d — the standard combinator for hybrid retrieval (BM25 + dense)

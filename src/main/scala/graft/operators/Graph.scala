@@ -569,4 +569,52 @@ object Graph {
     org.apache.spark.sql.graft.Bridge.releaseFrame(sym)
     dist
   }
+
+  /** Weighted single-source(-set) shortest paths by `rounds` of
+    * Bellman-Ford min-plus relaxation — the weighted sibling of
+    * [[bfsHops]] (hop counts answer "how far"; weighted distance
+    * answers "how strongly connected", with edge weight as cost).
+    * Input: `edges` (id_a, id_b, weight ≥ 0; undirected — symmetrized
+    * here, duplicates minimized away), `seeds` (id). Output:
+    * (id, dist) for every node within `rounds` relaxations, dist
+    * rounded to `scale` dp.
+    *
+    * FIXED round count, no early exit: each round is
+    * dist' = min(dist, min over edges (dist[src] + w)) — a union +
+    * one hash aggregate — so the result is EXACTLY the k-step
+    * unrolled form an ANSI oracle can state. Paths accumulate as
+    * dist[src] + w left-to-right, the same FP addition order in any
+    * engine evaluating the recurrence. Per-round frames are
+    * localCheckpointed and superseded rounds released (the
+    * [[connectedComponents]] discipline); rounds is a small constant,
+    * distance growth is the frontier's — no driver-side state. */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int,
+      scale: Int = 6): DataFrame = {
+    require(rounds >= 1)
+    val sym = edges
+      .select(col("id_a"), col("id_b"), col("weight").cast("double"))
+      .union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+        col("weight").cast("double")))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("weight")).as("weight"))
+      .localCheckpoint(true)
+    var dist = seeds.select(col("id")).distinct()
+      .withColumn("dist", lit(0.0))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val relaxed = sym
+        .join(dist.select(col("id").as("id_a"), col("dist")), Seq("id_a"))
+        .select(col("id_b").as("id"), (col("dist") + col("weight")).as("dist"))
+        .unionByName(dist)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.graft.Bridge.releaseFrame(dist)
+      dist = relaxed
+      r += 1
+    }
+    org.apache.spark.sql.graft.Bridge.releaseFrame(sym)
+    dist.select(col("id"), round(col("dist"), scale).as("dist"))
+  }
 }

@@ -167,6 +167,60 @@ class EvalSketchSpec extends SparkSpec {
     assert(m == Map(1L -> 3L, 2L -> 1L, 3L -> 5L))
   }
 
+  // ---- PMI collocations ----
+
+  test("pmiCollocations: hand-computed scores, rounded-tie order") {
+    // corpus "a b a b" + "c a b": uni a:3 b:3 c:1 (tu=7);
+    // bi "a b":3 "b a":1 "c a":1 (tb=5).
+    // pmi(a b) = ln((3/5)/((3/7)^2)) = ln(49/15) = pmi(c a)
+    //          = ln((1/5)/((1/7)(3/7))); pmi(b a) = ln((1/5)/((3/7)^2))
+    //          = ln(49/45). Tie broken by gram asc.
+    def r6(v: Double) = BigDecimal(v)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq((1L, "a b a b"), (2L, "c a b")).toDF("doc_id", "text")
+    val r = graft.llm.Relevance
+      .pmiCollocations(docs, "doc_id", "text", 1, 3).collect()
+    assert(r.map(_.getString(0)).toSeq == Seq("a b", "c a", "b a"))
+    assert(r(0).getAs[Double]("pmi") == r6(math.log(49.0 / 15.0)))
+    assert(r(1).getAs[Double]("pmi") == r6(math.log(49.0 / 15.0)))
+    assert(r(2).getAs[Double]("pmi") == r6(math.log(49.0 / 45.0)))
+    assert(r(0).getAs[Long]("n") == 3L)
+  }
+
+  test("pmiCollocations: support floor drops rare grams") {
+    val docs = Seq((1L, "x y x y x y"), (2L, "p q")).toDF("doc_id", "text")
+    val grams = graft.llm.Relevance
+      .pmiCollocations(docs, "doc_id", "text", 2, 10)
+      .collect().map(_.getString(0)).toSet
+    assert(grams.contains("x y") && !grams.contains("p q"))
+  }
+
+  // ---- weighted SSSP ----
+
+  test("sssp: relaxation through a cheaper two-hop path") {
+    // 1-2 (w=1), 2-3 (w=1), 1-3 (w=5): dist(3) = 2 via 2, not 5 direct
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (1L, 3L, 5.0))
+      .toDF("id_a", "id_b", "weight")
+    val seeds = Seq(Tuple1(1L)).toDF("id")
+    val m3 = graft.operators.Graph.sssp(edges, seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m3 == Map(1L -> 0.0, 2L -> 1.0, 3L -> 2.0))
+    // with a single round only the direct edge is visible
+    val m1 = graft.operators.Graph.sssp(edges, seeds, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m1(3L) == 5.0)
+  }
+
+  test("sssp: undirected symmetrization and isolated seeds") {
+    // edge only stated 2->1; seed 1 must still reach 2. Seed 9 is
+    // isolated and keeps dist 0.
+    val edges = Seq((2L, 1L, 0.5)).toDF("id_a", "id_b", "weight")
+    val seeds = Seq(Tuple1(1L), Tuple1(9L)).toDF("id")
+    val m = graft.operators.Graph.sssp(edges, seeds, 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m == Map(1L -> 0.0, 2L -> 0.5, 9L -> 0.0))
+  }
+
   test("maxStreak: month boundary is consecutive") {
     val ev = Seq((1L, "2024-01-31 10:00:00"), (1L, "2024-02-01 10:00:00"),
       (1L, "2024-02-02 10:00:00"))
