@@ -83,25 +83,68 @@ object Eval {
         col("rouge_f"))
   }
 
+  /** (id, n, g, c) gram counts for ALL orders 1..maxN in ONE scan of
+    * `textCol`: every n's shingle array is built from the same staged
+    * token array, tagged with its order, and exploded together — the
+    * corpus is read once per side regardless of maxN (the per-n
+    * [[gramCounts]] form re-scans it maxN times; at 100 TB the scan is
+    * the cost). n=1 rides the raw token array. */
+  private def gramCountsAllN(pairs: DataFrame, idCol: String,
+      textCol: String, maxN: Int): DataFrame = {
+    val toks = pairs.select(col(idCol).as("id"),
+      split(lower(Text.normWs(col(textCol))), " ").as("__toks"))
+    val tagged = (1 to maxN).map { n =>
+      val grams = if (n == 1) col("__toks")
+        else Text.shinglesAllFromTokens(col("__toks"), n)
+      transform(grams, g => struct(lit(n).as("n"), g.as("g")))
+    }
+    toks.select(col("id"),
+        explode(concat(tagged: _*)).as("__t"))
+      .select(col("id"), col("__t.n").as("n"), col("__t.g").as("g"))
+      .groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
+  }
+
   /** BLEU-maxN per pair (geometric mean of clipped n-gram precisions
     * for n = 1..maxN, times the brevity penalty
     * min(1, exp(1 - refLen/candLen))). Unsmoothed: any zero precision
     * zeroes the score — the corpus-overlap screening use wants the
     * hard zero, and the unsmoothed form is what a SQL oracle can state
     * exactly. Output: (idCol, bleu_p1..pN, brevity_penalty, bleu),
-    * rounded to `scale` dp. */
+    * rounded to `scale` dp.
+    *
+    * Plan shape: ONE tagged-gram explode per side (all n orders in a
+    * single corpus scan), one (id, n, g) full-outer join, one (id, n)
+    * clip aggregate, then a per-id pivot. Token lengths fall out of
+    * the n=1 totals for free — no separate length pass. */
   def bleu(pairs: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int = 2, scale: Int = 6): DataFrame = {
     require(maxN >= 1)
-    val lens = pairs.select(col(idCol).as("id"),
-      size(Text.tokens(col(candCol))).cast("double").as("clen"),
-      size(Text.tokens(col(refCol))).cast("double").as("rlen"))
-    val precisions = (1 to maxN).map { n =>
-      overlapCounts(pairs, idCol, candCol, refCol, n)
-        .select(col("id"), when(col("ct") > 0,
-          col("ov").cast("double") / col("ct")).otherwise(0.0).as(s"__p$n"))
-    }
-    val joined = precisions.foldLeft(lens)((acc, p) => acc.join(p, Seq("id")))
+    val cand = gramCountsAllN(pairs, idCol, candCol, maxN)
+      .withColumnRenamed("c", "cc")
+    val ref = gramCountsAllN(pairs, idCol, refCol, maxN)
+      .withColumnRenamed("c", "rc")
+    val perN = cand.join(ref, Seq("id", "n", "g"), "full_outer")
+      .groupBy("id", "n").agg(
+        sum(least(coalesce(col("cc"), lit(0L)),
+          coalesce(col("rc"), lit(0L)))).as("ov"),
+        sum(coalesce(col("cc"), lit(0L))).as("ct"),
+        sum(coalesce(col("rc"), lit(0L))).as("rt"))
+    // pivot: one row per pair. A pair lacking (id, n) rows entirely
+    // (both texts shorter than n) scores that precision 0, matching
+    // the id-spine semantics of rougeN; n=1 rows always exist (the
+    // token array is never empty), so clen/rlen are total.
+    val pn = (1 to maxN).map(n => coalesce(
+      max(when(col("n") === n, when(col("ct") > 0,
+        col("ov").cast("double") / col("ct")).otherwise(0.0))),
+      lit(0.0)).as(s"__p$n"))
+    val lenCols = Seq(
+      max(when(col("n") === 1, col("ct"))).cast("double").as("clen"),
+      max(when(col("n") === 1, col("rt"))).cast("double").as("rlen"))
+    val aggCols = pn ++ lenCols
+    val joined = pairs.select(col(idCol).as("id"))
+      .join(perN.groupBy("id").agg(aggCols.head, aggCols.tail: _*),
+        Seq("id"), "left")
+      .na.fill(0.0)
     val bp = when(col("clen") >= col("rlen"), lit(1.0))
       .otherwise(exp(lit(1.0) - col("rlen") / col("clen")))
     val allPos = (1 to maxN).map(n => col(s"__p$n") > 0)
