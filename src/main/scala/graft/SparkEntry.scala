@@ -2649,6 +2649,15 @@ object SparkEntry {
       graft.llm.Relevance.pmiCollocations(
         t(s, d, "documents"), "doc_id", "text", 5, 30)),
 
+    "q_bootstrap_ci" -> ((s, d) =>
+      // error bars on a corpus-scale mean WITHOUT resampling the data:
+      // Poisson(1)-weight bootstrap, 200 replicates riding map-side
+      // partial aggregation (B rows reach the reducer). Deterministic
+      // hash weights -> the DuckDB oracle draws the identical
+      // replicates.
+      Aggregates.bootstrapCi(t(s, d, "orders"), "o_orderkey",
+        "o_totalprice", 200, 0.05)),
+
     "q_sssp" -> ((s, d) => {
       // weighted shortest paths from the Brand#13 seed set over the
       // urgent co-purchase graph: edge cost 1/(shared urgent orders),
@@ -6356,6 +6365,44 @@ object SparkEntry {
                 JOIN uni ub ON ub.w = string_split(gram, ' ')[2]
                 WHERE n >= 5)
          SELECT gram, n, pmi FROM sc ORDER BY pmi DESC, gram LIMIT 30""",
+
+    "q_bootstrap_ci" ->
+      """WITH base AS (
+           SELECT o_orderkey::VARCHAR AS k, o_totalprice::DOUBLE AS x
+           FROM orders),
+         reps AS (
+           SELECT k, x, i AS rep
+           FROM base CROSS JOIN UNNEST(generate_series(1, 200)) AS t(i)),
+         wts AS (
+           SELECT rep, x,
+                  (CAST(('0x' || substr(md5(k || ':' || rep || ':boot'), 1, 13))
+                    AS BIGINT) + 1.0) / 4503599627370498.0 AS u
+           FROM reps),
+         pw AS (
+           SELECT rep, x,
+                  CASE WHEN u < 0.36787944117144233 THEN 0
+                       WHEN u < 0.7357588823428847 THEN 1
+                       WHEN u < 0.9196986029286058 THEN 2
+                       WHEN u < 0.9810118431238462 THEN 3
+                       WHEN u < 0.9963401531726563 THEN 4
+                       WHEN u < 0.9994058151824183 THEN 5
+                       WHEN u < 0.9999167588507119 THEN 6
+                       WHEN u < 0.9999897508033253 THEN 7
+                       WHEN u < 0.9999988747969721 THEN 8
+                       ELSE 9 END::DOUBLE AS w
+           FROM wts),
+         means AS (
+           SELECT rep, round(sum(w * x) / sum(w), 6) AS m
+           FROM pw GROUP BY rep),
+         ranked AS (
+           SELECT m, row_number() OVER (ORDER BY m) AS rn FROM means),
+         stats AS (
+           SELECT count(*) AS n_rows, round(avg(x), 6) AS mean FROM base)
+         SELECT n_rows, mean,
+                (SELECT m FROM ranked WHERE rn = 5) AS ci_lo,
+                (SELECT m FROM ranked WHERE rn = 195) AS ci_hi,
+                200 AS b
+         FROM stats""",
 
     "q_sssp" ->
       """WITH li AS (

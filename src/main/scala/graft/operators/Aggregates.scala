@@ -354,6 +354,69 @@ object Aggregates {
         col("theta"))
   }
 
+  /** Inverse Poisson(1) CDF as a when-chain over hard-coded cumulative
+    * thresholds (e^-1 · Σ 1/j!): identical literals on the oracle side
+    * make the draw bit-reproducible across engines. Truncated at 9
+    * (P(k>9|λ=1) < 1e-7). */
+  private def poissonInv(u: Column): Column = {
+    val cum = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183, 0.9999167588507119, 0.9999897508033253,
+      0.9999988747969721)
+    cum.zipWithIndex.foldRight(lit(9): Column) { case ((c, k), els) =>
+      when(u < c, k).otherwise(els)
+    }
+  }
+
+  /** Poisson-bootstrap percentile confidence interval for a mean
+    * (Efron 1979 bootstrap; the Poisson(1)-weight formulation that
+    * made it map-reducible — Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams"): instead of materializing
+    * B resamples, every row carries B deterministic Poisson(1)
+    * weights (hash-derived, so reproducible across runs, engines and
+    * partitionings — the salted-md5 idiom), replicate b's mean is
+    * Σwx/Σw, and the CI is the lower-percentile pair of the B
+    * replicate means.
+    *
+    * Scale shape: the row×B explode never reaches the shuffle — the
+    * (rep) hash aggregate partial-combines map-side, so B·partitions
+    * rows move and the reduce side is B rows total. No resample
+    * materialization, no driver-side loop; per-row cost is B hashes.
+    * This is THE way to put error bars on a 100 TB mean: an exact
+    * permutation/resample is corpus-sized per replicate.
+    *
+    * Replicate means are ROUNDED (`scale`) before ranking so the
+    * rank selection is engine-stable; percentile convention is the
+    * lower (kth-smallest, k = ceil(q·B)) rank. Output: ONE row
+    * (n_rows, mean, ci_lo, ci_hi, b). */
+  def bootstrapCi(df: DataFrame, keyCol: String, valueCol: String,
+      b: Int = 200, alpha: Double = 0.05, salt: String = "boot",
+      scale: Int = 6): DataFrame = {
+    require(b >= 10, "need enough replicates for percentile ends")
+    require(alpha > 0 && alpha < 1)
+    val reps = df.select(col(keyCol).cast("string").as("__k"),
+        col(valueCol).cast("double").as("__x"))
+      .withColumn("__rep", explode(sequence(lit(1), lit(b))))
+    val u = (conv(substring(md5(concat_ws(":", col("__k"),
+        col("__rep").cast("string"), lit(salt))), 1, 13), 16, 10)
+        .cast("double") + 1.0) / lit(math.pow(2, 52) + 2.0)
+    val means = reps.withColumn("__w", poissonInv(u).cast("double"))
+      .groupBy("__rep")
+      .agg((sum(col("__w") * col("__x")) / sum(col("__w"))).as("__m"))
+      .select(round(col("__m"), scale).as("m"))
+    val loRank = math.ceil(alpha / 2 * b).toInt.max(1)
+    val hiRank = math.ceil((1 - alpha / 2) * b).toInt.min(b)
+    // B rows total: the single-partition window is a constant-size
+    // driver-adjacent step, not a data-scaled sort
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("m"))
+    val ci = means.withColumn("__rn", row_number().over(w))
+      .agg(min(when(col("__rn") === loRank, col("m"))).as("ci_lo"),
+        min(when(col("__rn") === hiRank, col("m"))).as("ci_hi"))
+    val stats = df.agg(count(lit(1)).as("n_rows"),
+      round(avg(col(valueCol).cast("double")), scale).as("mean"))
+    stats.crossJoin(broadcast(ci)).withColumn("b", lit(b))
+  }
+
   /** A11 — RMSE between a prediction and a label column, grouped.
     * Reference: `app_2 NEW with joined.py:235-236`
     * (`sqrt(mean((pred-label)**2))`).

@@ -167,6 +167,29 @@ class EvalSketchSpec extends SparkSpec {
     assert(m == Map(1L -> 3L, 2L -> 1L, 3L -> 5L))
   }
 
+  // ---- Poisson bootstrap CI ----
+
+  test("bootstrapCi: brackets the mean, partitioning-invariant, constant degenerate") {
+    val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val r = graft.operators.Aggregates
+      .bootstrapCi(df, "id", "x", 200, 0.05).collect().head
+    val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+    assert(r.getAs[Long]("n_rows") == 1000L)
+    assert(r.getAs[Double]("mean") == 500.5)
+    assert(lo < 500.5 && hi > 500.5, s"CI [$lo,$hi] must bracket the mean")
+    assert(lo > 450 && hi < 550, s"CI [$lo,$hi] implausibly wide for sd/sqrt(n)~9")
+    // hash weights make the draw layout-independent
+    val r2 = graft.operators.Aggregates
+      .bootstrapCi(df.repartition(7), "id", "x", 200, 0.05).collect().head
+    assert(r2.getAs[Double]("ci_lo") == lo && r2.getAs[Double]("ci_hi") == hi)
+    // constant column: every replicate mean is the constant
+    val c = (1 to 50).map(i => (i.toLong, 7.25)).toDF("id", "x")
+    val rc = graft.operators.Aggregates
+      .bootstrapCi(c, "id", "x", 50, 0.1).collect().head
+    assert(rc.getAs[Double]("ci_lo") == 7.25 &&
+      rc.getAs[Double]("ci_hi") == 7.25 && rc.getAs[Double]("mean") == 7.25)
+  }
+
   // ---- PMI collocations ----
 
   test("pmiCollocations: hand-computed scores, rounded-tie order") {
