@@ -307,51 +307,50 @@ object Aggregates {
     * distinct-shuffle of each side done exactly; the sketch answer
     * ships k=1024 doubles per side.
     *
-    * Each side maps keys through the salted-md5 uniform-hash idiom
-    * (the [[graft.operators.Relational.deterministicTake]] u), keeps
-    * the k smallest distinct hashes (TakeOrdered — per-partition
-    * heaps, k rows to one task), and estimates |A| = (k-1)/u_k.
-    * theta = min(u_k^A, u_k^B); |A∩B| ≈ |{u in both sketches,
-    * u < theta}| / theta, |A∪B| likewise over the sketch union. A
-    * side with fewer than k distinct keys is EXACT (theta side = 1).
-    * RSE ≈ 1/sqrt(k-2) (~3.1% at k=1024) for the per-set counts;
+    * Each side maps keys through native xxhash64 scaled to (0,1) and
+    * keeps the k smallest DISTINCT hashes via the bounded-buffer
+    * [[graft.functions.KmvAgg]] aggregator — ONE map-side-combined
+    * pass per side, at most 2k doubles per partition on the shuffle,
+    * no distinct-key exchange at all (a distinct+TakeOrdered plan
+    * shuffles the full key set first, which is the exact computation's
+    * own cost — measured 3x slower than exact at 2e7 keys; the
+    * aggregator form is what makes the sketch the cheap path).
+    * Estimates |A| = (k-1)/u_k; theta = min(u_k^A, u_k^B);
+    * |A∩B| ≈ |{u in both sketches, u < theta}| / theta, |A∪B| likewise
+    * over the sketch union. A side with fewer than k distinct keys is
+    * EXACT (theta side = 1). RSE ≈ 1/sqrt(k-2) for the per-set counts;
     * intersection error additionally scales with 1/Jaccard —
     * q_theta_sketch_gate pins both IN-ROW against the exact twin.
     *
-    * The two k-row sketch frames are localCheckpointed: each is read
-    * three times (kth-value row, intersection, union) and the cut
-    * stops the distinct+TakeOrdered re-running per use. Output: ONE
-    * row (est_a, est_b, est_intersection, est_union, theta). */
+    * The two k-arrays are combined DRIVER-SIDE — bounded, k doubles
+    * per side (the [[countMinEstimates]] convention: sketch state is
+    * O(k), never corpus-sized). Output: ONE row
+    * (est_a, est_b, est_intersection, est_union, theta). */
   def thetaSketchCompare(a: DataFrame, b: DataFrame, keyCol: String,
       k: Int = 1024): DataFrame = {
     require(k >= 16, s"k=$k too small for a stable estimate")
-    def sketch(df: DataFrame): DataFrame =
-      df.select(((conv(substring(md5(col(keyCol).cast("string")), 1, 13),
-          16, 10).cast("double") + 1.0) /
-          lit(math.pow(2, 52) + 2.0)).as("u"))
-        .distinct().orderBy(col("u")).limit(k).localCheckpoint(true)
-    val ska = sketch(a)
-    val skb = sketch(b)
-    val bounds = ska.agg(count(lit(1)).as("na"), max(col("u")).as("ma"))
-      .crossJoin(broadcast(
-        skb.agg(count(lit(1)).as("nb"), max(col("u")).as("mb"))))
-      .withColumn("theta", least(
-        when(col("na") < k, lit(1.0)).otherwise(col("ma")),
-        when(col("nb") < k, lit(1.0)).otherwise(col("mb"))))
-    val thetaOnly = broadcast(bounds.select(col("theta").as("__t")))
-    val inter = ska.join(skb, Seq("u")).crossJoin(thetaOnly)
-      .filter(col("u") < col("__t")).agg(count(lit(1)).as("ni"))
-    val uni = ska.union(skb).distinct().crossJoin(thetaOnly)
-      .filter(col("u") < col("__t")).agg(count(lit(1)).as("nu"))
-    bounds.crossJoin(broadcast(inter)).crossJoin(broadcast(uni))
-      .select(
-        when(col("na") < k, col("na").cast("double"))
-          .otherwise(lit(k - 1.0) / col("ma")).as("est_a"),
-        when(col("nb") < k, col("nb").cast("double"))
-          .otherwise(lit(k - 1.0) / col("mb")).as("est_b"),
-        (col("ni").cast("double") / col("theta")).as("est_intersection"),
-        (col("nu").cast("double") / col("theta")).as("est_union"),
-        col("theta"))
+    // xxhash64 -> uniform (0,1): shift the signed long into [0, 2^64)
+    // then scale; 53-bit double precision is the usual KMV hash width
+    def sketchOf(df: DataFrame): Array[Double] = {
+      val u = (xxhash64(col(keyCol)).cast("double") * lit(math.pow(2, -64))
+        + lit(0.5))
+      df.select(graft.functions.KmvAgg.kmv(k, u).as("sk"))
+        .collect().head.getSeq[Double](0).toArray
+    }
+    val ska = sketchOf(a)
+    val skb = sketchOf(b)
+    def kth(s: Array[Double]): Double =
+      if (s.length < k) 1.0 else s.last
+    val theta = math.min(kth(ska), kth(skb))
+    def est(s: Array[Double]): Double =
+      if (s.length < k) s.length.toDouble else (k - 1.0) / s.last
+    val sb = skb.toSet
+    val ni = ska.count(u => u < theta && sb.contains(u))
+    val nu = (ska ++ skb).distinct.count(_ < theta)
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((est(ska), est(skb), ni / theta, nu / theta, theta))
+      .toDF("est_a", "est_b", "est_intersection", "est_union", "theta")
   }
 
   /** Inverse Poisson(1) CDF as a when-chain over hard-coded cumulative
