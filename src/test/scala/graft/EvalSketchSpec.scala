@@ -149,6 +149,28 @@ class EvalSketchSpec extends SparkSpec {
     assert(withNull.find(_.getLong(0) == 2L).get.getLong(1) > 0)
   }
 
+  test("deflate quality filter runs unchanged on a live stream (parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // map-only kernel: the ingest-time redundancy screen applies to a
+    // streaming DF without restructuring
+    val incoming = Seq((1L, "spam spam spam " * 100),
+      (2L, "a genuinely varied sentence with many distinct words here"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val screened = mem.toDF().toDF("doc_id", "text")
+      .withColumn("r", CompressExpr.deflateRatio(col("text")))
+      .filter(col("r") > 0.2)
+    val q = screened.writeStream.format("memory")
+      .queryName("deflate_screen_out").outputMode("append").start()
+    try {
+      mem.addData(incoming: _*)
+      q.processAllAvailable()
+      val got = spark.table("deflate_screen_out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == Set(2L), "only the varied doc survives the screen")
+    } finally q.stop()
+  }
+
   // ---- streaks ----
 
   test("maxStreak: hand-built islands") {
