@@ -2649,6 +2649,22 @@ object SparkEntry {
       graft.llm.Relevance.pmiCollocations(
         t(s, d, "documents"), "doc_id", "text", 5, 30)),
 
+    "q_top_other" -> ((s, d) =>
+      // reporting rollup: top-5 customers by revenue per order
+      // priority PLUS an Other bucket so group totals survive (a bare
+      // top-k drops the tail). Re-rounded after the Other sum so the
+      // bucket's float is engine-stable.
+      Relational.topNOther(t(s, d, "orders"), "o_orderpriority",
+          "o_custkey", round(sum(col("o_totalprice")), 2), 5)
+        .withColumn("measure", round(col("measure"), 2))),
+
+    "q_twap" -> ((s, d) =>
+      // time-weighted average of each user's stepwise value stream —
+      // the irregular-tick mean that doesn't over-count bursts; the
+      // plain mean rides along so the correction is visible
+      graft.operators.Sessions.twap(t(s, d, "events"), "user_id", "ts",
+        "value", Seq(col("event_id")))),
+
     "q_bootstrap_ci" -> ((s, d) =>
       // error bars on a corpus-scale mean WITHOUT resampling the data:
       // Poisson(1)-weight bootstrap, 200 replicates riding map-side
@@ -6365,6 +6381,37 @@ object SparkEntry {
                 JOIN uni ub ON ub.w = string_split(gram, ' ')[2]
                 WHERE n >= 5)
          SELECT gram, n, pmi FROM sc ORDER BY pmi DESC, gram LIMIT 30""",
+
+    "q_top_other" ->
+      """WITH agg AS (
+           SELECT o_orderpriority, o_custkey::VARCHAR AS o_custkey,
+                  round(sum(o_totalprice), 2) AS measure
+           FROM orders GROUP BY 1, 2),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+             ORDER BY measure DESC, o_custkey) AS rn
+           FROM agg)
+         SELECT o_orderpriority, o_custkey, round(measure, 2) AS measure,
+                false AS is_other
+         FROM r WHERE rn <= 5
+         UNION ALL
+         SELECT o_orderpriority, '__other__', round(sum(measure), 2), true
+         FROM r WHERE rn > 5 GROUP BY 1""",
+
+    "q_twap" ->
+      """WITH t AS (
+           SELECT user_id, event_id, value, ts,
+                  lead(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS nxt
+           FROM events),
+         w AS (SELECT user_id, value,
+                      (epoch_us(nxt) - epoch_us(ts))::DOUBLE / 1e6 AS w
+               FROM t)
+         SELECT user_id, count(*) AS n_ticks,
+                round(sum(CASE WHEN w IS NOT NULL THEN w * value END) /
+                      sum(CASE WHEN w IS NOT NULL THEN w END), 6) AS twap,
+                round(avg(value), 6) AS plain_mean
+         FROM w GROUP BY user_id HAVING count(*) >= 2""",
 
     "q_bootstrap_ci" ->
       """WITH base AS (

@@ -105,6 +105,37 @@ object Relational {
       df: DataFrame): DataFrame =
     df.orderBy(measures ++ tieBreak: _*).limit(k)
 
+  /** Top-N-plus-Other rollup — the reporting twin of a plain per-group
+    * top-k: keep each group's n highest-measure keys and LUMP THE REST
+    * into a single `otherLabel` row per group, so group totals are
+    * preserved (a bare top-k silently drops the tail; dashboards need
+    * "top 5 + Other = 100%"). Ranking is (summed measure desc, key
+    * asc) — deterministic under ties.
+    *
+    * Scale shape: one (group, key) hash aggregate, a per-group window
+    * rank over the AGGREGATED frame (key-cardinality-sized, not
+    * row-sized), then a second group-sized aggregate for the Other
+    * bucket. Output: (groupCol, keyCol, measure, is_other). */
+  def topNOther(df: DataFrame, groupCol: String, keyCol: String,
+      measure: Column, n: Int, otherLabel: String = "__other__"): DataFrame = {
+    require(n >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val agg = df.groupBy(col(groupCol), col(keyCol).cast("string").as(keyCol))
+      .agg(measure.as("measure"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("measure").desc, col(keyCol))
+    val ranked = agg.withColumn("__rn", row_number().over(w))
+    val top = ranked.filter(col("__rn") <= n)
+      .select(col(groupCol), col(keyCol), col("measure"),
+        lit(false).as("is_other"))
+    val other = ranked.filter(col("__rn") > n)
+      .groupBy(col(groupCol))
+      .agg(sum(col("measure")).as("measure"))
+      .select(col(groupCol), lit(otherLabel).as(keyCol), col("measure"),
+        lit(true).as("is_other"))
+    top.unionByName(other)
+  }
+
   /** J5 + J3 — dimension-grid gap fill: cross product of the distinct
     * values of two dimension frames, left-joined with the fact aggregate,
     * missing measures coalesced to a default.

@@ -648,6 +648,43 @@ object Sessions {
       .filter(col("n_events") >= minEvents)
   }
 
+  /** Time-weighted average of a stepwise value per key (TWAP — the
+    * market-data/metrics convention where a reading HOLDS until the
+    * next one): each observation is weighted by the seconds until the
+    * key's next observation, so an arithmetic mean over irregular
+    * ticks stops over-counting bursts. The final (open-ended)
+    * observation per key carries no weight — the measured-interval
+    * convention an ANSI oracle can state exactly; keys with a single
+    * event drop out.
+    *
+    * One exchange on the key, one lead window over each key's ticks,
+    * one grouped sum — the [[interArrival]] shuffle profile. Ties in
+    * ts are ordered by `tieBreak` for engine-stable weights. Output:
+    * (key, n_ticks, twap, plain_mean) — the plain mean rides along so
+    * the burst-correction is visible in the row. */
+  def twap(df: DataFrame, key: String, ts: String, valueCol: String,
+      tieBreak: Seq[Column], scale: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts) +: tieBreak: _*)
+    // cast through TIMESTAMP: ts may arrive as TIMESTAMP_NTZ (the
+    // nanos-repair loader), and unix_micros takes TIMESTAMP only —
+    // under the engine's fixed UTC session the cast is a
+    // reinterpretation, not a wall-clock shift
+    val weighted = df
+      .withColumn("__next", lead(col(ts), 1).over(w))
+      .withColumn("__w",
+        (unix_micros(col("__next").cast("timestamp")) -
+          unix_micros(col(ts).cast("timestamp")))
+          .cast("double") / lit(1e6))
+    weighted.groupBy(col(key))
+      .agg(count(lit(1)).as("n_ticks"),
+        round(sum(when(col("__w").isNotNull,
+            col("__w") * col(valueCol))) /
+          sum(when(col("__w").isNotNull, col("__w"))), scale).as("twap"),
+        round(avg(col(valueCol)), scale).as("plain_mean"))
+      .filter(col("n_ticks") >= 2)
+  }
+
   /** Cohort lifetime value: keys cohort by the calendar month of
     * their FIRST event; for each (cohort, month age) the revenue that
     * month, the cohort's cumulative revenue, and cumulative LTV per

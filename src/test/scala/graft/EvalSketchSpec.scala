@@ -189,6 +189,46 @@ class EvalSketchSpec extends SparkSpec {
     assert(m == Map(1L -> 3L, 2L -> 1L, 3L -> 5L))
   }
 
+  // ---- top-N + Other ----
+
+  test("topNOther preserves group totals and breaks ties by key") {
+    val df = Seq(
+      ("g1", "a", 10.0), ("g1", "b", 10.0), ("g1", "c", 5.0),
+      ("g1", "d", 3.0), ("g2", "x", 1.0)).toDF("grp", "key", "v")
+    val r = graft.operators.Relational
+      .topNOther(df, "grp", "key", sum(col("v")), 2)
+      .collect().map(x => (x.getString(0), x.getString(1),
+        x.getDouble(2), x.getBoolean(3)))
+    val g1 = r.filter(_._1 == "g1")
+    // tie 10.0/10.0 -> key asc keeps a and b; c+d lump to Other
+    assert(g1.toSet == Set(("g1", "a", 10.0, false),
+      ("g1", "b", 10.0, false), ("g1", "__other__", 8.0, true)))
+    assert(g1.map(_._3).sum == 28.0, "group total preserved")
+    // a group with <= n keys emits no Other row
+    assert(r.filter(_._1 == "g2").toSeq == Seq(("g2", "x", 1.0, false)))
+  }
+
+  // ---- TWAP ----
+
+  test("twap: hand-computed hold weights; single-tick keys drop") {
+    // u1 ticks: v=10 at t0, v=20 at +10s, v=99 at +40s (no weight):
+    // twap = (10*10 + 20*30) / 40 = 17.5; plain mean = 129/3 = 43
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", 10.0),
+      (1L, 2L, "2024-01-01 00:00:10", 20.0),
+      (1L, 3L, "2024-01-01 00:00:40", 99.0),
+      (2L, 4L, "2024-01-01 00:00:00", 5.0))
+      .toDF("user_id", "event_id", "raw", "value")
+      .select(col("user_id"), col("event_id"),
+        to_timestamp(col("raw")).as("ts"), col("value"))
+    val r = graft.operators.Sessions
+      .twap(ev, "user_id", "ts", "value", Seq(col("event_id")))
+      .collect()
+    assert(r.length == 1, "single-tick user 2 drops")
+    assert(r.head.getAs[Double]("twap") == 17.5)
+    assert(r.head.getAs[Double]("plain_mean") == 43.0)
+  }
+
   // ---- Poisson bootstrap CI ----
 
   test("bootstrapCi: brackets the mean, partitioning-invariant, constant degenerate") {
