@@ -3,7 +3,7 @@ package graft
 import graft.operators.{Aggregates, Relational}
 import graft.llm.{Dedup, Similarity}
 import graft.functions.Text
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -2673,6 +2673,75 @@ object SparkEntry {
       // replicates.
       Aggregates.bootstrapCi(t(s, d, "orders"), "o_orderkey",
         "o_totalprice", 200, 0.05)),
+
+    "q_anova" -> ((s, d) =>
+      // one-way ANOVA: does order value differ across the five
+      // priority classes? One co-moment pass over the data; F and
+      // eta^2 vs the mirrored var_samp-form SQL
+      Aggregates.anovaF(t(s, d, "orders"), "o_orderpriority",
+        "o_totalprice")),
+
+    "q_fdr_screen" -> ((s, d) =>
+      // multiplicity-honest segment screen: per-nation one-vs-rest z
+      // on customer balances (rest moments by subtraction from
+      // broadcast totals — one pass, no self-join), p from the shared
+      // A&S erfc polynomial, Benjamini-Hochberg step-up at alpha=0.05
+      Aggregates.bhFdr(
+        Aggregates.zTestVsRest(t(s, d, "customer"), "c_nationkey",
+          "c_acctbal"),
+        "p_value", "c_nationkey", 0.05)),
+
+    "q_jw_pairs" -> ((s, d) => {
+      // record-linkage candidates: part names blocked by (brand, first
+      // name token) — the standard multi-key blocking that keeps the
+      // within-block quadratic bounded (brand alone left 8M candidate
+      // pairs at sf0.1; the token key cuts that 8x) — scored by the
+      // native jaro_winkler codegen kernel, semantics pinned
+      // byte-for-byte against the oracle's jaro_winkler_similarity
+      val p = t(s, d, "part").select(col("p_brand"),
+        split_part(col("p_name"), lit(" "), lit(1)).as("p_tok"),
+        col("p_partkey"), col("p_name")).localCheckpoint(false)
+      p.select(col("p_brand"), col("p_tok"),
+          col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+        .join(p.select(col("p_brand"), col("p_tok"),
+          col("p_partkey").as("id_b"), col("p_name").as("name_b")),
+          Seq("p_brand", "p_tok"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("jw", round(graft.plans.JaroWinklerSim.jaroWinkler(
+          col("name_a"), col("name_b")), 6))
+        .filter(col("jw") >= 0.88)
+        .select(col("id_a"), col("id_b"), col("jw"))
+    }),
+
+    "q_geo_radius" -> ((s, d) => {
+      // geospatial catchment join: deterministic md5-uniform
+      // coordinates in the |lat|<=60 band, customers within 200 km of
+      // a supplier via the 3x3 grid-cell EQUI-join (no cross join);
+      // exact haversine filter vs the all-pairs oracle
+      def u(key: Column, salt: String): Column =
+        (conv(substring(md5(concat(key.cast("string"), lit(":" + salt))),
+          1, 13), 16, 10).cast("double") + 1.0) / 4503599627370498.0
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        (u(col("c_custkey"), "lat") * 120.0 - 60.0).as("c_lat"),
+        (u(col("c_custkey"), "lon") * 360.0 - 180.0).as("c_lon"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey"),
+        (u(col("s_suppkey"), "slat") * 120.0 - 60.0).as("s_lat"),
+        (u(col("s_suppkey"), "slon") * 360.0 - 180.0).as("s_lon"))
+      graft.operators.Geo.radiusJoin(c, sup,
+          "c_lat", "c_lon", "s_lat", "s_lon", 200.0)
+        .select(col("c_custkey"), col("s_suppkey"),
+          round(col("dist_km"), 6).as("dist_km"))
+    }),
+
+    "q_flesch" -> ((s, d) =>
+      // readability quality axis: Flesch reading ease with its exact
+      // count components (letter-run words, vowel-group syllables,
+      // terminal-punct sentences) — map-only, no shuffle
+      t(s, d, "documents").select(col("doc_id"),
+        element_at(Text.fleschCounts(col("text")), 1).as("n_words"),
+        element_at(Text.fleschCounts(col("text")), 2).as("n_sentences"),
+        element_at(Text.fleschCounts(col("text")), 3).as("n_syllables"),
+        round(Text.fleschReadingEase(col("text")), 6).as("flesch"))),
 
     "q_sssp" -> ((s, d) => {
       // weighted shortest paths from the Brand#13 seed set over the
@@ -6450,6 +6519,134 @@ object SparkEntry {
                 (SELECT m FROM ranked WHERE rn = 195) AS ci_hi,
                 200 AS b
          FROM stats""",
+
+    "q_anova" ->
+      """WITH g AS (
+           SELECT o_orderpriority AS grp, count(o_totalprice) AS n,
+                  avg(o_totalprice) AS m, var_samp(o_totalprice) AS s2
+           FROM orders GROUP BY 1),
+         tot AS (SELECT sum(n) AS nn, sum(n * m) / sum(n) AS gm,
+                        count(*) AS k
+                 FROM g),
+         agg AS (
+           SELECT CAST(k AS BIGINT) AS k_groups,
+                  CAST(nn AS BIGINT) AS n_total,
+                  sum(n * (m - gm) * (m - gm)) AS ssb,
+                  sum((n - 1) * s2) AS ssw
+           FROM g CROSS JOIN tot GROUP BY 1, 2)
+         SELECT k_groups, n_total,
+                round((ssb / (k_groups - 1)) /
+                  (CASE WHEN k_groups > 1 AND n_total > k_groups
+                             AND ssw > 0
+                        THEN ssw / (n_total - k_groups) END), 6)
+                  AS f_stat,
+                round(ssb / (CASE WHEN ssb + ssw > 0
+                             THEN ssb + ssw END), 6) AS eta_sq
+         FROM agg""",
+
+    "q_fdr_screen" ->
+      """WITH g AS (
+           SELECT c_nationkey, count(c_acctbal) AS n,
+                  sum(c_acctbal) AS s, sum(c_acctbal * c_acctbal) AS q
+           FROM customer GROUP BY 1),
+         tot AS (SELECT sum(n) AS tn, sum(s) AS ts, sum(q) AS tq FROM g),
+         zt AS (
+           SELECT c_nationkey, n, s / n AS mg,
+                  (ts - s) / (tn - n) AS mr,
+                  (q - s * s / n) / (n - 1) AS vg,
+                  ((tq - q) - (ts - s) * (ts - s) / (tn - n))
+                    / (tn - n - 1) AS vr,
+                  tn - n AS nr
+           FROM g CROSS JOIN tot),
+         zz AS (
+           SELECT c_nationkey, n, mg,
+                  (mg - mr) / (CASE WHEN n > 1 AND nr > 1
+                                         AND vg / n + vr / nr > 0
+                                    THEN sqrt(vg / n + vr / nr) END) AS z
+           FROM zt),
+         px AS (SELECT c_nationkey, n, mg, z,
+                       abs(z) / sqrt(2.0) AS x
+                FROM zz),
+         ptt AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS tt FROM px),
+         pt AS (
+           SELECT c_nationkey, n, round(mg, 6) AS mean,
+                  round(z, 6) AS z_stat,
+                  round(tt * (0.254829592 + tt * (-0.284496736
+                    + tt * (1.421413741 + tt * (-1.453152027
+                    + tt * 1.061405429)))) * exp(-x * x), 6) AS p_value
+           FROM ptt),
+         m AS (SELECT count(*) AS m FROM pt),
+         ranked AS (
+           SELECT pt.*, CAST(row_number() OVER
+             (ORDER BY p_value, c_nationkey) AS INTEGER) AS p_rank
+           FROM pt),
+         ranked2 AS (
+           SELECT *, round(p_rank * 0.05 / m, 6) AS bh_crit
+           FROM ranked CROSS JOIN m),
+         cut AS (SELECT max(CASE WHEN p_value <= bh_crit THEN p_rank
+                                 ELSE 0 END) AS c
+                 FROM ranked2)
+         SELECT c_nationkey, n, mean, z_stat, p_value, p_rank, bh_crit,
+                p_rank <= c AS significant
+         FROM ranked2 CROSS JOIN cut""",
+
+    "q_jw_pairs" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+                round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+                  AS jw
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand
+          AND split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+          AND a.p_partkey < b.p_partkey
+         WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+                 >= 0.88""",
+
+    "q_geo_radius" ->
+      """WITH c AS (
+           SELECT c_custkey,
+             (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':lat'), 1, 13)) AS BIGINT) + 1.0)
+               / 4503599627370498.0 * 120.0 - 60.0 AS c_lat,
+             (CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':lon'), 1, 13)) AS BIGINT) + 1.0)
+               / 4503599627370498.0 * 360.0 - 180.0 AS c_lon
+           FROM customer),
+         s AS (
+           SELECT s_suppkey,
+             (CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || ':slat'), 1, 13)) AS BIGINT) + 1.0)
+               / 4503599627370498.0 * 120.0 - 60.0 AS s_lat,
+             (CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || ':slon'), 1, 13)) AS BIGINT) + 1.0)
+               / 4503599627370498.0 * 360.0 - 180.0 AS s_lon
+           FROM supplier),
+         d AS (
+           SELECT c_custkey, s_suppkey,
+             12742.0 * asin(sqrt(least(
+               sin(radians(s_lat - c_lat) / 2) * sin(radians(s_lat - c_lat) / 2)
+               + cos(radians(c_lat)) * cos(radians(s_lat))
+                 * sin(radians(s_lon - c_lon) / 2) * sin(radians(s_lon - c_lon) / 2),
+               1.0))) AS dist
+           FROM c CROSS JOIN s)
+         SELECT c_custkey, s_suppkey, round(dist, 6) AS dist_km
+         FROM d WHERE dist <= 200.0""",
+
+    "q_flesch" ->
+      """WITH w AS (
+           SELECT doc_id, text,
+                  list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                    x -> length(x) > 0) AS ws
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(ws) AS INTEGER) AS n_words,
+                CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS INTEGER) AS n_sentences,
+                CAST(coalesce(list_sum(list_transform(ws,
+                  x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))), 0)
+                  AS INTEGER) AS n_syllables,
+                round(206.835
+                  - 1.015 * (CAST(greatest(len(ws), 1) AS DOUBLE)
+                    / CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE))
+                  - 84.6 * (CAST(coalesce(list_sum(list_transform(ws,
+                      x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))), 0) AS DOUBLE)
+                    / CAST(greatest(len(ws), 1) AS DOUBLE)), 6) AS flesch
+         FROM w""",
 
     "q_sssp" ->
       """WITH li AS (

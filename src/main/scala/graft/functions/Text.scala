@@ -223,4 +223,44 @@ object Text {
       when(s === best && s > 0, lit(lang)).otherwise(els)
     }
   }
+
+  /** Letter-run words of the lowercased text — the readability
+    * tokenization ("don't" counts as two vowel-bearing runs; digits and
+    * punctuation never form words). Kept separate from [[tokens]],
+    * whose whitespace convention the quality metrics pin. */
+  private def letterWords(text: Column): Column =
+    filter(split(lower(text), "[^a-z]+"), w => length(w) > 0)
+
+  /** Per-word syllable estimate: count of vowel GROUPS ([aeiouy]+),
+    * floored at 1 — the classic cheap approximation ("beautiful" →
+    * eau+i+u = 3, "the" → 1, consonant-only tokens → 1). */
+  private def syllables(w: Column): Column =
+    greatest(size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))), lit(1))
+
+  /** Flesch reading-ease components: [n_words, n_sentences,
+    * n_syllables] as ints. Sentences = terminal-punctuation runs
+    * ([.!?]+), floored at 1 so fragments still score. Map-only — one
+    * projection, regex + array HOFs, no shuffle, and every piece is in
+    * the Java∩RE2∩oracle-SQL regex subset (the [[graft.llm.Pii]]
+    * dialect discipline). */
+  def fleschCounts(text: Column): Column = {
+    val ws = letterWords(text)
+    array(
+      size(ws),
+      greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1)),
+      aggregate(ws, lit(0), (acc, w) => acc + syllables(w)))
+  }
+
+  /** Flesch reading ease: 206.835 - 1.015·(words/sentences) -
+    * 84.6·(syllables/words) — the document-complexity quality signal
+    * (a curation filter axis alongside [[qualityScore]]: very low
+    * scores flag legalese/boilerplate, implausibly high ones flag
+    * word-salad). Words floor at 1 so empty text scores finitely. */
+  def fleschReadingEase(text: Column): Column = {
+    val c = fleschCounts(text)
+    val nw = greatest(element_at(c, 1), lit(1)).cast("double")
+    val ns = element_at(c, 2).cast("double")
+    val sy = element_at(c, 3).cast("double")
+    lit(206.835) - lit(1.015) * (nw / ns) - lit(84.6) * (sy / nw)
+  }
 }

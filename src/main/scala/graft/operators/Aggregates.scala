@@ -1942,4 +1942,122 @@ object Aggregates {
         round(avg(col("frequency")), 6).as("avg_orders"),
         round(sum(col("monetary")), 2).as("total_spend"))
   }
+
+  /** One-way ANOVA: does a numeric metric differ across k groups? The
+    * k-sample generalization of [[welchTTest]] (equal-variance form) —
+    * the segmentation sanity test ("does order value actually vary by
+    * priority class?"). F = (SSB/(k-1)) / (SSW/(N-k)); eta² =
+    * SSB/(SSB+SSW) is the variance-explained effect size.
+    *
+    * Scale shape: one hash-agg pass over the data (per-group n / mean
+    * / var_samp — co-moments, map-side combined), then all arithmetic
+    * on the k-row group frame against a broadcast 1-row total. The
+    * var_samp form keeps SSW free of the raw-sum-of-squares
+    * cancellation. Degenerate inputs (k < 2, N <= k, SSW = 0) yield
+    * null F rather than Infinity. */
+  def anovaF(df: DataFrame, groupCol: String, valueCol: String,
+      scale: Int = 6): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val g = df.groupBy(col(groupCol))
+      .agg(count(v).as("__n"), avg(v).as("__m"), var_samp(v).as("__s2"))
+    val tot = broadcast(g.agg(
+      sum(col("__n")).as("__tn"),
+      (sum(col("__n") * col("__m")) / sum(col("__n"))).as("__gm"),
+      count(lit(1)).as("__k")))
+    val ssb = sum(col("__n") * (col("__m") - col("__gm")) *
+      (col("__m") - col("__gm")))
+    val ssw = sum((col("__n") - 1L) * col("__s2"))
+    g.crossJoin(tot)
+      .agg(first(col("__k")).as("k_groups"),
+        first(col("__tn")).as("n_total"),
+        ssb.as("__ssb"), ssw.as("__ssw"))
+      .select(col("k_groups"), col("n_total"),
+        round((col("__ssb") / (col("k_groups") - 1L)) /
+          when(col("k_groups") > 1L && col("n_total") > col("k_groups") &&
+            col("__ssw") > 0.0,
+            col("__ssw") / (col("n_total") - col("k_groups"))), scale)
+          .as("f_stat"),
+        round(col("__ssb") /
+          when(col("__ssb") + col("__ssw") > 0.0,
+            col("__ssb") + col("__ssw")), scale).as("eta_sq"))
+  }
+
+  /** Two-sided p-value of a standard-normal z statistic, computed with
+    * the Abramowitz & Stegun 7.1.26 erfc rational approximation
+    * (|err| <= 1.5e-7) — elementary ops only (exp + one Horner
+    * polynomial), so the SQL oracle can state the IDENTICAL formula;
+    * neither engine exposes erf in its portable surface. */
+  def zPValue(z: Column): Column = {
+    val x = abs(z) / sqrt(lit(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    // p_two = 2(1 - Phi(|z|)) = erfc(x) = poly(t) * exp(-x^2)
+    val poly = t * (lit(0.254829592) + t * (lit(-0.284496736) +
+      t * (lit(1.421413741) + t * (lit(-1.453152027) +
+        t * lit(1.061405429)))))
+    poly * exp(-x * x)
+  }
+
+  /** Per-key two-sample z-test of each group against ALL OTHER rows
+    * (one-vs-rest): the segment-screening battery ("which nations'
+    * balances actually differ from the rest?") that [[bhFdr]] then
+    * corrects for multiplicity. Rest-side moments are derived by
+    * subtracting the group's (n, sum, sum-of-squares) from broadcast
+    * totals — ONE aggregation pass over the data regardless of key
+    * count, no self-join. Degenerate sides (n < 2 either side, zero
+    * pooled SE) yield null z/p. Output: key, n, mean, z, p (p rounded
+    * to `scale` so downstream rank order is engine-stable). */
+  def zTestVsRest(df: DataFrame, keyCol: String, valueCol: String,
+      scale: Int = 6): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val g = df.groupBy(col(keyCol))
+      .agg(count(v).as("__n"), sum(v).as("__s"), sum(v * v).as("__q"))
+    val tot = broadcast(g.agg(sum(col("__n")).as("__tn"),
+      sum(col("__s")).as("__ts"), sum(col("__q")).as("__tq")))
+    val nR = col("__tn") - col("__n")
+    val sR = col("__ts") - col("__s")
+    val qR = col("__tq") - col("__q")
+    val mG = col("__s") / col("__n")
+    val mR = sR / nR
+    val vG = (col("__q") - col("__s") * col("__s") / col("__n")) /
+      (col("__n") - 1L)
+    val vR = (qR - sR * sR / nR) / (nR - 1L)
+    val se2 = vG / col("__n") + vR / nR
+    val z = (mG - mR) /
+      when(col("__n") > 1L && nR > 1L && se2 > 0.0, sqrt(se2))
+    g.crossJoin(tot).select(
+      col(keyCol), col("__n").as("n"),
+      round(mG, scale).as("mean"),
+      round(z, scale).as("z_stat"),
+      round(zPValue(z), scale).as("p_value"))
+  }
+
+  /** Benjamini-Hochberg step-up FDR correction over a battery of
+    * tests: rank p ascending, find the largest rank r with p_(r) <=
+    * r·alpha/m, and declare every rank <= r significant — the
+    * multiple-comparisons discipline for per-segment screens (at
+    * alpha = 0.05 over 1000 segments, ~50 "significant" nations are
+    * expected by chance alone; BH caps the FALSE-DISCOVERY RATE
+    * instead of the familywise error Bonferroni over-pays for).
+    *
+    * Scale shape: the input is the TEST battery (one row per
+    * hypothesis — k-bounded, thousands at most), not the data, so the
+    * global rank window and the 1-row cutoff aggregate are free; the
+    * expensive pass already happened inside [[zTestVsRest]]. Ties in p
+    * break by key so both engines rank identically. */
+  def bhFdr(tests: DataFrame, pCol: String, keyCol: String,
+      alpha: Double, scale: Int = 6): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha in (0,1)")
+    val m = broadcast(tests.agg(count(lit(1)).as("__m")))
+    val ranked = tests.crossJoin(m)
+      .withColumn("p_rank",
+        row_number().over(Window.orderBy(col(pCol), col(keyCol))))
+      .withColumn("bh_crit",
+        round(col("p_rank") * lit(alpha) / col("__m"), scale))
+    val cutoff = broadcast(ranked.agg(
+      max(when(col(pCol) <= col("bh_crit"), col("p_rank"))
+        .otherwise(0)).as("__cut")))
+    ranked.crossJoin(cutoff)
+      .withColumn("significant", col("p_rank") <= col("__cut"))
+      .drop("__m", "__cut")
+  }
 }

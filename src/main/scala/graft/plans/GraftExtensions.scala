@@ -113,6 +113,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "quantized_cosine(binary, binary)")
         QuantizedCosine(args(0), args(1))
+      }),
+    (new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaro_winkler(stringA, stringB)")
+        JaroWinklerSim(args(0), args(1))
       }))
 
   /** Runtime registration into a live session (tests, shells):

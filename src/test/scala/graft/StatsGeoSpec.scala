@@ -1,0 +1,202 @@
+package graft
+
+import graft.functions.Text
+import graft.operators.{Aggregates, Geo}
+import graft.plans.{JaroWinklerSim, JaroWinklerUtil}
+import org.apache.spark.sql.functions._
+
+/** Round-9 second batch: one-way ANOVA, one-vs-rest z screen +
+  * Benjamini-Hochberg FDR, the native Jaro-Winkler kernel, the
+  * grid-bucketed geo radius join, and Flesch readability. Every
+  * expected value is hand-computable or pinned against the oracle
+  * engine's own function output. */
+class StatsGeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- ANOVA ----
+
+  test("anovaF hand fixture: textbook two-group reduces to t^2") {
+    // groups {1,2,3} and {5,6,7}: means 2 and 6, grand 4
+    // SSB = 3*(2-4)^2 + 3*(6-4)^2 = 24; SSW = 2 + 2 = 4
+    // F = (24/1)/(4/4) = 24; eta^2 = 24/28
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 6.0), ("b", 7.0)).toDF("g", "v")
+    val r = Aggregates.anovaF(df, "g", "v").collect().head
+    assert(r.getAs[Long]("k_groups") == 2L)
+    assert(r.getAs[Long]("n_total") == 6L)
+    assert(math.abs(r.getAs[Double]("f_stat") - 24.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("eta_sq") - 24.0 / 28.0) < 1e-6)
+  }
+
+  test("anovaF identical groups: F = 0; one group: null F") {
+    val same = Seq(("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0))
+      .toDF("g", "v")
+    assert(Aggregates.anovaF(same, "g", "v")
+      .collect().head.getAs[Double]("f_stat") == 0.0)
+    val one = Seq(("a", 1.0), ("a", 3.0)).toDF("g", "v")
+    val r = Aggregates.anovaF(one, "g", "v").collect().head
+    assert(r.isNullAt(r.fieldIndex("f_stat")))
+  }
+
+  // ---- z-test vs rest + BH ----
+
+  test("zTestVsRest: shifted group gets large |z| and small p") {
+    val rows = (1 to 50).map(i => ("base", i.toDouble % 7)) ++
+      (1 to 20).map(i => ("hot", 100.0 + i % 3))
+    val r = Aggregates.zTestVsRest(rows.toDF("k", "v"), "k", "v")
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Double]("z_stat"), x.getAs[Double]("p_value"))).toMap
+    assert(r("hot")._1 > 10.0)
+    assert(r("hot")._2 == 0.0) // far tail rounds to exactly 0 at 6dp
+    assert(math.abs(r("base")._1) == math.abs(r("hot")._1))
+  }
+
+  test("zPValue matches the normal tail at pinned points") {
+    // two-sided p at z=1.959964 is 0.05 (within the A&S 1.5e-7 bound)
+    val p = spark.range(1).select(
+      Aggregates.zPValue(lit(1.959964)).as("p")).collect().head.getDouble(0)
+    assert(math.abs(p - 0.05) < 1e-5)
+    val p0 = spark.range(1).select(
+      Aggregates.zPValue(lit(0.0)).as("p")).collect().head.getDouble(0)
+    assert(math.abs(p0 - 1.0) < 1e-6)
+  }
+
+  test("bhFdr step-up: significance is rank-contiguous and correct") {
+    // m=4, alpha=0.2: crits are 0.05/0.10/0.15/0.20
+    // p = 0.01, 0.12, 0.14, 0.9 -> largest passing rank is 3
+    // (0.14 <= 0.15) so ranks 1..3 significant INCLUDING 0.12 > 0.10
+    val tests = Seq(("a", 0.01), ("b", 0.12), ("c", 0.14), ("d", 0.9))
+      .toDF("k", "p_value")
+    val r = Aggregates.bhFdr(tests, "p_value", "k", 0.2)
+      .collect().map(x => x.getString(0) ->
+        x.getAs[Boolean]("significant")).toMap
+    assert(r == Map("a" -> true, "b" -> true, "c" -> true, "d" -> false))
+  }
+
+  test("bhFdr: nothing passes when all p exceed every crit") {
+    val tests = Seq(("a", 0.5), ("b", 0.6)).toDF("k", "p_value")
+    assert(Aggregates.bhFdr(tests, "p_value", "k", 0.05)
+      .filter(col("significant")).count() == 0L)
+  }
+
+  // ---- Jaro-Winkler ----
+
+  test("jaroWinkler pinned against the oracle engine's outputs") {
+    // every expected value read directly from DuckDB
+    // jaro_winkler_similarity (round-9 calibration run)
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("abcdef", "abczzz", 0.6666666666666666), // jaro<=0.7: NO boost
+      ("ab", "ba", 0.0), // window 0
+      ("a", "", 0.0), ("", "", 0.0), // empties score 0, not 1
+      ("abc", "xyz", 0.0),
+      ("abcdexyz", "abcdeqrs", 0.85), // prefix capped at 4
+      ("appel", "apple", 0.9533333333333333),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("aaaaaaaaaa", "aaaaa", 0.9),
+      ("ABC", "abc", 0.0), // case-sensitive
+      ("crate", "trace", 0.7333333333333334))
+    cases.foreach { case (a, b, want) =>
+      assert(math.abs(JaroWinklerUtil.sim(a, b) - want) < 1e-12,
+        s"sim($a, $b)")
+    }
+  }
+
+  test("jaroWinkler codegen expression == util, null-safe, symmetric") {
+    val df = Seq(("martha", "marhta"), ("crate", "trace"),
+      ("", "x"), ("same", "same")).toDF("a", "b")
+    val got = df.select(
+      JaroWinklerSim.jaroWinkler(col("a"), col("b")).as("ab"),
+      JaroWinklerSim.jaroWinkler(col("b"), col("a")).as("ba"))
+      .collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(got.map(_.getDouble(0)).sameElements(
+      Seq(("martha", "marhta"), ("crate", "trace"), ("", "x"),
+        ("same", "same")).map { case (a, b) => JaroWinklerUtil.sim(a, b) }))
+    val withNull = Seq((Some("x"), None: Option[String])).toDF("a", "b")
+      .select(JaroWinklerSim.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect().head
+    assert(withNull.isNullAt(0))
+  }
+
+  test("jaro_winkler registered as a SQL function") {
+    graft.plans.GraftExtensions.registerInto(spark)
+    val r = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS jw").collect().head
+    assert(math.abs(r.getDouble(0) - 0.9611111111111111) < 1e-12)
+  }
+
+  // ---- geo ----
+
+  test("haversineKm known distances") {
+    // Paris (48.8566, 2.3522) <-> London (51.5074, -0.1278): ~343.5 km
+    // same point -> 0; antipodal-ish guard stays in asin domain
+    val df = Seq((48.8566, 2.3522, 51.5074, -0.1278),
+      (10.0, 20.0, 10.0, 20.0),
+      (0.0, 0.0, 0.0, 180.0)).toDF("la1", "lo1", "la2", "lo2")
+    val d = df.select(Geo.haversineKm(col("la1"), col("lo1"),
+      col("la2"), col("lo2")).as("d")).collect().map(_.getDouble(0))
+    assert(math.abs(d(0) - 343.5) < 1.0)
+    assert(d(1) == 0.0)
+    assert(math.abs(d(2) - math.Pi * Geo.EarthRadiusKm) < 1e-6)
+  }
+
+  test("radiusJoin == all-pairs haversine filter on a random band") {
+    val rnd = new scala.util.Random(7)
+    def pts(n: Int, tag: String) = (1 to n).map(i =>
+      (s"$tag$i", rnd.nextDouble() * 120 - 60,
+        rnd.nextDouble() * 360 - 180))
+    val a = pts(120, "a").toDF("ida", "lata", "lona")
+    val b = pts(80, "b").toDF("idb", "latb", "lonb")
+    val r = 900.0
+    val got = Geo.radiusJoin(a, b, "lata", "lona", "latb", "lonb", r)
+      .select("ida", "idb").collect().map(x => (x.getString(0),
+        x.getString(1))).toSet
+    val want = a.crossJoin(b)
+      .withColumn("d", Geo.haversineKm(col("lata"), col("lona"),
+        col("latb"), col("lonb")))
+      .filter(col("d") <= r)
+      .select("ida", "idb").collect().map(x => (x.getString(0),
+        x.getString(1))).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("radiusJoin rejects out-of-band latitudes loudly") {
+    val a = Seq(("a", 75.0, 0.0)).toDF("ida", "lata", "lona")
+    val b = Seq(("b", 10.0, 0.0)).toDF("idb", "latb", "lonb")
+    val ex = intercept[Exception] {
+      Geo.radiusJoin(a, b, "lata", "lona", "latb", "lonb", 100.0).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  // ---- Flesch ----
+
+  test("fleschCounts hand fixture") {
+    // "The cat sat. It was happy!" -> words 6; sentences 2;
+    // syllables: the=1 cat=1 sat=1 it=1 was=1 happy=2 -> 7
+    val r = Seq("The cat sat. It was happy!").toDF("text")
+      .select(Text.fleschCounts(col("text")).as("c")).collect().head
+      .getSeq[Int](0)
+    assert(r == Seq(6, 2, 7))
+  }
+
+  test("fleschReadingEase: formula, floors, degenerate text") {
+    val df = Seq(
+      ("The cat sat. It was happy!", 1),
+      ("", 2), // no words: score via the 1-word floor
+      ("rhythm 123", 3) // consonant-only word counts 1 syllable
+    ).toDF("text", "id")
+    val got = df.select(col("id"),
+      round(Text.fleschReadingEase(col("text")), 4).as("f"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // id1: 206.835 - 1.015*(6/2) - 84.6*(7/6) = 105.09
+    assert(math.abs(got(1) - 105.09) < 1e-9)
+    // id2: 206.835 - 1.015*(1/1) - 84.6*0 = 205.82
+    assert(math.abs(got(2) - 205.82) < 1e-9)
+    // id3: one word "rhythm" (letters only), 1 syllable floor
+    assert(math.abs(got(3) - (206.835 - 1.015 - 84.6)) < 1e-9)
+  }
+}
