@@ -2743,6 +2743,77 @@ object SparkEntry {
         element_at(Text.fleschCounts(col("text")), 3).as("n_syllables"),
         round(Text.fleschReadingEase(col("text")), 6).as("flesch"))),
 
+    "q_dtw_types" -> ((s, d) => {
+      // tempo-tolerant series similarity: daily mean-value curves per
+      // event type, pairwise banded DTW (Sakoe-Chiba 3). The DP has no
+      // SQL form — in-row gates pin the kernel instead: self-distance
+      // exactly 0, symmetry, and the diagonal L1 upper bound (a valid
+      // warping path, so DTW can only be <=). Gate failure drops rows.
+      import graft.plans.DtwDistance.dtw
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(avg(col("value")).as("m"))
+      val ser = daily.groupBy(col("event_type"))
+        .agg(transform(array_sort(collect_list(struct(col("day"),
+          col("m")))), x => x.getField("m")).as("ser"))
+        .localCheckpoint(false) // consumed twice by the pair self-join
+      val pairs = ser.select(col("event_type").as("type_a"),
+          col("ser").as("sa"))
+        .crossJoin(ser.select(col("event_type").as("type_b"),
+          col("ser").as("sb")))
+        .filter(col("type_a") < col("type_b"))
+      val l1 = aggregate(zip_with(col("sa"), col("sb"),
+        (x, y) => abs(x - y)), lit(0.0), (acc, v) => acc + v)
+      pairs.select(col("type_a"), col("type_b"),
+          round(dtw(col("sa"), col("sb"), 3), 6).as("dtw_dist"),
+          (dtw(col("sa"), col("sa"), 3) === 0.0 &&
+            dtw(col("sb"), col("sb"), 3) === 0.0).as("self_zero"),
+          (round(dtw(col("sa"), col("sb"), 3), 6) ===
+            round(dtw(col("sb"), col("sa"), 3), 6)).as("symmetric"),
+          when(size(col("sa")) === size(col("sb")),
+            dtw(col("sa"), col("sb"), 3) <= l1 + lit(1e-9))
+            .otherwise(lit(true)).as("l1_bound"))
+        .filter(col("self_zero") && col("symmetric") && col("l1_bound"))
+    }),
+
+    "q_normal_scores" -> ((s, d) =>
+      // rank-based inverse-normal transform (Blom scores): every event
+      // type's value distribution forced onto the same standard-normal
+      // scale — probit via Acklam's rational approximation, stated
+      // IDENTICALLY in the oracle (the zPValue/erfc protocol); sf0.1
+      // group sizes push ranks into both tail branches
+      Aggregates.normalScores(t(s, d, "events"), "event_type", "value",
+          "event_id")
+        .select(col("event_id"), col("event_type"), col("nscore"))),
+
+    "q_policy_value" -> ((s, d) =>
+      // off-policy eval from logged feedback: clipped IPS + SNIPS +
+      // effective sample size for a purchase-heavy target policy,
+      // behavior propensities = empirical (cohort, action) shares
+      Aggregates.offPolicyValue(
+        t(s, d, "events").withColumn("cohort",
+          pmod(col("user_id"), lit(4L))),
+        "cohort", "event_type", "value",
+        Seq("view" -> 0.05, "click" -> 0.2, "purchase" -> 0.6,
+          "signup" -> 0.15, "error" -> 0.0),
+        10.0)),
+
+    "q_map_k" -> ((s, d) => {
+      // MAP@10 over per-source rankings (docs ranked by length within
+      // source, relevance = English) — the set-retrieval companion to
+      // q_ndcg's graded single-ranking metrics
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val ranked = docs.select(col("source").as("qid"),
+        col("doc_id").as("id"), row_number().over(w).as("rank"))
+      val rels = docs.select(col("source").as("qid"),
+        col("doc_id").as("id"),
+        when(col("lang") === "en", 1).otherwise(0).as("rel"))
+      graft.llm.Relevance.mapAtK(ranked, rels, 10)
+    }),
+
     "q_sssp" -> ((s, d) => {
       // weighted shortest paths from the Brand#13 seed set over the
       // urgent co-purchase graph: edge cost 1/(shared urgent orders),
@@ -6647,6 +6718,103 @@ object SparkEntry {
                       x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))), 0) AS DOUBLE)
                     / CAST(greatest(len(ws), 1) AS DOUBLE)), 6) AS flesch
          FROM w""",
+
+    "q_normal_scores" ->
+      """WITH r AS (
+           SELECT event_id, event_type,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY value, event_id) AS r,
+                  count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+         x AS (SELECT event_id, event_type,
+                      (r - 0.375) / (n + 0.25) AS p
+               FROM r),
+         y AS (SELECT *, p - 0.5 AS q, (p - 0.5) * (p - 0.5) AS r2,
+                      sqrt(-2.0 * ln(p)) AS ql,
+                      sqrt(-2.0 * ln(1.0 - p)) AS qh
+               FROM x)
+         SELECT event_id, event_type,
+           round(CASE
+             WHEN p > 0.02425 AND p < 1.0 - 0.02425 THEN
+               ((((((-3.969683028665376e+01) * r2 + 2.209460984245205e+02) * r2
+                 + (-2.759285104469687e+02)) * r2 + 1.383577518672690e+02) * r2
+                 + (-3.066479806614716e+01)) * r2 + 2.506628277459239e+00) * q
+               / ((((((-5.447609879822406e+01) * r2 + 1.615858368580409e+02) * r2
+                 + (-1.556989798598866e+02)) * r2 + 6.680131188771972e+01) * r2
+                 + (-1.328068155288572e+01)) * r2 + 1.0)
+             WHEN p > 0.0 AND p <= 0.02425 THEN
+               ((((((-7.784894002430293e-03) * ql + (-3.223964580411365e-01)) * ql
+                 + (-2.400758277161838e+00)) * ql + (-2.549732539343734e+00)) * ql
+                 + 4.374664141464968e+00) * ql + 2.938163982698783e+00)
+               / ((((7.784695709041462e-03 * ql + 3.224671290700398e-01) * ql
+                 + 2.445134137142996e+00) * ql + 3.754408661907416e+00) * ql
+                 + 1.0)
+             WHEN p >= 1.0 - 0.02425 AND p < 1.0 THEN
+               -(((((((-7.784894002430293e-03) * qh + (-3.223964580411365e-01)) * qh
+                 + (-2.400758277161838e+00)) * qh + (-2.549732539343734e+00)) * qh
+                 + 4.374664141464968e+00) * qh + 2.938163982698783e+00)
+               / ((((7.784695709041462e-03 * qh + 3.224671290700398e-01) * qh
+                 + 2.445134137142996e+00) * qh + 3.754408661907416e+00) * qh
+                 + 1.0))
+           END, 6) AS nscore
+         FROM y""",
+
+    "q_policy_value" ->
+      """WITH e AS (
+           SELECT user_id % 4 AS cohort, event_type, value FROM events),
+         cnt AS (SELECT cohort, event_type, count(*) AS na
+                 FROM e GROUP BY 1, 2),
+         tot AS (SELECT cohort, sum(na) AS nc FROM cnt GROUP BY 1),
+         prop AS (SELECT cnt.cohort, cnt.event_type, na / nc AS mu
+                  FROM cnt JOIN tot ON cnt.cohort = tot.cohort),
+         wts AS (
+           SELECT e.value,
+                  least((CASE e.event_type
+                           WHEN 'view' THEN 0.05
+                           WHEN 'click' THEN 0.2
+                           WHEN 'purchase' THEN 0.6
+                           WHEN 'signup' THEN 0.15
+                           ELSE 0.0 END) / mu, 10.0) AS w
+           FROM e JOIN prop
+             ON e.cohort = prop.cohort AND e.event_type = prop.event_type),
+         agg AS (SELECT count(*) AS n, sum(w * value) AS swr,
+                        sum(w) AS sw, sum(w * w) AS sww
+                 FROM wts)
+         SELECT n, round(swr / n, 6) AS v_ips,
+                round(swr / (CASE WHEN sw > 0 THEN sw END), 6) AS v_snips,
+                round(sw * sw / (CASE WHEN sww > 0 THEN sww END), 6) AS ess
+         FROM agg""",
+
+    "q_map_k" ->
+      """WITH ranked AS (
+           SELECT source AS qid, doc_id AS id,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rank
+           FROM documents),
+         rels AS (
+           SELECT source AS qid, doc_id AS id,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel
+           FROM documents),
+         topk AS (
+           SELECT r.qid, r.rank,
+                  CASE WHEN coalesce(l.rel, 0) > 0 THEN 1 ELSE 0 END AS hit
+           FROM ranked r LEFT JOIN rels l
+             ON r.qid = l.qid AND r.id = l.id
+           WHERE r.rank <= 10),
+         cum AS (SELECT qid, rank, hit,
+                        sum(hit) OVER (PARTITION BY qid ORDER BY rank) AS c
+                 FROM topk),
+         ap AS (SELECT qid,
+                       coalesce(sum(CASE WHEN hit = 1
+                         THEN CAST(c AS DOUBLE) / rank END), 0.0) AS sump
+                FROM cum GROUP BY qid),
+         nrel AS (SELECT qid, count(*) AS nr FROM rels
+                  WHERE rel > 0 GROUP BY qid),
+         perq AS (SELECT ap.qid, sump / least(nr, 10) AS apk
+                  FROM ap JOIN nrel ON ap.qid = nrel.qid)
+         SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_queries,
+                round(avg(apk), 6) AS map_k
+         FROM perq""",
 
     "q_sssp" ->
       """WITH li AS (

@@ -271,4 +271,38 @@ object Relevance {
         round(lit(1.0) / when(col("__fr").isNotNull,
           col("__fr").cast("double")), scale).as("mrr"))
   }
+
+  /** Mean average precision at k over a MULTI-query ranking — the
+    * set-retrieval companion to [[rankingMetrics]]' graded NDCG: AP@k
+    * per query is the mean of precision@i over the relevant hits in
+    * the top k, normalized by min(n_relevant, k); MAP averages across
+    * queries that have at least one relevant item (the TREC
+    * convention — a query with no relevant docs is undefined, not 0).
+    * `ranked`: (qid, id, rank); `rels`: (qid, id, rel).
+    *
+    * Scale shape: only top-k slices join labels (k rows per query);
+    * the running-hit window partitions by qid so queries rank in
+    * parallel; per-query frames are k-bounded. */
+  def mapAtK(ranked: DataFrame, rels: DataFrame, k: Int,
+      scale: Int = 6): DataFrame = {
+    require(k >= 1)
+    val topk = ranked.filter(col("rank") <= k)
+      .join(rels, Seq("qid", "id"), "left")
+      .withColumn("__hit",
+        (coalesce(col("rel"), lit(0)) > 0).cast("int"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("rank"))
+    val ap = topk.withColumn("__cum", sum(col("__hit")).over(wq))
+      .groupBy(col("qid"))
+      .agg(coalesce(sum(when(col("__hit") === 1,
+        col("__cum").cast("double") / col("rank"))), lit(0.0))
+        .as("__sumP"))
+    val nrel = rels.filter(col("rel") > 0)
+      .groupBy(col("qid")).agg(count(lit(1)).as("__nr"))
+    ap.join(nrel, Seq("qid"))
+      .select(col("qid"),
+        (col("__sumP") / least(col("__nr"), lit(k.toLong))).as("__ap"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("__ap")), scale).as("map_k"))
+      .select(lit(k).as("k"), col("n_queries"), col("map_k"))
+  }
 }

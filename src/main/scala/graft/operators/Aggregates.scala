@@ -1997,6 +1997,103 @@ object Aggregates {
     poly * exp(-x * x)
   }
 
+  /** Inverse standard-normal CDF (probit) via Acklam's rational
+    * approximation (|rel err| < 1.15e-9): three branches (lower tail /
+    * central / upper tail), each a Horner polynomial over elementary
+    * ops — like [[zPValue]], chosen so the SQL oracle can state the
+    * IDENTICAL formula and hash-match the output. Domain (0,1);
+    * out-of-domain yields null (no branch matches). */
+  def probit(p: Column): Column = {
+    val pl = lit(0.02425)
+    def central: Column = {
+      val q = p - 0.5
+      val r = q * q
+      (((((lit(-3.969683028665376e+01) * r + lit(2.209460984245205e+02)) * r
+        + lit(-2.759285104469687e+02)) * r + lit(1.383577518672690e+02)) * r
+        + lit(-3.066479806614716e+01)) * r + lit(2.506628277459239e+00)) * q /
+        (((((lit(-5.447609879822406e+01) * r + lit(1.615858368580409e+02)) * r
+          + lit(-1.556989798598866e+02)) * r + lit(6.680131188771972e+01)) * r
+          + lit(-1.328068155288572e+01)) * r + lit(1.0))
+    }
+    def tail(q: Column): Column =
+      (((((lit(-7.784894002430293e-03) * q + lit(-3.223964580411365e-01)) * q
+        + lit(-2.400758277161838e+00)) * q + lit(-2.549732539343734e+00)) * q
+        + lit(4.374664141464968e+00)) * q + lit(2.938163982698783e+00)) /
+        ((((lit(7.784695709041462e-03) * q + lit(3.224671290700398e-01)) * q
+          + lit(2.445134137142996e+00)) * q + lit(3.754408661907416e+00)) * q
+          + lit(1.0))
+    when(p > pl && p < lit(1.0) - pl, central)
+      .when(p > lit(0.0) && p <= pl, tail(sqrt(lit(-2.0) * log(p))))
+      .when(p >= lit(1.0) - pl && p < lit(1.0),
+        -tail(sqrt(lit(-2.0) * log(lit(1.0) - p))))
+  }
+
+  /** Rank-based inverse-normal transform (Blom scores): each value is
+    * replaced by Phi^-1((rank - 3/8) / (n + 1/4)) within its group —
+    * the batch-effect / heavy-tail normalizer that forces every
+    * group's metric onto the SAME standard-normal scale before
+    * cross-group models or comparisons (the GWAS / feature-pipeline
+    * standard). Adds `nscore`; ties break by `keyCol` so both engines
+    * rank identically.
+    *
+    * Scale shape: ONE hash exchange on the group key, then per-group
+    * window ranks run in parallel (the stratifiedTake posture); the
+    * probit is a map-only projection. A pathologically hot group is a
+    * single sort partition — same caveat, same histogram-bucketing
+    * escape hatch. */
+  def normalScores(df: DataFrame, groupCol: String, valueCol: String,
+      keyCol: String, scale: Int = 6): DataFrame = {
+    val wOrd = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol), col(keyCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    df.withColumn("__r", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("nscore", round(probit(
+        (col("__r") - 0.375) / (col("__n") + 0.25)), scale))
+      .drop("__r", "__n")
+  }
+
+  /** Off-policy evaluation of a target action policy from logged
+    * bandit feedback: clipped inverse-propensity scoring (IPS) and the
+    * self-normalized variant (SNIPS), with the effective sample size
+    * that says how much data the importance weights actually kept.
+    * Behavior propensities mu(a|x) are the EMPIRICAL context-action
+    * shares (the logging policy is rarely recorded; empirical mu is
+    * the standard estimate); the target policy is a context-free
+    * action-probability table. Answers "what would the metric have
+    * been under this other ranking/recommendation policy?" without an
+    * online test.
+    *
+    * Scale shape: one (context, action) count aggregate — bounded by
+    * |contexts|x|actions|, broadcast back — then one scan computes all
+    * sums map-side; nothing row-sized leaves the executors. */
+  def offPolicyValue(df: DataFrame, ctxCol: String, actionCol: String,
+      rewardCol: String, target: Seq[(String, Double)],
+      clipAt: Double = 10.0, scale: Int = 6): DataFrame = {
+    require(clipAt > 0.0, "clipAt must be positive")
+    require(target.forall(_._2 >= 0.0), "target probabilities must be >= 0")
+    val cnt = df.groupBy(col(ctxCol), col(actionCol))
+      .agg(count(lit(1)).as("__na"))
+    val tot = cnt.groupBy(col(ctxCol)).agg(sum(col("__na")).as("__nc"))
+    val prop = broadcast(cnt.join(tot, ctxCol).select(col(ctxCol),
+      col(actionCol), (col("__na") / col("__nc")).as("__mu")))
+    val pi = target.foldRight(lit(0.0): Column) { case ((a, p), els) =>
+      when(col(actionCol) === a, lit(p)).otherwise(els)
+    }
+    val w = least(pi / col("__mu"), lit(clipAt))
+    val r = col(rewardCol).cast("double")
+    df.join(prop, Seq(ctxCol, actionCol))
+      .agg(count(lit(1)).as("n"),
+        sum(w * r).as("__swr"), sum(w).as("__sw"),
+        sum(w * w).as("__sww"))
+      .select(col("n"),
+        round(col("__swr") / col("n"), scale).as("v_ips"),
+        round(col("__swr") / when(col("__sw") > 0.0, col("__sw")), scale)
+          .as("v_snips"),
+        round(col("__sw") * col("__sw") /
+          when(col("__sww") > 0.0, col("__sww")), scale).as("ess"))
+  }
+
   /** Per-key two-sample z-test of each group against ALL OTHER rows
     * (one-vs-rest): the segment-screening battery ("which nations'
     * balances actually differ from the rest?") that [[bhFdr]] then

@@ -119,6 +119,16 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "jaro_winkler(stringA, stringB)")
         JaroWinklerSim(args(0), args(1))
+      }),
+    (new FunctionIdentifier("dtw_dist"),
+      new ExpressionInfo(classOf[DtwDistance].getName, "dtw_dist"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "dtw_dist(arrayA, arrayB, band)")
+        args(2) match {
+          case Literal(b: Int, _) => DtwDistance(args(0), args(1), b)
+          case other => throw new IllegalArgumentException(
+            s"dtw_dist band must be an integer literal, got $other")
+        }
       }))
 
   /** Runtime registration into a live session (tests, shells):

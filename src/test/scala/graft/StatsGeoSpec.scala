@@ -183,6 +183,164 @@ class StatsGeoSpec extends SparkSpec {
     assert(r == Seq(6, 2, 7))
   }
 
+  // ---- DTW ----
+
+  private def dtwBrute(a: Array[Double], b: Array[Double]): Double = {
+    // reference full-DP (no band), textbook recurrence
+    val dp = Array.fill(a.length, b.length)(Double.PositiveInfinity)
+    for (i <- a.indices; j <- b.indices) {
+      val c = math.abs(a(i) - b(j))
+      dp(i)(j) = c + ((i, j) match {
+        case (0, 0) => 0.0
+        case (0, _) => dp(0)(j - 1)
+        case (_, 0) => dp(i - 1)(0)
+        case _ => math.min(dp(i - 1)(j),
+          math.min(dp(i)(j - 1), dp(i - 1)(j - 1)))
+      })
+    }
+    dp(a.length - 1)(b.length - 1)
+  }
+
+  test("DtwUtil == brute-force full DP at full band, random series") {
+    val rnd = new scala.util.Random(11)
+    (1 to 50).foreach { _ =>
+      val a = Array.fill(2 + rnd.nextInt(12))(rnd.nextDouble() * 10)
+      val b = Array.fill(2 + rnd.nextInt(12))(rnd.nextDouble() * 10)
+      val full = math.max(a.length, b.length)
+      assert(math.abs(graft.plans.DtwUtil.dist(a, b, full)
+        - dtwBrute(a, b)) < 1e-12)
+    }
+  }
+
+  test("DTW warps where Euclidean cannot; band shrink is monotone") {
+    // shifted step: identical shape one step apart -> DTW 0, L1 = 1
+    val a = Array(0.0, 0.0, 1.0)
+    val b = Array(0.0, 1.0, 1.0)
+    assert(graft.plans.DtwUtil.dist(a, b, 3) == 0.0)
+    val x = Array.tabulate(20)(i => math.sin(i / 3.0))
+    val y = Array.tabulate(20)(i => math.sin((i - 2) / 3.0))
+    val d1 = graft.plans.DtwUtil.dist(x, y, 1)
+    val d5 = graft.plans.DtwUtil.dist(x, y, 5)
+    val dFull = graft.plans.DtwUtil.dist(x, y, 20)
+    assert(d1 >= d5 && d5 >= dFull)
+    // unequal lengths: band auto-widens to the length gap
+    assert(!graft.plans.DtwUtil.dist(Array(1.0), Array(1.0, 1.0, 1.0), 0)
+      .isInfinite)
+  }
+
+  test("dtw_dist expression: column==util, null/empty -> null, SQL") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(DoubleType)),
+      StructField("b", ArrayType(DoubleType))))
+    val rows = Seq(
+      Row(Seq(0.0, 0.0, 1.0), Seq(0.0, 1.0, 1.0)),
+      Row(Seq(1.0, 2.0), Seq(3.0)),
+      Row(Seq.empty[Double], Seq(1.0)),
+      Row(null, Seq(1.0)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row(
+        Option(r.get(0)).map(_.asInstanceOf[Seq[Double]]).orNull,
+        Option(r.get(1)).map(_.asInstanceOf[Seq[Double]]).orNull))), schema)
+    val got = df.select(graft.plans.DtwDistance.dtw(col("a"), col("b"), 3)
+      .as("d")).collect()
+    assert(got(0).getDouble(0) == 0.0)
+    assert(got(1).getDouble(0) ==
+      graft.plans.DtwUtil.dist(Array(1.0, 2.0), Array(3.0), 3))
+    assert(got(2).isNullAt(0) && got(3).isNullAt(0))
+    graft.plans.GraftExtensions.registerInto(spark)
+    val viaSql = spark.sql(
+      "SELECT dtw_dist(array(0.0d, 0.0d, 1.0d), array(0.0d, 1.0d, 1.0d), 3) AS d")
+      .collect().head.getDouble(0)
+    assert(viaSql == 0.0)
+  }
+
+  // ---- probit / normal scores ----
+
+  test("probit pinned against known normal quantiles") {
+    val pins = Seq(0.5 -> 0.0, 0.975 -> 1.959964, 0.025 -> -1.959964,
+      0.9 -> 1.281552, 0.0001 -> -3.719016, 0.9999 -> 3.719016)
+    pins.foreach { case (p, want) =>
+      val got = spark.range(1).select(
+        Aggregates.probit(lit(p)).as("x")).collect().head.getDouble(0)
+      assert(math.abs(got - want) < 1e-5, s"probit($p)")
+    }
+    // out of domain -> null
+    val r = spark.range(1).select(Aggregates.probit(lit(1.5)).as("x"))
+      .collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("normalScores: monotone in value, near-symmetric, group-local") {
+    val df = (1 to 101).map(i => ("g", i.toLong, i.toDouble)) ++
+      (1 to 11).map(i => ("h", i.toLong, i.toDouble * 100))
+    val out = Aggregates.normalScores(df.toDF("g", "id", "v"), "g", "v", "id")
+    val gScores = out.filter(col("g") === "g").orderBy(col("v"))
+      .select("nscore").collect().map(_.getDouble(0))
+    assert(gScores.sameElements(gScores.sorted))
+    assert(math.abs(gScores.sum) < 1e-6) // Blom scores are symmetric
+    // median of 101 -> rank 51, p = 50.625/101.25 = 0.5 -> score 0
+    assert(gScores(50) == 0.0)
+    // group h normalizes on ITS own scale: same score ladder shape
+    val hScores = out.filter(col("g") === "h").orderBy(col("v"))
+      .select("nscore").collect().map(_.getDouble(0))
+    assert(math.abs(hScores.sum) < 1e-6 && hScores.length == 11)
+  }
+
+  // ---- off-policy eval ----
+
+  test("offPolicyValue hand fixture: uniform behavior, degenerate target") {
+    // one context, two actions 2 rows each -> mu = 0.5 both;
+    // target puts all mass on 'a' (reward 1): w_a = 2, w_b = 0
+    // v_ips = (2*1*2)/4 = 1.0; v_snips = 4/4 = 1.0; ess = 16/8 = 2
+    val df = Seq(("c", "a", 1.0), ("c", "a", 1.0),
+      ("c", "b", 0.0), ("c", "b", 0.0)).toDF("ctx", "act", "rew")
+    val r = Aggregates.offPolicyValue(df, "ctx", "act", "rew",
+      Seq("a" -> 1.0, "b" -> 0.0)).collect().head
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("v_ips") == 1.0)
+    assert(r.getAs[Double]("v_snips") == 1.0)
+    assert(r.getAs[Double]("ess") == 2.0)
+  }
+
+  test("offPolicyValue clips extreme importance weights") {
+    // 'a' logged once in 20 -> mu = 0.05; target 1.0 -> raw w = 20,
+    // clipped to 10: v_ips = 10*5/20 = 2.5
+    val df = (Seq(("c", "a", 5.0)) ++ (1 to 19).map(_ => ("c", "b", 0.0)))
+      .toDF("ctx", "act", "rew")
+    val r = Aggregates.offPolicyValue(df, "ctx", "act", "rew",
+      Seq("a" -> 1.0, "b" -> 0.0), clipAt = 10.0).collect().head
+    assert(r.getAs[Double]("v_ips") == 2.5)
+  }
+
+  // ---- MAP@k ----
+
+  test("mapAtK hand fixture: AP math and no-relevant exclusion") {
+    // q1 ranks (d1,d2,d3), relevant {d2}: AP = P@2/1 = 0.5
+    // q2 ranks (d1,d2), relevant {d1,d2}: AP = (1 + 1)/2 = 1.0
+    // q3 has no relevant -> excluded; MAP = 0.75 over 2 queries
+    val ranked = Seq(("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3),
+      ("q2", "d1", 1), ("q2", "d2", 2),
+      ("q3", "d1", 1)).toDF("qid", "id", "rank")
+    val rels = Seq(("q1", "d2", 1), ("q2", "d1", 1), ("q2", "d2", 1),
+      ("q3", "d1", 0)).toDF("qid", "id", "rel")
+    val r = graft.llm.Relevance.mapAtK(ranked, rels, 10).collect().head
+    assert(r.getAs[Int]("k") == 10)
+    assert(r.getAs[Long]("n_queries") == 2L)
+    assert(r.getAs[Double]("map_k") == 0.75)
+  }
+
+  test("mapAtK: k cuts both the ranking and the normalizer") {
+    // 3 relevant docs but k=2: ranks (rel, rel) -> AP@2 = (1+1)/min(3,2)=1
+    val ranked = Seq(("q", "a", 1), ("q", "b", 2), ("q", "c", 3))
+      .toDF("qid", "id", "rank")
+    val rels = Seq(("q", "a", 1), ("q", "b", 1), ("q", "c", 1))
+      .toDF("qid", "id", "rel")
+    val r = graft.llm.Relevance.mapAtK(ranked, rels, 2).collect().head
+    assert(r.getAs[Double]("map_k") == 1.0)
+  }
+
   test("fleschReadingEase: formula, floors, degenerate text") {
     val df = Seq(
       ("The cat sat. It was happy!", 1),
