@@ -2814,6 +2814,87 @@ object SparkEntry {
       graft.llm.Relevance.mapAtK(ranked, rels, 10)
     }),
 
+    "q_hilbert_gate" -> ((s, d) => {
+      // Hilbert vs linear layout, measured (the q_zorder_gate
+      // protocol): per-slice min/max pruning for a predicate on the
+      // NON-leading dimension. Hilbert's strict locality (consecutive
+      // positions are grid neighbors — spec-pinned) keeps per-file
+      // ranges tight in both dims; gate: hilbert prunes strictly
+      // below linear. Z fraction rides along for the record.
+      import graft.etl.Layout
+      val li = t(s, d, "lineitem").select("l_partkey", "l_suppkey")
+      val parts = 32
+      val hil = Layout.hilbertSlices(li, Seq("l_partkey", "l_suppkey"),
+        parts, bits = 8)
+      val zed = Layout.zorderSlices(li, Seq("l_partkey", "l_suppkey"),
+        parts, bits = 8)
+      val lin = Layout.zorderSlices(li, Seq("l_partkey"), parts, bits = 8)
+      val (qlo, qhi) = (40, 49) // middle 10% of l_suppkey's [0,99]
+      def stats(laid: DataFrame, slice: String) =
+        Layout.partitionStats(laid, Seq("l_suppkey"), Some(col(slice)))
+          .agg(count(lit(1)).as("n_parts"),
+            sum(when(col("mn_l_suppkey") <= qhi &&
+              col("mx_l_suppkey") >= qlo, 1L).otherwise(0L)).as("n_hit"))
+      val h = stats(hil, "__hslice").select(
+        round(col("n_hit").cast("double") / col("n_parts"), 4)
+          .as("hilbert_frac"))
+      val z = stats(zed, "__zslice").select(
+        round(col("n_hit").cast("double") / col("n_parts"), 4)
+          .as("z_frac"))
+      val l = stats(lin, "__zslice").select(
+        round(col("n_hit").cast("double") / col("n_parts"), 4)
+          .as("lin_frac"))
+      h.crossJoin(z).crossJoin(l)
+        .withColumn("pass", col("hilbert_frac") < col("lin_frac"))
+        .filter(col("pass"))
+    }),
+
+    "q_interval_overlap" -> ((s, d) => {
+      // interval x interval overlap join (order week x supplier
+      // maintenance window) via the grid-cell equi-join with owner-
+      // cell dedup — no cross join, no distinct; exact all-pairs
+      // oracle. Day arithmetic from a fixed epoch so both engines
+      // state identical integers.
+      def u(key: Column, salt: String): Column =
+        (conv(substring(md5(concat(key.cast("string"), lit(":" + salt))),
+          1, 13), 16, 10).cast("double") + 1.0) / 4503599627370498.0
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+            .cast("long").as("o_start"))
+        .withColumn("o_end", col("o_start") + 7L)
+      val sup = t(s, d, "supplier").select(col("s_suppkey"),
+          (lit(1096L) + floor(u(col("s_suppkey"), "mstart") * 2300.0)
+            .cast("long")).as("m_start"),
+          (lit(1L) + floor(u(col("s_suppkey"), "mlen") * 29.0)
+            .cast("long")).as("m_len"))
+        .withColumn("m_end", col("m_start") + col("m_len"))
+        .drop("m_len")
+      graft.operators.Joins.intervalOverlapJoin(o, sup,
+          "o_start", "o_end", "m_start", "m_end", 32L)
+        .select(col("o_orderkey"), col("s_suppkey"), col("overlap"))
+    }),
+
+    "q_clustering_coeff" -> ((s, d) =>
+      // node-level cohesion of the urgent co-purchase graph: local
+      // clustering coefficient per part via the degree-orientation
+      // triangle enumeration (each triangle explodes to its 3
+      // corners); exact a<b<c three-join oracle
+      graft.operators.Graph.clusteringCoefficients(
+        urgentCopurchasePairs(s, d))),
+
+    "q_naive_bayes" -> ((s, d) => {
+      // from-first-principles multinomial naive Bayes: train on even
+      // doc_ids, score odd ones — counts + logs only, so the WHOLE
+      // train->score->argmax chain is SQL-stateable and hash-checked
+      // (the engine's only classifier with an exact cross-engine
+      // oracle)
+      val docs = t(s, d, "documents")
+      graft.llm.NaiveBayes.classify(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0L),
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1L),
+        "doc_id", "text", "lang")
+    }),
+
     "q_sssp" -> ((s, d) => {
       // weighted shortest paths from the Brand#13 seed set over the
       // urgent co-purchase graph: edge cost 1/(shared urgent orders),
@@ -6718,6 +6799,108 @@ object SparkEntry {
                       x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))), 0) AS DOUBLE)
                     / CAST(greatest(len(ws), 1) AS DOUBLE)), 6) AS flesch
          FROM w""",
+
+    "q_interval_overlap" ->
+      """WITH o AS (
+           SELECT o_orderkey,
+                  CAST(datediff('day', DATE '1992-01-01',
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS o_start
+           FROM orders),
+         ow AS (SELECT o_orderkey, o_start, o_start + 7 AS o_end FROM o),
+         sup AS (
+           SELECT s_suppkey,
+                  1096 + CAST(floor(
+                    (CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || ':mstart'), 1, 13)) AS BIGINT) + 1.0)
+                      / 4503599627370498.0 * 2300.0) AS BIGINT) AS m_start,
+                  1 + CAST(floor(
+                    (CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || ':mlen'), 1, 13)) AS BIGINT) + 1.0)
+                      / 4503599627370498.0 * 29.0) AS BIGINT) AS m_len
+           FROM supplier),
+         sw AS (SELECT s_suppkey, m_start, m_start + m_len AS m_end
+                FROM sup)
+         SELECT o_orderkey, s_suppkey,
+                CAST(least(o_end, m_end) - greatest(o_start, m_start) + 1
+                  AS BIGINT) AS overlap
+         FROM ow CROSS JOIN sw
+         WHERE o_start <= m_end AND m_start <= o_end""",
+
+    "q_clustering_coeff" ->
+      """WITH li AS (
+           SELECT l_orderkey AS ok, l_partkey AS pk
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_orderpriority = '1-URGENT'),
+         canon AS MATERIALIZED (
+           SELECT DISTINCT x.pk AS a, y.pk AS b
+           FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+         deg AS (
+           SELECT id, count(*) AS d FROM (
+             SELECT a AS id FROM canon
+             UNION ALL SELECT b FROM canon) u
+           GROUP BY 1),
+         tris AS (
+           SELECT exy.a AS x, exy.b AS y, eyz.b AS z
+           FROM canon exy
+           JOIN canon eyz ON exy.b = eyz.a
+           JOIN canon exz ON exz.a = exy.a AND exz.b = eyz.b),
+         corners AS (
+           SELECT x AS id FROM tris
+           UNION ALL SELECT y FROM tris
+           UNION ALL SELECT z FROM tris),
+         cnt AS (SELECT id, count(*) AS tri FROM corners GROUP BY 1)
+         SELECT deg.id, d AS degree,
+                CAST(coalesce(tri, 0) AS BIGINT) AS n_tri,
+                round(CASE WHEN d >= 2
+                  THEN coalesce(tri, 0) * 2.0 / (d * (d - 1))
+                  ELSE 0.0 END, 6) AS cc
+         FROM deg LEFT JOIN cnt ON deg.id = cnt.id""",
+
+    "q_naive_bayes" ->
+      """WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+         te AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+         trtok AS (
+           SELECT lab, tok FROM (
+             SELECT lang AS lab,
+                    unnest(string_split(trim(regexp_replace(text,
+                      '\s+', ' ', 'g')), ' ')) AS tok
+             FROM tr) q
+           WHERE length(tok) > 0),
+         ctl AS MATERIALIZED (
+           SELECT lab, tok, count(*) AS ctl FROM trtok GROUP BY 1, 2),
+         cl AS (SELECT lab, sum(ctl) AS cl FROM ctl GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok) AS v FROM trtok),
+         pri AS (SELECT lang AS lab, count(*) AS nd FROM tr GROUP BY 1),
+         tot AS (SELECT count(*) AS ndall FROM tr),
+         tetok AS (
+           SELECT doc_id, tok, count(*) AS k FROM (
+             SELECT doc_id,
+                    unnest(string_split(trim(regexp_replace(text,
+                      '\s+', ' ', 'g')), ' ')) AS tok
+             FROM te) q
+           WHERE length(tok) > 0
+           GROUP BY 1, 2),
+         contrib AS (
+           SELECT tt.doc_id, c.lab,
+                  sum(tt.k * ln((coalesce(x.ctl, 0) + 1.0)
+                    / (c.cl + 1.0 * v.v))) AS s
+           FROM tetok tt CROSS JOIN cl c CROSS JOIN v
+           LEFT JOIN ctl x ON x.lab = c.lab AND x.tok = tt.tok
+           GROUP BY 1, 2),
+         spine AS (SELECT te.doc_id, c.lab FROM te
+                   CROSS JOIN (SELECT lab FROM cl) c),
+         scored AS (
+           SELECT sp.doc_id, sp.lab,
+                  round(ln(pri.nd / ndall) + coalesce(ct.s, 0.0), 6)
+                    AS score
+           FROM spine sp
+           JOIN pri ON sp.lab = pri.lab
+           CROSS JOIN tot
+           LEFT JOIN contrib ct
+             ON ct.doc_id = sp.doc_id AND ct.lab = sp.lab)
+         SELECT doc_id, lab AS pred, score
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, lab) AS rn
+               FROM scored) f
+         WHERE rn = 1""",
 
     "q_normal_scores" ->
       """WITH r AS (

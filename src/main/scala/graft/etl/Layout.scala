@@ -104,6 +104,22 @@ object Layout {
       out: String = "__z"): DataFrame = {
     require(cols.nonEmpty && bits * cols.size <= 62,
       s"bits*dims must fit a long, got $bits x ${cols.size}")
+    val (withStats, buckets) = bucketed(df, cols, bits)
+    val z = (0 until bits).flatMap { b =>
+      buckets.zipWithIndex.map { case (bk, i) =>
+        shiftleft(shiftright(bk, b).bitwiseAND(lit(1L)),
+          b * cols.size + i)
+      }
+    }.reduce[Column](_.bitwiseOR(_))
+    withStats.withColumn(out, z)
+      .drop(cols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
+  }
+
+  /** Shared min/max bucketing behind the space-filling-curve keys:
+    * each column scaled into a `bits`-bit cell id, stats riding as a
+    * broadcast 1-row cross join (no collect). */
+  private def bucketed(df: DataFrame, cols: Seq[String],
+      bits: Int): (DataFrame, Seq[Column]) = {
     val stats = df.agg(
       min(col(cols.head).cast("double")).as(s"__mn_${cols.head}"),
       cols.tail.flatMap(c => Seq(
@@ -118,14 +134,39 @@ object Layout {
         floor((col(c).cast("double") - col(s"__mn_$c")) /
           (span + lit(1e-12)) * lit(n + 1)).cast("long")))
     }
-    val z = (0 until bits).flatMap { b =>
-      buckets.zipWithIndex.map { case (bk, i) =>
-        shiftleft(shiftright(bk, b).bitwiseAND(lit(1L)),
-          b * cols.size + i)
-      }
-    }.reduce[Column](_.bitwiseOR(_))
-    withStats.withColumn(out, z)
+    (withStats, buckets)
+  }
+
+  /** 2-D Hilbert curve value — [[zValue]]'s strictly-local sibling
+    * (native [[graft.plans.HilbertIndex]] kernel over the same
+    * min/max cell buckets). Consecutive curve positions are always
+    * grid NEIGHBORS, so a contiguous curve range is one compact tile:
+    * fewer boundary-straddling files than Z's diagonal jumps, hence
+    * tighter per-file min/max and better pruning at the same file
+    * count. Exactly two columns (the kernel is the 2-D curve — the
+    * dominant layout case: (key, time), (lat, lon), (part, supplier)). */
+  def hilbertValue(df: DataFrame, cols: Seq[String], bits: Int = 8,
+      out: String = "__h"): DataFrame = {
+    require(cols.size == 2, s"hilbertValue is 2-D, got ${cols.size} cols")
+    require(bits >= 1 && bits <= 31, s"bits in [1,31], got $bits")
+    val (withStats, buckets) = bucketed(df, cols, bits)
+    withStats.withColumn(out,
+        graft.plans.HilbertIndex.hilbert(buckets.head, buckets(1), bits))
       .drop(cols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
+  }
+
+  /** Deterministic contiguous Hilbert slicing — [[zorderSlices]] with
+    * the Hilbert key: fixed curve-range arithmetic, no sampling, no
+    * shuffle; equal curve RANGES for reproducible pruning measurement
+    * (q_hilbert_gate). */
+  def hilbertSlices(df: DataFrame, cols: Seq[String], slices: Int,
+      bits: Int = 8): DataFrame = {
+    val maxH = 1L << (2 * bits)
+    val width = math.max(1L, maxH / slices)
+    hilbertValue(df, cols, bits)
+      .withColumn("__hslice",
+        least(expr(s"__h DIV ${width}L"), lit(slices - 1L)).cast("int"))
+      .drop("__h")
   }
 
   /** Z-order layout clustering — the multi-dimensional data-skipping

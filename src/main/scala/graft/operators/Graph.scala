@@ -422,6 +422,66 @@ object Graph {
       else lit(null).cast("double")).as("global_clustering"))
   }
 
+  /** PER-NODE local clustering coefficient: cc(v) = 2·T(v) /
+    * (d(v)·(d(v)-1)) — how close each node's neighborhood is to a
+    * clique, the node-level cohesion signal [[triangleCount]]'s one
+    * summary row can't give (which parts sit inside tight co-purchase
+    * cliques vs merely having many neighbors). Nodes with degree < 2
+    * score 0 by convention.
+    *
+    * Same degree-orientation wedge construction as [[triangleCount]]
+    * (O(sqrt(m)) oriented out-degree bound — skew-proof), but the
+    * closing join KEEPS the wedge center, so each triangle surfaces
+    * as an (u, v, w) row once and explodes to its three corners for
+    * the per-node count. Output: (id, degree, n_tri, cc) for every
+    * node. */
+  def clusteringCoefficients(edges: DataFrame, scale: Int = 6): DataFrame = {
+    val canon = edges.select(
+        least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = canon.select(col("a").as("id"))
+      .unionAll(canon.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val withDeg = canon
+      .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dd"))
+      .localCheckpoint(true)
+    val e1 = oriented.select(col("src").as("u"), col("dst").as("v"),
+      col("dd").as("dv"))
+    val e2 = oriented.select(col("src").as("u"), col("dst").as("w"),
+      col("dd").as("dw"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("u"), col("v").as("src"), col("w").as("dst"))
+    val corners = wedges
+      .join(oriented.select(col("src"), col("dst")), Seq("src", "dst"))
+      .select(explode(array(col("u"), col("src"), col("dst"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("__tri"))
+    val out = deg.join(corners, Seq("id"), "left")
+      .select(col("id"), col("d").as("degree"),
+        coalesce(col("__tri"), lit(0L)).as("n_tri"),
+        round(when(col("d") >= 2L,
+          coalesce(col("__tri"), lit(0L)).cast("double") * 2.0 /
+            (col("d") * (col("d") - 1L))).otherwise(lit(0.0)), scale)
+          .as("cc"))
+      .localCheckpoint(false)
+    org.apache.spark.sql.graft.Bridge.releaseFrame(canon)
+    org.apache.spark.sql.graft.Bridge.releaseFrame(deg)
+    org.apache.spark.sql.graft.Bridge.releaseFrame(oriented)
+    out
+  }
+
   /** Community detection by synchronous label propagation (Raghavan et
     * al. 2007): every node starts as its own community and, each round,
     * adopts the most frequent label among its NEIGHBORS — ties break to

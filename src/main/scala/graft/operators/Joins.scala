@@ -252,4 +252,46 @@ object Joins {
       .orderBy(col("out_rows").desc, col("key"))
       .limit(k)
   }
+
+  /** Interval OVERLAP join: all (a, b) pairs whose closed integer
+    * intervals [startA, endA] x [startB, endB] intersect — the
+    * interval-x-interval sibling of [[rangeJoin]]'s point-in-interval
+    * (maintenance windows x order windows, session x campaign flight,
+    * shift x incident). No cross join: both sides explode onto the
+    * fixed `cellWidth` grid of cells they COVER (sequence of cell
+    * ids — interval-length-bounded, so pick cellWidth near the
+    * typical interval length to keep the fan-out ~1-2 rows), the
+    * candidate join is a hash EQUI-join on the cell id, and the exact
+    * overlap predicate filters candidates.
+    *
+    * An overlapping pair co-occurs in EVERY cell both intervals
+    * cover — deduplicated structurally (no distinct): the pair is
+    * kept only in its OWNER cell, the one containing max(startA,
+    * startB), which both sides cover exactly when they overlap.
+    *
+    * Invalid intervals (start > end) fail loudly rather than silently
+    * dropping rows. Output: all columns of both sides + `overlap` =
+    * min(endA, endB) - max(startA, startB) + 1 (closed-interval
+    * units). */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+      startA: String, endA: String, startB: String, endB: String,
+      cellWidth: Long): DataFrame = {
+    require(cellWidth > 0, "cellWidth must be positive")
+    def cells(df: DataFrame, s: String, e: String): DataFrame = {
+      val checked = when(col(s) <= col(e), col(s)).otherwise(
+        raise_error(concat(lit("intervalOverlapJoin: start > end: "),
+          col(s).cast("string"), lit(" > "), col(e).cast("string"))))
+      df.withColumn(s, checked)
+        .withColumn("__cell", explode(sequence(
+          floor(col(s) / cellWidth), floor(col(e) / cellWidth))))
+    }
+    val owner = floor(greatest(col(startA), col(startB)) / cellWidth)
+    cells(a, startA, endA).join(cells(b, startB, endB), Seq("__cell"))
+      .filter(col(startA) <= col(endB) && col(startB) <= col(endA))
+      .filter(col("__cell") === owner)
+      .withColumn("overlap",
+        least(col(endA), col(endB)) - greatest(col(startA), col(startB))
+          + lit(1L))
+      .drop("__cell")
+  }
 }

@@ -120,6 +120,16 @@ object GraftExtensions {
         require(args.length == 2, "jaro_winkler(stringA, stringB)")
         JaroWinklerSim(args(0), args(1))
       }),
+    (new FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "hilbert_index(x, y, bits)")
+        args(2) match {
+          case Literal(b: Int, _) => HilbertIndex(args(0), args(1), b)
+          case other => throw new IllegalArgumentException(
+            s"hilbert_index bits must be an integer literal, got $other")
+        }
+      }),
     (new FunctionIdentifier("dtw_dist"),
       new ExpressionInfo(classOf[DtwDistance].getName, "dtw_dist"),
       (args: Seq[Expression]) => {

@@ -1,0 +1,179 @@
+package graft
+
+import graft.operators.{Graph, Joins}
+import graft.plans.HilbertUtil
+import org.apache.spark.sql.functions._
+
+/** Round-9 batch 9: Hilbert curve kernel/layout, interval overlap
+  * join, per-node clustering coefficients, naive Bayes classifier. */
+class HilbertNbSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Hilbert curve ----
+
+  test("hilbert xy2d is a bijection and d2xy inverts it (16x16)") {
+    val bits = 4
+    val seen = (0 until 16).flatMap(x => (0 until 16).map(y =>
+      HilbertUtil.xy2d(bits, x, y)))
+    assert(seen.toSet == (0 until 256).map(_.toLong).toSet)
+    (0 until 256).foreach { d =>
+      val (x, y) = HilbertUtil.d2xy(bits, d)
+      assert(HilbertUtil.xy2d(bits, x, y) == d)
+    }
+  }
+
+  test("hilbert locality: consecutive positions are grid NEIGHBORS; z is not") {
+    val bits = 4
+    val steps = (0 until 255).map { d =>
+      val (x1, y1) = HilbertUtil.d2xy(bits, d)
+      val (x2, y2) = HilbertUtil.d2xy(bits, d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2)
+    }
+    assert(steps.forall(_ == 1)) // the defining Hilbert property
+    // contrast: the Morton curve takes a >1 jump at every 2x2 block
+    // boundary (cell 3 = (1,1) -> cell 4 = (2,0) is distance 2)
+    def morton(x: Long, y: Long): Long = (0 until 4).map(b =>
+      (((x >> b) & 1L) << (2 * b)) | (((y >> b) & 1L) << (2 * b + 1))).sum
+    val zCells = (0 until 16).flatMap(x => (0 until 16).map(y =>
+      morton(x, y) -> (x, y))).sortBy(_._1).map(_._2)
+    val zJumps = zCells.sliding(2).map { case Seq((x1, y1), (x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) }.toSeq
+    assert(zJumps.exists(_ > 1))
+  }
+
+  test("hilbertValue buckets match the kernel on a known grid") {
+    val df = (0 until 4).flatMap(x => (0 until 4).map(y =>
+      (x.toDouble, y.toDouble))).toDF("x", "y")
+    val got = graft.etl.Layout.hilbertValue(df, Seq("x", "y"), bits = 2)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)) -> r.getAs[Long]("__h")).toMap
+    // min/max bucketing maps 0..3 onto cells 0..3 exactly
+    (0 until 4).foreach(x => (0 until 4).foreach(y =>
+      assert(got((x.toDouble, y.toDouble)) == HilbertUtil.xy2d(2, x, y))))
+  }
+
+  test("hilbert_index SQL registration") {
+    graft.plans.GraftExtensions.registerInto(spark)
+    val d = spark.sql("SELECT hilbert_index(1L, 1L, 4) AS d")
+      .collect().head.getLong(0)
+    assert(d == HilbertUtil.xy2d(4, 1, 1))
+  }
+
+  // ---- interval overlap join ----
+
+  test("intervalOverlapJoin == all-pairs filter on random intervals") {
+    val rnd = new scala.util.Random(13)
+    // lengths from 0 (point) to 3x the cell width — exercises
+    // multi-cell spans, nesting, and exact boundary touches
+    val a = (1 to 150).map { i =>
+      val s = rnd.nextInt(500).toLong
+      (s"a$i", s, s + rnd.nextInt(30).toLong)
+    }.toDF("ida", "sa", "ea")
+    val b = (1 to 100).map { i =>
+      val s = rnd.nextInt(500).toLong
+      (s"b$i", s, s + rnd.nextInt(30).toLong)
+    }.toDF("idb", "sb", "eb")
+    val got = Joins.intervalOverlapJoin(a, b, "sa", "ea", "sb", "eb", 10L)
+      .select("ida", "idb", "overlap").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val want = a.crossJoin(b)
+      .filter(col("sa") <= col("eb") && col("sb") <= col("ea"))
+      .select(col("ida"), col("idb"),
+        least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")) + 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(want.nonEmpty && got == want)
+  }
+
+  test("intervalOverlapJoin rejects inverted intervals loudly") {
+    val a = Seq(("a", 10L, 5L)).toDF("ida", "sa", "ea")
+    val b = Seq(("b", 0L, 1L)).toDF("idb", "sb", "eb")
+    val ex = intercept[Exception] {
+      Joins.intervalOverlapJoin(a, b, "sa", "ea", "sb", "eb", 10L).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  // ---- clustering coefficients ----
+
+  test("clusteringCoefficients vs driver-side brute force, random graph") {
+    val rnd = new scala.util.Random(17)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2)
+    val df = edges.toDF("id_a", "id_b")
+    val got = Graph.clusteringCoefficients(df).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("degree"),
+        r.getAs[Long]("n_tri"), r.getAs[Double]("cc"))).toMap
+    // brute force on adjacency sets
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (x, y) =>
+      adj(x) = adj(x) + y; adj(y) = adj(y) + x
+    }
+    adj.foreach { case (v, ns) =>
+      val d = ns.size.toLong
+      val t = ns.toSeq.combinations(2)
+        .count { case Seq(x, y) => adj(x).contains(y) }
+      val cc = if (d >= 2)
+        BigDecimal(2.0 * t / (d * (d - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      assert(got(v) == ((d, t.toLong, cc)), s"node $v")
+    }
+  }
+
+  test("clusteringCoefficients corner counts sum to 3x triangleCount") {
+    val df = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (5L, 6L)).toDF("id_a", "id_b")
+    val perNode = Graph.clusteringCoefficients(df)
+      .agg(sum(col("n_tri"))).collect().head.getLong(0)
+    val global = Graph.triangleCount(df)
+      .collect().head.getAs[Long]("n_triangles")
+    assert(perNode == 3 * global && global == 2)
+  }
+
+  // ---- naive Bayes ----
+
+  test("naive Bayes separable fixture, prior fallback, smoothing") {
+    val train = Seq(
+      (2L, "wug wug blick", "en"), (4L, "wug blick wug dax", "en"),
+      (6L, "zorp zorp quex", "de"), (8L, "quex zorp", "de"),
+      (10L, "zorp quex zorp", "de")).toDF("doc_id", "text", "lang")
+    val test = Seq(
+      (1L, "wug blick"), // en vocabulary
+      (3L, "zorp quex quex"), // de vocabulary
+      (5L, ""), // tokenless -> prior argmax = de (3 docs vs 2)
+      (7L, "unseenword")) // fully unseen -> smoothing + prior decides
+      .toDF("doc_id", "text")
+    val got = graft.llm.NaiveBayes.classify(train, test,
+      "doc_id", "text", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(3L) == "de")
+    assert(got(5L) == "de")
+    // unseen token: likelihood alpha/(c_l + aV) favors the SMALLER
+    // class total c_l=7 (en) less than... en total=7, de total=8;
+    // alpha/(7+V) > alpha/(8+V) but prior ln(2/5) < ln(3/5):
+    // score_en = ln(0.4) + ln(1/11), score_de = ln(0.6) + ln(1/12)
+    // = -3.314 vs -2.996 -> de
+    assert(got(7L) == "de")
+  }
+
+  test("naive Bayes predicts the planted majority language signal") {
+    // synthetic: language decided by marker tokens; classify held-out
+    val mk = Map("en" -> "the and of", "de" -> "der und das",
+      "fr" -> "le et la")
+    val rows = (1 to 90).map { i =>
+      val lang = Seq("en", "de", "fr")(i % 3)
+      (i.toLong, s"${mk(lang)} filler$i ${mk(lang)}", lang)
+    }
+    val df = rows.toDF("doc_id", "text", "lang")
+    val pred = graft.llm.NaiveBayes.classify(
+      df.filter(col("doc_id") % 2 === 0), df.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", "lang")
+    val joined = pred.join(df.select(col("doc_id"), col("lang")), "doc_id")
+    val acc = joined.filter(col("pred") === col("lang")).count().toDouble /
+      joined.count()
+    assert(acc == 1.0)
+  }
+}
