@@ -2882,6 +2882,44 @@ object SparkEntry {
       graft.operators.Graph.clusteringCoefficients(
         urgentCopurchasePairs(s, d))),
 
+    "q_k_anonymity" -> ((s, d) =>
+      // re-identification release gate: does any (nation, segment,
+      // balance-band) combination isolate < 5 customers, or < 2
+      // distinct balances (l-diversity)? One hash aggregate over
+      // equivalence classes.
+      graft.llm.Pii.kAnonymityReport(
+        t(s, d, "customer").withColumn("bal_band",
+          floor(col("c_acctbal") / 1000.0)),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"),
+        "c_acctbal", k = 5, l = 2)),
+
+    "q_dp_counts" -> ((s, d) =>
+      // DP-style noisy release: per-type event counts + seeded
+      // Laplace(1/eps) noise drawn by inverse-CDF from the salted-md5
+      // uniform — reproducible across engines, so the whole mechanism
+      // is oracle-checked
+      graft.llm.Pii.dpNoisyCounts(t(s, d, "events"), "event_type",
+        epsilon = 1.0, salt = "dp9")),
+
+    "q_markov_attrib" -> ((s, d) => {
+      // path-aware Markov removal-effect attribution over purchase
+      // journeys. The absorbing-chain solve has no SQL form (matrix
+      // fixed point) — in-row gates pin it instead: shares sum to 1,
+      // effects sit in [0,1], and the full-graph conversion
+      // probability is positive. Gate failure drops rows.
+      val out = graft.operators.Sessions.markovAttribution(
+        t(s, d, "events"), "user_id", "ts", "event_type", "purchase",
+        Seq(col("event_id")))
+      val tot = broadcast(out.agg(
+        round(sum(col("share")), 4).as("share_sum")))
+      out.crossJoin(tot)
+        .withColumn("pass",
+          col("share_sum").between(0.999, 1.001) &&
+            col("removal_effect").between(0.0, 1.0) &&
+            col("conv_prob_full") > 0.0)
+        .filter(col("pass"))
+    }),
+
     "q_naive_bayes" -> ((s, d) => {
       // from-first-principles multinomial naive Bayes: train on even
       // doc_ids, score odd ones — counts + logs only, so the WHOLE
@@ -6853,6 +6891,36 @@ object SparkEntry {
                   THEN coalesce(tri, 0) * 2.0 / (d * (d - 1))
                   ELSE 0.0 END, 6) AS cc
          FROM deg LEFT JOIN cnt ON deg.id = cnt.id""",
+
+    "q_k_anonymity" ->
+      """WITH cls AS (
+           SELECT c_nationkey, c_mktsegment,
+                  floor(c_acctbal / 1000.0) AS bal_band,
+                  count(*) AS cs, count(DISTINCT c_acctbal) AS ld
+           FROM customer GROUP BY 1, 2, 3)
+         SELECT CAST(count(*) AS BIGINT) AS n_classes,
+                CAST(sum(cs) AS BIGINT) AS n_rows,
+                CAST(sum(CASE WHEN cs < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS k_violating_classes,
+                CAST(sum(CASE WHEN cs < 5 THEN cs ELSE 0 END) AS BIGINT)
+                  AS n_rows_at_risk,
+                CAST(min(cs) AS BIGINT) AS min_class_size,
+                CAST(sum(CASE WHEN ld < 2 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS l_violating_classes,
+                CAST(min(ld) AS BIGINT) AS min_l_div
+         FROM cls""",
+
+    "q_dp_counts" ->
+      """WITH g AS (SELECT event_type, count(*) AS n
+                    FROM events GROUP BY 1),
+         u AS (SELECT event_type, n,
+                 (CAST(('0x' || substr(md5(event_type || ':dp9'), 1, 13))
+                   AS BIGINT) + 1.0) / 4503599627370498.0 AS u
+               FROM g)
+         SELECT event_type,
+                round(n + (-(1.0 / 1.0) * sign(u - 0.5)
+                  * ln(1.0 - 2.0 * abs(u - 0.5))), 6) AS noisy_count
+         FROM u""",
 
     "q_naive_bayes" ->
       """WITH tr AS (SELECT * FROM documents WHERE doc_id % 2 = 0),

@@ -1210,6 +1210,103 @@ object Multimodal {
       }(enc)
   }
 
+  /** Parsed TIFF IFD0 metadata. */
+  private[graft] final case class TiffMeta(width: Long, height: Long,
+    orientation: Int, nEntries: Int)
+
+  /** True for a TIFF byte-order header: "II"+42le or "MM"+42be. */
+  private[graft] def isTiff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 &&
+      ((b(0) == 'I' && b(1) == 'I' && (b(2) & 0xff) == 42 && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && (b(3) & 0xff) == 42))
+
+  /** Walk TIFF IFD0 (the [[probeMp4]] pattern for the remaining image
+    * container): width/height/orientation come straight from the tag
+    * directory — O(IFD) regardless of strip data size, both byte
+    * orders, no decoder. Same untrusted-header posture as the other
+    * walkers: every offset is bounds-checked, the entry count is
+    * capped, a truncated directory rejects rather than mis-reads, and
+    * only inline SHORT/LONG scalar values are trusted (offset-typed
+    * values of other shapes are skipped, not chased — EXIF IFD chains
+    * are attacker-controllable pointer soup). */
+  private[graft] def probeTiff(b: Array[Byte]): Option[TiffMeta] = {
+    try {
+      if (!isTiff(b)) return None
+      val le = b(0) == 'I'
+      def u16(off: Int): Int =
+        if (off < 0 || off + 2 > b.length) -1
+        else if (le) (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+        else ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+      def u32(off: Int): Long =
+        if (off < 0 || off + 4 > b.length) -1L
+        else if (le)
+          (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+            ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+        else
+          ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+            ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+      val ifd = u32(4)
+      if (ifd < 8 || ifd > Int.MaxValue - 2 || ifd + 2 > b.length) return None
+      val n = u16(ifd.toInt)
+      if (n <= 0 || n > 4096) return None
+      var w = -1L
+      var h = -1L
+      var ori = 1
+      var i = 0
+      while (i < n) {
+        val e = ifd.toInt + 2 + 12 * i
+        if (e + 12 > b.length) return None // truncated directory
+        val tag = u16(e)
+        val typ = u16(e + 2)
+        val cnt = u32(e + 4)
+        // inline scalar only: SHORT(3) reads 2 bytes, LONG(4) reads 4
+        val v: Long =
+          if (cnt == 1L && typ == 3) u16(e + 8).toLong
+          else if (cnt == 1L && typ == 4) u32(e + 8)
+          else -1L
+        tag match {
+          case 256 => w = v
+          case 257 => h = v
+          case 274 => if (v >= 1 && v <= 8) ori = v.toInt
+          case _ => ()
+        }
+        i += 1
+      }
+      if (w > 0 && h > 0) Some(TiffMeta(w, h, ori, n)) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private val tiffMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("probe_ok", BooleanType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("orientation", IntegerType),
+    StructField("n_entries", IntegerType)))
+
+  /** Probe width/height/orientation out of TIFF payloads (IFD walk —
+    * no decoder): the still-image twin of [[probeVideoMeta]] /
+    * [[probeAudioMeta]]; with it every media container the pipeline
+    * meets (BMP/PNG/JPEG decode, TIFF/MP4/MP3 probe, WAV decode) has a
+    * real metadata layer. Same narrow no-shuffle shape. */
+  def probeTiffMeta(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(tiffMetaSchema)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          probeTiff(payload) match {
+            case Some(m) => Row(id, true, m.width, m.height,
+              m.orientation, m.nEntries)
+            case None => Row(id, false, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
   /** Video frame-sampling plumbing: emit one row per sampled frame
     * index (every `everyMs` within duration) — the decode of each frame
     * is the same stub. Shows the explode-then-decode shape without

@@ -139,4 +139,61 @@ object Pii {
     wide.selectExpr(
       s"stack(${categories.size}, $stacked) AS (category, n_docs, n_matches)")
   }
+
+  /** Per-equivalence-class re-identification risk: group by the
+    * quasi-identifier columns and report each class's size
+    * (k-anonymity — a class of size 1 IS an identified person) and its
+    * distinct-sensitive-value count (l-diversity — a size-50 class
+    * where everyone shares one diagnosis still leaks it). One hash
+    * aggregate; classes, not rows, come back. */
+  def kAnonymityClasses(df: DataFrame, quasi: Seq[String],
+      sensitive: String): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitive)).as("l_div"))
+  }
+
+  /** One-row k-anonymity/l-diversity audit: does ANY quasi-identifier
+    * combination isolate fewer than k people (or fewer than l distinct
+    * sensitive values)? The release gate a dataset must pass before
+    * leaving the privacy boundary — generalize or suppress until
+    * n_rows_at_risk is 0. */
+  def kAnonymityReport(df: DataFrame, quasi: Seq[String],
+      sensitive: String, k: Int, l: Int = 2): DataFrame = {
+    require(k >= 1 && l >= 1)
+    kAnonymityClasses(df, quasi, sensitive).agg(
+      count(lit(1)).as("n_classes"),
+      sum(col("class_size")).cast("long").as("n_rows"),
+      sum(when(col("class_size") < k, 1L).otherwise(0L))
+        .as("k_violating_classes"),
+      sum(when(col("class_size") < k, col("class_size"))
+        .otherwise(0L)).cast("long").as("n_rows_at_risk"),
+      min(col("class_size")).as("min_class_size"),
+      sum(when(col("l_div") < l, 1L).otherwise(0L))
+        .as("l_violating_classes"),
+      min(col("l_div")).as("min_l_div"))
+  }
+
+  /** Differentially-private-style noisy counts with SEEDED Laplace
+    * noise: count + Lap(sensitivity/epsilon) per group, the noise
+    * drawn by inverse-CDF from the salted-md5 uniform — deterministic
+    * across runs, engines and partitionings (the esScore idiom), so
+    * the released aggregate is reproducible AND the whole mechanism
+    * is oracle-checkable. (True DP needs non-reproducible noise; the
+    * seeded variant is the ENGINEERING half — calibrated noise shape,
+    * stable releases — with the seed as the secret.) Count sensitivity
+    * is 1. Output: group, noisy_count. */
+  def dpNoisyCounts(df: DataFrame, groupCol: String, epsilon: Double,
+      salt: String, scale: Int = 6): DataFrame = {
+    require(epsilon > 0.0, "epsilon must be positive")
+    val g = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val u = (conv(substring(md5(concat(col(groupCol).cast("string"),
+      lit(":" + salt))), 1, 13), 16, 10).cast("double") + 1.0) /
+      4503599627370498.0
+    val lap = -(lit(1.0) / epsilon) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    g.select(col(groupCol),
+      round(col("__n") + lap, scale).as("noisy_count"))
+  }
 }

@@ -730,4 +730,91 @@ object Sessions {
         // ratio from identical doubles (the seasonalDecompose trick)
         round(col("__cum") / col("__sz"), 6).as("ltv_per_user"))
   }
+
+  /** Markov removal-effect attribution (Anderl et al. 2014) — the
+    * path-aware model [[touchAttribution]]'s first/last-touch
+    * heuristics approximate: build the journey transition graph
+    * (START → touches → CONV | NULL), compute the conversion
+    * probability by absorbing-chain iteration, and credit each channel
+    * by its REMOVAL EFFECT — how much conversion probability vanishes
+    * when that channel's transitions are redirected to NULL.
+    * Attribution share = effect / Σ effects.
+    *
+    * Scale shape: journeys truncate at the first conversion (window
+    * min), transitions are one lead-window pass + a hash aggregate —
+    * the [[transitionMatrix]] shape; the transition table is
+    * |channels+3|²-bounded (~dozens of rows), so the absorbing-chain
+    * solve is a bounded driver-side collect (the BPE-argmax posture),
+    * iterated a fixed 200 rounds — deterministic, geometric
+    * convergence. Output: (channel, conv_prob_full, removal_effect,
+    * share); the full-graph P(conv) repeats per row so a rows+gate
+    * query can pin Σshare = 1 and effects ∈ [0, 1]. */
+  def markovAttribution(df: DataFrame, key: String, ts: String,
+      typeCol: String, convType: String, tieBreak: Seq[Column] = Nil,
+      iters: Int = 200, scale: Int = 6): DataFrame = {
+    val spark = df.sparkSession
+    val wAll = Window.partitionBy(col(key))
+    val wOrd = Window.partitionBy(col(key))
+      .orderBy(col(ts) +: tieBreak: _*)
+    // truncate each journey at its FIRST conversion (inclusive)
+    val convTs = min(when(col(typeCol) === convType, col(ts))).over(wAll)
+    val steps = df
+      .select(col(key) +: col(ts) +: col(typeCol) +: tieBreak: _*)
+      .withColumn("__cts", convTs)
+      .filter(col("__cts").isNull || col(ts) <= col("__cts"))
+      .withColumn("__state",
+        when(col(typeCol) === convType, lit("__CONV")).otherwise(col(typeCol)))
+      .withColumn("__next", lead(col("__state"), 1).over(wOrd))
+      .withColumn("__rn", row_number().over(wOrd))
+    val trans = steps.select(col("__state").as("src"),
+        coalesce(col("__next"),
+          when(col("__state") === "__CONV", lit("__CONV"))
+            .otherwise(lit("__NULL"))).as("dst"))
+      .unionByName(steps.filter(col("__rn") === 1)
+        .select(lit("__START").as("src"), col("__state").as("dst")))
+      .filter(col("src") =!= "__CONV") // absorbing; self-loop implied
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    // bounded collect: |channels + START|^2 rows at most
+    val rows = trans.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    val outTot = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val p = rows.map { case (s, d, n) => (s, d) -> n.toDouble / outTot(s) }
+      .toMap
+    val channels = rows.map(_._1).filter(s => s != "__START").distinct.sorted
+    // absorbing-chain conversion probability from START with an
+    // optional channel removed (its outgoing mass redirected to NULL)
+    def convProb(removed: Option[String]): Double = {
+      val states = ("__START" +: channels).distinct
+      var v = states.map(s => s -> 0.0).toMap
+      (1 to iters).foreach { _ =>
+        v = states.map { s =>
+          val out = rows.filter(_._1 == s)
+          val mass = out.map { case (_, d, _) =>
+            val pr = p((s, d))
+            if (removed.contains(s)) 0.0 // removed: all mass -> NULL
+            else if (d == "__CONV") pr
+            else if (d == "__NULL") 0.0
+            else if (removed.contains(d)) 0.0
+            else pr * v.getOrElse(d, 0.0)
+          }.sum
+          s -> mass
+        }.toMap
+      }
+      v.getOrElse("__START", 0.0)
+    }
+    val full = convProb(None)
+    val effects = channels.map { c =>
+      val without = convProb(Some(c))
+      val eff = if (full > 0) math.max(0.0, (full - without) / full) else 0.0
+      (c, eff)
+    }
+    val effSum = effects.map(_._2).sum
+    import spark.implicits._
+    effects.toSeq.toDF("channel", "__eff")
+      .select(col("channel"),
+        round(lit(full), scale).as("conv_prob_full"),
+        round(col("__eff"), scale).as("removal_effect"),
+        round(when(lit(effSum) > 0.0, col("__eff") / effSum)
+          .otherwise(lit(0.0)), scale).as("share"))
+  }
 }

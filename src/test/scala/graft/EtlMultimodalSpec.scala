@@ -683,4 +683,87 @@ class EtlMultimodalSpec extends SparkSpec {
     val out = Multimodal.sampleFrames(media, 1000L).collect()
     assert(out.map(_.getLong(0)).toSet == Set(3L))
   }
+
+  // ---- TIFF prober ----
+
+  /** Minimal TIFF: header + one IFD with (tag, SHORT/LONG, value)
+    * entries, in either byte order. */
+  private def tiffBytes(le: Boolean,
+      entries: Seq[(Int, Int, Long)]): Array[Byte] = {
+    val buf = scala.collection.mutable.ArrayBuffer[Byte]()
+    def w16(v: Int): Unit =
+      if (le) { buf += (v & 0xff).toByte; buf += ((v >> 8) & 0xff).toByte }
+      else { buf += ((v >> 8) & 0xff).toByte; buf += (v & 0xff).toByte }
+    def w32(v: Long): Unit =
+      if (le) (0 to 3).foreach(i => buf += ((v >> (8 * i)) & 0xff).toByte)
+      else (3 to 0 by -1).foreach(i => buf += ((v >> (8 * i)) & 0xff).toByte)
+    if (le) { buf += 'I'; buf += 'I' } else { buf += 'M'; buf += 'M' }
+    w16(42)
+    w32(8L) // IFD0 right after the header
+    w16(entries.size)
+    entries.foreach { case (tag, typ, v) =>
+      w16(tag); w16(typ); w32(1L)
+      if (typ == 3) { w16(v.toInt); w16(0) } else w32(v)
+    }
+    w32(0L) // no next IFD
+    buf.toArray
+  }
+
+  test("probeTiff reads IFD0 in both byte orders; orientation defaults") {
+    val le = Multimodal.probeTiff(tiffBytes(le = true,
+      Seq((256, 3, 640L), (257, 4, 480L), (274, 3, 6L)))).get
+    assert(le.width == 640L && le.height == 480L && le.orientation == 6)
+    val be = Multimodal.probeTiff(tiffBytes(le = false,
+      Seq((256, 4, 1920L), (257, 3, 1080L)))).get
+    assert(be.width == 1920L && be.height == 1080L && be.orientation == 1)
+    assert(be.nEntries == 2)
+  }
+
+  test("probeTiff hardening: truncation, bad magic, missing dims, fuzz") {
+    val good = tiffBytes(le = true,
+      Seq((256, 3, 64L), (257, 3, 32L), (274, 3, 3L)))
+    // every truncation prefix either parses fully or returns None —
+    // the directory ends at header(8) + count(2) + 3x12 entries; the
+    // 4-byte next-IFD pointer past it is never read, so prefixes
+    // missing only that tail still parse
+    val dirEnd = 8 + 2 + 3 * 12
+    (0 until good.length).foreach { n =>
+      val t = Multimodal.probeTiff(good.take(n))
+      assert(if (n < dirEnd) t.isEmpty else t.nonEmpty)
+    }
+    // bad magic / endian tag
+    val bad = good.clone(); bad(2) = 41
+    assert(Multimodal.probeTiff(bad).isEmpty)
+    // width present, height absent -> reject
+    assert(Multimodal.probeTiff(tiffBytes(le = true,
+      Seq((256, 3, 64L)))).isEmpty)
+    // offset-typed (non-inline) dims are not trusted
+    assert(Multimodal.probeTiff(tiffBytes(le = true,
+      Seq((256, 5, 64L), (257, 5, 32L)))).isEmpty)
+    // bit-flip fuzz never throws
+    val rnd = new scala.util.Random(23)
+    (1 to 300).foreach { _ =>
+      val f = good.clone()
+      f(rnd.nextInt(f.length)) = rnd.nextInt(256).toByte
+      Multimodal.probeTiff(f) // must not throw
+    }
+  }
+
+  test("probeTiffMeta DataFrame wrapper: ok and not-ok rows") {
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, tiffBytes(le = true, Seq((256, 3, 10L), (257, 3, 20L)))),
+        Row(2L, "notatiff".getBytes),
+        Row(3L, null))),
+      StructType(Seq(StructField("media_id", LongType),
+        StructField("payload", BinaryType))))
+    val out = Multimodal.probeTiffMeta(media).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false))
+    val ok = Multimodal.probeTiffMeta(media)
+      .filter(col("probe_ok")).collect().head
+    assert(ok.getAs[Long]("width") == 10L &&
+      ok.getAs[Long]("height") == 20L &&
+      ok.getAs[Int]("orientation") == 1)
+  }
 }

@@ -132,6 +132,90 @@ class HilbertNbSpec extends SparkSpec {
     assert(perNode == 3 * global && global == 2)
   }
 
+  // ---- k-anonymity / DP counts ----
+
+  test("kAnonymityReport hand fixture") {
+    // classes: (n1,s1) size 1; (n1,s2) size 2 same sensitive value;
+    // (n2,s1) size 5 all-distinct
+    val df = (Seq((1, "s1", 10.0)) ++
+      Seq((1, "s2", 7.0), (1, "s2", 7.0)) ++
+      (1 to 5).map(i => (2, "s1", i.toDouble))).toDF("nat", "seg", "bal")
+    val r = graft.llm.Pii.kAnonymityReport(df, Seq("nat", "seg"), "bal",
+      k = 3, l = 2).collect().head
+    assert(r.getAs[Long]("n_classes") == 3L)
+    assert(r.getAs[Long]("n_rows") == 8L)
+    assert(r.getAs[Long]("k_violating_classes") == 2L) // sizes 1 and 2
+    assert(r.getAs[Long]("n_rows_at_risk") == 3L)
+    assert(r.getAs[Long]("min_class_size") == 1L)
+    // l-div: class sizes 1 (1 value), 2 (1 value), 5 (5 values)
+    assert(r.getAs[Long]("l_violating_classes") == 2L)
+    assert(r.getAs[Long]("min_l_div") == 1L)
+  }
+
+  test("dpNoisyCounts: deterministic, formula-exact, epsilon scales noise") {
+    val df = (1 to 40).map(i => if (i <= 30) "a" else "b").toDF("g")
+    def run(eps: Double) = graft.llm.Pii.dpNoisyCounts(df, "g", eps, "s1")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r1 = run(1.0)
+    assert(r1 == run(1.0)) // seeded noise: identical across runs
+    // formula-exact: recompute the Laplace draw from the same md5-u
+    def uOf(key: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$key:s1".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      (java.lang.Long.parseLong(hex, 16) + 1.0) / 4503599627370498.0
+    }
+    def lap(key: String, eps: Double): Double = {
+      val u = uOf(key)
+      -(1.0 / eps) * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    }
+    def rnd6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1("a") == rnd6(30.0 + lap("a", 1.0)))
+    assert(r1("b") == rnd6(10.0 + lap("b", 1.0)))
+    // smaller epsilon -> strictly larger |noise| (same u, scaled draw)
+    val r01 = run(0.1)
+    assert(math.abs(r01("a") - 30.0) > math.abs(r1("a") - 30.0))
+  }
+
+  // ---- Markov attribution ----
+
+  test("markovAttribution hand fixture: converting channel takes all credit") {
+    // user 1: a -> purchase; user 2: b -> (no conversion)
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "purchase"),
+      (2L, 1L, "b")).toDF("uid", "ts", "et")
+    val r = graft.operators.Sessions.markovAttribution(
+      df, "uid", "ts", "et", "purchase").collect()
+      .map(x => x.getString(0) -> (x.getAs[Double]("removal_effect"),
+        x.getAs[Double]("share"), x.getAs[Double]("conv_prob_full"))).toMap
+    assert(r("a")._3 == 0.5) // P(conv) = 1/2 of journeys
+    assert(r("a")._1 == 1.0 && r("a")._2 == 1.0) // removing a kills it
+    assert(r("b")._1 == 0.0 && r("b")._2 == 0.0)
+  }
+
+  test("markovAttribution: removal never increases conversion; shares sum to 1") {
+    val rnd = new scala.util.Random(29)
+    val chans = Seq("x", "y", "z")
+    val rows = (1 to 60).flatMap { u =>
+      val len = 1 + rnd.nextInt(4)
+      val path = (1 to len).map(i => (u.toLong, i.toLong,
+        chans(rnd.nextInt(3))))
+      if (rnd.nextBoolean())
+        path :+ ((u.toLong, (len + 1).toLong, "purchase"))
+      else path
+    }
+    val out = graft.operators.Sessions.markovAttribution(
+      rows.toDF("uid", "ts", "et"), "uid", "ts", "et", "purchase")
+      .collect()
+    out.foreach { r =>
+      val eff = r.getAs[Double]("removal_effect")
+      assert(eff >= 0.0 && eff <= 1.0)
+    }
+    val shareSum = out.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-3)
+  }
+
   // ---- naive Bayes ----
 
   test("naive Bayes separable fixture, prior fallback, smoothing") {
