@@ -2882,6 +2882,65 @@ object SparkEntry {
       graft.operators.Graph.clusteringCoefficients(
         urgentCopurchasePairs(s, d))),
 
+    "q_target_encode" -> ((s, d) =>
+      // leakage-safe K-fold target encoding of event_type against
+      // value: each row's feature comes from the OTHER folds' mean
+      // (smoothed to the global prior); md5 folds make the whole
+      // transform reproducible and exactly oracle-checkable
+      Aggregates.targetEncode(t(s, d, "events"), "event_id",
+        "event_type", "value", folds = 5, smoothing = 20.0)),
+
+    "q_woe_iv" -> ((s, d) => {
+      // weight-of-evidence / information value of market segment
+      // against urgent-order incidence — the credit-scoring
+      // predictiveness screen
+      val o = t(s, d, "orders").select(col("o_custkey"),
+        (col("o_orderpriority") === "1-URGENT").cast("int").as("urgent"))
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_mktsegment"))
+      Aggregates.woeIv(
+        o.join(broadcast(c), col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", "urgent")
+    }),
+
+    "q_wordpiece_fertility" -> ((s, d) => {
+      // the tokenizer triad's third member: per-doc greedy
+      // longest-match WordPiece encode stats under the corpus-seeded
+      // vocab (map-only kernel scan). Greedy has no SQL form — the
+      // companion gate query pins its invariants.
+      val docs = t(s, d, "documents")
+      val v = graft.llm.WordPiece.seedVocab(docs, "text", 2000)
+      graft.llm.WordPiece.encodeStats(docs, "doc_id", "text", v)
+    }),
+
+    "q_wordpiece_gate" -> ((s, d) => {
+      // in-row invariants of the greedy encode: zero [UNK] on the
+      // training corpus (single chars always retained), total pieces
+      // <= the chars-only encoding (every piece covers >= 1 char),
+      // fertility >= 1. Gate failure drops the row.
+      val docs = t(s, d, "documents")
+      val v = graft.llm.WordPiece.seedVocab(docs, "text", 2000)
+      val chars = graft.llm.WordPiece.Vocab(
+        v.init.filter(_.length == 1), v.cont.filter(_.length == 1),
+        v.maxPieceLen)
+      val full = graft.llm.WordPiece.encodeStats(docs, "doc_id", "text", v)
+        .agg(sum(col("n_words")).as("n_words"),
+          sum(col("n_pieces")).as("pieces_full"),
+          sum(col("n_unk")).as("unk_full"))
+      val base = graft.llm.WordPiece
+        .encodeStats(docs, "doc_id", "text", chars)
+        .agg(sum(col("n_pieces")).as("pieces_chars"),
+          sum(col("n_unk")).as("unk_chars"))
+      full.crossJoin(base)
+        .withColumn("fertility",
+          round(col("pieces_full") / col("n_words"), 6))
+        .withColumn("pass",
+          col("unk_full") === 0L && col("unk_chars") === 0L &&
+            col("pieces_full") <= col("pieces_chars") &&
+            col("fertility") >= 1.0)
+        .filter(col("pass"))
+    }),
+
     "q_grid_dbscan" -> ((s, d) => {
       // density clustering without a pair join: md5-uniform customer
       // coordinates concentrated into a ±18°/±54° band, 2° cells,
@@ -6919,6 +6978,51 @@ object SparkEntry {
                   THEN coalesce(tri, 0) * 2.0 / (d * (d - 1))
                   ELSE 0.0 END, 6) AS cc
          FROM deg LEFT JOIN cnt ON deg.id = cnt.id""",
+
+    "q_target_encode" ->
+      """WITH base AS (
+           SELECT event_id, event_type, value,
+                  CAST(floor((CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':te'), 1, 13)) AS BIGINT) + 1.0)
+                    / 4503599627370498.0 * 5) AS INTEGER) AS fold
+           FROM events),
+         cf AS (SELECT event_type, fold, count(*) AS n, sum(value) AS s
+                FROM base GROUP BY 1, 2),
+         ct AS (SELECT event_type, sum(n) AS cn, sum(s) AS cs
+                FROM cf GROUP BY 1),
+         gl AS (SELECT sum(value) / count(*) AS g FROM base),
+         enc AS (
+           SELECT cf.event_type, cf.fold,
+                  ((cs - s) + 20.0 * g) / ((cn - n) + 20.0) AS e
+           FROM cf JOIN ct USING (event_type) CROSS JOIN gl)
+         SELECT b.event_id, b.event_type, b.fold,
+                round(e.e, 6) AS target_enc
+         FROM base b JOIN enc e
+           ON b.event_type = e.event_type AND b.fold = e.fold""",
+
+    "q_woe_iv" ->
+      """WITH j AS (
+           SELECT c_mktsegment,
+                  CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+                  END AS y
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         g AS (SELECT c_mktsegment, count(*) AS n, sum(y) AS n_pos
+               FROM j GROUP BY 1),
+         tot AS (SELECT sum(n) AS tn, sum(n_pos) AS tp, count(*) AS k
+                 FROM g),
+         base AS (
+           SELECT c_mktsegment, n, n_pos,
+                  (n_pos + 0.5) / (tp + 0.5 * k) AS dp,
+                  ((n - n_pos) + 0.5) / ((tn - tp) + 0.5 * k) AS dn
+           FROM g CROSS JOIN tot),
+         iv AS (SELECT round(sum((dp - dn) * ln(dp / dn)), 6)
+                  AS iv_total
+                FROM base)
+         SELECT c_mktsegment, CAST(n AS BIGINT) AS n,
+                CAST(n_pos AS BIGINT) AS n_pos,
+                round(ln(dp / dn), 6) AS woe,
+                round((dp - dn) * ln(dp / dn), 6) AS iv_contrib,
+                iv_total
+         FROM base CROSS JOIN iv""",
 
     "q_grid_dbscan" ->
       """WITH RECURSIVE raw AS (

@@ -1307,6 +1307,83 @@ object Multimodal {
       }(enc)
   }
 
+  private val vadSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("seg_start_ms", LongType),
+    StructField("seg_end_ms", LongType),
+    StructField("n_frames", IntegerType),
+    StructField("mean_rms", DoubleType)))
+
+  /** Energy-threshold activity detection (VAD) over decoded 16-bit PCM
+    * WAV: `frameMs` frames, RMS >= `rmsThreshold` marks a frame
+    * active, active runs merge across silent gaps shorter than
+    * `minGapFrames` (the hangover that keeps one utterance from
+    * splitting at every inter-word pause). Emits one row per segment —
+    * the speech-extraction front door for audio corpora (segment, then
+    * transcribe/fingerprint only the voiced spans: typically a
+    * many-fold decode-work cut on sparse audio).
+    *
+    * Scale shape: samples are decoded and reduced to per-frame RMS
+    * INSIDE the partition — what leaves is one row per detected
+    * segment (bounded by duration/frameMs), never the waveform.
+    * Undecodable payloads emit nothing (the decode kernels' None
+    * posture). */
+  def vadSegments(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload", frameMs: Int = 20,
+      rmsThreshold: Double = 0.05, minGapFrames: Int = 2): DataFrame = {
+    require(frameMs >= 1 && rmsThreshold > 0.0 && minGapFrames >= 0)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(vadSchema)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          decodeWav(payload) match {
+            case None => Iterator.empty
+            case Some(a) =>
+              val frameN = math.max(1, a.sampleRate * frameMs / 1000)
+              val nFrames = a.samples.length / frameN
+              val rms = new Array[Double](nFrames)
+              var f = 0
+              while (f < nFrames) {
+                var acc = 0.0
+                var i = f * frameN
+                val end = i + frameN
+                while (i < end) {
+                  acc += a.samples(i).toDouble * a.samples(i); i += 1
+                }
+                rms(f) = math.sqrt(acc / frameN)
+                f += 1
+              }
+              // merge active runs, bridging short silent gaps
+              val segs = scala.collection.mutable.ArrayBuffer
+                .empty[(Int, Int)]
+              var segStart = -1
+              var lastActive = -1
+              f = 0
+              while (f < nFrames) {
+                if (rms(f) >= rmsThreshold) {
+                  if (segStart < 0) segStart = f
+                  else if (f - lastActive - 1 > minGapFrames) {
+                    segs += ((segStart, lastActive)); segStart = f
+                  }
+                  lastActive = f
+                }
+                f += 1
+              }
+              if (segStart >= 0) segs += ((segStart, lastActive))
+              segs.iterator.map { case (s, e) =>
+                val meanRms = (s to e).map(rms).sum / (e - s + 1)
+                Row(id, s.toLong * frameMs, (e + 1).toLong * frameMs,
+                  e - s + 1,
+                  math.rint(meanRms * 1e6) / 1e6)
+              }
+          }
+        }
+      }(enc)
+  }
+
   /** Video frame-sampling plumbing: emit one row per sampled frame
     * index (every `everyMs` within duration) — the decode of each frame
     * is the same stub. Shows the explode-then-decode shape without

@@ -1997,6 +1997,83 @@ object Aggregates {
     poly * exp(-x * x)
   }
 
+  /** Leakage-safe K-fold target encoding — the high-cardinality
+    * categorical feature transform: each row's category is replaced by
+    * the target mean computed from the OTHER folds only (a same-fold
+    * mean leaks the row's own label into its feature; the K-fold
+    * scheme is how production feature pipelines avoid it), smoothed
+    * toward the global mean with `smoothing` pseudo-observations so
+    * rare categories don't memorize.
+    *
+    * Deterministic: folds come from the salted-md5 uniform of
+    * `keyCol` (the esScore idiom), so the encoding is reproducible
+    * across engines and runs — and therefore exactly oracle-checkable.
+    * Scale shape: ONE (category, fold) aggregate (bounded by
+    * |cats|·folds, broadcast back); other-fold sums by subtraction
+    * from per-category totals — no self-join, the zTestVsRest
+    * posture. Output: keyCol, catCol, fold, target_enc. */
+  def targetEncode(df: DataFrame, keyCol: String, catCol: String,
+      targetCol: String, folds: Int = 5, smoothing: Double = 20.0,
+      salt: String = "te", scale: Int = 6): DataFrame = {
+    require(folds >= 2, "need >= 2 folds")
+    require(smoothing >= 0.0)
+    val u = (conv(substring(md5(concat(col(keyCol).cast("string"),
+      lit(":" + salt))), 1, 13), 16, 10).cast("double") + 1.0) /
+      4503599627370498.0
+    val t = col(targetCol).cast("double")
+    val withFold = df.select(col(keyCol), col(catCol), t.as("__t"))
+      .withColumn("fold", floor(u * folds).cast("int"))
+    val cf = withFold.groupBy(col(catCol), col("fold"))
+      .agg(count(lit(1)).as("__n"), sum(col("__t")).as("__s"))
+    val ct = cf.groupBy(col(catCol))
+      .agg(sum(col("__n")).as("__cn"), sum(col("__s")).as("__cs"))
+    val g = broadcast(withFold.agg(
+      (sum(col("__t")) / count(lit(1))).as("__g")))
+    val enc = broadcast(cf.join(ct, Seq(catCol)).crossJoin(g)
+      .select(col(catCol), col("fold"),
+        (((col("__cs") - col("__s")) + lit(smoothing) * col("__g")) /
+          ((col("__cn") - col("__n")) + lit(smoothing))).as("__enc")))
+    withFold.join(enc, Seq(catCol, "fold"))
+      .select(col(keyCol), col(catCol), col("fold"),
+        round(col("__enc"), scale).as("target_enc"))
+  }
+
+  /** Weight-of-evidence / information value — the credit-scoring
+    * screen for "how predictive is this categorical of the binary
+    * outcome": per category, WOE = ln(dist_pos / dist_neg) over
+    * smoothed class shares, IV = Σ (dist_pos - dist_neg)·WOE
+    * (rule of thumb: IV < 0.02 useless, > 0.3 strong). One hash
+    * aggregate over the data; everything else runs on the
+    * category-sized frame against broadcast class totals. Output per
+    * category: n, n_pos, woe, iv_contrib, plus the repeated iv_total
+    * for a single-query read. */
+  def woeIv(df: DataFrame, catCol: String, labelCol: String,
+      alpha: Double = 0.5, scale: Int = 6): DataFrame = {
+    require(alpha > 0.0, "alpha must be positive (zero cells)")
+    val y = col(labelCol).cast("int")
+    val g = df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n"), sum(y).cast("long").as("n_pos"))
+    val tot = broadcast(g.agg(sum(col("n")).cast("long").as("__tn"),
+      sum(col("n_pos")).cast("long").as("__tp"),
+      count(lit(1)).as("__k")))
+    val base = g.crossJoin(tot)
+      .withColumn("__dp", (col("n_pos") + lit(alpha)) /
+        (col("__tp") + lit(alpha) * col("__k")))
+      .withColumn("__dn",
+        ((col("n") - col("n_pos")) + lit(alpha)) /
+          ((col("__tn") - col("__tp")) + lit(alpha) * col("__k")))
+      .withColumn("woe", round(log(col("__dp") / col("__dn")), scale))
+      .withColumn("iv_contrib",
+        round((col("__dp") - col("__dn")) *
+          log(col("__dp") / col("__dn")), scale))
+    val iv = broadcast(base.agg(
+      round(sum((col("__dp") - col("__dn")) *
+        log(col("__dp") / col("__dn"))), scale).as("iv_total")))
+    base.crossJoin(iv)
+      .select(col(catCol), col("n"), col("n_pos"), col("woe"),
+        col("iv_contrib"), col("iv_total"))
+  }
+
   /** Split conformal prediction intervals (Vovk 2005; Lei 2018) —
     * distribution-free error bars for ANY point predictor: fit on
     * `train` (here the per-key mean — swap in any model), take the

@@ -684,6 +684,40 @@ class EtlMultimodalSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSet == Set(3L))
   }
 
+  // ---- VAD ----
+
+  test("vadSegments: exact frame bounds, gap bridging, non-audio silent") {
+    // 8 kHz, 20 ms frames = 160 samples each. Layout (frames):
+    // 0-9 silence | 10-19 tone | 20-22 silence (gap 3) | 23-27 tone
+    val silence = Seq.fill(160)(0.toShort)
+    val tone = Seq.tabulate(160)(i =>
+      (if (i % 2 == 0) 10000 else -10000).toShort)
+    val samples = Seq.fill(10)(silence).flatten ++
+      Seq.fill(10)(tone).flatten ++
+      Seq.fill(3)(silence).flatten ++
+      Seq.fill(5)(tone).flatten
+    val media = spark.createDataFrame(
+      java.util.List.of(
+        Row(1L, wavFixture(samples)),
+        Row(2L, "not audio".getBytes)),
+      StructType(Seq(StructField("media_id", LongType),
+        StructField("payload", BinaryType))))
+    // default minGapFrames = 2 < gap 3 -> two segments
+    val segs = Multimodal.vadSegments(media)
+      .orderBy(col("seg_start_ms")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(segs.toSeq == Seq(
+      (1L, 200L, 400L, 10), (1L, 460L, 560L, 5)))
+    // minGapFrames = 3 bridges the pause -> one utterance
+    val merged = Multimodal.vadSegments(media, minGapFrames = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(merged.toSeq == Seq((200L, 560L, 18)))
+    // RMS of the +/-10000 square is exactly 10000/32768
+    val rms = Multimodal.vadSegments(media).collect()
+      .map(_.getDouble(4))
+    rms.foreach(v => assert(math.abs(v - 10000.0 / 32768.0) < 1e-6))
+  }
+
   // ---- TIFF prober ----
 
   /** Minimal TIFF: header + one IFD with (tag, SHORT/LONG, value)

@@ -282,6 +282,78 @@ class StatsGeoSpec extends SparkSpec {
     assert(r.getAs[Double]("q_hat") > 0.0)
   }
 
+  // ---- target encoding / WOE-IV ----
+
+  test("targetEncode: other-fold means exactly, leakage excluded") {
+    val rnd = new scala.util.Random(43)
+    val rows = (1 to 200).map(i =>
+      (i.toLong, Seq("a", "b", "c")(rnd.nextInt(3)), rnd.nextDouble() * 10))
+    val df = rows.toDF("id", "cat", "y")
+    val got = Aggregates.targetEncode(df, "id", "cat", "y",
+      folds = 4, smoothing = 0.0).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2),
+        r.getDouble(3))).toMap
+    // recompute folds from the same md5 derivation and check each
+    // encoding equals the OTHER folds' plain mean (smoothing 0)
+    def fold(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:te".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4503599627370498.0
+      math.floor(u * 4).toInt
+    }
+    def rnd6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (id, cat, _) =>
+      val f = fold(id)
+      val others = rows.filter(r => r._2 == cat && fold(r._1) != f)
+      val want = rnd6(others.map(_._3).sum / others.size)
+      val (gc, gf, ge) = got(id)
+      assert(gc == cat && gf == f)
+      assert(math.abs(ge - want) < 2e-6, s"row $id")
+    }
+  }
+
+  test("targetEncode: heavy smoothing pulls to the global mean") {
+    val df = (1 to 100).map(i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b",
+        if (i % 2 == 0) 100.0 else 0.0)).toDF("id", "cat", "y")
+    val out = Aggregates.targetEncode(df, "id", "cat", "y",
+      folds = 4, smoothing = 1e9).collect().map(_.getDouble(3))
+    out.foreach(e => assert(math.abs(e - 50.0) < 0.01))
+  }
+
+  test("woeIv hand fixture") {
+    // cat p: 8 pos, 2 neg; cat q: 2 pos, 8 neg; alpha 0.5, k = 2
+    // dp_p = 8.5/11, dn_p = 2.5/11; woe_p = ln(8.5/2.5)
+    val df = (Seq.fill(8)(("p", 1)) ++ Seq.fill(2)(("p", 0)) ++
+      Seq.fill(2)(("q", 1)) ++ Seq.fill(8)(("q", 0))).toDF("cat", "y")
+    val r = Aggregates.woeIv(df, "cat", "y").collect()
+      .map(x => x.getString(0) -> x).toMap
+    def rnd6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val woeP = rnd6(math.log(8.5 / 2.5))
+    assert(r("p").getAs[Double]("woe") == woeP)
+    assert(r("q").getAs[Double]("woe") == rnd6(math.log(2.5 / 8.5)))
+    val dpP = 8.5 / 11.0; val dnP = 2.5 / 11.0
+    val ivWant = rnd6(2 * ((dpP - dnP) * math.log(dpP / dnP)))
+    assert(r("p").getAs[Double]("iv_total") == ivWant)
+    assert(r("p").getAs[Long]("n") == 10L)
+    assert(r("p").getAs[Long]("n_pos") == 8L)
+  }
+
+  test("woeIv: uninformative category scores ~0 IV") {
+    val df = (1 to 400).map(i =>
+      (if (i % 2 == 0) "x" else "y", i % 2)).toDF("cat", "y")
+    // labels split 50/50 INSIDE each... actually alternate: x always
+    // pos, y always neg would be max IV; use i%4 to decorrelate
+    val df2 = (1 to 400).map(i =>
+      (if (i % 2 == 0) "x" else "y", (i / 2) % 2)).toDF("cat", "y")
+    val iv = Aggregates.woeIv(df2, "cat", "y").collect()
+      .head.getAs[Double]("iv_total")
+    assert(math.abs(iv) < 0.01)
+  }
+
   // ---- Flesch ----
 
   test("fleschCounts hand fixture") {
