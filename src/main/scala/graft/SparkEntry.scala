@@ -2882,6 +2882,28 @@ object SparkEntry {
       graft.operators.Graph.clusteringCoefficients(
         urgentCopurchasePairs(s, d))),
 
+    "q_business_days" -> ((s, d) => {
+      // SLA lead-time arithmetic: business days (Mon-Fri) between each
+      // order date and its synthetic promise date — closed-form
+      // weekday-prefix arithmetic on epoch days (no dayofweek builtin:
+      // the engines disagree on week start; integers don't)
+      val o = t(s, d, "orders")
+      val od = to_date(col("o_orderdate"))
+      val promise = date_add(od, (lit(1L) + pmod(col("o_orderkey"),
+        lit(20L))).cast("int"))
+      o.select(col("o_orderkey"),
+        datediff(promise, od).cast("long").as("cal_days"),
+        graft.operators.Sessions.businessDaysBetween(od, promise)
+          .as("biz_days"))
+    }),
+
+    "q_decayed_counts" -> ((s, d) =>
+      // recency-weighted activity: per-type event counts decayed with
+      // a 7-day half-life as of the corpus max timestamp — one pass,
+      // broadcast anchor, exact exp-weight oracle
+      graft.operators.Sessions.decayedCounts(t(s, d, "events"),
+        "event_type", "ts", halfLifeDays = 7.0)),
+
     "q_target_encode" -> ((s, d) =>
       // leakage-safe K-fold target encoding of event_type against
       // value: each row's feature comes from the OTHER folds' mean
@@ -6978,6 +7000,38 @@ object SparkEntry {
                   THEN coalesce(tri, 0) * 2.0 / (d * (d - 1))
                   ELSE 0.0 END, 6) AS cc
          FROM deg LEFT JOIN cnt ON deg.id = cnt.id""",
+
+    "q_business_days" ->
+      """WITH d AS (
+           SELECT o_orderkey,
+                  datediff('day', DATE '1970-01-01',
+                    CAST(o_orderdate AS DATE)) AS d0
+           FROM orders),
+         dd AS (SELECT o_orderkey, CAST(d0 AS BIGINT) AS d0,
+                       CAST(d0 + 1 + o_orderkey % 20 AS BIGINT) AS d1
+                FROM d),
+         g AS (
+           SELECT o_orderkey, d1 - d0 AS cal_days,
+                  (CAST((d1 - d1 % 7) / 7 AS BIGINT) * 5 +
+                    CASE d1 % 7 WHEN 0 THEN 0 WHEN 1 THEN 1
+                      WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2
+                      WHEN 5 THEN 3 ELSE 4 END)
+                  - (CAST((d0 - d0 % 7) / 7 AS BIGINT) * 5 +
+                    CASE d0 % 7 WHEN 0 THEN 0 WHEN 1 THEN 1
+                      WHEN 2 THEN 2 WHEN 3 THEN 2 WHEN 4 THEN 2
+                      WHEN 5 THEN 3 ELSE 4 END) AS biz_days
+           FROM dd)
+         SELECT o_orderkey, cal_days, CAST(biz_days AS BIGINT) AS biz_days
+         FROM g""",
+
+    "q_decayed_counts" ->
+      """WITH mx AS (SELECT max(ts) AS m FROM events)
+         SELECT event_type, count(*) AS n,
+                round(sum(exp((-ln(2) / 7.0)
+                  * ((epoch_us(m) - epoch_us(ts)) / 86400000000.0))), 6)
+                  AS decayed_count
+         FROM events CROSS JOIN mx
+         GROUP BY 1""",
 
     "q_target_encode" ->
       """WITH base AS (

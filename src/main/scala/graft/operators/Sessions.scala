@@ -731,6 +731,57 @@ object Sessions {
         round(col("__cum") / col("__sz"), 6).as("ltv_per_user"))
   }
 
+  /** Weekdays in [epoch, day d) by closed-form prefix arithmetic —
+    * engine-portable (no dayofweek builtin: Spark counts Sunday=1,
+    * the oracle engine Sunday=0; pure integer arithmetic on epoch
+    * days sidesteps the dialect). Epoch day 0 = Thursday; the
+    * first-k-days weekday prefix is [0,1,2,2,2,3,4]. Positive-domain
+    * (post-1970) — all engine data is. */
+  private def weekdaysBeforeEpochDay(d: Column): Column = {
+    val r = pmod(d, lit(7L))
+    val p = when(r === 0L, 0L).when(r === 1L, 1L).when(r === 2L, 2L)
+      .when(r === 3L, 2L).when(r === 4L, 2L).when(r === 5L, 3L)
+      .otherwise(4L)
+    ((d - r) / 7L).cast("long") * 5L + p
+  }
+
+  /** Business days (Mon-Fri) in the half-open [start, end) — the
+    * SLA/lead-time unit ("promised in 5 business days"): calendar
+    * datediff over-counts across weekends and a UDF calendar loop
+    * breaks codegen; this is two closed-form prefix evaluations.
+    * Negative spans yield negative counts (antisymmetric). */
+  def businessDaysBetween(startDate: Column, endDate: Column): Column = {
+    val d0 = datediff(startDate, lit("1970-01-01")).cast("long")
+    val d1 = datediff(endDate, lit("1970-01-01")).cast("long")
+    weekdaysBeforeEpochDay(d1) - weekdaysBeforeEpochDay(d0)
+  }
+
+  /** Exponentially-decayed event counts per key — the recency-weighted
+    * activity score (a user's "current" engagement where last week
+    * counts more than last year): each event contributes
+    * 2^(-age/halfLife) as of the corpus max timestamp (data-derived,
+    * so the query is deterministic and oracle-checkable; pass a
+    * literal `asOf` for production use). ONE aggregate pass; the asOf
+    * anchor rides as a broadcast 1-row frame. Also the batch twin of a
+    * streaming decayed counter (fold the same weight into
+    * mapGroupsWithState). */
+  def decayedCounts(df: DataFrame, keyCol: String, tsCol: String,
+      halfLifeDays: Double, scale: Int = 6): DataFrame = {
+    require(halfLifeDays > 0.0)
+    val anchor = broadcast(df.agg(max(col(tsCol)).as("__asof")))
+    // cast through TIMESTAMP: the nanos-repair loader yields
+    // TIMESTAMP_NTZ and unix_micros takes TIMESTAMP only (the twap
+    // idiom — a reinterpretation under the fixed UTC session)
+    val ageDays = (unix_micros(col("__asof").cast("timestamp")) -
+      unix_micros(col(tsCol).cast("timestamp")))
+      .cast("double") / lit(86400.0e6)
+    df.crossJoin(anchor)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        round(sum(exp(lit(-math.log(2.0) / halfLifeDays) * ageDays)),
+          scale).as("decayed_count"))
+  }
+
   /** Markov removal-effect attribution (Anderl et al. 2014) — the
     * path-aware model [[touchAttribution]]'s first/last-touch
     * heuristics approximate: build the journey transition graph

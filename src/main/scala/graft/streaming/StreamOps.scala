@@ -106,6 +106,47 @@ object StreamOps {
     l.join(r, "time_bucket")
   }
 
+  /** Stream-stream TIME-INTERVAL join — the other native
+    * Structured-Streaming join shape next to [[bucketJoin]]'s window
+    * equality: right events join left events whose key matches AND
+    * whose event time falls within [left - before, left + after] (the
+    * impression⋈click / order⋈shipment pattern where the match window
+    * is a RANGE, not a shared bucket — bucket joins silently drop
+    * pairs straddling a bucket edge; the interval condition does not).
+    *
+    * Both sides carry watermarks and the range condition bounds state:
+    * Spark derives each side's eviction horizon from watermark +
+    * interval width, so state is (watermark + interval) x per-key
+    * volume — no unbounded buffering. Inner join only (the streaming
+    * engine's requirement for range conditions with state cleanup on
+    * BOTH sides). Batch mode (streaming=false) runs the identical
+    * condition for parity specs. Output: key, both event times, both
+    * values, and the signed lag in seconds. */
+  def intervalJoin(
+      left: DataFrame, leftVal: String,
+      right: DataFrame, rightVal: String,
+      key: String,
+      before: String = "1 minute", after: String = "1 minute",
+      watermark: String = "10 minutes",
+      streaming: Boolean = true): DataFrame = {
+    def side(df: DataFrame, tag: String, v: String): DataFrame = {
+      val wm = if (streaming) df.withWatermark("event_time", watermark)
+        else df
+      wm.select(col(key).as(s"${tag}_key"),
+        col("event_time").as(s"${tag}_time"), col(v).as(s"${tag}_$v"))
+    }
+    val l = side(left, "l", leftVal)
+    val r = side(right, "r", rightVal)
+    l.join(r,
+        col("l_key") === col("r_key") &&
+          col("r_time") >= col("l_time") - expr(s"INTERVAL $before") &&
+          col("r_time") <= col("l_time") + expr(s"INTERVAL $after"))
+      .select(col("l_key").as(key), col("l_time"), col("r_time"),
+        col(s"l_$leftVal"), col(s"r_$rightVal"),
+        (unix_micros(col("r_time")) - unix_micros(col("l_time")))
+          .cast("double").divide(lit(1e6)).as("lag_s"))
+  }
+
   /** [[bucketJoin]]'s OUTER variants — the gap-visible stream join
     * (which minutes had ticks on one feed but not the other?). Same
     * native window-struct equality, so Spark still keys state cleanup

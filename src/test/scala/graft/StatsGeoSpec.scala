@@ -282,6 +282,51 @@ class StatsGeoSpec extends SparkSpec {
     assert(r.getAs[Double]("q_hat") > 0.0)
   }
 
+  // ---- business days / decayed counts ----
+
+  test("businessDaysBetween: known weeks, weekend clipping, antisymmetry") {
+    import graft.operators.Sessions
+    // 2024-01-01 is a Monday
+    val df = Seq(
+      ("2024-01-01", "2024-01-08"), // Mon -> next Mon: 5 weekdays
+      ("2024-01-06", "2024-01-08"), // Sat -> Mon: 0 (half-open)
+      ("2024-01-05", "2024-01-09"), // Fri -> Tue: Fri + Mon = 2
+      ("2024-01-01", "2024-01-01"), // empty interval
+      ("2024-01-08", "2024-01-01")) // reversed: -5
+      .toDF("s", "e")
+    val got = df.select(Sessions.businessDaysBetween(
+      to_date(col("s")), to_date(col("e"))).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(5L, 0L, 2L, 0L, -5L))
+    // brute-force sweep: every (start, end) pair in a 3-week window
+    val days = (0 to 20).map(i => java.time.LocalDate
+      .of(2024, 1, 1).plusDays(i))
+    val pairs = for (a <- days; b <- days if !b.isBefore(a)) yield (a, b)
+    val expect = pairs.map { case (a, b) =>
+      Iterator.iterate(a)(_.plusDays(1)).takeWhile(_.isBefore(b))
+        .count(d => d.getDayOfWeek.getValue <= 5).toLong
+    }
+    val gotAll = pairs.map(p => (p._1.toString, p._2.toString))
+      .toDF("s", "e")
+      .select(Sessions.businessDaysBetween(to_date(col("s")),
+        to_date(col("e"))).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotAll == expect)
+  }
+
+  test("decayedCounts: exact half-life weights, one pass") {
+    import graft.operators.Sessions
+    // anchor = max ts; ages 0, 7, 14 days -> weights 1, 0.5, 0.25
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    def at(daysBefore: Int) = new java.sql.Timestamp(
+      base.getTime - daysBefore * 86400000L)
+    val df = Seq(("k", at(0)), ("k", at(7)), ("k", at(14)))
+      .toDF("g", "ts")
+    val r = Sessions.decayedCounts(df, "g", "ts", 7.0).collect().head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(math.abs(r.getAs[Double]("decayed_count") - 1.75) < 1e-9)
+  }
+
   // ---- target encoding / WOE-IV ----
 
   test("targetEncode: other-fold means exactly, leakage excluded") {

@@ -137,6 +137,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin batch == streaming time-interval join") {
+    // left every 15 s, right every 40 s, match window ±20 s on the
+    // shared symbol: pairs straddle bucket edges on purpose — the
+    // shape bucketJoin drops and the interval condition keeps
+    val left = (0 until 20).map(i => tick("BP", base + i * 15000L, 30.0 + i))
+    val right = (0 until 8).map(i => tick("BP", base + i * 40000L, 3000.0 + i))
+    def prep(rows: Seq[Ticks.MarketTickTuple]) =
+      Ticks.withEventTime(ticksDf(rows))
+    val batch = StreamOps.intervalJoin(
+      prep(left), "price", prep(right), "price", "symbol",
+      before = "20 seconds", after = "20 seconds", streaming = false)
+    val expected = batch.count()
+    assert(expected > 0)
+    // lag is bounded by the window on every row
+    batch.collect().foreach(r =>
+      assert(math.abs(r.getAs[Double]("lag_s")) <= 20.0))
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[Ticks.MarketTickTuple]
+    val memR = MemoryStream[Ticks.MarketTickTuple]
+    memL.addData(left); memR.addData(right)
+    def prepStream(m: MemoryStream[Ticks.MarketTickTuple]) =
+      Ticks.withEventTime(m.toDF().toDF("symbol", "timestamp", "source",
+        "data_type", "bid", "ask", "price", "volume", "spread_raw",
+        "spread_table", "volatility", "market_sentiment", "trading_activity"))
+    val joined = StreamOps.intervalJoin(
+      prepStream(memL), "price", prepStream(memR), "price", "symbol",
+      before = "20 seconds", after = "20 seconds")
+    val q = joined.writeStream.format("memory").queryName("ij_parity")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ij_parity").count() == expected)
+    } finally q.stop()
+  }
+
   test("bucketJoinOuter: unmatched buckets emit null-padded once the watermark passes") {
     // left ticks every minute 0-9, right only on even minutes: odd
     // buckets must surface with a null right side. Flush ticks at
