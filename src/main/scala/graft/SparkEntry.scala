@@ -2882,6 +2882,24 @@ object SparkEntry {
       graft.operators.Graph.clusteringCoefficients(
         urgentCopurchasePairs(s, d))),
 
+    "q_fifo_match" -> ((s, d) => {
+      // FIFO lot matching as relational algebra: even line numbers
+      // supply, odd ones demand, per part in (orderkey, linenumber)
+      // order; matched quantity = overlap of the two cumulative-sum
+      // intervals — no per-key loop, exact window oracle
+      val li = t(s, d, "lineitem").select(col("l_partkey"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        col("l_quantity"), col("l_linenumber"))
+      val sup = li.filter(pmod(col("l_linenumber"), lit(2)) === 0)
+        .select(col("l_partkey"), col("rid").as("sid"),
+          col("l_quantity").as("sq"))
+      val dem = li.filter(pmod(col("l_linenumber"), lit(2)) === 1)
+        .select(col("l_partkey"), col("rid").as("did"),
+          col("l_quantity").as("dq"))
+      graft.operators.Joins.fifoMatch(sup, dem, "l_partkey",
+        "sid", "did", "sq", "dq", Nil, Nil)
+    }),
+
     "q_business_days" -> ((s, d) => {
       // SLA lead-time arithmetic: business days (Mon-Fri) between each
       // order date and its synthetic promise date — closed-form
@@ -7000,6 +7018,34 @@ object SparkEntry {
                   THEN coalesce(tri, 0) * 2.0 / (d * (d - 1))
                   ELSE 0.0 END, 6) AS cc
          FROM deg LEFT JOIN cnt ON deg.id = cnt.id""",
+
+    "q_fifo_match" ->
+      """WITH li AS (
+           SELECT l_partkey, l_orderkey * 10 + l_linenumber AS rid,
+                  l_quantity, l_linenumber
+           FROM lineitem),
+         s AS (
+           SELECT l_partkey, rid AS sid,
+                  sum(l_quantity) OVER (PARTITION BY l_partkey
+                    ORDER BY rid) AS s_hi,
+                  sum(l_quantity) OVER (PARTITION BY l_partkey
+                    ORDER BY rid) - l_quantity AS s_lo
+           FROM li WHERE l_linenumber % 2 = 0),
+         d AS (
+           SELECT l_partkey, rid AS did,
+                  sum(l_quantity) OVER (PARTITION BY l_partkey
+                    ORDER BY rid) AS d_hi,
+                  sum(l_quantity) OVER (PARTITION BY l_partkey
+                    ORDER BY rid) - l_quantity AS d_lo
+           FROM li WHERE l_linenumber % 2 = 1),
+         m AS (
+           SELECT s.l_partkey, sid, did,
+                  round(least(s_hi, d_hi) - greatest(s_lo, d_lo), 6)
+                    AS matched_qty
+           FROM s JOIN d ON s.l_partkey = d.l_partkey
+           WHERE s_lo < d_hi AND d_lo < s_hi)
+         SELECT l_partkey, sid, did, matched_qty
+         FROM m WHERE matched_qty > 0.0""",
 
     "q_business_days" ->
       """WITH d AS (

@@ -253,6 +253,49 @@ object Joins {
       .limit(k)
   }
 
+  /** FIFO lot matching — the inventory/cost-allocation join: consume
+    * supply lots in arrival order against demands in request order
+    * (first-in-first-out), emitting how much of each demand each lot
+    * fills. The classic sequential-scan problem turned RELATIONAL: a
+    * lot occupies the cumulative-quantity interval
+    * [cum_before, cum_after) on its key's supply axis, a demand
+    * occupies the same on the demand axis, and FIFO matching is
+    * EXACTLY the overlap of those intervals — no per-key loop, no
+    * state machine, just two prefix-sum windows and one equi-join on
+    * the key with an overlap filter.
+    *
+    * Scale shape: per-key windows run in parallel after one hash
+    * exchange per side; the key join's candidate fan-out is
+    * n_supply·n_demand per key — fine for the catalog-shaped keys this
+    * serves (lots per SKU), and a pathologically deep key can bucket
+    * the cumulative axis with [[intervalOverlapJoin]]'s grid. Output:
+    * key, both id columns, matched_qty (> 0 rows only). Quantities
+    * must be non-negative; order is (orderCol, idCol) per side. */
+  def fifoMatch(supply: DataFrame, demand: DataFrame, key: String,
+      supplyId: String, demandId: String, qtyS: String, qtyD: String,
+      orderS: Seq[Column], orderD: Seq[Column],
+      scale: Int = 6): DataFrame = {
+    def cum(df: DataFrame, id: String, qty: String, ord: Seq[Column],
+        tag: String): DataFrame = {
+      val w = Window.partitionBy(col(key)).orderBy(ord :+ col(id): _*)
+      val q = col(qty).cast("double")
+      val checked = when(q >= 0.0, q).otherwise(raise_error(concat(
+        lit("fifoMatch: negative quantity: "), q.cast("string"))))
+      df.withColumn("__q", checked)
+        .withColumn(s"${tag}_hi", sum(col("__q")).over(w))
+        .withColumn(s"${tag}_lo", col(s"${tag}_hi") - col("__q"))
+        .select(col(key), col(id), col(s"${tag}_lo"), col(s"${tag}_hi"))
+    }
+    val s = cum(supply, supplyId, qtyS, orderS, "s")
+    val d = cum(demand, demandId, qtyD, orderD, "d")
+    s.join(d, Seq(key))
+      .filter(col("s_lo") < col("d_hi") && col("d_lo") < col("s_hi"))
+      .select(col(key), col(supplyId), col(demandId),
+        round(least(col("s_hi"), col("d_hi")) -
+          greatest(col("s_lo"), col("d_lo")), scale).as("matched_qty"))
+      .filter(col("matched_qty") > 0.0)
+  }
+
   /** Interval OVERLAP join: all (a, b) pairs whose closed integer
     * intervals [startA, endA] x [startB, endB] intersect — the
     * interval-x-interval sibling of [[rangeJoin]]'s point-in-interval

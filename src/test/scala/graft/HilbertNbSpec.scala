@@ -93,6 +93,61 @@ class HilbertNbSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  // ---- FIFO matching ----
+
+  test("fifoMatch hand fixture: lots split across demands in order") {
+    // supply lots: 10, 5; demands: 7, 8 (same key)
+    // FIFO: lot1 fills d1 with 7, then d2 with 3; lot2 fills d2 with 5
+    val sup = Seq(("k", 1L, 10.0), ("k", 2L, 5.0)).toDF("k", "sid", "sq")
+    val dem = Seq(("k", 1L, 7.0), ("k", 2L, 8.0)).toDF("k", "did", "dq")
+    val got = Joins.fifoMatch(sup, dem, "k", "sid", "did", "sq", "dq",
+      Nil, Nil).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got == Map((1L, 1L) -> 7.0, (1L, 2L) -> 3.0, (2L, 2L) -> 5.0))
+  }
+
+  test("fifoMatch == sequential FIFO simulation on random lots") {
+    val rnd = new scala.util.Random(47)
+    val sup = (1 to 60).map(i => (s"k${i % 5}", i.toLong,
+      rnd.nextInt(20).toDouble))
+    val dem = (1 to 50).map(i => (s"k${i % 5}", i.toLong,
+      rnd.nextInt(20).toDouble))
+    val got = Joins.fifoMatch(sup.toDF("k", "sid", "sq"),
+      dem.toDF("k", "did", "dq"), "k", "sid", "did", "sq", "dq",
+      Nil, Nil).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        r.getDouble(3)).toMap
+    // reference: walk lots and demands per key with two pointers
+    val want = scala.collection.mutable.Map[(String, Long, Long), Double]()
+    sup.map(_._1).distinct.foreach { k =>
+      val lots = sup.filter(_._1 == k).sortBy(_._2)
+        .map(x => Array(x._2.toDouble, x._3)).toArray
+      val dems = dem.filter(_._1 == k).sortBy(_._2)
+        .map(x => Array(x._2.toDouble, x._3)).toArray
+      var (i, j) = (0, 0)
+      while (i < lots.length && j < dems.length) {
+        val m = math.min(lots(i)(1), dems(j)(1))
+        if (m > 0) want((k, lots(i)(0).toLong, dems(j)(0).toLong)) = m
+        lots(i)(1) -= m; dems(j)(1) -= m
+        if (lots(i)(1) <= 0) i += 1
+        if (j < dems.length && dems(j)(1) <= 0) j += 1
+        // zero-quantity rows advance whichever side is exhausted
+        if (m == 0) { if (lots(i.min(lots.length - 1))(1) == 0) i += 1 }
+      }
+    }
+    assert(got == want.toMap)
+  }
+
+  test("fifoMatch rejects negative quantities loudly") {
+    val sup = Seq(("k", 1L, -1.0)).toDF("k", "sid", "sq")
+    val dem = Seq(("k", 1L, 5.0)).toDF("k", "did", "dq")
+    val ex = intercept[Exception] {
+      Joins.fifoMatch(sup, dem, "k", "sid", "did", "sq", "dq",
+        Nil, Nil).count()
+    }
+    assert(ex.getMessage != null)
+  }
+
   // ---- clustering coefficients ----
 
   test("clusteringCoefficients vs driver-side brute force, random graph") {
