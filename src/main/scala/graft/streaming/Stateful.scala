@@ -143,4 +143,54 @@ object Stateful {
           }
       }
   }
+
+  case class DecayEvent(key: String, timestamp: Long, weight: Double)
+  case class DecayState(mass: Double, lastTs: Long, n: Long = 0L)
+  case class DecayOut(key: String, timestamp: Long, decayed: Double,
+      n: Long)
+
+  /** Streaming exponentially-decayed counter — the live twin of
+    * [[graft.operators.Sessions.decayedCounts]]: per-key state is ONE
+    * (mass, lastTs) pair; each event first decays the carried mass by
+    * 2^(-Δt/halfLife) and then adds its weight, which telescopes to
+    * exactly the batch sum Σ w_i·2^(-(t_last - t_i)/halfLife) — the
+    * recency-weighted activity score maintained incrementally instead
+    * of rescanning history every trigger (parity spec-asserted).
+    * Out-of-order arrivals within a batch sort by timestamp; an event
+    * older than the carried state would need a NEGATIVE decay — it
+    * folds in undecayed-forward (its own age is honored, the carried
+    * mass never un-decays), the standard approximation for modest
+    * disorder; bound disorder with an upstream watermark. */
+  def decayedCounter(events: Dataset[DecayEvent], halfLifeMs: Long,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      timeoutMs: Long = 600000L): Dataset[DecayOut] = {
+    require(halfLifeMs > 0L)
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[DecayState, DecayOut](
+        OutputMode.Append(), timeout) {
+        case (key, rows, state: GroupState[DecayState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.timestamp, e.weight))
+            var st = state.getOption.getOrElse(DecayState(0.0, Long.MinValue))
+            val out = sorted.map { e =>
+              val dt = if (st.lastTs == Long.MinValue) 0L
+                else math.max(0L, e.timestamp - st.lastTs)
+              val decayed = st.mass *
+                math.pow(2.0, -dt.toDouble / halfLifeMs) + e.weight
+              st = DecayState(decayed, math.max(st.lastTs, e.timestamp),
+                st.n + 1)
+              DecayOut(key, e.timestamp, decayed, st.n)
+            }
+            state.update(st)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration(timeoutMs)
+            out.iterator
+          }
+      }
+  }
 }

@@ -201,4 +201,64 @@ class StatefulSpec extends SparkSpec {
       assert(got.toSeq === batch.toSeq)
     } finally q.stop()
   }
+
+  test("decayedCounter: state crosses batches and telescopes to the batch sum") {
+    implicit val sqlCtx = spark.sqlContext
+    import Stateful.{DecayEvent, DecayOut}
+    val day = 86400000L
+    val hl = 7L * day
+    val base = 1736081400000L
+    val mem = MemoryStream[DecayEvent]
+    val q = Stateful.decayedCounter(mem.toDS(), halfLifeMs = hl)
+      .writeStream.format("memory").queryName("decay_t")
+      .outputMode("append").start()
+    try {
+      mem.addData(DecayEvent("k", base, 1.0),
+        DecayEvent("k", base + 7 * day, 1.0))
+      q.processAllAvailable()
+      mem.addData(DecayEvent("k", base + 14 * day, 1.0),
+        DecayEvent("j", base, 1.0))
+      q.processAllAvailable()
+      val out = spark.table("decay_t").as[DecayOut]
+        .collect().sortBy(o => (o.key, o.timestamp))
+      val k = out.filter(_.key == "k").map(_.decayed)
+      // 1 -> 1*0.5 + 1 = 1.5 -> 1.5*0.5 + 1 = 1.75 (exact halves)
+      assert(k.toSeq == Seq(1.0, 1.5, 1.75))
+      assert(out.filter(_.key == "j").map(_.decayed).toSeq == Seq(1.0))
+      // telescopes to the batch operator: anchor = key's last event
+      val batch = graft.operators.Sessions.decayedCounts(
+        Seq(("k", new java.sql.Timestamp(base)),
+          ("k", new java.sql.Timestamp(base + 7 * day)),
+          ("k", new java.sql.Timestamp(base + 14 * day)))
+          .toDF("g", "ts"), "g", "ts", 7.0)
+        .collect().head.getAs[Double]("decayed_count")
+      assert(math.abs(k.last - batch) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("decayedCounter: out-of-order within a batch sorts; older-than-state folds forward") {
+    implicit val sqlCtx = spark.sqlContext
+    import Stateful.{DecayEvent, DecayOut}
+    val hl = 1000L
+    val mem = MemoryStream[DecayEvent]
+    val q = Stateful.decayedCounter(mem.toDS(), halfLifeMs = hl)
+      .writeStream.format("memory").queryName("decay_ooo")
+      .outputMode("append").start()
+    try {
+      // arrive out of order inside one batch: sorted -> 0, 1000, 2000
+      mem.addData(DecayEvent("k", 2000L, 1.0), DecayEvent("k", 0L, 1.0),
+        DecayEvent("k", 1000L, 1.0))
+      q.processAllAvailable()
+      val first = spark.table("decay_ooo").as[DecayOut]
+        .collect().sortBy(_.timestamp).map(_.decayed)
+      assert(first.toSeq == Seq(1.0, 1.5, 1.75))
+      // a LATE event older than the carried state folds in forward:
+      // mass never un-decays (dt clamps at 0)
+      mem.addData(DecayEvent("k", 500L, 1.0))
+      q.processAllAvailable()
+      val all = spark.table("decay_ooo").as[DecayOut]
+        .collect().sortBy(_.n).map(_.decayed)
+      assert(all.last == 1.75 + 1.0)
+    } finally q.stop()
+  }
 }
