@@ -20,6 +20,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Salted-md5 uniform in (0,1) — the deterministic randomness idiom
+    * shared with the esScore/weightedTake family; the SQL oracles
+    * state the identical ('0x'||substr(md5(..),1,13))::BIGINT form.
+    * ONE definition: three queries derive coordinates/folds from it,
+    * and any drift from the oracle mirror breaks parity silently. */
+  private def mdUniform(key: Column, salt: String): Column =
+    (conv(substring(md5(concat(key.cast("string"), lit(":" + salt))),
+      1, 13), 16, 10).cast("double") + 1.0) / 4503599627370498.0
+
   /** Shared graph fixture: undirected co-purchase pair edges between
     * parts sharing an urgent order — consumed by the triangle-count,
     * label-propagation and k-core queries. The (order, part) frame is
@@ -2718,15 +2727,12 @@ object SparkEntry {
       // coordinates in the |lat|<=60 band, customers within 200 km of
       // a supplier via the 3x3 grid-cell EQUI-join (no cross join);
       // exact haversine filter vs the all-pairs oracle
-      def u(key: Column, salt: String): Column =
-        (conv(substring(md5(concat(key.cast("string"), lit(":" + salt))),
-          1, 13), 16, 10).cast("double") + 1.0) / 4503599627370498.0
       val c = t(s, d, "customer").select(col("c_custkey"),
-        (u(col("c_custkey"), "lat") * 120.0 - 60.0).as("c_lat"),
-        (u(col("c_custkey"), "lon") * 360.0 - 180.0).as("c_lon"))
+        (mdUniform(col("c_custkey"), "lat") * 120.0 - 60.0).as("c_lat"),
+        (mdUniform(col("c_custkey"), "lon") * 360.0 - 180.0).as("c_lon"))
       val sup = t(s, d, "supplier").select(col("s_suppkey"),
-        (u(col("s_suppkey"), "slat") * 120.0 - 60.0).as("s_lat"),
-        (u(col("s_suppkey"), "slon") * 360.0 - 180.0).as("s_lon"))
+        (mdUniform(col("s_suppkey"), "slat") * 120.0 - 60.0).as("s_lat"),
+        (mdUniform(col("s_suppkey"), "slon") * 360.0 - 180.0).as("s_lon"))
       graft.operators.Geo.radiusJoin(c, sup,
           "c_lat", "c_lon", "s_lat", "s_lon", 200.0)
         .select(col("c_custkey"), col("s_suppkey"),
@@ -2855,17 +2861,14 @@ object SparkEntry {
       // cell dedup — no cross join, no distinct; exact all-pairs
       // oracle. Day arithmetic from a fixed epoch so both engines
       // state identical integers.
-      def u(key: Column, salt: String): Column =
-        (conv(substring(md5(concat(key.cast("string"), lit(":" + salt))),
-          1, 13), 16, 10).cast("double") + 1.0) / 4503599627370498.0
       val o = t(s, d, "orders").select(col("o_orderkey"),
           datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
             .cast("long").as("o_start"))
         .withColumn("o_end", col("o_start") + 7L)
       val sup = t(s, d, "supplier").select(col("s_suppkey"),
-          (lit(1096L) + floor(u(col("s_suppkey"), "mstart") * 2300.0)
+          (lit(1096L) + floor(mdUniform(col("s_suppkey"), "mstart") * 2300.0)
             .cast("long")).as("m_start"),
-          (lit(1L) + floor(u(col("s_suppkey"), "mlen") * 29.0)
+          (lit(1L) + floor(mdUniform(col("s_suppkey"), "mlen") * 29.0)
             .cast("long")).as("m_len"))
         .withColumn("m_end", col("m_start") + col("m_len"))
         .drop("m_len")
@@ -2960,9 +2963,11 @@ object SparkEntry {
       // fertility >= 1. Gate failure drops the row.
       val docs = t(s, d, "documents")
       val v = graft.llm.WordPiece.seedVocab(docs, "text", 2000)
+      // single-char = one CODE POINT (the seedVocab/kernel unit), not
+      // one UTF-16 unit — a surrogate-pair char is still one "char"
+      def oneCp(s: String) = s.codePointCount(0, s.length) == 1
       val chars = graft.llm.WordPiece.Vocab(
-        v.init.filter(_.length == 1), v.cont.filter(_.length == 1),
-        v.maxPieceLen)
+        v.init.filter(oneCp), v.cont.filter(oneCp), v.maxPieceLen)
       val full = graft.llm.WordPiece.encodeStats(docs, "doc_id", "text", v)
         .agg(sum(col("n_words")).as("n_words"),
           sum(col("n_pieces")).as("pieces_full"),
@@ -2988,12 +2993,9 @@ object SparkEntry {
       // connectedComponents, borders take the smallest adjacent
       // cluster, noise stays null — fully deterministic, recursive-CTE
       // oracle
-      def u(key: Column, salt: String): Column =
-        (conv(substring(md5(concat(key.cast("string"), lit(":" + salt))),
-          1, 13), 16, 10).cast("double") + 1.0) / 4503599627370498.0
       val pts = t(s, d, "customer").select(col("c_custkey"),
-        ((u(col("c_custkey"), "dlat") * 120.0 - 60.0) * 0.3).as("lat"),
-        ((u(col("c_custkey"), "dlon") * 360.0 - 180.0) * 0.3).as("lon"))
+        ((mdUniform(col("c_custkey"), "dlat") * 120.0 - 60.0) * 0.3).as("lat"),
+        ((mdUniform(col("c_custkey"), "dlon") * 360.0 - 180.0) * 0.3).as("lon"))
       graft.operators.Geo.gridDbscan(pts, "lat", "lon", "c_custkey",
         cellDeg = 2.0, minPts = 3L)
     }),
@@ -7367,8 +7369,9 @@ object SparkEntry {
                 FROM cum GROUP BY qid),
          nrel AS (SELECT qid, count(*) AS nr FROM rels
                   WHERE rel > 0 GROUP BY qid),
-         perq AS (SELECT ap.qid, sump / least(nr, 10) AS apk
-                  FROM ap JOIN nrel ON ap.qid = nrel.qid)
+         perq AS (SELECT nrel.qid,
+                         coalesce(sump, 0.0) / least(nr, 10) AS apk
+                  FROM nrel LEFT JOIN ap ON ap.qid = nrel.qid)
          SELECT 10 AS k, CAST(count(*) AS BIGINT) AS n_queries,
                 round(avg(apk), 6) AS map_k
          FROM perq""",

@@ -1343,17 +1343,23 @@ object Multimodal {
             case None => Iterator.empty
             case Some(a) =>
               val frameN = math.max(1, a.sampleRate * frameMs / 1000)
-              val nFrames = a.samples.length / frameN
+              // CEILING division: the trailing partial frame counts —
+              // truncating it silently clipped any utterance ending in
+              // the last <frameMs of a file (and dropped sub-frame
+              // clips entirely); its RMS runs over the samples it has
+              val nFrames = (a.samples.length + frameN - 1) / frameN
               val rms = new Array[Double](nFrames)
               var f = 0
               while (f < nFrames) {
                 var acc = 0.0
                 var i = f * frameN
-                val end = i + frameN
+                val end = math.min(i + frameN, a.samples.length)
+                val width = end - i
                 while (i < end) {
                   acc += a.samples(i).toDouble * a.samples(i); i += 1
                 }
-                rms(f) = math.sqrt(acc / frameN)
+                rms(f) = if (width == 0) 0.0
+                  else math.sqrt(acc / width)
                 f += 1
               }
               // merge active runs, bridging short silent gaps

@@ -298,9 +298,14 @@ object Relevance {
         .as("__sumP"))
     val nrel = rels.filter(col("rel") > 0)
       .groupBy(col("qid")).agg(count(lit(1)).as("__nr"))
-    ap.join(nrel, Seq("qid"))
+    // nrel is the spine: a query WITH relevant docs but NO ranked rows
+    // (the system returned nothing) must score AP = 0 and count toward
+    // the mean — an inner join would silently reward empty result
+    // lists by dropping the query
+    nrel.join(ap, Seq("qid"), "left")
       .select(col("qid"),
-        (col("__sumP") / least(col("__nr"), lit(k.toLong))).as("__ap"))
+        (coalesce(col("__sumP"), lit(0.0)) /
+          least(col("__nr"), lit(k.toLong))).as("__ap"))
       .agg(count(lit(1)).as("n_queries"),
         round(avg(col("__ap")), scale).as("map_k"))
       .select(lit(k).as("k"), col("n_queries"), col("map_k"))

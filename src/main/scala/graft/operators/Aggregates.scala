@@ -2265,9 +2265,15 @@ object Aggregates {
       alpha: Double, scale: Int = 6): DataFrame = {
     require(alpha > 0.0 && alpha < 1.0, "alpha in (0,1)")
     val m = broadcast(tests.agg(count(lit(1)).as("__m")))
+    // nulls rank LAST: a degenerate test with no p-value must neither
+    // soak up rank 1 (Spark ASC defaults NULLS FIRST; the oracle
+    // engine defaults NULLS LAST — silent cross-engine divergence) nor
+    // shift real ranks; ranked after everything, its crit comparison
+    // is null, so it can never pass nor move the step-up cutoff
     val ranked = tests.crossJoin(m)
       .withColumn("p_rank",
-        row_number().over(Window.orderBy(col(pCol), col(keyCol))))
+        row_number().over(
+          Window.orderBy(col(pCol).asc_nulls_last, col(keyCol))))
       .withColumn("bh_crit",
         round(col("p_rank") * lit(alpha) / col("__m"), scale))
     val cutoff = broadcast(ranked.agg(

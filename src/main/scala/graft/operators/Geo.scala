@@ -15,6 +15,11 @@ object Geo {
   /** Mean Earth radius (km), the haversine convention. */
   val EarthRadiusKm = 6371.0
 
+  /** The 3x3 neighbor stencil shared by every grid operator here. */
+  private def offsets9: Column =
+    array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+
   /** Great-circle distance in km (haversine form — numerically stable
     * for the small distances a radius join filters on, where the
     * spherical law of cosines loses all precision). Formula is kept in
@@ -72,14 +77,18 @@ object Geo {
     // radius => adjacent ring cells" true even at the seam; a thin
     // remainder cell would break that with a 2-step straddle.
     val nLon = math.max(1L, (360.0 / cellDeg).toLong)
+    // below 3 ring cells the dx=-1 and dx=+1 replicas collapse onto
+    // the same pmod cell and matching pairs join TWICE — reject the
+    // planet-scale radius loudly (radius joins are local by nature)
+    require(nLon >= 3L,
+      s"radius ${radiusKm}km needs ring cells > 120deg — use a cross join")
     val lonCell = 360.0 / nLon
     def lonIdx(lon: Column): Column =
       pmod(floor((lon + 180.0) / lonCell), lit(nLon))
     val ga = guard(a, latA)
       .withColumn("__cx", lonIdx(col(lonA)))
       .withColumn("__cy", floor(col(latA) / cellDeg))
-    val off = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
-      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+    val off = offsets9
     val gb = guard(b, latB)
       .withColumn("__o", explode(off))
       .withColumn("__cx", pmod(lonIdx(col(lonB)) + col("__o.dx"), lit(nLon)))
@@ -107,10 +116,14 @@ object Geo {
     * shipping (exact eps-neighborhoods need a pair join; cells make
     * density a HASH AGGREGATE): clusters separated by more than one
     * empty cell are exact, sub-cell structure is merged — pick
-    * cellDeg ~ the eps you mean. Scale shape: one count aggregate
-    * over points, everything else runs on the CELL frame (bounded by
-    * occupied-cell count, not rows); the point labeling is one
-    * broadcast-sized join back. */
+    * cellDeg ~ the eps you mean. KNOWN LIMIT (unlike [[radiusJoin]]'s
+    * modular ring, and mirrored in the oracle): longitude cells do NOT
+    * wrap at ±180°, so a cluster straddling the antimeridian splits in
+    * two — rotate the frame first if your data lives there.
+    *
+    * Scale shape: one count aggregate over points, everything else
+    * runs on the CELL frame (bounded by occupied-cell count, not
+    * rows); the point labeling is one broadcast-sized join back. */
   def gridDbscan(df: DataFrame, latCol: String, lonCol: String,
       idCol: String, cellDeg: Double, minPts: Long,
       driverGate: Long = 200000L): DataFrame = {
@@ -170,9 +183,7 @@ object Geo {
         import df.sparkSession.implicits._
         broadcast(label.toSeq.toDF("__cell", "__cluster"))
       } else {
-        val off9 = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
-          struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
-        val nbrs = core.withColumn("__o", explode(off9))
+        val nbrs = core.withColumn("__o", explode(offsets9))
           .select(col("__cell"),
             (col("__cell") + col("__o.dx") * enc + col("__o.dy"))
               .as("__cell2"))
@@ -185,8 +196,7 @@ object Geo {
           .select(col("id").as("__cell"),
             col("component_id").as("__cluster"))
       }
-    val off = array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
-      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))): _*)
+    val off = offsets9
     val corePts = pts.join(cellCluster, Seq("__cell"))
       .select(col(idCol), col("__cluster").as("cluster"))
     val borderPts = pts.join(cellCluster, Seq("__cell"), "left_anti")

@@ -22,25 +22,35 @@ object WordPieceUtil {
   /** Piece count of one word under greedy longest-match-first; -1 when
     * some position has NO matching piece (the whole word becomes one
     * [UNK] token, the BERT convention). `init` holds word-initial
-    * pieces, `cont` the "##" continuations (stored WITHOUT the marker). */
+    * pieces, `cont` the "##" continuations (stored WITHOUT the marker).
+    *
+    * Positions and `maxPieceLen` are CODE POINTS, not UTF-16 units —
+    * [[graft.llm.WordPiece.seedVocab]] harvests pieces with Spark's
+    * substring/length, which count code points, so the kernel must
+    * slice on the same boundaries or supplementary-plane chars (emoji,
+    * CJK extensions) would produce half-surrogate pieces the vocab can
+    * never contain. */
   def pieces(w: String, init: scala.collection.Set[String],
       cont: scala.collection.Set[String], maxPieceLen: Int): Int = {
-    val len = w.length
-    var pos = 0
+    val cpLen = w.codePointCount(0, w.length)
+    var posCp = 0
+    var posIdx = 0 // UTF-16 index of posCp
     var first = true
     var n = 0
-    while (pos < len) {
-      var end = math.min(len, pos + maxPieceLen)
+    while (posCp < cpLen) {
+      var endCp = math.min(cpLen, posCp + maxPieceLen)
       var found = -1
-      while (end > pos && found < 0) {
-        val sub = w.substring(pos, end)
+      while (endCp > posCp && found < 0) {
+        val endIdx = w.offsetByCodePoints(posIdx, endCp - posCp)
+        val sub = w.substring(posIdx, endIdx)
         if (if (first) init.contains(sub) else cont.contains(sub))
-          found = end
-        else end -= 1
+          found = endIdx
+        else endCp -= 1
       }
       if (found < 0) return -1
       n += 1
-      pos = found
+      posCp = endCp
+      posIdx = found
       first = false
     }
     n

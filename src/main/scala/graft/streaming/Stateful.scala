@@ -189,6 +189,10 @@ object Stateful {
             state.update(st)
             if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
               state.setTimeoutDuration(timeoutMs)
+            else if (timeout == GroupStateTimeout.EventTimeTimeout)
+              state.setTimeoutTimestamp(
+                math.max(st.lastTs + timeoutMs,
+                  state.getCurrentWatermarkMs() + 1))
             out.iterator
           }
       }

@@ -718,6 +718,21 @@ class EtlMultimodalSpec extends SparkSpec {
     rms.foreach(v => assert(math.abs(v - 10000.0 / 32768.0) < 1e-6))
   }
 
+  test("vadSegments: a loud sub-frame clip still yields a segment") {
+    // 150 samples at 8 kHz < one 20 ms frame (160): the trailing
+    // partial frame must count (a floor division dropped it entirely)
+    val clip = Seq.tabulate(150)(i =>
+      (if (i % 2 == 0) 12000 else -12000).toShort)
+    val media = spark.createDataFrame(
+      java.util.List.of(Row(1L, wavFixture(clip))),
+      StructType(Seq(StructField("media_id", LongType),
+        StructField("payload", BinaryType))))
+    val segs = Multimodal.vadSegments(media).collect()
+    assert(segs.length == 1)
+    assert(segs.head.getInt(3) == 1) // one (partial) frame
+    assert(math.abs(segs.head.getDouble(4) - 12000.0 / 32768.0) < 1e-6)
+  }
+
   // ---- TIFF prober ----
 
   /** Minimal TIFF: header + one IFD with (tag, SHORT/LONG, value)

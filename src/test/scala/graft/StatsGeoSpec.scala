@@ -79,6 +79,20 @@ class StatsGeoSpec extends SparkSpec {
       .filter(col("significant")).count() == 0L)
   }
 
+  test("bhFdr: null p-values rank LAST and can never pass") {
+    // a degenerate test (null p from zTestVsRest's guards) must not
+    // soak up rank 1 — that would shift every real crit and could
+    // declare the untestable hypothesis significant
+    val tests = Seq(("a", Some(0.01)), ("b", None), ("c", Some(0.9)))
+      .toDF("k", "p_value")
+    val r = Aggregates.bhFdr(tests, "p_value", "k", 0.05).collect()
+      .map(x => x.getString(0) -> (x.getAs[Int]("p_rank"),
+        x.getAs[Boolean]("significant"))).toMap
+    assert(r("a") == ((1, true))) // 0.01 <= 1*0.05/3
+    assert(r("b")._1 == 3 && !r("b")._2) // null ranks last, never passes
+    assert(!r("c")._2)
+  }
+
   // ---- Jaro-Winkler ----
 
   test("jaroWinkler pinned against the oracle engine's outputs") {

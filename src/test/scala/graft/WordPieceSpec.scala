@@ -60,6 +60,32 @@ class WordPieceSpec extends SparkSpec {
     }
   }
 
+  test("code-point semantics: supplementary-plane chars never split") {
+    // U+1F600 is a surrogate pair in UTF-16; the kernel must slice on
+    // code points (the seedVocab unit) — a UTF-16 walk would try a
+    // lone-surrogate piece the vocab can't contain
+    val smile = new String(Character.toChars(0x1F600))
+    val docs = Seq((1L, s"ab${smile}cd ab xy${smile}"))
+      .toDF("doc_id", "text")
+    val v = WordPiece.seedVocab(docs, "text", 100)
+    assert(v.init.exists(p => p.codePointCount(0, p.length) == 1 &&
+      p.codePointAt(0) == 0x1F600) ||
+      v.cont.exists(p => p.codePointCount(0, p.length) == 1 &&
+        p.codePointAt(0) == 0x1F600))
+    val r = WordPiece.encodeStats(docs, "doc_id", "text", v)
+      .collect().head
+    assert(r.getAs[Long]("n_unk") == 0L)
+    // chars-only vocab (code-point singletons) also covers it
+    def oneCp(s: String) = s.codePointCount(0, s.length) == 1
+    val chars = WordPiece.Vocab(v.init.filter(oneCp),
+      v.cont.filter(oneCp), v.maxPieceLen)
+    val rc = WordPiece.encodeStats(docs, "doc_id", "text", chars)
+      .collect().head
+    assert(rc.getAs[Long]("n_unk") == 0L)
+    // "ab<smile>cd" = 5 code points -> 5 pieces under chars-only
+    assert(WordPiece.greedyPieces(s"ab${smile}cd", chars) == 5)
+  }
+
   test("seedVocab: single chars always retained -> zero UNK on corpus") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"))
       .toDF("doc_id", "text")
@@ -75,8 +101,9 @@ class WordPieceSpec extends SparkSpec {
       (i.toLong, s"token$i repeated token$i structure common words"))
       .toDF("doc_id", "text")
     val big = WordPiece.seedVocab(docs, "text", 2000)
-    val chars = WordPiece.Vocab(big.init.filter(_.length == 1),
-      big.cont.filter(_.length == 1), big.maxPieceLen)
+    def oneCp(s: String) = s.codePointCount(0, s.length) == 1
+    val chars = WordPiece.Vocab(big.init.filter(oneCp),
+      big.cont.filter(oneCp), big.maxPieceLen)
     def total(v: WordPiece.Vocab) =
       WordPiece.encodeStats(docs, "doc_id", "text", v)
         .agg(sum(col("n_pieces"))).collect().head.getLong(0)
