@@ -1953,11 +1953,12 @@ object SparkEntry {
 
     "q_nelson_aalen" -> ((s, d) =>
       // cumulative-hazard companion to q_kaplan_meier over the same
-      // risk table: H(t) = sum d/n, survival exp(-H) — the running
-      // sum is t-ordered so both engines add identical terms in
-      // identical order
-      graft.operators.Sessions.nelsonAalen(t(s, d, "events"),
-        "user_id", "ts", 3)),
+      // time-to-first-purchase risk table: H(t) = sum d/n, survival
+      // exp(-H) — the running sum is t-ordered so both engines add
+      // identical terms in identical order
+      graft.operators.Sessions.nelsonAalenToEvent(t(s, d, "events"),
+        "user_id", "ts", col("event_type") === "purchase",
+        horizonDays = 3)),
 
     "q_theil_sen" -> ((s, d) =>
       // robust trend of daily order revenue: median pairwise slope —
@@ -2242,11 +2243,13 @@ object SparkEntry {
     }),
 
     "q_kaplan_meier" -> ((s, d) =>
-      // product-limit retention curve over user activity lifetimes;
-      // users last seen within 3 days of corpus end are censored,
-      // not counted as churn
-      graft.operators.Sessions.kaplanMeier(t(s, d, "events"),
-        "user_id", "ts", censorDays = 3)),
+      // product-limit time-to-first-purchase curve under a 3-day
+      // fixed follow-up: users converting within 3 days of their
+      // first event are events, the rest administratively censored
+      // at the horizon — a genuine event/censor mix at every SF
+      graft.operators.Sessions.kaplanMeierToEvent(t(s, d, "events"),
+        "user_id", "ts", col("event_type") === "purchase",
+        horizonDays = 3)),
 
     "q_dedup_profile" -> ((s, d) => {
       // dedup observability: cluster-size histogram of exact duplicate
@@ -5308,13 +5311,19 @@ object SparkEntry {
          FROM detr JOIN pm USING (phase) CROSS JOIN ctr""",
 
     "q_nelson_aalen" ->
-      """WITH mx AS (SELECT max(ts) AS m FROM events),
-         u AS (SELECT user_id, min(ts) AS f, max(ts) AS l
-               FROM events GROUP BY 1),
+      """WITH u AS (
+           SELECT user_id, min(ts) AS f,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END)
+                    AS fp
+           FROM events GROUP BY 1),
          lab AS (
-           SELECT CAST(CAST(l AS DATE) - CAST(f AS DATE) AS INT) AS t,
-                  CASE WHEN l < (SELECT m FROM mx) - INTERVAL 3 DAY
-                    THEN 1 ELSE 0 END AS churn
+           SELECT CASE WHEN fp IS NOT NULL AND
+                    CAST(CAST(fp AS DATE) - CAST(f AS DATE) AS INT) <= 3
+                  THEN CAST(CAST(fp AS DATE) - CAST(f AS DATE) AS INT)
+                  ELSE 3 END AS t,
+                  CASE WHEN fp IS NOT NULL AND
+                    CAST(CAST(fp AS DATE) - CAST(f AS DATE) AS INT) <= 3
+                  THEN 1 ELSE 0 END AS churn
            FROM u),
          g AS (
            SELECT t, CAST(sum(churn) AS BIGINT) AS n_events,
@@ -5322,10 +5331,10 @@ object SparkEntry {
            FROM lab GROUP BY 1),
          r AS (
            SELECT t, n_events, n_censored,
-                  (SELECT count(*) FROM lab) -
+                  CAST((SELECT count(*) FROM lab) -
                     coalesce(sum(n_events + n_censored) OVER (ORDER BY t
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                      0) AS n_risk
+                      0) AS BIGINT) AS n_risk
            FROM g)
          SELECT t AS lifetime_days, n_risk, n_events, n_censored,
                 round(sum(CAST(n_events AS DOUBLE) / n_risk) OVER w, 6)
@@ -5952,7 +5961,8 @@ object SparkEntry {
            SELECT quantile_cont(value,
              [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS q
            FROM events WHERE event_type = 'purchase')
-         SELECT p, round(a, 6) AS q_a, round(b, 6) AS q_b,
+         SELECT CAST(p AS DOUBLE) AS p, round(a, 6) AS q_a,
+                round(b, 6) AS q_b,
                 round(b - a, 6) AS shift
          FROM (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5,
                               0.6, 0.7, 0.8, 0.9]) AS p,
@@ -5960,13 +5970,19 @@ object SparkEntry {
                       unnest((SELECT q FROM qb)) AS b)""",
 
     "q_kaplan_meier" ->
-      """WITH mx AS (SELECT max(ts) AS m FROM events),
-         u AS (SELECT user_id, min(ts) AS f, max(ts) AS l
-               FROM events GROUP BY 1),
+      """WITH u AS (
+           SELECT user_id, min(ts) AS f,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END)
+                    AS fp
+           FROM events GROUP BY 1),
          lab AS (
-           SELECT CAST(CAST(l AS DATE) - CAST(f AS DATE) AS INT) AS t,
-                  CASE WHEN l < (SELECT m FROM mx) - INTERVAL 3 DAY
-                    THEN 1 ELSE 0 END AS churn
+           SELECT CASE WHEN fp IS NOT NULL AND
+                    CAST(CAST(fp AS DATE) - CAST(f AS DATE) AS INT) <= 3
+                  THEN CAST(CAST(fp AS DATE) - CAST(f AS DATE) AS INT)
+                  ELSE 3 END AS t,
+                  CASE WHEN fp IS NOT NULL AND
+                    CAST(CAST(fp AS DATE) - CAST(f AS DATE) AS INT) <= 3
+                  THEN 1 ELSE 0 END AS churn
            FROM u),
          g AS (
            SELECT t, CAST(sum(churn) AS BIGINT) AS n_events,
@@ -5974,10 +5990,10 @@ object SparkEntry {
            FROM lab GROUP BY 1),
          r AS (
            SELECT t, n_events, n_censored,
-                  (SELECT count(*) FROM lab) -
+                  CAST((SELECT count(*) FROM lab) -
                     coalesce(sum(n_events + n_censored) OVER (ORDER BY t
                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                      0) AS n_risk
+                      0) AS BIGINT) AS n_risk
            FROM g),
          s AS (
            SELECT t, n_risk, n_events, n_censored,

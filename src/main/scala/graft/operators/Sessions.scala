@@ -315,19 +315,49 @@ object Sessions {
       .agg(max(col("__len")).as("max_streak"))
   }
 
-  /** Shared survival risk table for [[kaplanMeier]] / [[nelsonAalen]]:
-    * per lifetime-day (t, n_events, n_censored, n_risk) from each
-    * key's (first, last) activity span with right-censoring inside
-    * `censorDays` of the corpus horizon. */
-  private def riskTable(df: DataFrame, key: String, ts: String,
+  /** Per-key activity-lifetime survival labels: lifetime = calendar
+    * days between a key's first and last event; keys last seen within
+    * `censorDays` of the corpus horizon are right-CENSORED (still
+    * alive), everyone else churned at their last day. Output:
+    * one (t, __churn) row per key. */
+  private def activityLabels(df: DataFrame, key: String, ts: String,
       censorDays: Int): DataFrame = {
     val mx = broadcast(df.agg(max(col(ts)).as("__mx")))
     val u = df.groupBy(col(key))
       .agg(min(col(ts)).as("__fst"), max(col(ts)).as("__lst"))
-    val lab = u.crossJoin(mx).select(
+    u.crossJoin(mx).select(
       datediff(to_date(col("__lst")), to_date(col("__fst"))).as("t"),
       when(col("__lst") < col("__mx") -
         expr(s"INTERVAL $censorDays DAYS"), 1).otherwise(0).as("__churn"))
+  }
+
+  /** Fixed-follow-up time-to-event survival labels: each key enters
+    * the study at its FIRST event and is followed for at most
+    * `horizonDays` calendar days; if its first `isEvent` row falls
+    * inside the window the key is an EVENT at t = days(entry → event),
+    * otherwise it is right-censored at t = `horizonDays` — the classic
+    * administrative-censoring design (time-to-first-purchase,
+    * time-to-activation). Unlike [[activityLabels]] this framing
+    * yields a genuine event/censor mix on corpora where every key
+    * stays active to the horizon. Output: one (t, __churn) row per
+    * key. */
+  private def followUpLabels(df: DataFrame, key: String, ts: String,
+      isEvent: Column, horizonDays: Int): DataFrame = {
+    val u = df.groupBy(col(key))
+      .agg(min(col(ts)).as("__fst"),
+        min(when(isEvent, col(ts))).as("__evt"))
+    val tEvt = datediff(to_date(col("__evt")), to_date(col("__fst")))
+    val hit = col("__evt").isNotNull && tEvt <= lit(horizonDays)
+    u.select(
+      when(hit, tEvt).otherwise(lit(horizonDays)).as("t"),
+      when(hit, 1).otherwise(0).as("__churn"))
+  }
+
+  /** Shared survival risk table for [[kaplanMeier]] / [[nelsonAalen]]:
+    * collapse per-key (t, __churn) labels to the lifetime-day frame
+    * (t, n_events, n_censored, n_risk). The at-risk walk is a window
+    * over that bounded frame (|distinct t| rows, days not keys). */
+  private def riskTable(lab: DataFrame): DataFrame = {
     val g = lab.groupBy(col("t"))
       .agg(sum(col("__churn")).cast("long").as("n_events"),
         sum(lit(1) - col("__churn")).cast("long").as("n_censored"))
@@ -341,18 +371,12 @@ object Sessions {
       .drop("__N")
   }
 
-  /** Nelson–Aalen cumulative hazard over the same activity-lifetime
-    * frame as [[kaplanMeier]]: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ, plus the
-    * Fleming–Harrington survival exp(−H). The hazard ACCUMULATES where
-    * KM multiplies — better-behaved in small risk sets, and its
-    * increments are the per-day hazard rates a churn model consumes.
-    * The running sum is window-ordered by t, so both engines add the
-    * identical terms in the identical order. */
-  def nelsonAalen(df: DataFrame, key: String, ts: String,
-      censorDays: Int = 3, scale: Int = 6): DataFrame = {
+  /** Nelson–Aalen columns over a risk table: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ
+    * plus the Fleming–Harrington survival exp(−H). */
+  private def naCurve(risk: DataFrame, scale: Int): DataFrame = {
     val wCum = Window.orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    riskTable(df, key, ts, censorDays)
+    risk
       .withColumn("cum_hazard",
         round(sum(col("n_events").cast("double") / col("n_risk"))
           .over(wCum), scale))
@@ -363,6 +387,45 @@ object Sessions {
         col("n_events"), col("n_censored"), col("cum_hazard"),
         col("na_survival"))
   }
+
+  /** Kaplan-Meier product-limit columns over a risk table. The product
+    * is exp∘sum∘ln — associative, so it distributes — with the d=n
+    * terminal point (survival exactly 0) handled by an explicit flag
+    * because ln(0) is engine-divergent (null in Spark, -inf in
+    * DuckDB). */
+  private def kmCurve(risk: DataFrame, scale: Int): DataFrame = {
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk
+      .withColumn("__f",
+        lit(1.0) - col("n_events").cast("double") / col("n_risk"))
+      .withColumn("__zero",
+        max(when(col("__f") === 0.0, 1).otherwise(0)).over(wCum))
+      .withColumn("survival", round(when(col("__zero") === 1, 0.0)
+        .otherwise(exp(sum(when(col("__f") > 0.0, log(col("__f")))
+          .otherwise(0.0)).over(wCum))), scale))
+      .select(col("t").as("lifetime_days"), col("n_risk"),
+        col("n_events"), col("n_censored"), col("survival"))
+  }
+
+  /** Nelson–Aalen cumulative hazard over the same activity-lifetime
+    * frame as [[kaplanMeier]]: H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ, plus the
+    * Fleming–Harrington survival exp(−H). The hazard ACCUMULATES where
+    * KM multiplies — better-behaved in small risk sets, and its
+    * increments are the per-day hazard rates a churn model consumes.
+    * The running sum is window-ordered by t, so both engines add the
+    * identical terms in the identical order. */
+  def nelsonAalen(df: DataFrame, key: String, ts: String,
+      censorDays: Int = 3, scale: Int = 6): DataFrame =
+    naCurve(riskTable(activityLabels(df, key, ts, censorDays)), scale)
+
+  /** Nelson–Aalen hazard under the fixed-follow-up framing of
+    * [[kaplanMeierToEvent]]: H(t) increments are the per-day
+    * conversion hazards a propensity model consumes. */
+  def nelsonAalenToEvent(df: DataFrame, key: String, ts: String,
+      isEvent: Column, horizonDays: Int = 3, scale: Int = 6): DataFrame =
+    naCurve(riskTable(followUpLabels(df, key, ts, isEvent, horizonDays)),
+      scale)
 
   /** Kaplan-Meier survival estimate over per-key activity lifetimes:
     * lifetime = calendar days between a key's first and last event;
@@ -376,26 +439,24 @@ object Sessions {
     * Scale shape: the stream collapses to per-key (first, last) in
     * one aggregate, then to the LIFETIME-DAY-cardinality frame; the
     * at-risk walk, the zero-factor flag and the log-sum product all
-    * ride windows over that bounded frame. The product is
-    * exp∘sum∘ln — associative, so it distributes — with the d=n
-    * terminal point (survival exactly 0) handled by an explicit flag
-    * because ln(0) is engine-divergent (null in Spark, -inf in
-    * DuckDB). */
+    * ride windows over that bounded frame. */
   def kaplanMeier(df: DataFrame, key: String, ts: String,
-      censorDays: Int = 3, scale: Int = 6): DataFrame = {
-    val wCum = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    riskTable(df, key, ts, censorDays)
-      .withColumn("__f",
-        lit(1.0) - col("n_events").cast("double") / col("n_risk"))
-      .withColumn("__zero",
-        max(when(col("__f") === 0.0, 1).otherwise(0)).over(wCum))
-      .withColumn("survival", round(when(col("__zero") === 1, 0.0)
-        .otherwise(exp(sum(when(col("__f") > 0.0, log(col("__f")))
-          .otherwise(0.0)).over(wCum))), scale))
-      .select(col("t").as("lifetime_days"), col("n_risk"),
-        col("n_events"), col("n_censored"), col("survival"))
-  }
+      censorDays: Int = 3, scale: Int = 6): DataFrame =
+    kmCurve(riskTable(activityLabels(df, key, ts, censorDays)), scale)
+
+  /** Kaplan-Meier time-to-event curve under fixed follow-up: each key
+    * enters at its first event and either converts (its first
+    * `isEvent` row, within `horizonDays`) or is administratively
+    * censored at the horizon — the time-to-first-purchase /
+    * time-to-activation curve. Survival here reads "share of keys not
+    * yet converted by day t", so a value strictly between 0 and 1 at
+    * the horizon is the expected shape (and what the oracle fixture
+    * asserts — see q_kaplan_meier). Same bounded-frame scale shape as
+    * [[kaplanMeier]]. */
+  def kaplanMeierToEvent(df: DataFrame, key: String, ts: String,
+      isEvent: Column, horizonDays: Int = 3, scale: Int = 6): DataFrame =
+    kmCurve(riskTable(followUpLabels(df, key, ts, isEvent, horizonDays)),
+      scale)
 
   /** Marketing-style touch attribution: credit each conversion event's
     * value to the LAST and FIRST non-conversion touch preceding it in

@@ -796,6 +796,49 @@ class SessionsPiiSpec extends SparkSpec {
     assert(na(18) == na(1))
   }
 
+  test("kaplanMeierToEvent: fixed follow-up, event/censor mix, survival strictly in (0,1)") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // 5 users, event = 'buy', horizon 3 days after each user's entry:
+    //   1: enters d1, buys d1     -> event t=0
+    //   2: enters d1, buys d3     -> event t=2
+    //   3: enters d2, buys d10    -> beyond horizon, censored t=3
+    //   4: enters d5, never buys  -> censored t=3
+    //   5: enters d1, buys d2     -> event t=1
+    val df = Seq(
+      (1L, ts(1), "buy"), (2L, ts(1), "view"), (2L, ts(3), "buy"),
+      (3L, ts(2), "view"), (3L, ts(10), "buy"),
+      (4L, ts(5), "view"), (4L, ts(6), "view"),
+      (5L, ts(1), "view"), (5L, ts(2), "buy"))
+      .toDF("user_id", "t", "etype")
+    val out = Sessions.kaplanMeierToEvent(df, "user_id", "t",
+      $"etype" === "buy", horizonDays = 3)
+      .collect().map(r => r.getAs[Int]("lifetime_days") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("n_censored"), r.getAs[Double]("survival"))).toMap
+    // S(0)=4/5; S(1)=4/5*3/4=3/5; S(2)=3/5*2/3=2/5; t=3 all censored
+    assert(out(0) == (5L, 1L, 0L, 0.8), out.toString)
+    assert(out(1) == (4L, 1L, 0L, 0.6))
+    assert(out(2) == (3L, 1L, 0L, 0.4))
+    assert(out(3) == (2L, 0L, 2L, 0.4))
+    // the curve is genuinely exercised: survival strictly inside (0,1)
+    assert(out.values.exists(v => v._4 > 0.0 && v._4 < 1.0))
+    // Nelson-Aalen on the same labels: H(2) = 1/5 + 1/4 + 1/3
+    val na = Sessions.nelsonAalenToEvent(df, "user_id", "t",
+      $"etype" === "buy", horizonDays = 3)
+      .collect().map(r => r.getAs[Int]("lifetime_days") ->
+        r.getAs[Double]("cum_hazard")).toMap
+    assert(na(2) == math.rint((0.2 + 0.25 + 1.0 / 3) * 1e6) / 1e6)
+    assert(na(3) == na(2)) // censor-only row holds H
+    // d=n terminal: drop the censored users -> last risk set is all
+    // events and KM hits exactly 0 via the zero-factor flag
+    val all = Sessions.kaplanMeierToEvent(
+      df.filter($"user_id" =!= 3L && $"user_id" =!= 4L),
+      "user_id", "t", $"etype" === "buy", horizonDays = 3)
+      .collect().map(r => r.getAs[Int]("lifetime_days") ->
+        r.getAs[Double]("survival")).toMap
+    assert(all(2) == 0.0, all.toString)
+  }
+
   test("zorderBy preserves rows exactly (layout only)") {
     val rows = (0 until 1000).map(i => (i % 37, i % 53, i))
     val df = rows.toDF("a", "b", "v")

@@ -2,14 +2,54 @@
 """Local emulation of the driver's DuckDB-oracle compare.
 
 Usage: python3 tools/compare_oracle.py <verify_out_dir> <sf_dir>
+       python3 tools/compare_oracle.py --types-only <oracle_sql.json> <sf_dir>
 
 For each query dir under verify_out: load the Spark parquet result, run
 the matching oracle SQL from oracle_sql.json against views named after
 the test tables, sort columns by name, sort rows, compare cell-by-cell
 (floats to 1e-9 rel tolerance, timestamps/dates stringified).
+
+TYPE-FAITHFUL: the driver hashes TYPED values, so an oracle column that
+widens past what Spark can emit (DuckDB HUGEINT from windowed
+sum(BIGINT), DECIMAL from exact arithmetic) hash-mismatches even when
+every stringified cell is identical — the round-9 q_kaplan_meier /
+q_nelson_aalen miss. Every oracle result's dtypes are therefore
+asserted against the allowed scalar set; anything widened FAILS here
+before it fails at the driver. --types-only sweeps just the oracle SQL
+(no Spark run needed).
 """
 import sys, os, json, math
 import duckdb
+
+# Types Spark parquet output can carry; a DuckDB oracle emitting
+# anything else (HUGEINT, DECIMAL, UINTEGER, ...) cannot hash-match.
+ALLOWED_TYPES = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "FLOAT",
+                 "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN",
+                 "TIMESTAMP WITH TIME ZONE"}
+
+def bad_types(rel):
+    return [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+            if str(t) not in ALLOWED_TYPES]
+
+def types_only(oracle_path, sf_dir):
+    con = duckdb.connect()
+    for tname in ["region","nation","customer","supplier","part","orders",
+                  "lineitem","events","documents","embeddings"]:
+        con.execute(f"CREATE VIEW {tname} AS SELECT * FROM '{sf_dir}/{tname}.parquet'")
+    oracle = json.load(open(oracle_path))
+    n_bad = 0
+    for q, sql in sorted(oracle.items()):
+        try:
+            bad = bad_types(con.sql(sql))
+        except Exception as e:
+            print(f"FAIL {q}: oracle error: {e}")
+            n_bad += 1
+            continue
+        if bad:
+            print(f"FAIL {q}: widened dtypes {bad}")
+            n_bad += 1
+    print(f"== types-only sweep: {len(oracle)} oracles, {n_bad} widened ==")
+    sys.exit(1 if n_bad else 0)
 
 def norm_cell(v):
     if v is None:
@@ -26,6 +66,9 @@ def norm_rows(cols, rows):
     return sorted(cols), sorted(out)
 
 def main():
+    if sys.argv[1] == "--types-only":
+        types_only(sys.argv[2], sys.argv[3])
+        return
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for tname in ["region","nation","customer","supplier","part","orders",
@@ -45,9 +88,15 @@ def main():
             continue
         try:
             orel = con.sql(oracle[q])
+            bad = bad_types(orel)
             ocols, orows = orel.columns, orel.fetchall()
         except Exception as e:
             print(f"FAIL {q}: oracle error: {e}")
+            n_fail += 1
+            continue
+        if bad:
+            print(f"FAIL {q}: oracle emits widened dtypes {bad} "
+                  f"(typed hash cannot match Spark)")
             n_fail += 1
             continue
         sc, sr = norm_rows(scols, srows)
