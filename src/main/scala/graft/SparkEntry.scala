@@ -3033,24 +3033,16 @@ object SparkEntry {
       graft.llm.Pii.dpNoisyCounts(t(s, d, "events"), "event_type",
         epsilon = 1.0, salt = "dp9")),
 
-    "q_markov_attrib" -> ((s, d) => {
+    "q_markov_attrib" -> ((s, d) =>
       // path-aware Markov removal-effect attribution over purchase
-      // journeys. The absorbing-chain solve has no SQL form (matrix
-      // fixed point) — in-row gates pin it instead: shares sum to 1,
-      // effects sit in [0,1], and the full-graph conversion
-      // probability is positive. Gate failure drops rows.
-      val out = graft.operators.Sessions.markovAttribution(
+      // journeys, hash-checked via the graph family's fixed-round
+      // protocol: both engines run the SAME 3 absorbing-chain sweeps
+      // (the oracle unrolls them as materialized CTEs, like q_sssp),
+      // so every cell matches to the 6-digit round. The operator
+      // default stays 200 sweeps for converged production use.
+      graft.operators.Sessions.markovAttribution(
         t(s, d, "events"), "user_id", "ts", "event_type", "purchase",
-        Seq(col("event_id")))
-      val tot = broadcast(out.agg(
-        round(sum(col("share")), 4).as("share_sum")))
-      out.crossJoin(tot)
-        .withColumn("pass",
-          col("share_sum").between(0.999, 1.001) &&
-            col("removal_effect").between(0.0, 1.0) &&
-            col("conv_prob_full") > 0.0)
-        .filter(col("pass"))
-    }),
+        Seq(col("event_id")), iters = 3)),
 
     "q_naive_bayes" -> ((s, d) => {
       // from-first-principles multinomial naive Bayes: train on even
@@ -5343,6 +5335,111 @@ object SparkEntry {
                   OVER w), 6) AS na_survival
          FROM r WINDOW w AS (ORDER BY t
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
+    // fixed-round protocol (see q_sssp): both engines run the SAME 3
+    // absorbing-chain sweeps; the sweeps unroll as materialized CTEs
+    "q_markov_attrib" ->
+      """WITH tr0 AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN event_type = 'purchase' THEN '__CONV'
+                       ELSE event_type END AS state,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END)
+                    OVER (PARTITION BY user_id) AS cts
+           FROM events),
+         steps AS (
+           SELECT user_id, state,
+                  lead(state) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS nxt,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rn
+           FROM tr0 WHERE cts IS NULL OR ts <= cts),
+         trans AS MATERIALIZED (
+           SELECT src, dst, count(*) AS n FROM (
+             SELECT state AS src,
+                    coalesce(nxt, CASE WHEN state = '__CONV'
+                      THEN '__CONV' ELSE '__NULL' END) AS dst
+             FROM steps
+             UNION ALL
+             SELECT '__START', state FROM steps WHERE rn = 1)
+           WHERE src <> '__CONV'
+           GROUP BY 1, 2),
+         pm AS MATERIALIZED (
+           SELECT src, dst,
+                  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src)
+                    AS pr
+           FROM trans),
+         ch AS MATERIALIZED (
+           SELECT DISTINCT src AS c FROM trans WHERE src <> '__START'),
+         scen AS MATERIALIZED (
+           SELECT c AS removed FROM ch
+           UNION ALL SELECT CAST(NULL AS VARCHAR)),
+         st AS MATERIALIZED (
+           SELECT '__START' AS s UNION ALL SELECT c FROM ch),
+         v0 AS MATERIALIZED (
+           SELECT removed, s, CAST(0.0 AS DOUBLE) AS v
+           FROM scen CROSS JOIN st),
+         v1 AS MATERIALIZED (
+           SELECT x.removed, t.s,
+                  coalesce(sum(CASE
+                    WHEN x.removed IS NOT NULL AND t.s = x.removed
+                      THEN 0.0
+                    WHEN e.dst = '__CONV' THEN e.pr
+                    WHEN e.dst = '__NULL' THEN 0.0
+                    WHEN x.removed IS NOT NULL AND e.dst = x.removed
+                      THEN 0.0
+                    ELSE e.pr * v.v END), 0.0) AS v
+           FROM scen x CROSS JOIN st t
+           LEFT JOIN pm e ON e.src = t.s
+           LEFT JOIN v0 v ON v.removed IS NOT DISTINCT FROM x.removed
+             AND v.s = e.dst
+           GROUP BY 1, 2),
+         v2 AS MATERIALIZED (
+           SELECT x.removed, t.s,
+                  coalesce(sum(CASE
+                    WHEN x.removed IS NOT NULL AND t.s = x.removed
+                      THEN 0.0
+                    WHEN e.dst = '__CONV' THEN e.pr
+                    WHEN e.dst = '__NULL' THEN 0.0
+                    WHEN x.removed IS NOT NULL AND e.dst = x.removed
+                      THEN 0.0
+                    ELSE e.pr * v.v END), 0.0) AS v
+           FROM scen x CROSS JOIN st t
+           LEFT JOIN pm e ON e.src = t.s
+           LEFT JOIN v1 v ON v.removed IS NOT DISTINCT FROM x.removed
+             AND v.s = e.dst
+           GROUP BY 1, 2),
+         v3 AS MATERIALIZED (
+           SELECT x.removed, t.s,
+                  coalesce(sum(CASE
+                    WHEN x.removed IS NOT NULL AND t.s = x.removed
+                      THEN 0.0
+                    WHEN e.dst = '__CONV' THEN e.pr
+                    WHEN e.dst = '__NULL' THEN 0.0
+                    WHEN x.removed IS NOT NULL AND e.dst = x.removed
+                      THEN 0.0
+                    ELSE e.pr * v.v END), 0.0) AS v
+           FROM scen x CROSS JOIN st t
+           LEFT JOIN pm e ON e.src = t.s
+           LEFT JOIN v2 v ON v.removed IS NOT DISTINCT FROM x.removed
+             AND v.s = e.dst
+           GROUP BY 1, 2),
+         pf AS (SELECT v AS vfull FROM v3
+                WHERE removed IS NULL AND s = '__START'),
+         eff AS (
+           SELECT removed AS channel,
+                  CASE WHEN (SELECT vfull FROM pf) > 0
+                    THEN greatest(0.0,
+                      ((SELECT vfull FROM pf) - v) /
+                        (SELECT vfull FROM pf))
+                    ELSE 0.0 END AS e
+           FROM v3 WHERE removed IS NOT NULL AND s = '__START'),
+         tot AS (SELECT sum(e) AS te FROM eff)
+         SELECT channel,
+                round((SELECT vfull FROM pf), 6) AS conv_prob_full,
+                round(e, 6) AS removal_effect,
+                round(CASE WHEN te > 0 THEN e / te ELSE 0.0 END, 6)
+                  AS share
+         FROM eff CROSS JOIN tot""",
 
     "q_theil_sen" ->
       """WITH daily AS (

@@ -1782,29 +1782,40 @@ object Aggregates {
     * thresholds are exact in both engines, so the result is EXACT,
     * not rounded.
     *
-    * Scale shape: a low-cardinality group column (flags, segments)
-    * must NOT become one window partition per group — the per-group
-    * cumulative weight decomposes over (group, equi-width value
-    * bucket) windows plus a per-group BUCKETS-bounded weight-carry
-    * broadcast back (the [[gini]]/[[rfmSegments]] construction, keyed
-    * per group). Equal values share a bucket, and intra-tie order
-    * cannot change which value first crosses a threshold (every row
-    * of a tie run carries the same value), so no tie-break column is
-    * needed. Integral weights keep partial-sum + carry exact in
-    * doubles. All requested percentiles ride the one pass. */
+    * Scale shape: TWO decompositions stack. (1) The row stream first
+    * COLLAPSES to the (group, value, Σweight) distinct-value frame —
+    * exact weighted quantiles only need per-value weight mass, and
+    * distinct-value cardinality sits orders below the row count (the
+    * "collapse before the expensive op" pattern): the r9 100x probe
+    * ran per-(group,bucket) window sorts over all 60M rows, 42.5 s
+    * and a 48 g driver; the same probe over the value frame is
+    * sub-second at the default 8 g. (2) A low-cardinality group
+    * column (flags, segments) must still NOT become one window
+    * partition per group — the per-group cumulative weight
+    * decomposes over (group, equi-width value bucket) windows plus a
+    * per-group BUCKETS-bounded weight-carry broadcast back (the
+    * [[gini]]/[[rfmSegments]] construction, keyed per group). Equal
+    * values share one collapsed row, so no tie-break is needed.
+    * Integral weights keep partial-sum + carry exact in doubles. All
+    * requested percentiles ride the one pass. */
   def weightedPercentiles(df: DataFrame, keyCols: Seq[String],
       valueCol: String, weightCol: String,
       ps: Seq[Double] = Seq(0.25, 0.5, 0.75),
       buckets: Int = 1024): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0))
     val kc = keyCols.map(col)
+    // distinct-value collapse: one hash aggregate with map-side
+    // partials — everything downstream is value-cardinality, not
+    // row-cardinality
     val slim = df.select(kc :+ col(valueCol).cast("double").as("__v") :+
-      col(weightCol).cast("double").as("__w"): _*)
+        col(weightCol).cast("double").as("__w"): _*)
+      .groupBy(kc :+ col("__v"): _*)
+      .agg(sum(col("__w")).as("__w"))
     val mm = broadcast(slim.groupBy(kc: _*)
       .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"),
         sum(col("__w")).as("__tot")))
     val width = (col("__mx") - col("__mn")) / lit(buckets.toDouble)
-    // materialize the bucketed slim frame ONCE (lazy checkpoint): the
+    // materialize the bucketed value frame ONCE (lazy checkpoint): the
     // cumulative window and the carry aggregate both consume it, and
     // without the lineage cut each consumer re-derives the fact scan —
     // measured 8 parquet scans of lineitem in the executed plan vs 2

@@ -545,41 +545,62 @@ object Graph {
     * produce the SAME output — which is what makes a fixed-R
     * unrolled SQL oracle exact regardless of where convergence lands.
     *
-    * Scale shape: per round one map-side-combined degree count plus
-    * two semi-joins on id-width pairs — no node ever sees more than
-    * its neighborhood, no global sort. Each round localCheckpoints
+    * Scale shape (round-10 fusion): edges live CANONICALLY (lo, hi)
+    * — half the symmetric frame — and each round costs ONE map-side-
+    * combined degree aggregate over the exploded endpoints; the peel
+    * itself anti-joins against the BAD set (nodes below k this
+    * round), which is exactly the shrinking frontier, so it
+    * broadcasts and adds no exchange (size-gated: a degenerate first
+    * round that peels millions falls back to shuffle anti-joins,
+    * still no worse than the old two-semi-join plan). The r9 plan
+    * spent three exchanges per round (degree groupBy + two semi-
+    * joins against the LARGE keep set). Each round localCheckpoints
     * (same discipline as [[labelPropagation]]) so the loop's lineage
-    * stays flat; superseded rounds release eagerly. */
+    * stays flat; superseded rounds release eagerly; the loop exits
+    * as soon as a round peels nothing. */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
     require(k >= 1 && rounds >= 1)
-    var live = edges.select(col("id_a"), col("id_b"))
-      .union(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    // nodes peeled this round stay broadcastable below the gate;
+    // above it the anti-joins shuffle (degenerate mass-peel rounds)
+    val broadcastGate = 5000000L
+    var live = edges
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
       .filter(col("id_a") =!= col("id_b"))
       .distinct()
       .localCheckpoint(true)
-    var nEdges = live.count()
-    var done = nEdges == 0L
+    var done = live.isEmpty
     var r = 0
     while (!done && r < rounds) {
-      val keep = live.groupBy(col("id_a").as("__id"))
-        .agg(count(lit(1)).as("__deg"))
-        .filter(col("__deg") >= k)
+      val bad = live
+        .select(explode(array(col("id_a"), col("id_b"))).as("__id"))
+        .groupBy(col("__id")).agg(count(lit(1)).as("__deg"))
+        .filter(col("__deg") < k)
         .select(col("__id"))
-      val next = live
-        .join(keep.select(col("__id").as("id_a")), Seq("id_a"), "left_semi")
-        .join(keep.select(col("__id").as("id_b")), Seq("id_b"), "left_semi")
-        .select(col("id_a"), col("id_b"))
         .localCheckpoint(true)
-      val n = next.count()
-      org.apache.spark.sql.graft.Bridge.releaseFrame(live)
-      live = next
-      done = n == nEdges || n == 0L
-      nEdges = n
-      r += 1
+      val nBad = bad.count()
+      if (nBad == 0L) {
+        org.apache.spark.sql.graft.Bridge.releaseFrame(bad)
+        done = true
+      } else {
+        val badA = bad.select(col("__id").as("id_a"))
+        val badB = bad.select(col("__id").as("id_b"))
+        val (ja, jb) =
+          if (nBad <= broadcastGate) (broadcast(badA), broadcast(badB))
+          else (badA, badB)
+        val next = live
+          .join(ja, Seq("id_a"), "left_anti")
+          .join(jb, Seq("id_b"), "left_anti")
+          .localCheckpoint(true)
+        org.apache.spark.sql.graft.Bridge.releaseFrame(live)
+        org.apache.spark.sql.graft.Bridge.releaseFrame(bad)
+        live = next
+        done = live.isEmpty
+        r += 1
+      }
     }
-    val out = live.groupBy(col("id_a").as("id"))
-      .agg(count(lit(1)).as("core_degree"))
-    out
+    live.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("core_degree"))
   }
 
   /** Multi-source BFS hop distance: every node's distance (in hops)

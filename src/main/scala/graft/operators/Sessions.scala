@@ -886,9 +886,12 @@ object Sessions {
         .select(lit("__START").as("src"), col("__state").as("dst")))
       .filter(col("src") =!= "__CONV") // absorbing; self-loop implied
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
-    // bounded collect: |channels + START|^2 rows at most
+    // bounded collect: |channels + START|^2 rows at most; sorted so
+    // the per-state float sums add in a deterministic (src, dst)
+    // order — the cross-engine fixed-round oracle adds the same terms
     val rows = trans.collect().map(r =>
       (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
     val outTot = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     val p = rows.map { case (s, d, n) => (s, d) -> n.toDouble / outTot(s) }
       .toMap

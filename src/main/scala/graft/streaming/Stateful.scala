@@ -144,6 +144,72 @@ object Stateful {
       }
   }
 
+  case class TouchEvent(key: String, timestamp: Long, eventType: String,
+      value: Double, tie: Long = 0L)
+  case class TouchState(first: Option[String], last: Option[String],
+      maxTs: Long = Long.MinValue)
+  case class TouchOut(key: String, timestamp: Long, model: String,
+      channel: String, value: Double)
+
+  /** Streaming twin of [[graft.operators.Sessions.touchAttribution]]:
+    * per-key state is the (first, last) non-conversion touch seen so
+    * far — two strings, O(1) per key. Each conversion event emits TWO
+    * attribution rows (model = last_touch / first_touch, channel =
+    * the carried touch or `direct` when none), exactly the rows the
+    * batch operator's stack() produces BEFORE its channel aggregate —
+    * so `out.groupBy(model, channel).agg(count, sum(value))` equals
+    * the batch output on an in-order replay (StatefulSpec asserts
+    * it). Conversions do not update the touches (they are not touches
+    * in the batch window either), so consecutive conversions credit
+    * the same carried pair.
+    *
+    * Arrival order within a micro-batch is not guaranteed — rows sort
+    * by (timestamp, tie) before folding, mirroring the batch
+    * operator's (ts, tieBreak) window order; across batches the
+    * stream must deliver in event order (the carried touch pair is
+    * order-defined). Same timeout contract as [[ewmaPerSymbol]]. */
+  def touchAttributionStream(events: Dataset[TouchEvent],
+      convType: String,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      timeoutMs: Long = 600000L): Dataset[TouchOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[TouchState, TouchOut](
+        OutputMode.Append(), timeout) {
+        case (key, rows, state: GroupState[TouchState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.timestamp, e.tie))
+            var st = state.getOption.getOrElse(TouchState(None, None))
+            val out = Seq.newBuilder[TouchOut]
+            sorted.foreach { e =>
+              val ts = math.max(st.maxTs, e.timestamp)
+              if (e.eventType == convType) {
+                out += TouchOut(key, e.timestamp, "last_touch",
+                  st.last.getOrElse("direct"), e.value)
+                out += TouchOut(key, e.timestamp, "first_touch",
+                  st.first.getOrElse("direct"), e.value)
+                st = st.copy(maxTs = ts)
+              } else {
+                st = TouchState(st.first.orElse(Some(e.eventType)),
+                  Some(e.eventType), ts)
+              }
+            }
+            state.update(st)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration(timeoutMs)
+            else if (timeout == GroupStateTimeout.EventTimeTimeout)
+              state.setTimeoutTimestamp(
+                math.max(st.maxTs + timeoutMs,
+                  state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   case class DecayEvent(key: String, timestamp: Long, weight: Double)
   case class DecayState(mass: Double, lastTs: Long, n: Long = 0L)
   case class DecayOut(key: String, timestamp: Long, decayed: Double,

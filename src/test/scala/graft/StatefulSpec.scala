@@ -261,4 +261,54 @@ class StatefulSpec extends SparkSpec {
       assert(all.last == 1.75 + 1.0)
     } finally q.stop()
   }
+
+  test("touchAttributionStream == batch touchAttribution on an in-order replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import Stateful.{TouchEvent, TouchOut}
+    // fixture covers: conversion with no prior touch (direct), touch
+    // updates between conversions, consecutive conversions crediting
+    // the same pair, a tie broken by the tie column, multiple keys
+    val fixture = Seq(
+      TouchEvent("u1", 1000L, "purchase", 10.0),          // direct/direct
+      TouchEvent("u1", 2000L, "email", 0.0),
+      TouchEvent("u1", 3000L, "ad", 0.0),
+      TouchEvent("u1", 4000L, "purchase", 20.0),          // last=ad first=email
+      TouchEvent("u1", 5000L, "purchase", 5.0),           // same pair again
+      TouchEvent("u2", 1000L, "social", 0.0, tie = 1L),
+      TouchEvent("u2", 1000L, "email", 0.0, tie = 2L),    // tie: email is later
+      TouchEvent("u2", 2000L, "purchase", 7.0),           // last=email first=social
+      TouchEvent("u3", 9000L, "ad", 0.0))                 // touch, never converts
+    val mem = MemoryStream[TouchEvent]
+    val q = Stateful.touchAttributionStream(mem.toDS(), "purchase")
+      .writeStream.format("memory").queryName("touch_t")
+      .outputMode("append").start()
+    try {
+      // split mid-journey so u1's touch state must cross batches
+      val (b1, b2) = fixture.sortBy(e => (e.timestamp, e.tie))
+        .partition(_.timestamp <= 2000L)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("touch_t").as[TouchOut].collect()
+        .groupBy(o => (o.model, o.channel))
+        .map { case (k, v) => k -> (v.length.toLong,
+          math.rint(v.map(_.value).sum * 100) / 100) }
+      val batch = graft.operators.Sessions.touchAttribution(
+        fixture.map(e => (e.key, new java.sql.Timestamp(e.timestamp),
+          e.eventType, e.value, e.tie))
+          .toDF("user_id", "ts", "etype", "value", "tie"),
+        "user_id", "ts", "etype", "purchase", Seq($"tie"))
+        .collect()
+        .map(r => (r.getAs[String]("model"), r.getAs[String]("channel")) ->
+          (r.getAs[Long]("n_conversions"),
+            r.getAs[Double]("attributed_value"))).toMap
+      assert(got == batch, s"\nstream=$got\nbatch=$batch")
+      // spot-check the fixture semantics themselves
+      assert(batch(("last_touch", "direct")) == (1L, 10.0))
+      assert(batch(("last_touch", "ad")) == (2L, 25.0))
+      assert(batch(("first_touch", "email")) == (2L, 25.0))
+      assert(batch(("first_touch", "social")) == (1L, 7.0))
+    } finally q.stop()
+  }
 }
