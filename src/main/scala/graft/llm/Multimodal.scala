@@ -1307,6 +1307,361 @@ object Multimodal {
       }(enc)
   }
 
+  private[graft] final case class PdfMeta(version: String,
+      nObjects: Long, pageCount: Long, encrypted: Boolean,
+      xrefType: String)
+
+  // ---- PDF prober: header + tail + xref walk, O(header) not O(file) --
+
+  /** indexOf ASCII needle in b within [from, to). -1 when absent. */
+  private def bFind(b: Array[Byte], s: String, from: Int, to: Int): Int = {
+    val n = s.length
+    val lim = math.min(to, b.length) - n
+    var i = math.max(0, from)
+    while (i <= lim) {
+      var j = 0
+      while (j < n && b(i + j) == s.charAt(j)) j += 1
+      if (j == n) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def isPdfWs(c: Byte): Boolean =
+    c == ' ' || c == '\r' || c == '\n' || c == '\t' || c == 0 || c == 12
+
+  private def skipWs(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i < b.length && isPdfWs(b(i))) i += 1
+    i
+  }
+
+  /** Parse a non-negative decimal at `from` (max 18 digits).
+    * Returns (value, posAfter) or (-1, from) if no digit. */
+  private def parseNum(b: Array[Byte], from: Int): (Long, Int) = {
+    var i = skipWs(b, from)
+    var v = -1L
+    var digits = 0
+    while (i < b.length && b(i) >= '0' && b(i) <= '9' && digits < 18) {
+      v = (if (v < 0) 0L else v) * 10 + (b(i) - '0')
+      i += 1; digits += 1
+    }
+    if (v < 0) (-1L, from) else (v, i)
+  }
+
+  /** `/Name N` scan inside a bounded dict window: value of the first
+    * integer following the key, or -1. */
+  private def dictNum(b: Array[Byte], key: String, from: Int,
+      to: Int): Long = {
+    val k = bFind(b, key, from, to)
+    if (k < 0) return -1L
+    parseNum(b, k + key.length)._1
+  }
+
+  /** `/Name N G R` indirect reference scan: object number, or -1. */
+  private def dictRef(b: Array[Byte], key: String, from: Int,
+      to: Int): Long = {
+    val k = bFind(b, key, from, to)
+    if (k < 0) return -1L
+    val (n, p1) = parseNum(b, k + key.length)
+    if (n < 0) return -1L
+    val (g, p2) = parseNum(b, p1)
+    if (g < 0) return -1L
+    val r = skipWs(b, p2)
+    if (r < b.length && b(r) == 'R') n else -1L
+  }
+
+  /** PNG-predictor decode in place (filters 0-4), bpp=1 for xref
+    * streams (PDF Columns = row byte width). Returns the de-filtered
+    * payload rows or None on a malformed length. */
+  private def pngUnpredict(data: Array[Byte], columns: Int):
+      Option[Array[Byte]] = {
+    if (columns <= 0 || data.length % (columns + 1) != 0) return None
+    val rows = data.length / (columns + 1)
+    val out = new Array[Byte](rows * columns)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * (columns + 1)) & 0xff
+      var c = 0
+      while (c < columns) {
+        val raw = data(r * (columns + 1) + 1 + c) & 0xff
+        val left = if (c > 0) out(r * columns + c - 1) & 0xff else 0
+        val up = if (r > 0) out((r - 1) * columns + c) & 0xff else 0
+        val ul = if (r > 0 && c > 0) out((r - 1) * columns + c - 1) & 0xff
+          else 0
+        val v = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            raw + (if (pa <= pb && pa <= pc) left
+              else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        out(r * columns + c) = (v & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    Some(out)
+  }
+
+  /** Probe version / object count / page count / encryption flag out
+    * of a PDF payload WITHOUT a PDF library and in O(header+trailer),
+    * not O(file): header sniff for `%PDF-x.y`, `startxref` from the
+    * tail window, then ONE bounded xref walk — classic 20-byte-entry
+    * tables (incremental-update `/Prev` chains followed to depth 4,
+    * newest entry wins) or PDF 1.5+ cross-reference STREAMS
+    * (FlateDecode via the [[graft.plans.CompressUtil]] inflate
+    * posture, PNG predictors 0-4 de-filtered) — to locate the
+    * `/Root` catalog and its `/Pages /Count`. Same untrusted-header
+    * discipline as [[probeTiff]]: every offset bounds-checked, entry
+    * counts capped (1M), dict scans windowed (8 KB), truncation
+    * rejects rather than mis-reads. A `/Count` held in an object
+    * stream (type-2 entry) reports pageCount -1 (unknown) instead of
+    * chasing compressed object soup. */
+  private[graft] def probePdf(b: Array[Byte]): Option[PdfMeta] = {
+    try {
+      if (b == null || b.length < 32) return None
+      val hIdx = bFind(b, "%PDF-", 0, math.min(b.length, 1024))
+      if (hIdx < 0) return None
+      val vEnd = {
+        var i = hIdx + 5
+        while (i < b.length && i < hIdx + 13 &&
+          ((b(i) >= '0' && b(i) <= '9') || b(i) == '.')) i += 1
+        i
+      }
+      if (vEnd == hIdx + 5) return None
+      val version = new String(b, hIdx + 5, vEnd - hIdx - 5, "US-ASCII")
+      // last startxref in the tail window
+      var sx = -1
+      var probe = bFind(b, "startxref", math.max(0, b.length - 2048),
+        b.length)
+      while (probe >= 0) {
+        sx = probe
+        probe = bFind(b, "startxref", probe + 9, b.length)
+      }
+      if (sx < 0) return None
+      val (xref0, _) = parseNum(b, sx + 9)
+      if (xref0 < 0 || xref0 >= b.length) return None
+
+      // obj id -> byte offset, newest xref section wins
+      val objOff = scala.collection.mutable.LongMap.empty[Long]
+      var nObjects = -1L
+      var rootObj = -1L
+      var encrypted = false
+      var xrefType: String = null
+      var sectionOff = xref0
+      var hops = 0
+      while (sectionOff >= 0 && sectionOff < b.length && hops < 4) {
+        val so = skipWs(b, sectionOff.toInt)
+        val next: Long =
+          if (bFind(b, "xref", so, so + 4) == so &&
+              (so + 4 >= b.length || isPdfWs(b(so + 4)))) {
+            // ---- classic table ----
+            if (xrefType == null) xrefType = "table"
+            var p = so + 4
+            var entries = 0L
+            var done = false
+            while (!done) {
+              val q = skipWs(b, p)
+              if (bFind(b, "trailer", q, q + 7) == q) { p = q + 7; done = true }
+              else {
+                val (start, p1) = parseNum(b, q)
+                val (cnt, p2) = parseNum(b, p1)
+                if (start < 0 || cnt < 0) return None
+                entries += cnt
+                if (entries > 1000000L) return None
+                var e = skipWs(b, p2)
+                var k = 0L
+                while (k < cnt) {
+                  if (e + 18 > b.length) return None
+                  val (off, e1) = parseNum(b, e)
+                  val (_, e2) = parseNum(b, e1)
+                  val t = skipWs(b, e2)
+                  if (t >= b.length) return None
+                  if (b(t) == 'n' && off >= 0)
+                    objOff.getOrElseUpdate(start + k, off)
+                  e = t + 1
+                  k += 1
+                }
+                p = e
+              }
+            }
+            // trailer dict window
+            val dEnd = math.min(b.length, p + 8192)
+            if (nObjects < 0) nObjects = dictNum(b, "/Size", p, dEnd)
+            if (rootObj < 0) rootObj = dictRef(b, "/Root", p, dEnd)
+            if (bFind(b, "/Encrypt", p, dEnd) >= 0) encrypted = true
+            dictNum(b, "/Prev", p, dEnd)
+          } else {
+            // ---- xref stream: "N G obj << dict >> stream ... " ----
+            val (_, p1) = parseNum(b, so)
+            val (_, p2) = parseNum(b, p1)
+            val ob = skipWs(b, p2)
+            if (bFind(b, "obj", ob, ob + 3) != ob) return None
+            if (xrefType == null) xrefType = "stream"
+            val dStart = bFind(b, "<<", ob, math.min(b.length, ob + 256))
+            if (dStart < 0) return None
+            val dEnd = math.min(b.length, dStart + 8192)
+            if (nObjects < 0) nObjects = dictNum(b, "/Size", dStart, dEnd)
+            if (rootObj < 0) rootObj = dictRef(b, "/Root", dStart, dEnd)
+            if (bFind(b, "/Encrypt", dStart, dEnd) >= 0) encrypted = true
+            val len = dictNum(b, "/Length", dStart, dEnd)
+            // /W [a b c]
+            val wIdx = bFind(b, "/W", dStart, dEnd)
+            if (wIdx < 0 || len < 0 || len > (16L << 20)) return None
+            val br = bFind(b, "[", wIdx, dEnd)
+            if (br < 0) return None
+            val (w1, q1) = parseNum(b, br + 1)
+            val (w2, q2) = parseNum(b, q1)
+            val (w3, _) = parseNum(b, q2)
+            if (w1 < 0 || w2 <= 0 || w3 < 0 || w1 + w2 + w3 > 16)
+              return None
+            // /Index [s1 c1 ...] (default [0 Size])
+            val idx = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val iIdx = bFind(b, "/Index", dStart, dEnd)
+            if (iIdx >= 0) {
+              val ib = bFind(b, "[", iIdx, dEnd)
+              if (ib < 0) return None
+              var q = ib + 1
+              var more = true
+              while (more && idx.length < 128) {
+                val (v, qn) = parseNum(b, q)
+                if (v < 0) more = false else { idx += v; q = qn }
+              }
+            } else if (nObjects > 0) { idx += 0L; idx += nObjects }
+            else return None
+            val sIdx = bFind(b, "stream", dStart,
+              math.min(b.length, dStart + 8192))
+            if (sIdx < 0) return None
+            var dataStart = sIdx + 6
+            if (dataStart < b.length && b(dataStart) == '\r') dataStart += 1
+            if (dataStart < b.length && b(dataStart) == '\n') dataStart += 1
+            if (dataStart + len > b.length) return None
+            val raw = java.util.Arrays.copyOfRange(b, dataStart,
+              dataStart + len.toInt)
+            val hasFlate = bFind(b, "/FlateDecode", dStart, dEnd) >= 0
+            val inflated: Array[Byte] =
+              if (!hasFlate) raw
+              else {
+                val inf = new java.util.zip.Inflater()
+                try {
+                  inf.setInput(raw)
+                  val outBuf = new java.io.ByteArrayOutputStream()
+                  val tmp = new Array[Byte](8192)
+                  var guard = 0
+                  while (!inf.finished() && guard < 4096) {
+                    val n = inf.inflate(tmp)
+                    if (n == 0 && inf.needsInput()) guard = 4096
+                    else outBuf.write(tmp, 0, n)
+                    guard += 1
+                  }
+                  outBuf.toByteArray
+                } finally inf.end()
+              }
+            val pred = dictNum(b, "/Predictor", dStart, dEnd)
+            val rowW = (w1 + w2 + w3).toInt
+            val table: Array[Byte] =
+              if (pred >= 10) pngUnpredict(inflated, rowW) match {
+                case Some(t) => t
+                case None => return None
+              } else inflated
+            if (table.length % rowW != 0) return None
+            // walk /Index runs over the rows
+            var row = 0
+            var ii = 0
+            while (ii + 1 < idx.length) {
+              val start = idx(ii)
+              val cnt = idx(ii + 1)
+              var k = 0L
+              while (k < cnt && row * rowW + rowW <= table.length) {
+                var o = row * rowW
+                // field 1 (type; absent => type 1 per spec), field 2
+                // (offset for type-1 entries); field 3 unused here
+                val typ = if (w1 == 0) 1L else {
+                  var t = 0L; var j = 0
+                  while (j < w1) { t = (t << 8) | (table(o + j) & 0xffL); j += 1 }
+                  t
+                }
+                o += w1.toInt
+                var f2 = 0L
+                var j = 0
+                while (j < w2) { f2 = (f2 << 8) | (table(o + j) & 0xffL); j += 1 }
+                if (typ == 1L)
+                  objOff.getOrElseUpdate(start + k, f2)
+                row += 1
+                k += 1
+              }
+              ii += 2
+            }
+            dictNum(b, "/Prev", dStart, dEnd)
+          }
+        sectionOff = next
+        hops += 1
+      }
+
+      // page count: trailer /Root -> catalog /Pages -> /Count
+      var pageCount = -1L
+      if (rootObj >= 0) objOff.get(rootObj).foreach { ro =>
+        if (ro >= 0 && ro < b.length) {
+          val w = math.min(b.length, ro.toInt + 8192)
+          val pages = dictRef(b, "/Pages", ro.toInt, w)
+          if (pages >= 0) objOff.get(pages).foreach { po =>
+            if (po >= 0 && po < b.length) {
+              val pw = math.min(b.length, po.toInt + 8192)
+              val c = dictNum(b, "/Count", po.toInt, pw)
+              if (c >= 0) pageCount = c
+            }
+          }
+        }
+      }
+      if (xrefType == null) return None
+      Some(PdfMeta(version, nObjects, pageCount, encrypted, xrefType))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private val pdfMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("probe_ok", BooleanType),
+    StructField("version", StringType),
+    StructField("n_objects", LongType),
+    StructField("page_count", LongType),
+    StructField("encrypted", BooleanType),
+    StructField("xref_type", StringType)))
+
+  /** Probe version/objects/pages/encryption out of PDF payloads — the
+    * document twin of [[probeTiffMeta]]/[[probeVideoMeta]]: the
+    * corpus-triage signal (how many pages, is it encrypted, which
+    * xref era) WITHOUT shipping a PDF library or touching more than
+    * header+trailer+xref bytes. Same narrow no-shuffle shape; rows
+    * that don't probe report probe_ok=false with null fields;
+    * page_count -1 (catalog behind an object stream) surfaces as
+    * null. */
+  def probePdfMeta(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(pdfMetaSchema)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          probePdf(payload) match {
+            case Some(m) => Row(id, true, m.version, m.nObjects,
+              if (m.pageCount >= 0) m.pageCount else null,
+              m.encrypted, m.xrefType)
+            case None => Row(id, false, null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
   private val vadSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("seg_start_ms", LongType),
@@ -1316,9 +1671,12 @@ object Multimodal {
 
   /** Energy-threshold activity detection (VAD) over decoded 16-bit PCM
     * WAV: `frameMs` frames, RMS >= `rmsThreshold` marks a frame
-    * active, active runs merge across silent gaps shorter than
-    * `minGapFrames` (the hangover that keeps one utterance from
-    * splitting at every inter-word pause). Emits one row per segment —
+    * active, active runs merge across silent gaps of AT MOST
+    * `minGapFrames` frames (the hangover that keeps one utterance from
+    * splitting at every inter-word pause; a gap strictly longer
+    * splits). `seg_end_ms` is clamped to the decoded duration, so a
+    * partial tail frame cannot push a segment past the audio's real
+    * end. Emits one row per segment —
     * the speech-extraction front door for audio corpora (segment, then
     * transcribe/fingerprint only the voiced spans: typically a
     * many-fold decode-work cut on sparse audio).
@@ -1379,9 +1737,14 @@ object Multimodal {
                 f += 1
               }
               if (segStart >= 0) segs += ((segStart, lastActive))
+              // ceiling-ms duration: a partial tail frame ends where
+              // the samples end, not at the frame grid
+              val durationMs = (a.samples.length.toLong * 1000 +
+                a.sampleRate - 1) / a.sampleRate
               segs.iterator.map { case (s, e) =>
                 val meanRms = (s to e).map(rms).sum / (e - s + 1)
-                Row(id, s.toLong * frameMs, (e + 1).toLong * frameMs,
+                Row(id, s.toLong * frameMs,
+                  math.min((e + 1).toLong * frameMs, durationMs),
                   e - s + 1,
                   math.rint(meanRms * 1e6) / 1e6)
               }

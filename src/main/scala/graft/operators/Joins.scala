@@ -270,7 +270,16 @@ object Joins {
     * serves (lots per SKU), and a pathologically deep key can bucket
     * the cumulative axis with [[intervalOverlapJoin]]'s grid. Output:
     * key, both id columns, matched_qty (> 0 rows only). Quantities
-    * must be non-negative; order is (orderCol, idCol) per side. */
+    * must be non-negative; order is (orderCol, idCol) per side.
+    *
+    * Precision: the cumulative axes accumulate as DOUBLE, so the
+    * zero-overlap boundary (`matched_qty > 0` after a 6-digit round)
+    * is exact for INTEGRAL quantities (every prefix sum below 2^53 is
+    * representable) — the TPC-H fixture's regime. Fractional
+    * quantities with deep per-key prefix sums can land an overlap
+    * within an ulp of zero and diverge from an exact-decimal engine
+    * at that boundary; feed scaled-integer quantities (cents, mils)
+    * if that matters. */
   def fifoMatch(supply: DataFrame, demand: DataFrame, key: String,
       supplyId: String, demandId: String, qtyS: String, qtyD: String,
       orderS: Seq[Column], orderD: Seq[Column],

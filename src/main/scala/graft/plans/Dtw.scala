@@ -23,9 +23,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * degenerates to the diagonal L1 path. Either side null or empty ->
   * null.
   *
-  * Cost is O(len · band) time and O(band) memory per row — the band
-  * is what makes this a 100 TB-safe projection kernel instead of an
-  * O(n²) DP: daily-grain year series at band 7 is ~2.5k cells. A UDF
+  * Cost is O(len · band) time — the band is what makes this a
+  * 100 TB-safe projection kernel instead of an O(n²) DP: daily-grain
+  * year series at band 7 is ~2.5k cells. Memory is O(len_b) per row
+  * (two rolling DP rows allocated at full width; cells outside the
+  * band are simply never touched — band-width rows would save bytes
+  * on very long series but cost an index remap in the hot loop). A UDF
   * would compute the same thing outside whole-stage codegen; this is
   * the [[CompressExpr]] kernel pattern instead. */
 object DtwUtil {

@@ -731,6 +731,9 @@ class EtlMultimodalSpec extends SparkSpec {
     assert(segs.length == 1)
     assert(segs.head.getInt(3) == 1) // one (partial) frame
     assert(math.abs(segs.head.getDouble(4) - 12000.0 / 32768.0) < 1e-6)
+    // seg_end clamps to the decoded duration (ceil(150/8000*1000) =
+    // 19 ms), not the 20 ms frame-grid end
+    assert(segs.head.getLong(2) == 19L)
   }
 
   // ---- TIFF prober ----
@@ -814,5 +817,168 @@ class EtlMultimodalSpec extends SparkSpec {
     assert(ok.getAs[Long]("width") == 10L &&
       ok.getAs[Long]("height") == 20L &&
       ok.getAs[Int]("orientation") == 1)
+  }
+
+  // ---- PDF prober ----
+
+  /** Minimal classic-xref PDF: catalog + pages + nPages page objects,
+    * 20-byte xref entries with real offsets, trailer, startxref. */
+  private def pdfClassic(nPages: Int, encrypted: Boolean = false,
+      version: String = "1.4"): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append(s"%PDF-$version\n")
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    offs += sb.length
+    sb.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kids = (0 until nPages).map(i => s"${3 + i} 0 R").mkString(" ")
+    offs += sb.length
+    sb.append(s"2 0 obj\n<< /Type /Pages /Kids [$kids] " +
+      s"/Count $nPages >>\nendobj\n")
+    (0 until nPages).foreach { i =>
+      offs += sb.length
+      sb.append(s"${3 + i} 0 obj\n<< /Type /Page /Parent 2 0 R >>\nendobj\n")
+    }
+    val xrefPos = sb.length
+    val n = offs.length + 1
+    sb.append(s"xref\n0 $n\n0000000000 65535 f \n")
+    offs.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size $n /Root 1 0 R" +
+      (if (encrypted) " /Encrypt 9 0 R" else "") +
+      s" >>\nstartxref\n$xrefPos\n%%EOF")
+    sb.toString.getBytes("US-ASCII")
+  }
+
+  /** PDF 1.5 cross-reference STREAM fixture: same object tree, xref
+    * held in a FlateDecode stream with W [1 2 1], optionally behind
+    * the PNG Up predictor (12). */
+  private def pdfXrefStream(nPages: Int,
+      predictor: Boolean): Array[Byte] = {
+    val head = new StringBuilder
+    head.append("%PDF-1.5\n")
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    offs += head.length
+    head.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kids = (0 until nPages).map(i => s"${3 + i} 0 R").mkString(" ")
+    offs += head.length
+    head.append(s"2 0 obj\n<< /Type /Pages /Kids [$kids] " +
+      s"/Count $nPages >>\nendobj\n")
+    (0 until nPages).foreach { i =>
+      offs += head.length
+      head.append(s"${3 + i} 0 obj\n<< /Type /Page /Parent 2 0 R >>\n" +
+        "endobj\n")
+    }
+    val xrefObjNum = 3 + nPages
+    val xrefPos = head.length
+    val size = xrefObjNum + 1
+    // rows: free obj 0, type-1 rows for 1..(2+nPages), the stream itself
+    val rowW = 4
+    val rows = (Seq((0L, 0L)) ++ offs.map(o => (1L, o.toLong)) ++
+      Seq((1L, xrefPos.toLong))).map { case (t, off) =>
+      Array[Byte](t.toByte, ((off >> 8) & 0xff).toByte,
+        (off & 0xff).toByte, 0.toByte)
+    }
+    val plain: Array[Byte] =
+      if (!predictor) rows.flatten.toArray
+      else {
+        // PNG Up filter (2): first row literal (up = 0), each later
+        // row stores delta to the row above; filter byte leads
+        val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        var prev = new Array[Byte](rowW)
+        rows.foreach { r =>
+          out += 2.toByte
+          var i = 0
+          while (i < rowW) {
+            out += ((r(i) - prev(i)) & 0xff).toByte
+            i += 1
+          }
+          prev = r
+        }
+        out.toArray
+      }
+    val defl = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(plain); d.finish()
+      val buf = new Array[Byte](4096)
+      val bos = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end()
+      bos.toByteArray
+    }
+    val parms = if (predictor)
+      s" /DecodeParms << /Predictor 12 /Columns $rowW >>" else ""
+    val dict = s"$xrefObjNum 0 obj\n<< /Type /XRef /Size $size " +
+      s"/Root 1 0 R /W [1 2 1] /Index [0 $size] /Filter /FlateDecode" +
+      parms + s" /Length ${defl.length} >>\nstream\n"
+    val tail = s"\nendstream\nendobj\nstartxref\n$xrefPos\n%%EOF"
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(head.toString.getBytes("US-ASCII"))
+    bos.write(dict.getBytes("US-ASCII"))
+    bos.write(defl)
+    bos.write(tail.getBytes("US-ASCII"))
+    bos.toByteArray
+  }
+
+  test("probePdf: classic xref table — version, size, pages, encrypt flag") {
+    val m = Multimodal.probePdf(pdfClassic(3)).get
+    assert(m.version == "1.4" && m.xrefType == "table")
+    assert(m.nObjects == 6L) // catalog + pages + 3 pages + free obj 0
+    assert(m.pageCount == 3L)
+    assert(!m.encrypted)
+    val enc = Multimodal.probePdf(pdfClassic(1, encrypted = true)).get
+    assert(enc.encrypted && enc.pageCount == 1L)
+    assert(Multimodal.probePdf(pdfClassic(7, version = "1.7")).get
+      .version == "1.7")
+  }
+
+  test("probePdf: xref stream (FlateDecode), with and without PNG predictor") {
+    Seq(false, true).foreach { pred =>
+      val m = Multimodal.probePdf(pdfXrefStream(2, predictor = pred))
+        .getOrElse(fail(s"predictor=$pred did not probe"))
+      assert(m.xrefType == "stream", s"predictor=$pred")
+      assert(m.version == "1.5" && m.nObjects == 6L)
+      assert(m.pageCount == 2L, s"predictor=$pred got $m")
+      assert(!m.encrypted)
+    }
+  }
+
+  test("probePdf hardening: truncation, bad magic, fuzz never throws") {
+    val good = pdfClassic(2)
+    (0 until good.length).foreach { n =>
+      Multimodal.probePdf(good.take(n)) // must not throw
+    }
+    // a prefix missing the trailer tail can never probe
+    assert(Multimodal.probePdf(good.take(good.length / 2)).isEmpty)
+    assert(Multimodal.probePdf("not a pdf at all".getBytes).isEmpty)
+    assert(Multimodal.probePdf(null).isEmpty)
+    val rnd = new scala.util.Random(29)
+    (1 to 300).foreach { _ =>
+      val f = good.clone()
+      f(rnd.nextInt(f.length)) = rnd.nextInt(256).toByte
+      Multimodal.probePdf(f) // must not throw
+    }
+    val gs = pdfXrefStream(2, predictor = true)
+    (1 to 300).foreach { _ =>
+      val f = gs.clone()
+      f(rnd.nextInt(f.length)) = rnd.nextInt(256).toByte
+      Multimodal.probePdf(f) // must not throw
+    }
+  }
+
+  test("probePdfMeta DataFrame wrapper: ok and not-ok rows") {
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, pdfClassic(4)),
+        Row(2L, "plain text".getBytes),
+        Row(3L, null))),
+      StructType(Seq(StructField("media_id", LongType),
+        StructField("payload", BinaryType))))
+    val out = Multimodal.probePdfMeta(media).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false))
+    val ok = Multimodal.probePdfMeta(media)
+      .filter(col("probe_ok")).collect().head
+    assert(ok.getAs[Long]("page_count") == 4L &&
+      ok.getAs[String]("xref_type") == "table" &&
+      !ok.getAs[Boolean]("encrypted"))
   }
 }
