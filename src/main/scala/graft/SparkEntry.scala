@@ -2251,6 +2251,23 @@ object SparkEntry {
         "user_id", "ts", col("event_type") === "purchase",
         horizonDays = 3)),
 
+    "q_log_rank" -> ((s, d) =>
+      // two-cohort log-rank over the same time-to-first-purchase
+      // frame: does A/B cohort membership (user_id parity) shift the
+      // conversion-time distribution? chi2 = (O-E)^2 / sum V
+      graft.operators.Sessions.logRank(t(s, d, "events"),
+        "user_id", "ts", col("event_type") === "purchase",
+        when(col("user_id") % 2 === 0, "even").otherwise("odd"),
+        horizonDays = 3)),
+
+    "q_rmst" -> ((s, d) =>
+      // restricted mean survival time: area under the q_kaplan_meier
+      // step curve up to the 3-day horizon — average conversion-free
+      // days, the single-number summary robust to crossing hazards
+      graft.operators.Sessions.rmst(t(s, d, "events"),
+        "user_id", "ts", col("event_type") === "purchase",
+        horizonDays = 3)),
+
     "q_dedup_profile" -> ((s, d) => {
       // dedup observability: cluster-size histogram of exact duplicate
       // groups with corpus share — sizes the dedup stage before it
@@ -6103,6 +6120,114 @@ object SparkEntry {
                     OVER w) END, 6) AS survival
          FROM s WINDOW w AS (ORDER BY t
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
+    "q_log_rank" ->
+      """WITH u AS (
+           SELECT user_id,
+                  CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END
+                    AS grp,
+                  min(ts) AS f,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END)
+                    AS fp
+           FROM events GROUP BY 1, 2),
+         lab AS (
+           SELECT grp,
+                  CASE WHEN fp IS NOT NULL AND
+                    CAST(CAST(fp AS DATE) - CAST(f AS DATE) AS INT) <= 3
+                  THEN CAST(CAST(fp AS DATE) - CAST(f AS DATE) AS INT)
+                  ELSE 3 END AS t,
+                  CASE WHEN fp IS NOT NULL AND
+                    CAST(CAST(fp AS DATE) - CAST(f AS DATE) AS INT) <= 3
+                  THEN 1 ELSE 0 END AS churn
+           FROM u),
+         g AS (
+           SELECT grp, t, CAST(sum(churn) AS BIGINT) AS d,
+                  CAST(count(*) AS BIGINT) AS obs
+           FROM lab GROUP BY 1, 2),
+         allt AS (SELECT DISTINCT t FROM lab),
+         grps AS (SELECT DISTINCT grp FROM lab),
+         full0 AS (
+           SELECT grps.grp, allt.t,
+                  coalesce(g.d, 0) AS d, coalesce(g.obs, 0) AS obs
+           FROM grps CROSS JOIN allt
+           LEFT JOIN g ON g.grp = grps.grp AND g.t = allt.t),
+         nr AS (
+           SELECT grp, t, d,
+                  CAST(sum(obs) OVER (PARTITION BY grp ORDER BY t
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS BIGINT) AS n
+           FROM full0),
+         pooled AS (
+           SELECT grp, t, d, n,
+                  CAST(sum(d) OVER (PARTITION BY t) AS BIGINT) AS dtot,
+                  CAST(sum(n) OVER (PARTITION BY t) AS BIGINT) AS ntot
+           FROM nr),
+         terms AS (
+           SELECT grp, d,
+                  CAST(dtot AS DOUBLE) * n / ntot AS e,
+                  CASE WHEN ntot > 1
+                    THEN CAST(dtot AS DOUBLE) * n * (ntot - n)
+                      / ntot / ntot * (ntot - dtot) / (ntot - 1)
+                    ELSE 0.0 END AS v
+           FROM pooled WHERE dtot > 0),
+         agg AS (
+           SELECT grp, CAST(sum(d) AS BIGINT) AS observed,
+                  sum(e) AS esum, sum(v) AS vsum
+           FROM terms GROUP BY 1)
+         SELECT grp AS cohort, observed,
+                round(esum, 6) AS expected,
+                round(CASE WHEN vsum > 0
+                  THEN (observed - esum) * (observed - esum) / vsum
+                  ELSE 0.0 END, 6) AS chi2
+         FROM agg""",
+
+    "q_rmst" ->
+      """WITH u AS (
+           SELECT user_id, min(ts) AS f,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END)
+                    AS fp
+           FROM events GROUP BY 1),
+         lab AS (
+           SELECT CASE WHEN fp IS NOT NULL AND
+                    CAST(CAST(fp AS DATE) - CAST(f AS DATE) AS INT) <= 3
+                  THEN CAST(CAST(fp AS DATE) - CAST(f AS DATE) AS INT)
+                  ELSE 3 END AS t,
+                  CASE WHEN fp IS NOT NULL AND
+                    CAST(CAST(fp AS DATE) - CAST(f AS DATE) AS INT) <= 3
+                  THEN 1 ELSE 0 END AS churn
+           FROM u),
+         g AS (
+           SELECT t, CAST(sum(churn) AS BIGINT) AS n_events,
+                  CAST(sum(1 - churn) AS BIGINT) AS n_censored
+           FROM lab GROUP BY 1),
+         r AS (
+           SELECT t, n_events, n_censored,
+                  CAST((SELECT count(*) FROM lab) -
+                    coalesce(sum(n_events + n_censored) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS n_risk
+           FROM g),
+         s AS (
+           SELECT t, 1.0 - CAST(n_events AS DOUBLE) / n_risk AS f
+           FROM r),
+         km AS (
+           SELECT t,
+                  round(CASE WHEN max(CASE WHEN f = 0 THEN 1 ELSE 0 END)
+                      OVER w = 1 THEN 0.0
+                    ELSE exp(sum(CASE WHEN f > 0 THEN ln(f) ELSE 0 END)
+                      OVER w) END, 6) AS survival
+           FROM s WINDOW w AS (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         seg AS (
+           SELECT t, survival,
+                  coalesce(lag(t) OVER (ORDER BY t), 0) AS prev_t,
+                  coalesce(lag(survival) OVER (ORDER BY t), 1.0)
+                    AS prev_s
+           FROM km)
+         SELECT CAST(3 AS INT) AS horizon_days,
+                round(sum((t - prev_t) * prev_s) +
+                  arg_max(survival, t) * (3 - max(t)), 6) AS rmst
+         FROM seg""",
 
     "q_dedup_profile" ->
       """WITH corpus AS (

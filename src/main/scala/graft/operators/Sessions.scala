@@ -458,6 +458,102 @@ object Sessions {
     kmCurve(riskTable(followUpLabels(df, key, ts, isEvent, horizonDays)),
       scale)
 
+  /** Two-cohort log-rank test under the [[kaplanMeierToEvent]]
+    * fixed-follow-up framing: does cohort membership change the
+    * time-to-event distribution? At each pooled event time the
+    * observed events per cohort are compared with the hypergeometric
+    * expectation given the pooled risk sets; the statistic
+    * (O−E)²/ΣV is chi-squared with 1 df under H₀ (two cohorts — the
+    * variance term below uses n·(N−n), which is the 2-sample form).
+    * `groupCol` must be a KEY-LEVEL attribute (constant per key);
+    * the min over the key's rows is taken for determinism. Output:
+    * one row per cohort — (cohort, observed, expected, chi2), the
+    * chi2 repeated (|O₁−E₁| = |O₂−E₂| by construction).
+    *
+    * Scale shape: the stream collapses to per-key labels in one
+    * aggregate; everything after rides the (cohorts ×
+    * horizon-bounded label times) grid — at most 2·(horizonDays+1)
+    * rows — through windows. Counts stay integral until the E/V
+    * division, and both engines apply the identical left-associated
+    * float chain, so a 6-digit round is hash-stable. */
+  def logRank(df: DataFrame, key: String, ts: String, isEvent: Column,
+      groupCol: Column, horizonDays: Int = 3, scale: Int = 6): DataFrame = {
+    val u = df.groupBy(col(key))
+      .agg(min(groupCol.cast("string")).as("__grp"),
+        min(col(ts)).as("__fst"),
+        min(when(isEvent, col(ts))).as("__evt"))
+    val tEvt = datediff(to_date(col("__evt")), to_date(col("__fst")))
+    val hit = col("__evt").isNotNull && tEvt <= lit(horizonDays)
+    val lab = u.select(col("__grp"),
+      when(hit, tEvt).otherwise(lit(horizonDays)).as("t"),
+      when(hit, 1).otherwise(0).as("__churn"))
+    val g = lab.groupBy(col("__grp"), col("t"))
+      .agg(sum(col("__churn")).cast("long").as("__d"),
+        count(lit(1)).as("__obs"))
+    // every cohort at every label time: risk sets step down only at
+    // label times, so the reversed cumulative count IS n_g(t)
+    val allT = broadcast(lab.select(col("t")).distinct())
+    val grps = broadcast(lab.select(col("__grp")).distinct())
+    val wRev = Window.partitionBy(col("__grp")).orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wT = Window.partitionBy(col("t"))
+    val full = grps.crossJoin(allT)
+      .join(g, Seq("__grp", "t"), "left")
+      .na.fill(0L, Seq("__d", "__obs"))
+      .withColumn("__n", sum(col("__obs")).over(wRev))
+      .withColumn("__dTot", sum(col("__d")).over(wT))
+      .withColumn("__nTot", sum(col("__n")).over(wT))
+      .filter(col("__dTot") > 0L)
+    val e = col("__dTot").cast("double") * col("__n") / col("__nTot")
+    val v = when(col("__nTot") > 1L,
+      col("__dTot").cast("double") * col("__n") *
+        (col("__nTot") - col("__n")) / col("__nTot") / col("__nTot") *
+        (col("__nTot") - col("__dTot")) / (col("__nTot") - lit(1L)))
+      .otherwise(lit(0.0))
+    full
+      .select(col("__grp"), col("__d"), e.as("__e"), v.as("__v"))
+      .groupBy(col("__grp"))
+      .agg(sum(col("__d")).as("observed"),
+        sum(col("__e")).as("__esum"), sum(col("__v")).as("__vsum"))
+      .select(col("__grp").as("cohort"), col("observed"),
+        round(col("__esum"), scale).as("expected"),
+        round(when(col("__vsum") > 0.0,
+          (col("observed") - col("__esum")) *
+            (col("observed") - col("__esum")) / col("__vsum"))
+          .otherwise(lit(0.0)), scale).as("chi2"))
+  }
+
+  /** Restricted mean survival time: the area under the
+    * [[kaplanMeierToEvent]] curve up to the follow-up horizon —
+    * "average event-free days within the first τ days", the
+    * clinically-preferred single-number summary when hazards are not
+    * proportional. Integrates the step function exactly:
+    * Σ S(tᵢ₋₁)·(tᵢ−tᵢ₋₁) + S(t_last)·(τ−t_last), over survival
+    * values already rounded at `scale` so both engines integrate the
+    * identical step heights. Output: ONE row (horizon_days, rmst).
+    *
+    * Scale shape: rides the lifetime-day-bounded KM frame; the lag
+    * window and final aggregate touch at most horizonDays+1 rows. */
+  def rmst(df: DataFrame, key: String, ts: String, isEvent: Column,
+      horizonDays: Int = 3, scale: Int = 6): DataFrame = {
+    val km = kaplanMeierToEvent(df, key, ts, isEvent, horizonDays, scale)
+    val w = Window.orderBy(col("lifetime_days"))
+    km
+      .withColumn("__prevT",
+        coalesce(lag(col("lifetime_days"), 1).over(w), lit(0)))
+      .withColumn("__prevS",
+        coalesce(lag(col("survival"), 1).over(w), lit(1.0)))
+      .agg(
+        sum((col("lifetime_days") - col("__prevT")) * col("__prevS"))
+          .as("__area"),
+        expr("max_by(survival, lifetime_days)").as("__lastS"),
+        max(col("lifetime_days")).as("__maxT"))
+      .select(lit(horizonDays).as("horizon_days"),
+        round(col("__area") +
+          col("__lastS") * (lit(horizonDays) - col("__maxT")), scale)
+          .as("rmst"))
+  }
+
   /** Marketing-style touch attribution: credit each conversion event's
     * value to the LAST and FIRST non-conversion touch preceding it in
     * the same key's stream (conversions with no prior touch fall to

@@ -837,6 +837,44 @@ class SessionsPiiSpec extends SparkSpec {
       .collect().map(r => r.getAs[Int]("lifetime_days") ->
         r.getAs[Double]("survival")).toMap
     assert(all(2) == 0.0, all.toString)
+    // RMST over the same fixture: area under the step curve to tau=3
+    // = 1*0.8 + 1*0.6 + 1*0.4 + 0.4*(3-3) = 1.8
+    val rm = Sessions.rmst(df, "user_id", "t", $"etype" === "buy",
+      horizonDays = 3).collect().head
+    assert(rm.getAs[Int]("horizon_days") == 3)
+    assert(rm.getAs[Double]("rmst") == 1.8, rm.toString)
+  }
+
+  test("logRank: hand-computed hypergeometric O/E/V; cohorts symmetric") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // A: events t=0 (u1), t=1 (u2), censored (u3)
+    // B: event  t=1 (u4), censored (u5), late buy -> censored (u6)
+    // pooled t=0: nA=3 nB=3 d=1(A) -> eA=0.5, v=0.25
+    // pooled t=1: nA=2 nB=3 d=2(1+1) -> eA=0.8, v=0.36
+    // OA=2 EA=1.3 V=0.61 -> chi2 = 0.49/0.61 = 0.803279
+    val df = Seq(
+      (1L, "A", ts(1), "buy"),
+      (2L, "A", ts(1), "view"), (2L, "A", ts(2), "buy"),
+      (3L, "A", ts(1), "view"),
+      (4L, "B", ts(1), "view"), (4L, "B", ts(2), "buy"),
+      (5L, "B", ts(1), "view"),
+      (6L, "B", ts(1), "view"), (6L, "B", ts(10), "buy"))
+      .toDF("user_id", "grp", "t", "etype")
+    val out = Sessions.logRank(df, "user_id", "t", $"etype" === "buy",
+      $"grp", horizonDays = 3)
+      .collect().map(r => r.getAs[String]("cohort") ->
+        (r.getAs[Long]("observed"), r.getAs[Double]("expected"),
+          r.getAs[Double]("chi2"))).toMap
+    assert(out("A") == (2L, 1.3, 0.803279), out.toString)
+    assert(out("B") == (1L, 1.7, 0.803279))
+    // identical cohorts -> chi2 exactly 0 (O == E at every time)
+    val same = Seq(
+      (1L, "A", ts(1), "buy"), (2L, "B", ts(1), "buy"),
+      (3L, "A", ts(1), "view"), (4L, "B", ts(1), "view"))
+      .toDF("user_id", "grp", "t", "etype")
+    val z = Sessions.logRank(same, "user_id", "t", $"etype" === "buy",
+      $"grp", horizonDays = 3).collect()
+    assert(z.forall(_.getAs[Double]("chi2") == 0.0), z.mkString(","))
   }
 
   test("zorderBy preserves rows exactly (layout only)") {
