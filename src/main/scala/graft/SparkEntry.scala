@@ -2268,6 +2268,17 @@ object SparkEntry {
         "user_id", "ts", col("event_type") === "purchase",
         horizonDays = 3)),
 
+    "q_cox_ph" -> ((s, d) =>
+      // Cox proportional-hazards hazard ratio for the parity cohorts
+      // (binary covariate, Breslow ties): 3 fixed Newton steps from
+      // beta=0, hash-checked against the same 3 steps unrolled as
+      // scalar CTEs in the oracle (the q_sssp/q_markov_attrib
+      // fixed-round protocol); score_chi2 is the beta=0 score test
+      graft.operators.Sessions.coxPh(t(s, d, "events"),
+        "user_id", "ts", col("event_type") === "purchase",
+        when(col("user_id") % 2 === 0, "even").otherwise("odd"),
+        treated = "even", horizonDays = 3, iters = 3)),
+
     "q_dedup_profile" -> ((s, d) => {
       // dedup observability: cluster-size histogram of exact duplicate
       // groups with corpus share — sizes the dedup stage before it
@@ -6180,6 +6191,97 @@ object SparkEntry {
                   THEN (observed - esum) * (observed - esum) / vsum
                   ELSE 0.0 END, 6) AS chi2
          FROM agg""",
+
+    // fixed-round protocol (see q_sssp/q_markov_attrib): 3 Newton
+    // steps from beta=0 unrolled as scalar CTEs, identical float
+    // association to Sessions.coxPh's driver fold
+    "q_cox_ph" ->
+      """WITH u AS (
+           SELECT user_id,
+                  CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END
+                    AS grp,
+                  min(ts) AS f,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END)
+                    AS fp
+           FROM events GROUP BY 1, 2),
+         lab AS (
+           SELECT grp,
+                  CASE WHEN fp IS NOT NULL AND
+                    CAST(CAST(fp AS DATE) - CAST(f AS DATE) AS INT) <= 3
+                  THEN CAST(CAST(fp AS DATE) - CAST(f AS DATE) AS INT)
+                  ELSE 3 END AS t,
+                  CASE WHEN fp IS NOT NULL AND
+                    CAST(CAST(fp AS DATE) - CAST(f AS DATE) AS INT) <= 3
+                  THEN 1 ELSE 0 END AS churn
+           FROM u),
+         g AS (
+           SELECT grp, t, CAST(sum(churn) AS BIGINT) AS d,
+                  CAST(count(*) AS BIGINT) AS obs
+           FROM lab GROUP BY 1, 2),
+         allt AS (SELECT DISTINCT t FROM lab),
+         grps AS (SELECT DISTINCT grp FROM lab),
+         full0 AS (
+           SELECT grps.grp, allt.t,
+                  coalesce(g.d, 0) AS d, coalesce(g.obs, 0) AS obs
+           FROM grps CROSS JOIN allt
+           LEFT JOIN g ON g.grp = grps.grp AND g.t = allt.t),
+         nr AS (
+           SELECT grp, t, d,
+                  CAST(sum(obs) OVER (PARTITION BY grp ORDER BY t
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS BIGINT) AS n
+           FROM full0),
+         pooled AS (
+           SELECT grp, t, d, n,
+                  CAST(sum(d) OVER (PARTITION BY t) AS BIGINT) AS dtot
+           FROM nr),
+         fr AS MATERIALIZED (
+           SELECT t, CAST(max(dtot) AS BIGINT) AS d,
+                  CAST(sum(CASE WHEN grp = 'even' THEN d ELSE 0 END)
+                    AS BIGINT) AS d1,
+                  CAST(sum(CASE WHEN grp = 'even' THEN n ELSE 0 END)
+                    AS BIGINT) AS n1,
+                  CAST(sum(CASE WHEN grp <> 'even' THEN n ELSE 0 END)
+                    AS BIGINT) AS n0
+           FROM pooled WHERE dtot > 0 GROUP BY 1),
+         s0 AS MATERIALIZED (
+           SELECT sum(d1 - d * (n1 * exp(0.0)) /
+                    (n0 + n1 * exp(0.0))) AS u,
+                  sum(d * (n0 * (n1 * exp(0.0))) /
+                    ((n0 + n1 * exp(0.0)) * (n0 + n1 * exp(0.0))))
+                    AS i
+           FROM fr),
+         b1 AS MATERIALIZED (
+           SELECT CASE WHEN i > 0 THEN 0.0 + u / i ELSE 0.0 END AS b
+           FROM s0),
+         s1 AS MATERIALIZED (
+           SELECT sum(d1 - d * (n1 * exp((SELECT b FROM b1))) /
+                    (n0 + n1 * exp((SELECT b FROM b1)))) AS u,
+                  sum(d * (n0 * (n1 * exp((SELECT b FROM b1)))) /
+                    ((n0 + n1 * exp((SELECT b FROM b1))) *
+                     (n0 + n1 * exp((SELECT b FROM b1))))) AS i
+           FROM fr),
+         b2 AS MATERIALIZED (
+           SELECT CASE WHEN i > 0 THEN (SELECT b FROM b1) + u / i
+             ELSE (SELECT b FROM b1) END AS b
+           FROM s1),
+         s2 AS MATERIALIZED (
+           SELECT sum(d1 - d * (n1 * exp((SELECT b FROM b2))) /
+                    (n0 + n1 * exp((SELECT b FROM b2)))) AS u,
+                  sum(d * (n0 * (n1 * exp((SELECT b FROM b2)))) /
+                    ((n0 + n1 * exp((SELECT b FROM b2))) *
+                     (n0 + n1 * exp((SELECT b FROM b2))))) AS i
+           FROM fr),
+         b3 AS MATERIALIZED (
+           SELECT CASE WHEN i > 0 THEN (SELECT b FROM b2) + u / i
+             ELSE (SELECT b FROM b2) END AS b
+           FROM s2)
+         SELECT round((SELECT b FROM b3), 6) AS beta,
+                round(exp((SELECT b FROM b3)), 6) AS hazard_ratio,
+                round(CASE WHEN (SELECT i FROM s0) > 0
+                  THEN (SELECT u FROM s0) * (SELECT u FROM s0) /
+                    (SELECT i FROM s0)
+                  ELSE 0.0 END, 6) AS score_chi2""",
 
     "q_rmst" ->
       """WITH u AS (

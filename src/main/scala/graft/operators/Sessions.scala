@@ -458,6 +458,40 @@ object Sessions {
     kmCurve(riskTable(followUpLabels(df, key, ts, isEvent, horizonDays)),
       scale)
 
+  /** Shared per-cohort risk grid for [[logRank]] / [[coxPh]]: one row
+    * per (cohort, pooled event time) with that cohort's events `__d`
+    * and risk set `__n`, plus the pooled `__dTot`/`__nTot` — built
+    * from the fixed-follow-up labels. Risk sets step down only at
+    * label times, so the reversed cumulative observation count IS
+    * n_g(t); the grid is (cohorts × horizonDays+1)-bounded. */
+  private def survivalGrid(df: DataFrame, key: String, ts: String,
+      isEvent: Column, groupCol: Column, horizonDays: Int): DataFrame = {
+    val u = df.groupBy(col(key))
+      .agg(min(groupCol.cast("string")).as("__grp"),
+        min(col(ts)).as("__fst"),
+        min(when(isEvent, col(ts))).as("__evt"))
+    val tEvt = datediff(to_date(col("__evt")), to_date(col("__fst")))
+    val hit = col("__evt").isNotNull && tEvt <= lit(horizonDays)
+    val lab = u.select(col("__grp"),
+      when(hit, tEvt).otherwise(lit(horizonDays)).as("t"),
+      when(hit, 1).otherwise(0).as("__churn"))
+    val g = lab.groupBy(col("__grp"), col("t"))
+      .agg(sum(col("__churn")).cast("long").as("__d"),
+        count(lit(1)).as("__obs"))
+    val allT = broadcast(lab.select(col("t")).distinct())
+    val grps = broadcast(lab.select(col("__grp")).distinct())
+    val wRev = Window.partitionBy(col("__grp")).orderBy(col("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wT = Window.partitionBy(col("t"))
+    grps.crossJoin(allT)
+      .join(g, Seq("__grp", "t"), "left")
+      .na.fill(0L, Seq("__d", "__obs"))
+      .withColumn("__n", sum(col("__obs")).over(wRev))
+      .withColumn("__dTot", sum(col("__d")).over(wT))
+      .withColumn("__nTot", sum(col("__n")).over(wT))
+      .filter(col("__dTot") > 0L)
+  }
+
   /** Two-cohort log-rank test under the [[kaplanMeierToEvent]]
     * fixed-follow-up framing: does cohort membership change the
     * time-to-event distribution? At each pooled event time the
@@ -478,32 +512,7 @@ object Sessions {
     * float chain, so a 6-digit round is hash-stable. */
   def logRank(df: DataFrame, key: String, ts: String, isEvent: Column,
       groupCol: Column, horizonDays: Int = 3, scale: Int = 6): DataFrame = {
-    val u = df.groupBy(col(key))
-      .agg(min(groupCol.cast("string")).as("__grp"),
-        min(col(ts)).as("__fst"),
-        min(when(isEvent, col(ts))).as("__evt"))
-    val tEvt = datediff(to_date(col("__evt")), to_date(col("__fst")))
-    val hit = col("__evt").isNotNull && tEvt <= lit(horizonDays)
-    val lab = u.select(col("__grp"),
-      when(hit, tEvt).otherwise(lit(horizonDays)).as("t"),
-      when(hit, 1).otherwise(0).as("__churn"))
-    val g = lab.groupBy(col("__grp"), col("t"))
-      .agg(sum(col("__churn")).cast("long").as("__d"),
-        count(lit(1)).as("__obs"))
-    // every cohort at every label time: risk sets step down only at
-    // label times, so the reversed cumulative count IS n_g(t)
-    val allT = broadcast(lab.select(col("t")).distinct())
-    val grps = broadcast(lab.select(col("__grp")).distinct())
-    val wRev = Window.partitionBy(col("__grp")).orderBy(col("t"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val wT = Window.partitionBy(col("t"))
-    val full = grps.crossJoin(allT)
-      .join(g, Seq("__grp", "t"), "left")
-      .na.fill(0L, Seq("__d", "__obs"))
-      .withColumn("__n", sum(col("__obs")).over(wRev))
-      .withColumn("__dTot", sum(col("__d")).over(wT))
-      .withColumn("__nTot", sum(col("__n")).over(wT))
-      .filter(col("__dTot") > 0L)
+    val full = survivalGrid(df, key, ts, isEvent, groupCol, horizonDays)
     val e = col("__dTot").cast("double") * col("__n") / col("__nTot")
     val v = when(col("__nTot") > 1L,
       col("__dTot").cast("double") * col("__n") *
@@ -552,6 +561,74 @@ object Sessions {
         round(col("__area") +
           col("__lastS") * (lit(horizonDays) - col("__maxT")), scale)
           .as("rmst"))
+  }
+
+  /** Cox proportional-hazards fit for a BINARY covariate (treated
+    * cohort vs everyone else) with Breslow tie handling: the hazard
+    * ratio e^β that best explains how much faster the treated cohort
+    * converts, maximizing the partial likelihood by `iters` fixed
+    * Newton steps from β=0. With one binary covariate the score and
+    * information collapse to per-event-time scalars —
+    * U(β) = Σ_t [d₁ − d·(n₁e^β)/(n₀+n₁e^β)],
+    * I(β) = Σ_t [d·(n₀·(n₁e^β))/(n₀+n₁e^β)²] — so the whole fit
+    * rides the [[survivalGrid]] frame. Also emits the score test at
+    * β=0, U(0)²/I(0), which equals the log-rank chi² when no two
+    * events share a time and otherwise differs by log-rank's
+    * (n−d)/(n−1) ties factor (Breslow treats tied events as
+    * sequential draws from one risk set — both spec-pinned).
+    * Output: ONE row (beta, hazard_ratio, score_chi2).
+    *
+    * Scale shape: the distributed work is the per-key label collapse
+    * + the bounded grid; the Newton loop folds over the collected
+    * ≤ horizonDays+1 per-time rows (the [[markovAttribution]]
+    * bounded-collect posture), sorted by t for a deterministic sum
+    * order. FIXED iteration count, so the DuckDB oracle unrolls the
+    * identical steps (the q_sssp protocol) and hashes exactly. */
+  def coxPh(df: DataFrame, key: String, ts: String, isEvent: Column,
+      groupCol: Column, treated: String, horizonDays: Int = 3,
+      iters: Int = 3, scale: Int = 6): DataFrame = {
+    require(iters >= 1)
+    val spark = df.sparkSession
+    val grid = survivalGrid(df, key, ts, isEvent, groupCol, horizonDays)
+    val f = grid.groupBy(col("t"))
+      .agg(max(col("__dTot")).as("__d"),
+        sum(when(col("__grp") === treated, col("__d"))
+          .otherwise(lit(0L))).as("__d1"),
+        sum(when(col("__grp") === treated, col("__n"))
+          .otherwise(lit(0L))).as("__n1"),
+        sum(when(col("__grp") =!= treated, col("__n"))
+          .otherwise(lit(0L))).as("__n0"))
+    // bounded collect: at most horizonDays+1 rows
+    val rows = f.collect().map(r => (r.getAs[Int]("t"),
+      r.getAs[Long]("__d").toDouble, r.getAs[Long]("__d1").toDouble,
+      r.getAs[Long]("__n1").toDouble, r.getAs[Long]("__n0").toDouble))
+      .sortBy(_._1)
+    def ui(beta: Double): (Double, Double) = {
+      var uSum = 0.0
+      var iSum = 0.0
+      rows.foreach { case (_, d, d1, n1, n0) =>
+        val e = math.exp(beta)
+        uSum += d1 - d * (n1 * e) / (n0 + n1 * e)
+        iSum += d * (n0 * (n1 * e)) /
+          ((n0 + n1 * e) * (n0 + n1 * e))
+      }
+      (uSum, iSum)
+    }
+    val (u0, i0) = ui(0.0)
+    val chi2 = if (i0 > 0.0) u0 * u0 / i0 else 0.0
+    var beta = 0.0
+    (1 to iters).foreach { _ =>
+      val (u, i) = ui(beta)
+      if (i > 0.0) beta += u / i
+    }
+    import spark.implicits._
+    // round through Spark's round() so the semantics match every
+    // other oracle-checked column (not JVM rint's half-to-even)
+    Seq((beta, math.exp(beta), chi2))
+      .toDF("__b", "__hr", "__c")
+      .select(round(col("__b"), scale).as("beta"),
+        round(col("__hr"), scale).as("hazard_ratio"),
+        round(col("__c"), scale).as("score_chi2"))
   }
 
   /** Marketing-style touch attribution: credit each conversion event's

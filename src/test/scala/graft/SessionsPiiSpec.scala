@@ -877,6 +877,66 @@ class SessionsPiiSpec extends SparkSpec {
     assert(z.forall(_.getAs[Double]("chi2") == 0.0), z.mkString(","))
   }
 
+  test("coxPh: Breslow score test hand-checked; ==log-rank without ties; sign tracks the faster cohort") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // same fixture as the logRank spec: cohort A converts faster.
+    // Breslow score test at beta=0: U = 0.5 + 0.2 = 0.7,
+    // I = 1*(3*3)/36 + 2*(3*2)/25 = 0.73 -> chi2 = 0.49/0.73 =
+    // 0.671233. This DIFFERS from the log-rank 0.803279 exactly by
+    // the ties factor (n-d)/(n-1) at the d=2 time (Breslow treats
+    // tied events as sequential draws from the same risk set).
+    val df = Seq(
+      (1L, "A", ts(1), "buy"),
+      (2L, "A", ts(1), "view"), (2L, "A", ts(2), "buy"),
+      (3L, "A", ts(1), "view"),
+      (4L, "B", ts(1), "view"), (4L, "B", ts(2), "buy"),
+      (5L, "B", ts(1), "view"),
+      (6L, "B", ts(1), "view"), (6L, "B", ts(10), "buy"))
+      .toDF("user_id", "grp", "t", "etype")
+    val fit = Sessions.coxPh(df, "user_id", "t", $"etype" === "buy",
+      $"grp", treated = "A", horizonDays = 3).collect().head
+    assert(fit.getAs[Double]("score_chi2") == 0.671233, fit.toString)
+    // with UNIQUE event times the Breslow score test IS the log-rank
+    // statistic: both 0.486486 on this no-ties fixture
+    val noTies = Seq(
+      (1L, "A", ts(1), "buy"),
+      (2L, "A", ts(1), "view"), (2L, "A", ts(3), "buy"),
+      (3L, "A", ts(1), "view"),
+      (4L, "B", ts(1), "view"), (4L, "B", ts(2), "buy"),
+      (5L, "B", ts(1), "view"),
+      (6L, "B", ts(1), "view"))
+      .toDF("user_id", "grp", "t", "etype")
+    val lr = Sessions.logRank(noTies, "user_id", "t",
+      $"etype" === "buy", $"grp", horizonDays = 3)
+      .collect().head.getAs[Double]("chi2")
+    val sc = Sessions.coxPh(noTies, "user_id", "t", $"etype" === "buy",
+      $"grp", treated = "A", horizonDays = 3)
+      .collect().head.getAs[Double]("score_chi2")
+    assert(lr == sc && lr == 0.486486, s"lr=$lr sc=$sc")
+    // treated cohort converts faster -> positive log-hazard, HR > 1
+    assert(fit.getAs[Double]("beta") > 0.0)
+    assert(fit.getAs[Double]("hazard_ratio") > 1.0)
+    assert(fit.getAs[Double]("hazard_ratio") ==
+      math.rint(math.exp(fit.getAs[Double]("beta")) * 1e6) / 1e6 ||
+      math.abs(fit.getAs[Double]("hazard_ratio") -
+        math.exp(fit.getAs[Double]("beta"))) < 1e-5)
+    // swapping treated flips the sign (rounded magnitudes equal)
+    val flip = Sessions.coxPh(df, "user_id", "t", $"etype" === "buy",
+      $"grp", treated = "B", horizonDays = 3).collect().head
+    assert(math.abs(flip.getAs[Double]("beta") +
+      fit.getAs[Double]("beta")) < 1e-5, s"$fit vs $flip")
+    // identical cohorts -> beta 0, HR 1, chi2 0
+    val same = Seq(
+      (1L, "A", ts(1), "buy"), (2L, "B", ts(1), "buy"),
+      (3L, "A", ts(1), "view"), (4L, "B", ts(1), "view"))
+      .toDF("user_id", "grp", "t", "etype")
+    val nul = Sessions.coxPh(same, "user_id", "t", $"etype" === "buy",
+      $"grp", treated = "A", horizonDays = 3).collect().head
+    assert(nul.getAs[Double]("beta") == 0.0 &&
+      nul.getAs[Double]("hazard_ratio") == 1.0 &&
+      nul.getAs[Double]("score_chi2") == 0.0, nul.toString)
+  }
+
   test("zorderBy preserves rows exactly (layout only)") {
     val rows = (0 until 1000).map(i => (i % 37, i % 53, i))
     val df = rows.toDF("a", "b", "v")
