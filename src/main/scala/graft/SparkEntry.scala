@@ -2279,6 +2279,15 @@ object SparkEntry {
         when(col("user_id") % 2 === 0, "even").otherwise("odd"),
         treated = "even", horizonDays = 3, iters = 3)),
 
+    "q_multi_touch" -> ((s, d) =>
+      // fractional multi-touch attribution: U-shaped position model
+      // (40/20/40) + time-decay (2^(-age/7d), normalized per
+      // conversion) over purchase journeys — the fractional models
+      // q_attribution's winner-take-all last/first pair omits
+      graft.operators.Sessions.multiTouchAttribution(
+        t(s, d, "events"), "user_id", "ts", "event_type", "purchase",
+        tie = "event_id", halfLifeDays = 7.0)),
+
     "q_dedup_profile" -> ((s, d) => {
       // dedup observability: cluster-size histogram of exact duplicate
       // groups with corpus share — sizes the dedup stage before it
@@ -6282,6 +6291,62 @@ object SparkEntry {
                   THEN (SELECT u FROM s0) * (SELECT u FROM s0) /
                     (SELECT i FROM s0)
                   ELSE 0.0 END, 6) AS score_chi2""",
+
+    "q_multi_touch" ->
+      """WITH touches AS (
+           SELECT user_id, ts AS tts, event_id AS ttie,
+                  event_type AS ch
+           FROM events WHERE event_type <> 'purchase'),
+         convs AS (
+           SELECT user_id, ts AS cts, event_id AS ctie,
+                  CAST(value AS DOUBLE) AS v
+           FROM events WHERE event_type = 'purchase'),
+         pairs AS (
+           SELECT c.user_id, c.cts, c.ctie, c.v, t.tts, t.ttie, t.ch
+           FROM convs c JOIN touches t ON c.user_id = t.user_id
+             AND (t.tts < c.cts OR
+                  (t.tts = c.cts AND t.ttie < c.ctie))),
+         scored AS (
+           SELECT ch, v,
+                  row_number() OVER (PARTITION BY user_id, cts, ctie
+                    ORDER BY tts, ttie) AS rn,
+                  count(*) OVER (PARTITION BY user_id, cts, ctie)
+                    AS n,
+                  exp((-ln(2) / 7.0) *
+                    (CAST(epoch_us(cts) - epoch_us(tts) AS DOUBLE)
+                      / 86400000000.0)) AS raw,
+                  sum(exp((-ln(2) / 7.0) *
+                    (CAST(epoch_us(cts) - epoch_us(tts) AS DOUBLE)
+                      / 86400000000.0)))
+                    OVER (PARTITION BY user_id, cts, ctie) AS mass
+           FROM pairs),
+         att AS (
+           SELECT 'position' AS model, ch AS channel,
+                  CASE WHEN n = 1 THEN 1.0
+                       WHEN n = 2 THEN 0.5
+                       WHEN rn = 1 OR rn = n THEN 0.4
+                       ELSE 0.2 / (n - 2) END AS w, v
+           FROM scored
+           UNION ALL
+           SELECT 'time_decay', ch, raw / mass, v FROM scored
+           UNION ALL
+           SELECT 'position', 'direct', CAST(1.0 AS DOUBLE), v
+           FROM convs c
+           WHERE NOT EXISTS (SELECT 1 FROM touches t
+             WHERE t.user_id = c.user_id
+               AND (t.tts < c.cts OR
+                    (t.tts = c.cts AND t.ttie < c.ctie)))
+           UNION ALL
+           SELECT 'time_decay', 'direct', CAST(1.0 AS DOUBLE), v
+           FROM convs c
+           WHERE NOT EXISTS (SELECT 1 FROM touches t
+             WHERE t.user_id = c.user_id
+               AND (t.tts < c.cts OR
+                    (t.tts = c.cts AND t.ttie < c.ctie))))
+         SELECT model, channel,
+                round(sum(w), 6) AS attributed_conversions,
+                round(sum(w * v), 6) AS attributed_value
+         FROM att GROUP BY 1, 2""",
 
     "q_rmst" ->
       """WITH u AS (

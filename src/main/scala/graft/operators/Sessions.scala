@@ -671,6 +671,81 @@ object Sessions {
         round(sum(col("__v")), scale).as("attributed_value"))
   }
 
+  /** Fractional multi-touch attribution — the two standard models
+    * [[touchAttribution]]'s winner-take-all pair omits:
+    * POSITION-BASED (U-shaped: 40% first touch, 40% last, 20% split
+    * evenly across the middle; 100% / 50-50 for 1- and 2-touch
+    * paths) and TIME-DECAY (weight ∝ 2^(−age/halfLife) at conversion
+    * time, normalized per conversion). Conversions with no prior
+    * touch credit `direct` with weight 1 under both models. A touch
+    * precedes a conversion iff (ts, tie) is lexicographically
+    * smaller — the same total order as [[touchAttribution]]'s window;
+    * `tie` must make (key, ts, tie) unique for conversions (an event
+    * id). Output per (model, channel): attributed_conversions
+    * (Σ weights — fractional by design) and attributed_value.
+    *
+    * Scale shape: ONE per-key touches × conversions pair join — the
+    * fan-out is journey-bounded (touches/user × conversions/user,
+    * the [[graft.operators.Joins.fifoMatch]] candidate posture) and
+    * carries only (key, ts, tie, channel, value); both models then
+    * ride the same conversion-partitioned windows (rank, count,
+    * decay-mass) before one channel-bounded aggregate. */
+  def multiTouchAttribution(df: DataFrame, key: String, ts: String,
+      typeCol: String, convType: String, tie: String,
+      halfLifeDays: Double = 7.0, valueCol: String = "value",
+      scale: Int = 6): DataFrame = {
+    require(halfLifeDays > 0.0)
+    val touches = df.filter(col(typeCol) =!= convType)
+      .select(col(key), col(ts).as("__tts"), col(tie).as("__ttie"),
+        col(typeCol).as("__ch"))
+    val convs = df.filter(col(typeCol) === convType)
+      .select(col(key), col(ts).as("__cts"), col(tie).as("__ctie"),
+        col(valueCol).cast("double").as("__v"))
+    val before = col("__tts") < col("__cts") ||
+      (col("__tts") === col("__cts") && col("__ttie") < col("__ctie"))
+    val pairs = convs.join(touches, Seq(key)).filter(before)
+    val wConv = Window.partitionBy(col(key), col("__cts"), col("__ctie"))
+    val wOrd = wConv.orderBy(col("__tts"), col("__ttie"))
+    // age in fractional days through the micros reinterpretation (the
+    // twap idiom — NTZ-safe under the fixed UTC session)
+    val age = (unix_micros(col("__cts").cast("timestamp")) -
+      unix_micros(col("__tts").cast("timestamp")))
+      .cast("double") / lit(86400.0e6)
+    val scored = pairs
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wConv))
+      .withColumn("__raw", exp(lit(-math.log(2.0) / halfLifeDays) * age))
+      .withColumn("__mass", sum(col("__raw")).over(wConv))
+      .withColumn("__wPos",
+        when(col("__n") === 1L, 1.0)
+          .when(col("__n") === 2L, 0.5)
+          .when(col("__rn") === 1L || col("__rn") === col("__n"), 0.4)
+          .otherwise(lit(0.2) / (col("__n") - lit(2L))))
+      .withColumn("__wDec", col("__raw") / col("__mass"))
+    val attributed = scored.selectExpr(
+      """stack(2,
+           'position', __ch, __wPos,
+           'time_decay', __ch, __wDec) AS (model, channel, __w)""",
+      "__v")
+    // conversions with NO prior touch -> direct, weight 1, both models
+    val direct = convs
+      .join(touches, Seq(key), "left")
+      .withColumn("__hit", when(before, 1).otherwise(0))
+      .groupBy(col(key), col("__cts"), col("__ctie"))
+      .agg(max(col("__hit")).as("__any"), first(col("__v")).as("__v"))
+      .filter(col("__any") === 0)
+      .selectExpr(
+        """stack(2,
+             'position', 'direct', CAST(1.0 AS DOUBLE),
+             'time_decay', 'direct', CAST(1.0 AS DOUBLE))
+           AS (model, channel, __w)""",
+        "__v")
+    attributed.unionByName(direct)
+      .groupBy(col("model"), col("channel"))
+      .agg(round(sum(col("__w")), scale).as("attributed_conversions"),
+        round(sum(col("__w") * col("__v")), scale).as("attributed_value"))
+  }
+
   /** Interval-to-day allocation: explode each [start, end] interval
     * onto the calendar days it touches, with the exact microsecond
     * overlap per day — the utilization / revenue-recognition split

@@ -937,6 +937,44 @@ class SessionsPiiSpec extends SparkSpec {
       nul.getAs[Double]("score_chi2") == 0.0, nul.toString)
   }
 
+  test("multiTouchAttribution: hand-computed U-shape and dyadic decay weights") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // u1: email(d1) ad(d2) social(d3) buy(d4, 10) — halfLife 1 day ->
+    //   decay raw = 1/8, 1/4, 1/2; normalized 1/7, 2/7, 4/7;
+    //   position = 0.4 / 0.2 / 0.4
+    // u2: buy(d1, 5) with no touch -> direct 1.0 both models
+    // u3: email(d1) ad(d2) buy(d3, 8) -> position 0.5/0.5;
+    //   decay raw = 1/4, 1/2 -> 1/3, 2/3
+    val df = Seq(
+      (1L, 1L, ts(1), "email", 0.0), (1L, 2L, ts(2), "ad", 0.0),
+      (1L, 3L, ts(3), "social", 0.0), (1L, 4L, ts(4), "buy", 10.0),
+      (2L, 5L, ts(1), "buy", 5.0),
+      (3L, 6L, ts(1), "email", 0.0), (3L, 7L, ts(2), "ad", 0.0),
+      (3L, 8L, ts(3), "buy", 8.0))
+      .toDF("user_id", "event_id", "t", "etype", "value")
+    val out = Sessions.multiTouchAttribution(df, "user_id", "t",
+      "etype", "buy", tie = "event_id", halfLifeDays = 1.0)
+      .collect().map(r => (r.getAs[String]("model"),
+        r.getAs[String]("channel")) ->
+        (r.getAs[Double]("attributed_conversions"),
+          r.getAs[Double]("attributed_value"))).toMap
+    assert(out(("position", "email")) == (0.9, 8.0), out.toString)
+    assert(out(("position", "ad")) == (0.7, 6.0))
+    assert(out(("position", "social")) == (0.4, 4.0))
+    assert(out(("position", "direct")) == (1.0, 5.0))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(("time_decay", "email")) ==
+      (r6(1.0 / 7 + 1.0 / 3), r6(10.0 / 7 + 8.0 / 3)), out.toString)
+    assert(out(("time_decay", "ad")) ==
+      (r6(2.0 / 7 + 2.0 / 3), r6(20.0 / 7 + 16.0 / 3)))
+    assert(out(("time_decay", "social")) == (r6(4.0 / 7), r6(40.0 / 7)))
+    assert(out(("time_decay", "direct")) == (1.0, 5.0))
+    // weights conserve: each conversion hands out exactly 1.0 total
+    val tot = out.toSeq.groupBy(_._1._1)
+      .map { case (m, vs) => m -> r6(vs.map(_._2._1).sum) }
+    assert(tot == Map("position" -> 3.0, "time_decay" -> 3.0), tot)
+  }
+
   test("zorderBy preserves rows exactly (layout only)") {
     val rows = (0 until 1000).map(i => (i % 37, i % 53, i))
     val df = rows.toDF("a", "b", "v")
