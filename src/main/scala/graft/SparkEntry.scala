@@ -2288,6 +2288,25 @@ object SparkEntry {
         t(s, d, "events"), "user_id", "ts", "event_type", "purchase",
         tie = "event_id", halfLifeDays = 7.0)),
 
+    "q_diff_in_diff" -> ((s, d) =>
+      // 2x2 difference-in-differences on purchase value: parity
+      // cohorts x before/after Jan 16 — treatment effect net of the
+      // cohort baseline gap and the common time trend
+      Aggregates.diffInDiff(
+        t(s, d, "events").filter(col("event_type") === "purchase"),
+        col("value"), col("user_id") % 2 === 0,
+        col("ts").cast("timestamp") >=
+          lit("2024-01-16").cast("timestamp"))),
+
+    "q_kmeans" -> ((s, d) =>
+      // exact fixed-round Lloyd k-means over the embedding corpus:
+      // 2 assign->update sweeps from the 4 smallest-id seeds, every
+      // discrete decision engine-reproducible (left-folded distances,
+      // cid tie-breaks, centroid coordinates rounded at 6) — the
+      // oracle unrolls the identical sweeps over DuckDB list ops
+      graft.llm.Similarity.kmeansFit(t(s, d, "embeddings"),
+        "vec_id", "embedding", k = 4, rounds = 2)),
+
     "q_dedup_profile" -> ((s, d) => {
       // dedup observability: cluster-size histogram of exact duplicate
       // groups with corpus share — sizes the dedup stage before it
@@ -6347,6 +6366,94 @@ object SparkEntry {
                 round(sum(w), 6) AS attributed_conversions,
                 round(sum(w * v), 6) AS attributed_value
          FROM att GROUP BY 1, 2""",
+
+    "q_diff_in_diff" ->
+      """WITH p AS (
+           SELECT CAST(value AS DOUBLE) AS y,
+                  user_id % 2 = 0 AS t,
+                  ts >= TIMESTAMP '2024-01-16' AS post
+           FROM events WHERE event_type = 'purchase')
+         SELECT
+           CAST(count(CASE WHEN t AND NOT post THEN 1 END) AS BIGINT)
+             AS n_treated_pre,
+           CAST(count(CASE WHEN t AND post THEN 1 END) AS BIGINT)
+             AS n_treated_post,
+           CAST(count(CASE WHEN NOT t AND NOT post THEN 1 END)
+             AS BIGINT) AS n_control_pre,
+           CAST(count(CASE WHEN NOT t AND post THEN 1 END) AS BIGINT)
+             AS n_control_post,
+           round(avg(CASE WHEN t AND NOT post THEN y END), 6)
+             AS treated_pre,
+           round(avg(CASE WHEN t AND post THEN y END), 6)
+             AS treated_post,
+           round(avg(CASE WHEN NOT t AND NOT post THEN y END), 6)
+             AS control_pre,
+           round(avg(CASE WHEN NOT t AND post THEN y END), 6)
+             AS control_post,
+           round((avg(CASE WHEN t AND post THEN y END) -
+                  avg(CASE WHEN t AND NOT post THEN y END)) -
+                 (avg(CASE WHEN NOT t AND post THEN y END) -
+                  avg(CASE WHEN NOT t AND NOT post THEN y END)), 6)
+             AS did
+         FROM p""",
+
+    // fixed-round protocol: 2 Lloyd sweeps + final assignment,
+    // unrolled; distances are left-folded squared diffs, centroid
+    // coordinates rounded at 6 before the next sweep (both engines)
+    "q_kmeans" ->
+      """WITH base AS MATERIALIZED (
+           SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE embedding IS NOT NULL),
+         c0 AS MATERIALIZED (
+           SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT)
+             AS cid, v AS c
+           FROM (SELECT id, v FROM base ORDER BY id LIMIT 4)),
+         a1 AS MATERIALIZED (
+           SELECT id, v, cid, d FROM (
+             SELECT id, v, cid, d, row_number() OVER (
+               PARTITION BY id ORDER BY d, cid) AS rn
+             FROM (SELECT b.id, b.v, c.cid,
+                     list_sum(list_transform(list_zip(b.v, c.c),
+                       x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+                   FROM base b CROSS JOIN c0 c))
+           WHERE rn = 1),
+         c1 AS MATERIALIZED (
+           SELECT cid, list(m ORDER BY pos) AS c FROM (
+             SELECT cid, pos, round(avg(x), 6) AS m FROM (
+               SELECT cid, unnest(v) AS x,
+                      generate_subscripts(v, 1) AS pos
+               FROM a1)
+             GROUP BY 1, 2)
+           GROUP BY 1),
+         a2 AS MATERIALIZED (
+           SELECT id, v, cid, d FROM (
+             SELECT id, v, cid, d, row_number() OVER (
+               PARTITION BY id ORDER BY d, cid) AS rn
+             FROM (SELECT b.id, b.v, c.cid,
+                     list_sum(list_transform(list_zip(b.v, c.c),
+                       x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+                   FROM base b CROSS JOIN c1 c))
+           WHERE rn = 1),
+         c2 AS MATERIALIZED (
+           SELECT cid, list(m ORDER BY pos) AS c FROM (
+             SELECT cid, pos, round(avg(x), 6) AS m FROM (
+               SELECT cid, unnest(v) AS x,
+                      generate_subscripts(v, 1) AS pos
+               FROM a2)
+             GROUP BY 1, 2)
+           GROUP BY 1),
+         af AS (
+           SELECT id, cid, d FROM (
+             SELECT id, cid, d, row_number() OVER (
+               PARTITION BY id ORDER BY d, cid) AS rn
+             FROM (SELECT b.id, c.cid,
+                     list_sum(list_transform(list_zip(b.v, c.c),
+                       x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+                   FROM base b CROSS JOIN c2 c))
+           WHERE rn = 1)
+         SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_points,
+                round(sum(d), 4) AS inertia
+         FROM af GROUP BY 1""",
 
     "q_rmst" ->
       """WITH u AS (

@@ -567,4 +567,65 @@ object Similarity {
       .agg(sum(when(col("q_label") === col("n_label"), 1).otherwise(0))
         .cast("long").as("n_agree"))
   }
+
+  /** EXACT fixed-round Lloyd k-means over an embedding column — the
+    * graded, engine-reproducible counterpart of the ML-library k-means
+    * the IVF index trains with ([[ivfBuild]]): `rounds` synchronous
+    * assign→update sweeps from DETERMINISTIC seeds (the k
+    * smallest-id vectors), then one final assignment, reporting per
+    * surviving cluster its size and inertia (Σ min-distance²). Every
+    * discrete decision is reproducible across engines: seeds are
+    * id-ordered inputs (exact float→double widening), distances are
+    * LEFT-FOLDED squared-diff sums over identical bits, assignment
+    * ties break on cluster id, and each updated centroid coordinate
+    * is ROUNDED at `scale` — the mean's summation-order noise
+    * (~1e-13) is flattened before it can flip any later comparison.
+    * A cluster that loses all members stays dropped (no
+    * re-seeding) — deterministic, and mirrored by the oracle.
+    *
+    * Scale shape: per round ONE broadcast of the k×dim centroid
+    * table against the corpus (no shuffle for assignment — the
+    * min-distance rank rides a per-id window over k rows) and one
+    * (cid, dim)-keyed partial-agg exchange of scalars for the
+    * update; vectors never shuffle whole. */
+  def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      rounds: Int = 2, scale: Int = 6): DataFrame = {
+    require(k >= 2 && rounds >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df
+      .select(col(idCol).cast("long").as("__id"),
+        Vectors.asDouble(col(vecCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .localCheckpoint(false)
+    // bounded collect: k seed vectors, id-ordered
+    val seeds = base.orderBy(col("__id")).limit(k)
+      .select(col("__v")).collect()
+      .map(_.getSeq[Double](0)).zipWithIndex
+      .map { case (v, i) => (i, v) }
+    var cents = seeds.toSeq.toDF("__cid", "__c")
+    def assign(c: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("__id"))
+        .orderBy(col("__d"), col("__cid"))
+      base.crossJoin(broadcast(c))
+        .withColumn("__d", Vectors.l2sq(col("__v"), col("__c")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+    }
+    (1 to rounds).foreach { _ =>
+      cents = assign(cents)
+        .select(col("__cid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy(col("__cid"), col("__pos"))
+        .agg(round(avg(col("__x")), scale).as("__m"))
+        .groupBy(col("__cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__m")))),
+          s => s.getField("__m")).as("__c"))
+        .localCheckpoint(false)
+    }
+    assign(cents)
+      .groupBy(col("__cid").as("cluster"))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("__d")), 4).as("inertia"))
+  }
 }

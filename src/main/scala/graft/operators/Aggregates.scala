@@ -1249,6 +1249,39 @@ object Aggregates {
         .as("diff_cuped"))
   }
 
+  /** Difference-in-differences estimator over a 2×2 design: the
+    * treatment effect net of both the group baseline gap and the
+    * common time trend — DiD = (T̄post − T̄pre) − (C̄post − C̄pre),
+    * the standard quasi-experimental readout when assignment wasn't
+    * randomized (a rollout, a policy change). Emits the four cell
+    * means + counts alongside the estimate so the parallel-trends
+    * eyeball has its inputs. ONE row out.
+    *
+    * Scale shape: a single full-scan aggregate with conditional
+    * means — no shuffle beyond the one partial-agg exchange; the 2×2
+    * cells are columns, not groups, so skewed cohorts cost nothing
+    * extra. */
+  def diffInDiff(df: DataFrame, outcome: Column, treated: Column,
+      post: Column, scale: Int = 6): DataFrame = {
+    val y = outcome.cast("double")
+    val t = treated.cast("boolean")
+    val p = post.cast("boolean")
+    def cell(tv: Boolean, pv: Boolean) =
+      when(t === tv && p === pv, y)
+    df.agg(
+      count(cell(true, false)).as("n_treated_pre"),
+      count(cell(true, true)).as("n_treated_post"),
+      count(cell(false, false)).as("n_control_pre"),
+      count(cell(false, true)).as("n_control_post"),
+      round(avg(cell(true, false)), scale).as("treated_pre"),
+      round(avg(cell(true, true)), scale).as("treated_post"),
+      round(avg(cell(false, false)), scale).as("control_pre"),
+      round(avg(cell(false, true)), scale).as("control_post"),
+      round((avg(cell(true, true)) - avg(cell(true, false))) -
+        (avg(cell(false, true)) - avg(cell(false, false))), scale)
+        .as("did"))
+  }
+
   /** Frequent 3-itemsets by the A-priori downward-closure route
     * (Agrawal & Srikant 1994): items below `minSupport` cannot appear
     * in any frequent triple, so baskets are PRUNED to frequent items

@@ -721,6 +721,31 @@ class CdcSequenceSpec extends SparkSpec {
     }
   }
 
+  test("diffInDiff: hand-computed 2x2 cells; trend and baseline both netted out") {
+    import graft.operators.Aggregates
+    // T pre {1,3}->2, T post {5,7}->6, C pre {2}->2, C post {3}->3
+    // DiD = (6-2) - (3-2) = 3
+    val df = Seq(
+      (1.0, true, false), (3.0, true, false),
+      (5.0, true, true), (7.0, true, true),
+      (2.0, false, false), (3.0, false, true))
+      .toDF("y", "t", "post")
+    val r = Aggregates.diffInDiff(df, col("y"), col("t"), col("post"))
+      .collect().head
+    assert(r.getAs[Long]("n_treated_pre") == 2L &&
+      r.getAs[Long]("n_control_post") == 1L)
+    assert(r.getAs[Double]("treated_post") == 6.0 &&
+      r.getAs[Double]("control_pre") == 2.0)
+    assert(r.getAs[Double]("did") == 3.0, r.toString)
+    // pure common trend (both groups +2, same baseline) -> DiD 0
+    val flat = Seq(
+      (1.0, true, false), (3.0, true, true),
+      (1.0, false, false), (3.0, false, true))
+      .toDF("y", "t", "post")
+    assert(Aggregates.diffInDiff(flat, col("y"), col("t"), col("post"))
+      .collect().head.getAs[Double]("did") == 0.0)
+  }
+
   test("auc is bucketing-invariant") {
     import graft.operators.Aggregates
     val df = (1 to 200).map(i =>
