@@ -583,37 +583,39 @@ object Similarity {
     * A cluster that loses all members stays dropped (no
     * re-seeding) — deterministic, and mirrored by the oracle.
     *
-    * Scale shape: per round ONE broadcast of the k×dim centroid
-    * table against the corpus (no shuffle for assignment — the
-    * min-distance rank rides a per-id window over k rows) and one
-    * (cid, dim)-keyed partial-agg exchange of scalars for the
-    * update; vectors never shuffle whole. */
+    * Scale shape: centroids live on the DRIVER (k×dim, bounded — the
+    * [[ivfSearch]] posture), so assignment is MAP-ONLY: one
+    * projection computing the literal-array argmin (struct (d, cid)
+    * min — Spark's lexicographic struct order IS the tie-break); the
+    * only exchange per round is the (cid, dim)-keyed partial-agg of
+    * scalars for the update. Vectors never shuffle at all. */
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
       rounds: Int = 2, scale: Int = 6): DataFrame = {
     require(k >= 2 && rounds >= 1)
-    val spark = df.sparkSession
-    import spark.implicits._
     val base = df
       .select(col(idCol).cast("long").as("__id"),
         Vectors.asDouble(col(vecCol)).as("__v"))
       .filter(col("__v").isNotNull)
       .localCheckpoint(false)
     // bounded collect: k seed vectors, id-ordered
-    val seeds = base.orderBy(col("__id")).limit(k)
-      .select(col("__v")).collect()
+    var cents: Array[(Int, Seq[Double])] = base.orderBy(col("__id"))
+      .limit(k).select(col("__v")).collect()
       .map(_.getSeq[Double](0)).zipWithIndex
       .map { case (v, i) => (i, v) }
-    var cents = seeds.toSeq.toDF("__cid", "__c")
-    def assign(c: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("__id"))
-        .orderBy(col("__d"), col("__cid"))
-      base.crossJoin(broadcast(c))
-        .withColumn("__d", Vectors.l2sq(col("__v"), col("__c")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
+    def assigned(): DataFrame = {
+      val candidates = cents.map { case (cid, c) =>
+        struct(
+          Vectors.l2sq(col("__v"), array(c.map(lit): _*)).as("d"),
+          lit(cid).as("cid"))
+      }
+      val best = array_min(array(candidates: _*))
+      base.withColumn("__cid", best.getField("cid"))
+        .withColumn("__d", best.getField("d"))
     }
     (1 to rounds).foreach { _ =>
-      cents = assign(cents)
+      // update: (cid, dim)-keyed scalar means, rounded; bounded
+      // collect of k×dim coordinates back to the driver
+      cents = assigned()
         .select(col("__cid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
         .groupBy(col("__cid"), col("__pos"))
         .agg(round(avg(col("__x")), scale).as("__m"))
@@ -621,9 +623,11 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("__pos"), col("__m")))),
           s => s.getField("__m")).as("__c"))
-        .localCheckpoint(false)
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
     }
-    assign(cents)
+    assigned()
       .groupBy(col("__cid").as("cluster"))
       .agg(count(lit(1)).as("n_points"),
         round(sum(col("__d")), 4).as("inertia"))
