@@ -1573,6 +1573,10 @@ object Multimodal {
                 case None => return None
               } else inflated
             if (table.length % rowW != 0) return None
+            // same 1M-entry cap as the classic-table branch: a
+            // crafted highly-compressible stream must not grow the
+            // offset map unbounded
+            if (table.length / rowW > 1000000) return None
             // walk /Index runs over the rows
             var row = 0
             var ii = 0

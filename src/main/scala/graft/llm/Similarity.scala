@@ -602,6 +602,13 @@ object Similarity {
       .limit(k).select(col("__v")).collect()
       .map(_.getSeq[Double](0)).zipWithIndex
       .map { case (v, i) => (i, v) }
+    if (cents.isEmpty) {
+      // zero non-null vectors: zero clusters, not an AnalysisException
+      // from an empty candidate array
+      import df.sparkSession.implicits._
+      return Seq.empty[(Int, Long, Double)]
+        .toDF("cluster", "n_points", "inertia")
+    }
     def assigned(): DataFrame = {
       val candidates = cents.map { case (cid, c) =>
         struct(

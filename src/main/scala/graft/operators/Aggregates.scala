@@ -1268,11 +1268,16 @@ object Aggregates {
     val p = post.cast("boolean")
     def cell(tv: Boolean, pv: Boolean) =
       when(t === tv && p === pv, y)
+    // counts are ROW counts per cell (a null outcome still occupies
+    // its cell — mirrors the oracle's CASE WHEN cond THEN 1 END);
+    // the means skip null outcomes as avg always does
+    def one(tv: Boolean, pv: Boolean) =
+      when(t === tv && p === pv, 1)
     df.agg(
-      count(cell(true, false)).as("n_treated_pre"),
-      count(cell(true, true)).as("n_treated_post"),
-      count(cell(false, false)).as("n_control_pre"),
-      count(cell(false, true)).as("n_control_post"),
+      count(one(true, false)).as("n_treated_pre"),
+      count(one(true, true)).as("n_treated_post"),
+      count(one(false, false)).as("n_control_pre"),
+      count(one(false, true)).as("n_control_post"),
       round(avg(cell(true, false)), scale).as("treated_pre"),
       round(avg(cell(true, true)), scale).as("treated_post"),
       round(avg(cell(false, false)), scale).as("control_pre"),

@@ -583,10 +583,17 @@ object Graph {
         org.apache.spark.sql.graft.Bridge.releaseFrame(bad)
         done = true
       } else {
+        // MEASURED trade-off: the checkpointed bad set broadcasts
+        // TWICE (a checkpoint's ExistingRDD defeats exchange-reuse
+        // canonicalization across the analyzer's self-join dedup —
+        // a .persist() variant does get a ReusedExchange but costs
+        // ~+1 s/query in columnar cache build at realistic frontier
+        // sizes). The double ship is bounded: the gate halves so the
+        // worst-case total stays under one 5M-row broadcast's budget.
         val badA = bad.select(col("__id").as("id_a"))
         val badB = bad.select(col("__id").as("id_b"))
         val (ja, jb) =
-          if (nBad <= broadcastGate) (broadcast(badA), broadcast(badB))
+          if (nBad <= broadcastGate / 2) (broadcast(badA), broadcast(badB))
           else (badA, badB)
         val next = live
           .join(ja, Seq("id_a"), "left_anti")

@@ -342,15 +342,19 @@ object Sessions {
     * stays active to the horizon. Output: one (t, __churn) row per
     * key. */
   private def followUpLabels(df: DataFrame, key: String, ts: String,
-      isEvent: Column, horizonDays: Int): DataFrame = {
-    val u = df.groupBy(col(key))
-      .agg(min(col(ts)).as("__fst"),
-        min(when(isEvent, col(ts))).as("__evt"))
+      isEvent: Column, horizonDays: Int,
+      groupCol: Option[Column] = None): DataFrame = {
+    val aggs = Seq(min(col(ts)).as("__fst"),
+      min(when(isEvent, col(ts))).as("__evt")) ++
+      groupCol.map(g => min(g.cast("string")).as("__grp"))
+    val u = df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
     val tEvt = datediff(to_date(col("__evt")), to_date(col("__fst")))
     val hit = col("__evt").isNotNull && tEvt <= lit(horizonDays)
-    u.select(
+    val labelCols = Seq(
       when(hit, tEvt).otherwise(lit(horizonDays)).as("t"),
-      when(hit, 1).otherwise(0).as("__churn"))
+      when(hit, 1).otherwise(0).as("__churn")) ++
+      groupCol.map(_ => col("__grp"))
+    u.select(labelCols: _*)
   }
 
   /** Shared survival risk table for [[kaplanMeier]] / [[nelsonAalen]]:
@@ -466,15 +470,10 @@ object Sessions {
     * n_g(t); the grid is (cohorts × horizonDays+1)-bounded. */
   private def survivalGrid(df: DataFrame, key: String, ts: String,
       isEvent: Column, groupCol: Column, horizonDays: Int): DataFrame = {
-    val u = df.groupBy(col(key))
-      .agg(min(groupCol.cast("string")).as("__grp"),
-        min(col(ts)).as("__fst"),
-        min(when(isEvent, col(ts))).as("__evt"))
-    val tEvt = datediff(to_date(col("__evt")), to_date(col("__fst")))
-    val hit = col("__evt").isNotNull && tEvt <= lit(horizonDays)
-    val lab = u.select(col("__grp"),
-      when(hit, tEvt).otherwise(lit(horizonDays)).as("t"),
-      when(hit, 1).otherwise(0).as("__churn"))
+    // the ONE fixed-follow-up labeling rule (shared with the KM/NA
+    // curves), carrying the cohort through the per-key collapse
+    val lab = followUpLabels(df, key, ts, isEvent, horizonDays,
+      Some(groupCol))
     val g = lab.groupBy(col("__grp"), col("t"))
       .agg(sum(col("__churn")).cast("long").as("__d"),
         count(lit(1)).as("__obs"))

@@ -684,5 +684,10 @@ class DedupSimilaritySpec extends SparkSpec {
     // ties break to the smaller cid: cluster 1 (the coincident seed)
     // never wins a point and is dropped
     assert(out2 == Map(0 -> 3L), out2.toString)
+    // zero non-null vectors -> zero clusters, not an AnalysisException
+    val empty = Similarity.kmeansFit(
+      pts.filter($"vec_id" < 0L), "vec_id", "embedding", k = 2)
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq == Seq("cluster", "n_points", "inertia"))
   }
 }
