@@ -2307,6 +2307,18 @@ object SparkEntry {
       graft.llm.Similarity.kmeansFit(t(s, d, "embeddings"),
         "vec_id", "embedding", k = 4, rounds = 2)),
 
+    "q_competing_risks" -> ((s, d) =>
+      // Aalen-Johansen cumulative incidence: first purchase and first
+      // error COMPETE for each user inside the 3-day follow-up (ties
+      // go to purchase); CIF_c(t) = sum S(t-)·d_c/n with the
+      // all-cause KM left limit — never over-counts like
+      // one-minus-KM-per-cause does
+      graft.operators.Sessions.competingRisks(t(s, d, "events"),
+        "user_id", "ts",
+        Seq("purchase" -> (col("event_type") === "purchase"),
+          "error" -> (col("event_type") === "error")),
+        horizonDays = 3)),
+
     "q_dedup_profile" -> ((s, d) => {
       // dedup observability: cluster-size histogram of exact duplicate
       // groups with corpus share — sizes the dedup stage before it
@@ -6454,6 +6466,79 @@ object SparkEntry {
          SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n_points,
                 round(sum(d), 4) AS inertia
          FROM af GROUP BY 1""",
+
+    "q_competing_risks" ->
+      """WITH u AS (
+           SELECT user_id, min(ts) AS f,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END)
+                    AS e0,
+                  min(CASE WHEN event_type = 'error' THEN ts END)
+                    AS e1
+           FROM events GROUP BY 1),
+         cand AS (
+           SELECT CASE WHEN e0 IS NOT NULL AND
+                    CAST(CAST(e0 AS DATE) - CAST(f AS DATE) AS INT) <= 3
+                  THEN CAST(CAST(e0 AS DATE) - CAST(f AS DATE) AS INT)
+                  END AS t0,
+                  CASE WHEN e1 IS NOT NULL AND
+                    CAST(CAST(e1 AS DATE) - CAST(f AS DATE) AS INT) <= 3
+                  THEN CAST(CAST(e1 AS DATE) - CAST(f AS DATE) AS INT)
+                  END AS t1
+           FROM u),
+         lab AS (
+           SELECT CASE
+                    WHEN t0 IS NOT NULL AND (t1 IS NULL OR t0 <= t1)
+                      THEN t0
+                    WHEN t1 IS NOT NULL THEN t1
+                    ELSE 3 END AS t,
+                  CASE
+                    WHEN t0 IS NOT NULL AND (t1 IS NULL OR t0 <= t1)
+                      THEN 0
+                    WHEN t1 IS NOT NULL THEN 1
+                    ELSE -1 END AS cause
+           FROM cand),
+         g AS (
+           SELECT t,
+                  CAST(sum(CASE WHEN cause = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d0,
+                  CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS d1,
+                  CAST(count(*) AS BIGINT) AS obs
+           FROM lab GROUP BY 1),
+         r AS (
+           SELECT t, d0, d1,
+                  CAST((SELECT count(*) FROM lab) -
+                    coalesce(sum(obs) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS BIGINT) AS n
+           FROM g),
+         s AS (
+           SELECT t, d0, d1, n,
+                  1.0 - CAST(d0 + d1 AS DOUBLE) / n AS fac
+           FROM r),
+         km AS (
+           SELECT t, d0, d1, n,
+                  CASE WHEN max(CASE WHEN fac = 0 THEN 1 ELSE 0 END)
+                      OVER w = 1 THEN 0.0
+                    ELSE exp(sum(CASE WHEN fac > 0 THEN ln(fac)
+                      ELSE 0 END) OVER w) END AS sv
+           FROM s WINDOW w AS (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         sp AS (
+           SELECT t, d0, d1, n,
+                  coalesce(lag(sv) OVER (ORDER BY t), 1.0) AS sprev
+           FROM km)
+         SELECT t AS lifetime_days, 'purchase' AS cause, n AS n_risk,
+                d0 AS n_events,
+                round(sum(sprev * CAST(d0 AS DOUBLE) / n) OVER w, 6)
+                  AS cif
+         FROM sp WINDOW w AS (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         UNION ALL
+         SELECT t, 'error', n, d1,
+                round(sum(sprev * CAST(d1 AS DOUBLE) / n) OVER w2, 6)
+         FROM sp WINDOW w2 AS (ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
 
     "q_rmst" ->
       """WITH u AS (

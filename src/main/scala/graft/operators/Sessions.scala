@@ -392,6 +392,74 @@ object Sessions {
         col("na_survival"))
   }
 
+  /** Aalen–Johansen cumulative incidence under COMPETING RISKS: each
+    * key enters at its first event and the EARLIEST competing cause
+    * inside `horizonDays` claims it (ties break on `causes` order);
+    * keys no cause claims are censored at the horizon. Per (cause,
+    * lifetime-day): CIF_c(t) = Σ_{tᵢ≤t} S(tᵢ₋₁)·d_c(tᵢ)/n(tᵢ), where
+    * S is the ALL-CAUSE Kaplan-Meier left limit — the estimator that,
+    * unlike one-minus-KM-per-cause, never over-counts when causes
+    * compete (Σ_c CIF_c + S = 1 at every time, spec-pinned). Output:
+    * (lifetime_days, cause, n_risk, n_events, cif).
+    *
+    * Scale shape: one per-key collapse to (t, cause) labels, then the
+    * lifetime-day frame carries one column per cause — windows over
+    * ≤ horizonDays+1 rows; the all-cause survival is the same
+    * exp∘sum∘ln product as [[kaplanMeier]] (zero-flagged), and both
+    * engines walk the identical t-ordered terms, so the 6-digit
+    * round is hash-stable. */
+  def competingRisks(df: DataFrame, key: String, ts: String,
+      causes: Seq[(String, Column)], horizonDays: Int = 3,
+      scale: Int = 6): DataFrame = {
+    require(causes.nonEmpty)
+    val aggs = min(col(ts)).as("__fst") +: causes.zipWithIndex.map {
+      case ((_, isC), i) => min(when(isC, col(ts))).as(s"__e$i")
+    }
+    val u = df.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+    // earliest in-horizon cause wins; ties break on cause order via
+    // the (t, idx) struct min
+    val cands = causes.indices.map { i =>
+      val tc = datediff(to_date(col(s"__e$i")), to_date(col("__fst")))
+      when(col(s"__e$i").isNotNull && tc <= lit(horizonDays),
+        struct(tc.as("t"), lit(i).as("idx")))
+    }
+    val win = array_min(filter(array(cands: _*), _.isNotNull))
+    val lab = u.select(
+      coalesce(win.getField("t"), lit(horizonDays)).as("t"),
+      coalesce(win.getField("idx"), lit(-1)).as("__cause"))
+    val dCols = causes.indices.map(i =>
+      sum(when(col("__cause") === i, 1L).otherwise(0L)).as(s"__d$i"))
+    val g = lab.groupBy(col("t"))
+      .agg(dCols.head, (dCols.tail :+ count(lit(1)).as("__obs")): _*)
+    val total = broadcast(lab.agg(count(lit(1)).as("__N")))
+    val wPrev = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dAll = causes.indices.map(i => col(s"__d$i"))
+      .reduce(_ + _)
+    val risk = g.crossJoin(total)
+      .withColumn("__n", col("__N") -
+        coalesce(sum(col("__obs")).over(wPrev), lit(0L)))
+      .withColumn("__f",
+        lit(1.0) - dAll.cast("double") / col("__n"))
+      .withColumn("__zero",
+        max(when(col("__f") === 0.0, 1).otherwise(0)).over(wCum))
+      .withColumn("__s", when(col("__zero") === 1, 0.0)
+        .otherwise(exp(sum(when(col("__f") > 0.0, log(col("__f")))
+          .otherwise(0.0)).over(wCum))))
+      .withColumn("__sPrev",
+        coalesce(lag(col("__s"), 1).over(Window.orderBy(col("t"))),
+          lit(1.0)))
+    val perCause = causes.zipWithIndex.map { case ((name, _), i) =>
+      risk.select(col("t").as("lifetime_days"), lit(name).as("cause"),
+        col("__n").as("n_risk"), col(s"__d$i").as("n_events"),
+        round(sum(col("__sPrev") * col(s"__d$i").cast("double") /
+          col("__n")).over(wCum), scale).as("cif"))
+    }
+    perCause.reduce(_ unionByName _)
+  }
+
   /** Kaplan-Meier product-limit columns over a risk table. The product
     * is exp∘sum∘ln — associative, so it distributes — with the d=n
     * terminal point (survival exactly 0) handled by an explicit flag

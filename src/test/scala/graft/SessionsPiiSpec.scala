@@ -937,6 +937,37 @@ class SessionsPiiSpec extends SparkSpec {
       nul.getAs[Double]("score_chi2") == 0.0, nul.toString)
   }
 
+  test("competingRisks: hand-computed Aalen-Johansen CIFs; tie to first cause; CIFs + S sum to 1") {
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+    // u1: buy t=0 | u2: fail t=1 | u3: buy AND fail on d2 -> tie goes
+    // to 'buy' (first in the causes list), t=1 | u4: censored t=3
+    // t=0: n=4 d_buy=1        -> S=0.75, CIF_buy=0.25
+    // t=1: n=3 d_buy=1 d_f=1  -> S=0.25, CIF_buy=0.5, CIF_fail=0.25
+    // t=3: n=1 d=0            -> CIFs hold; 0.5 + 0.25 + S(0.25) = 1
+    val df = Seq(
+      (1L, ts(1), "buy"),
+      (2L, ts(1), "view"), (2L, ts(2), "fail"),
+      (3L, ts(1), "view"), (3L, ts(2), "buy"), (3L, ts(2), "fail"),
+      (4L, ts(1), "view"))
+      .toDF("user_id", "t", "etype")
+    val out = Sessions.competingRisks(df, "user_id", "t",
+      Seq("buy" -> ($"etype" === "buy"), "fail" -> ($"etype" === "fail")),
+      horizonDays = 3)
+      .collect().map(r => (r.getAs[String]("cause"),
+        r.getAs[Int]("lifetime_days")) ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("cif"))).toMap
+    assert(out(("buy", 0)) == (4L, 1L, 0.25), out.toString)
+    assert(out(("buy", 1)) == (3L, 1L, 0.5))
+    assert(out(("buy", 3)) == (1L, 0L, 0.5))
+    assert(out(("fail", 0)) == (4L, 0L, 0.0))
+    assert(out(("fail", 1)) == (3L, 1L, 0.25))
+    assert(out(("fail", 3)) == (1L, 0L, 0.25))
+    // the Aalen-Johansen identity at the horizon: sum of terminal
+    // CIFs + all-cause survival = 1 (here S(3) = 0.25)
+    assert(out(("buy", 3))._3 + out(("fail", 3))._3 + 0.25 == 1.0)
+  }
+
   test("multiTouchAttribution: hand-computed U-shape and dyadic decay weights") {
     def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
     // u1: email(d1) ad(d2) social(d3) buy(d4, 10) — halfLife 1 day ->
