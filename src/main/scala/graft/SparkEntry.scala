@@ -1753,6 +1753,13 @@ object SparkEntry {
       graft.operators.Aggregates.autocorrelation(t(s, d, "events"),
         Seq("event_type"), "ts", "value", maxLag = 5)),
 
+    "q_pacf" -> ((s, d) =>
+      // partial autocorrelation at lags 1-3 (Durbin-Levinson over the
+      // q_acf estimates): the AR-order screen — lag influence net of
+      // what lower lags already explain
+      graft.operators.Aggregates.pacf(t(s, d, "events"),
+        Seq("event_type"), "ts", "value")),
+
     "q_mutual_info" -> ((s, d) =>
       // association strength between return flag and line status in
       // nats, with marginal entropies and sqrt-normalized NMI
@@ -6753,6 +6760,48 @@ object SparkEntry {
          SELECT event_type, lag, round(corr(v, lv), 6) AS acf,
                 count(lv) AS n_pairs
          FROM s GROUP BY 1, 2""",
+
+    // Durbin-Levinson over the SAME rounded acf estimates as q_acf —
+    // identical expression tree to Aggregates.pacf
+    "q_pacf" ->
+      """WITH d AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, avg(value) AS v
+           FROM events GROUP BY 1, 2),
+         l AS (
+           SELECT event_type, v,
+                  lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+                  lag(v, 3) OVER w AS l3
+           FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         s AS (
+           SELECT event_type, 1 AS lag, v, l1 AS lv FROM l UNION ALL
+           SELECT event_type, 2, v, l2 FROM l UNION ALL
+           SELECT event_type, 3, v, l3 FROM l),
+         r AS (
+           SELECT event_type, lag, round(corr(v, lv), 6) AS acf
+           FROM s GROUP BY 1, 2),
+         p AS (
+           SELECT event_type,
+                  max(CASE WHEN lag = 1 THEN acf END) AS r1,
+                  max(CASE WHEN lag = 2 THEN acf END) AS r2,
+                  max(CASE WHEN lag = 3 THEN acf END) AS r3
+           FROM r GROUP BY 1),
+         q1 AS (
+           SELECT event_type, r1, r2, r3, r1 AS p11,
+                  CASE WHEN 1.0 - r1 * r1 <> 0.0
+                    THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS p22
+           FROM p),
+         q2 AS (SELECT *, p11 - p22 * p11 AS p21 FROM q1),
+         q3 AS (
+           SELECT event_type, p11, p22,
+                  CASE WHEN 1.0 - p21 * r1 - p22 * r2 <> 0.0
+                    THEN (r3 - p21 * r2 - p22 * r1) /
+                         (1.0 - p21 * r1 - p22 * r2) END AS p33
+           FROM q2)
+         SELECT event_type, 1 AS lag, round(p11, 6) AS pacf FROM q3
+         UNION ALL
+         SELECT event_type, 2, round(p22, 6) FROM q3
+         UNION ALL
+         SELECT event_type, 3, round(p33, 6) FROM q3""",
 
     "q_mutual_info" ->
       """WITH j AS (

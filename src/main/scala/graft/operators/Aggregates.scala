@@ -865,6 +865,47 @@ object Aggregates {
         count(col("__lv")).as("n_pairs"))
   }
 
+  /** Partial autocorrelation at lags 1–3 by the Durbin–Levinson
+    * recursion over [[autocorrelation]]'s (rounded) r₁..r₃ — the
+    * AR-order screen that separates direct lag influence from what
+    * lower lags already explain:
+    *   φ₁₁ = r₁; φ₂₂ = (r₂−r₁²)/(1−r₁²); φ₂₁ = φ₁₁−φ₂₂·φ₁₁;
+    *   φ₃₃ = (r₃−φ₂₁r₂−φ₂₂r₁)/(1−φ₂₁r₁−φ₂₂r₂).
+    * Degenerate denominators (|r₁| = 1 etc.) yield null, not a
+    * crash. Consumes the SAME rounded acf both engines emit, and
+    * applies the identical expression tree, so the 6-digit round is
+    * hash-stable.
+    *
+    * Scale shape: everything after the acf aggregate rides the
+    * (groups × 3)-row frame — pivot, arithmetic, stack. */
+  def pacf(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valueCol: String, scale: Int = 6): DataFrame = {
+    val kc = keyCols.map(col)
+    val r = autocorrelation(df, keyCols, tsCol, valueCol, maxLag = 3,
+      scale = scale)
+    r.groupBy(kc: _*)
+      .agg(max(when(col("lag") === 1, col("acf"))).as("__r1"),
+        max(when(col("lag") === 2, col("acf"))).as("__r2"),
+        max(when(col("lag") === 3, col("acf"))).as("__r3"))
+      .withColumn("__p11", col("__r1"))
+      .withColumn("__p22",
+        when(lit(1.0) - col("__r1") * col("__r1") =!= 0.0,
+          (col("__r2") - col("__r1") * col("__r1")) /
+            (lit(1.0) - col("__r1") * col("__r1"))))
+      .withColumn("__p21", col("__p11") - col("__p22") * col("__p11"))
+      .withColumn("__p33",
+        when(lit(1.0) - col("__p21") * col("__r1") -
+          col("__p22") * col("__r2") =!= 0.0,
+          (col("__r3") - col("__p21") * col("__r2") -
+            col("__p22") * col("__r1")) /
+            (lit(1.0) - col("__p21") * col("__r1") -
+              col("__p22") * col("__r2"))))
+      .selectExpr(keyCols :+
+        "stack(3, 1, __p11, 2, __p22, 3, __p33) AS (`lag`, __pacf)": _*)
+      .select(kc :+ col("lag") :+
+        round(col("__pacf"), scale).as("pacf"): _*)
+  }
+
   /** Mutual information between two categorical columns, in nats, with
     * the marginal entropies and the sqrt-normalized NMI — the
     * association strength that, unlike chi-square, reads directly as

@@ -445,6 +445,48 @@ class CdcSequenceSpec extends SparkSpec {
     assert(out(2) == (1.0, 12L), out.toString)
   }
 
+  test("pacf: Durbin-Levinson algebra; AR(1) cuts off after lag 1; degenerate acf yields null") {
+    import graft.operators.Aggregates
+    // AR(1) with phi=0.8 driven by a deterministic hash-noise term,
+    // one point per day
+    var y = 0.0
+    val rnd = new scala.util.Random(7) // java.util.Random LCG: spec-fixed
+    val rows = (0 until 120).map { i =>
+      y = 0.8 * y + (rnd.nextDouble() - 0.5)
+      ("k", new java.sql.Timestamp(1704103200000L + i * 86400000L), y)
+    }
+    val df = rows.toDF("k", "t", "v")
+    val out = Aggregates.pacf(df, Seq("k"), "t", "v")
+      .collect().map(r => r.getAs[Int]("lag") ->
+        r.getAs[Double]("pacf")).toMap
+    val acf = Aggregates.autocorrelation(df, Seq("k"), "t", "v", 3)
+      .collect().map(r => r.getAs[Int]("lag") ->
+        r.getAs[Double]("acf")).toMap
+    // lag-1 PACF IS the lag-1 ACF
+    assert(out(1) == acf(1), s"$out vs $acf")
+    // Durbin-Levinson algebra reproduced from the same rounded r's
+    val (r1, r2, r3) = (acf(1), acf(2), acf(3))
+    val p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val p21 = r1 - p22 * r1
+    val p33 = (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)
+    assert(out(2) == math.rint(p22 * 1e6) / 1e6 ||
+      math.abs(out(2) - p22) < 1e-5, s"${out(2)} vs $p22")
+    assert(math.abs(out(3) - p33) < 1e-5, s"${out(3)} vs $p33")
+    // AR(1): direct influence beyond lag 1 is ~0 while acf(2) stays
+    // large (the whole point of PACF)
+    assert(acf(2) > 0.3 && math.abs(out(2)) < 0.15, s"$acf $out")
+    assert(math.abs(out(3)) < 0.15)
+    // alternating series: acf(1) = -1 -> 1 - r1^2 = 0 -> lag 2/3 null
+    val alt = (0 until 14).map(i =>
+      ("k", java.sql.Timestamp.valueOf(f"2024-01-${i + 1}%02d 12:00:00"),
+        if (i % 2 == 0) 1.0 else 3.0)).toDF("k", "t", "v")
+    val deg = Aggregates.pacf(alt, Seq("k"), "t", "v")
+      .collect().map(r => r.getAs[Int]("lag") ->
+        Option(r.get(r.fieldIndex("pacf")))).toMap
+    assert(deg(1).contains(-1.0) && deg(2).isEmpty && deg(3).isEmpty,
+      deg.toString)
+  }
+
   test("mutualInfo: identical columns give MI = H and NMI = 1; independent give 0") {
     import graft.operators.Aggregates
     val dep = (Seq.fill(10)("a") ++ Seq.fill(10)("b")).map(x => (x, x)).toDF("x", "y")
