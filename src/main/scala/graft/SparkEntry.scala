@@ -1398,6 +1398,32 @@ object SparkEntry {
         graft.plans.UnicodeNormExpr.accentFold(
           translate(col("text"), "aeioucsnk", "áéíóüçøñ한")).as("folded"))),
 
+    // ---- plans/: HTML -> text extraction (round 11) ----
+    "q_html_extract" -> ((s, d) => {
+      // the scraper's BeautifulSoup-text ingest stage as a codegen
+      // kernel: each document is wrapped in a deterministic page
+      // (DOCTYPE, style+script to drop, comment, uppercase block tag,
+      // the six core entities + numeric dec/hex) IDENTICALLY in both
+      // engines, then kernel-vs-regex-chain equality is hash-checked;
+      // raw <>& are pre-sanitized so naive-tag semantics can't diverge
+      val safe = regexp_replace(col("text"), "[<>&]", " ")
+      val html = concat(
+        lit("<!DOCTYPE html><html lang=\"en\"><head><title>doc</title>" +
+          "<style type=\"text/css\">p { color: red; }</style>" +
+          "<script>if (1 < 2) { alert(\"x&y\"); }</script></head>" +
+          "<body><!-- header --><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><P CLASS=\"main\">"), safe,
+        lit("</P><div><span>source: </span>"), col("source"),
+        lit("&nbsp;&amp; lang &lt;"), col("lang"),
+        lit("&gt; caf&#233; &#x21; fin</div><table><tr><td>n_chars" +
+          "</td><td>"),
+        col("n_chars").cast("string"),
+        lit("</td></tr></table></body></html>"))
+      t(s, d, "documents").select(col("doc_id"),
+        graft.plans.HtmlTextExpr.htmlToText(html).as("text"))
+    }),
+
     // ---- sessionization + funnel (round 8) ----
     "q_sessionize" -> ((s, d) =>
       graft.operators.Sessions.sessionStats(t(s, d, "events"),
@@ -4960,6 +4986,52 @@ object SparkEntry {
                 strip_accents(translate(text, 'aeioucsnk', 'áéíóüçøñ한')) AS folded
          FROM documents""",
 
+    // the kernel's regex-chain-statable contract, replayed literally:
+    // script/style w/ content -> ' ', comments -> ' ', block tags ->
+    // newline, other tags -> ' ', entities decoded (amp LAST), then
+    // spaces collapse / trim around newlines / newline runs collapse
+    "q_html_extract" ->
+      """WITH h AS (
+           SELECT doc_id,
+             '<!DOCTYPE html><html lang="en"><head><title>doc</title>'
+             || '<style type="text/css">p { color: red; }</style>'
+             || '<script>if (1 < 2) { alert("x&y"); }</script></head>'
+             || '<body><!-- header --><h1>Doc '
+             || CAST(doc_id AS VARCHAR)
+             || '</h1><P CLASS="main">'
+             || regexp_replace(text, '[<>&]', ' ', 'g')
+             || '</P><div><span>source: </span>' || source
+             || '&nbsp;&amp; lang &lt;' || lang
+             || '&gt; caf&#233; &#x21; fin</div><table><tr><td>n_chars'
+             || '</td><td>' || CAST(n_chars AS VARCHAR)
+             || '</td></tr></table></body></html>' AS html
+           FROM documents),
+         s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+             '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+             '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g') AS x
+           FROM h),
+         s2 AS (SELECT doc_id,
+             regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x
+           FROM s1),
+         s3 AS (SELECT doc_id, regexp_replace(x,
+             '(?i)</?(blockquote|article|section|header|footer|table|pre|h[1-6]|hr|br|td|th|tr|ul|ol|li|p|div)\b[^>]*>',
+             chr(10), 'g') AS x FROM s2),
+         s4 AS (SELECT doc_id,
+             regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s3),
+         s5 AS (SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(x,
+               '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+               '&#233;', chr(233)), '&#x21;', '!'), '&amp;', '&') AS x
+           FROM s4),
+         s6 AS (SELECT doc_id,
+             regexp_replace(x, '[ \t]+', ' ', 'g') AS x FROM s5),
+         s7 AS (SELECT doc_id,
+             regexp_replace(x, ' ?\n ?', chr(10), 'g') AS x FROM s6),
+         s8 AS (SELECT doc_id,
+             regexp_replace(x, '\n+', chr(10), 'g') AS x FROM s7)
+         SELECT doc_id, trim(x, ' ' || chr(10) || chr(9)) AS text
+         FROM s8""",
+
     "q_pagerank" -> pagerankSql,
 
     "q_hits" -> hitsSql,
@@ -6422,11 +6494,12 @@ object SparkEntry {
     "q_kmeans" ->
       """WITH base AS MATERIALIZED (
            SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-           FROM embeddings WHERE embedding IS NOT NULL),
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND vec_id IS NOT NULL),
          c0 AS MATERIALIZED (
-           SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT)
+           SELECT CAST(row_number() OVER (ORDER BY id, v) - 1 AS INT)
              AS cid, v AS c
-           FROM (SELECT id, v FROM base ORDER BY id LIMIT 4)),
+           FROM (SELECT id, v FROM base ORDER BY id, v LIMIT 4)),
          a1 AS MATERIALIZED (
            SELECT id, v, cid, d FROM (
              SELECT id, v, cid, d, row_number() OVER (

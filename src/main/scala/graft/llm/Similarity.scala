@@ -587,18 +587,29 @@ object Similarity {
     * [[ivfSearch]] posture), so assignment is MAP-ONLY: one
     * projection computing the literal-array argmin (struct (d, cid)
     * min — Spark's lexicographic struct order IS the tie-break); the
-    * only exchange per round is the (cid, dim)-keyed partial-agg of
-    * scalars for the update. Vectors never shuffle at all. */
+    * only exchange per round is the cid-keyed partial-agg whose
+    * buffer is the element-wise sum — k rows × (dim+1) scalar
+    * columns, corpus-size-independent. Vectors never shuffle at
+    * all. Vectors are expected to share one dimensionality (ragged
+    * suffixes degrade gracefully: unreached positions drop, as with
+    * the r10 per-position aggregate). IDs must be non-null; under
+    * duplicate ids the (id, vector) seed order stays deterministic. */
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
       rounds: Int = 2, scale: Int = 6): DataFrame = {
     require(k >= 2 && rounds >= 1)
     val base = df
       .select(col(idCol).cast("long").as("__id"),
         Vectors.asDouble(col(vecCol)).as("__v"))
-      .filter(col("__v").isNotNull)
+      .filter(col("__v").isNotNull && col("__id").isNotNull)
       .localCheckpoint(false)
-    // bounded collect: k seed vectors, id-ordered
-    var cents: Array[(Int, Seq[Double])] = base.orderBy(col("__id"))
+    // bounded collect: k seed vectors, (id, vector)-ordered — the
+    // vector tie-break (lexicographic over exact doubles, identical
+    // in Spark and DuckDB) keeps the seed set deterministic even
+    // under duplicate ids; null ids are dropped above because the
+    // engines disagree on null placement (Spark NULLS FIRST, DuckDB
+    // NULLS LAST)
+    var cents: Array[(Int, Seq[Double])] = base
+      .orderBy(col("__id"), col("__v"))
       .limit(k).select(col("__v")).collect()
       .map(_.getSeq[Double](0)).zipWithIndex
       .map { case (v, i) => (i, v) }
@@ -620,18 +631,33 @@ object Similarity {
         .withColumn("__d", best.getField("d"))
     }
     (1 to rounds).foreach { _ =>
-      // update: (cid, dim)-keyed scalar means, rounded; bounded
-      // collect of k×dim coordinates back to the driver
+      // update (r11): ONE cid-keyed codegen hash-aggregate whose
+      // buffer is the element-wise running sum — k rows ×
+      // (dim+1) scalars cross the exchange, instead of the r10
+      // posexplode's N×dim (cid, pos) rows (128M partial-agg inputs
+      // at the 100x probe). Means divide on the driver over the
+      // collected k-row frame — numerically identical to avg()'s
+      // final sum/count division, and the same HALF_UP round
+      // flattens the summation-order noise before the next sweep.
+      // A position no member reaches sums to null; nulls form a
+      // suffix (array positions are dense per vector), so takeWhile
+      // reproduces the old missing-(cid,pos)-group behavior exactly.
+      val dim = cents.map(_._2.length).max
+      val sums = (0 until dim).map(i => sum(col("__v")(i)).as(s"__s$i"))
       cents = assigned()
-        .select(col("__cid"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .groupBy(col("__cid"), col("__pos"))
-        .agg(round(avg(col("__x")), scale).as("__m"))
         .groupBy(col("__cid"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("__pos"), col("__m")))),
-          s => s.getField("__m")).as("__c"))
+        .agg(count(lit(1)).as("__n"), sums: _*)
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .map { r =>
+          val n = r.getLong(1)
+          val c = (0 until dim).iterator
+            .map(i => if (r.isNullAt(2 + i)) None
+              else Some(BigDecimal(r.getDouble(2 + i) / n)
+                .setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble))
+            .takeWhile(_.isDefined).map(_.get).toVector
+          (r.getInt(0), c: Seq[Double])
+        }
         .sortBy(_._1)
     }
     assigned()

@@ -602,7 +602,9 @@ object Graph {
         org.apache.spark.sql.graft.Bridge.releaseFrame(live)
         org.apache.spark.sql.graft.Bridge.releaseFrame(bad)
         live = next
-        done = live.isEmpty
+        // no per-round isEmpty probe (r11): a drained frame exits the
+        // NEXT round through nBad==0 on an empty degree aggregate —
+        // one cheap job once, instead of one extra job EVERY round
         r += 1
       }
     }

@@ -539,9 +539,13 @@ object Sessions {
   private def survivalGrid(df: DataFrame, key: String, ts: String,
       isEvent: Column, groupCol: Column, horizonDays: Int): DataFrame = {
     // the ONE fixed-follow-up labeling rule (shared with the KM/NA
-    // curves), carrying the cohort through the per-key collapse
+    // curves), carrying the cohort through the per-key collapse.
+    // localCheckpoint (the weightedPercentiles lineage-cut pattern)
+    // because the frame fans into THREE consumers below (grid,
+    // distinct-t, distinct-group) — without it the per-key collapse
+    // and the events scan under it re-execute per consumer
     val lab = followUpLabels(df, key, ts, isEvent, horizonDays,
-      Some(groupCol))
+      Some(groupCol)).localCheckpoint(false)
     val g = lab.groupBy(col("__grp"), col("t"))
       .agg(sum(col("__churn")).cast("long").as("__d"),
         count(lit(1)).as("__obs"))

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.{HtmlTextExpr, HtmlTextUtil}
+
+/** html_to_text kernel: the well-formed contract (pinned outputs) and
+  * the messy web — unclosed tags, unclosed script, nested tables,
+  * CDATA, truncated pages — where the kernel must degrade to "drop,
+  * never leak markup" rather than throw or mis-read. */
+class HtmlTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def x(s: String): String = HtmlTextUtil.extract(s)
+
+  test("well-formed page: blocks to newlines, inline to spaces") {
+    val html = "<html><body><h1>Title</h1><p>one <b>bold</b> two</p>" +
+      "<div>tail</div></body></html>"
+    assert(x(html) == "Title\none bold two\ntail")
+  }
+
+  test("script and style drop with their content, case-insensitive") {
+    val html = "<p>a</p><SCRIPT type=\"x\">if (1 < 2) alert('&amp;')" +
+      "</SCRIPT><style>p { color: red }</style><p>b</p>"
+    assert(x(html) == "a\nb")
+  }
+
+  test("unclosed script drops the rest of the page") {
+    assert(x("<p>kept</p><script>var x = '") == "kept")
+  }
+
+  test("unclosed tag at EOF drops the dangling fragment") {
+    assert(x("<p>kept</p><a href=\"trunc") == "kept")
+    assert(x("before <") == "before <") // bare '<' is literal text
+  }
+
+  test("comments, CDATA, doctype and PI all drop") {
+    val html = "<!DOCTYPE html><?xml version=\"1.0\"?><p>a<!-- no -->" +
+      "b</p><![CDATA[ <raw> &amp; ]]>c"
+    assert(x(html) == "a b\nc")
+    // unclosed comment drops the rest (never leaks half a comment)
+    assert(x("<p>a</p><!-- trunc") == "a")
+  }
+
+  test("nested tables keep cell text, one line per cell") {
+    val html = "<table><tr><td>r1c1<table><tr><td>inner</td></tr>" +
+      "</table></td><td>r1c2</td></tr></table>"
+    assert(x(html) == "r1c1\ninner\nr1c2")
+  }
+
+  test("entities: named, numeric dec/hex, single-pass no re-scan") {
+    assert(x("a &amp; b &lt;c&gt; &quot;d&quot; &apos;e&apos;") ==
+      "a & b <c> \"d\" 'e'")
+    assert(x("caf&#233; &#x21; &#x1F600;") == "café ! 😀")
+    // &amp;lt; decodes ONCE to the literal text "&lt;"
+    assert(x("&amp;lt;") == "&lt;")
+    // a '&' heading no well-formed entity stays literal
+    assert(x("fish & chips &bogus; &#xZZ; &#99999999;") ==
+      "fish & chips &bogus; &#xZZ; &#99999999;")
+  }
+
+  test("whitespace: nbsp/tab collapse, trim around newlines, ends trim") {
+    assert(x("  <p> a   b \t c </p>  ") == "a b c")
+    assert(x("<p>a</p> \n <p></p> <p>b</p>") == "a\nb")
+  }
+
+  test("null in, null out; empty in, empty out") {
+    val df = Seq((1L, "<p>hi</p>"), (2L, null.asInstanceOf[String]),
+      (3L, "")).toDF("id", "html")
+      .select(col("id"), HtmlTextExpr.htmlToText(col("html")).as("t"))
+    val got = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got == Map(1L -> "hi", 2L -> null, 3L -> ""))
+  }
+
+  test("kernel stays in whole-stage codegen (no UDF black box)") {
+    // non-foldable input (Range), else ConvertToLocalRelation
+    // constant-folds the projection away before any codegen runs
+    val df = spark.range(3).select(HtmlTextExpr.htmlToText(
+      concat(lit("<p>row "), col("id").cast("string"), lit("</p>")))
+      .as("t"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the '*(n)' prefix is the WholeStageCodegen marker in simpleString
+    assert(plan.contains("*(1) Project"), plan)
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("row 0", "row 1", "row 2"))
+  }
+}
