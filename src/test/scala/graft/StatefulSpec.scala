@@ -311,4 +311,96 @@ class StatefulSpec extends SparkSpec {
       assert(batch(("first_touch", "social")) == (1L, 7.0))
     } finally q.stop()
   }
+
+  test("multiTouchAttributionStream == batch fractional models, cross-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import Stateful.{TouchEvent, MultiTouchOut}
+    // journeys cover: direct (no prior touch), 1-touch (weight 1),
+    // 2-touch (50/50), 4-touch U-shape (0.4/0.1/0.1/0.4 positions,
+    // decay over multi-day ages), consecutive conversions off the
+    // same journey, and a (ts, tie) tie on the touch side
+    val day = 86400000L
+    val fixture = Seq(
+      TouchEvent("u1", 1000L, "purchase", 10.0),            // direct
+      TouchEvent("u1", 2000L, "email", 0.0),
+      TouchEvent("u1", 1 * day, "purchase", 20.0),          // 1-touch
+      TouchEvent("u2", 1000L, "social", 0.0, tie = 1L),
+      TouchEvent("u2", 1000L, "email", 0.0, tie = 2L),
+      TouchEvent("u2", 2 * day, "purchase", 8.0),           // 2-touch
+      TouchEvent("u3", 1000L, "ad", 0.0),
+      TouchEvent("u3", 1 * day, "email", 0.0),
+      TouchEvent("u3", 2 * day, "social", 0.0),
+      TouchEvent("u3", 3 * day, "search", 0.0),
+      TouchEvent("u3", 4 * day, "purchase", 40.0),          // U-shape
+      TouchEvent("u3", 4 * day + 1000L, "purchase", 4.0))   // again
+    val mem = MemoryStream[TouchEvent]
+    val q = Stateful.multiTouchAttributionStream(mem.toDS(), "purchase",
+      halfLifeDays = 7.0)
+      .writeStream.format("memory").queryName("mtouch_t")
+      .outputMode("append").start()
+    try {
+      // split mid-journey: u3's first two touches land in batch 1
+      val (b1, b2) = fixture.sortBy(e => (e.timestamp, e.tie))
+        .partition(_.timestamp <= 1 * day)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      val got = spark.table("mtouch_t").as[MultiTouchOut].collect()
+        .groupBy(o => (o.model, o.channel))
+        .map { case (k, v) => k -> (r6(v.map(_.weight).sum),
+          r6(v.map(o => o.weight * o.value).sum)) }
+      val batch = graft.operators.Sessions.multiTouchAttribution(
+        fixture.map(e => (e.key, new java.sql.Timestamp(e.timestamp),
+          e.eventType, e.value, e.tie))
+          .toDF("user_id", "ts", "etype", "value", "tie"),
+        "user_id", "ts", "etype", "purchase", "tie")
+        .collect()
+        .map(r => (r.getAs[String]("model"), r.getAs[String]("channel")) ->
+          (r.getAs[Double]("attributed_conversions"),
+            r.getAs[Double]("attributed_value"))).toMap
+      assert(got == batch, s"\nstream=$got\nbatch=$batch")
+      // pin the fixture semantics: U-shape ends get 0.4 each (u3's
+      // two conversions), middles split the 0.2
+      assert(batch(("position", "ad")) == (0.8, 17.6))
+      assert(batch(("position", "direct")) == (1.0, 10.0))
+      assert(batch(("position", "email")) == (1.7, 28.4))
+      // both models conserve mass: weights per conversion sum to 1,
+      // so channel totals sum to the 5 conversions
+      def modelMass(m: String) = r6(batch.collect {
+        case ((`m`, _), (w, _)) => w }.sum)
+      assert(modelMass("position") == 5.0)
+      assert(modelMass("time_decay") == 5.0)
+      // within u3's journey, recency must order the decay raws:
+      // search (1 day old) outweighs ad (4 days old) per conversion
+      assert(batch(("time_decay", "search"))._1 >
+        batch(("time_decay", "ad"))._1)
+    } finally q.stop()
+  }
+
+  test("multiTouchAttributionStream spill rule pins first + recent tail") {
+    implicit val sqlCtx = spark.sqlContext
+    import Stateful.{TouchEvent, MultiTouchOut}
+    // 5 touches under maxTouches=4: t2 (oldest middle) must drop;
+    // retained journey = t1, t3, t4, t5 -> U-shape 0.4/0.1/0.1/0.4
+    val events = (1 to 5).map(i =>
+      TouchEvent("u", i * 1000L, s"ch$i", 0.0)) :+
+      TouchEvent("u", 9000L, "purchase", 10.0)
+    val mem = MemoryStream[TouchEvent]
+    val q = Stateful.multiTouchAttributionStream(mem.toDS(), "purchase",
+      maxTouches = 4)
+      .writeStream.format("memory").queryName("mtouch_spill")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val pos = spark.table("mtouch_spill").as[MultiTouchOut].collect()
+        .filter(_.model == "position")
+        .map(o => o.channel -> o.weight).toMap
+      assert(!pos.contains("ch2"))
+      assert(pos == Map("ch1" -> 0.4, "ch3" -> 0.1, "ch4" -> 0.1,
+        "ch5" -> 0.4))
+    } finally q.stop()
+  }
 }
