@@ -66,6 +66,14 @@ object HtmlTextUtil {
     -1
   }
 
+  /** Scalar values only: a numeric entity in the surrogate range
+    * would decode to a LONE surrogate — an invalid UTF-16 string
+    * that downstream UTF-8 encoding mangles; reject it (the '&'
+    * stays literal, like every other malformed entity). */
+  private def validCp(cp: Int): Boolean =
+    cp > 0 && Character.isValidCodePoint(cp) &&
+      (cp < 0xD800 || cp > 0xDFFF)
+
   /** Decode the entity starting at '&' (index `i`); returns
     * (decodedOrNull, posAfter). Null decoded ⇒ no well-formed entity
     * here — caller emits '&' literally. */
@@ -79,15 +87,13 @@ object HtmlTextUtil {
         if (hex.nonEmpty && hex.length <= 6 &&
             hex.forall(c => Character.digit(c, 16) >= 0)) {
           val cp = Integer.parseInt(hex, 16)
-          if (Character.isValidCodePoint(cp) && cp > 0)
-            new String(Character.toChars(cp)) else null
+          if (validCp(cp)) new String(Character.toChars(cp)) else null
         } else null
       } else if (body.startsWith("#")) {
         val dec = body.substring(1)
         if (dec.nonEmpty && dec.length <= 7 && dec.forall(_.isDigit)) {
           val cp = Integer.parseInt(dec)
-          if (Character.isValidCodePoint(cp) && cp > 0)
-            new String(Character.toChars(cp)) else null
+          if (validCp(cp)) new String(Character.toChars(cp)) else null
         } else null
       } else body match {
         case "amp"  => "&"

@@ -54,9 +54,10 @@ class HtmlTextSpec extends SparkSpec {
     assert(x("caf&#233; &#x21; &#x1F600;") == "café ! 😀")
     // &amp;lt; decodes ONCE to the literal text "&lt;"
     assert(x("&amp;lt;") == "&lt;")
-    // a '&' heading no well-formed entity stays literal
-    assert(x("fish & chips &bogus; &#xZZ; &#99999999;") ==
-      "fish & chips &bogus; &#xZZ; &#99999999;")
+    // a '&' heading no well-formed entity stays literal — including
+    // surrogate-range numerics, which would mangle as lone surrogates
+    assert(x("fish & chips &bogus; &#xZZ; &#99999999; &#xD83D;") ==
+      "fish & chips &bogus; &#xZZ; &#99999999; &#xD83D;")
   }
 
   test("whitespace: nbsp/tab collapse, trim around newlines, ends trim") {
