@@ -1405,8 +1405,12 @@ object SparkEntry {
       // (DOCTYPE, style+script to drop, comment, uppercase block tag,
       // the six core entities + numeric dec/hex) IDENTICALLY in both
       // engines, then kernel-vs-regex-chain equality is hash-checked;
-      // raw <>& are pre-sanitized so naive-tag semantics can't diverge
-      val safe = regexp_replace(col("text"), "[<>&]", " ")
+      // raw <>& are pre-sanitized so naive-tag semantics can't
+      // diverge, and \r/NBSP with them — the kernel treats both as
+      // whitespace, the oracle's regex chain doesn't, so they must
+      // not reach the compared text (today's corpus has neither; a
+      // regeneration must not be able to flip the hash)
+      val safe = regexp_replace(col("text"), "[<>&\\r\\u00A0]", " ")
       val html = concat(
         lit("<!DOCTYPE html><html lang=\"en\"><head><title>doc</title>" +
           "<style type=\"text/css\">p { color: red; }</style>" +
@@ -4999,7 +5003,7 @@ object SparkEntry {
              || '<body><!-- header --><h1>Doc '
              || CAST(doc_id AS VARCHAR)
              || '</h1><P CLASS="main">'
-             || regexp_replace(text, '[<>&]', ' ', 'g')
+             || regexp_replace(text, '[<>&\r\x{00A0}]', ' ', 'g')
              || '</P><div><span>source: </span>' || source
              || '&nbsp;&amp; lang &lt;' || lang
              || '&gt; caf&#233; &#x21; fin</div><table><tr><td>n_chars'

@@ -1752,8 +1752,38 @@ object Multimodal {
     val raw = java.util.Arrays.copyOfRange(b, dataStart,
       dataStart + len.toInt)
     if (bFind(b, "/FlateDecode", dStart, dEnd) >= 0)
-      Some(inflateAll(raw))
+      // a corrupt deflate body must cost THIS page its text, not
+      // collapse the whole document through the outer catch
+      try Some(inflateAll(raw))
+      catch { case scala.util.control.NonFatal(_) => None }
     else Some(raw)
+  }
+
+  /** Balanced-dict span of the object at `off`: [start-after-<<,
+    * end-before-matching->>), nesting-aware (/Resources << >> inside
+    * a page dict must not close the window early), capped at 8 KB.
+    * A fixed 8 KB window would scan PAST the object's own dict and
+    * attribute the NEXT object's /Kids or /Contents to this one —
+    * wrong page tree / wrong page text on valid files whose page
+    * objects precede the /Pages node. (-1, -1) when no dict opens
+    * or it never balances inside the cap (reject, don't mis-read). */
+  private def dictSpan(b: Array[Byte], off: Long): (Int, Int) = {
+    if (off < 0 || off >= b.length) return (-1, -1)
+    val so = off.toInt
+    val dStart = bFind(b, "<<", so, math.min(b.length, so + 256))
+    if (dStart < 0) return (-1, -1)
+    val cap = math.min(b.length, dStart + 8192)
+    var depth = 0
+    var i = dStart
+    while (i + 1 < cap) {
+      if (b(i) == '<' && b(i + 1) == '<') { depth += 1; i += 2 }
+      else if (b(i) == '>' && b(i + 1) == '>') {
+        depth -= 1
+        if (depth == 0) return (dStart + 2, i)
+        i += 2
+      } else i += 1
+    }
+    (-1, -1)
   }
 
   /** Page-tree leaves in /Kids order (depth-first, the PDF page
@@ -1767,10 +1797,11 @@ object Multimodal {
       if (depth > 16 || out.length >= 4096) return
       objOff.get(obj) match {
         case Some(off) if off >= 0 && off < b.length =>
-          val w = math.min(b.length, off.toInt + 8192)
-          val kIdx = bFind(b, "/Kids", off.toInt, w)
+          val (dS, dE) = dictSpan(b, off)
+          if (dS < 0) return
+          val kIdx = bFind(b, "/Kids", dS, dE)
           if (kIdx < 0) { out += obj; return }
-          val br = bFind(b, "[", kIdx, w)
+          val br = bFind(b, "[", kIdx, dE)
           if (br < 0) { out += obj; return }
           var q = br + 1
           var more = true
@@ -1793,9 +1824,9 @@ object Multimodal {
   /** `/Contents` refs of a page dict — single `N G R` or an array of
     * them. Empty when absent. */
   private def contentRefs(b: Array[Byte], off: Long): Seq[Long] = {
-    if (off < 0 || off >= b.length) return Nil
-    val w = math.min(b.length, off.toInt + 8192)
-    val k = bFind(b, "/Contents", off.toInt, w)
+    val (dS, dE) = dictSpan(b, off)
+    if (dS < 0) return Nil
+    val k = bFind(b, "/Contents", dS, dE)
     if (k < 0) return Nil
     val p = skipWs(b, k + 9)
     if (p < b.length && b(p) == '[') {
@@ -1959,16 +1990,20 @@ object Multimodal {
       if (pages < 0) return None
       val leaves = pageLeaves(b, core.objOff, pages)
       Some(leaves.map { pg =>
-        val off = core.objOff.getOrElse(pg, -1L)
-        val refs = contentRefs(b, off)
-        if (refs.isEmpty) None
-        else {
-          val parts = refs.map(r =>
-            core.objOff.get(r).flatMap(streamBytesAt(b, _, core.objOff))
-              .map(contentText))
-          if (parts.exists(_.isEmpty)) None
-          else Some(parts.flatten.mkString("\n"))
-        }
+        // per-page isolation: ANY malformation below here costs this
+        // page its text, never the document
+        try {
+          val off = core.objOff.getOrElse(pg, -1L)
+          val refs = contentRefs(b, off)
+          if (refs.isEmpty) None
+          else {
+            val parts = refs.map(r =>
+              core.objOff.get(r).flatMap(streamBytesAt(b, _, core.objOff))
+                .map(contentText))
+            if (parts.exists(_.isEmpty)) None
+            else Some(parts.flatten.mkString("\n"))
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
       })
     } catch { case scala.util.control.NonFatal(_) => None }
   }

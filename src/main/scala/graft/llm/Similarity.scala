@@ -593,9 +593,9 @@ object Similarity {
     * [[ivfSearch]] posture), so assignment is MAP-ONLY: one
     * projection computing the literal-array argmin (struct (d, cid)
     * min — Spark's lexicographic struct order IS the tie-break); the
-    * only exchange per round is the cid-keyed partial-agg whose
-    * buffer is the element-wise sum — k rows × (dim+1) scalar
-    * columns, corpus-size-independent. Vectors never shuffle at
+    * only exchange per round is the cid-keyed partial-agg of
+    * per-position avgs — k rows × dim (sum, count) buffers,
+    * corpus-size-independent. Vectors never shuffle at
     * all. Vectors are expected to share one dimensionality (ragged
     * suffixes degrade gracefully: unreached positions drop, as with
     * the r10 per-position aggregate). IDs must be non-null; under
@@ -728,35 +728,55 @@ object Similarity {
     var cents = seeds
     if (cents.isEmpty) return cents
     (1 to rounds).foreach { _ =>
-      // update (r11): ONE cid-keyed codegen hash-aggregate whose
-      // buffer is the element-wise running sum — k rows ×
-      // (dim+1) scalars cross the exchange, instead of the r10
-      // posexplode's N×dim (cid, pos) rows (128M partial-agg inputs
-      // at the 100x probe). Means divide on the driver over the
-      // collected k-row frame — numerically identical to avg()'s
-      // final sum/count division, and the same HALF_UP round
-      // flattens the summation-order noise before the next sweep.
-      // A position no member reaches sums to null; nulls form a
-      // suffix (array positions are dense per vector), so takeWhile
-      // reproduces the old missing-(cid,pos)-group behavior exactly.
+      // update (r11): ONE cid-keyed hash-aggregate of element-wise
+      // sums — k rows × (dim+3) scalars cross the exchange, instead
+      // of the r10 posexplode's N×dim (cid, pos) rows (128M
+      // partial-agg inputs at the 100x probe). A dim-wide avg()
+      // would be the direct form but doubles the buffer past
+      // codegen's maxFields (measured 2x the wall at 100x); sums
+      // stay codegen'd, and the min/max size columns detect the one
+      // case where sum ÷ cluster-count is WRONG — a cluster whose
+      // members disagree on dimensionality (a position reached by
+      // only some members must divide by ITS member count, the r10
+      // per-position-avg semantics) — which falls back to the exact
+      // avg form for that round. try_element_at (1-based) stays
+      // null-out-of-range where a bare array index would throw
+      // under ANSI. Driver-side division + HALF_UP round is
+      // bit-identical to avg()+round(); suffix nulls drop via
+      // takeWhile, reproducing the old missing-(cid,pos) behavior.
       val dim = cents.map(_._2.length).max
-      val sums = (0 until dim).map(i => sum(col("__v")(i)).as(s"__s$i"))
-      cents = base
+      def mean(r: org.apache.spark.sql.Row, first: Int,
+          div: Int => Double): Seq[Double] =
+        (0 until dim).iterator
+          .map(i => if (r.isNullAt(first + i)) None
+            else Some(BigDecimal(r.getDouble(first + i) / div(i))
+              .setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble))
+          .takeWhile(_.isDefined).map(_.get).toVector
+      val assignedDf = base
         .withColumn("__cid", bestCluster(cents).getField("cid"))
+      val sums = (0 until dim).map(i =>
+        sum(try_element_at(col("__v"), lit(i + 1))).as(s"__s$i"))
+      val aggCols = Seq(min(size(col("__v"))).as("__lo"),
+        max(size(col("__v"))).as("__hi")) ++ sums
+      val fast = assignedDf
         .groupBy(col("__cid"))
-        .agg(count(lit(1)).as("__n"), sums: _*)
+        .agg(count(lit(1)).as("__n"), aggCols: _*)
         .collect()
-        .map { r =>
-          val n = r.getLong(1)
-          val c = (0 until dim).iterator
-            .map(i => if (r.isNullAt(2 + i)) None
-              else Some(BigDecimal(r.getDouble(2 + i) / n)
-                .setScale(scale, BigDecimal.RoundingMode.HALF_UP)
-                .toDouble))
-            .takeWhile(_.isDefined).map(_.get).toVector
-          (r.getInt(0), c: Seq[Double])
+      cents =
+        if (fast.forall(r => r.getInt(2) == r.getInt(3)))
+          fast.map(r => (r.getInt(0),
+            mean(r, 4, _ => r.getLong(1).toDouble)))
+            .sortBy(_._1)
+        else {
+          val avgs = (0 until dim).map(i =>
+            avg(try_element_at(col("__v"), lit(i + 1))).as(s"__m$i"))
+          assignedDf.groupBy(col("__cid"))
+            .agg(avgs.head, avgs.tail: _*)
+            .collect()
+            .map(r => (r.getInt(0), mean(r, 1, _ => 1.0)))
+            .sortBy(_._1)
         }
-        .sortBy(_._1)
     }
     cents
   }

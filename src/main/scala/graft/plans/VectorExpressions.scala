@@ -723,8 +723,10 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
   * same ascending-index left fold, so sums agree bit for bit. */
 case class L2SqConst(child: Expression, cent: Array[Double])
   extends UnaryExpression {
-
-  require(cent.nonEmpty, "centroid must be non-empty")
+  // an EMPTY centroid is legal (a corpus row with an empty embedding
+  // can seed a cluster): the length check below gives d=0.0 against
+  // an empty input and NULL against any non-empty one — exactly the
+  // HOF's zip_with/aggregate behavior, no construction-time throw
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>

@@ -34,7 +34,11 @@ object R11AnsiSweep {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach {
       case (name, fn) =>
         try {
-          fn(spark, sfDir).count()
+          // foreach, NOT count: count(1) lets ColumnPruning drop the
+          // select-list, so a projection that throws under ANSI would
+          // never run and the sweep would record a false all-green —
+          // foreach deserializes full rows, evaluating every column
+          fn(spark, sfDir).foreach(_ => ())
           ok += 1
         } catch {
           case e: Throwable =>

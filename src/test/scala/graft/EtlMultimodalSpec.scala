@@ -1109,6 +1109,71 @@ class EtlMultimodalSpec extends SparkSpec {
     assert(ct("BT /F1 9 Tf 1 0 0 1 50 700 Tm (m) Tj ET") == "m")
   }
 
+  test("extractPdfText: dict windows stop at the object's own >> (r11)") {
+    // page 1 has NO /Contents and page 2's dict starts well inside a
+    // fixed 8KB window past page 1 — a window overrun would steal
+    // page 2's /Contents (or a following /Kids) for page 1
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    w("%PDF-1.4\n")
+    // leaves FIRST, /Pages and catalog LAST (legal writer order that
+    // puts the /Kids-bearing Pages dict within 8KB of every leaf)
+    offs += bos.size // obj 1: page without contents
+    w("1 0 obj\n<< /Type /Page /Parent 4 0 R >>\nendobj\n")
+    offs += bos.size // obj 2: page with contents
+    w("2 0 obj\n<< /Type /Page /Parent 4 0 R /Contents 3 0 R >>\nendobj\n")
+    val body = "BT (second page) Tj ET"
+    offs += bos.size // obj 3: content stream
+    w(s"3 0 obj\n<< /Length ${body.length} >>\nstream\n$body\nendstream\nendobj\n")
+    offs += bos.size // obj 4: pages node
+    w("4 0 obj\n<< /Type /Pages /Kids [1 0 R 2 0 R] /Count 2 >>\nendobj\n")
+    offs += bos.size // obj 5: catalog
+    w("5 0 obj\n<< /Type /Catalog /Pages 4 0 R >>\nendobj\n")
+    val xrefPos = bos.size
+    w(s"xref\n0 ${offs.length + 1}\n0000000000 65535 f \n")
+    offs.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offs.length + 1} /Root 5 0 R >>\n" +
+      s"startxref\n$xrefPos\n%%EOF")
+    val got = Multimodal.extractPdfText(bos.toByteArray)
+      .getOrElse(fail("did not walk"))
+    // page 1 must be None (its own dict has no /Contents — page 2's
+    // 2KB away must NOT leak in), page 2 must extract; neither leaf
+    // may be misread as an internal node via the Pages obj's /Kids
+    assert(got == Seq(None, Some("second page")))
+  }
+
+  test("extractPdfText: corrupt Flate page loses ITS text only (r11)") {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    w("%PDF-1.4\n")
+    offs += bos.size
+    w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    offs += bos.size
+    w("2 0 obj\n<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>\nendobj\n")
+    offs += bos.size
+    w("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>\nendobj\n")
+    offs += bos.size
+    w("4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>\nendobj\n")
+    val good = deflate("BT (good page) Tj ET".getBytes("ISO-8859-1"))
+    offs += bos.size
+    w(s"5 0 obj\n<< /Length ${good.length} /Filter /FlateDecode >>\nstream\n")
+    bos.write(good); w("\nendstream\nendobj\n")
+    val bad = "this is not a deflate stream at all".getBytes("ISO-8859-1")
+    offs += bos.size
+    w(s"6 0 obj\n<< /Length ${bad.length} /Filter /FlateDecode >>\nstream\n")
+    bos.write(bad); w("\nendstream\nendobj\n")
+    val xrefPos = bos.size
+    w(s"xref\n0 ${offs.length + 1}\n0000000000 65535 f \n")
+    offs.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offs.length + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefPos\n%%EOF")
+    val got = Multimodal.extractPdfText(bos.toByteArray)
+      .getOrElse(fail("did not walk"))
+    assert(got == Seq(Some("good page"), None))
+  }
+
   test("extractPdfText hardening: truncation sweep + fuzz never throw") {
     val good = pdfWithText(Seq("BT (t) Tj ET"), flate = true)
     (0 until good.length).foreach { k =>

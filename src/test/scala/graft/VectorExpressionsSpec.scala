@@ -298,6 +298,33 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("L2SqConst: HOF parity incl. empty centroid, nulls, codegen") {
+    import graft.functions.Vectors
+    val cent = Array(1.0, 2.0, 3.0)
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0)),   // exact -> 0.0
+      (2L, Seq(2.0, 4.0, 6.0)),   // 1+4+9 = 14
+      (3L, Seq(1.0, 2.0)),        // length mismatch -> null
+      (4L, Seq.empty[Double]))    // empty -> null vs 3-dim cent
+      .toDF("id", "v")
+    def got(c: Array[Double]) = df
+      .select(col("id"), VectorExpressions.l2sqConst(col("v"), c))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(cent) == Map(1L -> Some(0.0), 2L -> Some(14.0),
+      3L -> None, 4L -> None))
+    // kernel == the aggregate(zip_with) HOF it replaced, same rows
+    val hof = df.select(col("id"),
+      Vectors.l2sq(col("v"), array(cent.map(lit).toSeq: _*)))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(cent) == hof)
+    // EMPTY centroid must not throw at construction (an empty seed
+    // vector is legal): d=0.0 against empty input, null otherwise
+    assert(got(Array.empty[Double]) == Map(1L -> None, 2L -> None,
+      3L -> None, 4L -> Some(0.0)))
+  }
+
   test("QuantizeInt8/QuantizedCosine codegen path == interpreted path") {
     val df = (1 to 50).map(i =>
       (Seq.tabulate(8)(j => (i * j % 7 - 3).toFloat),
