@@ -1738,12 +1738,15 @@ object Multimodal {
     val (_, p2) = parseNum(b, p1)
     val ob = skipWs(b, p2)
     if (bFind(b, "obj", ob, ob + 3) != ob) return None
-    val dStart = bFind(b, "<<", ob, math.min(b.length, ob + 256))
+    // dict keys resolve inside the balanced << >> span only — an
+    // 8KB window would also scan the stream DATA, where compressed
+    // bytes can spell "/FlateDecode" by accident
+    val (dStart, dEnd) = dictSpan(b, off)
     if (dStart < 0) return None
-    val dEnd = math.min(b.length, dStart + 8192)
     val len = streamLength(b, dStart, dEnd, objOff)
     if (len < 0 || len > (16L << 20)) return None
-    val sIdx = bFind(b, "stream", dStart, dEnd)
+    val sIdx = bFind(b, "stream", dEnd,
+      math.min(b.length, dEnd + 64))
     if (sIdx < 0) return None
     var dataStart = sIdx + 6
     if (dataStart < b.length && b(dataStart) == '\r') dataStart += 1
