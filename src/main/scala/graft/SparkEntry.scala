@@ -1428,6 +1428,27 @@ object SparkEntry {
         graft.plans.HtmlTextExpr.htmlToText(html).as("text"))
     }),
 
+    "q_html_meta" -> ((s, d) => {
+      // the scraper's non-body extractions (title, <time datetime>,
+      // h1 headlines — scraper.py:221-236) via the html_meta kernel,
+      // hash-checked against DuckDB regexp_extract[_all] chains on an
+      // identically constructed page (uppercase H1, nested inline tag,
+      // entity in the title, attribute before datetime)
+      val datetime = concat(lit("2024-01-"),
+        lpad((col("n_chars") % 28 + 1).cast("string"), 2, "0"))
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" &amp; co</title></head><body>" +
+          "<time class=\"pub\" datetime=\""), datetime,
+        lit("\">January</time><h1>Lang "), col("lang"),
+        lit("</h1><p>body</p><H1>Source <b>"), col("source"),
+        lit("</b></H1></body></html>"))
+      t(s, d, "documents").select(col("doc_id"),
+        graft.plans.HtmlTextExpr.htmlTitle(html).as("title"),
+        graft.plans.HtmlTextExpr.htmlTime(html).as("published_at"),
+        graft.plans.HtmlTextExpr.htmlH1s(html).as("headlines"))
+    }),
+
     // ---- sessionization + funnel (round 8) ----
     "q_sessionize" -> ((s, d) =>
       graft.operators.Sessions.sessionStats(t(s, d, "events"),
@@ -5035,6 +5056,31 @@ object SparkEntry {
              regexp_replace(x, '\n+', chr(10), 'g') AS x FROM s7)
          SELECT doc_id, trim(x, ' ' || chr(10) || chr(9)) AS text
          FROM s8""",
+
+    "q_html_meta" ->
+      """WITH h AS (
+           SELECT doc_id,
+             '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+             || ' &amp; co</title></head><body>'
+             || '<time class="pub" datetime="2024-01-'
+             || lpad(CAST(n_chars % 28 + 1 AS VARCHAR), 2, '0')
+             || '">January</time><h1>Lang ' || lang
+             || '</h1><p>body</p><H1>Source <b>' || source
+             || '</b></H1></body></html>' AS html
+           FROM documents)
+         SELECT doc_id,
+           trim(regexp_replace(replace(
+             regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+             '&amp;', '&'), '[ \t]+', ' ', 'g')) AS title,
+           nullif(regexp_extract(html,
+             '(?is)<time[^>]*?datetime="([^"]*)"', 1), '')
+             AS published_at,
+           array_to_string(list_transform(
+             regexp_extract_all(html, '(?is)<h1[^>]*>(.*?)</h1>', 1),
+             x -> trim(regexp_replace(regexp_replace(x,
+               '<[^>]*>', ' ', 'g'), '[ \t]+', ' ', 'g'))), chr(10))
+             AS headlines
+         FROM h""",
 
     "q_pagerank" -> pagerankSql,
 

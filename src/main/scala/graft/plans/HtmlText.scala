@@ -188,6 +188,168 @@ object HtmlTextUtil {
   def extract(s: String): String = normalizeWs(strip(s))
 }
 
+/** The scraper's non-body extractions (`scraper.py:221-236`): page
+  * title, machine-readable date, headline list — the metadata the
+  * reference pulls alongside the text. Each is a bounded forward
+  * scan; inner markup inside title/h1 strips through the same
+  * [[HtmlTextUtil.extract]] contract (BeautifulSoup-`.text`
+  * behavior), flattened to one line. */
+object HtmlMetaUtil {
+
+  /** Inner text of the FIRST <tag …>…</tag> element (case-
+    * insensitive), markup-stripped and single-lined; null when the
+    * tag is absent or unclosed (reject, don't mis-read). */
+  private def innerFirst(s: String, tag: String): String = {
+    val open = findTagOpen(s, tag, 0)
+    if (open < 0) return null
+    val gt = s.indexOf('>', open)
+    if (gt < 0) return null
+    val close = findCiSeq(s, "</" + tag, gt + 1)
+    if (close < 0) return null
+    HtmlTextUtil.extract(s.substring(gt + 1, close)).replace('\n', ' ')
+  }
+
+  /** Case-insensitive scan for "<tag" followed by whitespace or '>'
+    * (so "<time" does not match "<timer">); -1 if absent. */
+  private def findTagOpen(s: String, tag: String, from: Int): Int = {
+    var i = from
+    while (i >= 0) {
+      i = findCiSeq(s, "<" + tag, i)
+      if (i < 0) return -1
+      val after = i + 1 + tag.length
+      if (after >= s.length || s.charAt(after) == '>' ||
+        s.charAt(after).isWhitespace || s.charAt(after) == '/')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  private def findCiSeq(s: String, needle: String, from: Int): Int = {
+    val n = needle.length
+    var i = math.max(from, 0)
+    val last = s.length - n
+    while (i <= last) {
+      var j = 0
+      while (j < n &&
+        Character.toLowerCase(s.charAt(i + j)) ==
+          Character.toLowerCase(needle.charAt(j))) j += 1
+      if (j == n) return i
+      i += 1
+    }
+    -1
+  }
+
+  def title(s: String): String = innerFirst(s, "title")
+
+  /** `datetime` attribute of the FIRST <time> tag (the scraper's
+    * `soup.find("time").get("datetime")`); null when no <time> tag
+    * or the tag has no datetime attribute. */
+  def timeAttr(s: String): String = {
+    val open = findTagOpen(s, "time", 0)
+    if (open < 0) return null
+    val gt = s.indexOf('>', open)
+    val end = if (gt < 0) s.length else gt
+    val k = findCiSeq(s.substring(0, end), "datetime", open)
+    if (k < 0) return null
+    var p = k + 8
+    while (p < end && s.charAt(p).isWhitespace) p += 1
+    if (p >= end || s.charAt(p) != '=') return null
+    p += 1
+    while (p < end && s.charAt(p).isWhitespace) p += 1
+    if (p >= end) return null
+    val q = s.charAt(p)
+    if (q == '"' || q == '\'') {
+      val e = s.indexOf(q, p + 1)
+      if (e < 0 || e > end) null else s.substring(p + 1, e)
+    } else {
+      var e = p
+      while (e < end && !s.charAt(e).isWhitespace) e += 1
+      s.substring(p, e)
+    }
+  }
+
+  /** All <h1> texts in document order, one per line (the scraper's
+    * `soup.find_all(["h1"])`); null when the page has none. */
+  def h1s(s: String): String = {
+    val out = new java.lang.StringBuilder
+    var i = 0
+    var found = false
+    var continue = true
+    while (continue) {
+      val open = findTagOpen(s, "h1", i)
+      if (open < 0) continue = false
+      else {
+        val gt = s.indexOf('>', open)
+        if (gt < 0) continue = false
+        else {
+          val close = findCiSeq(s, "</h1", gt + 1)
+          if (close < 0) continue = false
+          else {
+            if (found) out.append('\n')
+            out.append(HtmlTextUtil.extract(s.substring(gt + 1, close))
+              .replace('\n', ' '))
+            found = true
+            i = close + 4
+          }
+        }
+      }
+    }
+    if (found) out.toString else null
+  }
+}
+
+/** html_meta(html, field): the scraper's metadata extractions as one
+  * parameterized kernel — field ∈ {title, time, h1}. Null in -> null
+  * out; an absent element -> null (never ''). */
+case class HtmlMeta(child: Expression, field: String)
+  extends UnaryExpression {
+
+  require(Set("title", "time", "h1").contains(field),
+    s"html_meta field must be title|time|h1, got $field")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"html_meta expects string, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  private def extract(s: String): String = field match {
+    case "title" => HtmlMetaUtil.title(s)
+    case "time"  => HtmlMetaUtil.timeAttr(s)
+    case "h1"    => HtmlMetaUtil.h1s(s)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = extract(input.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = HtmlMetaUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val utf8 = classOf[UTF8String].getName
+    val fn = field match {
+      case "title" => "title"
+      case "time"  => "timeAttr"
+      case "h1"    => "h1s"
+    }
+    nullSafeCodeGen(ctx, ev, x => {
+      val tmp = ctx.freshName("meta")
+      s"""
+        |String $tmp = $util.$fn($x.toString());
+        |if ($tmp == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $utf8.fromString($tmp); }
+      """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "html_meta"
+  override protected def withNewChildInternal(newChild: Expression): HtmlMeta =
+    copy(child = newChild)
+}
+
 /** html_to_text(html): markup-stripped, entity-decoded, whitespace-
   * canonicalized text (see [[HtmlTextUtil]] for the exact contract).
   * Null -> null. */
@@ -218,4 +380,13 @@ case class HtmlToText(child: Expression) extends UnaryExpression {
 object HtmlTextExpr {
   def htmlToText(html: Column): Column =
     Bridge.toColumn(HtmlToText(Bridge.toExpression(html)))
+
+  def htmlTitle(html: Column): Column =
+    Bridge.toColumn(HtmlMeta(Bridge.toExpression(html), "title"))
+
+  def htmlTime(html: Column): Column =
+    Bridge.toColumn(HtmlMeta(Bridge.toExpression(html), "time"))
+
+  def htmlH1s(html: Column): Column =
+    Bridge.toColumn(HtmlMeta(Bridge.toExpression(html), "h1"))
 }

@@ -74,6 +74,47 @@ class HtmlTextSpec extends SparkSpec {
     assert(got == Map(1L -> "hi", 2L -> null, 3L -> ""))
   }
 
+  test("html_meta: title / time datetime / h1 list, messy variants") {
+    import graft.plans.HtmlMetaUtil
+    val page = "<html><head><TITLE>My &amp; Title</TITLE></head><body>" +
+      "<time class=\"pub\" datetime='2024-03-05'>5 March</time>" +
+      "<h1>First <b>bold</b></h1><p>x</p><H1>Second</H1></body>"
+    assert(HtmlMetaUtil.title(page) == "My & Title")
+    assert(HtmlMetaUtil.timeAttr(page) == "2024-03-05")
+    assert(HtmlMetaUtil.h1s(page) == "First bold\nSecond")
+    // absent elements -> null, never ''
+    assert(HtmlMetaUtil.title("<p>no title</p>") == null)
+    assert(HtmlMetaUtil.timeAttr("<p>no time</p>") == null)
+    assert(HtmlMetaUtil.h1s("<p>no h1</p>") == null)
+    // <time> without datetime -> null (the scraper's .get(None) path)
+    assert(HtmlMetaUtil.timeAttr("<time>March</time>") == null)
+    // unquoted datetime value
+    assert(HtmlMetaUtil.timeAttr("<time datetime=2024-01-02>x</time>")
+      == "2024-01-02")
+    // unclosed title rejects rather than swallowing the page; a
+    // nested re-opened h1 closes at the first </h1> (inner markup
+    // strips through the text contract)
+    assert(HtmlMetaUtil.title("<title>trunc") == null)
+    assert(HtmlMetaUtil.h1s("<h1>only <h1>closed</h1>") == "only closed")
+    // <timer>/<header> must not satisfy <time>/<h1> prefix matches
+    assert(HtmlMetaUtil.timeAttr("<timer datetime=\"x\"></timer>") == null)
+  }
+
+  test("html_meta expressions: null in, null out") {
+    val df = Seq((1L, "<title>t</title>"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "html")
+      .select(col("id"),
+        graft.plans.HtmlTextExpr.htmlTitle(col("html")).as("t"),
+        graft.plans.HtmlTextExpr.htmlTime(col("html")).as("d"),
+        graft.plans.HtmlTextExpr.htmlH1s(col("html")).as("h"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(rows == Map(1L -> ("t", null, null),
+      2L -> (null, null, null)))
+  }
+
   test("kernel stays in whole-stage codegen (no UDF black box)") {
     // non-foldable input (Range), else ConvertToLocalRelation
     // constant-folds the projection away before any codegen runs
