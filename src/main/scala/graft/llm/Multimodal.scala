@@ -1363,6 +1363,25 @@ object Multimodal {
     parseNum(b, k + key.length)._1
   }
 
+  /** [[dictNum]] with a NAME boundary: the char after the key must
+    * end the name (whitespace or a delimiter), so short keys like
+    * `/N` cannot match inside `/Names`-style longer names; keeps
+    * scanning past false prefixes. */
+  private def dictNumB(b: Array[Byte], key: String, from: Int,
+      to: Int): Long = {
+    var k = bFind(b, key, from, to)
+    while (k >= 0) {
+      val after = k + key.length
+      if (after >= b.length || isPdfWs(b(after)) ||
+          isPdfDelim((b(after) & 0xff).toChar)) {
+        val v = parseNum(b, after)._1
+        if (v >= 0) return v
+      }
+      k = bFind(b, key, k + 1, to)
+    }
+    -1L
+  }
+
   /** `/Name N G R` indirect reference scan: object number, or -1. */
   private def dictRef(b: Array[Byte], key: String, from: Int,
       to: Int): Long = {
@@ -1427,27 +1446,27 @@ object Multimodal {
     * `/Root` catalog and its `/Pages /Count`. Same untrusted-header
     * discipline as [[probeTiff]]: every offset bounds-checked, entry
     * counts capped (1M), dict scans windowed (8 KB), truncation
-    * rejects rather than mis-reads. A `/Count` held in an object
-    * stream (type-2 entry) reports pageCount -1 (unknown) instead of
-    * chasing compressed object soup. */
+    * rejects rather than mis-reads. A catalog or /Pages node held in
+    * an object stream (type-2 entry) resolves through the
+    * [[PdfResolver]] — the container inflates once and its header
+    * pair table locates the inner dict (round 12); only a malformed
+    * container still reports pageCount -1. */
   private[graft] def probePdf(b: Array[Byte]): Option[PdfMeta] =
     walkPdf(b).flatMap { core =>
       try {
-        // page count: trailer /Root -> catalog /Pages -> /Count
+        // page count: trailer /Root -> catalog /Pages -> /Count,
+        // every hop bounded to the object's own dict span
+        val res = new PdfResolver(b, core)
         var pageCount = -1L
-        if (core.rootObj >= 0) core.objOff.get(core.rootObj).foreach { ro =>
-          if (ro >= 0 && ro < b.length) {
-            val w = math.min(b.length, ro.toInt + 8192)
-            val pages = dictRef(b, "/Pages", ro.toInt, w)
-            if (pages >= 0) core.objOff.get(pages).foreach { po =>
-              if (po >= 0 && po < b.length) {
-                val pw = math.min(b.length, po.toInt + 8192)
-                val c = dictNum(b, "/Count", po.toInt, pw)
+        if (core.rootObj >= 0)
+          res.dictSpanOf(core.rootObj).foreach { case (cb, cS, cE) =>
+            val pages = dictRef(cb, "/Pages", cS, cE)
+            if (pages >= 0)
+              res.dictSpanOf(pages).foreach { case (pb, pS, pE) =>
+                val c = dictNum(pb, "/Count", pS, pE)
                 if (c >= 0) pageCount = c
               }
-            }
           }
-        }
         Some(PdfMeta(core.version, core.nObjects, pageCount,
           core.encrypted, core.xrefType))
       } catch { case scala.util.control.NonFatal(_) => None }
@@ -1473,11 +1492,15 @@ object Multimodal {
   }
 
   /** The xref walk shared by [[probePdf]] and [[extractPdfText]]:
-    * header version, the newest-wins obj→offset map, /Root, /Size,
-    * /Encrypt, xref era. */
+    * header version, the newest-wins obj→offset map (type-1 entries),
+    * the obj→ObjStm-container map (type-2 entries, PDF 1.5+
+    * compressed objects), /Root, /Size, /Encrypt, xref era. An
+    * object number appears in AT MOST one of the two maps — newest
+    * xref section wins across both. */
   private case class PdfCore(version: String, nObjects: Long,
       rootObj: Long, encrypted: Boolean, xrefType: String,
-      objOff: scala.collection.mutable.LongMap[Long])
+      objOff: scala.collection.mutable.LongMap[Long],
+      inStm: scala.collection.mutable.LongMap[Long])
 
   private def walkPdf(b: Array[Byte]): Option[PdfCore] = {
     try {
@@ -1504,8 +1527,10 @@ object Multimodal {
       val (xref0, _) = parseNum(b, sx + 9)
       if (xref0 < 0 || xref0 >= b.length) return None
 
-      // obj id -> byte offset, newest xref section wins
+      // obj id -> byte offset, newest xref section wins; type-2
+      // (compressed) ids map to their ObjStm container instead
       val objOff = scala.collection.mutable.LongMap.empty[Long]
+      val inStm = scala.collection.mutable.LongMap.empty[Long]
       var nObjects = -1L
       var rootObj = -1L
       var encrypted = false
@@ -1539,7 +1564,8 @@ object Multimodal {
                   val (_, e2) = parseNum(b, e1)
                   val t = skipWs(b, e2)
                   if (t >= b.length) return None
-                  if (b(t) == 'n' && off >= 0)
+                  if (b(t) == 'n' && off >= 0 &&
+                      !inStm.contains(start + k))
                     objOff.getOrElseUpdate(start + k, off)
                   e = t + 1
                   k += 1
@@ -1643,8 +1669,19 @@ object Multimodal {
                 var f2 = 0L
                 var j = 0
                 while (j < w2) { f2 = (f2 << 8) | (table(o + j) & 0xffL); j += 1 }
-                if (typ == 1L)
-                  objOff.getOrElseUpdate(start + k, f2)
+                if (typ == 1L) {
+                  if (!objOff.contains(start + k) &&
+                      !inStm.contains(start + k))
+                    objOff.update(start + k, f2)
+                } else if (typ == 2L) {
+                  // compressed object: f2 is the /Type /ObjStm
+                  // container's object number; field 3 (the index
+                  // within the stream) is redundant with the
+                  // container's own header pair table and unread
+                  if (!objOff.contains(start + k) &&
+                      !inStm.contains(start + k))
+                    inStm.update(start + k, f2)
+                }
                 row += 1
                 k += 1
               }
@@ -1658,8 +1695,100 @@ object Multimodal {
 
       if (xrefType == null) return None
       Some(PdfCore(version, nObjects, rootObj, encrypted, xrefType,
-        objOff))
+        objOff, inStm))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Resolved location of an object's BODY: `buf` is the file for
+    * regular objects or the inflated ObjStm payload for compressed
+    * ones; every scan stays inside [start, end) so an inner object
+    * can never read its neighbor's keys (the dictSpan discipline,
+    * extended to object streams). */
+  private final case class PdfLoc(buf: Array[Byte], start: Int,
+    end: Int)
+
+  /** Object resolution across both xref entry types. Type-1 ids
+    * resolve to their "N G obj" body in the file; type-2 ids resolve
+    * THROUGH their /Type /ObjStm container — parsed and inflated
+    * ONCE per payload (PDF 1.5+ compresses most non-stream objects,
+    * including the catalog, the page tree, and page dicts, so a
+    * page-per-object inflate would be quadratic on real files).
+    * Container malformations reject the whole container, never
+    * mis-index it; a container that is itself type-2 (illegal
+    * nesting, and a cycle vector) resolves to nothing. */
+  private final class PdfResolver(b: Array[Byte], core: PdfCore) {
+    private val stms = scala.collection.mutable.LongMap
+      .empty[Option[(Array[Byte], Map[Long, (Int, Int)])]]
+
+    /** Parse one ObjStm container: `/N` header pairs of
+      * (objnum, rel-offset) before `/First`, bodies after. */
+    private def parseObjStm(stmObj: Long):
+        Option[(Array[Byte], Map[Long, (Int, Int)])] = {
+      try {
+        val off = core.objOff.getOrElse(stmObj, -1L)
+        if (off < 0 || off >= b.length) return None
+        val (dS, dE) = dictSpan(b, off)
+        if (dS < 0 || bFind(b, "/ObjStm", dS, dE) < 0) return None
+        // name-boundary scans: /N must not match inside /Name-like
+        // keys, /First not inside a longer name
+        val n = dictNumB(b, "/N", dS, dE)
+        val first = dictNumB(b, "/First", dS, dE)
+        if (n <= 0 || n > 65536 || first <= 0) return None
+        val data = streamBytesAt(b, off, core.objOff).orNull
+        if (data == null || first > data.length) return None
+        val pairs = new Array[Long](2 * n.toInt)
+        var p = 0
+        var i = 0
+        while (i < 2 * n) {
+          // every header number must sit BEFORE /First — a pair
+          // table bleeding into object bodies is a corrupt header
+          val (v, np) = parseNum(data, p)
+          if (v < 0 || np > first) return None
+          pairs(i) = v; p = np; i += 1
+        }
+        val m = scala.collection.mutable.LongMap.empty[(Int, Int)]
+        i = 0
+        while (i < n) {
+          val s = first + pairs(2 * i + 1)
+          val e = if (i + 1 < n.toInt) first + pairs(2 * i + 3)
+            else data.length.toLong
+          if (s > data.length || e < s || e > data.length) return None
+          if (!m.contains(pairs(2 * i)))
+            m.update(pairs(2 * i), (s.toInt, e.toInt))
+          i += 1
+        }
+        Some((data, m.toMap))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+    /** Where `obj`'s body begins: after "N G obj" for regular
+      * objects, the container-indexed span for compressed ones. */
+    def locate(obj: Long): Option[PdfLoc] =
+      core.objOff.get(obj) match {
+        case Some(off) if off >= 0 && off < b.length =>
+          val so = off.toInt
+          val (_, p1) = parseNum(b, so)
+          val (_, p2) = parseNum(b, p1)
+          val ob = skipWs(b, p2)
+          if (bFind(b, "obj", ob, ob + 3) != ob) None
+          else Some(PdfLoc(b, ob + 3, b.length))
+        case _ =>
+          core.inStm.get(obj).flatMap { stmObj =>
+            stms.getOrElseUpdate(stmObj,
+                if (core.inStm.contains(stmObj)) None
+                else parseObjStm(stmObj))
+              .flatMap { case (data, idx) =>
+                idx.get(obj).map { case (s, e) => PdfLoc(data, s, e) }
+              }
+          }
+      }
+
+    /** Balanced dict span of `obj`'s body, bounded to the body. */
+    def dictSpanOf(obj: Long): Option[(Array[Byte], Int, Int)] =
+      locate(obj).flatMap { loc =>
+        val (dS, dE) = dictSpanIn(loc.buf, loc.start, loc.end)
+        if (dS < 0) None else Some((loc.buf, dS, dE))
+      }
   }
 
   private val pdfMetaSchema: StructType = StructType(Seq(
@@ -1675,10 +1804,11 @@ object Multimodal {
     * document twin of [[probeTiffMeta]]/[[probeVideoMeta]]: the
     * corpus-triage signal (how many pages, is it encrypted, which
     * xref era) WITHOUT shipping a PDF library or touching more than
-    * header+trailer+xref bytes. Same narrow no-shuffle shape; rows
-    * that don't probe report probe_ok=false with null fields;
-    * page_count -1 (catalog behind an object stream) surfaces as
-    * null. */
+    * header+trailer+xref bytes (plus, for PDF 1.5+ files whose
+    * catalog hides in an object stream, the one container that holds
+    * it). Same narrow no-shuffle shape; rows that don't probe report
+    * probe_ok=false with null fields; page_count -1 (malformed
+    * catalog chain) surfaces as null. */
   def probePdfMeta(media: DataFrame, idCol: String = "media_id",
       payloadCol: String = "payload"): DataFrame = {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -1772,15 +1902,24 @@ object Multimodal {
     * or it never balances inside the cap (reject, don't mis-read). */
   private def dictSpan(b: Array[Byte], off: Long): (Int, Int) = {
     if (off < 0 || off >= b.length) return (-1, -1)
-    val so = off.toInt
-    val dStart = bFind(b, "<<", so, math.min(b.length, so + 256))
+    dictSpanIn(b, off.toInt, b.length)
+  }
+
+  /** [[dictSpan]] over an arbitrary buffer window — the ObjStm form:
+    * inner objects live in the inflated container and must bound
+    * every scan to their own [from, limit) span. */
+  private def dictSpanIn(buf: Array[Byte], from: Int,
+      limit: Int): (Int, Int) = {
+    if (from < 0 || from >= buf.length) return (-1, -1)
+    val lim = math.min(limit, buf.length)
+    val dStart = bFind(buf, "<<", from, math.min(lim, from + 256))
     if (dStart < 0) return (-1, -1)
-    val cap = math.min(b.length, dStart + 8192)
+    val cap = math.min(lim, dStart + 8192)
     var depth = 0
     var i = dStart
     while (i + 1 < cap) {
-      if (b(i) == '<' && b(i + 1) == '<') { depth += 1; i += 2 }
-      else if (b(i) == '>' && b(i + 1) == '>') {
+      if (buf(i) == '<' && buf(i + 1) == '<') { depth += 1; i += 2 }
+      else if (buf(i) == '>' && buf(i + 1) == '>') {
         depth -= 1
         if (depth == 0) return (dStart + 2, i)
         i += 2
@@ -1791,33 +1930,31 @@ object Multimodal {
 
   /** Page-tree leaves in /Kids order (depth-first, the PDF page
     * order). A node with /Kids recurses; anything else is a leaf.
+    * Nodes resolve through the [[PdfResolver]], so a page tree held
+    * inside object streams (the PDF 1.5+ norm) walks the same way.
     * Caps: depth 16, 4096 pages. */
-  private def pageLeaves(b: Array[Byte],
-      objOff: scala.collection.mutable.LongMap[Long],
-      pagesObj: Long): Seq[Long] = {
+  private def pageLeaves(res: PdfResolver, pagesObj: Long): Seq[Long] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     def rec(obj: Long, depth: Int): Unit = {
       if (depth > 16 || out.length >= 4096) return
-      objOff.get(obj) match {
-        case Some(off) if off >= 0 && off < b.length =>
-          val (dS, dE) = dictSpan(b, off)
-          if (dS < 0) return
-          val kIdx = bFind(b, "/Kids", dS, dE)
+      res.dictSpanOf(obj) match {
+        case Some((buf, dS, dE)) =>
+          val kIdx = bFind(buf, "/Kids", dS, dE)
           if (kIdx < 0) { out += obj; return }
-          val br = bFind(b, "[", kIdx, dE)
+          val br = bFind(buf, "[", kIdx, dE)
           if (br < 0) { out += obj; return }
           var q = br + 1
           var more = true
           var kids = 0
           while (more && kids < 4096) {
-            val (n0, q1) = parseNum(b, q)
-            val (g, q2) = parseNum(b, q1)
-            val r = skipWs(b, q2)
-            if (n0 < 0 || g < 0 || r >= b.length || b(r) != 'R')
+            val (n0, q1) = parseNum(buf, q)
+            val (g, q2) = parseNum(buf, q1)
+            val r = skipWs(buf, q2)
+            if (n0 < 0 || g < 0 || r >= buf.length || buf(r) != 'R')
               more = false
             else { rec(n0, depth + 1); q = r + 1; kids += 1 }
           }
-        case _ => () // unreachable kid (e.g. in an object stream)
+        case _ => () // unreachable kid
       }
     }
     rec(pagesObj, 0)
@@ -1825,30 +1962,35 @@ object Multimodal {
   }
 
   /** `/Contents` refs of a page dict — single `N G R` or an array of
-    * them. Empty when absent. */
-  private def contentRefs(b: Array[Byte], off: Long): Seq[Long] = {
-    val (dS, dE) = dictSpan(b, off)
-    if (dS < 0) return Nil
-    val k = bFind(b, "/Contents", dS, dE)
+    * them. Empty when absent. The page dict may live in an ObjStm;
+    * the TARGET content streams are always regular objects (the spec
+    * forbids streams inside object streams). */
+  private def contentRefs(res: PdfResolver, pageObj: Long): Seq[Long] = {
+    val (buf, dS, dE) = res.dictSpanOf(pageObj) match {
+      case Some(t) => t
+      case None => return Nil
+    }
+    val k = bFind(buf, "/Contents", dS, dE)
     if (k < 0) return Nil
-    val p = skipWs(b, k + 9)
-    if (p < b.length && b(p) == '[') {
+    val p = skipWs(buf, k + 9)
+    if (p < buf.length && buf(p) == '[') {
       val out = scala.collection.mutable.ArrayBuffer.empty[Long]
       var q = p + 1
       var more = true
       while (more && out.length < 1024) {
-        val (n0, q1) = parseNum(b, q)
-        val (g, q2) = parseNum(b, q1)
-        val r = skipWs(b, q2)
-        if (n0 < 0 || g < 0 || r >= b.length || b(r) != 'R') more = false
+        val (n0, q1) = parseNum(buf, q)
+        val (g, q2) = parseNum(buf, q1)
+        val r = skipWs(buf, q2)
+        if (n0 < 0 || g < 0 || r >= buf.length || buf(r) != 'R')
+          more = false
         else { out += n0; q = r + 1 }
       }
       out.toSeq
     } else {
-      val (n0, p1) = parseNum(b, p)
-      val (g, p2) = parseNum(b, p1)
-      val r = skipWs(b, p2)
-      if (n0 >= 0 && g >= 0 && r < b.length && b(r) == 'R') Seq(n0)
+      val (n0, p1) = parseNum(buf, p)
+      val (g, p2) = parseNum(buf, p1)
+      val r = skipWs(buf, p2)
+      if (n0 >= 0 && g >= 0 && r < buf.length && buf(r) == 'R') Seq(n0)
       else Nil
     }
   }
@@ -1969,16 +2111,20 @@ object Multimodal {
   /** Per-page text of a PDF payload, or None when the file doesn't
     * walk (bad magic, truncated xref, no catalog). A page whose
     * content streams are unreachable or malformed reports None for
-    * THAT page (honest null, the page_count -1 posture) — notably
-    * pages behind PDF 1.5 object streams. Pages come back in /Kids
-    * (reading) order, multiple content streams joined by newline.
+    * THAT page (honest null, the page_count -1 posture). Pages come
+    * back in /Kids (reading) order, multiple content streams joined
+    * by newline.
     *
     * In contract: classic tables AND xref streams (the shared
-    * [[walkPdf]]), uncompressed and /FlateDecode content, literal +
-    * hex strings, Tj/TJ/'/" with Td/TD/T* line structure, indirect
-    * /Length. Out of contract (None for the page, never a throw):
-    * CID/composite font encodings beyond Latin-1 bytes, object-
-    * stream-compressed page dicts, encrypted files. */
+    * [[walkPdf]]), catalog / page tree / page dicts held in /Type
+    * /ObjStm object streams (the PDF 1.5+ norm — resolved through
+    * the [[PdfResolver]], each container inflated once per payload;
+    * round 12), uncompressed and /FlateDecode content, literal + hex
+    * strings, Tj/TJ/quote-operators with the Td/TD/T-star line
+    * structure, indirect /Length. Out of contract (None for the
+    * page, never a throw): CID/composite font encodings beyond
+    * Latin-1 bytes, encrypted files, an indirect /Length whose value
+    * object itself hides in an ObjStm. */
   private[graft] def extractPdfText(b: Array[Byte]):
       Option[Seq[Option[String]]] = {
     val coreOpt = walkPdf(b)
@@ -1986,18 +2132,18 @@ object Multimodal {
     val core = coreOpt.get
     try {
       if (core.encrypted || core.rootObj < 0) return None
-      val ro = core.objOff.getOrElse(core.rootObj, -1L)
-      if (ro < 0 || ro >= b.length) return None
-      val pages = dictRef(b, "/Pages", ro.toInt,
-        math.min(b.length, ro.toInt + 8192))
+      val res = new PdfResolver(b, core)
+      val pages = res.dictSpanOf(core.rootObj) match {
+        case Some((cb, cS, cE)) => dictRef(cb, "/Pages", cS, cE)
+        case None => return None
+      }
       if (pages < 0) return None
-      val leaves = pageLeaves(b, core.objOff, pages)
+      val leaves = pageLeaves(res, pages)
       Some(leaves.map { pg =>
         // per-page isolation: ANY malformation below here costs this
         // page its text, never the document
         try {
-          val off = core.objOff.getOrElse(pg, -1L)
-          val refs = contentRefs(b, off)
+          val refs = contentRefs(res, pg)
           if (refs.isEmpty) None
           else {
             val parts = refs.map(r =>

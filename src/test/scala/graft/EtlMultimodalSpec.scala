@@ -1189,6 +1189,117 @@ class EtlMultimodalSpec extends SparkSpec {
     assert(Multimodal.extractPdfText("nope".getBytes).isEmpty)
   }
 
+  /** PDF 1.5+ fixture whose catalog, page tree and page dicts ALL
+    * live inside one /Type /ObjStm object stream (the modern-writer
+    * layout); content streams stay regular objects (the spec forbids
+    * streams inside object streams). Xref is a stream with type-2
+    * entries for every compressed object. */
+  private def pdfObjStm(pages: Seq[String],
+      nPad: Long = -1L, firstPad: Long = -1L): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = bos.write(s.getBytes("ISO-8859-1"))
+    val n = pages.length
+    w("%PDF-1.5\n")
+    // regular content streams: objs 3+n .. 2+2n
+    val contOffs = new Array[Int](n)
+    (0 until n).foreach { i =>
+      val body = deflate(pages(i).getBytes("ISO-8859-1"))
+      contOffs(i) = bos.size
+      w(s"${3 + n + i} 0 obj\n<< /Length ${body.length} " +
+        "/Filter /FlateDecode >>\nstream\n")
+      bos.write(body)
+      w("\nendstream\nendobj\n")
+    }
+    // the ObjStm: inner objs 1 (catalog), 2 (pages), 3..2+n (pages)
+    val kids = (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")
+    val inner = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> s"<< /Type /Pages /Kids [$kids] /Count $n >>") ++
+      (0 until n).map(i => (3 + i) ->
+        s"<< /Type /Page /Parent 2 0 R /Contents ${3 + n + i} 0 R >>")
+    val bodies = inner.map(_._2 + "\n")
+    val rel = bodies.scanLeft(0)(_ + _.length)
+    val header = inner.zipWithIndex
+      .map { case ((num, _), i) => s"$num ${rel(i)}" }.mkString(" ") + "\n"
+    val payload = (header + bodies.mkString).getBytes("ISO-8859-1")
+    val first = if (firstPad >= 0) firstPad else header.length.toLong
+    val nHdr = if (nPad >= 0) nPad else inner.length.toLong
+    val defl = deflate(payload)
+    val stmObj = 3 + 2 * n
+    val stmOff = bos.size
+    w(s"$stmObj 0 obj\n<< /Type /ObjStm /N $nHdr /First $first " +
+      s"/Filter /FlateDecode /Length ${defl.length} >>\nstream\n")
+    bos.write(defl)
+    w("\nendstream\nendobj\n")
+    // xref stream, W [1 2 1], rows in obj-number order 0..size-1
+    val xrefObj = stmObj + 1
+    val xrefPos = bos.size
+    val size = xrefObj + 1
+    def row(t: Int, f2: Long, f3: Int): Array[Byte] =
+      Array(t.toByte, ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte,
+        f3.toByte)
+    val rows =
+      Seq(row(0, 0, 0)) ++
+      inner.indices.map(i => row(2, stmObj, i)) ++
+      contOffs.map(o => row(1, o, 0)) ++
+      Seq(row(1, stmOff, 0), row(1, xrefPos, 0))
+    val xdefl = deflate(rows.flatten.toArray)
+    w(s"$xrefObj 0 obj\n<< /Type /XRef /Size $size /Root 1 0 R " +
+      s"/W [1 2 1] /Index [0 $size] /Filter /FlateDecode " +
+      s"/Length ${xdefl.length} >>\nstream\n")
+    bos.write(xdefl)
+    w(s"\nendstream\nendobj\nstartxref\n$xrefPos\n%%EOF")
+    bos.toByteArray
+  }
+
+  test("probePdf: page count resolves through an ObjStm catalog (r12)") {
+    val m = Multimodal.probePdf(pdfObjStm(Seq(
+      "BT (a) Tj ET", "BT (b) Tj ET", "BT (c) Tj ET")))
+      .getOrElse(fail("did not probe"))
+    assert(m.xrefType == "stream")
+    assert(m.pageCount == 3L, m.toString)
+    assert(!m.encrypted)
+  }
+
+  test("extractPdfText: page tree inside an ObjStm recovers text (r12)") {
+    val got = Multimodal.extractPdfText(pdfObjStm(Seq(
+      "BT (Hello world) Tj ET",
+      "BT (Line one) Tj T* (line two) Tj ET")))
+      .getOrElse(fail("did not walk"))
+    assert(got == Seq(Some("Hello world"), Some("Line one\nline two")))
+  }
+
+  test("ObjStm header pathologies reject the container, never misread") {
+    val base = Seq("BT (x) Tj ET")
+    // /N over-claims: the pair table would read into object bodies
+    assert(Multimodal.extractPdfText(pdfObjStm(base, nPad = 99))
+      .toSeq.flatten.flatten.isEmpty)
+    // /First past the payload end
+    assert(Multimodal.extractPdfText(pdfObjStm(base, firstPad = 1 << 20))
+      .toSeq.flatten.flatten.isEmpty)
+    // /First = 0 (no header room) rejects
+    assert(Multimodal.extractPdfText(pdfObjStm(base, firstPad = 0))
+      .toSeq.flatten.flatten.isEmpty)
+    // and the probe degrades to page_count null, not a wrong number
+    assert(Multimodal.probePdf(pdfObjStm(base, nPad = 99))
+      .forall(_.pageCount == -1L))
+  }
+
+  test("ObjStm hardening: truncation sweep + fuzz never throw (r12)") {
+    val good = pdfObjStm(Seq("BT (t) Tj ET", "BT (u) Tj ET"))
+    (0 until good.length).foreach { k =>
+      Multimodal.extractPdfText(good.take(k)) // must not throw
+      Multimodal.probePdf(good.take(k))
+    }
+    val rnd = new scala.util.Random(37)
+    (1 to 300).foreach { _ =>
+      val f = good.clone()
+      f(rnd.nextInt(f.length)) = rnd.nextInt(256).toByte
+      Multimodal.extractPdfText(f) // must not throw
+      Multimodal.probePdf(f)
+    }
+  }
+
   test("extractPdfText: content-less page reports null, not a throw") {
     // pdfClassic pages carry no /Contents at all
     val got = Multimodal.extractPdfText(pdfClassic(2))
