@@ -1246,11 +1246,16 @@ object SparkEntry {
     "q_pq_knn_recall" -> ((s, d) => {
       // recall@5 of exhaustive PQ-ADC search vs the float kernel;
       // the floor rides in the graded row. PQ sits below int8 on the
-      // accuracy/bandwidth ladder (16x vs 4x compression at m=16 over
-      // dim-64 — and these RANDOM gaussian fixtures are PQ's worst
-      // case, near-tied neighbors everywhere), so its floor is the
-      // LSH/IVF tier, not int8's 0.9; measured 0.84/0.76 at
-      // sf0.001/sf0.01, deterministic under the fixed seed
+      // accuracy/bandwidth ladder (~15x vs 4x compression at m=16
+      // over dim-64 — and these RANDOM gaussian fixtures are PQ's
+      // worst case, near-tied neighbors everywhere), so its floor is
+      // the LSH/IVF tier, not int8's 0.9. Residual encoding (r12,
+      // classic IVFADC — codes quantize x minus its coarse cell
+      // centroid, the cell id riding as the leading code byte)
+      // lifted the measured recall to 0.86/0.84/0.74 at
+      // sf0.001/0.01/0.1 from the raw-vector 0.84/0.76/0.64 — the
+      // sf0.1 number was the one honest floor miss on the r11 board;
+      // deterministic under the fixed seed
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
       val index = Similarity.pqIndexFor(emb, "vec_id", "embedding",
@@ -1265,8 +1270,9 @@ object SparkEntry {
       // recall@5 of the COMPOSED serving stack (coarse-list pruning +
       // ADC scoring, the FAISS IVFPQ shape): pruning and quantization
       // losses multiply, so the floor sits below either alone;
-      // measured 0.76/0.70 at sf0.001/sf0.01 (nProbe=8/nlist=16,
-      // m=16), deterministic under the fixed seeds
+      // measured 0.76/0.74/0.74 at sf0.001/0.01/0.1 with r12
+      // residual codes (raw codes: 0.76/0.70/—), nProbe=8/nlist=16,
+      // m=16, deterministic under the fixed seeds
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
       val coarse = Similarity.ivfIndexFor(emb, "vec_id", "embedding",
@@ -1409,8 +1415,11 @@ object SparkEntry {
       // diverge, and \r/NBSP with them — the kernel treats both as
       // whitespace, the oracle's regex chain doesn't, so they must
       // not reach the compared text (today's corpus has neither; a
-      // regeneration must not be able to flip the hash)
-      val safe = regexp_replace(col("text"), "[<>&\\r\\u00A0]", " ")
+      // regeneration must not be able to flip the hash) — and the
+      // SAME sanitizer runs over source and lang, so NO column
+      // content can reach the entity/tag-sensitive compare
+      def san(c: Column) = regexp_replace(c, "[<>&\\r\\u00A0]", " ")
+      val safe = san(col("text"))
       val html = concat(
         lit("<!DOCTYPE html><html lang=\"en\"><head><title>doc</title>" +
           "<style type=\"text/css\">p { color: red; }</style>" +
@@ -1418,8 +1427,8 @@ object SparkEntry {
           "<body><!-- header --><h1>Doc "),
         col("doc_id").cast("string"),
         lit("</h1><P CLASS=\"main\">"), safe,
-        lit("</P><div><span>source: </span>"), col("source"),
-        lit("&nbsp;&amp; lang &lt;"), col("lang"),
+        lit("</P><div><span>source: </span>"), san(col("source")),
+        lit("&nbsp;&amp; lang &lt;"), san(col("lang")),
         lit("&gt; caf&#233; &#x21; fin</div><table><tr><td>n_chars" +
           "</td><td>"),
         col("n_chars").cast("string"),
@@ -1433,20 +1442,70 @@ object SparkEntry {
       // h1 headlines — scraper.py:221-236) via the html_meta kernel,
       // hash-checked against DuckDB regexp_extract[_all] chains on an
       // identically constructed page (uppercase H1, nested inline tag,
-      // entity in the title, attribute before datetime)
+      // entity in the title, attribute before datetime); lang and
+      // source pass the q_html_extract sanitizer in both engines so
+      // column content can never introduce tag/entity divergence
+      def san(c: Column) = regexp_replace(c, "[<>&\\r\\u00A0]", " ")
       val datetime = concat(lit("2024-01-"),
         lpad((col("n_chars") % 28 + 1).cast("string"), 2, "0"))
       val html = concat(
         lit("<html><head><title>Doc "), col("doc_id").cast("string"),
         lit(" &amp; co</title></head><body>" +
           "<time class=\"pub\" datetime=\""), datetime,
-        lit("\">January</time><h1>Lang "), col("lang"),
-        lit("</h1><p>body</p><H1>Source <b>"), col("source"),
+        lit("\">January</time><h1>Lang "), san(col("lang")),
+        lit("</h1><p>body</p><H1>Source <b>"), san(col("source")),
         lit("</b></H1></body></html>"))
       t(s, d, "documents").select(col("doc_id"),
         graft.plans.HtmlTextExpr.htmlTitle(html).as("title"),
         graft.plans.HtmlTextExpr.htmlTime(html).as("published_at"),
         graft.plans.HtmlTextExpr.htmlH1s(html).as("headlines"))
+    }),
+
+    "q_html_links" -> ((s, d) => {
+      // the scraper's outlink pass (scraper.py:126-150) via the
+      // html_meta links kernel: each document wraps in a page with a
+      // column-derived https link, an uppercase tracking-laden <A>,
+      // a no-href anchor and an hreflang decoy before a single-
+      // quote... double-quoted relative link; hash-checked against a
+      // DuckDB regexp_extract_all chain. Quotes/brackets sanitize out
+      // of column content in BOTH engines (the q_html_extract rule) —
+      // '&' stays, both engines keep href bytes verbatim.
+      def san(c: Column) = regexp_replace(c, "[\"'<>\\r\\u00A0]", " ")
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><body><p>intro</p><a class=\"x\" href=\"https://"),
+        san(col("source")), lit(".example.com/doc/"), id,
+        lit("\">first</a><div><A HREF=\"HTTP://Track.Example.COM:80" +
+          "/p?utm_source=feed&id="), id,
+        lit("#frag\"></A></div><a name=\"no-href\"></a>" +
+          "<a hreflang=\"en\" href=\"/relative/"),
+        san(col("lang")),
+        lit("\">rel</a></body></html>"))
+      t(s, d, "documents").select(col("doc_id"),
+        graft.plans.HtmlTextExpr.htmlLinks(html).as("links"))
+    }),
+
+    "q_url_canon" -> ((s, d) => {
+      // url_canon kernel vs a generic DuckDB string-chain oracle: six
+      // URL shapes exercise every rule — default-port strip (http:80,
+      // https:443), non-default port kept, host/scheme lowercase with
+      // path case preserved, utm_*/gclid/fbclid drop (case-
+      // insensitive, empty tokens too), fragment drop, empty path ->
+      // '/', and a non-absolute reject -> null
+      val id = col("doc_id").cast("string")
+      val url = when(col("doc_id") % 6 === 0,
+          concat(lit("HTTP://WWW.Site.COM:80/Doc/"), id,
+            lit("?utm_source=x&utm_medium=y&id="), id, lit("#sec")))
+        .when(col("doc_id") % 6 === 1, lit("https://Example.com:443"))
+        .when(col("doc_id") % 6 === 2,
+          concat(lit("http://host.com:8080/p/"), id,
+            lit("?gclid=abc&q=1&fbclid=z")))
+        .when(col("doc_id") % 6 === 3,
+          concat(lit("ftp://Files.EXAMPLE.com/pub/"), id))
+        .when(col("doc_id") % 6 === 4, concat(lit("not a url "), id))
+        .otherwise(lit("https://example.com/path/?UTM_CAMPAIGN=c&&x=2"))
+      t(s, d, "documents").select(col("doc_id"), url.as("url"),
+        graft.plans.UrlCanonExpr.urlCanon(url).as("canon_url"))
     }),
 
     // ---- sessionization + funnel (round 8) ----
@@ -5025,8 +5084,10 @@ object SparkEntry {
              || CAST(doc_id AS VARCHAR)
              || '</h1><P CLASS="main">'
              || regexp_replace(text, '[<>&\r\x{00A0}]', ' ', 'g')
-             || '</P><div><span>source: </span>' || source
-             || '&nbsp;&amp; lang &lt;' || lang
+             || '</P><div><span>source: </span>'
+             || regexp_replace(source, '[<>&\r\x{00A0}]', ' ', 'g')
+             || '&nbsp;&amp; lang &lt;'
+             || regexp_replace(lang, '[<>&\r\x{00A0}]', ' ', 'g')
              || '&gt; caf&#233; &#x21; fin</div><table><tr><td>n_chars'
              || '</td><td>' || CAST(n_chars AS VARCHAR)
              || '</td></tr></table></body></html>' AS html
@@ -5064,8 +5125,10 @@ object SparkEntry {
              || ' &amp; co</title></head><body>'
              || '<time class="pub" datetime="2024-01-'
              || lpad(CAST(n_chars % 28 + 1 AS VARCHAR), 2, '0')
-             || '">January</time><h1>Lang ' || lang
-             || '</h1><p>body</p><H1>Source <b>' || source
+             || '">January</time><h1>Lang '
+             || regexp_replace(lang, '[<>&\r\x{00A0}]', ' ', 'g')
+             || '</h1><p>body</p><H1>Source <b>'
+             || regexp_replace(source, '[<>&\r\x{00A0}]', ' ', 'g')
              || '</b></H1></body></html>' AS html
            FROM documents)
          SELECT doc_id,
@@ -5081,6 +5144,75 @@ object SparkEntry {
                '<[^>]*>', ' ', 'g'), '[ \t]+', ' ', 'g'))), chr(10))
              AS headlines
          FROM h""",
+
+    "q_html_links" ->
+      """WITH h AS (
+           SELECT doc_id,
+             '<html><body><p>intro</p><a class="x" href="https://'
+             || regexp_replace(source, '["''<>\r\x{00A0}]', ' ', 'g')
+             || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+             || '">first</a><div><A HREF="HTTP://Track.Example.COM:80/p?utm_source=feed&id='
+             || CAST(doc_id AS VARCHAR)
+             || '#frag"></A></div><a name="no-href"></a><a hreflang="en" href="/relative/'
+             || regexp_replace(lang, '["''<>\r\x{00A0}]', ' ', 'g')
+             || '">rel</a></body></html>' AS html
+           FROM documents)
+         SELECT doc_id, nullif(array_to_string(
+             regexp_extract_all(html,
+               '(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"', 1),
+             chr(10)), '') AS links
+         FROM h""",
+
+    "q_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'HTTP://WWW.Site.COM:80/Doc/' || CAST(doc_id AS VARCHAR)
+               || '?utm_source=x&utm_medium=y&id=' || CAST(doc_id AS VARCHAR) || '#sec'
+             WHEN 1 THEN 'https://Example.com:443'
+             WHEN 2 THEN 'http://host.com:8080/p/' || CAST(doc_id AS VARCHAR)
+               || '?gclid=abc&q=1&fbclid=z'
+             WHEN 3 THEN 'ftp://Files.EXAMPLE.com/pub/' || CAST(doc_id AS VARCHAR)
+             WHEN 4 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+             ELSE 'https://example.com/path/?UTM_CAMPAIGN=c&&x=2'
+           END AS url
+           FROM documents),
+         p AS (SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path0,
+             CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^#?]*\?')
+                  THEN regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^#?]*\?([^#]*)', 1)
+                  ELSE '' END AS query,
+             regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://') AS is_abs
+           FROM u),
+         q AS (SELECT doc_id, url, scheme, path0, query, is_abs,
+             CASE WHEN auth LIKE '%:%' THEN
+               CASE WHEN regexp_matches(auth, ':[0-9]*$')
+                    THEN lower(regexp_replace(auth, ':[0-9]*$', ''))
+                    ELSE NULL END
+             ELSE lower(auth) END AS host,
+             regexp_extract(auth, ':([0-9]*)$', 1) AS port
+           FROM p),
+         r AS (SELECT doc_id, url, scheme, host, port, is_abs,
+             CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+             array_to_string(list_filter(string_split(query, '&'),
+               x -> len(x) > 0
+                 AND NOT starts_with(lower(CASE WHEN instr(x, '=') > 0
+                   THEN substr(x, 1, instr(x, '=') - 1) ELSE x END), 'utm_')
+                 AND lower(CASE WHEN instr(x, '=') > 0
+                   THEN substr(x, 1, instr(x, '=') - 1) ELSE x END)
+                   NOT IN ('gclid', 'fbclid', 'msclkid', 'mc_eid')), '&') AS kept
+           FROM q)
+         SELECT doc_id, url,
+           CASE WHEN NOT is_abs OR host IS NULL OR host = '' THEN NULL
+             ELSE scheme || '://' || host ||
+               CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                 OR (scheme = 'https' AND port = '443'))
+                 THEN ':' || port ELSE '' END
+               || path ||
+               CASE WHEN kept <> '' THEN '?' || kept ELSE '' END
+           END AS canon_url
+         FROM r""",
 
     "q_pagerank" -> pagerankSql,
 

@@ -78,8 +78,19 @@ object HtmlTextUtil {
     * (decodedOrNull, posAfter). Null decoded ⇒ no well-formed entity
     * here — caller emits '&' literally. */
   private def decodeEntity(s: String, i: Int): (String, Int) = {
-    val semi = s.indexOf(';', i + 1)
-    if (semi < 0 || semi - i > 12) return (null, i + 1)
+    // Semicolon scan bounded to the longest well-formed entity window
+    // (body ≤ 11 chars ⇒ ';' at most at i+12): an '&' on a page with
+    // no ';' must cost O(1), not O(n) — bare-'&' URL params are the
+    // common case on untrusted web input, and an unbounded indexOf
+    // here is quadratic over the whole page.
+    val lim = math.min(s.length, i + 13)
+    var semi = -1
+    var p = i + 1
+    while (p < lim && semi < 0) {
+      if (s.charAt(p) == ';') semi = p
+      p += 1
+    }
+    if (semi < 0) return (null, i + 1)
     val body = s.substring(i + 1, semi)
     val out: String =
       if (body.startsWith("#x") || body.startsWith("#X")) {
@@ -225,10 +236,11 @@ object HtmlMetaUtil {
     -1
   }
 
-  private def findCiSeq(s: String, needle: String, from: Int): Int = {
+  private def findCiSeq(s: String, needle: String, from: Int,
+      until: Int = Int.MaxValue): Int = {
     val n = needle.length
     var i = math.max(from, 0)
-    val last = s.length - n
+    val last = math.min(s.length, until) - n
     while (i <= last) {
       var j = 0
       while (j < n &&
@@ -240,6 +252,38 @@ object HtmlMetaUtil {
     -1
   }
 
+  /** Value of attribute `name` inside the tag span (open, end):
+    * the name must START at a whitespace boundary (data-datetime
+    * never satisfies datetime) and be FOLLOWED by optional
+    * whitespace then '=' (hreflang never satisfies href — the scan
+    * keeps looking); value is quoted (either quote; unterminated
+    * inside the tag rejects) or an unquoted run to whitespace/tag
+    * end. Null when absent or malformed. */
+  private def attrValue(s: String, open: Int, end: Int,
+      name: String): String = {
+    var k = findCiSeq(s, name, open, end)
+    while (k >= 0) {
+      var p = k + name.length
+      while (p < end && s.charAt(p).isWhitespace) p += 1
+      if (s.charAt(k - 1).isWhitespace && p < end && s.charAt(p) == '=') {
+        p += 1
+        while (p < end && s.charAt(p).isWhitespace) p += 1
+        if (p >= end) return null
+        val q = s.charAt(p)
+        return if (q == '"' || q == '\'') {
+          val e = s.indexOf(q, p + 1)
+          if (e < 0 || e > end) null else s.substring(p + 1, e)
+        } else {
+          var e = p
+          while (e < end && !s.charAt(e).isWhitespace) e += 1
+          s.substring(p, e)
+        }
+      }
+      k = findCiSeq(s, name, k + 1, end)
+    }
+    null
+  }
+
   def title(s: String): String = innerFirst(s, "title")
 
   /** `datetime` attribute of the FIRST <time> tag (the scraper's
@@ -249,24 +293,42 @@ object HtmlMetaUtil {
     val open = findTagOpen(s, "time", 0)
     if (open < 0) return null
     val gt = s.indexOf('>', open)
-    val end = if (gt < 0) s.length else gt
-    val k = findCiSeq(s.substring(0, end), "datetime", open)
-    if (k < 0) return null
-    var p = k + 8
-    while (p < end && s.charAt(p).isWhitespace) p += 1
-    if (p >= end || s.charAt(p) != '=') return null
-    p += 1
-    while (p < end && s.charAt(p).isWhitespace) p += 1
-    if (p >= end) return null
-    val q = s.charAt(p)
-    if (q == '"' || q == '\'') {
-      val e = s.indexOf(q, p + 1)
-      if (e < 0 || e > end) null else s.substring(p + 1, e)
-    } else {
-      var e = p
-      while (e < end && !s.charAt(e).isWhitespace) e += 1
-      s.substring(p, e)
+    // Unclosed <time> at EOF: reject, don't mis-read — an unbounded
+    // end would let the attribute scan (and the unquoted-value
+    // branch) read arbitrary text from the rest of the document.
+    if (gt < 0) return null
+    attrValue(s, open, gt, "datetime")
+  }
+
+  /** href values of every <a> tag, document order, one per line —
+    * the scraper's outlink pass (`scraper.py:126-150`) and the input
+    * to any crawl-graph / URL-dedup stage. Values come back VERBATIM
+    * (no entity decode — the oracle-regexp contract); null when the
+    * page has no links. An unclosed <a> at EOF or an unterminated
+    * quoted value drops THAT tag (reject-don't-misread). */
+  def links(s: String): String = {
+    val out = new java.lang.StringBuilder
+    var found = false
+    var i = 0
+    var continue = true
+    while (continue) {
+      val open = findTagOpen(s, "a", i)
+      if (open < 0) continue = false
+      else {
+        val gt = s.indexOf('>', open)
+        if (gt < 0) continue = false // truncated tag at EOF: drop
+        else {
+          val v = attrValue(s, open, gt, "href")
+          if (v != null) {
+            if (found) out.append('\n')
+            out.append(v)
+            found = true
+          }
+          i = gt + 1
+        }
+      }
     }
+    if (found) out.toString else null
   }
 
   /** All <h1> texts in document order, one per line (the scraper's
@@ -300,13 +362,13 @@ object HtmlMetaUtil {
 }
 
 /** html_meta(html, field): the scraper's metadata extractions as one
-  * parameterized kernel — field ∈ {title, time, h1}. Null in -> null
-  * out; an absent element -> null (never ''). */
+  * parameterized kernel — field ∈ {title, time, h1, links}. Null in
+  * -> null out; an absent element -> null (never ''). */
 case class HtmlMeta(child: Expression, field: String)
   extends UnaryExpression {
 
-  require(Set("title", "time", "h1").contains(field),
-    s"html_meta field must be title|time|h1, got $field")
+  require(Set("title", "time", "h1", "links").contains(field),
+    s"html_meta field must be title|time|h1|links, got $field")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -320,6 +382,7 @@ case class HtmlMeta(child: Expression, field: String)
     case "title" => HtmlMetaUtil.title(s)
     case "time"  => HtmlMetaUtil.timeAttr(s)
     case "h1"    => HtmlMetaUtil.h1s(s)
+    case "links" => HtmlMetaUtil.links(s)
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -334,6 +397,7 @@ case class HtmlMeta(child: Expression, field: String)
       case "title" => "title"
       case "time"  => "timeAttr"
       case "h1"    => "h1s"
+      case "links" => "links"
     }
     nullSafeCodeGen(ctx, ev, x => {
       val tmp = ctx.freshName("meta")
@@ -389,4 +453,7 @@ object HtmlTextExpr {
 
   def htmlH1s(html: Column): Column =
     Bridge.toColumn(HtmlMeta(Bridge.toExpression(html), "h1"))
+
+  def htmlLinks(html: Column): Column =
+    Bridge.toColumn(HtmlMeta(Bridge.toExpression(html), "links"))
 }

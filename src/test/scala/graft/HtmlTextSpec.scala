@@ -98,6 +98,62 @@ class HtmlTextSpec extends SparkSpec {
     assert(HtmlMetaUtil.h1s("<h1>only <h1>closed</h1>") == "only closed")
     // <timer>/<header> must not satisfy <time>/<h1> prefix matches
     assert(HtmlMetaUtil.timeAttr("<timer datetime=\"x\"></timer>") == null)
+    // data-datetime is a DIFFERENT attribute: the name must start at
+    // a whitespace boundary, never as a suffix of another name
+    assert(HtmlMetaUtil.timeAttr(
+      "<time data-datetime=\"wrong\">x</time>") == null)
+    assert(HtmlMetaUtil.timeAttr(
+      "<time data-datetime=\"no\" datetime=\"2024-02-03\">x</time>")
+      == "2024-02-03")
+    // unclosed <time> at EOF rejects — the attribute scan must never
+    // read past the tag into arbitrary document text
+    assert(HtmlMetaUtil.timeAttr(
+      "<time datetime=\"2024-01-01\" secret datetime later") == null)
+  }
+
+  test("html_links: hrefs in document order, decoys rejected (r12)") {
+    import graft.plans.HtmlMetaUtil
+    val page = "<a href=\"https://a.com/1\">one</a><p>x</p>" +
+      "<A CLASS=\"y\" HREF=\"/two?a=1&b=2\"></A>" +
+      "<a name=\"no-href\">none</a>" +
+      "<a hreflang=\"en\" href='three'>single-quoted</a>" +
+      "<article href=\"not-an-anchor\"></article>" +
+      "<a data-href=\"decoy\" href=\"four\"></a>"
+    assert(HtmlMetaUtil.links(page) ==
+      "https://a.com/1\n/two?a=1&b=2\nthree\nfour")
+    // no anchors -> null, never ''
+    assert(HtmlMetaUtil.links("<p>plain</p>") == null)
+    // unclosed <a> at EOF drops; unterminated quote rejects the tag
+    assert(HtmlMetaUtil.links("<a href=\"kept\"></a><a href=\"trunc") ==
+      "kept")
+    assert(HtmlMetaUtil.links("<a href=\"unterminated>x</a>") == null)
+    // unquoted value runs to whitespace or tag end
+    assert(HtmlMetaUtil.links("<a href=bare>x</a>") == "bare")
+    // href verbatim: entities do NOT decode in URLs
+    assert(HtmlMetaUtil.links("<a href=\"/p?a=1&amp;b=2\">e</a>") ==
+      "/p?a=1&amp;b=2")
+    // expression face: null in, null out; codegen path agrees
+    val df = Seq((1L, page), (2L, null.asInstanceOf[String]))
+      .toDF("id", "html")
+      .select(col("id"),
+        graft.plans.HtmlTextExpr.htmlLinks(col("html")).as("l"))
+    val got = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L) == "https://a.com/1\n/two?a=1&b=2\nthree\nfour")
+    assert(got(2L) == null)
+  }
+
+  test("entity scan is bounded: bare-& pages with no semicolon") {
+    // an '&' heading no entity must cost O(1) even when the page has
+    // no ';' at all (URL query strings) — pinned by output equality;
+    // the 1MB no-semicolon page completing inside the suite timeout
+    // is the perf witness
+    val page = "a?x=1&y=2&z=3 " * 50000
+    assert(x("<p>" + page + "</p>") == page.trim)
+    // ';' just past the 12-char entity window: '&' stays literal
+    assert(x("&aaaaaaaaaaaaa;") == "&aaaaaaaaaaaaa;")
+    // longest well-formed numeric body (7 digits) still decodes
+    assert(x("&#0000033;") == "!")
   }
 
   test("html_meta expressions: null in, null out") {

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.{UrlCanonExpr, UrlCanonUtil}
+
+/** url_canon kernel: every rule of the canonicalization contract,
+  * plus the reject paths (the kernel must null, never guess). */
+class UrlCanonSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def c(s: String): String = UrlCanonUtil.canon(s)
+
+  test("scheme and host lowercase; path case preserved") {
+    assert(c("HTTP://WWW.Example.COM/Path/File") ==
+      "http://www.example.com/Path/File")
+    assert(c("FTP://Files.EXAMPLE.com/pub") == "ftp://files.example.com/pub")
+  }
+
+  test("default ports drop, others keep, bare colon drops") {
+    assert(c("http://a.com:80/x") == "http://a.com/x")
+    assert(c("https://a.com:443/x") == "https://a.com/x")
+    assert(c("http://a.com:8080/x") == "http://a.com:8080/x")
+    // https:80 is NOT a default — keeps
+    assert(c("https://a.com:80/x") == "https://a.com:80/x")
+    assert(c("http://a.com:/x") == "http://a.com/x")
+    // non-digit port: malformed authority -> null
+    assert(c("http://a.com:8a/x") == null)
+  }
+
+  test("fragment drops; empty path becomes '/'") {
+    assert(c("http://a.com/x#frag") == "http://a.com/x")
+    assert(c("http://a.com") == "http://a.com/")
+    assert(c("http://a.com#frag") == "http://a.com/")
+    assert(c("http://a.com?q=1#frag") == "http://a.com/?q=1")
+  }
+
+  test("tracking params drop (case-insensitive), order survives") {
+    assert(c("http://a.com/p?utm_source=x&id=5&utm_medium=y") ==
+      "http://a.com/p?id=5")
+    assert(c("http://a.com/p?UTM_CAMPAIGN=c&x=2") == "http://a.com/p?x=2")
+    assert(c("http://a.com/p?gclid=1&fbclid=2&msclkid=3&mc_eid=4") ==
+      "http://a.com/p")
+    // empty tokens drop; bare names count as names
+    assert(c("http://a.com/p?&&a=1&&gclid&b=2") == "http://a.com/p?a=1&b=2")
+    // utm in a VALUE is not a tracking NAME
+    assert(c("http://a.com/p?q=utm_source") == "http://a.com/p?q=utm_source")
+    // an emptied query drops its '?'
+    assert(c("http://a.com/p?utm_source=x") == "http://a.com/p")
+  }
+
+  test("rejects: relative, no scheme, empty host, malformed scheme") {
+    assert(c("/relative/path") == null)
+    assert(c("not a url") == null)
+    assert(c("http://") == null)
+    assert(c("1http://a.com/") == null) // scheme must start with a letter
+    assert(c("ht tp://a.com/") == null)
+    // scheme chars +.- are legal
+    assert(c("a+b-c.d://Host/") == "a+b-c.d://host/")
+  }
+
+  test("expression face: null in null out, reject -> null, codegen") {
+    val df = Seq((1L, "HTTP://A.com:80"), (2L, "nope"),
+      (3L, null.asInstanceOf[String])).toDF("id", "url")
+      .select(col("id"), UrlCanonExpr.urlCanon(col("url")).as("c"))
+    val got = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got == Map(1L -> "http://a.com/", 2L -> null, 3L -> null))
+    // stays inside whole-stage codegen on a non-foldable input
+    val plan = spark.range(3)
+      .select(UrlCanonExpr.urlCanon(
+        concat(lit("http://H.com/"), col("id").cast("string"))).as("c"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+}
