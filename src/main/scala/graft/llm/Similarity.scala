@@ -365,14 +365,20 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Product-quantization index (FAISS PQ shape): the corpus encoded
-    * to m-byte codes plus the m x ksub x dsub codebooks. With dim-64
-    * float32 vectors and m=8 the corpus representation shrinks 32x
-    * (vs 4x for int8), which is the regime where an EXHAUSTIVE scan
-    * of a 100 TB embedding corpus becomes a ~3 TB scan — and the
-    * natural residual-free companion to [[IvfIndex]] (probe lists
-    * with the coarse quantizer, score members by ADC). */
+  /** Product-quantization index (FAISS IVFADC shape, round 12): the
+    * corpus encoded to (1 + m)-byte codes — a coarse-cell byte plus m
+    * RESIDUAL sub-codes — plus the nlist x dim coarse table and the
+    * m x ksub x dsub residual codebooks. Residual encoding is the
+    * round-12 recall fix: quantizing (x - c_cell) instead of x
+    * removes the first moment, so the same code budget spends on a
+    * far smaller-variance signal — on the isotropic gaussian
+    * fixtures raw-vector PQ measured 0.64 recall@5 at sf0.1 (under
+    * the 0.7 floor) where the residual form clears it. With dim-64
+    * float32 vectors and m=8 the corpus representation still shrinks
+    * ~28x, the regime where an EXHAUSTIVE scan of a 100 TB embedding
+    * corpus becomes a ~3 TB scan. */
   final case class PqIndex(m: Int, ksub: Int,
+      coarse: Array[Array[Float]],
       codebooks: Array[Array[Array[Float]]],
       encoded: DataFrame /* (id, code binary) */)
 
@@ -409,8 +415,10 @@ object Similarity {
     * (registry: [[pqIndexFor]]). */
   def buildPq(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, ksub: Int = 256, maxTrainRows: Int = 65536,
-      iters: Int = 12, seed: Long = 42L): PqIndex = {
+      iters: Int = 12, seed: Long = 42L, nlist: Int = 256): PqIndex = {
     require(ksub >= 2 && ksub <= 256, s"ksub must be in [2,256], got $ksub")
+    require(nlist >= 1 && nlist <= 256,
+      s"nlist must be in [1,256], got $nlist")
     // bounded driver-side training sample, L2-normalized like the kernels
     val sample = corpus.select(col(vecCol)).limit(maxTrainRows).collect()
       .flatMap { r =>
@@ -433,17 +441,40 @@ object Similarity {
     // downstream — LUT stride, ADC — read the EFFECTIVE value)
     val kEff = math.min(ksub, sample.length)
     val rnd = new scala.util.Random(seed)
+    // IVFADC (round 12): the PQ-internal coarse quantizer trains
+    // FIRST (rnd order is part of the determinism contract — same
+    // seed, same draw sequence, same index bytes), on the same
+    // normalized sample; the codebooks then train on RESIDUALS
+    // against each point's nearest coarse centroid.
+    val nEff = math.min(nlist, sample.length)
+    val coarse = lloyd(sample, nEff, iters, rnd).map(_.map(_.toFloat))
+    val residuals = sample.map { v =>
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        val cc = coarse(c)
+        var d = 0.0
+        var t = 0
+        while (t < v.length) { val df = v(t) - cc(t); d += df * df; t += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val cc = coarse(best)
+      Array.tabulate(v.length)(t => v(t) - cc(t))
+    }
     val codebooks = Array.tabulate(m) { i =>
-      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, i * dsub, (i + 1) * dsub))
+      val sub = residuals.map(v =>
+        java.util.Arrays.copyOfRange(v, i * dsub, (i + 1) * dsub))
       lloyd(sub, kEff, iters, rnd).map(_.map(_.toFloat))
     }
     val encoded = corpus
       .select(col(idCol),
-        graft.plans.VectorExpressions.pqEncode(col(vecCol), codebooks)
-          .as("code"))
+        graft.plans.VectorExpressions.pqEncode(col(vecCol), codebooks,
+          coarse).as("code"))
       .filter(col("code").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    PqIndex(m, kEff, codebooks, encoded)
+    PqIndex(m, kEff, coarse, codebooks, encoded)
   }
 
   /** Plain Lloyd's iterations with seeded random init over distinct
@@ -495,30 +526,30 @@ object Similarity {
   def pqKnn(queries: DataFrame, index: PqIndex, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
-      graft.plans.VectorExpressions.pqLut(col(vecCol), index.codebooks)
-        .as("lut")).filter(col("lut").isNotNull))
+      graft.plans.VectorExpressions.pqLut(col(vecCol), index.codebooks,
+        index.coarse).as("lut")).filter(col("lut").isNotNull))
     val c = index.encoded
       .select(col(idCol).as("neighbor_id"), col("code"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
         graft.plans.VectorExpressions.pqAdc(col("lut"), col("code"),
-          index.ksub))
+          index.ksub, index.coarse.length))
       .filter(col("sim").isNotNull)
     topKPerQuery(scored, k)
   }
 
   /** IVF-PQ search — the composed 100 TB serving stack (FAISS
-    * IVFPQ shape, minus residual encoding — codes quantize the raw
-    * normalized vectors, so the same [[PqIndex]] serves both
-    * exhaustive and list-probed search; residual codebooks would buy
-    * accuracy at the cost of a per-list codebook dependency, noted
-    * not needed at the graded recall tier): the coarse quantizer
-    * prunes the candidate set to nProbe/nlist of the corpus, ADC
-    * scores the survivors by m byte lookups each. The corpus-side
-    * join carries (id, list_id, m-byte code) — neither float vectors
-    * nor LUTs ride the shuffle; the equi-join key is the list id,
-    * exactly the partition key a cluster layout would bucket by.
-    * Output: (query_id, neighbor_id, rank). */
+    * IVFPQ shape; since round 12 the [[PqIndex]] codes are RESIDUAL
+    * against the PQ-internal coarse table, carried in the leading
+    * code byte, so the same index serves both exhaustive and
+    * list-probed search — the list-pruning IVF here stays a separate
+    * quantizer, which keeps build-once indexes composable): the
+    * coarse quantizer prunes the candidate set to nProbe/nlist of
+    * the corpus, ADC scores the survivors by m (+1) byte lookups
+    * each. The corpus-side join carries (id, list_id, small code) —
+    * neither float vectors nor LUTs ride the shuffle; the equi-join
+    * key is the list id, exactly the partition key a cluster layout
+    * would bucket by. Output: (query_id, neighbor_id, rank). */
   def ivfPqKnn(queries: DataFrame, coarse: IvfIndex, pq: PqIndex,
       idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
     val spark = queries.sparkSession
@@ -534,8 +565,9 @@ object Similarity {
         col("list_id").cast("long")).as("lists"))
       .select(col("query_id"), explode(col("lists._2")).as("list_id"))
       .join(broadcast(q.select(col("query_id"),
-        graft.plans.VectorExpressions.pqLut(col("qv"), pq.codebooks)
-          .as("lut")).filter(col("lut").isNotNull)), "query_id")
+        graft.plans.VectorExpressions.pqLut(col("qv"), pq.codebooks,
+          pq.coarse).as("lut")).filter(col("lut").isNotNull)),
+        "query_id")
     val members = coarse.indexed
       .select(col(idCol).as("neighbor_id"),
         col("list_id").cast("long").as("list_id"))
@@ -544,7 +576,8 @@ object Similarity {
     val scored = probed.join(members, Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
-        graft.plans.VectorExpressions.pqAdc(col("lut"), col("code"), pq.ksub))
+        graft.plans.VectorExpressions.pqAdc(col("lut"), col("code"),
+          pq.ksub, pq.coarse.length))
       .filter(col("sim").isNotNull)
     topKPerQuery(scored, k)
   }
@@ -745,28 +778,44 @@ object Similarity {
       // bit-identical to avg()+round(); suffix nulls drop via
       // takeWhile, reproducing the old missing-(cid,pos) behavior.
       val dim = cents.map(_._2.length).max
+      // Centroid assembly from the collected agg row: positions are
+      // dense, so only SUFFIX nulls (positions past every member's
+      // length) may drop; an interior all-null position — reachable
+      // only on the avg fallback, where null ELEMENTS survive —
+      // substitutes 0.0 instead of truncating, so a single degenerate
+      // position cannot silently discard every later coordinate.
       def mean(r: org.apache.spark.sql.Row, first: Int,
-          div: Int => Double): Seq[Double] =
-        (0 until dim).iterator
+          div: Int => Double): Seq[Double] = {
+        val opts = (0 until dim)
           .map(i => if (r.isNullAt(first + i)) None
             else Some(BigDecimal(r.getDouble(first + i) / div(i))
               .setScale(scale, BigDecimal.RoundingMode.HALF_UP)
               .toDouble))
-          .takeWhile(_.isDefined).map(_.get).toVector
+        val lastDef = opts.lastIndexWhere(_.isDefined)
+        opts.take(lastDef + 1).map(_.getOrElse(0.0)).toVector
+      }
       val assignedDf = base
         .withColumn("__cid", bestCluster(cents).getField("cid"))
       val sums = (0 until dim).map(i =>
         sum(try_element_at(col("__v"), lit(i + 1))).as(s"__s$i"))
+      // __nulls: any null ELEMENT inside a same-length vector would
+      // make the fast path's sum ÷ cluster-count diverge from avg()
+      // (sum skips nulls, the divisor would not) — one extra boolean
+      // buffer field detects it without doubling the agg width past
+      // codegen's maxFields the way per-position counts would.
       val aggCols = Seq(min(size(col("__v"))).as("__lo"),
-        max(size(col("__v"))).as("__hi")) ++ sums
+        max(size(col("__v"))).as("__hi"),
+        max(exists(col("__v"), _.isNull).cast("int")).as("__nulls")) ++
+        sums
       val fast = assignedDf
         .groupBy(col("__cid"))
         .agg(count(lit(1)).as("__n"), aggCols: _*)
         .collect()
       cents =
-        if (fast.forall(r => r.getInt(2) == r.getInt(3)))
+        if (fast.forall(r => r.getInt(2) == r.getInt(3) &&
+            r.getInt(4) == 0))
           fast.map(r => (r.getInt(0),
-            mean(r, 4, _ => r.getLong(1).toDouble)))
+            mean(r, 5, _ => r.getLong(1).toDouble)))
             .sortBy(_._1)
         else {
           val avgs = (0 until dim).map(i =>

@@ -471,7 +471,7 @@ case class QuantizedCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** pq_encode(array<float|double>) -> binary(m): product-quantization
+/** pq_encode(array<float|double>) -> binary: product-quantization
   * code — the vector is split into `m` contiguous subspaces and each
   * subspace is replaced by the index of its nearest codebook centroid
   * (L2). With ksub <= 256 a vector becomes m BYTES (dim-64 float32 ->
@@ -482,13 +482,25 @@ case class QuantizedCosine(left: Expression, right: Expression)
   * whole-stage codegen, no interpreted-projection fallback. Inputs
   * are L2-normalized before encoding (cosine semantics); null on
   * null input, length != m * dsub, zero norm, or a null element
-  * (mirroring cosine_sim's null rules). */
+  * (mirroring cosine_sim's null rules).
+  *
+  * With a non-empty `coarse` table (nlist x dim, nlist <= 256) the
+  * kernel encodes RESIDUALS — classic IVFADC (round 12): the
+  * normalized vector is assigned to its nearest coarse centroid and
+  * the codebooks quantize (x - c_cell), whose variance is a fraction
+  * of the raw vector's — the precision that lifts recall on
+  * isotropic data where raw-vector PQ flat-lines. The cell id is
+  * the FIRST code byte, so the binary is (1 + m) bytes and carries
+  * everything ADC needs. */
 case class PqEncode(child: Expression,
-    codebooks: Array[Array[Array[Float]]]) extends UnaryExpression {
+    codebooks: Array[Array[Array[Float]]],
+    coarse: Array[Array[Float]] = Array.empty) extends UnaryExpression {
 
   private val m = codebooks.length
   private val ksub = codebooks(0).length
   private val dsub = codebooks(0)(0).length
+  private val nlist = coarse.length
+  require(nlist <= 256, s"pq_encode coarse table caps at 256 cells, got $nlist")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -523,7 +535,29 @@ case class PqEncode(child: Expression,
     }
     if (nrm == 0.0 || java.lang.Double.isNaN(nrm)) return null
     val inv = 1.0 / math.sqrt(nrm)
-    val out = new Array[Byte](m)
+    p = 0
+    while (p < n) { x(p) *= inv; p += 1 }
+    var cell = -1
+    if (nlist > 0) {
+      // residual mode: nearest coarse cell of the NORMALIZED vector
+      // (strict < argmin — first-index tie-break, deterministic),
+      // then subtract its centroid in place
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < nlist) {
+        val cc = coarse(c)
+        var d = 0.0
+        var t = 0
+        while (t < n) { val df = x(t) - cc(t); d += df * df; t += 1 }
+        if (d < bestD) { bestD = d; cell = c }
+        c += 1
+      }
+      val cc = coarse(cell)
+      var t = 0
+      while (t < n) { x(t) -= cc(t); t += 1 }
+    }
+    val out = new Array[Byte](if (nlist > 0) m + 1 else m)
+    val base = if (nlist > 0) { out(0) = cell.toByte; 1 } else 0
     var i = 0
     while (i < m) {
       val cb = codebooks(i)
@@ -535,14 +569,14 @@ case class PqEncode(child: Expression,
         var d = 0.0
         var t = 0
         while (t < dsub) {
-          val diff = x(i * dsub + t) * inv - c(t)
+          val diff = x(i * dsub + t) - c(t)
           d += diff * diff
           t += 1
         }
         if (d < bestD) { bestD = d; best = j }
         j += 1
       }
-      out(i) = best.toByte
+      out(base + i) = best.toByte
       i += 1
     }
     out
@@ -566,19 +600,26 @@ case class PqEncode(child: Expression,
     copy(child = newChild)
 }
 
-/** pq_lut(array<float|double>) -> array<float>(m * ksub): the
-  * asymmetric-distance lookup table for one QUERY vector — entry
-  * [i*ksub + j] = dot(q's subspace i, codebook centroid c_ij). One
-  * table per query, computed once on the (small, broadcast) query
-  * side; corpus rows are then scored by m array lookups each
-  * ([[PqAdc]]) instead of dim multiply-adds. Null on null input,
-  * length mismatch, zero norm, or a null element. */
+/** pq_lut(array<float|double>) -> array<float>: the asymmetric-
+  * distance lookup table for one QUERY vector — entry [i*ksub + j] =
+  * dot(q's subspace i, codebook centroid c_ij). One table per query,
+  * computed once on the (small, broadcast) query side; corpus rows
+  * are then scored by m array lookups each ([[PqAdc]]) instead of
+  * dim multiply-adds. Null on null input, length mismatch, zero
+  * norm, or a null element.
+  *
+  * With a non-empty `coarse` table (the [[PqEncode]] residual mode)
+  * the first nlist entries are dot(q-normalized, coarse centroid c)
+  * — the exact first-order term of q·x = q·c_cell + q·residual; the
+  * residual table follows at offset nlist. */
 case class PqLut(child: Expression,
-    codebooks: Array[Array[Array[Float]]]) extends UnaryExpression {
+    codebooks: Array[Array[Array[Float]]],
+    coarse: Array[Array[Float]] = Array.empty) extends UnaryExpression {
 
   private val m = codebooks.length
   private val ksub = codebooks(0).length
   private val dsub = codebooks(0)(0).length
+  private val nlist = coarse.length
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -612,7 +653,16 @@ case class PqLut(child: Expression,
     }
     if (nrm == 0.0 || java.lang.Double.isNaN(nrm)) return null
     val inv = 1.0 / math.sqrt(nrm)
-    val out = new Array[Float](m * ksub)
+    val out = new Array[Float](nlist + m * ksub)
+    var c0 = 0
+    while (c0 < nlist) {
+      val cc = coarse(c0)
+      var d = 0.0
+      var t = 0
+      while (t < n) { d += x(t) * inv * cc(t); t += 1 }
+      out(c0) = d.toFloat
+      c0 += 1
+    }
     var i = 0
     while (i < m) {
       val cb = codebooks(i)
@@ -625,7 +675,7 @@ case class PqLut(child: Expression,
           d += x(i * dsub + t) * inv * c(t)
           t += 1
         }
-        out(i * ksub + j) = d.toFloat
+        out(nlist + i * ksub + j) = d.toFloat
         j += 1
       }
       i += 1
@@ -651,15 +701,18 @@ case class PqLut(child: Expression,
     copy(child = newChild)
 }
 
-/** pq_adc(array<float> lut, binary codes, ksub) -> double: asymmetric
-  * distance computation — the approximate dot product of a query (via
-  * its LUT) against one PQ-coded corpus vector: sum_i lut[i*ksub +
-  * codes[i]]. m array reads per pair instead of dim multiply-adds,
-  * over an 8-byte code instead of a 256-byte float vector — the inner
-  * loop of exhaustive PQ search, codegen'd inline. Null if the LUT
-  * length does not equal codes.length * ksub. */
-case class PqAdc(left: Expression, right: Expression, ksub: Int)
-  extends BinaryExpression {
+/** pq_adc(array<float> lut, binary codes, ksub, nlist) -> double:
+  * asymmetric distance computation — the approximate dot product of
+  * a query (via its LUT) against one PQ-coded corpus vector:
+  * sum_i lut[nlist + i*ksub + codes[i]], plus — in residual mode
+  * (nlist > 0, the [[PqEncode]] IVFADC layout) — the exact coarse
+  * term lut[codes[0]], the cell id being the leading code byte.
+  * m (+1) array reads per pair instead of dim multiply-adds, over an
+  * ~m-byte code instead of a 256-byte float vector — the inner loop
+  * of exhaustive PQ search, codegen'd inline. Null if the LUT length
+  * does not equal nlist + (codes.length - base) * ksub. */
+case class PqAdc(left: Expression, right: Expression, ksub: Int,
+    nlist: Int = 0) extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -673,14 +726,23 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
+  private val base = if (nlist > 0) 1 else 0
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val lut = a.asInstanceOf[ArrayData]
     val codes = b.asInstanceOf[Array[Byte]]
-    if (lut.numElements() != codes.length * ksub) return null
+    if (codes.length < base ||
+      lut.numElements() != nlist + (codes.length - base) * ksub)
+      return null
     var s = 0.0
+    if (base == 1) {
+      val cell = codes(0) & 0xff
+      if (cell >= nlist) return null
+      s = lut.getFloat(cell)
+    }
     var i = 0
-    while (i < codes.length) {
-      s += lut.getFloat(i * ksub + (codes(i) & 0xff))
+    while (i < codes.length - base) {
+      s += lut.getFloat(nlist + i * ksub + (codes(base + i) & 0xff))
       i += 1
     }
     s
@@ -690,13 +752,21 @@ case class PqAdc(left: Expression, right: Expression, ksub: Int)
     nullSafeCodeGen(ctx, ev, (lut, codes) => {
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val cell = ctx.freshName("cell")
+      val bad = ctx.freshName("bad")
       s"""
-        |if ($lut.numElements() != $codes.length * $ksub) {
-        |  ${ev.isNull} = true;
-        |} else {
-        |  double $s = 0.0;
-        |  for (int $i = 0; $i < $codes.length; $i++) {
-        |    $s += $lut.getFloat($i * $ksub + ($codes[$i] & 0xff));
+        |boolean $bad = $codes.length < $base ||
+        |  $lut.numElements() != $nlist + ($codes.length - $base) * $ksub;
+        |double $s = 0.0;
+        |if (!$bad && $base == 1) {
+        |  int $cell = $codes[0] & 0xff;
+        |  if ($cell >= $nlist) { $bad = true; }
+        |  else { $s = $lut.getFloat($cell); }
+        |}
+        |if ($bad) { ${ev.isNull} = true; }
+        |else {
+        |  for (int $i = 0; $i < $codes.length - $base; $i++) {
+        |    $s += $lut.getFloat($nlist + $i * $ksub + ($codes[$base + $i] & 0xff));
         |  }
         |  ${ev.value} = $s;
         |}
@@ -812,15 +882,18 @@ object VectorExpressions {
     Bridge.toColumn(QuantizedCosine(
       Bridge.toExpression(a), Bridge.toExpression(b)))
 
-  def pqEncode(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
-    Bridge.toColumn(PqEncode(Bridge.toExpression(v), codebooks))
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Float]]],
+      coarse: Array[Array[Float]] = Array.empty): Column =
+    Bridge.toColumn(PqEncode(Bridge.toExpression(v), codebooks, coarse))
 
-  def pqLut(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
-    Bridge.toColumn(PqLut(Bridge.toExpression(v), codebooks))
+  def pqLut(v: Column, codebooks: Array[Array[Array[Float]]],
+      coarse: Array[Array[Float]] = Array.empty): Column =
+    Bridge.toColumn(PqLut(Bridge.toExpression(v), codebooks, coarse))
 
-  def pqAdc(lut: Column, codes: Column, ksub: Int): Column =
+  def pqAdc(lut: Column, codes: Column, ksub: Int,
+      nlist: Int = 0): Column =
     Bridge.toColumn(PqAdc(
-      Bridge.toExpression(lut), Bridge.toExpression(codes), ksub))
+      Bridge.toExpression(lut), Bridge.toExpression(codes), ksub, nlist))
 
   def l2sqConst(v: Column, cent: Array[Double]): Column =
     Bridge.toColumn(L2SqConst(Bridge.toExpression(v), cent))

@@ -281,6 +281,33 @@ class DedupSimilaritySpec extends SparkSpec {
     a.indexed.unpersist(); b.indexed.unpersist()
   }
 
+  test("buildPq is deterministic: residual builds byte-identical (r12)") {
+    // residual IVFADC adds a coarse table and a leading cell byte to
+    // every code; the whole artifact — coarse, codebooks, codes —
+    // must rebuild byte-for-byte (driver-side Lloyd under a fixed
+    // seed, one rnd drawn in a pinned order: coarse first, then the
+    // m sub-codebooks)
+    val rnd = new scala.util.Random(29)
+    val corpus = (0 until 150).map { i =>
+      (i.toLong, Seq.tabulate(8)(_ => rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    val a = Similarity.buildPq(corpus, "vec_id", "embedding",
+      m = 4, ksub = 16, nlist = 8)
+    val b = Similarity.buildPq(corpus, "vec_id", "embedding",
+      m = 4, ksub = 16, nlist = 8)
+    assert(a.coarse.map(_.toSeq).toSeq == b.coarse.map(_.toSeq).toSeq)
+    assert(a.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      b.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    def codes(ix: Similarity.PqIndex) = ix.encoded.collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq))
+      .sortBy(_._1).toSeq
+    assert(codes(a) == codes(b))
+    // residual layout: (1 + m) bytes, leading cell byte inside nlist
+    codes(a).foreach { case (_, c) =>
+      assert(c.length == 5 && (c.head & 0xff) < 8, c.toString) }
+    a.encoded.unpersist(); b.encoded.unpersist()
+  }
+
   test("embeddingNearDups (banded) finds every exact-threshold pair") {
     // seeded corpus: 10 planted near-dup pairs (base + tiny noise,
     // cosine ~0.999) among 20 unrelated random vectors; the banded LSH
@@ -710,5 +737,26 @@ class DedupSimilaritySpec extends SparkSpec {
       pts.filter($"vec_id" < 0L), "vec_id", "embedding", k = 2)
     assert(empty.count() == 0L)
     assert(empty.columns.toSeq == Seq("cluster", "n_points", "inertia"))
+  }
+
+  test("lloydRounds: null ELEMENTS route to the avg path, not sum/n") {
+    // same-length vectors where one member is null at position 1:
+    // sum() skips the null but the fast path's divisor would be the
+    // full cluster count (3), giving centroid y = 4/3 ≈ 1.33 — the
+    // avg() semantics (the r10 posexplode contract) divide by the 2
+    // NON-null members: y = 2.0. The __nulls detector must force the
+    // fallback; assignment then sends the probe at (0, 2) to this
+    // cluster, not the far one.
+    val base = Seq(
+      (0L, Seq(Option(0.0), Option(1.0))),
+      (1L, Seq(Option(0.0), Option.empty[Double])),
+      (2L, Seq(Option(0.0), Option(3.0))),
+      (3L, Seq(Option(100.0), Option(100.0))))
+      .toDF("__id", "__v")
+    val cents = Similarity.lloydRounds(base,
+      Array(0 -> Seq(0.0, 1.0), 1 -> Seq(100.0, 100.0)),
+      rounds = 1, scale = 6)
+    assert(cents.toMap == Map(0 -> Vector(0.0, 2.0),
+      1 -> Vector(100.0, 100.0)), cents.mkString(", "))
   }
 }

@@ -624,9 +624,11 @@ class PropertySpec extends SparkSpec {
       m = 4, ksub = 256)
     val self = df.select(
       graft.plans.VectorExpressions.pqAdc(
-        graft.plans.VectorExpressions.pqLut(col("embedding"), idx.codebooks),
-        graft.plans.VectorExpressions.pqEncode(col("embedding"), idx.codebooks),
-        idx.ksub).as("s")).collect().map(_.getDouble(0))
+        graft.plans.VectorExpressions.pqLut(col("embedding"),
+          idx.codebooks, idx.coarse),
+        graft.plans.VectorExpressions.pqEncode(col("embedding"),
+          idx.codebooks, idx.coarse),
+        idx.ksub, idx.coarse.length).as("s")).collect().map(_.getDouble(0))
     self.foreach(s => assert(math.abs(s - 1.0) < 1e-5,
       s"self-ADC $s drifted from 1"))
     idx.encoded.unpersist(blocking = true)
