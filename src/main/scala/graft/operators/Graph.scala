@@ -228,15 +228,25 @@ object Graph {
     val bcastScores = nodes.count() <= 5000000L
     def side(df: DataFrame): DataFrame =
       if (bcastScores) broadcast(df) else df
-    for (_ <- 1 to iterations) {
-      val nextA = nodes.join(
+    for (it <- 1 to iterations) {
+      // the authorities frame stays LAZY (r12): its only same-round
+      // reader is nextH, whose broadcast exchange evaluates the
+      // a-side edge join exactly once INSIDE nextH's checkpoint job —
+      // materializing it separately bought a full node-frame write +
+      // an extra job submission per round for a frame read once.
+      // Still two edge joins per round, one checkpoint instead of
+      // two. Only the FINAL round's authorities checkpoint (the
+      // output join below reads them after the loop's hub frames are
+      // released).
+      val nextA0 = nodes.join(
           side(e.join(side(hubs.select(col("node").as("src"), col("h"))),
               Seq("src"))
             .groupBy(col("dst").as("node"))
             .agg(sum(col("w") * col("h")).as("v"))),
           Seq("node"), "left")
         .select(col("node"), coalesce(col("v"), lit(0.0)).as("a"))
-        .localCheckpoint(true)
+      val nextA = if (it == iterations) nextA0.localCheckpoint(true)
+        else nextA0
       val nextH = nodes.join(
           side(e.join(side(nextA.select(col("node").as("dst"), col("a"))),
               Seq("dst"))
@@ -245,8 +255,8 @@ object Graph {
           Seq("node"), "left")
         .select(col("node"), coalesce(col("v"), lit(0.0)).as("h"))
         .localCheckpoint(true)
-      // releaseFrame is a no-op on the first round's auths view (not
-      // its own checkpoint) — safe to release both unconditionally
+      // releaseFrame is a no-op on lazy views (the first round's
+      // auths, every intermediate nextA) — safe unconditionally
       org.apache.spark.sql.graft.Bridge.releaseFrame(hubs)
       org.apache.spark.sql.graft.Bridge.releaseFrame(auths)
       auths = nextA
@@ -278,22 +288,25 @@ object Graph {
     * edge endpoints. Fixed `iterations` (not a convergence test) keeps
     * the result deterministic and the oracle expressible.
     *
-    * Per iteration: ONE shuffle join of the weight-normalized edge
-    * list against the current (node, rank) frame, one map-side-
-    * combined sum per destination, and a left join back onto the node
-    * set — 3 bounded exchanges carrying (id, double) rows regardless
-    * of graph size. Dangling mass (rank parked on nodes with no
-    * out-edges) rides as a broadcast 1-row aggregate INSIDE the same
-    * job as the round's materialization (a separate driver action per
-    * round would double the local job floor — measured); without it a
-    * bipartite graph's sink side silently absorbs all rank. Each round
-    * eagerly checkpoints (both the dangling and contribution branches
-    * re-read the previous ranks — an unmaterialized loop would double
-    * the plan TREE per round, the same 2^k blowup the oracle's
-    * MATERIALIZED CTEs guard against) and the superseded checkpoint is
-    * released once the next is materialized ([[connectedComponents]]
-    * discipline), so block usage stays one round deep. Total rank sums
-    * to 1 every iteration (spec-asserted). */
+    * Per iteration (r12 restructure, ~one-third off the measured
+    * round cost): ONE shuffle join of the weight-normalized edge list
+    * against the current (node, rank) frame with a map-side-combined
+    * sum per destination — the round's only heavy job, and the only
+    * thing CHECKPOINTED (its output is node-set-sized). Dangling mass
+    * (rank parked on nodes with no out-edges) is the conservation
+    * identity 1 − Σ contrib — Σ ranks is 1 by construction, so the
+    * r11 per-round anti-join against the source set (a second
+    * node-frame shuffle per round, plus a srcs build at setup) bought
+    * nothing the 1-row aggregate over the ALREADY-MATERIALIZED
+    * contrib frame doesn't; the identity is also self-correcting
+    * (the update renormalizes total rank to 1 every round). The
+    * (node, rank) frame itself stays LAZY — a cheap node-frame join
+    * over the contrib checkpoint, re-derived at most twice — and
+    * only the final round's is materialized. Superseded contrib
+    * checkpoints release once the next is materialized
+    * ([[connectedComponents]] discipline), so block usage stays one
+    * round deep. Total rank sums to 1 every iteration
+    * (spec-asserted). */
   def pageRank(edges: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
     val e = edges.select(col("src"), col("dst"),
@@ -308,38 +321,44 @@ object Graph {
       .select(col("src"), col("dst"), (col("w") / col("ow")).as("p"))
       .localCheckpoint(true)
     org.apache.spark.sql.graft.Bridge.releaseFrame(e)
-    val srcs = eNorm.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
-    var ranks = nodes
+    val ranks0 = nodes
       .select(col("node"), (lit(1.0) / n).as("rank"))
       .localCheckpoint(true)
+    var ranks = ranks0
     // same stats-blind-checkpoint issue as [[hits]]: without the
     // explicit broadcast the rank side sort-merges, reshuffling the
     // edge table every round; gate on node count (see hits)
     val bcastScores = n <= 5000000.0
     def side(df: DataFrame): DataFrame =
       if (bcastScores) broadcast(df) else df
-    for (_ <- 1 to iterations) {
-      val dangling = broadcast(
-        ranks.join(srcs, Seq("node"), "left_anti")
-          .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang")))
+    var contribPrev: DataFrame = null
+    for (it <- 1 to iterations) {
       val contrib = eNorm
         .join(side(ranks.select(col("node").as("src"), col("rank").as("r"))),
           Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("p") * col("r")).as("contrib"))
-      val next = nodes.join(side(contrib), Seq("node"), "left")
+        .localCheckpoint(true)
+      // the new contrib's materialization was the last reader of the
+      // previous round's (and, on round 1, of the seed ranks)
+      if (contribPrev != null)
+        org.apache.spark.sql.graft.Bridge.releaseFrame(contribPrev)
+      if (it == 1) org.apache.spark.sql.graft.Bridge.releaseFrame(ranks0)
+      contribPrev = contrib
+      val dangling = broadcast(contrib.agg(
+        (lit(1.0) - sum(col("contrib"))).as("__dang")))
+      val raw = nodes.join(side(contrib), Seq("node"), "left")
         .crossJoin(dangling)
         .select(col("node"),
           (lit((1.0 - damping) / n) + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) + col("__dang") / n))
             .as("rank"))
-        .localCheckpoint(true)
-      org.apache.spark.sql.graft.Bridge.releaseFrame(ranks)
-      ranks = next
+      // lazy between rounds; only the returned frame materializes
+      ranks = if (it == iterations) raw.localCheckpoint(true) else raw
     }
+    if (contribPrev != null)
+      org.apache.spark.sql.graft.Bridge.releaseFrame(contribPrev)
     org.apache.spark.sql.graft.Bridge.releaseFrame(eNorm)
-    org.apache.spark.sql.graft.Bridge.releaseFrame(srcs)
     org.apache.spark.sql.graft.Bridge.releaseFrame(nodes)
     ranks
   }
