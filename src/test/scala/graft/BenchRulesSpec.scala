@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's load-band self-defense, driven synthetically: a
+  * "contended sweep" whose medians are inflated against a committed
+  * quiet-box baseline must flag exactly the inflated queries (capped,
+  * worst-first), and the baseline parser must round-trip the
+  * BENCH_FULL.json line format. No Spark session — the rules are
+  * pure on purpose. */
+class BenchRulesSpec extends AnyFunSuite {
+
+  test("intra-sweep rule unchanged: median > 3x own min above floor") {
+    assert(BenchRules.intraSuspect(med = 1.0, ownMin = 0.2))
+    assert(!BenchRules.intraSuspect(med = 0.5, ownMin = 0.2))
+    // under the 0.3 s floor nothing is suspect
+    assert(!BenchRules.intraSuspect(med = 0.29, ownMin = 0.05))
+    // failed queries (min -1) never retry
+    assert(!BenchRules.intraSuspect(med = 5.0, ownMin = -1.0))
+  }
+
+  test("baseline rule: median > 2x committed min, floor applies") {
+    assert(BenchRules.baselineSuspect(6.6, Some(2.6))) // the r11 q_kcore shape
+    assert(!BenchRules.baselineSuspect(4.9, Some(2.6)))
+    assert(!BenchRules.baselineSuspect(0.25, Some(0.1)))
+    // no committed baseline for this query -> rule off
+    assert(!BenchRules.baselineSuspect(100.0, None))
+    assert(!BenchRules.baselineSuspect(100.0, Some(-1.0)))
+  }
+
+  test("synthetic contention: inflated queries flagged worst-first, capped") {
+    // quiet-box baseline: 12 queries at 1 s
+    val baseline = (1 to 12).map(i => s"q$i" -> 1.0).toMap
+    // a loaded box inflates queries 1..10 by increasing factors
+    // (2.1x..3.0x) with tight own-min (intra rule silent: med < 3x own
+    // min); queries 11-12 stay nominal
+    val results = (1 to 10).map { i =>
+      val med = 2.0 + i * 0.1
+      (s"q$i", (med, med * 0.9))
+    } ++ Seq(("q11", (1.05, 1.0)), ("q12", (0.98, 0.9)))
+    val flagged = BenchRules.retryList(results, baseline)
+    // capped at 8, worst ratio first: q10 (3.0x) down to q3 (2.3x)
+    assert(flagged == (10 to 3 by -1).map(i => s"q$i"))
+    // intra-sweep suspects ride along uncapped and come first
+    val withIntra = results :+ ("q13", (2.0, 0.1))
+    val flagged2 = BenchRules.retryList(withIntra, baseline)
+    assert(flagged2.head == "q13" && flagged2.size == 9)
+  }
+
+  test("baseline parser round-trips the BENCH_FULL.json line shape") {
+    val line = """{"metric":"total","value":9.9,"unit":"sec",""" +
+      """"queries":{"q_a":2.0000,"q_b":1.0000},""" +
+      """"queries_min":{"q_a":1.5000,"q_b":0.8000},""" +
+      """"canary":{"start":1.0,"mid":1.0,"end":1.0,"drift":1.0},""" +
+      """"retry":{},"retry_canary":{},"sf":"/x"}"""
+    assert(BenchRules.parseBaseline(line) ==
+      Map("q_a" -> 1.5, "q_b" -> 0.8))
+    // malformed/absent sections degrade to empty, never throw
+    assert(BenchRules.parseBaseline("{}").isEmpty)
+    assert(BenchRules.parseBaseline("""{"queries_min":{}}""").isEmpty)
+    assert(BenchRules.parseBaseline("""{"queries_min":{"q":oops}}""").isEmpty)
+    assert(BenchRules.loadBaseline("/nonexistent/path.json").isEmpty)
+  }
+
+  test("committed BENCH_FULL.json parses into a usable baseline") {
+    // the real checked-in record must feed the rule (guards against
+    // a future format drift silently disabling the defense)
+    val b = BenchRules.loadBaseline("BENCH_FULL.json")
+    assert(b.size > 200, s"only ${b.size} baseline minima parsed")
+    assert(b.contains("q_pagerank") && b("q_pagerank") > 0)
+  }
+}
