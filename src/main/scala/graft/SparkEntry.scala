@@ -570,6 +570,68 @@ object SparkEntry {
       Dedup.dedupCorpus(t(s, d, "documents"), "doc_id", "text")
         .select(col("doc_id"))),
 
+    "q_corpus_e2e" -> ((s, d) => {
+      // the ingest a real corpus run executes, graded as ONE plan
+      // (r12): bronze HTML -> html_to_text kernel -> quality gates ->
+      // corpus dedup (exact + minhash) -> sequence packing. Oracle-
+      // free: the single output row carries per-stage counts with
+      // conservation gates pinned in-row — a degradation at ANY stage
+      // drops the row. Two documented seams (localCheckpoint): the
+      // gated corpus feeds dedup's multi-branch plan, and the dedup
+      // survivors feed both packing and their count; everything else
+      // stays one lazy plan (the n_text branch re-derives a MAP-ONLY
+      // projection — free of shuffles by construction).
+      import graft.functions.Text
+      def san(c: Column) = regexp_replace(c, "[<>&\\r\\u00A0]", " ")
+      val docs = t(s, d, "documents")
+      val html = concat(
+        lit("<html><head><title>d</title></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), san(col("text")),
+        lit("</p><div>source: "), san(col("source")),
+        lit("</div></body></html>"))
+      val bronze = docs.select(col("doc_id"), html.as("html"))
+      val text = bronze.select(col("doc_id"),
+        graft.plans.HtmlTextExpr.htmlToText(col("html")).as("text"))
+        .filter(length(col("text")) > 0)
+      val gated = text
+        .withColumn("quality", Text.qualityScore(col("text")))
+        .withColumn("rep_ratio", Text.repetitionRatio(col("text")))
+        .filter(col("quality") >= 0.2 && col("rep_ratio") <= 0.9)
+        .localCheckpoint(true)
+      val survivors = graft.llm.Dedup
+        .dedupCorpus(gated, "doc_id", "text", 3)
+        .localCheckpoint(true)
+      val packed = graft.llm.Packing.contiguousPacks(
+        survivors.select(col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens")),
+        "n_tokens", 2048L, Seq(col("doc_id")), None)
+      broadcast(docs.agg(count(lit(1)).as("n_docs")))
+        .crossJoin(broadcast(text.agg(count(lit(1)).as("n_text"))))
+        .crossJoin(broadcast(gated.agg(count(lit(1)).as("n_gated"))))
+        .crossJoin(broadcast(survivors.agg(
+          count(lit(1)).as("n_unique"))))
+        .crossJoin(broadcast(packed.agg(
+          count(lit(1)).as("n_packed_docs"),
+          countDistinct(col("pack_id")).as("n_packs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))))
+        .withColumn("pass",
+          // extraction drops nothing on the wrapped corpus; gates only
+          // narrow; dedup strictly removes the planted duplicates
+          // (dup texts share quality scores, so they reach dedup
+          // together); packing conserves survivors and respects the
+          // 2048-token capacity lower bound
+          col("n_text") === col("n_docs") &&
+          col("n_gated") > 0 && col("n_gated") <= col("n_text") &&
+          col("n_unique") > 0 && col("n_unique") < col("n_gated") &&
+          col("n_packed_docs") === col("n_unique") &&
+          col("n_packs") >= ceil(col("n_tokens") / lit(2048.0)) &&
+          col("n_packs") <= col("n_packed_docs"))
+        .select(col("n_docs"), col("n_text"), col("n_gated"),
+          col("n_unique"), col("n_packs"), col("n_tokens"), col("pass"))
+        .filter(col("pass"))
+    }),
+
     "q_near_dup_pairs" -> ((s, d) =>
       // exact near-dup detection at jaccard>=0.8 — finds the corpus's
       // planted near-duplicates, oracle-checked

@@ -737,6 +737,59 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 2L), ("b", 1L)))
   }
 
+  test("HTML ingest twin: live file-drop stream == batch, gates fire (r12)") {
+    // the r11 extraction kernels under micro-batch (r12 stretch):
+    // pages land as JSON files in a bronze dir, the stream extracts
+    // text/title/canonical URL and gates quality — all map-only, so
+    // the streaming plan is accepted without state and must equal the
+    // batch run on the same files row-for-row
+    import graft.streaming.HtmlIngest
+    val dir = java.nio.file.Files.createTempDirectory("html_land")
+    def page(id: Long, body: String, url: String): String = {
+      val html = ("<html><head><title>Page " + id + "</title></head>" +
+        "<body><h1>H</h1><p>" + body + "</p></body></html>")
+        .replace("\"", "\\\"")
+      s"""{"doc_id":$id,"fetched_at":"2026-01-01T00:00:0$id","url":"$url","html":"$html"}"""
+    }
+    val rows = Seq(
+      page(1L, "a perfectly ordinary paragraph of readable prose " +
+        "with enough words to pass the quality gate comfortably",
+        "HTTP://Example.COM:80/a?utm_source=x&id=1"),
+      page(2L, "zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz",
+        "https://example.com/rep"), // repetition-gated
+      page(3L, "", "https://example.com/empty")) // markup-only: drops
+    java.nio.file.Files.writeString(dir.resolve("batch0.json"),
+      rows.take(1).mkString("\n"))
+    val stream = HtmlIngest.ingest(
+      HtmlIngest.htmlDirPages(spark, dir.toString, maxFilesPerTrigger = 1))
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("html_ingest")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // second drop AFTER the stream started: the dir is live
+      java.nio.file.Files.writeString(dir.resolve("batch1.json"),
+        rows.drop(1).mkString("\n"))
+      q.processAllAvailable()
+      val streamed = spark.table("html_ingest")
+        .select("doc_id", "url_canon", "title", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3))).sortBy(_._1).toSeq
+      // gates: doc 2 repetition-gated, doc 3 markup-only -> only doc 1
+      assert(streamed.map(_._1) == Seq(1L), streamed.toString)
+      assert(streamed.head._2 == "http://example.com/a?id=1")
+      assert(streamed.head._3 == "Page 1")
+      assert(streamed.head._4.contains("ordinary paragraph"))
+      // batch twin over the same landing files, same transform
+      val batch = HtmlIngest.ingest(
+          spark.read.schema(HtmlIngest.pageSchema).json(dir.toString))
+        .select("doc_id", "url_canon", "title", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3))).sortBy(_._1).toSeq
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+    } finally q.stop()
+  }
+
   test("csv fixture replays through the declared schema") {
     val fixture = "/root/reference/Deliverable_3/kafka_messages.csv"
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(fixture)))
