@@ -1510,9 +1510,16 @@ object SparkEntry {
       def san(c: Column) = regexp_replace(c, "[<>&\\r\\u00A0]", " ")
       val datetime = concat(lit("2024-01-"),
         lpad((col("n_chars") % 28 + 1).cast("string"), 2, "0"))
+      val robots = when(col("doc_id") % 2 === 0,
+        lit("noindex, nofollow")).otherwise(lit("index, follow"))
       val html = concat(
         lit("<html><head><title>Doc "), col("doc_id").cast("string"),
-        lit(" &amp; co</title></head><body>" +
+        // content BEFORE name: the kernel's attribute scan must not
+        // depend on attribute order (r12 robots field); a viewport
+        // meta decoy precedes the robots one
+        lit(" &amp; co</title><meta name=\"viewport\" content=\"w=1\">" +
+          "<meta content=\""), robots,
+        lit("\" name=\"robots\"></head><body>" +
           "<time class=\"pub\" datetime=\""), datetime,
         lit("\">January</time><h1>Lang "), san(col("lang")),
         lit("</h1><p>body</p><H1>Source <b>"), san(col("source")),
@@ -1520,7 +1527,8 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         graft.plans.HtmlTextExpr.htmlTitle(html).as("title"),
         graft.plans.HtmlTextExpr.htmlTime(html).as("published_at"),
-        graft.plans.HtmlTextExpr.htmlH1s(html).as("headlines"))
+        graft.plans.HtmlTextExpr.htmlH1s(html).as("headlines"),
+        graft.plans.HtmlTextExpr.htmlRobots(html).as("robots"))
     }),
 
     "q_html_links" -> ((s, d) => {
@@ -1545,6 +1553,78 @@ object SparkEntry {
         lit("\">rel</a></body></html>"))
       t(s, d, "documents").select(col("doc_id"),
         graft.plans.HtmlTextExpr.htmlLinks(html).as("links"))
+    }),
+
+    "q_outlink_hosts" -> ((s, d) => {
+      // the crawl-frontier composition (r12): html_links -> explode
+      // -> url_canon -> host -> per-host outlink counts — the
+      // host-level outlink graph every crawler maintains, built from
+      // the two r12 kernels end to end. The relative link drops at
+      // canonicalization (absolute URLs only) in BOTH engines.
+      def san(c: Column) = regexp_replace(c, "[\"'<>\\r\\u00A0]", " ")
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><body><p>intro</p><a class=\"x\" href=\"https://"),
+        san(col("source")), lit(".example.com/doc/"), id,
+        lit("\">first</a><div><A HREF=\"HTTP://Track.Example.COM:80" +
+          "/p?utm_source=feed&id="), id,
+        lit("#frag\"></A></div><a name=\"no-href\"></a>" +
+          "<a hreflang=\"en\" href=\"/relative/"),
+        san(col("lang")),
+        lit("\">rel</a></body></html>"))
+      t(s, d, "documents")
+        .select(explode(split(
+          graft.plans.HtmlTextExpr.htmlLinks(html), "\n")).as("href"))
+        .select(graft.plans.UrlCanonExpr.urlCanon(col("href"))
+          .as("canon"))
+        .filter(col("canon").isNotNull)
+        .select(regexp_extract(col("canon"),
+          "^[a-z0-9+.-]+://([^/:?#]+)", 1).as("host"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_links"))
+    }),
+
+    "q_warc_extract" -> ((s, d) => {
+      // crawl-archive ingest end to end THROUGH the WARC reader
+      // (r12): every document becomes a two-record WARC payload
+      // (warcinfo + an application/http response whose body is a
+      // built page), the byte parser recovers framing/URI/status/
+      // body, and html_to_text extracts the text — hash-checked
+      // against a DuckDB oracle that reproduces the expected output
+      // by construction. Column content sanitizes to ASCII in BOTH
+      // engines (Content-Length counts BYTES; chars==bytes only
+      // holds for ASCII) and to tag/entity-safe chars for the text
+      // compare (the q_html_extract rule).
+      val id = col("doc_id").cast("string")
+      val clean = regexp_replace(regexp_replace(
+        coalesce(col("text"), lit("")), "[^\\x20-\\x7E]", " "),
+        "[<>&]", " ")
+      val src = regexp_replace(col("source"), "[^\\x20-\\x7E]", " ")
+      val uri = concat(lit("https://"), src,
+        lit(".example.com/doc/"), id)
+      val html = concat(lit("<html><body><h1>Doc "), id,
+        lit("</h1><p>"), clean, lit("</p></body></html>"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html)
+      val info = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+        "Content-Type: application/warc-fields\r\n" +
+        "Content-Length: 18\r\n\r\nsoftware: graft/12\r\n\r\n"
+      val warc = concat(lit(info),
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri,
+        lit("\r\nWARC-Date: 2024-01-02T00:00:00Z\r\n" +
+          "Content-Type: application/http;msgtype=response\r\n" +
+          "Content-Length: "),
+        length(http).cast("string"), lit("\r\n\r\n"), http,
+        lit("\r\n\r\n"))
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), warc.cast("binary").as("payload"))
+      graft.llm.Warc.warcRecords(media, "doc_id", "payload")
+        .filter(col("warc_type") === "response" &&
+          col("http_status") === 200)
+        .select(col("media_id").as("doc_id"), col("target_uri"),
+          graft.plans.HtmlTextExpr.htmlToText(
+            col("body").cast("string")).as("text"))
     }),
 
     "q_url_canon" -> ((s, d) => {
@@ -5184,7 +5264,11 @@ object SparkEntry {
       """WITH h AS (
            SELECT doc_id,
              '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
-             || ' &amp; co</title></head><body>'
+             || ' &amp; co</title><meta name="viewport" content="w=1">'
+             || '<meta content="'
+             || CASE WHEN doc_id % 2 = 0 THEN 'noindex, nofollow'
+                     ELSE 'index, follow' END
+             || '" name="robots"></head><body>'
              || '<time class="pub" datetime="2024-01-'
              || lpad(CAST(n_chars % 28 + 1 AS VARCHAR), 2, '0')
              || '">January</time><h1>Lang '
@@ -5204,7 +5288,10 @@ object SparkEntry {
              regexp_extract_all(html, '(?is)<h1[^>]*>(.*?)</h1>', 1),
              x -> trim(regexp_replace(regexp_replace(x,
                '<[^>]*>', ' ', 'g'), '[ \t]+', ' ', 'g'))), chr(10))
-             AS headlines
+             AS headlines,
+           nullif(regexp_extract(html,
+             '(?is)<meta\s[^>]*?content="([^"]*)"[^>]*?name="robots"',
+             1), '') AS robots
          FROM h""",
 
     "q_html_links" ->
@@ -5224,6 +5311,56 @@ object SparkEntry {
                '(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"', 1),
              chr(10)), '') AS links
          FROM h""",
+
+    "q_outlink_hosts" ->
+      """WITH h AS (
+           SELECT doc_id,
+             '<html><body><p>intro</p><a class="x" href="https://'
+             || regexp_replace(source, '["''<>\r\x{00A0}]', ' ', 'g')
+             || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+             || '">first</a><div><A HREF="HTTP://Track.Example.COM:80/p?utm_source=feed&id='
+             || CAST(doc_id AS VARCHAR)
+             || '#frag"></A></div><a name="no-href"></a><a hreflang="en" href="/relative/'
+             || regexp_replace(lang, '["''<>\r\x{00A0}]', ' ', 'g')
+             || '">rel</a></body></html>' AS html
+           FROM documents),
+         l AS (SELECT unnest(regexp_extract_all(html,
+             '(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"', 1)) AS href
+           FROM h)
+         SELECT lower(regexp_extract(href,
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
+           count(*) AS n_links
+         FROM l
+         WHERE regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')
+         GROUP BY 1""",
+
+    "q_warc_extract" ->
+      """WITH h AS (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(coalesce(text, ''),
+               '[^\x{20}-\x{7E}]', ' ', 'g'), '[<>&]', ' ', 'g') AS clean,
+             regexp_replace(source, '[^\x{20}-\x{7E}]', ' ', 'g') AS src
+           FROM documents),
+         x AS (
+           SELECT doc_id,
+             'https://' || src || '.example.com/doc/'
+               || CAST(doc_id AS VARCHAR) AS target_uri,
+             '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+               || '</h1><p>' || clean || '</p></body></html>' AS html
+           FROM h),
+         s3 AS (SELECT doc_id, target_uri, regexp_replace(html,
+             '(?i)</?(h[1-6]|p)\b[^>]*>', chr(10), 'g') AS t FROM x),
+         s4 AS (SELECT doc_id, target_uri,
+             regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+         s6 AS (SELECT doc_id, target_uri,
+             regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s4),
+         s7 AS (SELECT doc_id, target_uri,
+             regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM s6),
+         s8 AS (SELECT doc_id, target_uri,
+             regexp_replace(t, '\n+', chr(10), 'g') AS t FROM s7)
+         SELECT doc_id, target_uri,
+           trim(t, ' ' || chr(10) || chr(9)) AS text
+         FROM s8""",
 
     "q_url_canon" ->
       """WITH u AS (SELECT doc_id,

@@ -1,0 +1,208 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC (Web ARChive, ISO 28500) record reader — the container format
+  * crawl corpora arrive in (Common-Crawl-style .warc / .warc.gz), and
+  * the front door between "a directory of crawl dumps" and the
+  * engine's HTML ingest kernels ([[graft.plans.HtmlText]],
+  * [[graft.streaming.HtmlIngest]]).
+  *
+  * Byte-level parser in the probePdf discipline (no WARC library, no
+  * regex): bounded scans, explicit caps, and truncation or
+  * malformation rejects the RECORD (and, because WARC framing is
+  * length-prefixed, the unreachable tail) rather than misreading
+  * across a record boundary. Gzip payloads decode through
+  * java.util.zip — including the member-per-record concatenated
+  * layout .warc.gz uses (GZIPInputStream consumes successive
+  * members).
+  *
+  * Scale shape of the DataFrame face: flatMap only — payload bytes
+  * never shuffle, one output row per record carrying the (typically
+  * small) body; cost is O(bytes) per partition with no driver term.
+  */
+object Warc {
+
+  /** Caps: a crafted payload must bound memory, not the JVM. */
+  private val maxRecords = 65536
+  private val maxHeaderBlock = 32 << 10
+  private val maxBody = 256 << 20
+  private val maxGunzip = 512L << 20
+
+  final case class WarcRec(
+      recType: String, targetUri: String, date: String,
+      contentType: String, httpStatus: Option[Int], body: Array[Byte])
+
+  private def bFind(b: Array[Byte], s: String, from: Int, to: Int): Int = {
+    val n = s.length
+    val lim = math.min(to, b.length) - n
+    var i = math.max(0, from)
+    while (i <= lim) {
+      var j = 0
+      while (j < n && b(i + j) == s.charAt(j)) j += 1
+      if (j == n) return i
+      i += 1
+    }
+    -1
+  }
+
+  private def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** Bounded multi-member gunzip; None on corruption or cap breach. */
+  private[graft] def gunzip(b: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 << 10)
+      var n = in.read(buf)
+      var total = 0L
+      while (n >= 0 && total <= maxGunzip) {
+        out.write(buf, 0, n)
+        total += n
+        n = in.read(buf)
+      }
+      if (total > maxGunzip) None else Some(out.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Header block [from, end): case-insensitive `Name:` scan bounded
+    * to the block; value trimmed to the line end. Null when absent.
+    * The name must start a LINE (offset `from` or preceded by \n) so
+    * a value containing "uri:" never satisfies a header lookup. */
+  private def header(b: Array[Byte], name: String, from: Int,
+      end: Int): String = {
+    val needle = name.toLowerCase + ":"
+    val n = needle.length
+    var i = from
+    while (i + n <= end) {
+      if (i == from || b(i - 1) == '\n') {
+        var j = 0
+        while (j < n && Character.toLowerCase((b(i + j) & 0xff).toChar)
+          == needle.charAt(j)) j += 1
+        if (j == n) {
+          var s = i + n
+          while (s < end && (b(s) == ' ' || b(s) == '\t')) s += 1
+          var e = s
+          while (e < end && b(e) != '\r' && b(e) != '\n') e += 1
+          return new String(b, s, e - s, "ISO-8859-1")
+        }
+      }
+      i += 1
+    }
+    null
+  }
+
+  /** All records of one WARC payload (gunzipped first if gzip).
+    * None when the payload is not WARC at all; Some(records-so-far)
+    * when a malformed record truncates the walk (reject the tail,
+    * keep the verified prefix). */
+  private[graft] def parse(raw: Array[Byte]): Option[Seq[WarcRec]] = {
+    if (raw == null || raw.length < 8) return None
+    val b = if (isGzip(raw)) gunzip(raw).getOrElse(return None) else raw
+    if (bFind(b, "WARC/", 0, 8) != 0) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRec]
+    var pos = 0
+    var walking = true
+    while (walking && pos < b.length && out.length < maxRecords) {
+      // skip inter-record \r\n padding
+      while (pos < b.length && (b(pos) == '\r' || b(pos) == '\n')) pos += 1
+      if (pos >= b.length) walking = false
+      else if (bFind(b, "WARC/", pos, pos + 5) != pos) walking = false
+      else {
+        val hEnd0 = bFind(b, "\r\n\r\n",
+          pos, math.min(b.length, pos + maxHeaderBlock))
+        if (hEnd0 < 0) walking = false // unterminated header block
+        else {
+          val hEnd = hEnd0
+          val lenStr = header(b, "Content-Length", pos, hEnd)
+          val len =
+            try if (lenStr == null) -1L else lenStr.trim.toLong
+            catch { case _: NumberFormatException => -1L }
+          if (len < 0 || len > maxBody ||
+              hEnd + 4 + len > b.length) walking = false
+          else {
+            val bodyStart = hEnd + 4
+            val body = java.util.Arrays.copyOfRange(
+              b, bodyStart, bodyStart + len.toInt)
+            val ct = header(b, "Content-Type", pos, hEnd)
+            // an application/http record's body is an HTTP message:
+            // lift the status code, keep only the message body
+            val (status, payload) =
+              if (ct != null && ct.startsWith("application/http") &&
+                  bFind(body, "HTTP/", 0, 5) == 0) {
+                val he = bFind(body, "\r\n\r\n", 0, body.length)
+                val sp = bFind(body, " ", 0, math.min(body.length, 16))
+                val st =
+                  if (sp < 0) None
+                  else {
+                    var v = 0
+                    var k = sp + 1
+                    var d = 0
+                    while (k < body.length && d < 3 &&
+                        body(k) >= '0' && body(k) <= '9') {
+                      v = v * 10 + (body(k) - '0'); k += 1; d += 1
+                    }
+                    if (d == 3) Some(v) else None
+                  }
+                if (he < 0) (st, Array.empty[Byte])
+                else (st, java.util.Arrays.copyOfRange(
+                  body, he + 4, body.length))
+              } else (None, body)
+            out += WarcRec(
+              header(b, "WARC-Type", pos, hEnd),
+              header(b, "WARC-Target-URI", pos, hEnd),
+              header(b, "WARC-Date", pos, hEnd),
+              ct, status, payload)
+            pos = bodyStart + len.toInt
+          }
+        }
+      }
+    }
+    Some(out.toSeq)
+  }
+
+  private val recSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("parse_ok", BooleanType),
+    StructField("rec_idx", IntegerType),
+    StructField("warc_type", StringType),
+    StructField("target_uri", StringType),
+    StructField("warc_date", StringType),
+    StructField("content_type", StringType),
+    StructField("http_status", IntegerType),
+    StructField("body", BinaryType)))
+
+  /** DataFrame face: one row per WARC record (response records carry
+    * the HTTP message body and status; other records their raw
+    * block), or a single (id, parse_ok=false, nulls) row when the
+    * payload is not WARC. Map-only flatMap — payloads never
+    * shuffle. */
+  def warcRecords(df: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(recSchema)
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload =
+            if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          parse(payload) match {
+            case Some(recs) if recs.nonEmpty =>
+              recs.zipWithIndex.map { case (w, i) =>
+                Row(id, true, i, w.recType, w.targetUri, w.date,
+                  w.contentType, w.httpStatus.map(Int.box).orNull,
+                  w.body)
+              }
+            case Some(_) =>
+              Seq(Row(id, true, null, null, null, null, null, null, null))
+            case None =>
+              Seq(Row(id, false, null, null, null, null, null, null, null))
+          }
+        }
+      }(enc)
+  }
+}

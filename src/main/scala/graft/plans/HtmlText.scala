@@ -331,6 +331,30 @@ object HtmlMetaUtil {
     if (found) out.toString else null
   }
 
+  /** content attribute of the FIRST <meta> tag whose name attribute
+    * equals `key` (case-insensitive) — the robots/noindex signal a
+    * crawl pipeline filters on before a page enters the corpus.
+    * Attribute ORDER inside the tag doesn't matter (content-before-
+    * name is common); absent tag/attribute -> null. */
+  def metaContent(s: String, key: String): String = {
+    var i = 0
+    while (i >= 0) {
+      val open = findTagOpen(s, "meta", i)
+      if (open < 0) return null
+      val gt = s.indexOf('>', open)
+      if (gt < 0) return null // truncated tag at EOF: reject
+      val name = attrValue(s, open, gt, "name")
+      if (name != null && name.equalsIgnoreCase(key))
+        return attrValue(s, open, gt, "content")
+      i = gt + 1
+    }
+    null
+  }
+
+  /** 1-arg codegen entry for the robots field (generated code calls
+    * single-argument methods on the util). */
+  def robotsContent(s: String): String = metaContent(s, "robots")
+
   /** All <h1> texts in document order, one per line (the scraper's
     * `soup.find_all(["h1"])`); null when the page has none. */
   def h1s(s: String): String = {
@@ -362,13 +386,13 @@ object HtmlMetaUtil {
 }
 
 /** html_meta(html, field): the scraper's metadata extractions as one
-  * parameterized kernel — field ∈ {title, time, h1, links}. Null in
-  * -> null out; an absent element -> null (never ''). */
+  * parameterized kernel — field ∈ {title, time, h1, links, robots}.
+  * Null in -> null out; an absent element -> null (never ''). */
 case class HtmlMeta(child: Expression, field: String)
   extends UnaryExpression {
 
-  require(Set("title", "time", "h1", "links").contains(field),
-    s"html_meta field must be title|time|h1|links, got $field")
+  require(Set("title", "time", "h1", "links", "robots").contains(field),
+    s"html_meta field must be title|time|h1|links|robots, got $field")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -383,6 +407,7 @@ case class HtmlMeta(child: Expression, field: String)
     case "time"  => HtmlMetaUtil.timeAttr(s)
     case "h1"    => HtmlMetaUtil.h1s(s)
     case "links" => HtmlMetaUtil.links(s)
+    case "robots" => HtmlMetaUtil.metaContent(s, "robots")
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -398,6 +423,7 @@ case class HtmlMeta(child: Expression, field: String)
       case "time"  => "timeAttr"
       case "h1"    => "h1s"
       case "links" => "links"
+      case "robots" => "robotsContent"
     }
     nullSafeCodeGen(ctx, ev, x => {
       val tmp = ctx.freshName("meta")
@@ -456,4 +482,7 @@ object HtmlTextExpr {
 
   def htmlLinks(html: Column): Column =
     Bridge.toColumn(HtmlMeta(Bridge.toExpression(html), "links"))
+
+  def htmlRobots(html: Column): Column =
+    Bridge.toColumn(HtmlMeta(Bridge.toExpression(html), "robots"))
 }

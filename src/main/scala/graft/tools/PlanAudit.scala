@@ -87,8 +87,10 @@ object PlanAudit {
       "q_diff_in_diff", "q_kmeans", "q_competing_risks", "q_pacf",
       // round-11: HTML->text codegen kernel + metadata companion
       "q_html_extract", "q_html_meta",
-      // round-12: outlink/URL kernels + the end-to-end corpus plan
-      "q_html_links", "q_url_canon", "q_corpus_e2e")
+      // round-12: outlink/URL kernels, the end-to-end corpus plan,
+      // the WARC reader and the crawl-frontier composition
+      "q_html_links", "q_url_canon", "q_corpus_e2e",
+      "q_warc_extract", "q_outlink_hosts")
 
     println("# Physical-plan dossier (sf0.01, AQE disabled for the audit)")
     println()

@@ -136,6 +136,22 @@ object R12ObjStmScaleProbe {
 
     for ((n, tag) <- Seq((10000L, "1x"), (100000L, "10x"),
         (1000000L, "100x"))) {
+      // gen-only baselines: corpus construction happens INSIDE the
+      // timed region (spark.range.map is re-evaluated per action), so
+      // the extract timings below include it — these isolate the
+      // fixture-build share (ObjStm fixtures deflate 4 streams/file
+      // vs classic's 2), letting the table attribute the delta to
+      // extraction honestly
+      time(s"gen-only classic $tag (${n} pdfs)") {
+        corpus(n, pdfClassic).agg(sum(length(col("payload"))))
+          .collect()
+        n
+      }
+      time(s"gen-only ObjStm  $tag (${n} pdfs)") {
+        corpus(n, pdfObjStm).agg(sum(length(col("payload"))))
+          .collect()
+        n
+      }
       time(s"extract classic $tag (${n} pdfs)") {
         graft.llm.Multimodal.extractPdfTextDf(corpus(n, pdfClassic))
           .agg(sum(when(col("extract_ok"), 1).otherwise(0)),

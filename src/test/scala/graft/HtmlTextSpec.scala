@@ -111,6 +111,25 @@ class HtmlTextSpec extends SparkSpec {
       "<time datetime=\"2024-01-01\" secret datetime later") == null)
   }
 
+  test("html_meta robots: attribute order, decoys, absence (r12)") {
+    import graft.plans.HtmlMetaUtil
+    def robots(s: String) = HtmlMetaUtil.metaContent(s, "robots")
+    // content BEFORE name (the common writer order) and after
+    assert(robots("<meta content=\"noindex\" name=\"robots\">")
+      == "noindex")
+    assert(robots("<META NAME=\"ROBOTS\" CONTENT=\"index, follow\">")
+      == "index, follow")
+    // a different meta's content must not leak; scan continues to
+    // the right tag
+    assert(robots("<meta name=\"viewport\" content=\"w=1\">" +
+      "<meta name=\"robots\" content=\"nofollow\">") == "nofollow")
+    // no robots meta -> null; robots without content -> null
+    assert(robots("<meta name=\"viewport\" content=\"w=1\">") == null)
+    assert(robots("<meta name=\"robots\">") == null)
+    // truncated tag rejects
+    assert(robots("<meta name=\"robots\" content=\"x") == null)
+  }
+
   test("html_links: hrefs in document order, decoys rejected (r12)") {
     import graft.plans.HtmlMetaUtil
     val page = "<a href=\"https://a.com/1\">one</a><p>x</p>" +

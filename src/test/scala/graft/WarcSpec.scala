@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.Warc
+
+/** WARC container reader: record framing, HTTP payload lift, gzip
+  * member-per-record layout, and the reject-don't-misread posture
+  * under truncation/corruption. */
+class WarcSpec extends SparkSpec {
+
+  private def bytes(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+
+  private def record(recType: String, uri: String, body: String,
+      contentType: String = "application/http;msgtype=response"): String = {
+    s"WARC/1.0\r\nWARC-Type: $recType\r\n" +
+      (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+      "WARC-Date: 2024-01-02T03:04:05Z\r\n" +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n" + body + "\r\n\r\n"
+  }
+
+  private def httpResp(html: String, status: Int = 200): String =
+    s"HTTP/1.1 $status OK\r\nContent-Type: text/html\r\n\r\n" + html
+
+  private val twoRec: Array[Byte] = bytes(
+    record("request", "https://a.com/x",
+      "GET /x HTTP/1.1\r\nHost: a.com\r\n\r\n",
+      contentType = "application/http;msgtype=request") +
+    record("response", "https://a.com/x",
+      httpResp("<html><body><p>hello warc</p></body></html>")))
+
+  test("two-record file: framing, http lift, headers") {
+    val recs = Warc.parse(twoRec).getOrElse(fail("did not parse"))
+    assert(recs.length == 2)
+    assert(recs.map(_.recType) == Seq("request", "response"))
+    assert(recs.forall(_.targetUri == "https://a.com/x"))
+    assert(recs.forall(_.date == "2024-01-02T03:04:05Z"))
+    // request record: status lifted from its OWN http message
+    assert(recs(0).httpStatus.isEmpty) // "GET /x" is not a response
+    assert(recs(1).httpStatus.contains(200))
+    assert(new String(recs(1).body, "ISO-8859-1")
+      == "<html><body><p>hello warc</p></body></html>")
+  }
+
+  test("gzip member-per-record layout round-trips") {
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+    val memberPerRecord = gz(bytes(record("response", "https://b.com/1",
+      httpResp("<p>one</p>")))) ++
+      gz(bytes(record("response", "https://b.com/2",
+        httpResp("<p>two</p>"))))
+    val recs = Warc.parse(memberPerRecord).getOrElse(fail("no parse"))
+    assert(recs.map(_.targetUri) ==
+      Seq("https://b.com/1", "https://b.com/2"))
+    assert(recs.map(r => new String(r.body, "ISO-8859-1")) ==
+      Seq("<p>one</p>", "<p>two</p>"))
+  }
+
+  test("reject-don't-misread: bad framing drops the tail, not the prefix") {
+    // corrupt the SECOND record's Content-Length: the first record
+    // stays, the unreachable tail drops
+    val good = record("response", "https://a.com/1", httpResp("<p>a</p>"))
+    val bad = good + "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "Content-Length: notanumber\r\n\r\nbody\r\n\r\n"
+    val recs = Warc.parse(bytes(bad)).getOrElse(fail("no parse"))
+    assert(recs.length == 1 && recs.head.targetUri == "https://a.com/1")
+    // a header VALUE containing "warc-target-uri:" must not satisfy
+    // the header lookup for a record that lacks the real header
+    val sneaky = record("response", null,
+      httpResp("<p>x</p>")).replace("WARC-Date:",
+      "X-Note: see warc-target-uri: https://evil.com\r\nWARC-Date:")
+    val r2 = Warc.parse(bytes(sneaky)).getOrElse(fail("no parse"))
+    assert(r2.head.targetUri == null)
+    // not WARC at all
+    assert(Warc.parse("HTTP/1.1 200 OK\r\n\r\n".getBytes).isEmpty)
+    assert(Warc.parse(null).isEmpty)
+    assert(Warc.parse(Array.empty[Byte]).isEmpty)
+  }
+
+  test("hardening: truncation sweep + fuzz never throw") {
+    (0 until twoRec.length).foreach { k =>
+      Warc.parse(twoRec.take(k)) // must not throw
+    }
+    val rnd = new scala.util.Random(41)
+    (1 to 300).foreach { _ =>
+      val f = twoRec.clone()
+      f(rnd.nextInt(f.length)) = rnd.nextInt(256).toByte
+      Warc.parse(f) // must not throw
+    }
+    // corrupt gzip rejects cleanly
+    val gzBad = Array[Byte](0x1f.toByte, 0x8b.toByte, 1, 2, 3, 4, 5, 6)
+    assert(Warc.parse(gzBad).isEmpty)
+  }
+
+  test("warcRecords DataFrame face: per-record rows, not-ok row") {
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, twoRec),
+        Row(2L, "plain bytes".getBytes),
+        Row(3L, null))),
+      StructType(Seq(StructField("media_id", LongType),
+        StructField("payload", BinaryType))))
+    val out = Warc.warcRecords(media).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(3)) null else r.getString(3)))
+      .sortBy(t => (t._1, String.valueOf(t._3))).toSeq
+    assert(out == Seq((1L, true, "request"), (1L, true, "response"),
+      (2L, false, null), (3L, false, null)))
+    // the response body feeds the html kernel directly
+    val text = Warc.warcRecords(media)
+      .filter(col("warc_type") === "response" && col("http_status") === 200)
+      .select(graft.plans.HtmlTextExpr.htmlToText(
+        col("body").cast("string")).as("t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(text == Seq("hello warc"))
+  }
+}
