@@ -64,13 +64,26 @@ object BenchRules {
         }
       }.toMap
 
-  def loadBaseline(path: String): Map[String, Double] =
+  /** The `sf` the baseline was measured at — minima are only
+    * comparable against a run at the SAME scale factor (an sf0.01
+    * A/B against the sf0.1 record false-triggers on every query
+    * whose sf0.01 wall happens to exceed 2x its sf0.1 min). */
+  def parseBaselineSf(line: String): String =
+    "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(line)
+      .map(_.group(1)).getOrElse("")
+
+  /** (queries_min, measured-at-sf); empty map when the file is
+    * absent/unreadable. */
+  def loadBaseline(path: String): (Map[String, Double], String) =
     try {
       val p = java.nio.file.Paths.get(path)
-      if (java.nio.file.Files.exists(p))
-        parseBaseline(java.nio.file.Files.readString(p))
-      else Map.empty
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+      if (java.nio.file.Files.exists(p)) {
+        val line = java.nio.file.Files.readString(p)
+        (parseBaseline(line), parseBaselineSf(line))
+      } else (Map.empty, "")
+    } catch {
+      case scala.util.control.NonFatal(_) => (Map.empty, "")
+    }
 }
 
 /** Benchmark main. Emits ONE JSON line to stdout — compact enough to
@@ -204,8 +217,12 @@ object Bench {
     // re-running anything — r10's retries were judged "load band" only
     // by inference; this records the evidence in the artifact.
     // the committed quiet-box record, read BEFORE this run's write
-    // clobbers it — the inter-round load-band defense (r12)
-    val baseline = BenchRules.loadBaseline("BENCH_FULL.json")
+    // clobbers it — the inter-round load-band defense (r12); minima
+    // only apply at the sf they were measured at
+    val (baselineAll, baselineSf) =
+      BenchRules.loadBaseline("BENCH_FULL.json")
+    val baseline =
+      if (baselineSf == sfDir) baselineAll else Map.empty[String, Double]
     val retryTriples = BenchRules.retryList(results.toSeq, baseline)
       .map { name =>
         val probe = if (canaryOn) canaryProbe() else -1.0
@@ -221,6 +238,12 @@ object Bench {
     // 4-decimal timings keep the one-line JSON short enough to survive
     // log-tail capture; the full line is also persisted to a file so no
     // per-query number is ever lost to truncation.
+    // Isolated-subset runs write BENCH_SUBSET.json: a 2-query A/B
+    // overwriting BENCH_FULL.json would poison the committed-baseline
+    // retry rule for every later full sweep in the same tree (r12:
+    // a kcore A/B left baseline_n=2 for the next official sweep).
+    val outFile = if (only.isEmpty) "BENCH_FULL.json"
+      else "BENCH_SUBSET.json"
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def obj(m: Iterable[(String, Double)]): String =
@@ -237,10 +260,10 @@ object Bench {
     val canaryJson = s"""{"start":${fmt(canaryStart)},"mid":${fmt(canaryMid)},"end":${fmt(canaryEnd)},"drift":${fmt(drift)}}"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(medians)},"queries_min":${obj(mins)},"canary":$canaryJson,"retry":${obj(retries)},"retry_canary":${obj(retryCanary)},"baseline_n":${baseline.size},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+      java.nio.file.Paths.get(outFile), line + "\n")
     catch {
       case scala.util.control.NonFatal(e) =>
-        System.err.println(s"BENCH_FULL.json write failed: $e")
+        System.err.println(s"$outFile write failed: $e")
     }
     // The harness capturing this output keeps only the last ~2000
     // chars of the log; the full per-query line above (140+ queries,

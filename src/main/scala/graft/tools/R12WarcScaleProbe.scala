@@ -72,6 +72,14 @@ object R12WarcScaleProbe {
           .agg(sum(length(col("payload")))).collect()
         n
       }
+      time(s"gen-only gzip  $tag (${n})") {
+        // gzip COMPRESSION (2 members/payload) is part of fixture
+        // generation, not of the reader — and it dominates: without
+        // this baseline the gzip row below reads as reader cost
+        corpus(n, gzip = true)
+          .agg(sum(length(col("payload")))).collect()
+        n
+      }
       time(s"warc+html plain $tag (${n})") {
         graft.llm.Warc.warcRecords(corpus(n, gzip = false))
           .filter(col("warc_type") === "response")

@@ -59,14 +59,18 @@ class BenchRulesSpec extends AnyFunSuite {
     assert(BenchRules.parseBaseline("{}").isEmpty)
     assert(BenchRules.parseBaseline("""{"queries_min":{}}""").isEmpty)
     assert(BenchRules.parseBaseline("""{"queries_min":{"q":oops}}""").isEmpty)
-    assert(BenchRules.loadBaseline("/nonexistent/path.json").isEmpty)
+    assert(BenchRules.loadBaseline("/nonexistent/path.json")._1.isEmpty)
+    // the sf rides with the baseline: minima are per-scale-factor
+    assert(BenchRules.parseBaselineSf("""{"queries_min":{},"sf":"/x/sf0.1"}""")
+      == "/x/sf0.1")
   }
 
   test("committed BENCH_FULL.json parses into a usable baseline") {
     // the real checked-in record must feed the rule (guards against
     // a future format drift silently disabling the defense)
-    val b = BenchRules.loadBaseline("BENCH_FULL.json")
+    val (b, sf) = BenchRules.loadBaseline("BENCH_FULL.json")
     assert(b.size > 200, s"only ${b.size} baseline minima parsed")
     assert(b.contains("q_pagerank") && b("q_pagerank") > 0)
+    assert(sf.endsWith("sf0.1"), s"committed record must be sf0.1: $sf")
   }
 }
