@@ -1555,6 +1555,34 @@ object SparkEntry {
         graft.plans.HtmlTextExpr.htmlLinks(html).as("links"))
     }),
 
+    "q_robots_gate" -> ((s, d) => {
+      // the crawl politeness gate (r12): robots_allowed evaluated
+      // over (policy, user-agent, path) triples that exercise every
+      // pinned rule — exact-group shadowing, longest-match with
+      // Allow override, the $ anchor, star-group fallback. The
+      // oracle reproduces the DECISIONS by construction (CASE over
+      // the same ua/path derivation), so the kernel's parse + glob +
+      // precedence must all be exact for the hash to hold.
+      val robots = lit("# graft crawl policy\n" +
+        "User-agent: graftbot\nDisallow: /private/\n" +
+        "Allow: /private/public/\nDisallow: /tmp$\n\n" +
+        "User-agent: *\nDisallow: /\nAllow: /open/\n")
+      val ua = when(col("doc_id") % 2 === 0, lit("GraftBot"))
+        .otherwise(lit("otherbot"))
+      val id = col("doc_id").cast("string")
+      val path = when(col("doc_id") % 5 === 0,
+          concat(lit("/private/x"), id))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("/private/public/y"), id))
+        .when(col("doc_id") % 5 === 2, lit("/tmp"))
+        .when(col("doc_id") % 5 === 3, concat(lit("/tmpfile"), id))
+        .otherwise(concat(lit("/open/z"), id))
+      t(s, d, "documents").select(col("doc_id"), ua.as("user_agent"),
+        path.as("path"),
+        graft.plans.RobotsExpr.robotsAllowed(robots, ua, path)
+          .as("allowed"))
+    }),
+
     "q_outlink_hosts" -> ((s, d) => {
       // the crawl-frontier composition (r12): html_links -> explode
       // -> url_canon -> host -> per-host outlink counts — the
@@ -5311,6 +5339,33 @@ object SparkEntry {
                '(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"', 1),
              chr(10)), '') AS links
          FROM h""",
+
+    "q_robots_gate" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'GraftBot'
+                ELSE 'otherbot' END AS user_agent,
+           CASE doc_id % 5
+             WHEN 0 THEN '/private/x' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN '/private/public/y' || CAST(doc_id AS VARCHAR)
+             WHEN 2 THEN '/tmp'
+             WHEN 3 THEN '/tmpfile' || CAST(doc_id AS VARCHAR)
+             ELSE '/open/z' || CAST(doc_id AS VARCHAR)
+           END AS path,
+           CASE WHEN doc_id % 2 = 0 THEN
+             -- graftbot group: Disallow /private/ (9), Allow
+             -- /private/public/ (16), Disallow /tmp$ (anchored)
+             CASE doc_id % 5
+               WHEN 0 THEN false  -- /private/ matches
+               WHEN 1 THEN true   -- longer Allow wins
+               WHEN 2 THEN false  -- /tmp$ anchored match
+               WHEN 3 THEN true   -- anchor means no prefix match
+               ELSE true          -- no rule matches /open/
+             END
+           ELSE
+             -- star group: Disallow / (1), Allow /open/ (6)
+             CASE doc_id % 5 WHEN 4 THEN true ELSE false END
+           END AS allowed
+         FROM documents""",
 
     "q_outlink_hosts" ->
       """WITH h AS (

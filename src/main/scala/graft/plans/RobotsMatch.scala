@@ -1,0 +1,167 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+
+/** robots.txt evaluation — the politeness gate between the outlink
+  * frontier ([[graft.plans.UrlCanon]], q_outlink_hosts) and the
+  * fetcher: may `userAgent` fetch `path` under this robots.txt?
+  *
+  * Contract (RFC 9309 semantics, pinned where the RFC leaves room so
+  * a SQL oracle can reproduce decisions):
+  *   1. lines split on '\n' ('\r' trimmed), '#' comments stripped,
+  *      field names case-insensitive;
+  *   2. groups: consecutive User-agent lines share the rule block
+  *      that follows, until the next User-agent line that comes
+  *      after at least one rule;
+  *   3. group selection: groups whose agent token equals the UA
+  *      (case-insensitive, exact token) win; if none, the '*' groups
+  *      apply; ALL selected groups' rules merge;
+  *   4. rule match: Allow/Disallow patterns match the path from its
+  *      start, '*' matches any run, '$' anchors the end; the rule
+  *      with the LONGEST pattern (raw octets, '$' included) wins;
+  *      equal lengths tie toward Allow; an empty Disallow pattern
+  *      matches nothing;
+  *   5. no matching rule (or no applicable group, or empty/absent
+  *      robots.txt) => allowed.
+  * Null inputs -> null. Per-row parse, O(|txt| + rules x |path|) —
+  * robots files are KB-sized by convention; for a host-keyed corpus
+  * the natural plan is one DISTINCT robots.txt per host joined to
+  * its paths, which this kernel evaluates row by row after the
+  * join. */
+object RobotsUtil {
+
+  /** Greedy glob match of `pattern` against `path` FROM THE START
+    * ('*' = any run, '$' only meaningful at pattern end = anchor).
+    * A pattern without '$' matches any path having it as a
+    * (wildcard) prefix. */
+  private[plans] def ruleMatches(pattern: String, path: String): Boolean = {
+    if (pattern.isEmpty) return false
+    val anchored = pattern.endsWith("$")
+    val p = if (anchored) pattern.substring(0, pattern.length - 1)
+      else pattern
+    // classic iterative glob with '*' backtracking; an UNANCHORED
+    // pattern succeeds the moment it is consumed (prefix semantics) —
+    // that check must come BEFORE star backtracking, or a pattern
+    // exhausted mid-path would backtrack into its '*' and fail on
+    // paths it prefixes (e.g. "/*/secret" vs "/q/secretx")
+    var pi = 0
+    var si = 0
+    var star = -1
+    var mark = 0
+    val pn = p.length
+    val sn = path.length
+    while (si < sn) {
+      if (pi == pn && !anchored) return true
+      if (pi < pn && (p.charAt(pi) == path.charAt(si))) { pi += 1; si += 1 }
+      else if (pi < pn && p.charAt(pi) == '*') { star = pi; mark = si; pi += 1 }
+      else if (star >= 0) { pi = star + 1; mark += 1; si = mark }
+      else return false
+    }
+    // path consumed: remaining pattern must be all '*'
+    while (pi < pn && p.charAt(pi) == '*') pi += 1
+    pi == pn
+  }
+
+  private final case class Rule(allow: Boolean, pattern: String)
+
+  /** Decision for (txt, ua, path) per the pinned contract. */
+  def allowed(txt: String, ua: String, path: String): Boolean = {
+    val uaLc = ua.toLowerCase
+    // parse groups: (agents, rules)
+    var exactRules = List.empty[Rule]
+    var starRules = List.empty[Rule]
+    var curAgents = List.empty[String]
+    var curHasRules = false
+    var curApplies = false
+    var curStar = false
+    def flushLine(name: String, value: String): Unit = name match {
+      case "user-agent" =>
+        if (curHasRules) { // a new group starts
+          curAgents = Nil; curHasRules = false
+          curApplies = false; curStar = false
+        }
+        val agent = value.toLowerCase
+        curAgents = agent :: curAgents
+        if (agent == uaLc) curApplies = true
+        if (agent == "*") curStar = true
+      case "allow" | "disallow" =>
+        if (curAgents.nonEmpty) {
+          curHasRules = true
+          val r = Rule(name == "allow", value)
+          if (curApplies) exactRules ::= r
+          else if (curStar) starRules ::= r
+        }
+      case _ => () // crawl-delay, sitemap, unknown fields: ignored
+    }
+    var start = 0
+    val n = txt.length
+    while (start <= n) {
+      var end = txt.indexOf('\n', start)
+      if (end < 0) end = n
+      var line = txt.substring(start, end)
+      val hash = line.indexOf('#')
+      if (hash >= 0) line = line.substring(0, hash)
+      line = line.trim
+      val colon = line.indexOf(':')
+      if (colon > 0)
+        flushLine(line.substring(0, colon).trim.toLowerCase,
+          line.substring(colon + 1).trim)
+      start = end + 1
+    }
+    val rules = if (exactRules.nonEmpty) exactRules else starRules
+    // longest pattern wins; ties toward Allow; no match => allowed
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { r =>
+      if (r.pattern.nonEmpty && ruleMatches(r.pattern, path)) {
+        val len = r.pattern.length
+        if (len > bestLen || (len == bestLen && r.allow)) {
+          bestLen = len
+          bestAllow = r.allow
+        }
+      }
+    }
+    bestAllow
+  }
+}
+
+/** robots_allowed(txt, user_agent, path) -> boolean. Null if any
+  * input is null. */
+case class RobotsAllowed(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(first, second, third).forall(_.dataType == StringType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "robots_allowed expects (string, string, string)")
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(t: Any, u: Any, p: Any): Any =
+    RobotsUtil.allowed(t.toString, u.toString, p.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = RobotsUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (t, u, p) =>
+      s"${ev.value} = $util.allowed($t.toString(), $u.toString(), " +
+        s"$p.toString());")
+  }
+
+  override def prettyName: String = "robots_allowed"
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): RobotsAllowed =
+    copy(first = f, second = s, third = t)
+}
+
+object RobotsExpr {
+  def robotsAllowed(txt: Column, userAgent: Column, path: Column): Column =
+    Bridge.toColumn(RobotsAllowed(Bridge.toExpression(txt),
+      Bridge.toExpression(userAgent), Bridge.toExpression(path)))
+}

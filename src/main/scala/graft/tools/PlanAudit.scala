@@ -90,7 +90,7 @@ object PlanAudit {
       // round-12: outlink/URL kernels, the end-to-end corpus plan,
       // the WARC reader and the crawl-frontier composition
       "q_html_links", "q_url_canon", "q_corpus_e2e",
-      "q_warc_extract", "q_outlink_hosts")
+      "q_warc_extract", "q_outlink_hosts", "q_robots_gate")
 
     println("# Physical-plan dossier (sf0.01, AQE disabled for the audit)")
     println()

@@ -792,4 +792,32 @@ class PropertySpec extends SparkSpec {
       assert(r.getAs[Double]("total_weight") === sorted.size.toDouble)
     }
   }
+
+  test("url_canon is idempotent and total on arbitrary input") {
+    import graft.plans.UrlCanonUtil
+    // canonical outputs are FIXED POINTS — a crawl-dedup key must not
+    // change when re-canonicalized (re-crawled URLs pass through the
+    // pipeline twice); and no input may throw
+    val schemeGen = Gen.oneOf("http", "HTTPS", "ftp", "a+b-c.d", "1bad", "")
+    val hostGen = Gen.oneOf("Example.COM", "a.b.c", "x", "", "h:99",
+      "h:80", "h:443", "h:8x8")
+    val pathGen = Gen.oneOf("", "/", "/Path/X", "/a//b/", "/p q")
+    val queryGen = Gen.oneOf("", "?a=1", "?utm_source=x&b=2",
+      "?&&gclid=9", "?UTM_X=1&ok=2", "?q=utm_source")
+    val fragGen = Gen.oneOf("", "#f", "#a?b=1")
+    val urlGen = for {
+      s <- schemeGen; h <- hostGen; p <- pathGen; q <- queryGen
+      f <- fragGen
+    } yield s"$s://$h$p$q$f"
+    val junkGen = Gen.oneOf(Gen.alphaNumStr,
+      Gen.listOf(Gen.choose(' ', '~')).map(_.mkString))
+    (samples(urlGen, 200) ++ samples(junkGen, 100)).foreach { u =>
+      val c = UrlCanonUtil.canon(u) // must not throw
+      if (c != null) {
+        assert(UrlCanonUtil.canon(c) == c,
+          s"not a fixed point: '$u' -> '$c' -> '${UrlCanonUtil.canon(c)}'")
+        assert(!c.contains("#"), s"fragment survived: '$u' -> '$c'")
+      }
+    }
+  }
 }

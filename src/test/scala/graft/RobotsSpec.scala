@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.{RobotsExpr, RobotsUtil}
+
+/** robots.txt matcher: group selection, longest-match, wildcards and
+  * anchors — the pinned RFC 9309 subset. */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val txt =
+    """# graft crawl policy
+      |User-agent: graftbot
+      |Disallow: /private/
+      |Allow: /private/public/
+      |Disallow: /tmp$
+      |
+      |User-agent: *
+      |Disallow: /
+      |Allow: /open/
+      |""".stripMargin
+
+  private def ok(ua: String, path: String): Boolean =
+    RobotsUtil.allowed(txt, ua, path)
+
+  test("longest-match with Allow override, $ anchor, case-insensitive UA") {
+    assert(!ok("GraftBot", "/private/x"))
+    assert(ok("graftbot", "/private/public/y")) // longer Allow wins
+    assert(!ok("graftbot", "/tmp")) // anchored
+    assert(ok("graftbot", "/tmpfile")) // $ means no prefix match
+    assert(ok("graftbot", "/open/z")) // no graftbot rule matches
+    // the exact group SHADOWS the star group entirely
+    assert(ok("graftbot", "/anything"))
+  }
+
+  test("star group applies only when no exact group matched") {
+    assert(!ok("otherbot", "/private/x"))
+    assert(!ok("otherbot", "/tmpfile")) // Disallow: /
+    assert(ok("otherbot", "/open/z")) // longer Allow wins over /
+  }
+
+  test("wildcards, shared agent lines, ties, degenerate inputs") {
+    val t2 = "User-agent: a\nUser-agent: b\nDisallow: /*/secret\n" +
+      "Allow: /x/secret\n"
+    // '*' spans path segments; both agents share the block
+    assert(!RobotsUtil.allowed(t2, "a", "/any/old/secret"))
+    assert(!RobotsUtil.allowed(t2, "b", "/q/secretx")) // prefix rule
+    // tie on pattern LENGTH goes to Allow ("/x/secret" ties itself)
+    assert(RobotsUtil.allowed(t2, "a", "/x/secret"))
+    // no group for this UA and no star group: allowed
+    assert(RobotsUtil.allowed(t2, "c", "/any/old/secret"))
+    // empty robots, comments-only, junk lines: allowed
+    assert(RobotsUtil.allowed("", "a", "/x"))
+    assert(RobotsUtil.allowed("# nothing\nnoise without colon", "a", "/x"))
+    // empty Disallow matches nothing
+    assert(RobotsUtil.allowed("User-agent: *\nDisallow:\n", "a", "/x"))
+    // CRLF line endings parse the same
+    assert(!RobotsUtil.allowed(
+      "User-agent: *\r\nDisallow: /x\r\n", "a", "/x/y"))
+    // a new group starts at the first User-agent AFTER rules
+    val t3 = "User-agent: a\nDisallow: /a\nUser-agent: b\nDisallow: /b\n"
+    assert(!RobotsUtil.allowed(t3, "a", "/a1"))
+    assert(RobotsUtil.allowed(t3, "a", "/b1"))
+    assert(!RobotsUtil.allowed(t3, "b", "/b1"))
+  }
+
+  test("expression face: null in, null out; codegen plan") {
+    val df = Seq((1L, txt, "graftbot", "/private/x"),
+      (2L, null.asInstanceOf[String], "x", "/y"))
+      .toDF("id", "txt", "ua", "path")
+      .select(col("id"), RobotsExpr.robotsAllowed(col("txt"),
+        col("ua"), col("path")).as("a"))
+    val got = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else Boolean.box(r.getBoolean(1)))).toMap
+    assert(got == Map(1L -> Boolean.box(false), 2L -> null))
+    val plan = spark.range(2).select(RobotsExpr.robotsAllowed(
+      lit(txt), lit("graftbot"),
+      concat(lit("/p"), col("id").cast("string"))).as("a"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+  }
+}
