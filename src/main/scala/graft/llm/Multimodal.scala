@@ -1307,6 +1307,149 @@ object Multimodal {
       }(enc)
   }
 
+  private[graft] final case class ExifMeta(orientation: Int,
+      make: String, model: String, dateTime: String,
+      dateTimeOriginal: String)
+
+  /** EXIF metadata out of a JPEG's APP1 segment (or a bare TIFF) —
+    * the capture-time triage signals an image corpus curates on
+    * (orientation for correct decode, camera make/model for source
+    * clustering, DateTimeOriginal for temporal dedup/splits). Walks
+    * the embedded TIFF IFD0 in either byte order plus ONE validated
+    * hop into the Exif sub-IFD (tag 34665) for DateTimeOriginal —
+    * a single bounds-checked pointer, not a chain (deeper EXIF
+    * pointer soup stays out of contract, the [[probeTiff]] posture).
+    * ASCII values cap at 256 bytes, inline or offset-typed; JPEG
+    * segment scan stops at SOS (marker soup never walks into
+    * entropy-coded data). None when no EXIF is present. */
+  private[graft] def probeExif(b: Array[Byte]): Option[ExifMeta] = {
+    try {
+      if (b == null || b.length < 12) return None
+      var tiff = -1
+      if (isTiff(b)) tiff = 0
+      else if (isJpeg(b)) {
+        var p = 2
+        var guard = 0
+        while (tiff < 0 && p + 4 <= b.length &&
+            (b(p) & 0xff) == 0xff && guard < 64) {
+          val marker = b(p + 1) & 0xff
+          if (marker == 0xda) return None // SOS: no APP1 before scan
+          val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+          if (len < 2) return None
+          if (marker == 0xe1 && p + 10 <= b.length &&
+              b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' &&
+              b(p + 7) == 'f' && b(p + 8) == 0 && b(p + 9) == 0)
+            tiff = p + 10
+          else p += 2 + len
+          guard += 1
+        }
+      }
+      if (tiff < 0 || tiff + 8 > b.length) return None
+      val le = b(tiff) == 'I'
+      if (!((b(tiff) == 'I' && b(tiff + 1) == 'I') ||
+          (b(tiff) == 'M' && b(tiff + 1) == 'M'))) return None
+      def u16(off: Long): Int = {
+        val o = tiff + off
+        if (off < 0 || o + 2 > b.length) -1
+        else if (le) (b(o.toInt) & 0xff) | ((b(o.toInt + 1) & 0xff) << 8)
+        else ((b(o.toInt) & 0xff) << 8) | (b(o.toInt + 1) & 0xff)
+      }
+      def u32(off: Long): Long = {
+        val o = tiff + off
+        if (off < 0 || o + 4 > b.length) -1L
+        else if (le)
+          (b(o.toInt) & 0xffL) | ((b(o.toInt + 1) & 0xffL) << 8) |
+            ((b(o.toInt + 2) & 0xffL) << 16) |
+            ((b(o.toInt + 3) & 0xffL) << 24)
+        else
+          ((b(o.toInt) & 0xffL) << 24) | ((b(o.toInt + 1) & 0xffL) << 16) |
+            ((b(o.toInt + 2) & 0xffL) << 8) | (b(o.toInt + 3) & 0xffL)
+      }
+      def ascii(entryOff: Long, cnt: Long): String = {
+        if (cnt <= 0 || cnt > 256) return null
+        val src: Long =
+          if (cnt <= 4) entryOff + 8 // inline
+          else u32(entryOff + 8) // offset from TIFF header
+        if (src < 0 || tiff + src + cnt > b.length) return null
+        var end = (cnt - 1).toInt // values are NUL-terminated
+        while (end > 0 && b((tiff + src + end - 1).toInt) == 0) end -= 1
+        val s = new String(b, (tiff + src).toInt, end, "US-ASCII").trim
+        if (s.isEmpty) null else s
+      }
+      var ori = -1
+      var make: String = null
+      var model: String = null
+      var dt: String = null
+      var dto: String = null
+      var any = false
+      def walkIfd(ifdOff: Long, isExifIfd: Boolean): Unit = {
+        if (ifdOff < 8 || tiff + ifdOff + 2 > b.length) return
+        val n = u16(ifdOff)
+        if (n <= 0 || n > 4096) return
+        var i = 0
+        while (i < n) {
+          val e = ifdOff + 2 + 12 * i
+          if (tiff + e + 12 > b.length) return // truncated: stop
+          val tag = u16(e)
+          val typ = u16(e + 2)
+          val cnt = u32(e + 4)
+          tag match {
+            case 274 if !isExifIfd && typ == 3 && cnt == 1 =>
+              val v = u16(e + 8)
+              if (v >= 1 && v <= 8) { ori = v; any = true }
+            case 271 if !isExifIfd && typ == 2 =>
+              make = ascii(e, cnt); any |= make != null
+            case 272 if !isExifIfd && typ == 2 =>
+              model = ascii(e, cnt); any |= model != null
+            case 306 if !isExifIfd && typ == 2 =>
+              dt = ascii(e, cnt); any |= dt != null
+            case 34665 if !isExifIfd && typ == 4 && cnt == 1 =>
+              walkIfd(u32(e + 8), isExifIfd = true) // the ONE hop
+            case 36867 if isExifIfd && typ == 2 =>
+              dto = ascii(e, cnt); any |= dto != null
+            case _ => ()
+          }
+          i += 1
+        }
+      }
+      walkIfd(u32(4), isExifIfd = false)
+      if (!any) None
+      else Some(ExifMeta(ori, make, model, dt, dto))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private val exifMetaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("probe_ok", BooleanType),
+    StructField("orientation", IntegerType),
+    StructField("make", StringType),
+    StructField("model", StringType),
+    StructField("date_time", StringType),
+    StructField("date_time_original", StringType)))
+
+  /** DataFrame face of [[probeExif]] — the same narrow no-shuffle
+    * shape as [[probeTiffMeta]]; payloads without EXIF report
+    * probe_ok=false with null fields, absent tags stay null
+    * (orientation reports null when the tag is missing). */
+  def probeExifMeta(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(exifMetaSchema)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          probeExif(payload) match {
+            case Some(m) => Row(id, true,
+              if (m.orientation > 0) m.orientation else null,
+              m.make, m.model, m.dateTime, m.dateTimeOriginal)
+            case None => Row(id, false, null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
   private[graft] final case class PdfMeta(version: String,
       nObjects: Long, pageCount: Long, encrypted: Boolean,
       xrefType: String)

@@ -819,6 +819,104 @@ class EtlMultimodalSpec extends SparkSpec {
       ok.getAs[Int]("orientation") == 1)
   }
 
+  // ---- EXIF prober (round 12) ----
+
+  /** Byte-built EXIF TIFF (either byte order): IFD0 with Make
+    * (offset ASCII), Model (inline ASCII), Orientation, DateTime,
+    * and an Exif sub-IFD holding DateTimeOriginal; optionally
+    * wrapped in a JPEG APP1 segment. */
+  private def exifPayload(le: Boolean, asJpeg: Boolean): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(256).order(
+      if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    def entryHead(tag: Int, typ: Int, cnt: Int): Unit = {
+      bb.putShort(tag.toShort); bb.putShort(typ.toShort); bb.putInt(cnt)
+    }
+    val make = "GraftCam "
+    val dt = "2024:01:02 03:04:05 "
+    val dto = "2023:12:31 23:59:58 "
+    val makeOff = 8 + 2 + 5 * 12 + 4
+    val dtOff = makeOff + make.length
+    val subOff = dtOff + dt.length
+    val dtoOff = subOff + 2 + 12 + 4
+    bb.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+    bb.putShort(42); bb.putInt(8)
+    bb.putShort(5)
+    entryHead(271, 2, make.length); bb.putInt(makeOff)
+    entryHead(272, 2, 3) // inline ASCII: raw bytes, no endianness
+    bb.put('X'.toByte); bb.put('1'.toByte); bb.put(0.toByte); bb.put(0.toByte)
+    entryHead(274, 3, 1); bb.putShort(6); bb.putShort(0)
+    entryHead(306, 2, dt.length); bb.putInt(dtOff)
+    entryHead(34665, 4, 1); bb.putInt(subOff)
+    bb.putInt(0) // next IFD
+    bb.put(make.getBytes("US-ASCII"))
+    bb.put(dt.getBytes("US-ASCII"))
+    bb.putShort(1)
+    entryHead(36867, 2, dto.length); bb.putInt(dtoOff)
+    bb.putInt(0)
+    bb.put(dto.getBytes("US-ASCII"))
+    val tiff = java.util.Arrays.copyOf(bb.array(), bb.position())
+    if (!asJpeg) tiff
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(0xff); bos.write(0xd8) // SOI
+      // a decoy APP0 first: the scan must skip past it
+      bos.write(0xff); bos.write(0xe0); bos.write(0); bos.write(4)
+      bos.write('J'); bos.write('F')
+      val len = 2 + 6 + tiff.length
+      bos.write(0xff); bos.write(0xe1)
+      bos.write((len >> 8) & 0xff); bos.write(len & 0xff)
+      bos.write("Exif".getBytes("US-ASCII")); bos.write(0); bos.write(0)
+      bos.write(tiff)
+      bos.write(0xff); bos.write(0xd9) // EOI
+      bos.toByteArray
+    }
+  }
+
+  test("probeExif: IFD0 + Exif sub-IFD, both byte orders, JPEG + TIFF") {
+    for (le <- Seq(true, false); jpeg <- Seq(true, false)) {
+      val m = Multimodal.probeExif(exifPayload(le, jpeg))
+        .getOrElse(fail(s"le=$le jpeg=$jpeg did not probe"))
+      assert(m.orientation == 6, s"le=$le jpeg=$jpeg")
+      assert(m.make == "GraftCam" && m.model == "X1")
+      assert(m.dateTime == "2024:01:02 03:04:05")
+      assert(m.dateTimeOriginal == "2023:12:31 23:59:58")
+    }
+    // plain JPEG without APP1 (or with SOS first) has no EXIF
+    assert(Multimodal.probeExif(Array(0xff, 0xd8, 0xff, 0xda, 0, 4,
+      1, 2).map(_.toByte)).isEmpty)
+    assert(Multimodal.probeExif("not an image".getBytes).isEmpty)
+    assert(Multimodal.probeExif(null).isEmpty)
+  }
+
+  test("probeExif hardening: truncation sweep + fuzz never throw") {
+    val good = exifPayload(le = true, asJpeg = true)
+    (0 until good.length).foreach { k =>
+      Multimodal.probeExif(good.take(k)) // must not throw
+    }
+    val rnd = new scala.util.Random(47)
+    (1 to 400).foreach { _ =>
+      val f = good.clone()
+      f(rnd.nextInt(f.length)) = rnd.nextInt(256).toByte
+      Multimodal.probeExif(f) // must not throw
+    }
+  }
+
+  test("probeExifMeta DataFrame face: ok, partial and not-ok rows") {
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, exifPayload(le = true, asJpeg = true)),
+        Row(2L, "plain".getBytes),
+        Row(3L, null))),
+      StructType(Seq(StructField("media_id", LongType),
+        StructField("payload", BinaryType))))
+    val out = Multimodal.probeExifMeta(media).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        if (r.isNullAt(4)) null else r.getString(4))).toMap
+    assert(out(1L) == ((true, "X1")))
+    assert(out(2L) == ((false, null)) && out(3L) == ((false, null)))
+  }
+
   // ---- PDF prober ----
 
   /** Minimal classic-xref PDF: catalog + pages + nPages page objects,

@@ -175,6 +175,38 @@ class HtmlTextSpec extends SparkSpec {
     assert(x("&#0000033;") == "!")
   }
 
+  test("kernels are total: random junk never throws (r12)") {
+    // every string kernel must survive arbitrary bytes-as-chars —
+    // bronze inputs are untrusted; a throw inside whole-stage codegen
+    // kills the task, not the row
+    import graft.plans.{HtmlMetaUtil, RobotsUtil, UrlCanonUtil}
+    val rnd = new scala.util.Random(43)
+    def junk(n: Int): String = {
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        sb.append((rnd.nextInt(0x250) + 1).toChar)
+      }
+      sb.toString
+    }
+    val seeds = Seq("<", "<a", "<a href=", "<a href=\"", "&", "&#",
+      "<time datetime=", "<meta name=", "<!--", "<![CDATA[",
+      "<script>", "://", "http://", "?", "User-agent:", "Disallow:")
+    (1 to 200).foreach { i =>
+      val s = seeds(i % seeds.length) + junk(rnd.nextInt(80)) +
+        seeds((i * 7) % seeds.length)
+      HtmlTextUtil.extract(s)
+      HtmlMetaUtil.title(s)
+      HtmlMetaUtil.timeAttr(s)
+      HtmlMetaUtil.h1s(s)
+      HtmlMetaUtil.links(s)
+      HtmlMetaUtil.metaContent(s, "robots")
+      UrlCanonUtil.canon(s)
+      RobotsUtil.allowed(s, "bot", "/" + junk(rnd.nextInt(20)))
+      RobotsUtil.allowed("User-agent: *\nDisallow: " + s + "\n",
+        "bot", "/x")
+    }
+  }
+
   test("html_meta expressions: null in, null out") {
     val df = Seq((1L, "<title>t</title>"), (2L, null.asInstanceOf[String]))
       .toDF("id", "html")
