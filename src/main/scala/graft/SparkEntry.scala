@@ -1555,6 +1555,27 @@ object SparkEntry {
         graft.plans.HtmlTextExpr.htmlLinks(html).as("links"))
     }),
 
+    "q_sitemap_locs" -> ((s, d) => {
+      // sitemap discovery (r12): every doc becomes a urlset with two
+      // <loc> entries — one XML-escaped (&amp; in a query string, as
+      // the sitemap spec requires), one whitespace-padded (the kernel
+      // trims) — plus a <lastmod> decoy; hash-checked against a
+      // DuckDB regexp_extract_all + trim/replace chain
+      def san(c: Column) = regexp_replace(c, "[<>&\\r\\u00A0]", " ")
+      val id = col("doc_id").cast("string")
+      val xml = concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+          "<url><loc>https://"),
+        san(col("source")), lit(".example.com/doc/"), id,
+        lit("?a=1&amp;b=2</loc><lastmod>2024-01-02</lastmod></url>" +
+          "<url><loc>  https://example.com/lang/"),
+        san(col("lang")), lit("/"), id,
+        lit(" </loc></url></urlset>"))
+      t(s, d, "documents").select(col("doc_id"),
+        graft.plans.HtmlTextExpr.sitemapLocs(xml).as("locs"))
+    }),
+
     "q_robots_gate" -> ((s, d) => {
       // the crawl politeness gate (r12): robots_allowed evaluated
       // over (policy, user-agent, path) triples that exercise every
@@ -5338,6 +5359,22 @@ object SparkEntry {
              regexp_extract_all(html,
                '(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"', 1),
              chr(10)), '') AS links
+         FROM h""",
+
+    "q_sitemap_locs" ->
+      """WITH h AS (
+           SELECT doc_id,
+             '<?xml version="1.0" encoding="UTF-8"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><url><loc>https://'
+             || regexp_replace(source, '[<>&\r\x{00A0}]', ' ', 'g')
+             || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+             || '?a=1&amp;b=2</loc><lastmod>2024-01-02</lastmod></url><url><loc>  https://example.com/lang/'
+             || regexp_replace(lang, '[<>&\r\x{00A0}]', ' ', 'g')
+             || '/' || CAST(doc_id AS VARCHAR)
+             || ' </loc></url></urlset>' AS xml
+           FROM documents)
+         SELECT doc_id, nullif(array_to_string(list_transform(
+             regexp_extract_all(xml, '(?is)<loc[^>]*>(.*?)</loc>', 1),
+             x -> replace(trim(x), '&amp;', '&')), chr(10)), '') AS locs
          FROM h""",
 
     "q_robots_gate" ->

@@ -385,6 +385,93 @@ object HtmlMetaUtil {
   }
 }
 
+/** Sitemap extraction — the discovery half of the crawl stack
+  * ([[RobotsMatch]] gates fetching; sitemaps feed the frontier).
+  * Bounded forward scans in the [[HtmlMetaUtil]] style. */
+object SitemapUtil {
+
+  /** Decode exactly the five XML predefined entities, one pass,
+    * left-to-right, no re-scan — sitemap URLs are XML-escaped by
+    * spec ('&' in query strings arrives as '&amp;'); anything else
+    * (numeric refs included) stays literal so a SQL replace-chain
+    * oracle can reproduce the decode. */
+  private[plans] def xmlUnescape(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val rest = n - i
+        if (rest >= 5 && s.startsWith("&amp;", i)) { sb.append('&'); i += 5 }
+        else if (rest >= 4 && s.startsWith("&lt;", i)) { sb.append('<'); i += 4 }
+        else if (rest >= 4 && s.startsWith("&gt;", i)) { sb.append('>'); i += 4 }
+        else if (rest >= 6 && s.startsWith("&quot;", i)) { sb.append('"'); i += 6 }
+        else if (rest >= 6 && s.startsWith("&apos;", i)) { sb.append('\''); i += 6 }
+        else { sb.append('&'); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** All <loc> inner texts in document order (urlset AND
+    * sitemapindex use the same element), whitespace-trimmed,
+    * XML-unescaped, one per line; null when none. An unclosed <loc>
+    * drops (reject, don't misread). Case-insensitive tags; CDATA is
+    * out of contract (stays literal). */
+  def locs(s: String): String = {
+    val out = new java.lang.StringBuilder
+    var found = false
+    var i = 0
+    var continue = true
+    while (continue) {
+      val open = findCiSeqPub(s, "<loc", i)
+      if (open < 0) continue = false
+      else {
+        val after = open + 4
+        // tag-name boundary: "<loc>" or "<loc " (attributes legal)
+        if (after >= s.length ||
+            (s.charAt(after) != '>' && !s.charAt(after).isWhitespace)) {
+          i = open + 1
+        } else {
+          val gt = s.indexOf('>', open)
+          if (gt < 0) continue = false
+          else {
+            val close = findCiSeqPub(s, "</loc", gt + 1)
+            if (close < 0) continue = false
+            else {
+              val v = xmlUnescape(s.substring(gt + 1, close).trim)
+              if (v.nonEmpty) {
+                if (found) out.append('\n')
+                out.append(v)
+                found = true
+              }
+              i = close + 5
+            }
+          }
+        }
+      }
+    }
+    if (found) out.toString else null
+  }
+
+  private def findCiSeqPub(s: String, needle: String, from: Int): Int = {
+    val n = needle.length
+    var i = math.max(from, 0)
+    val last = s.length - n
+    while (i <= last) {
+      var j = 0
+      while (j < n &&
+        Character.toLowerCase(s.charAt(i + j)) ==
+          Character.toLowerCase(needle.charAt(j))) j += 1
+      if (j == n) return i
+      i += 1
+    }
+    -1
+  }
+}
+
 /** html_meta(html, field): the scraper's metadata extractions as one
   * parameterized kernel — field ∈ {title, time, h1, links, robots}.
   * Null in -> null out; an absent element -> null (never ''). */
@@ -485,4 +572,43 @@ object HtmlTextExpr {
 
   def htmlRobots(html: Column): Column =
     Bridge.toColumn(HtmlMeta(Bridge.toExpression(html), "robots"))
+
+  def sitemapLocs(xml: Column): Column =
+    Bridge.toColumn(SitemapLocs(Bridge.toExpression(xml)))
+}
+
+/** sitemap_locs(xml): every <loc> URL of a sitemap or sitemap index,
+  * one per line, XML-unescaped ([[SitemapUtil]]). Null in -> null
+  * out; no locs -> null. */
+case class SitemapLocs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sitemap_locs expects string, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = SitemapUtil.locs(input.toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = SitemapUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val utf8 = classOf[UTF8String].getName
+    nullSafeCodeGen(ctx, ev, x => {
+      val tmp = ctx.freshName("locs")
+      s"""
+        |String $tmp = $util.locs($x.toString());
+        |if ($tmp == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $utf8.fromString($tmp); }
+      """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "sitemap_locs"
+  override protected def withNewChildInternal(newChild: Expression): SitemapLocs =
+    copy(child = newChild)
 }

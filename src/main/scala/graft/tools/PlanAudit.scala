@@ -90,7 +90,8 @@ object PlanAudit {
       // round-12: outlink/URL kernels, the end-to-end corpus plan,
       // the WARC reader and the crawl-frontier composition
       "q_html_links", "q_url_canon", "q_corpus_e2e",
-      "q_warc_extract", "q_outlink_hosts", "q_robots_gate")
+      "q_warc_extract", "q_outlink_hosts", "q_robots_gate",
+      "q_sitemap_locs")
 
     println("# Physical-plan dossier (sf0.01, AQE disabled for the audit)")
     println()

@@ -162,6 +162,36 @@ class HtmlTextSpec extends SparkSpec {
     assert(got(2L) == null)
   }
 
+  test("sitemap_locs: urlset + index, XML escapes, trim, rejects (r12)") {
+    import graft.plans.SitemapUtil
+    val sm = "<?xml version=\"1.0\"?><urlset>" +
+      "<url><loc>https://a.com/p?x=1&amp;y=2</loc>" +
+      "<lastmod>2024-01-01</lastmod></url>" +
+      "<url><LOC>  https://a.com/two </LOC></url></urlset>"
+    assert(SitemapUtil.locs(sm) ==
+      "https://a.com/p?x=1&y=2\nhttps://a.com/two")
+    // sitemapindex uses the same element
+    assert(SitemapUtil.locs("<sitemapindex><sitemap>" +
+      "<loc>https://a.com/s1.xml</loc></sitemap></sitemapindex>")
+      == "https://a.com/s1.xml")
+    // <location>/<loc attr> boundaries; unclosed loc drops; empty -> null
+    assert(SitemapUtil.locs("<location>nope</location>") == null)
+    assert(SitemapUtil.locs("<loc foo=\"1\">kept</loc>") == "kept")
+    assert(SitemapUtil.locs("<loc>a</loc><loc>trunc") == "a")
+    assert(SitemapUtil.locs("<urlset></urlset>") == null)
+    // only the five XML entities decode; others stay literal
+    assert(SitemapUtil.locs("<loc>&lt;x&gt; &quot;q&quot; &apos;a&apos;" +
+      " &#65; &nbsp;</loc>") == "<x> \"q\" 'a' &#65; &nbsp;")
+    // expression: null in null out + codegen
+    val df = Seq((1L, sm), (2L, null.asInstanceOf[String]))
+      .toDF("id", "xml")
+      .select(col("id"),
+        graft.plans.HtmlTextExpr.sitemapLocs(col("xml")).as("l"))
+    val got = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L).startsWith("https://a.com/p") && got(2L) == null)
+  }
+
   test("entity scan is bounded: bare-& pages with no semicolon") {
     // an '&' heading no entity must cost O(1) even when the page has
     // no ';' at all (URL query strings) — pinned by output equality;
