@@ -1585,9 +1585,11 @@ object SparkEntry {
       // the same ua/path derivation), so the kernel's parse + glob +
       // precedence must all be exact for the hash to hold.
       val robots = lit("# graft crawl policy\n" +
-        "User-agent: graftbot\nDisallow: /private/\n" +
+        "User-agent: graftbot\nCrawl-delay: 1.5\n" +
+        "Disallow: /private/\n" +
         "Allow: /private/public/\nDisallow: /tmp$\n\n" +
-        "User-agent: *\nDisallow: /\nAllow: /open/\n")
+        "User-agent: *\nDisallow: /\nAllow: /open/\n" +
+        "Crawl-delay: 10\n")
       val ua = when(col("doc_id") % 2 === 0, lit("GraftBot"))
         .otherwise(lit("otherbot"))
       val id = col("doc_id").cast("string")
@@ -1601,7 +1603,9 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"), ua.as("user_agent"),
         path.as("path"),
         graft.plans.RobotsExpr.robotsAllowed(robots, ua, path)
-          .as("allowed"))
+          .as("allowed"),
+        graft.plans.RobotsExpr.robotsCrawlDelay(robots, ua)
+          .as("crawl_delay"))
     }),
 
     "q_outlink_hosts" -> ((s, d) => {
@@ -5401,7 +5405,9 @@ object SparkEntry {
            ELSE
              -- star group: Disallow / (1), Allow /open/ (6)
              CASE doc_id % 5 WHEN 4 THEN true ELSE false END
-           END AS allowed
+           END AS allowed,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1.5 ELSE 10.0
+           END AS DOUBLE) AS crawl_delay
          FROM documents""",
 
     "q_outlink_hosts" ->

@@ -3,9 +3,9 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, StringType}
 
 /** robots.txt evaluation — the politeness gate between the outlink
   * frontier ([[graft.plans.UrlCanon]], q_outlink_hosts) and the
@@ -69,12 +69,18 @@ object RobotsUtil {
 
   private final case class Rule(allow: Boolean, pattern: String)
 
-  /** Decision for (txt, ua, path) per the pinned contract. */
-  def allowed(txt: String, ua: String, path: String): Boolean = {
+  /** One parse serving both decisions: the UA-applicable rule list
+    * (exact groups shadow '*' groups entirely) and the applicable
+    * Crawl-delay (first value of the winning tier — rate limits are
+    * per-host policy, a second declaration is a file bug we resolve
+    * deterministically). */
+  private def parseFor(txt: String,
+      ua: String): (List[Rule], Option[Double]) = {
     val uaLc = ua.toLowerCase
-    // parse groups: (agents, rules)
     var exactRules = List.empty[Rule]
     var starRules = List.empty[Rule]
+    var exactDelay: Option[Double] = None
+    var starDelay: Option[Double] = None
     var curAgents = List.empty[String]
     var curHasRules = false
     var curApplies = false
@@ -96,7 +102,21 @@ object RobotsUtil {
           if (curApplies) exactRules ::= r
           else if (curStar) starRules ::= r
         }
-      case _ => () // crawl-delay, sitemap, unknown fields: ignored
+      case "crawl-delay" =>
+        if (curAgents.nonEmpty) {
+          curHasRules = true
+          val d =
+            try {
+              val v = value.toDouble
+              if (v >= 0 && !v.isNaN && !v.isInfinite) Some(v) else None
+            } catch { case _: NumberFormatException => None }
+          if (d.isDefined) {
+            if (curApplies && exactDelay.isEmpty) exactDelay = d
+            else if (!curApplies && curStar && starDelay.isEmpty)
+              starDelay = d
+          }
+        }
+      case _ => () // sitemap, unknown fields: ignored
     }
     var start = 0
     val n = txt.length
@@ -113,7 +133,14 @@ object RobotsUtil {
           line.substring(colon + 1).trim)
       start = end + 1
     }
-    val rules = if (exactRules.nonEmpty) exactRules else starRules
+    if (exactRules.nonEmpty || exactDelay.isDefined)
+      (exactRules, exactDelay)
+    else (starRules, starDelay)
+  }
+
+  /** Decision for (txt, ua, path) per the pinned contract. */
+  def allowed(txt: String, ua: String, path: String): Boolean = {
+    val (rules, _) = parseFor(txt, ua)
     // longest pattern wins; ties toward Allow; no match => allowed
     var bestLen = -1
     var bestAllow = true
@@ -127,6 +154,15 @@ object RobotsUtil {
       }
     }
     bestAllow
+  }
+
+  /** The applicable Crawl-delay in seconds (the de-facto extension
+    * every crawler honors; not in RFC 9309): first value of the
+    * winning agent tier, null when none declared. Boxed so the
+    * expression can return SQL NULL. */
+  def crawlDelay(txt: String, ua: String): java.lang.Double = {
+    val (_, delay) = parseFor(txt, ua)
+    delay.map(java.lang.Double.valueOf).orNull
   }
 }
 
@@ -160,8 +196,47 @@ case class RobotsAllowed(first: Expression, second: Expression,
     copy(first = f, second = s, third = t)
 }
 
+/** robots_crawl_delay(txt, user_agent) -> double seconds; null when
+  * none declared for the applicable agent tier, or on null input. */
+case class RobotsCrawlDelay(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "robots_crawl_delay expects (string, string)")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(t: Any, u: Any): Any =
+    RobotsUtil.crawlDelay(t.toString, u.toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = RobotsUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (t, u) => {
+      val tmp = ctx.freshName("delay")
+      s"""
+        |java.lang.Double $tmp = $util.crawlDelay($t.toString(), $u.toString());
+        |if ($tmp == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $tmp.doubleValue(); }
+      """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "robots_crawl_delay"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RobotsCrawlDelay =
+    copy(left = newLeft, right = newRight)
+}
+
 object RobotsExpr {
   def robotsAllowed(txt: Column, userAgent: Column, path: Column): Column =
     Bridge.toColumn(RobotsAllowed(Bridge.toExpression(txt),
       Bridge.toExpression(userAgent), Bridge.toExpression(path)))
+
+  def robotsCrawlDelay(txt: Column, userAgent: Column): Column =
+    Bridge.toColumn(RobotsCrawlDelay(Bridge.toExpression(txt),
+      Bridge.toExpression(userAgent)))
 }

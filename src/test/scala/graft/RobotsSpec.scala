@@ -65,6 +65,31 @@ class RobotsSpec extends SparkSpec {
     assert(!RobotsUtil.allowed(t3, "b", "/b1"))
   }
 
+  test("crawl-delay: winning tier, first value, junk rejected (r12)") {
+    val t = "User-agent: graftbot\nCrawl-delay: 1.5\nDisallow: /x\n\n" +
+      "User-agent: *\nCrawl-delay: 10\nCrawl-delay: 20\nDisallow: /\n"
+    assert(RobotsUtil.crawlDelay(t, "GraftBot") == 1.5)
+    // star tier; a SECOND declaration is a file bug — first wins
+    assert(RobotsUtil.crawlDelay(t, "otherbot") == 10.0)
+    // none declared -> null; junk values rejected -> null
+    assert(RobotsUtil.crawlDelay("User-agent: *\nDisallow: /\n", "a")
+      == null)
+    assert(RobotsUtil.crawlDelay(
+      "User-agent: *\nCrawl-delay: fast\n", "a") == null)
+    assert(RobotsUtil.crawlDelay(
+      "User-agent: *\nCrawl-delay: -1\n", "a") == null)
+    // an exact group WITHOUT a delay still shadows the star tier
+    val t2 = "User-agent: graftbot\nDisallow: /x\n\n" +
+      "User-agent: *\nCrawl-delay: 10\n"
+    assert(RobotsUtil.crawlDelay(t2, "graftbot") == null)
+    // expression face
+    import org.apache.spark.sql.functions.lit
+    val v = spark.range(1).select(graft.plans.RobotsExpr
+      .robotsCrawlDelay(lit(t), lit("graftbot")).as("d"))
+      .collect().head.getDouble(0)
+    assert(v == 1.5)
+  }
+
   test("expression face: null in, null out; codegen plan") {
     val df = Seq((1L, txt, "graftbot", "/private/x"),
       (2L, null.asInstanceOf[String], "x", "/y"))
