@@ -253,33 +253,57 @@ object HtmlMetaUtil {
   }
 
   /** Value of attribute `name` inside the tag span (open, end):
-    * the name must START at a whitespace boundary (data-datetime
-    * never satisfies datetime) and be FOLLOWED by optional
-    * whitespace then '=' (hreflang never satisfies href — the scan
-    * keeps looking); value is quoted (either quote; unterminated
-    * inside the tag rejects) or an unquoted run to whitespace/tag
-    * end. Null when absent or malformed. */
+    * ONE walk over the tag tracking the active quote char, so a
+    * needle INSIDE another quoted attribute value never satisfies
+    * the lookup (<a alt="see href=evil" href="/real"> returns
+    * "/real" — untrusted pages are the kernel's domain). Outside
+    * quotes the name must START at a whitespace boundary
+    * (data-datetime never satisfies datetime) and be FOLLOWED by
+    * optional whitespace then '=' (hreflang never satisfies href —
+    * the scan keeps looking); value is quoted (either quote;
+    * unterminated inside the tag rejects) or an unquoted run to
+    * whitespace/tag end. Null when absent or malformed. */
   private def attrValue(s: String, open: Int, end: Int,
       name: String): String = {
-    var k = findCiSeq(s, name, open, end)
-    while (k >= 0) {
-      var p = k + name.length
-      while (p < end && s.charAt(p).isWhitespace) p += 1
-      if (s.charAt(k - 1).isWhitespace && p < end && s.charAt(p) == '=') {
-        p += 1
-        while (p < end && s.charAt(p).isWhitespace) p += 1
-        if (p >= end) return null
-        val q = s.charAt(p)
-        return if (q == '"' || q == '\'') {
-          val e = s.indexOf(q, p + 1)
-          if (e < 0 || e > end) null else s.substring(p + 1, e)
-        } else {
-          var e = p
-          while (e < end && !s.charAt(e).isWhitespace) e += 1
-          s.substring(p, e)
+    val n = name.length
+    var quote: Char = 0
+    var i = open + 1
+    while (i < end) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        if (c == quote) quote = 0
+        i += 1
+      } else if (c == '"' || c == '\'') {
+        quote = c
+        i += 1
+      } else {
+        if (s.charAt(i - 1).isWhitespace && i + n <= end && {
+          var j = 0
+          while (j < n && Character.toLowerCase(s.charAt(i + j)) ==
+            Character.toLowerCase(name.charAt(j))) j += 1
+          j == n
+        }) {
+          var p = i + n
+          while (p < end && s.charAt(p).isWhitespace) p += 1
+          if (p < end && s.charAt(p) == '=') {
+            p += 1
+            while (p < end && s.charAt(p).isWhitespace) p += 1
+            if (p >= end) return null
+            val q = s.charAt(p)
+            return if (q == '"' || q == '\'') {
+              val e = s.indexOf(q, p + 1)
+              if (e < 0 || e > end) null else s.substring(p + 1, e)
+            } else {
+              var e = p
+              while (e < end && !s.charAt(e).isWhitespace) e += 1
+              s.substring(p, e)
+            }
+          }
+          // name at a boundary but no '=': keep walking (hreflang
+          // must not block a later real href)
         }
+        i += 1
       }
-      k = findCiSeq(s, name, k + 1, end)
     }
     null
   }

@@ -76,7 +76,7 @@ object RobotsUtil {
     * deterministically). */
   private def parseFor(txt: String,
       ua: String): (List[Rule], Option[Double]) = {
-    val uaLc = ua.toLowerCase
+    val uaLc = ua.toLowerCase(java.util.Locale.ROOT)
     var exactRules = List.empty[Rule]
     var starRules = List.empty[Rule]
     var exactDelay: Option[Double] = None
@@ -91,7 +91,7 @@ object RobotsUtil {
           curAgents = Nil; curHasRules = false
           curApplies = false; curStar = false
         }
-        val agent = value.toLowerCase
+        val agent = value.toLowerCase(java.util.Locale.ROOT)
         curAgents = agent :: curAgents
         if (agent == uaLc) curApplies = true
         if (agent == "*") curStar = true
@@ -129,7 +129,7 @@ object RobotsUtil {
       line = line.trim
       val colon = line.indexOf(':')
       if (colon > 0)
-        flushLine(line.substring(0, colon).trim.toLowerCase,
+        flushLine(line.substring(0, colon).trim.toLowerCase(java.util.Locale.ROOT),
           line.substring(colon + 1).trim)
       start = end + 1
     }

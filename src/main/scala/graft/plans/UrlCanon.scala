@@ -43,7 +43,7 @@ object UrlCanonUtil {
 
   private def isTracking(tok: String): Boolean = {
     val e = tok.indexOf('=')
-    val name = (if (e < 0) tok else tok.substring(0, e)).toLowerCase
+    val name = (if (e < 0) tok else tok.substring(0, e)).toLowerCase(java.util.Locale.ROOT)
     name.startsWith("utm_") || dropExact.contains(name)
   }
 
@@ -59,7 +59,7 @@ object UrlCanonUtil {
       if (!ok) return null
       i += 1
     }
-    val scheme = u.substring(0, ss).toLowerCase
+    val scheme = u.substring(0, ss).toLowerCase(java.util.Locale.ROOT)
     val rest = u.substring(ss + 3)
     val n = rest.length
     // authority ends at the first '/', '?' or '#'
@@ -70,11 +70,11 @@ object UrlCanonUtil {
     val colon = auth.lastIndexOf(':')
     var host: String = null
     var port: String = null
-    if (colon < 0) host = auth.toLowerCase
+    if (colon < 0) host = auth.toLowerCase(java.util.Locale.ROOT)
     else {
       val p = auth.substring(colon + 1)
       if (p.forall(_.isDigit)) { // includes the bare-colon "" case
-        host = auth.substring(0, colon).toLowerCase
+        host = auth.substring(0, colon).toLowerCase(java.util.Locale.ROOT)
         port = p
       } else return null // non-digit port: malformed authority
     }

@@ -501,6 +501,8 @@ case class PqEncode(child: Expression,
   private val dsub = codebooks(0)(0).length
   private val nlist = coarse.length
   require(nlist <= 256, s"pq_encode coarse table caps at 256 cells, got $nlist")
+  require(coarse.forall(_.length == m * dsub),
+    s"pq_encode coarse centroid dim must equal m*dsub=${m * dsub}")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
@@ -620,6 +622,8 @@ case class PqLut(child: Expression,
   private val ksub = codebooks(0).length
   private val dsub = codebooks(0)(0).length
   private val nlist = coarse.length
+  require(coarse.forall(_.length == m * dsub),
+    s"pq_lut coarse centroid dim must equal m*dsub=${m * dsub}")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>

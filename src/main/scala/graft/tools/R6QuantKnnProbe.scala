@@ -75,7 +75,8 @@ object R6QuantKnnProbe {
           avg(length(graft.plans.VectorExpressions
             .quantizeInt8(col("embedding")))).as("int8_bytes"),
           avg(length(graft.plans.VectorExpressions
-            .pqEncode(col("embedding"), pq.codebooks))).as("pq_bytes"))
+            .pqEncode(col("embedding"), pq.codebooks, pq.coarse)))
+            .as("pq_bytes"))
         .collect()(0)
       println(s"   scan width/vec: float=${widths.getDouble(0)} B, " +
         s"int8=${widths.getDouble(1)} B, pq=${widths.getDouble(2)} B")

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.{BytesCodecUtil, DecodeBodyExpr, DecodeBodyUtil}
+
+/** decode_body: header-charset, meta-sniff, UTF-8 fallback, unknown
+  * charset, totality; gzip_bytes/gunzip_bytes round-trip. */
+class DecodeBodySpec extends SparkSpec {
+
+  private val polish = "Żółć gęślą jaźń"
+  private val dutch = "één beurs café"
+
+  test("Content-Type charset param wins") {
+    val b = polish.getBytes("windows-1250")
+    assert(DecodeBodyUtil.decode(b,
+      "text/html; charset=windows-1250") == polish)
+    assert(DecodeBodyUtil.decode(b,
+      "text/html; CHARSET=\"windows-1250\"") == polish)
+    val l = dutch.getBytes("ISO-8859-1")
+    assert(DecodeBodyUtil.decode(l,
+      "text/html;charset=iso-8859-1") == dutch)
+    // the header beats a (wrong) meta sniff
+    val h = ("<meta charset=\"utf-8\">" + polish).getBytes("windows-1250")
+    assert(DecodeBodyUtil.decode(h, "text/html; charset=windows-1250")
+      == "<meta charset=\"utf-8\">" + polish)
+  }
+
+  test("meta sniff when the header has no charset") {
+    val html = "<html><head><meta charset='windows-1250'></head>" +
+      "<body>" + polish + "</body></html>"
+    assert(DecodeBodyUtil.decode(html.getBytes("windows-1250"),
+      "text/html") == html)
+    val equiv = "<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=ISO-8859-1\"></head><body>" +
+      dutch + "</body></html>"
+    assert(DecodeBodyUtil.decode(equiv.getBytes("ISO-8859-1"),
+      null) == equiv)
+    // the sniff is BOUNDED: a charset declared past 1024 bytes is
+    // invisible and the body falls back to UTF-8
+    val far = (" " * 1100) + "<meta charset='windows-1250'>" + polish
+    assert(DecodeBodyUtil.decode(far.getBytes("windows-1250"), "")
+      != far)
+  }
+
+  test("UTF-8 fallback, unknown charset, malformed bytes are total") {
+    assert(DecodeBodyUtil.decode(polish.getBytes("UTF-8"), "text/html")
+      == polish)
+    assert(DecodeBodyUtil.decode(polish.getBytes("UTF-8"),
+      "text/html; charset=no-such-charset-99") == polish)
+    // invalid UTF-8 decodes to U+FFFD, never throws
+    val bad = Array[Byte](0x41, 0xC3.toByte, 0x28, 0x42)
+    val s = DecodeBodyUtil.decode(bad, "")
+    assert(s.length == 4 && s.charAt(0) == 'A' && s.charAt(3) == 'B')
+    assert(DecodeBodyUtil.decode(Array.empty[Byte], null) == "")
+  }
+
+  test("column face: null Content-Type still sniffs") {
+    val html = "<meta charset=windows-1250>" + polish
+    val df = spark.range(1).toDF("id").select(
+      DecodeBodyExpr.decodeBody(
+        lit(html.getBytes("windows-1250")),
+        lit(null).cast("string")).as("text"))
+    assert(df.collect()(0).getString(0) == html)
+  }
+
+  test("gzip_bytes/gunzip_bytes round-trip; corrupt gunzip nulls") {
+    val payload = ("x" * 10000 + polish).getBytes("UTF-8")
+    assert(java.util.Arrays.equals(
+      BytesCodecUtil.gunzip(BytesCodecUtil.gzip(payload)), payload))
+    assert(BytesCodecUtil.gunzip(
+      Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3)) == null)
+    val df = spark.range(1).toDF("id").select(
+      graft.plans.BytesCodecExpr.gunzipBytes(
+        graft.plans.BytesCodecExpr.gzipBytes(
+          lit(payload))).cast("string").as("s"))
+    assert(df.collect()(0).getString(0) == "x" * 10000 + polish)
+  }
+}

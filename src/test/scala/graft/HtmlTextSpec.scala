@@ -162,6 +162,27 @@ class HtmlTextSpec extends SparkSpec {
     assert(got(2L) == null)
   }
 
+  test("attr scan is quote-aware: a needle inside another value never matches (r13)") {
+    import graft.plans.HtmlMetaUtil
+    // the ADVICE r12 case: href= inside alt's quoted value must not
+    // shadow the REAL href later in the tag
+    assert(HtmlMetaUtil.links(
+      "<a alt=\"see href=evil\" href=\"/real\">x</a>") == "/real")
+    assert(HtmlMetaUtil.links(
+      "<a title='use href=bad' href='/good'>x</a>") == "/good")
+    // needle-in-value with NO real attribute -> null, not the decoy
+    assert(HtmlMetaUtil.links(
+      "<a alt=\"see href=evil\">x</a>") == null)
+    // same guard for meta name/content lookups
+    assert(HtmlMetaUtil.metaContent(
+      "<meta alt=\"name=robots trick\" name=\"robots\" " +
+        "content=\"noindex\">", "robots") == "noindex")
+    // and for <time datetime=...>
+    assert(HtmlMetaUtil.timeAttr(
+      "<time title=\"datetime=1999\" datetime=\"2024-01-02\">") ==
+      "2024-01-02")
+  }
+
   test("sitemap_locs: urlset + index, XML escapes, trim, rejects (r12)") {
     import graft.plans.SitemapUtil
     val sm = "<?xml version=\"1.0\"?><urlset>" +

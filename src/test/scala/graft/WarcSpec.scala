@@ -99,6 +99,95 @@ class WarcSpec extends SparkSpec {
     assert(Warc.parse(gzBad).isEmpty)
   }
 
+  test("zero-record WARC magic is parse_ok=false, not an empty success") {
+    // starts with WARC/ but the first record never terminates its
+    // header block: parse() keeps Some(empty), the DataFrame face
+    // must NOT report it as a parsed archive (consumers filter on
+    // parse_ok — ADVICE r12)
+    val zombie = bytes("WARC/1.0\r\nWARC-Type: response\r\nno terminator")
+    assert(Warc.parse(zombie).exists(_.isEmpty))
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(9L, zombie))),
+      StructType(Seq(StructField("media_id", LongType),
+        StructField("payload", BinaryType))))
+    val out = Warc.warcRecords(media).collect()
+    assert(out.length == 1 && !out(0).getBoolean(1))
+  }
+
+  test("http Content-Type lifts from the HTTP message headers") {
+    val recs = Warc.parse(twoRec).getOrElse(fail("no parse"))
+    assert(recs(1).httpContentType == "text/html")
+    assert(recs(0).httpContentType == null) // a request has none here
+  }
+
+  private def gzBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
+
+  test("warcFiles: directory of .warc.gz / .warc files, streaming") {
+    val dir = tmpDir("warcfiles")
+    // member-per-record gzip (the real .warc.gz layout)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "a.warc.gz"),
+      gzBytes(bytes(record("response", "https://a.com/1",
+        httpResp("<p>one</p>")))) ++
+        gzBytes(bytes(record("response", "https://a.com/2",
+          httpResp("<p>two</p>")))))
+    // plain .warc
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "b.warc"), twoRec)
+    // not WARC at all
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "junk.bin"),
+      "<html>not a warc</html>".getBytes)
+    val out = Warc.warcFiles(spark, dir).collect()
+    val ok = out.filter(_.getBoolean(1))
+    val bad = out.filter(!_.getBoolean(1))
+    assert(ok.length == 4 && bad.length == 1)
+    assert(bad(0).getString(0).endsWith("junk.bin"))
+    val uris = ok.filter(r => r.getString(3) == "response")
+      .map(_.getString(4)).sorted.toSeq
+    assert(uris == Seq("https://a.com/1", "https://a.com/2",
+      "https://a.com/x"))
+    // the body column feeds the same downstream plan as warcRecords
+    val texts = Warc.warcFiles(spark, dir)
+      .filter(col("warc_type") === "response" &&
+        col("http_status") === 200)
+      .select(graft.plans.HtmlTextExpr.htmlToText(
+        col("body").cast("string")).as("t"))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(texts == Seq("hello warc", "one", "two"))
+  }
+
+  test("warcFiles: a >512MB archive streams without cap breach") {
+    // 140 records x 4 MB body = 560 MB uncompressed — far past the
+    // byte-column face's maxGunzip=512MB, which must NOT apply on
+    // the file path (records decode incrementally; memory is
+    // O(record)). Bodies compress ~1000x so the fixture writes fast.
+    val dir = tmpDir("warcbig")
+    val body = "a" * (4 << 20)
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(
+          new java.io.File(dir, "big.warc.gz")), 1 << 20))
+    (0 until 140).foreach { i =>
+      out.write(bytes(record("response", s"https://big.com/$i",
+        httpResp(body))))
+    }
+    out.close()
+    val df = Warc.warcFiles(spark, dir)
+    val n = df.filter(col("parse_ok") && col("warc_type") === "response")
+      .count()
+    assert(n == 140)
+    // and the payloads really decoded (length survives the walk)
+    val lens = df.select(org.apache.spark.sql.functions.length(
+      col("body")).as("l")).agg(min("l"), max("l")).collect()(0)
+    assert(lens.getInt(0) == body.length && lens.getInt(1) == body.length)
+  }
+
   test("warcRecords DataFrame face: per-record rows, not-ok row") {
     val media = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
