@@ -24,6 +24,22 @@ object BenchRules {
   val intraFactor = 3.0
   val baselineFactor = 2.0
   val maxBaselineRetries = 8
+  val loadedDriftMax = 1.5
+
+  /** Where a sweep's record belongs (r13): the committed
+    * BENCH_FULL.json must stay a QUIET-box artifact — if a loaded
+    * run (canary drift past loadedDriftMax) or an off-sf run ever
+    * replaced it, the 2x committed-baseline retry thresholds would
+    * inflate for every later sweep. Such runs divert to
+    * BENCH_LOADED.json; subset A/B runs always go to
+    * BENCH_SUBSET.json (r12). A tree with no committed record yet
+    * accepts whatever runs first (there is nothing to protect). */
+  def outFile(subset: Boolean, drift: Double, sfMatches: Boolean,
+      hasBaseline: Boolean): String =
+    if (subset) "BENCH_SUBSET.json"
+    else if (hasBaseline && (!sfMatches || drift > loadedDriftMax))
+      "BENCH_LOADED.json"
+    else "BENCH_FULL.json"
 
   def intraSuspect(med: Double, ownMin: Double): Boolean =
     ownMin > 0 && med > intraFactor * ownMin && med > floor
@@ -238,12 +254,6 @@ object Bench {
     // 4-decimal timings keep the one-line JSON short enough to survive
     // log-tail capture; the full line is also persisted to a file so no
     // per-query number is ever lost to truncation.
-    // Isolated-subset runs write BENCH_SUBSET.json: a 2-query A/B
-    // overwriting BENCH_FULL.json would poison the committed-baseline
-    // retry rule for every later full sweep in the same tree (r12:
-    // a kcore A/B left baseline_n=2 for the next official sweep).
-    val outFile = if (only.isEmpty) "BENCH_FULL.json"
-      else "BENCH_SUBSET.json"
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     def obj(m: Iterable[(String, Double)]): String =
@@ -257,6 +267,12 @@ object Bench {
     // fabricated 1.0
     val probes = Seq(canaryStart, canaryMid, canaryEnd).filter(_ > 0)
     val drift = if (probes.size >= 2) probes.max / probes.min else -1.0
+    // Subset A/B runs write BENCH_SUBSET.json (r12: a 2-query A/B
+    // once left baseline_n=2 for the next official sweep); loaded or
+    // off-sf full sweeps divert to BENCH_LOADED.json (r13) so the
+    // committed record stays a quiet-box artifact by construction.
+    val outFile = BenchRules.outFile(only.nonEmpty, drift,
+      baselineSf.isEmpty || baselineSf == sfDir, baselineAll.nonEmpty)
     val canaryJson = s"""{"start":${fmt(canaryStart)},"mid":${fmt(canaryMid)},"end":${fmt(canaryEnd)},"drift":${fmt(drift)}}"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(medians)},"queries_min":${obj(mins)},"canary":$canaryJson,"retry":${obj(retries)},"retry_canary":${obj(retryCanary)},"baseline_n":${baseline.size},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(

@@ -60,6 +60,60 @@ object SparkEntry {
           st => concat_ws(" ", slice(col("__t"), st, lit(12)))), "\n")
           .as("text"))
 
+  /** Driver-built EXIF fixture for q_exif_meta — a JPEG APP1 (or
+    * bare TIFF) whose IFD0 carries Make/Model (offset ASCII, length
+    * > 4 so the offset form is exercised), Orientation (inline
+    * SHORT) and the ONE validated Exif sub-IFD hop to
+    * DateTimeOriginal, in either byte order. Byte-BUILT like the
+    * q_warc_extract payloads: the expected decode is known by
+    * construction, so a CASE oracle grades the prober exactly. */
+  private def exifFixture(le: Boolean, asJpeg: Boolean, make: String,
+      model: String, ori: Int, dto: String): Array[Byte] = {
+    val mk = make + "\u0000"
+    val md = model + "\u0000"
+    val dt = dto + "\u0000"
+    val bb = java.nio.ByteBuffer.allocate(
+      128 + mk.length + md.length + dt.length).order(
+      if (le) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    def entry(tag: Int, typ: Int, cnt: Int, off: Int): Unit = {
+      bb.putShort(tag.toShort); bb.putShort(typ.toShort)
+      bb.putInt(cnt); bb.putInt(off)
+    }
+    val makeOff = 8 + 2 + 4 * 12 + 4 // header + count + entries + next
+    val modelOff = makeOff + mk.length
+    val subOff = modelOff + md.length
+    val dtoOff = subOff + 2 + 12 + 4
+    bb.put((if (le) "II" else "MM").getBytes("US-ASCII"))
+    bb.putShort(42); bb.putInt(8)
+    bb.putShort(4) // IFD0 entry count, tags ascending
+    entry(271, 2, mk.length, makeOff)
+    entry(272, 2, md.length, modelOff)
+    bb.putShort(274); bb.putShort(3); bb.putInt(1)
+    bb.putShort(ori.toShort); bb.putShort(0)
+    entry(34665, 4, 1, subOff)
+    bb.putInt(0) // next IFD
+    bb.put(mk.getBytes("US-ASCII"))
+    bb.put(md.getBytes("US-ASCII"))
+    bb.putShort(1)
+    entry(36867, 2, dt.length, dtoOff)
+    bb.putInt(0)
+    bb.put(dt.getBytes("US-ASCII"))
+    val tiff = java.util.Arrays.copyOf(bb.array(), bb.position())
+    if (!asJpeg) tiff
+    else {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(0xff); bos.write(0xd8) // SOI
+      val len = 2 + 6 + tiff.length
+      bos.write(0xff); bos.write(0xe1) // APP1
+      bos.write((len >> 8) & 0xff); bos.write(len & 0xff)
+      bos.write("Exif".getBytes("US-ASCII")); bos.write(0); bos.write(0)
+      bos.write(tiff, 0, tiff.length)
+      bos.write(0xff); bos.write(0xd9) // EOI
+      bos.toByteArray
+    }
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     pricingSummary(t(spark, "/root/testdata/sf0.001", "lineitem"))
@@ -1609,13 +1663,17 @@ object SparkEntry {
     }),
 
     "q_outlink_hosts" -> ((s, d) => {
-      // the crawl-frontier composition (r12): html_links -> explode
-      // -> url_canon -> host -> per-host outlink counts — the
-      // host-level outlink graph every crawler maintains, built from
-      // the two r12 kernels end to end. The relative link drops at
-      // canonicalization (absolute URLs only) in BOTH engines.
+      // the crawl-frontier composition (r12, REGRADED r13 through
+      // resolve_url): html_links -> explode -> resolve against the
+      // page URL -> url_canon -> host -> per-host outlink counts —
+      // the host-level outlink graph every crawler maintains. The
+      // relative link used to DROP at canonicalization; with RFC
+      // 3986 resolution it now contributes the page's own host,
+      // like the majority of real-page edges.
       def san(c: Column) = regexp_replace(c, "[\"'<>\\r\\u00A0]", " ")
       val id = col("doc_id").cast("string")
+      val pageUrl = concat(lit("https://"), san(col("source")),
+        lit(".example.com/doc/"), id)
       val html = concat(
         lit("<html><body><p>intro</p><a class=\"x\" href=\"https://"),
         san(col("source")), lit(".example.com/doc/"), id,
@@ -1626,10 +1684,11 @@ object SparkEntry {
         san(col("lang")),
         lit("\">rel</a></body></html>"))
       t(s, d, "documents")
-        .select(explode(split(
+        .select(pageUrl.as("page_url"), explode(split(
           graft.plans.HtmlTextExpr.htmlLinks(html), "\n")).as("href"))
-        .select(graft.plans.UrlCanonExpr.urlCanon(col("href"))
-          .as("canon"))
+        .select(graft.plans.UrlCanonExpr.urlCanon(
+          graft.plans.UrlResolveExpr.resolveUrl(
+            col("page_url"), col("href"))).as("canon"))
         .filter(col("canon").isNotNull)
         .select(regexp_extract(col("canon"),
           "^[a-z0-9+.-]+://([^/:?#]+)", 1).as("host"))
@@ -1701,6 +1760,210 @@ object SparkEntry {
         .otherwise(lit("https://example.com/path/?UTM_CAMPAIGN=c&&x=2"))
       t(s, d, "documents").select(col("doc_id"), url.as("url"),
         graft.plans.UrlCanonExpr.urlCanon(url).as("canon_url"))
+    }),
+
+    "q_resolve_url" -> ((s, d) => {
+      // RFC 3986 §5 reference resolution (r13): the RFC's §5.4
+      // example shapes driven per-row — the base varies through the
+      // host, the ref cycles through merge, dot-segments (incl. the
+      // beyond-root abnormal case), //authority, ?query, #fragment
+      // and absolute override; the oracle reproduces the RFC's
+      // expected strings by construction, so merge + dot-removal +
+      // recomposition must all be exact for the hash to hold.
+      val host = concat(lower(regexp_replace(col("source"),
+        "[^A-Za-z0-9]", "x")), lit(".example.com"))
+      val base = concat(lit("http://"), host, lit("/b/c/d;p?q"))
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 8
+      val ref = when(m === 0, concat(lit("g"), id))
+        .when(m === 1, concat(lit("./g/"), id))
+        .when(m === 2, concat(lit("../g"), id))
+        .when(m === 3, lit("../../../g"))
+        .when(m === 4, concat(lit("//h"), id, lit(".example.org/p")))
+        .when(m === 5, concat(lit("?y="), id))
+        .when(m === 6, concat(lit("#f"), id))
+        .otherwise(concat(lit("https://abs.example.net/z/"), id))
+      t(s, d, "documents").select(col("doc_id"), ref.as("href"),
+        graft.plans.UrlResolveExpr.resolveUrl(base, ref).as("resolved"))
+    }),
+
+    "q_decode_body" -> ((s, d) => {
+      // charset-aware crawl ingest (r13): each document becomes a
+      // WARC response whose HTTP body is encoded in windows-1250 /
+      // ISO-8859-1 / UTF-8 (byte-built non-ASCII suffixes), with the
+      // charset declared in the Content-Type header, a <meta> tag,
+      // or not at all — decode_body must pick the right source per
+      // row or the extracted text mojibakes and the hash breaks.
+      // ASCII column content keeps Content-Length byte math exact;
+      // the binary concat carries the non-ASCII bytes verbatim.
+      val m = col("doc_id") % 3
+      val clean = regexp_replace(regexp_replace(
+        coalesce(col("text"), lit("")), "[^\\x20-\\x7E]", " "),
+        "[<>&]", " ")
+      val src = regexp_replace(col("source"), "[^\\x20-\\x7E]", " ")
+      val uri = concat(lit("https://"), src,
+        lit(".example.com/doc/"), col("doc_id").cast("string"))
+      val pre = concat(lit("<html><head>"),
+        when(m === 1, lit("<meta charset=ISO-8859-1>"))
+          .otherwise(lit("")),
+        lit("</head><body><p>"), clean, lit(" "))
+      val sufBytes = when(m === 0,
+          lit("Żółć gęślą jaźń".getBytes("windows-1250")))
+        .when(m === 1, lit("één beurs café".getBytes("ISO-8859-1")))
+        .otherwise(lit("Żółć ☃".getBytes("UTF-8")))
+      val bodyBin = concat(pre.cast("binary"), sufBytes,
+        lit("</p></body></html>").cast("binary"))
+      val ct = when(m === 0, lit("text/html; charset=windows-1250"))
+        .otherwise(lit("text/html"))
+      val http = concat(
+        concat(lit("HTTP/1.1 200 OK\r\nContent-Type: "), ct,
+          lit("\r\n\r\n")).cast("binary"), bodyBin)
+      val warc = concat(
+        concat(lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: "), uri,
+          lit("\r\nWARC-Date: 2024-01-02T00:00:00Z\r\n" +
+            "Content-Type: application/http;msgtype=response\r\n" +
+            "Content-Length: "), length(http).cast("string"),
+          lit("\r\n\r\n")).cast("binary"),
+        http, lit("\r\n\r\n").cast("binary"))
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), warc.as("payload"))
+      graft.llm.Warc.warcRecords(media, "doc_id", "payload")
+        .filter(col("warc_type") === "response" &&
+          col("http_status") === 200)
+        .select(col("media_id").as("doc_id"),
+          graft.plans.HtmlTextExpr.htmlToText(
+            graft.plans.DecodeBodyExpr.decodeBody(
+              col("body"), col("http_content_type"))).as("text"))
+    }),
+
+    "q_sitemap_warc" -> ((s, d) => {
+      // sitemap discovery through the WARC path (r13): the sitemap
+      // XML gzips INSIDE the plan (gzip_bytes), rides an HTTP
+      // response with Content-Type: application/xml, and comes back
+      // out through warcRecords -> gunzip_bytes -> sitemap_locs —
+      // the real .xml.gz serving shape end to end. Double-sanitized
+      // column content (ASCII for Content-Length byte math, &<>
+      // for the XML/oracle contract).
+      def san(c: Column) = regexp_replace(regexp_replace(c,
+        "[^\\x20-\\x7E]", " "), "[<>&]", " ")
+      val id = col("doc_id").cast("string")
+      val xml = concat(
+        lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+          "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+          "<url><loc>https://"),
+        san(col("source")), lit(".example.com/doc/"), id,
+        lit("?a=1&amp;b=2</loc><lastmod>2024-01-02</lastmod></url>" +
+          "<url><loc>  https://example.com/lang/"),
+        san(col("lang")), lit("/"), id,
+        lit(" </loc></url></urlset>"))
+      val gz = graft.plans.BytesCodecExpr.gzipBytes(xml.cast("binary"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: application/xml\r\n\r\n")
+          .cast("binary"), gz)
+      val uri = concat(lit("https://"), san(col("source")),
+        lit(".example.com/sitemap.xml.gz"))
+      val warc = concat(
+        concat(lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: "), uri,
+          lit("\r\nWARC-Date: 2024-01-02T00:00:00Z\r\n" +
+            "Content-Type: application/http;msgtype=response\r\n" +
+            "Content-Length: "), length(http).cast("string"),
+          lit("\r\n\r\n")).cast("binary"),
+        http, lit("\r\n\r\n").cast("binary"))
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), warc.as("payload"))
+      graft.llm.Warc.warcRecords(media, "doc_id", "payload")
+        .filter(col("http_content_type") === "application/xml" &&
+          col("http_status") === 200)
+        .select(col("media_id").as("doc_id"),
+          graft.plans.HtmlTextExpr.sitemapLocs(
+            graft.plans.BytesCodecExpr.gunzipBytes(col("body"))
+              .cast("string")).as("locs"))
+    }),
+
+    "q_frontier" -> ((s, d) => {
+      // the full crawl politeness loop as ONE plan (r13): page ->
+      // html_links -> resolve_url -> url_canon -> host/path ->
+      // DISTINCT per-host robots.txt (the join shape RobotsMatch's
+      // docstring prescribes) broadcast back onto the links ->
+      // robots_allowed + crawl_delay gate -> per-host frontier
+      // counts. Scale shape: the links frame is map-only from the
+      // scan; the only full-data exchange is the final host
+      // aggregate (partial agg first), the robots frame exchanges
+      // post-distinct (tiny) and returns via BROADCAST.
+      def san(c: Column) = regexp_replace(c, "[\"'<>\\r\\u00A0]", " ")
+      val id = col("doc_id").cast("string")
+      val pageUrl = concat(lit("https://"), san(col("source")),
+        lit(".example.com/dir/page.html"))
+      val html = concat(
+        lit("<html><body><a href=\"/private/x"), id,
+        lit("\">a</a><a href=\"/private/public/y"), id,
+        lit("\">b</a><a href=\"/open/z"), id,
+        lit("\">c</a><a href=\"doc/"), id,
+        lit("\">d</a><a href=\"https://other"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.net/open/q\">e</a></body></html>"))
+      // lineage-cut (the urgentCopurchasePairs pattern): the robots
+      // side below needs DISTINCT hosts — without the cut it would
+      // re-scan the corpus and re-run the extract kernels a second
+      // time; the (host, path) frame is tiny next to the pages
+      val links = t(s, d, "documents")
+        .select(pageUrl.as("page_url"), explode(split(
+          graft.plans.HtmlTextExpr.htmlLinks(html), "\n")).as("href"))
+        .select(graft.plans.UrlCanonExpr.urlCanon(
+          graft.plans.UrlResolveExpr.resolveUrl(
+            col("page_url"), col("href"))).as("canon"))
+        .filter(col("canon").isNotNull)
+        .select(regexp_extract(col("canon"),
+          "^[a-z0-9+.-]+://([^/:?#]+)", 1).as("host"),
+          regexp_extract(col("canon"),
+            "^[a-z0-9+.-]+://[^/]*(/.*)", 1).as("path"))
+        .localCheckpoint(false)
+      // one robots.txt per DISTINCT host (a real crawler fetches it
+      // once per host); the Crawl-delay derives from the host so the
+      // joined-back value is observable per group
+      val robotsByHost = links.select(col("host")).distinct()
+        .withColumn("robots", concat(
+          lit("User-agent: graftbot\nDisallow: /private/\n" +
+            "Allow: /private/public/\nCrawl-delay: "),
+          ((length(col("host")) % 5) + 1).cast("string"),
+          lit("\n\nUser-agent: *\nDisallow: /\n")))
+      links.join(broadcast(robotsByHost), Seq("host"))
+        .select(col("host"),
+          graft.plans.RobotsExpr.robotsAllowed(col("robots"),
+            lit("graftbot"), col("path")).as("allowed"),
+          graft.plans.RobotsExpr.robotsCrawlDelay(col("robots"),
+            lit("graftbot")).as("delay"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_links"),
+          sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"),
+          min(col("delay")).as("crawl_delay"))
+    }),
+
+    "q_exif_meta" -> ((s, d) => {
+      // EXIF extraction graded like every other byte kernel (r13):
+      // four driver-built payloads — LE JPEG, BE JPEG, bare LE TIFF,
+      // and an EXIF-less JPEG control — cycle per row; the oracle
+      // states the known-by-construction fields, so byte order, the
+      // APP1 scan, offset-vs-inline ASCII and the one sub-IFD hop
+      // must all decode exactly.
+      val v0 = exifFixture(le = true, asJpeg = true, "GraftCam0",
+        "GraftM0", 1, "2024:01:02 03:04:05")
+      val v1 = exifFixture(le = false, asJpeg = true, "GraftCam1",
+        "GraftM1", 6, "2023:12:31 23:59:58")
+      val v2 = exifFixture(le = true, asJpeg = false, "GraftCam2",
+        "GraftM2", 3, "2022:06:15 12:00:00")
+      val v3 = Array(0xff, 0xd8, 0xff, 0xda, 0, 4, 0, 0, 0xff, 0xd9)
+        .map(_.toByte)
+      val m = col("doc_id") % 4
+      val media = t(s, d, "documents").select(col("doc_id"),
+        when(m === 0, lit(v0)).when(m === 1, lit(v1))
+          .when(m === 2, lit(v2)).otherwise(lit(v3)).as("payload"))
+      graft.llm.Multimodal.probeExifMeta(media, "doc_id", "payload")
+        .select(col("media_id").as("doc_id"), col("probe_ok"),
+          col("orientation"), col("make"), col("model"),
+          col("date_time_original"))
     }),
 
     // ---- sessionization + funnel (round 8) ----
@@ -3125,12 +3388,17 @@ object SparkEntry {
     "q_flesch" -> ((s, d) =>
       // readability quality axis: Flesch reading ease with its exact
       // count components (letter-run words, vowel-group syllables,
-      // terminal-punct sentences) — map-only, no shuffle
-      t(s, d, "documents").select(col("doc_id"),
-        element_at(Text.fleschCounts(col("text")), 1).as("n_words"),
-        element_at(Text.fleschCounts(col("text")), 2).as("n_sentences"),
-        element_at(Text.fleschCounts(col("text")), 3).as("n_syllables"),
-        round(Text.fleschReadingEase(col("text")), 6).as("flesch"))),
+      // terminal-punct sentences) — map-only, no shuffle. The counts
+      // array materializes ONCE and everything derives from it:
+      // inlining fleschCounts per column tripped a Spark codegen
+      // subexpression bug and dropped the stage to interpreted (r13)
+      t(s, d, "documents")
+        .select(col("doc_id"), Text.fleschCounts(col("text")).as("__c"))
+        .select(col("doc_id"),
+          element_at(col("__c"), 1).as("n_words"),
+          element_at(col("__c"), 2).as("n_sentences"),
+          element_at(col("__c"), 3).as("n_syllables"),
+          round(Text.fleschFromCounts(col("__c")), 6).as("flesch"))),
 
     "q_dtw_types" -> ((s, d) => {
       // tempo-tolerant series similarity: daily mean-value curves per
@@ -5410,27 +5678,22 @@ object SparkEntry {
            END AS DOUBLE) AS crawl_delay
          FROM documents""",
 
+    // q_outlink_hosts oracle: the three fixture links resolve BY
+    // CONSTRUCTION — the absolute https one and the (now-resolved)
+    // relative one both land on the page's host, the HTTP:80 one on
+    // track.example.com; per doc: page-host x2, track x1
     "q_outlink_hosts" ->
       """WITH h AS (
-           SELECT doc_id,
-             '<html><body><p>intro</p><a class="x" href="https://'
-             || regexp_replace(source, '["''<>\r\x{00A0}]', ' ', 'g')
-             || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
-             || '">first</a><div><A HREF="HTTP://Track.Example.COM:80/p?utm_source=feed&id='
-             || CAST(doc_id AS VARCHAR)
-             || '#frag"></A></div><a name="no-href"></a><a hreflang="en" href="/relative/'
-             || regexp_replace(lang, '["''<>\r\x{00A0}]', ' ', 'g')
-             || '">rel</a></body></html>' AS html
+           SELECT lower(regexp_replace(source,
+               '["''<>\r\x{00A0}]', ' ', 'g')) || '.example.com'
+             AS shost
            FROM documents),
-         l AS (SELECT unnest(regexp_extract_all(html,
-             '(?is)<a\s[^>]*?href\s*=\s*"([^"]*)"', 1)) AS href
-           FROM h)
-         SELECT lower(regexp_extract(href,
-             '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host,
-           count(*) AS n_links
-         FROM l
-         WHERE regexp_matches(href, '^[A-Za-z][A-Za-z0-9+.-]*://')
-         GROUP BY 1""",
+         u AS (
+           SELECT shost AS host FROM h
+           UNION ALL SELECT 'track.example.com' FROM h
+           UNION ALL SELECT shost FROM h)
+         SELECT host, CAST(count(*) AS BIGINT) AS n_links
+         FROM u GROUP BY 1""",
 
     "q_warc_extract" ->
       """WITH h AS (
@@ -5510,6 +5773,124 @@ object SparkEntry {
                CASE WHEN kept <> '' THEN '?' || kept ELSE '' END
            END AS canon_url
          FROM r""",
+
+    "q_resolve_url" ->
+      """WITH h AS (SELECT doc_id,
+           lower(regexp_replace(source, '[^A-Za-z0-9]', 'x', 'g'))
+             || '.example.com' AS host,
+           CAST(doc_id AS VARCHAR) AS id
+           FROM documents)
+         SELECT doc_id,
+           CASE doc_id % 8
+             WHEN 0 THEN 'g' || id
+             WHEN 1 THEN './g/' || id
+             WHEN 2 THEN '../g' || id
+             WHEN 3 THEN '../../../g'
+             WHEN 4 THEN '//h' || id || '.example.org/p'
+             WHEN 5 THEN '?y=' || id
+             WHEN 6 THEN '#f' || id
+             ELSE 'https://abs.example.net/z/' || id
+           END AS href,
+           CASE doc_id % 8
+             WHEN 0 THEN 'http://' || host || '/b/c/g' || id
+             WHEN 1 THEN 'http://' || host || '/b/c/g/' || id
+             WHEN 2 THEN 'http://' || host || '/b/g' || id
+             WHEN 3 THEN 'http://' || host || '/g'
+             WHEN 4 THEN 'http://h' || id || '.example.org/p'
+             WHEN 5 THEN 'http://' || host || '/b/c/d;p?y=' || id
+             WHEN 6 THEN 'http://' || host || '/b/c/d;p?q#f' || id
+             ELSE 'https://abs.example.net/z/' || id
+           END AS resolved
+         FROM h""",
+
+    // q_decode_body oracle: DuckDB works in Unicode directly (the
+    // charset decode happens only on the Spark side), then replays
+    // the html_to_text regex chain from q_warc_extract
+    "q_decode_body" ->
+      """WITH h AS (SELECT doc_id,
+           regexp_replace(regexp_replace(coalesce(text, ''),
+             '[^\x{20}-\x{7E}]', ' ', 'g'), '[<>&]', ' ', 'g') AS clean
+           FROM documents),
+         x AS (SELECT doc_id,
+             '<html><head>'
+             || CASE WHEN doc_id % 3 = 1
+                THEN '<meta charset=ISO-8859-1>' ELSE '' END
+             || '</head><body><p>' || clean || ' '
+             || CASE doc_id % 3 WHEN 0 THEN 'Żółć gęślą jaźń'
+                WHEN 1 THEN 'één beurs café' ELSE 'Żółć ☃' END
+             || '</p></body></html>' AS html
+           FROM h),
+         s3 AS (SELECT doc_id, regexp_replace(html,
+             '(?i)</?(h[1-6]|p)\b[^>]*>', chr(10), 'g') AS t FROM x),
+         s4 AS (SELECT doc_id,
+             regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+         s6 AS (SELECT doc_id,
+             regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s4),
+         s7 AS (SELECT doc_id,
+             regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM s6),
+         s8 AS (SELECT doc_id,
+             regexp_replace(t, '\n+', chr(10), 'g') AS t FROM s7)
+         SELECT doc_id,
+           trim(t, ' ' || chr(10) || chr(9)) AS text
+         FROM s8""",
+
+    // q_sitemap_warc oracle: gzip round-trips exactly inside the
+    // Spark plan, so the expected locs are the q_sitemap_locs chain
+    // over the (double-sanitized) constructed XML
+    "q_sitemap_warc" ->
+      """WITH h AS (SELECT doc_id,
+           regexp_replace(regexp_replace(source,
+             '[^\x{20}-\x{7E}]', ' ', 'g'), '[<>&]', ' ', 'g') AS src,
+           regexp_replace(regexp_replace(lang,
+             '[^\x{20}-\x{7E}]', ' ', 'g'), '[<>&]', ' ', 'g') AS lng
+           FROM documents),
+         x AS (SELECT doc_id,
+             '<?xml version="1.0" encoding="UTF-8"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"><url><loc>https://'
+             || src || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+             || '?a=1&amp;b=2</loc><lastmod>2024-01-02</lastmod></url><url><loc>  https://example.com/lang/'
+             || lng || '/' || CAST(doc_id AS VARCHAR)
+             || ' </loc></url></urlset>' AS xml
+           FROM h)
+         SELECT doc_id, nullif(array_to_string(list_transform(
+             regexp_extract_all(xml, '(?is)<loc[^>]*>(.*?)</loc>', 1),
+             x -> replace(trim(x), '&amp;', '&')), chr(10)), '') AS locs
+         FROM x""",
+
+    // q_frontier oracle: per doc, the page host carries 4 links of
+    // which /private/x{id} is the one graftbot disallow; the
+    // other{k}.example.net host carries 1 allowed link; Crawl-delay
+    // is the pinned host-length derivation
+    "q_frontier" ->
+      """WITH h AS (SELECT doc_id,
+           lower(regexp_replace(source, '["''<>\r\x{00A0}]', ' ', 'g'))
+             || '.example.com' AS shost,
+           'other' || CAST(doc_id % 7 AS VARCHAR) || '.example.net'
+             AS ohost
+           FROM documents),
+         u AS (
+           SELECT shost AS host, 4 AS n, 3 AS a FROM h
+           UNION ALL
+           SELECT ohost AS host, 1 AS n, 1 AS a FROM h)
+         SELECT host, CAST(sum(n) AS BIGINT) AS n_links,
+           CAST(sum(a) AS BIGINT) AS n_allowed,
+           CAST(length(host) % 5 + 1 AS DOUBLE) AS crawl_delay
+         FROM u GROUP BY host""",
+
+    "q_exif_meta" ->
+      """SELECT doc_id,
+           doc_id % 4 <> 3 AS probe_ok,
+           CASE doc_id % 4 WHEN 0 THEN 1 WHEN 1 THEN 6
+             WHEN 2 THEN 3 END AS orientation,
+           CASE doc_id % 4 WHEN 0 THEN 'GraftCam0'
+             WHEN 1 THEN 'GraftCam1' WHEN 2 THEN 'GraftCam2'
+           END AS make,
+           CASE doc_id % 4 WHEN 0 THEN 'GraftM0' WHEN 1 THEN 'GraftM1'
+             WHEN 2 THEN 'GraftM2' END AS model,
+           CASE doc_id % 4 WHEN 0 THEN '2024:01:02 03:04:05'
+             WHEN 1 THEN '2023:12:31 23:59:58'
+             WHEN 2 THEN '2022:06:15 12:00:00'
+           END AS date_time_original
+         FROM documents""",
 
     "q_pagerank" -> pagerankSql,
 

@@ -251,16 +251,28 @@ object Text {
       aggregate(ws, lit(0), (acc, w) => acc + syllables(w)))
   }
 
-  /** Flesch reading ease: 206.835 - 1.015·(words/sentences) -
-    * 84.6·(syllables/words) — the document-complexity quality signal
-    * (a curation filter axis alongside [[qualityScore]]: very low
-    * scores flag legalese/boilerplate, implausibly high ones flag
-    * word-salad). Words floor at 1 so empty text scores finitely. */
-  def fleschReadingEase(text: Column): Column = {
-    val c = fleschCounts(text)
+  /** The ease score from an already-materialized [[fleschCounts]]
+    * column. Callers selecting counts AND score should materialize
+    * the counts array in ONE projection and derive from it — inlining
+    * [[fleschCounts]] several times into one projection trips a
+    * Spark whole-stage-codegen subexpression bug ("isNull_N is not
+    * an rvalue", the repeated HOF subtree) and silently drops the
+    * stage to interpreted execution (r13, found via the fallback
+    * sweep). */
+  def fleschFromCounts(c: Column): Column = {
     val nw = greatest(element_at(c, 1), lit(1)).cast("double")
     val ns = element_at(c, 2).cast("double")
     val sy = element_at(c, 3).cast("double")
     lit(206.835) - lit(1.015) * (nw / ns) - lit(84.6) * (sy / nw)
   }
+
+  /** Flesch reading ease: 206.835 - 1.015·(words/sentences) -
+    * 84.6·(syllables/words) — the document-complexity quality signal
+    * (a curation filter axis alongside [[qualityScore]]: very low
+    * scores flag legalese/boilerplate, implausibly high ones flag
+    * word-salad). Words floor at 1 so empty text scores finitely.
+    * Prefer [[fleschFromCounts]] over a shared counts column when
+    * also selecting the components (see its codegen note). */
+  def fleschReadingEase(text: Column): Column =
+    fleschFromCounts(fleschCounts(text))
 }

@@ -91,7 +91,11 @@ object PlanAudit {
       // the WARC reader and the crawl-frontier composition
       "q_html_links", "q_url_canon", "q_corpus_e2e",
       "q_warc_extract", "q_outlink_hosts", "q_robots_gate",
-      "q_sitemap_locs")
+      "q_sitemap_locs",
+      // round-13: RFC 3986 resolution, charset decode, WARC-path
+      // sitemaps, the politeness-loop composition, EXIF
+      "q_resolve_url", "q_decode_body", "q_sitemap_warc",
+      "q_frontier", "q_exif_meta")
 
     println("# Physical-plan dossier (sf0.01, AQE disabled for the audit)")
     println()

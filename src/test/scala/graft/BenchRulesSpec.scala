@@ -65,6 +65,24 @@ class BenchRulesSpec extends AnyFunSuite {
       == "/x/sf0.1")
   }
 
+  test("loaded or off-sf sweeps never overwrite the committed record (r13)") {
+    // quiet full sweep on the baseline's sf: the record updates
+    assert(BenchRules.outFile(subset = false, drift = 1.2,
+      sfMatches = true, hasBaseline = true) == "BENCH_FULL.json")
+    // loaded sweep (drift past 1.5): diverted, record protected
+    assert(BenchRules.outFile(subset = false, drift = 1.76,
+      sfMatches = true, hasBaseline = true) == "BENCH_LOADED.json")
+    // off-sf smoke (e.g. sf0.01 verify run): diverted too
+    assert(BenchRules.outFile(subset = false, drift = 1.0,
+      sfMatches = false, hasBaseline = true) == "BENCH_LOADED.json")
+    // subset A/B stays subset whatever the drift says (r12 rule)
+    assert(BenchRules.outFile(subset = true, drift = 9.9,
+      sfMatches = true, hasBaseline = true) == "BENCH_SUBSET.json")
+    // nothing committed yet: nothing to protect, first run lands
+    assert(BenchRules.outFile(subset = false, drift = 9.9,
+      sfMatches = false, hasBaseline = false) == "BENCH_FULL.json")
+  }
+
   test("committed BENCH_FULL.json parses into a usable baseline") {
     // the real checked-in record must feed the rule (guards against
     // a future format drift silently disabling the defense)
