@@ -25,19 +25,57 @@ object BenchRules {
   val baselineFactor = 2.0
   val maxBaselineRetries = 8
   val loadedDriftMax = 1.5
+  val minsRegressionMax = 1.1
+
+  /** Contention signal for the record guard: the START probe carries
+    * residual JIT warmup even after the soak passes (r8, r9, r12 and
+    * the r13 sweeps all recorded `start` as the slowest point on
+    * otherwise-quiet boxes), so raw drift rejects exactly the
+    * quiet-after-warmup runs the record WANTS. The divert decision
+    * therefore uses max(mid, end) over the min of all probes: a run
+    * that slowed down DURING the sweep reads loaded; a slow first
+    * probe alone does not. -1 when the probes are not comparable. */
+  def postWarmupDrift(start: Double, mid: Double, end: Double): Double = {
+    val probes = Seq(start, mid, end).filter(_ > 0)
+    if (probes.size < 2 || mid <= 0 || end <= 0) -1.0
+    else math.max(mid, end) / probes.min
+  }
+
+  /** Uniform load is invisible to ANY intra-run probe ratio (every
+    * probe is equally elevated — the r13 run-2 shape: drift 1.31,
+    * every shared min ~12% over the committed record). The second
+    * guard: a candidate whose minima over the SHARED queries sum to
+    * more than minsRegressionMax times the committed sum is worse
+    * than the record it would replace — divert it. Minima compare
+    * min-to-min, so this is load- not noise-sensitive. */
+  def minsRegress(candidate: Map[String, Double],
+      committed: Map[String, Double]): Boolean = {
+    // failed queries carry min -1: exclude them from both sides
+    val shared = candidate.filter(_._2 > 0).keySet &
+      committed.filter(_._2 > 0).keySet
+    if (shared.isEmpty) false
+    else {
+      val c = shared.toSeq.map(candidate).sum
+      val b = shared.toSeq.map(committed).sum
+      b > 0 && c > minsRegressionMax * b
+    }
+  }
 
   /** Where a sweep's record belongs (r13): the committed
     * BENCH_FULL.json must stay a QUIET-box artifact — if a loaded
-    * run (canary drift past loadedDriftMax) or an off-sf run ever
-    * replaced it, the 2x committed-baseline retry thresholds would
-    * inflate for every later sweep. Such runs divert to
+    * run or an off-sf run ever replaced it, the 2x
+    * committed-baseline retry thresholds would inflate for every
+    * later sweep. Loaded = post-warmup probe drift past
+    * loadedDriftMax OR a shared sum-of-mins regression past
+    * minsRegressionMax (the uniform-load case). Such runs divert to
     * BENCH_LOADED.json; subset A/B runs always go to
     * BENCH_SUBSET.json (r12). A tree with no committed record yet
     * accepts whatever runs first (there is nothing to protect). */
-  def outFile(subset: Boolean, drift: Double, sfMatches: Boolean,
-      hasBaseline: Boolean): String =
+  def outFile(subset: Boolean, loadDrift: Double, sfMatches: Boolean,
+      hasBaseline: Boolean, regressed: Boolean): String =
     if (subset) "BENCH_SUBSET.json"
-    else if (hasBaseline && (!sfMatches || drift > loadedDriftMax))
+    else if (hasBaseline &&
+        (!sfMatches || loadDrift > loadedDriftMax || regressed))
       "BENCH_LOADED.json"
     else "BENCH_FULL.json"
 
@@ -271,8 +309,13 @@ object Bench {
     // once left baseline_n=2 for the next official sweep); loaded or
     // off-sf full sweeps divert to BENCH_LOADED.json (r13) so the
     // committed record stays a quiet-box artifact by construction.
-    val outFile = BenchRules.outFile(only.nonEmpty, drift,
-      baselineSf.isEmpty || baselineSf == sfDir, baselineAll.nonEmpty)
+    // The divert signal is warmup-tolerant (post-warmup probes) plus
+    // the uniform-load sum-of-mins check against the committed
+    // minima at the same sf.
+    val outFile = BenchRules.outFile(only.nonEmpty,
+      BenchRules.postWarmupDrift(canaryStart, canaryMid, canaryEnd),
+      baselineSf.isEmpty || baselineSf == sfDir, baselineAll.nonEmpty,
+      BenchRules.minsRegress(mins.toMap, baseline))
     val canaryJson = s"""{"start":${fmt(canaryStart)},"mid":${fmt(canaryMid)},"end":${fmt(canaryEnd)},"drift":${fmt(drift)}}"""
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(medians)},"queries_min":${obj(mins)},"canary":$canaryJson,"retry":${obj(retries)},"retry_canary":${obj(retryCanary)},"baseline_n":${baseline.size},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(

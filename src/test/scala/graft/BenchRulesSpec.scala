@@ -67,20 +67,59 @@ class BenchRulesSpec extends AnyFunSuite {
 
   test("loaded or off-sf sweeps never overwrite the committed record (r13)") {
     // quiet full sweep on the baseline's sf: the record updates
-    assert(BenchRules.outFile(subset = false, drift = 1.2,
-      sfMatches = true, hasBaseline = true) == "BENCH_FULL.json")
-    // loaded sweep (drift past 1.5): diverted, record protected
-    assert(BenchRules.outFile(subset = false, drift = 1.76,
-      sfMatches = true, hasBaseline = true) == "BENCH_LOADED.json")
+    assert(BenchRules.outFile(subset = false, loadDrift = 1.2,
+      sfMatches = true, hasBaseline = true, regressed = false)
+      == "BENCH_FULL.json")
+    // loaded sweep (post-warmup drift past 1.5): diverted
+    assert(BenchRules.outFile(subset = false, loadDrift = 1.76,
+      sfMatches = true, hasBaseline = true, regressed = false)
+      == "BENCH_LOADED.json")
+    // uniformly-loaded sweep (flat probes, minima regressed): diverted
+    assert(BenchRules.outFile(subset = false, loadDrift = 1.0,
+      sfMatches = true, hasBaseline = true, regressed = true)
+      == "BENCH_LOADED.json")
     // off-sf smoke (e.g. sf0.01 verify run): diverted too
-    assert(BenchRules.outFile(subset = false, drift = 1.0,
-      sfMatches = false, hasBaseline = true) == "BENCH_LOADED.json")
+    assert(BenchRules.outFile(subset = false, loadDrift = 1.0,
+      sfMatches = false, hasBaseline = true, regressed = false)
+      == "BENCH_LOADED.json")
     // subset A/B stays subset whatever the drift says (r12 rule)
-    assert(BenchRules.outFile(subset = true, drift = 9.9,
-      sfMatches = true, hasBaseline = true) == "BENCH_SUBSET.json")
+    assert(BenchRules.outFile(subset = true, loadDrift = 9.9,
+      sfMatches = true, hasBaseline = true, regressed = true)
+      == "BENCH_SUBSET.json")
     // nothing committed yet: nothing to protect, first run lands
-    assert(BenchRules.outFile(subset = false, drift = 9.9,
-      sfMatches = false, hasBaseline = false) == "BENCH_FULL.json")
+    assert(BenchRules.outFile(subset = false, loadDrift = 9.9,
+      sfMatches = false, hasBaseline = false, regressed = false)
+      == "BENCH_FULL.json")
+  }
+
+  test("post-warmup drift ignores a slow START probe (r13)") {
+    // the r13 run-3 shape: start=0.82 is residual JIT warmup, the
+    // sweep itself ran quiet — raw drift 1.87 rejected exactly the
+    // run the record wanted; post-warmup reads ~1.06
+    val d3 = BenchRules.postWarmupDrift(0.8203, 0.4377, 0.4437)
+    assert(d3 > 1.0 && d3 < 1.1)
+    // the r13 run-1 shape: END elevated = real mid-sweep contention
+    assert(BenchRules.postWarmupDrift(0.6648, 0.4721, 0.7348) > 1.5)
+    // invalid probes -> -1, never a fabricated ratio
+    assert(BenchRules.postWarmupDrift(-1.0, 0.5, -1.0) == -1.0)
+    assert(BenchRules.postWarmupDrift(0.5, -1.0, 0.5) == -1.0)
+  }
+
+  test("sum-of-mins regression catches uniform load (r13)") {
+    val committed = Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0)
+    // the r13 run-2 shape: everything ~12% over the record
+    assert(BenchRules.minsRegress(
+      Map("a" -> 1.12, "b" -> 1.13, "c" -> 1.12, "new_q" -> 0.3),
+      committed))
+    // ~4% over (the run-3 shape): within band, record updates
+    assert(!BenchRules.minsRegress(
+      Map("a" -> 1.04, "b" -> 1.05, "c" -> 1.03), committed))
+    // failed queries (min -1) stay out of the comparison
+    assert(!BenchRules.minsRegress(
+      Map("a" -> 1.0, "b" -> -1.0, "c" -> 1.0), committed))
+    // disjoint or empty: nothing to compare, never diverts on it
+    assert(!BenchRules.minsRegress(Map("x" -> 9.0), committed))
+    assert(!BenchRules.minsRegress(Map.empty, committed))
   }
 
   test("committed BENCH_FULL.json parses into a usable baseline") {
