@@ -1966,6 +1966,112 @@ object SparkEntry {
           col("date_time_original"))
     }),
 
+    "q_warc_gzip_body" -> ((s, d) => {
+      // Content-Encoding: gzip — the web's wire default (r13):
+      // even rows carry a GZIPPED HTTP body with the header
+      // declaring it, odd rows identity; the plan undoes the
+      // encoding CONDITIONALLY on the lifted header before text
+      // extraction. Content-Length counts the compressed bytes by
+      // construction (length() of the assembled binary).
+      val id = col("doc_id").cast("string")
+      val clean = regexp_replace(regexp_replace(
+        coalesce(col("text"), lit("")), "[^\\x20-\\x7E]", " "),
+        "[<>&]", " ")
+      val src = regexp_replace(col("source"), "[^\\x20-\\x7E]", " ")
+      val uri = concat(lit("https://"), src,
+        lit(".example.com/doc/"), id)
+      val html = concat(lit("<html><body><h1>Doc "), id,
+        lit("</h1><p>"), clean, lit("</p></body></html>"))
+      val gz = col("doc_id") % 2 === 0
+      val bodyBin = when(gz,
+          graft.plans.BytesCodecExpr.gzipBytes(html.cast("binary")))
+        .otherwise(html.cast("binary"))
+      val http = concat(
+        concat(lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"),
+          when(gz, lit("Content-Encoding: gzip\r\n"))
+            .otherwise(lit("")),
+          lit("\r\n")).cast("binary"), bodyBin)
+      val warc = concat(
+        concat(lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: "), uri,
+          lit("\r\nWARC-Date: 2024-01-02T00:00:00Z\r\n" +
+            "Content-Type: application/http;msgtype=response\r\n" +
+            "Content-Length: "), length(http).cast("string"),
+          lit("\r\n\r\n")).cast("binary"),
+        http, lit("\r\n\r\n").cast("binary"))
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), warc.as("payload"))
+      val recs = graft.llm.Warc.warcRecords(media, "doc_id", "payload")
+        .filter(col("warc_type") === "response" &&
+          col("http_status") === 200)
+      recs.select(col("media_id").as("doc_id"),
+        col("http_content_encoding"),
+        graft.plans.HtmlTextExpr.htmlToText(
+          graft.plans.DecodeBodyExpr.decodeBody(
+            when(col("http_content_encoding") === "gzip",
+              graft.plans.BytesCodecExpr.gunzipBytes(col("body")))
+              .otherwise(col("body")),
+            col("http_content_type"))).as("text"))
+    }),
+
+    "q_main_text" -> ((s, d) => {
+      // boilerplate removal (r13): each document wraps in a page
+      // with a nav bar, a short copyright line, a link-dense teaser
+      // and a link-farm footer around two real paragraphs — the
+      // kernel must keep exactly the content blocks (>=25 normalized
+      // chars, link density <= 1/3). Both paragraphs' keep decisions
+      // are statable, so the oracle reproduces the output string —
+      // including the case where a short document drops its own
+      // body paragraph below the length floor.
+      def san(c: Column) = regexp_replace(regexp_replace(c,
+        "[^\\x20-\\x7E]", " "), "[<>&]", " ")
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><body><div><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About</a> " +
+          "<a href=\"/contact\">Contact</a></div><p>Doc "),
+        id, lit(" body: "), san(coalesce(col("text"), lit(""))),
+        lit("</p><p>Read <a href=\"/more\">more on our site</a> now" +
+          "</p><div>(c) 2024 Example</div><p>Published by "),
+        san(col("source")),
+        lit(" newsroom desk team</p><div>" +
+          "<a href=\"/tos\">Terms of Service</a> | " +
+          "<a href=\"/privacy\">Privacy Policy</a></div>" +
+          "</body></html>"))
+      t(s, d, "documents").select(col("doc_id"),
+        graft.plans.MainTextExpr.htmlMainText(html).as("main_text"))
+    }),
+
+    "q_warc_digest_dedup" -> ((s, d) => {
+      // Common-Crawl-style exact dedup by WARC-Payload-Digest (r13):
+      // the archive records the payload hash, so response-level
+      // dedup needs NO byte compare — group on the lifted digest,
+      // keep the lowest id. Digests collide by construction
+      // (doc_id % 50) so every group has real duplicates.
+      val id = col("doc_id").cast("string")
+      val digest = concat(lit("sha1:GRAFT"),
+        (col("doc_id") % 50).cast("string"))
+      val html = concat(lit("<p>doc "), id, lit("</p>"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        html)
+      val warc = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+          "https://example.com/doc/"), id,
+        lit("\r\nWARC-Payload-Digest: "), digest,
+        lit("\r\nWARC-Date: 2024-01-02T00:00:00Z\r\n" +
+          "Content-Type: application/http;msgtype=response\r\n" +
+          "Content-Length: "), length(http).cast("string"),
+        lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), warc.cast("binary").as("payload"))
+      graft.llm.Warc.warcRecords(media, "doc_id", "payload")
+        .filter(col("warc_type") === "response")
+        .groupBy(col("payload_digest"))
+        .agg(min(col("media_id")).as("keeper_doc_id"),
+          count(lit(1)).as("n_copies"))
+    }),
+
     // ---- sessionization + funnel (round 8) ----
     "q_sessionize" -> ((s, d) =>
       graft.operators.Sessions.sessionStats(t(s, d, "events"),
@@ -5891,6 +5997,66 @@ object SparkEntry {
              WHEN 2 THEN '2022:06:15 12:00:00'
            END AS date_time_original
          FROM documents""",
+
+    // q_warc_gzip_body oracle: the gzip encoding round-trips exactly
+    // inside the Spark plan, so the expected text is the
+    // q_warc_extract html_to_text chain over the constructed page
+    "q_warc_gzip_body" ->
+      """WITH h AS (SELECT doc_id,
+           regexp_replace(regexp_replace(coalesce(text, ''),
+             '[^\x{20}-\x{7E}]', ' ', 'g'), '[<>&]', ' ', 'g') AS clean
+           FROM documents),
+         x AS (SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'gzip' END
+               AS http_content_encoding,
+             '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+               || '</h1><p>' || clean || '</p></body></html>' AS html
+           FROM h),
+         s3 AS (SELECT doc_id, http_content_encoding,
+             regexp_replace(html,
+             '(?i)</?(h[1-6]|p)\b[^>]*>', chr(10), 'g') AS t FROM x),
+         s4 AS (SELECT doc_id, http_content_encoding,
+             regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+         s6 AS (SELECT doc_id, http_content_encoding,
+             regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s4),
+         s7 AS (SELECT doc_id, http_content_encoding,
+             regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM s6),
+         s8 AS (SELECT doc_id, http_content_encoding,
+             regexp_replace(t, '\n+', chr(10), 'g') AS t FROM s7)
+         SELECT doc_id, http_content_encoding,
+           trim(t, ' ' || chr(10) || chr(9)) AS text
+         FROM s8""",
+
+    "q_warc_digest_dedup" ->
+      """SELECT 'sha1:GRAFT' || CAST(doc_id % 50 AS VARCHAR)
+             AS payload_digest,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+         FROM documents
+         GROUP BY 1""",
+
+    // q_main_text oracle: the fixture's nav/teaser/copyright/footer
+    // blocks drop BY CONSTRUCTION (link-dense or under the length
+    // floor in both engines); the two content paragraphs reproduce
+    // exactly, with the body paragraph subject to the same 25-char
+    // floor the kernel applies after whitespace collapse
+    "q_main_text" ->
+      """WITH h AS (SELECT doc_id,
+           regexp_replace(regexp_replace(coalesce(text, ''),
+             '[^\x{20}-\x{7E}]', ' ', 'g'), '[<>&]', ' ', 'g') AS clean,
+           regexp_replace(regexp_replace(source,
+             '[^\x{20}-\x{7E}]', ' ', 'g'), '[<>&]', ' ', 'g') AS src
+           FROM documents),
+         c AS (SELECT doc_id,
+             trim(regexp_replace('Doc ' || CAST(doc_id AS VARCHAR)
+               || ' body: ' || clean, ' +', ' ', 'g')) AS c1,
+             trim(regexp_replace('Published by ' || src
+               || ' newsroom desk team', ' +', ' ', 'g')) AS c2
+           FROM h)
+         SELECT doc_id,
+           CASE WHEN length(c1) >= 25 THEN c1 || chr(10) || c2
+                ELSE c2 END AS main_text
+         FROM c""",
 
     "q_pagerank" -> pagerankSql,
 

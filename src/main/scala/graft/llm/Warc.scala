@@ -34,7 +34,8 @@ object Warc {
   final case class WarcRec(
       recType: String, targetUri: String, date: String,
       contentType: String, httpStatus: Option[Int], body: Array[Byte],
-      httpContentType: String = null)
+      httpContentType: String = null,
+      httpContentEncoding: String = null, payloadDigest: String = null)
 
   private def bFind(b: Array[Byte], s: String, from: Int, to: Int): Int = {
     val n = s.length
@@ -112,11 +113,14 @@ object Warc {
   }
 
   /** An application/http record's body is an HTTP message: lift the
-    * status code and the HTTP Content-Type (where the charset param
-    * lives — [[graft.plans.DecodeBodyUtil]] consumes it), keep only
-    * the message body. Non-http records pass through untouched. */
+    * status code, the HTTP Content-Type (where the charset param
+    * lives — [[graft.plans.DecodeBodyUtil]] consumes it) and the
+    * Content-Encoding (gzip bodies are the WEB's wire default —
+    * [[graft.plans.BytesCodecExpr.gunzipBytes]] undoes it
+    * downstream), keep only the message body. Non-http records pass
+    * through untouched. */
   private def liftHttp(warcCt: String, body: Array[Byte])
-      : (Option[Int], Array[Byte], String) = {
+      : (Option[Int], Array[Byte], String, String) = {
     if (warcCt != null && warcCt.startsWith("application/http") &&
         bFind(body, "HTTP/", 0, 5) == 0) {
       val he = bFind(body, "\r\n\r\n", 0, body.length)
@@ -135,10 +139,12 @@ object Warc {
         }
       val httpCt =
         if (he < 0) null else header(body, "Content-Type", 0, he)
-      if (he < 0) (st, Array.empty[Byte], httpCt)
+      val httpCe =
+        if (he < 0) null else header(body, "Content-Encoding", 0, he)
+      if (he < 0) (st, Array.empty[Byte], httpCt, httpCe)
       else (st, java.util.Arrays.copyOfRange(
-        body, he + 4, body.length), httpCt)
-    } else (None, body, null)
+        body, he + 4, body.length), httpCt, httpCe)
+    } else (None, body, null, null)
   }
 
   /** All records of one WARC payload (gunzipped first if gzip).
@@ -174,12 +180,13 @@ object Warc {
             val body = java.util.Arrays.copyOfRange(
               b, bodyStart, bodyStart + len.toInt)
             val ct = header(b, "Content-Type", pos, hEnd)
-            val (status, payload, httpCt) = liftHttp(ct, body)
+            val (status, payload, httpCt, httpCe) = liftHttp(ct, body)
             out += WarcRec(
               header(b, "WARC-Type", pos, hEnd),
               header(b, "WARC-Target-URI", pos, hEnd),
               header(b, "WARC-Date", pos, hEnd),
-              ct, status, payload, httpCt)
+              ct, status, payload, httpCt, httpCe,
+              header(b, "WARC-Payload-Digest", pos, hEnd))
             pos = bodyStart + len.toInt
           }
         }
@@ -197,7 +204,9 @@ object Warc {
     StructField("content_type", StringType),
     StructField("http_status", IntegerType),
     StructField("body", BinaryType),
-    StructField("http_content_type", StringType))
+    StructField("http_content_type", StringType),
+    StructField("http_content_encoding", StringType),
+    StructField("payload_digest", StringType))
 
   private val recSchema: StructType =
     StructType(StructField("media_id", LongType) +: recFields)
@@ -228,11 +237,12 @@ object Warc {
               recs.zipWithIndex.map { case (w, i) =>
                 Row(id, true, i, w.recType, w.targetUri, w.date,
                   w.contentType, w.httpStatus.map(Int.box).orNull,
-                  w.body, w.httpContentType)
+                  w.body, w.httpContentType, w.httpContentEncoding,
+                  w.payloadDigest)
               }
             case _ =>
               Seq(Row(id, false, null, null, null, null, null, null,
-                null, null))
+                null, null, null, null))
           }
         }
       }(enc)
@@ -274,10 +284,11 @@ object Warc {
     val body = in.readNBytes(len.toInt)
     if (body.length != len) return null // truncated body
     val ct = header(hb, "Content-Type", 0, hEnd)
-    val (status, payload, httpCt) = liftHttp(ct, body)
+    val (status, payload, httpCt, httpCe) = liftHttp(ct, body)
     WarcRec(header(hb, "WARC-Type", 0, hEnd),
       header(hb, "WARC-Target-URI", 0, hEnd),
-      header(hb, "WARC-Date", 0, hEnd), ct, status, payload, httpCt)
+      header(hb, "WARC-Date", 0, hEnd), ct, status, payload, httpCt,
+      httpCe, header(hb, "WARC-Payload-Digest", 0, hEnd))
   }
 
   /** File-level front door: every `.warc` / `.warc.gz` file under
@@ -345,13 +356,14 @@ object Warc {
           if (rec == null) {
             emittedBad = true
             Row(file, false, null, null, null, null, null, null, null,
-              null)
+              null, null, null)
           } else {
             val w = rec
             rec = fetch()
             val r = Row(file, true, idx, w.recType, w.targetUri, w.date,
               w.contentType, w.httpStatus.map(Int.box).orNull, w.body,
-              w.httpContentType)
+              w.httpContentType, w.httpContentEncoding,
+              w.payloadDigest)
             idx += 1
             r
           }

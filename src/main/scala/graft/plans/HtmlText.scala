@@ -46,14 +46,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * scan-bound and parser-bound bronze normalization. */
 object HtmlTextUtil {
 
-  private val blockTags: Set[String] = Set(
+  private[plans] val blockTags: Set[String] = Set(
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
     "table", "tr", "td", "th", "br", "hr", "pre", "blockquote",
     "article", "section", "header", "footer")
 
   /** Case-insensitive search for `needle` (lowercase) in `s` from
     * `from`; -1 if absent. */
-  private def findCi(s: String, needle: String, from: Int): Int = {
+  private[plans] def findCi(s: String, needle: String, from: Int): Int = {
     val n = needle.length
     var i = math.max(from, 0)
     val last = s.length - n
@@ -77,7 +77,7 @@ object HtmlTextUtil {
   /** Decode the entity starting at '&' (index `i`); returns
     * (decodedOrNull, posAfter). Null decoded ⇒ no well-formed entity
     * here — caller emits '&' literally. */
-  private def decodeEntity(s: String, i: Int): (String, Int) = {
+  private[plans] def decodeEntity(s: String, i: Int): (String, Int) = {
     // Semicolon scan bounded to the longest well-formed entity window
     // (body ≤ 11 chars ⇒ ';' at most at i+12): an '&' on a page with
     // no ';' must cost O(1), not O(n) — bare-'&' URL params are the

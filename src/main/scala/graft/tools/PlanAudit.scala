@@ -95,7 +95,10 @@ object PlanAudit {
       // round-13: RFC 3986 resolution, charset decode, WARC-path
       // sitemaps, the politeness-loop composition, EXIF
       "q_resolve_url", "q_decode_body", "q_sitemap_warc",
-      "q_frontier", "q_exif_meta")
+      "q_frontier", "q_exif_meta",
+      // round-13 late batch: wire-encoding, digest dedup,
+      // boilerplate removal
+      "q_warc_gzip_body", "q_warc_digest_dedup", "q_main_text")
 
     println("# Physical-plan dossier (sf0.01, AQE disabled for the audit)")
     println()
