@@ -2014,6 +2014,63 @@ object SparkEntry {
             col("http_content_type"))).as("text"))
     }),
 
+    "q_robots_sitemaps" -> ((s, d) => {
+      // the discovery half of robots.txt (r13): Sitemap directives
+      // extracted in file order — commented and decoy-field lines
+      // must be ignored, values trimmed verbatim. Composes with
+      // sitemap_locs through the fetch path (q_sitemap_warc).
+      val id = col("doc_id").cast("string")
+      val txt = concat(
+        lit("User-agent: *\nDisallow: /private/\n" +
+          "Sitemap: https://"),
+        lower(regexp_replace(col("source"), "[^A-Za-z0-9]", "x")),
+        lit(".example.com/sitemap-"), id,
+        lit(".xml\r\n# Sitemap: https://no.example.com/commented.xml\n" +
+          "sitemapx: https://no.example.com/decoy.xml\n" +
+          "SITEMAP:   https://example.com/news/sitemap.xml.gz  \n"))
+      t(s, d, "documents").select(col("doc_id"),
+        graft.plans.RobotsExpr.robotsSitemaps(txt).as("sitemap_urls"))
+    }),
+
+    "q_warc_chunked" -> ((s, d) => {
+      // Transfer-Encoding: chunked (r13): the html splits into two
+      // chunks with in-plan hex size lines and a zero terminator;
+      // the WARC reader de-chunks TRANSPARENTLY (transport framing),
+      // so the text extraction sees the reassembled payload — the
+      // hash holds only if the chunk framing math is exact.
+      val id = col("doc_id").cast("string")
+      val clean = regexp_replace(regexp_replace(
+        coalesce(col("text"), lit("")), "[^\\x20-\\x7E]", " "),
+        "[<>&]", " ")
+      val src = regexp_replace(col("source"), "[^\\x20-\\x7E]", " ")
+      val uri = concat(lit("https://"), src,
+        lit(".example.com/doc/"), id)
+      val p1 = concat(lit("<html><body><h1>Doc "), id, lit("</h1>"))
+      val p2 = concat(lit("<p>"), clean, lit("</p></body></html>"))
+      val wire = concat(
+        hex(length(p1)), lit("\r\n"), p1, lit("\r\n"),
+        hex(length(p2)), lit("\r\n"), p2, lit("\r\n0\r\n\r\n"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          "Transfer-Encoding: chunked\r\n\r\n"), wire)
+      val warc = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri,
+        lit("\r\nWARC-Date: 2024-01-02T00:00:00Z\r\n" +
+          "Content-Type: application/http;msgtype=response\r\n" +
+          "Content-Length: "),
+        length(http).cast("string"), lit("\r\n\r\n"), http,
+        lit("\r\n\r\n"))
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), warc.cast("binary").as("payload"))
+      graft.llm.Warc.warcRecords(media, "doc_id", "payload")
+        .filter(col("warc_type") === "response" &&
+          col("http_status") === 200)
+        .select(col("media_id").as("doc_id"),
+          graft.plans.HtmlTextExpr.htmlToText(
+            col("body").cast("string")).as("text"))
+    }),
+
     "q_main_text" -> ((s, d) => {
       // boilerplate removal (r13): each document wraps in a page
       // with a nav bar, a short copyright line, a link-dense teaser
@@ -6034,6 +6091,41 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_copies
          FROM documents
          GROUP BY 1""",
+
+    "q_robots_sitemaps" ->
+      """SELECT doc_id,
+           'https://'
+             || lower(regexp_replace(source, '[^A-Za-z0-9]', 'x', 'g'))
+             || '.example.com/sitemap-' || CAST(doc_id AS VARCHAR)
+             || '.xml' || chr(10)
+             || 'https://example.com/news/sitemap.xml.gz'
+             AS sitemap_urls
+         FROM documents""",
+
+    // q_warc_chunked oracle: the chunk framing reassembles exactly
+    // inside the Spark plan, so the expected text is the
+    // q_warc_extract html_to_text chain over the unsplit page
+    "q_warc_chunked" ->
+      """WITH h AS (SELECT doc_id,
+           regexp_replace(regexp_replace(coalesce(text, ''),
+             '[^\x{20}-\x{7E}]', ' ', 'g'), '[<>&]', ' ', 'g') AS clean
+           FROM documents),
+         x AS (SELECT doc_id,
+             '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+               || '</h1><p>' || clean || '</p></body></html>' AS html
+           FROM h),
+         s3 AS (SELECT doc_id, regexp_replace(html,
+             '(?i)</?(h[1-6]|p)\b[^>]*>', chr(10), 'g') AS t FROM x),
+         s4 AS (SELECT doc_id,
+             regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+         s6 AS (SELECT doc_id,
+             regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s4),
+         s7 AS (SELECT doc_id,
+             regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM s6),
+         s8 AS (SELECT doc_id,
+             regexp_replace(t, '\n+', chr(10), 'g') AS t FROM s7)
+         SELECT doc_id, trim(t, ' ' || chr(10) || chr(9)) AS text
+         FROM s8""",
 
     // q_main_text oracle: the fixture's nav/teaser/copyright/footer
     // blocks drop BY CONSTRUCTION (link-dense or under the length

@@ -112,13 +112,61 @@ object Warc {
     null
   }
 
+  /** Transfer-Encoding: chunked decode (RFC 9112 §7.1) — size line
+    * in hex (chunk extensions after ';' dropped), CRLF, data, CRLF,
+    * repeated until a zero chunk; the trailer section is ignored.
+    * Chunked is TRANSPORT framing (unlike Content-Encoding, which is
+    * content representation), so [[liftHttp]] undoes it
+    * transparently: the body column a consumer sees is the payload,
+    * not the wire framing. Null on any framing violation or cap
+    * breach — the caller then keeps the RAW body (reject the
+    * transform, never lose the bytes). */
+  private[graft] def dechunk(b: Array[Byte]): Array[Byte] = {
+    try {
+      val n = b.length
+      val out = new java.io.ByteArrayOutputStream(math.min(n, 64 << 10))
+      var i = 0
+      while (true) {
+        var size = 0L
+        var d = 0
+        var j = i
+        var ok = true
+        while (ok && j < n) {
+          val v = Character.digit((b(j) & 0xff).toChar, 16)
+          if (v < 0) ok = false
+          else {
+            size = size * 16 + v
+            j += 1
+            d += 1
+            if (d > 8) return null // > 4 GB chunk: junk
+          }
+        }
+        if (d == 0) return null // no hex digits where a size belongs
+        // optional chunk extension: runs to the CR
+        while (j < n && b(j) != '\r') j += 1
+        if (j + 1 >= n || b(j) != '\r' || b(j + 1) != '\n') return null
+        j += 2
+        if (size == 0) return out.toByteArray // trailers ignored
+        if (size > maxBody || out.size.toLong + size > maxBody ||
+          j + size + 2 > n) return null
+        out.write(b, j, size.toInt)
+        j += size.toInt
+        if (b(j) != '\r' || b(j + 1) != '\n') return null
+        i = j + 2
+      }
+      null // unreachable
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
   /** An application/http record's body is an HTTP message: lift the
     * status code, the HTTP Content-Type (where the charset param
     * lives — [[graft.plans.DecodeBodyUtil]] consumes it) and the
     * Content-Encoding (gzip bodies are the WEB's wire default —
     * [[graft.plans.BytesCodecExpr.gunzipBytes]] undoes it
-    * downstream), keep only the message body. Non-http records pass
-    * through untouched. */
+    * downstream), keep only the message body — de-chunked first when
+    * the message declares Transfer-Encoding: chunked (transport
+    * framing; a malformed chunk stream keeps the raw body). Non-http
+    * records pass through untouched. */
   private def liftHttp(warcCt: String, body: Array[Byte])
       : (Option[Int], Array[Byte], String, String) = {
     if (warcCt != null && warcCt.startsWith("application/http") &&
@@ -141,9 +189,20 @@ object Warc {
         if (he < 0) null else header(body, "Content-Type", 0, he)
       val httpCe =
         if (he < 0) null else header(body, "Content-Encoding", 0, he)
+      val httpTe =
+        if (he < 0) null else header(body, "Transfer-Encoding", 0, he)
       if (he < 0) (st, Array.empty[Byte], httpCt, httpCe)
-      else (st, java.util.Arrays.copyOfRange(
-        body, he + 4, body.length), httpCt, httpCe)
+      else {
+        val raw = java.util.Arrays.copyOfRange(
+          body, he + 4, body.length)
+        val payload =
+          if (httpTe != null && httpTe.toLowerCase(java.util.Locale.ROOT)
+              .contains("chunked")) {
+            val de = dechunk(raw)
+            if (de == null) raw else de
+          } else raw
+        (st, payload, httpCt, httpCe)
+      }
     } else (None, body, null, null)
   }
 

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, StringType}
 
@@ -164,6 +164,41 @@ object RobotsUtil {
     val (_, delay) = parseFor(txt, ua)
     delay.map(java.lang.Double.valueOf).orNull
   }
+
+  /** Every `Sitemap:` directive of the file, in order, one per line
+    * (RFC 9309 §2.3 allows them anywhere and OUTSIDE any group —
+    * they are crawler-agnostic, so no UA parameter); values verbatim
+    * after trim, comments/'\r' handled like every other line, null
+    * when none. The discovery half of the politeness file: these
+    * URLs feed [[graft.plans.HtmlText.SitemapUtil]] via the fetch
+    * path. */
+  def sitemaps(txt: String): String = {
+    val out = new java.lang.StringBuilder
+    var found = false
+    var start = 0
+    val n = txt.length
+    while (start <= n) {
+      var end = txt.indexOf('\n', start)
+      if (end < 0) end = n
+      var line = txt.substring(start, end)
+      val hash = line.indexOf('#')
+      if (hash >= 0) line = line.substring(0, hash)
+      line = line.trim
+      val colon = line.indexOf(':')
+      if (colon > 0 &&
+          line.substring(0, colon).trim
+            .toLowerCase(java.util.Locale.ROOT) == "sitemap") {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) {
+          if (found) out.append('\n')
+          out.append(v)
+          found = true
+        }
+      }
+      start = end + 1
+    }
+    if (found) out.toString else null
+  }
 }
 
 /** robots_allowed(txt, user_agent, path) -> boolean. Null if any
@@ -231,6 +266,42 @@ case class RobotsCrawlDelay(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** robots_sitemaps(txt) -> newline-joined Sitemap directive values
+  * in file order; null when none declared or on null input. */
+case class RobotsSitemaps(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"robots_sitemaps expects string, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = RobotsUtil.sitemaps(input.toString)
+    if (r == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(r)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val util = RobotsUtil.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val utf8 = "org.apache.spark.unsafe.types.UTF8String"
+    nullSafeCodeGen(ctx, ev, x => {
+      val tmp = ctx.freshName("smaps")
+      s"""
+        |String $tmp = $util.sitemaps($x.toString());
+        |if ($tmp == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $utf8.fromString($tmp); }
+      """.stripMargin
+    })
+  }
+
+  override def prettyName: String = "robots_sitemaps"
+  override protected def withNewChildInternal(newChild: Expression): RobotsSitemaps =
+    copy(child = newChild)
+}
+
 object RobotsExpr {
   def robotsAllowed(txt: Column, userAgent: Column, path: Column): Column =
     Bridge.toColumn(RobotsAllowed(Bridge.toExpression(txt),
@@ -239,4 +310,7 @@ object RobotsExpr {
   def robotsCrawlDelay(txt: Column, userAgent: Column): Column =
     Bridge.toColumn(RobotsCrawlDelay(Bridge.toExpression(txt),
       Bridge.toExpression(userAgent)))
+
+  def robotsSitemaps(txt: Column): Column =
+    Bridge.toColumn(RobotsSitemaps(Bridge.toExpression(txt)))
 }

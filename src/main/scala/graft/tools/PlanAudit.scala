@@ -98,7 +98,8 @@ object PlanAudit {
       "q_frontier", "q_exif_meta",
       // round-13 late batch: wire-encoding, digest dedup,
       // boilerplate removal
-      "q_warc_gzip_body", "q_warc_digest_dedup", "q_main_text")
+      "q_warc_gzip_body", "q_warc_digest_dedup", "q_main_text",
+      "q_robots_sitemaps", "q_warc_chunked")
 
     println("# Physical-plan dossier (sf0.01, AQE disabled for the audit)")
     println()

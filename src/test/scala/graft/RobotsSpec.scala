@@ -105,4 +105,27 @@ class RobotsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project"), plan)
   }
+
+  test("Sitemap directives: file order, decoys/comments ignored (r13)") {
+    import graft.plans.RobotsUtil
+    val txt = "User-agent: *\nDisallow: /private/\n" +
+      "Sitemap: https://a.com/sitemap.xml\r\n" +
+      "# Sitemap: https://no.com/commented.xml\n" +
+      "sitemapx: https://no.com/decoy.xml\n" +
+      "SITEMAP:   https://a.com/news/sitemap-2.xml.gz  \n" +
+      "Sitemap:\n" // empty value drops
+    assert(RobotsUtil.sitemaps(txt) ==
+      "https://a.com/sitemap.xml\nhttps://a.com/news/sitemap-2.xml.gz")
+    assert(RobotsUtil.sitemaps("User-agent: *\nDisallow:\n") == null)
+    assert(RobotsUtil.sitemaps("") == null)
+    // expression face: null in, null out
+    import spark.implicits._
+    val df = Seq((1L, txt), (2L, null.asInstanceOf[String]))
+      .toDF("id", "txt")
+      .select(col("id"), RobotsExpr.robotsSitemaps(col("txt")).as("s"))
+    val got = df.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got(1L).startsWith("https://a.com/sitemap.xml"))
+    assert(got(2L) == null)
+  }
 }

@@ -127,6 +127,36 @@ class WarcSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("Transfer-Encoding: chunked bodies de-chunk transparently") {
+    import graft.llm.{Warc => W}
+    def chunked(pieces: String*): String =
+      pieces.map(p => f"${p.length}%x\r\n$p\r\n").mkString + "0\r\n\r\n"
+    // unit: framing round-trips, extensions drop, trailers ignored
+    assert(new String(W.dechunk(bytes(chunked("hello ", "world"))),
+      "ISO-8859-1") == "hello world")
+    assert(new String(W.dechunk(bytes(
+      "6;ext=1\r\nhello \r\n5\r\nworld\r\n0\r\nX-Trailer: 1\r\n\r\n")),
+      "ISO-8859-1") == "hello world")
+    // malformed framing rejects the TRANSFORM (null), not the bytes
+    assert(W.dechunk(bytes("zz\r\nhello")) == null)
+    assert(W.dechunk(bytes("6\r\nhello")) == null) // truncated data
+    assert(W.dechunk(bytes("5\r\nhelloXX")) == null) // bad chunk end
+    // through the record face: the body column is the PAYLOAD
+    val html = "<p>de-chunked payload</p>"
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Transfer-Encoding: chunked\r\n\r\n" + chunked(html)
+    val rec = bytes(record("response", "https://c.com/1", http))
+    val recs = W.parse(rec).getOrElse(fail("no parse"))
+    assert(new String(recs.head.body, "ISO-8859-1") == html)
+    // malformed chunk stream: raw body survives
+    val bad = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "not chunked at all"
+    val recs2 = W.parse(bytes(record("response", "https://c.com/2",
+      bad))).getOrElse(fail("no parse"))
+    assert(new String(recs2.head.body, "ISO-8859-1") ==
+      "not chunked at all")
+  }
+
   test("warcFiles: directory of .warc.gz / .warc files, streaming") {
     val dir = tmpDir("warcfiles")
     // member-per-record gzip (the real .warc.gz layout)
