@@ -1669,8 +1669,13 @@ object SparkEntry {
       // the host-level outlink graph every crawler maintains. The
       // relative link used to DROP at canonicalization; with RFC
       // 3986 resolution it now contributes the page's own host,
-      // like the majority of real-page edges.
-      def san(c: Column) = regexp_replace(c, "[\"'<>\\r\\u00A0]", " ")
+      // like the majority of real-page edges. san() also strips URL
+      // structural chars (r14, ADVICE: ':?#%/') so host material
+      // from the source column can never trip the non-digit-port
+      // null or the pct-decode while the oracle still counts the
+      // row.
+      def san(c: Column) =
+        regexp_replace(c, "[\"'<>\\r\\u00A0:?#%/]", " ")
       val id = col("doc_id").cast("string")
       val pageUrl = concat(lit("https://"), san(col("source")),
         lit(".example.com/doc/"), id)
@@ -1740,24 +1745,34 @@ object SparkEntry {
     }),
 
     "q_url_canon" -> ((s, d) => {
-      // url_canon kernel vs a generic DuckDB string-chain oracle: six
-      // URL shapes exercise every rule — default-port strip (http:80,
-      // https:443), non-default port kept, host/scheme lowercase with
-      // path case preserved, utm_*/gclid/fbclid drop (case-
-      // insensitive, empty tokens too), fragment drop, empty path ->
-      // '/', and a non-absolute reject -> null
+      // url_canon kernel vs a generic DuckDB string-chain oracle:
+      // eight URL shapes exercise every rule — default-port strip
+      // (http:80, https:443), non-default port kept, host/scheme
+      // lowercase with path case preserved, utm_*/gclid/fbclid drop
+      // (case-insensitive, empty tokens too), fragment drop, empty
+      // path -> '/', a non-absolute reject -> null, and (r14, RFC
+      // 3986 §6.2.2) percent-encoding normalization: unreserved
+      // escapes decode (%7E -> ~, %41a -> Aa), retained escapes
+      // uppercase their hex (%2f -> %2F), an ESCAPED tracking name
+      // (%75tm_source) still drops, and malformed escapes keep
+      // verbatim
       val id = col("doc_id").cast("string")
-      val url = when(col("doc_id") % 6 === 0,
+      val m = col("doc_id") % 8
+      val url = when(m === 0,
           concat(lit("HTTP://WWW.Site.COM:80/Doc/"), id,
             lit("?utm_source=x&utm_medium=y&id="), id, lit("#sec")))
-        .when(col("doc_id") % 6 === 1, lit("https://Example.com:443"))
-        .when(col("doc_id") % 6 === 2,
+        .when(m === 1, lit("https://Example.com:443"))
+        .when(m === 2,
           concat(lit("http://host.com:8080/p/"), id,
             lit("?gclid=abc&q=1&fbclid=z")))
-        .when(col("doc_id") % 6 === 3,
+        .when(m === 3,
           concat(lit("ftp://Files.EXAMPLE.com/pub/"), id))
-        .when(col("doc_id") % 6 === 4, concat(lit("not a url "), id))
-        .otherwise(lit("https://example.com/path/?UTM_CAMPAIGN=c&&x=2"))
+        .when(m === 4, concat(lit("not a url "), id))
+        .when(m === 5, lit("https://example.com/path/?UTM_CAMPAIGN=c&&x=2"))
+        .when(m === 6,
+          concat(lit("https://example.com/%7Euser/doc%2f"), id,
+            lit("?id=%41a&%75tm_source=x")))
+        .otherwise(concat(lit("http://h.com/a%G1b%4/"), id))
       t(s, d, "documents").select(col("doc_id"), url.as("url"),
         graft.plans.UrlCanonExpr.urlCanon(url).as("canon_url"))
     }),
@@ -1891,8 +1906,10 @@ object SparkEntry {
       // counts. Scale shape: the links frame is map-only from the
       // scan; the only full-data exchange is the final host
       // aggregate (partial agg first), the robots frame exchanges
-      // post-distinct (tiny) and returns via BROADCAST.
-      def san(c: Column) = regexp_replace(c, "[\"'<>\\r\\u00A0]", " ")
+      // post-distinct (tiny) and returns via BROADCAST. san() strips
+      // URL structural chars too (r14) — see q_outlink_hosts.
+      def san(c: Column) =
+        regexp_replace(c, "[\"'<>\\r\\u00A0:?#%/]", " ")
       val id = col("doc_id").cast("string")
       val pageUrl = concat(lit("https://"), san(col("source")),
         lit(".example.com/dir/page.html"))
@@ -2089,7 +2106,11 @@ object SparkEntry {
           "<a href=\"/contact\">Contact</a></div><p>Doc "),
         id, lit(" body: "), san(coalesce(col("text"), lit(""))),
         lit("</p><p>Read <a href=\"/more\">more on our site</a> now" +
-          "</p><div>(c) 2024 Example</div><p>Published by "),
+          "</p><div>(c) 2024 Example</div>" +
+          // r14: an UNCLOSED anchor — the </div> flush must reset the
+          // anchor depth (MainTextUtil rule 3) or every block below
+          // counts as 100% link text and the hash breaks
+          "<div><a href=\"/m\">menu top stories</div><p>Published by "),
         san(col("source")),
         lit(" newsroom desk team</p><div>" +
           "<a href=\"/tos\">Terms of Service</a> | " +
@@ -2127,6 +2148,213 @@ object SparkEntry {
         .groupBy(col("payload_digest"))
         .agg(min(col("media_id")).as("keeper_doc_id"),
           count(lit(1)).as("n_copies"))
+    }),
+
+    "q_warc_files" -> ((s, d) => {
+      // grades the FILE front door (r14): the same per-doc payload
+      // as q_warc_extract (warcinfo + response), but written out as
+      // a directory of REAL `.warc.gz` archives — one gzip stream
+      // per partition, records concatenated, the Common-Crawl
+      // layout — and read back through warcFiles' streaming record
+      // reader. Doc identity returns via the target URI, so the
+      // byte-column oracle that already pins q_warc_extract pins the
+      // file path record for record. The write is a bounded driver-
+      // launched distributed action (foreachPartition, O(record)
+      // memory per task); the directory rebuilds deterministically
+      // per sf so repeated runs never double records.
+      val id = col("doc_id").cast("string")
+      val clean = regexp_replace(regexp_replace(
+        coalesce(col("text"), lit("")), "[^\\x20-\\x7E]", " "),
+        "[<>&]", " ")
+      val src = regexp_replace(col("source"), "[^\\x20-\\x7E]", " ")
+      val uri = concat(lit("https://"), src,
+        lit(".example.com/doc/"), id)
+      val html = concat(lit("<html><body><h1>Doc "), id,
+        lit("</h1><p>"), clean, lit("</p></body></html>"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html)
+      val info = "WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+        "Content-Type: application/warc-fields\r\n" +
+        "Content-Length: 18\r\n\r\nsoftware: graft/14\r\n\r\n"
+      val warc = concat(lit(info),
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri,
+        lit("\r\nWARC-Date: 2024-01-02T00:00:00Z\r\n" +
+          "Content-Type: application/http;msgtype=response\r\n" +
+          "Content-Length: "),
+        length(http).cast("string"), lit("\r\n\r\n"), http,
+        lit("\r\n\r\n"))
+      val media = t(s, d, "documents")
+        .select(warc.cast("binary").as("payload"))
+      val dir = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        "graft_warc_files_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      if (dir.exists) dir.listFiles.foreach(f => { f.delete(); () })
+      dir.mkdirs()
+      val dirPath = dir.getAbsolutePath
+      media.repartition(8).rdd.foreachPartition { it =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val f = new java.io.File(dirPath, f"part-$pid%05d.warc.gz")
+          val out = new java.util.zip.GZIPOutputStream(
+            new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(f), 64 << 10))
+          try it.foreach(r => out.write(r.getAs[Array[Byte]](0)))
+          finally out.close()
+        }
+      }
+      graft.llm.Warc.warcFiles(s, dirPath + "/*.warc.gz")
+        .filter(col("warc_type") === "response" &&
+          col("http_status") === 200)
+        .select(regexp_extract(col("target_uri"),
+          "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("target_uri"),
+          graft.plans.HtmlTextExpr.htmlToText(
+            col("body").cast("string")).as("text"))
+    }),
+
+    "q_outlink_base" -> ((s, d) => {
+      // <base href> resolution (r14, RFC 3986 §5.1.1): page content
+      // can override the retrieval URI as the resolution base, and
+      // CDN-served pages do. Three arms: an absolute cross-host
+      // base, a RELATIVE base (itself resolved against the page URL
+      // first, §5.1.3), and a decoy <base> inside a comment
+      // (markup-dead — the page URL stays the base). The effective
+      // base is coalesce(resolve(page_url, base_href), page_url),
+      // map-only over the scan.
+      val id = col("doc_id").cast("string")
+      val host = concat(lower(regexp_replace(col("source"),
+        "[^A-Za-z0-9]", "x")), lit(".example.com"))
+      val pageUrl = concat(lit("https://"), host,
+        lit("/dir/page.html"))
+      val m = col("doc_id") % 3
+      val headBit = when(m === 0,
+          concat(lit("<base href=\"https://cdn"),
+            (col("doc_id") % 5).cast("string"),
+            lit(".example.org/assets/\">")))
+        .when(m === 1, lit("<base target=\"_blank\" href=\"/b2/\">"))
+        .otherwise(
+          lit("<!-- <base href=\"https://evil.example.com/\"> -->"))
+      val html = concat(lit("<html><head>"), headBit,
+        lit("</head><body><a href=\"img/"), id,
+        lit("\">x</a></body></html>"))
+      val baseHref = graft.plans.HtmlTextExpr.htmlBaseHref(html)
+      val effBase = coalesce(
+        graft.plans.UrlResolveExpr.resolveUrl(pageUrl, baseHref),
+        pageUrl)
+      t(s, d, "documents").select(col("doc_id"),
+        baseHref.as("base_href"),
+        graft.plans.UrlCanonExpr.urlCanon(
+          graft.plans.UrlResolveExpr.resolveUrl(effBase,
+            graft.plans.HtmlTextExpr.htmlLinks(html))).as("resolved"))
+    }),
+
+    "q_decode_bom" -> ((s, d) => {
+      // BOM precedence (r14, WHATWG encoding standard): a UTF-8 /
+      // UTF-16BE / UTF-16LE byte-order mark outranks even the
+      // Content-Type charset param, and the BOM strips from the
+      // decoded text. The three arms serve the SAME page in three
+      // wire encodings — two under a WRONG header charset — so the
+      // decoded text (and the oracle hash) only holds if the BOM
+      // both wins and strips. Content-Length counts bytes via
+      // length() on the assembled binary, so the UTF-16 arms' 2x
+      // width is exact by construction.
+      val m = col("doc_id") % 3
+      val clean = regexp_replace(regexp_replace(
+        coalesce(col("text"), lit("")), "[^\\x20-\\x7E]", " "),
+        "[<>&]", " ")
+      val src = regexp_replace(col("source"), "[^\\x20-\\x7E]", " ")
+      val uri = concat(lit("https://"), src,
+        lit(".example.com/doc/"), col("doc_id").cast("string"))
+      val html = concat(lit("<html><body><p>"), clean,
+        lit(" Żółć ☃</p></body></html>"))
+      val utf8Bom = Array(0xEF, 0xBB, 0xBF).map(_.toByte)
+      val beBom = Array(0xFE, 0xFF).map(_.toByte)
+      val leBom = Array(0xFF, 0xFE).map(_.toByte)
+      val bodyBin = when(m === 0,
+          concat(lit(leBom), encode(html, "UTF-16LE")))
+        .when(m === 1, concat(lit(beBom), encode(html, "UTF-16BE")))
+        .otherwise(concat(lit(utf8Bom), encode(html, "UTF-8")))
+      val ct = when(m === 0, lit("text/html; charset=windows-1250"))
+        .when(m === 1, lit("text/html"))
+        .otherwise(lit("text/html; charset=ISO-8859-1"))
+      val http = concat(
+        concat(lit("HTTP/1.1 200 OK\r\nContent-Type: "), ct,
+          lit("\r\n\r\n")).cast("binary"), bodyBin)
+      val warc = concat(
+        concat(lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: "), uri,
+          lit("\r\nWARC-Date: 2024-01-02T00:00:00Z\r\n" +
+            "Content-Type: application/http;msgtype=response\r\n" +
+            "Content-Length: "), length(http).cast("string"),
+          lit("\r\n\r\n")).cast("binary"),
+        http, lit("\r\n\r\n").cast("binary"))
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), warc.as("payload"))
+      graft.llm.Warc.warcRecords(media, "doc_id", "payload")
+        .filter(col("warc_type") === "response" &&
+          col("http_status") === 200)
+        .select(col("media_id").as("doc_id"),
+          graft.plans.HtmlTextExpr.htmlToText(
+            graft.plans.DecodeBodyExpr.decodeBody(
+              col("body"), col("http_content_type"))).as("text"))
+    }),
+
+    "q_warc_revisit" -> ((s, d) => {
+      // WARC `revisit` records (r14) — Common Crawl's re-fetch
+      // encoding: a revisit carries the payload digest of a prior
+      // capture instead of the bytes; resolving it to the KEPT
+      // original is a digest join against the response records.
+      // Every doc contributes one response (digest shared mod 50,
+      // like q_warc_digest_dedup) and one revisit — resolvable when
+      // doc_id % 3 == 0, an ORPHAN otherwise (its digest matches no
+      // response; reported with a null keeper, never dropped). Scale
+      // shape: one slim projected record frame (lineage-cut), one
+      // shuffle per side on the digest, payload bytes never move.
+      val id = col("doc_id").cast("string")
+      val digest = concat(lit("sha1:GRAFTR"),
+        (col("doc_id") % 50).cast("string"))
+      val revDigest = when(col("doc_id") % 3 === 0, digest)
+        .otherwise(concat(lit("sha1:ORPHAN"), id))
+      val html = concat(lit("<p>doc "), id, lit("</p>"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        html)
+      val warc = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+          "https://example.com/doc/"), id,
+        lit("\r\nWARC-Payload-Digest: "), digest,
+        lit("\r\nWARC-Date: 2024-01-02T00:00:00Z\r\n" +
+          "Content-Type: application/http;msgtype=response\r\n" +
+          "Content-Length: "), length(http).cast("string"),
+        lit("\r\n\r\n"), http, lit("\r\n\r\n"),
+        lit("WARC/1.0\r\nWARC-Type: revisit\r\nWARC-Target-URI: " +
+          "https://mirror.example.com/doc/"), id,
+        lit("\r\nWARC-Payload-Digest: "), revDigest,
+        lit("\r\nWARC-Profile: http://netpreserve.org/warc/1.0/" +
+          "revisit/identical-payload-digest\r\n" +
+          "WARC-Date: 2024-01-03T00:00:00Z\r\n" +
+          "Content-Type: application/http;msgtype=response\r\n" +
+          "Content-Length: 0\r\n\r\n"), lit("\r\n\r\n"))
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), warc.cast("binary").as("payload"))
+      // slim projection BEFORE the cut: the digest join never sees
+      // payload bytes
+      val recs = graft.llm.Warc.warcRecords(media, "doc_id", "payload")
+        .select(col("media_id"), col("warc_type"), col("target_uri"),
+          col("payload_digest"))
+        .localCheckpoint(false)
+      val keepers = recs.filter(col("warc_type") === "response")
+        .groupBy(col("payload_digest"))
+        .agg(min(col("media_id")).as("keeper_doc_id"),
+          min_by(col("target_uri"), col("media_id")).as("keeper_uri"))
+      recs.filter(col("warc_type") === "revisit")
+        .select(col("media_id").as("doc_id"),
+          col("target_uri").as("revisit_uri"), col("payload_digest"))
+        .join(keepers, Seq("payload_digest"), "left")
+        .select(col("doc_id"), col("revisit_uri"),
+          col("keeper_doc_id"), col("keeper_uri"),
+          col("keeper_doc_id").isNotNull.as("resolved"))
     }),
 
     // ---- sessionization + funnel (round 8) ----
@@ -5848,7 +6076,7 @@ object SparkEntry {
     "q_outlink_hosts" ->
       """WITH h AS (
            SELECT lower(regexp_replace(source,
-               '["''<>\r\x{00A0}]', ' ', 'g')) || '.example.com'
+               '["''<>\r\x{00A0}:?#%/]', ' ', 'g')) || '.example.com'
              AS shost
            FROM documents),
          u AS (
@@ -5888,7 +6116,7 @@ object SparkEntry {
 
     "q_url_canon" ->
       """WITH u AS (SELECT doc_id,
-           CASE doc_id % 6
+           CASE doc_id % 8
              WHEN 0 THEN 'HTTP://WWW.Site.COM:80/Doc/' || CAST(doc_id AS VARCHAR)
                || '?utm_source=x&utm_medium=y&id=' || CAST(doc_id AS VARCHAR) || '#sec'
              WHEN 1 THEN 'https://Example.com:443'
@@ -5896,7 +6124,10 @@ object SparkEntry {
                || '?gclid=abc&q=1&fbclid=z'
              WHEN 3 THEN 'ftp://Files.EXAMPLE.com/pub/' || CAST(doc_id AS VARCHAR)
              WHEN 4 THEN 'not a url ' || CAST(doc_id AS VARCHAR)
-             ELSE 'https://example.com/path/?UTM_CAMPAIGN=c&&x=2'
+             WHEN 5 THEN 'https://example.com/path/?UTM_CAMPAIGN=c&&x=2'
+             WHEN 6 THEN 'https://example.com/%7Euser/doc%2f' || CAST(doc_id AS VARCHAR)
+               || '?id=%41a&%75tm_source=x'
+             ELSE 'http://h.com/a%G1b%4/' || CAST(doc_id AS VARCHAR)
            END AS url
            FROM documents),
          p AS (SELECT doc_id, url,
@@ -5927,6 +6158,15 @@ object SparkEntry {
                    NOT IN ('gclid', 'fbclid', 'msclkid', 'mc_eid')), '&') AS kept
            FROM q)
          SELECT doc_id, url,
+           -- r14 pct-norm arms state their expected canon BY
+           -- CONSTRUCTION (the generic chain has no escape
+           -- normalizer); the legacy arms carry no '%' so the chain
+           -- still covers them generically
+           CASE doc_id % 8
+             WHEN 6 THEN 'https://example.com/~user/doc%2F'
+               || CAST(doc_id AS VARCHAR) || '?id=Aa'
+             WHEN 7 THEN 'http://h.com/a%G1b%4/' || CAST(doc_id AS VARCHAR)
+             ELSE
            CASE WHEN NOT is_abs OR host IS NULL OR host = '' THEN NULL
              ELSE scheme || '://' || host ||
                CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
@@ -5934,7 +6174,7 @@ object SparkEntry {
                  THEN ':' || port ELSE '' END
                || path ||
                CASE WHEN kept <> '' THEN '?' || kept ELSE '' END
-           END AS canon_url
+           END END AS canon_url
          FROM r""",
 
     "q_resolve_url" ->
@@ -6025,7 +6265,8 @@ object SparkEntry {
     // is the pinned host-length derivation
     "q_frontier" ->
       """WITH h AS (SELECT doc_id,
-           lower(regexp_replace(source, '["''<>\r\x{00A0}]', ' ', 'g'))
+           lower(regexp_replace(source,
+               '["''<>\r\x{00A0}:?#%/]', ' ', 'g'))
              || '.example.com' AS shost,
            'other' || CAST(doc_id % 7 AS VARCHAR) || '.example.net'
              AS ohost
@@ -6091,6 +6332,106 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_copies
          FROM documents
          GROUP BY 1""",
+
+    // q_warc_files oracle: the file path must agree with the byte
+    // path record for record — this is q_warc_extract's
+    // by-construction chain verbatim
+    "q_warc_files" ->
+      """WITH h AS (
+           SELECT doc_id,
+             regexp_replace(regexp_replace(coalesce(text, ''),
+               '[^\x{20}-\x{7E}]', ' ', 'g'), '[<>&]', ' ', 'g') AS clean,
+             regexp_replace(source, '[^\x{20}-\x{7E}]', ' ', 'g') AS src
+           FROM documents),
+         x AS (
+           SELECT doc_id,
+             'https://' || src || '.example.com/doc/'
+               || CAST(doc_id AS VARCHAR) AS target_uri,
+             '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR)
+               || '</h1><p>' || clean || '</p></body></html>' AS html
+           FROM h),
+         s3 AS (SELECT doc_id, target_uri, regexp_replace(html,
+             '(?i)</?(h[1-6]|p)\b[^>]*>', chr(10), 'g') AS t FROM x),
+         s4 AS (SELECT doc_id, target_uri,
+             regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+         s6 AS (SELECT doc_id, target_uri,
+             regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s4),
+         s7 AS (SELECT doc_id, target_uri,
+             regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM s6),
+         s8 AS (SELECT doc_id, target_uri,
+             regexp_replace(t, '\n+', chr(10), 'g') AS t FROM s7)
+         SELECT doc_id, target_uri,
+           trim(t, ' ' || chr(10) || chr(9)) AS text
+         FROM s8""",
+
+    // q_outlink_base oracle: all three base arms state their
+    // expected resolution BY CONSTRUCTION (absolute base ->
+    // cross-host edge, relative base -> §5.1.3 two-step, commented
+    // decoy -> page URL stays the base)
+    "q_outlink_base" ->
+      """WITH h AS (SELECT doc_id,
+           lower(regexp_replace(source, '[^A-Za-z0-9]', 'x', 'g'))
+             || '.example.com' AS host,
+           CAST(doc_id AS VARCHAR) AS id
+           FROM documents)
+         SELECT doc_id,
+           CASE doc_id % 3
+             WHEN 0 THEN 'https://cdn' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example.org/assets/'
+             WHEN 1 THEN '/b2/'
+           END AS base_href,
+           CASE doc_id % 3
+             WHEN 0 THEN 'https://cdn' || CAST(doc_id % 5 AS VARCHAR)
+               || '.example.org/assets/img/' || id
+             WHEN 1 THEN 'https://' || host || '/b2/img/' || id
+             ELSE 'https://' || host || '/dir/img/' || id
+           END AS resolved
+         FROM h""",
+
+    // q_decode_bom oracle: the decoded page is the SAME string in
+    // all three arms (they differ only in wire encoding + BOM), so
+    // the expected text is one unconditional html_to_text chain
+    "q_decode_bom" ->
+      """WITH h AS (SELECT doc_id,
+           regexp_replace(regexp_replace(coalesce(text, ''),
+             '[^\x{20}-\x{7E}]', ' ', 'g'), '[<>&]', ' ', 'g') AS clean
+           FROM documents),
+         x AS (SELECT doc_id,
+             '<html><body><p>' || clean || ' Żółć ☃</p></body></html>'
+               AS html
+           FROM h),
+         s3 AS (SELECT doc_id, regexp_replace(html,
+             '(?i)</?(h[1-6]|p)\b[^>]*>', chr(10), 'g') AS t FROM x),
+         s4 AS (SELECT doc_id,
+             regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+         s6 AS (SELECT doc_id,
+             regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s4),
+         s7 AS (SELECT doc_id,
+             regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM s6),
+         s8 AS (SELECT doc_id,
+             regexp_replace(t, '\n+', chr(10), 'g') AS t FROM s7)
+         SELECT doc_id,
+           trim(t, ' ' || chr(10) || chr(9)) AS text
+         FROM s8""",
+
+    // q_warc_revisit oracle: keeper per digest group = min doc_id
+    // over the group (every doc emits a response with digest
+    // GRAFTR{doc_id % 50}); a revisit resolves iff doc_id % 3 == 0,
+    // orphans report null keepers
+    "q_warc_revisit" ->
+      """WITH k AS (SELECT doc_id % 50 AS g,
+             CAST(min(doc_id) AS BIGINT) AS keeper
+           FROM documents GROUP BY 1)
+         SELECT d.doc_id,
+           'https://mirror.example.com/doc/'
+             || CAST(d.doc_id AS VARCHAR) AS revisit_uri,
+           CASE WHEN d.doc_id % 3 = 0 THEN k.keeper END
+             AS keeper_doc_id,
+           CASE WHEN d.doc_id % 3 = 0
+             THEN 'https://example.com/doc/' || CAST(k.keeper AS VARCHAR)
+           END AS keeper_uri,
+           d.doc_id % 3 = 0 AS resolved
+         FROM documents d JOIN k ON d.doc_id % 50 = k.g""",
 
     "q_robots_sitemaps" ->
       """SELECT doc_id,

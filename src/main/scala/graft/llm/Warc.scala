@@ -146,7 +146,26 @@ object Warc {
         while (j < n && b(j) != '\r') j += 1
         if (j + 1 >= n || b(j) != '\r' || b(j + 1) != '\n') return null
         j += 2
-        if (size == 0) return out.toByteArray // trailers ignored
+        if (size == 0) {
+          // FULL-BODY CONSUMPTION (r14): the zero-chunk terminator —
+          // plus an optional trailer section — must land exactly at
+          // the body end, or this was not chunked framing at all.
+          // Some archives retain the Transfer-Encoding header over an
+          // already-decoded body; without this check a body whose
+          // leading bytes coincidentally validate as chunk framing
+          // would be silently garbled instead of kept raw.
+          if (j == n) return out.toByteArray // "0\r\n" at end
+          var k = j
+          while (k + 1 < n) {
+            if (b(k) == '\r' && b(k + 1) == '\n')
+              return if (k + 2 == n) out.toByteArray else null
+            var e = k // skip one trailer field line
+            while (e < n && b(e) != '\r') e += 1
+            if (e + 1 >= n || b(e + 1) != '\n') return null
+            k = e + 2
+          }
+          return null // residual bytes with no trailer terminator
+        }
         if (size > maxBody || out.size.toLong + size > maxBody ||
           j + size + 2 > n) return null
         out.write(b, j, size.toInt)
@@ -374,60 +393,100 @@ object Warc {
       if (minPartitions > 0) sc.binaryFiles(path, minPartitions)
       else sc.binaryFiles(path)
     val rows = files.flatMap { case (file, pds) =>
-      new scala.collection.AbstractIterator[Row] {
-        private var closed = false
-        private var emittedBad = false
-        private val in: java.io.InputStream =
-          try {
-            val buf = new java.io.BufferedInputStream(pds.open(), 64 << 10)
-            buf.mark(2)
-            val b0 = buf.read()
-            val b1 = buf.read()
-            buf.reset()
-            if (b0 == 0x1f && b1 == 0x8b)
-              new java.io.BufferedInputStream(
-                new java.util.zip.GZIPInputStream(buf, 32 << 10), 64 << 10)
-            else buf
-          } catch { case scala.util.control.NonFatal(_) => null }
-        private def close(): Unit = if (!closed) {
-          closed = true
-          if (in != null)
-            try in.close()
-            catch { case scala.util.control.NonFatal(_) => () }
-        }
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => close()))
-        private def fetch(): WarcRec =
-          if (in == null) null
-          else
-            try {
-              val r = readRecord(in)
-              if (r == null) close()
-              r
-            } catch {
-              case scala.util.control.NonFatal(_) => close(); null
-            }
-        private var idx = 0
-        private var rec: WarcRec = fetch()
-        override def hasNext: Boolean =
-          rec != null || (idx == 0 && !emittedBad)
-        override def next(): Row =
-          if (rec == null) {
-            emittedBad = true
-            Row(file, false, null, null, null, null, null, null, null,
-              null, null, null)
-          } else {
-            val w = rec
-            rec = fetch()
-            val r = Row(file, true, idx, w.recType, w.targetUri, w.date,
-              w.contentType, w.httpStatus.map(Int.box).orNull, w.body,
-              w.httpContentType, w.httpContentEncoding,
-              w.payloadDigest)
-            idx += 1
-            r
-          }
-      }
+      rowIterator(file, () => pds.open())
     }
     spark.createDataFrame(rows, fileSchema)
+  }
+
+  /** The shared per-file decode walk behind [[warcFiles]] and
+    * [[warcContentRecords]]: magic-sniffed optional gzip over the
+    * opened stream, one [[readRecord]] at a time, the same
+    * bad-file / reject-the-tail rows — so the streaming twin's rows
+    * match the batch front door's BY CONSTRUCTION. */
+  private def rowIterator(key: String,
+      open: () => java.io.InputStream): Iterator[Row] =
+    new scala.collection.AbstractIterator[Row] {
+      private var closed = false
+      private var emittedBad = false
+      private val in: java.io.InputStream =
+        try {
+          val buf = new java.io.BufferedInputStream(open(), 64 << 10)
+          buf.mark(2)
+          val b0 = buf.read()
+          val b1 = buf.read()
+          buf.reset()
+          if (b0 == 0x1f && b1 == 0x8b)
+            new java.io.BufferedInputStream(
+              new java.util.zip.GZIPInputStream(buf, 32 << 10), 64 << 10)
+          else buf
+        } catch { case scala.util.control.NonFatal(_) => null }
+      private def close(): Unit = if (!closed) {
+        closed = true
+        if (in != null)
+          try in.close()
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+      private def fetch(): WarcRec =
+        if (in == null) null
+        else
+          try {
+            val r = readRecord(in)
+            if (r == null) close()
+            r
+          } catch {
+            case scala.util.control.NonFatal(_) => close(); null
+          }
+      private var idx = 0
+      private var rec: WarcRec = fetch()
+      override def hasNext: Boolean =
+        rec != null || (idx == 0 && !emittedBad)
+      override def next(): Row =
+        if (rec == null) {
+          emittedBad = true
+          Row(key, false, null, null, null, null, null, null, null,
+            null, null, null)
+        } else {
+          val w = rec
+          rec = fetch()
+          val r = Row(key, true, idx, w.recType, w.targetUri, w.date,
+            w.contentType, w.httpStatus.map(Int.box).orNull, w.body,
+            w.httpContentType, w.httpContentEncoding,
+            w.payloadDigest)
+          idx += 1
+          r
+        }
+    }
+
+  /** Content-column face (r14): decode a (path, content) frame —
+    * the shape `binaryFile` sources produce, batch OR streaming — to
+    * the same per-record rows as [[warcFiles]], through the same
+    * [[rowIterator]] walk. This is what makes the STREAMING twin
+    * possible: `readStream.format("binaryFile")` ships whole-file
+    * content, and this map-only flatMap turns each micro-batch into
+    * records with zero streaming state.
+    *
+    * Memory is O(file) per row by the source's design (the content
+    * column is materialized) — size landing archives accordingly;
+    * the multi-GB-archive path is [[warcFiles]], whose PDS streams
+    * stay O(record). */
+  def warcContentRecords(df: DataFrame, pathCol: String = "path",
+      contentCol: String = "content"): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(fileSchema)
+    df.select(col(pathCol).cast("string"), col(contentCol))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val key = if (r.isNullAt(0)) "" else r.getString(0)
+          if (r.isNullAt(1))
+            Iterator(Row(key, false, null, null, null, null, null,
+              null, null, null, null, null))
+          else {
+            val bytes = r.getAs[Array[Byte]](1)
+            rowIterator(key, () => new java.io.ByteArrayInputStream(bytes))
+          }
+        }
+      }(enc)
   }
 }

@@ -17,15 +17,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * such page before text extraction can see it.
   *
   * Charset resolution, pinned (first hit wins):
+  *   0. a byte-order mark (r14, WHATWG encoding-standard precedence:
+  *      the BOM outranks even Content-Type) — EF BB BF → UTF-8,
+  *      FE FF → UTF-16BE, FF FE → UTF-16LE; the BOM bytes strip
+  *      from the decoded output (they are encoding metadata, not
+  *      content — a retained U+FEFF poisons every downstream
+  *      startsWith/trim/dedup key);
   *   1. the `charset=` parameter of the Content-Type value
   *      (case-insensitive name, value to ';' or end, quotes
   *      stripped);
   *   2. a bounded sniff of the body's first 1024 bytes for
-  *      `charset=` — covers both <meta charset="x"> and the
-  *      http-equiv form <meta content="text/html; charset=x">;
-  *      value = run of [A-Za-z0-9_:.-] after optional quote
-  *      (charset names are ASCII, so scanning raw bytes as
-  *      ISO-8859-1 is exact);
+  *      `charset=` ANCHORED to a <meta …> tag span (r14: the search
+  *      is bounded to each "<meta"…">" region, so a URL or script
+  *      text containing "charset=" can no longer hijack the decode)
+  *      — covers both <meta charset="x"> and the http-equiv form
+  *      <meta content="text/html; charset=x">; value = run of
+  *      [A-Za-z0-9_:.-] after optional quote (charset names are
+  *      ASCII, so scanning raw bytes as ISO-8859-1 is exact);
   *   3. UTF-8.
   * An unknown/unsupported charset name falls back to UTF-8; malformed
   * byte sequences decode to U+FFFD (java.lang.String's REPLACE
@@ -60,14 +68,45 @@ object DecodeBodyUtil {
     null
   }
 
+  /** Rule-2 sniff: `charset=` only counts inside a <meta …> tag span
+    * (case-insensitive "<meta" … '>' or window end), never in free
+    * text. */
+  private def findMetaCharset(prefix: String): String = {
+    val lc = prefix.toLowerCase(java.util.Locale.ROOT)
+    var m = lc.indexOf("<meta")
+    while (m >= 0) {
+      val gt = lc.indexOf('>', m)
+      val end = if (gt < 0) lc.length else gt
+      val name = findCharsetEq(prefix.substring(m, end))
+      if (name != null) return name
+      m = lc.indexOf("<meta", m + 5)
+    }
+    null
+  }
+
   def decode(body: Array[Byte], contentType: String): String = {
+    // rule 0: the BOM outranks everything, and strips
+    if (body.length >= 3 && (body(0) & 0xff) == 0xEF &&
+        (body(1) & 0xff) == 0xBB && (body(2) & 0xff) == 0xBF)
+      return new String(body, 3, body.length - 3,
+        java.nio.charset.StandardCharsets.UTF_8)
+    if (body.length >= 2) {
+      val b0 = body(0) & 0xff
+      val b1 = body(1) & 0xff
+      if (b0 == 0xFE && b1 == 0xFF)
+        return new String(body, 2, body.length - 2,
+          java.nio.charset.StandardCharsets.UTF_16BE)
+      if (b0 == 0xFF && b1 == 0xFE)
+        return new String(body, 2, body.length - 2,
+          java.nio.charset.StandardCharsets.UTF_16LE)
+    }
     var name: String =
       if (contentType == null || contentType.isEmpty) null
       else findCharsetEq(contentType)
     if (name == null && body.length > 0) {
       val prefix = new String(body, 0,
         math.min(body.length, 1024), "ISO-8859-1")
-      name = findCharsetEq(prefix)
+      name = findMetaCharset(prefix)
     }
     val cs =
       try {

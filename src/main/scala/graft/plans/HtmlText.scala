@@ -379,6 +379,42 @@ object HtmlMetaUtil {
     * single-argument methods on the util). */
   def robotsContent(s: String): String = metaContent(s, "robots")
 
+  /** href of the first LIVE <base> tag that carries one — RFC 3986
+    * §5.1.1: content can override the resolution base, and real
+    * CDN-served pages do, so outlink resolution against the page URL
+    * alone yields wrong edges for them. Per the HTML spec only the
+    * first <base> with an href is honored. A <base> inside a comment
+    * span is markup-dead and must NOT hijack resolution (decoy
+    * <base> tags in commented-out headers are common), so the scan
+    * skips "<!--"…"-->" regions; a tag truncated at EOF or an
+    * unterminated comment tail rejects (reject-don't-misread). The
+    * value comes back VERBATIM — it may itself be relative, and the
+    * caller resolves it against the retrieval URI (§5.1.3). Null
+    * when the page has no live <base href>. */
+  def baseHref(s: String): String = {
+    var i = 0
+    while (true) {
+      val open = findTagOpen(s, "base", i)
+      if (open < 0) return null
+      val cm = s.lastIndexOf("<!--", open)
+      if (cm >= 0 && {
+        val ce = s.indexOf("-->", cm)
+        ce < 0 || ce > open
+      }) {
+        val ce = s.indexOf("-->", cm)
+        if (ce < 0) return null // comment swallows the rest
+        i = ce + 3
+      } else {
+        val gt = s.indexOf('>', open)
+        if (gt < 0) return null // truncated tag at EOF
+        val v = attrValue(s, open, gt, "href")
+        if (v != null) return v
+        i = gt + 1 // href-less <base>: keep looking
+      }
+    }
+    null
+  }
+
   /** All <h1> texts in document order, one per line (the scraper's
     * `soup.find_all(["h1"])`); null when the page has none. */
   def h1s(s: String): String = {
@@ -497,13 +533,15 @@ object SitemapUtil {
 }
 
 /** html_meta(html, field): the scraper's metadata extractions as one
-  * parameterized kernel — field ∈ {title, time, h1, links, robots}.
+  * parameterized kernel — field ∈ {title, time, h1, links, robots,
+  * base}.
   * Null in -> null out; an absent element -> null (never ''). */
 case class HtmlMeta(child: Expression, field: String)
   extends UnaryExpression {
 
-  require(Set("title", "time", "h1", "links", "robots").contains(field),
-    s"html_meta field must be title|time|h1|links|robots, got $field")
+  require(
+    Set("title", "time", "h1", "links", "robots", "base").contains(field),
+    s"html_meta field must be title|time|h1|links|robots|base, got $field")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -519,6 +557,7 @@ case class HtmlMeta(child: Expression, field: String)
     case "h1"    => HtmlMetaUtil.h1s(s)
     case "links" => HtmlMetaUtil.links(s)
     case "robots" => HtmlMetaUtil.metaContent(s, "robots")
+    case "base"  => HtmlMetaUtil.baseHref(s)
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -535,6 +574,7 @@ case class HtmlMeta(child: Expression, field: String)
       case "h1"    => "h1s"
       case "links" => "links"
       case "robots" => "robotsContent"
+      case "base"  => "baseHref"
     }
     nullSafeCodeGen(ctx, ev, x => {
       val tmp = ctx.freshName("meta")
@@ -596,6 +636,9 @@ object HtmlTextExpr {
 
   def htmlRobots(html: Column): Column =
     Bridge.toColumn(HtmlMeta(Bridge.toExpression(html), "robots"))
+
+  def htmlBaseHref(html: Column): Column =
+    Bridge.toColumn(HtmlMeta(Bridge.toExpression(html), "base"))
 
   def sitemapLocs(xml: Column): Column =
     Bridge.toColumn(SitemapLocs(Bridge.toExpression(xml)))

@@ -29,7 +29,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *      flushes it. Inline tags separate words but do not flush.
   *   3. LINK SPAN: chars emitted between <a …> and </a> count as
   *      link chars (nesting tracked as a depth; an <a/> self-close
-  *      opens nothing); whitespace counts toward neither side.
+  *      opens nothing); whitespace counts toward neither side. A
+  *      block-tag flush RESETS the anchor depth (r14 — HTML parsers
+  *      implicitly close <a> at block boundaries): one unclosed
+  *      anchor must not count every later block as 100% link text
+  *      and silently drop the rest of the page.
   *   4. KEEP RULE: a block survives iff its normalized text (all
   *      whitespace runs → one space, ends trimmed — blocks are
   *      single-line by construction) is at least 25 chars AND
@@ -140,8 +144,10 @@ object MainTextUtil {
               if (closing) { if (inA > 0) inA -= 1 }
               else if (s.charAt(gt - 1) != '/') inA += 1
             }
-            if (HtmlTextUtil.blockTags.contains(name)) flush()
-            else emit(" ")
+            if (HtmlTextUtil.blockTags.contains(name)) {
+              flush()
+              inA = 0 // implicit </a> at a block boundary (rule 3)
+            } else emit(" ")
             i = gt + 1
           }
         } else { emit(String.valueOf(c)); i += 1 } // bare '<' literal

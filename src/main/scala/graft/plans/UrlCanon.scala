@@ -34,12 +34,57 @@ import org.apache.spark.unsafe.types.UTF8String
   *      query drops its '?';
   *   6. an empty path becomes "/" (http://h and http://h/ must
   *      collide for dedup); non-empty paths keep case and content
-  *      (paths are case-sensitive per RFC 3986).
+  *      (paths are case-sensitive per RFC 3986);
+  *   7. percent-encoding normalizes per RFC 3986 §6.2.2 (r14, on
+  *      host, path and query): an escape of an UNRESERVED character
+  *      (ALPHA / DIGIT / '-' / '.' / '_' / '~') decodes ("%7E"→'~',
+  *      "%41"→'A' — equal URLs must stop producing distinct dedup
+  *      keys), any other valid escape uppercases its hex ("%2f"→
+  *      "%2F"), and a malformed escape ('%' not followed by two hex
+  *      digits) keeps verbatim — normalization is TOTAL and
+  *      idempotent. The query normalizes BEFORE the tracking-param
+  *      split, so an escaped tracking name ("%75tm_source") cannot
+  *      smuggle past rule 5. Reserved escapes ("%2F", "%26") never
+  *      decode — decoding them would change the URL's structure.
   * Userinfo ("user@host") is out of contract and lowercases with the
   * host — acceptable for crawl keys, documented here. */
 object UrlCanonUtil {
 
   private val dropExact = Set("gclid", "fbclid", "msclkid", "mc_eid")
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else -1
+
+  private def isUnreserved(v: Int): Boolean =
+    (v >= 'A' && v <= 'Z') || (v >= 'a' && v <= 'z') ||
+      (v >= '0' && v <= '9') || v == '-' || v == '.' || v == '_' ||
+      v == '~'
+
+  /** RFC 3986 §6.2.2 escape normalization (rule 7). One pass; the
+    * common no-'%' string returns itself with zero allocation. */
+  private[plans] def pctNorm(s: String): String = {
+    var i = s.indexOf('%')
+    if (i < 0) return s
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    sb.append(s, 0, i)
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < n && hexVal(s.charAt(i + 1)) >= 0 &&
+          hexVal(s.charAt(i + 2)) >= 0) {
+        val v = hexVal(s.charAt(i + 1)) * 16 + hexVal(s.charAt(i + 2))
+        if (isUnreserved(v)) sb.append(v.toChar)
+        else sb.append('%')
+          .append(Character.toUpperCase(s.charAt(i + 1)))
+          .append(Character.toUpperCase(s.charAt(i + 2)))
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   private def isTracking(tok: String): Boolean = {
     val e = tok.indexOf('=')
@@ -70,11 +115,12 @@ object UrlCanonUtil {
     val colon = auth.lastIndexOf(':')
     var host: String = null
     var port: String = null
-    if (colon < 0) host = auth.toLowerCase(java.util.Locale.ROOT)
+    if (colon < 0) host = pctNorm(auth).toLowerCase(java.util.Locale.ROOT)
     else {
       val p = auth.substring(colon + 1)
       if (p.forall(_.isDigit)) { // includes the bare-colon "" case
-        host = auth.substring(0, colon).toLowerCase(java.util.Locale.ROOT)
+        host = pctNorm(auth.substring(0, colon))
+          .toLowerCase(java.util.Locale.ROOT)
         port = p
       } else return null // non-digit port: malformed authority
     }
@@ -86,13 +132,15 @@ object UrlCanonUtil {
     var pe = ae
     while (pe < n && rest.charAt(pe) != '?' && rest.charAt(pe) != '#')
       pe += 1
-    val path = if (pe == ae) "/" else rest.substring(ae, pe)
-    // query sits between '?' and '#' (or end); fragment drops
+    val path = if (pe == ae) "/" else pctNorm(rest.substring(ae, pe))
+    // query sits between '?' and '#' (or end); fragment drops.
+    // pctNorm runs BEFORE the split so escaped tracking names can't
+    // smuggle past rule 5 (docstring rule 7).
     var kept = ""
     if (pe < n && rest.charAt(pe) == '?') {
       var qEnd = pe + 1
       while (qEnd < n && rest.charAt(qEnd) != '#') qEnd += 1
-      val query = rest.substring(pe + 1, qEnd)
+      val query = pctNorm(rest.substring(pe + 1, qEnd))
       kept = query.split("&", -1).iterator
         .filter(t => t.nonEmpty && !isTracking(t)).mkString("&")
     }

@@ -9,8 +9,13 @@ import org.apache.spark.sql.SparkSession
   * count, TakeOrdered presence, scan column widths (pruning) and
   * pushed filters. AQE is disabled for the audit so the static plan
   * carries its WholeStageCodegen span markers (*(n)) — the committed
-  * shape; AQE can only improve it at runtime. Output is the markdown
-  * table committed as PLANS.md.
+  * shape; AQE can only improve it at runtime. Output is WRITTEN
+  * DIRECTLY to the dossier file (arg 0, default PLANS.md) — r14
+  * hygiene: the old stdout-pipe regeneration let sbt-prefixed stderr
+  * WARN lines leak into the committed markdown once; writing the
+  * file from inside the JVM makes that impossible by construction.
+  * Regenerate with:
+  *   sbt -batch "runMain graft.tools.PlanAudit"
   */
 object PlanAudit {
   def main(args: Array[String]): Unit = {
@@ -99,7 +104,14 @@ object PlanAudit {
       // round-13 late batch: wire-encoding, digest dedup,
       // boilerplate removal
       "q_warc_gzip_body", "q_warc_digest_dedup", "q_main_text",
-      "q_robots_sitemaps", "q_warc_chunked")
+      "q_robots_sitemaps", "q_warc_chunked",
+      // round-14: file front door, <base href>, BOM decode, revisit
+      "q_warc_files", "q_outlink_base", "q_decode_bom",
+      "q_warc_revisit")
+
+    val outFile = if (args.nonEmpty) args(0) else "PLANS.md"
+    val sb = new StringBuilder
+    def println(s: String = ""): Unit = { sb.append(s).append('\n'); () }
 
     println("# Physical-plan dossier (sf0.01, AQE disabled for the audit)")
     println()
@@ -143,6 +155,9 @@ object PlanAudit {
         case e: Throwable => println(s"| $n | plan error: ${e.getMessage} |")
       }
     }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), sb.toString)
+    Predef.println(s"[planaudit] wrote $outFile (${names.size} queries)")
     spark.stop()
   }
 }

@@ -64,6 +64,45 @@ class DecodeBodySpec extends SparkSpec {
     assert(df.collect()(0).getString(0) == html)
   }
 
+  test("BOM outranks Content-Type and strips (r14)") {
+    def withBom(bom: Array[Byte], body: Array[Byte]): Array[Byte] =
+      bom ++ body
+    val utf8Bom = Array(0xEF, 0xBB, 0xBF).map(_.toByte)
+    val beBom = Array(0xFE, 0xFF).map(_.toByte)
+    val leBom = Array(0xFF, 0xFE).map(_.toByte)
+    // UTF-8 BOM beats a wrong header charset; BOM bytes strip
+    assert(DecodeBodyUtil.decode(
+      withBom(utf8Bom, polish.getBytes("UTF-8")),
+      "text/html; charset=ISO-8859-1") == polish)
+    // UTF-16 both endiannesses, header absent and header wrong
+    assert(DecodeBodyUtil.decode(
+      withBom(beBom, polish.getBytes("UTF-16BE")), null) == polish)
+    assert(DecodeBodyUtil.decode(
+      withBom(leBom, dutch.getBytes("UTF-16LE")),
+      "text/html; charset=windows-1250") == dutch)
+    // a BOM alone decodes to '' (all metadata, no content)
+    assert(DecodeBodyUtil.decode(utf8Bom, null) == "")
+    assert(DecodeBodyUtil.decode(leBom, null) == "")
+    // no BOM: FE/FF-free bodies take the old path untouched
+    assert(DecodeBodyUtil.decode(polish.getBytes("UTF-8"), "") == polish)
+  }
+
+  test("sniff anchors to a <meta> span: free-text charset= is inert (r14)") {
+    // an early URL carrying charset= must NOT hijack the decode
+    val trap = "<a href=\"/conv?charset=ISO-8859-1\">x</a>" +
+      "<meta charset='windows-1250'>" + polish
+    assert(DecodeBodyUtil.decode(trap.getBytes("windows-1250"), "")
+      == trap)
+    // script text with a bare charset= token: inert, falls to UTF-8
+    val noise = "<script>var charset=latin2;</script>" + polish
+    assert(DecodeBodyUtil.decode(noise.getBytes("UTF-8"), "") == noise)
+    // an unterminated <meta at the window edge still sniffs (span
+    // bounds to the window end)
+    val open = "<meta charset=windows-1250 " + polish
+    assert(DecodeBodyUtil.decode(open.getBytes("windows-1250"), "")
+      == open)
+  }
+
   test("gzip_bytes/gunzip_bytes round-trip; corrupt gunzip nulls") {
     val payload = ("x" * 10000 + polish).getBytes("UTF-8")
     assert(java.util.Arrays.equals(

@@ -130,6 +130,34 @@ class HtmlTextSpec extends SparkSpec {
     assert(robots("<meta name=\"robots\" content=\"x") == null)
   }
 
+  test("html_base: first live <base href>, comment decoys dead (r14)") {
+    import graft.plans.HtmlMetaUtil
+    def b(s: String) = HtmlMetaUtil.baseHref(s)
+    // first <base> with an href wins (HTML spec), verbatim value
+    assert(b("<head><base href=\"https://cdn.example.org/assets/\">" +
+      "<base href=\"/second\"></head>") ==
+      "https://cdn.example.org/assets/")
+    // a relative base comes back verbatim (caller resolves, §5.1.3)
+    assert(b("<base target=\"_blank\" href='/b2/'>") == "/b2/")
+    // a decoy <base> inside a comment is markup-dead
+    assert(b("<!-- <base href=\"https://evil.example.com/\"> -->" +
+      "<base href=\"/real/\">") == "/real/")
+    // only a commented base -> null; unterminated comment tail -> null
+    assert(b("<!-- <base href=\"/dead\"> --><p>x</p>") == null)
+    assert(b("<!-- <base href=\"/dead\"> <p>x</p>") == null)
+    // href-less <base> skips to a later live one; none -> null
+    assert(b("<base target=\"_top\"><base href=\"/live\">") == "/live")
+    assert(b("<p>no base</p>") == null)
+    // truncated tag at EOF rejects; <basefont> is not <base>
+    assert(b("<base href=\"/x") == null)
+    assert(b("<basefont size=2><base href=\"/y\">") == "/y")
+    // expression face round-trip
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(graft.plans.HtmlTextExpr
+      .htmlBaseHref(lit("<base href=\"/z/\">")).as("b"))
+    assert(df.collect()(0).getString(0) == "/z/")
+  }
+
   test("html_links: hrefs in document order, decoys rejected (r12)") {
     import graft.plans.HtmlMetaUtil
     val page = "<a href=\"https://a.com/1\">one</a><p>x</p>" +

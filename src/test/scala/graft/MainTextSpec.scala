@@ -63,6 +63,28 @@ class MainTextSpec extends SparkSpec {
       "some bold and italic body text stays one block")
   }
 
+  test("block flush resets anchor depth: one unclosed <a> can't poison the page (r14)") {
+    // an unclosed anchor in a nav block must not count EVERY later
+    // block as 100% link text (HTML parsers implicitly close <a> at
+    // block boundaries)
+    val page = "<div><a href=\"/nav\">menu" + // never closed
+      "<p>this real article paragraph survives the broken anchor</p>" +
+      "<p>and so does this second paragraph of body text</p></div>"
+    assert(MainTextUtil.mainText(page) ==
+      "this real article paragraph survives the broken anchor\n" +
+        "and so does this second paragraph of body text")
+    // within ONE block the unclosed anchor still counts as link text
+    assert(m("<p><a href=\"/x\">all of this text is inside the " +
+      "anchor forever and drops") == null)
+    // a legitimately closed cross-block anchor: the depth reset only
+    // FORGETS the open anchor; the stray </a> after the flush is a
+    // no-op (depth guards at zero)
+    val closed = "<a href=\"/x\">short</a><p>twenty-five plus chars " +
+      "of real body text here</p>"
+    assert(MainTextUtil.mainText(closed) ==
+      "twenty-five plus chars of real body text here")
+  }
+
   test("walker hardening inherited from html_to_text") {
     // script/style content never counts as content
     assert(m("<p>real content paragraph here</p>" +

@@ -790,6 +790,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("WARC ingest twin: live .warc.gz file-drop stream == warcFiles (r14)") {
+    // the archive landing pattern: .warc.gz files drop into a dir, a
+    // binaryFile stream decodes each to records via the SAME walk as
+    // the batch front door — zero streaming state, and the per-batch
+    // rows must equal warcFiles on the same files row-for-row
+    import graft.streaming.WarcIngest
+    val dir = java.nio.file.Files.createTempDirectory("warc_land")
+    def record(typ: String, uri: String, body: String): String =
+      s"WARC/1.0\r\nWARC-Type: $typ\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2024-01-02T00:00:00Z\r\n" +
+        s"Content-Type: application/http;msgtype=response\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n"
+    def writeGz(name: String, content: String): Unit = {
+      val out = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(dir.resolve(name)))
+      out.write(content.getBytes("ISO-8859-1")); out.close()
+    }
+    val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<p>stream me</p>"
+    writeGz("a.warc.gz",
+      record("response", "https://s.com/1", http) +
+        record("response", "https://s.com/2", http))
+    val stream = WarcIngest.warcDirRecords(spark, dir.toString,
+      maxFilesPerTrigger = 1)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("warc_ingest")
+      .outputMode("append").start()
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("path", "parse_ok", "rec_idx", "warc_type", "target_uri",
+        "http_status", "body")
+      .collect().map { r =>
+        val path = r.getString(0)
+        (path.substring(path.lastIndexOf('/') + 1), r.getBoolean(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          r.getString(3), r.getString(4),
+          if (r.isNullAt(5)) -1 else r.getInt(5),
+          if (r.isNullAt(6)) null
+          else new String(r.getAs[Array[Byte]](6), "ISO-8859-1"))
+      }.sortBy(t => (t._1, t._3)).toSeq
+    try {
+      q.processAllAvailable()
+      // live drops AFTER the stream started: a second archive and a
+      // non-WARC file (must surface as ONE parse_ok=false row)
+      writeGz("b.warc.gz", record("response", "https://s.com/3", http))
+      writeGz("c.warc.gz", "this is not a WARC archive at all")
+      q.processAllAvailable()
+      val streamed = shape(spark.table("warc_ingest"))
+      val batch = shape(graft.llm.Warc
+        .warcFiles(spark, dir.toString + "/*.warc.gz"))
+      assert(streamed.size == 4, streamed.toString) // 2 + 1 + 1 bad
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(streamed.count(!_._2) == 1) // the non-WARC file's row
+    } finally q.stop()
+  }
+
   test("csv fixture replays through the declared schema") {
     val fixture = "/root/reference/Deliverable_3/kafka_messages.csv"
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(fixture)))

@@ -49,6 +49,38 @@ class UrlCanonSpec extends SparkSpec {
     assert(c("http://a.com/p?utm_source=x") == "http://a.com/p")
   }
 
+  test("pct-norm: unreserved escapes decode, retained escapes uppercase (r14)") {
+    // RFC 3986 §6.2.2: %7E/%7e/~ are the same URL — one dedup key
+    assert(c("https://a.com/%7Euser/x") == "https://a.com/~user/x")
+    assert(c("https://a.com/%7euser/x") == "https://a.com/~user/x")
+    assert(c("https://a.com/%41%62%2D%5F%2E/") == "https://a.com/Ab-_./")
+    // reserved escapes never decode (structure would change) — hex
+    // uppercases only
+    assert(c("http://a.com/a%2fb%3Fc") == "http://a.com/a%2Fb%3Fc")
+    assert(c("http://a.com/p?x=%41%7e&y=%2f") == "http://a.com/p?x=A~&y=%2F")
+    // host normalizes too, then lowercases
+    assert(c("http://%41.com/x") == "http://a.com/x")
+    // malformed escapes keep verbatim — total, never a throw
+    assert(c("http://a.com/a%G1b%4") == "http://a.com/a%G1b%4")
+    assert(c("http://a.com/end%") == "http://a.com/end%")
+    // an escaped tracking NAME cannot smuggle past the filter
+    assert(c("http://a.com/p?%75tm_source=x&id=1") == "http://a.com/p?id=1")
+  }
+
+  test("pct-norm idempotence: canon(canon(u)) == canon(u) (r14)") {
+    val shapes = Seq(
+      "https://a.com/%7Euser/doc%2f5?id=%41a&%75tm_source=x",
+      "http://a.com/a%G1b%4?q=%zz",
+      "HTTP://A.com:80/%2D%2e#f",
+      "https://%41.COM:4%31/x", // pct in port: non-digit port -> null
+      "http://a.com/p?&&%67clid=1&b=%32")
+    for (u <- shapes) {
+      val once = c(u)
+      if (once != null) assert(c(once) == once, s"not idempotent: $u")
+    }
+    assert(c("https://%41.COM:4%31/x") == null)
+  }
+
   test("rejects: relative, no scheme, empty host, malformed scheme") {
     assert(c("/relative/path") == null)
     assert(c("not a url") == null)

@@ -157,6 +157,37 @@ class WarcSpec extends SparkSpec {
       "not chunked at all")
   }
 
+  test("dechunk requires full-body consumption: coincidental framing keeps raw (r14)") {
+    import graft.llm.{Warc => W}
+    // an ALREADY-DECODED body whose prefix validates as chunk framing
+    // (hex size line, consistent CRLFs, a zero chunk mid-body) must
+    // come back raw, not truncated at the accidental terminator
+    val decoyStr = "5\r\nhello\r\n0\r\n\r\n ...the real article text " +
+      "continues after what looks like a terminator"
+    assert(W.dechunk(decoyStr.getBytes("ISO-8859-1")) == null)
+    // residual junk after the trailer section also rejects
+    assert(W.dechunk(
+      "5\r\nhello\r\n0\r\nX-T: 1\r\n\r\ntail".getBytes("ISO-8859-1"))
+      == null)
+    // exact endings all still accept: bare "0\r\n", "0\r\n\r\n",
+    // and a trailer section that lands at the end
+    assert(new String(W.dechunk("5\r\nhello\r\n0\r\n".getBytes("ISO-8859-1")),
+      "ISO-8859-1") == "hello")
+    assert(new String(
+      W.dechunk("5\r\nhello\r\n0\r\n\r\n".getBytes("ISO-8859-1")),
+      "ISO-8859-1") == "hello")
+    assert(new String(W.dechunk(
+      "5\r\nhello\r\n0\r\nX-T: 1\r\n\r\n".getBytes("ISO-8859-1")),
+      "ISO-8859-1") == "hello")
+    // through the record face: the retained-header-over-decoded-body
+    // archive shape keeps its bytes verbatim
+    val kept = "HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      decoyStr
+    val recs = W.parse(bytes(record("response", "https://c.com/3",
+      kept))).getOrElse(fail("no parse"))
+    assert(new String(recs.head.body, "ISO-8859-1") == decoyStr)
+  }
+
   test("warcFiles: directory of .warc.gz / .warc files, streaming") {
     val dir = tmpDir("warcfiles")
     // member-per-record gzip (the real .warc.gz layout)
