@@ -389,10 +389,30 @@ object Dedup {
     * semantic leakage. */
   def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
       buckets: Int = 10, shingleN: Int = 3,
-      minJaccard: Double = 0.8): DataFrame =
+      minJaccard: Double = 0.8): DataFrame = {
+    // r14 size gate on the EXACT edge builder: [[ngramJaccardPairs]]
+    // (bucket-combine) and [[similarityJoin]] (PPJoin prefix filter)
+    // produce the same edge set row-for-row at a positive threshold,
+    // so the choice is pure cost. Below the gate the bucket-combine
+    // wins — candidate volume is small and PPJoin's extra exchanges
+    // (distinct, frequency join, per-doc window sort) are fixed
+    // overhead (quiet A/B at sf0.1, mins of 3: 4.32 -> 2.49 s,
+    // -42%); above it
+    // the prefix filter's ~quadratic candidate suppression is what
+    // survives 100 TB. Same bounded size probe as
+    // [[leakageSafeSplitAuto]]; the split contract and the oracle
+    // are unchanged either way.
+    val small = df.limit(ppjoinMinDocs + 1).count() <= ppjoinMinDocs
+    val edges =
+      if (small) ngramJaccardPairs(df, idCol, textCol, shingleN, minJaccard)
+      else similarityJoin(df, idCol, textCol, shingleN, minJaccard)
     leakageSafeSplitFromEdges(df, idCol,
-      similarityJoin(df, idCol, textCol, shingleN, minJaccard)
-        .select(col("id_a"), col("id_b")), buckets)
+      edges.select(col("id_a"), col("id_b")), buckets)
+  }
+
+  /** Doc-count knee between the bucket-combine exact join and the
+    * PPJoin prefix-filtered one (see [[leakageSafeSplit]]). */
+  private val ppjoinMinDocs = 200000
 
   /** [[leakageSafeSplit]] over a caller-supplied near-dup edge frame. */
   def leakageSafeSplitFromEdges(df: DataFrame, idCol: String,
