@@ -2357,6 +2357,123 @@ object SparkEntry {
           col("keeper_doc_id").isNotNull.as("resolved"))
     }),
 
+    "q_surt_key" -> ((s, d) => {
+      // SURT ordering key (r14) — the web-archive index key: host
+      // labels reversed so one domain's captures sort contiguously.
+      // Five arms: multi-label host with a kept port, www kept (no
+      // folding of distinct URLs), empty path, a reject, and a
+      // pct-normalized path riding through the canon composition.
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 5
+      val url = when(m === 0, concat(lit("https://www.Site.COM/Path/"), id))
+        .when(m === 1,
+          concat(lit("http://a.b.example.org:8080/p?x="), id, lit("&y=2")))
+        .when(m === 2, lit("https://example.com"))
+        .when(m === 3, concat(lit("not a url "), id))
+        .otherwise(concat(lit("http://h.com/%7Ea/"), id))
+      t(s, d, "documents").select(col("doc_id"), url.as("url"),
+        graft.plans.SurtKeyExpr.surtKey(
+          graft.plans.UrlCanonExpr.urlCanon(url)).as("surt_key"))
+    }),
+
+    "q_warc_cdx" -> ((s, d) => {
+      // CDX-style index record (r14): what Common Crawl publishes per
+      // capture — SURT key, 14-digit timestamp, mime, status, payload
+      // digest — assembled map-only from the lifted WARC columns.
+      // (Compressed member byte offsets are the one CDX field out of
+      // reach here: the gzip member boundaries live below the stream
+      // API.) The surt rides canon, so tracking params drop and the
+      // kept port survives, pinned per arm.
+      val id = col("doc_id").cast("string")
+      val src = lower(regexp_replace(col("source"), "[^A-Za-z0-9]", "x"))
+      val m = col("doc_id") % 2
+      val uri = when(m === 0,
+          concat(lit("https://"), src, lit(".example.com:8443/Doc/"), id))
+        .otherwise(concat(lit("https://"), src,
+          lit(".example.com/doc/"), id, lit("?b=2&utm_source=x&a=1")))
+      val digest = concat(lit("sha1:CDX"), id)
+      val html = concat(lit("<p>doc "), id, lit("</p>"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        html)
+      val warc = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri,
+        lit("\r\nWARC-Payload-Digest: "), digest,
+        lit("\r\nWARC-Date: 2024-01-02T00:00:00Z\r\n" +
+          "Content-Type: application/http;msgtype=response\r\n" +
+          "Content-Length: "), length(http).cast("string"),
+        lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), warc.cast("binary").as("payload"))
+      graft.llm.Warc.warcRecords(media, "doc_id", "payload")
+        .filter(col("warc_type") === "response")
+        .select(col("media_id").as("doc_id"),
+          graft.plans.SurtKeyExpr.surtKey(
+            graft.plans.UrlCanonExpr.urlCanon(col("target_uri")))
+            .as("surt_key"),
+          regexp_replace(col("warc_date"), "[^0-9]", "").as("ts14"),
+          col("http_content_type").as("mime"),
+          col("http_status"), col("payload_digest"))
+    }),
+
+    "q_warc_fetch_pairs" -> ((s, d) => {
+      // request↔response pairing (r14): a WARC capture stores the
+      // fetch as TWO records tied by WARC-Concurrent-To →
+      // WARC-Record-ID; reuniting them is how a pipeline recovers
+      // request headers (user-agent, referer) next to the payload.
+      // Every doc carries a request + a response; responses with
+      // doc_id % 4 == 3 OMIT the Concurrent-To header (real archives
+      // have them) and must report unmatched, not drop. Same scale
+      // shape as q_warc_revisit: slim projected record frame,
+      // lineage-cut, one shuffle per side on the record id.
+      val id = col("doc_id").cast("string")
+      val uri = concat(lit("https://example.com/doc/"), id)
+      val reqId = concat(lit("<urn:uuid:req-"), id, lit(">"))
+      val respId = concat(lit("<urn:uuid:resp-"), id, lit(">"))
+      val reqHttp = concat(lit("GET /doc/"), id,
+        lit(" HTTP/1.1\r\nHost: example.com\r\n" +
+          "User-Agent: graftbot/14\r\n\r\n"))
+      val html = concat(lit("<p>doc "), id, lit("</p>"))
+      val respHttp = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        html)
+      val concurrentBit = when(col("doc_id") % 4 === 3, lit(""))
+        .otherwise(concat(lit("WARC-Concurrent-To: "), reqId,
+          lit("\r\n")))
+      val warc = concat(
+        lit("WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: "),
+        uri, lit("\r\nWARC-Record-ID: "), reqId,
+        lit("\r\nWARC-Date: 2024-01-02T00:00:00Z\r\n" +
+          "Content-Type: application/http;msgtype=request\r\n" +
+          "Content-Length: "), length(reqHttp).cast("string"),
+        lit("\r\n\r\n"), reqHttp, lit("\r\n\r\n"),
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri, lit("\r\nWARC-Record-ID: "), respId, lit("\r\n"),
+        concurrentBit,
+        lit("WARC-Date: 2024-01-02T00:00:01Z\r\n" +
+          "Content-Type: application/http;msgtype=response\r\n" +
+          "Content-Length: "), length(respHttp).cast("string"),
+        lit("\r\n\r\n"), respHttp, lit("\r\n\r\n"))
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), warc.cast("binary").as("payload"))
+      val recs = graft.llm.Warc.warcRecords(media, "doc_id", "payload")
+        .select(col("media_id"), col("warc_type"), col("target_uri"),
+          col("http_status"), col("record_id"), col("concurrent_to"))
+        .localCheckpoint(false)
+      val requests = recs.filter(col("warc_type") === "request")
+        .select(col("record_id").as("req_id"),
+          col("target_uri").as("req_uri"))
+      recs.filter(col("warc_type") === "response")
+        .select(col("media_id").as("doc_id"),
+          col("record_id"), col("concurrent_to"), col("http_status"))
+        .join(requests,
+          col("concurrent_to") === col("req_id"), "left")
+        .select(col("doc_id"), col("record_id"), col("concurrent_to"),
+          col("http_status"), col("req_uri"),
+          col("req_id").isNotNull.as("matched"))
+    }),
+
     // ---- sessionization + funnel (round 8) ----
     "q_sessionize" -> ((s, d) =>
       graft.operators.Sessions.sessionStats(t(s, d, "events"),
@@ -6432,6 +6549,64 @@ object SparkEntry {
            END AS keeper_uri,
            d.doc_id % 3 = 0 AS resolved
          FROM documents d JOIN k ON d.doc_id % 50 = k.g""",
+
+    // q_surt_key oracle: every arm's key is statable by construction
+    // (reversal, kept port, www kept, empty path, reject, pct-norm
+    // riding the canon composition)
+    "q_surt_key" ->
+      """WITH h AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS id
+           FROM documents)
+         SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'https://www.Site.COM/Path/' || id
+             WHEN 1 THEN 'http://a.b.example.org:8080/p?x=' || id || '&y=2'
+             WHEN 2 THEN 'https://example.com'
+             WHEN 3 THEN 'not a url ' || id
+             ELSE 'http://h.com/%7Ea/' || id
+           END AS url,
+           CASE doc_id % 5
+             WHEN 0 THEN 'com,site,www)/Path/' || id
+             WHEN 1 THEN 'org,example,b,a:8080)/p?x=' || id || '&y=2'
+             WHEN 2 THEN 'com,example)/'
+             WHEN 3 THEN NULL
+             ELSE 'com,h)/~a/' || id
+           END AS surt_key
+         FROM h""",
+
+    // q_warc_cdx oracle: the capture's index row by construction —
+    // canon drops the utm param, keeps the non-default port; surt
+    // reverses the host labels
+    "q_warc_cdx" ->
+      """WITH h AS (SELECT doc_id,
+           lower(regexp_replace(source, '[^A-Za-z0-9]', 'x', 'g')) AS src,
+           CAST(doc_id AS VARCHAR) AS id
+           FROM documents)
+         SELECT doc_id,
+           CASE doc_id % 2
+             WHEN 0 THEN 'com,example,' || src || ':8443)/Doc/' || id
+             ELSE 'com,example,' || src || ')/doc/' || id || '?b=2&a=1'
+           END AS surt_key,
+           '20240102000000' AS ts14,
+           'text/html' AS mime,
+           200 AS http_status,
+           'sha1:CDX' || id AS payload_digest
+         FROM h""",
+
+    // q_warc_fetch_pairs oracle: every response matches its request
+    // via Concurrent-To except the doc_id%4==3 arm, which omits the
+    // header and must report unmatched with null request fields
+    "q_warc_fetch_pairs" ->
+      """WITH h AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS id
+           FROM documents)
+         SELECT doc_id,
+           '<urn:uuid:resp-' || id || '>' AS record_id,
+           CASE WHEN doc_id % 4 = 3 THEN NULL
+             ELSE '<urn:uuid:req-' || id || '>' END AS concurrent_to,
+           200 AS http_status,
+           CASE WHEN doc_id % 4 = 3 THEN NULL
+             ELSE 'https://example.com/doc/' || id END AS req_uri,
+           doc_id % 4 <> 3 AS matched
+         FROM h""",
 
     "q_robots_sitemaps" ->
       """SELECT doc_id,

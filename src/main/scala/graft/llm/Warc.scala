@@ -35,7 +35,8 @@ object Warc {
       recType: String, targetUri: String, date: String,
       contentType: String, httpStatus: Option[Int], body: Array[Byte],
       httpContentType: String = null,
-      httpContentEncoding: String = null, payloadDigest: String = null)
+      httpContentEncoding: String = null, payloadDigest: String = null,
+      recordId: String = null, concurrentTo: String = null)
 
   private def bFind(b: Array[Byte], s: String, from: Int, to: Int): Int = {
     val n = s.length
@@ -264,7 +265,9 @@ object Warc {
               header(b, "WARC-Target-URI", pos, hEnd),
               header(b, "WARC-Date", pos, hEnd),
               ct, status, payload, httpCt, httpCe,
-              header(b, "WARC-Payload-Digest", pos, hEnd))
+              header(b, "WARC-Payload-Digest", pos, hEnd),
+              header(b, "WARC-Record-ID", pos, hEnd),
+              header(b, "WARC-Concurrent-To", pos, hEnd))
             pos = bodyStart + len.toInt
           }
         }
@@ -284,7 +287,11 @@ object Warc {
     StructField("body", BinaryType),
     StructField("http_content_type", StringType),
     StructField("http_content_encoding", StringType),
-    StructField("payload_digest", StringType))
+    StructField("payload_digest", StringType),
+    // r14: fetch-pair plumbing — a request record names its response
+    // (or vice versa) via WARC-Concurrent-To, keyed by WARC-Record-ID
+    StructField("record_id", StringType),
+    StructField("concurrent_to", StringType))
 
   private val recSchema: StructType =
     StructType(StructField("media_id", LongType) +: recFields)
@@ -316,11 +323,11 @@ object Warc {
                 Row(id, true, i, w.recType, w.targetUri, w.date,
                   w.contentType, w.httpStatus.map(Int.box).orNull,
                   w.body, w.httpContentType, w.httpContentEncoding,
-                  w.payloadDigest)
+                  w.payloadDigest, w.recordId, w.concurrentTo)
               }
             case _ =>
               Seq(Row(id, false, null, null, null, null, null, null,
-                null, null, null, null))
+                null, null, null, null, null, null))
           }
         }
       }(enc)
@@ -366,7 +373,9 @@ object Warc {
     WarcRec(header(hb, "WARC-Type", 0, hEnd),
       header(hb, "WARC-Target-URI", 0, hEnd),
       header(hb, "WARC-Date", 0, hEnd), ct, status, payload, httpCt,
-      httpCe, header(hb, "WARC-Payload-Digest", 0, hEnd))
+      httpCe, header(hb, "WARC-Payload-Digest", 0, hEnd),
+      header(hb, "WARC-Record-ID", 0, hEnd),
+      header(hb, "WARC-Concurrent-To", 0, hEnd))
   }
 
   /** File-level front door: every `.warc` / `.warc.gz` file under
@@ -446,14 +455,14 @@ object Warc {
         if (rec == null) {
           emittedBad = true
           Row(key, false, null, null, null, null, null, null, null,
-            null, null, null)
+            null, null, null, null, null)
         } else {
           val w = rec
           rec = fetch()
           val r = Row(key, true, idx, w.recType, w.targetUri, w.date,
             w.contentType, w.httpStatus.map(Int.box).orNull, w.body,
             w.httpContentType, w.httpContentEncoding,
-            w.payloadDigest)
+            w.payloadDigest, w.recordId, w.concurrentTo)
           idx += 1
           r
         }
@@ -481,7 +490,7 @@ object Warc {
           val key = if (r.isNullAt(0)) "" else r.getString(0)
           if (r.isNullAt(1))
             Iterator(Row(key, false, null, null, null, null, null,
-              null, null, null, null, null))
+              null, null, null, null, null, null, null))
           else {
             val bytes = r.getAs[Array[Byte]](1)
             rowIterator(key, () => new java.io.ByteArrayInputStream(bytes))

@@ -81,6 +81,38 @@ class UrlCanonSpec extends SparkSpec {
     assert(c("https://%41.COM:4%31/x") == null)
   }
 
+  test("surt_key: label reversal, ports, empty path, rejects (r14)") {
+    import graft.plans.SurtKeyUtil
+    def k(s: String) = SurtKeyUtil.surt(s)
+    assert(k("https://a.b.example.org/p/q") == "org,example,b,a)/p/q")
+    // scheme-agnostic: http and https captures collide
+    assert(k("http://a.b.example.org/p/q") == k("https://a.b.example.org/p/q"))
+    // port keeps after the host list; bare colon drops; non-digit null
+    assert(k("http://site.com:8080/x") == "com,site:8080)/x")
+    assert(k("http://site.com:/x") == "com,site)/x")
+    assert(k("http://site.com:8a/x") == null)
+    // empty path -> ')/' so http://h and http://h/ collide
+    assert(k("https://example.com") == "com,example)/")
+    assert(k("https://example.com/") == "com,example)/")
+    // query verbatim, fragment drops, host lowercases, path case kept
+    assert(k("https://WWW.Site.COM/Path?A=b&c=D#frag") ==
+      "com,site,www)/Path?A=b&c=D")
+    // query with empty path
+    assert(k("https://h.com?q=1") == "com,h)/?q=1")
+    // single-label host; empty labels keep (total, never a throw)
+    assert(k("http://localhost/x") == "localhost)/x")
+    assert(k("http://.com/x") == "com,)/x")
+    // rejects
+    assert(k("not a url") == null)
+    assert(k("http://") == null)
+    // expression face through the canon composition, codegen path
+    import org.apache.spark.sql.functions._
+    val df = spark.range(1).select(graft.plans.SurtKeyExpr.surtKey(
+      UrlCanonExpr.urlCanon(
+        lit("HTTP://A.Example.COM:80/p?utm_source=x&id=5"))).as("k"))
+    assert(df.collect()(0).getString(0) == "com,example,a)/p?id=5")
+  }
+
   test("rejects: relative, no scheme, empty host, malformed scheme") {
     assert(c("/relative/path") == null)
     assert(c("not a url") == null)
