@@ -2474,6 +2474,106 @@ object SparkEntry {
           col("req_id").isNotNull.as("matched"))
     }),
 
+    "q_warc_redirects" -> ((s, d) => {
+      // redirect edges (r14): 3xx captures carry the next hop in the
+      // HTTP Location header (now lifted); the edge a frontier needs
+      // is resolve(target_uri, location) → canon — Location is
+      // RELATIVE on real servers more often than the RFC ever
+      // intended. Arms: 301 relative hop, 302 absolute cross-host
+      // hop, 200 control (null edge). Map-only over the record scan.
+      val id = col("doc_id").cast("string")
+      val src = lower(regexp_replace(col("source"), "[^A-Za-z0-9]", "x"))
+      val uri = concat(lit("https://"), src,
+        lit(".example.com/old/"), id)
+      val m = col("doc_id") % 3
+      val statusLine = when(m === 0, lit("HTTP/1.1 301 Moved Permanently"))
+        .when(m === 1, lit("HTTP/1.1 302 Found"))
+        .otherwise(lit("HTTP/1.1 200 OK"))
+      val locBit = when(m === 0,
+          concat(lit("Location: /new/"), id, lit("\r\n")))
+        .when(m === 1, concat(lit("Location: https://moved"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".example.net/x/"), id, lit("\r\n")))
+        .otherwise(lit(""))
+      val html = concat(lit("<p>doc "), id, lit("</p>"))
+      val http = concat(statusLine,
+        lit("\r\nContent-Type: text/html\r\n"), locBit, lit("\r\n"),
+        html)
+      val warc = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri,
+        lit("\r\nWARC-Date: 2024-01-02T00:00:00Z\r\n" +
+          "Content-Type: application/http;msgtype=response\r\n" +
+          "Content-Length: "), length(http).cast("string"),
+        lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), warc.cast("binary").as("payload"))
+      graft.llm.Warc.warcRecords(media, "doc_id", "payload")
+        .filter(col("warc_type") === "response")
+        .select(col("media_id").as("doc_id"), col("http_status"),
+          col("http_location"),
+          graft.plans.UrlCanonExpr.urlCanon(
+            graft.plans.UrlResolveExpr.resolveUrl(
+              col("target_uri"), col("http_location")))
+            .as("redirect_to"))
+    }),
+
+    "q_anchor_text" -> ((s, d) => {
+      // anchor text (r14): the link graph's LABEL — what ranking and
+      // weak-supervision pipelines index the TARGET page under.
+      // Fixture per doc: a link with inline markup in its text, an
+      // UPPERCASE anchor with entity text, a no-href anchor (drops),
+      // a dangling anchor IMPLICITLY closed by the next <a> (emits —
+      // anchors don't nest, the HTML5 rule), a plain link, and a
+      // dangler at EOF (drops). One (href, text) row per anchor.
+      // Strict sanitizer: href values return VERBATIM (quoted-attr
+      // contract), so the lang material must never introduce
+      // whitespace the text-side collapse would fold differently.
+      def san(c: Column) = regexp_replace(c, "[^A-Za-z0-9]", "x")
+      val id = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><body><a href=\"/a/"), id,
+        lit("\">read <b>more</b> now</a>" +
+          "<A HREF=\"/b/"), id, lit("\">Tom &amp; Jerry</A>" +
+          "<a name=\"x\">no href</a><a href=\"/dangling\">never closed" +
+          "<p>filler</p>"),
+        lit("<a href=\"/c/"), san(col("lang")),
+        lit("\">in "), san(col("lang")),
+        lit("</a><a href=\"/eof\">gone</body></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(
+          graft.plans.HtmlTextExpr.htmlLinksWithText(html), "\n"))
+          .as("line"))
+        .select(col("doc_id"),
+          substring_index(col("line"), "\t", 1).as("href"),
+          substring_index(col("line"), "\t", -1).as("anchor_text"))
+    }),
+
+    "q_sniff_mime" -> ((s, d) => {
+      // magic-byte MIME triage (r14): six payload shapes — JPEG,
+      // PNG, in-plan gzip, PDF, whitespace-prefixed HTML, and junk
+      // (null: unknown is never a guess) — each sniffed from bytes
+      // alone; the declared type is absent on purpose, that's the
+      // case the kernel exists for.
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 6
+      val jpeg = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10).map(_.toByte)
+      val png = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A,
+        0x00, 0x00).map(_.toByte)
+      val payload = when(m === 0, concat(lit(jpeg), id.cast("binary")))
+        .when(m === 1, concat(lit(png), id.cast("binary")))
+        .when(m === 2, graft.plans.BytesCodecExpr.gzipBytes(
+          concat(lit("<p>doc "), id, lit("</p>")).cast("binary")))
+        .when(m === 3,
+          concat(lit("%PDF-1.4\n%doc "), id).cast("binary"))
+        .when(m === 4, concat(lit("\n  \t<!DOCTYPE HTML><html>doc "),
+          id, lit("</html>")).cast("binary"))
+        .otherwise(concat(lit("plain text payload "), id)
+          .cast("binary"))
+      t(s, d, "documents").select(col("doc_id"),
+        graft.plans.SniffMimeExpr.sniffMime(payload).as("mime"))
+    }),
+
     // ---- sessionization + funnel (round 8) ----
     "q_sessionize" -> ((s, d) =>
       graft.operators.Sessions.sessionStats(t(s, d, "events"),
@@ -6607,6 +6707,60 @@ object SparkEntry {
              ELSE 'https://example.com/doc/' || id END AS req_uri,
            doc_id % 4 <> 3 AS matched
          FROM h""",
+
+    // q_warc_redirects oracle: the hop is statable by construction —
+    // relative Location resolves against the capture URI, absolute
+    // passes through canon, the 200 arm has no edge
+    "q_warc_redirects" ->
+      """WITH h AS (SELECT doc_id,
+           lower(regexp_replace(source, '[^A-Za-z0-9]', 'x', 'g')) AS src,
+           CAST(doc_id AS VARCHAR) AS id
+           FROM documents)
+         SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 301 WHEN 1 THEN 302
+             ELSE 200 END AS http_status,
+           CASE doc_id % 3
+             WHEN 0 THEN '/new/' || id
+             WHEN 1 THEN 'https://moved' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.net/x/' || id
+           END AS http_location,
+           CASE doc_id % 3
+             WHEN 0 THEN 'https://' || src || '.example.com/new/' || id
+             WHEN 1 THEN 'https://moved' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.net/x/' || id
+           END AS redirect_to
+         FROM h""",
+
+    // q_anchor_text oracle: four surviving anchors per doc (inline
+    // markup collapses to spaces, entities decode, the dangling
+    // anchor implicitly closes at the next <a> and keeps its span
+    // text, the no-href and EOF-dangling anchors drop)
+    "q_anchor_text" ->
+      """WITH h AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS id,
+           regexp_replace(lang, '[^A-Za-z0-9]', 'x', 'g') AS lng
+           FROM documents)
+         SELECT doc_id, href, anchor_text FROM (
+           SELECT doc_id, '/a/' || id AS href,
+             'read more now' AS anchor_text FROM h
+           UNION ALL
+           SELECT doc_id, '/b/' || id, 'Tom & Jerry' FROM h
+           UNION ALL
+           SELECT doc_id, '/dangling', 'never closed filler' FROM h
+           UNION ALL
+           SELECT doc_id, '/c/' || lng, 'in ' || lng FROM h)""",
+
+    // q_sniff_mime oracle: each arm's magic is known by construction;
+    // the junk arm is null (unknown is never a guess)
+    "q_sniff_mime" ->
+      """SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'image/jpeg'
+             WHEN 1 THEN 'image/png'
+             WHEN 2 THEN 'application/gzip'
+             WHEN 3 THEN 'application/pdf'
+             WHEN 4 THEN 'text/html'
+           END AS mime
+         FROM documents""",
 
     "q_robots_sitemaps" ->
       """SELECT doc_id,

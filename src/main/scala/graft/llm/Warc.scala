@@ -36,7 +36,8 @@ object Warc {
       contentType: String, httpStatus: Option[Int], body: Array[Byte],
       httpContentType: String = null,
       httpContentEncoding: String = null, payloadDigest: String = null,
-      recordId: String = null, concurrentTo: String = null)
+      recordId: String = null, concurrentTo: String = null,
+      httpLocation: String = null)
 
   private def bFind(b: Array[Byte], s: String, from: Int, to: Int): Int = {
     val n = s.length
@@ -188,7 +189,7 @@ object Warc {
     * framing; a malformed chunk stream keeps the raw body). Non-http
     * records pass through untouched. */
   private def liftHttp(warcCt: String, body: Array[Byte])
-      : (Option[Int], Array[Byte], String, String) = {
+      : (Option[Int], Array[Byte], String, String, String) = {
     if (warcCt != null && warcCt.startsWith("application/http") &&
         bFind(body, "HTTP/", 0, 5) == 0) {
       val he = bFind(body, "\r\n\r\n", 0, body.length)
@@ -211,7 +212,11 @@ object Warc {
         if (he < 0) null else header(body, "Content-Encoding", 0, he)
       val httpTe =
         if (he < 0) null else header(body, "Transfer-Encoding", 0, he)
-      if (he < 0) (st, Array.empty[Byte], httpCt, httpCe)
+      // r14: Location is the redirect-graph edge (3xx records are a
+      // large share of any real archive)
+      val httpLoc =
+        if (he < 0) null else header(body, "Location", 0, he)
+      if (he < 0) (st, Array.empty[Byte], httpCt, httpCe, httpLoc)
       else {
         val raw = java.util.Arrays.copyOfRange(
           body, he + 4, body.length)
@@ -221,9 +226,9 @@ object Warc {
             val de = dechunk(raw)
             if (de == null) raw else de
           } else raw
-        (st, payload, httpCt, httpCe)
+        (st, payload, httpCt, httpCe, httpLoc)
       }
-    } else (None, body, null, null)
+    } else (None, body, null, null, null)
   }
 
   /** All records of one WARC payload (gunzipped first if gzip).
@@ -259,7 +264,8 @@ object Warc {
             val body = java.util.Arrays.copyOfRange(
               b, bodyStart, bodyStart + len.toInt)
             val ct = header(b, "Content-Type", pos, hEnd)
-            val (status, payload, httpCt, httpCe) = liftHttp(ct, body)
+            val (status, payload, httpCt, httpCe, httpLoc) =
+              liftHttp(ct, body)
             out += WarcRec(
               header(b, "WARC-Type", pos, hEnd),
               header(b, "WARC-Target-URI", pos, hEnd),
@@ -267,7 +273,7 @@ object Warc {
               ct, status, payload, httpCt, httpCe,
               header(b, "WARC-Payload-Digest", pos, hEnd),
               header(b, "WARC-Record-ID", pos, hEnd),
-              header(b, "WARC-Concurrent-To", pos, hEnd))
+              header(b, "WARC-Concurrent-To", pos, hEnd), httpLoc)
             pos = bodyStart + len.toInt
           }
         }
@@ -291,7 +297,8 @@ object Warc {
     // r14: fetch-pair plumbing — a request record names its response
     // (or vice versa) via WARC-Concurrent-To, keyed by WARC-Record-ID
     StructField("record_id", StringType),
-    StructField("concurrent_to", StringType))
+    StructField("concurrent_to", StringType),
+    StructField("http_location", StringType))
 
   private val recSchema: StructType =
     StructType(StructField("media_id", LongType) +: recFields)
@@ -323,11 +330,12 @@ object Warc {
                 Row(id, true, i, w.recType, w.targetUri, w.date,
                   w.contentType, w.httpStatus.map(Int.box).orNull,
                   w.body, w.httpContentType, w.httpContentEncoding,
-                  w.payloadDigest, w.recordId, w.concurrentTo)
+                  w.payloadDigest, w.recordId, w.concurrentTo,
+                  w.httpLocation)
               }
             case _ =>
               Seq(Row(id, false, null, null, null, null, null, null,
-                null, null, null, null, null, null))
+                null, null, null, null, null, null, null))
           }
         }
       }(enc)
@@ -369,13 +377,13 @@ object Warc {
     val body = in.readNBytes(len.toInt)
     if (body.length != len) return null // truncated body
     val ct = header(hb, "Content-Type", 0, hEnd)
-    val (status, payload, httpCt, httpCe) = liftHttp(ct, body)
+    val (status, payload, httpCt, httpCe, httpLoc) = liftHttp(ct, body)
     WarcRec(header(hb, "WARC-Type", 0, hEnd),
       header(hb, "WARC-Target-URI", 0, hEnd),
       header(hb, "WARC-Date", 0, hEnd), ct, status, payload, httpCt,
       httpCe, header(hb, "WARC-Payload-Digest", 0, hEnd),
       header(hb, "WARC-Record-ID", 0, hEnd),
-      header(hb, "WARC-Concurrent-To", 0, hEnd))
+      header(hb, "WARC-Concurrent-To", 0, hEnd), httpLoc)
   }
 
   /** File-level front door: every `.warc` / `.warc.gz` file under
@@ -455,14 +463,15 @@ object Warc {
         if (rec == null) {
           emittedBad = true
           Row(key, false, null, null, null, null, null, null, null,
-            null, null, null, null, null)
+            null, null, null, null, null, null)
         } else {
           val w = rec
           rec = fetch()
           val r = Row(key, true, idx, w.recType, w.targetUri, w.date,
             w.contentType, w.httpStatus.map(Int.box).orNull, w.body,
             w.httpContentType, w.httpContentEncoding,
-            w.payloadDigest, w.recordId, w.concurrentTo)
+            w.payloadDigest, w.recordId, w.concurrentTo,
+            w.httpLocation)
           idx += 1
           r
         }
@@ -490,7 +499,7 @@ object Warc {
           val key = if (r.isNullAt(0)) "" else r.getString(0)
           if (r.isNullAt(1))
             Iterator(Row(key, false, null, null, null, null, null,
-              null, null, null, null, null, null, null))
+              null, null, null, null, null, null, null, null))
           else {
             val bytes = r.getAs[Array[Byte]](1)
             rowIterator(key, () => new java.io.ByteArrayInputStream(bytes))

@@ -355,6 +355,73 @@ object HtmlMetaUtil {
     if (found) out.toString else null
   }
 
+  /** Case-insensitive "</tag" at a NAME BOUNDARY (next char '>' or
+    * whitespace) — "</a" must not match "</abbr"/"</article". */
+  private def findCloseTag(s: String, tag: String, from: Int): Int = {
+    var i = from
+    while (i >= 0) {
+      val c = findCiSeq(s, "</" + tag, i)
+      if (c < 0) return -1
+      val after = c + 2 + tag.length
+      if (after >= s.length || s.charAt(after) == '>' ||
+        s.charAt(after).isWhitespace) return c
+      i = c + 1
+    }
+    -1
+  }
+
+  /** href + anchor TEXT of every <a> tag, document order, one
+    * "href\ttext" line per link — anchor text is the link graph's
+    * LABEL (what search ranking and weak-supervision pipelines index
+    * a target page under; hrefs alone lose it). The text is the
+    * markup-stripped inner span to the matching </a> (boundary-aware
+    * — "</abbr" doesn't close an anchor), single-lined; tabs in
+    * either field collapse to spaces so the two-field line stays
+    * parseable. Anchors don't nest: a NEW <a> open tag implicitly
+    * closes an open one (the HTML5 parser rule — real pages rely on
+    * it), so the text span ends at the matching </a> OR the next <a>
+    * open, whichever comes first, and a dangling anchor can never
+    * swallow the links after it. An <a> with NEITHER before EOF
+    * drops (reject-don't-misread: unlike [[links]], the text needs
+    * an end); no links -> null (r14). */
+  def linksWithText(s: String): String = {
+    val out = new java.lang.StringBuilder
+    var found = false
+    var i = 0
+    var continue = true
+    def emit(href: String, from: Int, until: Int): Unit = {
+      val txt = HtmlTextUtil.extract(s.substring(from, until))
+        .replace('\n', ' ').replace('\t', ' ')
+      if (found) out.append('\n')
+      out.append(href.replace('\t', ' ')).append('\t').append(txt)
+      found = true
+    }
+    while (continue) {
+      val open = findTagOpen(s, "a", i)
+      if (open < 0) continue = false
+      else {
+        val gt = s.indexOf('>', open)
+        if (gt < 0) continue = false // truncated tag at EOF: drop
+        else {
+          val v = attrValue(s, open, gt, "href")
+          if (v == null) i = gt + 1
+          else {
+            val close = findCloseTag(s, "a", gt + 1)
+            val nextOpen = findTagOpen(s, "a", gt + 1)
+            if (close >= 0 && (nextOpen < 0 || close < nextOpen)) {
+              emit(v, gt + 1, close)
+              i = close + 3
+            } else if (nextOpen >= 0) { // implicit close at next <a>
+              emit(v, gt + 1, nextOpen)
+              i = nextOpen
+            } else i = gt + 1 // dangling at EOF: drop
+          }
+        }
+      }
+    }
+    if (found) out.toString else null
+  }
+
   /** content attribute of the FIRST <meta> tag whose name attribute
     * equals `key` (case-insensitive) — the robots/noindex signal a
     * crawl pipeline filters on before a page enters the corpus.
@@ -534,14 +601,15 @@ object SitemapUtil {
 
 /** html_meta(html, field): the scraper's metadata extractions as one
   * parameterized kernel — field ∈ {title, time, h1, links, robots,
-  * base}.
+  * base, links_text}.
   * Null in -> null out; an absent element -> null (never ''). */
 case class HtmlMeta(child: Expression, field: String)
   extends UnaryExpression {
 
   require(
-    Set("title", "time", "h1", "links", "robots", "base").contains(field),
-    s"html_meta field must be title|time|h1|links|robots|base, got $field")
+    Set("title", "time", "h1", "links", "robots", "base",
+      "links_text").contains(field),
+    s"html_meta field must be title|time|h1|links|robots|base|links_text, got $field")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -558,6 +626,7 @@ case class HtmlMeta(child: Expression, field: String)
     case "links" => HtmlMetaUtil.links(s)
     case "robots" => HtmlMetaUtil.metaContent(s, "robots")
     case "base"  => HtmlMetaUtil.baseHref(s)
+    case "links_text" => HtmlMetaUtil.linksWithText(s)
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -575,6 +644,7 @@ case class HtmlMeta(child: Expression, field: String)
       case "links" => "links"
       case "robots" => "robotsContent"
       case "base"  => "baseHref"
+      case "links_text" => "linksWithText"
     }
     nullSafeCodeGen(ctx, ev, x => {
       val tmp = ctx.freshName("meta")
@@ -639,6 +709,9 @@ object HtmlTextExpr {
 
   def htmlBaseHref(html: Column): Column =
     Bridge.toColumn(HtmlMeta(Bridge.toExpression(html), "base"))
+
+  def htmlLinksWithText(html: Column): Column =
+    Bridge.toColumn(HtmlMeta(Bridge.toExpression(html), "links_text"))
 
   def sitemapLocs(xml: Column): Column =
     Bridge.toColumn(SitemapLocs(Bridge.toExpression(xml)))

@@ -108,7 +108,8 @@ object PlanAudit {
       // round-14: file front door, <base href>, BOM decode, revisit
       "q_warc_files", "q_outlink_base", "q_decode_bom",
       "q_warc_revisit", "q_surt_key", "q_warc_cdx",
-      "q_warc_fetch_pairs")
+      "q_warc_fetch_pairs", "q_warc_redirects", "q_anchor_text",
+      "q_sniff_mime")
 
     val outFile = if (args.nonEmpty) args(0) else "PLANS.md"
     val sb = new StringBuilder

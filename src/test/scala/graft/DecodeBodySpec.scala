@@ -103,6 +103,39 @@ class DecodeBodySpec extends SparkSpec {
       == open)
   }
 
+  test("sniff_mime: magic-byte table, text sniff, unknown -> null (r14)") {
+    import graft.plans.SniffMimeUtil.{sniff => sm}
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    assert(sm("%PDF-1.7 junk".getBytes("ISO-8859-1")) == "application/pdf")
+    assert(sm(b(0xFF, 0xD8, 0xFF, 0xE0, 1, 2)) == "image/jpeg")
+    assert(sm(b(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, 9))
+      == "image/png")
+    assert(sm("GIF89a....".getBytes("ISO-8859-1")) == "image/gif")
+    assert(sm(b(0x1F, 0x8B, 8, 0)) == "application/gzip")
+    assert(sm(b('P', 'K', 3, 4, 0)) == "application/zip")
+    assert(sm("OggS junk".getBytes("ISO-8859-1")) == "application/ogg")
+    assert(sm("ID3 tagged mp3".getBytes("ISO-8859-1")) == "audio/mpeg")
+    assert(sm("RIFF1234WEBPVP8 ".getBytes("ISO-8859-1")) == "image/webp")
+    assert(sm("RIFF1234WAVEfmt ".getBytes("ISO-8859-1")) == "audio/wav")
+    assert(sm("RIFF1234AVI LIST".getBytes("ISO-8859-1"))
+      == "video/x-msvideo")
+    assert(sm("????ftypisom".getBytes("ISO-8859-1")) == "video/mp4")
+    // text sniff skips an optional UTF-8 BOM + whitespace, case-blind
+    assert(sm("\n \t<!DOCTYPE HTML><html>".getBytes("ISO-8859-1"))
+      == "text/html")
+    assert(sm(b(0xEF, 0xBB, 0xBF) ++
+      "  <html lang=en>".getBytes("ISO-8859-1")) == "text/html")
+    assert(sm("<?xml version=\"1.0\"?>".getBytes("ISO-8859-1"))
+      == "application/xml")
+    // unknown/short/null: never a guess, never a throw
+    assert(sm("plain prose".getBytes("ISO-8859-1")) == null)
+    assert(sm(b(0x00)) == null)
+    assert(sm(Array.empty[Byte]) == null)
+    assert(sm(null) == null)
+    // RIFF with an unknown fourcc falls through to null, not a guess
+    assert(sm("RIFF1234XXXX".getBytes("ISO-8859-1")) == null)
+  }
+
   test("gzip_bytes/gunzip_bytes round-trip; corrupt gunzip nulls") {
     val payload = ("x" * 10000 + polish).getBytes("UTF-8")
     assert(java.util.Arrays.equals(

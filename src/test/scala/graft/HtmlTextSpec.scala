@@ -158,6 +158,33 @@ class HtmlTextSpec extends SparkSpec {
     assert(df.collect()(0).getString(0) == "/z/")
   }
 
+  test("html_links_text: anchor text rides the href, boundary-aware close (r14)") {
+    import graft.plans.HtmlMetaUtil
+    def lt(s: String) = HtmlMetaUtil.linksWithText(s)
+    // inline markup collapses to spaces; entities decode
+    assert(lt("<a href=\"/a\">read <b>more</b> now</a>") ==
+      "/a\tread more now")
+    // "</abbr" must NOT close the anchor (name boundary)
+    assert(lt("<a href=\"/b\">the <abbr>USA</abbr> wins</a>") ==
+      "/b\tthe USA wins")
+    assert(lt("<a href=\"/e\">Tom &amp; Jerry</a>") == "/e\tTom & Jerry")
+    // no-href and UNCLOSED-at-EOF anchors drop; later links found
+    assert(lt("<a name=\"x\">t</a><a href=\"/c\">kept</a>" +
+      "<a href=\"/dangling\">never closed") == "/c\tkept")
+    // a new <a> implicitly closes an open one (anchors don't nest):
+    // a dangling anchor can never swallow the links after it
+    assert(lt("<a href=\"/1\">first<a href=\"/2\">second</a>") ==
+      "/1\tfirst\n/2\tsecond")
+    // empty text is a valid label slot; tabs sanitize to spaces
+    assert(lt("<a href=\"/d\"></a>") == "/d\t")
+    assert(lt("<a href=\"/f\">a\tb</a>") == "/f\ta b")
+    // multiple links keep document order, one line each
+    assert(lt("<a href=\"1\">x</a><p></p><A HREF=\"2\">y</A>") ==
+      "1\tx\n2\ty")
+    // none -> null
+    assert(lt("<p>no links</p>") == null)
+  }
+
   test("html_links: hrefs in document order, decoys rejected (r12)") {
     import graft.plans.HtmlMetaUtil
     val page = "<a href=\"https://a.com/1\">one</a><p>x</p>" +

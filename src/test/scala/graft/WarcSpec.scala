@@ -157,6 +157,33 @@ class WarcSpec extends SparkSpec {
       "not chunked at all")
   }
 
+  test("record ids, concurrent-to and Location lift (r14)") {
+    import graft.llm.{Warc => W}
+    val http = "HTTP/1.1 301 Moved Permanently\r\n" +
+      "Location: /new/here\r\nContent-Type: text/html\r\n\r\nmoved"
+    val rec = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://a.com/old\r\n" +
+      "WARC-Record-ID: <urn:uuid:resp-1>\r\n" +
+      "WARC-Concurrent-To: <urn:uuid:req-1>\r\n" +
+      "WARC-Date: 2024-01-02T00:00:00Z\r\n" +
+      "Content-Type: application/http;msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n"
+    val r = W.parse(bytes(rec)).getOrElse(fail("no parse")).head
+    assert(r.recordId == "<urn:uuid:resp-1>")
+    assert(r.concurrentTo == "<urn:uuid:req-1>")
+    assert(r.httpLocation == "/new/here")
+    assert(r.httpStatus.contains(301))
+    // absent headers stay null
+    val plainHttp = "HTTP/1.1 200 OK\r\n\r\npayload"
+    val plain = "WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: https://a.com/x\r\n" +
+      "Content-Type: application/http;msgtype=response\r\n" +
+      s"Content-Length: ${plainHttp.length}\r\n\r\n$plainHttp\r\n\r\n"
+    val p = W.parse(bytes(plain)).getOrElse(fail("no parse")).head
+    assert(p.recordId == null && p.concurrentTo == null &&
+      p.httpLocation == null)
+  }
+
   test("dechunk requires full-body consumption: coincidental framing keeps raw (r14)") {
     import graft.llm.{Warc => W}
     // an ALREADY-DECODED body whose prefix validates as chunk framing
