@@ -310,6 +310,15 @@ class HtmlTextSpec extends SparkSpec {
       RobotsUtil.allowed(s, "bot", "/" + junk(rnd.nextInt(20)))
       RobotsUtil.allowed("User-agent: *\nDisallow: " + s + "\n",
         "bot", "/x")
+      // r14 kernels under the same junk: base lift, anchor text,
+      // surt, mime sniff (bytes), and pct-norm idempotence
+      HtmlMetaUtil.baseHref(s)
+      HtmlMetaUtil.linksWithText(s)
+      graft.plans.SurtKeyUtil.surt(s)
+      graft.plans.SniffMimeUtil.sniff(s.getBytes("UTF-8"))
+      val c = UrlCanonUtil.canon("http://h.com/" + s)
+      if (c != null) assert(UrlCanonUtil.canon(c) == c,
+        s"canon not idempotent on junk: $s")
     }
   }
 
