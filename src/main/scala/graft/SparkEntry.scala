@@ -2186,24 +2186,11 @@ object SparkEntry {
         lit("\r\n\r\n"))
       val media = t(s, d, "documents")
         .select(warc.cast("binary").as("payload"))
-      val dir = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        "graft_warc_files_" + d.replaceAll("[^A-Za-z0-9]", "_"))
-      if (dir.exists) dir.listFiles.foreach(f => { f.delete(); () })
-      dir.mkdirs()
-      val dirPath = dir.getAbsolutePath
-      media.repartition(8).rdd.foreachPartition { it =>
-        if (it.hasNext) {
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          val f = new java.io.File(dirPath, f"part-$pid%05d.warc.gz")
-          val out = new java.util.zip.GZIPOutputStream(
-            new java.io.BufferedOutputStream(
-              new java.io.FileOutputStream(f), 64 << 10))
-          try it.foreach(r => out.write(r.getAs[Array[Byte]](0)))
-          finally out.close()
-        }
-      }
-      graft.llm.Warc.warcFiles(s, dirPath + "/*.warc.gz")
+      val glob = graft.llm.Warc.writeArchiveDir(media, "payload",
+        new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_warc_files_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+          .getAbsolutePath)
+      graft.llm.Warc.warcFiles(s, glob)
         .filter(col("warc_type") === "response" &&
           col("http_status") === 200)
         .select(regexp_extract(col("target_uri"),
@@ -2572,6 +2559,85 @@ object SparkEntry {
           .cast("binary"))
       t(s, d, "documents").select(col("doc_id"),
         graft.plans.SniffMimeExpr.sniffMime(payload).as("mime"))
+    }),
+
+    "q_archive_e2e" -> ((s, d) => {
+      // the file-path CAPSTONE (r14): everything the round built,
+      // composed as ONE plan over REAL archives — write a directory
+      // of .warc.gz where each capture is (a) a windows-1250 HTML
+      // page with boilerplate, (b) a 301 with a relative Location,
+      // or (c) a PDF whose Content-Type LIES ("text/html"); read it
+      // back through warcFiles and route every record in one
+      // projection: sniff_mime catches the liar, redirects resolve
+      // their edge, pages decode (charset header) and strip
+      // boilerplate (main_text), and every row gets its SURT index
+      // key. Map-only after the scan — the 100 TB shape for the
+      // archive→corpus front half.
+      val id = col("doc_id").cast("string")
+      val src = lower(regexp_replace(col("source"), "[^A-Za-z0-9]", "x"))
+      val uri = concat(lit("https://"), src,
+        lit(".example.com/doc/"), id)
+      val m = col("doc_id") % 3
+      val pageBody = concat(
+        concat(lit("<html><body><div><a href=\"/\">Home</a> " +
+          "<a href=\"/a\">About</a></div><p>Doc "), id,
+          lit(" carries this perfectly ordinary content paragraph "))
+          .cast("binary"),
+        lit("Żółć".getBytes("windows-1250")),
+        lit("</p></body></html>").cast("binary"))
+      val pdfBody = concat(lit("%PDF-1.4\n%doc "), id).cast("binary")
+      val redirBody = lit("<p>moved</p>").cast("binary")
+      val statusLine = when(m === 1, lit("HTTP/1.1 301 Moved Permanently"))
+        .otherwise(lit("HTTP/1.1 200 OK"))
+      val headers = when(m === 0,
+          lit("Content-Type: text/html; charset=windows-1250\r\n"))
+        .when(m === 1, concat(lit("Content-Type: text/html\r\n" +
+          "Location: /moved/"), id, lit("\r\n")))
+        .otherwise(lit("Content-Type: text/html\r\n")) // the lie
+      val body = when(m === 0, pageBody).when(m === 1, redirBody)
+        .otherwise(pdfBody)
+      val http = concat(
+        concat(statusLine, lit("\r\n"), headers, lit("\r\n"))
+          .cast("binary"), body)
+      val warc = concat(
+        concat(lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: "), uri,
+          lit("\r\nWARC-Date: 2024-01-02T00:00:00Z\r\n" +
+            "Content-Type: application/http;msgtype=response\r\n" +
+            "Content-Length: "), length(http).cast("string"),
+          lit("\r\n\r\n")).cast("binary"),
+        http, lit("\r\n\r\n").cast("binary"))
+      val media = t(s, d, "documents").select(warc.as("payload"))
+      // member-per-record here (vs q_warc_files' stream-per-
+      // partition) so BOTH gzip layouts warcFiles claims to consume
+      // stay exercised under the correctness gate
+      val glob = graft.llm.Warc.writeArchiveDir(media, "payload",
+        new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_archive_e2e_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+          .getAbsolutePath,
+        memberPerRecord = true)
+      val sniffed = graft.plans.SniffMimeExpr.sniffMime(col("body"))
+      val kind = when(col("http_status") === 301, lit("redirect"))
+        .when(sniffed.isNotNull && sniffed =!= "text/html",
+          lit("binary"))
+        .otherwise(lit("page"))
+      graft.llm.Warc.warcFiles(s, glob)
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          kind.as("kind"),
+          graft.plans.SurtKeyExpr.surtKey(
+            graft.plans.UrlCanonExpr.urlCanon(col("target_uri")))
+            .as("surt_key"),
+          when(kind === "redirect", graft.plans.UrlCanonExpr.urlCanon(
+            graft.plans.UrlResolveExpr.resolveUrl(
+              col("target_uri"), col("http_location"))))
+            .as("redirect_to"),
+          when(kind === "binary", sniffed).as("sniffed_mime"),
+          when(kind === "page", graft.plans.MainTextExpr.htmlMainText(
+            graft.plans.DecodeBodyExpr.decodeBody(
+              col("body"), col("http_content_type")))).as("main_text"))
     }),
 
     // ---- sessionization + funnel (round 8) ----
@@ -6690,6 +6756,30 @@ object SparkEntry {
            'text/html' AS mime,
            200 AS http_status,
            'sha1:CDX' || id AS payload_digest
+         FROM h""",
+
+    // q_archive_e2e oracle: every routed field is statable BY
+    // CONSTRUCTION — kind from doc_id%3, the SURT key from the
+    // capture host, the redirect edge from §5 resolution of the
+    // relative Location, the sniffed MIME from the %PDF magic, and
+    // the page main_text from the one surviving boilerpipe block
+    // (the link-only nav div is dropped; the windows-1250 bytes
+    // decode back to the literal)
+    "q_archive_e2e" ->
+      """WITH h AS (SELECT doc_id,
+           lower(regexp_replace(source, '[^A-Za-z0-9]', 'x', 'g')) AS src,
+           CAST(doc_id AS VARCHAR) AS id, doc_id % 3 AS m
+           FROM documents)
+         SELECT doc_id,
+           CASE m WHEN 0 THEN 'page' WHEN 1 THEN 'redirect'
+             ELSE 'binary' END AS kind,
+           'com,example,' || src || ')/doc/' || id AS surt_key,
+           CASE WHEN m = 1 THEN 'https://' || src
+             || '.example.com/moved/' || id END AS redirect_to,
+           CASE WHEN m = 2 THEN 'application/pdf' END AS sniffed_mime,
+           CASE WHEN m = 0 THEN 'Doc ' || id
+             || ' carries this perfectly ordinary content paragraph '
+             || 'Żółć' END AS main_text
          FROM h""",
 
     // q_warc_fetch_pairs oracle: every response matches its request

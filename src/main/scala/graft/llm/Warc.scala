@@ -430,6 +430,53 @@ object Warc {
     spark.createDataFrame(rows, fileSchema)
   }
 
+  /** Archive WRITER — the inverse of [[warcFiles]]: a binary payload
+    * column (one serialized WARC record, or a concatenation of
+    * records, per row) written out as a directory of `.warc.gz`
+    * archives, one archive per output partition. With
+    * `memberPerRecord=false` the whole partition shares a single
+    * gzip stream; with `true` every ROW becomes its own gzip member
+    * — decoded bytes are identical either way (gzip members
+    * concatenate, and [[warcFiles]]' streaming reader consumes both
+    * layouts), but member-per-record is the Common Crawl layout that
+    * keeps each record independently addressable by compressed byte
+    * offset (the reason CDX carries an offset column), at a
+    * per-record header+trailer size cost.
+    *
+    * Scale shape: a distributed foreachPartition write, O(one
+    * record) memory per task, no driver term; `parts` bounds both
+    * the archive count and the write parallelism. Existing files in
+    * `dir` are removed first, so repeated runs never double records.
+    * Returns the glob [[warcFiles]] reads back. */
+  def writeArchiveDir(df: DataFrame, payloadCol: String, dir: String,
+      parts: Int = 8, memberPerRecord: Boolean = false): String = {
+    val d = new java.io.File(dir)
+    if (d.exists) d.listFiles.foreach(f => { f.delete(); () })
+    d.mkdirs()
+    val dirPath = d.getAbsolutePath
+    df.select(col(payloadCol)).repartition(parts).rdd
+      .foreachPartition { it =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val f = new java.io.File(dirPath, f"part-$pid%05d.warc.gz")
+          val base = new java.io.BufferedOutputStream(
+            new java.io.FileOutputStream(f), 64 << 10)
+          if (memberPerRecord)
+            try it.foreach { r =>
+              val g = new java.util.zip.GZIPOutputStream(base)
+              g.write(r.getAs[Array[Byte]](0))
+              g.finish()
+            } finally base.close()
+          else {
+            val g = new java.util.zip.GZIPOutputStream(base)
+            try it.foreach(r => g.write(r.getAs[Array[Byte]](0)))
+            finally g.close()
+          }
+        }
+      }
+    dirPath + "/*.warc.gz"
+  }
+
   /** The shared per-file decode walk behind [[warcFiles]] and
     * [[warcContentRecords]]: magic-sniffed optional gzip over the
     * opened stream, one [[readRecord]] at a time, the same

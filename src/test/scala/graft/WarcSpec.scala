@@ -298,4 +298,35 @@ class WarcSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(text == Seq("hello warc"))
   }
+
+  test("writeArchiveDir: both gzip layouts round-trip through warcFiles") {
+    import spark.implicits._
+    val payloads = (0 until 20).map { i =>
+      bytes(record("response", s"https://w.com/$i",
+        httpResp(s"<p>rec $i</p>")))
+    }
+    val df = spark.createDataset(payloads).toDF("payload")
+    def sizeOf(dir: String): Long = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".warc.gz")).map(_.length).sum
+    val uris = (0 until 20).map(i => s"https://w.com/$i").sorted
+    val dirs = Seq(false, true).map { mpr =>
+      val dir = tmpDir(s"warcwrite$mpr")
+      val glob = Warc.writeArchiveDir(df, "payload", dir,
+        parts = 4, memberPerRecord = mpr)
+      val back = Warc.warcFiles(spark, glob).filter(col("parse_ok"))
+        .select("target_uri").collect().map(_.getString(0)).sorted
+      assert(back.toSeq == uris, s"memberPerRecord=$mpr")
+      // rewriting the same directory never doubles records
+      Warc.writeArchiveDir(df, "payload", dir,
+        parts = 4, memberPerRecord = mpr)
+      assert(Warc.warcFiles(spark, glob).filter(col("parse_ok"))
+        .count() == 20)
+      dir
+    }
+    // member-per-record pays one gzip header/trailer + dictionary
+    // reset per ROW — strictly bigger on disk than the shared-stream
+    // layout over identical records (the price of per-record
+    // compressed-offset addressability)
+    assert(sizeOf(dirs(1)) > sizeOf(dirs(0)))
+  }
 }
