@@ -109,7 +109,12 @@ object PlanAudit {
       "q_warc_files", "q_outlink_base", "q_decode_bom",
       "q_warc_revisit", "q_surt_key", "q_warc_cdx",
       "q_warc_fetch_pairs", "q_warc_redirects", "q_anchor_text",
-      "q_sniff_mime")
+      "q_sniff_mime",
+      // round-14 capstone: the archive write happens at dataframe
+      // CONSTRUCTION (bounded foreachPartition), so the audited plan
+      // is the read+route half -- which is the claim: map-only after
+      // the file scan
+      "q_archive_e2e")
 
     val outFile = if (args.nonEmpty) args(0) else "PLANS.md"
     val sb = new StringBuilder
