@@ -2200,6 +2200,298 @@ object SparkEntry {
             col("body").cast("string")).as("text"))
     }),
 
+    "q_wet_export" -> ((s, d) => {
+      // WET-style text-conversion export (r14): the derivative
+      // archive Common Crawl publishes next to every crawl — one
+      // `conversion` record per page, text/plain payload = the
+      // extracted text, WARC-Refers-To naming the source capture.
+      // The WHOLE round trip is graded: response records ->
+      // decode_body (a windows-1250 arm forces the charset path) ->
+      // html_to_text -> conversion records serialized in-plan
+      // (Content-Length = BYTE length of the UTF-8 text, not chars)
+      // -> writeArchiveDir(memberPerRecord=true) (the Common Crawl
+      // member-per-gzip-record layout) -> warcFiles read-back, with
+      // the r14 refers_to lift tying each WET row to its capture.
+      // Scale shape: map-only projections either side of a bounded
+      // distributed write; no shuffle anywhere.
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 2
+      val clean = regexp_replace(regexp_replace(
+        coalesce(col("text"), lit("")), "[^\\x20-\\x7E]", " "),
+        "[<>&]", " ")
+      val src = regexp_replace(col("source"), "[^\\x20-\\x7E]", " ")
+      val uri = concat(lit("https://"), src,
+        lit(".example.com/doc/"), id)
+      val respId = concat(lit("<urn:uuid:resp-"), id, lit(">"))
+      val pre = concat(lit("<html><body><h1>Doc "), id,
+        lit("</h1><p>"), clean, lit(" "))
+      val sufBytes = when(m === 0,
+          lit("Żółć gęślą jaźń".getBytes("windows-1250")))
+        .otherwise(lit("café ☃".getBytes("UTF-8")))
+      val bodyBin = concat(pre.cast("binary"), sufBytes,
+        lit("</p></body></html>").cast("binary"))
+      val ct = when(m === 0, lit("text/html; charset=windows-1250"))
+        .otherwise(lit("text/html"))
+      val http = concat(
+        concat(lit("HTTP/1.1 200 OK\r\nContent-Type: "), ct,
+          lit("\r\n\r\n")).cast("binary"), bodyBin)
+      val warc = concat(
+        concat(lit("WARC/1.0\r\nWARC-Type: response\r\n" +
+          "WARC-Target-URI: "), uri,
+          lit("\r\nWARC-Record-ID: "), respId,
+          lit("\r\nWARC-Date: 2024-01-02T00:00:00Z\r\n" +
+            "Content-Type: application/http;msgtype=response\r\n" +
+            "Content-Length: "), length(http).cast("string"),
+          lit("\r\n\r\n")).cast("binary"),
+        http, lit("\r\n\r\n").cast("binary"))
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), warc.as("payload"))
+      val conv = graft.llm.Warc.warcRecords(media, "doc_id", "payload")
+        .filter(col("warc_type") === "response" &&
+          col("http_status") === 200)
+        .select(col("target_uri"), col("record_id"),
+          encode(graft.plans.HtmlTextExpr.htmlToText(
+            graft.plans.DecodeBodyExpr.decodeBody(
+              col("body"), col("http_content_type"))), "UTF-8")
+            .as("text_bin"))
+        .select(concat(
+          concat(lit("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+            "WARC-Target-URI: "), col("target_uri"),
+            lit("\r\nWARC-Date: 2024-01-02T00:00:01Z\r\n" +
+              "WARC-Refers-To: "), col("record_id"),
+            lit("\r\nContent-Type: text/plain\r\nContent-Length: "),
+            length(col("text_bin")).cast("string"),
+            lit("\r\n\r\n")).cast("binary"),
+          col("text_bin"), lit("\r\n\r\n").cast("binary"))
+          .as("payload"))
+      val glob = graft.llm.Warc.writeArchiveDir(conv, "payload",
+        new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_wet_export_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+          .getAbsolutePath, memberPerRecord = true)
+      graft.llm.Warc.warcFiles(s, glob)
+        .filter(col("warc_type") === "conversion")
+        .select(regexp_extract(col("target_uri"),
+          "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("target_uri"), col("refers_to"),
+          col("body").cast("string").as("wet_text"))
+    }),
+
+    "q_pub_date" -> ((s, d) => {
+      // publication-date extraction (r14) — the temporal-filter
+      // signal (dated-before-cutoff corpus slices, earliest-capture
+      // dedup tie-breaks). html_published pins the markup precedence
+      // (OpenGraph article:published_time > meta name=date > <time
+      // datetime>), and the query composes the standard URL-path
+      // fallback (/YYYY/MM/DD/) behind it. Arms: og meta WITH a
+      // decoy <time> (precedence proof), meta-date behind a decoy
+      // author meta, bare <time>, URL-only date, undated. Map-only.
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 5
+      val src = lower(regexp_replace(col("source"), "[^A-Za-z0-9]", "x"))
+      val dd = lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0")
+      val url = when(m === 3,
+          concat(lit("https://"), src, lit(".example.com/2023/07/"),
+            dd, lit("/post.html")))
+        .otherwise(concat(lit("https://"), src,
+          lit(".example.com/post/"), id))
+      val html = when(m === 0, concat(
+          lit("<html><head><meta property=\"article:published_time\"" +
+            " content=\"2024-03-"), dd,
+          lit("T08:00:00Z\"></head><body><time datetime=" +
+            "\"1999-01-01\">old</time><p>x</p></body></html>")))
+        .when(m === 1, concat(
+          lit("<html><head><meta name=\"author\" content=\"A W\">" +
+            "<meta name=\"date\" content=\"2023-11-"), dd,
+          lit("\"></head><body><p>x</p></body></html>")))
+        .when(m === 2, concat(
+          lit("<html><body><time datetime=\"2022-05-"), dd,
+          lit("T12:00:00+01:00\">May</time></body></html>")))
+        .otherwise(lit("<html><body><p>undated</p></body></html>"))
+      val markup = graft.plans.HtmlTextExpr.htmlPublished(html)
+      val urlDate = regexp_replace(regexp_extract(url,
+        "/(20[0-9]{2}/[0-9]{2}/[0-9]{2})/", 1), "/", "-")
+      t(s, d, "documents")
+        .select(col("doc_id"), markup.as("markup"),
+          nullif(urlDate, lit("")).as("url_date"))
+        .select(col("doc_id"),
+          coalesce(col("markup"), col("url_date")).as("pub_date"),
+          when(col("markup").isNotNull, lit("markup"))
+            .when(col("url_date").isNotNull, lit("url"))
+            .as("pub_src"))
+    }),
+
+    "q_recrawl_schedule" -> ((s, d) => {
+      // recrawl-rate estimation (r14) — Cho & Garcia-Molina's
+      // bias-reduced change-frequency estimator ("Estimating
+      // Frequency of Change", ACM TOIT 3(3) 2003, §4.2): over n
+      // equal-interval accesses with X detected changes,
+      // lambda = -ln((n - X + 0.5)/(n + 0.5)) changes per interval;
+      // a frontier refetches on the 1/lambda horizon. Capture
+      // history by construction: 4 daily captures per URL whose
+      // payload digest advances on the first X = doc_id % 4
+      // intervals; detection is the lag-compare a real CDX history
+      // gets (digest inequality, not version math). Shape: map-side
+      // 4x fan-out of slim rows, then ONE exchange — the window
+      // partitions by doc_id and the aggregate groups by
+      // (doc_id, url), whose clustering the doc_id hash already
+      // satisfies. No payload bytes anywhere.
+      import org.apache.spark.sql.expressions.Window
+      val url = concat(lit("https://"),
+        lower(regexp_replace(col("source"), "[^A-Za-z0-9]", "x")),
+        lit(".example.com/doc/"), col("doc_id").cast("string"))
+      val caps = t(s, d, "documents")
+        .select(col("doc_id"), url.as("url"),
+          (col("doc_id") % 4).as("x"),
+          explode(sequence(lit(0), lit(3))).as("k"))
+        .select(col("doc_id"), col("url"), col("k"),
+          concat(lit("sha1:"), col("doc_id").cast("string"),
+            lit("-v"), least(col("k"), col("x")).cast("string"))
+            .as("digest"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("k"))
+      val lam = -log((lit(3) - col("n_changes") + lit(0.5)) / lit(3.5))
+      caps
+        .withColumn("prev", lag(col("digest"), 1).over(w))
+        .groupBy(col("doc_id"), col("url"))
+        .agg(sum(when(col("prev").isNotNull &&
+          col("prev") =!= col("digest"), 1).otherwise(0))
+          .as("n_changes"))
+        .select(col("doc_id"), col("url"), col("n_changes"),
+          // + 0.0 canonicalizes IEEE -0.0 (the X=0 arm) on BOTH sides
+          (round(lam, 6) + lit(0.0)).as("lambda_day"),
+          when(col("n_changes") > 0, round(lit(1.0) / lam, 4))
+            .as("revisit_days"))
+    }),
+
+    "q_crawl_traps" -> ((s, d) => {
+      // crawl-trap detection (r14): calendar pages, session-id
+      // echoes and faceted listings mint unbounded URL spaces with
+      // near-constant content — a frontier that cannot see "many
+      // URLs, one digest" drowns in them (the heritrix/stormcrawler
+      // pathological-prefix rule). Signal per (host, first path
+      // segment): distinct URLs vs distinct payload digests. Trap
+      // arm (doc_id%3==0) mints 4 distinct /cal/ URLs per doc all
+      // sharing the HOST's digest; content arms mint /page/ URLs
+      // with per-capture digests. ONE shuffle: the (host, seg)
+      // aggregate over slim projected rows.
+      val src = lower(regexp_replace(col("source"), "[^A-Za-z0-9]", "x"))
+      val caps = t(s, d, "documents")
+        .select(col("doc_id"), (col("doc_id") % 3).as("m"),
+          src.as("src"), concat(src, lit(".example.com")).as("host"),
+          explode(sequence(lit(0), lit(3))).as("k"))
+      val isTrap = col("m") === 0
+      val urls = caps.select(col("host"),
+        when(isTrap, lit("cal")).otherwise(lit("page")).as("seg"),
+        when(isTrap, concat(lit("https://"), col("host"),
+            lit("/cal/"), (col("doc_id") * 4 + col("k"))
+              .cast("string")))
+          .otherwise(concat(lit("https://"), col("host"),
+            lit("/page/"), col("doc_id").cast("string"), lit("-"),
+            col("k").cast("string"))).as("url"),
+        when(isTrap, concat(lit("sha1:HOME-"), col("src")))
+          .otherwise(concat(lit("sha1:"),
+            col("doc_id").cast("string"), lit("-"),
+            col("k").cast("string"))).as("digest"))
+      urls.groupBy(col("host"), col("seg"))
+        .agg(countDistinct(col("url")).as("n_urls"),
+          countDistinct(col("digest")).as("n_digests"))
+        .select(col("host"), col("seg"), col("n_urls"),
+          col("n_digests"),
+          round(col("n_urls").cast("double") / col("n_digests"), 4)
+            .as("dup_ratio"))
+        .withColumn("is_trap",
+          col("n_urls") >= 12 && col("dup_ratio") >= 8.0)
+    }),
+
+    "q_mojibake" -> ((s, d) => {
+      // encoding-damage audit (r14): mojibake — UTF-8 bytes decoded
+      // through a legacy charset — is irreversible corpus damage
+      // that survives every later filter, so curation scores it
+      // early (the Dolma/CCNet hygiene gate). Two signals per doc
+      // over the REAL decode path: the U+FFFD replacement count
+      // (decoder-detected damage) and the classic UTF-8-as-latin1
+      // marker count (Ã Â â Å Ä — the visible lead-byte forms).
+      // Arms: 1 = the page's UTF-8 bytes decoded as ISO-8859-1
+      // because the Content-Type LIES (6 markers by construction),
+      // 2 = a truncated multibyte sequence under UTF-8 (exactly one
+      // U+FFFD), 0 = clean. Map-only; counts via translate, no
+      // regex in the hot path.
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 3
+      val clean = regexp_replace(regexp_replace(
+        coalesce(col("text"), lit("")), "[^\\x20-\\x7E]", " "),
+        "[<>&]", " ")
+      val pre = concat(lit("<html><body><p>Doc "), id, lit(" "), clean)
+      val sufBytes = when(m === 1,
+          lit(" café Żółć naïve".getBytes("UTF-8")))
+        .when(m === 2, lit(Array[Byte](0x20.toByte, 0xC3.toByte)))
+        .otherwise(lit(" plain ascii".getBytes("UTF-8")))
+      val bodyBin = concat(pre.cast("binary"), sufBytes,
+        lit("</p></body></html>").cast("binary"))
+      val ct = when(m === 1, lit("text/html; charset=ISO-8859-1"))
+        .otherwise(lit("text/html"))
+      val decoded = graft.plans.DecodeBodyExpr.decodeBody(bodyBin, ct)
+      val fffd = (length(decoded) -
+        length(translate(decoded, "�", ""))).cast("long")
+      val moj = (length(decoded) -
+        length(translate(decoded, "ÃÂâÅÄ",
+          ""))).cast("long")
+      t(s, d, "documents")
+        .select(col("doc_id"), fffd.as("fffd_n"), moj.as("moj_n"))
+        .withColumn("verdict",
+          when(col("fffd_n") > 0 || col("moj_n") >= 3, lit("damaged"))
+            .otherwise(lit("clean")))
+    }),
+
+    "q_cache_headers" -> ((s, d) => {
+      // HTTP cache semantics for the recrawl queue (r14): a capture
+      // carrying validators (Last-Modified / ETag) refetches
+      // CONDITIONALLY — If-Modified-Since / If-None-Match, where a
+      // 304 costs headers instead of bytes — and Cache-Control's
+      // max-age is the server's own freshness horizon. A 100 TB
+      // refetch queue that ignores both re-downloads the web.
+      // Arms: max-age+validator, validator pair, weak-ETag only,
+      // none. Map-only over the record scan via the r14 cache-header
+      // lift; policy derives in-plan.
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 4
+      val maxAge = (lit(600) + (col("doc_id") % 10) * 60)
+      val lastMod = "Last-Modified: Tue, 02 Jan 2024 00:00:00 GMT\r\n"
+      val extra = when(m === 0, concat(
+          lit("Cache-Control: max-age="), maxAge.cast("string"),
+          lit(", public\r\n" + lastMod)))
+        .when(m === 1, concat(lit(lastMod + "ETag: \"v"), id,
+          lit("\"\r\n")))
+        .when(m === 2, concat(lit("ETag: W/\""), id, lit("\"\r\n")))
+        .otherwise(lit(""))
+      val html = concat(lit("<p>doc "), id, lit("</p>"))
+      val http = concat(
+        lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"), extra,
+        lit("\r\n"), html)
+      val warc = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+          "https://example.com/doc/"), id,
+        lit("\r\nWARC-Date: 2024-01-02T00:00:00Z\r\n" +
+          "Content-Type: application/http;msgtype=response\r\n" +
+          "Content-Length: "), length(http).cast("string"),
+        lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), warc.cast("binary").as("payload"))
+      graft.llm.Warc.warcRecords(media, "doc_id", "payload")
+        .filter(col("warc_type") === "response")
+        .select(col("media_id").as("doc_id"),
+          nullif(regexp_extract(
+            coalesce(col("http_cache_control"), lit("")),
+            "max-age=([0-9]+)", 1), lit("")).cast("long")
+            .as("max_age"),
+          col("http_last_modified").as("last_modified"),
+          col("http_etag").as("etag"))
+        .withColumn("refetch_policy",
+          when(col("max_age").isNotNull, lit("ttl"))
+            .when(col("last_modified").isNotNull ||
+              col("etag").isNotNull, lit("conditional"))
+            .otherwise(lit("unconditional")))
+    }),
+
     "q_outlink_base" -> ((s, d) => {
       // <base href> resolution (r14, RFC 3986 §5.1.1): page content
       // can override the retrieval URI as the resolution base, and
@@ -6646,6 +6938,143 @@ object SparkEntry {
          SELECT doc_id, target_uri,
            trim(t, ' ' || chr(10) || chr(9)) AS text
          FROM s8""",
+
+    // q_wet_export oracle: the conversion record's text payload is
+    // the html_to_text chain over the constructed page (the
+    // windows-1250 arm decodes back to its literal suffix BY
+    // construction), refers_to is the response record id verbatim
+    "q_wet_export" ->
+      """WITH h AS (SELECT doc_id,
+           regexp_replace(regexp_replace(coalesce(text, ''),
+             '[^\x{20}-\x{7E}]', ' ', 'g'), '[<>&]', ' ', 'g') AS clean,
+           regexp_replace(source, '[^\x{20}-\x{7E}]', ' ', 'g') AS src,
+           CAST(doc_id AS VARCHAR) AS id
+           FROM documents),
+         x AS (SELECT doc_id,
+             'https://' || src || '.example.com/doc/' || id
+               AS target_uri,
+             '<urn:uuid:resp-' || id || '>' AS refers_to,
+             '<html><body><h1>Doc ' || id || '</h1><p>' || clean
+               || ' '
+               || CASE WHEN doc_id % 2 = 0 THEN 'Żółć gęślą jaźń'
+                  ELSE 'café ☃' END
+               || '</p></body></html>' AS html
+           FROM h),
+         s3 AS (SELECT doc_id, target_uri, refers_to,
+             regexp_replace(html,
+             '(?i)</?(h[1-6]|p)\b[^>]*>', chr(10), 'g') AS t FROM x),
+         s4 AS (SELECT doc_id, target_uri, refers_to,
+             regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s3),
+         s6 AS (SELECT doc_id, target_uri, refers_to,
+             regexp_replace(t, '[ \t]+', ' ', 'g') AS t FROM s4),
+         s7 AS (SELECT doc_id, target_uri, refers_to,
+             regexp_replace(t, ' ?\n ?', chr(10), 'g') AS t FROM s6),
+         s8 AS (SELECT doc_id, target_uri, refers_to,
+             regexp_replace(t, '\n+', chr(10), 'g') AS t FROM s7)
+         SELECT doc_id, target_uri, refers_to,
+           trim(t, ' ' || chr(10) || chr(9)) AS wet_text
+         FROM s8""",
+
+    // q_pub_date oracle: each arm's extracted date is statable BY
+    // CONSTRUCTION — og beats the decoy <time>, meta-date survives
+    // the decoy author meta, the URL arm converts its path segs
+    "q_pub_date" ->
+      """WITH h AS (SELECT doc_id, doc_id % 5 AS m,
+           lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0') AS dd
+           FROM documents)
+         SELECT doc_id,
+           CASE m
+             WHEN 0 THEN '2024-03-' || dd || 'T08:00:00Z'
+             WHEN 1 THEN '2023-11-' || dd
+             WHEN 2 THEN '2022-05-' || dd || 'T12:00:00+01:00'
+             WHEN 3 THEN '2023-07-' || dd
+           END AS pub_date,
+           CASE WHEN m IN (0, 1, 2) THEN 'markup'
+             WHEN m = 3 THEN 'url' END AS pub_src
+         FROM h""",
+
+    // q_recrawl_schedule oracle: the digest advances on exactly the
+    // first X = doc_id % 4 intervals, so the lag-detected change
+    // count IS x and the Cho-Garcia-Molina estimator is statable in
+    // closed form per arm (rounded on both sides)
+    "q_recrawl_schedule" ->
+      """WITH h AS (SELECT doc_id, doc_id % 4 AS x,
+           'https://' || lower(regexp_replace(source,
+             '[^A-Za-z0-9]', 'x', 'g')) || '.example.com/doc/'
+             || CAST(doc_id AS VARCHAR) AS url
+           FROM documents)
+         SELECT doc_id, url, CAST(x AS BIGINT) AS n_changes,
+           round(-ln((3 - x + 0.5) / 3.5), 6) + 0.0 AS lambda_day,
+           CASE WHEN x > 0
+             THEN round(1.0 / (-ln((3 - x + 0.5) / 3.5)), 4)
+           END AS revisit_days
+         FROM h""",
+
+    // q_crawl_traps oracle: the same exploded capture frame built in
+    // SQL — the trap arm's 4 URLs per doc share one digest per host,
+    // the content arms mint one digest per capture
+    "q_crawl_traps" ->
+      """WITH h AS (SELECT doc_id, doc_id % 3 AS m,
+           lower(regexp_replace(source, '[^A-Za-z0-9]', 'x', 'g'))
+             AS src
+           FROM documents),
+         caps AS (SELECT doc_id, m, src, src || '.example.com' AS host,
+             u.k
+           FROM h CROSS JOIN UNNEST(range(0, 4)) AS u(k)),
+         urls AS (SELECT host,
+             CASE WHEN m = 0 THEN 'cal' ELSE 'page' END AS seg,
+             CASE WHEN m = 0 THEN 'https://' || host || '/cal/'
+                 || CAST(doc_id * 4 + k AS VARCHAR)
+               ELSE 'https://' || host || '/page/'
+                 || CAST(doc_id AS VARCHAR) || '-'
+                 || CAST(k AS VARCHAR) END AS url,
+             CASE WHEN m = 0 THEN 'sha1:HOME-' || src
+               ELSE 'sha1:' || CAST(doc_id AS VARCHAR) || '-'
+                 || CAST(k AS VARCHAR) END AS digest
+           FROM caps)
+         SELECT host, seg,
+           count(DISTINCT url) AS n_urls,
+           count(DISTINCT digest) AS n_digests,
+           round(count(DISTINCT url)::DOUBLE
+             / count(DISTINCT digest), 4) AS dup_ratio,
+           count(DISTINCT url) >= 12 AND
+             round(count(DISTINCT url)::DOUBLE
+               / count(DISTINCT digest), 4) >= 8.0 AS is_trap
+         FROM urls GROUP BY host, seg""",
+
+    // q_mojibake oracle: damage counts are statable BY CONSTRUCTION
+    // — the lying-charset arm's suffix holds exactly 6 non-ASCII
+    // chars whose UTF-8 lead bytes read as Ã/Å/Ä under latin1, the
+    // truncation arm yields exactly one U+FFFD, the rest of the
+    // page is ASCII-sanitized on both sides
+    "q_mojibake" ->
+      """SELECT doc_id,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END
+             AS BIGINT) AS fffd_n,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 6 ELSE 0 END
+             AS BIGINT) AS moj_n,
+           CASE WHEN doc_id % 3 IN (1, 2) THEN 'damaged'
+             ELSE 'clean' END AS verdict
+         FROM documents""",
+
+    // q_cache_headers oracle: every lifted header and the derived
+    // policy are statable BY CONSTRUCTION per arm
+    "q_cache_headers" ->
+      """WITH h AS (SELECT doc_id, doc_id % 4 AS m,
+           CAST(doc_id AS VARCHAR) AS id,
+           600 + (doc_id % 10) * 60 AS ma
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN m = 0 THEN CAST(ma AS BIGINT) END AS max_age,
+           CASE WHEN m IN (0, 1)
+             THEN 'Tue, 02 Jan 2024 00:00:00 GMT' END
+             AS last_modified,
+           CASE WHEN m = 1 THEN '"v' || id || '"'
+             WHEN m = 2 THEN 'W/"' || id || '"' END AS etag,
+           CASE WHEN m = 0 THEN 'ttl'
+             WHEN m IN (1, 2) THEN 'conditional'
+             ELSE 'unconditional' END AS refetch_policy
+         FROM h""",
 
     // q_outlink_base oracle: all three base arms state their
     // expected resolution BY CONSTRUCTION (absolute base ->

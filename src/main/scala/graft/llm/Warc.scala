@@ -37,7 +37,9 @@ object Warc {
       httpContentType: String = null,
       httpContentEncoding: String = null, payloadDigest: String = null,
       recordId: String = null, concurrentTo: String = null,
-      httpLocation: String = null)
+      httpLocation: String = null, refersTo: String = null,
+      httpLastModified: String = null, httpEtag: String = null,
+      httpCacheControl: String = null)
 
   private def bFind(b: Array[Byte], s: String, from: Int, to: Int): Int = {
     val n = s.length
@@ -188,8 +190,15 @@ object Warc {
     * the message declares Transfer-Encoding: chunked (transport
     * framing; a malformed chunk stream keeps the raw body). Non-http
     * records pass through untouched. */
-  private def liftHttp(warcCt: String, body: Array[Byte])
-      : (Option[Int], Array[Byte], String, String, String) = {
+  /** What [[liftHttp]] recovers from an application/http record:
+    * status + de-framed payload + the headers the pipeline feeds on
+    * (content/redirect/cache metadata). Non-HTTP records pass
+    * through with all-null headers. */
+  private final case class HttpLift(status: Option[Int],
+      payload: Array[Byte], ct: String, ce: String, loc: String,
+      lastMod: String, etag: String, cacheCtl: String)
+
+  private def liftHttp(warcCt: String, body: Array[Byte]): HttpLift = {
     if (warcCt != null && warcCt.startsWith("application/http") &&
         bFind(body, "HTTP/", 0, 5) == 0) {
       val he = bFind(body, "\r\n\r\n", 0, body.length)
@@ -216,7 +225,16 @@ object Warc {
       // large share of any real archive)
       val httpLoc =
         if (he < 0) null else header(body, "Location", 0, he)
-      if (he < 0) (st, Array.empty[Byte], httpCt, httpCe, httpLoc)
+      // r14: cache/validator headers for the recrawl scheduler
+      val lastMod =
+        if (he < 0) null else header(body, "Last-Modified", 0, he)
+      val etag =
+        if (he < 0) null else header(body, "ETag", 0, he)
+      val cacheCtl =
+        if (he < 0) null else header(body, "Cache-Control", 0, he)
+      if (he < 0)
+        HttpLift(st, Array.empty[Byte], httpCt, httpCe, httpLoc,
+          lastMod, etag, cacheCtl)
       else {
         val raw = java.util.Arrays.copyOfRange(
           body, he + 4, body.length)
@@ -226,9 +244,10 @@ object Warc {
             val de = dechunk(raw)
             if (de == null) raw else de
           } else raw
-        (st, payload, httpCt, httpCe, httpLoc)
+        HttpLift(st, payload, httpCt, httpCe, httpLoc,
+          lastMod, etag, cacheCtl)
       }
-    } else (None, body, null, null, null)
+    } else HttpLift(None, body, null, null, null, null, null, null)
   }
 
   /** All records of one WARC payload (gunzipped first if gzip).
@@ -264,16 +283,17 @@ object Warc {
             val body = java.util.Arrays.copyOfRange(
               b, bodyStart, bodyStart + len.toInt)
             val ct = header(b, "Content-Type", pos, hEnd)
-            val (status, payload, httpCt, httpCe, httpLoc) =
-              liftHttp(ct, body)
+            val h = liftHttp(ct, body)
             out += WarcRec(
               header(b, "WARC-Type", pos, hEnd),
               header(b, "WARC-Target-URI", pos, hEnd),
               header(b, "WARC-Date", pos, hEnd),
-              ct, status, payload, httpCt, httpCe,
+              ct, h.status, h.payload, h.ct, h.ce,
               header(b, "WARC-Payload-Digest", pos, hEnd),
               header(b, "WARC-Record-ID", pos, hEnd),
-              header(b, "WARC-Concurrent-To", pos, hEnd), httpLoc)
+              header(b, "WARC-Concurrent-To", pos, hEnd), h.loc,
+              header(b, "WARC-Refers-To", pos, hEnd),
+              h.lastMod, h.etag, h.cacheCtl)
             pos = bodyStart + len.toInt
           }
         }
@@ -298,7 +318,18 @@ object Warc {
     // (or vice versa) via WARC-Concurrent-To, keyed by WARC-Record-ID
     StructField("record_id", StringType),
     StructField("concurrent_to", StringType),
-    StructField("http_location", StringType))
+    StructField("http_location", StringType),
+    // r14: WARC-Refers-To ties a derivative record (a WET-style
+    // `conversion`, a `revisit`) back to the capture it was made
+    // from — the provenance edge a corpus pipeline joins on
+    StructField("refers_to", StringType),
+    // r14: the HTTP cache/validator headers a recrawl scheduler
+    // feeds on — Last-Modified/ETag make a refetch conditional
+    // (If-Modified-Since / If-None-Match), Cache-Control's max-age
+    // is the server's own freshness horizon
+    StructField("http_last_modified", StringType),
+    StructField("http_etag", StringType),
+    StructField("http_cache_control", StringType))
 
   private val recSchema: StructType =
     StructType(StructField("media_id", LongType) +: recFields)
@@ -331,11 +362,13 @@ object Warc {
                   w.contentType, w.httpStatus.map(Int.box).orNull,
                   w.body, w.httpContentType, w.httpContentEncoding,
                   w.payloadDigest, w.recordId, w.concurrentTo,
-                  w.httpLocation)
+                  w.httpLocation, w.refersTo, w.httpLastModified,
+                  w.httpEtag, w.httpCacheControl)
               }
             case _ =>
               Seq(Row(id, false, null, null, null, null, null, null,
-                null, null, null, null, null, null, null))
+                null, null, null, null, null, null, null, null, null,
+                null, null))
           }
         }
       }(enc)
@@ -377,13 +410,15 @@ object Warc {
     val body = in.readNBytes(len.toInt)
     if (body.length != len) return null // truncated body
     val ct = header(hb, "Content-Type", 0, hEnd)
-    val (status, payload, httpCt, httpCe, httpLoc) = liftHttp(ct, body)
+    val h = liftHttp(ct, body)
     WarcRec(header(hb, "WARC-Type", 0, hEnd),
       header(hb, "WARC-Target-URI", 0, hEnd),
-      header(hb, "WARC-Date", 0, hEnd), ct, status, payload, httpCt,
-      httpCe, header(hb, "WARC-Payload-Digest", 0, hEnd),
+      header(hb, "WARC-Date", 0, hEnd), ct, h.status, h.payload,
+      h.ct, h.ce, header(hb, "WARC-Payload-Digest", 0, hEnd),
       header(hb, "WARC-Record-ID", 0, hEnd),
-      header(hb, "WARC-Concurrent-To", 0, hEnd), httpLoc)
+      header(hb, "WARC-Concurrent-To", 0, hEnd), h.loc,
+      header(hb, "WARC-Refers-To", 0, hEnd),
+      h.lastMod, h.etag, h.cacheCtl)
   }
 
   /** File-level front door: every `.warc` / `.warc.gz` file under
@@ -525,7 +560,8 @@ object Warc {
         if (rec == null) {
           emittedBad = true
           Row(key, false, null, null, null, null, null, null, null,
-            null, null, null, null, null, null)
+            null, null, null, null, null, null, null, null, null,
+            null)
         } else {
           val w = rec
           rec = fetch()
@@ -533,7 +569,8 @@ object Warc {
             w.contentType, w.httpStatus.map(Int.box).orNull, w.body,
             w.httpContentType, w.httpContentEncoding,
             w.payloadDigest, w.recordId, w.concurrentTo,
-            w.httpLocation)
+            w.httpLocation, w.refersTo, w.httpLastModified,
+            w.httpEtag, w.httpCacheControl)
           idx += 1
           r
         }

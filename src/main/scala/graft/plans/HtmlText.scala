@@ -482,6 +482,49 @@ object HtmlMetaUtil {
     null
   }
 
+  /** Publication date of the page — the temporal-filtering signal a
+    * training corpus is sliced on (dated-before-cutoff selection,
+    * dedup tie-breaks toward the earliest capture). Pinned
+    * precedence, restricted to markup-DECLARED dates (the
+    * trafilatura/newspaper heuristic order, minus free-text
+    * guessing):
+    *   1. the FIRST <meta> whose `property` OR `name` equals
+    *      "article:published_time" (the OpenGraph form — property=
+    *      on real pages, name= on sloppy ones);
+    *   2. the FIRST <meta name="date" content=...> (the classic
+    *      Dublin-Core-ish form);
+    *   3. the FIRST <time datetime=...>.
+    * Values come back VERBATIM (callers normalize/parse); a tag
+    * truncated at EOF rejects, like every scanner here. Null when
+    * the page declares no date. */
+  def publishedTime(s: String): String = {
+    var metaDate: String = null
+    var i = 0
+    var scanning = true
+    while (scanning) {
+      val open = findTagOpen(s, "meta", i)
+      if (open < 0) scanning = false
+      else {
+        val gt = s.indexOf('>', open)
+        if (gt < 0) scanning = false // truncated tag at EOF: reject
+        else {
+          val p = attrValue(s, open, gt, "property")
+          val key = if (p != null) p else attrValue(s, open, gt, "name")
+          if (key != null) {
+            if (key.equalsIgnoreCase("article:published_time")) {
+              val v = attrValue(s, open, gt, "content")
+              if (v != null) return v
+            } else if (metaDate == null && key.equalsIgnoreCase("date")) {
+              metaDate = attrValue(s, open, gt, "content")
+            }
+          }
+          i = gt + 1
+        }
+      }
+    }
+    if (metaDate != null) metaDate else timeAttr(s)
+  }
+
   /** All <h1> texts in document order, one per line (the scraper's
     * `soup.find_all(["h1"])`); null when the page has none. */
   def h1s(s: String): String = {
@@ -608,8 +651,9 @@ case class HtmlMeta(child: Expression, field: String)
 
   require(
     Set("title", "time", "h1", "links", "robots", "base",
-      "links_text").contains(field),
-    s"html_meta field must be title|time|h1|links|robots|base|links_text, got $field")
+      "links_text", "published").contains(field),
+    "html_meta field must be title|time|h1|links|robots|base|" +
+      s"links_text|published, got $field")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -627,6 +671,7 @@ case class HtmlMeta(child: Expression, field: String)
     case "robots" => HtmlMetaUtil.metaContent(s, "robots")
     case "base"  => HtmlMetaUtil.baseHref(s)
     case "links_text" => HtmlMetaUtil.linksWithText(s)
+    case "published" => HtmlMetaUtil.publishedTime(s)
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -645,6 +690,7 @@ case class HtmlMeta(child: Expression, field: String)
       case "robots" => "robotsContent"
       case "base"  => "baseHref"
       case "links_text" => "linksWithText"
+      case "published" => "publishedTime"
     }
     nullSafeCodeGen(ctx, ev, x => {
       val tmp = ctx.freshName("meta")
@@ -712,6 +758,9 @@ object HtmlTextExpr {
 
   def htmlLinksWithText(html: Column): Column =
     Bridge.toColumn(HtmlMeta(Bridge.toExpression(html), "links_text"))
+
+  def htmlPublished(html: Column): Column =
+    Bridge.toColumn(HtmlMeta(Bridge.toExpression(html), "published"))
 
   def sitemapLocs(xml: Column): Column =
     Bridge.toColumn(SitemapLocs(Bridge.toExpression(xml)))

@@ -337,6 +337,43 @@ class HtmlTextSpec extends SparkSpec {
       2L -> (null, null, null)))
   }
 
+  test("publishedTime: precedence og > meta-date > time (r14)") {
+    import graft.plans.HtmlMetaUtil.publishedTime
+    // og wins over a later meta-date AND an earlier <time>
+    assert(publishedTime(
+      "<time datetime=\"1999-01-01\">x</time>" +
+      "<meta property=\"article:published_time\" content=\"2024-03-01\">" +
+      "<meta name=\"date\" content=\"2023-01-01\">") == "2024-03-01")
+    // og via name= (sloppy pages)
+    assert(publishedTime(
+      "<meta name=\"ARTICLE:PUBLISHED_TIME\" content=\"2024-04-02\">")
+      == "2024-04-02")
+    // meta-date behind a decoy author meta; beats <time>
+    assert(publishedTime(
+      "<meta name=\"author\" content=\"A W\">" +
+      "<meta name=\"date\" content=\"2023-11-05\">" +
+      "<time datetime=\"2020-01-01\">t</time>") == "2023-11-05")
+    // time fallback, attribute order free
+    assert(publishedTime(
+      "<p>x</p><time class=\"c\" datetime=\"2022-05-06\">May</time>")
+      == "2022-05-06")
+    // og with content BEFORE property (attr order free)
+    assert(publishedTime(
+      "<meta content=\"2024-07-08\" property=\"article:published_time\">")
+      == "2024-07-08")
+    // none declared -> null; empty -> null
+    assert(publishedTime("<p>undated</p>") == null)
+    assert(publishedTime("") == null)
+    // truncated meta at EOF rejects but an earlier time still serves
+    assert(publishedTime(
+      "<time datetime=\"2021-02-03\">t</time><meta property=\"art")
+      == "2021-02-03")
+    // og meta with NO content attr does not shadow a later meta-date
+    assert(publishedTime(
+      "<meta property=\"article:published_time\">" +
+      "<meta name=\"date\" content=\"2023-12-09\">") == "2023-12-09")
+  }
+
   test("kernel stays in whole-stage codegen (no UDF black box)") {
     // non-foldable input (Range), else ConvertToLocalRelation
     // constant-folds the projection away before any codegen runs

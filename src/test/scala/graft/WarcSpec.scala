@@ -250,6 +250,58 @@ class WarcSpec extends SparkSpec {
     assert(texts == Seq("hello warc", "one", "two"))
   }
 
+  test("conversion records: refers_to lift + WET round trip (r14)") {
+    // a WET-style derivative: conversion record whose WARC-Refers-To
+    // names the source capture; text/plain payload passes through
+    // liftHttp untouched (not application/http)
+    val wet =
+      "WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: https://a.com/x\r\n" +
+      "WARC-Date: 2024-01-02T03:04:06Z\r\n" +
+      "WARC-Refers-To: <urn:uuid:orig-1>\r\n" +
+      "Content-Type: text/plain\r\n" +
+      "Content-Length: 9\r\n\r\nwet text!\r\n\r\n"
+    // byte-column face
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, bytes(wet))),
+      StructType(Seq(StructField("media_id", LongType),
+        StructField("payload", BinaryType))))
+    val r = Warc.warcRecords(df).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[String]("warc_type") == "conversion")
+    assert(row.getAs[String]("refers_to") == "<urn:uuid:orig-1>")
+    assert(new String(row.getAs[Array[Byte]]("body"), "UTF-8")
+      == "wet text!")
+    // file face through the member-per-record writer
+    val dir = tmpDir("wetround")
+    val glob = Warc.writeArchiveDir(df.select(col("payload")),
+      "payload", dir + "/wet", parts = 2, memberPerRecord = true)
+    val back = Warc.warcFiles(spark, glob).collect()
+    assert(back.length == 1)
+    assert(back(0).getAs[String]("refers_to") == "<urn:uuid:orig-1>")
+    assert(new String(back(0).getAs[Array[Byte]]("body"), "UTF-8")
+      == "wet text!")
+  }
+
+  test("cache/validator header lift: Last-Modified, ETag, Cache-Control (r14)") {
+    val resp = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "Cache-Control: max-age=3600, public\r\n" +
+      "Last-Modified: Tue, 02 Jan 2024 00:00:00 GMT\r\n" +
+      "etag: W/\"abc\"\r\n\r\n<p>x</p>" // lowercase etag: lookup is ci
+    val recs = Warc.parse(bytes(record("response", "https://a.com/c",
+      resp))).getOrElse(fail("did not parse"))
+    assert(recs.length == 1)
+    assert(recs(0).httpCacheControl == "max-age=3600, public")
+    assert(recs(0).httpLastModified == "Tue, 02 Jan 2024 00:00:00 GMT")
+    assert(recs(0).httpEtag == "W/\"abc\"")
+    // absent headers stay null; non-HTTP records stay all-null
+    val bare = Warc.parse(bytes(record("response", "https://a.com/d",
+      httpResp("<p>y</p>")))).getOrElse(fail("did not parse"))
+    assert(bare(0).httpCacheControl == null && bare(0).httpEtag == null
+      && bare(0).httpLastModified == null)
+  }
+
   test("warcFiles: a >512MB archive streams without cap breach") {
     // 140 records x 4 MB body = 560 MB uncompressed — far past the
     // byte-column face's maxGunzip=512MB, which must NOT apply on
