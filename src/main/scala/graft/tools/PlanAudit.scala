@@ -114,7 +114,12 @@ object PlanAudit {
       // CONSTRUCTION (bounded foreachPartition), so the audited plan
       // is the read+route half -- which is the claim: map-only after
       // the file scan
-      "q_archive_e2e")
+      "q_archive_e2e",
+      // round-14 continuation: recrawl scheduling, cache semantics,
+      // WET export (audited plan = conversion-read half, like
+      // q_archive_e2e), pub-date, trap + mojibake audits
+      "q_recrawl_schedule", "q_cache_headers", "q_wet_export",
+      "q_pub_date", "q_crawl_traps", "q_mojibake")
 
     val outFile = if (args.nonEmpty) args(0) else "PLANS.md"
     val sb = new StringBuilder
