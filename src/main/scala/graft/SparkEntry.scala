@@ -2492,6 +2492,59 @@ object SparkEntry {
             .otherwise(lit("unconditional")))
     }),
 
+    "q_digest_verify" -> ((s, d) => {
+      // payload-digest integrity (r14): Common Crawl's
+      // WARC-Payload-Digest is 'sha1:' + RFC 4648 base32 of the
+      // payload's SHA-1; recomputing over the lifted body verifies
+      // transport end to end — INCLUDING dechunk, whose arm here
+      // carries a digest computed over the UNCHUNKED payload, so
+      // digest_ok=true proves the reader reassembled the exact
+      // bytes. Verification is OPT-IN by design (hashing every
+      // payload at 100 TB is real CPU — the reader never does it
+      // silently); this query is the opt-in shape. Arms: correct /
+      // tampered / absent / chunked-correct. Map-only; the digest
+      // expression and the comparison both stay in codegen.
+      val id = col("doc_id").cast("string")
+      val m = col("doc_id") % 4
+      val clean = regexp_replace(regexp_replace(
+        coalesce(col("text"), lit("")), "[^\\x20-\\x7E]", " "),
+        "[<>&]", " ")
+      val html = concat(lit("<p>Doc "), id, lit(" "), clean,
+        lit("</p>"))
+      val goodDigest = graft.plans.BytesCodecExpr.warcSha1Digest(
+        html.cast("binary"))
+      val digestHdr = when(m === 0 || m === 3,
+          concat(lit("WARC-Payload-Digest: "), goodDigest,
+            lit("\r\n")))
+        .when(m === 1, concat(lit("WARC-Payload-Digest: " +
+          "sha1:TAMPERED"), id, lit("\r\n")))
+        .otherwise(lit(""))
+      val wire = concat(hex(length(html)), lit("\r\n"), html,
+        lit("\r\n0\r\n\r\n"))
+      val http = when(m === 3, concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+            "Transfer-Encoding: chunked\r\n\r\n"), wire))
+        .otherwise(concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+          html))
+      val warc = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " +
+          "https://example.com/doc/"), id, lit("\r\n"), digestHdr,
+        lit("WARC-Date: 2024-01-02T00:00:00Z\r\n" +
+          "Content-Type: application/http;msgtype=response\r\n" +
+          "Content-Length: "), length(http).cast("string"),
+        lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), warc.cast("binary").as("payload"))
+      graft.llm.Warc.warcRecords(media, "doc_id", "payload")
+        .filter(col("warc_type") === "response")
+        .select(col("media_id").as("doc_id"),
+          col("payload_digest").isNotNull.as("has_digest"),
+          when(col("payload_digest").isNotNull,
+            graft.plans.BytesCodecExpr.warcSha1Digest(col("body")) ===
+              col("payload_digest")).as("digest_ok"))
+    }),
+
     "q_outlink_base" -> ((s, d) => {
       // <base href> resolution (r14, RFC 3986 §5.1.1): page content
       // can override the retrieval URI as the resolution base, and
@@ -7075,6 +7128,17 @@ object SparkEntry {
              WHEN m IN (1, 2) THEN 'conditional'
              ELSE 'unconditional' END AS refetch_policy
          FROM h""",
+
+    // q_digest_verify oracle: the verdicts are statable BY
+    // CONSTRUCTION — the correct and chunked arms carry the digest
+    // the Spark side recomputes, the tampered arm cannot match, the
+    // absent arm has nothing to check
+    "q_digest_verify" ->
+      """SELECT doc_id,
+           doc_id % 4 <> 2 AS has_digest,
+           CASE WHEN doc_id % 4 IN (0, 3) THEN TRUE
+             WHEN doc_id % 4 = 1 THEN FALSE END AS digest_ok
+         FROM documents""",
 
     // q_outlink_base oracle: all three base arms state their
     // expected resolution BY CONSTRUCTION (absolute base ->

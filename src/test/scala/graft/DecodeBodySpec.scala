@@ -148,4 +148,25 @@ class DecodeBodySpec extends SparkSpec {
           lit(payload))).cast("string").as("s"))
     assert(df.collect()(0).getString(0) == "x" * 10000 + polish)
   }
+
+  test("base32_bytes: RFC 4648 vectors + WARC sha1 digest (r14)") {
+    import graft.plans.BytesCodecUtil.base32
+    // RFC 4648 §10 test vectors, unpadded
+    assert(base32(Array.empty[Byte]) == "")
+    assert(base32("f".getBytes) == "MY")
+    assert(base32("fo".getBytes) == "MZXQ")
+    assert(base32("foo".getBytes) == "MZXW6")
+    assert(base32("foob".getBytes) == "MZXW6YQ")
+    assert(base32("fooba".getBytes) == "MZXW6YTB")
+    assert(base32("foobar".getBytes) == "MZXW6YTBOI")
+    // 20-byte SHA-1 encodes to exactly 32 chars, no pad ever needed
+    val sha = java.security.MessageDigest.getInstance("SHA-1")
+      .digest("abc".getBytes("UTF-8"))
+    assert(base32(sha).length == 32)
+    // the composed WARC digest column face matches MessageDigest
+    val df = spark.range(1).select(
+      graft.plans.BytesCodecExpr.warcSha1Digest(
+        lit("abc".getBytes("UTF-8"))).as("d"))
+    assert(df.collect()(0).getString(0) == "sha1:" + base32(sha))
+  }
 }

@@ -374,6 +374,20 @@ class HtmlTextSpec extends SparkSpec {
       "<meta name=\"date\" content=\"2023-12-09\">") == "2023-12-09")
   }
 
+  test("publishedTime totality fuzz: never throws (r14)") {
+    import graft.plans.HtmlMetaUtil.publishedTime
+    val rnd = new scala.util.Random(41)
+    val seeds = Seq("<meta ", "property=", "name=", "content=",
+      "\"article:published_time\"", "'date'", "\"2024-01-02\"", ">",
+      "<time ", "datetime=", "</time>", "<!--", "-->", "=", "\"", "'",
+      " ", "<", "text ", "<meta property=\"article:published_time\"")
+    (1 to 400).foreach { _ =>
+      val s = (1 to rnd.nextInt(24)).map(_ =>
+        seeds(rnd.nextInt(seeds.length))).mkString
+      publishedTime(s) // must not throw
+    }
+  }
+
   test("kernel stays in whole-stage codegen (no UDF black box)") {
     // non-foldable input (Range), else ConvertToLocalRelation
     // constant-folds the projection away before any codegen runs
