@@ -2545,6 +2545,89 @@ object SparkEntry {
               col("payload_digest")).as("digest_ok"))
     }),
 
+    "q_fetch_plan" -> ((s, d) => {
+      // the scheduling capstone (r14): ONE plan from raw archive to
+      // refetch decision — 3-capture WARC history per URL (digest
+      // advancing on the first X = doc_id%3 intervals; cache headers
+      // on the LAST capture only, arm c = doc_id%4) → lag-detected
+      // change count → Cho-Garcia-Molina rate (n=2 intervals) → due
+      // horizon (1/lambda, capped 30d, never-due arm pinned at
+      // last+30) → decision at now=day 104 with pinned precedence:
+      //   1. server-declared freshness (max-age still covers now)
+      //      → skip_fresh;
+      //   2. estimator says due: validator present
+      //      → refetch_conditional (a 304 costs headers) else
+      //      → refetch_full;
+      //   3. → wait.
+      // Scale shape: the record scan is map-only; ONE exchange on
+      // doc_id shared by the window and the (doc_id, url) aggregate
+      // (subset clustering), decision derives map-side. This is
+      // q_archive_e2e's twin for the fetch side of the crawl loop.
+      import org.apache.spark.sql.expressions.Window
+      val id = col("doc_id").cast("string")
+      val x = col("doc_id") % 3
+      val c = col("doc_id") % 4
+      val uri = concat(lit("https://"),
+        lower(regexp_replace(col("source"), "[^A-Za-z0-9]", "x")),
+        lit(".example.com/doc/"), id)
+      val cacheHdr = when(c === 0,
+          lit("Cache-Control: max-age=432000\r\n"))
+        .when(c === 1, concat(lit("ETag: \"v"), id, lit("\"\r\n")))
+        .when(c === 2,
+          lit("Last-Modified: Tue, 02 Jan 2024 00:00:00 GMT\r\n"))
+        .otherwise(lit(""))
+      def capture(k: Int): Column = {
+        val html = concat(lit("<p>doc "), id, lit(" rev "),
+          least(lit(k), x).cast("string"), lit("</p>"))
+        val http = concat(
+          lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"),
+          if (k == 2) cacheHdr else lit(""), lit("\r\n"), html)
+        concat(
+          lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+          uri, lit("\r\nWARC-Payload-Digest: sha1:D"), id, lit("-v"),
+          least(lit(k), x).cast("string"),
+          lit(s"\r\nWARC-Date: 2024-01-0${k + 1}T00:00:00Z\r\n" +
+            "Content-Type: application/http;msgtype=response\r\n" +
+            "Content-Length: "), length(http).cast("string"),
+          lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+      }
+      val warc = concat(capture(0), capture(1), capture(2))
+      val media = t(s, d, "documents")
+        .select(col("doc_id"), warc.cast("binary").as("payload"))
+      val recs = graft.llm.Warc.warcRecords(media, "doc_id", "payload")
+        .filter(col("warc_type") === "response")
+        .select(col("media_id").as("doc_id"),
+          col("target_uri").as("url"), col("rec_idx"),
+          col("payload_digest"), col("http_cache_control"),
+          col("http_etag"), col("http_last_modified"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("rec_idx"))
+      val hist = recs
+        .withColumn("prev", lag(col("payload_digest"), 1).over(w))
+        .groupBy(col("doc_id"), col("url"))
+        .agg(sum(when(col("prev").isNotNull &&
+            col("prev") =!= col("payload_digest"), 1).otherwise(0))
+            .as("n_changes"),
+          max_by(col("http_cache_control"), col("rec_idx")).as("cc"),
+          max_by(col("http_etag"), col("rec_idx")).as("etag"),
+          max_by(col("http_last_modified"), col("rec_idx")).as("lm"))
+      val lam = -log((lit(2) - col("n_changes") + lit(0.5)) / lit(2.5))
+      val dueDay = when(col("n_changes") === 0, lit(132.0))
+        .otherwise(round(lit(102) +
+          least(lit(30.0), lit(1.0) / lam), 4))
+      val maxAgeDays = nullif(regexp_extract(
+        coalesce(col("cc"), lit("")), "max-age=([0-9]+)", 1), lit(""))
+        .cast("double") / lit(86400.0)
+      val hasValidator = col("etag").isNotNull || col("lm").isNotNull
+      hist.select(col("doc_id"), col("url"), col("n_changes"),
+        dueDay.as("due_day"),
+        when(maxAgeDays.isNotNull &&
+            lit(102.0) + maxAgeDays > 104.0, lit("skip_fresh"))
+          .when(dueDay <= 104.0,
+            when(hasValidator, lit("refetch_conditional"))
+              .otherwise(lit("refetch_full")))
+          .otherwise(lit("wait")).as("action"))
+    }),
+
     "q_outlink_base" -> ((s, d) => {
       // <base href> resolution (r14, RFC 3986 §5.1.1): page content
       // can override the retrieval URI as the resolution base, and
@@ -7139,6 +7222,27 @@ object SparkEntry {
            CASE WHEN doc_id % 4 IN (0, 3) THEN TRUE
              WHEN doc_id % 4 = 1 THEN FALSE END AS digest_ok
          FROM documents""",
+
+    // q_fetch_plan oracle: the whole decision is statable BY
+    // CONSTRUCTION — X changes detected, the estimator's due horizon
+    // in closed form (never-due arm pinned at last+30), freshness
+    // only on the max-age arm, validators on the ETag/Last-Modified
+    // arms; precedence skip_fresh > due(conditional|full) > wait
+    "q_fetch_plan" ->
+      """WITH h AS (SELECT doc_id, doc_id % 3 AS x, doc_id % 4 AS c,
+           'https://' || lower(regexp_replace(source,
+             '[^A-Za-z0-9]', 'x', 'g')) || '.example.com/doc/'
+             || CAST(doc_id AS VARCHAR) AS url
+           FROM documents)
+         SELECT doc_id, url, CAST(x AS BIGINT) AS n_changes,
+           CASE WHEN x = 0 THEN 132.0
+             ELSE round(102 + least(30.0,
+               1.0 / (-ln((2 - x + 0.5) / 2.5))), 4) END AS due_day,
+           CASE WHEN c = 0 THEN 'skip_fresh'
+             WHEN x = 0 THEN 'wait'
+             WHEN c IN (1, 2) THEN 'refetch_conditional'
+             ELSE 'refetch_full' END AS action
+         FROM h""",
 
     // q_outlink_base oracle: all three base arms state their
     // expected resolution BY CONSTRUCTION (absolute base ->

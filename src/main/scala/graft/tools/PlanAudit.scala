@@ -119,7 +119,10 @@ object PlanAudit {
       // WET export (audited plan = conversion-read half, like
       // q_archive_e2e), pub-date, trap + mojibake audits
       "q_recrawl_schedule", "q_cache_headers", "q_wet_export",
-      "q_pub_date", "q_crawl_traps", "q_mojibake")
+      "q_pub_date", "q_crawl_traps", "q_mojibake",
+      // round-14 continuation: digest integrity + the fetch-side
+      // capstone (archive history -> refetch decision, one plan)
+      "q_digest_verify", "q_fetch_plan")
 
     val outFile = if (args.nonEmpty) args(0) else "PLANS.md"
     val sb = new StringBuilder
