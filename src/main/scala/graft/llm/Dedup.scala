@@ -146,7 +146,17 @@ object Dedup {
     * the exchange fixed-width. */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3): DataFrame = {
-    val sf = shingleFrame(df, idCol, textCol, shingleN)
+    // Persisted (r14 optimization): the normalize→tokenize→n-gram-HOF→
+    // array_distinct pipeline is the dominant per-row cost, and the
+    // unpersisted plan evaluated it FOUR times — the per-doc-count and
+    // unique-gram branches each rescan the corpus, and inside each
+    // branch the pushed-down emptiness filter re-evaluates the whole
+    // expression below the projection that also computes it. One
+    // cached (id, shingles) pass feeds both branches; the emptiness
+    // filter then reads the materialized array's size. Same
+    // MEMORY_AND_DISK + releaseCaches discipline as ngramJaccardPairs
+    // (isolated sf0.1 A/B: 3.89 s -> 1.71 s min).
+    val sf = persistTracked(shingleFrame(df, idCol, textCol, shingleN))
     val perDoc = sf
       .select(col("id"), size(col("shingles")).as("n_shingles"))
       .filter(col("n_shingles") > 0)
